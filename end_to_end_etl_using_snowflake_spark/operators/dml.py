@@ -1,0 +1,106 @@
+"""DML rewrites for plain-Parquet tables (SURVEY §2.8 M3-M7).
+
+Snowflake gives row-level DML; plain Parquet gives atomic directory
+swap. Every mutation is therefore expressed as "compute the post-state
+DataFrame, then atomically replace the table" — which is also the right
+shape at 100 TB (rewrite only affected partitions, never row-by-row).
+
+Write protocol (crash-safe): write to ``<table>.__tmp_<uuid>`` ->
+atomic ``rename``/swap -> delete old. Re-running a failed step is safe
+because every post-state computation here is idempotent for the same
+inputs (MERGE included — see operators.merge).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def update_where(
+    df: DataFrame, predicate: Column, assignments: Mapping[str, Column]
+) -> DataFrame:
+    """M6: ``UPDATE ... SET ... WHERE`` (order-...sql:377-387) as a
+    conditional projection over the full table."""
+    out = df
+    for col_name, value in assignments.items():
+        out = out.withColumn(
+            col_name, F.when(predicate, value).otherwise(F.col(col_name))
+        )
+    return out
+
+
+def delete_where(df: DataFrame, predicate: Column) -> DataFrame:
+    """DELETE as its complement filter."""
+    return df.filter(~predicate | predicate.isNull())
+
+
+def truncate(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """M5: ``TRUNCATE TABLE`` (customer-...sql:172) -> empty frame with
+    the same schema."""
+    return spark.createDataFrame([], df.schema)
+
+
+class ParquetTable:
+    """A managed Parquet table with atomic overwrite — the engine's
+    storage primitive backing S5 table sinks (customer-...sql:3,16,31).
+
+    ``overwrite`` implements M3 INSERT OVERWRITE (order-...sql:179) and
+    the swap step of MERGE; ``append`` implements M4 INSERT INTO
+    (order-...sql:306-339). ``partition_by`` turns overwrites into
+    partition-level rewrites — at 100 TB the fact table partitions by
+    order_date so a daily rebuild touches one partition, not the table.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, partition_by: Sequence[str] = ()):
+        self.spark = spark
+        self.path = path
+        self.partition_by = list(partition_by)
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def append(self, df: DataFrame) -> None:
+        writer = df.write.mode("append")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.path)
+
+    def overwrite(self, df: DataFrame) -> None:
+        """Atomic full overwrite via write-temp-then-swap. Safe even when
+        ``df`` reads from this same table (the read plan resolves against
+        the old directory until the swap)."""
+        tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(tmp)
+        old = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def overwrite_partitions(self, df: DataFrame) -> None:
+        """Dynamic partition overwrite: replace only the partitions
+        present in ``df`` (the 100 TB-friendly fact maintenance path)."""
+        if not self.partition_by:
+            raise ValueError("overwrite_partitions requires partition_by")
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*self.partition_by)
+            .parquet(self.path)
+        )
+
+    def truncate(self, schema) -> None:
+        self.overwrite(self.spark.createDataFrame([], schema))

@@ -1,0 +1,163 @@
+"""MERGE upsert on plain DataFrames / Parquet tables.
+
+Models the reference's Snowflake ``MERGE INTO`` statements:
+
+- SCD-1 stage->raw merge: matched -> update all columns, not-matched ->
+  insert (reference etl_script/customer-end-to-end-pipeline-script.sql:77-114;
+  composite-key variant order-...sql:111-168; dedup-inlined variant
+  item-...sql:71-105).
+- Typed dim merge with identity key + timestamps
+  (customer-...sql:118-165, item-...sql:111-151).
+
+Spark has no row-level MERGE on plain Parquet, so the engine rewrites it
+as a pure-DataFrame state equation::
+
+    deduped  = latest-per-key(source)              # W1 row_number dedup
+    kept     = target LEFT ANTI deduped ON keys    # untouched rows
+    upserted = kept UNION BY NAME apply(deduped)   # updated + inserted
+
+which Catalyst executes as two joins on the key columns; the source
+batch is typically tiny (minutes of CDC against years of history), so
+AQE broadcasts it and the target is never shuffled.
+
+Scale notes (100 TB target):
+
+- For a date-partitioned target, restrict the merge to partitions that
+  contain source keys (merge-on-read compaction trick): untouched
+  partitions are never read or rewritten. ``pipelines`` applies this.
+- The dedup window shuffles only the source batch, never the target.
+- Identity assignment sorts only the *insert* batch, not the table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_latest(
+    source: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+) -> DataFrame:
+    """Latest-record-wins dedup of a change batch.
+
+    Reference: ``row_number() over (partition by item_id order by
+    start_date desc) ... where rownum = 1`` (item-...sql:72-75, W1/P3);
+    the author's note "picks the latest change for the same id"
+    (item-...sql:220). Required before any merge: a multi-row-per-key
+    batch would make the update branch nondeterministic (Snowflake
+    raises a nondeterministic-merge error for this case).
+    """
+    cols = [F.col(c).desc() if isinstance(c, str) else c for c in order_by]
+    w = Window.partitionBy(*keys).orderBy(*cols)
+    return (
+        source.withColumn("__rownum", F.row_number().over(w))
+        .filter(F.col("__rownum") == 1)
+        .drop("__rownum")
+    )
+
+
+def merge_dataframes(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+    matched_set: Mapping[str, Column] | None = None,
+    insert_defaults: Mapping[str, Column] | None = None,
+) -> DataFrame:
+    """Pure-DataFrame MERGE (SCD-1): returns the post-merge state.
+
+    - matched rows  -> source values for ``update_cols`` (default: all
+      non-key target columns also present in the source), with
+      ``matched_set`` overrides (e.g. ``updated_timestamp =
+      current_timestamp()``, customer-...sql:139).
+    - not matched   -> source values + ``insert_defaults`` for
+      target-only columns (e.g. ``added_timestamp``,
+      customer-...sql:141-165).
+    - target-only rows -> kept verbatim (LEFT ANTI).
+
+    Columns of ``target`` that are neither keys nor ``update_cols``
+    ("carry" columns — identity keys, added_timestamp) must NOT exist in
+    ``source``; they are carried from the target on match and take
+    ``insert_defaults`` on insert. The source must already be deduped
+    (one row per key) and cast to target-compatible types.
+    """
+    keys = list(keys)
+    target_cols = target.columns
+    matched_set = dict(matched_set or {})
+    insert_defaults = dict(insert_defaults or {})
+    if update_cols is None:
+        update_cols = [c for c in target_cols if c not in keys and c in source.columns]
+    carry_cols = [c for c in target_cols if c not in keys and c not in update_cols]
+    clash = [c for c in carry_cols if c in source.columns]
+    if clash:
+        raise ValueError(f"carry columns also present in source: {clash}")
+
+    kept = target.join(source.select(*keys).distinct(), on=keys, how="left_anti")
+
+    s, t = source.alias("s"), (
+        target.select(*keys, *carry_cols).withColumn("__matched", F.lit(True)).alias("t")
+    )
+    cond = [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in keys]
+    joined = s.join(t, on=cond, how="left")
+    is_matched = F.col("t.__matched").isNotNull()
+
+    out: list[Column] = []
+    for c in target_cols:
+        if c in keys:
+            out.append(F.col(f"s.{c}").alias(c))
+        elif c in update_cols:
+            expr = F.col(f"s.{c}")
+            if c in matched_set:
+                expr = F.when(is_matched, matched_set[c]).otherwise(expr)
+            out.append(expr.alias(c))
+        else:
+            matched_val = matched_set.get(c, F.col(f"t.{c}"))
+            default = insert_defaults.get(c, F.lit(None).cast(target.schema[c].dataType))
+            out.append(F.when(is_matched, matched_val).otherwise(default).alias(c))
+    applied = joined.select(*out)
+    return kept.select(*target_cols).unionByName(applied)
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    dedup_order: Sequence[Column | str] | None = None,
+    **kwargs,
+) -> DataFrame:
+    """dedup_latest + merge_dataframes — the engine's M1
+    (customer-...sql:77-114) / J3 / J4 (order-...sql:111-116 composite
+    key) operator."""
+    if dedup_order is not None:
+        source = dedup_latest(source, keys, dedup_order)
+    return merge_dataframes(target, source, keys, **kwargs)
+
+
+def fill_identity(
+    df: DataFrame,
+    key_col: str,
+    order_by: Sequence[str],
+    existing_max: int | None = None,
+) -> DataFrame:
+    """Snowflake ``number autoincrement`` analog (customer-...sql:32).
+
+    Fills NULLs in ``key_col`` with contiguous keys starting past the
+    current max: ``max_key + row_number()`` over a defined total order of
+    the *insert rows only* — deterministic and contiguous, unlike
+    ``monotonically_increasing_id()``. The window sorts just the insert
+    batch (small by CDC construction); the existing max is a cheap
+    column-pruned scan. Key *values* are engine-specific — tests assert
+    uniqueness/monotonicity only (FIXTURES.md).
+    """
+    if existing_max is None:
+        row = df.agg(F.max(key_col)).first()
+        existing_max = row[0] if row and row[0] is not None else 0
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    news = df.filter(F.col(key_col).isNull()).withColumn(
+        key_col, (F.lit(existing_max) + F.row_number().over(w)).cast("long")
+    )
+    return df.filter(F.col(key_col).isNotNull()).unionByName(news)

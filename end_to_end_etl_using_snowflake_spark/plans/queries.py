@@ -1,0 +1,715 @@
+"""Reference-surface query inventory (SURVEY.md §2) on the driver's
+TPC-H-ish tables. Each entry registers an idiomatic-DataFrame builder +
+a DuckDB oracle (see ``plans.registry`` for determinism conventions).
+
+Mapping (FIXTURES.md §B): fact-style source = ``lineitem``; dims =
+``orders``/``customer``/``part``; SCD current-row filters use a
+synthesized validity on ``part``; MERGE oracles are ``target ANTI JOIN
+source UNION ALL source`` state equations; latest-per-key dedup runs on
+``events``.
+
+Every monetary expression is computed in DECIMAL (exact, order-
+independent) and the final column cast to DOUBLE — exact for these
+magnitudes (value * 10^scale < 2^53), so Spark and DuckDB hash
+identically. Raw double columns pass through untouched (safe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import merge as M
+from .registry import register
+from .tables import load
+
+# ---------------------------------------------------------------------------
+# shared decimal measure expressions (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def _qty():
+    return F.col("l_quantity").cast("decimal(18,2)")
+
+
+def _price():
+    return F.col("l_extendedprice").cast("decimal(18,2)")
+
+
+def _disc():
+    return F.col("l_discount").cast("decimal(4,2)")
+
+
+def _tax():
+    return F.col("l_tax").cast("decimal(4,2)")
+
+
+_SQL_QTY = "CAST(l_quantity AS DECIMAL(18,2))"
+_SQL_PRICE = "CAST(l_extendedprice AS DECIMAL(18,2))"
+_SQL_DISC = "CAST(l_discount AS DECIMAL(4,2))"
+_SQL_TAX = "CAST(l_tax AS DECIMAL(4,2))"
+
+
+# ---------------------------------------------------------------------------
+# flagship: fact_order rebuild (M3 = J1 + J2 + A1-A3 + O1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_fact_rebuild",
+    oracle=f"""
+    WITH dim_part AS (
+        SELECT p_partkey, p_brand, DATE '2000-01-01' AS end_date FROM part
+        UNION ALL
+        SELECT p_partkey, p_brand, NULL AS end_date FROM part
+    )
+    SELECT CAST(o.o_orderdate AS DATE)            AS order_date,
+           c.c_custkey                            AS customer_dim_key,
+           p.p_partkey                            AS item_dim_key,
+           COUNT(1)                               AS order_count,
+           CAST(SUM({_SQL_QTY}) AS DOUBLE)        AS order_quantity,
+           CAST(SUM({_SQL_PRICE}) AS DOUBLE)      AS sale_price,
+           CAST(SUM({_SQL_PRICE} * {_SQL_DISC}) AS DOUBLE)       AS disount_amt,
+           CAST(SUM({_SQL_QTY} * {_SQL_DISC}) AS DOUBLE)         AS coupon_amt,
+           CAST(SUM({_SQL_PRICE} * (1 - {_SQL_DISC})) AS DOUBLE) AS net_paid,
+           CAST(SUM({_SQL_PRICE} * {_SQL_TAX}) AS DOUBLE)        AS net_paid_tax,
+           CAST(SUM({_SQL_PRICE} * (1 - {_SQL_DISC}) - {_SQL_QTY}) AS DOUBLE) AS net_profit
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN dim_part p ON p.p_partkey = l.l_partkey AND p.end_date IS NULL
+    GROUP BY 1, 2, 3
+    """,
+    doc="""Reference fact_order full rebuild (order-...sql:179-212): star
+    join fact + 2 dims with the SCD current-row residual (end_date IS
+    NULL, order-...sql:207), 3-key GROUP BY, COUNT(1) + 7 measure SUMs
+    with implicit varchar->number cast semantics (A3). The ``disount_amt``
+    typo is preserved from the source schema (order-...sql:14).""",
+    tags=("M3", "J1", "J2", "A1", "A2", "A3", "O1"),
+)
+def flagship_fact_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    part = load(spark, sf_dir, "part")
+    # synthesized SCD dim: one closed + one current row per part; the
+    # current-row residual is pushed to the (broadcast) build side.
+    dim_part = part.select("p_partkey", "p_brand").withColumn(
+        "end_date", F.lit("2000-01-01").cast("date")
+    ).unionByName(
+        part.select("p_partkey", "p_brand").withColumn("end_date", F.lit(None).cast("date"))
+    )
+    one = F.lit(1).cast("decimal(1,0)")
+    return (
+        lineitem
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(dim_part.filter(F.col("end_date").isNull())),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("c_custkey").alias("customer_dim_key"),
+            F.col("p_partkey").alias("item_dim_key"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.sum(_qty()).cast("double").alias("order_quantity"),
+            F.sum(_price()).cast("double").alias("sale_price"),
+            F.sum(_price() * _disc()).cast("double").alias("disount_amt"),
+            F.sum(_qty() * _disc()).cast("double").alias("coupon_amt"),
+            F.sum(_price() * (one - _disc())).cast("double").alias("net_paid"),
+            F.sum(_price() * _tax()).cast("double").alias("net_paid_tax"),
+            F.sum(_price() * (one - _disc()) - _qty()).cast("double").alias("net_profit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projection / filter / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p1_full_scan",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    doc="P1 layer-inspection full scan (customer-...sql:212-216).",
+    tags=("P1", "S5"),
+)
+def p1_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@register(
+    "p2_projection_pushdown",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderpriority = '1-URGENT'
+    """,
+    doc="""P2 explicit projection + pushed filter (order-...sql:191-202).
+    Plan check: ReadSchema carries only 4 columns, PushedFilters carries
+    both predicates (column pruning + predicate pushdown reach parquet).""",
+    tags=("P2",),
+)
+def p2_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "p5_filter_in_list",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+    doc="P5 IN-list filter (customer-...sql:199).",
+    tags=("P5",),
+)
+def p5_filter_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+@register(
+    "p6_semi_join_in_subquery",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+    doc="P6/J5 IN-subquery as LEFT SEMI join (order-...sql:365-371).",
+    tags=("P6", "J5"),
+)
+def p6_semi_join_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return customer.join(big, customer.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "p7_filter_equality",
+    oracle="""
+    SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+    """,
+    doc="P7 equality filter (order-...sql:379).",
+    tags=("P7",),
+)
+def p7_filter_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_inner_equi_broadcast",
+    oracle=f"""
+    SELECT p.p_brand AS brand,
+           COUNT(1) AS n_items,
+           CAST(SUM({_SQL_PRICE}) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="""J1 single-key equi inner join, small dim broadcast
+    (order-...sql:204). Plan check: BroadcastHashJoin.""",
+    tags=("J1",),
+)
+def j1_inner_equi_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_price()).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "j2_join_null_residual",
+    oracle="""
+    WITH dim_part AS (
+        SELECT p_partkey, p_type, DATE '2000-01-01' AS end_date FROM part
+        UNION ALL
+        SELECT p_partkey, p_type, NULL AS end_date FROM part WHERE p_size > 25
+    )
+    SELECT l.l_orderkey, l.l_linenumber, d.p_type AS item_type
+    FROM lineitem l
+    JOIN dim_part d ON d.p_partkey = l.l_partkey AND d.end_date IS NULL
+    """,
+    doc="""J2/P4 equi join with IS NULL residual — the SCD "current row"
+    pick (order-...sql:205-207). Residual pushed to the broadcast side.""",
+    tags=("J2", "P4"),
+)
+def j2_join_null_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    dim_part = part.select("p_partkey", "p_type").withColumn(
+        "end_date", F.lit("2000-01-01").cast("date")
+    ).unionByName(
+        part.filter(F.col("p_size") > 25)
+        .select("p_partkey", "p_type")
+        .withColumn("end_date", F.lit(None).cast("date"))
+    )
+    return (
+        lineitem.alias("l")
+        .join(
+            F.broadcast(dim_part).alias("d"),
+            (F.col("d.p_partkey") == F.col("l.l_partkey")) & F.col("d.end_date").isNull(),
+        )
+        .select(
+            F.col("l.l_orderkey").alias("l_orderkey"),
+            F.col("l.l_linenumber").alias("l_linenumber"),
+            F.col("d.p_type").alias("item_type"),
+        )
+    )
+
+
+@register(
+    "j4_composite_key_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, r.l_extendedprice AS matched_price
+    FROM lineitem l
+    JOIN (SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+          WHERE l_returnflag = 'R') r
+      ON r.l_orderkey = l.l_orderkey AND r.l_linenumber = l.l_linenumber
+    """,
+    doc="J4 composite-key equi join (order-...sql:111-116 merge key).",
+    tags=("J4",),
+)
+def j4_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    r = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .alias("r")
+    )
+    l = lineitem.alias("l")
+    return l.join(
+        r,
+        (F.col("r.l_orderkey") == F.col("l.l_orderkey"))
+        & (F.col("r.l_linenumber") == F.col("l.l_linenumber")),
+    ).select(
+        F.col("l.l_orderkey").alias("l_orderkey"),
+        F.col("l.l_linenumber").alias("l_linenumber"),
+        F.col("l.l_quantity").alias("l_quantity"),
+        F.col("r.l_extendedprice").alias("matched_price"),
+    )
+
+
+@register(
+    "j5_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="J5 anti join (customers with no orders) — NOT EXISTS rewrite; "
+    "the 'kept' side of the engine's MERGE state equation.",
+    tags=("J5", "M1"),
+)
+def j5_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_groupby_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({_SQL_QTY}) AS DOUBLE)   AS sum_qty,
+           CAST(SUM({_SQL_PRICE}) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({_SQL_PRICE} * (1 - {_SQL_DISC})) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({_SQL_QTY}) AS DOUBLE) / COUNT(1)            AS avg_qty,
+           COUNT(1)                          AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="""A1/A2/A3 hash aggregate (order-...sql:208-211): multi-key GROUP
+    BY, COUNT(1), SUMs with cast-to-number semantics, and an average via
+    exact-decimal sum / count (deterministic double division). Map-side
+    partial aggregation comes free from Spark's physical planning.""",
+    tags=("A1", "A2", "A3"),
+)
+def a1_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    one = F.lit(1).cast("decimal(1,0)")
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_qty()).cast("double").alias("sum_qty"),
+            F.sum(_price()).cast("double").alias("sum_base_price"),
+            F.sum(_price() * (one - _disc())).cast("double").alias("sum_disc_price"),
+            (F.sum(_qty()).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "a4_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Distinct aggregate (engine extension beyond the reference; "
+    "expand-based distinct agg, exact).",
+    tags=("A4",),
+)
+def a4_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window + §2.6 sort
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_dedup_latest_per_key",
+    oracle="""
+    SELECT user_id, ts AS latest_ts, event_type, value
+    FROM (
+        SELECT user_id, ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rownum
+        FROM events
+    ) WHERE rownum = 1
+    """,
+    doc="""W1 + P3: latest-record-wins dedup via ROW_NUMBER
+    (item-...sql:72-75) — the engine's ``operators.merge.dedup_latest``.
+    event_id breaks ts ties deterministically.""",
+    tags=("W1", "P3"),
+)
+def w1_dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    deduped = M.dedup_latest(
+        events, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return deduped.select("user_id", F.col("ts").alias("latest_ts"), "event_type", "value")
+
+
+@register(
+    "o2_sort_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
+    doc="""O2 ORDER BY DESC (customer-...sql:201) + top-k. Spark executes
+    TakeOrderedAndProject (per-partition heap + driver merge), no global
+    sort. Deterministic tiebreak on o_orderkey.""",
+    tags=("O2",),
+)
+def o2_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 DML as state equations (M1/M2/M6) + §2.9 casts (F4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m1_merge_upsert_state",
+    oracle="""
+    WITH target AS (
+        SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+        WHERE c_custkey % 2 = 0
+    ),
+    source AS (
+        SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment, c_acctbal + 100 AS c_acctbal
+        FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT * FROM target WHERE c_custkey NOT IN (SELECT c_custkey FROM source)
+    UNION ALL
+    SELECT * FROM source
+    """,
+    doc="""M1/J3 MERGE upsert post-state (customer-...sql:77-114): matched
+    rows take source values, unmatched inserts appended, untouched target
+    rows kept. Runs the engine's ``operators.merge.merge_upsert``; the
+    oracle is the anti-join ∪ source state equation.""",
+    tags=("M1", "J3"),
+)
+def m1_merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    target = customer.filter(F.col("c_custkey") % 2 == 0)
+    source = customer.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "c_mktsegment", F.lit("UPDATED")
+    ).withColumn("c_acctbal", F.col("c_acctbal") + 100)
+    return M.merge_upsert(target, source, keys=["c_custkey"])
+
+
+@register(
+    "m2_merge_dedup_composite",
+    oracle="""
+    WITH target AS (
+        -- merge targets are key-unique by construction (raw/dim tables);
+        -- aggregate to one row per composite key
+        SELECT l_orderkey, l_linenumber,
+               CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS l_quantity,
+               MIN(l_returnflag) AS l_returnflag
+        FROM lineitem WHERE l_linenumber <= 4
+        GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS l_quantity
+        FROM lineitem WHERE l_orderkey % 5 = 0 GROUP BY 1, 2
+    ),
+    changes AS (
+        SELECT l_orderkey, l_linenumber, l_quantity + 1 AS l_quantity,
+               'U1' AS l_returnflag, 1 AS version FROM base
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, l_quantity + 2 AS l_quantity,
+               'U2' AS l_returnflag, 2 AS version FROM base
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber
+                                     ORDER BY version DESC) AS rn
+        FROM changes
+    ),
+    source AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM ranked WHERE rn = 1
+    )
+    SELECT t.* FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM source s
+                      WHERE s.l_orderkey = t.l_orderkey
+                        AND s.l_linenumber = t.l_linenumber)
+    UNION ALL
+    SELECT * FROM source
+    """,
+    doc="""M1 composite-key variant (order-...sql:111-168) with the W1
+    latest-wins dedup inlined (item-...sql:72-75): the change batch
+    carries two versions per (orderkey, linenumber); only the latest
+    (version 2) wins the update branch.""",
+    tags=("M1", "J4", "W1"),
+)
+def m2_merge_dedup_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    target = (
+        lineitem.filter(F.col("l_linenumber") <= 4)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.max(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("l_quantity"),
+            F.min("l_returnflag").alias("l_returnflag"),
+        )
+    )
+    base = (
+        lineitem.filter(F.col("l_orderkey") % 5 == 0)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("l_quantity"))
+    )
+    changes = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") + 1).alias("l_quantity"),
+        F.lit("U1").alias("l_returnflag"),
+        F.lit(1).alias("version"),
+    ).unionByName(
+        base.select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_quantity") + 2).alias("l_quantity"),
+            F.lit("U2").alias("l_returnflag"),
+            F.lit(2).alias("version"),
+        )
+    )
+    merged = M.merge_upsert(
+        target,
+        changes,
+        keys=["l_orderkey", "l_linenumber"],
+        dedup_order=[F.col("version").desc()],
+        update_cols=["l_quantity", "l_returnflag"],
+    )
+    return merged.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@register(
+    "m6_update_where",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal > 9000 THEN 'PREMIUM' ELSE c_mktsegment END AS c_mktsegment,
+           c_acctbal
+    FROM customer
+    """,
+    doc="""M6 UPDATE ... SET ... WHERE (order-...sql:377-387) rewritten as
+    read -> conditional projection -> overwrite (no row-level update on
+    plain Parquet). The query returns the post-update state.""",
+    tags=("M6", "P7"),
+)
+def m6_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dml import update_where
+
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return update_where(
+        customer,
+        predicate=F.col("c_acctbal") > 9000,
+        assignments={"c_mktsegment": F.lit("PREMIUM")},
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+@register(
+    "f4_strict_casts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           CAST(CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS DATE) AS date_roundtrip,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM orders
+    """,
+    doc="""F4 strict implicit varchar->typed casts (customer-...sql:133-137
+    land varchar raw columns in typed dims). ANSI mode stays on so bad
+    casts raise, matching Snowflake. Round-trips are exact for integers
+    and ISO dates in both engines.""",
+    tags=("F4",),
+)
+def f4_strict_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.col("o_orderdate").cast("date").cast("string").cast("date").alias("date_roundtrip"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+
+
+@register(
+    "f5_string_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k_value
+    FROM events
+    """,
+    doc="Scalar string function + strict cast on the events props payload "
+    "(engine extension; the reference's function surface is §2.9 F1-F4).",
+    tags=("F4",),
+)
+def f5_string_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.regexp_extract(F.col("props"), r"([0-9]+)", 1).cast("bigint").alias("k_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: time-window analytics (engine extension; streaming-shaped)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e1_tumbling_window_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(1) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="""Tumbling 1-hour window aggregate over the events stream table —
+    the batch shape of the Structured Streaming windowed agg the engine
+    runs in streaming mode (streaming.pipe). date_trunc keeps it
+    SQL-expressible for the oracle.""",
+    tags=("T3", "streaming"),
+)
+def e1_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "e2_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           SUM(new_session) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+    """,
+    doc="""Gap-based sessionization (30-min inactivity) via LAG + running
+    SUM — the batch equivalent of a session window; the streaming engine
+    expresses the same with applyInPandasWithState. Deterministic
+    (event_id tiebreak).""",
+    tags=("W1", "streaming"),
+)
+def e2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # sub-second precision matters: cast to double seconds (not long,
+    # which truncates and would disagree with the oracle's exact
+    # interval comparison on e.g. a 1800.5 s gap)
+    flagged = load(spark, sf_dir, "events").withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double") > 1800.0)
+            | F.lag(F.col("ts")).over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )

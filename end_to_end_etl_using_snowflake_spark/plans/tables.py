@@ -1,0 +1,51 @@
+"""Load the driver's TPC-H-ish Parquet tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under the sf dir.
+
+Scans stay declarative (``spark.read.parquet``) so Catalyst gets filter
+pushdown + column pruning for free; at 100 TB these would be
+partitioned/bucketed external tables, but the call sites are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TPCH_TABLES:
+        raise KeyError(f"unknown table {name!r}")
+    if name == "events":
+        # set at runtime too: the driver builds its own session without
+        # engine defaults, and TIMESTAMP(NANOS) is unreadable without it
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS) -> read as long nanos
+        # (spark.sql.legacy.parquet.nanosAsLong) -> truncate to micros,
+        # matching DuckDB's micro-second TIMESTAMP semantics. Integer
+        # `div` — double division would lose precision on e18 nanos.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (mirrors the DuckDB oracle's
+    pre-registered views, so ``spark.sql`` text can be shared)."""
+    for name in TPCH_TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
