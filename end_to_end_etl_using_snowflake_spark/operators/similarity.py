@@ -1,0 +1,136 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``brute_force_topk``: exact cosine top-k — broadcast the (small)
+  query block against the corpus, score JVM-side, per-query window
+  rank. The baseline at any scale; cost O(|Q| * N).
+- ``hyperplane_lsh_topk``: random-hyperplane LSH — deterministic
+  pseudo-hyperplanes (char-fold hash seeded, no RNG), bucket by
+  signature, score only within the query's bucket. The 100 TB path:
+  the corpus is hashed once (linear shuffle on bucket), each query
+  probes one bucket. Recall < 1 by construction; raise ``planes``
+  tables or multi-probe for higher recall.
+
+Both are pure DataFrame ops; scoring uses the sequential-fold cosine
+(bit-reproducible, see functions.vectors). A NumPy/Arrow matmul variant
+of brute-force scoring exists in bench.py for throughput comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+from ..functions.text import HASH_MOD
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (self excluded).
+
+    Returns (query_id, rank, neighbor_id, cos_sim); rank breaks cosine
+    ties by neighbor_id for determinism.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), V.to_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", V.norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), V.to_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", V.norm(F.col("qv")))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            V.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def _char_fold_py(s: str, mod: int = HASH_MOD) -> int:
+    """Python twin of functions.text.char_fold_hash (same fold, same
+    constants) — used only to derive the deterministic hyperplane
+    weights on the driver; never touches row data."""
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % mod
+    return h
+
+
+def hyperplane_weights(planes: int, dims: int) -> list[list[int]]:
+    """planes x dims matrix of deterministic +-1 weights:
+    ``w[p][d] = (char_fold('p:' || p || ':' || d) % 2) * 2 - 1``."""
+    return [
+        [(_char_fold_py(f"p:{p}:{d}") % 2) * 2 - 1 for d in range(dims)]
+        for p in range(planes)
+    ]
+
+
+def signature_expr(vec_col, weights: list[list[int]]):
+    """Bucket id: bit p = [dot(v, w_p) > 0], packed little-endian."""
+    sig = F.lit(0).cast("long")
+    for p, row in enumerate(weights):
+        warr = F.array(*[F.lit(float(x)) for x in row])
+        bit = F.when(V.dot(vec_col, warr) > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + bit
+    return sig
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    planes: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only neighbors in the query's LSH bucket.
+
+    Deterministic end-to-end (pseudo-random hyperplanes from the char-
+    fold hash), so the result is oracle-reproducible despite being
+    approximate relative to brute force.
+    """
+    weights = hyperplane_weights(planes, dims)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), V.to_double(F.col(vec_col)).alias("cv")
+    )
+    c = c.withColumn("bucket", signature_expr(F.col("cv"), weights)).withColumn(
+        "cn", V.norm(F.col("cv"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), V.to_double(F.col(vec_col)).alias("qv")
+    )
+    q = q.withColumn("bucket", signature_expr(F.col("qv"), weights)).withColumn(
+        "qn", V.norm(F.col("qv"))
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            V.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )

@@ -1,5 +1,410 @@
-"""LLM-training-data pipeline operators (dedup family, similarity
-search, text analysis, multimodal) registered as driver queries over the
-``documents`` / ``embeddings`` tables. Populated incrementally."""
+"""LLM-training-data pipeline operators registered as driver queries
+over the ``documents`` / ``embeddings`` tables, each with an exact
+DuckDB oracle (several generated programmatically — simhash bit sums,
+LSH hyperplane literals).
+
+Thresholds are data-informed: the synthetic corpus has a clean gap
+(near-dup text pairs all have 3-gram Jaccard >= 0.90, everything else
+< 0.1; embedding cosines top out ~0.55), so Jaccard >= 0.6 and cosine
+>= 0.5 sit far from any decision boundary — approximate methods with
+~1e-16 miss probability compare exactly against exhaustive oracles.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import analysis as A
+from ..operators import dedup as D
+from ..operators import multimodal as MM
+from ..operators import similarity as S
+from .registry import register
+from .tables import load
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments (twins of functions.text / functions.vectors)
+# ---------------------------------------------------------------------------
+
+SQL_NORM = r"trim(regexp_replace(lower({x}), '\s+', ' ', 'g'))"
+SQL_TOKENS = "string_split(" + SQL_NORM + ", ' ')"
+SQL_CHARFOLD = (
+    "list_reduce(list_concat([0::BIGINT], "
+    "list_transform(string_split({x}, ''), c -> ascii(c)::BIGINT)), "
+    "(a,b) -> (a*31+b) % 1000000007)"
+)
+SQL_SHINGLES3 = (
+    "list_transform(generate_series(1, greatest(len({w})-2, 0)), "
+    "i -> {w}[i]||' '||{w}[i+1]||' '||{w}[i+2])"
+)
+
+
+def sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_concat([0.0::DOUBLE], "
+        f"list_transform(generate_series(1, len({a})), i -> {a}[i]*{b}[i])), "
+        f"(x,y) -> x+y)"
+    )
+
+
+SQL_SHINGLE_SETS = f"""
+    toks AS (SELECT doc_id AS id, {SQL_TOKENS.format(x='text')} AS w FROM documents),
+    sh AS (SELECT DISTINCT id, unnest({SQL_SHINGLES3.format(w='w')}) AS shingle FROM toks),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id)
+"""
+
+SQL_EXHAUSTIVE_JACCARD = f"""
+    WITH {SQL_SHINGLE_SETS},
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           common::DOUBLE / (sa.n_sh + sb.n_sh - common)::DOUBLE AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common)::DOUBLE >= 0.6
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d1_dedup_exact",
+    oracle=f"""
+    SELECT md5({SQL_NORM.format(x='text')}) AS fingerprint,
+           min(doc_id) AS rep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup: hash-groupBy on normalized-text md5; one row per "
+    "cluster with representative id and multiplicity.",
+    tags=("dedup",),
+)
+def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_clusters(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "d2_dedup_ngram_jaccard",
+    oracle=SQL_EXHAUSTIVE_JACCARD,
+    doc="Exact word-3-gram Jaccard near-dup pairs (threshold 0.6) via "
+    "shingle inverted index — the verification primitive.",
+    tags=("dedup",),
+)
+def d2_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.6
+    )
+
+
+@register(
+    "d3_dedup_minhash_lsh",
+    oracle=SQL_EXHAUSTIVE_JACCARD,
+    doc="""MinHash+LSH near-dup discovery (K=16 salted-md5 minhashes,
+    r=1 bands) with exact Jaccard verification of candidates. The oracle
+    is the EXHAUSTIVE pairwise Jaccard — the LSH path must recover
+    exactly the same pairs (miss probability (1-J)^16 <= 1e-16 at the
+    J >= 0.9 pairs present in the data). This is the 100 TB dedup path:
+    linear band-bucket shuffle, verification only on candidates.""",
+    tags=("dedup", "lsh"),
+)
+def d3_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=16, threshold=0.6
+    )
+
+
+def _simhash_oracle(bits: int = 30, max_hamming: int = 3) -> str:
+    charfold = SQL_CHARFOLD.format(x="tok")
+    bit_sums = ",\n           ".join(
+        f"SUM((((h >> {i}) & 1)*2 - 1)) AS s{i}" for i in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END" for i in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id AS id, unnest({SQL_TOKENS.format(x='text')}) AS tok FROM documents
+    ),
+    hashed AS (SELECT id, {charfold} AS h FROM toks),
+    bitsums AS (SELECT id, {bit_sums} FROM hashed GROUP BY id),
+    sigs AS (SELECT id, {sig} AS simhash FROM bitsums)
+    SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sigs a JOIN sigs b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@register(
+    "d4_dedup_simhash",
+    oracle=_simhash_oracle(),
+    doc="""SimHash near-dup pairs: 30-bit bit-majority signature over
+    char-fold token hashes, hamming <= 3. Spark side uses pigeonhole
+    banding (4 chunks -> equi-joins, exact); oracle brute-forces the
+    cross join — identical result by construction.""",
+    tags=("dedup",),
+)
+def d4_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", bits=30, max_hamming=3
+    )
+
+
+@register(
+    "d5_dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT id, v, sqrt({sql_dot('v', 'v')}) AS nrm FROM e)
+    SELECT a.id AS id_a, b.id AS id_b,
+           {sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos_sim
+    FROM n a JOIN n b ON a.id < b.id
+    WHERE {sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= 0.5
+    """,
+    doc="Embedding-cosine near-dup pairs (>= 0.5) — brute-force baseline; "
+    "sequential-fold double arithmetic, bit-identical across engines.",
+    tags=("dedup", "vectors"),
+)
+def d5_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_cosine_pairs(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "v1_ann_bruteforce_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt({sql_dot('v', 'v')}) AS nrm FROM e),
+    q AS (SELECT * FROM n WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {sql_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS cos_sim
+        FROM n c JOIN q ON q.vec_id != c.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, rn AS "rank", neighbor_id, cos_sim FROM ranked WHERE rn <= 5
+    """,
+    doc="Exact cosine top-5 for query vectors vec_id<10: broadcast query "
+    "block x corpus scan, per-query window rank (ties broken by id).",
+    tags=("similarity",),
+)
+def v1_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
+def _lsh_oracle(planes: int = 8, dims: int = 64, k: int = 5) -> str:
+    weights = S.hyperplane_weights(planes, dims)
+    dot_cols = []
+    for p, row in enumerate(weights):
+        lits = "[" + ", ".join(f"{float(x)}" for x in row) + "]"
+        dot_cols.append(
+            f"CASE WHEN list_reduce(list_concat([0.0::DOUBLE], "
+            f"list_transform(generate_series(1, len(v)), i -> v[i]*({lits}[i]))), "
+            f"(x,y) -> x+y) > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
+        )
+    sig = " + ".join(dot_cols)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt({sql_dot('v', 'v')}) AS nrm, {sig} AS bucket FROM e),
+    q AS (SELECT * FROM n WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {sql_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS cos_sim
+        FROM n c JOIN q ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, rn AS "rank", neighbor_id, cos_sim FROM ranked WHERE rn <= {k}
+    """
+
+
+@register(
+    "v2_ann_lsh_topk",
+    oracle=_lsh_oracle(),
+    doc="""Hyperplane-LSH top-5: deterministic pseudo-random +-1
+    hyperplanes (char-fold seeded, no RNG) -> 8-bit signature bucket ->
+    score only within the query's bucket. Approximate vs brute force but
+    fully deterministic, so the oracle replicates it exactly. The scale
+    path: corpus hashed once, each query probes one bucket.""",
+    tags=("similarity", "lsh"),
+)
+def v2_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.hyperplane_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5, planes=8, dims=64
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t1_token_stats",
+    oracle=rf"""
+    SELECT doc_id AS id,
+           length(text) AS n_chars,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           len(regexp_extract_all({SQL_NORM.format(x='text')},
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_wordish
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex segmentation "
+    "(letters | digits | single symbol).",
+    tags=("text",),
+)
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.token_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in A.STOPWORDS) + "]"
+
+
+@register(
+    "t2_quality_score",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id AS id, text, {SQL_TOKENS.format(x='text')} AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT id,
+               len(toks) AS n_tokens,
+               list_reduce(list_concat([0::BIGINT],
+                   list_transform(toks, x -> length(x)::BIGINT)),
+                   (a,b) -> a+b) AS total_tok_len,
+               length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+               length(text) AS n_chars,
+               len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS n_stop
+        FROM t
+    )
+    SELECT id, n_tokens,
+           total_tok_len::DOUBLE / n_tokens::DOUBLE AS mean_token_len,
+           n_punct::DOUBLE / n_chars::DOUBLE AS punct_ratio,
+           n_stop::DOUBLE / n_tokens::DOUBLE AS stopword_ratio,
+           (n_tokens >= 10 AND n_tokens <= 100000
+            AND n_stop::DOUBLE / n_tokens::DOUBLE >= 0.01) AS keep
+    FROM m
+    """,
+    doc="Gopher/C4-style quality heuristics: token count, mean token "
+    "length, punctuation ratio, stopword ratio, keep flag.",
+    tags=("text",),
+)
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.quality_score(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _lang_oracle() -> str:
+    score = {
+        lang: f"len(list_filter(toks, x -> list_contains([{', '.join(repr(m) for m in markers)}], x)))"
+        for lang, markers in A.LANG_MARKERS.items()
+    }
+    return f"""
+    WITH t AS (SELECT doc_id AS id, {SQL_TOKENS.format(x='text')} AS toks FROM documents),
+    s AS (SELECT id, {score['en']} AS score_en, {score['de']} AS score_de,
+                 {score['es']} AS score_es FROM t)
+    SELECT id, score_en, score_de, score_es,
+           CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en > 0 THEN 'en'
+                WHEN score_de >= score_es AND score_de > 0 THEN 'de'
+                WHEN score_es > 0 THEN 'es'
+                ELSE 'und' END AS lang_pred
+    FROM s
+    """
+
+
+@register(
+    "t3_lang_id",
+    oracle=_lang_oracle(),
+    doc="Marker-word language ID with deterministic argmax precedence "
+    "(en >= de >= es, 'und' when no markers hit).",
+    tags=("text",),
+)
+def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.lang_id(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "t4_fingerprint",
+    oracle=f"""
+    SELECT doc_id AS id,
+           md5({SQL_NORM.format(x='text')}) AS fp_md5,
+           {SQL_CHARFOLD.format(x=SQL_NORM.format(x='text'))} AS fp_fold
+    FROM documents
+    """,
+    doc="Document fingerprinting: md5 + char-fold rolling hash of "
+    "normalized text.",
+    tags=("text",),
+)
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.fingerprint(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm1_multimodal_decode",
+    oracle="""
+    SELECT doc_id AS id,
+           octet_length(text::BLOB) AS n_bytes,
+           md5(text) AS digest,
+           (octet_length(text::BLOB) % 64 + 1)::INTEGER AS width,
+           (octet_length(text::BLOB) % 48 + 1)::INTEGER AS height,
+           (octet_length(text::BLOB) % 16 + 1)::INTEGER AS n_frames
+    FROM documents
+    """,
+    doc="""Multimodal column plumbing: pack text as an opaque binary
+    payload, then mapInPandas (Arrow-batched) "decode" to typed
+    metadata. The decoder is a deterministic stub (no media libs in
+    this env — real path raises NotImplementedError); the schema,
+    batching, and partitioning are the real thing.""",
+    tags=("multimodal", "pandas-udf"),
+)
+def mm1_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return MM.decode_metadata(MM.to_binary_payload(docs, "doc_id", "text"))
+
+
+@register(
+    "mm2_frame_sample",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id AS id, (octet_length(text::BLOB) % 16 + 1)::INTEGER AS n_frames
+        FROM documents
+    )
+    SELECT id, n_frames, i AS frame_idx
+    FROM meta, LATERAL (SELECT unnest(generate_series(0, n_frames - 1)) AS i)
+    WHERE i % 4 = 0
+    """,
+    doc="Video frame-sampling plumbing: explode decoded frame indices, "
+    "keep every 4th (decode itself stubbed).",
+    tags=("multimodal",),
+)
+def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    meta = MM.decode_metadata(MM.to_binary_payload(docs, "doc_id", "text"))
+    return MM.frame_sample(meta, every_n=4)
