@@ -1,0 +1,309 @@
+"""The three reference entity pipelines (customer / item / order),
+wired exactly as the 5-task chains in
+reference etl_script/{customer,item,order}-end-to-end-pipeline-script.sql:
+
+    pause_pipe_<e>  (WHEN stage stream has data; customer-...sql:62-68)
+      -> <e>_raw_tsk       MERGE stage-stream -> raw       (customer-...sql:71-114)
+      -> dim_<e>_tsk       MERGE raw-stream   -> dim       (customer-...sql:118-165)
+         / fact_order_tsk  INSERT OVERWRITE fact rebuild   (order-...sql:173-212)
+      -> truncate_staging_table_<e>                        (customer-...sql:168-172)
+      -> play_pipe_<e>                                     (customer-...sql:175-179)
+
+Reference bugs intentionally fixed, not replicated (SURVEY §7.5): the
+item pause task pauses the ITEM pipe (item-...sql:61 pauses customer's
+by copy-paste), task names use the systematic ``<layer>_<entity>_stm``
+convention, and AFTER chains reference tasks that exist.
+
+The clock is injectable so ``current_timestamp()`` defaults
+(customer-...sql:42-43) are testable against golden outputs.
+
+Scale: dims merge via broadcast-anti-join (CDC batches are tiny);
+fact_order is INSERT OVERWRITE like the reference (order-...sql:179) —
+at 100 TB the same task body runs with ``overwrite_partitions`` on
+order_date so a daily batch rewrites only touched dates.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import merge as M
+from ..plans.catalog import ManagedTable, Warehouse
+from ..sources import csv_format as CF
+from ..sources.pipe import Pipe
+from ..streaming.tasks import Task, TaskDag
+
+Clock = Callable[[], datetime]
+
+
+def _utc_now() -> datetime:
+    return datetime.now(timezone.utc)
+
+
+class EntityPipelines:
+    """Builds the warehouse tables, pipes, and task DAGs for all three
+    entities over a landing directory tree ``<landing>/<entity>/*.csv``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: Warehouse,
+        landing_root: str,
+        clock: Clock = _utc_now,
+    ):
+        self.spark = spark
+        self.wh = warehouse
+        self.landing_root = landing_root
+        self.clock = clock
+
+        self.stage: dict[str, ManagedTable] = {}
+        self.raw: dict[str, ManagedTable] = {}
+        self.pipes: dict[str, Pipe] = {}
+        for entity, schema in CF.STAGE_SCHEMAS.items():
+            self.stage[entity] = warehouse.table("stg", f"stg_{entity}", schema)
+            self.raw[entity] = warehouse.table("raw", f"raw_{entity}", schema)
+            self.pipes[entity] = Pipe(
+                spark,
+                f"stg_{entity}_pipe",
+                os.path.join(landing_root, entity),
+                self.stage[entity],
+                schema,
+            )
+        self.dim_customer = warehouse.table("transformed", "dim_customer", CF.DIM_CUSTOMER)
+        self.dim_item = warehouse.table("transformed", "dim_item", CF.DIM_ITEM)
+        self.fact_order = warehouse.table("transformed", "fact_order", CF.FACT_ORDER)
+
+        self.dags = {
+            "customer": self._build_dag("customer", self._dim_customer_task),
+            "item": self._build_dag("item", self._dim_item_task),
+            "order": self._build_dag("order", self._fact_order_task),
+        }
+
+    # ------------------------------------------------------------------
+    # task DAG assembly (identical 5-task shape x3, README.md:61-65)
+    # ------------------------------------------------------------------
+    def _build_dag(self, entity: str, transform_body: Callable[[], None]) -> TaskDag:
+        dag = TaskDag(self.spark, entity)
+        pipe = self.pipes[entity]
+        stage = self.stage[entity]
+        transform_name = {
+            "customer": "dim_customer_tsk",
+            "item": "dim_item_tsk",
+            "order": "fact_order_tsk",
+        }[entity]
+
+        dag.add(
+            Task(
+                f"pause_pipe_{entity}",
+                body=pipe.pause,
+                when=lambda: stage.changelog.stream_has_data("raw_tsk"),
+            )
+        )
+        dag.add(
+            Task(
+                f"{entity}_raw_tsk",
+                body=lambda: self._raw_task(entity),
+                after=f"pause_pipe_{entity}",
+            )
+        )
+        dag.add(Task(transform_name, body=transform_body, after=f"{entity}_raw_tsk"))
+        dag.add(
+            Task(
+                f"truncate_staging_table_{entity}",
+                body=stage.truncate,
+                after=transform_name,
+            )
+        )
+        dag.add(
+            Task(
+                f"play_pipe_{entity}",
+                body=pipe.resume,
+                after=f"truncate_staging_table_{entity}",
+                # order variant guards resume on the stage stream being
+                # fully drained (order-...sql:226-227)
+                when=lambda: not stage.changelog.stream_has_data("raw_tsk"),
+            )
+        )
+        return dag
+
+    # ------------------------------------------------------------------
+    # task bodies
+    # ------------------------------------------------------------------
+    MERGE_KEYS = {
+        "customer": ["customer_id"],
+        "item": ["item_id"],
+        # composite business key (order-...sql:113-116)
+        "order": ["order_date", "order_time", "item_id", "item_desc"],
+    }
+
+    def _raw_task(self, entity: str) -> None:
+        """MERGE stage-stream -> raw (M1; customer-...sql:77-114).
+
+        The item variant dedups the batch latest-per-key first
+        (item-...sql:72-75); we apply latest-wins dedup on the
+        changelog version for every entity — same semantics, and
+        required for multi-file batches that touch one key twice.
+        """
+        stage = self.stage[entity]
+        src, version = stage.changelog.stream_read("raw_tsk")
+        if src is None:
+            return
+        keys = self.MERGE_KEYS[entity]
+        order_cols = [F.col("_version").desc()]
+        if entity == "item":
+            # reference order: start_date desc (item-...sql:74), version as tie-break
+            order_cols = [F.col("start_date").desc(), F.col("_version").desc()]
+        merged = M.merge_upsert(
+            self.raw[entity].read(),
+            src.drop("_action").withColumn("_version", F.col("_version")),
+            keys=keys,
+            dedup_order=order_cols,
+            update_cols=[c for c in self.raw[entity].schema.names if c not in keys],
+        )
+        applied = M.dedup_latest(src, keys, order_cols).drop("_action", "_version")
+        self.raw[entity].overwrite(merged.select(*self.raw[entity].schema.names), changes=applied)
+        stage.changelog.stream_commit("raw_tsk", version)
+
+    def _now_lit(self):
+        return F.lit(self.clock().replace(tzinfo=None)).cast("timestamp")
+
+    def _dim_customer_task(self) -> None:
+        """MERGE raw-stream -> typed dim_customer (M2;
+        customer-...sql:118-165): implicit varchar casts become explicit,
+        updated_timestamp refreshes on match (customer-...sql:139),
+        identity + both timestamps assigned on insert."""
+        raw = self.raw["customer"]
+        src, version = raw.changelog.stream_read("dim_tsk")
+        if src is None:
+            return
+        src = M.dedup_latest(src, ["customer_id"], [F.col("_version").desc()])
+        typed = src.select(
+            "customer_id",
+            "salutation",
+            "first_name",
+            "last_name",
+            F.col("birth_day").cast("int").alias("birth_day"),
+            F.col("birth_month").cast("int").alias("birth_month"),
+            F.col("birth_year").cast("int").alias("birth_year"),
+            "birth_country",
+            "email_address",
+            "is_active",
+        )
+        now = self._now_lit()
+        merged = M.merge_dataframes(
+            self.dim_customer.read(),
+            typed,
+            keys=["customer_id"],
+            matched_set={"updated_timestamp": now},
+            insert_defaults={"added_timestamp": now, "updated_timestamp": now},
+        )
+        merged = M.fill_identity(merged, "customer_dim_key", order_by=["customer_id"])
+        self.dim_customer.overwrite(
+            merged.select(*self.dim_customer.schema.names), changes=typed
+        )
+        raw.changelog.stream_commit("dim_tsk", version)
+
+    def _dim_item_task(self) -> None:
+        """MERGE raw-stream -> typed dim_item (item-...sql:111-151);
+        empty END_DATE stays NULL = current row."""
+        raw = self.raw["item"]
+        src, version = raw.changelog.stream_read("dim_tsk")
+        if src is None:
+            return
+        src = M.dedup_latest(
+            src, ["item_id"], [F.col("start_date").desc(), F.col("_version").desc()]
+        )
+        typed = src.select(
+            "item_id",
+            "item_desc",
+            F.col("start_date").cast("date").alias("start_date"),
+            F.col("end_date").cast("date").alias("end_date"),
+            F.col("price").cast("decimal(7,2)").alias("price"),
+            "item_class",
+            "item_category",
+            "is_active",
+        )
+        now = self._now_lit()
+        merged = M.merge_dataframes(
+            self.dim_item.read(),
+            typed,
+            keys=["item_id"],
+            matched_set={"updated_timestamp": now},
+            insert_defaults={"added_timestamp": now, "updated_timestamp": now},
+        )
+        merged = M.fill_identity(merged, "item_dim_key", order_by=["item_id"])
+        self.dim_item.overwrite(merged.select(*self.dim_item.schema.names), changes=typed)
+        raw.changelog.stream_commit("dim_tsk", version)
+
+    def _fact_order_task(self) -> None:
+        """INSERT OVERWRITE fact_order rebuild (M3; order-...sql:179-212):
+        star join raw_order x dim_customer x dim_item(end_date IS NULL),
+        3-key group, count + 7 implicit-cast SUMs, ordered by order_date.
+        Reads the raw TABLE (not the stream) — the stream only triggers
+        (order-...sql:176-177) and is consumed to reset it."""
+        raw = self.raw["order"]
+        _, version = raw.changelog.stream_read("fact_tsk")
+        ro = raw.read()
+        dc = self.dim_customer.read().select("customer_dim_key", "customer_id")
+        di = (
+            self.dim_item.read()
+            .filter(F.col("end_date").isNull())  # current SCD row (order-...sql:207)
+            .select("item_dim_key", "item_id")
+        )
+        money = lambda c: F.col(c).cast("decimal(20,2)")  # noqa: E731
+        agg = (
+            ro.join(F.broadcast(dc), "customer_id")
+            .join(F.broadcast(di), "item_id")
+            .groupBy(
+                F.col("order_date").cast("date").alias("order_date"),
+                "customer_dim_key",
+                "item_dim_key",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("order_count"),
+                F.sum(F.col("order_quantity").cast("long")).alias("order_quantity"),
+                F.sum(money("sale_price")).cast("decimal(20,2)").alias("sale_price"),
+                F.sum(money("disount_amt")).cast("decimal(20,2)").alias("disount_amt"),
+                F.sum(money("coupon_amt")).cast("decimal(20,2)").alias("coupon_amt"),
+                F.sum(money("net_paid")).cast("decimal(20,2)").alias("net_paid"),
+                F.sum(money("net_paid_tax")).cast("decimal(20,2)").alias("net_paid_tax"),
+                F.sum(money("net_profit")).cast("decimal(20,2)").alias("net_profit"),
+            )
+            .orderBy("order_date")  # O1 (order-...sql:212)
+        )
+        rebuilt = M.fill_identity(
+            agg.withColumn("order_fact_key", F.lit(None).cast("long")),
+            "order_fact_key",
+            order_by=["order_date", "customer_dim_key", "item_dim_key"],
+        )
+        self.fact_order.overwrite(rebuilt.select(*self.fact_order.schema.names))
+        raw.changelog.stream_commit("fact_tsk", version)
+
+    # ------------------------------------------------------------------
+    # cycle driver (T5: pause -> merge -> truncate -> resume)
+    # ------------------------------------------------------------------
+    def run_cycle(self, entity: str) -> list:
+        """One scheduled wake-up for one entity: poll the pipe, then walk
+        the 5-task chain. Order cycles must run after customer/item
+        (cross-entity dependency, order-...sql:204-207)."""
+        self.pipes[entity].refresh()
+        return self.dags[entity].run_cycle()
+
+    def run_all(self) -> dict[str, list]:
+        return {e: self.run_cycle(e) for e in ("customer", "item", "order")}
+
+    def layer_tables(self) -> dict[str, DataFrame]:
+        """P1 layer-inspection surface (customer-...sql:212-216)."""
+        out = {}
+        for e in CF.STAGE_SCHEMAS:
+            out[f"stg.stg_{e}"] = self.stage[e].read()
+            out[f"raw.raw_{e}"] = self.raw[e].read()
+        out["transformed.dim_customer"] = self.dim_customer.read()
+        out["transformed.dim_item"] = self.dim_item.read()
+        out["transformed.fact_order"] = self.fact_order.read()
+        return out

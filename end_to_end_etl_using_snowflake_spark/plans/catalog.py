@@ -1,0 +1,120 @@
+"""Warehouse + managed tables: the Snowflake database/schema/table
+surface (reference README.md:21-33) on a Parquet directory tree.
+
+    <base>/<schema>/<table>/            parquet data
+    <base>/<schema>/<table>.__changelog under the same name (streams)
+
+``ManagedTable`` couples the atomic-overwrite ParquetTable with its
+Changelog so every mutation records change rows — the engine invariant
+that makes streams (T1/T2) work. ``show_*`` provide the S7 catalog
+introspection surface (customer-...sql:205-207).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..operators.dml import ParquetTable
+from ..streaming.changelog import Changelog
+
+SCHEMAS = ("stg", "raw", "transformed")
+
+
+class ManagedTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        partition_by: Sequence[str] = (),
+    ):
+        self.spark = spark
+        self.path = path
+        self.schema = schema
+        self.storage = ParquetTable(spark, path, partition_by)
+        self.changelog = Changelog(spark, path)
+
+    @property
+    def name(self) -> str:
+        return os.path.basename(self.path)
+
+    def read(self) -> DataFrame:
+        if not self.storage.exists():
+            return self.spark.createDataFrame([], self.schema)
+        return self.storage.read()
+
+    def append(self, df: DataFrame, action: str = "INSERT") -> int:
+        self.storage.append(df)
+        return self.changelog.record(df, action)
+
+    def overwrite(self, df: DataFrame, changes: DataFrame | None = None, action: str = "UPSERT") -> int:
+        """Atomic replace; ``changes`` (default: the full new content)
+        is what lands in the changelog — for a MERGE pass the applied
+        source batch, not the whole post-state.
+
+        Order matters: the changelog is recorded BEFORE the swap so both
+        plans read the pre-swap table (ParquetTable.overwrite itself is
+        write-temp-then-rename, so ``df`` reading this table is safe).
+        A crash in between leaves extra change rows; re-running the step
+        is safe because downstream merges are idempotent per key.
+        """
+        version = self.changelog.record(changes if changes is not None else df, action)
+        self.storage.overwrite(df)
+        return version
+
+    def truncate(self) -> int:
+        """M5 TRUNCATE (customer-...sql:172)."""
+        self.storage.truncate(self.schema)
+        return self.changelog.bump()
+
+
+class Warehouse:
+    """One directory tree = one Snowflake database ('demo')."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        self._tables: dict[tuple[str, str], ManagedTable] = {}
+        for schema in SCHEMAS:
+            os.makedirs(os.path.join(base_dir, schema), exist_ok=True)
+
+    def table(
+        self,
+        schema: str,
+        name: str,
+        struct: T.StructType,
+        partition_by: Sequence[str] = (),
+    ) -> ManagedTable:
+        if schema not in SCHEMAS:
+            raise KeyError(f"unknown schema {schema!r}")
+        key = (schema, name)
+        if key not in self._tables:
+            self._tables[key] = ManagedTable(
+                self.spark, os.path.join(self.base_dir, schema, name), struct, partition_by
+            )
+        return self._tables[key]
+
+    # -- S7 catalog introspection ------------------------------------------
+    def show_tables(self) -> DataFrame:
+        rows = [
+            (s, n, t.changelog.version, t.storage.exists())
+            for (s, n), t in sorted(self._tables.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "schema string, name string, version long, has_data boolean"
+        )
+
+    def show_streams(self) -> DataFrame:
+        rows = []
+        for (s, n), t in sorted(self._tables.items()):
+            meta = t.changelog._read_meta()
+            for consumer, offset in sorted(meta["offsets"].items()):
+                rows.append((s, n, consumer, offset, meta["version"]))
+        return self.spark.createDataFrame(
+            rows,
+            "schema string, table string, consumer string, offset long, version long",
+        )

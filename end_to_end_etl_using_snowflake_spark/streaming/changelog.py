@@ -1,0 +1,117 @@
+"""Engine-owned changelog: the Snowflake STREAM analog (SURVEY §2.10).
+
+Snowflake streams (reference customer-...sql:48-49, item-...sql:40-41,
+order-...sql:66-67) are CDC views over a table: consuming one inside a
+DML statement atomically advances its offset, so the same changes are
+never reprocessed (T1); change rows carry insert/update/delete actions
+(T2).
+
+Plain Parquet has no CDF, so each managed table keeps a companion
+append-only changelog directory:
+
+    <table>.__changelog/   parquet: table columns + _action + _version
+    <table>.__meta.json    {"version": N, "offsets": {consumer: V}}
+
+A *stream* is just a named consumer: reading returns rows with
+``_version > offsets[consumer]``; committing sets the offset. The
+write-table -> commit-offset sequence is crash-safe the same way
+Structured Streaming's is: a re-run re-reads the same batch and the
+downstream MERGE is idempotent for identical input.
+
+Scale: the changelog is partitioned by ``_version`` so offset reads
+prune to new files only; metadata (one small JSON per table) stays on
+the driver — row data never does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ACTION_COL = "_action"
+VERSION_COL = "_version"
+
+
+class Changelog:
+    def __init__(self, spark: SparkSession, table_path: str):
+        self.spark = spark
+        self.log_path = f"{table_path}.__changelog"
+        self.meta_path = f"{table_path}.__meta.json"
+
+    # -- metadata ----------------------------------------------------------
+    def _read_meta(self) -> dict:
+        if not os.path.exists(self.meta_path):
+            return {"version": 0, "offsets": {}}
+        with open(self.meta_path) as f:
+            return json.load(f)
+
+    def _write_meta(self, meta: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.meta_path) or ".")
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.meta_path)  # atomic
+
+    @property
+    def version(self) -> int:
+        return self._read_meta()["version"]
+
+    def offset(self, consumer: str) -> int:
+        return self._read_meta()["offsets"].get(consumer, 0)
+
+    # -- producer side -----------------------------------------------------
+    def record(self, df: DataFrame, action: str) -> int:
+        """Append change rows under a new version; returns it."""
+        meta = self._read_meta()
+        new_version = meta["version"] + 1
+        (
+            df.withColumn(ACTION_COL, F.lit(action))
+            .withColumn(VERSION_COL, F.lit(new_version))
+            .write.mode("append")
+            .partitionBy(VERSION_COL)
+            .parquet(self.log_path)
+        )
+        meta["version"] = new_version
+        self._write_meta(meta)
+        return new_version
+
+    def bump(self) -> int:
+        """Version bump with no rows (e.g. TRUNCATE)."""
+        meta = self._read_meta()
+        meta["version"] += 1
+        self._write_meta(meta)
+        return meta["version"]
+
+    # -- consumer side (the "stream") --------------------------------------
+    def stream_read(self, consumer: str) -> tuple[DataFrame, int]:
+        """Unconsumed change rows + the version to commit after applying.
+
+        Partition pruning on _version keeps this proportional to the new
+        data, not the table's history.
+        """
+        meta = self._read_meta()
+        current = meta["version"]
+        offset = meta["offsets"].get(consumer, 0)
+        if not os.path.exists(self.log_path):
+            return None, current
+        df = self.spark.read.parquet(self.log_path).filter(F.col(VERSION_COL) > offset)
+        return df, current
+
+    def stream_has_data(self, consumer: str) -> bool:
+        """system$stream_has_data analog (customer-...sql:66): cheap
+        check — metadata version compare + an any-rows probe."""
+        meta = self._read_meta()
+        if meta["version"] <= meta["offsets"].get(consumer, 0):
+            return False
+        df, _ = self.stream_read(consumer)
+        return df is not None and not df.isEmpty()
+
+    def stream_commit(self, consumer: str, version: int) -> None:
+        """Advance the consumer offset (the transactional half of T1 —
+        call after the consuming write lands)."""
+        meta = self._read_meta()
+        meta["offsets"][consumer] = version
+        self._write_meta(meta)

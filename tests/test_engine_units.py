@@ -1,0 +1,149 @@
+"""Unit tests for the engine primitives: merge branches, identity,
+changelog offsets, pipe streaming mode, DML helpers, multimodal stub."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_etl_using_snowflake_spark.operators import dml
+from end_to_end_etl_using_snowflake_spark.operators import merge as M
+from end_to_end_etl_using_snowflake_spark.operators import multimodal as MM
+from end_to_end_etl_using_snowflake_spark.streaming.changelog import Changelog
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_merge_branches(spark):
+    target = _df(spark, [(1, "a", 10), (2, "b", 20)], "k int, v string, carry int")
+    source = _df(spark, [(2, "B"), (3, "C")], "k int, v string")
+    out = M.merge_dataframes(
+        target,
+        source,
+        keys=["k"],
+        insert_defaults={"carry": F.lit(-1)},
+    )
+    got = {r.k: (r.v, r.carry) for r in out.collect()}
+    assert got == {1: ("a", 10), 2: ("B", 20), 3: ("C", -1)}  # kept/updated/inserted
+
+
+def test_merge_matched_set_only_on_match(spark):
+    target = _df(spark, [(1, "a", 100)], "k int, v string, ts int")
+    source = _df(spark, [(1, "A"), (2, "B")], "k int, v string")
+    out = M.merge_dataframes(
+        target,
+        source,
+        keys=["k"],
+        matched_set={"ts": F.lit(999)},
+        insert_defaults={"ts": F.lit(1)},
+    )
+    got = {r.k: r.ts for r in out.collect()}
+    assert got == {1: 999, 2: 1}
+
+
+def test_merge_rejects_carry_clash(spark):
+    target = _df(spark, [(1, "a", 1)], "k int, v string, carry int")
+    source = _df(spark, [(1, "b", 2)], "k int, v string, carry int")
+    with pytest.raises(ValueError, match="carry"):
+        M.merge_dataframes(target, source, keys=["k"], update_cols=["v"])
+
+
+def test_dedup_latest_deterministic(spark):
+    src = _df(
+        spark,
+        [(1, 1, "old"), (1, 2, "new"), (2, 1, "only")],
+        "k int, ver int, v string",
+    )
+    out = M.dedup_latest(src, ["k"], [F.col("ver").desc()])
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "new", 2: "only"}
+
+
+def test_fill_identity_contiguous(spark):
+    df = _df(
+        spark,
+        [(10, "x"), (None, "b"), (None, "a")],
+        "id long, name string",
+    )
+    out = M.fill_identity(df, "id", order_by=["name"])
+    got = {r.name: r.id for r in out.collect()}
+    assert got == {"x": 10, "a": 11, "b": 12}  # max+rownum in name order
+
+
+def test_update_delete_where(spark):
+    df = _df(spark, [(1, "a"), (2, "b")], "k int, v string")
+    upd = dml.update_where(df, F.col("k") == 1, {"v": F.lit("z")})
+    assert {(r.k, r.v) for r in upd.collect()} == {(1, "z"), (2, "b")}
+    dele = dml.delete_where(df, F.col("k") == 1)
+    assert [r.k for r in dele.collect()] == [2]
+
+
+def test_changelog_offsets(spark, tmp_path):
+    log = Changelog(spark, str(tmp_path / "t"))
+    df = _df(spark, [(1,), (2,)], "k int")
+    v1 = log.record(df, "INSERT")
+    assert log.stream_has_data("c1")
+    batch, ver = log.stream_read("c1")
+    assert batch.count() == 2 and ver == v1
+    log.stream_commit("c1", ver)
+    assert not log.stream_has_data("c1")
+    # second consumer has its own offset
+    assert log.stream_has_data("c2")
+    # new version visible to committed consumer
+    log.record(_df(spark, [(3,)], "k int"), "INSERT")
+    batch, _ = log.stream_read("c1")
+    assert [r.k for r in batch.collect()] == [3]
+
+
+def test_changelog_truncate_bump(spark, tmp_path):
+    log = Changelog(spark, str(tmp_path / "t2"))
+    log.record(_df(spark, [(1,)], "k int"), "INSERT")
+    log.stream_commit("c", log.version)
+    log.bump()  # truncate: version moves, no rows
+    assert not log.stream_has_data("c")
+
+
+def test_pipe_streaming_mode(spark, tmp_path):
+    """S3 streaming variant: file source + availableNow + checkpoint
+    gives exactly-once per file across restarts."""
+    from end_to_end_etl_using_snowflake_spark.plans.catalog import Warehouse
+    from end_to_end_etl_using_snowflake_spark.sources.csv_format import CUSTOMER_STAGE
+    from end_to_end_etl_using_snowflake_spark.sources.pipe import Pipe
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "f1.csv").write_text("CUSTOMER_ID,SALUTATION\nc1,Mr.\nc2,Dr.\n")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stage = wh.table("stg", "stg_customer_stream", CUSTOMER_STAGE)
+    pipe = Pipe(spark, "p", str(landing), stage, CUSTOMER_STAGE)
+
+    q = pipe.start_stream(str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    assert stage.read().count() == 2
+    # restart with same checkpoint: no reprocessing
+    q = pipe.start_stream(str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    assert stage.read().count() == 2
+    # new file -> only it is processed
+    (landing / "f2.csv").write_text("CUSTOMER_ID,SALUTATION\nc3,Ms.\n")
+    q = pipe.start_stream(str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    assert stage.read().count() == 3
+
+
+def test_multimodal_real_decoder_raises(spark):
+    docs = _df(spark, [(1, "hello")], "doc_id long, text string")
+    payload = MM.to_binary_payload(docs, "doc_id", "text")
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        MM.decode_metadata(payload, real_decoder=True).collect()
+
+
+def test_parquet_table_atomic_overwrite_self_read(spark, tmp_path):
+    t = dml.ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1,), (2,)], "k int"))
+    # post-state computed FROM the same table (the MERGE shape)
+    post = t.read().withColumn("k", F.col("k") + 10)
+    t.overwrite(post)
+    assert sorted(r.k for r in t.read().collect()) == [11, 12]
