@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <scale factor>}
+
+Each query is forced end-to-end with the ``noop`` sink (full
+materialization on executors, nothing collected to the driver), so the
+timings measure scan + shuffle + compute, not driver serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_fact_rebuild",   # star join + 3-key agg (fact rebuild, M3)
+    "a1_groupby_agg",          # TPC-H Q1 shape
+    "j1_inner_equi_broadcast", # broadcast dim join
+    "w1_dedup_latest_per_key", # window dedup (W1)
+    "m2_merge_dedup_composite",# MERGE state equation, composite key
+    "e2_sessionize",           # gap sessionization (2 windows)
+    "d2_dedup_ngram_jaccard",  # exact shingle inverted index
+    "d3_dedup_minhash_lsh",    # banded minhash + verify (scale path)
+    "d4_dedup_simhash",        # pigeonhole-banded simhash
+    "v1_ann_bruteforce_topk",  # brute-force cosine top-k
+    "t2_quality_score",        # text quality metrics
+    "mm1_multimodal_decode",   # Arrow mapInPandas plumbing
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from end_to_end_etl_using_snowflake_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    import __spark_entry__  # populate registry  # noqa: F401
+    from end_to_end_etl_using_snowflake_spark.plans.registry import REGISTRY
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = REGISTRY[name].build(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
