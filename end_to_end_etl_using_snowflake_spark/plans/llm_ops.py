@@ -105,17 +105,18 @@ def d2_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d3_dedup_minhash_lsh",
     oracle=SQL_EXHAUSTIVE_JACCARD,
-    doc="""MinHash+LSH near-dup discovery (K=16 salted-md5 minhashes,
-    r=1 bands) with exact Jaccard verification of candidates. The oracle
-    is the EXHAUSTIVE pairwise Jaccard — the LSH path must recover
-    exactly the same pairs (miss probability (1-J)^16 <= 1e-16 at the
-    J >= 0.9 pairs present in the data). This is the 100 TB dedup path:
-    linear band-bucket shuffle, verification only on candidates.""",
+    doc="""MinHash+LSH near-dup discovery (K=32 seeded xxhash64
+    minhashes, 16 bands of r=2) with exact Jaccard verification of
+    candidates. The oracle is the EXHAUSTIVE pairwise Jaccard — the LSH
+    path must recover exactly the same pairs (miss probability
+    (1-J^2)^16 <= 8e-4 at J=0.6, 3e-12 at the J >= 0.9 pairs present in
+    the data). This is the 100 TB dedup path: one linear band-bucket
+    shuffle, verification only on candidate pairs.""",
     tags=("dedup", "lsh"),
 )
 def d3_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(
-        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=16, threshold=0.6
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=32, threshold=0.6
     )
 
 
