@@ -90,6 +90,74 @@ def signature_expr(vec_col, weights: list[list[int]]):
     return sig
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer ANN
+    path: partition the corpus into ``n_cells`` Voronoi cells around
+    centroids, probe only the query's ``nprobe`` nearest cells.
+
+    Centroids here are the ``n_cells`` smallest-id vectors (one scan,
+    deterministic, oracle-reproducible); a production index would run
+    k-means first — the query-time dataflow is identical, and that is
+    what this operator exercises. Assignment = argmax cosine over the
+    broadcast centroid block (ties to the lower cell id).
+
+    Scale (100 TB): the corpus is assigned once (broadcast centroids,
+    narrow map + per-row rank — no corpus shuffle beyond the cell
+    grouping); each query scores ~nprobe/n_cells of the corpus. Recall
+    < 1 by construction; raise nprobe for higher recall.
+    """
+    cent = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cid"), V.to_double(F.col(vec_col)).alias("cv_c")
+        )
+        .withColumn("cn_c", V.norm(F.col("cv_c")))
+    )
+
+    def assign(df: DataFrame, out_id: str, out_vec: str, out_norm: str, keep: int) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(out_id), V.to_double(F.col(vec_col)).alias(out_vec)
+        ).withColumn(out_norm, V.norm(F.col(out_vec)))
+        w = Window.partitionBy(out_id).orderBy(
+            (V.dot(F.col(out_vec), F.col("cv_c")) / (F.col(out_norm) * F.col("cn_c"))).desc(),
+            F.col("cid").asc(),
+        )
+        return (
+            base.crossJoin(F.broadcast(cent))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= keep)
+            .select(out_id, out_vec, out_norm, F.col("cid").alias("cell"))
+        )
+
+    cells = assign(corpus, "neighbor_id", "cv", "cn", keep=1)
+    probes = assign(queries, "query_id", "qv", "qn", keep=nprobe)
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            V.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -257,6 +257,65 @@ def v2_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle(k: int = 5, n_cells: int = 16, nprobe: int = 4) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt({sql_dot('v', 'v')}) AS nrm FROM e),
+    cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+             ORDER BY vec_id LIMIT {n_cells}),
+    assign AS (
+        SELECT vec_id, v, nrm, cell FROM (
+            SELECT c.vec_id, c.v, c.nrm, cent.cid AS cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY {sql_dot('c.v', 'cent.cv')} / (c.nrm * cent.cnrm) DESC,
+                                cent.cid ASC) AS rn
+            FROM n c CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id, v, nrm, cell FROM (
+            SELECT q.vec_id, q.v, q.nrm, cent.cid AS cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {sql_dot('q.v', 'cent.cv')} / (q.nrm * cent.cnrm) DESC,
+                                cent.cid ASC) AS rn
+            FROM (SELECT * FROM n WHERE vec_id < 10) q CROSS JOIN cent
+        ) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+        SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {sql_dot('p.v', 'c.v')} / (p.nrm * c.nrm) AS cos_sim
+        FROM assign c JOIN probes p ON p.cell = c.cell AND p.vec_id != c.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, rn AS "rank", neighbor_id, cos_sim FROM ranked WHERE rn <= {k}
+    """
+
+
+@register(
+    "v3_ann_ivf_topk",
+    oracle=_ivf_oracle(),
+    doc="""IVF (inverted-file) top-5: corpus partitioned into 16 Voronoi
+    cells around deterministic seed centroids (smallest-id vectors;
+    production swaps in k-means — identical query dataflow), each query
+    probes its 4 nearest cells. Approximate vs brute force but fully
+    deterministic, so the oracle replicates it exactly. Complements
+    v2's hyperplane-LSH as the second ANN scale path.""",
+    tags=("similarity", "ivf"),
+)
+def v3_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, n_cells=16, nprobe=4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
