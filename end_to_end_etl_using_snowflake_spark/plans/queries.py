@@ -713,3 +713,58 @@ def e2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
     )
+
+
+@register(
+    "e3_sessionize_stateful_stream",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           SUM(new_session) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+    """,
+    doc="""Custom stateful STREAMING operator run for real: Structured
+    Streaming ``applyInPandasWithState`` gap sessionization
+    (streaming/stateful.py) over the events table via a file-source
+    ``availableNow`` query — per-user (last_ts, sessions) state in the
+    state store, Arrow-batched Pandas, parquet sink. The oracle is the
+    batch LAG + running-sum sessionization: streaming/batch parity is
+    the correctness claim (state continuity across query restarts is
+    covered by test_streaming_stateful.py).""",
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def e3_sessionize_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.stateful import OUTPUT_SCHEMA, sessionize_stream
+
+    base = tempfile.mkdtemp(prefix="e3_sessionize_")
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    # prep: normalize the (nanos-typed) events table into a stream input
+    load(spark, sf_dir, "events").select("user_id", "event_id", "ts").write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    stream = (
+        spark.readStream.schema("user_id bigint, event_id bigint, ts timestamp")
+        .parquet(in_dir)
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800.0)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.schema(OUTPUT_SCHEMA).parquet(out_dir)

@@ -1,0 +1,131 @@
+"""Stateful streaming sessionization (streaming/stateful.py).
+
+Proves the two properties that make it a real stateful operator:
+
+1. streaming/batch parity — run the stream over the events table (split
+   into two files) and the output equals the batch LAG+running-sum
+   sessionization (the e2_sessionize shape) on the combined data;
+2. state survives a query RESTART — batch 2 runs as a new query on the
+   same checkpoint, and sessions keep numbering from batch 1's state
+   (not from 1), i.e. state came from the state store, not the data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from end_to_end_etl_using_snowflake_spark.plans.tables import load
+from end_to_end_etl_using_snowflake_spark.streaming.stateful import (
+    OUTPUT_SCHEMA,
+    sessionize_stream,
+)
+
+from .conftest import SF_SMALL
+
+GAP = 1800.0
+
+
+def batch_sessionize(events):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double") > GAP)
+            | F.lag(F.col("ts")).over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+
+
+def run_stream(spark, in_dir: str, out_dir: str, ckpt: str) -> None:
+    stream = (
+        spark.readStream.schema("user_id bigint, event_id bigint, ts timestamp")
+        .parquet(in_dir)
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=GAP)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+@pytest.fixture(scope="module")
+def dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("sessionize")
+    d = {k: str(base / k) for k in ("in", "out", "ckpt")}
+    os.makedirs(d["in"], exist_ok=True)
+    return d
+
+
+def test_streaming_sessionize_matches_batch_and_survives_restart(spark, dirs):
+    events = load(spark, SF_SMALL, "events").select("user_id", "event_id", "ts")
+    split_ts = events.selectExpr("percentile_approx(cast(ts as double), 0.5)").collect()[0][0]
+
+    # batch 1: first half by event time, as one file in the stream dir
+    events.filter(F.col("ts").cast("double") <= split_ts).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(dirs["in"] + "/batch1")
+    run_stream(spark, dirs["in"] + "/batch*", dirs["out"], dirs["ckpt"])
+    n_after_b1 = spark.read.schema(OUTPUT_SCHEMA).parquet(dirs["out"]).count()
+    assert n_after_b1 > 0
+
+    # batch 2: second half lands; NEW query, same checkpoint -> state restore
+    events.filter(F.col("ts").cast("double") > split_ts).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(dirs["in"] + "/batch2")
+    run_stream(spark, dirs["in"] + "/batch*", dirs["out"], dirs["ckpt"])
+
+    got = spark.read.schema(OUTPUT_SCHEMA).parquet(dirs["out"])
+    assert got.count() == events.count()
+
+    expect = batch_sessionize(events)
+    # exact parity: same (user_id, event_id) -> session_id assignment
+    diff = (
+        got.alias("g")
+        .join(expect.alias("e"), ["user_id", "event_id"], "full_outer")
+        .filter(
+            F.col("g.session_id").isNull()
+            | F.col("e.session_id").isNull()
+            | (F.col("g.session_id") != F.col("e.session_id"))
+        )
+    )
+    assert diff.count() == 0
+
+    # restart-continuity: some user in batch 2 continues a batch-1 session
+    # (session_id > 1 for their first batch-2 event) or at minimum no user
+    # restarted numbering below their batch-1 max
+    max_b1 = (
+        got.join(
+            events.filter(F.col("ts").cast("double") <= split_ts).select("event_id"),
+            "event_id",
+            "left_semi",
+        )
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("m1"))
+    )
+    min_b2 = (
+        got.join(
+            events.filter(F.col("ts").cast("double") > split_ts).select("event_id"),
+            "event_id",
+            "left_semi",
+        )
+        .groupBy("user_id")
+        .agg(F.min("session_id").alias("m2"))
+    )
+    regressions = max_b1.join(min_b2, "user_id").filter(F.col("m2") < F.col("m1"))
+    assert regressions.count() == 0
