@@ -24,6 +24,7 @@ HEADLINE = [
     "flagship_fact_rebuild",   # star join + 3-key agg (fact rebuild, M3)
     "a1_groupby_agg",          # TPC-H Q1 shape
     "j1_inner_equi_broadcast", # broadcast dim join
+    "j6_salted_skew_join",     # salted skew join (scale path)
     "w1_dedup_latest_per_key", # window dedup (W1)
     "m2_merge_dedup_composite",# MERGE state equation, composite key
     "e2_sessionize",           # gap sessionization (2 windows)
@@ -31,6 +32,7 @@ HEADLINE = [
     "d3_dedup_minhash_lsh",    # banded minhash + verify (scale path)
     "d4_dedup_simhash",        # pigeonhole-banded simhash
     "v1_ann_bruteforce_topk",  # brute-force cosine top-k
+    "v3_ann_ivf_topk",         # IVF cell-probed top-k (scale path)
     "t2_quality_score",        # text quality metrics
     "mm1_multimodal_decode",   # Arrow mapInPandas plumbing
 ]

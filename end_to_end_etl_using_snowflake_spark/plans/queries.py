@@ -335,6 +335,41 @@ def j5_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+@register(
+    "j6_salted_skew_join",
+    oracle=f"""
+    SELECT p.p_brand AS brand,
+           COUNT(1) AS n_items,
+           CAST(SUM({_SQL_QTY}) AS DOUBLE) AS total_qty
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="""Salted skew join (operators/skew.salted_join): probe side
+    sprayed across 8 salt buckets, build side replicated in-row — the
+    explicit hot-key defense when AQE skew splitting isn't enough (100
+    TB posture). The salt never escapes: the oracle is the PLAIN join,
+    proving identical semantics.""",
+    tags=("J1", "skew", "scale"),
+)
+def j6_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    probe = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), F.col("l_quantity")
+    )
+    build = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), F.col("p_brand")
+    )
+    return (
+        salted_join(probe, build, keys=["partkey"], salt=8)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_qty()).cast("double").alias("total_qty"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.4 aggregation
 # ---------------------------------------------------------------------------

@@ -1,0 +1,85 @@
+"""Property-based invariants of the MERGE state equation
+(operators/merge.py), mirroring the guarantees Snowflake's MERGE gives
+the reference pipelines. Hypothesis generates (target, source) change
+batches; properties must hold for ALL of them:
+
+1. key-uniqueness: if the target is key-unique, the post-merge state is
+   key-unique (the invariant raw/dim tables rely on);
+2. idempotence: merging the same (deduped) batch twice == once;
+3. partition: every post-state row is either an untouched target row
+   (key not in source), or carries the latest source values;
+4. latest-wins: with a multi-version batch, the max-version row wins.
+
+Plain-Python oracle (dict upsert) — independent of the DataFrame
+algebra under test.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from end_to_end_etl_using_snowflake_spark.operators.merge import merge_upsert
+
+KEYS = st.integers(min_value=0, max_value=9)
+VALS = st.text(alphabet="abc", min_size=0, max_size=3)
+
+targets = st.dictionaries(KEYS, VALS, max_size=8)  # key-unique by construction
+batches = st.lists(st.tuples(KEYS, VALS, st.integers(0, 5)), max_size=12)
+
+
+def _df_target(spark, d):
+    rows = [(k, v) for k, v in d.items()]
+    return spark.createDataFrame(rows or [], schema="k int, v string")
+
+
+def _df_batch(spark, rows):
+    return spark.createDataFrame(rows or [], schema="k int, v string, version int")
+
+
+def _oracle(target: dict, batch: list) -> dict:
+    latest: dict = {}
+    for k, v, ver in batch:
+        # ties: latest-wins dedup breaks version ties deterministically
+        # by value desc (mirrors the dedup_order below)
+        if k not in latest or (ver, v) >= (latest[k][1], latest[k][0]):
+            latest[k] = (v, ver)
+    out = dict(target)
+    out.update({k: v for k, (v, _) in latest.items()})
+    return out
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(target=targets, batch=batches)
+def test_merge_matches_dict_oracle_and_is_key_unique(spark, target, batch):
+    tdf = _df_target(spark, target)
+    sdf = _df_batch(spark, batch)
+    merged = merge_upsert(
+        tdf,
+        sdf.select("k", "v", "version"),
+        keys=["k"],
+        dedup_order=[F.col("version").desc(), F.col("v").desc()],
+        update_cols=["v"],
+    ).select("k", "v")
+    got = {r.k: r.v for r in merged.collect()}
+    assert len(got) == merged.count(), "post-merge state must be key-unique"
+    assert got == _oracle(target, batch)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(target=targets, batch=batches)
+def test_merge_is_idempotent(spark, target, batch):
+    tdf = _df_target(spark, target)
+    sdf = _df_batch(spark, batch)
+    once = merge_upsert(
+        tdf, sdf, keys=["k"],
+        dedup_order=[F.col("version").desc(), F.col("v").desc()], update_cols=["v"],
+    ).select("k", "v")
+    twice = merge_upsert(
+        once, sdf, keys=["k"],
+        dedup_order=[F.col("version").desc(), F.col("v").desc()], update_cols=["v"],
+    ).select("k", "v")
+    # replaying the same batch against the post-state is a no-op — the
+    # crash-recovery contract (T1: re-run after write-then-no-commit).
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
