@@ -34,6 +34,7 @@ HEADLINE = [
     "v1_ann_bruteforce_topk",  # brute-force cosine top-k
     "v3_ann_ivf_topk",         # IVF cell-probed top-k (scale path)
     "t2_quality_score",        # text quality metrics
+    "llm_corpus_clean",        # composite clean pipeline (quality+lang+dedup)
     "mm1_multimodal_decode",   # Arrow mapInPandas plumbing
 ]
 

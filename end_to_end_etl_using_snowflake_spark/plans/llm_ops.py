@@ -468,3 +468,71 @@ def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     meta = MM.decode_metadata(MM.to_binary_payload(docs, "doc_id", "text"))
     return MM.frame_sample(meta, every_n=4)
+
+
+# ---------------------------------------------------------------------------
+# composite: the end-to-end training-data cleaning pipeline in one plan
+# ---------------------------------------------------------------------------
+
+
+def _corpus_clean_oracle() -> str:
+    stop = "[" + ", ".join(f"'{w}'" for w in A.STOPWORDS) + "]"
+    lang = {
+        lng: f"len(list_filter(toks, x -> list_contains([{', '.join(repr(m) for m in markers)}], x)))"
+        for lng, markers in A.LANG_MARKERS.items()
+    }
+    return f"""
+    WITH t AS (
+        SELECT doc_id AS id, text, {SQL_TOKENS.format(x='text')} AS toks FROM documents
+    ),
+    m AS (
+        SELECT id, text, len(toks) AS n_tokens,
+               len(list_filter(toks, x -> list_contains({stop}, x))) AS n_stop,
+               {lang['en']} AS score_en, {lang['de']} AS score_de,
+               {lang['es']} AS score_es
+        FROM t
+    ),
+    kept AS (
+        SELECT id, text, n_tokens,
+               n_stop::DOUBLE / n_tokens::DOUBLE AS stopword_ratio
+        FROM m
+        WHERE n_tokens >= 10 AND n_tokens <= 100000
+          AND n_stop::DOUBLE / n_tokens::DOUBLE >= 0.01
+          AND score_en >= score_de AND score_en >= score_es AND score_en > 0
+    ),
+    cl AS (
+        SELECT md5({SQL_NORM.format(x='text')}) AS fingerprint,
+               min(id) AS rep_id, count(*) AS n_dups
+        FROM kept GROUP BY 1
+    )
+    SELECT k.id, k.n_tokens, k.stopword_ratio, cl.n_dups
+    FROM kept k JOIN cl ON cl.rep_id = k.id
+    """
+
+
+@register(
+    "llm_corpus_clean",
+    oracle=_corpus_clean_oracle(),
+    doc="""The LLM-data flagship: one declarative plan chaining the
+    cleaning stages a training-data pipeline runs at 100 TB —
+    quality filter (Gopher/C4-style thresholds) -> language filter
+    (keep 'en') -> exact dedup among survivors (keep cluster
+    representative, carry multiplicity). Catalyst fuses the three
+    per-doc stages into one scan+project (no shuffle until the dedup
+    groupBy); the output is the kept-corpus manifest.""",
+    tags=("text", "dedup", "pipeline"),
+)
+def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    q = A.quality_score(docs, "doc_id", "text").filter(F.col("keep"))
+    lng = A.lang_id(docs, "doc_id", "text").filter(F.col("lang_pred") == "en")
+    kept = (
+        docs.select(F.col("doc_id").alias("id"), "text")
+        .join(q.select("id", "n_tokens", "stopword_ratio"), "id")
+        .join(lng.select("id"), "id")
+    )
+    clusters = D.exact_dedup_clusters(kept, "id", "text")
+    return (
+        kept.join(clusters, kept["id"] == clusters["rep_id"])
+        .select("id", "n_tokens", "stopword_ratio", "n_dups")
+    )
