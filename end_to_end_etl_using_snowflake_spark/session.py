@@ -52,6 +52,11 @@ def get_spark(
         # Files: pack small files, split big ones; 128 MiB tasks are the
         # sweet spot for 100 TB scans (and irrelevant-but-harmless locally).
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # ...but never scan with fewer splits than the machine has cores:
+        # a single sub-128MiB parquet file otherwise becomes ONE task and
+        # serializes the whole map side (scan -> join -> partial agg). At
+        # cluster scale files >> cores and this floor is a no-op.
+        .config("spark.sql.files.minPartitionNum", str(2 * cpus))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # the events table stores TIMESTAMP(NANOS); Spark has no nanos
         # type, so read as long and convert (plans.tables.load)

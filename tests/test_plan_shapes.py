@@ -1,0 +1,68 @@
+"""Physical-plan shape assertions — the 100 TB posture, enforced.
+
+Correctness tests prove the right ANSWER; these prove the right PLAN:
+broadcasts where a dim is small, pushdown reaching the parquet scan,
+top-k avoiding a global sort, partial aggregation before the exchange.
+A regression here (e.g. a dim falling off the broadcast path, a filter
+stuck above the scan) multiplies cost at scale long before it shows up
+in a local benchmark.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__  # noqa: F401  (populate REGISTRY)
+from end_to_end_etl_using_snowflake_spark.plans.registry import REGISTRY
+
+from .conftest import SF_MED
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].build(spark, SF_MED)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_broadcasts_both_dims_and_partial_aggs(spark):
+    plan = plan_of(spark, "flagship_fact_rebuild")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, "dims must broadcast, not sort-merge"
+    # partial (map-side) aggregation before the exchange
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_projection_and_filters_reach_the_scan(spark):
+    plan = plan_of(spark, "p2_projection_pushdown")
+    assert "PushedFilters: [" in plan, plan
+    assert "IsNotNull" in plan or "GreaterThanOrEqual" in plan, plan
+    # column pruning: the scan reads only the needed columns
+    scan_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_comment" not in scan_schema, scan_schema
+
+
+def test_topk_has_no_global_sort(spark):
+    plan = plan_of(spark, "o2_sort_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semi_join_stays_semi(spark):
+    plan = plan_of(spark, "p6_semi_join_in_subquery")
+    assert "LeftSemi" in plan, plan
+
+
+def test_merge_state_equation_broadcasts_the_batch(spark):
+    # the merge state equation = LeftAnti (kept rows) + LeftOuter (apply
+    # branch); the small source batch must build broadcast hash tables —
+    # the target is probed in place, never shuffled
+    plan = plan_of(spark, "m1_merge_upsert_state")
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+@pytest.mark.parametrize("name", ["d3_dedup_minhash_lsh", "llm_corpus_clean"])
+def test_text_pipelines_stay_jvm_side(spark, name):
+    # no Python evaluation in the hot path: these are pure DataFrame ops
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
