@@ -97,3 +97,71 @@ def frame_sample(df: DataFrame, every_n: int = 4) -> DataFrame:
         .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)))
         .filter(F.col("frame_idx") % every_n == 0)
     )
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """mapInPandas feature extraction: payload -> float vector.
+
+    The embedding model is STUBBED with a deterministic byte-histogram
+    projection — ``features[i] = count(b == i mod 256 bucket)/n_bytes``
+    folded to ``dim`` buckets — so tests and oracles are exact; a real
+    deployment swaps the batch body for an ONNX/torch call (the Arrow
+    batch in, vector-per-row out contract is identical, which is what
+    this operator pins down).
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                n = max(len(p), 1)
+                buckets = [0] * dim
+                for b in p:
+                    buckets[b % dim] += 1
+                feats.append([c / n for c in buckets])
+            yield pd.DataFrame({"id": pdf["id"], "features": feats})
+
+    return df.mapInPandas(process, schema=FEATURES_SCHEMA)
+
+
+RESIZED_META_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("scale", T.DoubleType()),
+    ]
+)
+
+
+def resize_plan(df: DataFrame, max_w: int = 32, max_h: int = 24) -> DataFrame:
+    """Resize stage, metadata path: compute the aspect-preserving output
+    geometry (fit inside max_w x max_h, never upscale) JVM-side from the
+    decoded dims. The pixel-pushing resize itself is the stubbed decode
+    path (real deployments do it inside the same mapInPandas pass that
+    decoded the payload); the geometry contract downstream stages depend
+    on is real and oracle-checked.
+    """
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(float(max_w)) / F.col("width").cast("double"),
+        F.lit(float(max_h)) / F.col("height").cast("double"),
+    )
+    return df.select(
+        "id",
+        "width",
+        "height",
+        F.greatest(F.lit(1), F.floor(F.col("width") * scale).cast("int")).alias("out_width"),
+        F.greatest(F.lit(1), F.floor(F.col("height") * scale).cast("int")).alias("out_height"),
+        scale.alias("scale"),
+    )

@@ -536,3 +536,57 @@ def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.join(clusters, kept["id"] == clusters["rep_id"])
         .select("id", "n_tokens", "stopword_ratio", "n_dups")
     )
+
+
+@register(
+    "mm3_feature_extract",
+    oracle="""
+    -- payload bytes == ascii codes here (documents.text is pure ASCII,
+    -- verified <= 121), so the byte histogram equals the char histogram
+    WITH b AS (
+        SELECT doc_id AS id,
+               list_transform(string_split(text, ''), c -> ascii(c)) AS bytes,
+               greatest(length(text), 1) AS n
+        FROM documents
+    )
+    SELECT id,
+           list_transform(generate_series(0, 7),
+               i -> len(list_filter(bytes, x -> x % 8 = i))::DOUBLE / n::DOUBLE
+           ) AS features
+    FROM b
+    """,
+    doc="""Multimodal feature extraction plumbing: Arrow mapInPandas,
+    payload in -> float vector out (the ONNX/torch slot); stubbed with a
+    deterministic byte-histogram projection so the oracle is exact.""",
+    tags=("multimodal", "pandas-udf"),
+)
+def mm3_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return MM.extract_features(MM.to_binary_payload(docs, "doc_id", "text"), dim=8)
+
+
+@register(
+    "mm4_resize_plan",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id AS id,
+               (octet_length(text::BLOB) % 64 + 1)::INTEGER AS width,
+               (octet_length(text::BLOB) % 48 + 1)::INTEGER AS height
+        FROM documents
+    )
+    SELECT id, width, height,
+           greatest(1, floor(width * scale))::INTEGER  AS out_width,
+           greatest(1, floor(height * scale))::INTEGER AS out_height,
+           scale
+    FROM (SELECT *, least(1.0, 32.0 / width, 24.0 / height) AS scale FROM meta)
+    """,
+    doc="""Image resize stage, geometry path: aspect-preserving fit into
+    32x24, never upscaling, computed JVM-side from decoded dims (decode
+    stubbed; pixel resize happens in the same mapInPandas pass in a real
+    deployment). IEEE double geometry — bit-identical across engines.""",
+    tags=("multimodal",),
+)
+def mm4_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    meta = MM.decode_metadata(MM.to_binary_payload(docs, "doc_id", "text"))
+    return MM.resize_plan(meta, max_w=32, max_h=24)
