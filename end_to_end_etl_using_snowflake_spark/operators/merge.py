@@ -161,3 +161,38 @@ def fill_identity(
         key_col, (F.lit(existing_max) + F.row_number().over(w)).cast("long")
     )
     return df.filter(F.col(key_col).isNotNull()).unionByName(news)
+
+
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    version_col: str = "_version",
+    action_col: str = "_action",
+    **kwargs,
+) -> DataFrame:
+    """Full CDC apply: INSERT/UPSERT rows merge, DELETE rows remove.
+
+    The reference folds deletes into updates ("covers updates and
+    deletes", customer-...sql:81) because its sources only soft-delete;
+    this is the engine's hard-delete extension for delete-propagation
+    at scale (e.g. takedown requests sweeping a 100 TB corpus). Per
+    key, the LATEST change (by ``version_col``) decides: DELETE drops
+    the row from the post-state, anything else upserts it.
+
+    Plan: one latest-per-key window over the change batch, then the
+    standard merge state equation; deleted keys ride the same anti-join
+    that removes matched keys, so hard delete costs nothing extra.
+    """
+    latest = dedup_latest(changes, keys, [F.col(version_col).desc()])
+    survivors = latest.filter(F.col(action_col) != F.lit("DELETE")).drop(
+        action_col, version_col
+    )
+    # rows whose key appears in the batch at all (updated OR deleted)
+    # leave via one anti-join; the merge then re-applies only survivors
+    # against the touched slice of the target (semi-join), so carry
+    # columns / matched_set semantics behave exactly as in merge_upsert.
+    kept = target.join(latest.select(*keys), on=list(keys), how="left_anti")
+    touched = target.join(survivors.select(*keys), on=list(keys), how="left_semi")
+    applied = merge_dataframes(touched, survivors, keys, **kwargs)
+    return kept.unionByName(applied.select(*target.columns))

@@ -606,6 +606,61 @@ def m2_merge_dedup_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m5_cdc_apply_changes",
+    oracle="""
+    WITH target AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 0
+    ),
+    changes AS (
+        SELECT c_custkey, c_name, c_acctbal + 50 AS c_acctbal,
+               'UPDATE' AS _action, 1 AS _version
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal,
+               'DELETE' AS _action, 2 AS _version
+        FROM customer WHERE c_custkey % 6 = 0
+    ),
+    latest AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                         ORDER BY _version DESC) AS rn
+            FROM changes
+        ) WHERE rn = 1
+    )
+    SELECT t.c_custkey, t.c_name, t.c_acctbal FROM target t
+    WHERE t.c_custkey NOT IN (SELECT c_custkey FROM latest)
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal FROM latest WHERE _action != 'DELETE'
+    """,
+    doc="""Full CDC apply (engine extension past the reference's
+    deletes-as-updates, customer-...sql:81): per key the LATEST change
+    wins — DELETE removes the row, others upsert. Keys divisible by 6
+    get an UPDATE at v1 then a DELETE at v2: they must vanish; keys
+    divisible by 3 (not 6) take the update.""",
+    tags=("M1", "T2", "cdc"),
+)
+def m5_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    target = customer.filter(F.col("c_custkey") % 2 == 0)
+    changes = customer.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") + 50).alias("c_acctbal"),
+        F.lit("UPDATE").alias("_action"),
+        F.lit(1).alias("_version"),
+    ).unionByName(
+        customer.filter(F.col("c_custkey") % 6 == 0).select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.lit("DELETE").alias("_action"),
+            F.lit(2).alias("_version"),
+        )
+    )
+    return M.apply_changes(target, changes, keys=["c_custkey"])
+
+
+@register(
     "m6_update_where",
     oracle="""
     SELECT c_custkey,
