@@ -72,3 +72,39 @@ def sessionize_stream(events: DataFrame, gap_seconds: float = 1800.0):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def windowed_counts_stream(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+):
+    """Watermarked tumbling-window aggregate — the standard late-data
+    streaming shape (the batch twin is ``e1_tumbling_window_agg``).
+
+    The watermark bounds state: windows older than (max event time seen
+    - delay) are finalized and evicted; later-arriving rows for them are
+    dropped rather than corrupting finalized results. With ``append``
+    output mode, a window emits exactly once, when it closes.
+
+    Scale: state is one row per (window, event_type) — the shuffle is
+    by group key and the state store holds only open windows, so state
+    size is bounded by delay/duration x cardinality(event_type), not by
+    the stream length.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
