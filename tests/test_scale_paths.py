@@ -1,0 +1,72 @@
+"""Scale-path mechanics: the pieces that only matter at 100 TB,
+exercised at toy scale.
+
+- dynamic partition overwrite: fact maintenance must rewrite ONLY the
+  partitions a batch touches;
+- bucketed co-located join: pre-bucketed tables join with NO shuffle
+  exchange (the bucketing/co-location story for repeated big joins);
+- SQL surface: the engine's SQL entry point (spark.sql over registered
+  views) gives the same answers as the DataFrame plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__  # noqa: F401
+from end_to_end_etl_using_snowflake_spark.operators.dml import ParquetTable
+from end_to_end_etl_using_snowflake_spark.plans.registry import REGISTRY
+from end_to_end_etl_using_snowflake_spark.plans.tables import register_views
+
+from .conftest import SF_MED
+
+
+def test_dynamic_partition_overwrite_touches_only_batch_partitions(spark, tmp_path):
+    path = str(tmp_path / "fact")
+    t = ParquetTable(spark, path, partition_by=["d"])
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, d string, v double"
+    )
+    t.overwrite(base)
+    # new batch touches ONLY partition d='b'
+    t.overwrite_partitions(
+        spark.createDataFrame([(9, "b", 99.0)], "k int, d string, v double")
+    )
+    got = sorted(tuple(r) for r in t.read().select("k", "d", "v").collect())
+    assert got == [(1, "a", 10.0), (3, "c", 30.0), (9, "b", 99.0)]
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("lv")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("rv")
+    )
+    for name, df in [("bkt_left", left), ("bkt_right", right)]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        df.write.bucketBy(8, "k").sortBy("k").saveAsTable(name)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("bkt_left", "bkt_right"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_sql_surface_matches_dataframe_plans(spark):
+    register_views(spark, SF_MED)
+    # these oracles are portable ANSI SQL (no DuckDB-only functions)
+    for name in ("p5_filter_in_list", "p6_semi_join_in_subquery", "a1_groupby_agg"):
+        sql_rows = sorted(
+            tuple(r) for r in spark.sql(REGISTRY[name].oracle).collect()
+        )
+        df_rows = sorted(
+            tuple(r) for r in REGISTRY[name].build(spark, SF_MED).collect()
+        )
+        assert sql_rows == df_rows, name
