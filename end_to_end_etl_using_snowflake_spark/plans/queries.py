@@ -729,6 +729,53 @@ def f5_string_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x1_asof_join",
+    oracle="""
+    WITH l AS (
+        SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    r0 AS (
+        SELECT user_id, ts, event_id AS click_id, value AS click_value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+    ),
+    r AS (SELECT user_id, ts, click_id, click_value FROM r0 WHERE rn = 1)
+    SELECT l.user_id, l.event_id, l.ts, l.value, r.click_id, r.click_value
+    FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    doc="""As-of join (engine extension): each purchase matched to the
+    user's most recent click at-or-before it (inner: purchases with no
+    prior click drop). Spark side is the union+window formulation (one
+    shuffle+sort, no range explosion); the oracle is DuckDB's NATIVE
+    ASOF JOIN — two independent as-of implementations must agree
+    exactly. Right side deduped to one row per (user_id, ts) — the
+    determinism contract both share.""",
+    tags=("asof", "scale"),
+)
+def x1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = M.dedup_latest(
+        events.filter(F.col("event_type") == "click").select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("click_id"),
+            F.col("value").alias("click_value"),
+        ),
+        ["user_id", "ts"],
+        [F.col("click_id").desc()],
+    )
+    return asof_join(
+        purchases, clicks, on=["user_id"], ts_col="ts",
+        payload_cols=["click_id", "click_value"], how="inner",
+    )
+
+
 # ---------------------------------------------------------------------------
 # events: time-window analytics (engine extension; streaming-shaped)
 # ---------------------------------------------------------------------------

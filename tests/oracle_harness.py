@@ -80,11 +80,15 @@ def run_compare(name: str, sf_dir: str, spark) -> dict:
     if not errors:
         order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
         dorder = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+        # sort key gives a total order in the presence of NULLs
+        # (None sorts first; bare tuple sort raises on None < int)
         s_set = sorted(
-            tuple(_canon(r[i]) for i in order) for r in spark_rows
+            (tuple(_canon(r[i]) for i in order) for r in spark_rows),
+            key=lambda t: tuple((v is not None, v if v is not None else 0) for v in t),
         )
         d_set = sorted(
-            tuple(_canon(r[i]) for i in dorder) for r in duck_rows
+            (tuple(_canon(r[i]) for i in dorder) for r in duck_rows),
+            key=lambda t: tuple((v is not None, v if v is not None else 0) for v in t),
         )
         pairs = [(a, b) for a, b in zip(s_set, d_set) if a != b]
         if pairs:
