@@ -590,3 +590,47 @@ def mm4_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     meta = MM.decode_metadata(MM.to_binary_payload(docs, "doc_id", "text"))
     return MM.resize_plan(meta, max_w=32, max_h=24)
+
+
+@register(
+    "d6_dedup_cluster_labels",
+    oracle=f"""
+    WITH RECURSIVE
+    {SQL_SHINGLE_SETS},
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    jpairs AS (
+        SELECT id_a, id_b FROM pairs
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common)::DOUBLE >= 0.6
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM jpairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM jpairs
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    )
+    SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a
+    """,
+    doc="""Near-dup CLUSTER labeling: connected components over the
+    LSH near-dup pair graph via iterative min-label propagation — the
+    iterative-algorithm pattern (loop of joins with a scalar
+    convergence check, lineage cut per round). Singletons label
+    themselves; the oracle computes the same components with a
+    recursive-CTE transitive closure over the exhaustive-Jaccard edge
+    set (LSH recovers it exactly on this corpus).""",
+    tags=("dedup", "iterative"),
+)
+def d6_dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=32, threshold=0.6)
+    ids = docs.select(F.col("doc_id").alias("id"))
+    return D.connected_components(ids, pairs.select("id_a", "id_b"))
