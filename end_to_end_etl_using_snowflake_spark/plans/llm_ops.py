@@ -634,3 +634,68 @@ def d6_dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=32, threshold=0.6)
     ids = docs.select(F.col("doc_id").alias("id"))
     return D.connected_components(ids, pairs.select("id_a", "id_b"))
+
+
+@register(
+    "x2_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE
+    {SQL_SHINGLE_SETS},
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    jpairs AS (
+        SELECT id_a, id_b FROM pairs
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common)::DOUBLE >= 0.6
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM jpairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM jpairs
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    ),
+    labels AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a),
+    hashed AS (
+        SELECT id, cluster,
+               {SQL_CHARFOLD.format(x="cluster::VARCHAR")} % 10 AS bucket
+        FROM labels
+    )
+    SELECT id, cluster,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM hashed
+    """,
+    doc="""Leakage-safe train/val/test split: the split is assigned per
+    near-dup CLUSTER (connected components over the LSH pair graph),
+    not per document — near-duplicates can never straddle train and
+    test, the contamination a naive per-doc split causes. Assignment is
+    a deterministic char-fold hash of the cluster representative
+    (80/10/10), so the oracle reproduces it exactly.""",
+    tags=("dedup", "pipeline", "iterative"),
+)
+def x2_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TXT
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=32, threshold=0.6)
+    labels = D.connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs.select("id_a", "id_b")
+    )
+    bucket = TXT.char_fold_hash(F.col("cluster").cast("string")) % 10
+    return labels.select(
+        "id",
+        "cluster",
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
