@@ -905,3 +905,75 @@ def e3_sessionize_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination(300)
     return spark.read.schema(OUTPUT_SCHEMA).parquet(out_dir)
+
+
+@register(
+    "a5_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(1) AS n,
+           CAST(SUM({_SQL_QTY}) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="""ROLLUP hierarchy aggregate (engine extension past the
+    reference's plain GROUP BY): subtotals per flag and the grand total
+    in one pass — Spark's expand-based rollup, exact decimal sums.""",
+    tags=("A1", "rollup"),
+)
+def a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_qty()).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "x3_time_spine_rollup",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               COUNT(1) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1
+    )
+    SELECT s.hour, COALESCE(h.n_events, 0) AS n_events,
+           COALESCE(h.total_value, 0.0) AS total_value
+    FROM spine s LEFT JOIN hourly h ON h.hour = s.hour
+    """,
+    doc="""Gap-filled hourly rollup (hypertable-style): an hour spine
+    built with sequence() spans min..max event time, left-joined to the
+    hourly aggregate so EMPTY hours appear as zero rows — the resample
+    shape time-series stores provide natively. The spine is built from
+    a 1-row aggregate (no driver-side loop) and explodes distributed.""",
+    tags=("timeseries", "rollup"),
+)
+def x3_time_spine_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    hourly = events.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    return spine.join(hourly, "hour", "left").select(
+        "hour",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("total_value"), F.lit(0.0)).alias("total_value"),
+    )
