@@ -28,6 +28,8 @@ HEADLINE = [
     "w1_dedup_latest_per_key", # window dedup (W1)
     "m2_merge_dedup_composite",# MERGE state equation, composite key
     "e2_sessionize",           # gap sessionization (2 windows)
+    "x1_asof_join",            # as-of join (union+window)
+    "x3_time_spine_rollup",    # gap-filled hourly resample
     "d2_dedup_ngram_jaccard",  # exact shingle inverted index
     "d3_dedup_minhash_lsh",    # banded minhash + verify (scale path)
     "d4_dedup_simhash",        # pigeonhole-banded simhash

@@ -894,16 +894,24 @@ def e3_sessionize_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         spark.readStream.schema("user_id bigint, event_id bigint, ts timestamp")
         .parquet(in_dir)
     )
-    q = (
-        sessionize_stream(stream, gap_seconds=1800.0)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # a bare session defaults to 200 shuffle partitions -> 200 state
+    # store instances for one small availableNow drain; scope a sane
+    # value to this streaming query and restore afterwards
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            sessionize_stream(stream, gap_seconds=1800.0)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.schema(OUTPUT_SCHEMA).parquet(out_dir)
 
 
