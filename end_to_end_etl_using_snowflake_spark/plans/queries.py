@@ -985,3 +985,106 @@ def x3_time_spine_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
         F.coalesce(F.col("total_value"), F.lit(0.0)).alias("total_value"),
     )
+
+
+@register(
+    "m7_incremental_fact_merge",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(l_shipdate AS DATE) AS ship_date,
+           COUNT(1) AS order_count,
+           CAST(SUM({_SQL_QTY}) AS DOUBLE) AS sum_qty,
+           CAST(SUM({_SQL_PRICE}) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    doc="""Incremental fact maintenance (the scale answer to the
+    reference's full INSERT OVERWRITE rebuild, order-...sql:179): the
+    prior fact (aggregate of the "history" slice) is folded with the
+    delta's partial aggregate — (fact ∪ agg(delta)) GROUP BY SUM — and
+    the oracle is the FULL aggregate over everything: partial-aggregate
+    merge must be bit-identical to the rebuild. O(delta) per cycle
+    instead of O(history); pair with dynamic partition overwrite.""",
+    tags=("M3", "A1", "scale", "incremental"),
+)
+def m7_incremental_fact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dml import incremental_agg_merge
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-01-01").cast("timestamp")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "l_returnflag", F.col("l_shipdate").cast("date").alias("ship_date")
+        ).agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.sum(_qty()).alias("sum_qty"),
+            F.sum(_price()).alias("sum_price"),
+        )
+
+    fact = agg(lineitem.filter(F.col("l_shipdate") < cutoff))     # prior state
+    delta = agg(lineitem.filter(F.col("l_shipdate") >= cutoff))   # this cycle
+    merged = incremental_agg_merge(
+        fact, delta,
+        keys=["l_returnflag", "ship_date"],
+        sum_cols=["sum_qty", "sum_price"],
+        count_col="order_count",
+    )
+    return merged.select(
+        "l_returnflag", "ship_date", "order_count",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "x4_snapshot_as_of",
+    oracle="""
+    WITH changes AS (
+        SELECT c_custkey, c_name, c_acctbal + 10 AS c_acctbal,
+               'UPSERT' AS _action, 1 AS _version FROM customer
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal + 20 AS c_acctbal,
+               'UPSERT' AS _action, 2 AS _version
+        FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal,
+               'DELETE' AS _action, 3 AS _version
+        FROM customer WHERE c_custkey % 5 = 0
+    ),
+    snap AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                         ORDER BY _version DESC) AS rn
+            FROM changes WHERE _version <= 2
+        ) WHERE rn = 1
+    )
+    SELECT c_custkey, c_name, c_acctbal FROM snap WHERE _action != 'DELETE'
+    """,
+    doc="""Snapshot-as-of read (Snowflake time-travel analog) over the
+    engine changelog shape: reconstruct table state at version 2 —
+    v1 full load, v2 updates to even keys applied, v3 deletes NOT yet
+    visible. Latest-change-per-key <= version, minus deletes; the same
+    replay the changelog recovery path uses.""",
+    tags=("T1", "T2", "time-travel"),
+)
+def x4_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.changelog import snapshot_as_of
+
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+
+    def ver(df: DataFrame, bump: int, action: str, version: int) -> DataFrame:
+        return df.select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal") + bump).alias("c_acctbal"),
+            F.lit(action).alias("_action"),
+            F.lit(version).alias("_version"),
+        )
+
+    changes = (
+        ver(customer, 10, "UPSERT", 1)
+        .unionByName(ver(customer.filter(F.col("c_custkey") % 2 == 0), 20, "UPSERT", 2))
+        .unionByName(ver(customer.filter(F.col("c_custkey") % 5 == 0), 0, "DELETE", 3))
+    )
+    return snapshot_as_of(changes, keys=["c_custkey"], version=2)

@@ -115,3 +115,27 @@ class Changelog:
         meta = self._read_meta()
         meta["offsets"][consumer] = version
         self._write_meta(meta)
+
+
+def snapshot_as_of(changes: DataFrame, keys, version: int) -> DataFrame:
+    """Time-travel read: reconstruct the table state at ``version`` from
+    a changelog (table columns + ``_action`` + ``_version``) — the
+    latest change per key at or before the version wins; DELETE means
+    the key is absent. This is the same replay the recovery path uses;
+    Snowflake exposes it as ``AT (STATEMENT/TIMESTAMP ...)``.
+
+    Scale: the changelog is partitioned by ``_version``, so the
+    ``_version <= v`` filter prunes files before any shuffle; the
+    window shuffles only changed keys, not the table.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(VERSION_COL).desc())
+    latest = (
+        changes.filter(F.col(VERSION_COL) <= version)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return latest.filter(F.col(ACTION_COL) != "DELETE").drop(
+        "__rn", ACTION_COL, VERSION_COL
+    )
