@@ -166,12 +166,21 @@ def hyperplane_lsh_topk(
     k: int = 5,
     planes: int = 8,
     dims: int = 64,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only neighbors in the query's LSH bucket.
 
     Deterministic end-to-end (pseudo-random hyperplanes from the char-
     fold hash), so the result is oracle-reproducible despite being
     approximate relative to brute force.
+
+    ``multiprobe=True`` additionally probes every bucket at hamming
+    distance 1 from the query's signature (flip each plane bit) —
+    planes+1 buckets per query instead of 1. This is the standard
+    recall lever for hyperplane LSH: a near neighbor differs from the
+    query on few planes, so most misses sit one bit away. Cost scales
+    linearly with probes, still a vanishing corpus fraction; the probe
+    set is deterministic, so the oracle enumerates it too.
     """
     weights = hyperplane_weights(planes, dims)
     c = corpus.select(
@@ -186,6 +195,12 @@ def hyperplane_lsh_topk(
     q = q.withColumn("bucket", signature_expr(F.col("qv"), weights)).withColumn(
         "qn", V.norm(F.col("qv"))
     )
+    if multiprobe:
+        probe_set = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(planes)],
+        )
+        q = q.withColumn("bucket", F.explode(probe_set))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -194,6 +209,9 @@ def hyperplane_lsh_topk(
             V.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
         )
     )
+    if multiprobe:
+        # a neighbor can match several probes of one query: dedup pairs
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )

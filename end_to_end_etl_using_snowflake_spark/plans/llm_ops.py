@@ -699,3 +699,51 @@ def x2_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def _lsh_multiprobe_oracle(planes: int = 8, dims: int = 64, k: int = 5) -> str:
+    weights = S.hyperplane_weights(planes, dims)
+    dot_cols = []
+    for p, row in enumerate(weights):
+        lits = "[" + ", ".join(f"{float(x)}" for x in row) + "]"
+        dot_cols.append(
+            f"CASE WHEN list_reduce(list_concat([0.0::DOUBLE], "
+            f"list_transform(generate_series(1, len(v)), i -> v[i]*({lits}[i]))), "
+            f"(x,y) -> x+y) > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
+        )
+    sig = " + ".join(dot_cols)
+    probes = ", ".join(["q.bucket"] + [f"xor(q.bucket, {1 << p})" for p in range(planes)])
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt({sql_dot('v', 'v')}) AS nrm, {sig} AS bucket FROM e),
+    q AS (SELECT * FROM n WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {sql_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS cos_sim
+        FROM n c JOIN q ON c.bucket IN ({probes}) AND q.vec_id != c.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, rn AS "rank", neighbor_id, cos_sim FROM ranked WHERE rn <= {k}
+    """
+
+
+@register(
+    "v4_ann_lsh_multiprobe",
+    oracle=_lsh_multiprobe_oracle(),
+    doc="""Multi-probe hyperplane LSH top-5: each query additionally
+    probes the 8 buckets one bit-flip from its signature — the standard
+    recall lever (near misses sit one plane away), at probes-per-query
+    cost instead of more hash tables. Deterministic probe set, so the
+    oracle enumerates it exactly.""",
+    tags=("similarity", "lsh", "multiprobe"),
+)
+def v4_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.hyperplane_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, planes=8, dims=64, multiprobe=True,
+    )
