@@ -120,6 +120,45 @@ def d3_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_CAPPED_JACCARD = f"""
+    WITH toks AS (SELECT doc_id AS id, {SQL_TOKENS.format(x='text')} AS w FROM documents),
+    sh0 AS (SELECT DISTINCT id, unnest({SQL_SHINGLES3.format(w='w')}) AS shingle FROM toks),
+    dfc AS (SELECT shingle, count(*) AS dfreq FROM sh0 GROUP BY 1),
+    sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN dfc USING (shingle) WHERE dfreq <= 5),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           common::DOUBLE / (sa.n_sh + sb.n_sh - common)::DOUBLE AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common)::DOUBLE >= 0.6
+"""
+
+
+@register(
+    "d7_dedup_stop_shingle",
+    oracle=SQL_CAPPED_JACCARD,
+    doc="""MinHash+LSH dedup with the stop-shingle cap (document
+    frequency <= 5): THE skew defense at 100 TB, where boilerplate
+    n-grams occurring in millions of docs would make posting lists and
+    LSH buckets quadratic in the hot key. Similarity is *defined* over
+    the capped shingle space (deterministic, not lossy), so the oracle
+    is the capped exhaustive Jaccard; signatures and verification both
+    operate post-cap.""",
+    tags=("dedup", "lsh", "skew"),
+)
+def d7_dedup_stop_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, num_hashes=32, threshold=0.6, max_doc_freq=5,
+    )
+
+
 def _simhash_oracle(bits: int = 30, max_hamming: int = 3) -> str:
     charfold = SQL_CHARFOLD.format(x="tok")
     bit_sums = ",\n           ".join(

@@ -147,3 +147,53 @@ def test_parquet_table_atomic_overwrite_self_read(spark, tmp_path):
     post = t.read().withColumn("k", F.col("k") + 10)
     t.overwrite(post)
     assert sorted(r.k for r in t.read().collect()) == [11, 12]
+
+def test_stop_shingle_filter_caps_posting_lists(spark):
+    from end_to_end_etl_using_snowflake_spark.operators import dedup as D
+
+    # "common phrase here" appears in every doc (a stop-shingle at
+    # cap 2); "rare one two"/"rare one three" only in docs 1/2.
+    docs = _df(
+        spark,
+        [
+            (1, "common phrase here rare one two"),
+            (2, "common phrase here rare one three"),
+            (3, "common phrase here something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = D._shingle_sets(docs, "doc_id", "text", 3)
+    capped = D.stop_shingle_filter(sh, max_doc_freq=2)
+    df_counts = {
+        r.shingle: r.c
+        for r in capped.groupBy("shingle").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert df_counts, "cap must not empty the shingle space"
+    assert max(df_counts.values()) <= 2  # every posting list bounded
+    assert "common phrase here" not in df_counts  # df=3 > cap dropped
+
+
+def test_minhash_capped_equals_capped_exact_jaccard(spark):
+    from end_to_end_etl_using_snowflake_spark.operators import dedup as D
+
+    # "the quick brown" has df=4 > cap 3 and is dropped from every doc;
+    # docs 1/2 then share 6 of their remaining 7 shingles each.
+    docs = _df(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "the quick brown spark engine on one hundred terabytes"),
+            (4, "the quick brown duckdb oracle checking every operator"),
+        ],
+        "doc_id long, text string",
+    )
+    lsh = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, threshold=0.5, max_doc_freq=3
+    )
+    exact = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=3
+    )
+    as_set = lambda df: {(r.id_a, r.id_b, round(r.jaccard, 12)) for r in df.collect()}
+    got, want = as_set(lsh), as_set(exact)
+    assert got == want and got == {(1, 2, round(6 / 8, 12))}
