@@ -297,6 +297,38 @@ class EntityPipelines:
     def run_all(self) -> dict[str, list]:
         return {e: self.run_cycle(e) for e in ("customer", "item", "order")}
 
+    def run_streaming(
+        self,
+        entity: str,
+        checkpoint_dir: str,
+        processing_time: str | None = None,
+    ):
+        """Continuous mode (T3): one Structured Streaming query per
+        entity whose micro-batch IS the reference's 5-task cycle.
+
+        The root task's ``schedule = '1 minute'`` (customer-...sql:64)
+        maps to ``processing_time="60 seconds"``; ``None`` = drain the
+        backlog with ``availableNow`` and stop (the test/batch mode).
+        The pause->merge->truncate->resume discipline (T5) needs no
+        actual pausing here: a micro-batch is stable by construction,
+        so the task chain runs inside ``foreachBatch`` after the stage
+        append, and the WHEN gates (stream-has-data) still apply.
+        Exactly-once per file across restarts comes from the stream
+        checkpoint; the merge bodies are idempotent (T1), so a crash
+        between stage append and offset commit replays safely.
+
+        Cross-entity ordering still matters (order joins both dims,
+        order-...sql:204-207): start customer/item queries before the
+        order query, or drive order in batch mode after them.
+        """
+        dag = self.dags[entity]
+        return self.pipes[entity].start_stream(
+            checkpoint_dir,
+            available_now=processing_time is None,
+            processing_time=processing_time,
+            on_batch=dag.run_cycle,
+        )
+
     def layer_tables(self) -> dict[str, DataFrame]:
         """P1 layer-inspection surface (customer-...sql:212-216)."""
         out = {}

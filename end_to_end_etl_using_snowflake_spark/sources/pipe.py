@@ -81,10 +81,24 @@ class Pipe:
         }
 
     # -- streaming mode ----------------------------------------------------
-    def start_stream(self, checkpoint_dir: str, available_now: bool = True):
+    def start_stream(
+        self,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        processing_time: str | None = None,
+        on_batch=None,
+    ):
         """Structured Streaming variant: file source -> foreachBatch
         append to the stage table. Checkpoint gives exactly-once per
-        file across restarts (the pipe's COPY guarantee)."""
+        file across restarts (the pipe's COPY guarantee).
+
+        ``processing_time`` (e.g. ``"60 seconds"``) is the continuous
+        analog of the reference root task's ``schedule = '1 minute'``
+        (customer-...sql:64); ``on_batch`` runs after each stage append
+        — the hook the pipeline uses to run its task chain per
+        micro-batch (T5: the batch is stable by construction, so the
+        pause/resume bracket is the micro-batch boundary itself).
+        """
         reader = (
             self.spark.readStream.options(**CSV_OPTIONS)
             .schema(self.schema)
@@ -93,10 +107,14 @@ class Pipe:
 
         def sink(batch_df, batch_id: int) -> None:
             self.stage_table.append(batch_df, action="INSERT")
+            if on_batch is not None:
+                on_batch()
 
         writer = reader.writeStream.foreachBatch(sink).option(
             "checkpointLocation", checkpoint_dir
         )
-        if available_now:
+        if processing_time is not None:
+            writer = writer.trigger(processingTime=processing_time)
+        elif available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
