@@ -1088,3 +1088,199 @@ def x4_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ver(customer.filter(F.col("c_custkey") % 5 == 0), 0, "DELETE", 3))
     )
     return snapshot_as_of(changes, keys=["c_custkey"], version=2)
+
+
+# ---------------------------------------------------------------------------
+# function/API battery beyond the reference's minimal surface — the
+# engine inherits Spark's built-ins; these pin their semantics against
+# the oracle so "a user could run every query they run today" extends
+# to the standard analytic toolkit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w2_window_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend,
+           LAG(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS prev_price,
+           LEAD(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS next_price,
+           RANK() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+               AS spend_rank
+    FROM orders
+    """,
+    doc="""Analytic-window battery beyond W1's row_number: an explicit
+    ROWS frame (running sum — in exact DECIMAL so accumulation order
+    can't produce float drift), LAG/LEAD offsets, and RANK under a
+    different ordering in the same plan. Deterministic because every
+    window orders by a unique (date, key) pair. Verified plan: ONE
+    Exchange on o_custkey; the three same-ordered windows collapse
+    into one Sort+Window, and the rank ordering adds a second Sort but
+    no second shuffle.""",
+    tags=("window", "frames"),
+)
+def w2_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    by_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = by_time.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    by_spend = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(frame)
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_totalprice").over(by_time).alias("prev_price"),
+        F.lead("o_totalprice").over(by_time).alias("next_price"),
+        F.rank().over(by_spend).alias("spend_rank"),
+    )
+
+
+@register(
+    "s1_set_ops",
+    oracle="""
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE year(o_orderdate) = 1995),
+         y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE year(o_orderdate) = 1996)
+    SELECT 'both' AS set_op, o_custkey FROM (FROM y95 INTERSECT FROM y96)
+    UNION ALL
+    SELECT 'only_1995', o_custkey FROM (FROM y95 EXCEPT FROM y96)
+    UNION ALL
+    SELECT 'only_1996', o_custkey FROM (FROM y96 EXCEPT FROM y95)
+    """,
+    doc="""Set operations (absent from the reference, §2.7): INTERSECT /
+    EXCEPT / UNION ALL over per-year active-customer sets, tagged by
+    branch. Spark plans INTERSECT/EXCEPT as left-semi/anti aggregates —
+    no full materialization of either side.""",
+    tags=("setops",),
+)
+def s1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+
+    def active(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = active(1995), active(1996)
+    tag = lambda df, t: df.select(F.lit(t).alias("set_op"), "o_custkey")  # noqa: E731
+    return (
+        tag(y95.intersect(y96), "both")
+        .unionByName(tag(y95.exceptAll(y96), "only_1995"))
+        .unionByName(tag(y96.exceptAll(y95), "only_1996"))
+    )
+
+
+@register(
+    "a6_percentile_groups",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           min(l_quantity) AS q_min, max(l_quantity) AS q_max
+    FROM lineitem GROUP BY 1
+    """,
+    doc="""Exact linear-interpolation percentiles per group (Spark
+    ``percentile``; DuckDB ``quantile_cont``) — the exact primitive.
+    The 100 TB path swaps in ``approx_percentile`` (t-digest, one pass,
+    mergeable sketches) where a bounded rank error is acceptable;
+    sketch internals differ per engine, so only the exact form is
+    oracle-comparable.""",
+    tags=("aggregate", "percentile"),
+)
+def a6_percentile_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.50).alias("q50"),
+        F.percentile("l_quantity", 0.75).alias("q75"),
+        F.min("l_quantity").alias("q_min"),
+        F.max("l_quantity").alias("q_max"),
+    )
+
+
+@register(
+    "p8_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                FILTER (l_linestatus = 'F') AS DOUBLE) AS qty_f,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                FILTER (l_linestatus = 'O') AS DOUBLE) AS qty_o,
+           CAST(COUNT(1) FILTER (l_linestatus = 'F') AS BIGINT) AS n_f,
+           CAST(COUNT(1) FILTER (l_linestatus = 'O') AS BIGINT) AS n_o
+    FROM lineitem GROUP BY 1
+    """,
+    doc="""Pivot (wide aggregation): status categories to columns with
+    an EXPLICIT value list — at scale, never the infer-values form,
+    which runs an extra distinct job over the whole input and risks
+    unbounded width. Spark plans pivot as a two-phase aggregate
+    (group by (flag, status), then pivot the tiny grouped set) — the
+    second shuffle carries only #groups x #values rows, so map-side
+    partial aggregation still does all the heavy lifting.""",
+    tags=("pivot", "aggregate"),
+)
+def p8_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    piv = (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(qty).alias("qty"), F.count(F.lit(1)).alias("n"))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F_qty").cast("double").alias("qty_f"),
+        F.col("O_qty").cast("double").alias("qty_o"),
+        F.col("F_n").alias("n_f"),
+        F.col("O_n").alias("n_o"),
+    )
+
+
+@register(
+    "f6_date_math",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           last_day(CAST(o_orderdate AS DATE))            AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+               AS plus_quarter,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+               AS days_to_cutoff,
+           year(o_orderdate)    AS order_year,
+           quarter(o_orderdate) AS order_quarter
+    FROM orders
+    """,
+    doc="""Date/time function battery: truncation, month boundaries,
+    interval arithmetic, day differences, calendar parts — all
+    JVM-side built-ins inside one whole-stage-codegen projection (no
+    shuffle).""",
+    tags=("functions", "datetime"),
+)
+def f6_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.last_day(od).alias("month_end"),
+        F.add_months(od, 3).alias("plus_quarter"),
+        F.datediff(F.lit("2002-01-01").cast("date"), od).alias("days_to_cutoff"),
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+    )
