@@ -163,6 +163,85 @@ def fill_identity(
     return df.filter(F.col(key_col).isNotNull()).unionByName(news)
 
 
+def merge_scd2(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    effective: Column,
+    tracked_cols: Sequence[str] | None = None,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """SCD Type 2 merge: versioned history instead of update-in-place.
+
+    The reference's dims are SCD-1 (overwrite, customer-...sql:118-165),
+    but ``dim_item`` carries start_date/end_date validity columns
+    (item-...sql:29-30) — this operator is the engine's full-history
+    extension of that shape. ``target`` rows with NULL ``valid_to_col``
+    are current; ``source`` holds the state of each key as of
+    ``effective``. Per key:
+
+    - attribute change   -> close the current row (valid_to = effective)
+      AND insert a new current row (valid_from = effective),
+    - new key            -> insert a current row,
+    - no change / absent -> current row kept verbatim,
+    - closed history     -> never touched (or read — see plan note).
+
+    Change detection compares ``tracked_cols`` (default: every non-key,
+    non-validity target column) null-safely. Plan: ONE full-outer join
+    of current x source on the keys; closed history bypasses the join
+    entirely, so cost scales with the live keyset, not accumulated
+    history — at 100 TB partition the table by a ``valid_to IS NULL``
+    flag (or date) so the current slice is a partition-pruned scan.
+    """
+    keys = list(keys)
+    validity = [valid_from_col, valid_to_col]
+    if tracked_cols is None:
+        tracked_cols = [c for c in target.columns if c not in keys + validity]
+    extra = [c for c in source.columns if c not in keys + list(tracked_cols)]
+    if extra:
+        raise ValueError(f"source columns outside keys+tracked: {extra}")
+
+    history = target.filter(F.col(valid_to_col).isNotNull())
+    current = target.filter(F.col(valid_to_col).isNull())
+
+    t = current.withColumn("__t", F.lit(True)).alias("t")
+    s = source.withColumn("__s", F.lit(True)).alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    j = t.join(s, on=cond, how="full_outer")
+    in_t, in_s = F.col("t.__t").isNotNull(), F.col("s.__s").isNotNull()
+    changed = ~F.lit(True)
+    for c in tracked_cols:
+        changed = changed | ~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+
+    def t_row(valid_to: Column) -> list[Column]:
+        cols = [F.col(f"t.{c}").alias(c) for c in keys + list(tracked_cols)]
+        return cols + [F.col(f"t.{valid_from_col}").alias(valid_from_col), valid_to.alias(valid_to_col)]
+
+    def s_row() -> list[Column]:
+        cols = [F.col(f"s.{c}").alias(c) for c in keys + list(tracked_cols)]
+        vf_type = target.schema[valid_from_col].dataType
+        return cols + [
+            effective.cast(vf_type).alias(valid_from_col),
+            F.lit(None).cast(target.schema[valid_to_col].dataType).alias(valid_to_col),
+        ]
+
+    kept = j.filter(in_t & (~in_s | ~changed)).select(
+        *t_row(F.lit(None).cast(target.schema[valid_to_col].dataType))
+    )
+    closed = j.filter(in_t & in_s & changed).select(
+        *t_row(effective.cast(target.schema[valid_to_col].dataType))
+    )
+    opened = j.filter(in_s & (~in_t | changed)).select(*s_row())
+    order = keys + list(tracked_cols) + validity
+    return (
+        history.select(*order)
+        .unionByName(kept)
+        .unionByName(closed)
+        .unionByName(opened)
+    )
+
+
 def apply_changes(
     target: DataFrame,
     changes: DataFrame,

@@ -1284,3 +1284,199 @@ def f6_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("order_year"),
         F.quarter("o_orderdate").alias("order_quarter"),
     )
+
+
+@register(
+    "m8_scd2_merge",
+    oracle="""
+    WITH target AS (
+        SELECT c_custkey, c_name, c_acctbal,
+               DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+        FROM customer
+    ),
+    src AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
+                   AS c_acctbal
+        FROM customer WHERE c_custkey % 5 != 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'Customer#new' || c_custkey, 0.0
+        FROM customer WHERE c_custkey % 11 = 0
+    ),
+    changed AS (
+        SELECT t.c_custkey FROM target t JOIN src s USING (c_custkey)
+        WHERE s.c_acctbal IS DISTINCT FROM t.c_acctbal
+           OR s.c_name IS DISTINCT FROM t.c_name
+    )
+    SELECT c_custkey, c_name, c_acctbal, valid_from,
+           CAST(NULL AS DATE) AS valid_to
+    FROM target WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal, valid_from, DATE '2021-06-01'
+    FROM target WHERE c_custkey IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal, DATE '2021-06-01',
+           CAST(NULL AS DATE)
+    FROM src WHERE c_custkey IN (SELECT c_custkey FROM changed)
+       OR c_custkey NOT IN (SELECT c_custkey FROM target)
+    """,
+    doc="""SCD Type 2 merge (operators.merge.merge_scd2): versioned
+    dimension history — changed keys close their current row at the
+    effective date and open a new one; unchanged/absent keys are
+    untouched; unseen keys insert. The synthetic batch updates keys
+    %3=0, omits keys %5=0, and introduces new keys. One full-outer
+    join of current x source; closed history never enters the join.""",
+    tags=("M2", "scd2", "merge"),
+)
+def m8_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    target = customer.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    src = (
+        customer.filter(F.col("c_custkey") % 5 != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 100)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(
+            customer.filter(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.concat(F.lit("Customer#new"), F.col("c_custkey")).alias("c_name"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    return M.merge_scd2(
+        target, src, keys=["c_custkey"], effective=F.lit("2021-06-01").cast("date")
+    )
+
+
+@register(
+    "e4_sliding_window_agg",
+    oracle="""
+    WITH assigned AS (
+        SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800) AS window_start,
+               event_type, value
+        FROM events
+        UNION ALL
+        SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800) - INTERVAL 30 MINUTE,
+               event_type, value
+        FROM events
+    )
+    SELECT window_start, event_type, COUNT(1) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM assigned GROUP BY 1, 2
+    """,
+    doc="""Sliding-window aggregate (1-hour window, 30-minute slide):
+    each event lands in exactly 2 overlapping windows. Spark's
+    ``F.window(ts, "1 hour", "30 minutes")`` expands assignments
+    JVM-side (Expand operator) before one hash aggregate — the same
+    shape its Structured Streaming sliding windows use; the oracle
+    enumerates the two buckets per event explicitly.""",
+    tags=("streaming", "window"),
+)
+def e4_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "e5_session_window_native",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(1) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sessions GROUP BY user_id, sess
+    """,
+    doc="""Native session windows (``F.session_window`` with a 30-minute
+    gap) — Spark's built-in merging-session aggregate, vs e2's
+    LAG+running-sum formulation of the same semantics. Boundary rule:
+    an event at exactly gap distance starts a NEW session (windows are
+    [start, end)), hence the oracle's >=. session_end = last event +
+    gap, matching the operator's definition.""",
+    tags=("streaming", "window", "session"),
+)
+def e5_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "a7_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(1) AS n,
+           CAST(SUM({_SQL_QTY}) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                            (l_linestatus), ())
+    """,
+    doc="""CUBE / grouping sets with GROUPING_ID disambiguation (a5's
+    rollup can't distinguish a NULL group key from a subtotal row; gid
+    can). Spark executes via Expand — one pass over the input, no
+    re-aggregation per set.""",
+    tags=("A1", "cube"),
+)
+def a7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_qty()).cast("double").alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )

@@ -20,6 +20,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+from end_to_end_etl_using_snowflake_spark.operators import merge as M
 from end_to_end_etl_using_snowflake_spark.operators.merge import merge_upsert
 
 KEYS = st.integers(min_value=0, max_value=9)
@@ -83,3 +84,26 @@ def test_merge_is_idempotent(spark, target, batch):
     # replaying the same batch against the post-state is a no-op — the
     # crash-recovery contract (T1: re-run after write-then-no-commit).
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_scd2_idempotent_and_versions(spark):
+    target = spark.createDataFrame(
+        [(1, "a", "2020-01-01", None), (2, "b", "2020-01-01", None)],
+        "k int, v string, valid_from string, valid_to string",
+    ).selectExpr(
+        "k", "v", "cast(valid_from as date) valid_from", "cast(valid_to as date) valid_to"
+    )
+    src = spark.createDataFrame([(1, "A"), (3, "c")], "k int, v string")
+    eff = F.lit("2021-01-01").cast("date")
+    once = M.merge_scd2(target, src, keys=["k"], effective=eff)
+    # k=1 changed: closed + new; k=2 untouched; k=3 inserted
+    rows = {(r.k, r.v, str(r.valid_from), str(r.valid_to)) for r in once.collect()}
+    assert rows == {
+        (1, "a", "2020-01-01", "2021-01-01"),
+        (1, "A", "2021-01-01", "None"),
+        (2, "b", "2020-01-01", "None"),
+        (3, "c", "2021-01-01", "None"),
+    }
+    # idempotence: same batch again -> identical state (no-op change detection)
+    twice = M.merge_scd2(once, src, keys=["k"], effective=eff)
+    assert {(r.k, r.v, str(r.valid_from), str(r.valid_to)) for r in twice.collect()} == rows
