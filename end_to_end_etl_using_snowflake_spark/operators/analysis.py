@@ -104,3 +104,43 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         TXT.char_fold_hash(norm).alias("fp_fold"),
     )
+
+
+def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Score = tf * N / df — the IDF log is deliberately replaced by the
+    raw inverse ratio: ranking-equivalent per document whenever tf ties
+    break the same way (and exactly reproducible: integer counts + one
+    IEEE double division, whereas ``ln`` is libm-dependent and not
+    bit-stable across engines). Stopwords are dampened by df in the
+    denominator exactly as with log-IDF.
+
+    Plan: token explode -> (doc, term) count -> term df + corpus size N
+    (both stay in-plan; N is a broadcast 1-row aggregate, never a
+    driver-side collect) -> per-doc top-k window. Shuffles: one on
+    (doc, term), one on term, one on doc for the window — each carries
+    counts, not text.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(TXT.tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "rank", "term", "tf", "df", "tfidf")
+    )

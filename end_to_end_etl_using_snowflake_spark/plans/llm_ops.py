@@ -786,3 +786,76 @@ def v4_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
         k=5, planes=8, dims=64, multiprobe=True,
     )
+
+
+@register(
+    "t5_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id AS id, unnest({SQL_TOKENS.format(x='text')}) AS term
+        FROM documents
+    ),
+    tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT id, term, tf, df,
+               CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                     ORDER BY tfidf DESC, term ASC) AS "rank"
+        FROM scored
+    )
+    SELECT id, "rank", term, tf, df, tfidf FROM ranked WHERE "rank" <= 3
+    """,
+    doc="""Top-3 characteristic terms per document by TF-IDF (ratio
+    IDF — exact integer counts + one IEEE division, so bit-stable
+    across engines where ln is not). The document-frequency table and
+    corpus size stay in-plan (broadcast 1-row aggregate, no
+    driver-side collect).""",
+    tags=("text", "tfidf"),
+)
+def t5_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.tfidf_topk(load(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+@register(
+    "x5_range_join",
+    oracle="""
+    WITH intervals AS (
+        SELECT event_id AS interval_id, ts AS start_ts,
+               ts + INTERVAL 1 HOUR * ((event_id % 7) + 1) AS end_ts
+        FROM events WHERE event_id % 500 = 0
+    )
+    SELECT i.interval_id, e.event_id, e.ts
+    FROM events e JOIN intervals i
+      ON i.start_ts <= e.ts AND e.ts < i.end_ts
+    """,
+    doc="""Point-in-interval range join (no equi key) via bin
+    bucketing (operators.range_join): points keyed by their time
+    bucket, intervals exploded to every overlapping bucket, equi-join
+    + residual. Each match found in exactly one bucket, so no dedup.
+    The naive plan Spark would pick for the bare inequality is
+    BroadcastNestedLoop — O(|P| x |I|); bucketing makes it one
+    shuffled equi-join, the 100 TB path.""",
+    tags=("join", "range"),
+)
+def x5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_join import range_join
+
+    events = load(spark, sf_dir, "events")
+    points = events.select("event_id", "ts")
+    intervals = events.filter(F.col("event_id") % 500 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        (
+            F.timestamp_seconds(
+                F.col("ts").cast("double") + ((F.col("event_id") % 7) + 1) * 3600
+            )
+        ).alias("end_ts"),
+    )
+    return range_join(
+        points, intervals, "ts", "start_ts", "end_ts", bucket_seconds=3600
+    ).select("interval_id", "event_id", "ts")
