@@ -28,10 +28,13 @@ HEADLINE = [
     "w1_dedup_latest_per_key", # window dedup (W1)
     "m2_merge_dedup_composite",# MERGE state equation, composite key
     "e2_sessionize",           # gap sessionization (2 windows)
+    "w2_window_frames",        # frame/lag/lead/rank battery (1 shuffle)
     "x1_asof_join",            # as-of join (union+window)
+    "x5_range_join",           # bucketed point-in-interval join
     "x3_time_spine_rollup",    # gap-filled hourly resample
     "d2_dedup_ngram_jaccard",  # exact shingle inverted index
     "d3_dedup_minhash_lsh",    # banded minhash + verify (scale path)
+    "d7_dedup_stop_shingle",   # minhash LSH + stop-shingle skew cap
     "d4_dedup_simhash",        # pigeonhole-banded simhash
     "v1_ann_bruteforce_topk",  # brute-force cosine top-k
     "v3_ann_ivf_topk",         # IVF cell-probed top-k (scale path)
