@@ -54,12 +54,20 @@ def main() -> None:
     import __spark_entry__  # populate registry  # noqa: F401
     from end_to_end_etl_using_snowflake_spark.plans.registry import REGISTRY
 
-    # one untimed pass of a cheap scan+agg warms the JVM (codegen
-    # compilation, parquet footer caches) so timings reflect steady
-    # state rather than first-query JIT cost
-    REGISTRY["a4_count_distinct"].build(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # untimed warm-up of EVERY headline plan at the smallest SF: each
+    # query's own whole-stage-codegen stages compile against ~1/100th
+    # of the data, so the timed sf run measures steady-state scan +
+    # shuffle + compute throughput, not first-run JIT (which was ~3 s
+    # of the flagship's 6 s cold time). Generated code is keyed by
+    # plan shape, not input size, so the small-SF run compiles exactly
+    # the stages the timed run executes.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        REGISTRY[name].build(spark, warm_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -88,7 +88,11 @@ _SQL_TAX = "CAST(l_tax AS DECIMAL(4,2))"
     tags=("M3", "J1", "J2", "A1", "A2", "A3", "O1"),
 )
 def flagship_fact_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = load(spark, sf_dir, "lineitem")
+    from .tables import rebalance_scan
+
+    # the fact side feeds 3 joins + 8 decimal aggregates: worth full
+    # cluster width even if the file layout undersplits the scan
+    lineitem = rebalance_scan(load(spark, sf_dir, "lineitem"), spark)
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     part = load(spark, sf_dir, "part")

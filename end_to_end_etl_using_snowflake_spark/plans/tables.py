@@ -44,6 +44,29 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def rebalance_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Rescue scan parallelism when the file layout undersplits.
+
+    A parquet file with few row groups can't be split below row-group
+    granularity, so a heavy-compute pipeline downstream of the scan
+    (wide joins, many decimal aggregates) runs on a handful of tasks
+    no matter how many cores exist. When the scan's partition count is
+    below the cluster's parallelism, one round-robin exchange of the
+    scanned rows buys full-width execution for everything after it —
+    measured 1.8x on the flagship rebuild (3.3 s -> 1.9 s at sf0.1,
+    single-row-group fixture).
+
+    When the layout is already well-split (the 100 TB case: thousands
+    of row groups / files), the condition is false and this is a
+    no-op — the extra shuffle is NOT paid. Only use below compute-heavy
+    pipelines; for cheap scans the exchange costs more than it buys
+    (measured: +4 s total when applied to every load).
+    """
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (mirrors the DuckDB oracle's
     pre-registered views, so ``spark.sql`` text can be shared)."""
