@@ -1484,3 +1484,92 @@ def a7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
     )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           CAST(SUM({_SQL_PRICE} * (1 - {_SQL_DISC})) AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '1996-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1996-01-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    doc="""TPC-H Q3 shape (shipping priority): selective date filters
+    pushed to both scans, customer->orders->lineitem join chain, revenue
+    aggregate, top-10 by revenue. TakeOrderedAndProject caps the sort
+    at k rows per partition — no full sort at any scale.""",
+    tags=("composite", "tpch"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    one = F.lit(1).cast("decimal(1,0)")
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(lineitem, F.col("o_orderkey") == lineitem.l_orderkey)
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_price() * (one - _disc())).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q18_large_orders_having",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, CAST(SUM({_SQL_QTY}) AS DOUBLE) AS total_qty
+        FROM lineitem GROUP BY 1
+        HAVING SUM({_SQL_QTY}) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date, b.total_qty
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc="""TPC-H Q18 shape (large-volume orders): HAVING over a grouped
+    sum feeds a join back to orders + customer. The aggregate runs
+    first and shrinks the join input to qualifying orders only — the
+    filter-early pattern HAVING enables; both dims broadcast against
+    the surviving keys.""",
+    tags=("composite", "tpch", "having"),
+)
+def q18_large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_qty()).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 150)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "total_qty",
+        )
+    )

@@ -69,29 +69,37 @@ def copy_into(
     landing_dir: str,
     schema: T.StructType,
     manifest: CopyManifest,
+    file_format=None,
 ) -> tuple[DataFrame | None, set[str]]:
     """Read files not yet in the manifest; returns (df, new_files).
     Caller appends df to the stage table, then ``manifest.mark`` —
     write-then-mark, so a crash re-loads (dedupable) rather than
     silently skipping.
 
-    skip_header=1 fidelity: normal files read with header=true (skip 1
-    line, unvalidated); blank-first-line files read with header=false —
-    the CSV reader drops the blank line itself, so exactly one physical
-    line is skipped either way, matching Snowflake.
+    ``file_format`` is a named format (sources.file_format); default is
+    the reference's CSV format. skip_header=1 fidelity (CSV only):
+    normal files read with header=true (skip 1 line, unvalidated);
+    blank-first-line files read with header=false — the CSV reader
+    drops the blank line itself, so exactly one physical line is
+    skipped either way, matching Snowflake.
     """
+    from .file_format import CSV_FORMAT, FileFormat
+
+    fmt = file_format or CSV_FORMAT
     new_files = set(list_stage(landing_dir)) - manifest.loaded()
     if not new_files:
         return None, set()
     paths = [os.path.join(landing_dir, f) for f in sorted(new_files)]
+    if fmt.fmt != "csv":
+        return fmt.read(spark, paths, schema), new_files
     with_header = [p for p in paths if not _starts_blank(p)]
     headerless = [p for p in paths if _starts_blank(p)]
     parts = []
     if with_header:
-        parts.append(spark.read.options(**CSV_OPTIONS).schema(schema).csv(with_header))
+        parts.append(fmt.read(spark, with_header, schema))
     if headerless:
-        opts = dict(CSV_OPTIONS, header="false")
-        parts.append(spark.read.options(**opts).schema(schema).csv(headerless))
+        headerless_fmt = FileFormat("csv", dict(fmt.options, header="false"))
+        parts.append(headerless_fmt.read(spark, headerless, schema))
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)

@@ -26,7 +26,6 @@ from pyspark.sql import types as T
 
 from ..plans.catalog import ManagedTable
 from .copy_into import CopyManifest, copy_into
-from .csv_format import CSV_OPTIONS
 
 
 class Pipe:
@@ -37,12 +36,16 @@ class Pipe:
         landing_dir: str,
         stage_table: ManagedTable,
         schema: T.StructType,
+        file_format=None,
     ):
+        from .file_format import CSV_FORMAT
+
         self.spark = spark
         self.name = name
         self.landing_dir = landing_dir
         self.stage_table = stage_table
         self.schema = schema
+        self.file_format = file_format or CSV_FORMAT
         self.paused = False
         self.manifest = CopyManifest(f"{stage_table.path}.__copy_manifest.json")
 
@@ -52,7 +55,10 @@ class Pipe:
         Returns number of files loaded (0 while paused)."""
         if self.paused:
             return 0
-        df, new_files = copy_into(self.spark, self.landing_dir, self.schema, self.manifest)
+        df, new_files = copy_into(
+            self.spark, self.landing_dir, self.schema, self.manifest,
+            file_format=self.file_format,
+        )
         if df is None:
             return 0
         self.stage_table.append(df, action="INSERT")
@@ -99,10 +105,8 @@ class Pipe:
         micro-batch (T5: the batch is stable by construction, so the
         pause/resume bracket is the micro-batch boundary itself).
         """
-        reader = (
-            self.spark.readStream.options(**CSV_OPTIONS)
-            .schema(self.schema)
-            .csv(self.landing_dir)
+        reader = self.file_format.read_stream(
+            self.spark, self.landing_dir, self.schema
         )
 
         def sink(batch_df, batch_id: int) -> None:

@@ -197,3 +197,31 @@ def test_minhash_capped_equals_capped_exact_jaccard(spark):
     as_set = lambda df: {(r.id_a, r.id_b, round(r.jaccard, 12)) for r in df.collect()}
     got, want = as_set(lsh), as_set(exact)
     assert got == want and got == {(1, 2, round(6 / 8, 12))}
+
+
+def test_json_file_format_pipe(spark, tmp_path):
+    """Named non-CSV file format: a JSON-lines pipe with the same
+    exactly-once manifest contract and PERMISSIVE missing-field -> NULL
+    posture as the reference CSV format."""
+    from end_to_end_etl_using_snowflake_spark.plans.catalog import Warehouse
+    from end_to_end_etl_using_snowflake_spark.sources.file_format import JSON_FORMAT
+    from end_to_end_etl_using_snowflake_spark.sources.pipe import Pipe
+    from pyspark.sql import types as T
+
+    landing = tmp_path / "landing_json"
+    landing.mkdir()
+    (landing / "f1.json").write_text(
+        '{"customer_id": "c1", "salutation": "Mr."}\n'
+        '{"customer_id": "c2"}\n'  # missing field -> NULL
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    schema = T.StructType(
+        [T.StructField("customer_id", T.StringType()),
+         T.StructField("salutation", T.StringType())]
+    )
+    stage = wh.table("stg", "stg_json", schema)
+    pipe = Pipe(spark, "json_pipe", str(landing), stage, schema, file_format=JSON_FORMAT)
+    assert pipe.refresh() == 1
+    assert pipe.refresh() == 0  # manifest: exactly once
+    rows = {(r.customer_id, r.salutation) for r in stage.read().collect()}
+    assert rows == {("c1", "Mr."), ("c2", None)}
