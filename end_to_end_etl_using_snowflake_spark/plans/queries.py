@@ -1573,3 +1573,102 @@ def q18_large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@register(
+    "f7_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                     AS uname,
+           lower(c_mktsegment)               AS lseg,
+           substring(c_name, 1, 8)           AS prefix,
+           split_part(c_name, '#', 2)        AS cust_num,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           replace(c_name, 'Customer', 'C')  AS shortname,
+           length(c_name)                    AS name_len,
+           reverse(c_mktsegment)             AS rseg,
+           concat_ws('|', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS tagged
+    FROM customer
+    """,
+    doc="""String function battery: case folding, substring, split_part,
+    padding, replace, reverse, concat_ws — all JVM built-ins in one
+    codegen'd projection; identical semantics to the oracle's (both
+    1-based substring, same split_part field numbering).""",
+    tags=("functions", "string"),
+)
+def f7_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("cust_num"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias("shortname"),
+        F.length("c_name").alias("name_len"),
+        F.reverse("c_mktsegment").alias("rseg"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_custkey").cast("string")).alias(
+            "tagged"
+        ),
+    )
+
+
+@register(
+    "f8_conditional_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'O')                        AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN')      AS status_label,
+           least(o_totalprice, 50000.0)                      AS capped,
+           greatest(o_totalprice, 1000.0)                    AS floored,
+           CASE WHEN o_totalprice > 100000 THEN 'big'
+                WHEN o_totalprice > 10000  THEN 'mid'
+                ELSE 'small' END                             AS bucket
+    FROM orders
+    """,
+    doc="""Conditional / null-handling battery: NULLIF, COALESCE,
+    LEAST/GREATEST, multi-branch CASE — one codegen'd projection, no
+    shuffle.""",
+    tags=("functions", "conditional"),
+)
+def f8_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    status = F.col("o_orderstatus")
+    price = F.col("o_totalprice")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif(status, F.lit("O")).alias("status_or_null"),
+        F.coalesce(F.nullif(status, F.lit("O")), F.lit("OPEN")).alias("status_label"),
+        F.least(price, F.lit(50000.0)).alias("capped"),
+        F.greatest(price, F.lit(1000.0)).alias("floored"),
+        F.when(price > 100000, "big")
+        .when(price > 10000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+    )
+
+
+@register(
+    "f9_json_extract",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')           AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.missing')     AS absent
+    FROM events
+    """,
+    doc="""JSON path extraction over the events.props payload column
+    (semi-structured data riding a relational table — the Snowflake
+    VARIANT pattern): string path extraction, numeric cast, and a
+    missing-path NULL. ``get_json_object`` is a JVM built-in; at scale
+    prefer parsing once with ``from_json`` into a struct column when
+    several paths are read (single parse vs one per path).""",
+    tags=("functions", "json"),
+)
+def f9_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    props = F.col("props")
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object(props, "$.k").alias("k_str"),
+        F.get_json_object(props, "$.k").cast("long").alias("k"),
+        F.get_json_object(props, "$.missing").alias("absent"),
+    )

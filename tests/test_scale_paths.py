@@ -70,3 +70,24 @@ def test_sql_surface_matches_dataframe_plans(spark):
             tuple(r) for r in REGISTRY[name].build(spark, SF_MED).collect()
         )
         assert sql_rows == df_rows, name
+
+
+def test_approx_sketches_within_tolerance(spark):
+    """The 100 TB aggregate path: single-pass mergeable sketches.
+    Sketch internals differ per engine so there is no bit-exact oracle;
+    the honest check is bounded error against the exact computation on
+    the same data (HLL++ rsd default 5%; t-digest rank error small at
+    10k rows)."""
+    li = spark.read.parquet(f"{SF_MED}/lineitem.parquet")
+    exact, approx = (
+        li.select(
+            F.countDistinct("l_orderkey").alias("nd"),
+            F.expr("percentile(l_quantity, 0.5)").alias("med"),
+        ).first(),
+        li.select(
+            F.approx_count_distinct("l_orderkey").alias("nd"),
+            F.percentile_approx("l_quantity", 0.5).alias("med"),
+        ).first(),
+    )
+    assert abs(approx.nd - exact.nd) / exact.nd < 0.05
+    assert abs(approx.med - exact.med) <= 1.0  # quantity grid is integers
