@@ -220,3 +220,93 @@ def hyperplane_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 8,
+    iterations: int = 1,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column -> (id, cell) final
+    assignment: the centroid builder the IVF index (ivf_topk) docstring
+    promises, and the representative *iterative* algorithm of the
+    similarity family (like connected_components for dedup).
+
+    Deterministic end-to-end, so exact against a SQL oracle:
+
+    - init: the ``n_cells`` smallest-id vectors, cells numbered 1..k in
+      id order;
+    - assignment: argmax cosine against the broadcast centroid block,
+      ties to the lower cell id (per-row window, no corpus shuffle);
+    - update: per-(cell, dim) mean computed as a SEQUENTIAL id-ordered
+      fold (sort_array(collect_list) + aggregate) — bit-reproducible in
+      any engine that folds in order, same convention as functions.
+      vectors.dot. At 100 TB swap the fold for a plain SUM (order-free,
+      map-side partial agg) and accept last-ulp drift — the fold is the
+      oracle-parity choice, the swap is one line.
+
+    Each iteration = one assign + one centroid update; the returned
+    assignment uses the final centroids. Scale: assignment is a narrow
+    map over a broadcast O(k x dims) block; the update shuffles
+    (cell, dim, val) triples — rows x dims of a few bytes, linear.
+    """
+    e = (
+        emb.select(F.col(id_col).alias("id"), V.to_double(F.col(vec_col)).alias("v"))
+        .withColumn("n", V.norm(F.col("v")))
+    )
+    w_seed = Window.orderBy(F.col("id").asc())
+    cent = (
+        e.orderBy(F.col("id").asc())
+        .limit(n_cells)
+        .select(
+            F.row_number().over(w_seed).alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("n").alias("cn"),
+        )
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        w = Window.partitionBy("id").orderBy(
+            (V.dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))).desc(),
+            F.col("cid").asc(),
+        )
+        return (
+            e.crossJoin(F.broadcast(centroids))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", "v", "n", F.col("cid").alias("cell"))
+        )
+
+    for _ in range(iterations):
+        assigned = assign(cent)
+        dims = (
+            assigned.select("cell", "id", F.posexplode("v").alias("i", "val"))
+            .groupBy("cell", "i")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("id", "val"))).alias("vals"),
+            )
+            .select(
+                "cell",
+                "i",
+                (
+                    F.aggregate(
+                        F.col("vals"), F.lit(0.0), lambda a, s: a + s["val"]
+                    )
+                    / F.size("vals").cast("double")
+                ).alias("mean"),
+            )
+        )
+        cent = (
+            dims.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("i", "mean"))),
+                    lambda s: s["mean"],
+                ).alias("cv")
+            )
+            .select(F.col("cell").alias("cid"), "cv")
+            .withColumn("cn", V.norm(F.col("cv")))
+        )
+    return assign(cent).select("id", "cell")

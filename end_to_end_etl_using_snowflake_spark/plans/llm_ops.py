@@ -859,3 +859,60 @@ def x5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join(
         points, intervals, "ts", "start_ts", "end_ts", bucket_seconds=3600
     ).select("interval_id", "event_id", "ts")
+
+
+def _kmeans_oracle(n_cells: int = 8, dims: int = 64) -> str:
+    dot_vc = sql_dot("n.v", "s.cv")
+    dot_vc2 = sql_dot("n.v", "c.cv")
+    dot_cc = sql_dot("cv", "cv")
+    return f"""
+    WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT id, v, sqrt({sql_dot('v', 'v')}) AS nrm FROM e),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY id) AS cid, v AS cv, nrm AS cn
+        FROM (SELECT * FROM n ORDER BY id LIMIT {n_cells})
+    ),
+    a0 AS (
+        SELECT id, v, nrm, cid AS cell FROM (
+            SELECT n.id, n.v, n.nrm, s.cid,
+                   ROW_NUMBER() OVER (PARTITION BY n.id
+                       ORDER BY {dot_vc} / (n.nrm * s.cn) DESC, s.cid) AS rn
+            FROM n CROSS JOIN seeds s
+        ) WHERE rn = 1
+    ),
+    dims AS (
+        SELECT cell, i,
+               list_reduce(list_concat([0.0::DOUBLE], list(v[i] ORDER BY id)),
+                           (x,y) -> x+y) / count(*) AS mean
+        FROM a0, generate_series(1, {dims}) t(i)
+        GROUP BY cell, i
+    ),
+    cent AS (
+        SELECT cell AS cid, list(mean ORDER BY i) AS cv FROM dims GROUP BY cell
+    ),
+    centn AS (SELECT cid, cv, sqrt({dot_cc}) AS cn FROM cent)
+    SELECT id AS vec_id, cell FROM (
+        SELECT n.id, c.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY n.id
+                   ORDER BY {dot_vc2} / (n.nrm * c.cn) DESC, c.cid) AS rn
+        FROM n CROSS JOIN centn c
+    ) WHERE rn = 1
+    """
+
+
+@register(
+    "v6_kmeans_assign",
+    oracle=_kmeans_oracle(),
+    doc="""One Lloyd iteration of k-means (k=8, cosine assignment,
+    deterministic smallest-id init) -> final cell per vector: the
+    centroid builder behind a real IVF index, and the similarity
+    family's iterative-algorithm representative. Centroid means use an
+    id-ordered sequential fold so Spark and the oracle agree
+    bit-exactly; at 100 TB the fold swaps for plain SUM (order-free,
+    map-side combinable) at the cost of last-ulp drift.""",
+    tags=("similarity", "kmeans", "iterative"),
+)
+def v6_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    out = S.kmeans_lloyd(emb, "vec_id", "embedding", n_cells=8, iterations=1)
+    return out.select(F.col("id").alias("vec_id"), "cell")
