@@ -105,6 +105,37 @@ class ParquetTable:
     def truncate(self, schema) -> None:
         self.overwrite(self.spark.createDataFrame([], schema))
 
+    def file_count(self) -> int:
+        n = 0
+        for _, _, files in os.walk(self.path):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    def compact(self, max_files: int = 1) -> bool:
+        """Small-file compaction: rewrite the table when its part-file
+        count exceeds ``max_files`` (per partition for partitioned
+        tables). A continuously-merging engine accretes small files —
+        every append/cycle writes at least one — and small files tax
+        every subsequent scan (footer reads, no intra-file parallelism
+        worth having, object-store request amplification at 100 TB).
+        Returns True when a rewrite happened.
+
+        Unpartitioned: coalesce to ``max_files`` (narrow, no shuffle).
+        Partitioned: repartition by the partition columns so each
+        partition lands in one task -> one file per partition. The
+        rewrite reuses the atomic overwrite swap, so readers never see
+        a half-compacted table.
+        """
+        if not self.exists() or self.file_count() <= max_files:
+            return False
+        df = self.read()
+        if self.partition_by:
+            df = df.repartition(*[F.col(c) for c in self.partition_by])
+        else:
+            df = df.coalesce(max_files)
+        self.overwrite(df)
+        return True
+
 
 def incremental_agg_merge(
     fact: DataFrame,

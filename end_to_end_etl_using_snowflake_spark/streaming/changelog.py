@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -115,6 +116,36 @@ class Changelog:
         meta = self._read_meta()
         meta["offsets"][consumer] = version
         self._write_meta(meta)
+
+    # -- retention ---------------------------------------------------------
+    def vacuum(self, retain_versions: int = 1) -> list[int]:
+        """Drop change partitions every consumer has consumed, keeping
+        the last ``retain_versions`` for snapshot-as-of reads — the
+        Snowflake time-travel retention analog.
+
+        A continuously-merging engine grows its changelog without
+        bound otherwise; at 100 TB retention is the difference between
+        a bounded log and a second copy of history. Safety floor:
+        never drop a version any consumer still has to read
+        (min committed offset), then keep ``retain_versions`` below
+        the head for time travel. Partition-level directory removal —
+        no rewrite, O(dropped versions). Returns the versions dropped.
+        """
+        meta = self._read_meta()
+        if not os.path.exists(self.log_path):
+            return []
+        offsets = meta["offsets"].values()
+        consumer_floor = min(offsets) if offsets else meta["version"]
+        cutoff = min(consumer_floor, meta["version"] - retain_versions)
+        dropped = []
+        for entry in sorted(os.listdir(self.log_path)):
+            if not entry.startswith(f"{VERSION_COL}="):
+                continue
+            v = int(entry.split("=", 1)[1])
+            if v <= cutoff:
+                shutil.rmtree(os.path.join(self.log_path, entry), ignore_errors=True)
+                dropped.append(v)
+        return dropped
 
 
 def snapshot_as_of(changes: DataFrame, keys, version: int) -> DataFrame:

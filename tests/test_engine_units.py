@@ -225,3 +225,34 @@ def test_json_file_format_pipe(spark, tmp_path):
     assert pipe.refresh() == 0  # manifest: exactly once
     rows = {(r.customer_id, r.salutation) for r in stage.read().collect()}
     assert rows == {("c1", "Mr."), ("c2", None)}
+
+
+def test_compact_small_files(spark, tmp_path):
+    t = dml.ParquetTable(spark, str(tmp_path / "t_compact"))
+    for i in range(4):
+        t.append(_df(spark, [(i,)], "k int"))
+    before = t.file_count()
+    assert before >= 4
+    assert t.compact(max_files=1) is True
+    assert t.file_count() < before
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2, 3]
+    assert t.compact(max_files=1) is False  # idempotent: already compact
+
+
+def test_changelog_vacuum_retention(spark, tmp_path):
+    log = Changelog(spark, str(tmp_path / "t_vac"))
+    for i in range(3):
+        log.record(_df(spark, [(i,)], "k int"), "INSERT")
+    log.stream_commit("c1", 3)  # consumer fully caught up
+    dropped = log.vacuum(retain_versions=1)
+    assert dropped == [1, 2]  # keep head version for snapshot-as-of
+    # stream still consistent: nothing unread, head version readable
+    assert not log.stream_has_data("c1")
+    df, ver = log.stream_read("c1")
+    assert ver == 3 and df.count() == 0
+    # a lagging consumer blocks vacuum at its offset
+    log.record(_df(spark, [(9,)], "k int"), "INSERT")  # v4
+    log.stream_commit("slow", 3)
+    assert log.vacuum(retain_versions=0) == [3]  # v4 kept: slow at 3... floor=3
+    batch, _ = log.stream_read("slow")
+    assert [r.k for r in batch.collect()] == [9]  # unread v4 survived
