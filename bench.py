@@ -38,7 +38,10 @@ HEADLINE = [
     "d4_dedup_simhash",        # pigeonhole-banded simhash
     "v1_ann_bruteforce_topk",  # brute-force cosine top-k
     "v3_ann_ivf_topk",         # IVF cell-probed top-k (scale path)
+    "v6_kmeans_assign",        # Lloyd iteration (iterative algo rep)
+    "e5_session_window_native",# native merging session windows
     "t2_quality_score",        # text quality metrics
+    "t5_tfidf_topk",           # tf-idf top-k terms
     "llm_corpus_clean",        # composite clean pipeline (quality+lang+dedup)
     "mm1_multimodal_decode",   # Arrow mapInPandas plumbing
 ]
