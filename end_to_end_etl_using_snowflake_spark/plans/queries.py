@@ -1672,3 +1672,61 @@ def f9_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(props, "$.k").cast("long").alias("k"),
         F.get_json_object(props, "$.missing").alias("absent"),
     )
+
+
+@register(
+    "f10_try_cast",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderstatus AS INTEGER)        AS status_as_int,
+           TRY_CAST(o_orderpriority AS DATE)         AS prio_as_date,
+           TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2)) AS price_dec,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit
+    FROM orders
+    """,
+    doc="""Safe-cast family (Snowflake TRY_CAST analog): malformed
+    input -> NULL instead of an ANSI error, per value. The engine
+    keeps ANSI mode ON (failed plain casts raise, like Snowflake —
+    f4); try_cast is the explicit opt-out for dirty columns, which is
+    what a 100 TB ingest of web data actually needs.""",
+    tags=("functions", "cast"),
+)
+def f10_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").try_cast("int").alias("status_as_int"),
+        F.col("o_orderpriority").try_cast("date").alias("prio_as_date"),
+        F.col("o_totalprice").cast("string").try_cast("decimal(18,2)").alias(
+            "price_dec"
+        ),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+    )
+
+
+_SQL1_TEXT = f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({_SQL_QTY}) AS DOUBLE)   AS sum_qty,
+           CAST(SUM({_SQL_PRICE}) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({_SQL_PRICE} * (1 - {_SQL_DISC})) AS DOUBLE) AS sum_disc_price,
+           COUNT(1) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sql1_text_surface",
+    oracle=_SQL1_TEXT,
+    doc="""The engine's SQL entry point: the SAME ANSI text runs through
+    ``spark.sql`` over registered views and through the DuckDB oracle —
+    zero translation. Proves a reference user can bring raw SQL, not
+    just the DataFrame API; Catalyst gives the text the same plan
+    (pushdown, partial agg) the DataFrame form gets.""",
+    tags=("sql", "A1"),
+)
+def sql1_text_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL1_TEXT)

@@ -256,3 +256,41 @@ def test_changelog_vacuum_retention(spark, tmp_path):
     assert log.vacuum(retain_versions=0) == [3]  # v4 kept: slow at 3... floor=3
     batch, _ = log.stream_read("slow")
     assert [r.k for r in batch.collect()] == [9]  # unread v4 survived
+
+
+def test_corrupt_record_quarantine(spark, tmp_path):
+    """Snowflake COPY ON_ERROR=CONTINUE analog: malformed records land
+    in a _corrupt_record column (PERMISSIVE) and can be quarantined to
+    a side table while clean rows load — at 100 TB a bad file must
+    never kill the batch."""
+    from end_to_end_etl_using_snowflake_spark.sources.file_format import FileFormat
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    landing = tmp_path / "landing_dirty"
+    landing.mkdir()
+    (landing / "f1.json").write_text(
+        '{"customer_id": "c1", "salutation": "Mr."}\n'
+        "{not valid json at all\n"
+        '{"customer_id": "c2", "salutation": "Dr."}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("customer_id", T.StringType()),
+            T.StructField("salutation", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    fmt = FileFormat(
+        "json", {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"}
+    )
+    df = fmt.read(spark, [str(landing / "f1.json")], schema).cache()
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantined = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    assert {r.customer_id for r in clean.collect()} == {"c1", "c2"}
+    assert [r._corrupt_record for r in quarantined.collect()] == [
+        "{not valid json at all"
+    ]
+    df.unpersist()
