@@ -12,7 +12,7 @@ Thresholds are data-informed: the synthetic corpus has a clean gap
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import analysis as A
@@ -916,3 +916,92 @@ def v6_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     out = S.kmeans_lloyd(emb, "vec_id", "embedding", n_cells=8, iterations=1)
     return out.select(F.col("id").alias("vec_id"), "cell")
+
+
+@register(
+    "x6_corpus_mixture_sample",
+    oracle=f"""
+    WITH rated AS (
+        SELECT doc_id, source,
+               CAST(substring(source, 4) AS BIGINT) AS src_num,
+               CASE WHEN CAST(substring(source, 4) AS BIGINT) < 5  THEN 1.0
+                    WHEN CAST(substring(source, 4) AS BIGINT) < 10 THEN 0.5
+                    ELSE 0.25 END AS rate
+        FROM documents
+    )
+    SELECT doc_id, source, rate
+    FROM rated
+    WHERE {SQL_CHARFOLD.format(x="'mix1|' || CAST(doc_id AS VARCHAR)")} % 1000
+          < CAST(rate * 1000 AS BIGINT)
+    """,
+    doc="""Deterministic corpus-mixture sampling: per-source keep rates
+    (the training-mix reweighting step — upsample curated sources,
+    downsample bulk ones) decided by a salted hash of the doc id, NOT
+    rand(): reproducible across runs/retries/engines, no RNG state per
+    partition, and changing one source's rate never reshuffles another
+    source's sample. Pure projection + filter — no shuffle at any
+    scale.""",
+    tags=("sampling", "mixture"),
+)
+def x6_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TXT
+
+    docs = load(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("long")
+    rate = (
+        F.when(src_num < 5, F.lit(1.0)).when(src_num < 10, F.lit(0.5)).otherwise(F.lit(0.25))
+    )
+    keep_hash = TXT.char_fold_hash(
+        F.concat(F.lit("mix1|"), F.col("doc_id").cast("string"))
+    )
+    return (
+        docs.withColumn("rate", rate)
+        .filter(keep_hash % 1000 < (F.col("rate") * 1000).cast("long"))
+        .select("doc_id", "source", "rate")
+    )
+
+
+@register(
+    "x7_sequence_packing",
+    oracle=f"""
+    WITH counted AS (
+        SELECT doc_id, len({SQL_TOKENS.format(x='text')}) AS n_tokens
+        FROM documents
+    ),
+    prefixed AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS tokens_before
+        FROM counted
+    )
+    SELECT doc_id, n_tokens, tokens_before,
+           CAST(floor(tokens_before / 2048) AS BIGINT) AS bin
+    FROM prefixed
+    """,
+    doc="""Token-budget sequence packing: assign docs (in stable id
+    order) to 2048-token bins by exclusive running token count — the
+    chunk-assignment step before packing documents into training
+    context windows. Exact-integer window cumsum; the single global
+    ordering is the oracle-parity formulation — at 100 TB pack within
+    partition-local id ranges instead (one window per partition, no
+    global sort), which changes bin numbering but not bin quality.""",
+    tags=("packing", "window"),
+)
+def x7_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TXT
+
+    docs = load(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id", F.size(TXT.tokens(F.col("text"))).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    prefixed = counted.withColumn(
+        "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return prefixed.select(
+        "doc_id",
+        "n_tokens",
+        "tokens_before",
+        F.floor(F.col("tokens_before") / 2048).alias("bin"),
+    )
