@@ -107,3 +107,43 @@ def test_scd2_idempotent_and_versions(spark):
     # idempotence: same batch again -> identical state (no-op change detection)
     twice = M.merge_scd2(once, src, keys=["k"], effective=eff)
     assert {(r.k, r.v, str(r.valid_from), str(r.valid_to)) for r in twice.collect()} == rows
+
+
+points_strat = st.lists(
+    st.tuples(st.integers(0, 99), st.integers(0, 10_000)), min_size=0, max_size=20
+)
+intervals_strat = st.lists(
+    st.tuples(st.integers(0, 99), st.integers(0, 10_000), st.integers(0, 5_000)),
+    min_size=0,
+    max_size=10,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(points=points_strat, intervals=intervals_strat)
+def test_range_join_equals_naive(spark, points, intervals):
+    """Bucketed range join == the naive inequality join, for arbitrary
+    point sets and interval sets (including empty, zero-length, and
+    bucket-boundary-straddling intervals)."""
+    from end_to_end_etl_using_snowflake_spark.operators.range_join import range_join
+
+    p = spark.createDataFrame(
+        [(pid, float(ts)) for pid, ts in points] or [], "pid int, ts double"
+    )
+    iv = spark.createDataFrame(
+        [(iid, float(s), float(s + width)) for iid, s, width in intervals] or [],
+        "iid int, start_ts double, end_ts double",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(
+            p, iv, "ts", "start_ts", "end_ts", bucket_seconds=1000
+        ).collect()
+    }
+    want = {
+        (pid, iid)
+        for pid, ts in points
+        for iid, s, width in intervals
+        if s <= ts < s + width
+    }
+    assert got == want
