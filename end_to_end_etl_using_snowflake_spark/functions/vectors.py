@@ -44,3 +44,32 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_pandas_udf():
+    """Arrow-batched NumPy cosine — the bench/100 TB hot path.
+
+    Returns a pandas UDF ``(array<double>, array<double>) -> double``:
+    each Arrow batch is stacked into one (rows x dims) matrix and the
+    whole batch computed with three vectorized NumPy reductions — no
+    per-row Python. Summation order (pairwise/SIMD) differs from the
+    sequential fold, so results can drift in the last ulp vs ``cosine``
+    — use the fold for oracle parity, this for throughput
+    (tests/test_scale_paths.py pins the two paths within 1e-12 and
+    rank-identical on well-separated data).
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401 (resolved via module globals below)
+    from pyspark.sql.functions import pandas_udf
+
+    globals().setdefault("pd", pd)  # make the type hints resolvable
+
+    @pandas_udf("double")
+    def _cos(a: "pd.Series", b: "pd.Series") -> "pd.Series":
+        ma = np.stack(a.to_numpy())
+        mb = np.stack(b.to_numpy())
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(num / den)
+
+    return _cos

@@ -144,3 +144,53 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFra
         .filter(F.col("rank") <= k)
         .select("id", "rank", "term", "tf", "df", "tfidf")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k terms per document by BM25 — TF saturation (k1) + document
+    length normalization (b), the relevance scoring layer above
+    tfidf_topk's raw ratio.
+
+    Determinism: the log-IDF is replaced by the raw inverse ratio
+    N/df (rank-equivalent per fixed term, and exact: ln is
+    libm-dependent). tf/df/dl are exact BIGINTs; the score is a fixed
+    chain of IEEE double ops, written identically in the SQL oracle, so
+    results are bit-exact. avgdl and N stay in-plan (broadcast 1-row
+    aggregates — no driver collect).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(TXT.tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    avgdl = dl.select(
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl")
+    )
+    idf = F.col("n_docs").cast("double") / F.col("df").cast("double")
+    tf_d = F.col("tf").cast("double")
+    norm = F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+    score = idf * ((tf_d * F.lit(k1 + 1.0)) / (tf_d + F.lit(k1) * norm))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn("bm25", score)
+    )
+    w = Window.partitionBy("id").orderBy(F.col("bm25").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "rank", "term", "tf", "df", "dl", "bm25")
+    )

@@ -1005,3 +1005,42 @@ def x7_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens_before",
         F.floor(F.col("tokens_before") / 2048).alias("bin"),
     )
+
+
+@register(
+    "t6_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id AS id, unnest({SQL_TOKENS.format(x='text')}) AS term
+        FROM documents
+    ),
+    tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    ad AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+    scored AS (
+        SELECT id, term, tf, df, dl,
+               (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+               * ((CAST(tf AS DOUBLE) * 2.2)
+                  / (CAST(tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+                   AS bm25
+        FROM tf JOIN dfreq USING (term) JOIN dl USING (id)
+        CROSS JOIN n CROSS JOIN ad
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                     ORDER BY bm25 DESC, term ASC) AS "rank"
+        FROM scored
+    )
+    SELECT id, "rank", term, tf, df, dl, bm25 FROM ranked WHERE "rank" <= 3
+    """,
+    doc="""Top-3 terms per doc by BM25 (k1=1.2, b=0.75): TF saturation
+    + document-length normalization above t5's raw TF-IDF. Ratio IDF
+    keeps it bit-exact (ln is libm-varying); corpus size and average
+    doc length stay in-plan as broadcast 1-row aggregates.""",
+    tags=("text", "bm25"),
+)
+def t6_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.bm25_topk(load(spark, sf_dir, "documents"), "doc_id", "text", k=3)

@@ -91,3 +91,27 @@ def test_approx_sketches_within_tolerance(spark):
     )
     assert abs(approx.nd - exact.nd) / exact.nd < 0.05
     assert abs(approx.med - exact.med) <= 1.0  # quantity grid is integers
+
+
+def test_pandas_udf_cosine_matches_fold_path(spark):
+    """The Arrow/NumPy fast path must agree with the oracle-parity
+    sequential fold: values within float-reassociation tolerance and
+    IDENTICAL rankings on the (well-separated) corpus."""
+    from end_to_end_etl_using_snowflake_spark.functions import vectors as V
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet").limit(200)
+    e = emb.select("vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    a = e.selectExpr("vec_id as ida", "v as va")
+    b = e.selectExpr("vec_id as idb", "v as vb")
+    pairs = a.join(b, F.col("ida") < F.col("idb"))
+    cos_udf = V.cosine_pandas_udf()
+    both = pairs.select(
+        "ida",
+        "idb",
+        V.cosine(F.col("va"), F.col("vb")).alias("fold"),
+        cos_udf(F.col("va"), F.col("vb")).alias("fast"),
+    ).collect()
+    assert both and all(abs(r.fold - r.fast) < 1e-12 for r in both)
+    by_fold = sorted(both, key=lambda r: (-r.fold, r.ida, r.idb))[:20]
+    by_fast = sorted(both, key=lambda r: (-r.fast, r.ida, r.idb))[:20]
+    assert [(r.ida, r.idb) for r in by_fold] == [(r.ida, r.idb) for r in by_fast]
