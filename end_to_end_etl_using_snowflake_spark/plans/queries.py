@@ -1730,3 +1730,76 @@ def sql1_text_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL1_TEXT)
+
+
+@register(
+    "f11_array_funcs",
+    oracle="""
+    WITH arr AS (
+        SELECT o_orderkey,
+               [o_orderkey % 10, o_custkey % 10, 7, o_orderkey % 10] AS xs
+        FROM orders
+    )
+    SELECT o_orderkey,
+           list_contains(xs, 7)                    AS has_seven,
+           list_position(xs, 7)                    AS seven_at,
+           list_sort(xs)                           AS sorted_xs,
+           list_sort(list_distinct(xs))            AS uniq_xs,
+           len(xs)                                 AS n,
+           xs[1]                                   AS first_x,
+           list_reduce(xs, (a, b) -> a + b)        AS total
+    FROM arr
+    """,
+    doc="""Array function battery over a constructed array column:
+    membership, 1-based position, sort, distinct (sorted to normalize
+    order semantics across engines), length, indexing, fold-sum. All
+    in-row JVM built-ins — arrays never explode unless asked.""",
+    tags=("functions", "array"),
+)
+def f11_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    xs = F.array(
+        F.col("o_orderkey") % 10, F.col("o_custkey") % 10, F.lit(7).cast("long"),
+        F.col("o_orderkey") % 10,
+    )
+    a = orders.select("o_orderkey", xs.alias("xs"))
+    return a.select(
+        "o_orderkey",
+        F.array_contains("xs", 7).alias("has_seven"),
+        F.array_position("xs", 7).alias("seven_at"),
+        F.sort_array("xs").alias("sorted_xs"),
+        F.sort_array(F.array_distinct("xs")).alias("uniq_xs"),
+        F.size("xs").alias("n"),
+        F.element_at("xs", 1).alias("first_x"),
+        F.aggregate(
+            F.slice("xs", 2, F.size("xs") - 1),
+            F.element_at(F.col("xs"), 1),
+            lambda acc, x: acc + x,
+        ).alias("total"),
+    )
+
+
+_P10_TEXT = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+@register(
+    "p10_exists_correlated",
+    oracle=_P10_TEXT,
+    doc="""Correlated EXISTS / NOT EXISTS subqueries through the raw
+    SQL surface — Catalyst decorrelates them into left-semi and
+    left-anti joins (no per-row subquery execution at any scale); the
+    identical text runs on the oracle.""",
+    tags=("sql", "subquery", "J5"),
+)
+def p10_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_P10_TEXT)
