@@ -6,11 +6,13 @@ Two implementations of the same semantics:
   sequential left-to-right double accumulation, bit-reproducible in any
   engine that folds in order (DuckDB ``list_reduce`` verified
   bit-identical). Used wherever results feed an oracle comparison.
-- ``cosine_pandas_udf``: Arrow-batched NumPy matmul for the brute-force
-  ANN hot path — vectorized, ~10-100x the scalar fold, but float
+- ``cosine_pandas_udf``: Arrow-batched NumPy for the brute-force ANN
+  hot path — measured ~2x the scalar fold at 64 dims/250k pairs
+  (Arrow transfer dominates; the gap widens with dims). Float
   summation order differs (pairwise/SIMD), so it's the *bench* path,
-  not the oracle path. At 100 TB you'd use this one (or pre-normalized
-  vectors + a matmul per partition against a broadcast query block).
+  not the oracle path. The real 10-100x lever at 100 TB is
+  pre-normalized vectors + one matmul per partition against a
+  broadcast query block (no per-pair rows at all).
 """
 
 from __future__ import annotations

@@ -24,7 +24,10 @@ Scale notes (100 TB target):
 
 - For a date-partitioned target, restrict the merge to partitions that
   contain source keys (merge-on-read compaction trick): untouched
-  partitions are never read or rewritten. ``pipelines`` applies this.
+  partitions are never read or rewritten. The pieces exist as
+  ``ParquetTable.overwrite_partitions`` + ``incremental_agg_merge``
+  (driver query m7); the reference-parity pipelines deliberately keep
+  the reference's full rebuild (order-...sql:179).
 - The dedup window shuffles only the source batch, never the target.
 - Identity assignment sorts only the *insert* batch, not the table.
 """
