@@ -310,3 +310,92 @@ def kmeans_lloyd(
             .withColumn("cn", V.norm(F.col("cv")))
         )
     return assign(cent).select("id", "cell")
+
+
+def brute_force_topk_matmul(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by blocked matrix multiply — the 100 TB brute-force
+    path (functions.vectors module note): queries form one small
+    broadcast NumPy block; every corpus partition computes
+    (partition x queries) similarities in ONE normalized matmul and
+    emits only its local top-k per query; a final per-query window
+    keeps the global top-k.
+
+    No per-pair rows ever materialize (the fold/pandas-UDF paths build
+    |corpus| x |queries| rows first), shuffle carries at most
+    partitions x queries x k candidate rows, and the matmul runs at
+    BLAS speed. Queries are collected to the driver for the broadcast —
+    by construction the query block is small (it must fit every
+    executor); corpus-sized query sets should use the LSH/IVF paths.
+
+    Float note: NumPy sums pairwise/SIMD, so scores can differ from the
+    sequential fold in the last ulp — rankings are pinned to the fold
+    path in tests; the oracle-exact variant is brute_force_topk.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql import types as T
+
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), V.to_double(F.col(vec_col)).alias("qv"))
+        .collect()
+    )
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, cos_sim double"
+        )
+    q_ids = np.array([r.qid for r in q_rows])
+    q_mat = np.stack([np.asarray(r.qv) for r in q_rows])
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    b_ids, b_mat = sc.broadcast(q_ids), sc.broadcast(q_mat)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def local_topk(batches):
+        qi, qm = b_ids.value, b_mat.value
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            m = np.stack(pdf["v"].to_numpy())
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ qm.T  # (rows x queries)
+            for j in range(len(qi)):
+                col = sims[:, j]
+                mask = ids != qi[j]
+                cand_idx = np.nonzero(mask)[0]
+                if not len(cand_idx):
+                    continue
+                take = min(k, len(cand_idx))
+                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")[:take]]
+                yield __import__("pandas").DataFrame(
+                    {
+                        "query_id": np.repeat(qi[j], take),
+                        "neighbor_id": ids[top],
+                        "cos_sim": col[top],
+                    }
+                )
+
+    cands = (
+        corpus.select(F.col(id_col).alias("id"), V.to_double(F.col(vec_col)).alias("v"))
+        .mapInPandas(local_topk, out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )

@@ -1044,3 +1044,23 @@ def x7_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t6_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.bm25_topk(load(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+@register(
+    "v7_ann_matmul_topk",
+    oracle=None,
+    # no oracle: NumPy's pairwise/SIMD summation differs from the
+    # sequential fold in the last ulp, so scores aren't bit-comparable;
+    # tests/test_scale_paths.py pins v7's RANKING to the oracle-exact
+    # v1 instead (rows-only here, rank parity there).
+    doc="""Exact brute-force top-5 by blocked matmul (mapInPandas +
+    broadcast query block): the 100 TB brute-force path — no per-pair
+    rows, shuffle carries only partition-local top-k candidates, BLAS
+    throughput per partition.""",
+    tags=("similarity", "matmul"),
+)
+def v7_ann_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.brute_force_topk_matmul(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )

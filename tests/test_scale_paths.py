@@ -115,3 +115,13 @@ def test_pandas_udf_cosine_matches_fold_path(spark):
     by_fold = sorted(both, key=lambda r: (-r.fold, r.ida, r.idb))[:20]
     by_fast = sorted(both, key=lambda r: (-r.fast, r.ida, r.idb))[:20]
     assert [(r.ida, r.idb) for r in by_fold] == [(r.ida, r.idb) for r in by_fast]
+
+
+def test_matmul_topk_rank_parity_with_exact(spark):
+    """v7 (blocked matmul) must return the same (query, rank, neighbor)
+    triples as the oracle-exact fold path v1 — scores may differ in the
+    last ulp, rankings must not."""
+    v1 = REGISTRY["v1_ann_bruteforce_topk"].build(spark, SF_MED)
+    v7 = REGISTRY["v7_ann_matmul_topk"].build(spark, SF_MED)
+    key = lambda df: sorted((r.query_id, r.rank, r.neighbor_id) for r in df.collect())
+    assert key(v7) == key(v1)
