@@ -69,6 +69,41 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition filters: distinct-token ratio and
+    top-token fraction, plus a keep flag.
+
+    Highly repetitive documents (boilerplate, keyword stuffing, broken
+    scrapes) are the classic web-corpus failure mode; the Gopher rules
+    drop docs whose most frequent word dominates or whose vocabulary
+    collapses. Both metrics are in-row array expressions — tokenization
+    bound once per row (see ``dedup._tokenized``), O(distinct x tokens)
+    per doc, zero shuffles, whole-stage codegen end to end.
+
+    Ratios are exact-int counts + one IEEE double division, so the
+    DuckDB twin is bit-identical.
+    """
+    bound = df.select(F.col(id_col).alias("id"), TXT.tokens(F.col(text_col)).alias("__tok"))
+    toks = F.col("__tok")
+    distinct = F.array_distinct(toks)
+    n_tokens = F.size(toks)
+    top_count = F.array_max(
+        F.transform(distinct, lambda d: F.size(F.filter(toks, lambda t: t == d)))
+    )
+    out = bound.select(
+        "id",
+        n_tokens.alias("n_tokens"),
+        F.size(distinct).alias("n_distinct"),
+        (F.size(distinct).cast("double") / n_tokens.cast("double")).alias("distinct_ratio"),
+        top_count.alias("top_token_count"),
+        (top_count.cast("double") / n_tokens.cast("double")).alias("top_token_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("distinct_ratio") >= 0.2) & (F.col("top_token_frac") <= 0.3),
+    )
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Marker-word language ID: count marker hits per language, argmax
     with fixed precedence (en >= de >= es, then 'und' = undetermined

@@ -399,3 +399,49 @@ def brute_force_topk_matmul(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
+
+
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization of an embedding
+    column — the storage/bandwidth lever for ANN at 100 TB (4x smaller
+    than float32, 8x than float64; dot products stay SIMD-able).
+
+    ``scale = 127 / max|x|``, ``q_i = round(x_i * scale)`` (HALF_UP —
+    round half away from zero, matching DuckDB/ANSI ``round``), so
+    ``q_i ∈ [-127, 127]`` and dequantization is ``q_i / scale``.
+
+    Returns per-vector quantization audit columns: the scale, the int8
+    codes' L1 mass, and the max absolute reconstruction error. All
+    element-wise double ops plus order-free max / exact integer sums —
+    bit-reproducible in ANSI SQL (no float reassociation anywhere).
+    """
+    bound = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    scale = F.lit(127.0) / F.array_max(F.transform(F.col("__v"), F.abs))
+    quantized = bound.select("id", "__v", scale.alias("scale")).select(
+        "id",
+        "__v",
+        "scale",
+        F.transform(
+            F.col("__v"), lambda x: F.round(x * F.col("scale")).cast("int")
+        ).alias("__q"),
+    )
+    return quantized.select(
+        "id",
+        "scale",
+        F.size("__q").alias("n_dims"),
+        F.aggregate(
+            F.transform(F.col("__q"), lambda q: F.abs(q).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("q_l1"),
+        F.array_max(
+            F.zip_with(
+                F.col("__q"),
+                F.col("__v"),
+                lambda q, x: F.abs(q.cast("double") / F.col("scale") - x),
+            )
+        ).alias("max_abs_err"),
+    )

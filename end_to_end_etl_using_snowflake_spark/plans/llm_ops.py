@@ -1064,3 +1064,118 @@ def v7_ann_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk_matmul(
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
     )
+
+
+@register(
+    "d8_decontaminate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id AS id, source, {SQL_TOKENS.format(x='text')} AS w FROM documents),
+    sh AS (SELECT DISTINCT id, source, unnest({SQL_SHINGLES3.format(w='w')}) AS shingle FROM toks),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0')
+    SELECT s.id, count(*) AS n_overlap
+    FROM sh s JOIN ev USING (shingle)
+    WHERE s.source <> 'src0'
+    GROUP BY s.id
+    HAVING count(*) >= 1
+    """,
+    doc="""Benchmark decontamination: docs from source 'src0' play the
+    held-out eval set; every other doc sharing >= 1 word-3-gram with it
+    is flagged with its overlap count. Eval shingles broadcast (tiny vs
+    the corpus), so the 100 TB side is one scan + one agg shuffle.""",
+    tags=("dedup", "decontamination"),
+)
+def d8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        n=3,
+        min_overlap=1,
+    )
+
+
+@register(
+    "t7_repetition_filter",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id AS id, {SQL_TOKENS.format(x='text')} AS w FROM documents),
+    m AS (
+        SELECT id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+               list_max(list_transform(list_distinct(w),
+                                       d -> len(list_filter(w, t -> t = d)))) AS top_token_count
+        FROM toks
+    )
+    SELECT id, n_tokens, n_distinct,
+           n_distinct::DOUBLE / n_tokens::DOUBLE AS distinct_ratio,
+           top_token_count,
+           top_token_count::DOUBLE / n_tokens::DOUBLE AS top_token_frac,
+           (n_distinct::DOUBLE / n_tokens::DOUBLE >= 0.2
+            AND top_token_count::DOUBLE / n_tokens::DOUBLE <= 0.3) AS keep
+    FROM m
+    """,
+    doc="""Gopher-style repetition filter: distinct-token ratio and
+    top-token fraction per doc with a keep flag — in-row array exprs,
+    zero shuffles.""",
+    tags=("text", "quality"),
+)
+def t7_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.repetition_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "x8_pii_pseudonymize",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_token,
+           regexp_replace(substr(c_name, 1, length(c_name)-4), '[0-9]', '*', 'g')
+             || substr(c_name, length(c_name)-3, 4) AS name_masked,
+           floor(c_acctbal / 100)::BIGINT AS acctbal_band,
+           c_mktsegment
+    FROM customer
+    """,
+    doc="""PII pseudonymization / generalization (governance op for a
+    training-data pipeline): deterministic md5 token for joins, digit
+    masking that keeps the last 4 characters, and numeric banding
+    (k-anonymity-style generalization). Pure row-local expressions —
+    whole-stage codegen, no shuffle.""",
+    tags=("governance",),
+)
+def x8_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = F.col("c_name")
+    prefix = F.expr("substring(c_name, 1, length(c_name)-4)")
+    suffix = F.expr("substring(c_name, length(c_name)-3, 4)")
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.md5(name).alias("name_token"),
+        F.concat(F.regexp_replace(prefix, "[0-9]", "*"), suffix).alias("name_masked"),
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("acctbal_band"),
+        "c_mktsegment",
+    )
+
+
+@register(
+    "v8_quantize_int8",
+    oracle=f"""
+    WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    s AS (SELECT id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+    q AS (SELECT id, v, scale,
+                 list_transform(v, x -> round(x * scale)::INTEGER) AS qv
+          FROM s)
+    SELECT id, scale, len(qv) AS n_dims,
+           list_reduce(list_concat([0::BIGINT],
+                                   list_transform(qv, x -> abs(x)::BIGINT)),
+                       (a, b) -> a + b) AS q_l1,
+           list_max(list_transform(generate_series(1, len(qv)),
+                                   i -> abs(qv[i]::DOUBLE / scale - v[i]))) AS max_abs_err
+    FROM q
+    """,
+    doc="""Symmetric int8 scalar quantization of embeddings (the 4x
+    storage/bandwidth lever for 100 TB ANN) with per-vector audit
+    columns: scale, code L1 mass, max reconstruction error. Element-
+    wise doubles + order-free max — bit-exact vs the oracle.""",
+    tags=("similarity", "quantization"),
+)
+def v8_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.quantize_int8(load(spark, sf_dir, "embeddings"), "vec_id", "embedding")

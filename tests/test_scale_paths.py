@@ -18,7 +18,7 @@ from end_to_end_etl_using_snowflake_spark.operators.dml import ParquetTable
 from end_to_end_etl_using_snowflake_spark.plans.registry import REGISTRY
 from end_to_end_etl_using_snowflake_spark.plans.tables import register_views
 
-from .conftest import SF_MED
+from .conftest import SF_MED, SF_SMALL
 
 
 def test_dynamic_partition_overwrite_touches_only_batch_partitions(spark, tmp_path):
@@ -125,3 +125,38 @@ def test_matmul_topk_rank_parity_with_exact(spark):
     v7 = REGISTRY["v7_ann_matmul_topk"].build(spark, SF_MED)
     key = lambda df: sorted((r.query_id, r.rank, r.neighbor_id) for r in df.collect())
     assert key(v7) == key(v1)
+
+
+def test_decontaminate_anti_join_leaves_clean_corpus(spark):
+    """After removing flagged docs, a second decontamination pass finds
+    nothing — the keep-list semantics a 100 TB run relies on."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_using_snowflake_spark.operators.dedup import decontaminate
+    from end_to_end_etl_using_snowflake_spark.plans.tables import load
+
+    docs = load(spark, SF_SMALL, "documents")
+    eval_set = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    flagged = decontaminate(train, eval_set, "doc_id", "text")
+    assert flagged.count() > 0  # the synthetic corpus does overlap
+    clean = train.join(
+        flagged.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+    )
+    assert decontaminate(clean, eval_set, "doc_id", "text").count() == 0
+
+
+def test_quantize_int8_codes_bounded_and_invertible(spark):
+    """Every int8 code fits [-127, 127] and reconstruction error is
+    bounded by half a quantization step (scale >= 127/max|x|)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_using_snowflake_spark.operators.similarity import quantize_int8
+    from end_to_end_etl_using_snowflake_spark.plans.tables import load
+
+    out = quantize_int8(load(spark, SF_SMALL, "embeddings"), "vec_id", "embedding")
+    bad = out.filter(
+        (F.col("q_l1") > 127 * F.col("n_dims"))
+        | (F.col("max_abs_err") > 0.5 / F.col("scale") + 1e-12)
+    )
+    assert bad.count() == 0
