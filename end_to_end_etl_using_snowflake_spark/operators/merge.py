@@ -149,20 +149,59 @@ def fill_identity(
     """Snowflake ``number autoincrement`` analog (customer-...sql:32).
 
     Fills NULLs in ``key_col`` with contiguous keys starting past the
-    current max: ``max_key + row_number()`` over a defined total order of
-    the *insert rows only* — deterministic and contiguous, unlike
-    ``monotonically_increasing_id()``. The window sorts just the insert
-    batch (small by CDC construction); the existing max is a cheap
-    column-pruned scan. Key *values* are engine-specific — tests assert
-    uniqueness/monotonicity only (FIXTURES.md).
+    current max: ``max_key + rank`` over a defined total order of the
+    *insert rows only* — deterministic and contiguous, unlike
+    ``monotonically_increasing_id()``. The rank is computed distributed:
+    hash-bucket on the sort key, per-bucket ``row_number`` plus the
+    bucket's cumulative offset (the effective total order is
+    ``(bucket, *order_by)``). No global single-partition window, so a
+    100M-row initial load ranks in parallel; the offset table is one row
+    per bucket. Key *values* are engine-specific — tests assert
+    uniqueness/contiguity/determinism only (FIXTURES.md).
     """
     if existing_max is None:
         row = df.agg(F.max(key_col)).first()
         existing_max = row[0] if row and row[0] is not None else 0
-    w = Window.orderBy(*[F.col(c) for c in order_by])
-    news = df.filter(F.col(key_col).isNull()).withColumn(
-        key_col, (F.lit(existing_max) + F.row_number().over(w)).cast("long")
+    news = df.filter(F.col(key_col).isNull())
+    spark = news.sparkSession
+
+    # Distributed rank: a global Window.orderBy would pull every insert
+    # row into ONE partition (fatal for initial loads at scale). Instead
+    # bucket by a hash of the sort key — a pure function of row data, so
+    # every recomputation agrees, unlike repartitionByRange's sampled
+    # bounds — rank within each bucket, and add the bucket's cumulative
+    # offset. Total order: (bucket, *order_by); still deterministic and
+    # contiguous, and the per-bucket count pass touches only the insert
+    # batch.
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    sort_cols = [F.col(c) for c in order_by]
+    bucketed = news.withColumn(
+        "__bkt", F.pmod(F.xxhash64(*sort_cols), F.lit(n_buckets)).cast("int")
     )
+    counts = sorted(
+        bucketed.groupBy("__bkt").count().collect(), key=lambda r: r["__bkt"]
+    )
+    acc = 0
+    offsets = []
+    for r in counts:
+        offsets.append((r["__bkt"], acc))
+        acc += r["count"]
+    if offsets:
+        off_df = spark.createDataFrame(offsets, "__bkt int, __off long")
+        w = Window.partitionBy("__bkt").orderBy(*sort_cols)
+        news = (
+            bucketed.join(F.broadcast(off_df), "__bkt")
+            .withColumn(
+                key_col,
+                (F.lit(existing_max) + F.col("__off") + F.row_number().over(w)).cast(
+                    "long"
+                ),
+            )
+            .drop("__bkt", "__off")
+            .select(*df.columns)
+        )
+    else:
+        news = news.withColumn(key_col, F.col(key_col).cast("long"))
     return df.filter(F.col(key_col).isNotNull()).unionByName(news)
 
 

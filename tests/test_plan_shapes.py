@@ -66,3 +66,50 @@ def test_text_pipelines_stay_jvm_side(spark, name):
     plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Row-level runtime filtering: when a selective build side feeds a
+    shuffle join, the optimizer injects a bloom filter on the probe side
+    so non-matching fact rows die before the exchange. At 100 TB this is
+    the difference between shuffling the whole fact table and shuffling
+    the ~matching fraction. The 10 GB application-side default keeps it
+    off at fixture scale — lowered to 0 here to pin the plan shape Spark
+    will pick on a real cluster (broadcast disabled to force the shuffle
+    join it applies to)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_using_snowflake_spark.plans.tables import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, SF_MED, "lineitem")
+        o = load(spark, SF_MED, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan.lower(), plan
+        [(prio, n_bloom)] = [(r.o_orderpriority, r.n) for r in j.collect()]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # the bloom filter is pruning-only: same answer as the plain join
+    li = load(spark, SF_MED, "lineitem")
+    o = load(spark, SF_MED, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    n_plain = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert (prio, n_bloom) == ("1-URGENT", n_plain)
