@@ -45,6 +45,7 @@ HEADLINE = [
     "t5_tfidf_topk",           # tf-idf top-k terms
     "llm_corpus_clean",        # composite clean pipeline (quality+lang+dedup)
     "mm1_multimodal_decode",   # Arrow mapInPandas plumbing
+    "pl_backfill_scale",       # full ETL pipeline throughput (~150k orders @ sf0.1)
 ]
 
 
@@ -73,10 +74,13 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # timed: build + materialize. build() is plan construction (~ms) for
+    # pure queries, but the stateful pipeline entries (pl_backfill_scale)
+    # do their real work inside build — timing both keeps one rule.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = REGISTRY[name].build(spark, sf_dir)
         t0 = time.perf_counter()
+        df = REGISTRY[name].build(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
