@@ -158,15 +158,22 @@ class EntityPipelines:
         if entity == "item":
             # reference order: start_date desc (item-...sql:74), version as tie-break
             order_cols = [F.col("start_date").desc(), F.col("_version").desc()]
-        merged = M.merge_upsert(
-            self.raw[entity].read(),
-            src.drop("_action").withColumn("_version", F.col("_version")),
-            keys=keys,
-            dedup_order=order_cols,
-            update_cols=[c for c in self.raw[entity].schema.names if c not in keys],
-        )
-        applied = M.dedup_latest(src, keys, order_cols).drop("_action", "_version")
-        self.raw[entity].overwrite(merged.select(*self.raw[entity].schema.names), changes=applied)
+        # one dedup pass serves both the merge source and the changelog
+        # record (it was previously computed for each)
+        deduped = M.dedup_latest(src.drop("_action"), keys, order_cols).persist()
+        try:
+            merged = M.merge_dataframes(
+                self.raw[entity].read(),
+                deduped,
+                keys=keys,
+                update_cols=[c for c in self.raw[entity].schema.names if c not in keys],
+            )
+            self.raw[entity].overwrite(
+                merged.select(*self.raw[entity].schema.names),
+                changes=deduped.drop("_version"),
+            )
+        finally:
+            deduped.unpersist()
         stage.changelog.stream_commit("raw_tsk", version)
 
     def _now_lit(self):
@@ -193,7 +200,7 @@ class EntityPipelines:
             "birth_country",
             "email_address",
             "is_active",
-        )
+        ).persist()  # reused: merge source + changelog record
         now = self._now_lit()
         merged = M.merge_dataframes(
             self.dim_customer.read(),
@@ -201,11 +208,15 @@ class EntityPipelines:
             keys=["customer_id"],
             matched_set={"updated_timestamp": now},
             insert_defaults={"added_timestamp": now, "updated_timestamp": now},
-        )
-        merged = M.fill_identity(merged, "customer_dim_key", order_by=["customer_id"])
-        self.dim_customer.overwrite(
-            merged.select(*self.dim_customer.schema.names), changes=typed
-        )
+        ).persist()  # fill_identity + write = 3 passes; cache the merge once
+        try:
+            out = M.fill_identity(merged, "customer_dim_key", order_by=["customer_id"])
+            self.dim_customer.overwrite(
+                out.select(*self.dim_customer.schema.names), changes=typed
+            )
+        finally:
+            merged.unpersist()
+            typed.unpersist()
         raw.changelog.stream_commit("dim_tsk", version)
 
     def _dim_item_task(self) -> None:
@@ -227,7 +238,7 @@ class EntityPipelines:
             "item_class",
             "item_category",
             "is_active",
-        )
+        ).persist()  # reused: merge source + changelog record
         now = self._now_lit()
         merged = M.merge_dataframes(
             self.dim_item.read(),
@@ -235,9 +246,13 @@ class EntityPipelines:
             keys=["item_id"],
             matched_set={"updated_timestamp": now},
             insert_defaults={"added_timestamp": now, "updated_timestamp": now},
-        )
-        merged = M.fill_identity(merged, "item_dim_key", order_by=["item_id"])
-        self.dim_item.overwrite(merged.select(*self.dim_item.schema.names), changes=typed)
+        ).persist()  # fill_identity + write = 3 passes; cache the merge once
+        try:
+            out = M.fill_identity(merged, "item_dim_key", order_by=["item_id"])
+            self.dim_item.overwrite(out.select(*self.dim_item.schema.names), changes=typed)
+        finally:
+            merged.unpersist()
+            typed.unpersist()
         raw.changelog.stream_commit("dim_tsk", version)
 
     def _fact_order_task(self) -> None:
@@ -276,12 +291,16 @@ class EntityPipelines:
             )
             .orderBy("order_date")  # O1 (order-...sql:212)
         )
-        rebuilt = M.fill_identity(
-            agg.withColumn("order_fact_key", F.lit(None).cast("long")),
-            "order_fact_key",
-            order_by=["order_date", "customer_dim_key", "item_dim_key"],
-        )
-        self.fact_order.overwrite(rebuilt.select(*self.fact_order.schema.names))
+        agg = agg.withColumn("order_fact_key", F.lit(None).cast("long")).persist()
+        try:
+            rebuilt = M.fill_identity(
+                agg,
+                "order_fact_key",
+                order_by=["order_date", "customer_dim_key", "item_dim_key"],
+            )
+            self.fact_order.overwrite(rebuilt.select(*self.fact_order.schema.names))
+        finally:
+            agg.unpersist()
         raw.changelog.stream_commit("fact_tsk", version)
 
     # ------------------------------------------------------------------
