@@ -1803,3 +1803,75 @@ def p10_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_P10_TEXT)
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join (physical-layout extension)
+# ---------------------------------------------------------------------------
+
+_bucketed_memo: dict[tuple[int, str], tuple] = {}
+
+
+def _bucketed_pair(spark: SparkSession, sf_dir: str):
+    """Bucketed copies of lineitem/orders on the order key (memoized per
+    session+sf so the one-time layout shuffle isn't re-paid per call —
+    exactly the amortization bucketing buys at 100 TB)."""
+    import tempfile
+
+    from ..operators.bucketing import write_bucketed
+
+    key = (id(spark), sf_dir)
+    if key not in _bucketed_memo:
+        tag = abs(hash(sf_dir)) % 10**8
+        base = tempfile.mkdtemp(prefix="bucketed_")
+        li = write_bucketed(
+            load(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity", "l_extendedprice"
+            ),
+            f"b1_lineitem_{tag}",
+            ["l_orderkey"],
+            num_buckets=16,
+            path=f"{base}/lineitem",
+        )
+        o = write_bucketed(
+            load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+            f"b1_orders_{tag}",
+            ["o_orderkey"],
+            num_buckets=16,
+            path=f"{base}/orders",
+        )
+        _bucketed_memo[key] = (li, o)
+    return _bucketed_memo[key]
+
+
+@register(
+    "b1_bucketed_colocated_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(1) AS n_items,
+           CAST(SUM({_SQL_QTY}) AS DOUBLE) AS sum_qty,
+           CAST(SUM({_SQL_PRICE}) AS DOUBLE) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="""Exchange-free fact join via bucketed layout
+    (operators.bucketing): both sides hash-bucketed on the order key at
+    write time, so the join runs as a SortMergeJoin with NO shuffle on
+    either side (``Bucketed: true`` scans; plan pinned in
+    tests/test_plan_shapes.py). The one-time layout cost is memoized
+    here the same way it is amortized at 100 TB — paid at ingest, free
+    for every downstream join on the key. Result is identical to the
+    plain shuffled join (the oracle).""",
+    tags=("join", "bucketing", "layout"),
+)
+def b1_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, o = _bucketed_pair(spark, sf_dir)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_qty()).cast("double").alias("sum_qty"),
+            F.sum(_price()).cast("double").alias("sum_price"),
+        )
+    )

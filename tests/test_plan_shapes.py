@@ -113,3 +113,32 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
     o = load(spark, SF_MED, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     n_plain = li.join(o, li.l_orderkey == o.o_orderkey).count()
     assert (prio, n_bloom) == ("1-URGENT", n_plain)
+
+
+def test_bucketed_join_runs_without_exchange(spark):
+    """Both sides bucketed on the join key -> SortMergeJoin with NO
+    Exchange anywhere in the plan and `Bucketed: true` scans. Broadcast
+    is disabled so the exchange-free property is the layout's doing,
+    not the small-dim escape hatch."""
+    from end_to_end_etl_using_snowflake_spark.plans.queries import _bucketed_pair
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li, o = _bucketed_pair(spark, SF_MED)
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert plan.count("Bucketed: true") == 2, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
