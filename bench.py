@@ -40,6 +40,7 @@ HEADLINE = [
     "v7_ann_matmul_topk",      # brute-force via blocked matmul (BLAS path)
     "v3_ann_ivf_topk",         # IVF cell-probed top-k (scale path)
     "v6_kmeans_assign",        # Lloyd iteration (iterative algo rep)
+    "v9_kmeans_iter3",         # 3-iteration Lloyd convergence loop
     "e5_session_window_native",# native merging session windows
     "t2_quality_score",        # text quality metrics
     "t5_tfidf_topk",           # tf-idf top-k terms

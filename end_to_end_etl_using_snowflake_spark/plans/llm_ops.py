@@ -861,41 +861,56 @@ def x5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("interval_id", "event_id", "ts")
 
 
-def _kmeans_oracle(n_cells: int = 8, dims: int = 64) -> str:
-    dot_vc = sql_dot("n.v", "s.cv")
+def _kmeans_oracle(n_cells: int = 8, dims: int = 64, iterations: int = 1) -> str:
+    """Unrolled Lloyd iterations as chained CTEs — the oracle mirror of
+    kmeans_lloyd's driver loop (assign -> sequential-fold mean update,
+    x``iterations``, then a final assignment)."""
     dot_vc2 = sql_dot("n.v", "c.cv")
     dot_cc = sql_dot("cv", "cv")
-    return f"""
-    WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-    n AS (SELECT id, v, sqrt({sql_dot('v', 'v')}) AS nrm FROM e),
-    seeds AS (
-        SELECT row_number() OVER (ORDER BY id) AS cid, v AS cv, nrm AS cn
-        FROM (SELECT * FROM n ORDER BY id LIMIT {n_cells})
-    ),
-    a0 AS (
+
+    def assign_cte(out: str, cent: str) -> str:
+        return f"""{out} AS (
         SELECT id, v, nrm, cid AS cell FROM (
-            SELECT n.id, n.v, n.nrm, s.cid,
+            SELECT n.id, n.v, n.nrm, c.cid,
                    ROW_NUMBER() OVER (PARTITION BY n.id
-                       ORDER BY {dot_vc} / (n.nrm * s.cn) DESC, s.cid) AS rn
-            FROM n CROSS JOIN seeds s
+                       ORDER BY {dot_vc2} / (n.nrm * c.cn) DESC, c.cid) AS rn
+            FROM n CROSS JOIN {cent} c
         ) WHERE rn = 1
-    ),
-    dims AS (
+    )"""
+
+    def update_cte(dims_name: str, cent_name: str, centn: str, assigned: str) -> str:
+        return f"""{dims_name} AS (
         SELECT cell, i,
                list_reduce(list_concat([0.0::DOUBLE], list(v[i] ORDER BY id)),
                            (x,y) -> x+y) / count(*) AS mean
-        FROM a0, generate_series(1, {dims}) t(i)
+        FROM {assigned}, generate_series(1, {dims}) t(i)
         GROUP BY cell, i
     ),
-    cent AS (
-        SELECT cell AS cid, list(mean ORDER BY i) AS cv FROM dims GROUP BY cell
+    {cent_name} AS (
+        SELECT cell AS cid, list(mean ORDER BY i) AS cv FROM {dims_name} GROUP BY cell
     ),
-    centn AS (SELECT cid, cv, sqrt({dot_cc}) AS cn FROM cent)
+    {centn} AS (SELECT cid, cv, sqrt({dot_cc}) AS cn FROM {cent_name})"""
+
+    ctes = [
+        f"e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"n AS (SELECT id, v, sqrt({sql_dot('v', 'v')}) AS nrm FROM e)",
+        f"""cn0 AS (
+        SELECT row_number() OVER (ORDER BY id) AS cid, v AS cv, nrm AS cn
+        FROM (SELECT * FROM n ORDER BY id LIMIT {n_cells})
+    )""",
+    ]
+    for it in range(1, iterations + 1):
+        ctes.append(assign_cte(f"a{it}", f"cn{it - 1}"))
+        ctes.append(update_cte(f"d{it}", f"c{it}", f"cn{it}", f"a{it}"))
+    final_cent = f"cn{iterations}"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
     SELECT id AS vec_id, cell FROM (
         SELECT n.id, c.cid AS cell,
                ROW_NUMBER() OVER (PARTITION BY n.id
                    ORDER BY {dot_vc2} / (n.nrm * c.cn) DESC, c.cid) AS rn
-        FROM n CROSS JOIN centn c
+        FROM n CROSS JOIN {final_cent} c
     ) WHERE rn = 1
     """
 
@@ -915,6 +930,24 @@ def _kmeans_oracle(n_cells: int = 8, dims: int = 64) -> str:
 def v6_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     out = S.kmeans_lloyd(emb, "vec_id", "embedding", n_cells=8, iterations=1)
+    return out.select(F.col("id").alias("vec_id"), "cell")
+
+
+@register(
+    "v9_kmeans_iter3",
+    oracle=_kmeans_oracle(iterations=3),
+    doc="""Three Lloyd iterations to (near-)convergence — the loop the
+    IVF centroid build actually runs. Same deterministic conventions as
+    v6 (smallest-id init, lower-cell tie-break, id-ordered fold means),
+    oracle unrolled to three chained assign/update CTE rounds. The
+    iteration count is a driver-side loop over lazy plans: each round
+    is one broadcast-assignment map + one (cell, dim) shuffle, so depth
+    costs linearly and nothing accumulates on the driver.""",
+    tags=("similarity", "kmeans", "iterative"),
+)
+def v9_kmeans_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    out = S.kmeans_lloyd(emb, "vec_id", "embedding", n_cells=8, iterations=3)
     return out.select(F.col("id").alias("vec_id"), "cell")
 
 
