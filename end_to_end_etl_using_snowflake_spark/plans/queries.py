@@ -1875,3 +1875,76 @@ def b1_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_price()).cast("double").alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# outer-join family + histogram (engine extensions: completeness surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j7_outer_join_family",
+    oracle="""
+    WITH hc AS (SELECT c_nationkey AS nationkey, COUNT(1) AS n_rich_cust
+                FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey),
+         hs AS (SELECT s_nationkey AS nationkey, COUNT(1) AS n_rich_supp
+                FROM supplier WHERE s_acctbal > 9900 GROUP BY s_nationkey)
+    SELECT COALESCE(hc.nationkey, hs.nationkey) AS nationkey,
+           hc.n_rich_cust, hs.n_rich_supp
+    FROM hc FULL OUTER JOIN hs ON hc.nationkey = hs.nationkey
+    """,
+    doc="""FULL OUTER join between two sparse aggregates (high-balance
+    customers vs suppliers per nation) — genuine NULLs on both sides.
+    The reference never writes outer joins; the engine surface carries
+    the whole family (left/right/full) through the same Catalyst path
+    as the inner joins. Full-outer cannot broadcast — it plans as a
+    shuffled SortMergeJoin, correct at any scale because both inputs
+    are pre-aggregated to |nations| rows.""",
+    tags=("join", "outer"),
+)
+def j7_outer_join_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hc = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_rich_cust"))
+    )
+    hs = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9900)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_rich_supp"))
+    )
+    return hc.join(hs, on="nationkey", how="full_outer").select(
+        "nationkey", "n_rich_cust", "n_rich_supp"
+    )
+
+
+@register(
+    "f12_histogram_bins",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS bin,
+           COUNT(1) AS n,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+    FROM orders GROUP BY 1
+    """,
+    doc="""Fixed-width histogram (10k-wide bins over order totals):
+    one map-side bin expression + hash aggregate — the one-pass,
+    fully-combinable distribution profile (vs exact percentiles a6,
+    which need a per-group sort). Min/max per bin in exact DECIMAL.""",
+    tags=("agg", "histogram", "profile"),
+)
+def f12_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    money = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 10000).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(money).cast("double").alias("lo"),
+            F.max(money).cast("double").alias("hi"),
+        )
+    )
