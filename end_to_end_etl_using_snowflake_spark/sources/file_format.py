@@ -65,3 +65,7 @@ JSON_FORMAT = FileFormat("json", {"mode": "PERMISSIVE"})
 # Parquet stage files (Snowflake type=PARQUET): self-describing;
 # schema argument still enforced for the stage-table contract.
 PARQUET_FORMAT = FileFormat("parquet", {})
+
+# ORC stage files (Snowflake type=ORC): same self-describing contract
+# as Parquet, second columnar interchange format.
+ORC_FORMAT = FileFormat("orc", {})

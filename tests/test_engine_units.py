@@ -300,3 +300,31 @@ def test_corrupt_record_quarantine(spark, tmp_path):
         "{not valid json at all"
     ]
     df.unpersist()
+
+
+def test_orc_file_format_pipe(spark, tmp_path):
+    """Named ORC format: columnar stage files through the same
+    exactly-once pipe/manifest contract as CSV/JSON/Parquet."""
+    from end_to_end_etl_using_snowflake_spark.plans.catalog import Warehouse
+    from end_to_end_etl_using_snowflake_spark.sources.file_format import ORC_FORMAT
+    from end_to_end_etl_using_snowflake_spark.sources.pipe import Pipe
+    from pyspark.sql import types as T
+
+    landing = tmp_path / "landing_orc"
+    src = spark.createDataFrame(
+        [("c1", "Mr."), ("c2", None)], "customer_id string, salutation string"
+    )
+    src.coalesce(1).write.mode("overwrite").orc(str(landing))
+    for extra in landing.glob("_SUCCESS*"):
+        extra.unlink()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    schema = T.StructType(
+        [T.StructField("customer_id", T.StringType()),
+         T.StructField("salutation", T.StringType())]
+    )
+    stage = wh.table("stg", "stg_orc", schema)
+    pipe = Pipe(spark, "orc_pipe", str(landing), stage, schema, file_format=ORC_FORMAT)
+    assert pipe.refresh() == 1
+    assert pipe.refresh() == 0  # manifest: exactly once
+    rows = {(r.customer_id, r.salutation) for r in stage.read().collect()}
+    assert rows == {("c1", "Mr."), ("c2", None)}

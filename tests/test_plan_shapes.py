@@ -142,3 +142,32 @@ def test_bucketed_join_runs_without_exchange(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_partitioned_table_scan_prunes_partitions(spark, tmp_path):
+    """A date-partitioned fact table + an equality filter on the
+    partition column must prune at the DIRECTORY level: the filter
+    shows up as a PartitionFilter on the scan (zero data files read
+    from other dates), not a post-scan Filter. This is the layout the
+    pipelines' fact rebuild uses at 100 TB (overwrite_partitions on
+    order_date)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_using_snowflake_spark.operators.dml import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "fact_part"), partition_by=["d"])
+    t.overwrite(
+        spark.range(0, 1000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("2021-06-0"), (F.col("id") % 9) + 1).alias("d"),
+            (F.col("id") * 1.5).alias("v"),
+        )
+    )
+    df = t.read().filter(F.col("d") == "2021-06-03")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan, plan
+    assert "2021-06-03" in plan.split("PartitionFilters:")[1].split("]")[0], plan
+    # the partition predicate must NOT appear as a data-level PushedFilter
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "d" not in pushed.replace("isnotnull", ""), plan
+    assert df.count() == 1000 // 9 + (1 if 3 <= 1000 % 9 else 0)
