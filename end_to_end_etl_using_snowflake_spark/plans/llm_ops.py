@@ -1212,3 +1212,52 @@ def x8_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def v8_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantize_int8(load(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
+@register(
+    "x9_chunk_documents",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, tokens, n,
+               unnest(generate_series(0, n - 1, 40)) AS start
+        FROM toks
+    )
+    SELECT doc_id, start,
+           len(list_slice(tokens, start + 1, least(start + 50, n))) AS chunk_len,
+           array_to_string(list_slice(tokens, start + 1, least(start + 50, n)), ' ')
+               AS chunk_text
+    FROM starts
+    """,
+    doc="""Training-window chunking: split each document into 50-token
+    chunks on a 40-token stride (10-token overlap), the standard
+    long-document -> context-window preparation. In-row array ops
+    (split / sequence / slice) + one explode — no shuffle at all; chunk
+    count scales with corpus size, never with driver memory. Chunk
+    text, length, and start offset are all deterministic.""",
+    tags=("llm", "chunking", "text"),
+)
+def x9_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("tokens"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(40))).alias("start"),
+        "tokens",
+        "n",
+    ).select(
+        "doc_id",
+        "start",
+        F.size(F.slice("tokens", F.col("start") + 1, F.lit(50))).alias("chunk_len"),
+        F.array_join(F.slice("tokens", F.col("start") + 1, F.lit(50)), " ").alias(
+            "chunk_text"
+        ),
+    )

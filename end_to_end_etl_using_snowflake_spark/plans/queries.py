@@ -1948,3 +1948,72 @@ def f12_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(money).cast("double").alias("hi"),
         )
     )
+
+
+@register(
+    "dq1_referential_audit",
+    oracle="""
+    SELECT 'orders_without_customer' AS check_name,
+           (SELECT COUNT(1) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_without_order',
+           (SELECT COUNT(1) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem_without_part',
+           (SELECT COUNT(1) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'negative_acctbal_customers',
+           (SELECT COUNT(1) FROM customer WHERE c_acctbal < 0)
+    """,
+    doc="""Data-quality / referential audit — the reference's de-facto
+    test strategy formalized (its semi-join probes that every order key
+    resolves in the dims, order-...sql:365-371, and the manual key-fix
+    UPDATEs they motivated, order-...sql:377-387). Each FK check is a
+    LEFT ANTI join (broadcast where the dim side is small) aggregated
+    to a violation count; plus a domain check (negative balances) that
+    is nonzero on TPC-H data so the audit provably detects. One row
+    per check — the shape a scheduler can alert on.""",
+    tags=("dq", "audit", "J5"),
+)
+def dq1_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+
+    def count_of(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    checks = [
+        count_of(
+            orders.join(
+                customer, orders.o_custkey == customer.c_custkey, "left_anti"
+            ),
+            "orders_without_customer",
+        ),
+        count_of(
+            lineitem.join(
+                orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+            ),
+            "lineitem_without_order",
+        ),
+        count_of(
+            lineitem.join(part, lineitem.l_partkey == part.p_partkey, "left_anti"),
+            "lineitem_without_part",
+        ),
+        count_of(
+            customer.filter(F.col("c_acctbal") < 0), "negative_acctbal_customers"
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
