@@ -2017,3 +2017,42 @@ def dq1_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+@register(
+    "w3_range_frame_timeseries",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(1) OVER w AS n_1h,
+           MIN(value) OVER w AS min_value_1h,
+           MAX(value) OVER w AS max_value_1h,
+           SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) OVER w AS n_big_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="""RANGE-frame moving window over event time (trailing 1 hour
+    per user): the time-series rolling aggregate, complementing w2's
+    ROWS frames. The frame is VALUE-bounded (epoch-microsecond order
+    key, 3.6e9 us lookback), so tied timestamps are peers and the
+    result is deterministic without a unique tiebreak; aggregates are
+    exact (count / min / max / integer flag sum — no float
+    accumulation). One Exchange on user_id, one sort, all four windows
+    share the frame.""",
+    tags=("window", "range-frame", "timeseries"),
+)
+def w3_range_frame_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.min("value").over(w).alias("min_value_1h"),
+        F.max("value").over(w).alias("max_value_1h"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).over(w).alias("n_big_1h"),
+    )
