@@ -1261,3 +1261,35 @@ def x9_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_text"
         ),
     )
+
+
+@register(
+    "d9_incremental_dedup",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, md5({SQL_NORM.format(x='text')}) AS fingerprint
+        FROM documents
+    ),
+    hist AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 <> 0),
+    batch AS (SELECT * FROM fp WHERE doc_id % 10 = 0)
+    SELECT fingerprint, MIN(doc_id) AS rep_id, COUNT(1) AS n_batch_dups
+    FROM batch
+    WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fingerprint = batch.fingerprint)
+    GROUP BY fingerprint
+    """,
+    doc="""Incremental (continuous-ingest) dedup: an arriving batch
+    (doc_id % 10 = 0 here) anti-joined on normalized-text fingerprint
+    against the historical corpus, then deduped within the batch. The
+    per-cycle operator of a pipeline whose bootstrap is d1; history
+    contributes only its distinct 16-byte fingerprints to the shuffle,
+    never document text.""",
+    tags=("dedup", "incremental", "pipeline"),
+)
+def d9_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.incremental_dedup(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+    )
