@@ -171,3 +171,21 @@ def test_partitioned_table_scan_prunes_partitions(spark, tmp_path):
     pushed = plan.split("PushedFilters:")[1].split("]")[0]
     assert "d" not in pushed.replace("isnotnull", ""), plan
     assert df.count() == 1000 // 9 + (1 if 3 <= 1000 % 9 else 0)
+
+
+def test_global_sort_uses_range_partitioning(spark):
+    """A full ORDER BY must plan as a RangePartitioning exchange (every
+    partition gets a key range via sampling, sorted independently —
+    the distributed total sort), never a single-partition collapse.
+    TakeOrderedAndProject is pinned elsewhere for top-k; this is the
+    no-limit path."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_using_snowflake_spark.plans.tables import load
+
+    df = load(spark, SF_MED, "orders").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "SinglePartition" not in plan, plan

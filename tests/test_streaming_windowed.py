@@ -91,3 +91,50 @@ def test_watermarked_windows_emit_once_and_drop_late_rows(spark, tmp_path_factor
     assert mism.count() == 0, mism.collect()[:5]
     # and the stream did emit a nontrivial number of closed windows
     assert got.count() > 0
+
+
+def test_stream_static_join_enriches_microbatches(spark, tmp_path_factory):
+    """Stream-static join (streaming enrichment): a file-source event
+    stream joined per micro-batch against a static dimension. The
+    static side re-resolves each batch (so a dim refresh between
+    batches is picked up — Snowflake-stream-era semantics); with the
+    dim under the broadcast threshold the join never shuffles the
+    stream. Output must equal the batch join exactly."""
+    base = tmp_path_factory.mktemp("ss_join")
+    in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+
+    events = load(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    events.coalesce(2).write.parquet(in_dir)
+
+    dim = spark.range(0, 200).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("seg_"), F.col("id") % 5).alias("segment"),
+    )
+
+    stream = spark.readStream.schema(
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double"
+    ).parquet(in_dir)
+    q = (
+        stream.join(F.broadcast(dim), "user_id")
+        .select("event_id", "user_id", "segment")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    want = sorted(
+        tuple(r)
+        for r in events.join(dim, "user_id")
+        .select("event_id", "user_id", "segment")
+        .collect()
+    )
+    assert got == want and len(got) > 0
