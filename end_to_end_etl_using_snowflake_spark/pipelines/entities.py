@@ -55,11 +55,29 @@ class EntityPipelines:
         warehouse: Warehouse,
         landing_root: str,
         clock: Clock = _utc_now,
+        fact_mode: str = "rebuild",
     ):
+        """``fact_mode``:
+
+        - ``"rebuild"`` (reference parity): INSERT OVERWRITE the whole
+          fact from all of raw_order every cycle (order-...sql:179) —
+          O(history) per cycle.
+        - ``"incremental"`` (100 TB posture): fact partitioned by
+          order_date; a cycle recomputes ONLY the dates present in the
+          raw-stream batch and dynamic-partition-overwrites them —
+          O(touched dates), exact even when the batch *updates* an
+          existing order (the whole affected date is recomputed from
+          raw, so no delta-vs-old bookkeeping). Assumes dim key
+          mappings are stable (SCD-1 in-place updates — true here);
+          a dim key reassignment requires one full rebuild.
+        """
+        if fact_mode not in ("rebuild", "incremental"):
+            raise ValueError(f"unknown fact_mode {fact_mode!r}")
         self.spark = spark
         self.wh = warehouse
         self.landing_root = landing_root
         self.clock = clock
+        self.fact_mode = fact_mode
 
         self.stage: dict[str, ManagedTable] = {}
         self.raw: dict[str, ManagedTable] = {}
@@ -76,7 +94,12 @@ class EntityPipelines:
             )
         self.dim_customer = warehouse.table("transformed", "dim_customer", CF.DIM_CUSTOMER)
         self.dim_item = warehouse.table("transformed", "dim_item", CF.DIM_ITEM)
-        self.fact_order = warehouse.table("transformed", "fact_order", CF.FACT_ORDER)
+        self.fact_order = warehouse.table(
+            "transformed",
+            "fact_order",
+            CF.FACT_ORDER,
+            partition_by=("order_date",) if fact_mode == "incremental" else (),
+        )
 
         self.dags = {
             "customer": self._build_dag("customer", self._dim_customer_task),
@@ -260,10 +283,26 @@ class EntityPipelines:
         star join raw_order x dim_customer x dim_item(end_date IS NULL),
         3-key group, count + 7 implicit-cast SUMs, ordered by order_date.
         Reads the raw TABLE (not the stream) — the stream only triggers
-        (order-...sql:176-177) and is consumed to reset it."""
+        (order-...sql:176-177) and is consumed to reset it.
+
+        In ``fact_mode="incremental"`` the batch's distinct order_dates
+        restrict the recompute (left-semi against raw) and only those
+        partitions are rewritten — same result, O(touched dates)."""
         raw = self.raw["order"]
-        _, version = raw.changelog.stream_read("fact_tsk")
+        src, version = raw.changelog.stream_read("fact_tsk")
         ro = raw.read()
+        incremental = self.fact_mode == "incremental"
+        if incremental:
+            if src is None:
+                return
+            touched = src.select(
+                F.col("order_date").cast("date").alias("order_date")
+            ).distinct()
+            ro = ro.join(
+                F.broadcast(touched),
+                ro.order_date.cast("date") == touched.order_date,
+                "left_semi",
+            )
         dc = self.dim_customer.read().select("customer_dim_key", "customer_id")
         di = (
             self.dim_item.read()
@@ -293,12 +332,24 @@ class EntityPipelines:
         )
         agg = agg.withColumn("order_fact_key", F.lit(None).cast("long")).persist()
         try:
+            existing_max = None
+            if incremental and self.fact_order.storage.exists():
+                row = self.fact_order.read().agg(F.max("order_fact_key")).first()
+                existing_max = row[0] if row and row[0] is not None else 0
             rebuilt = M.fill_identity(
                 agg,
                 "order_fact_key",
                 order_by=["order_date", "customer_dim_key", "item_dim_key"],
+                existing_max=existing_max,
             )
-            self.fact_order.overwrite(rebuilt.select(*self.fact_order.schema.names))
+            out = rebuilt.select(*self.fact_order.schema.names)
+            if incremental and self.fact_order.storage.exists():
+                # rewrite only the touched date partitions; changelog
+                # records the rewritten groups (UPSERT granularity)
+                self.fact_order.changelog.record(out, "UPSERT")
+                self.fact_order.storage.overwrite_partitions(out)
+            else:
+                self.fact_order.overwrite(out)
         finally:
             agg.unpersist()
         raw.changelog.stream_commit("fact_tsk", version)

@@ -45,7 +45,11 @@ class ManagedTable:
     def read(self) -> DataFrame:
         if not self.storage.exists():
             return self.spark.createDataFrame([], self.schema)
-        return self.storage.read()
+        # explicit schema: skips footer inference, keeps the declared
+        # column order for partitioned layouts (partition col would
+        # otherwise sort last), and makes an empty partitioned
+        # directory (a zero-row overwrite writes no files) readable
+        return self.spark.read.schema(self.schema).parquet(self.storage.path)
 
     def append(self, df: DataFrame, action: str = "INSERT") -> int:
         self.storage.append(df)
