@@ -2056,3 +2056,223 @@ def w3_range_frame_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").over(w).alias("max_value_1h"),
         F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).over(w).alias("n_big_1h"),
     )
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({_SQL_QTY}) AS DOUBLE)   AS sum_qty,
+           CAST(SUM({_SQL_PRICE}) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({_SQL_PRICE} * (1 - {_SQL_DISC})) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({_SQL_PRICE} * (1 - {_SQL_DISC}) * (1 + {_SQL_TAX})) AS DOUBLE)
+               AS sum_charge,
+           CAST(SUM({_SQL_QTY}) AS DOUBLE)   / COUNT(1) AS avg_qty,
+           CAST(SUM({_SQL_PRICE}) AS DOUBLE) / COUNT(1) AS avg_price,
+           CAST(SUM({_SQL_DISC}) AS DOUBLE)  / COUNT(1) AS avg_disc,
+           COUNT(1) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY 1, 2
+    """,
+    doc="""TPC-H Q1 shape (pricing summary): the canonical one-pass
+    scan-heavy aggregate — a single wide partial+final hash aggregate
+    over the fact, ship-date filter pushed to the parquet scan, tiny
+    (flag, status) key space so the partial aggregate collapses nearly
+    everything map-side and the exchange ships a handful of rows per
+    partition regardless of input scale. Averages are derived
+    exact-decimal-sum / count in DOUBLE (one division on identical
+    doubles in both engines -> bit-exact), never a float AVG
+    accumulation.""",
+    tags=("composite", "tpch", "aggregate"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(1,0)")
+    n = F.count(F.lit(1))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_qty()).cast("double").alias("sum_qty"),
+            F.sum(_price()).cast("double").alias("sum_base_price"),
+            F.sum(_price() * (one - _disc())).cast("double").alias("sum_disc_price"),
+            F.sum(_price() * (one - _disc()) * (one + _tax()))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(_qty()).cast("double") / n).alias("avg_qty"),
+            (F.sum(_price()).cast("double") / n).alias("avg_price"),
+            (F.sum(_disc()).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(SUM({_SQL_PRICE} * (1 - {_SQL_DISC})) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    doc="""TPC-H Q5 shape (local supplier volume): a 6-way snowflake
+    join — fact x orders x customer x supplier x nation x region —
+    with a region filter that only becomes selective after Catalyst
+    reorders region->nation->supplier ahead of the fact join (CBO/AQE
+    join reordering showcase). region/nation broadcast explicitly
+    (5 and 25 rows at any SF); supplier is left to the planner — at
+    sf<=1 AQE broadcasts it, at 100 TB it shuffle-joins on s_suppkey.
+    The s_nationkey = c_nationkey residual makes the customer join a
+    two-predicate equi-join, still hashable on both keys.""",
+    tags=("composite", "tpch", "multiway-join"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    one = F.lit(1).cast("decimal(1,0)")
+    asia = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).filter(
+            F.col("r_name") == "ASIA"
+        )
+    )
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(lineitem, F.col("o_orderkey") == lineitem.l_orderkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
+        .join(
+            supplier,
+            (F.col("l_suppkey") == supplier.s_suppkey)
+            & (F.col("c_nationkey") == supplier.s_nationkey),
+        )
+        .join(asia, F.col("s_nationkey") == asia.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_price() * (one - _disc())).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "p9_unpivot",
+    oracle=f"""
+    WITH sums AS (
+        SELECT l_returnflag,
+               CAST(SUM({_SQL_QTY}) AS DOUBLE)   AS sum_qty,
+               CAST(SUM({_SQL_PRICE}) AS DOUBLE) AS sum_price,
+               CAST(SUM({_SQL_DISC}) AS DOUBLE)  AS sum_disc,
+               CAST(SUM({_SQL_TAX}) AS DOUBLE)   AS sum_tax
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, 'sum_qty'   AS measure, sum_qty   AS value FROM sums
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM sums
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc'  AS measure, sum_disc  AS value FROM sums
+    UNION ALL
+    SELECT l_returnflag, 'sum_tax'   AS measure, sum_tax   AS value FROM sums
+    """,
+    doc="""UNPIVOT / melt (p8_pivot's inverse): wide per-flag aggregate
+    -> long (flag, measure, value) rows via ``DataFrame.unpivot`` —
+    a single Expand node, no join or shuffle beyond the feeding
+    aggregate; the oracle states the same reshape as UNION ALL of
+    per-measure projections.""",
+    tags=("reshape", "unpivot"),
+)
+def p9_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    sums = lineitem.groupBy("l_returnflag").agg(
+        F.sum(_qty()).cast("double").alias("sum_qty"),
+        F.sum(_price()).cast("double").alias("sum_price"),
+        F.sum(_disc()).cast("double").alias("sum_disc"),
+        F.sum(_tax()).cast("double").alias("sum_tax"),
+    )
+    return sums.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc", "sum_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "w4_ntile_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4)      OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()   OVER w AS cume,
+           first_value(c_custkey) OVER w AS poorest,
+           nth_value(c_custkey, 2) OVER w AS second_poorest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="""Distribution-analytic window battery (completes w2's frame
+    battery): NTILE bucketing, PERCENT_RANK, CUME_DIST, FIRST_VALUE /
+    NTH_VALUE over a per-segment balance ranking. The ORDER BY carries
+    a unique c_custkey tiebreak, so every row is its own peer group
+    and rank-derived fractions are deterministic; percent_rank /
+    cume_dist are single divisions of identical integers in both
+    engines -> bit-exact doubles. One Exchange on c_mktsegment, one
+    sort, all five functions share it.""",
+    tags=("window", "distribution"),
+)
+def w4_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("c_custkey").over(w).alias("poorest"),
+        F.nth_value("c_custkey", 2).over(w).alias("second_poorest"),
+    )
+
+
+@register(
+    "f13_regex_funcs",
+    oracle=r"""
+    SELECT c_custkey,
+           regexp_extract(c_name, 'Customer#(\d+)', 1)            AS digits,
+           CAST(regexp_extract(c_name, '(\d+)', 1) AS BIGINT)     AS cust_num,
+           regexp_replace(c_name, '0+', '-', 'g')                 AS dashed,
+           regexp_matches(c_name, '^Customer#0*[0-9]{1,4}$')      AS small_id,
+           length(regexp_extract_all(c_name, '0'))                AS zero_count,
+           array_to_string(regexp_split_to_array(c_name, '#'), '+') AS joined
+    FROM customer
+    """,
+    doc="""Regex function battery: capture-group extract, numeric
+    extract + cast, global replace (Spark replaces all matches by
+    default; the oracle needs the explicit 'g' flag — semantics
+    aligned), anchored match test, match counting, split + re-join
+    (joined as a string so parity never compares array encodings).
+    All JVM built-ins in one codegen'd projection.""",
+    tags=("functions", "regex"),
+)
+def f13_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).alias("digits"),
+        F.regexp_extract("c_name", r"(\d+)", 1).cast("long").alias("cust_num"),
+        F.regexp_replace("c_name", r"0+", "-").alias("dashed"),
+        F.col("c_name").rlike(r"^Customer#0*[0-9]{1,4}$").alias("small_id"),
+        F.regexp_count(F.col("c_name"), F.lit("0")).alias("zero_count"),
+        F.array_join(F.split("c_name", "#"), "+").alias("joined"),
+    )
