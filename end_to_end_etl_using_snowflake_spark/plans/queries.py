@@ -2276,3 +2276,74 @@ def f13_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("c_name"), F.lit("0")).alias("zero_count"),
         F.array_join(F.split("c_name", "#"), "+").alias("joined"),
     )
+
+
+@register(
+    "f14_explode_generator",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(g.range AS BIGINT) - 1 AS pos,
+           CAST(g.range AS BIGINT)     AS val
+    FROM lineitem l
+    JOIN range(1, 8) g ON g.range <= l.l_linenumber
+    WHERE l.l_orderkey % 10 = 0
+    """,
+    doc="""Generator / LATERAL VIEW surface (Snowflake FLATTEN analog):
+    ``posexplode`` over an in-row ``sequence(1, l_linenumber)`` emits
+    one row per element with its position. A generator is a narrow
+    per-row expansion — no shuffle, no join; the relational oracle
+    states the same rows as a bounded range join. Filter keeps the
+    compare set small; the operator itself is O(output).""",
+    tags=("generator", "explode"),
+)
+def f14_explode_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_orderkey") % 10 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.posexplode(F.sequence(F.lit(1), F.col("l_linenumber"))).alias(
+                "pos", "val"
+            ),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("val").cast("long").alias("val"),
+        )
+    )
+
+
+_SQL2_LATERAL = """
+SELECT n.n_name, top.c_name, top.c_acctbal
+FROM nation n CROSS JOIN LATERAL (
+    SELECT c_name, c_acctbal
+    FROM customer
+    WHERE c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 2
+) AS top
+"""
+
+
+@register(
+    "sql2_lateral_topk",
+    oracle=_SQL2_LATERAL,
+    doc="""Correlated LATERAL subquery (top-2 customers per nation by
+    balance), same ANSI text through ``spark.sql`` and the oracle —
+    the per-group-top-k idiom stated as a lateral join instead of a
+    window. Catalyst decorrelates it to row_number-over-partition +
+    filter + hash join — no per-row nested loop at any scale (it does
+    conservatively keep the subquery's ORDER BY as a global sort
+    before the window; the pure-window form o2 skips that, which is
+    the scale tiebreak between the two spellings). Unique c_custkey
+    tiebreak keeps the LIMIT edge deterministic.""",
+    tags=("sql", "lateral", "topk"),
+)
+def sql2_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL2_LATERAL)
