@@ -22,7 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "flagship_fact_rebuild",   # star join + 3-key agg (fact rebuild, M3)
-    "a1_groupby_agg",          # TPC-H Q1 shape
+    "a1_groupby_agg",          # multi-key hash aggregate (A1-A3)
+    "q1_pricing_summary",      # TPC-H Q1: scan-heavy wide aggregate
+    "q5_local_supplier_volume",# TPC-H Q5: 6-way snowflake join
     "j1_inner_equi_broadcast", # broadcast dim join
     "j6_salted_skew_join",     # salted skew join (scale path)
     "w1_dedup_latest_per_key", # window dedup (W1)
