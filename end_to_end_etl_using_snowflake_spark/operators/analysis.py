@@ -5,7 +5,7 @@ scoring, language ID, fingerprinting — all JVM-side expressions
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
@@ -228,4 +228,97 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("id", "rank", "term", "tf", "df", "dl", "bm25")
+    )
+
+
+def vocab_topk(df: DataFrame, id_col: str, text_col: str, k: int = 50) -> DataFrame:
+    """Corpus vocabulary construction: global token frequency table,
+    top-k by occurrence count -> (token, n_occurrences, n_docs, rank).
+
+    The scale-critical choice is HOW the top-k is taken: ``orderBy +
+    limit`` compiles to TakeOrderedAndProject (per-partition top-k,
+    then a k-row merge) — never a global sort, never a single-partition
+    window over the full vocabulary. The rank window runs AFTER the
+    limit, over k rows, so its single partition is k-sized by
+    construction. Ties break (count desc, token asc) — deterministic.
+
+    Shuffles: one on token for the count (map-side partial combine
+    collapses the heavy hitters), then the k-row merge. Vocabulary
+    cardinality never hits the driver.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(TXT.tokens(F.col(text_col))).alias("token"),
+    )
+    agg = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("id").alias("n_docs"),
+    )
+    top = agg.orderBy(F.col("n_occurrences").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "token", "n_occurrences", "n_docs", "rank"
+    )
+
+
+def bigram_assoc_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 50, min_count: int = 5
+) -> DataFrame:
+    """Collocation mining: top-k token bigrams by a PMI-style
+    association ratio lift = p(xy) / (p(x) p(y)) = (c_xy * N^2) /
+    (M * c_x * c_y), where N = total tokens, M = total bigrams.
+
+    The log of the standard PMI is dropped (libm ``ln`` is not
+    bit-stable across engines; log is monotone, so ranking is
+    identical) and the ratio is one IEEE division of two exact BIGINT
+    products — bit-exact in any engine. ``min_count`` suppresses the
+    degenerate rare-bigram lift spike, as in standard collocation
+    practice. BIGINT products stay exact below ~9e18: at 1e12 corpus
+    tokens swap the numerator to DOUBLE before multiplying (ranking
+    is unchanged — documented, not silently done here).
+
+    Plan: bigrams come from an in-row zip of the token array with its
+    own tail (arrays_zip over slice — no self-join, no shuffle to form
+    pairs); one shuffle counts bigrams, one counts unigrams, two
+    broadcast-friendly joins attach c_x / c_y, TakeOrderedAndProject
+    takes the k rows.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), TXT.tokens(F.col(text_col)).alias("ts")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                F.slice(F.col("ts"), 2, F.greatest(F.size("ts") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni = (
+        df.select(F.explode(TXT.tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    n_tok = uni.agg(F.sum("c").alias("n_tokens"))
+    m_bi = bi.agg(F.sum("c_xy").alias("m_bigrams"))
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c_y"))
+    scored = (
+        bi.filter(F.col("c_xy") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(m_bi))
+        .withColumn(
+            "lift",
+            (F.col("c_xy") * F.col("n_tokens") * F.col("n_tokens")).cast("double")
+            / (F.col("m_bigrams") * F.col("c_x") * F.col("c_y")).cast("double"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+        .select("w1", "w2", "c_xy", "c_x", "c_y", "lift")
     )

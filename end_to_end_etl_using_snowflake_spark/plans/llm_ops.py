@@ -1293,3 +1293,70 @@ def d9_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
     )
+
+
+@register(
+    "t8_vocab_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id AS id, unnest({SQL_TOKENS.format(x='text')}) AS token
+        FROM documents
+    ),
+    agg AS (
+        SELECT token, count(*) AS n_occurrences, count(DISTINCT id) AS n_docs
+        FROM toks GROUP BY token
+    ),
+    top AS (
+        SELECT * FROM agg ORDER BY n_occurrences DESC, token ASC LIMIT 50
+    )
+    SELECT token, n_occurrences, n_docs,
+           row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS "rank"
+    FROM top
+    """,
+    doc="""Corpus vocabulary: global token-frequency table, top-50 by
+    occurrence count. orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition top-k + k-row merge, never a global sort); the rank
+    window runs after the limit, over k rows only.""",
+    tags=("text", "vocab"),
+)
+def t8_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.vocab_topk(load(spark, sf_dir, "documents"), "doc_id", "text", k=50)
+
+
+@register(
+    "t9_bigram_assoc",
+    oracle=f"""
+    WITH toks AS (SELECT {SQL_TOKENS.format(x='text')} AS w FROM documents),
+    uni AS (SELECT unnest(w) AS token FROM toks),
+    uc AS (SELECT token, count(*) AS c FROM uni GROUP BY token),
+    -- parallel unnests zip positionally in DuckDB: bigram (w[i], w[i+1])
+    bg AS (
+        SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+        FROM toks
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+    n AS (SELECT sum(c)::BIGINT AS n_tokens FROM uc),
+    m AS (SELECT sum(c_xy)::BIGINT AS m_bigrams FROM bc)
+    SELECT bc.w1, bc.w2, bc.c_xy, cx.c AS c_x, cy.c AS c_y,
+           (bc.c_xy * n.n_tokens * n.n_tokens)::DOUBLE
+           / (m.m_bigrams * cx.c * cy.c)::DOUBLE AS lift
+    FROM bc
+    JOIN uc cx ON cx.token = bc.w1
+    JOIN uc cy ON cy.token = bc.w2
+    CROSS JOIN n CROSS JOIN m
+    WHERE bc.c_xy >= 5
+    ORDER BY lift DESC, bc.w1 ASC, bc.w2 ASC
+    LIMIT 50
+    """,
+    doc="""Collocation mining: top-50 bigrams by PMI-style lift
+    p(xy)/(p(x)p(y)) as one exact-BIGINT-product IEEE division (log
+    dropped — monotone, so ranking is unchanged and parity is
+    bit-exact). Bigrams form in-row (zip of the token array with its
+    tail — no self-join); two count shuffles + broadcastable unigram
+    joins + TakeOrderedAndProject.""",
+    tags=("text", "collocation"),
+)
+def t9_bigram_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.bigram_assoc_topk(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=50, min_count=5
+    )
