@@ -231,6 +231,49 @@ def bm25_topk(
     )
 
 
+def salted_topn_per_key(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    id_col: str,
+    n: int = 20,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-safe per-key top-n (the "per-domain quality cap" of web-corpus
+    curation): keep the n highest-``score_col`` rows per ``key_col``,
+    deterministic tie-break on ``id_col``.
+
+    A single ``row_number() over (partition by key)`` ships EVERY row of
+    a hot key to one task — the classic window-skew failure at 100 TB
+    (one web domain can be 1% of the corpus). Two-stage instead:
+
+    1. local pass: window over ``(key, salt)`` with ``salt =
+       pmod(xxhash64(id), S)`` — a hot key fans out over S tasks; keep
+       each salt's local top-n (any row outside its salt-local top-n
+       cannot be in the key's global top-n: the n rows above it in the
+       same salt already beat it).
+    2. final pass: ordinary per-key window over the survivors — at most
+       ``S*n`` rows per key, so the hot-key task is bounded by
+       construction, not by data.
+
+    Exactly equivalent to the single-window form (returned ``rank`` is
+    the global per-key rank), so the oracle is a plain PARTITION BY
+    window.
+    """
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    local_w = Window.partitionBy(F.col(key_col), salt).orderBy(*order)
+    pruned = (
+        df.withColumn("__lr", F.row_number().over(local_w))
+        .filter(F.col("__lr") <= n)
+        .drop("__lr")
+    )
+    final_w = Window.partitionBy(key_col).orderBy(*order)
+    return pruned.withColumn("rank", F.row_number().over(final_w)).filter(
+        F.col("rank") <= n
+    )
+
+
 def vocab_topk(df: DataFrame, id_col: str, text_col: str, k: int = 50) -> DataFrame:
     """Corpus vocabulary construction: global token frequency table,
     top-k by occurrence count -> (token, n_occurrences, n_docs, rank).

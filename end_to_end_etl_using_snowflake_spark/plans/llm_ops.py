@@ -1296,6 +1296,50 @@ def d9_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x10_source_quality_cap",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id AS id, source,
+               len(list_filter({SQL_TOKENS.format(x='text')},
+                   t -> list_contains(['the','a','and','of','to','in','is','for'], t)))::DOUBLE
+               / len({SQL_TOKENS.format(x='text')})::DOUBLE AS quality
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, id, quality,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY quality DESC, id ASC) AS "rank"
+        FROM scored
+    )
+    SELECT source, id, quality, "rank" FROM ranked WHERE "rank" <= 20
+    """,
+    doc="""Per-source quality cap (web-corpus curation: bound any one
+    domain's contribution): top-20 docs per source by stopword-ratio
+    quality. Runs the skew-safe two-stage salted top-n — a hot source
+    fans out over 8 salt buckets locally, the final per-key window sees
+    at most 8*20 rows per key. The oracle is the plain single-window
+    form; results are identical by construction.""",
+    tags=("text", "curation", "skew"),
+)
+def x10_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    from ..functions import text as TXT
+
+    toks = TXT.tokens(F.col("text"))
+    scored = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("source"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin(*A.STOPWORDS))).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("quality"),
+    )
+    return A.salted_topn_per_key(scored, "source", "quality", "id", n=20).select(
+        "source", "id", "quality", "rank"
+    )
+
+
+@register(
     "t8_vocab_topk",
     oracle=f"""
     WITH toks AS (

@@ -160,3 +160,25 @@ def test_quantize_int8_codes_bounded_and_invertible(spark):
         | (F.col("max_abs_err") > 0.5 / F.col("scale") + 1e-12)
     )
     assert bad.count() == 0
+
+
+def test_salted_topn_equals_single_window(spark):
+    """The two-stage salted per-key top-n must equal the plain
+    single-window form on a skewed input (one key holds half the rows),
+    including exact ranks under score ties."""
+    from pyspark.sql import Window
+
+    from end_to_end_etl_using_snowflake_spark.operators.analysis import (
+        salted_topn_per_key,
+    )
+
+    rows = [("hot", i, float(i % 7)) for i in range(500)] + [
+        (f"k{i % 23}", 1000 + i, float(i % 5)) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "key string, id long, score double")
+    got = salted_topn_per_key(df, "key", "score", "id", n=10, salt_buckets=4)
+
+    w = Window.partitionBy("key").orderBy(F.col("score").desc(), F.col("id").asc())
+    want = df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
