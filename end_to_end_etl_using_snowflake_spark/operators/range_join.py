@@ -43,12 +43,19 @@ def range_join(
     ``how="left"`` keeps unmatched points (interval columns NULL).
     """
     b = F.lit(bucket_seconds).cast("long")
-    p = points.withColumn("__bucket", F.floor(F.col(ts_col).cast("double") / b))
+
+    def _epoch(c: str):
+        # NTZ-safe epoch seconds: TIMESTAMP_NTZ cannot cast straight to
+        # double; route through TIMESTAMP (identity under a UTC session,
+        # which both the engine and the driver run)
+        return F.col(c).cast("timestamp").cast("double")
+
+    p = points.withColumn("__bucket", F.floor(_epoch(ts_col) / b))
     i = intervals.withColumn(
         "__buckets",
         F.sequence(
-            F.floor(F.col(start_col).cast("double") / b),
-            F.floor(F.col(end_col).cast("double") / b),
+            F.floor(_epoch(start_col) / b),
+            F.floor(_epoch(end_col) / b),
         ),
     ).withColumn("__bucket", F.explode(F.col("__buckets"))).drop("__buckets")
     residual = (F.col(start_col) <= F.col(ts_col)) & (F.col(ts_col) < F.col(end_col))

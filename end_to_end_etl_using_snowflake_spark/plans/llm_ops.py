@@ -850,10 +850,11 @@ def x5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals = events.filter(F.col("event_id") % 500 == 0).select(
         F.col("event_id").alias("interval_id"),
         F.col("ts").alias("start_ts"),
-        (
-            F.timestamp_seconds(
-                F.col("ts").cast("double") + ((F.col("event_id") % 7) + 1) * 3600
-            )
+        # interval arithmetic keeps the type NTZ-safe and tz-free (a
+        # double round-trip is illegal on TIMESTAMP_NTZ inputs) and
+        # mirrors the oracle's `ts + INTERVAL 1 HOUR * ((id % 7) + 1)`
+        F.expr(
+            "ts + make_dt_interval(0, CAST((event_id % 7) + 1 AS INT), 0, 0)"
         ).alias("end_ts"),
     )
     return range_join(
@@ -1003,9 +1004,10 @@ def x6_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     prefixed AS (
         SELECT doc_id, n_tokens,
-               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               -- BIGINT: DuckDB SUM over ints is HUGEINT -> pandas float64
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS tokens_before
+                   AS BIGINT) AS tokens_before
         FROM counted
     )
     SELECT doc_id, n_tokens, tokens_before,

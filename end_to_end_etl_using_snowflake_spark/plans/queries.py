@@ -825,9 +825,12 @@ def e1_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, event_id,
-           SUM(new_session) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+           -- BIGINT: DuckDB SUM over ints yields HUGEINT, which lands in
+           -- pandas as float64 and breaks the driver's value hash
+           CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
     FROM flagged
     """,
     doc="""Gap-based sessionization (30-min inactivity) via LAG + running
@@ -838,14 +841,14 @@ def e1_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # sub-second precision matters: cast to double seconds (not long,
-    # which truncates and would disagree with the oracle's exact
-    # interval comparison on e.g. a 1800.5 s gap)
+    # interval arithmetic, not a double cast: exact at microsecond
+    # precision and legal on TIMESTAMP_NTZ (the driver's parquet type),
+    # and it mirrors the oracle's `ts - LAG(ts) > INTERVAL 30 MINUTE`
+    prev = F.lag(F.col("ts")).over(w)
     flagged = load(spark, sf_dir, "events").withColumn(
         "new_session",
         F.when(
-            (F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double") > 1800.0)
-            | F.lag(F.col("ts")).over(w).isNull(),
+            (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")) | prev.isNull(),
             1,
         ).otherwise(0),
     )
@@ -868,9 +871,12 @@ def e2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, event_id,
-           SUM(new_session) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+           -- BIGINT: DuckDB SUM over ints yields HUGEINT, which lands in
+           -- pandas as float64 and breaks the driver's value hash
+           CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
     FROM flagged
     """,
     doc="""Custom stateful STREAMING operator run for real: Structured
@@ -1367,11 +1373,16 @@ def m8_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e4_sliding_window_agg",
     oracle="""
     WITH assigned AS (
-        SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800) AS window_start,
+        -- CAST to naive TIMESTAMP: DuckDB to_timestamp returns
+        -- TIMESTAMPTZ, whose tz-aware pandas dtype fails the driver's
+        -- schema check against Spark's naive window bounds
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP)
+                   AS window_start,
                event_type, value
         FROM events
         UNION ALL
-        SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800) - INTERVAL 30 MINUTE,
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP)
+                   - INTERVAL 30 MINUTE,
                event_type, value
         FROM events
     )
@@ -1678,28 +1689,51 @@ def f9_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f10_try_cast",
     oracle="""
     SELECT o_orderkey,
-           TRY_CAST(o_orderstatus AS INTEGER)        AS status_as_int,
-           TRY_CAST(o_orderpriority AS DATE)         AS prio_as_date,
-           TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2)) AS price_dec,
-           TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit
+           -- mixed valid/invalid input: NULL on failure, value on success
+           TRY_CAST(CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus
+                         ELSE CAST(o_orderkey AS VARCHAR) END AS INTEGER)
+               AS status_as_int,
+           -- date result carried as VARCHAR (nullable DATE columns
+           -- convert to pandas NaT on one side and None on the other)
+           CAST(TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'not-a-date'
+                              ELSE strftime(o_orderdate, '%Y-%m-%d') END
+                         AS DATE) AS VARCHAR) AS date_or_null,
+           CAST(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))
+                AS DOUBLE) AS price_dec,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+           CAST(TRY_CAST(o_orderstatus AS INTEGER) AS VARCHAR) AS always_null
     FROM orders
     """,
     doc="""Safe-cast family (Snowflake TRY_CAST analog): malformed
     input -> NULL instead of an ANSI error, per value. The engine
     keeps ANSI mode ON (failed plain casts raise, like Snowflake —
     f4); try_cast is the explicit opt-out for dirty columns, which is
-    what a 100 TB ingest of web data actually needs.""",
+    what a 100 TB ingest of web data actually needs. Output dtypes are
+    driver-safe: nullable ints stay mixed (pandas float64 both sides),
+    nullable dates/all-null columns travel as VARCHAR, decimal ->
+    DOUBLE.""",
     tags=("functions", "cast"),
 )
 def f10_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "orders").select(
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
         "o_orderkey",
-        F.col("o_orderstatus").try_cast("int").alias("status_as_int"),
-        F.col("o_orderpriority").try_cast("date").alias("prio_as_date"),
-        F.col("o_totalprice").cast("string").try_cast("decimal(18,2)").alias(
-            "price_dec"
-        ),
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_orderstatus"))
+        .otherwise(F.col("o_orderkey").cast("string"))
+        .try_cast("int")
+        .alias("status_as_int"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("not-a-date"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .try_cast("date")
+        .cast("string")
+        .alias("date_or_null"),
+        F.col("o_totalprice")
+        .cast("string")
+        .try_cast("decimal(18,2)")
+        .cast("double")
+        .alias("price_dec"),
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+        F.col("o_orderstatus").try_cast("int").cast("string").alias("always_null"),
     )
 
 
@@ -1743,8 +1777,10 @@ def sql1_text_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            list_contains(xs, 7)                    AS has_seven,
            list_position(xs, 7)                    AS seven_at,
-           list_sort(xs)                           AS sorted_xs,
-           list_sort(list_distinct(xs))            AS uniq_xs,
+           -- arrays leave the engine as canonical strings: the driver's
+           -- pandas hash cannot factorize raw list cells
+           array_to_string(list_sort(xs), ',')             AS sorted_xs,
+           array_to_string(list_sort(list_distinct(xs)), ',') AS uniq_xs,
            len(xs)                                 AS n,
            xs[1]                                   AS first_x,
            list_reduce(xs, (a, b) -> a + b)        AS total
@@ -1767,8 +1803,8 @@ def f11_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.array_contains("xs", 7).alias("has_seven"),
         F.array_position("xs", 7).alias("seven_at"),
-        F.sort_array("xs").alias("sorted_xs"),
-        F.sort_array(F.array_distinct("xs")).alias("uniq_xs"),
+        F.concat_ws(",", F.sort_array("xs")).alias("sorted_xs"),
+        F.concat_ws(",", F.sort_array(F.array_distinct("xs"))).alias("uniq_xs"),
         F.size("xs").alias("n"),
         F.element_at("xs", 1).alias("first_x"),
         F.aggregate(
@@ -2026,7 +2062,9 @@ def dq1_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(1) OVER w AS n_1h,
            MIN(value) OVER w AS min_value_1h,
            MAX(value) OVER w AS max_value_1h,
-           SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) OVER w AS n_big_1h
+           -- BIGINT: DuckDB SUM over ints is HUGEINT -> pandas float64
+           CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) OVER w AS BIGINT)
+               AS n_big_1h
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -2045,7 +2083,7 @@ def w3_range_frame_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3_600_000_000, 0)
     )
     return events.select(

@@ -36,11 +36,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS) -> read as long nanos
-        # (spark.sql.legacy.parquet.nanosAsLong) -> truncate to micros,
-        # matching DuckDB's micro-second TIMESTAMP semantics. Integer
-        # `div` — double division would lose precision on e18 nanos.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # normalize ts across testdata generations: TIMESTAMP(NANOS)
+        # parquet arrives as long nanos (nanosAsLong) and is truncated
+        # to micros with integer `div` (double division would lose
+        # precision on e18 nanos); TIMESTAMP(MICROS) parquet arrives as
+        # TIMESTAMP_NTZ and is kept as-is — both match DuckDB's naive
+        # micro-second TIMESTAMP semantics.
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
     return df
 
 

@@ -328,3 +328,45 @@ def test_orc_file_format_pipe(spark, tmp_path):
     assert pipe.refresh() == 0  # manifest: exactly once
     rows = {(r.customer_id, r.salutation) for r in stage.read().collect()}
     assert rows == {("c1", "Mr."), ("c2", None)}
+
+
+def test_load_events_ts_normalization_both_generations(spark, tmp_path):
+    """`tables.load` must read the events table across testdata
+    generations: parquet TIMESTAMP(MICROS) (arrives as TIMESTAMP_NTZ)
+    and TIMESTAMP(NANOS) (arrives as long nanos under nanosAsLong) both
+    come out as TIMESTAMP_NTZ at microsecond precision."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from end_to_end_etl_using_snowflake_spark.plans.tables import load
+
+    micros_dir = tmp_path / "gen_micros"
+    nanos_dir = tmp_path / "gen_nanos"
+    micros_dir.mkdir()
+    nanos_dir.mkdir()
+    base = 1_600_000_000_000_000  # epoch micros
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([7, 8], pa.int64()),
+        "event_type": pa.array(["a", "b"]),
+        "value": pa.array([1.0, 2.0]),
+        "props": pa.array(["{}", "{}"]),
+    }
+    pq.write_table(
+        pa.table({**cols, "ts": pa.array([base, base + 1], pa.timestamp("us"))}),
+        micros_dir / "events.parquet",
+    )
+    pq.write_table(
+        pa.table({**cols, "ts": pa.array([base * 1000, (base + 1) * 1000 + 999],
+                                         pa.timestamp("ns"))}),
+        nanos_dir / "events.parquet",
+    )
+
+    out_us = load(spark, str(micros_dir), "events")
+    out_ns = load(spark, str(nanos_dir), "events")
+    assert dict(out_us.dtypes)["ts"] == "timestamp_ntz"
+    assert dict(out_ns.dtypes)["ts"] == "timestamp_ntz"
+    vals_us = sorted(r.ts for r in out_us.select("ts").collect())
+    vals_ns = sorted(r.ts for r in out_ns.select("ts").collect())
+    # nanos truncate to the same micros
+    assert vals_us == vals_ns

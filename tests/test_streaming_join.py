@@ -40,11 +40,11 @@ def test_interval_join_stream_matches_batch(spark, tmp_path_factory):
     # two arrival batches per side, split on event time so some pairs
     # straddle the boundary (view lands in b1, its click in b2)
     split = events.selectExpr(
-        "percentile_approx(cast(ts as double), 0.5)"
+        "percentile_approx(cast(cast(ts as timestamp) as double), 0.5)"
     ).collect()[0][0]
     for df, d in ((views, views_dir), (clicks, clicks_dir)):
         os.makedirs(d)
-        df.filter(F.col("ts").cast("double") <= split).coalesce(1).write.parquet(
+        df.filter(F.col("ts").cast("timestamp").cast("double") <= split).coalesce(1).write.parquet(
             d + "/b1"
         )
 
@@ -69,7 +69,7 @@ def test_interval_join_stream_matches_batch(spark, tmp_path_factory):
 
     run()  # batch 1 only
     for df, d in ((views, views_dir), (clicks, clicks_dir)):
-        df.filter(F.col("ts").cast("double") > split).coalesce(1).write.parquet(
+        df.filter(F.col("ts").cast("timestamp").cast("double") > split).coalesce(1).write.parquet(
             d + "/b2"
         )
     run()  # batch 2: must also emit cross-batch pairs from retained state
@@ -82,6 +82,6 @@ def test_interval_join_stream_matches_batch(spark, tmp_path_factory):
     assert want.count() > 0  # non-vacuous: the window actually matches pairs
     # and some matched pairs straddled the arrival boundary
     straddle = want.filter(
-        (F.col("l_ts").cast("double") <= split) & (F.col("r_ts").cast("double") > split)
+        (F.col("l_ts").cast("timestamp").cast("double") <= split) & (F.col("r_ts").cast("timestamp").cast("double") > split)
     ).count()
     assert straddle > 0
