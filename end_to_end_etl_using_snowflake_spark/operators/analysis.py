@@ -298,6 +298,8 @@ def vocab_topk(df: DataFrame, id_col: str, text_col: str, k: int = 50) -> DataFr
         F.countDistinct("id").alias("n_docs"),
     )
     top = agg.orderBy(F.col("n_occurrences").desc(), F.col("token").asc()).limit(k)
+    # global window is safe here: it ranks the k surviving rows only
+    # (TakeOrderedAndProject upstream), never the full vocabulary
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
     return top.withColumn("rank", F.row_number().over(w)).select(
         "token", "n_occurrences", "n_docs", "rank"

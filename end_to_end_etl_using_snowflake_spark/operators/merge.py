@@ -317,3 +317,55 @@ def apply_changes(
     touched = target.join(survivors.select(*keys), on=list(keys), how="left_semi")
     applied = merge_dataframes(touched, survivors, keys, **kwargs)
     return kept.unionByName(applied.select(*target.columns))
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_by: Sequence[str],
+    val_col: str,
+    out_col: str,
+    exclusive: bool = True,
+) -> DataFrame:
+    """Exact running sum of ``val_col`` in global ``order_by`` order,
+    without a global single-partition window.
+
+    Two-stage prefix sum: range-repartition on the order key (order-
+    preserving across partition ids), per-partition running sum, then a
+    cumulative offset of the per-partition totals joined back broadcast.
+    The offset table is one row per partition, so the only serial step
+    is O(num_partitions). The result is independent of where the range
+    boundaries fall — boundaries change only which partial each row's
+    sum is split into, not the total — so repartitionByRange's sampled
+    bounds are safe here (unlike fill_identity, where bucket assignment
+    feeds the output values and a pure hash is required).
+
+    ``exclusive=True`` sums strictly-preceding rows (SQL frame
+    ``ROWS UNBOUNDED PRECEDING AND 1 PRECEDING``); ``order_by`` must be
+    a unique key for a deterministic result.
+    """
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    cols = [F.col(c) for c in order_by]
+    part = df.repartitionByRange(n, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    upper = -1 if exclusive else 0
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    within = part.withColumn(
+        "__within", F.coalesce(F.sum(F.col(val_col)).over(w_in), F.lit(0))
+    )
+    totals = part.groupBy("__pid").agg(F.sum(F.col(val_col)).alias("__tot"))
+    # O(num_partitions) rows: the single-partition window is bounded
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        within.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__within") + F.col("__off")).cast("long"))
+        .drop("__pid", "__within", "__off")
+    )

@@ -256,6 +256,8 @@ def kmeans_lloyd(
         emb.select(F.col(id_col).alias("id"), V.to_double(F.col(vec_col)).alias("v"))
         .withColumn("n", V.norm(F.col("v")))
     )
+    # global window is safe here: it runs AFTER limit(n_cells), over
+    # exactly n_cells rows (<=256), never over the corpus
     w_seed = Window.orderBy(F.col("id").asc())
     cent = (
         e.orderBy(F.col("id").asc())

@@ -1026,13 +1026,16 @@ def x6_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x7_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as TXT
 
+    from ..operators.merge import global_prefix_sum
+
     docs = load(spark, sf_dir, "documents")
     counted = docs.select(
         "doc_id", F.size(TXT.tokens(F.col("text"))).alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    prefixed = counted.withColumn(
-        "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    # distributed two-stage prefix sum — a bare Window.orderBy would
+    # drag the whole corpus into ONE partition (fatal at 100 TB)
+    prefixed = global_prefix_sum(
+        counted, ["doc_id"], "n_tokens", "tokens_before", exclusive=True
     )
     return prefixed.select(
         "doc_id",

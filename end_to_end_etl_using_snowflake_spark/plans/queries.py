@@ -2385,3 +2385,94 @@ def sql2_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL2_LATERAL)
+
+
+_Q4_TEXT = """
+    SELECT o.o_orderpriority,
+           COUNT(1) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "q4_order_priority_exists",
+    oracle=_Q4_TEXT,
+    doc="""TPC-H Q4 shape (order priority checking, adapted to this
+    schema: the returned-lineitem flag stands in for
+    commitdate < receiptdate): a correlated EXISTS over the fact table
+    gating a date-filtered aggregate. Catalyst decorrelates the
+    subquery to a left-semi join against distinct qualifying order
+    keys — no per-row probe at any scale — and the identical ANSI text
+    runs on the oracle.""",
+    tags=("composite", "tpch", "subquery"),
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q4_TEXT)
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM({_SQL_PRICE} * (1 - {_SQL_DISC})) AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey  = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    GROUP BY 1, 2, 3
+    """,
+    doc="""TPC-H Q7 shape (volume shipping): the fact joined through
+    both its supplier-side and customer-side dimension chains to a
+    SELF-JOINED nation table (n1 supplier nation, n2 customer nation)
+    with a symmetric two-nation disjunction. The nation pair predicate
+    is only applicable AFTER both chains resolve, so join order
+    matters: nation broadcasts twice (25 rows), supplier/customer
+    broadcast at test SF via AQE, and the fact never shuffles. Revenue
+    decimal-exact then DOUBLE; year as BIGINT for dtype parity.""",
+    tags=("composite", "tpch", "self-join"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    one = F.lit(1).cast("decimal(1,0)")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(_price() * (one - _disc())).cast("double").alias("revenue"))
+    )

@@ -182,3 +182,34 @@ def test_salted_topn_equals_single_window(spark):
     want = df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
 
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_global_prefix_sum_matches_single_window(spark):
+    """Distributed two-stage prefix sum == the naive global-window
+    running sum, on a multi-partition skewed input (the operator must
+    not depend on where repartitionByRange draws its bounds)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from end_to_end_etl_using_snowflake_spark.operators.merge import (
+        global_prefix_sum,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(0, 100)) for i in range(5000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, v long").repartition(16)
+
+    got = {
+        (r.k, r.run)
+        for r in global_prefix_sum(df, ["k"], "v", "run", exclusive=True).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        (r.k, r.run)
+        for r in df.withColumn(
+            "run", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("long")
+        ).collect()
+    }
+    assert got == want
