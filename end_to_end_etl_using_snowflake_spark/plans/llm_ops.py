@@ -1409,3 +1409,69 @@ def t9_bigram_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.bigram_assoc_topk(
         load(spark, sf_dir, "documents"), "doc_id", "text", k=50, min_count=5
     )
+
+
+@register(
+    "x12_similar_doc_retrieval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt({sql_dot('v', 'v')}) AS nrm FROM e),
+    q AS (SELECT * FROM n WHERE vec_id < 50),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {sql_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS cos_sim
+        FROM n c JOIN q ON q.vec_id != c.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT r.query_id, r.rn AS "rank", r.neighbor_id, r.cos_sim,
+           dq.source AS query_source,
+           dn.source AS neighbor_source,
+           dn.lang   AS neighbor_lang,
+           dq.source = dn.source AS same_source
+    FROM ranked r
+    JOIN documents dq ON dq.doc_id = r.query_id
+    JOIN documents dn ON dn.doc_id = r.neighbor_id
+    WHERE r.rn <= 3
+    """,
+    doc="""Cross-modal retrieval: for each query document, its top-3
+    nearest documents by embedding cosine (exact, self excluded), with
+    text-side metadata joined back for BOTH endpoints and a
+    same-source flag — the join shape of retrieval-augmented data
+    curation (find near-neighbor training docs, then reason about
+    their provenance). The doc_id = vec_id identity join broadcasts
+    the small metadata projection; at 100 TB the ANN stage swaps to
+    ivf_topk/hyperplane_lsh_topk with the same downstream join.""",
+    tags=("similarity", "multimodal", "join"),
+)
+def x12_similar_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    topk = S.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 50), "vec_id", "embedding", k=3
+    )
+    dq = docs.select(
+        F.col("doc_id").alias("query_id"), F.col("source").alias("query_source")
+    )
+    dn = docs.select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("source").alias("neighbor_source"),
+        F.col("lang").alias("neighbor_lang"),
+    )
+    return (
+        topk.join(F.broadcast(dq), "query_id")
+        .join(F.broadcast(dn), "neighbor_id")
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "cos_sim",
+            "query_source",
+            "neighbor_source",
+            "neighbor_lang",
+            (F.col("query_source") == F.col("neighbor_source")).alias("same_source"),
+        )
+    )

@@ -2476,3 +2476,46 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(_price() * (one - _disc())).cast("double").alias("revenue"))
     )
+
+
+# note: (l_orderkey, l_linenumber) is NOT unique in the synthetic
+# lineitem; every order-sensitive window extends the sort to the
+# unique total order (+ l_partkey, l_suppkey) for determinism
+_SQL3_TEXT = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER cum AS DOUBLE)
+               AS running_qty,
+           RANK() OVER (PARTITION BY l_returnflag
+                        ORDER BY l_extendedprice DESC, l_orderkey,
+                                 l_linenumber, l_partkey, l_suppkey)
+               AS price_rank,
+           LAG(l_linestatus) OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey, l_suppkey)
+               AS prev_status,
+           NTILE(4) OVER (PARTITION BY l_returnflag
+                          ORDER BY l_orderkey, l_linenumber,
+                                   l_partkey, l_suppkey) AS quartile
+    FROM lineitem
+    WINDOW cum AS (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_suppkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "sql3_window_text",
+    oracle=_SQL3_TEXT,
+    doc="""Analytic-window SQL through the raw text surface: one ANSI
+    string with a named WINDOW clause, a decimal-exact running sum,
+    RANK, LAG and NTILE runs UNCHANGED through ``spark.sql`` and the
+    oracle (w2 proves the same battery via the DataFrame API; this
+    proves the text dialect). Catalyst collapses the two same-key
+    window specs into one sort; the rank/ntile specs share the
+    l_returnflag exchange.""",
+    tags=("sql", "window"),
+)
+def sql3_window_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL3_TEXT)

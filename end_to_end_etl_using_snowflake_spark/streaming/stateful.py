@@ -108,3 +108,31 @@ def windowed_counts_stream(
             "total_value",
         )
     )
+
+
+def dedup_within_watermark_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication bounded by a watermark: the first
+    row per key passes, later duplicates arriving within ``delay`` of
+    the max seen event time are dropped — across micro-batch boundaries,
+    from checkpointed state.
+
+    ``dropDuplicatesWithinWatermark`` is the scale-correct streaming
+    dedup: plain ``dropDuplicates`` on a stream keeps EVERY key ever
+    seen in the state store (unbounded growth — fatal on a 100 TB
+    ingest), while the watermark bound lets the store evict keys older
+    than the delay, capping state at (keys per watermark window). The
+    trade is explicit: a duplicate arriving later than ``delay`` after
+    the original re-emits; size the delay to the source's real
+    duplication window (e.g. an at-least-once ingest retry horizon).
+
+    Batch analog (the correctness oracle in the test): latest-wins /
+    first-wins dedup per key — operators.merge.dedup_latest.
+    """
+    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )

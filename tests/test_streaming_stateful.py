@@ -34,7 +34,7 @@ def batch_sessionize(events):
     flagged = events.withColumn(
         "new_session",
         F.when(
-            (F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double") > GAP)
+            (F.col("ts").cast("timestamp").cast("double") - F.lag(F.col("ts")).over(w).cast("timestamp").cast("double") > GAP)
             | F.lag(F.col("ts")).over(w).isNull(),
             1,
         ).otherwise(0),
@@ -74,10 +74,10 @@ def dirs(tmp_path_factory):
 
 def test_streaming_sessionize_matches_batch_and_survives_restart(spark, dirs):
     events = load(spark, SF_SMALL, "events").select("user_id", "event_id", "ts")
-    split_ts = events.selectExpr("percentile_approx(cast(ts as double), 0.5)").collect()[0][0]
+    split_ts = events.selectExpr("percentile_approx(cast(cast(ts as timestamp) as double), 0.5)").collect()[0][0]
 
     # batch 1: first half by event time, as one file in the stream dir
-    events.filter(F.col("ts").cast("double") <= split_ts).coalesce(1).write.mode(
+    events.filter(F.col("ts").cast("timestamp").cast("double") <= split_ts).coalesce(1).write.mode(
         "overwrite"
     ).parquet(dirs["in"] + "/batch1")
     run_stream(spark, dirs["in"] + "/batch*", dirs["out"], dirs["ckpt"])
@@ -85,7 +85,7 @@ def test_streaming_sessionize_matches_batch_and_survives_restart(spark, dirs):
     assert n_after_b1 > 0
 
     # batch 2: second half lands; NEW query, same checkpoint -> state restore
-    events.filter(F.col("ts").cast("double") > split_ts).coalesce(1).write.mode(
+    events.filter(F.col("ts").cast("timestamp").cast("double") > split_ts).coalesce(1).write.mode(
         "overwrite"
     ).parquet(dirs["in"] + "/batch2")
     run_stream(spark, dirs["in"] + "/batch*", dirs["out"], dirs["ckpt"])
@@ -111,7 +111,7 @@ def test_streaming_sessionize_matches_batch_and_survives_restart(spark, dirs):
     # restarted numbering below their batch-1 max
     max_b1 = (
         got.join(
-            events.filter(F.col("ts").cast("double") <= split_ts).select("event_id"),
+            events.filter(F.col("ts").cast("timestamp").cast("double") <= split_ts).select("event_id"),
             "event_id",
             "left_semi",
         )
@@ -120,7 +120,7 @@ def test_streaming_sessionize_matches_batch_and_survives_restart(spark, dirs):
     )
     min_b2 = (
         got.join(
-            events.filter(F.col("ts").cast("double") > split_ts).select("event_id"),
+            events.filter(F.col("ts").cast("timestamp").cast("double") > split_ts).select("event_id"),
             "event_id",
             "left_semi",
         )

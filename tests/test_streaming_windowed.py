@@ -53,10 +53,10 @@ def test_watermarked_windows_emit_once_and_drop_late_rows(spark, tmp_path_factor
     events = load(spark, SF_SMALL, "events").select(
         "event_id", "user_id", "ts", "event_type", "value"
     )
-    split = events.selectExpr("percentile_approx(cast(ts as double), 0.5)").collect()[0][0]
+    split = events.selectExpr("percentile_approx(cast(cast(ts as timestamp) as double), 0.5)").collect()[0][0]
 
-    b1 = events.filter(F.col("ts").cast("double") <= split)
-    b2 = events.filter(F.col("ts").cast("double") > split)
+    b1 = events.filter(F.col("ts").cast("timestamp").cast("double") <= split)
+    b2 = events.filter(F.col("ts").cast("timestamp").cast("double") > split)
     b1.coalesce(1).write.parquet(in_dir + "/b1")
     run_stream(spark, in_dir + "/b*", out_dir, ckpt)
 
