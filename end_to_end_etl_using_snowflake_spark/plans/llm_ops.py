@@ -12,6 +12,7 @@ Thresholds are data-informed: the synthetic corpus has a clean gap
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1474,4 +1475,63 @@ def x12_similar_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_lang",
             (F.col("query_source") == F.col("neighbor_source")).alias("same_source"),
         )
+    )
+
+
+@register(
+    "udf1_pandas_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS.format(x='text')} AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> length(x) >= 6)) AS BIGINT)
+               AS n_long_tokens,
+           CAST(list_reduce(list_concat([0::BIGINT],
+                list_transform(toks, x -> length(x)::BIGINT)), (a, b) -> a + b)
+               AS BIGINT) AS n_chars
+    FROM t
+    """,
+    doc="""Arrow-batched pandas UDF in the ORACLE-CHECKED surface: a
+    vectorized Python function (pandas str ops over Arrow batches, no
+    per-row Python) computes token counts that must equal the oracle's
+    SQL tokenization bit-for-bit. Integer outputs make a Python UDF
+    oracle-comparable — no float reassociation — so this pins the whole
+    Arrow transfer path (batching, nulls, schema) under the driver's
+    hash, where the pure-JVM t1 battery cannot see a UDF bug. The UDF
+    is the SLOW PATH by policy (functions docstring): use it only where
+    built-ins genuinely cannot express the logic; here it exists to
+    prove the plumbing.""",
+    tags=("pandas-udf", "arrow", "text"),
+)
+def udf1_pandas_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n_tokens bigint, n_long_tokens bigint, n_chars bigint")
+    def token_stats(text: pd.Series) -> pd.DataFrame:
+        # mirror functions.text.normalize/tokens exactly: lower,
+        # collapse whitespace, trim, split on single spaces
+        norm = (
+            text.str.lower()
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+        toks = norm.str.split(" ")
+        return pd.DataFrame(
+            {
+                "n_tokens": toks.map(len),
+                "n_long_tokens": toks.map(
+                    lambda ts: sum(1 for t in ts if len(t) >= 6)
+                ),
+                "n_chars": toks.map(lambda ts: sum(len(t) for t in ts)),
+            }
+        )
+
+    docs = load(spark, sf_dir, "documents")
+    out = docs.select("doc_id", token_stats(F.col("text")).alias("s"))
+    return out.select(
+        "doc_id",
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.col("s.n_long_tokens").alias("n_long_tokens"),
+        F.col("s.n_chars").alias("n_chars"),
     )
