@@ -582,7 +582,9 @@ def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm3_feature_extract",
     oracle="""
     -- payload bytes == ascii codes here (documents.text is pure ASCII,
-    -- verified <= 121), so the byte histogram equals the char histogram
+    -- verified <= 121), so the byte histogram equals the char histogram.
+    -- Features leave the engine as 8 scalar columns, never a raw ARRAY
+    -- cell: the driver's pandas canonicalizer cannot hash list cells.
     WITH b AS (
         SELECT doc_id AS id,
                list_transform(string_split(text, ''), c -> ascii(c)) AS bytes,
@@ -590,19 +592,29 @@ def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT id,
-           list_transform(generate_series(0, 7),
-               i -> len(list_filter(bytes, x -> x % 8 = i))::DOUBLE / n::DOUBLE
-           ) AS features
+           (len(list_filter(bytes, x -> x % 8 = 0))::DOUBLE / n::DOUBLE) AS f0,
+           (len(list_filter(bytes, x -> x % 8 = 1))::DOUBLE / n::DOUBLE) AS f1,
+           (len(list_filter(bytes, x -> x % 8 = 2))::DOUBLE / n::DOUBLE) AS f2,
+           (len(list_filter(bytes, x -> x % 8 = 3))::DOUBLE / n::DOUBLE) AS f3,
+           (len(list_filter(bytes, x -> x % 8 = 4))::DOUBLE / n::DOUBLE) AS f4,
+           (len(list_filter(bytes, x -> x % 8 = 5))::DOUBLE / n::DOUBLE) AS f5,
+           (len(list_filter(bytes, x -> x % 8 = 6))::DOUBLE / n::DOUBLE) AS f6,
+           (len(list_filter(bytes, x -> x % 8 = 7))::DOUBLE / n::DOUBLE) AS f7
     FROM b
     """,
     doc="""Multimodal feature extraction plumbing: Arrow mapInPandas,
     payload in -> float vector out (the ONNX/torch slot); stubbed with a
-    deterministic byte-histogram projection so the oracle is exact.""",
+    deterministic byte-histogram projection so the oracle is exact. The
+    driver surface projects the vector to scalar columns f0..f7 (raw
+    array cells break the driver's pandas value hash).""",
     tags=("multimodal", "pandas-udf"),
 )
 def mm3_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return MM.extract_features(MM.to_binary_payload(docs, "doc_id", "text"), dim=8)
+    feats = MM.extract_features(MM.to_binary_payload(docs, "doc_id", "text"), dim=8)
+    return feats.select(
+        "id", *[F.col("features")[i].alias(f"f{i}") for i in range(8)]
+    )
 
 
 @register(

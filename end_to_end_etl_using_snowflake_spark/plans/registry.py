@@ -86,6 +86,14 @@ PRIORITY: tuple[str, ...] = (
 
 
 def _ordered() -> list[str]:
+    # A misspelled/stale PRIORITY name must never silently shift the
+    # driver's checked prefix: fail loudly instead.
+    stale = set(PRIORITY) - set(REGISTRY)
+    if stale:
+        raise RuntimeError(f"PRIORITY names not in REGISTRY: {sorted(stale)}")
+    if len(set(PRIORITY)) != len(PRIORITY):
+        dupes = sorted({n for n in PRIORITY if PRIORITY.count(n) > 1})
+        raise RuntimeError(f"duplicate PRIORITY names: {dupes}")
     rank = {n: i for i, n in enumerate(PRIORITY)}
     names = list(REGISTRY)
     return sorted(names, key=lambda n: (rank.get(n, len(rank) + names.index(n)),))

@@ -71,8 +71,15 @@ def _canon_cell(v):
         return f"ts:{pd.Timestamp(v).isoformat()}"
     if isinstance(v, datetime.date):
         return f"ts:{pd.Timestamp(v).isoformat()}"
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return "arr:" + json.dumps([_canon_cell(x) for x in v])
+    if isinstance(v, (list, tuple, np.ndarray, dict)):
+        # The driver's canonicalizer sort_values/factorize dies on
+        # unhashable cells (TypeError: unhashable type: 'list' — the r02
+        # mm3 failure). Mirror that as a HARD local error so array/struct
+        # output columns never reach the driver.
+        raise TypeError(
+            f"raw array/struct output cell ({type(v).__name__}): the driver "
+            "cannot hash this — project to scalar columns or concat_ws"
+        )
     return f"s:{v}"
 
 
