@@ -2,16 +2,22 @@
 (history -> delta_1 -> delta_2, FIXTURES.md §A.2) inside a scratch
 warehouse and expose each layer / observability surface as a DataFrame.
 
-These are rows-only entries (no oracle SQL): the pipeline is stateful
-multi-step ingest, not a single SQL expression over the pre-registered
-views. Value-level correctness is enforced elsewhere — golden
-assertions in tests/test_pipeline_replay.py (row counts, SCD-1 update
-semantics, frozen-clock timestamps, fact measure values) and the
-SQL-oracled MERGE state equations (m1/m2 queries).
+The dim/fact state queries carry REAL DuckDB oracles: the MERGE chain
+is SQL-expressible (SURVEY §5 — anti-join ∪ updated-source, replayed
+step by step in CTEs over ``read_csv`` of the reference fixtures), and
+the injected clock freezes every timestamp. The one engine-specific
+part is identity KEY VALUES (assigned in (xxhash64-bucket, business
+key) order — deliberately not a SQL-reproducible order, see
+operators/merge.py:fill_identity), so:
 
-Timestamp columns are frozen via the injected clock and identity keys
-are contiguous-by-construction, so even the rows-only outputs are
-deterministic run to run.
+- ``pl_dim_customer`` / ``pl_dim_item`` / ``pl_fact_order`` verify the
+  full post-replay table state minus the raw key values (fact exposes
+  its dim keys by joining back to the business ids);
+- ``pl_identity_keys`` verifies exactly the key property the engine
+  promises — contiguous 1..N, unique — which IS oracle-predictable.
+
+Observability surfaces (task history, stream registry, stage listing)
+stay rows-only: they reflect engine-internal run metadata.
 """
 
 from __future__ import annotations
@@ -67,39 +73,256 @@ def _replayed(spark: SparkSession):
     return pipelines
 
 
+# ----------------------------------------------------------------------
+# DuckDB oracle construction: replay the MERGE chain in SQL
+# ----------------------------------------------------------------------
+_CSV_OPTS = "header=false, null_padding=true, delim=',', quote='\"', auto_detect=false"
+_T = {1: "2020-01-01 00:00:00", 2: "2020-01-02 00:00:00", 3: "2020-01-03 00:00:00"}
+
+
+def _read_csv_sql(fname: str, cols: list[str], skip: int) -> str:
+    """read_csv fragment matching the engine's Snowflake file format
+    (sources/csv_format.py): all-varchar stage schema, one skipped
+    physical line when a header exists (customer_delta_1.csv starts
+    with a BLANK line and no header — DuckDB drops blank lines before
+    counting, so skip=0 there), null-padding for short rows (the 9/10
+    column PERMISSIVE quirk), empty unquoted field -> NULL (both
+    engines' default)."""
+    collist = ", ".join(f"'{c}': 'VARCHAR'" for c in cols)
+    return (
+        f"SELECT * FROM read_csv('{_REFERENCE_DATA}/{fname}', {_CSV_OPTS}, "
+        f"skip={skip}, columns={{{collist}}})"
+    )
+
+
+def _merge_step_sql(prev: str, batch: str, key: str, cols: list[str], step: int) -> str:
+    """One SCD-1 MERGE as the anti-join ∪ updated-source state equation
+    (operators/merge.py:merge_dataframes): matched -> source values +
+    updated_timestamp=clock, kept -> verbatim, inserted -> source values
+    + both timestamps=clock."""
+    ts = f"TIMESTAMP '{_T[step]}'"
+    sel = ", ".join(f"{{a}}.{c}" for c in cols)
+    return f"""
+        SELECT b.{key}, {sel.format(a='b')}, s.added_timestamp,
+               {ts} AS updated_timestamp
+        FROM {prev} s JOIN {batch} b USING ({key})
+        UNION ALL
+        SELECT s.{key}, {sel.format(a='s')}, s.added_timestamp, s.updated_timestamp
+        FROM {prev} s WHERE NOT EXISTS (SELECT 1 FROM {batch} b WHERE b.{key} = s.{key})
+        UNION ALL
+        SELECT b.{key}, {sel.format(a='b')}, {ts}, {ts}
+        FROM {batch} b WHERE NOT EXISTS (SELECT 1 FROM {prev} s WHERE s.{key} = b.{key})
+    """
+
+
+_CUST_COLS = [
+    "customer_id", "salutation", "first_name", "last_name", "birth_day",
+    "birth_month", "birth_year", "birth_country", "email_address", "is_active",
+]
+_ITEM_COLS = [
+    "item_id", "item_desc", "start_date", "end_date", "price",
+    "item_class", "item_category", "is_active",
+]
+_ORDER_COLS = [
+    "order_date", "order_time", "item_id", "item_desc", "customer_id",
+    "salutation", "first_name", "last_name", "store_id", "store_name",
+    "order_quantity", "sale_price", "disount_amt",
+    "coupon_amt", "net_paid", "net_paid_tax", "net_profit",
+]
+
+
+def _dim_chain_sql(entity: str, key: str, cols: list[str], d2: bool) -> str:
+    """WITH-chain replaying history -> delta_1 -> delta_2 for one dim."""
+    rest = [c for c in cols if c != key]
+    skips = {f"{entity}_history.csv": 1, f"{entity}_delta_1.csv": 1, f"{entity}_delta_2.csv": 1}
+    if entity == "customer":
+        skips["customer_delta_1.csv"] = 0  # blank line + no header
+    parts = [
+        f"h AS ({_read_csv_sql(f'{entity}_history.csv', cols, skips[f'{entity}_history.csv'])})",
+        f"d1 AS ({_read_csv_sql(f'{entity}_delta_1.csv', cols, skips[f'{entity}_delta_1.csv'])})",
+        f"s1 AS (SELECT *, TIMESTAMP '{_T[1]}' AS added_timestamp, "
+        f"TIMESTAMP '{_T[1]}' AS updated_timestamp FROM h)",
+        f"s2 AS ({_merge_step_sql('s1', 'd1', key, rest, 2)})",
+    ]
+    last = "s2"
+    if d2:
+        parts.insert(2, f"d2 AS ({_read_csv_sql(f'{entity}_delta_2.csv', cols, 1)})")
+        parts.append(f"s3 AS ({_merge_step_sql('s2', 'd2', key, rest, 3)})")
+        last = "s3"
+    return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM {last}"
+
+
+_PL_DIM_CUSTOMER_ORACLE = f"""
+    SELECT customer_id, salutation, first_name, last_name,
+           birth_day::INTEGER AS birth_day, birth_month::INTEGER AS birth_month,
+           birth_year::INTEGER AS birth_year, birth_country, email_address,
+           added_timestamp, updated_timestamp, is_active
+    FROM ({_dim_chain_sql('customer', 'customer_id', _CUST_COLS, d2=True)})
+"""
+
+_PL_DIM_ITEM_ORACLE = f"""
+    SELECT item_id, item_desc, start_date::DATE AS start_date,
+           end_date::DATE AS end_date, price::DECIMAL(7,2)::DOUBLE AS price,
+           item_class, item_category, added_timestamp, updated_timestamp,
+           is_active
+    FROM ({_dim_chain_sql('item', 'item_id', _ITEM_COLS, d2=True)})
+"""
+
+# The fact was last rebuilt in the step-2 cycle (no order files land in
+# step 3, so the WHEN gate skips the order chain): raw_order = history
+# ∪ delta_1; the star join resolves against the step-2 dim state —
+# customers seen by step 2, items whose step-2 current row has
+# end_date IS NULL. Key membership equals the final state here (step 3
+# only updates attributes in place), and the inner join drops orders
+# whose keys miss the dims (the reference author's own referential gap,
+# order-...sql:365-387).
+_FACT_GROUPED_SQL = f"""
+    WITH oh AS ({_read_csv_sql('order_history.csv', _ORDER_COLS, 1)}),
+    od AS ({_read_csv_sql('order_delta_1.csv', _ORDER_COLS, 1)}),
+    co AS (SELECT * FROM oh UNION ALL SELECT * FROM od),
+    ch AS ({_read_csv_sql('customer_history.csv', _CUST_COLS, 1)}),
+    cd AS ({_read_csv_sql('customer_delta_1.csv', _CUST_COLS, 0)}),
+    cust AS (SELECT customer_id FROM ch UNION SELECT customer_id FROM cd),
+    ih AS ({_read_csv_sql('item_history.csv', _ITEM_COLS, 1)}),
+    idl AS ({_read_csv_sql('item_delta_1.csv', _ITEM_COLS, 1)}),
+    item_s2 AS (
+        SELECT item_id, end_date FROM idl
+        UNION ALL
+        SELECT item_id, end_date FROM ih
+        WHERE item_id NOT IN (SELECT item_id FROM idl)
+    ),
+    items AS (SELECT item_id FROM item_s2 WHERE end_date IS NULL)
+    SELECT co.order_date::DATE AS order_date, co.customer_id, co.item_id,
+           count(*)::BIGINT AS order_count,
+           sum(co.order_quantity::BIGINT)::BIGINT AS order_quantity,
+           sum(co.sale_price::DECIMAL(20,2))::DOUBLE AS sale_price,
+           sum(co.disount_amt::DECIMAL(20,2))::DOUBLE AS disount_amt,
+           sum(co.coupon_amt::DECIMAL(20,2))::DOUBLE AS coupon_amt,
+           sum(co.net_paid::DECIMAL(20,2))::DOUBLE AS net_paid,
+           sum(co.net_paid_tax::DECIMAL(20,2))::DOUBLE AS net_paid_tax,
+           sum(co.net_profit::DECIMAL(20,2))::DOUBLE AS net_profit
+    FROM co
+    JOIN cust USING (customer_id)
+    JOIN items USING (item_id)
+    GROUP BY 1, 2, 3
+"""
+
+
 @register(
     "pl_dim_customer",
-    oracle=None,
+    oracle=_PL_DIM_CUSTOMER_ORACLE,
     doc="""S1+S2+M1+M2 end-to-end: CSV stage ingest (PERMISSIVE quirks
-    included) -> raw MERGE -> typed dim_customer with identity keys and
-    frozen-clock timestamps. 22 rows after the full replay; golden
-    values asserted in tests/test_pipeline_replay.py.""",
-    tags=("S1", "S2", "M1", "M2", "pipeline"),
+    included) -> raw MERGE -> typed dim_customer with frozen-clock
+    timestamps. Oracle replays the same 3-step MERGE chain in DuckDB
+    CTEs over the reference fixtures (customer-...sql:118-165). Key
+    VALUES are engine-specific (hash-bucket order) and checked by
+    pl_identity_keys instead.""",
+    tags=("S1", "S2", "M1", "M2", "F1", "pipeline"),
 )
 def pl_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _replayed(spark).dim_customer.read().orderBy("customer_dim_key")
+    return _replayed(spark).dim_customer.read().drop("customer_dim_key")
 
 
 @register(
     "pl_dim_item",
-    oracle=None,
-    doc="W1 latest-wins dedup + SCD-1 update-in-place: dim_item after "
-    "replay (item AAAAAAAACDLBXPPP updated, not duplicated).",
-    tags=("M2", "W1", "pipeline"),
+    oracle=_PL_DIM_ITEM_ORACLE,
+    doc="""W1 latest-wins dedup + SCD-1 update-in-place: dim_item after
+    replay (item AAAAAAAACDLBXPPP inserted by delta_1, updated in place
+    by delta_2 — item-...sql:111-151). DECIMAL price leaves as DOUBLE
+    per the driver dtype conventions.""",
+    tags=("M2", "W1", "F4", "pipeline"),
 )
 def pl_dim_item(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _replayed(spark).dim_item.read().orderBy("item_dim_key")
+    return (
+        _replayed(spark)
+        .dim_item.read()
+        .drop("item_dim_key")
+        .withColumn("price", F.col("price").cast("double"))
+    )
 
 
 @register(
     "pl_fact_order",
-    oracle=None,
-    doc="M3 INSERT OVERWRITE star-join rebuild over the replayed "
-    "warehouse (1 resolvable order after delta_1).",
-    tags=("M3", "pipeline"),
+    oracle=_FACT_GROUPED_SQL,
+    doc="""M3 INSERT OVERWRITE star-join rebuild over the replayed
+    warehouse (order-...sql:179-212): dim keys joined back to business
+    ids so the oracle can recompute the star join + 3-key group + 7
+    implicit-cast SUMs from the fixtures alone.""",
+    tags=("M3", "J1", "J2", "A1", "A2", "A3", "pipeline"),
 )
 def pl_fact_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _replayed(spark).fact_order.read().orderBy("order_fact_key")
+    p = _replayed(spark)
+    f = p.fact_order.read()
+    dc = p.dim_customer.read().select("customer_dim_key", "customer_id")
+    di = p.dim_item.read().select("item_dim_key", "item_id")
+    money = [
+        "sale_price", "disount_amt", "coupon_amt",
+        "net_paid", "net_paid_tax", "net_profit",
+    ]
+    return (
+        f.join(F.broadcast(dc), "customer_dim_key")
+        .join(F.broadcast(di), "item_dim_key")
+        .select(
+            "order_date",
+            "customer_id",
+            "item_id",
+            "order_count",
+            "order_quantity",
+            *[F.col(c).cast("double").alias(c) for c in money],
+        )
+    )
+
+
+@register(
+    "pl_identity_keys",
+    oracle=f"""
+    WITH ch AS ({_read_csv_sql('customer_history.csv', _CUST_COLS, 1)}),
+    cd1 AS ({_read_csv_sql('customer_delta_1.csv', _CUST_COLS, 0)}),
+    cd2 AS ({_read_csv_sql('customer_delta_2.csv', _CUST_COLS, 1)}),
+    ih AS ({_read_csv_sql('item_history.csv', _ITEM_COLS, 1)}),
+    id1 AS ({_read_csv_sql('item_delta_1.csv', _ITEM_COLS, 1)}),
+    id2 AS ({_read_csv_sql('item_delta_2.csv', _ITEM_COLS, 1)}),
+    nc AS (SELECT count(DISTINCT customer_id) AS n FROM
+           (SELECT customer_id FROM ch UNION ALL SELECT customer_id FROM cd1
+            UNION ALL SELECT customer_id FROM cd2)),
+    ni AS (SELECT count(DISTINCT item_id) AS n FROM
+           (SELECT item_id FROM ih UNION ALL SELECT item_id FROM id1
+            UNION ALL SELECT item_id FROM id2)),
+    nf AS (SELECT count(*) AS n FROM ({_FACT_GROUPED_SQL}))
+    SELECT 'dim_customer' AS tbl, n::BIGINT AS n_rows, n::BIGINT AS n_keys,
+           1::BIGINT AS min_key, n::BIGINT AS max_key FROM nc
+    UNION ALL
+    SELECT 'dim_item', n::BIGINT, n::BIGINT, 1::BIGINT, n::BIGINT FROM ni
+    UNION ALL
+    SELECT 'fact_order', n::BIGINT, n::BIGINT, 1::BIGINT, n::BIGINT FROM nf
+    """,
+    doc="""The identity-column contract (customer-...sql:32 autoincrement
+    analog): surrogate keys are unique and contiguous 1..N in every
+    transformed table. Key VALUES are engine-specific (FIXTURES.md);
+    this is exactly the property the engine promises, and the oracle
+    predicts N from the fixtures alone.""",
+    tags=("M2", "identity", "pipeline"),
+)
+def pl_identity_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _replayed(spark)
+    parts = []
+    for tbl, df, key in [
+        ("dim_customer", p.dim_customer.read(), "customer_dim_key"),
+        ("dim_item", p.dim_item.read(), "item_dim_key"),
+        ("fact_order", p.fact_order.read(), "order_fact_key"),
+    ]:
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.countDistinct(key).cast("long").alias("n_keys"),
+                F.min(key).cast("long").alias("min_key"),
+                F.max(key).cast("long").alias("max_key"),
+            ).withColumn("tbl", F.lit(tbl))
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out.select("tbl", "n_rows", "n_keys", "min_key", "max_key")
 
 
 @register(
