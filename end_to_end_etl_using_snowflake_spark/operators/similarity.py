@@ -228,6 +228,7 @@ def kmeans_lloyd(
     vec_col: str,
     n_cells: int = 8,
     iterations: int = 1,
+    exact_means: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column -> (id, cell) final
     assignment: the centroid builder the IVF index (ivf_topk) docstring
@@ -240,12 +241,17 @@ def kmeans_lloyd(
       id order;
     - assignment: argmax cosine against the broadcast centroid block,
       ties to the lower cell id (per-row window, no corpus shuffle);
-    - update: per-(cell, dim) mean computed as a SEQUENTIAL id-ordered
-      fold (sort_array(collect_list) + aggregate) — bit-reproducible in
-      any engine that folds in order, same convention as functions.
-      vectors.dot. At 100 TB swap the fold for a plain SUM (order-free,
-      map-side partial agg) and accept last-ulp drift — the fold is the
-      oracle-parity choice, the swap is one line.
+    - update (default, the 100 TB path): per-(cell, dim) mean as a
+      plain SUM/COUNT — order-free, map-side partial aggregation, no
+      per-group value buffering, so a hot cell never materializes its
+      members in one executor's memory.
+    - update (``exact_means=True``, the oracle-parity path): the mean
+      as a SEQUENTIAL id-ordered fold (sort_array(collect_list) +
+      aggregate) — bit-reproducible in any engine that folds in order
+      (same convention as functions.vectors.dot), at the cost of
+      collecting each (cell, dim)'s values into one array. Used by the
+      DuckDB-oracled driver queries only; last-ulp drift between the
+      two paths can flip argmax ties, so parity queries must pin one.
 
     Each iteration = one assign + one centroid update; the returned
     assignment uses the final centroids. Scale: assignment is a narrow
@@ -283,23 +289,29 @@ def kmeans_lloyd(
 
     for _ in range(iterations):
         assigned = assign(cent)
-        dims = (
-            assigned.select("cell", "id", F.posexplode("v").alias("i", "val"))
-            .groupBy("cell", "i")
-            .agg(
-                F.sort_array(F.collect_list(F.struct("id", "val"))).alias("vals"),
+        triples = assigned.select("cell", "id", F.posexplode("v").alias("i", "val"))
+        if exact_means:
+            dims = (
+                triples.groupBy("cell", "i")
+                .agg(
+                    F.sort_array(F.collect_list(F.struct("id", "val"))).alias("vals"),
+                )
+                .select(
+                    "cell",
+                    "i",
+                    (
+                        F.aggregate(
+                            F.col("vals"), F.lit(0.0), lambda a, s: a + s["val"]
+                        )
+                        / F.size("vals").cast("double")
+                    ).alias("mean"),
+                )
             )
-            .select(
-                "cell",
-                "i",
-                (
-                    F.aggregate(
-                        F.col("vals"), F.lit(0.0), lambda a, s: a + s["val"]
-                    )
-                    / F.size("vals").cast("double")
-                ).alias("mean"),
+        else:
+            dims = (
+                triples.groupBy("cell", "i")
+                .agg((F.sum("val") / F.count(F.lit(1))).alias("mean"))
             )
-        )
         cent = (
             dims.groupBy("cell")
             .agg(

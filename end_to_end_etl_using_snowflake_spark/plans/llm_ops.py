@@ -217,6 +217,54 @@ def d5_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_pairs_oracle(
+    threshold: float = 0.5, planes: int = 16, bands: int = 4, dims: int = 64
+) -> str:
+    weights = S.hyperplane_weights(planes, dims)
+    dot_cols = []
+    for p, row in enumerate(weights):
+        lits = "[" + ", ".join(f"{float(x)}" for x in row) + "]"
+        dot_cols.append(
+            f"CASE WHEN list_reduce(list_concat([0.0::DOUBLE], "
+            f"list_transform(generate_series(1, len(v)), i -> v[i]*({lits}[i]))), "
+            f"(x,y) -> x+y) > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
+        )
+    sig = " + ".join(dot_cols)
+    r = planes // bands
+    mask = (1 << r) - 1
+    return f"""
+    WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT id, v, sqrt({sql_dot('v', 'v')}) AS nrm, {sig} AS sig FROM e),
+    x AS (SELECT id, band, (sig >> (band * {r})) & {mask} AS key
+          FROM n, (SELECT unnest(range({bands})) AS band)),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM x a JOIN x b ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+    SELECT c.id_a, c.id_b,
+           {sql_dot('na.v', 'nb.v')} / (na.nrm * nb.nrm) AS cos_sim
+    FROM cand c JOIN n na ON na.id = c.id_a JOIN n nb ON nb.id = c.id_b
+    WHERE {sql_dot('na.v', 'nb.v')} / (na.nrm * nb.nrm) >= {threshold}
+    """
+
+
+@register(
+    "d5l_dedup_embedding_lsh",
+    oracle=_lsh_pairs_oracle(),
+    doc="""Banded hyperplane-LSH threshold-pairs dedup — the 100 TB
+    default path for d5 (brute force kept as the oracle cross-check,
+    mirroring the v1/v2 ANN split): 16-bit signature -> 4 bands of 4
+    bits -> ONE equi-self-join on (band, chunk) -> exact cosine on
+    candidates only. No cartesian/BNLJ node (asserted in
+    tests/test_plan_shapes.py); deterministic, so the oracle replays
+    the identical banding.""",
+    tags=("dedup", "vectors", "lsh"),
+)
+def d5l_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_cosine_pairs_lsh(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.5, planes=16, bands=4, dims=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -943,7 +991,9 @@ def _kmeans_oracle(n_cells: int = 8, dims: int = 64, iterations: int = 1) -> str
 )
 def v6_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    out = S.kmeans_lloyd(emb, "vec_id", "embedding", n_cells=8, iterations=1)
+    out = S.kmeans_lloyd(
+        emb, "vec_id", "embedding", n_cells=8, iterations=1, exact_means=True
+    )
     return out.select(F.col("id").alias("vec_id"), "cell")
 
 
@@ -961,7 +1011,9 @@ def v6_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def v9_kmeans_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    out = S.kmeans_lloyd(emb, "vec_id", "embedding", n_cells=8, iterations=3)
+    out = S.kmeans_lloyd(
+        emb, "vec_id", "embedding", n_cells=8, iterations=3, exact_means=True
+    )
     return out.select(F.col("id").alias("vec_id"), "cell")
 
 

@@ -189,3 +189,31 @@ def test_global_sort_uses_range_partitioning(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower(), plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_kmeans_default_path_never_buffers_group_values(spark):
+    """The default centroid update must be a plain SUM/COUNT (order-free,
+    map-side partial agg) — a hot cell at 100 TB must never collect its
+    members' values into one in-memory array. The collect_list fold
+    exists only behind exact_means=True for oracle parity."""
+    from end_to_end_etl_using_snowflake_spark.operators.similarity import kmeans_lloyd
+    from end_to_end_etl_using_snowflake_spark.plans.tables import load
+
+    emb = load(spark, SF_MED, "embeddings")
+    df = kmeans_lloyd(emb, "vec_id", "embedding", n_cells=8, iterations=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # forbidden: buffering one entry PER MEMBER of a cell —
+    # collect_list(struct(id, val)). Still allowed: the bounded per-cell
+    # centroid assembly collect_list(struct(i, mean)) (k x dims entries).
+    assert "collect_list(struct(id" not in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_lsh_pairs_plan_has_no_cartesian_node(spark):
+    """d5l (banded embedding near-dup pairs) must candidate via an
+    equi-join on (band, chunk) — the O(N^2) BNLJ self-join is exactly
+    what the operator exists to avoid (it stays only in d5, the oracle
+    baseline)."""
+    plan = plan_of(spark, "d5l_dedup_embedding_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
