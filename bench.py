@@ -38,6 +38,7 @@ HEADLINE = [
     "d3_dedup_minhash_lsh",    # banded minhash + verify (scale path)
     "d7_dedup_stop_shingle",   # minhash LSH + stop-shingle skew cap
     "d4_dedup_simhash",        # pigeonhole-banded simhash
+    "d5l_dedup_embedding_lsh", # banded-LSH embedding pairs (scale path)
     "v1_ann_bruteforce_topk",  # brute-force cosine top-k (fold path)
     "v7_ann_matmul_topk",      # brute-force via blocked matmul (BLAS path)
     "v3_ann_ivf_topk",         # IVF cell-probed top-k (scale path)

@@ -346,8 +346,19 @@ def global_prefix_sum(
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     cols = [F.col(c) for c in order_by]
-    part = df.repartitionByRange(n, *cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # localCheckpoint pins ONE materialization of the range-partitioned
+    # frame: both consumers below (the per-partition window and the
+    # per-partition totals) must see identical partition boundaries,
+    # and repartitionByRange's boundaries come from SAMPLING — two
+    # independent evaluations (e.g. a missed ReusedExchange, or a
+    # recompute after executor loss) could assign rows to different
+    # __pids and silently mis-pair offsets. Severing the lineage makes
+    # that impossible; a lost partition now fails the job instead of
+    # resampling. At 100 TB use reliable checkpointing instead.
+    part = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     upper = -1 if exclusive else 0
     w_in = (

@@ -605,23 +605,47 @@ def _corpus_clean_oracle() -> str:
     cleaning stages a training-data pipeline runs at 100 TB —
     quality filter (Gopher/C4-style thresholds) -> language filter
     (keep 'en') -> exact dedup among survivors (keep cluster
-    representative, carry multiplicity). Catalyst fuses the three
-    per-doc stages into one scan+project (no shuffle until the dedup
-    groupBy); the output is the kept-corpus manifest.""",
+    representative, carry multiplicity). ONE scan of documents: the
+    tokens array binds once, every per-doc flag is a column of the
+    same projection, and the cluster stats (min id, multiplicity)
+    come from a window over the fingerprint — no join anywhere, one
+    shuffle total.""",
     tags=("text", "dedup", "pipeline"),
 )
 def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TXT
+
     docs = load(spark, sf_dir, "documents")
-    q = A.quality_score(docs, "doc_id", "text").filter(F.col("keep"))
-    lng = A.lang_id(docs, "doc_id", "text").filter(F.col("lang_pred") == "en")
-    kept = (
-        docs.select(F.col("doc_id").alias("id"), "text")
-        .join(q.select("id", "n_tokens", "stopword_ratio"), "id")
-        .join(lng.select("id"), "id")
+    bound = docs.select(
+        F.col("doc_id").alias("id"),
+        TXT.tokens(F.col("text")).alias("__tok"),
+        F.md5(TXT.normalize(F.col("text"))).alias("fingerprint"),
     )
-    clusters = D.exact_dedup_clusters(kept, "id", "text")
+    toks = F.col("__tok")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*A.STOPWORDS)))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in A.LANG_MARKERS.items()
+    }
+    stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    keep = (n_tokens >= 10) & (n_tokens <= 100000) & (stop_ratio >= 0.01)
+    is_en = (
+        (scores["en"] >= scores["de"])
+        & (scores["en"] >= scores["es"])
+        & (scores["en"] > 0)
+    )
+    kept = bound.select(
+        "id",
+        "fingerprint",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+    ).where(keep & is_en)
+    w = Window.partitionBy("fingerprint")
     return (
-        kept.join(clusters, kept["id"] == clusters["rep_id"])
+        kept.withColumn("n_dups", F.count(F.lit(1)).over(w))
+        .withColumn("rep_id", F.min("id").over(w))
+        .filter(F.col("id") == F.col("rep_id"))
         .select("id", "n_tokens", "stopword_ratio", "n_dups")
     )
 
@@ -1151,22 +1175,42 @@ def t6_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "v7_ann_matmul_topk",
-    oracle=None,
-    # no oracle: NumPy's pairwise/SIMD summation differs from the
-    # sequential fold in the last ulp, so scores aren't bit-comparable;
-    # tests/test_scale_paths.py pins v7's RANKING to the oracle-exact
-    # v1 instead (rows-only here, rank parity there).
+    # RANK-only surface: NumPy's pairwise/SIMD summation differs from
+    # the sequential fold in the last ulp, so the SCORES aren't
+    # bit-comparable — but the neighbor RANKING is (the synthetic
+    # corpus has no cosine ties within 1e-12; tests/test_scale_paths.py
+    # additionally pins v7's ranking to the oracle-exact v1). The
+    # oracle is therefore the brute-force ranking with the score
+    # projected away.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt({sql_dot('v', 'v')}) AS nrm FROM e),
+    q AS (SELECT * FROM n WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {sql_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS cos_sim
+        FROM n c JOIN q ON q.vec_id != c.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, rn AS "rank", neighbor_id FROM ranked WHERE rn <= 5
+    """,
     doc="""Exact brute-force top-5 by blocked matmul (mapInPandas +
     broadcast query block): the 100 TB brute-force path — no per-pair
     rows, shuffle carries only partition-local top-k candidates, BLAS
-    throughput per partition.""",
+    throughput per partition. Driver surface drops the float score
+    (NumPy SIMD summation vs sequential fold: last-ulp drift) and
+    hash-matches the neighbor ranking itself.""",
     tags=("similarity", "matmul"),
 )
 def v7_ann_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return S.brute_force_topk_matmul(
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
-    )
+    ).select("query_id", "rank", "neighbor_id")
 
 
 @register(
@@ -1574,10 +1618,17 @@ def udf1_pandas_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("n_tokens bigint, n_long_tokens bigint, n_chars bigint")
     def token_stats(text: pd.Series) -> pd.DataFrame:
         # mirror functions.text.normalize/tokens exactly: lower,
-        # collapse whitespace, trim, split on single spaces
+        # collapse whitespace, trim, split on single spaces. The
+        # whitespace class is pinned to ASCII ([ \t\n\r\f\v], not \s):
+        # Python re's \s is Unicode-aware while the oracle's RE2 \s is
+        # ASCII — identical here only while the corpus is ASCII, so the
+        # UDF enforces the narrower semantics explicitly. NULL text
+        # batches arrive as NaN: fillna('') keeps the row (0 tokens of
+        # '' -> [''], matching the JVM/SQL split of an empty string).
         norm = (
-            text.str.lower()
-            .str.replace(r"\s+", " ", regex=True)
+            text.fillna("")
+            .str.lower()
+            .str.replace(r"[ \t\n\r\f\v]+", " ", regex=True)
             .str.strip()
         )
         toks = norm.str.split(" ")

@@ -926,6 +926,56 @@ def e3_sessionize_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "e6_stream_dedup_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="""Watermark-bounded STREAMING dedup run for real:
+    ``dropDuplicatesWithinWatermark`` (streaming/stateful.py:
+    dedup_within_watermark_stream) over the events table via a
+    file-source ``availableNow`` query — the scale-correct streaming
+    dedup whose state store evicts keys older than the delay instead of
+    growing unboundedly. The surface projects the KEY columns only
+    (which duplicate survives is arrival-order-dependent; the key set
+    is not), so the oracle is exact: one row per distinct key.""",
+    tags=("streaming", "T1", "dedup"),
+)
+def e6_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.stateful import dedup_within_watermark_stream
+
+    base = tempfile.mkdtemp(prefix="e6_dedup_")
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    load(spark, sf_dir, "events").select("user_id", "event_type", "ts").write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    stream = (
+        spark.readStream.schema("user_id bigint, event_type string, ts timestamp")
+        .parquet(in_dir)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            dedup_within_watermark_stream(
+                stream, ["user_id", "event_type"], ts_col="ts", delay="30 minutes"
+            )
+            .select("user_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.schema("user_id bigint, event_type string").parquet(out_dir)
+
+
+@register(
     "a5_rollup",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,

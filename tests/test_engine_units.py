@@ -370,3 +370,37 @@ def test_load_events_ts_normalization_both_generations(spark, tmp_path):
     vals_ns = sorted(r.ts for r in out_ns.select("ts").collect())
     # nanos truncate to the same micros
     assert vals_us == vals_ns
+
+
+def test_connector_seam_protocol_and_jdbc_options(spark, tmp_path):
+    """The storage seam: ParquetTable structurally satisfies
+    TableConnector, and the JDBC option builder emits the public Spark
+    JDBC contract for parallel partitioned reads."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_using_snowflake_spark.operators.dml import ParquetTable
+    from end_to_end_etl_using_snowflake_spark.sources.connector import (
+        TableConnector,
+        jdbc_reader_options,
+    )
+
+    t = ParquetTable(spark, str(tmp_path / "seam"))
+    assert isinstance(t, TableConnector)
+    t.overwrite(spark.range(3).select(F.col("id").alias("k")))
+    assert t.read().count() == 3
+
+    opts = jdbc_reader_options(
+        url="jdbc:postgresql://wh.example/db",
+        table="stg.stg_order",
+        partition_column="order_id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=16,
+    )
+    assert opts["partitionColumn"] == "order_id"
+    assert opts["numPartitions"] == "16"
+    assert opts["pushDownPredicate"] == "true"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        jdbc_reader_options(url="u", table="t", partition_column="k")

@@ -39,13 +39,14 @@ def test_driver_prefix_spans_all_operator_families():
         "window-dedup": ("w1_",),
         "merge/dml": ("m1_", "m2_", "m5_", "m6_"),
         "casts/functions": ("f4_", "f5_"),
+        "pipeline-state": ("pl_dim_", "pl_fact_", "pl_identity_"),
         "dedup-llm": ("d1_", "d2_", "d3_", "d4_", "d5_", "d6_"),
-        "similarity": ("v1_", "v2_", "v3_"),
+        "similarity": ("v1_", "v2_", "v3_", "v7_"),
         "text-analysis": ("t1_", "t2_", "t3_", "t4_", "t7_"),
         "multimodal": ("mm1_", "mm3_"),
         "llm-pipeline": ("x2_", "llm_"),
-        "streaming/windows": ("e1_", "e2_", "e3_", "e4_", "e5_"),
-        "scale-paths": ("j6_", "b1_", "x5_"),
+        "streaming/windows": ("e1_", "e2_", "e3_", "e4_", "e5_", "e6_"),
+        "scale-paths": ("j6_", "b1_", "x1_", "x5_"),
         "flagship": ("flagship",),
     }
     missing = {
@@ -54,3 +55,7 @@ def test_driver_prefix_spans_all_operator_families():
         if not any(name.startswith(p) for p in pfxs for name in prefix)
     }
     assert not missing, f"families absent from the checked prefix: {missing}"
+    # every entry in the checked window must carry a real oracle (a
+    # rows-only entry inside the window wastes a driver-checked slot)
+    rows_only = [n for n in prefix if REGISTRY[n].oracle is None]
+    assert not rows_only, f"rows-only queries inside the checked prefix: {rows_only}"
