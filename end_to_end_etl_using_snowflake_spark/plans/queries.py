@@ -2569,3 +2569,234 @@ def sql3_window_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL3_TEXT)
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_SQL_PRICE} * {_SQL_DISC}) AS DOUBLE) AS revenue,
+           COUNT(1) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND {_SQL_DISC} BETWEEN 0.05 AND 0.07
+      AND {_SQL_QTY} < 24
+    """,
+    doc="""TPC-H Q6 shape (forecasting revenue change): the pure
+    filter-aggregate — every predicate (ship-date range, discount band,
+    quantity cap) must reach the parquet scan as a PushedFilter, the
+    aggregate is a single partial+final SUM with no grouping key, and
+    the exchange carries exactly one row per partition. The canonical
+    'is pushdown working' probe: at 100 TB this query is I/O-bound on
+    row-group pruning or it is wrong. Decimal-exact then DOUBLE.""",
+    tags=("composite", "tpch", "pushdown"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & _disc().between(0.05, 0.07)
+            & (_qty() < 24)
+        )
+        .agg(
+            F.sum(_price() * _disc()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM({_SQL_PRICE} * (1 - {_SQL_DISC})) AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+    doc="""TPC-H Q10 shape (returned-item reporting): fact x orders x
+    customer x nation with a quarter filter and the returns flag,
+    grouped per customer, top-20 by lost revenue. Plan: the order-date
+    filter prunes before the fact join, nation broadcasts, and the
+    top-20 is TakeOrderedAndProject over the aggregate — never a global
+    sort. Deterministic custkey tiebreak.""",
+    tags=("composite", "tpch", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_price() * (F.lit(1).cast("decimal(1,0)") - _disc())).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                        THEN {_SQL_PRICE} * (1 - {_SQL_DISC})
+                        ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(SUM({_SQL_PRICE} * (1 - {_SQL_DISC})) AS DOUBLE)
+               AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+    doc="""TPC-H Q14 shape (promotion effect): conditional aggregation
+    over a month of the fact joined to the part dim — the
+    numerator/denominator pattern (CASE inside SUM), one broadcast
+    join, one ungrouped aggregate. Both sums are decimal-exact; the
+    final percentage is one double division of identical doubles in
+    both engines.""",
+    tags=("composite", "tpch", "conditional-agg"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = _price() * (F.lit(1).cast("decimal(1,0)") - _disc())
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double")
+            )
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT CAST(SUM({_SQL_PRICE} * (1 - {_SQL_DISC})) AS DOUBLE) AS revenue,
+           COUNT(1) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1 AND 15
+           AND {_SQL_QTY} BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 25
+           AND {_SQL_QTY} BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 35
+           AND {_SQL_QTY} BETWEEN 20 AND 30)
+    """,
+    doc="""TPC-H Q19 shape (discounted revenue, disjunctive
+    predicates): an equi-join on partkey whose THREE OR'd
+    (brand, size-band, quantity-band) conjunct groups are residual
+    filters — the optimizer stress-test for disjunction handling:
+    Catalyst must still extract the common p_partkey equi-key (hash
+    join, not BNLJ) and push the derivable single-side bounds
+    (size >= 1, the quantity hull) below the join. Decimal-exact then
+    DOUBLE.""",
+    tags=("composite", "tpch", "disjunction"),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    grp = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & _qty().between(qlo, qhi)
+    )
+    return (
+        j.filter(
+            grp("Brand#1", 15, 1, 11)
+            | grp("Brand#13", 25, 10, 20)
+            | grp("Brand#20", 35, 20, 30)
+        )
+        .agg(
+            F.sum(_price() * (F.lit(1).cast("decimal(1,0)") - _disc()))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q22_dormant_accounts",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(1) AS v
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           COUNT(1) AS n_custs,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.v
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY 1
+    """,
+    doc="""TPC-H Q22 shape (global sales opportunity, adapted: the
+    schema has no phone column, so 'dormant' = no orders since
+    2000-01-01): a scalar aggregate subquery (average positive
+    balance, broadcast 1-row — never collected to the driver) gating a
+    LEFT ANTI join against the filtered orders, grouped per nation.
+    The anti join's build side is orders AFTER the date filter —
+    pushed below the join, so the probe shrinks with selectivity.""",
+    tags=("composite", "tpch", "anti-join", "subquery"),
+)
+def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(bal).cast("double") / F.count(F.lit(1))).alias("v")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(bal).cast("double").alias("total_bal"),
+        )
+    )
