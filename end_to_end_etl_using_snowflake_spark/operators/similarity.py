@@ -69,11 +69,33 @@ def _char_fold_py(s: str, mod: int = HASH_MOD) -> int:
     return h
 
 
+def _splitmix64(x: int) -> int:
+    """Public-domain splitmix64 finalizer: the standard 64-bit avalanche
+    mixer (Steele et al., "Fast splittable pseudorandom number
+    generators"). Every input bit affects every output bit."""
+    mask = (1 << 64) - 1
+    x = (x + 0x9E3779B97F4A7C15) & mask
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & mask
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & mask
+    return x ^ (x >> 31)
+
+
 def hyperplane_weights(planes: int, dims: int) -> list[list[int]]:
     """planes x dims matrix of deterministic +-1 weights:
-    ``w[p][d] = (char_fold('p:' || p || ':' || d) % 2) * 2 - 1``."""
+    ``w[p][d] = sign bit of splitmix64(p * dims + d)``.
+
+    NOT derived from the char-fold hash's low bit: ``char_fold(s) % 2``
+    over an odd modulus collapses to the parity of the string's char
+    sum, which for "p:{p}:{d}" strings produces a +-checkerboard —
+    every row identical up to sign, i.e. ONE effective hyperplane (a
+    bug this engine shipped in rounds 1-2: 64 "planes" yielded 4
+    distinct signatures over the whole corpus). splitmix64's avalanche
+    makes rows independent; determinism and oracle-reproducibility are
+    unchanged because the weights are materialized as literals into
+    both the Spark expression and the DuckDB SQL.
+    """
     return [
-        [(_char_fold_py(f"p:{p}:{d}") % 2) * 2 - 1 for d in range(dims)]
+        [((_splitmix64(p * dims + d) >> 32) & 1) * 2 - 1 for d in range(dims)]
         for p in range(planes)
     ]
 

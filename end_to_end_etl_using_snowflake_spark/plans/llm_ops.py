@@ -248,20 +248,21 @@ def _lsh_pairs_oracle(
 
 @register(
     "d5l_dedup_embedding_lsh",
-    oracle=_lsh_pairs_oracle(),
+    oracle=_lsh_pairs_oracle(planes=24, bands=4),
     doc="""Banded hyperplane-LSH threshold-pairs dedup — the 100 TB
     default path for d5 (brute force kept as the oracle cross-check,
-    mirroring the v1/v2 ANN split): 16-bit signature -> 4 bands of 4
-    bits -> ONE equi-self-join on (band, chunk) -> exact cosine on
-    candidates only. No cartesian/BNLJ node (asserted in
-    tests/test_plan_shapes.py); deterministic, so the oracle replays
-    the identical banding.""",
+    mirroring the v1/v2 ANN split): 24-bit signature -> 4 bands of 6
+    bits -> ONE narrow equi-self-join on (band, chunk) over (id, sig)
+    rows -> vectors joined back -> exact cosine on the ~7% surviving
+    candidates only. No cartesian/BNLJ node and no vector ever rides
+    the banding shuffle (both asserted in tests/test_plan_shapes.py);
+    deterministic, so the oracle replays the identical banding.""",
     tags=("dedup", "vectors", "lsh"),
 )
 def d5l_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_cosine_pairs_lsh(
         load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        threshold=0.5, planes=16, bands=4, dims=64,
+        threshold=0.5, planes=24, bands=4, dims=64,
     )
 
 

@@ -213,7 +213,18 @@ def test_lsh_pairs_plan_has_no_cartesian_node(spark):
     """d5l (banded embedding near-dup pairs) must candidate via an
     equi-join on (band, chunk) — the O(N^2) BNLJ self-join is exactly
     what the operator exists to avoid (it stays only in d5, the oracle
-    baseline)."""
+    baseline). The candidate join must also stay NARROW: cosine
+    scoring (the zip_with/aggregate fold over the vectors) happens at
+    the later id-keyed join-back, never inside the banding join — at
+    100 TB that is the difference between shuffling 24-byte rows and
+    shuffling embeddings."""
     plan = plan_of(spark, "d5l_dedup_embedding_lsh")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    band_join_lines = [
+        line for line in plan.splitlines()
+        if "Join" in line and "band" in line and "key" in line
+    ]
+    assert band_join_lines, plan
+    for line in band_join_lines:
+        assert "zip_with" not in line, line
