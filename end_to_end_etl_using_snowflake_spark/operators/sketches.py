@@ -1,0 +1,257 @@
+"""Probabilistic sketches as deterministic DataFrame plans: HyperLogLog
+distinct counting and count-min frequency estimation.
+
+At 100 TB, exact COUNT(DISTINCT) and exact per-key counts are often the
+single most expensive aggregates in a workload (a full shuffle of every
+distinct value / key). Sketches replace them with fixed-size state that
+merges associatively — exactly what Spark's partial aggregation wants:
+each partition builds its local registers map-side, the exchange
+carries O(registers) rows, and the final merge is a tiny max/sum.
+
+Two deliberate design points, both unusual vs library sketches:
+
+- **Deterministic, engine-portable hashing.** Registers derive from
+  md5 (15 hex chars -> a 60-bit non-negative integer), not from a
+  JVM-private hash, so a DuckDB/ANSI twin reproduces every register
+  and the driver's bit-exact oracle gate applies to an *approximate*
+  operator. (Spark's own approx_count_distinct is also deterministic,
+  but its HLL++ registers aren't reproducible outside the JVM.)
+- **Exact-integer register arithmetic.** The HLL harmonic sum is kept
+  as a SCALED BIGINT (sum of 2^(W+1-rho), exact below 2^62) rather
+  than a float sum of 2^-rho, so there is no order-dependent double
+  accumulation anywhere; the one double division happens at the very
+  end. Same for count-min: counters are exact BIGINTs.
+
+Reference analog: none (the reference delegates everything to
+Snowflake's engine, which exposes HLL as ``approx_count_distinct``,
+Snowflake docs); this is the engine-native equivalent of that surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_hash64(col: Column, salt: str | None = None) -> Column:
+    """Deterministic 60-bit non-negative hash: the first 15 hex chars of
+    md5, parsed base-16. Identical in DuckDB as
+    ``CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT)``."""
+    s = F.concat(F.lit(salt + ":"), col.cast("string")) if salt else col.cast("string")
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def sql_md5_hash64(expr: str, salt: str | None = None) -> str:
+    inner = f"concat('{salt}:', CAST({expr} AS VARCHAR))" if salt else f"CAST({expr} AS VARCHAR)"
+    return f"CAST(concat('0x', substring(md5({inner}), 1, 15)) AS BIGINT)"
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007), m=2^p
+    registers, as three DataFrame aggregations.
+
+    Per value: bucket = low ``p`` hash bits; w = the remaining
+    ``W = 60-p`` bits; rho = position of w's highest set bit from the
+    top (W+1 - bit_length(w), W+1 when w = 0). Register j keeps
+    max(rho). The harmonic sum is scaled integer:
+    ``S = sum_j 2^(W+1 - M_j)`` with empty registers contributing
+    ``2^(W+1)``, so S is exact; the raw HLL estimate
+    ``alpha_m * m^2 / sum_j 2^-M_j = alpha_m * m^2 * 2^(W+1) / S``
+    is one double division at the end. The small/large-range
+    corrections are deliberately NOT applied in-plan (they need ln,
+    which is libm-dependent and breaks cross-engine bit-parity);
+    v_empty ships alongside so a caller can apply linear counting.
+
+    Plan: one narrow projection -> groupBy(bucket) max -> one-row
+    final aggregate. Shuffle carries at most m rows. Returns one row:
+    (m, v_empty, s_scaled, raw_estimate, n_exact, rel_err) — n_exact
+    is included for self-audit and is the thing a 100 TB run would
+    DROP (it is the expensive exact path the sketch replaces).
+    """
+    m = 1 << p
+    w_bits = 60 - p
+    h = md5_hash64(F.col(col))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        df.select(
+            (h.bitwiseAND(F.lit(m - 1))).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    exact = df.agg(F.countDistinct(F.col(col)).alias("n_exact"))
+    # SQL-form shiftleft: the PySpark wrapper only takes a literal
+    # shift amount, the SQL function takes an expression
+    scaled = F.expr(f"shiftleft(CAST(1 AS BIGINT), {w_bits + 1} - m_rho)")
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(scaled).alias("s_observed"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    empty = F.lit(m) - F.col("n_buckets")
+    s_total = F.col("s_observed") + empty * F.lit(1 << (w_bits + 1)).cast("long")
+    est = (
+        F.lit(alpha)
+        * F.lit(float(m * m))
+        * F.lit(float(1 << (w_bits + 1)))
+        / s_total.cast("double")
+    )
+    out = (
+        agg.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(m).alias("m"),
+            empty.cast("long").alias("v_empty"),
+            s_total.cast("long").alias("s_scaled"),
+            est.alias("raw_estimate"),
+            F.col("n_exact"),
+            ((est - F.col("n_exact").cast("double")) / F.col("n_exact").cast("double")).alias(
+                "rel_err"
+            ),
+        )
+    )
+    return out
+
+
+def sql_hll_distinct(table: str, col: str, p: int = 8) -> str:
+    """DuckDB twin of ``hll_distinct`` — identical registers, identical
+    scaled-integer sum, identical final expression."""
+    m = 1 << p
+    w_bits = 60 - p
+    h = sql_md5_hash64(col)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return f"""
+    WITH hashed AS (
+        SELECT {h} AS h FROM {table}
+    ),
+    rows_ AS (
+        SELECT h & {m - 1} AS bucket,
+               CASE WHEN (h >> {p}) = 0 THEN {w_bits + 1}
+                    ELSE {w_bits + 1} - length(bin(h >> {p})) END AS rho
+        FROM hashed
+    ),
+    regs AS (SELECT bucket, max(rho) AS m_rho FROM rows_ GROUP BY bucket),
+    agg AS (
+        SELECT count(*) AS n_buckets,
+               CAST(sum(CAST(1 AS BIGINT) << ({w_bits + 1} - m_rho)) AS BIGINT)
+                   AS s_observed
+        FROM regs
+    ),
+    exact AS (SELECT count(DISTINCT {col}) AS n_exact FROM {table})
+    SELECT {m} AS m,
+           CAST({m} - n_buckets AS BIGINT) AS v_empty,
+           CAST(s_observed + ({m} - n_buckets) * CAST({1 << (w_bits + 1)} AS BIGINT)
+                AS BIGINT) AS s_scaled,
+           CAST({alpha!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)
+               * CAST({float(1 << (w_bits + 1))!r} AS DOUBLE)
+               / CAST(s_observed + ({m} - n_buckets)
+                      * CAST({1 << (w_bits + 1)} AS BIGINT) AS DOUBLE)
+               AS raw_estimate,
+           n_exact,
+           (CAST({alpha!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)
+               * CAST({float(1 << (w_bits + 1))!r} AS DOUBLE)
+               / CAST(s_observed + ({m} - n_buckets)
+                      * CAST({1 << (w_bits + 1)} AS BIGINT) AS DOUBLE)
+            - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+    FROM agg, exact
+    """
+
+
+def countmin_estimates(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimates for every distinct key, depth x width exact-BIGINT
+    counters, plus the exact count and overestimate for self-audit.
+
+    Build: each row increments counter (i, h_i(key) % width) for
+    i < depth — expressed as one explode to depth rows and one
+    groupBy((i, slot)). Probe: each distinct key reads its depth
+    counters back (broadcast join — the sketch is depth*width rows by
+    construction) and takes the MIN. CM guarantees
+    estimate >= exact (one-sided error); ``overestimate`` is the
+    slack. At 100 TB the sketch build is one narrow shuffle of
+    (i, slot) pairs with map-side combine, state is depth*width longs
+    regardless of key cardinality, and the probe side here (all
+    distinct keys, for audit) would be replaced by whatever keys the
+    caller actually wants estimated.
+    """
+    rows = df.select(F.col(key_col).alias("key")).withColumn(
+        "i", F.explode(F.array(*[F.lit(i) for i in range(depth)]))
+    )
+    # per-sketch-row hash: re-salt by the depth index i (depth
+    # independent-ish hash functions from one md5, identically
+    # expressible in SQL)
+    slotted = rows.withColumn(
+        "slot",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("key").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(width),
+        ),
+    )
+    counters = slotted.groupBy("i", "slot").agg(F.count(F.lit(1)).alias("c"))
+    exact = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    probes = exact.withColumn(
+        "i", F.explode(F.array(*[F.lit(i) for i in range(depth)]))
+    ).withColumn(
+        "slot",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("key").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(width),
+        ),
+    )
+    return (
+        probes.join(F.broadcast(counters), ["i", "slot"])
+        .groupBy("key", "n_exact")
+        .agg(F.min("c").alias("cm_estimate"))
+        .select(
+            "key",
+            "cm_estimate",
+            "n_exact",
+            (F.col("cm_estimate") - F.col("n_exact")).alias("overestimate"),
+        )
+    )
+
+
+def sql_countmin_estimates(table: str, key_col: str, depth: int = 4, width: int = 256) -> str:
+    """DuckDB twin of ``countmin_estimates``."""
+    h = (
+        f"CAST(concat('0x', substring(md5(concat(CAST(i AS VARCHAR), ':', "
+        f"CAST(key AS VARCHAR))), 1, 15)) AS BIGINT) % {width}"
+    )
+    return f"""
+    WITH ks AS (SELECT {key_col} AS key FROM {table}),
+    idx AS (SELECT unnest(range({depth})) AS i),
+    rows_ AS (SELECT key, i, {h} AS slot FROM ks, idx),
+    counters AS (SELECT i, slot, count(*) AS c FROM rows_ GROUP BY 1, 2),
+    exact AS (SELECT key, count(*) AS n_exact FROM ks GROUP BY 1),
+    probes AS (SELECT key, n_exact, i, {h} AS slot FROM exact, idx)
+    SELECT p.key, min(c.c) AS cm_estimate, p.n_exact,
+           min(c.c) - p.n_exact AS overestimate
+    FROM probes p JOIN counters c ON c.i = p.i AND c.slot = p.slot
+    GROUP BY p.key, p.n_exact
+    """

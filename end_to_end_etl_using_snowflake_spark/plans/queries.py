@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import merge as M
-from .registry import register
+from .registry import REGISTRY, register
 from .tables import load
 
 # ---------------------------------------------------------------------------
@@ -2800,3 +2800,52 @@ def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bal).cast("double").alias("total_bal"),
         )
     )
+
+
+@register(
+    "k1_hll_distinct_sketch",
+    oracle=None,  # assigned below: generated from the sketch module
+    doc="""HyperLogLog distinct-count sketch (m=256 registers) over
+    events.user_id — the fixed-state replacement for the full-shuffle
+    exact COUNT(DISTINCT) at 100 TB. Registers derive from md5 bits
+    (engine-portable) and the harmonic sum is an exact scaled BIGINT,
+    so this APPROXIMATE operator is still bit-exact against its DuckDB
+    twin — registers, estimate, and relative error all hash-match.
+    n_exact rides along as self-audit (it is the expensive path the
+    sketch replaces; drop it in production).""",
+    tags=("sketch", "aggregate", "scale-path"),
+)
+def k1_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches as K
+
+    return K.hll_distinct(load(spark, sf_dir, "events"), "user_id", p=8)
+
+
+@register(
+    "k2_countmin_frequencies",
+    oracle=None,  # assigned below
+    doc="""Count-min sketch (4 x 256 exact-BIGINT counters) frequency
+    estimates for every event_type, with the exact count and the
+    one-sided overestimate as self-audit columns. The sketch build is
+    one narrow (i, slot) shuffle with map-side combine and its state
+    is depth*width regardless of key cardinality — the 100 TB
+    heavy-hitters primitive. md5-derived row hashes make the DuckDB
+    twin bit-exact.""",
+    tags=("sketch", "aggregate", "scale-path"),
+)
+def k2_countmin_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches as K
+
+    return K.countmin_estimates(load(spark, sf_dir, "events"), "event_type", depth=4, width=256)
+
+
+def _attach_sketch_oracles() -> None:
+    from ..operators import sketches as K
+
+    REGISTRY["k1_hll_distinct_sketch"].oracle = K.sql_hll_distinct("events", "user_id", p=8)
+    REGISTRY["k2_countmin_frequencies"].oracle = K.sql_countmin_estimates(
+        "events", "event_type", depth=4, width=256
+    )
+
+
+_attach_sketch_oracles()

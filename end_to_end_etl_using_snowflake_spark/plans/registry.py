@@ -91,6 +91,9 @@ PRIORITY: tuple[str, ...] = (
     "p7_filter_equality", "j1_inner_equi_broadcast", "a4_count_distinct",
     "f5_string_extract", "e2_sessionize", "e4_sliding_window_agg",
     "x5_range_join",
+    "k1_hll_distinct_sketch", "k2_countmin_frequencies",
+    "q6_forecast_revenue", "q10_returned_items", "q14_promo_revenue",
+    "q19_disjunctive_predicates", "q22_dormant_accounts",
     "sql1_text_surface", "p10_exists_correlated", "f10_try_cast",
     "f11_array_funcs", "s1_set_ops", "p8_pivot", "a7_grouping_sets",
     "a5_rollup", "a6_percentile_groups", "f6_date_math",
