@@ -70,8 +70,16 @@ def merge_dataframes(
     update_cols: Sequence[str] | None = None,
     matched_set: Mapping[str, Column] | None = None,
     insert_defaults: Mapping[str, Column] | None = None,
+    target_known_empty: bool = False,
 ) -> DataFrame:
     """Pure-DataFrame MERGE (SCD-1): returns the post-merge state.
+
+    ``target_known_empty=True`` is the initial-load fast path: when the
+    caller KNOWS the target has no rows (e.g. its storage directory
+    does not exist yet — a free filesystem check, where a count would
+    be a Spark action), every source row is an insert and both joins
+    are skipped — the bulk-backfill case where the anti-join would
+    shuffle the entire batch to discover nothing matches.
 
     - matched rows  -> source values for ``update_cols`` (default: all
       non-key target columns also present in the source), with
@@ -98,6 +106,19 @@ def merge_dataframes(
     clash = [c for c in carry_cols if c in source.columns]
     if clash:
         raise ValueError(f"carry columns also present in source: {clash}")
+
+    if target_known_empty:
+        out_new: list[Column] = []
+        for c in target_cols:
+            if c in keys or c in update_cols:
+                out_new.append(F.col(c).alias(c))
+            else:
+                out_new.append(
+                    insert_defaults.get(
+                        c, F.lit(None).cast(target.schema[c].dataType)
+                    ).alias(c)
+                )
+        return source.select(*out_new)
 
     kept = target.join(source.select(*keys).distinct(), on=keys, how="left_anti")
 

@@ -181,6 +181,16 @@ class EntityPipelines:
         if entity == "item":
             # reference order: start_date desc (item-...sql:74), version as tie-break
             order_cols = [F.col("start_date").desc(), F.col("_version").desc()]
+        # total tiebreak: a multi-file batch can carry two rows with the
+        # SAME key and version (e.g. composite-key collisions in a bulk
+        # backfill); Snowflake would raise a nondeterministic-merge
+        # error, we pick the lexicographically greatest row instead so
+        # the outcome never depends on file/partition layout
+        order_cols += [
+            F.col(c).desc()
+            for c in sorted(self.raw[entity].schema.names)
+            if c not in keys
+        ]
         # one dedup pass serves both the merge source and the changelog
         # record (it was previously computed for each)
         deduped = M.dedup_latest(src.drop("_action"), keys, order_cols).persist()
@@ -190,6 +200,7 @@ class EntityPipelines:
                 deduped,
                 keys=keys,
                 update_cols=[c for c in self.raw[entity].schema.names if c not in keys],
+                target_known_empty=not self.raw[entity].storage.exists(),
             )
             self.raw[entity].overwrite(
                 merged.select(*self.raw[entity].schema.names),
@@ -231,6 +242,7 @@ class EntityPipelines:
             keys=["customer_id"],
             matched_set={"updated_timestamp": now},
             insert_defaults={"added_timestamp": now, "updated_timestamp": now},
+            target_known_empty=not self.dim_customer.storage.exists(),
         ).persist()  # fill_identity + write = 3 passes; cache the merge once
         try:
             out = M.fill_identity(merged, "customer_dim_key", order_by=["customer_id"])
@@ -269,6 +281,7 @@ class EntityPipelines:
             keys=["item_id"],
             matched_set={"updated_timestamp": now},
             insert_defaults={"added_timestamp": now, "updated_timestamp": now},
+            target_known_empty=not self.dim_item.storage.exists(),
         ).persist()  # fill_identity + write = 3 passes; cache the merge once
         try:
             out = M.fill_identity(merged, "item_dim_key", order_by=["item_id"])

@@ -33,12 +33,18 @@ def _money(col):
     return F.round(col.cast("decimal(20,6)"), 2).cast("decimal(20,2)").cast("string")
 
 
-def _write_entity_csv(df: DataFrame, landing_dir: str) -> None:
+def _write_entity_csv(df: DataFrame, landing_dir: str, n_files: int = 8) -> None:
     """Write an all-string DataFrame as landing CSVs (header per file,
     Spark-parallel; part files moved so the landing dir holds plain
-    ``*.csv`` with no ``_SUCCESS`` marker)."""
+    ``*.csv`` with no ``_SUCCESS`` marker).
+
+    Explicit repartition: the source parquet is a few MB, and
+    ``files.openCostInBytes`` (4 MiB) floors the split size, so without
+    it the whole synthesis (decimal money formatting x 150k rows) runs
+    as ONE task and the landing dir gets one file — serializing both
+    this write and the downstream ingest."""
     tmp = landing_dir + "__tmp"
-    df.write.mode("overwrite").option("header", True).csv(tmp)
+    df.repartition(n_files).write.mode("overwrite").option("header", True).csv(tmp)
     os.makedirs(landing_dir, exist_ok=True)
     for name in os.listdir(tmp):
         if name.startswith("part-") and name.endswith(".csv"):

@@ -147,3 +147,40 @@ def test_range_join_equals_naive(spark, points, intervals):
         if s <= ts < s + width
     }
     assert got == want
+
+
+def test_target_known_empty_fast_path_equivalence(spark):
+    """merge_dataframes(target_known_empty=True) must produce exactly
+    the rows the two-join path produces against an actually-empty
+    target — the initial-load shortcut can never change semantics."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from end_to_end_etl_using_snowflake_spark.operators.merge import merge_dataframes
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("ident", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    target = spark.createDataFrame([], schema)
+    source = spark.range(5).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    now = F.lit("2021-06-01 00:00:00").cast("timestamp")
+    kwargs = dict(
+        keys=["k"],
+        matched_set={"ts": now},
+        insert_defaults={"ts": now},
+    )
+    slow = merge_dataframes(target, source, **kwargs)
+    fast = merge_dataframes(target, source, target_known_empty=True, **kwargs)
+    # nullability may tighten on the join-free path (source non-null
+    # columns stay non-null); names and types must be identical
+    assert [(f.name, f.dataType) for f in slow.schema] == [
+        (f.name, f.dataType) for f in fast.schema
+    ]
+    assert sorted(map(tuple, slow.collect())) == sorted(map(tuple, fast.collect()))
