@@ -70,7 +70,9 @@ PRIORITY: tuple[str, ...] = (
     "f4_strict_casts",
     # the reference's own end-to-end pipeline state (stage->raw->dim/
     # fact MERGE chains replayed over its fixtures) + identity contract
+    # + observability surfaces (tasks/streams/pipes/stage listing)
     "pl_dim_customer", "pl_dim_item", "pl_fact_order", "pl_identity_keys",
+    "pl_task_history", "pl_show_streams", "pl_list_stage",
     # LLM-data families
     "d1_dedup_exact", "d3_dedup_minhash_lsh", "d4_dedup_simhash",
     "d2_dedup_ngram_jaccard", "d5_dedup_embedding_cosine",
@@ -84,10 +86,10 @@ PRIORITY: tuple[str, ...] = (
     # streaming / windows / scale paths
     "e1_tumbling_window_agg", "e5_session_window_native",
     "e3_sessionize_stateful_stream", "e6_stream_dedup_watermark",
-    "w2_window_frames", "x1_asof_join",
-    "j6_salted_skew_join", "b1_bucketed_colocated_join",
-    "m7_incremental_fact_merge", "m8_scd2_merge",
+    "x1_asof_join", "j6_salted_skew_join",
+    "m7_incremental_fact_merge",
     # ---- 51+: locally-checked redundant variants + SQL surface
+    "m8_scd2_merge", "b1_bucketed_colocated_join", "w2_window_frames",
     "p7_filter_equality", "j1_inner_equi_broadcast", "a4_count_distinct",
     "f5_string_extract", "e2_sessionize", "e4_sliding_window_agg",
     "x5_range_join",
