@@ -21,7 +21,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
-from ..functions.text import HASH_MOD
 
 
 def brute_force_topk(
@@ -57,16 +56,6 @@ def brute_force_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
-
-
-def _char_fold_py(s: str, mod: int = HASH_MOD) -> int:
-    """Python twin of functions.text.char_fold_hash (same fold, same
-    constants) — used only to derive the deterministic hyperplane
-    weights on the driver; never touches row data."""
-    h = 0
-    for ch in s:
-        h = (h * 31 + ord(ch)) % mod
-    return h
 
 
 def _splitmix64(x: int) -> int:

@@ -228,3 +228,23 @@ def test_lsh_pairs_plan_has_no_cartesian_node(spark):
     assert band_join_lines, plan
     for line in band_join_lines:
         assert "zip_with" not in line, line
+
+
+def test_q6_all_predicates_reach_the_scan(spark):
+    """TPC-H Q6 is the pushdown probe: ship-date bounds must land in
+    PushedFilters so row groups prune at the parquet reader; the
+    aggregate must be partial+final with no grouping exchange fan-out."""
+    plan = plan_of(spark, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "l_shipdate" in pushed, plan
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+
+
+def test_q19_disjunction_still_hash_joins(spark):
+    """TPC-H Q19's OR'd conjunct groups must not defeat the equi-join
+    extraction: the plan keeps a hash join on partkey (broadcast or
+    shuffled), never a nested-loop over the disjunction."""
+    plan = plan_of(spark, "q19_disjunctive_predicates")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan, plan
