@@ -2849,3 +2849,73 @@ def _attach_sketch_oracles() -> None:
 
 
 _attach_sketch_oracles()
+
+
+@register(
+    "e7_stream_interval_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS l_event_id,
+           c.event_id AS r_event_id,
+           v.ts AS l_ts,
+           c.ts AS r_ts
+    FROM events v
+    JOIN events c
+      ON c.user_id = v.user_id
+     AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL 600 SECONDS
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+    doc="""Stream-STREAM interval join run for real (view -> click
+    attribution): both sides are Structured Streaming file sources with
+    watermarks, the join condition bounds the match window to 10
+    minutes of event time, and state for a view is evicted once the
+    click watermark passes — the unbounded-state trap a naive
+    stream-stream join falls into at 100 TB (streaming/joins.py
+    refuses to build one). Each side lands as one file so the
+    availableNow drain is a single micro-batch and the inner join is
+    complete; the oracle is the equivalent batch interval join.""",
+    tags=("streaming", "join", "interval"),
+)
+def e7_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.joins import interval_join
+
+    base = tempfile.mkdtemp(prefix="e7_join_")
+    vdir, cdir, out_dir, ckpt = (
+        f"{base}/views", f"{base}/clicks", f"{base}/out", f"{base}/ckpt"
+    )
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    ev.filter(F.col("event_type") == "view").drop("event_type").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(vdir)
+    ev.filter(F.col("event_type") == "click").drop("event_type").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(cdir)
+    schema = "user_id bigint, event_id bigint, ts timestamp"
+    views = spark.readStream.schema(schema).parquet(vdir)
+    clicks = spark.readStream.schema(schema).parquet(cdir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            interval_join(
+                views, clicks, key="user_id", max_delay_seconds=600,
+                watermark_delay="30 minutes", how="inner",
+            )
+            .select("user_id", "l_event_id", "r_event_id", "l_ts", "r_ts")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.schema(
+        "user_id bigint, l_event_id bigint, r_event_id bigint, "
+        "l_ts timestamp, r_ts timestamp"
+    ).parquet(out_dir)
