@@ -477,3 +477,84 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
             )
         ).alias("max_abs_err"),
     )
+
+
+def quantized_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    shortlist: int = 20,
+) -> DataFrame:
+    """Two-stage ANN: int8-quantized scoring builds a per-query
+    shortlist, exact float cosine reranks it — the standard
+    quantize-then-rerank retrieval pattern (the 100 TB shape: the
+    shortlist scan touches 4-8x fewer bytes than float64 vectors, and
+    the exact path reads only ``shortlist`` full vectors per query).
+
+    Determinism end to end: quantization follows ``quantize_int8``
+    (scale = 127/max|x|, HALF_UP rounding — identical in DuckDB), the
+    int8 dot product is an EXACT BIGINT fold, the approximate cosine is
+    one fixed chain of double ops on exact ints, and every window rank
+    carries an id tiebreak — so even the intermediate shortlist is
+    bit-reproducible by the SQL oracle.
+
+    Returns (query_id, rank, neighbor_id, cos_sim, approx_cos):
+    ``cos_sim`` is the exact sequential-fold cosine used for the final
+    rank; ``approx_cos`` is the quantized stage's estimate, kept so the
+    approximation error is auditable in-row.
+    """
+
+    def prep(df: DataFrame, pre: str) -> DataFrame:
+        v = V.to_double(F.col(vec_col))
+        base = df.select(F.col(id_col).alias(f"{pre}id"), v.alias(f"{pre}v"))
+        scale = F.lit(127.0) / F.array_max(F.transform(F.col(f"{pre}v"), F.abs))
+        return (
+            base.withColumn(f"{pre}scale", scale)
+            .withColumn(
+                f"{pre}q",
+                F.transform(
+                    F.col(f"{pre}v"),
+                    lambda x: F.round(x * F.col(f"{pre}scale")).cast("int"),
+                ),
+            )
+            .withColumn(f"{pre}n", V.norm(F.col(f"{pre}v")))
+        )
+
+    c = prep(corpus, "c")
+    q = prep(queries, "q")
+    qdot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    approx = qdot.cast("double") / (
+        F.col("qscale") * F.col("cscale") * F.col("qn") * F.col("cn")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .withColumn("approx_cos", approx)
+    )
+    w_short = Window.partitionBy("qid").orderBy(
+        F.col("approx_cos").desc(), F.col("cid").asc()
+    )
+    short = scored.withColumn("__sr", F.row_number().over(w_short)).filter(
+        F.col("__sr") <= shortlist
+    )
+    exact = V.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w_final = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("cid").asc()
+    )
+    return (
+        short.withColumn("cos_sim", exact)
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            F.col("cid").alias("neighbor_id"),
+            "cos_sim",
+            "approx_cos",
+        )
+    )

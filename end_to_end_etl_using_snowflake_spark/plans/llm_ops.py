@@ -1651,3 +1651,59 @@ def udf1_pandas_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.n_long_tokens").alias("n_long_tokens"),
         F.col("s.n_chars").alias("n_chars"),
     )
+
+
+@register(
+    "v10_ann_quantized_rerank",
+    oracle=f"""
+    WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    s AS (SELECT id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS scale,
+                 sqrt({sql_dot('v', 'v')}) AS nrm
+          FROM e),
+    c AS (SELECT id, v, scale, nrm,
+                 list_transform(v, x -> round(x * scale)::INTEGER) AS qv
+          FROM s),
+    q AS (SELECT * FROM c WHERE id < 10),
+    scored AS (
+        SELECT q.id AS query_id, c.id AS neighbor_id,
+               q.v AS qv_f, c.v AS cv_f, q.nrm AS qn, c.nrm AS cn,
+               CAST(list_reduce(list_concat([0::BIGINT],
+                        list_transform(generate_series(1, len(q.qv)),
+                                       i -> (q.qv[i] * c.qv[i])::BIGINT)),
+                    (a, b) -> a + b) AS DOUBLE)
+                   / (q.scale * c.scale * q.nrm * c.nrm) AS approx_cos
+        FROM c JOIN q ON q.id != c.id
+    ),
+    short AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY approx_cos DESC, neighbor_id) AS sr
+        FROM scored
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id, approx_cos,
+               {sql_dot('qv_f', 'cv_f')} / (qn * cn) AS cos_sim
+        FROM short WHERE sr <= 20
+    )
+    SELECT query_id, rnk AS "rank", neighbor_id, cos_sim, approx_cos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM exact)
+    WHERE rnk <= 5
+    """,
+    doc="""Two-stage quantize-then-rerank ANN: int8 codes (v8's
+    quantization) score a 20-deep shortlist with EXACT BIGINT dot
+    products, then full-precision cosine reranks to top-5 — the
+    retrieval pattern that cuts scan bandwidth 4-8x at 100 TB while
+    the exact path touches only shortlist-many full vectors per query.
+    Every stage (HALF_UP quantization, integer dot, fixed double
+    chain, id tiebreaks) is bit-reproducible, so even the intermediate
+    shortlist hash-matches the oracle.""",
+    tags=("similarity", "quantization", "rerank"),
+)
+def v10_ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.quantized_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, shortlist=20,
+    )
