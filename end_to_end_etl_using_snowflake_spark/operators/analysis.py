@@ -367,3 +367,84 @@ def bigram_assoc_topk(
         .limit(k)
         .select("w1", "w2", "c_xy", "c_x", "c_y", "lift")
     )
+
+
+def bpe_merge_steps(
+    df: DataFrame, id_col: str, text_col: str, n_merges: int = 5
+) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016), the
+    first ``n_merges`` steps, as ONE declarative lazy plan — the
+    subword-tokenizer training pass of an LLM data pipeline.
+
+    Classic formulation: words (with corpus frequencies) start as
+    character sequences; each step merges the globally most frequent
+    adjacent symbol pair (ties: lexicographic) in every word. The
+    novel part here is staying declarative end to end:
+
+    - symbol sequences are SPACE-JOINED STRINGS with sentinel boundary
+      spaces, so "apply merge (a, b)" is one ``replace(seq, ' a b ',
+      ' ab ')`` — and because both Spark and DuckDB scan replace
+      left-to-right non-overlapping, the greedy-left BPE application
+      semantics are bit-identical across engines;
+    - each step's argmax pair stays IN-PLAN: a 1-row
+      (count desc, pair asc) TakeOrdered crossJoined back broadcast —
+      no driver-side collect, so the n-step loop is one chained lazy
+      plan (same pattern as kmeans_lloyd's iterations);
+    - pair counts are exact BIGINT sums of word frequencies.
+
+    Scale: the per-step shuffle carries (symbol-pair, count) rows —
+    vocabulary-bounded, not corpus-bounded — and the word table itself
+    never reshuffles (the merge application is a narrow map). Returns
+    (step, left, right, merged, pair_count).
+    """
+    toks = df.select(F.explode(TXT.tokens(F.col(text_col))).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    cur = vocab.withColumn(
+        "seq",
+        F.concat(
+            F.lit(" "),
+            F.expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ')"),
+            F.lit(" "),
+        ),
+    ).select("freq", "seq")
+
+    steps = []
+    for step in range(1, n_merges + 1):
+        syms = F.split(F.trim(F.col("seq")), " ")
+        n = F.size(syms)
+        pairs = cur.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(syms, 1, F.greatest(n - 1, F.lit(0))),
+                    F.slice(syms, 2, F.greatest(n - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        ).select("freq", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+        )
+        steps.append(best.withColumn("step", F.lit(step)))
+        b = best.select(F.col("l").alias("__l"), F.col("r").alias("__r"))
+        cur = (
+            cur.crossJoin(F.broadcast(b))
+            .withColumn(
+                "seq",
+                F.replace(
+                    F.col("seq"),
+                    F.concat(F.lit(" "), F.col("__l"), F.lit(" "), F.col("__r"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("__l"), F.col("__r"), F.lit(" ")),
+                ),
+            )
+            .drop("__l", "__r")
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.select(
+        "step", "l", "r", F.concat(F.col("l"), F.col("r")).alias("merged"), "pair_count"
+    )

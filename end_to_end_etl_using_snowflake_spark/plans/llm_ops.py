@@ -1707,3 +1707,55 @@ def v10_ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
         k=5, shortlist=20,
     )
+
+
+def _bpe_oracle(n_merges: int = 5) -> str:
+    """Unrolled DuckDB twin of operators.analysis.bpe_merge_steps: the
+    same space-sentinel string representation, the same left-to-right
+    non-overlapping replace() application, the same (count desc, pair
+    asc) argmax per step."""
+    parts = [
+        f"v0 AS (SELECT w, count(*) AS freq FROM "
+        f"(SELECT unnest({SQL_TOKENS.format(x='text')}) AS w FROM documents) GROUP BY w)",
+        "seq0 AS (SELECT freq, ' ' || array_to_string("
+        "list_transform(generate_series(1, length(w)), i -> w[i]), ' ') || ' ' AS seq "
+        "FROM v0)",
+    ]
+    for s in range(1, n_merges + 1):
+        prev = f"seq{s - 1}"
+        parts.append(
+            f"p{s} AS (SELECT t.freq, toks[g.i] AS l, toks[g.i + 1] AS r "
+            f"FROM (SELECT freq, string_split(trim(seq), ' ') AS toks FROM {prev}) t, "
+            f"UNNEST(generate_series(1, len(t.toks) - 1)) AS g(i))"
+        )
+        parts.append(
+            f"b{s} AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS pair_count "
+            f"FROM p{s} GROUP BY l, r ORDER BY pair_count DESC, l, r LIMIT 1)"
+        )
+        parts.append(
+            f"seq{s} AS (SELECT t.freq, "
+            f"replace(t.seq, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS seq "
+            f"FROM {prev} t, b{s} b)"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {s} AS step, l, r, l || r AS merged, pair_count FROM b{s}"
+        for s in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + finals
+
+
+@register(
+    "t10_bpe_merges",
+    oracle=_bpe_oracle(5),
+    doc="""BPE subword-tokenizer training, first 5 merge steps, as one
+    chained declarative plan (operators/analysis.py:bpe_merge_steps):
+    word-frequency-weighted adjacent-pair counts, in-plan 1-row argmax
+    per step (no driver collect), merge application as a boundary-
+    sentinel string replace whose greedy-left semantics are identical
+    in Spark and DuckDB — so the learned merge table is bit-exact
+    against the oracle. Per-step shuffle is vocabulary-bounded, never
+    corpus-bounded.""",
+    tags=("text", "bpe", "iterative"),
+)
+def t10_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.bpe_merge_steps(load(spark, sf_dir, "documents"), "doc_id", "text", n_merges=5)
