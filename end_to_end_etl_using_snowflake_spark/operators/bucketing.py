@@ -58,3 +58,36 @@ def write_bucketed(
         writer = writer.option("path", os.path.abspath(path))
     writer.saveAsTable(table)
     return spark.table(table)
+
+
+def zorder_key(u, v, bits: int = 16):
+    """Z-order (Morton) key: interleave the low ``bits`` of two
+    non-negative integer columns — the multi-dimensional clustering
+    key behind data-skipping layouts (Delta/Iceberg OPTIMIZE ZORDER).
+
+    Sorting a table by z(u, v) before writing makes every output file
+    cover a small RECTANGLE in (u, v) space, so min/max file statistics
+    prune point/range queries on EITHER dimension — a single-column
+    sort only prunes its own column. Pure integer bit arithmetic
+    (shift/and/or), bit-identical in any engine.
+    """
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(u, b).bitwiseAND(F.lit(1)).cast("long"), 2 * b)
+        )
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(v, b).bitwiseAND(F.lit(1)).cast("long"), 2 * b + 1)
+        )
+    return z
+
+
+def sql_zorder_key(u: str, v: str, bits: int = 16) -> str:
+    """DuckDB twin of ``zorder_key`` (same shift/and/or chain)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({u} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({v} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " | ".join(terms) + ")"

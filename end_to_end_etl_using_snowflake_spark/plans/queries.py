@@ -2919,3 +2919,71 @@ def e7_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id bigint, l_event_id bigint, r_event_id bigint, "
         "l_ts timestamp, r_ts timestamp"
     ).parquet(out_dir)
+
+
+def _z1_oracle() -> str:
+    from ..operators.bucketing import sql_zorder_key
+
+    z = sql_zorder_key("u8", "v8", bits=8)
+    return f"""
+    WITH base AS (
+        SELECT event_id, user_id, epoch_us(ts) // 60000000 AS mnt
+        FROM events
+    ),
+    bounds AS (
+        SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+               min(mnt) AS vlo, max(mnt) AS vhi
+        FROM base
+    ),
+    norm AS (
+        SELECT event_id, user_id,
+               ((user_id - ulo) * 256) // (uhi - ulo + 1) AS u8,
+               ((mnt - vlo) * 256) // (vhi - vlo + 1) AS v8
+        FROM base, bounds
+    )
+    SELECT event_id, user_id, u8, v8, {z} AS z FROM norm
+    """
+
+
+@register(
+    "z1_zorder_layout_key",
+    oracle=None,  # attached below (generated from the operator's SQL twin)
+    doc="""Range-normalized Z-order (Morton) clustering key over
+    (user_id, event minute): each dimension min-max scales to 8 bits
+    BEFORE interleaving — without normalization a narrow dimension's
+    zero high bits let the wide one dominate the sort and the layout
+    degenerates to a single-column sort (the classic z-order pitfall;
+    production OPTIMIZE ZORDER range-partitions per column for the
+    same reason). Sorting files by this key bounds every file's
+    min/max stats to a rectangle in BOTH dimensions, so predicates on
+    either column prune files (quantified in tests/
+    test_scale_paths.py). Pure integer arithmetic + shift/and/or
+    chain, bit-identical in DuckDB; bounds stay in-plan as a broadcast
+    1-row aggregate.""",
+    tags=("layout", "data-skipping", "scale-path"),
+)
+def z1_zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bucketing import zorder_key
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 60000000").alias("mnt"),
+    )
+    bounds = ev.agg(
+        F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+        F.min("mnt").alias("vlo"), F.max("mnt").alias("vhi"),
+    )
+    norm = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        "user_id",
+        F.expr("((user_id - ulo) * 256) div (uhi - ulo + 1)").alias("u8"),
+        F.expr("((mnt - vlo) * 256) div (vhi - vlo + 1)").alias("v8"),
+    )
+    return norm.select(
+        "event_id", "user_id", "u8", "v8",
+        zorder_key(F.col("u8"), F.col("v8"), bits=8).alias("z"),
+    )
+
+
+REGISTRY["z1_zorder_layout_key"].oracle = _z1_oracle()

@@ -248,3 +248,48 @@ def test_q19_disjunction_still_hash_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashJoin" in plan, plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Dynamic partition pruning: joining a date-partitioned fact to a
+    FILTERED dim must inject the dim's surviving keys as a runtime
+    partition filter on the fact scan (dynamicpruning expression) — at
+    100 TB this skips whole date directories the dim filter excludes,
+    before any fact bytes are read."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_using_snowflake_spark.operators.dml import ParquetTable
+
+    fact = ParquetTable(spark, str(tmp_path / "fact_dpp"), partition_by=["d"])
+    fact.overwrite(
+        spark.range(0, 2000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("2021-06-0"), (F.col("id") % 9) + 1).alias("d"),
+        )
+    )
+    dim = spark.range(0, 9).select(
+        F.concat(F.lit("2021-06-0"), F.col("id") + 1).alias("d"),
+        (F.col("id") % 3 == 0).alias("keep"),
+    )
+    confs = {
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
+        # let DPP fire at fixture scale (fallback filter ratio gate)
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats": "false",
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio": "10.0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = fact.read().join(dim.filter(F.col("keep")), "d")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan
+        assert j.count() == 3 * (2000 // 9) + sum(
+            1 for i in range(2000 % 9) if (i + 1 - 1) % 9 in (0, 3, 6)
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -213,3 +213,64 @@ def test_global_prefix_sum_matches_single_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_zorder_layout_prunes_both_dimensions(spark):
+    """Quantify the z-order claim: chunk the table into 16 'files' by
+    layout order and count how many a point query must read based on
+    min/max stats. A user_id-sorted layout prunes user queries but
+    reads EVERY chunk for a minute_bucket query; the z-ordered layout
+    bounds both dimensions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_using_snowflake_spark.operators.bucketing import zorder_key
+    from end_to_end_etl_using_snowflake_spark.plans.tables import load
+
+    from .conftest import SF_MED
+
+    raw = load(spark, SF_MED, "events").select(
+        F.col("user_id").alias("ur"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 60000000").alias("vr"),
+    )
+    b = raw.agg(
+        F.min("ur").alias("ulo"), F.max("ur").alias("uhi"),
+        F.min("vr").alias("vlo"), F.max("vr").alias("vhi"),
+    )
+    # range-normalize both dimensions to 8 bits (as z1 does): unequal
+    # effective widths would let the wide dimension dominate the sort
+    ev = raw.crossJoin(F.broadcast(b)).select(
+        F.expr("((ur - ulo) * 256) div (uhi - ulo + 1)").alias("u"),
+        F.expr("((vr - vlo) * 256) div (vhi - vlo + 1)").alias("v"),
+    )
+    ev = ev.withColumn("z", zorder_key(F.col("u"), F.col("v"), bits=8))
+
+    def chunk_hits(order_col, probe_u, probe_v):
+        w = Window.orderBy(F.col(order_col), F.col("u"), F.col("v"))
+        stats = (
+            ev.withColumn("chunk", F.ntile(16).over(w))
+            .groupBy("chunk")
+            .agg(
+                F.min("u").alias("lu"), F.max("u").alias("hu"),
+                F.min("v").alias("lv"), F.max("v").alias("hv"),
+            )
+        )
+        hits_u = stats.filter(
+            (F.col("lu") <= probe_u) & (F.col("hu") >= probe_u)
+        ).count()
+        hits_v = stats.filter(
+            (F.col("lv") <= probe_v) & (F.col("hv") >= probe_v)
+        ).count()
+        return hits_u, hits_v
+
+    probe = ev.select(F.expr("percentile(u, 0.5)"), F.expr("percentile(v, 0.5)")).first()
+    pu, pv = int(probe[0]), int(probe[1])
+    user_u, user_v = chunk_hits("u", pu, pv)
+    z_u, z_v = chunk_hits("z", pu, pv)
+    # single-column sort: perfect on its own column, useless on the other
+    assert user_u <= 2, (user_u, user_v)
+    assert user_v >= 12, (user_u, user_v)
+    # z-order: bounded on BOTH columns — strictly better than the
+    # unsorted dimension of the single-column layout
+    assert z_u < user_v and z_v < user_v, (z_u, z_v, user_v)
+    assert max(z_u, z_v) <= 8, (z_u, z_v)
