@@ -1759,3 +1759,46 @@ def _bpe_oracle(n_merges: int = 5) -> str:
 )
 def t10_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.bpe_merge_steps(load(spark, sf_dir, "documents"), "doc_id", "text", n_merges=5)
+
+
+@register(
+    "x14_content_defined_chunks",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id AS id, text AS t FROM documents WHERE length(text) >= 1
+    ),
+    pos AS (
+        SELECT id, t, length(t) AS n,
+               list_filter(
+                   generate_series(4, greatest(length(t), 4)),
+                   i -> i <= length(t) AND i < length(t)
+                        AND ((((ascii(t[i-3]) * 31 + ascii(t[i-2])) * 31
+                              + ascii(t[i-1])) * 31 + ascii(t[i])) % 32 = 0)
+               ) AS bounds
+        FROM base
+    ),
+    spans AS (
+        SELECT id, t, n,
+               list_concat([1], list_transform(bounds, x -> x + 1)) AS starts,
+               list_concat(bounds, [n]) AS ends
+        FROM pos
+    )
+    SELECT id, g.i - 1 AS chunk_idx, starts[g.i] AS start_pos,
+           ends[g.i] - starts[g.i] + 1 AS chunk_len,
+           md5(substring(t, starts[g.i]::INTEGER,
+                         (ends[g.i] - starts[g.i] + 1)::INTEGER)) AS chunk_md5
+    FROM spans, UNNEST(generate_series(1, len(starts))) AS g(i)
+    """,
+    doc="""Content-defined chunking (Rabin-style rolling-hash cuts,
+    ~32-char average chunks): boundaries move WITH the content, so a
+    single-character insertion re-synchronizes immediately and chunk-
+    level exact dedup still matches everything past the edit — the
+    insertion-robust primitive fixed-stride chunking (x9) lacks, per
+    the rsync/LBFS lineage. One scan, in-row array expressions only,
+    4-term polynomial hash bit-identical in the oracle.""",
+    tags=("dedup", "chunking", "pipeline"),
+)
+def x14_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.content_defined_chunks(
+        load(spark, sf_dir, "documents"), "doc_id", "text", window=4, mask=31
+    )

@@ -89,7 +89,7 @@ PRIORITY: tuple[str, ...] = (
     "x1_asof_join", "j6_salted_skew_join",
     "m7_incremental_fact_merge",
     # ---- 51+: locally-checked redundant variants + SQL surface
-    "e7_stream_interval_join", "v10_ann_quantized_rerank", "t10_bpe_merges", "z1_zorder_layout_key",
+    "e7_stream_interval_join", "v10_ann_quantized_rerank", "t10_bpe_merges", "z1_zorder_layout_key", "x14_content_defined_chunks",
     "m8_scd2_merge", "b1_bucketed_colocated_join", "w2_window_frames",
     "p7_filter_equality", "j1_inner_equi_broadcast", "a4_count_distinct",
     "f5_string_extract", "e2_sessionize", "e4_sliding_window_agg",

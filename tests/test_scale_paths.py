@@ -274,3 +274,30 @@ def test_zorder_layout_prunes_both_dimensions(spark):
     # unsorted dimension of the single-column layout
     assert z_u < user_v and z_v < user_v, (z_u, z_v, user_v)
     assert max(z_u, z_v) <= 8, (z_u, z_v)
+
+
+def test_content_defined_chunks_survive_insertion(spark):
+    """The CDC property itself: inserting one character near the front
+    shifts every fixed-stride chunk, but content-defined boundaries
+    re-synchronize — the majority of chunk fingerprints must still
+    match between original and edited document."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_using_snowflake_spark.operators.dedup import (
+        content_defined_chunks,
+    )
+
+    text = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronauts compare notes about parquet row groups and shuffle "
+        "partitions in the observability meeting on a rainy tuesday "
+        "afternoon before the quarterly planning session begins again"
+    )
+    edited = "X" + text
+    df = spark.createDataFrame([(1, text), (2, edited)], "doc_id long, text string")
+    chunks = content_defined_chunks(df, "doc_id", "text").collect()
+    a = {r.chunk_md5 for r in chunks if r.id == 1}
+    b = {r.chunk_md5 for r in chunks if r.id == 2}
+    assert len(a) >= 4, a  # the text actually chunked
+    shared = len(a & b) / len(a)
+    assert shared >= 0.5, (shared, len(a), len(b))
