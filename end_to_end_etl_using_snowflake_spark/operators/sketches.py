@@ -255,3 +255,106 @@ def sql_countmin_estimates(table: str, key_col: str, depth: int = 4, width: int 
     FROM probes p JOIN counters c ON c.i = p.i AND c.slot = p.slot
     GROUP BY p.key, p.n_exact
     """
+
+
+def bloom_membership(
+    build: DataFrame,
+    probe: DataFrame,
+    key_col: str,
+    n_hashes: int = 4,
+    n_bits: int = 4096,
+) -> DataFrame:
+    """Bloom-filter membership test as two DataFrame aggregations —
+    the third sketch of the family (HLL = cardinality, count-min =
+    frequency, Bloom = set membership).
+
+    Build: every key sets ``n_hashes`` bit positions (md5-derived,
+    engine-portable); the filter is the DISTINCT (hash_i, slot) set —
+    at most ``n_hashes * n_bits`` rows regardless of build cardinality,
+    the fixed-state property that replaces a full-shuffle semi-join
+    against a 100 TB key set (Spark's own runtime bloom join applies
+    the same idea inside the optimizer; this is the engine-level,
+    oracle-checkable form).
+
+    Probe: a key is ``in_filter`` iff ALL its ``n_hashes`` slots are
+    set — the broadcast join + ``count == n_hashes`` group. One-sided
+    error: never a false negative; ``is_member`` (the exact semi-join
+    verdict) rides along so the false-positive rate is auditable
+    in-row. Returns (key, in_filter, is_member).
+    """
+    def slots(df: DataFrame) -> DataFrame:
+        rows = df.select(F.col(key_col).alias("key")).distinct().withColumn(
+            "i", F.explode(F.array(*[F.lit(i) for i in range(n_hashes)]))
+        )
+        return rows.withColumn(
+            "slot",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("i").cast("string"),
+                                F.lit("|"),
+                                F.col("key").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(n_bits),
+            ),
+        )
+    filter_bits = slots(build).select("i", "slot").distinct()
+    probe_slots = slots(probe)
+    hits = (
+        probe_slots.join(F.broadcast(filter_bits), ["i", "slot"], "left_semi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .filter(F.col("__hits") == n_hashes)
+        .select("key", F.lit(True).alias("in_filter"))
+    )
+    truth = build.select(F.col(key_col).alias("key")).distinct().select(
+        "key", F.lit(True).alias("is_member")
+    )
+    keys = probe.select(F.col(key_col).alias("key")).distinct()
+    return (
+        keys.join(hits, "key", "left")
+        .join(truth, "key", "left")
+        .select(
+            "key",
+            F.coalesce(F.col("in_filter"), F.lit(False)).alias("in_filter"),
+            F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
+        )
+    )
+
+
+def sql_bloom_membership(
+    build_sql: str, probe_sql: str, n_hashes: int = 4, n_bits: int = 4096
+) -> str:
+    """DuckDB twin of ``bloom_membership`` (``build_sql``/``probe_sql``
+    are single-column SELECTs aliased ``key``)."""
+    h = (
+        f"CAST(concat('0x', substring(md5(concat(CAST(i AS VARCHAR), '|', "
+        f"CAST(key AS VARCHAR))), 1, 15)) AS BIGINT) % {n_bits}"
+    )
+    return f"""
+    WITH bkeys AS (SELECT DISTINCT key FROM ({build_sql})),
+    pkeys AS (SELECT DISTINCT key FROM ({probe_sql})),
+    idx AS (SELECT unnest(range({n_hashes})) AS i),
+    fbits AS (SELECT DISTINCT i, {h} AS slot FROM bkeys, idx),
+    pslots AS (SELECT key, i, {h} AS slot FROM pkeys, idx),
+    hits AS (
+        SELECT p.key FROM pslots p
+        WHERE EXISTS (SELECT 1 FROM fbits f WHERE f.i = p.i AND f.slot = p.slot)
+        GROUP BY p.key HAVING count(*) = {n_hashes}
+    )
+    SELECT k.key,
+           (h.key IS NOT NULL) AS in_filter,
+           (b.key IS NOT NULL) AS is_member
+    FROM pkeys k
+    LEFT JOIN hits h ON h.key = k.key
+    LEFT JOIN bkeys b ON b.key = k.key
+    """

@@ -2987,3 +2987,45 @@ def z1_zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["z1_zorder_layout_key"].oracle = _z1_oracle()
+
+
+@register(
+    "k3_bloom_membership",
+    oracle=None,  # attached below from the operator's SQL twin
+    doc="""Bloom-filter membership sketch: keys of orders placed before
+    1997 build a 4096-bit / 4-hash filter; every customer key probes
+    it. Fixed-state replacement for a full semi-join against a 100 TB
+    build side (the engine-level, oracle-checkable form of Spark's
+    runtime bloom join). One-sided error by construction — the exact
+    membership verdict rides along, so the false-positive rate is
+    auditable in the result itself.""",
+    tags=("sketch", "membership", "scale-path"),
+)
+def k3_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import bloom_membership
+
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    customers = load(spark, sf_dir, "customer")
+    return bloom_membership(
+        orders.select(F.col("o_custkey").alias("k")),
+        customers.select(F.col("c_custkey").alias("k")),
+        "k",
+        n_hashes=4,
+        n_bits=4096,
+    )
+
+
+def _k3_oracle() -> str:
+    from ..operators.sketches import sql_bloom_membership
+
+    return sql_bloom_membership(
+        "SELECT o_custkey AS key FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'",
+        "SELECT c_custkey AS key FROM customer",
+        n_hashes=4,
+        n_bits=4096,
+    )
+
+
+REGISTRY["k3_bloom_membership"].oracle = _k3_oracle()

@@ -94,7 +94,7 @@ PRIORITY: tuple[str, ...] = (
     "p7_filter_equality", "j1_inner_equi_broadcast", "a4_count_distinct",
     "f5_string_extract", "e2_sessionize", "e4_sliding_window_agg",
     "x5_range_join",
-    "k1_hll_distinct_sketch", "k2_countmin_frequencies",
+    "k1_hll_distinct_sketch", "k2_countmin_frequencies", "k3_bloom_membership",
     "q6_forecast_revenue", "q10_returned_items", "q14_promo_revenue",
     "q19_disjunctive_predicates", "q22_dormant_accounts",
     "sql1_text_surface", "p10_exists_correlated", "f10_try_cast",
