@@ -382,10 +382,17 @@ def bpe_merge_steps(
     novel part here is staying declarative end to end:
 
     - symbol sequences are SPACE-JOINED STRINGS with sentinel boundary
-      spaces, so "apply merge (a, b)" is one ``replace(seq, ' a b ',
-      ' ab ')`` — and because both Spark and DuckDB scan replace
-      left-to-right non-overlapping, the greedy-left BPE application
-      semantics are bit-identical across engines;
+      spaces; "apply merge (l, r)" is a greedy-left positional fold
+      over the symbol array (``aggregate`` with a string accumulator:
+      merge when the accumulator's last symbol is ``l`` and the
+      incoming symbol is ``r``). A plain ``replace(seq,' l r ',' lr ')``
+      would consume the shared boundary space and merge consecutive
+      occurrences only once per step (' a b a b ' -> ' ab a b '); the
+      fold gives classic Sennrich greedy-left (' ab ab '). The fold is
+      exactly greedy-left because a merged symbol ``l || r`` can never
+      equal ``l`` (``r`` is non-empty), so a just-merged symbol can't
+      chain into a second merge. The DuckDB oracle runs the identical
+      fold via ``list_reduce``;
     - each step's argmax pair stays IN-PLAN: a 1-row
       (count desc, pair asc) TakeOrdered crossJoined back broadcast —
       no driver-side collect, so the n-step loop is one chained lazy
@@ -430,14 +437,24 @@ def bpe_merge_steps(
         )
         steps.append(best.withColumn("step", F.lit(step)))
         b = best.select(F.col("l").alias("__l"), F.col("r").alias("__r"))
+        # Greedy-left positional merge: fold the symbol array with a
+        # string accumulator, merging when (last symbol, incoming) ==
+        # (l, r). Equivalent to Sennrich's non-overlapping left-to-right
+        # scan (a merged 'lr' can't re-match as 'l' since r != '').
         cur = (
             cur.crossJoin(F.broadcast(b))
             .withColumn(
                 "seq",
-                F.replace(
-                    F.col("seq"),
-                    F.concat(F.lit(" "), F.col("__l"), F.lit(" "), F.col("__r"), F.lit(" ")),
-                    F.concat(F.lit(" "), F.col("__l"), F.col("__r"), F.lit(" ")),
+                F.expr(
+                    "' ' || aggregate("
+                    "  slice(split(trim(seq), ' '), 2,"
+                    "        greatest(size(split(trim(seq), ' ')) - 1, 0)),"
+                    "  element_at(split(trim(seq), ' '), 1),"
+                    "  (acc, t) -> CASE"
+                    "    WHEN t = __r AND (acc = __l OR endswith(acc, ' ' || __l))"
+                    "    THEN substring(acc, 1, length(acc) - length(__l)) || __l || __r"
+                    "    ELSE acc || ' ' || t END"
+                    ") || ' '"
                 ),
             )
             .drop("__l", "__r")

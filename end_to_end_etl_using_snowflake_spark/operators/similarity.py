@@ -451,7 +451,12 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     )
-    scale = F.lit(127.0) / F.array_max(F.transform(F.col("__v"), F.abs))
+    # nullif: an all-zero vector would give scale = 127/0 = Inf and
+    # engine-dependent round(Inf)->int behavior; NULL-propagate instead
+    # so the degenerate row carries NULL audit columns in both engines
+    scale = F.lit(127.0) / F.nullif(
+        F.array_max(F.transform(F.col("__v"), F.abs)), F.lit(0.0)
+    )
     quantized = bound.select("id", "__v", scale.alias("scale")).select(
         "id",
         "__v",
@@ -509,6 +514,10 @@ def quantized_rerank_topk(
     def prep(df: DataFrame, pre: str) -> DataFrame:
         v = V.to_double(F.col(vec_col))
         base = df.select(F.col(id_col).alias(f"{pre}id"), v.alias(f"{pre}v"))
+        # zero-norm vectors have no defined cosine and would make
+        # scale = 127/0 = Inf with engine-dependent int casts; drop
+        # them up front (mirrored in the SQL oracle)
+        base = base.filter(F.array_max(F.transform(F.col(f"{pre}v"), F.abs)) > 0)
         scale = F.lit(127.0) / F.array_max(F.transform(F.col(f"{pre}v"), F.abs))
         return (
             base.withColumn(f"{pre}scale", scale)

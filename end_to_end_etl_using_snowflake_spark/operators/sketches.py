@@ -87,9 +87,11 @@ def hll_distinct(df: DataFrame, col: str, p: int = 8) -> DataFrame:
     # SQL-form shiftleft: the PySpark wrapper only takes a literal
     # shift amount, the SQL function takes an expression
     scaled = F.expr(f"shiftleft(CAST(1 AS BIGINT), {w_bits + 1} - m_rho)")
+    # coalesce: an empty input yields SUM = NULL; pin it to 0 so the
+    # all-registers-empty row stays well-defined and engine-agnostic
     agg = regs.agg(
         F.count(F.lit(1)).alias("n_buckets"),
-        F.sum(scaled).alias("s_observed"),
+        F.coalesce(F.sum(scaled), F.lit(0).cast("long")).alias("s_observed"),
     )
     alpha = 0.7213 / (1.0 + 1.079 / m)
     empty = F.lit(m) - F.col("n_buckets")
@@ -108,9 +110,12 @@ def hll_distinct(df: DataFrame, col: str, p: int = 8) -> DataFrame:
             s_total.cast("long").alias("s_scaled"),
             est.alias("raw_estimate"),
             F.col("n_exact"),
-            ((est - F.col("n_exact").cast("double")) / F.col("n_exact").cast("double")).alias(
-                "rel_err"
-            ),
+            # nullif: rel_err is NULL (not Inf/NaN, whose Spark-vs-
+            # DuckDB division semantics differ) on an empty input
+            (
+                (est - F.col("n_exact").cast("double"))
+                / F.nullif(F.col("n_exact").cast("double"), F.lit(0.0))
+            ).alias("rel_err"),
         )
     )
     return out
@@ -136,8 +141,8 @@ def sql_hll_distinct(table: str, col: str, p: int = 8) -> str:
     regs AS (SELECT bucket, max(rho) AS m_rho FROM rows_ GROUP BY bucket),
     agg AS (
         SELECT count(*) AS n_buckets,
-               CAST(sum(CAST(1 AS BIGINT) << ({w_bits + 1} - m_rho)) AS BIGINT)
-                   AS s_observed
+               CAST(COALESCE(sum(CAST(1 AS BIGINT) << ({w_bits + 1} - m_rho)), 0)
+                    AS BIGINT) AS s_observed
         FROM regs
     ),
     exact AS (SELECT count(DISTINCT {col}) AS n_exact FROM {table})
@@ -155,7 +160,7 @@ def sql_hll_distinct(table: str, col: str, p: int = 8) -> str:
                * CAST({float(1 << (w_bits + 1))!r} AS DOUBLE)
                / CAST(s_observed + ({m} - n_buckets)
                       * CAST({1 << (w_bits + 1)} AS BIGINT) AS DOUBLE)
-            - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+            - CAST(n_exact AS DOUBLE)) / CAST(nullif(n_exact, 0) AS DOUBLE) AS rel_err
     FROM agg, exact
     """
 

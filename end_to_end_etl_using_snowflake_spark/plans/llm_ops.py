@@ -1307,7 +1307,9 @@ def x8_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
                FROM embeddings),
-    s AS (SELECT id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+    s AS (SELECT id, v,
+                 127.0 / nullif(list_max(list_transform(v, x -> abs(x))), 0.0) AS scale
+          FROM e),
     q AS (SELECT id, v, scale,
                  list_transform(v, x -> round(x * scale)::INTEGER) AS qv
           FROM s)
@@ -1660,7 +1662,8 @@ def udf1_pandas_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM embeddings),
     s AS (SELECT id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS scale,
                  sqrt({sql_dot('v', 'v')}) AS nrm
-          FROM e),
+          FROM e
+          WHERE list_max(list_transform(v, x -> abs(x))) > 0),
     c AS (SELECT id, v, scale, nrm,
                  list_transform(v, x -> round(x * scale)::INTEGER) AS qv
           FROM s),
@@ -1711,9 +1714,10 @@ def v10_ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_oracle(n_merges: int = 5) -> str:
     """Unrolled DuckDB twin of operators.analysis.bpe_merge_steps: the
-    same space-sentinel string representation, the same left-to-right
-    non-overlapping replace() application, the same (count desc, pair
-    asc) argmax per step."""
+    same space-sentinel string representation, the same greedy-left
+    positional merge fold (list_reduce with a string accumulator —
+    bit-identical to the Spark-side aggregate()), the same (count
+    desc, pair asc) argmax per step."""
     parts = [
         f"v0 AS (SELECT w, count(*) AS freq FROM "
         f"(SELECT unnest({SQL_TOKENS.format(x='text')}) AS w FROM documents) GROUP BY w)",
@@ -1734,7 +1738,11 @@ def _bpe_oracle(n_merges: int = 5) -> str:
         )
         parts.append(
             f"seq{s} AS (SELECT t.freq, "
-            f"replace(t.seq, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS seq "
+            f"' ' || list_reduce(string_split(trim(t.seq), ' '), "
+            f"(acc, tok) -> CASE "
+            f"WHEN tok = b.r AND (acc = b.l OR ends_with(acc, ' ' || b.l)) "
+            f"THEN substring(acc, 1, length(acc) - length(b.l)) || b.l || b.r "
+            f"ELSE acc || ' ' || tok END) || ' ' AS seq "
             f"FROM {prev} t, b{s} b)"
         )
     finals = " UNION ALL ".join(
@@ -1750,10 +1758,11 @@ def _bpe_oracle(n_merges: int = 5) -> str:
     doc="""BPE subword-tokenizer training, first 5 merge steps, as one
     chained declarative plan (operators/analysis.py:bpe_merge_steps):
     word-frequency-weighted adjacent-pair counts, in-plan 1-row argmax
-    per step (no driver collect), merge application as a boundary-
-    sentinel string replace whose greedy-left semantics are identical
-    in Spark and DuckDB — so the learned merge table is bit-exact
-    against the oracle. Per-step shuffle is vocabulary-bounded, never
+    per step (no driver collect), merge application as a greedy-left
+    positional fold (Sennrich semantics: consecutive occurrences all
+    merge — aggregate() in Spark, the identical list_reduce fold in
+    DuckDB) — so the learned merge table is bit-exact against the
+    oracle. Per-step shuffle is vocabulary-bounded, never
     corpus-bounded.""",
     tags=("text", "bpe", "iterative"),
 )

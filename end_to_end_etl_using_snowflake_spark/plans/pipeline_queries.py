@@ -42,7 +42,42 @@ _STEPS = {
     2: ["customer_delta_1.csv", "item_delta_1.csv", "order_delta_1.csv"],
     3: ["customer_delta_2.csv", "item_delta_2.csv"],
 }
+# The observability queries (pl_task_history / pl_show_streams /
+# pl_list_stage) pin GOLDEN-TABLE (VALUES) oracles hand-derived from
+# these exact fixture bytes. If the fixtures ever drift, fail HERE with
+# a diagnosis instead of as an opaque value-hash mismatch downstream.
+_FIXTURE_MD5 = {
+    "customer_history.csv": "b8faabe9474a4c17c031abb77700a31c",
+    "item_history.csv": "84d0d36186df18903a9f6c49e71deeb6",
+    "order_history.csv": "8d21349d09d0400ba622ef126843b6c2",
+    "customer_delta_1.csv": "887e0a9961e0708f4b35a1b99a4a0ad5",
+    "item_delta_1.csv": "64242fa4336b7d116b16dc6a247051e6",
+    "order_delta_1.csv": "5ae418e04105f26d2693b6ded683d25c",
+    "customer_delta_2.csv": "24dac82e893a96b17aee0e16803ee5ac",
+    "item_delta_2.csv": "2b811dbfb2c41eb8bb093b36a9e8f6d0",
+}
 _memo: dict[int, object] = {}
+
+
+def assert_fixture_fingerprints(base_dir: str = _REFERENCE_DATA) -> None:
+    """Pre-assert the 8 reference fixture CSVs are byte-identical to
+    the generation the golden-table oracles were derived from."""
+    import hashlib
+
+    drifted = []
+    for fname, want in _FIXTURE_MD5.items():
+        path = os.path.join(base_dir, fname)
+        with open(path, "rb") as fh:
+            got = hashlib.md5(fh.read()).hexdigest()
+        if got != want:
+            drifted.append(f"{fname}: expected md5 {want}, found {got}")
+    if drifted:
+        raise AssertionError(
+            "reference fixture drift detected — the golden-table oracles "
+            "(pl_task_history/pl_show_streams/pl_list_stage) and the "
+            "replay oracles were hand-derived from the original fixture "
+            "bytes and must be re-derived:\n  " + "\n  ".join(drifted)
+        )
 
 
 def _replayed(spark: SparkSession):
@@ -50,6 +85,7 @@ def _replayed(spark: SparkSession):
     key = id(spark)
     if key in _memo:
         return _memo[key]
+    assert_fixture_fingerprints()
     from ..pipelines.entities import EntityPipelines
     from ..plans.catalog import Warehouse
 

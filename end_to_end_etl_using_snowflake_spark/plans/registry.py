@@ -55,25 +55,63 @@ def register(
 # similarity / text / multimodal / pipeline) lands inside any reasonable
 # prefix. Names not listed keep insertion order after these.
 PRIORITY: tuple[str, ...] = (
-    # ---- first 50: the driver-checked window (r1/r2 both checked
-    # exactly 50). One entry per distinct operator shape; redundant
-    # variants (p7 vs p5, j1 vs the flagship's broadcast star join,
-    # a4 vs a1, f5 vs f4, e2/e4 vs e1/e3/e5, x5 vs x1) sit just past
-    # the window at 51+ and stay locally oracle-checked.
-    # reference-surface core
-    "flagship_fact_rebuild", "p1_full_scan", "p2_projection_pushdown",
+    # ---- first 50: the driver-checked window (r1/r2/r3 each checked
+    # exactly 50). Round-4 rotation: rounds 1-3 drove 79 distinct
+    # entries to green rows (50/50 green in r3); this window now
+    # front-loads the 46 entries that have NEVER had a driver
+    # CORRECTNESS row, plus a 4-entry always-on core (flagship + the
+    # reference ingest/MERGE pipeline + merge upsert + f10, the one
+    # r1 red row whose fix was so far only locally re-verified). All
+    # rotated-out entries remain locally oracle-swept by
+    # tests/test_parity.py at sf0.001 every pytest run.
+    # always-on core
+    "flagship_fact_rebuild", "pl_dim_customer", "m1_merge_upsert_state",
+    "f10_try_cast",
+    # TPC-H-shaped analytics (never driver-checked before r4)
+    "q1_pricing_summary", "q4_order_priority_exists",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q10_returned_items", "q14_promo_revenue",
+    "q19_disjunctive_predicates", "q22_dormant_accounts",
+    # sketches (bit-exact oracled approximate operators)
+    "k1_hll_distinct_sketch", "k2_countmin_frequencies",
+    "k3_bloom_membership",
+    # text family completion
+    "t5_tfidf_topk", "t6_bm25_topk", "t8_vocab_topk", "t9_bigram_assoc",
+    "t10_bpe_merges",
+    # dedup scale paths
+    "d7_dedup_stop_shingle", "d8_decontaminate", "d9_incremental_dedup",
+    "x14_content_defined_chunks",
+    # ANN / vector completion
+    "v4_ann_lsh_multiprobe", "v6_kmeans_assign", "v8_quantize_int8",
+    "v9_kmeans_iter3", "v10_ann_quantized_rerank",
+    "x12_similar_doc_retrieval",
+    # LLM-pipeline ops
+    "x6_corpus_mixture_sample", "x7_sequence_packing",
+    "x8_pii_pseudonymize", "x9_chunk_documents", "x10_source_quality_cap",
+    # multimodal completion
+    "mm2_frame_sample", "mm4_resize_plan",
+    # windows / distribution / quality / SQL surface
+    "w3_range_frame_timeseries", "w4_ntile_distribution",
+    "dq1_referential_audit", "p9_unpivot", "f13_regex_funcs",
+    "f14_explode_generator", "sql2_lateral_topk", "sql3_window_text",
+    "udf1_pandas_token_stats",
+    # layout / streaming scale paths
+    "z1_zorder_layout_key", "e7_stream_interval_join",
+    # ETL-throughput headline (rows-only: no single SQL oracle for the
+    # full synthesized landing->pipe->MERGE->fact cycle; its component
+    # states are oracled via pl_dim_*/pl_fact_order/m7)
+    "pl_backfill_scale",
+    # ---- 51+: triple-green (r1-r3) entries rotated out of the window;
+    # all remain locally oracle-checked per pytest run.
+    "p1_full_scan", "p2_projection_pushdown",
     "p5_filter_in_list", "p6_semi_join_in_subquery",
     "j2_join_null_residual", "j4_composite_key_join",
     "j5_left_anti", "a1_groupby_agg",
-    "w1_dedup_latest_per_key", "o2_sort_topk", "m1_merge_upsert_state",
+    "w1_dedup_latest_per_key", "o2_sort_topk",
     "m2_merge_dedup_composite", "m5_cdc_apply_changes", "m6_update_where",
     "f4_strict_casts",
-    # the reference's own end-to-end pipeline state (stage->raw->dim/
-    # fact MERGE chains replayed over its fixtures) + identity contract
-    # + observability surfaces (tasks/streams/pipes/stage listing)
-    "pl_dim_customer", "pl_dim_item", "pl_fact_order", "pl_identity_keys",
+    "pl_dim_item", "pl_fact_order", "pl_identity_keys",
     "pl_task_history", "pl_show_streams", "pl_list_stage",
-    # LLM-data families
     "d1_dedup_exact", "d3_dedup_minhash_lsh", "d4_dedup_simhash",
     "d2_dedup_ngram_jaccard", "d5_dedup_embedding_cosine",
     "d5l_dedup_embedding_lsh", "d6_dedup_cluster_labels",
@@ -83,21 +121,15 @@ PRIORITY: tuple[str, ...] = (
     "t7_repetition_filter",
     "mm1_multimodal_decode", "mm3_feature_extract",
     "x2_leakage_safe_split", "llm_corpus_clean",
-    # streaming / windows / scale paths
     "e1_tumbling_window_agg", "e5_session_window_native",
     "e3_sessionize_stateful_stream", "e6_stream_dedup_watermark",
     "x1_asof_join", "j6_salted_skew_join",
     "m7_incremental_fact_merge",
-    # ---- 51+: locally-checked redundant variants + SQL surface
-    "e7_stream_interval_join", "v10_ann_quantized_rerank", "t10_bpe_merges", "z1_zorder_layout_key", "x14_content_defined_chunks",
     "m8_scd2_merge", "b1_bucketed_colocated_join", "w2_window_frames",
     "p7_filter_equality", "j1_inner_equi_broadcast", "a4_count_distinct",
     "f5_string_extract", "e2_sessionize", "e4_sliding_window_agg",
     "x5_range_join",
-    "k1_hll_distinct_sketch", "k2_countmin_frequencies", "k3_bloom_membership",
-    "q6_forecast_revenue", "q10_returned_items", "q14_promo_revenue",
-    "q19_disjunctive_predicates", "q22_dormant_accounts",
-    "sql1_text_surface", "p10_exists_correlated", "f10_try_cast",
+    "sql1_text_surface", "p10_exists_correlated",
     "f11_array_funcs", "s1_set_ops", "p8_pivot", "a7_grouping_sets",
     "a5_rollup", "a6_percentile_groups", "f6_date_math",
 )
@@ -114,7 +146,8 @@ def _ordered() -> list[str]:
         raise RuntimeError(f"duplicate PRIORITY names: {dupes}")
     rank = {n: i for i, n in enumerate(PRIORITY)}
     names = list(REGISTRY)
-    return sorted(names, key=lambda n: (rank.get(n, len(rank) + names.index(n)),))
+    insertion = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: rank.get(n, len(rank) + insertion[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -270,3 +270,32 @@ def test_incremental_fact_mode_matches_rebuild(spark, tmp_path_factory):
         facts[mode] = business
     assert facts["incremental"] == facts["rebuild"]
     assert len(facts["rebuild"]) > 0
+
+
+def test_fixture_fingerprints_guard():
+    """The golden-table oracles (pl_task_history/pl_show_streams/
+    pl_list_stage) silently depend on the 8 reference CSVs never
+    changing. assert_fixture_fingerprints turns that silent dependency
+    into a loud, diagnosed failure — and a drifted file must name
+    itself in the error."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.plans.pipeline_queries import (
+        _FIXTURE_MD5,
+        assert_fixture_fingerprints,
+    )
+
+    # current fixtures match the pinned generation
+    assert_fixture_fingerprints()
+
+    # a drifted copy fails with the filename in the diagnosis
+    import shutil as _sh
+    import tempfile as _tf
+
+    with _tf.TemporaryDirectory() as d:
+        for f in _FIXTURE_MD5:
+            _sh.copy(f"/root/reference/source_data/{f}", f"{d}/{f}")
+        with open(f"{d}/item_delta_2.csv", "a") as fh:
+            fh.write("\n# drift")
+        with _pytest.raises(AssertionError, match="item_delta_2.csv"):
+            assert_fixture_fingerprints(d)
