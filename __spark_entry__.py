@@ -26,6 +26,7 @@ from end_to_end_etl_using_snowflake_spark.plans import registry as _registry  # 
 import end_to_end_etl_using_snowflake_spark.plans.llm_ops  # noqa: F401,E402
 import end_to_end_etl_using_snowflake_spark.plans.pipeline_queries  # noqa: F401,E402
 import end_to_end_etl_using_snowflake_spark.plans.backfill  # noqa: F401,E402
+import end_to_end_etl_using_snowflake_spark.plans.tpch  # noqa: F401,E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -132,6 +132,13 @@ PRIORITY: tuple[str, ...] = (
     "sql1_text_surface", "p10_exists_correlated",
     "f11_array_funcs", "s1_set_ops", "p8_pivot", "a7_grouping_sets",
     "a5_rollup", "a6_percentile_groups", "f6_date_math",
+    # round-4 additions (TPC-H completion — never driver-checked yet;
+    # rotate into the window next round)
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+    "q11_important_stock", "q12_priority_shipping",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_qty_revenue",
+    "q20_promotion_suppliers", "q21_waiting_suppliers",
 )
 
 
