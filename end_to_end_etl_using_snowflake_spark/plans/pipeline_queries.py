@@ -476,3 +476,129 @@ def pl_list_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in list_stage(pipe.landing_dir):
             rows.append((e, f, pipe.status()["executionState"]))
     return spark.createDataFrame(rows, "entity string, file string, pipe_state string")
+
+
+# ----------------------------------------------------------------------
+# F3/T6: pipe status / force_resume + task suspend/resume lifecycle
+# ----------------------------------------------------------------------
+_admin_memo: dict[int, DataFrame] = {}
+
+
+@register(
+    "pl_pipe_task_admin",
+    # GOLDEN-TABLE oracle (VALUES literal): an operator-intervention
+    # scenario over the customer fixtures whose every observable —
+    # task-history counts, pipe-status snapshots, final table sizes —
+    # is exactly determined by the suspend/skip/force-resume semantics
+    # (see doc). Wall-clock never surfaces; snapshots are pinned as data.
+    oracle="""
+    SELECT * FROM (VALUES
+        ('task', 'pause_pipe_customer',             'SUCCEEDED', CAST(3 AS BIGINT)),
+        ('task', 'pause_pipe_customer',             'SKIPPED',   CAST(1 AS BIGINT)),
+        ('task', 'customer_raw_tsk',                'SUCCEEDED', CAST(3 AS BIGINT)),
+        ('task', 'dim_customer_tsk',                'SUCCEEDED', CAST(2 AS BIGINT)),
+        ('task', 'dim_customer_tsk',                'SUSPENDED', CAST(1 AS BIGINT)),
+        ('task', 'truncate_staging_table_customer', 'SUCCEEDED', CAST(2 AS BIGINT)),
+        ('task', 'play_pipe_customer',              'SUCCEEDED', CAST(2 AS BIGINT)),
+        ('pipe', 'stg_customer_pipe@after_suspend',      'PAUSED',  CAST(0 AS BIGINT)),
+        ('pipe', 'stg_customer_pipe@after_force_resume', 'RUNNING', CAST(0 AS BIGINT)),
+        ('pipe', 'stg_customer_pipe@pre_final_cycle',    'RUNNING', CAST(1 AS BIGINT)),
+        ('pipe', 'stg_customer_pipe@final',              'RUNNING', CAST(0 AS BIGINT)),
+        ('table', 'raw_customer',  'ROWS', CAST(22 AS BIGINT)),
+        ('table', 'dim_customer',  'ROWS', CAST(22 AS BIGINT))
+    ) AS t(kind, name, state, n)
+    """,
+    doc="""F3 (pipe status / force_resume) + T6 (task suspend/resume):
+    an operator-intervention scenario on the customer pipeline.
+
+    Cycle 1 loads customer_history (5 tasks SUCCEED). The operator then
+    SUSPENDS dim_customer_tsk (alter task ... suspend,
+    customer-...sql:182-195) and delta_1 lands: cycle 2 pauses the
+    pipe, merges stage->raw, then hits the suspended task — the chain
+    stops (Snowflake: a suspended task never runs, children never
+    fire), leaving the pipe PAUSED and staging untruncated. That stuck
+    state is exactly what system$pipe_status is for: the
+    'after_suspend' snapshot pins executionState=PAUSED. Recovery is
+    F3's system$pipe_force_resume (customer-...sql:179) — snapshot
+    RUNNING — plus task RESUME. Cycle 3 (nothing landed) pins the WHEN
+    gate: the stage stream was already consumed by cycle 2's raw_tsk,
+    so the root task SKIPs. delta_2 lands (pendingFileCount=1 pre-
+    cycle) and cycle 4 runs the full chain; the resumed dim task
+    consumes BOTH pending raw-stream batches in one MERGE (offsets
+    held while suspended — T1's contract is what makes suspension
+    safe), converging raw and dim to the same 22-customer state the
+    uninterrupted replay reaches.""",
+    tags=("F3", "T6", "S4", "T1", "pipeline"),
+)
+def pl_pipe_task_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = id(spark)
+    if key not in _admin_memo:
+        _admin_memo[key] = _run_admin_scenario(spark)
+    return _admin_memo[key]
+
+
+def _run_admin_scenario(spark: SparkSession) -> DataFrame:
+    assert_fixture_fingerprints()
+    from ..pipelines.entities import EntityPipelines
+    from ..plans.catalog import Warehouse
+
+    base = tempfile.mkdtemp(prefix="etl_admin_", dir=tempfile.gettempdir())
+    landing = os.path.join(base, "landing")
+    for e in ("customer", "item", "order"):
+        os.makedirs(os.path.join(landing, e))
+    clock = lambda: datetime(2020, 2, 1, tzinfo=timezone.utc)  # noqa: E731
+    p = EntityPipelines(
+        spark, Warehouse(spark, os.path.join(base, "warehouse")), landing, clock=clock
+    )
+    cust_landing = os.path.join(landing, "customer")
+    pipe = p.pipes["customer"]
+    dag = p.dags["customer"]
+    snapshots: list[tuple[str, str, int]] = []
+
+    def snap(label: str) -> None:
+        st = pipe.status()
+        snapshots.append(
+            (f"{st['name']}@{label}", st["executionState"], st["pendingFileCount"])
+        )
+
+    # cycle 1: history loads clean
+    shutil.copy(os.path.join(_REFERENCE_DATA, "customer_history.csv"), cust_landing)
+    p.run_cycle("customer")
+    # operator suspends the dim task; delta_1 lands; cycle 2 stalls
+    # mid-chain with the pipe paused and staging untruncated
+    dag.suspend("dim_customer_tsk")
+    shutil.copy(os.path.join(_REFERENCE_DATA, "customer_delta_1.csv"), cust_landing)
+    p.run_cycle("customer")
+    snap("after_suspend")
+    # F3 recovery: force-resume the pipe, resume the task
+    pipe.resume()
+    snap("after_force_resume")
+    dag.resume("dim_customer_tsk")
+    # cycle 3: nothing landed and the stage stream is already consumed
+    # -> the WHEN gate SKIPs the root task
+    p.run_cycle("customer")
+    # delta_2 lands; the pre-cycle snapshot sees it pending
+    shutil.copy(os.path.join(_REFERENCE_DATA, "customer_delta_2.csv"), cust_landing)
+    snap("pre_final_cycle")
+    # cycle 4: full chain; dim consumes both held raw batches
+    p.run_cycle("customer")
+    snap("final")
+
+    task_rows = (
+        dag.task_history()
+        .groupBy("name", "state")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("task").alias("kind"), "name", "state", "n")
+    )
+    pipe_rows = spark.createDataFrame(
+        [("pipe", n, s, c) for n, s, c in snapshots],
+        "kind string, name string, state string, n long",
+    )
+    table_rows = spark.createDataFrame(
+        [
+            ("table", "raw_customer", "ROWS", p.raw["customer"].read().count()),
+            ("table", "dim_customer", "ROWS", p.dim_customer.read().count()),
+        ],
+        "kind string, name string, state string, n long",
+    )
+    return task_rows.unionByName(pipe_rows).unionByName(table_rows)

@@ -88,8 +88,9 @@ PRIORITY: tuple[str, ...] = (
     # LLM-pipeline ops
     "x6_corpus_mixture_sample", "x7_sequence_packing",
     "x8_pii_pseudonymize", "x9_chunk_documents", "x10_source_quality_cap",
-    # multimodal completion
-    "mm2_frame_sample", "mm4_resize_plan",
+    # multimodal completion (mm4 yielded its slot to pl_pipe_task_admin
+    # — the §2 table's last two driver-unverified operators F3/T6)
+    "mm2_frame_sample",
     # windows / distribution / quality / SQL surface
     "w3_range_frame_timeseries", "w4_ntile_distribution",
     "dq1_referential_audit", "p9_unpivot", "f13_regex_funcs",
@@ -97,6 +98,10 @@ PRIORITY: tuple[str, ...] = (
     "udf1_pandas_token_stats",
     # layout / streaming scale paths
     "z1_zorder_layout_key", "e7_stream_interval_join",
+    # F3/T6 admin surfaces (pipe force_resume + task suspend/resume)
+    # under a golden-table oracle — closes the §2 table's last two
+    # driver-unverified operators
+    "pl_pipe_task_admin",
     # ETL-throughput headline (rows-only: no single SQL oracle for the
     # full synthesized landing->pipe->MERGE->fact cycle; its component
     # states are oracled via pl_dim_*/pl_fact_order/m7)
@@ -132,6 +137,7 @@ PRIORITY: tuple[str, ...] = (
     "sql1_text_surface", "p10_exists_correlated",
     "f11_array_funcs", "s1_set_ops", "p8_pivot", "a7_grouping_sets",
     "a5_rollup", "a6_percentile_groups", "f6_date_math",
+    "mm4_resize_plan",
     # round-4 additions (TPC-H completion — never driver-checked yet;
     # rotate into the window next round)
     "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
