@@ -50,7 +50,20 @@ HEADLINE = [
     "llm_corpus_clean",        # composite clean pipeline (quality+lang+dedup)
     "mm1_multimodal_decode",   # Arrow mapInPandas plumbing
     "pl_backfill_scale",       # full ETL pipeline throughput (~150k orders @ sf0.1)
+    "pl_backfill_incremental", # O(delta) fact maintenance (delta cycle only)
 ]
+
+# Untimed setup per headline entry: runs AFTER warm-up, BEFORE the
+# timed loop. pl_backfill_incremental's initial load (98% of the data)
+# is deliberately untimed so its number measures ONLY the delta
+# maintenance cycle — the daily 100 TB path — against
+# pl_backfill_scale's full rebuild.
+def _prepare(spark, sf_dir: str) -> None:
+    from end_to_end_etl_using_snowflake_spark.plans.backfill import (
+        prepare_incremental,
+    )
+
+    prepare_incremental(spark, sf_dir)
 
 
 def main() -> None:
@@ -73,6 +86,12 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
+    # prepare BEFORE warm-up: the incremental initial load is the
+    # biggest JVM disturbance (heap growth, shuffle files); running it
+    # first lets the warm-up loop re-stabilize codegen + GC right
+    # before the timed loop.
+    _prepare(spark, sf_dir)
+
     for name in HEADLINE:
         REGISTRY[name].build(spark, warm_dir).write.format("noop").mode(
             "overwrite"

@@ -465,3 +465,78 @@ def bpe_merge_steps(
     return out.select(
         "step", "l", "r", F.concat(F.col("l"), F.col("r")).alias("merged"), "pair_count"
     )
+
+
+def bigram_lm_score(
+    df: DataFrame, id_col: str, text_col: str, scale: int = 1_000_000_000
+) -> DataFrame:
+    """Per-document likelihood under a corpus-trained bigram language
+    model — the perplexity-style quality filter of an LLM data pipeline
+    (docs whose word sequences are improbable under the corpus LM are
+    boilerplate/garbled candidates), expressed fully declaratively.
+
+    Train + score in one plan: bigram counts c_xy and left-context
+    counts c_x (occurrences of x as a bigram head) come from two
+    aggregations; each document's score is the average conditional
+    probability of its bigram instances, avg p(y|x) = avg(c_xy / c_x).
+
+    Determinism: probabilities are scaled-BIGINT, not floats —
+    ``(c_xy * scale) div c_x`` is exact integer floor-division in both
+    engines (the sketches' exact-arithmetic convention), so the
+    per-doc SUM is order-independent; one IEEE double division at the
+    end converts to the [0, 1] score. Log-perplexity is deliberately
+    replaced by the average-probability ratio: libm ``ln`` is not
+    bit-stable across engines, and the filter ranking is preserved for
+    the low-likelihood tail this operator exists to catch. Documents
+    with fewer than two tokens carry NULL (nullif guard — no 0/0).
+
+    Plan shape at 100 TB: bigrams form IN-ROW (zip with tail — no
+    shuffle); per-doc bigram counts shuffle on (doc, w1, w2); the LM
+    joins attach by (w1, w2) and (w1) hash joins (the LM relation is
+    corpus-sized state that never hits the driver); final agg shuffles
+    on doc. No collect, no UDF, no window.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), TXT.tokens(F.col(text_col)).alias("ts")
+    )
+    inst = toks.select(
+        "id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                F.slice(F.col("ts"), 2, F.greatest(F.size("ts") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    doc_bg = inst.groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    lm_bi = doc_bg.groupBy("w1", "w2").agg(F.sum("k").alias("c_xy"))
+    lm_ctx = lm_bi.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
+    scored = (
+        doc_bg.join(lm_bi, ["w1", "w2"])
+        .join(lm_ctx, ["w1"])
+        .withColumn(
+            "p_scaled", F.expr(f"(c_xy * CAST({scale} AS BIGINT)) div c_x")
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("p_scaled")).alias("sum_p_scaled"),
+        )
+    )
+    # left join: <2-token docs have no bigrams -> NULL score, 0 count
+    out = (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            (
+                F.col("sum_p_scaled").cast("double")
+                / (F.nullif(F.col("n_bigrams"), F.lit(0)) * F.lit(scale)).cast(
+                    "double"
+                )
+            ).alias("lm_score"),
+        )
+    )
+    return out

@@ -68,8 +68,22 @@ class ParquetTable:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
 
+    def _clustered(self, df: DataFrame) -> DataFrame:
+        """Partitioned writes repartition by the partition key first:
+        without it every upstream task writes a file into every
+        partition it holds rows for (tasks x partitions small files —
+        the listing tax then swamps every later scan). One shuffle
+        buys one file per partition. At 100 TB, if single partitions
+        outgrow one task, add a secondary spread key here (e.g.
+        ``repartition(key, pmod(hash(id), k))``) — the layout contract
+        (all rows of a partition value in its directory) is unchanged.
+        """
+        if not self.partition_by:
+            return df
+        return df.repartition(*[F.col(c) for c in self.partition_by])
+
     def append(self, df: DataFrame) -> None:
-        writer = df.write.mode("append")
+        writer = self._clustered(df).write.mode("append")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(self.path)
@@ -79,7 +93,7 @@ class ParquetTable:
         ``df`` reads from this same table (the read plan resolves against
         the old directory until the swap)."""
         tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
-        writer = df.write.mode("overwrite")
+        writer = self._clustered(df).write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(tmp)
@@ -96,7 +110,8 @@ class ParquetTable:
         if not self.partition_by:
             raise ValueError("overwrite_partitions requires partition_by")
         (
-            df.write.mode("overwrite")
+            self._clustered(df)
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*self.partition_by)
             .parquet(self.path)

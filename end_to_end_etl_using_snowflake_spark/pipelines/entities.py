@@ -62,14 +62,17 @@ class EntityPipelines:
         - ``"rebuild"`` (reference parity): INSERT OVERWRITE the whole
           fact from all of raw_order every cycle (order-...sql:179) —
           O(history) per cycle.
-        - ``"incremental"`` (100 TB posture): fact partitioned by
-          order_date; a cycle recomputes ONLY the dates present in the
-          raw-stream batch and dynamic-partition-overwrites them —
-          O(touched dates), exact even when the batch *updates* an
-          existing order (the whole affected date is recomputed from
-          raw, so no delta-vs-old bookkeeping). Assumes dim key
-          mappings are stable (SCD-1 in-place updates — true here);
-          a dim key reassignment requires one full rebuild.
+        - ``"incremental"`` (100 TB posture): raw_order AND fact are
+          partitioned by a derived ``__month`` key (a prefix of the
+          order_date business key, never in the logical schema); a
+          cycle partition-prunes the raw MERGE to the months the batch
+          carries, recomputes ONLY those months of the fact, and
+          dynamic-partition-overwrites them — O(touched partitions),
+          exact even when the batch *updates* an existing order (the
+          whole affected month is recomputed from raw, so no
+          delta-vs-old bookkeeping). Assumes dim key mappings are
+          stable (SCD-1 in-place updates — true here); a dim key
+          reassignment requires one full rebuild.
         """
         if fact_mode not in ("rebuild", "incremental"):
             raise ValueError(f"unknown fact_mode {fact_mode!r}")
@@ -84,7 +87,25 @@ class EntityPipelines:
         self.pipes: dict[str, Pipe] = {}
         for entity, schema in CF.STAGE_SCHEMAS.items():
             self.stage[entity] = warehouse.table("stg", f"stg_{entity}", schema)
-            self.raw[entity] = warehouse.table("raw", f"raw_{entity}", schema)
+            # incremental posture: raw_order partitions on a derived
+            # __month key (prefix of order_date, part of its business
+            # key), enabling the partition-pruned MERGE in _raw_task —
+            # the Snowflake micro-partition-pruning analog. Month, not
+            # day: partition granularity is chosen by volume (a month
+            # of orders ≈ one healthy partition at warehouse scale; a
+            # partition-per-day layout at test SF degenerates to
+            # thousands of near-empty directories and the listing tax
+            # swamps the pruning win). __month never enters the logical
+            # schema — it exists only as a directory key (read()
+            # suppresses it via the explicit schema).
+            raw_parts = (
+                ("__month",)
+                if entity == "order" and fact_mode == "incremental"
+                else ()
+            )
+            self.raw[entity] = warehouse.table(
+                "raw", f"raw_{entity}", schema, partition_by=raw_parts
+            )
             self.pipes[entity] = Pipe(
                 spark,
                 f"stg_{entity}_pipe",
@@ -98,7 +119,7 @@ class EntityPipelines:
             "transformed",
             "fact_order",
             CF.FACT_ORDER,
-            partition_by=("order_date",) if fact_mode == "incremental" else (),
+            partition_by=("__month",) if fact_mode == "incremental" else (),
         )
 
         self.dags = {
@@ -195,17 +216,46 @@ class EntityPipelines:
         # record (it was previously computed for each)
         deduped = M.dedup_latest(src.drop("_action"), keys, order_cols).persist()
         try:
-            merged = M.merge_dataframes(
-                self.raw[entity].read(),
-                deduped,
-                keys=keys,
-                update_cols=[c for c in self.raw[entity].schema.names if c not in keys],
-                target_known_empty=not self.raw[entity].storage.exists(),
-            )
-            self.raw[entity].overwrite(
-                merged.select(*self.raw[entity].schema.names),
-                changes=deduped.drop("_version"),
-            )
+            raw = self.raw[entity]
+            month = F.substring(F.col("order_date"), 1, 7)
+            if raw.storage.partition_by and raw.storage.exists():
+                # partition-pruned MERGE (the Snowflake micro-partition
+                # pruning analog): the __month partition key is a prefix
+                # of the business key's order_date, so a batch can only
+                # touch partitions it carries values for. Read ONLY
+                # those directories (path-pruned — the rest of the
+                # table is never listed), merge against that subset,
+                # and rewrite only those partitions. Per-cycle cost is
+                # O(touched partitions), not O(history) — the property
+                # that keeps a continuously-merged 100 TB raw table
+                # maintainable. The touched list is O(distinct months),
+                # a bounded driver-side list — never row data.
+                touched = [
+                    r[0] for r in deduped.select(month.alias("m")).distinct().collect()
+                ]
+                target = raw.read_partitions(touched)
+                merged = M.merge_dataframes(
+                    target,
+                    deduped,
+                    keys=keys,
+                    update_cols=[c for c in raw.schema.names if c not in keys],
+                )
+                raw.overwrite_partitions(
+                    merged.select(*raw.schema.names).withColumn("__month", month),
+                    changes=deduped.drop("_version"),
+                )
+            else:
+                merged = M.merge_dataframes(
+                    raw.read(),
+                    deduped,
+                    keys=keys,
+                    update_cols=[c for c in raw.schema.names if c not in keys],
+                    target_known_empty=not raw.storage.exists(),
+                )
+                out = merged.select(*raw.schema.names)
+                if raw.storage.partition_by:  # incremental initial load
+                    out = out.withColumn("__month", month)
+                raw.overwrite(out, changes=deduped.drop("_version"))
         finally:
             deduped.unpersist()
         stage.changelog.stream_commit("raw_tsk", version)
@@ -298,9 +348,10 @@ class EntityPipelines:
         Reads the raw TABLE (not the stream) — the stream only triggers
         (order-...sql:176-177) and is consumed to reset it.
 
-        In ``fact_mode="incremental"`` the batch's distinct order_dates
-        restrict the recompute (left-semi against raw) and only those
-        partitions are rewritten — same result, O(touched dates)."""
+        In ``fact_mode="incremental"`` the batch's distinct months
+        restrict the recompute (path-pruned read of raw's __month
+        partitions) and only those fact partitions are rewritten —
+        same result, O(touched partitions)."""
         raw = self.raw["order"]
         src, version = raw.changelog.stream_read("fact_tsk")
         ro = raw.read()
@@ -308,14 +359,21 @@ class EntityPipelines:
         if incremental:
             if src is None:
                 return
-            touched = src.select(
-                F.col("order_date").cast("date").alias("order_date")
-            ).distinct()
-            ro = ro.join(
-                F.broadcast(touched),
-                ro.order_date.cast("date") == touched.order_date,
-                "left_semi",
-            )
+            # the recompute unit is the __month partition (the
+            # overwrite granularity): every month the batch touches is
+            # rebuilt whole from raw — exact even when the batch
+            # updates existing orders. Path-pruned read: only the
+            # touched month directories of raw are listed/scanned.
+            # O(distinct months) driver-side, never row data.
+            touched = [
+                r[0]
+                for r in src.select(
+                    F.substring(F.col("order_date"), 1, 7).alias("m")
+                )
+                .distinct()
+                .collect()
+            ]
+            ro = self.raw["order"].read_partitions(touched)
         dc = self.dim_customer.read().select("customer_dim_key", "customer_id")
         di = (
             self.dim_item.read()
@@ -356,11 +414,17 @@ class EntityPipelines:
                 existing_max=existing_max,
             )
             out = rebuilt.select(*self.fact_order.schema.names)
+            fact_month = F.date_format(F.col("order_date"), "yyyy-MM")
             if incremental and self.fact_order.storage.exists():
-                # rewrite only the touched date partitions; changelog
+                # rewrite only the touched month partitions; changelog
                 # records the rewritten groups (UPSERT granularity)
-                self.fact_order.changelog.record(out, "UPSERT")
-                self.fact_order.storage.overwrite_partitions(out)
+                self.fact_order.overwrite_partitions(
+                    out.withColumn("__month", fact_month), changes=out
+                )
+            elif incremental:
+                self.fact_order.overwrite(
+                    out.withColumn("__month", fact_month), changes=out
+                )
             else:
                 self.fact_order.overwrite(out)
         finally:

@@ -4,9 +4,27 @@ The reference's own fixtures are ~20 rows per entity; this module
 synthesizes entity CSVs FROM the TPC-H parquet at the requested scale
 factor (deterministic, key-derived — no RNG) and pushes them through the
 exact same landing -> pipe -> stage -> MERGE raw -> MERGE dim / fact
-rebuild path the fixture replay uses. At sf0.1 that is ~150k order rows
-and ~15k customers through the MERGE machinery — the ETL-throughput
+path the fixture replay uses. At sf0.1 that is ~150k order rows and
+~15k customers through the MERGE machinery — the ETL-throughput
 measurement the 20-row replay cannot give (wired into bench.py).
+
+Two registered entries, BOTH carrying real DuckDB oracles (the final
+warehouse audit is a closed-form function of the source parquet,
+including the deterministic latest-wins tiebreak on colliding
+composite keys — replicated as a ranked CTE):
+
+- ``pl_backfill_scale``: one full initial-load cycle, fact rebuilt
+  whole (the reference's own INSERT OVERWRITE posture, M3).
+- ``pl_backfill_incremental``: the initial load stops two months short;
+  the held-back orders land as a DELTA batch and a second cycle runs
+  with ``fact_mode="incremental"`` — only the touched order_date
+  partitions are recomputed and dynamic-partition-overwritten
+  (O(delta), operators/dml.py:overwrite_partitions). The oracle
+  computes the audit from ALL orders, so a green row IS the proof that
+  the O(delta) cycle converges to the exact full-rebuild state — the
+  reference's full-rebuild-per-cycle scale flaw, fixed and verified.
+  bench.py times ONLY the delta cycle (prepare_incremental runs
+  untimed), benchmarking the 100 TB daily-maintenance path.
 
 Everything stays distributed: CSV synthesis is a Spark write, ingest is
 the manifest-tracked loader, merges are the anti-join∪apply rewrite.
@@ -27,6 +45,12 @@ from .registry import register
 from .tables import load
 
 _memo: dict[tuple[int, str], DataFrame] = {}
+_incr_state: dict[tuple[int, str], dict] = {}
+_incr_memo: dict[tuple[int, str], DataFrame] = {}
+
+# the incremental scenario holds back orders from the last two months of
+# the 1995-2001 span (~2.5% of rows, ~60 of ~2400 order_date partitions)
+INCR_CUTOFF = "2001-06-01"
 
 
 def _money(col):
@@ -52,13 +76,15 @@ def _write_entity_csv(df: DataFrame, landing_dir: str, n_files: int = 8) -> None
     shutil.rmtree(tmp)
 
 
-def synthesize_landing(spark: SparkSession, sf_dir: str, landing_root: str) -> None:
-    """Derive customer/item/order stage CSVs from the TPC-H parquet.
+def _synth_frames(spark: SparkSession, sf_dir: str):
+    """Derive customer/item/order stage frames from the TPC-H parquet.
 
     Every column is a deterministic function of the source keys, so the
     resulting warehouse state is reproducible and referentially closed:
     order.customer_id ⊆ customer.customer_id (TPC-H guarantees custkey
-    FKs), order.item_id ⊆ item.item_id (modular assignment).
+    FKs), order.item_id ⊆ item.item_id (modular assignment). The order
+    frame keeps a helper ``__odate`` column (dropped at write) so
+    callers can split initial/delta batches by date.
     """
     cust = load(spark, sf_dir, "customer")
     part = load(spark, sf_dir, "part")
@@ -97,6 +123,7 @@ def synthesize_landing(spark: SparkSession, sf_dir: str, landing_root: str) -> N
         F.broadcast(part.select(F.col("p_partkey").alias("__ik"), "p_name")), "__ik"
     )
     order_csv = orders_with_item.select(
+        F.col("o_orderdate").alias("__odate"),
         F.col("o_orderdate").cast("string").alias("order_date"),
         F.concat(((okey % 12) + 1).cast("string"), F.lit(":30:00 AM")).alias("order_time"),
         F.concat(F.lit("I"), F.col("__ik")).alias("item_id"),
@@ -115,10 +142,73 @@ def synthesize_landing(spark: SparkSession, sf_dir: str, landing_root: str) -> N
         _money(price * 0.95).alias("net_paid_tax"),
         _money(price * 0.12).alias("net_profit"),
     )
+    return customer_csv, item_csv, order_csv
 
+
+def synthesize_landing(
+    spark: SparkSession,
+    sf_dir: str,
+    landing_root: str,
+    order_cutoff: str | None = None,
+    delta_root: str | None = None,
+) -> None:
+    """Write the synthesized entity CSVs under ``landing_root``. With
+    ``order_cutoff``, orders on/after the cutoff go to ``delta_root``
+    instead (the held-back incremental batch)."""
+    customer_csv, item_csv, order_csv = _synth_frames(spark, sf_dir)
     _write_entity_csv(customer_csv, os.path.join(landing_root, "customer"))
     _write_entity_csv(item_csv, os.path.join(landing_root, "item"))
-    _write_entity_csv(order_csv, os.path.join(landing_root, "order"))
+    if order_cutoff is None:
+        _write_entity_csv(order_csv.drop("__odate"), os.path.join(landing_root, "order"))
+        return
+    cutoff = F.lit(order_cutoff).cast("timestamp")
+    _write_entity_csv(
+        order_csv.filter(F.col("__odate") < cutoff).drop("__odate"),
+        os.path.join(landing_root, "order"),
+    )
+    _write_entity_csv(
+        order_csv.filter(F.col("__odate") >= cutoff).drop("__odate"),
+        delta_root,
+        n_files=2,
+    )
+
+
+def _audit(pipelines) -> DataFrame:
+    """One-row warehouse audit; every count is a closed-form function
+    of the source parquet (see _audit_oracle). Fully lazy — the side
+    tables' counts are 1-row aggregates cross-joined in (broadcast),
+    not eager ``.count()`` calls, so the whole audit is ONE job."""
+    fact = pipelines.fact_order.read()
+    audit = (
+        fact.agg(
+            F.count(F.lit(1)).alias("n_fact_rows"),
+            F.sum("order_count").alias("n_orders_in_fact"),
+            F.sum("order_quantity").alias("total_quantity"),
+        )
+        .crossJoin(
+            F.broadcast(
+                pipelines.dim_customer.read().agg(
+                    F.count(F.lit(1)).alias("n_dim_customer")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                pipelines.dim_item.read().agg(F.count(F.lit(1)).alias("n_dim_item"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                pipelines.raw["order"].read().agg(
+                    F.count(F.lit(1)).alias("n_raw_order")
+                )
+            )
+        )
+    )
+    return audit.select(
+        "n_dim_customer", "n_dim_item", "n_raw_order",
+        "n_fact_rows", "n_orders_in_fact", "total_quantity",
+    )
 
 
 def run_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,35 +226,140 @@ def run_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, Warehouse(spark, os.path.join(base, "warehouse")), landing, clock=clock
     )
     pipelines.run_all()
+    return _audit(pipelines)
 
-    fact = pipelines.fact_order.read()
-    audit = (
-        fact.agg(
-            F.count(F.lit(1)).alias("n_fact_rows"),
-            F.sum("order_count").alias("n_orders_in_fact"),
-            F.sum("order_quantity").alias("total_quantity"),
-        )
-        .withColumn("n_dim_customer", F.lit(pipelines.dim_customer.read().count()))
-        .withColumn("n_dim_item", F.lit(pipelines.dim_item.read().count()))
-        .withColumn("n_raw_order", F.lit(pipelines.raw["order"].read().count()))
+
+def prepare_incremental(spark: SparkSession, sf_dir: str) -> dict:
+    """Untimed setup for the incremental bench entry: synthesize the
+    split landing (orders before INCR_CUTOFF) + delta dir, build the
+    warehouse in ``fact_mode="incremental"``, and run the initial-load
+    cycle. Memoized per (session, sf_dir); bench.py calls this before
+    the timed loop so the timed build measures ONLY the delta cycle."""
+    key = (id(spark), sf_dir)
+    if key in _incr_state:
+        return _incr_state[key]
+    from ..pipelines.entities import EntityPipelines
+    from .catalog import Warehouse
+
+    base = tempfile.mkdtemp(prefix="etl_backfill_incr_")
+    landing = os.path.join(base, "landing")
+    delta = os.path.join(base, "delta_order")
+    synthesize_landing(spark, sf_dir, landing, order_cutoff=INCR_CUTOFF, delta_root=delta)
+    clock = lambda: datetime(2021, 6, 1, tzinfo=timezone.utc)  # noqa: E731
+    pipelines = EntityPipelines(
+        spark,
+        Warehouse(spark, os.path.join(base, "warehouse")),
+        landing,
+        clock=clock,
+        fact_mode="incremental",
     )
-    return audit.select(
-        "n_dim_customer", "n_dim_item", "n_raw_order",
-        "n_fact_rows", "n_orders_in_fact", "total_quantity",
+    pipelines.run_all()
+    _incr_state[key] = {"pipelines": pipelines, "delta_dir": delta, "landing": landing}
+    return _incr_state[key]
+
+
+def run_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Land the held-back order batch and run one maintenance cycle:
+    MERGE the delta into raw (O(history) anti-join but O(delta) data
+    movement), then recompute ONLY the touched order_date partitions
+    and dynamic-partition-overwrite them."""
+    st = prepare_incremental(spark, sf_dir)
+    order_landing = os.path.join(st["landing"], "order")
+    for f in os.listdir(st["delta_dir"]):
+        shutil.move(os.path.join(st["delta_dir"], f), os.path.join(order_landing, f))
+    st["pipelines"].run_all()
+    return _audit(st["pipelines"])
+
+
+# ----------------------------------------------------------------------
+# DuckDB oracle: the audit in closed form over the source parquet
+# ----------------------------------------------------------------------
+
+
+def _audit_oracle(incremental: bool) -> str:
+    """The warehouse audit as one DuckDB query over the parquet views.
+
+    The synthesized order CSVs are a deterministic function of
+    ``orders`` x ``part`` (string formatting replicated column by
+    column, including Spark's decimal money rendering — validated
+    byte-exact). The raw table's latest-wins dedup on the composite
+    business key (order_date, order_time, item_id, item_desc) is
+    replicated as a ranked CTE: later batch wins (the delta MERGE
+    update), then the engine's deterministic tiebreak — every non-key
+    column descending in alphabetical column order
+    (pipelines/entities.py:_raw_task). The audit aggregates only
+    surviving rows, so for the incremental entry a green row proves
+    the O(delta) cycle converged to the exact full-rebuild state."""
+    money = (
+        "CAST(CAST(ROUND(CAST(CAST(CAST(o_totalprice AS DECIMAL(20,6)) AS DOUBLE)"
+        " * {f} AS DECIMAL(20,6)), 2) AS DECIMAL(20,2)) AS VARCHAR)"
     )
+    batch = (
+        f"CASE WHEN o_orderdate >= TIMESTAMP '{INCR_CUTOFF}' THEN 2 ELSE 1 END"
+        if incremental
+        else "1"
+    )
+    return f"""
+    WITH synth AS (
+        SELECT {batch} AS batch,
+               CAST(o.o_orderdate AS VARCHAR) AS order_date,
+               CAST((o.o_orderkey % 12) + 1 AS VARCHAR) || ':30:00 AM' AS order_time,
+               'I' || CAST(o.o_orderkey % np.n AS VARCHAR) AS item_id,
+               p.p_name AS item_desc,
+               'C' || CAST(o.o_custkey AS VARCHAR) AS customer_id,
+               CASE WHEN o.o_custkey % 2 = 0 THEN 'Mr.' ELSE 'Ms.' END AS salutation,
+               'Customer' AS first_name,
+               lpad(CAST(o.o_custkey AS VARCHAR), 9, '0') AS last_name,
+               CAST(o.o_orderkey % 10 AS VARCHAR) AS store_id,
+               'Store ' || CAST(o.o_orderkey % 10 AS VARCHAR) AS store_name,
+               CAST((o.o_orderkey % 7) + 1 AS VARCHAR) AS order_quantity,
+               CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(20,6)), 2)
+                    AS DECIMAL(20,2)) AS VARCHAR) AS sale_price,
+               {money.format(f="0.10")} AS disount_amt,
+               {money.format(f="0.02")} AS coupon_amt,
+               {money.format(f="0.88")} AS net_paid,
+               {money.format(f="0.95")} AS net_paid_tax,
+               {money.format(f="0.12")} AS net_profit
+        FROM orders o
+        CROSS JOIN (SELECT COUNT(*) AS n FROM part) np
+        JOIN part p ON p.p_partkey = o.o_orderkey % np.n
+    ),
+    surviving AS (
+        SELECT * FROM (
+            SELECT s.*, row_number() OVER (
+                PARTITION BY order_date, order_time, item_id, item_desc
+                ORDER BY batch DESC, coupon_amt DESC, customer_id DESC,
+                         disount_amt DESC, first_name DESC, last_name DESC,
+                         net_paid DESC, net_paid_tax DESC, net_profit DESC,
+                         order_quantity DESC, sale_price DESC, salutation DESC,
+                         store_id DESC, store_name DESC
+            ) AS rn FROM synth s
+        ) WHERE rn = 1
+    )
+    SELECT (SELECT COUNT(*) FROM customer) AS n_dim_customer,
+           (SELECT COUNT(*) FROM part)     AS n_dim_item,
+           (SELECT COUNT(*) FROM surviving) AS n_raw_order,
+           (SELECT COUNT(*) FROM (
+                SELECT DISTINCT CAST(CAST(order_date AS TIMESTAMP) AS DATE),
+                       customer_id, item_id FROM surviving) t) AS n_fact_rows,
+           (SELECT COUNT(*) FROM surviving) AS n_orders_in_fact,
+           (SELECT CAST(SUM(CAST(order_quantity AS BIGINT)) AS BIGINT)
+            FROM surviving) AS total_quantity
+    """
 
 
 @register(
     "pl_backfill_scale",
-    oracle=None,
+    oracle=_audit_oracle(incremental=False),
     doc="""Scale backfill: entity CSVs synthesized from the TPC-H
     parquet at the driver's scale factor (~15k customers / 150k orders
     at sf0.1), pushed through the full landing -> pipe -> MERGE raw ->
-    MERGE dim / fact-rebuild path. Rows-only (stateful multi-step
-    ingest); the audit counts are deterministic. This is the ETL-
-    throughput headline — the 20-row fixture replay proves semantics,
-    this proves the MERGE rewrite holds up at row counts the reference
-    never saw.""",
+    MERGE dim / fact-rebuild path. The ETL-throughput headline — the
+    20-row fixture replay proves semantics, this proves the MERGE
+    rewrite holds up at row counts the reference never saw. The audit
+    oracle derives the exact final warehouse state from the source
+    parquet in closed form, including which row of a colliding
+    composite key survives the deterministic latest-wins tiebreak.""",
     tags=("pipeline", "scale", "M1", "M2", "M3"),
 )
 def pl_backfill_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,3 +367,27 @@ def pl_backfill_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _memo:
         _memo[key] = run_backfill(spark, sf_dir)
     return _memo[key]
+
+
+@register(
+    "pl_backfill_incremental",
+    oracle=_audit_oracle(incremental=True),
+    doc="""Incremental fact maintenance at scale (the 100 TB posture the
+    reference lacks): the initial load stops at INCR_CUTOFF; the
+    held-back two months of orders land as a delta batch and ONE
+    maintenance cycle runs with fact_mode="incremental" — the raw MERGE
+    moves only delta rows, and only the ~60 touched order_date
+    partitions (of ~2400) are recomputed and dynamic-partition-
+    overwritten (operators/dml.py:overwrite_partitions). The oracle
+    computes the audit over ALL orders, so a green row is a proof of
+    convergence: the O(delta) cycle ends in the exact state a full
+    rebuild produces. bench.py times only the delta cycle (prepare is
+    untimed), benchmarking the daily-maintenance path against
+    pl_backfill_scale's full rebuild.""",
+    tags=("pipeline", "scale", "M3", "M7"),
+)
+def pl_backfill_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _incr_memo:
+        _incr_memo[key] = run_incremental_delta(spark, sf_dir)
+    return _incr_memo[key]

@@ -46,10 +46,34 @@ class ManagedTable:
         if not self.storage.exists():
             return self.spark.createDataFrame([], self.schema)
         # explicit schema: skips footer inference, keeps the declared
-        # column order for partitioned layouts (partition col would
-        # otherwise sort last), and makes an empty partitioned
-        # directory (a zero-row overwrite writes no files) readable
-        return self.spark.read.schema(self.schema).parquet(self.storage.path)
+        # column order for partitioned layouts, and makes an empty
+        # partitioned directory (a zero-row overwrite writes no files)
+        # readable. The trailing select drops derived partition-key
+        # columns (e.g. the incremental mode's __month): partition
+        # discovery on a root-directory read appends them even under a
+        # user schema — they are directory metadata, not table columns.
+        return (
+            self.spark.read.schema(self.schema)
+            .parquet(self.storage.path)
+            .select(*[f.name for f in self.schema.fields])
+        )
+
+    def read_partitions(self, values: Sequence[str]) -> DataFrame:
+        """Path-pruned read: ONLY the listed partition-directory values
+        of the (single) partition column are opened — the physical form
+        of partition pruning the partition-pruned MERGE relies on. At
+        100 TB this is the difference between listing the whole table
+        and listing the touched day/month directories. Values absent on
+        disk are skipped (a batch can carry brand-new partitions)."""
+        (pcol,) = self.storage.partition_by
+        dirs = [
+            os.path.join(self.storage.path, f"{pcol}={v}")
+            for v in values
+            if os.path.exists(os.path.join(self.storage.path, f"{pcol}={v}"))
+        ]
+        if not dirs:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(*dirs)
 
     def append(self, df: DataFrame, action: str = "INSERT") -> int:
         self.storage.append(df)
@@ -68,6 +92,19 @@ class ManagedTable:
         """
         version = self.changelog.record(changes if changes is not None else df, action)
         self.storage.overwrite(df)
+        return version
+
+    def overwrite_partitions(
+        self, df: DataFrame, changes: DataFrame | None = None, action: str = "UPSERT"
+    ) -> int:
+        """Partition-scoped replace (the partition-pruned MERGE commit):
+        only the partitions present in ``df`` are rewritten; the
+        changelog records the applied batch exactly as ``overwrite``
+        does, so stream consumers are agnostic to which commit path a
+        producer used. Same ordering/crash discipline as ``overwrite``.
+        """
+        version = self.changelog.record(changes if changes is not None else df, action)
+        self.storage.overwrite_partitions(df)
         return version
 
     def truncate(self) -> int:

@@ -1811,3 +1811,48 @@ def x14_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.content_defined_chunks(
         load(spark, sf_dir, "documents"), "doc_id", "text", window=4, mask=31
     )
+
+
+@register(
+    "t11_bigram_lm_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id AS id, {SQL_TOKENS.format(x='text')} AS w
+                  FROM documents),
+    inst AS (SELECT id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+             FROM toks),
+    doc_bg AS (SELECT id, w1, w2, CAST(count(*) AS BIGINT) AS k
+               FROM inst GROUP BY 1, 2, 3),
+    lm_bi AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c_xy
+              FROM doc_bg GROUP BY 1, 2),
+    lm_ctx AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x
+               FROM lm_bi GROUP BY 1),
+    scored AS (
+        SELECT d.id, CAST(sum(d.k) AS BIGINT) AS n_bigrams,
+               CAST(sum(d.k * ((b.c_xy * CAST(1000000000 AS BIGINT)) // x.c_x))
+                    AS BIGINT) AS sum_p
+        FROM doc_bg d
+        JOIN lm_bi b ON b.w1 = d.w1 AND b.w2 = d.w2
+        JOIN lm_ctx x ON x.w1 = d.w1
+        GROUP BY d.id
+    )
+    SELECT doc.doc_id AS id,
+           COALESCE(s.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+           CAST(s.sum_p AS DOUBLE)
+             / CAST(nullif(s.n_bigrams, 0) * CAST(1000000000 AS BIGINT) AS DOUBLE)
+               AS lm_score
+    FROM documents doc LEFT JOIN scored s ON s.id = doc.doc_id
+    """,
+    doc="""Corpus-LM likelihood scoring (t11): train a bigram LM over
+    the corpus and score every document by its average conditional
+    bigram probability — the perplexity-style quality filter of a
+    pretraining pipeline, with log-perplexity replaced by the
+    average-probability ratio (libm ln is not bit-stable; the
+    low-likelihood tail ranking is preserved). Probabilities are
+    scaled-BIGINT floor divisions (exact in both engines) so the
+    per-doc sum is order-independent; one IEEE double division at the
+    end. Bigrams form in-row; LM state attaches via (w1,w2)/(w1) hash
+    joins — never the driver.""",
+    tags=("text", "lm", "quality"),
+)
+def t11_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.bigram_lm_score(load(spark, sf_dir, "documents"), "doc_id", "text")

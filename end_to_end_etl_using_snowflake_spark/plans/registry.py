@@ -145,6 +145,10 @@ PRIORITY: tuple[str, ...] = (
     "q13_customer_distribution", "q15_top_supplier",
     "q16_supplier_part_counts", "q17_small_qty_revenue",
     "q20_promotion_suppliers", "q21_waiting_suppliers",
+    # O(delta) fact maintenance with a convergence-proof oracle
+    "pl_backfill_incremental",
+    # corpus-LM likelihood quality filter (scaled-BIGINT probabilities)
+    "t11_bigram_lm_score",
 )
 
 

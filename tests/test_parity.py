@@ -56,12 +56,10 @@ def test_driver_prefix_spans_all_operator_families():
         if not any(name.startswith(p) for p in pfxs for name in prefix)
     }
     assert not missing, f"families absent from the checked prefix: {missing}"
-    # every entry in the checked window must carry a real oracle, with
-    # one deliberate exception: pl_backfill_scale is the rows-only
-    # ETL-throughput headline whose component states are oracled
-    # elsewhere (pl_dim_*/pl_fact_order/m7) — parking it inside the
-    # window buys its first driver row ever.
+    # every entry in the checked window must carry a real oracle
+    # (round 4 upgraded the last rows-only entry, pl_backfill_scale,
+    # to a closed-form audit oracle over the source parquet).
     rows_only = [n for n in prefix if REGISTRY[n].oracle is None]
-    assert rows_only == ["pl_backfill_scale"], (
+    assert rows_only == [], (
         f"unexpected rows-only queries inside the checked prefix: {rows_only}"
     )
