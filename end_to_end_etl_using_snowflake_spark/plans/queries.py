@@ -3029,3 +3029,105 @@ def _k3_oracle() -> str:
 
 
 REGISTRY["k3_bloom_membership"].oracle = _k3_oracle()
+
+
+# round 4: recursive-CTE text surface (Spark 4.x WITH RECURSIVE)
+_SQL4_RECURSIVE = """
+    WITH RECURSIVE anc AS (
+        SELECT p_partkey AS part, p_partkey AS node FROM part
+        UNION ALL
+        SELECT part, CAST(FLOOR(node / 2.0) AS BIGINT) FROM anc WHERE node > 1
+    )
+    SELECT a.node AS ancestor,
+           COUNT(1) AS subtree_size,
+           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS subtree_value
+    FROM anc a JOIN part p ON p.p_partkey = a.part
+    GROUP BY a.node
+"""
+
+
+@register(
+    "sql4_recursive_cte",
+    oracle=_SQL4_RECURSIVE,
+    doc="""Recursive CTE through the raw-SQL surface: a BOM-style
+    subtree rollup. Parts form an implicit binary hierarchy
+    (parent = floor(key/2)); the recursion materializes every
+    (part, ancestor) closure pair (~11 levels deep), then a join +
+    group-by aggregates each node's subtree size and value — the
+    hierarchical-rollup shape (org charts, bills of materials,
+    category trees) that plain SQL cannot express without recursion.
+    The IDENTICAL ANSI text runs through ``spark.sql`` (Spark 4.x
+    WITH RECURSIVE executes as an iterative union-loop plan, each
+    step a distributed join — the driver only orchestrates) and the
+    DuckDB oracle. Arithmetic note: ``FLOOR(node / 2.0)`` keeps the
+    parent function engine-agnostic (integer ``/`` differs between
+    dialects; float-divide-floor-cast is exact for these magnitudes
+    and spelled identically in both). Money stays DECIMAL to the
+    final DOUBLE cast. d6 proves iterative closure via the DataFrame
+    API; this proves the text dialect.""",
+    tags=("sql", "recursive", "hierarchy"),
+)
+def sql4_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL4_RECURSIVE)
+
+
+@register(
+    "e8_stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, n.n_name AS nation, e.value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    """,
+    doc="""Stream-STATIC join run for real — the third Structured
+    Streaming join mode (e6 dedup state, e7 stream-stream): an event
+    stream enriched against a static dimension (customer -> nation),
+    the canonical streaming-ETL enrichment. Stream-static inner joins
+    are STATELESS (no watermark, no join state — the static side is
+    re-resolved per micro-batch, so a dim update is picked up by the
+    next batch) and the static side broadcasts: at 100 TB of stream
+    the dim ships once per batch to each executor and no stream row
+    ever shuffles. The stream lands as one file so the availableNow
+    drain is one complete micro-batch; the oracle is the equivalent
+    batch join.""",
+    tags=("streaming", "join", "enrichment"),
+)
+def e8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="e8_enrich_")
+    edir, out_dir, ckpt = f"{base}/events", f"{base}/out", f"{base}/ckpt"
+    load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    ).coalesce(1).write.mode("overwrite").parquet(edir)
+    stream = spark.readStream.schema(
+        "event_id bigint, user_id bigint, ts timestamp, value double"
+    ).parquet(edir)
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    static_dim = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            stream.join(F.broadcast(static_dim), "user_id", "inner")
+            .select("event_id", "user_id", "nation", "value")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.schema(
+        "event_id bigint, user_id bigint, nation string, value double"
+    ).parquet(out_dir)

@@ -149,6 +149,10 @@ PRIORITY: tuple[str, ...] = (
     "pl_backfill_incremental",
     # corpus-LM likelihood quality filter (scaled-BIGINT probabilities)
     "t11_bigram_lm_score",
+    # recursive-CTE text surface (Spark 4.x WITH RECURSIVE)
+    "sql4_recursive_cte",
+    # stream-static broadcast enrichment (third streaming join mode)
+    "e8_stream_static_enrich",
 )
 
 
