@@ -118,7 +118,20 @@ class ParquetTable:
         )
 
     def truncate(self, schema) -> None:
-        self.overwrite(self.spark.createDataFrame([], schema))
+        """TRUNCATE is a metadata operation, not a job: swap in an
+        empty directory with the same atomic rename discipline as
+        ``overwrite``. Readers handle a file-less table directory
+        (ManagedTable.read supplies the schema explicitly), so there
+        is nothing for Spark to compute — launching a zero-row write
+        job here cost ~0.5 s per pipeline cycle for no work."""
+        tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        old = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
 
     def file_count(self) -> int:
         n = 0
