@@ -1856,3 +1856,65 @@ def x14_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t11_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.bigram_lm_score(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _x16_edges_sql() -> str:
+    return (
+        "SELECT DISTINCT 'C' || CAST(o.o_custkey AS VARCHAR) AS src, "
+        "'S' || CAST(l.l_suppkey AS VARCHAR) AS dst "
+        "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+    )
+
+
+def _x16_oracle() -> str:
+    from ..operators.graph import sql_pagerank_oracle
+
+    inner = sql_pagerank_oracle(_x16_edges_sql(), iterations=3)
+    return f"""
+    WITH ranked AS ({inner})
+    SELECT node, pr,
+           CAST(pr AS DOUBLE) / 1000000000000.0 AS pr_score
+    FROM ranked
+    ORDER BY pr DESC, node ASC
+    LIMIT 20
+    """
+
+
+@register(
+    "x16_pagerank_iter3",
+    oracle=_x16_oracle(),
+    doc="""Iterative PageRank (3 damped iterations) over the
+    customer->supplier purchase graph, top-20 nodes — the
+    link-analysis member of the iterative-algorithm family (d6
+    connected components, v9 k-means). Ranks are scaled BIGINTs and
+    every division is integer floor division, so each iteration is
+    order-independent and the DuckDB oracle replays the EXACT loop as
+    unrolled CTEs (the v9 pattern) — an iterative float algorithm made
+    bit-reproducible. Per iteration: one shuffle of the edge list on
+    dst; rank and degree relations are node-sized; N is an in-plan
+    broadcast aggregate (no driver scalars). The loop unrolls into a
+    single lazy plan; at tens of iterations, localCheckpoint every ~5
+    (the d6 discipline).""",
+    tags=("graph", "iterative", "pagerank"),
+)
+def x16_pagerank_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import SCALE, pagerank
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    edges = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+    )
+    pr = pagerank(edges, iterations=3)
+    return (
+        pr.select(
+            "node",
+            "pr",
+            (F.col("pr").cast("double") / F.lit(float(SCALE))).alias("pr_score"),
+        )
+        .orderBy(F.col("pr").desc(), F.col("node").asc())
+        .limit(20)
+    )

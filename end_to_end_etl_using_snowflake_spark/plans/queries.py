@@ -3131,3 +3131,63 @@ def e8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "event_id bigint, user_id bigint, nation string, value double"
     ).parquet(out_dir)
+
+
+@register(
+    "dq2_robust_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+        FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           COUNT(1) AS n,
+           MIN(d.med) AS med,
+           MIN(a.mad) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * a.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a ON a.event_type = d.event_type
+    GROUP BY 1
+    """,
+    doc="""Distribution data-quality audit (dq2): robust per-group
+    outlier detection via median/MAD — the dispersion measure that,
+    unlike mean/stddev, is not itself dragged by the outliers it is
+    trying to find (a corrupt feed of 1e9 values moves a z-score
+    threshold arbitrarily; the MAD barely moves). Two grouped exact
+    percentile passes (median of values, then median of absolute
+    deviations) + one counting pass flagging |x − med| > 3·MAD.
+    Determinism: raw doubles throughout, interpolated percentiles
+    computed identically by both engines (a6's proven convention),
+    flag comparisons on exact double arithmetic. At 100 TB the exact
+    medians swap for ``approx_percentile`` (mergeable t-digest, one
+    pass) with a documented rank-error bound — the operator shape
+    (group → join back → flag) is unchanged.""",
+    tags=("quality", "distribution", "outliers"),
+)
+def dq2_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )

@@ -153,6 +153,10 @@ PRIORITY: tuple[str, ...] = (
     "sql4_recursive_cte",
     # stream-static broadcast enrichment (third streaming join mode)
     "e8_stream_static_enrich",
+    # robust distribution DQ (median/MAD outliers)
+    "dq2_robust_outliers",
+    # iterative link analysis (scaled-BIGINT PageRank, unrolled oracle)
+    "x16_pagerank_iter3",
 )
 
 
