@@ -3191,3 +3191,80 @@ def dq2_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+@register(
+    "e9_funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY 1
+    )
+    SELECT (SELECT COUNT(1) FROM v) AS n_view,
+           (SELECT COUNT(1) FROM c) AS n_view_click,
+           (SELECT COUNT(1) FROM p) AS n_view_click_purchase,
+           CAST((SELECT COUNT(1) FROM p) AS DOUBLE)
+             / CAST((SELECT COUNT(1) FROM v) AS DOUBLE) AS conversion
+    """,
+    doc="""Ordered funnel conversion (view -> click -> purchase): the
+    product-analytics composite over the event stream. Strict ordering
+    is enforced by chained first-occurrence aggregates — each stage's
+    earliest qualifying timestamp must strictly follow the previous
+    stage's (t1 < t2 < t3), which a naive per-type EXISTS would get
+    wrong (a purchase before the first view is not a conversion).
+    Three grouped passes, each shuffling only (user, ts) pairs and
+    shrinking monotonically; the final counts are 1-row aggregates and
+    the conversion ratio is one IEEE division of two exact BIGINTs.
+    At 100 TB the same shape holds — stage N's relation is a strict
+    subset of stage N-1's.""",
+    tags=("events", "funnel", "analytics"),
+)
+def e9_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_view_click",
+            "n_view_click_purchase",
+            (
+                F.col("n_view_click_purchase").cast("double")
+                / F.col("n_view").cast("double")
+            ).alias("conversion"),
+        )
+    )

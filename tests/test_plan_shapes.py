@@ -293,3 +293,47 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+TPCH_R4 = [
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+    "q11_important_stock", "q12_priority_shipping",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_qty_revenue",
+    "q20_promotion_suppliers", "q21_waiting_suppliers",
+]
+
+
+@pytest.mark.parametrize("name", TPCH_R4)
+def test_tpch_completion_no_nested_loops(spark, name):
+    # every round-4 TPC-H shape must plan as hash/sort-merge joins —
+    # a CartesianProduct or BroadcastNestedLoopJoin means a subquery
+    # failed to decorrelate (or a join condition fell through) and the
+    # query is quadratic at scale. The 1-row scalar-aggregate
+    # broadcasts (q11 threshold, q15 max, q17 final) are BNLJ-free by
+    # construction: they join on no condition but against ONE row.
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, plan
+    # BroadcastNestedLoopJoin is tolerable ONLY against a 1-row
+    # aggregate (scalar threshold); anything else is a regression
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in ("q11_important_stock", "q15_top_supplier",
+                        "q17_small_qty_revenue"), plan
+
+
+def test_q21_census_rewrite_single_pass(spark):
+    # the EXISTS/NOT-EXISTS pair must run as ONE per-order aggregate
+    # joined back — not two correlated probes (three scans total:
+    # l1, census, plus the orders filter on each)
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    # the two COUNT(DISTINCT)s compile to ONE expand-based two-phase
+    # aggregate (gid grouping column) keyed on the order — the census
+    assert "gid#" in plan and "partial_count(l_suppkey" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q6_style_pushdown_on_new_queries(spark):
+    # q15's quarter filter must reach the lineitem scan
+    plan = plan_of(spark, "q15_top_supplier")
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert "LessThan(l_shipdate" in plan, plan
