@@ -363,3 +363,122 @@ def sql_bloom_membership(
     LEFT JOIN hits h ON h.key = k.key
     LEFT JOIN bkeys b ON b.key = k.key
     """
+
+
+def hll_union_by_group(
+    df: DataFrame, group_col: str, col: str, p: int = 8
+) -> DataFrame:
+    """Mergeable HLL: one sketch per group PLUS their register-wise
+    union — the property that makes sketches the 100 TB answer. The
+    union sketch is computed from the per-group REGISTERS (a
+    groups x m relation), never by rescanning rows: at scale, each
+    source/day/shard keeps its own m-register sketch and any ad-hoc
+    combination (all sources, last 7 days, one tenant) is a max-merge
+    of register vectors — the exact-COUNT(DISTINCT) union would
+    reshuffle every distinct value again.
+
+    Output: one row per group + a ``__union__`` row, each carrying the
+    k1 estimate columns (v_empty, s_scaled, raw_estimate, n_exact).
+    Same determinism contract as ``hll_distinct``: md5 registers,
+    exact scaled-BIGINT harmonic sums, one final double division.
+    """
+    m = 1 << p
+    w_bits = 60 - p
+    h = md5_hash64(F.col(col))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.bin(w))
+    )
+    base = df.select(
+        F.col(group_col).cast("string").alias("scope"),
+        (h.bitwiseAND(F.lit(m - 1))).alias("bucket"),
+        rho.alias("rho"),
+    )
+    per = base.groupBy("scope", "bucket").agg(F.max("rho").alias("m_rho"))
+    union_regs = (
+        per.groupBy("bucket")
+        .agg(F.max("m_rho").alias("m_rho"))  # THE MERGE: register-wise max
+        .select(F.lit("__union__").alias("scope"), "bucket", "m_rho")
+    )
+    scaled = F.expr(f"shiftleft(CAST(1 AS BIGINT), {w_bits + 1} - m_rho)")
+    agg = (
+        per.unionByName(union_regs)
+        .groupBy("scope")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.coalesce(F.sum(scaled), F.lit(0).cast("long")).alias("s_observed"),
+        )
+    )
+    exact = (
+        df.groupBy(F.col(group_col).cast("string").alias("scope"))
+        .agg(F.countDistinct(F.col(col)).alias("n_exact"))
+        .unionByName(
+            df.agg(F.countDistinct(F.col(col)).alias("n_exact")).select(
+                F.lit("__union__").alias("scope"), "n_exact"
+            )
+        )
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    empty = F.lit(m) - F.col("n_buckets")
+    s_total = F.col("s_observed") + empty * F.lit(1 << (w_bits + 1)).cast("long")
+    est = (
+        F.lit(alpha)
+        * F.lit(float(m * m))
+        * F.lit(float(1 << (w_bits + 1)))
+        / s_total.cast("double")
+    )
+    return agg.join(exact, "scope").select(
+        "scope",
+        empty.cast("long").alias("v_empty"),
+        s_total.cast("long").alias("s_scaled"),
+        est.alias("raw_estimate"),
+        "n_exact",
+    )
+
+
+def sql_hll_union_by_group(table: str, group_col: str, col: str, p: int = 8) -> str:
+    """DuckDB twin of ``hll_union_by_group`` — identical registers,
+    identical register-wise max merge, identical final expression."""
+    m = 1 << p
+    w_bits = 60 - p
+    h = sql_md5_hash64(col)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    big = 1 << (w_bits + 1)
+    est = (
+        f"CAST({alpha!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)"
+        f" * CAST({float(big)!r} AS DOUBLE)"
+        f" / CAST(s_observed + ({m} - n_buckets) * CAST({big} AS BIGINT) AS DOUBLE)"
+    )
+    return f"""
+    WITH rows_ AS (
+        SELECT CAST({group_col} AS VARCHAR) AS scope,
+               {h} & {m - 1} AS bucket,
+               CASE WHEN ({h} >> {p}) = 0 THEN {w_bits + 1}
+                    ELSE {w_bits + 1} - length(bin({h} >> {p})) END AS rho
+        FROM {table}
+    ),
+    per AS (SELECT scope, bucket, max(rho) AS m_rho FROM rows_ GROUP BY 1, 2),
+    uni AS (SELECT '__union__' AS scope, bucket, max(m_rho) AS m_rho
+            FROM per GROUP BY 2),
+    regs AS (SELECT * FROM per UNION ALL SELECT * FROM uni),
+    agg AS (
+        SELECT scope, count(*) AS n_buckets,
+               CAST(COALESCE(sum(CAST(1 AS BIGINT) << ({w_bits + 1} - m_rho)), 0)
+                    AS BIGINT) AS s_observed
+        FROM regs GROUP BY 1
+    ),
+    exact AS (
+        SELECT CAST({group_col} AS VARCHAR) AS scope,
+               count(DISTINCT {col}) AS n_exact
+        FROM {table} GROUP BY 1
+        UNION ALL
+        SELECT '__union__', count(DISTINCT {col}) FROM {table}
+    )
+    SELECT agg.scope,
+           CAST({m} - n_buckets AS BIGINT) AS v_empty,
+           CAST(s_observed + ({m} - n_buckets) * CAST({big} AS BIGINT)
+                AS BIGINT) AS s_scaled,
+           {est} AS raw_estimate,
+           n_exact
+    FROM agg JOIN exact ON exact.scope = agg.scope
+    """

@@ -3268,3 +3268,37 @@ def e9_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conversion"),
         )
     )
+
+
+@register(
+    "k4_hll_union_sources",
+    oracle=None,  # assigned below (generated from the sketch module)
+    doc="""Mergeable HLL (k-family completion): one 256-register
+    sketch per document source PLUS their register-wise max-merge as
+    the corpus-wide distinct estimate — computed from the per-source
+    REGISTERS, never by rescanning rows. Mergeability is the whole
+    point of sketches at 100 TB: per-shard/per-day sketches combine
+    into any ad-hoc scope with O(m) work, where the exact
+    COUNT(DISTINCT) union would reshuffle every distinct value again.
+    Same bit-exact contract as k1 (md5 registers, scaled-BIGINT
+    harmonic sums); per-source and union exact counts ride along as
+    self-audit.""",
+    tags=("sketch", "aggregate", "mergeable", "scale-path"),
+)
+def k4_hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches as K
+
+    return K.hll_union_by_group(
+        load(spark, sf_dir, "documents"), "source", "text", p=8
+    )
+
+
+def _attach_k4_oracle() -> None:
+    from ..operators import sketches as K
+
+    REGISTRY["k4_hll_union_sources"].oracle = K.sql_hll_union_by_group(
+        "documents", "source", "text", p=8
+    )
+
+
+_attach_k4_oracle()

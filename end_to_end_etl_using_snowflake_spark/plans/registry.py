@@ -157,6 +157,10 @@ PRIORITY: tuple[str, ...] = (
     "dq2_robust_outliers",
     # iterative link analysis (scaled-BIGINT PageRank, unrolled oracle)
     "x16_pagerank_iter3",
+    # ordered funnel conversion (chained first-occurrence aggregates)
+    "e9_funnel_conversion",
+    # mergeable HLL: per-source sketches + register-wise union merge
+    "k4_hll_union_sources",
 )
 
 
