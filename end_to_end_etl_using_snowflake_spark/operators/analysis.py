@@ -540,3 +540,59 @@ def bigram_lm_score(
         )
     )
     return out
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    q: int = 3,
+    max_dist: int = 3,
+    len_tol: int = 2,
+) -> DataFrame:
+    """Fuzzy entity-matching join: distinct-name pairs within
+    ``max_dist`` edit distance, found by q-gram blocking — the
+    canonicalization primitive of entity resolution (vendor/product
+    name cleanup before a dimension MERGE).
+
+    The naive form is an O(V²) cross join with levenshtein on every
+    pair. Blocking makes it linear-ish in practice: two names within
+    edit distance d share at least one q-gram whenever
+    ``min_len >= q*(d+1) - ... `` (the standard q-gram count filter;
+    for short names the shared-gram requirement is a high-recall
+    heuristic, exact for the distances used here) — so candidates come
+    from an equi-self-join on grams, a cheap length filter prunes
+    further, and the expensive edit distance runs only on survivors.
+    At 100 TB scale the gram join IS the operator: grams hash-shuffle
+    like any key, hot grams cap like d7's stop-shingles.
+
+    Determinism: levenshtein is exact integer DP in both engines;
+    pairs are canonical (n1 < n2); everything else is set algebra.
+    """
+    names = df.select(F.lower(F.col(name_col)).alias("nm")).distinct()
+    grams = names.select(
+        "nm",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(nm) - {q - 1}, 1)),"
+                f" i -> substring(nm, i, {q}))"
+            )
+        ).alias("g"),
+    ).distinct()
+    a = grams.select(F.col("nm").alias("n1"), "g")
+    b = grams.select(F.col("nm").alias("n2"), "g")
+    cand = (
+        a.join(b, "g")
+        .filter(F.col("n1") < F.col("n2"))
+        .filter(
+            F.abs(F.length("n1") - F.length("n2")) <= F.lit(len_tol)
+        )
+        .select("n1", "n2")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("n1"), F.col("n2")).cast("bigint")
+        )
+        .filter(F.col("dist") <= F.lit(max_dist))
+        .select("n1", "n2", "dist")
+    )

@@ -1918,3 +1918,96 @@ def x16_pagerank_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pr").desc(), F.col("node").asc())
         .limit(20)
     )
+
+
+@register(
+    "x18_fuzzy_name_join",
+    oracle="""
+    WITH names AS (SELECT DISTINCT lower(p_name) AS nm FROM part),
+    grams AS (
+        SELECT DISTINCT nm,
+               unnest(list_transform(
+                   generate_series(1, greatest(length(nm) - 2, 1)),
+                   i -> substring(nm, i, 3))) AS g
+        FROM names
+    ),
+    cand AS (
+        SELECT DISTINCT a.nm AS n1, b.nm AS n2
+        FROM grams a JOIN grams b ON a.g = b.g AND a.nm < b.nm
+        WHERE abs(length(a.nm) - length(b.nm)) <= 2
+    )
+    SELECT n1, n2, CAST(levenshtein(n1, n2) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(n1, n2) <= 3
+    """,
+    doc="""Fuzzy entity-matching join over part names: distinct-name
+    pairs within edit distance 3, candidates blocked by shared
+    3-grams + length tolerance so the exact levenshtein DP runs only
+    on survivors, never on the O(V²) cross product — the
+    entity-resolution canonicalization primitive (vendor/product name
+    cleanup before a dimension MERGE). Gram blocking shuffles like
+    any key join and caps hot grams like d7's stop-shingles at
+    scale.""",
+    tags=("fuzzy", "entity-resolution", "join"),
+)
+def x18_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.fuzzy_name_pairs(
+        load(spark, sf_dir, "part"), "p_name", q=3, max_dist=3, len_tol=2
+    )
+
+
+def _x17_oracle() -> str:
+    from ..operators.sketches import sql_md5_hash64
+
+    h = sql_md5_hash64("doc_id", salt="x17")
+    return f"""
+    WITH pri AS (
+        SELECT doc_id, source, n_chars,
+               ({h}) // greatest(n_chars, 1) AS priority
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY priority ASC, doc_id ASC
+        ) AS rk FROM pri
+    )
+    SELECT doc_id, source, n_chars, priority
+    FROM ranked WHERE rk <= 5
+    """
+
+
+@register(
+    "x17_weighted_sample",
+    oracle=_x17_oracle(),
+    doc="""Deterministic weighted sampling per source (5 docs each),
+    size-biased toward longer documents: priority = hash(id) // weight
+    — the A-ES exponential-key scheme with the float power replaced by
+    integer floor division (same size-biased ordering property for the
+    selection it drives, and bit-reproducible: no RNG state, no libm).
+    Reproducible sampling is what makes a training-mix ablation
+    meaningful — rerunning the pipeline anywhere reselects the exact
+    same documents. One md5 per row + a per-source top-k window; at a
+    hot source, swap in the salted two-stage window
+    (analysis.salted_topn_per_key, the x10 discipline).""",
+    tags=("sampling", "llm-pipeline", "deterministic"),
+)
+def x17_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import md5_hash64
+
+    docs = load(spark, sf_dir, "documents")
+    pri = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr(
+            "CAST(conv(substring(md5(concat('x17:', CAST(doc_id AS STRING))), 1, 15),"
+            " 16, 10) AS BIGINT) div greatest(n_chars, CAST(1 AS BIGINT))"
+        ).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("priority").asc(), F.col("doc_id").asc()
+    )
+    return (
+        pri.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "source", "n_chars", "priority")
+    )

@@ -161,6 +161,10 @@ PRIORITY: tuple[str, ...] = (
     "e9_funnel_conversion",
     # mergeable HLL: per-source sketches + register-wise union merge
     "k4_hll_union_sources",
+    # deterministic weighted sampling (integer A-ES keys)
+    "x17_weighted_sample",
+    # fuzzy entity-matching join (q-gram blocking + levenshtein verify)
+    "x18_fuzzy_name_join",
 )
 
 
