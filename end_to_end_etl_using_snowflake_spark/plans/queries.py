@@ -3302,3 +3302,75 @@ def _attach_k4_oracle() -> None:
 
 
 _attach_k4_oracle()
+
+
+@register(
+    "prof1_corr_exact",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(COUNT(1) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                        * CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                        * CAST(round(l_quantity * 100) AS BIGINT))
+                    AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS DECIMAL(38,0)) AS syy
+        FROM lineitem
+    )
+    SELECT n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 10000.0) AS covar_pop,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+    FROM m
+    """,
+    doc="""Deterministic statistics profile: population covariance and
+    Pearson correlation of (quantity, price) from EXACT integer moment
+    sums — values scale to cents via round-then-cast (NEVER a bare
+    double->int cast: Spark truncates where DuckDB rounds — a real
+    cross-engine trap found by this query's own gate), the five moments
+    accumulate in DECIMAL(38,0) (order-independent, no streaming
+    double state), and the closed-form formula runs once on the final
+    scalars. Spark's F.corr/F.covar_pop accumulate doubles in
+    partition order — fine statistically, but not reproducible
+    bit-for-bit across partitionings; this is how to get the same
+    statistic deterministically at any scale. The final conversions
+    are scale-0 decimal -> double (single correctly-rounded step) and
+    sqrt is IEEE-exact, so both engines produce identical bits.""",
+    tags=("statistics", "profile", "aggregate"),
+)
+def prof1_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    xc = F.expr("CAST(round(l_quantity * 100) AS BIGINT)")
+    yc = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    m = lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xc.cast("decimal(38,0)")).cast("decimal(38,0)").alias("sx"),
+        F.sum(yc.cast("decimal(38,0)")).cast("decimal(38,0)").alias("sy"),
+        F.sum((xc * yc).cast("decimal(38,0)")).cast("decimal(38,0)").alias("sxy"),
+        F.sum((xc * xc).cast("decimal(38,0)")).cast("decimal(38,0)").alias("sxx"),
+        F.sum((yc * yc).cast("decimal(38,0)")).cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    num = nd * sxy - sx * sy
+    return m.select(
+        "n",
+        (num / (nd * nd * F.lit(10000.0))).alias("covar_pop"),
+        (num / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))).alias("corr"),
+    )

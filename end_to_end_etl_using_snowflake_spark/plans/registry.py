@@ -165,6 +165,8 @@ PRIORITY: tuple[str, ...] = (
     "x17_weighted_sample",
     # fuzzy entity-matching join (q-gram blocking + levenshtein verify)
     "x18_fuzzy_name_join",
+    # deterministic statistics (exact integer moment sums)
+    "prof1_corr_exact",
 )
 
 
