@@ -66,6 +66,13 @@ class ManagedTable:
         and listing the touched day/month directories. Values absent on
         disk are skipped (a batch can carry brand-new partitions)."""
         (pcol,) = self.storage.partition_by
+        # Spark percent-escapes special chars in partition dir names;
+        # this path-level lookup only supports values that need no
+        # escaping (true for the __month 'YYYY-MM' keys). Fail loudly
+        # rather than silently skipping an escaped directory.
+        unsafe = [v for v in values if any(c in "/\\:%#?{}[]" for c in str(v))]
+        if unsafe:
+            raise ValueError(f"non-path-safe partition values: {unsafe!r}")
         dirs = [
             os.path.join(self.storage.path, f"{pcol}={v}")
             for v in values
