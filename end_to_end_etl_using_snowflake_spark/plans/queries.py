@@ -3322,17 +3322,32 @@ _attach_k4_oracle()
                     AS DECIMAL(38,0)) AS syy
         FROM lineitem
     )
+    , md AS (
+        -- hi/lo split: each converted piece is < 2^53, so every step
+        -- (exact hi/lo casts, one multiply, one add) is a correctly-
+        -- rounded IEEE op identical in both engines; a direct
+        -- decimal->double cast of a >2^53 sum is engine-specific
+        -- (measured: 1-ulp divergence at sf0.1). HUGEINT, not DECIMAL,
+        -- for // — DuckDB's DECIMAL // is not integer division.
+        SELECT CAST(n AS DOUBLE) AS nd,
+               CAST(CAST(CAST(sx AS HUGEINT) // 67108864 AS BIGINT) AS DOUBLE) * 67108864.0
+                 + CAST(CAST(CAST(sx AS HUGEINT) % 67108864 AS BIGINT) AS DOUBLE) AS sxd,
+               CAST(CAST(CAST(sy AS HUGEINT) // 67108864 AS BIGINT) AS DOUBLE) * 67108864.0
+                 + CAST(CAST(CAST(sy AS HUGEINT) % 67108864 AS BIGINT) AS DOUBLE) AS syd,
+               CAST(CAST(CAST(sxy AS HUGEINT) // 67108864 AS BIGINT) AS DOUBLE) * 67108864.0
+                 + CAST(CAST(CAST(sxy AS HUGEINT) % 67108864 AS BIGINT) AS DOUBLE) AS sxyd,
+               CAST(CAST(CAST(sxx AS HUGEINT) // 67108864 AS BIGINT) AS DOUBLE) * 67108864.0
+                 + CAST(CAST(CAST(sxx AS HUGEINT) % 67108864 AS BIGINT) AS DOUBLE) AS sxxd,
+               CAST(CAST(CAST(syy AS HUGEINT) // 67108864 AS BIGINT) AS DOUBLE) * 67108864.0
+                 + CAST(CAST(CAST(syy AS HUGEINT) % 67108864 AS BIGINT) AS DOUBLE) AS syyd,
+               n
+        FROM m
+    )
     SELECT n,
-           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 10000.0) AS covar_pop,
-           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
-    FROM m
+           (nd * sxyd - sxd * syd) / (nd * nd * 10000.0) AS covar_pop,
+           (nd * sxyd - sxd * syd)
+           / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) AS corr
+    FROM md
     """,
     doc="""Deterministic statistics profile: population covariance and
     Pearson correlation of (quantity, price) from EXACT integer moment
@@ -3344,9 +3359,12 @@ _attach_k4_oracle()
     scalars. Spark's F.corr/F.covar_pop accumulate doubles in
     partition order — fine statistically, but not reproducible
     bit-for-bit across partitionings; this is how to get the same
-    statistic deterministically at any scale. The final conversions
-    are scale-0 decimal -> double (single correctly-rounded step) and
-    sqrt is IEEE-exact, so both engines produce identical bits.""",
+    statistic deterministically at any scale. Sums larger than 2^53
+    convert to double via a hi/lo split (each piece exact, recombined
+    with correctly-rounded IEEE ops) because a direct decimal->double
+    cast of such values is engine-specific — measured as a 1-ulp corr
+    divergence at sf0.1; sqrt is IEEE-exact, so both engines produce
+    identical bits at every scale.""",
     tags=("statistics", "profile", "aggregate"),
 )
 def prof1_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3361,13 +3379,20 @@ def prof1_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((xc * xc).cast("decimal(38,0)")).cast("decimal(38,0)").alias("sxx"),
         F.sum((yc * yc).cast("decimal(38,0)")).cast("decimal(38,0)").alias("syy"),
     )
+    # hi/lo split conversion: each piece < 2^53 converts exactly; the
+    # recombining multiply+add are correctly-rounded IEEE ops, so both
+    # engines produce the identical double even for >2^53 sums (a
+    # direct decimal->double cast there is engine-specific — measured
+    # 1-ulp divergence at sf0.1)
+    def d2(name: str):
+        return F.expr(
+            f"CAST({name} div 67108864 AS DOUBLE) * 67108864.0D"
+            f" + CAST({name} % 67108864 AS DOUBLE)"
+        )
+
     nd = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxy, sxx, syy = (
-        F.col("sxy").cast("double"),
-        F.col("sxx").cast("double"),
-        F.col("syy").cast("double"),
-    )
+    sx, sy = d2("sx"), d2("sy")
+    sxy, sxx, syy = d2("sxy"), d2("sxx"), d2("syy")
     num = nd * sxy - sx * sy
     return m.select(
         "n",

@@ -289,12 +289,15 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey, CAST(value AS DOUBLE) AS value
     FROM stock
     WHERE CAST(value AS DOUBLE) >
-          (SELECT CAST(SUM(value) AS DOUBLE) * 0.001 FROM stock)
+          (SELECT CAST(SUM(value) AS DOUBLE) * 1.5 / COUNT(1) FROM stock)
     """,
     doc="""TPC-H Q11 shape (important stock): per-part inventory value
-    held by AFRICA-region suppliers, keeping parts whose value exceeds
-    0.1% of the region's total — a grouped aggregate filtered against
-    a scalar aggregate over the SAME grouped relation. Spark computes
+    held by AFRICA-region suppliers, keeping parts whose value
+    exceeds 1.5x the mean per-part value — a grouped aggregate filtered against
+    a scalar aggregate over the SAME grouped relation. The original's
+    fixed fraction is scaled by 1/SF in the TPC-H spec itself (a fixed
+    share goes vacuous as part count grows); the mean-relative
+    threshold keeps the query non-trivial at every scale factor. Spark computes
     the total as a 1-row broadcast-joined aggregate of the grouped
     frame (the scalar-subquery decorrelation), so the stock agg is
     computed once and reused, not re-scanned. Threshold compare happens
@@ -323,7 +326,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_price()).alias("value"))
     )
     total = stock.agg(
-        (F.sum("value").cast("double") * F.lit(0.001)).alias("threshold")
+        (F.sum("value").cast("double") * F.lit(1.5) / F.count(F.lit(1))).alias(
+            "threshold"
+        )
     )
     return (
         stock.join(F.broadcast(total))
