@@ -2011,3 +2011,41 @@ def x17_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("doc_id", "source", "n_chars", "priority")
     )
+
+
+@register(
+    "d10_segment_boilerplate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id AS id, {SQL_TOKENS.format(x='text')} AS w FROM documents),
+    base AS (SELECT id, w FROM toks WHERE len(w) >= 1),
+    segs AS (
+        SELECT id, g.i AS pos,
+               array_to_string(list_slice(w, g.i * 8 + 1, g.i * 8 + 8), ' ') AS seg
+        FROM base,
+             UNNEST(generate_series(0, CAST((len(w) + 7) // 8 AS BIGINT) - 1)) AS g(i)
+    ),
+    dfreq AS (SELECT seg, count(DISTINCT id) AS dfr FROM segs GROUP BY seg),
+    marked AS (SELECT s.id, s.pos, s.seg, d.dfr FROM segs s JOIN dfreq d ON s.seg = d.seg)
+    SELECT id, CAST(count(*) AS BIGINT) AS n_seg,
+           CAST(sum(CASE WHEN dfr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           md5(coalesce(
+               string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE dfr <= 1), ''
+           )) AS clean_md5
+    FROM marked GROUP BY id
+    """,
+    doc="""Cross-document segment-level boilerplate removal (the
+    line-dedup pass of CCNet/RefinedWeb-style web pipelines): chunk
+    each document into 8-word segments in-row, count corpus-wide
+    segment doc-frequency in ONE vocabulary-bounded aggregate, strip
+    every segment shared by >1 documents, and reassemble survivors in
+    original order (order-restoring array_sort(collect_list) /
+    string_agg ORDER BY twin). Exact-duplicate documents lose ALL
+    their segments (clean_md5 of ''), partial overlaps lose only the
+    shared spans — per-doc (n_seg, n_dropped, clean_md5) is
+    bit-compared. operators/dedup.py:segment_boilerplate_filter.""",
+    tags=("dedup", "boilerplate", "pipeline"),
+)
+def d10_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.segment_boilerplate_filter(
+        load(spark, sf_dir, "documents"), "doc_id", "text", seg_words=8, max_doc_freq=1
+    )

@@ -3399,3 +3399,80 @@ def prof1_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / (nd * nd * F.lit(10000.0))).alias("covar_pop"),
         (num / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))).alias("corr"),
     )
+
+
+# Column profiler spec shared by the Spark builder and its oracle:
+# (name, Spark min/max rendering, DuckDB min/max rendering). min/max
+# never pass raw doubles or timestamps across engines — money renders
+# as cents-BIGINT, timestamps through a FIXED-WIDTH format string
+# (timezone-free on TIMESTAMP_NTZ; default to-string trims trailing
+# fractional zeros engine-specifically), so the VARCHAR repr is
+# bit-identical in Spark and DuckDB.
+_PROF2_COLS: tuple[tuple[str, str, str], ...] = (
+    ("o_orderkey", "CAST({c} AS STRING)", "CAST({c} AS VARCHAR)"),
+    ("o_custkey", "CAST({c} AS STRING)", "CAST({c} AS VARCHAR)"),
+    ("o_orderstatus", "{c}", "{c}"),
+    (
+        "o_totalprice",
+        "CAST(CAST(round({c} * 100) AS BIGINT) AS STRING)",
+        "CAST(CAST(round({c} * 100) AS BIGINT) AS VARCHAR)",
+    ),
+    (
+        "o_orderdate",
+        "date_format({c}, 'yyyy-MM-dd HH:mm:ss.SSSSSS')",
+        "strftime({c}, '%Y-%m-%d %H:%M:%S.%f')",
+    ),
+    ("o_orderpriority", "{c}", "{c}"),
+)
+
+
+def _prof2_oracle() -> str:
+    parts = []
+    for c, _, duck in _PROF2_COLS:
+        r = duck.format(c=c)
+        parts.append(
+            f"SELECT '{c}' AS col_name, CAST(count(1) AS BIGINT) AS n_rows, "
+            f"CAST(count(1) - count({c}) AS BIGINT) AS n_null, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"min({r}) AS min_repr, max({r}) AS max_repr FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "prof2_table_profile",
+    oracle=_prof2_oracle(),
+    doc="""Whole-table column profiler (the warehouse `DESCRIBE`/DQ
+    summary surface): per-column row count, null count, exact distinct
+    count, and canonical min/max — emitted long-format (one row per
+    column) from ONE scan of the table. The Spark plan computes every
+    metric in a single aggregate (count-distincts share one Expand)
+    and pivots to long form with `stack`; min/max render through
+    engine-neutral canonical forms (cents-BIGINT for money,
+    epoch-micros for timestamps) because raw double/timestamp
+    to-string formatting differs across engines. Exact ndv is the
+    correctness baseline here; at 100 TB the registered scale path is
+    the k1 HLL sketch family (same answer shape, mergeable, one pass
+    without Expand).""",
+    tags=("profile", "quality", "aggregate"),
+)
+def prof2_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c, render, _ in _PROF2_COLS:
+        r = render.format(c=c)
+        aggs += [
+            (F.count(F.lit(1)) - F.count(F.col(c))).cast("long").alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__nd"),
+            F.min(F.expr(r)).alias(f"{c}__min"),
+            F.max(F.expr(r)).alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__min, {c}__max" for c, _, _ in _PROF2_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROF2_COLS)}, {stack_args}) AS "
+        "(col_name, n_null, n_distinct, min_repr, max_repr)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_repr", "max_repr")

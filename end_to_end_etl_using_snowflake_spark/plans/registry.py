@@ -167,6 +167,10 @@ PRIORITY: tuple[str, ...] = (
     "x18_fuzzy_name_join",
     # deterministic statistics (exact integer moment sums)
     "prof1_corr_exact",
+    # whole-table column profiler (long-format, one scan)
+    "prof2_table_profile",
+    # cross-document segment/boilerplate removal (CCNet line-dedup)
+    "d10_segment_boilerplate",
 )
 
 
