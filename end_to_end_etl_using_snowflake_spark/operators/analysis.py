@@ -404,6 +404,23 @@ def bpe_merge_steps(
     never reshuffles (the merge application is a narrow map). Returns
     (step, left, right, merged, pair_count).
     """
+    cur, steps = _bpe_chain(df, text_col, n_merges)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.select(
+        "step", "l", "r", F.concat(F.col("l"), F.col("r")).alias("merged"), "pair_count"
+    )
+
+
+def _bpe_chain(
+    df: DataFrame, text_col: str, n_merges: int
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Shared BPE merge chain: returns (final vocab state with columns
+    (w, freq, seq) — ``seq`` is the space-sentinel symbol string after
+    all merges — and the per-step 1-row argmax DataFrames). ``w`` rides
+    along untouched so ``bpe_encode`` can join documents back to their
+    post-merge symbol counts; the pair-count aggregates never see it."""
     toks = df.select(F.explode(TXT.tokens(F.col(text_col))).alias("w"))
     vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     cur = vocab.withColumn(
@@ -413,7 +430,7 @@ def bpe_merge_steps(
             F.expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ')"),
             F.lit(" "),
         ),
-    ).select("freq", "seq")
+    ).select("w", "freq", "seq")
 
     steps = []
     for step in range(1, n_merges + 1):
@@ -459,11 +476,46 @@ def bpe_merge_steps(
             )
             .drop("__l", "__r")
         )
-    out = steps[0]
-    for s in steps[1:]:
-        out = out.unionByName(s)
-    return out.select(
-        "step", "l", "r", F.concat(F.col("l"), F.col("r")).alias("merged"), "pair_count"
+    return cur, steps
+
+
+def bpe_encode(
+    df: DataFrame, id_col: str, text_col: str, n_merges: int = 5
+) -> DataFrame:
+    """BPE tokenization: apply the merge table trained by
+    ``bpe_merge_steps`` (the same in-plan chain — training and encoding
+    are ONE lazy plan, no driver round-trip for the merge list) to
+    every document and report per-document token statistics.
+
+    Encoding is per unique WORD, not per occurrence: the merge chain's
+    final vocab state already holds each word's post-merge symbol
+    sequence, so encoding a corpus is a join of exploded document words
+    against a vocabulary-sized (word -> symbol-count) table — the
+    standard trick that makes BPE encoding linear in corpus tokens with
+    a vocabulary-bounded shuffle, exactly how production tokenizer
+    pipelines batch-encode at 100 TB (hot words are the skew risk;
+    the vocab side is one row per word, so AQE skew-split applies to
+    the fact side).
+
+    Returns (id, n_words, n_chars, n_tokens): normalized word count,
+    character count, and post-merge BPE token count per document
+    (n_tokens <= n_chars; equality iff no merge applies).
+    """
+    cur, _ = _bpe_chain(df, text_col, n_merges)
+    wordlen = cur.select(
+        "w", F.size(F.split(F.trim(F.col("seq")), " ")).alias("__n_sym")
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(TXT.tokens(F.col(text_col))).alias("w")
+    )
+    return (
+        toks.join(wordlen, "w")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("__n_sym").cast("long").alias("n_tokens"),
+        )
     )
 
 

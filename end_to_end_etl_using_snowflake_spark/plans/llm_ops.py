@@ -1712,16 +1712,17 @@ def v10_ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(n_merges: int = 5) -> str:
-    """Unrolled DuckDB twin of operators.analysis.bpe_merge_steps: the
-    same space-sentinel string representation, the same greedy-left
+def _bpe_chain_parts(n_merges: int) -> list[str]:
+    """Unrolled DuckDB twin of operators.analysis._bpe_chain: the same
+    space-sentinel string representation, the same greedy-left
     positional merge fold (list_reduce with a string accumulator —
     bit-identical to the Spark-side aggregate()), the same (count
-    desc, pair asc) argmax per step."""
+    desc, pair asc) argmax per step. ``w`` rides through every seq CTE
+    (unused by the pair counts) so the encode oracle can join back."""
     parts = [
         f"v0 AS (SELECT w, count(*) AS freq FROM "
         f"(SELECT unnest({SQL_TOKENS.format(x='text')}) AS w FROM documents) GROUP BY w)",
-        "seq0 AS (SELECT freq, ' ' || array_to_string("
+        "seq0 AS (SELECT w, freq, ' ' || array_to_string("
         "list_transform(generate_series(1, length(w)), i -> w[i]), ' ') || ' ' AS seq "
         "FROM v0)",
     ]
@@ -1737,7 +1738,7 @@ def _bpe_oracle(n_merges: int = 5) -> str:
             f"FROM p{s} GROUP BY l, r ORDER BY pair_count DESC, l, r LIMIT 1)"
         )
         parts.append(
-            f"seq{s} AS (SELECT t.freq, "
+            f"seq{s} AS (SELECT t.w, t.freq, "
             f"' ' || list_reduce(string_split(trim(t.seq), ' '), "
             f"(acc, tok) -> CASE "
             f"WHEN tok = b.r AND (acc = b.l OR ends_with(acc, ' ' || b.l)) "
@@ -1745,11 +1746,35 @@ def _bpe_oracle(n_merges: int = 5) -> str:
             f"ELSE acc || ' ' || tok END) || ' ' AS seq "
             f"FROM {prev} t, b{s} b)"
         )
+    return parts
+
+
+def _bpe_oracle(n_merges: int = 5) -> str:
     finals = " UNION ALL ".join(
         f"SELECT {s} AS step, l, r, l || r AS merged, pair_count FROM b{s}"
         for s in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n".join(parts) + "\n" + finals
+    return "WITH " + ",\n".join(_bpe_chain_parts(n_merges)) + "\n" + finals
+
+
+def _bpe_encode_oracle(n_merges: int = 5) -> str:
+    parts = _bpe_chain_parts(n_merges)
+    parts.append(
+        f"wordlen AS (SELECT w, len(string_split(trim(seq), ' ')) AS n_sym "
+        f"FROM seq{n_merges})"
+    )
+    parts.append(
+        f"doc_toks AS (SELECT doc_id AS id, unnest({SQL_TOKENS.format(x='text')}) AS w "
+        f"FROM documents)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT id, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(length(t.w)) AS BIGINT) AS n_chars, "
+        "CAST(sum(n_sym) AS BIGINT) AS n_tokens "
+        "FROM doc_toks t JOIN wordlen v ON t.w = v.w GROUP BY id"
+    )
 
 
 @register(
@@ -2049,3 +2074,21 @@ def d10_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.segment_boilerplate_filter(
         load(spark, sf_dir, "documents"), "doc_id", "text", seg_words=8, max_doc_freq=1
     )
+
+
+@register(
+    "t12_bpe_encode",
+    oracle=_bpe_encode_oracle(5),
+    doc="""BPE tokenization with the merge table t10 trains — training
+    chain and corpus encoding in ONE lazy plan (no driver round-trip
+    for the merges). Encoding is per unique WORD: the chain's final
+    vocab state maps each word to its post-merge symbol count, and the
+    corpus joins exploded words against that vocabulary-sized table —
+    linear in corpus tokens, vocabulary-bounded shuffle (the batch-
+    encode shape production tokenizer pipelines use at 100 TB).
+    Per-document (n_words, n_chars, n_tokens) is bit-compared.
+    operators/analysis.py:bpe_encode.""",
+    tags=("text", "bpe", "tokenize"),
+)
+def t12_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.bpe_encode(load(spark, sf_dir, "documents"), "doc_id", "text", n_merges=5)

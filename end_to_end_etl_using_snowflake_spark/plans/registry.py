@@ -171,6 +171,8 @@ PRIORITY: tuple[str, ...] = (
     "prof2_table_profile",
     # cross-document segment/boilerplate removal (CCNet line-dedup)
     "d10_segment_boilerplate",
+    # BPE corpus encoding with the t10-trained merge table
+    "t12_bpe_encode",
 )
 
 
