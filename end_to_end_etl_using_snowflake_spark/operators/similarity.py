@@ -567,3 +567,82 @@ def quantized_rerank_topk(
             "approx_cos",
         )
     )
+
+
+def semantic_dedup_labels(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (cluster-then-prune,
+    Abbas et al. 2023 lineage): assign every embedding to a cluster,
+    then run EXACT cosine pruning only WITHIN each cluster — the
+    clustering is what bounds the quadratic: pair comparisons never
+    cross cluster boundaries, so the cost is sum of cluster-size^2,
+    not corpus^2. At 100 TB, n_cells scales with the corpus to hold
+    cluster size roughly constant, making the prune stage linear; the
+    d5l banded-LSH path is the alternative when no cluster structure
+    is wanted.
+
+    Deterministic end-to-end (everything oracle-exact):
+
+    - clustering: one argmax-cosine assignment against the
+      ``n_cells`` smallest-id seed vectors (the kmeans_lloyd init,
+      broadcast O(k x dims) block, ties to the lower cell id) — the
+      operator's semantics are assignment-policy-agnostic, and the
+      seed pass keeps the oracle a single CTE instead of an unrolled
+      Lloyd chain;
+    - keep policy: a vector is a duplicate iff a LOWER-ID neighbor in
+      its own cluster has cosine >= ``threshold`` (greedy-by-id
+      representative selection — deterministic, no RNG).
+
+    Returns (vec_id, cell, is_dup) with is_dup as 0/1 INT (engine-
+    neutral; the full row set is emitted so keep AND drop decisions
+    are both compared).
+    """
+    e = emb.select(
+        F.col(id_col).alias("id"), V.to_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", V.norm(F.col("v")))
+    w_seed = Window.orderBy(F.col("id").asc())
+    cent = (
+        e.orderBy(F.col("id").asc())
+        .limit(n_cells)
+        .select(
+            F.row_number().over(w_seed).alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        (V.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).desc(),
+        F.col("cid").asc(),
+    )
+    asg = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "v", "nrm", F.col("cid").alias("cell"))
+    )
+    a = asg.select(
+        "cell", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = asg.select(
+        "cell", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= threshold
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("__d", F.lit(1))
+    )
+    return asg.join(dups, "id", "left").select(
+        F.col("id").alias("vec_id"),
+        "cell",
+        F.coalesce(F.col("__d"), F.lit(0)).cast("int").alias("is_dup"),
+    )

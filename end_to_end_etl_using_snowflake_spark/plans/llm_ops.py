@@ -2092,3 +2092,49 @@ def d10_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t12_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.bpe_encode(load(spark, sf_dir, "documents"), "doc_id", "text", n_merges=5)
+
+
+@register(
+    "d11_semantic_dedup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT id, v, sqrt({sql_dot('v', 'v')}) AS nrm FROM e),
+    cent AS (
+        SELECT row_number() OVER (ORDER BY id) AS cid, v AS cv, nrm AS cn
+        FROM (SELECT * FROM n ORDER BY id LIMIT 8)
+    ),
+    scored AS (
+        SELECT n.id, n.v, n.nrm, c.cid,
+               {sql_dot('n.v', 'c.cv')} / (n.nrm * c.cn) AS cos
+        FROM n, cent c
+    ),
+    asg AS (
+        SELECT id, v, nrm, cid AS cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY id
+                                           ORDER BY cos DESC, cid) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ),
+    dups AS (
+        SELECT DISTINCT b.id
+        FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+        WHERE {sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= 0.45
+    )
+    SELECT a.id AS vec_id, a.cell,
+           CAST(CASE WHEN d.id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
+    FROM asg a LEFT JOIN dups d ON a.id = d.id
+    """,
+    doc="""SemDeDup-style cluster-then-prune semantic dedup: one
+    broadcast argmax-cosine assignment to 8 seed clusters, then exact
+    cosine pruning ONLY within clusters (pair cost = sum of
+    cluster-size^2, never corpus^2 — the clustering IS the scale
+    mechanism; n_cells grows with the corpus). Greedy-by-id keep
+    policy; full (vec_id, cell, is_dup) row set bit-compared.
+    operators/similarity.py:semantic_dedup_labels.""",
+    tags=("dedup", "vectors", "clustering"),
+)
+def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.semantic_dedup_labels(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        n_cells=8, threshold=0.45,
+    )

@@ -173,6 +173,8 @@ PRIORITY: tuple[str, ...] = (
     "d10_segment_boilerplate",
     # BPE corpus encoding with the t10-trained merge table
     "t12_bpe_encode",
+    # SemDeDup cluster-then-prune semantic dedup
+    "d11_semantic_dedup",
 )
 
 
