@@ -3476,3 +3476,87 @@ def prof2_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(col_name, n_null, n_distinct, min_repr, max_repr)",
         "n_rows",
     ).select("col_name", "n_rows", "n_null", "n_distinct", "min_repr", "max_repr")
+
+
+@register(
+    "e10_stream_outer_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS l_event_id,
+           c.event_id AS r_event_id,
+           v.ts AS l_ts,
+           c.ts AS r_ts
+    FROM events v
+    LEFT JOIN events c
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL 600 SECONDS
+    WHERE v.event_type = 'view'
+    """,
+    doc="""Stream-STREAM LEFT OUTER interval join run for real — the
+    attribution query that must also emit the views that did NOT
+    convert. Outer emission is the hard streaming mode: an unmatched
+    left row may only be emitted once the global watermark (the MIN
+    across both inputs) closes its match window, so the newest views
+    would sit in state forever on a drained source. The operator
+    pushes a sentinel flush row (excluded from output) onto EACH
+    stream two hours past the real data, advancing both watermarks
+    beyond every real window; Spark's no-data final micro-batch then
+    evicts and emits every unmatched view — streaming output equals
+    the batch LEFT JOIN bit-for-bit. State per key stays bounded by
+    (watermark delay + interval width) x arrival rate at 100 TB
+    (streaming/joins.py:interval_join).""",
+    tags=("streaming", "join", "outer"),
+)
+def e10_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.joins import interval_join
+
+    base = tempfile.mkdtemp(prefix="e10_join_")
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+
+    def side(event_type: str, sentinel_id: int, path: str) -> None:
+        real = ev.filter(F.col("event_type") == event_type).drop("event_type")
+        sentinel = (
+            spark.createDataFrame(
+                [(sentinel_id, sentinel_id)], "user_id bigint, event_id bigint"
+            )
+            .withColumn("ts", F.lit(mx) + F.expr("INTERVAL 2 HOURS"))
+        )
+        real.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(path)
+
+    side("view", -1, f"{base}/views")
+    side("click", -2, f"{base}/clicks")
+    schema = "user_id bigint, event_id bigint, ts timestamp"
+    views = spark.readStream.schema(schema).parquet(f"{base}/views")
+    clicks = spark.readStream.schema(schema).parquet(f"{base}/clicks")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            interval_join(
+                views, clicks, key="user_id", max_delay_seconds=600,
+                watermark_delay="30 minutes", how="left_outer",
+            )
+            .select("user_id", "l_event_id", "r_event_id", "l_ts", "r_ts")
+            .writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.read.schema(
+            "user_id bigint, l_event_id bigint, r_event_id bigint, "
+            "l_ts timestamp, r_ts timestamp"
+        )
+        .parquet(f"{base}/out")
+        .filter(F.col("user_id") >= 0)
+    )

@@ -175,6 +175,8 @@ PRIORITY: tuple[str, ...] = (
     "t12_bpe_encode",
     # SemDeDup cluster-then-prune semantic dedup
     "d11_semantic_dedup",
+    # stream-stream LEFT OUTER interval join (watermark-closed emission)
+    "e10_stream_outer_join",
 )
 
 
