@@ -646,3 +646,136 @@ def semantic_dedup_labels(
         "cell",
         F.coalesce(F.col("__d"), F.lit(0)).cast("int").alias("is_dup"),
     )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int = 64,
+    m_subs: int = 8,
+    k_codes: int = 16,
+    shortlist: int = 20,
+    k: int = 5,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jegou et al. 2011 lineage): vectors compress to ``m_subs`` code
+    bytes (64 floats -> 8 codes here = 32x), queries score the WHOLE
+    corpus through a tiny per-query lookup table, and only a
+    ``shortlist``-deep candidate set ever touches full-precision
+    vectors. This is the memory story of billion-scale ANN at 100 TB:
+    the scored representation is codes, not floats.
+
+    Deterministic end-to-end (every stage oracle-exact):
+
+    - codebooks: per subspace, the ``k_codes`` smallest-id vectors'
+      subvectors (seed policy, same convention as kmeans_lloyd init /
+      semantic_dedup_labels — assignment-policy-agnostic semantics,
+      keeps the oracle a plain CTE);
+    - encoding: argmin L2 over the broadcast O(m_subs x k_codes x d)
+      codebook block, sequential-fold squared distance, ties to the
+      lower code;
+    - ADC scores: per-subspace query/codebook dot products summed in
+      SUBSPACE ORDER (an order-restoring 8-element fold — never a
+      parallel double SUM, which is partition-order-dependent);
+    - rerank: exact full-precision cosine over the shortlist, id
+      tiebreaks everywhere.
+
+    Returns (query_id, rank, neighbor_id, cos_sim, approx_dot).
+    """
+    if dims % m_subs:
+        raise ValueError("m_subs must divide dims evenly")
+    d = dims // m_subs
+    e = corpus.select(
+        F.col(id_col).alias("id"), V.to_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", V.norm(F.col("v")))
+
+    def to_subs(df: DataFrame, pre: str) -> DataFrame:
+        return df.select(
+            F.col("id").alias(f"{pre}id"),
+            F.posexplode(
+                F.expr(f"transform(sequence(0, {m_subs - 1}), i -> slice(v, i*{d}+1, {d}))")
+            ).alias("m", f"{pre}sv"),
+        )
+
+    subs = to_subs(e, "")
+    w_seed = Window.orderBy(F.col("id").asc())
+    seeds = (
+        e.orderBy(F.col("id").asc())
+        .limit(k_codes)
+        .select((F.row_number().over(w_seed) - 1).alias("code"), "id", "v")
+    )
+    cb = seeds.select(
+        "code",
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {m_subs - 1}), i -> slice(v, i*{d}+1, {d}))")
+        ).alias("m", "cv"),
+    )
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    w_enc = Window.partitionBy("id", "m").orderBy(
+        l2sq(F.col("sv"), F.col("cv")).asc(), F.col("code").asc()
+    )
+    enc = (
+        subs.join(F.broadcast(cb), "m")
+        .withColumn("__rn", F.row_number().over(w_enc))
+        .filter(F.col("__rn") == 1)
+        .select("id", "m", "code")
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("id"), V.to_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", V.norm(F.col("v")))
+    qsubs = to_subs(q, "q")
+    lut = qsubs.join(F.broadcast(cb), "m").select(
+        F.col("qid"), "m", "code", V.dot(F.col("qsv"), F.col("cv")).alias("part")
+    )
+    approx = (
+        enc.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("qid", "id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("m", "part"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["part"],
+            ).alias("approx_dot")
+        )
+    )
+    w_short = Window.partitionBy("qid").orderBy(
+        F.col("approx_dot").desc(), F.col("id").asc()
+    )
+    short = (
+        approx.filter(F.col("qid") != F.col("id"))
+        .withColumn("__sr", F.row_number().over(w_short))
+        .filter(F.col("__sr") <= shortlist)
+    )
+    ex = (
+        short.join(e.select(F.col("id"), F.col("v").alias("cvfull"), F.col("nrm").alias("cn")), "id")
+        .join(
+            q.select(F.col("id").alias("qid"), F.col("v").alias("qvfull"), F.col("nrm").alias("qn")),
+            "qid",
+        )
+        .withColumn(
+            "cos_sim",
+            V.dot(F.col("qvfull"), F.col("cvfull")) / (F.col("qn") * F.col("cn")),
+        )
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("id").asc())
+    return (
+        ex.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            F.col("id").alias("neighbor_id"),
+            "cos_sim",
+            "approx_dot",
+        )
+    )

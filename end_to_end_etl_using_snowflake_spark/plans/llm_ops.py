@@ -2138,3 +2138,70 @@ def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         n_cells=8, threshold=0.45,
     )
+
+
+def _pq_oracle(m_subs: int = 8, d: int = 8, k_codes: int = 16,
+               shortlist: int = 20, k: int = 5) -> str:
+    l2sq = (
+        "list_reduce(list_concat([0.0::DOUBLE], "
+        f"list_transform(generate_series(1, {d}), "
+        "i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))), (x,y) -> x+y)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT id, v, sqrt({sql_dot('v', 'v')}) AS nrm FROM e),
+    subs AS (SELECT id, g.m, list_slice(v, g.m*{d}+1, g.m*{d}+{d}) AS sv
+             FROM n, UNNEST(generate_series(0, {m_subs - 1})) AS g(m)),
+    seeds AS (SELECT row_number() OVER (ORDER BY id) - 1 AS code, v
+              FROM (SELECT * FROM n ORDER BY id LIMIT {k_codes})),
+    cb AS (SELECT code, g.m, list_slice(v, g.m*{d}+1, g.m*{d}+{d}) AS cv
+           FROM seeds, UNNEST(generate_series(0, {m_subs - 1})) AS g(m)),
+    enc AS (SELECT id, m, code FROM (
+              SELECT s.id, s.m, c.code,
+                     row_number() OVER (PARTITION BY s.id, s.m
+                                        ORDER BY {l2sq}, c.code) AS rn
+              FROM subs s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+    q AS (SELECT id, v, nrm FROM n WHERE id < 10),
+    qsubs AS (SELECT id AS qid, g.m, list_slice(v, g.m*{d}+1, g.m*{d}+{d}) AS qsv
+              FROM q, UNNEST(generate_series(0, {m_subs - 1})) AS g(m)),
+    lut AS (SELECT qs.qid, c.m, c.code, {sql_dot('qs.qsv', 'c.cv')} AS part
+            FROM qsubs qs JOIN cb c ON qs.m = c.m),
+    approx AS (SELECT l.qid, x.id,
+                 list_reduce(list_concat([0.0::DOUBLE], list(l.part ORDER BY l.m)),
+                             (a,b) -> a+b) AS approx_dot
+               FROM enc x JOIN lut l ON l.m = x.m AND l.code = x.code
+               GROUP BY l.qid, x.id),
+    short AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                           ORDER BY approx_dot DESC, id) AS sr
+              FROM approx WHERE qid <> id),
+    ex AS (SELECT s.qid, s.id, s.approx_dot,
+                  {sql_dot('qv.v', 'cv.v')} / (qv.nrm * cv.nrm) AS cos_sim
+           FROM short s JOIN n cv ON cv.id = s.id JOIN q qv ON qv.id = s.qid
+           WHERE s.sr <= {shortlist})
+    SELECT qid AS query_id, rnk AS "rank", id AS neighbor_id, cos_sim, approx_dot
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, id) AS rnk FROM ex)
+    WHERE rnk <= {k}
+    """
+
+
+@register(
+    "v11_pq_adc_topk",
+    oracle=_pq_oracle(),
+    doc="""Product-quantization ANN with asymmetric distance
+    computation (IVF-PQ lineage): 64-dim vectors compress to 8 code
+    bytes (32x), each query scores the whole corpus through a tiny
+    per-query (subspace x code) lookup table joined against the codes
+    — floats are touched only for the 20-deep shortlist's exact
+    cosine rerank. ADC sums fold in SUBSPACE ORDER (8-element ordered
+    fold, never a partition-order double SUM) so every stage —
+    encoding argmin, approx scores, final ranks — is bit-exact vs the
+    oracle. operators/similarity.py:pq_adc_topk.""",
+    tags=("similarity", "quantization", "pq"),
+)
+def v11_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        dims=64, m_subs=8, k_codes=16, shortlist=20, k=5,
+    )

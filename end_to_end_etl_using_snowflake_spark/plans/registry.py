@@ -177,6 +177,8 @@ PRIORITY: tuple[str, ...] = (
     "d11_semantic_dedup",
     # stream-stream LEFT OUTER interval join (watermark-closed emission)
     "e10_stream_outer_join",
+    # product-quantization ANN (codes + ADC lookup + exact rerank)
+    "v11_pq_adc_topk",
 )
 
 
