@@ -337,3 +337,51 @@ def test_q6_style_pushdown_on_new_queries(spark):
     plan = plan_of(spark, "q15_top_supplier")
     assert "GreaterThanOrEqual(l_shipdate" in plan, plan
     assert "LessThan(l_shipdate" in plan, plan
+
+
+def test_profiler_is_one_scan_no_join(spark):
+    # prof2 computes every per-column metric in a single aggregate over
+    # one scan (count-distincts share one Expand); any join or second
+    # scan means the profiler degenerated to per-column passes
+    plan = plan_of(spark, "prof2_table_profile")
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_segment_boilerplate_no_cartesian(spark):
+    # d10's doc-freq join is keyed on the segment text — a hash join
+    # with the (segment, count) side tiny, never a cartesian
+    plan = plan_of(spark, "d10_segment_boilerplate")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_semantic_dedup_pairs_stay_cluster_keyed(spark):
+    # d11: the only nested-loop nodes allowed are broadcasts of the
+    # 8-row centroid block (the assignment subplan appears once per
+    # use of asg — 3x here); the within-cluster pair stage must join
+    # keyed on cell, never cross-join the corpus with itself
+    plan = plan_of(spark, "d11_semantic_dedup")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
+    # any keyed join flavor on the cell column qualifies
+    # (SortMerge / ShuffledHash / BroadcastHash all print "Join [cell")
+    assert "Join [cell" in plan, plan
+
+
+def test_bpe_encode_vocab_join_is_keyed(spark):
+    # t12: the 5 in-plan argmax broadcasts are 1-row scalar blocks
+    # (BNLJ); the corpus -> vocab encode join must be hash-keyed on
+    # the word
+    plan = plan_of(spark, "t12_bpe_encode")
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan, plan
+
+
+def test_pq_adc_codebook_broadcasts(spark):
+    # v11: encoding and LUT scoring join against broadcast
+    # O(subspaces x codes x dims) blocks; nothing may cartesian
+    plan = plan_of(spark, "v11_pq_adc_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
