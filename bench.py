@@ -39,6 +39,10 @@ HEADLINE = [
     "d7_dedup_stop_shingle",   # minhash LSH + stop-shingle skew cap
     "d4_dedup_simhash",        # pigeonhole-banded simhash
     "d5l_dedup_embedding_lsh", # banded-LSH embedding pairs (scale path)
+    "d10_segment_boilerplate", # cross-doc segment/boilerplate removal
+    "d11_semantic_dedup",      # SemDeDup cluster-then-prune
+    "t12_bpe_encode",          # BPE corpus encoding (train+encode one plan)
+    "v11_pq_adc_topk",         # product-quantization ADC + exact rerank
     "v1_ann_bruteforce_topk",  # brute-force cosine top-k (fold path)
     "v7_ann_matmul_topk",      # brute-force via blocked matmul (BLAS path)
     "v3_ann_ivf_topk",         # IVF cell-probed top-k (scale path)
