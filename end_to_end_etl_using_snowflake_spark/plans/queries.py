@@ -3560,3 +3560,65 @@ def e10_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{base}/out")
         .filter(F.col("user_id") >= 0)
     )
+
+
+@register(
+    "e11_stream_window_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(1) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="""Watermarked tumbling-window streaming aggregate run for
+    REAL (the streaming twin of e1's batch shape, promoted from a
+    test-only check to a driver query): append-mode windows emit
+    exactly once when the watermark closes them, so a drained source
+    would strand its newest 2 hours of windows in state forever — a
+    sentinel flush row 4 hours past the real data (excluded from
+    output) closes every real window and the no-data final micro-batch
+    emits them. Streaming output equals the batch aggregate
+    bit-for-bit; state is one row per open (window, event_type) —
+    bounded by delay/duration x type cardinality at 100 TB, never by
+    stream length (streaming/stateful.py:windowed_counts_stream).""",
+    tags=("streaming", "window", "watermark"),
+)
+def e11_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.stateful import windowed_counts_stream
+
+    base = tempfile.mkdtemp(prefix="e11_win_")
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = (
+        spark.createDataFrame([("__flush", 0.0)], "event_type string, value double")
+        .withColumn("ts", F.lit(mx) + F.expr("INTERVAL 4 HOURS"))
+        .select("ts", "event_type", "value")
+    )
+    ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(f"{base}/src")
+    src = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(
+        f"{base}/src"
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            windowed_counts_stream(src, window_duration="1 hour", watermark_delay="2 hours")
+            .writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.read.schema(
+            "window_start timestamp, event_type string, n_events bigint, total_value double"
+        )
+        .parquet(f"{base}/out")
+        .filter(F.col("event_type") != "__flush")
+    )

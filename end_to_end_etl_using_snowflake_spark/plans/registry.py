@@ -179,6 +179,8 @@ PRIORITY: tuple[str, ...] = (
     "e10_stream_outer_join",
     # product-quantization ANN (codes + ADC lookup + exact rerank)
     "v11_pq_adc_topk",
+    # real watermarked streaming window aggregate (append-mode emission)
+    "e11_stream_window_agg",
 )
 
 
