@@ -3622,3 +3622,156 @@ def e11_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{base}/out")
         .filter(F.col("event_type") != "__flush")
     )
+
+
+@register(
+    "m9_cascading_delete",
+    oracle="""
+    WITH victims AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    dead_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM victims)
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM victims) AS n_deleted,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM victims)) AS n_remaining
+    UNION ALL
+    SELECT 'orders',
+           (SELECT CAST(count(*) AS BIGINT) FROM dead_orders),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dead_orders))
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM dead_orders)),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM dead_orders))
+    """,
+    doc="""Right-to-be-forgotten cascading DELETE: erase a victim key
+    set from the customer dim (operators/dml.py:delete_where), then
+    cascade through orders and lineitem as LEFT ANTI joins on the
+    propagated key sets — the distributed shape of referential delete
+    at 100 TB (no per-row DELETE statements; each cascade level is one
+    semi/anti join on its foreign key, and the victim key set stays
+    broadcast-small). Emits the audit the compliance job needs:
+    per-table (n_deleted, n_remaining), exact BIGINTs.""",
+    tags=("M-family", "delete", "compliance"),
+)
+def m9_cascading_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dml import delete_where
+
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    victims = customer.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    cust_kept = delete_where(customer, F.col("c_custkey") % 97 == 0)
+    dead_orders = orders.join(
+        F.broadcast(victims), orders["o_custkey"] == victims["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    orders_kept = orders.join(
+        F.broadcast(victims), orders["o_custkey"] == victims["c_custkey"], "left_anti"
+    )
+    line_dead = lineitem.join(
+        F.broadcast(dead_orders), lineitem["l_orderkey"] == dead_orders["o_orderkey"],
+        "left_semi",
+    )
+    line_kept = lineitem.join(
+        F.broadcast(dead_orders), lineitem["l_orderkey"] == dead_orders["o_orderkey"],
+        "left_anti",
+    )
+
+    def audit(name: str, deleted: DataFrame, remaining: DataFrame) -> DataFrame:
+        d = deleted.agg(F.count(F.lit(1)).cast("long").alias("n_deleted"))
+        r = remaining.agg(F.count(F.lit(1)).cast("long").alias("n_remaining"))
+        return d.crossJoin(r).select(
+            F.lit(name).alias("table_name"), "n_deleted", "n_remaining"
+        )
+
+    return (
+        audit("customer", victims, cust_kept)
+        .unionByName(audit("orders", dead_orders, orders_kept))
+        .unionByName(audit("lineitem", line_dead, line_kept))
+    )
+
+
+@register(
+    "dq3_distribution_drift",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(epoch_us(ts)) AS tlo, max(epoch_us(ts)) AS thi FROM events
+    ),
+    binned AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) // 2000 AS bin,
+               CASE WHEN epoch_us(ts) <= (tlo + thi) // 2 THEN 1 ELSE 0 END AS in_a
+        FROM events, bounds
+    ),
+    cells AS (
+        SELECT event_type, bin,
+               CAST(sum(in_a) AS BIGINT) AS c_a,
+               CAST(sum(1 - in_a) AS BIGINT) AS c_b
+        FROM binned GROUP BY event_type, bin
+    ),
+    totals AS (
+        SELECT event_type,
+               CAST(sum(c_a) AS BIGINT) AS n_a,
+               CAST(sum(c_b) AS BIGINT) AS n_b
+        FROM cells GROUP BY event_type
+    )
+    SELECT c.event_type, t.n_a, t.n_b,
+           CAST(CAST(sum(abs(c.c_a * t.n_b - c.c_b * t.n_a)) AS BIGINT) AS DOUBLE)
+             / (2.0 * CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)) AS tv_drift
+    FROM cells c JOIN totals t ON c.event_type = t.event_type
+    GROUP BY c.event_type, t.n_a, t.n_b
+    """,
+    doc="""Distribution-drift monitor: total-variation distance between
+    the first and second half of the stream, per event_type, over
+    fixed-width value bins — the DQ check that catches a corrupt feed
+    whose row COUNTS look fine. Everything is exact integer arithmetic
+    until one final IEEE division: values bin via round-to-cents //
+    binwidth (never a raw double floor), the TV numerator is
+    sum |c_a*n_b - c_b*n_a| in BIGINT (order-independent), and the
+    period split point derives from in-plan epoch-micros bounds
+    (broadcast 1-row aggregate, no driver round-trip). At 100 TB the
+    per-(type, bin) cell grid is tiny regardless of row count — one
+    aggregate pass, vocabulary-bounded shuffle.""",
+    tags=("quality", "drift", "statistics"),
+)
+def dq3_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.expr("CAST(round(value * 100) AS BIGINT) div 2000").alias("bin"),
+    )
+    bounds = ev.agg(
+        F.min("us").alias("tlo"), F.max("us").alias("thi")
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "bin",
+        F.when(F.col("us") <= F.expr("(tlo + thi) div 2"), 1)
+        .otherwise(0)
+        .alias("in_a"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.sum("in_a").cast("long").alias("c_a"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("c_b"),
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+    )
+    return (
+        cells.join(totals, "event_type")
+        .groupBy("event_type", "n_a", "n_b")
+        .agg(
+            (
+                F.sum(F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")))
+                .cast("long")
+                .cast("double")
+                / (2.0 * F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("tv_drift")
+        )
+        .select("event_type", "n_a", "n_b", "tv_drift")
+    )

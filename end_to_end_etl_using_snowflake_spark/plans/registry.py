@@ -181,6 +181,10 @@ PRIORITY: tuple[str, ...] = (
     "v11_pq_adc_topk",
     # real watermarked streaming window aggregate (append-mode emission)
     "e11_stream_window_agg",
+    # right-to-be-forgotten cascading delete with compliance audit
+    "m9_cascading_delete",
+    # total-variation distribution drift monitor (exact integers)
+    "dq3_distribution_drift",
 )
 
 
