@@ -2205,3 +2205,70 @@ def v11_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
         dims=64, m_subs=8, k_codes=16, shortlist=20, k=5,
     )
+
+
+@register(
+    "x19_stratified_exact_sample",
+    oracle="""
+    WITH strata AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n, CAST(sum(n_s // 5) AS BIGINT) AS base_sum FROM strata),
+    alloc AS (
+        SELECT source, n_s,
+               n_s // 5
+               + CASE WHEN row_number() OVER (ORDER BY n_s % 5 DESC, source)
+                           <= (SELECT n // 5 - base_sum FROM tot)
+                      THEN 1 ELSE 0 END AS k_s
+        FROM strata
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source, a.k_s,
+               row_number() OVER (PARTITION BY d.source
+                                  ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+        FROM documents d JOIN alloc a ON d.source = a.source
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= k_s
+    """,
+    doc="""Exact stratified sampling (largest-remainder / Hamilton
+    allocation): a 20% sample whose GLOBAL size is exactly floor(N/5)
+    and whose per-source allocation is floor(n_s/5) plus one extra for
+    the strata with the largest integer remainders — the
+    every-run-identical eval-split sampler (x6/x17 are rate-based:
+    their per-source counts drift binomially; an eval harness needs
+    exact counts). Selection within a stratum takes the smallest
+    md5-key documents (deterministic, uniform in the hash). All
+    allocation arithmetic is integer (n_s // 5, n_s % 5, one ranked
+    window over the STRATA table — source-cardinality-bounded, never
+    corpus-bounded); the per-doc rank window partitions by source.""",
+    tags=("pipeline", "sampling", "stratified"),
+)
+def x19_stratified_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    strata = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    tot = strata.agg(
+        F.sum("n_s").cast("long").alias("n"),
+        F.sum(F.expr("n_s div 5")).cast("long").alias("base_sum"),
+    )
+    w_rem = Window.orderBy(F.expr("n_s % 5").desc(), F.col("source").asc())
+    alloc = (
+        strata.crossJoin(F.broadcast(tot))
+        .withColumn("__rr", F.row_number().over(w_rem))
+        .select(
+            "source",
+            (
+                F.expr("n_s div 5")
+                + F.when(F.col("__rr") <= F.expr("n div 5 - base_sum"), 1).otherwise(0)
+            ).alias("k_s"),
+        )
+    )
+    w_doc = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(alloc), "source")
+        .withColumn("__rn", F.row_number().over(w_doc))
+        .filter(F.col("__rn") <= F.col("k_s"))
+        .select("doc_id", "source")
+    )

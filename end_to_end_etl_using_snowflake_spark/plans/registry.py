@@ -185,6 +185,8 @@ PRIORITY: tuple[str, ...] = (
     "m9_cascading_delete",
     # total-variation distribution drift monitor (exact integers)
     "dq3_distribution_drift",
+    # exact stratified sampling (largest-remainder allocation)
+    "x19_stratified_exact_sample",
 )
 
 

@@ -404,3 +404,25 @@ def test_connector_seam_protocol_and_jdbc_options(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         jdbc_reader_options(url="u", table="t", partition_column="k")
+
+
+def test_stratified_exact_sample_largest_remainder(spark, tmp_path):
+    """x19's Hamilton allocation on SKEWED strata (the driver corpus's
+    uniform 25-per-source strata never exercise the remainder branch):
+    sizes {a:7, b:3, c:12} -> N=22, target=4, floors (1,0,2)=3,
+    deficit 1 goes to the largest remainder (b, rem 3) — so b samples
+    one doc despite flooring to zero, and the global size is exact."""
+    import __spark_entry__  # noqa: F401
+    from end_to_end_etl_using_snowflake_spark.plans.registry import REGISTRY
+
+    rows = [(i, f"t{i}", "en", s, 5) for i, s in enumerate(
+        ["a"] * 7 + ["b"] * 3 + ["c"] * 12
+    )]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = REGISTRY["x19_stratified_exact_sample"].build(spark, str(tmp_path))
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"a": 1, "b": 1, "c": 2}, got
