@@ -3775,3 +3775,69 @@ def dq3_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n_a", "n_b", "tv_drift")
     )
+
+
+@register(
+    "mv1_incremental_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_revenue
+    FROM lineitem GROUP BY 1, 2
+    """,
+    doc="""Incremental materialized-view maintenance: the MV state
+    (per-(returnflag, linestatus) counts and DECIMAL measure sums) is
+    maintained by MERGING a delta batch's partial aggregate into the
+    existing state — a full-outer join on the group keys with
+    coalesced additive combination — instead of rescanning history.
+    Counts and SUMs are self-maintainable aggregates (each new state =
+    old + delta, associative and exact in DECIMAL), which is why this
+    is the O(delta) shape for dashboard rollups at 100 TB: the daily
+    cost is the delta's aggregate plus a group-cardinality-bounded
+    join, independent of the base table's size. The oracle recomputes
+    the aggregate from ALL rows, so a green row PROVES the maintained
+    state converged to the full recompute exactly (same convergence-
+    proof pattern as pl_backfill_incremental). The delta here is the
+    l_orderkey % 10 = 0 slice (~10%); base is the rest.""",
+    tags=("M-family", "materialized-view", "incremental"),
+)
+def mv1_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(_qty()).alias("sum_qty"),
+            F.sum(_price() * (F.lit(1) - _disc())).alias("sum_revenue"),
+        )
+
+    base = partial(li.filter(F.col("l_orderkey") % 10 != 0))
+    delta = partial(li.filter(F.col("l_orderkey") % 10 == 0)).select(
+        F.col("l_returnflag").alias("__rf"),
+        F.col("l_linestatus").alias("__ls"),
+        F.col("n_rows").alias("__n"),
+        F.col("sum_qty").alias("__q"),
+        F.col("sum_revenue").alias("__r"),
+    )
+    cond = (F.col("l_returnflag").eqNullSafe(F.col("__rf"))) & (
+        F.col("l_linestatus").eqNullSafe(F.col("__ls"))
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        base.join(delta, cond, "full_outer")
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.col("__rf")).alias("l_returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.col("__ls")).alias("l_linestatus"),
+            (
+                F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("__n"), F.lit(0))
+            ).cast("long").alias("n_rows"),
+            (F.coalesce(F.col("sum_qty"), zero) + F.coalesce(F.col("__q"), zero))
+            .cast("double")
+            .alias("sum_qty"),
+            (F.coalesce(F.col("sum_revenue"), zero) + F.coalesce(F.col("__r"), zero))
+            .cast("double")
+            .alias("sum_revenue"),
+        )
+    )

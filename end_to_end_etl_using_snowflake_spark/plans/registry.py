@@ -187,6 +187,8 @@ PRIORITY: tuple[str, ...] = (
     "dq3_distribution_drift",
     # exact stratified sampling (largest-remainder allocation)
     "x19_stratified_exact_sample",
+    # incremental materialized-view maintenance (convergence-proof oracle)
+    "mv1_incremental_agg",
 )
 
 
