@@ -2272,3 +2272,66 @@ def x19_stratified_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= F.col("k_s"))
         .select("doc_id", "source")
     )
+
+
+@register(
+    "udf2_grouped_map_zscore",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sx,
+               CAST(sum(cents * cents) AS BIGINT) AS sxx
+        FROM c GROUP BY user_id
+    )
+    SELECT c.user_id, c.event_id,
+           CASE WHEN m.n * m.sxx - m.sx * m.sx = 0 THEN 0.0
+                ELSE CAST(m.n * c.cents - m.sx AS DOUBLE)
+                     / sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE))
+           END AS z
+    FROM c JOIN m ON c.user_id = m.user_id
+    """,
+    doc="""Grouped-map `applyInPandas` surface check (the one Pandas
+    API mode udf1/mm1/e3 don't cover: pandas_udf scalar, mapInPandas,
+    applyInPandasWithState): per-user z-score normalization of event
+    values where each group arrives as ONE pandas frame. Exists to
+    pin the Arrow group-transfer path — like udf1, deliberately an
+    API-surface test; the declarative twin of this computation is a
+    join against grouped moments (the oracle shows it). Deterministic
+    despite Python: values scale to cents, moments accumulate as
+    exact int64 (n*sxx bounded far under 2^63 here; DECIMAL at
+    100 TB), and each row's z is (exact int -> double) / sqrt(exact
+    int -> double) — two correctly-rounded IEEE ops, bit-identical to
+    the SQL twin. Constant groups z=0 guard. Scale: one shuffle on
+    user_id; per-group memory is that user's rows (bounded by
+    per-entity activity, not corpus size).""",
+    tags=("udf", "applyInPandas", "statistics"),
+)
+def udf2_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        sx = int(pdf["cents"].sum())
+        sxx = int((pdf["cents"] * pdf["cents"]).sum())
+        nvar = n * sxx - sx * sx
+        if nvar == 0:
+            z = pdf["cents"] * 0.0
+        else:
+            num = (n * pdf["cents"] - sx).astype("float64")
+            z = num / math.sqrt(float(nvar))
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "z": z}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, schema="user_id bigint, event_id bigint, z double"
+    )

@@ -3841,3 +3841,44 @@ def mv1_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_revenue"),
         )
     )
+
+
+@register(
+    "pl_schema_evolution",
+    oracle="""
+    SELECT c_custkey, c_acctbal, CAST(NULL AS VARCHAR) AS c_tier
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey, c_acctbal,
+           CASE WHEN c_acctbal >= 5000 THEN 'gold' ELSE 'std' END AS c_tier
+    FROM customer WHERE c_custkey % 2 = 1
+    """,
+    doc="""Schema evolution on a managed table: batch 1 lands with the
+    v1 schema, batch 2 arrives with a NEW column (c_tier) and appends
+    without rewriting history; a mergeSchema read reconciles the file
+    schemas and v1 rows surface the evolved column as NULL — the
+    add-column-without-backfill behavior every warehouse ALTER TABLE
+    ADD COLUMN promises. At 100 TB this is the only viable evolution
+    path (a backfilling rewrite of history is a full-table write);
+    the explicit trailing select pins column order and types against
+    parquet footer merge quirks.""",
+    tags=("pipeline", "schema-evolution", "storage"),
+)
+def pl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="schevo_")
+    cust = load(spark, sf_dir, "customer")
+    v1 = cust.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_acctbal")
+    v2 = cust.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(F.col("c_acctbal") >= 5000, "gold").otherwise("std").alias("c_tier"),
+    )
+    v1.write.mode("overwrite").parquet(f"{base}/t")
+    v2.write.mode("append").parquet(f"{base}/t")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{base}/t")
+        .select("c_custkey", "c_acctbal", F.col("c_tier").cast("string"))
+    )

@@ -189,6 +189,10 @@ PRIORITY: tuple[str, ...] = (
     "x19_stratified_exact_sample",
     # incremental materialized-view maintenance (convergence-proof oracle)
     "mv1_incremental_agg",
+    # grouped-map applyInPandas surface (exact-integer z-score)
+    "udf2_grouped_map_zscore",
+    # add-column-without-backfill schema evolution (mergeSchema read)
+    "pl_schema_evolution",
 )
 
 
