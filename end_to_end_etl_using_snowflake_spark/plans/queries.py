@@ -3882,3 +3882,83 @@ def pl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{base}/t")
         .select("c_custkey", "c_acctbal", F.col("c_tier").cast("string"))
     )
+
+
+@register(
+    "e12_foreachbatch_merge_sink",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_type
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    doc="""The production streaming-warehouse sink: a Structured
+    Streaming query whose `foreachBatch` MERGEs each micro-batch into
+    a managed table — the pattern every stream-to-dim pipeline uses
+    when the sink needs upsert semantics a file sink can't express.
+    Run for REAL over three micro-batches (maxFilesPerTrigger=1): each
+    batch folds into the table state as latest-per-key over
+    (target UNION batch) — deliberately ORDER-INDEPENDENT, so the
+    final state equals the global latest-per-user regardless of
+    micro-batch arrival order (a plain overwrite-on-match upsert would
+    silently depend on file listing order). Checkpointed source
+    offsets + idempotent per-batch table swap = effectively-once.
+    State table holds one row per user; the per-batch merge cost is
+    O(batch + |keys touched|), never O(history).""",
+    tags=("streaming", "foreachBatch", "merge"),
+)
+def e12_foreachbatch_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.dml import ParquetTable
+    from ..operators.merge import dedup_latest
+
+    base = tempfile.mkdtemp(prefix="e12_sink_")
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    lo, hi = ev.agg(
+        F.min(F.expr("unix_micros(cast(ts as timestamp))")),
+        F.max(F.expr("unix_micros(cast(ts as timestamp))")),
+    ).collect()[0]
+    step = (hi - lo) // 3 + 1
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    for i in range(3):
+        ev.filter(
+            (us >= lo + i * step) & (us < lo + (i + 1) * step)
+        ).coalesce(1).write.mode("append").parquet(f"{base}/src")
+    tbl = ParquetTable(spark, f"{base}/state")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        target = tbl.read() if tbl.exists() else batch_df.limit(0)
+        tbl.overwrite(
+            dedup_latest(
+                target.unionByName(batch_df), ["user_id"], ["ts", "event_id"]
+            )
+        )
+
+    src = (
+        spark.readStream.schema(
+            "user_id bigint, event_id bigint, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            src.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return tbl.read().select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+    )

@@ -193,6 +193,8 @@ PRIORITY: tuple[str, ...] = (
     "udf2_grouped_map_zscore",
     # add-column-without-backfill schema evolution (mergeSchema read)
     "pl_schema_evolution",
+    # foreachBatch MERGE sink (stream -> managed-table upsert)
+    "e12_foreachbatch_merge_sink",
 )
 
 
