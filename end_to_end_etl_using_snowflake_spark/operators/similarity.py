@@ -624,6 +624,10 @@ def semantic_dedup_labels(
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("id", "v", "nrm", F.col("cid").alias("cell"))
+        # asg feeds three consumers (both pair sides + the final left
+        # join); a lazy localCheckpoint materializes the assignment
+        # once instead of re-running the broadcast-argmax per consumer
+        .localCheckpoint(eager=False)
     )
     a = asg.select(
         "cell", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")

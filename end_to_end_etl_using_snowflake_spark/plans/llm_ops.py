@@ -2335,3 +2335,45 @@ def udf2_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         zscore, schema="user_id bigint, event_id bigint, z double"
     )
+
+
+@register(
+    "d12_duplicate_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id AS id, {SQL_TOKENS.format(x='text')} AS w FROM documents),
+    sh AS (
+        SELECT id, g.i - 1 AS pos,
+               w[g.i]||' '||w[g.i+1]||' '||w[g.i+2]||' '||w[g.i+3]||' '||w[g.i+4] AS shingle
+        FROM toks, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS g(i)
+    ),
+    dfreq AS (SELECT shingle, count(DISTINCT id) AS dfr FROM sh GROUP BY shingle),
+    marked AS (SELECT s.id, s.pos, d.dfr FROM sh s JOIN dfreq d ON s.shingle = d.shingle),
+    stats AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS n_sh,
+               CAST(sum(CASE WHEN dfr >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        FROM marked GROUP BY id
+    ),
+    isl AS (
+        SELECT id, pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS grp
+        FROM marked WHERE dfr >= 2
+    ),
+    runs AS (SELECT id, grp, count(*) AS run FROM isl GROUP BY id, grp),
+    mx AS (SELECT id, max(run) AS max_run FROM runs GROUP BY id)
+    SELECT s.id, s.n_sh, s.n_dup,
+           CAST(COALESCE(m.max_run + 4, 0) AS BIGINT) AS max_dup_span_words
+    FROM stats s LEFT JOIN mx m ON s.id = m.id
+    """,
+    doc="""Exact duplicated-span detection (substring-dedup signal,
+    Lee et al. 2022 lineage): per-document count of word 5-gram
+    shingles shared with other documents and the LONGEST contiguous
+    duplicated span in words — the signal that catches partially-
+    copied text document-level dedup misses. Run lengths come from a
+    declarative gaps-and-islands pass (pos - row_number constant
+    within a run), identical in both engines; doc-freq is one
+    vocabulary-bounded aggregate. operators/dedup.py:duplicate_spans.""",
+    tags=("dedup", "spans", "pipeline"),
+)
+def d12_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.duplicate_spans(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=5, min_doc_freq=2
+    )

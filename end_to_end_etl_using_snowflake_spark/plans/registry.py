@@ -195,6 +195,8 @@ PRIORITY: tuple[str, ...] = (
     "pl_schema_evolution",
     # foreachBatch MERGE sink (stream -> managed-table upsert)
     "e12_foreachbatch_merge_sink",
+    # exact duplicated-span detection (substring-dedup signal)
+    "d12_duplicate_spans",
 )
 
 
