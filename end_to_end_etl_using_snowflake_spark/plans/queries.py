@@ -3962,3 +3962,36 @@ def e12_foreachbatch_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("last_ts"),
         F.col("event_type").alias("last_type"),
     )
+
+
+_SQL5_SNOWFLAKE_TEXT = """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) = 1
+"""
+
+
+@register(
+    "sql5_qualify_dialect",
+    # DuckDB supports QUALIFY natively, so the oracle runs the
+    # SNOWFLAKE-DIALECT TEXT VERBATIM — the Spark side runs the same
+    # text through the dialect shim. One source string, two engines.
+    oracle=_SQL5_SNOWFLAKE_TEXT,
+    doc="""Snowflake-dialect QUALIFY surface: the reference idiom's
+    post-window filter (latest/top-1-per-key) accepted as-is. OSS
+    Spark's parser rejects QUALIFY, so the engine lowers it textually
+    to the ANSI subquery form (SELECT * EXCEPT(__qualify) FROM
+    (... , pred AS __qualify) WHERE __qualify) before spark.sql —
+    paren/string-aware top-level keyword location, conservative
+    single-SELECT scope (functions/sqldialect.py:rewrite_qualify).
+    The query itself: each customer's most expensive order. A
+    reference user's QUALIFY queries run unmodified.""",
+    tags=("sql-surface", "dialect", "qualify"),
+)
+def sql5_qualify_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import rewrite_qualify
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrite_qualify(_SQL5_SNOWFLAKE_TEXT))

@@ -197,6 +197,8 @@ PRIORITY: tuple[str, ...] = (
     "e12_foreachbatch_merge_sink",
     # exact duplicated-span detection (substring-dedup signal)
     "d12_duplicate_spans",
+    # Snowflake-dialect QUALIFY accepted verbatim (textual lowering)
+    "sql5_qualify_dialect",
 )
 
 

@@ -426,3 +426,49 @@ def test_stratified_exact_sample_largest_remainder(spark, tmp_path):
     got = {r["source"]: r["n"] for r in out.groupBy("source").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     assert got == {"a": 1, "b": 1, "c": 2}, got
+
+
+def test_qualify_rewriter_edges():
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_qualify,
+    )
+
+    # no QUALIFY -> unchanged
+    assert rewrite_qualify("SELECT a FROM t") == "SELECT a FROM t"
+    # QUALIFY inside a string literal is NOT a keyword
+    s = "SELECT a FROM t WHERE x = 'QUALIFY this'"
+    assert rewrite_qualify(s) == s
+    # QUALIFY inside a parenthesized subquery is not top-level
+    s2 = "SELECT a FROM (SELECT a FROM t) q"
+    assert rewrite_qualify(s2) == s2
+    # the FROM inside a scalar subquery in the select list must not be
+    # mistaken for the top-level FROM
+    out = rewrite_qualify(
+        "SELECT a, (SELECT max(b) FROM u) AS mb FROM t "
+        "QUALIFY row_number() OVER (ORDER BY a) <= 2"
+    )
+    assert out.startswith("SELECT * EXCEPT (__qualify) FROM (")
+    assert "(SELECT max(b) FROM u) AS mb" in out
+    assert out.endswith("WHERE __qualify")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rewrite_qualify("QUALIFY 1 = 1")
+
+
+def test_qualify_rewriter_executes(spark):
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_qualify,
+    )
+
+    spark.range(10).selectExpr("id", "id % 3 AS g").createOrReplaceTempView(
+        "qualify_t"
+    )
+    out = spark.sql(
+        rewrite_qualify(
+            "SELECT id, g FROM qualify_t "
+            "QUALIFY row_number() OVER (PARTITION BY g ORDER BY id) = 1"
+        )
+    )
+    assert out.columns == ["id", "g"]
+    assert sorted((r["g"], r["id"]) for r in out.collect()) == [(0, 0), (1, 1), (2, 2)]
