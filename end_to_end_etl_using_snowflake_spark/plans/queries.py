@@ -3995,3 +3995,35 @@ def sql5_qualify_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(rewrite_qualify(_SQL5_SNOWFLAKE_TEXT))
+
+
+@register(
+    "pl_secured_view",
+    oracle="""
+    SELECT c_custkey,
+           substring(c_name, 1, 1) || '***' AS c_name,
+           c_nationkey,
+           CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE) AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_nationkey < 5
+    """,
+    doc="""Governance policies as declarative plan rewrites (the
+    Snowflake CREATE MASKING POLICY / ROW ACCESS POLICY seam a
+    reference user depends on): the 'analyst' role's secured customer
+    view applies the nation entitlement row filter FIRST (broadcast
+    semi-join against the (role, nationkey) mapping — the fact side
+    never shuffles), then partial-masks names (constant '***' suffix,
+    no length leak) and bands balances to the lower 1000. Privileged
+    roles constant-fold to the raw columns at plan time — masking
+    costs nothing where it doesn't apply. plans/governance.py.""",
+    tags=("pipeline", "governance", "masking"),
+)
+def pl_secured_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .governance import CUSTOMER_MASKING, CUSTOMER_ROW_ACCESS, secured_view
+
+    return secured_view(
+        load(spark, sf_dir, "customer"),
+        role="analyst",
+        masking=CUSTOMER_MASKING,
+        row_access=CUSTOMER_ROW_ACCESS,
+    )

@@ -199,6 +199,8 @@ PRIORITY: tuple[str, ...] = (
     "d12_duplicate_spans",
     # Snowflake-dialect QUALIFY accepted verbatim (textual lowering)
     "sql5_qualify_dialect",
+    # masking + row-access governance policies as plan rewrites
+    "pl_secured_view",
 )
 
 

@@ -472,3 +472,24 @@ def test_qualify_rewriter_executes(spark):
     )
     assert out.columns == ["id", "g"]
     assert sorted((r["g"], r["id"]) for r in out.collect()) == [(0, 0), (1, 1), (2, 2)]
+
+
+def test_secured_view_roles(spark):
+    """Governance policies: privileged roles bypass masking AND row
+    access (raw values, all nations); analysts get filtered rows and
+    masked columns; masked names never leak length."""
+    from end_to_end_etl_using_snowflake_spark.plans.governance import (
+        CUSTOMER_MASKING, CUSTOMER_ROW_ACCESS, secured_view,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Alice Smith", 2, 4321.5, "AUTO"), (2, "Bob", 9, -12.0, "SHIP")],
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    admin = secured_view(df, "dpo", CUSTOMER_MASKING, CUSTOMER_ROW_ACCESS).collect()
+    assert {r["c_name"] for r in admin} == {"Alice Smith", "Bob"}
+    analyst = secured_view(df, "analyst", CUSTOMER_MASKING, CUSTOMER_ROW_ACCESS).collect()
+    assert len(analyst) == 1 and analyst[0]["c_name"] == "A***"
+    assert analyst[0]["c_acctbal"] == 4000.0
+    # an unknown role has no entitlements -> sees nothing
+    assert secured_view(df, "intern", CUSTOMER_MASKING, CUSTOMER_ROW_ACCESS).count() == 0
