@@ -133,6 +133,30 @@ class ParquetTable:
         if os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)
 
+    def clone_to(self, path: str) -> "ParquetTable":
+        """Zero-copy ``CREATE TABLE ... CLONE`` (the Snowflake
+        metadata-clone semantic): hardlink every data file into the
+        new table directory — O(files) metadata operations, ZERO bytes
+        copied, instant at any table size. Correct because this
+        engine's files are write-once: ``overwrite``/``truncate`` swap
+        in a whole new directory (shared inodes survive the old dir's
+        rmtree via their link count) and ``append`` only ADDS files to
+        one table's directory — so after cloning, either side may be
+        overwritten, truncated, or appended to without the other
+        observing it. At 100 TB this is the difference between an
+        instant dev/test/backup branch and a full-table copy job."""
+        if os.path.exists(path):
+            raise ValueError(f"clone target already exists: {path}")
+        if not self.exists():
+            raise ValueError(f"cannot clone a non-existent table: {self.path}")
+        for root, _dirs, files in os.walk(self.path):
+            rel = os.path.relpath(root, self.path)
+            dst_dir = path if rel == "." else os.path.join(path, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            for f in files:
+                os.link(os.path.join(root, f), os.path.join(dst_dir, f))
+        return ParquetTable(self.spark, path, partition_by=self.partition_by)
+
     def file_count(self) -> int:
         n = 0
         for _, _, files in os.walk(self.path):

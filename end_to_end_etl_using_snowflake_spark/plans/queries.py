@@ -4027,3 +4027,56 @@ def pl_secured_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         masking=CUSTOMER_MASKING,
         row_access=CUSTOMER_ROW_ACCESS,
     )
+
+
+@register(
+    "pl_zero_copy_clone",
+    oracle="""
+    SELECT 'original' AS branch, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round((c_acctbal
+                    + CASE WHEN c_nationkey < 5 THEN 100 ELSE 0 END) * 100)
+                AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer
+    UNION ALL
+    SELECT 'clone', CAST(count(*) AS BIGINT),
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+    FROM customer
+    """,
+    doc="""Zero-copy CLONE TABLE + divergence proof (the Snowflake
+    dev/test/backup-branch workflow): materialize customer as a
+    managed table, clone it with hardlink metadata ops (no bytes
+    copied, no Spark job — operators/dml.py:ParquetTable.clone_to),
+    then UPDATE the ORIGINAL (+100 balance for nations 0-4) through
+    the atomic overwrite swap. The emitted per-branch audit (row
+    count, exact balance cents) matches the oracle only if the clone
+    still shows the PRE-update state — i.e. a green row proves clone
+    isolation under the write-once file discipline.""",
+    tags=("pipeline", "clone", "storage"),
+)
+def pl_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.dml import ParquetTable, update_where
+
+    base = tempfile.mkdtemp(prefix="clone_")
+    t = ParquetTable(spark, f"{base}/customer")
+    t.overwrite(load(spark, sf_dir, "customer"))
+    c = t.clone_to(f"{base}/customer_dev")
+    t.overwrite(
+        update_where(
+            t.read(),
+            F.col("c_nationkey") < 5,
+            {"c_acctbal": F.col("c_acctbal") + 100.0},
+        )
+    )
+
+    def audit(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("branch"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("bal_cents"),
+        )
+
+    return audit("original", t.read()).unionByName(audit("clone", c.read()))

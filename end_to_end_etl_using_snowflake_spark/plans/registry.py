@@ -201,6 +201,8 @@ PRIORITY: tuple[str, ...] = (
     "sql5_qualify_dialect",
     # masking + row-access governance policies as plan rewrites
     "pl_secured_view",
+    # zero-copy CLONE TABLE with divergence-isolation proof
+    "pl_zero_copy_clone",
 )
 
 

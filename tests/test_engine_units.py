@@ -493,3 +493,30 @@ def test_secured_view_roles(spark):
     assert analyst[0]["c_acctbal"] == 4000.0
     # an unknown role has no entitlements -> sees nothing
     assert secured_view(df, "intern", CUSTOMER_MASKING, CUSTOMER_ROW_ACCESS).count() == 0
+
+
+def test_zero_copy_clone_isolation(spark, tmp_path):
+    """clone_to: instant metadata clone; every write mode on either
+    side leaves the other untouched (write-once file discipline)."""
+    from end_to_end_etl_using_snowflake_spark.operators.dml import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).selectExpr("id AS k"))
+    c = t.clone_to(str(tmp_path / "c"))
+    assert c.read().count() == 10 and t.file_count() == c.file_count()
+    # append to the CLONE: base unaffected
+    c.append(spark.range(5).selectExpr("id + 100 AS k"))
+    assert c.read().count() == 15 and t.read().count() == 10
+    # overwrite the BASE: clone unaffected (shared inodes survive swap)
+    t.overwrite(spark.range(2).selectExpr("id AS k"))
+    assert t.read().count() == 2 and c.read().count() == 15
+    # truncate the CLONE: base unaffected
+    c.truncate(None)
+    assert t.read().count() == 2
+    # error paths: existing target / missing source
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.clone_to(str(tmp_path / "c"))
+    with _pytest.raises(ValueError):
+        ParquetTable(spark, str(tmp_path / "nope")).clone_to(str(tmp_path / "c2"))
