@@ -20,7 +20,7 @@ from ..operators import analysis as A
 from ..operators import dedup as D
 from ..operators import multimodal as MM
 from ..operators import similarity as S
-from .registry import register
+from .registry import REGISTRY, register
 from .tables import load
 
 # ---------------------------------------------------------------------------
@@ -2377,3 +2377,86 @@ def d12_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_spans(
         load(spark, sf_dir, "documents"), "doc_id", "text", n=5, min_doc_freq=2
     )
+
+
+def _recall_eval_oracle() -> str:
+    # compose the EXISTING v1 (exact) / v2 (single-bucket LSH) / v4
+    # (multiprobe LSH) oracle texts as subqueries — the evaluation must
+    # measure the same indexes the driver checks, so the texts are
+    # shared, not re-derived
+    v1 = REGISTRY["v1_ann_bruteforce_topk"].oracle
+    v2 = REGISTRY["v2_ann_lsh_topk"].oracle
+    v4 = REGISTRY["v4_ann_lsh_multiprobe"].oracle
+    return f"""
+    SELECT ex.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(b.neighbor_id) AS BIGINT) AS hits_bucket,
+           CAST(count(m.neighbor_id) AS BIGINT) AS hits_multiprobe,
+           CAST(count(b.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_bucket,
+           CAST(count(m.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_multiprobe
+    FROM ({v1}) ex
+    LEFT JOIN ({v2}) b
+      ON ex.query_id = b.query_id AND ex.neighbor_id = b.neighbor_id
+    LEFT JOIN ({v4}) m
+      ON ex.query_id = m.query_id AND ex.neighbor_id = m.neighbor_id
+    GROUP BY ex.query_id
+    """
+
+
+@register(
+    "v13_ann_recall_eval",
+    oracle=None,  # attached below (composes v1/v2/v4 oracles, which must exist first)
+    doc="""ANN index-quality evaluation as an operator: per-query
+    recall@5 of the v2 single-bucket LSH AND the v4 multiprobe LSH
+    against the v1 exact top-k, computed IN ONE PLAN (left joins of
+    the top-k outputs on (query, neighbor)) — 'measure, don\'t guess'
+    applied to the index itself, and the probe lever made visible
+    (multiprobe recovers neighbors the single bucket misses; on this
+    isotropic random corpus absolute recall is inherently low, which
+    is exactly what the measurement is for — production-recall paths
+    are IVF nprobe (v3) and banded d5l). This is the job a 100 TB
+    pipeline schedules after (re)building an index: cost is
+    queries x k rows regardless of corpus size. The oracle composes
+    the very same v1/v2/v4 oracle texts as subqueries. recall is an
+    exact small-integer division (IEEE-identical).""",
+    tags=("similarity", "evaluation", "lsh"),
+)
+def v13_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, queries, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+
+    def hits(df: DataFrame, tag: str) -> DataFrame:
+        return df.select("query_id", "neighbor_id").withColumn(tag, F.lit(1))
+
+    bucket = hits(
+        S.hyperplane_lsh_topk(
+            emb, queries, "vec_id", "embedding", k=5, planes=8, dims=64
+        ),
+        "__b",
+    )
+    multi = hits(
+        S.hyperplane_lsh_topk(
+            emb, queries, "vec_id", "embedding", k=5, planes=8, dims=64,
+            multiprobe=True,
+        ),
+        "__m",
+    )
+    n = F.count(F.lit(1))
+    return (
+        exact.join(bucket, ["query_id", "neighbor_id"], "left")
+        .join(multi, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            n.cast("long").alias("n_exact"),
+            F.count("__b").cast("long").alias("hits_bucket"),
+            F.count("__m").cast("long").alias("hits_multiprobe"),
+            (F.count("__b").cast("double") / n.cast("double")).alias("recall_bucket"),
+            (F.count("__m").cast("double") / n.cast("double")).alias("recall_multiprobe"),
+        )
+    )
+
+
+REGISTRY["v13_ann_recall_eval"].oracle = _recall_eval_oracle()

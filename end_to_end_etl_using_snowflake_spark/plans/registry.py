@@ -203,6 +203,8 @@ PRIORITY: tuple[str, ...] = (
     "pl_secured_view",
     # zero-copy CLONE TABLE with divergence-isolation proof
     "pl_zero_copy_clone",
+    # ANN index-quality evaluation (recall@5 of LSH vs exact, one plan)
+    "v13_ann_recall_eval",
 )
 
 
