@@ -2460,3 +2460,62 @@ def v13_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["v13_ann_recall_eval"].oracle = _recall_eval_oracle()
+
+
+@register(
+    "x20_temperature_mixture",
+    oracle=f"""
+    WITH strata AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+    ),
+    w AS (SELECT source, n_s,
+                 CAST(floor(sqrt(n_s) * 1024) AS BIGINT) AS s_s FROM strata),
+    tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n,
+                   CAST(sum(s_s) AS BIGINT) AS s_sum FROM w)
+    SELECT d.doc_id, d.source,
+           least(((t.n // 4) * w.s_s * 1000000) // (t.s_sum * w.n_s),
+                 1000000) AS keep_threshold
+    FROM documents d JOIN w ON d.source = w.source, tot t
+    WHERE {SQL_CHARFOLD.format(x="'temp1|' || CAST(d.doc_id AS VARCHAR)")} % 1000000
+          < least(((t.n // 4) * w.s_s * 1000000) // (t.s_sum * w.n_s), 1000000)
+    """,
+    doc="""Temperature-scaled mixture sampling (the n^alpha source
+    reweighting of multilingual/multi-source LM training, alpha=0.5):
+    per-source keep probability proportional to sqrt(n_s)/n_s, so
+    small curated sources are upsampled relative to bulk ones, with a
+    global target of ~N/4 documents. Unlike x6 (configured rates),
+    the rates DERIVE from the corpus in-plan. Deterministic end to
+    end: sqrt is a correctly-rounded IEEE op, weights scale to
+    integers (floor(sqrt*1024)), thresholds are pure BIGINT
+    floor-division, and selection is the salted-hash idiom — no RNG,
+    bit-identical across engines. Keep probability caps at 1
+    (upsampling beyond 1x needs replication — out of scope, noted).
+    Uniform driver strata make all thresholds equal; the skewed-
+    strata unit test exercises the actual temperature effect.""",
+    tags=("sampling", "mixture", "temperature"),
+)
+def x20_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TXT
+
+    docs = load(spark, sf_dir, "documents")
+    strata = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+        .withColumn("s_s", F.floor(F.sqrt(F.col("n_s")) * 1024).cast("long"))
+    )
+    tot = strata.agg(
+        F.sum("n_s").cast("long").alias("n"), F.sum("s_s").cast("long").alias("s_sum")
+    )
+    thr = F.least(
+        F.expr("((n div 4) * s_s * 1000000) div (s_sum * n_s)"), F.lit(1000000)
+    )
+    keep_hash = TXT.char_fold_hash(
+        F.concat(F.lit("temp1|"), F.col("doc_id").cast("string"))
+    )
+    return (
+        docs.join(F.broadcast(strata), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("keep_threshold", thr)
+        .filter(keep_hash % 1000000 < F.col("keep_threshold"))
+        .select("doc_id", "source", "keep_threshold")
+    )

@@ -205,6 +205,8 @@ PRIORITY: tuple[str, ...] = (
     "pl_zero_copy_clone",
     # ANN index-quality evaluation (recall@5 of LSH vs exact, one plan)
     "v13_ann_recall_eval",
+    # temperature-scaled mixture sampling (n^alpha source reweighting)
+    "x20_temperature_mixture",
 )
 
 

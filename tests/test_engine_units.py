@@ -520,3 +520,21 @@ def test_zero_copy_clone_isolation(spark, tmp_path):
         t.clone_to(str(tmp_path / "c"))
     with _pytest.raises(ValueError):
         ParquetTable(spark, str(tmp_path / "nope")).clone_to(str(tmp_path / "c2"))
+
+
+def test_temperature_mixture_upweights_small_sources(spark, tmp_path):
+    """x20 on SKEWED strata (uniform driver strata collapse to equal
+    thresholds): sizes {a:64, b:4} with alpha=0.5 -> integer
+    thresholds 212500 (bulk, ~21% kept) vs 850000 (small, ~85% kept).
+    Exact values pin the all-integer derivation."""
+    import __spark_entry__  # noqa: F401
+    from end_to_end_etl_using_snowflake_spark.plans.registry import REGISTRY
+
+    rows = [(i, f"t{i}", "en", "a" if i < 64 else "b", 5) for i in range(68)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = REGISTRY["x20_temperature_mixture"].build(spark, str(tmp_path))
+    thr = {r["source"]: r["keep_threshold"]
+           for r in out.select("source", "keep_threshold").distinct().collect()}
+    assert thr == {"a": 212500, "b": 850000}, thr
