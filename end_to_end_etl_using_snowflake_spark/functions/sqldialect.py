@@ -19,9 +19,12 @@ Spark executes:
     WHERE __qualify
 
 The rewrite is purely textual and deliberately conservative: it
-handles ONE top-level SELECT ... QUALIFY (parens and string literals
-are respected when locating the top-level FROM / QUALIFY keywords);
-set operations or stacked QUALIFYs should be pre-split by the caller.
+handles ONE top-level SELECT ... QUALIFY [ORDER BY ...] [LIMIT n]
+(parens, string literals, ``"quoted"`` identifiers and ``--``/``/*``
+comments are respected when locating top-level keywords; a trailing
+ORDER BY / LIMIT re-attaches OUTSIDE the subquery, matching
+Snowflake's QUALIFY-before-ORDER-BY evaluation order); set operations
+or stacked QUALIFYs should be pre-split by the caller.
 """
 
 from __future__ import annotations
@@ -33,7 +36,8 @@ _WORD = re.compile(r"[A-Za-z_]+")
 
 def _top_level_keyword(sql: str, keyword: str, start: int = 0) -> int:
     """Index of the first top-level (paren-depth-0, outside string
-    literals) occurrence of ``keyword``; -1 if absent."""
+    literals, ``"quoted"`` identifiers, and ``--``/``/* */`` comments)
+    occurrence of ``keyword``; -1 if absent."""
     depth = 0
     i = start
     kw = keyword.upper()
@@ -46,11 +50,21 @@ def _top_level_keyword(sql: str, keyword: str, start: int = 0) -> int:
         elif c == ")":
             depth -= 1
             i += 1
-        elif c == "'":
+        elif c == "'" or c == '"':
+            quote = c
             i += 1
-            while i < n and sql[i] != "'":
+            while i < n and sql[i] != quote:
                 i += 1
             i += 1
+        elif c == "-" and sql[i : i + 2] == "--":
+            i = sql.find("\n", i)
+            if i < 0:
+                return -1
+        elif c == "/" and sql[i : i + 2] == "/*":
+            end = sql.find("*/", i + 2)
+            if end < 0:
+                return -1
+            i = end + 2
         elif c.isalpha() or c == "_":
             m = _WORD.match(sql, i)
             word = m.group(0)
@@ -74,9 +88,22 @@ def rewrite_qualify(sql: str) -> str:
         raise ValueError("unsupported QUALIFY query shape (need SELECT ... FROM ... QUALIFY ...)")
     select_list = sql[sel + len("SELECT"):frm].strip()
     rest = sql[frm:q].strip()
-    pred = sql[q + len("QUALIFY"):].strip()
+    # A trailing top-level ORDER BY / LIMIT belongs to the OUTER query
+    # (Snowflake applies QUALIFY before ORDER BY/LIMIT): split it off
+    # the predicate and re-attach it outside the subquery.
+    after = q + len("QUALIFY")
+    tail_at = len(sql)
+    for kw in ("ORDER", "LIMIT"):
+        k = _top_level_keyword(sql, kw, start=after)
+        if 0 <= k < tail_at:
+            tail_at = k
+    pred = sql[after:tail_at].strip().rstrip(";").strip()
+    tail = sql[tail_at:].strip().rstrip(";").strip()
+    if not pred:
+        raise ValueError("QUALIFY with empty predicate")
     return (
         "SELECT * EXCEPT (__qualify) FROM ("
         f"SELECT {select_list}, ({pred}) AS __qualify {rest}"
         ") WHERE __qualify"
+        + (f" {tail}" if tail else "")
     )

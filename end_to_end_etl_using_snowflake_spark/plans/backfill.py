@@ -35,12 +35,12 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scratch import scratch_dir
 from .registry import register
 from .tables import load
 
@@ -217,7 +217,7 @@ def run_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipelines.entities import EntityPipelines
     from .catalog import Warehouse
 
-    base = tempfile.mkdtemp(prefix="etl_backfill_")
+    base = scratch_dir("etl_backfill_")
     landing = os.path.join(base, "landing")
     synthesize_landing(spark, sf_dir, landing)
 
@@ -241,7 +241,7 @@ def prepare_incremental(spark: SparkSession, sf_dir: str) -> dict:
     from ..pipelines.entities import EntityPipelines
     from .catalog import Warehouse
 
-    base = tempfile.mkdtemp(prefix="etl_backfill_incr_")
+    base = scratch_dir("etl_backfill_incr_")
     landing = os.path.join(base, "landing")
     delta = os.path.join(base, "delta_order")
     synthesize_landing(spark, sf_dir, landing, order_cutoff=INCR_CUTOFF, delta_root=delta)

@@ -28,12 +28,12 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scratch import scratch_dir
 from .registry import register
 
 _REFERENCE_DATA = "/root/reference/source_data"
@@ -89,7 +89,7 @@ def _replayed(spark: SparkSession):
     from ..pipelines.entities import EntityPipelines
     from ..plans.catalog import Warehouse
 
-    base = tempfile.mkdtemp(prefix="etl_replay_", dir=tempfile.gettempdir())
+    base = scratch_dir("etl_replay_")
     landing = os.path.join(base, "landing")
     for e in ("customer", "item", "order"):
         os.makedirs(os.path.join(landing, e))
@@ -542,7 +542,7 @@ def _run_admin_scenario(spark: SparkSession) -> DataFrame:
     from ..pipelines.entities import EntityPipelines
     from ..plans.catalog import Warehouse
 
-    base = tempfile.mkdtemp(prefix="etl_admin_", dir=tempfile.gettempdir())
+    base = scratch_dir("etl_admin_")
     landing = os.path.join(base, "landing")
     for e in ("customer", "item", "order"):
         os.makedirs(os.path.join(landing, e))

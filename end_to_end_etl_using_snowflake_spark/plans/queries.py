@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.scratch import scratch_dir
 from ..operators import merge as M
 from .registry import REGISTRY, register
 from .tables import load
@@ -890,11 +891,9 @@ def e2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "stateful", "pandas-udf"),
 )
 def e3_sessionize_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..streaming.stateful import OUTPUT_SCHEMA, sessionize_stream
 
-    base = tempfile.mkdtemp(prefix="e3_sessionize_")
+    base = scratch_dir("e3_sessionize_")
     in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
     # prep: normalize the (nanos-typed) events table into a stream input
     load(spark, sf_dir, "events").select("user_id", "event_id", "ts").write.mode(
@@ -941,11 +940,9 @@ def e3_sessionize_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     tags=("streaming", "T1", "dedup"),
 )
 def e6_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..streaming.stateful import dedup_within_watermark_stream
 
-    base = tempfile.mkdtemp(prefix="e6_dedup_")
+    base = scratch_dir("e6_dedup_")
     in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
     load(spark, sf_dir, "events").select("user_id", "event_type", "ts").write.mode(
         "overwrite"
@@ -1902,14 +1899,12 @@ def _bucketed_pair(spark: SparkSession, sf_dir: str):
     """Bucketed copies of lineitem/orders on the order key (memoized per
     session+sf so the one-time layout shuffle isn't re-paid per call —
     exactly the amortization bucketing buys at 100 TB)."""
-    import tempfile
-
     from ..operators.bucketing import write_bucketed
 
     key = (id(spark), sf_dir)
     if key not in _bucketed_memo:
         tag = abs(hash(sf_dir)) % 10**8
-        base = tempfile.mkdtemp(prefix="bucketed_")
+        base = scratch_dir("bucketed_")
         li = write_bucketed(
             load(spark, sf_dir, "lineitem").select(
                 "l_orderkey", "l_quantity", "l_extendedprice"
@@ -2878,11 +2873,9 @@ _attach_sketch_oracles()
     tags=("streaming", "join", "interval"),
 )
 def e7_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..streaming.joins import interval_join
 
-    base = tempfile.mkdtemp(prefix="e7_join_")
+    base = scratch_dir("e7_join_")
     vdir, cdir, out_dir, ckpt = (
         f"{base}/views", f"{base}/clicks", f"{base}/out", f"{base}/ckpt"
     )
@@ -3097,9 +3090,7 @@ def sql4_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "join", "enrichment"),
 )
 def e8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    base = tempfile.mkdtemp(prefix="e8_enrich_")
+    base = scratch_dir("e8_enrich_")
     edir, out_dir, ckpt = f"{base}/events", f"{base}/out", f"{base}/ckpt"
     load(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
@@ -3402,12 +3393,16 @@ def prof1_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Column profiler spec shared by the Spark builder and its oracle:
-# (name, Spark min/max rendering, DuckDB min/max rendering). min/max
-# never pass raw doubles or timestamps across engines — money renders
-# as cents-BIGINT, timestamps through a FIXED-WIDTH format string
-# (timezone-free on TIMESTAMP_NTZ; default to-string trims trailing
-# fractional zeros engine-specifically), so the VARCHAR repr is
-# bit-identical in Spark and DuckDB.
+# (name, Spark rendering, DuckDB rendering). min/max aggregate the
+# TYPED column and the canonical rendering is applied to the
+# aggregated scalar — never the reverse: min/max over rendered strings
+# is lexicographic and wrong for variable-width numerics (max '9999'
+# beats '14999'). The renderings never pass raw doubles or timestamps
+# across engines — money renders as cents-BIGINT (x -> round(x*100) is
+# monotone, so min/max commute with it), timestamps through a
+# FIXED-WIDTH format string (timezone-free on TIMESTAMP_NTZ; default
+# to-string trims trailing fractional zeros engine-specifically), so
+# the VARCHAR repr is bit-identical in Spark and DuckDB.
 _PROF2_COLS: tuple[tuple[str, str, str], ...] = (
     ("o_orderkey", "CAST({c} AS STRING)", "CAST({c} AS VARCHAR)"),
     ("o_custkey", "CAST({c} AS STRING)", "CAST({c} AS VARCHAR)"),
@@ -3429,12 +3424,12 @@ _PROF2_COLS: tuple[tuple[str, str, str], ...] = (
 def _prof2_oracle() -> str:
     parts = []
     for c, _, duck in _PROF2_COLS:
-        r = duck.format(c=c)
         parts.append(
             f"SELECT '{c}' AS col_name, CAST(count(1) AS BIGINT) AS n_rows, "
             f"CAST(count(1) - count({c}) AS BIGINT) AS n_null, "
             f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
-            f"min({r}) AS min_repr, max({r}) AS max_repr FROM orders"
+            f"{duck.format(c=f'min({c})')} AS min_repr, "
+            f"{duck.format(c=f'max({c})')} AS max_repr FROM orders"
         )
     return " UNION ALL ".join(parts)
 
@@ -3460,12 +3455,12 @@ def prof2_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for c, render, _ in _PROF2_COLS:
-        r = render.format(c=c)
         aggs += [
             (F.count(F.lit(1)) - F.count(F.col(c))).cast("long").alias(f"{c}__nn"),
             F.count_distinct(F.col(c)).cast("long").alias(f"{c}__nd"),
-            F.min(F.expr(r)).alias(f"{c}__min"),
-            F.max(F.expr(r)).alias(f"{c}__max"),
+            # typed aggregate first, canonical rendering on the scalar
+            F.expr(render.format(c=f"min({c})")).alias(f"{c}__min"),
+            F.expr(render.format(c=f"max({c})")).alias(f"{c}__max"),
         ]
     wide = orders.agg(*aggs)
     stack_args = ", ".join(
@@ -3510,11 +3505,9 @@ def prof2_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "join", "outer"),
 )
 def e10_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..streaming.joins import interval_join
 
-    base = tempfile.mkdtemp(prefix="e10_join_")
+    base = scratch_dir("e10_join_")
     ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
     mx = ev.agg(F.max("ts")).collect()[0][0]
 
@@ -3584,11 +3577,9 @@ def e10_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "window", "watermark"),
 )
 def e11_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..streaming.stateful import windowed_counts_stream
 
-    base = tempfile.mkdtemp(prefix="e11_win_")
+    base = scratch_dir("e11_win_")
     ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
     mx = ev.agg(F.max("ts")).collect()[0][0]
     sentinel = (
@@ -3701,11 +3692,19 @@ def m9_cascading_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH bounds AS (
         SELECT min(epoch_us(ts)) AS tlo, max(epoch_us(ts)) AS thi FROM events
     ),
+    cents AS (
+        SELECT event_type, epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
     binned AS (
+        -- explicit FLOOR division: both engines' integer '/' truncate
+        -- toward zero with dividend-signed '%', so trunc-div plus the
+        -- negative-remainder correction is floor at any magnitude
         SELECT event_type,
-               CAST(round(value * 100) AS BIGINT) // 2000 AS bin,
-               CASE WHEN epoch_us(ts) <= (tlo + thi) // 2 THEN 1 ELSE 0 END AS in_a
-        FROM events, bounds
+               (c // 2000) + (CASE WHEN c % 2000 < 0 THEN -1 ELSE 0 END) AS bin,
+               CASE WHEN us <= (tlo + thi) // 2 THEN 1 ELSE 0 END AS in_a
+        FROM cents, bounds
     ),
     cells AS (
         SELECT event_type, bin,
@@ -3742,7 +3741,14 @@ def dq3_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "event_type",
         F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
-        F.expr("CAST(round(value * 100) AS BIGINT) div 2000").alias("bin"),
+        # explicit floor division (trunc-div + negative-remainder
+        # correction, exact BIGINT at any magnitude) so negative
+        # values bin identically to the oracle's formula
+        F.expr(
+            "CAST(round(value * 100) AS BIGINT) div 2000"
+            " + (CASE WHEN CAST(round(value * 100) AS BIGINT) % 2000 < 0"
+            " THEN -1 ELSE 0 END)"
+        ).alias("bin"),
     )
     bounds = ev.agg(
         F.min("us").alias("tlo"), F.max("us").alias("thi")
@@ -3865,9 +3871,7 @@ def mv1_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "schema-evolution", "storage"),
 )
 def pl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    base = tempfile.mkdtemp(prefix="schevo_")
+    base = scratch_dir("schevo_")
     cust = load(spark, sf_dir, "customer")
     v1 = cust.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_acctbal")
     v2 = cust.filter(F.col("c_custkey") % 2 == 1).select(
@@ -3910,12 +3914,10 @@ def pl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "foreachBatch", "merge"),
 )
 def e12_foreachbatch_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..operators.dml import ParquetTable
     from ..operators.merge import dedup_latest
 
-    base = tempfile.mkdtemp(prefix="e12_sink_")
+    base = scratch_dir("e12_sink_")
     ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
     lo, hi = ev.agg(
         F.min(F.expr("unix_micros(cast(ts as timestamp))")),
@@ -4054,11 +4056,9 @@ def pl_secured_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "clone", "storage"),
 )
 def pl_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..operators.dml import ParquetTable, update_where
 
-    base = tempfile.mkdtemp(prefix="clone_")
+    base = scratch_dir("clone_")
     t = ParquetTable(spark, f"{base}/customer")
     t.overwrite(load(spark, sf_dir, "customer"))
     c = t.clone_to(f"{base}/customer_dev")

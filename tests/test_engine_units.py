@@ -428,6 +428,58 @@ def test_stratified_exact_sample_largest_remainder(spark, tmp_path):
     assert got == {"a": 1, "b": 1, "c": 2}, got
 
 
+def test_dq3_negative_values_floor_binning(spark, tmp_path):
+    """dq3 on a constructed stream with NEGATIVE values (the driver
+    events fixture is all-positive, so the floor-vs-truncate division
+    branch is never exercised there): -0.01 cents=-1 must land in bin
+    -1 (floor), not bin 0 (truncation), in BOTH engines — identical
+    halves with sign-symmetric values must report tv_drift = 0 only
+    when the binning really floors."""
+    import datetime
+
+    import duckdb
+
+    import __spark_entry__  # noqa: F401
+    from end_to_end_etl_using_snowflake_spark.plans.registry import REGISTRY
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # half A: ts 0..3, half B: ts 10..13; values straddle zero so that
+    # truncation would merge {-19.99..19.99} into one bin while floor
+    # splits negatives into bin -1
+    vals = [-0.01, -19.99, 0.01, 19.99]
+    rows = []
+    for half, base in (("a", 0), ("b", 10)):
+        for i, v in enumerate(vals):
+            rows.append(
+                (base * 10 + i, t0 + datetime.timedelta(seconds=base + i),
+                 1, "m", v, "{}")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    spec = REGISTRY["dq3_distribution_drift"]
+    got = spec.build(spark, str(tmp_path)).collect()
+    assert len(got) == 1 and got[0]["tv_drift"] == 0.0, got
+    # oracle agrees on the same constructed input
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    orc = con.execute(spec.oracle).fetchall()
+    assert len(orc) == 1 and orc[0][3] == 0.0, orc
+    # and the binning itself floors: cents -1 -> bin -1 on both sides
+    assert con.execute(
+        "SELECT (-1 // 2000) + (CASE WHEN -1 % 2000 < 0 THEN -1 ELSE 0 END)"
+    ).fetchone()[0] == -1
+    assert spark.sql(
+        "SELECT -1 div 2000 + (CASE WHEN -1 % 2000 < 0 THEN -1 ELSE 0 END)"
+    ).collect()[0][0] == -1
+
+
 def test_qualify_rewriter_edges():
     from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
         rewrite_qualify,
@@ -454,6 +506,63 @@ def test_qualify_rewriter_edges():
 
     with _pytest.raises(ValueError):
         rewrite_qualify("QUALIFY 1 = 1")
+
+
+def test_qualify_rewriter_trailing_clauses_and_comments():
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_qualify,
+    )
+
+    # trailing ORDER BY / LIMIT re-attach OUTSIDE the subquery
+    # (Snowflake evaluates QUALIFY before ORDER BY / LIMIT)
+    out = rewrite_qualify(
+        "SELECT a, b FROM t "
+        "QUALIFY row_number() OVER (PARTITION BY b ORDER BY a) = 1 "
+        "ORDER BY a DESC LIMIT 5"
+    )
+    assert out.endswith("WHERE __qualify ORDER BY a DESC LIMIT 5"), out
+    # the OVER(... ORDER BY ...) is inside parens: must stay in the pred
+    assert "(PARTITION BY b ORDER BY a) = 1) AS __qualify" in out.replace(
+        "OVER (", "("
+    )
+    # LIMIT alone
+    out2 = rewrite_qualify(
+        "SELECT a FROM t QUALIFY rank() OVER (ORDER BY a) <= 3 LIMIT 2"
+    )
+    assert out2.endswith("WHERE __qualify LIMIT 2"), out2
+    # '--' comments and "quoted" identifiers are not keyword space
+    s = 'SELECT "from" FROM t -- QUALIFY in a comment\nWHERE x = 1'
+    assert rewrite_qualify(s) == s
+    s2 = "SELECT a FROM t /* QUALIFY block */ WHERE x = 1"
+    assert rewrite_qualify(s2) == s2
+    # comment before a real QUALIFY still rewrites
+    out3 = rewrite_qualify(
+        "SELECT a FROM t -- latest per key\nQUALIFY row_number() OVER (ORDER BY a) = 1"
+    )
+    assert out3.startswith("SELECT * EXCEPT (__qualify) FROM (")
+    # trailing semicolon tolerated
+    out4 = rewrite_qualify(
+        "SELECT a FROM t QUALIFY rank() OVER (ORDER BY a) = 1;"
+    )
+    assert out4.endswith("WHERE __qualify"), out4
+
+
+def test_qualify_rewriter_trailing_order_executes(spark):
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_qualify,
+    )
+
+    spark.range(10).selectExpr("id", "id % 3 AS g").createOrReplaceTempView(
+        "qualify_t2"
+    )
+    out = spark.sql(
+        rewrite_qualify(
+            "SELECT id, g FROM qualify_t2 "
+            "QUALIFY row_number() OVER (PARTITION BY g ORDER BY id DESC) = 1 "
+            "ORDER BY id DESC LIMIT 2"
+        )
+    )
+    assert [(r["id"], r["g"]) for r in out.collect()] == [(9, 0), (8, 2)]
 
 
 def test_qualify_rewriter_executes(spark):
