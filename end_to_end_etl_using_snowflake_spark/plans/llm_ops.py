@@ -2519,3 +2519,53 @@ def x20_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(keep_hash % 1000000 < F.col("keep_threshold"))
         .select("doc_id", "source", "keep_threshold")
     )
+
+
+def _x21_oracle() -> str:
+    from ..operators.sketches import sql_md5_hash64
+
+    h = sql_md5_hash64("doc_id", salt="x21")
+    return f"""
+    WITH keyed AS (
+        SELECT doc_id, ({h}) AS k, ({h}) % 16 AS shard FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY k ASC, doc_id ASC
+           ) AS BIGINT) AS position
+    FROM keyed
+    """
+
+
+@register(
+    "x21_global_shuffle",
+    oracle=_x21_oracle(),
+    doc="""Deterministic global shuffle + sharding — the
+    shuffle-before-training stage every LM data pipeline ends with
+    (sequential readers must not see the corpus in crawl/source
+    order). Permutation key = salted md5 of doc_id (no RNG state, so
+    any rerun anywhere reproduces the identical order — the property
+    that makes training runs comparable); shard = key % 16; position =
+    rank within shard by key. ONE hash-partition exchange on shard +
+    a per-shard sort — there is deliberately NO global sort: readers
+    consume shards independently, so only within-shard order matters,
+    and a global order-by would serialize into a single range-sorted
+    write for nothing. At 100 TB: shard count scales to the writer
+    parallelism (16 here mirrors the fixture scale), each shard sorts
+    locally (spillable), and the (shard, position) pair is a total
+    order if one is ever needed.""",
+    tags=("llm-pipeline", "shuffle", "training"),
+)
+def x21_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import md5_hash64
+
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        md5_hash64(F.col("doc_id"), salt="x21").alias("k"),
+    ).withColumn("shard", F.col("k") % 16)
+    w = Window.partitionBy("shard").orderBy(F.col("k").asc(), F.col("doc_id").asc())
+    return (
+        keyed.withColumn("position", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "position")
+    )

@@ -4080,3 +4080,173 @@ def pl_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return audit("original", t.read()).unionByName(audit("clone", c.read()))
+
+
+@register(
+    "pl_time_travel",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT),
+           CAST(SUM(CAST(round((c_acctbal
+                    + CASE WHEN c_nationkey < 5 THEN 100 ELSE 0 END) * 100)
+                AS BIGINT)) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 3, CAST(count(*) AS BIGINT),
+           CAST(SUM(CAST(round((c_acctbal
+                    + CASE WHEN c_nationkey < 5 THEN 100 ELSE 0 END) * 100)
+                AS BIGINT)) AS BIGINT)
+    FROM customer WHERE c_mktsegment <> 'BUILDING'
+    """,
+    doc="""Time travel (the Snowflake ``SELECT ... AT (STATEMENT =>
+    ...)`` / ``BEFORE`` surface a reference user leans on for
+    audits and bad-deploy recovery): three DML versions are recorded
+    into the table's changelog — v1 full load, v2 UPDATE (+100
+    balance, nations 0-4), v3 DELETE (segment BUILDING) — then the
+    state AT EACH version is reconstructed with
+    streaming/changelog.py:snapshot_as_of (latest change per key at or
+    before the version wins; DELETE means absent) and audited
+    (n_rows, exact balance cents). The oracle recomputes all three
+    states directly from the source, so a green row proves the
+    changelog replay reconstructs every historical state exactly.
+    Scale: the changelog is partitioned by _version — the
+    ``_version <= v`` filter prunes partitions before any shuffle, and
+    the replay window shuffles only CHANGED keys, never the table;
+    retention is Changelog.vacuum (drops consumed partitions,
+    keeps the travel horizon).""",
+    tags=("pipeline", "time-travel", "changelog"),
+)
+def pl_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.changelog import Changelog, snapshot_as_of
+
+    base = scratch_dir("timetravel_")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    log = Changelog(spark, f"{base}/customer")
+    log.record(cust, "UPSERT")  # v1: initial load
+    updated = cust.filter(F.col("c_nationkey") < 5).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    log.record(updated, "UPSERT")  # v2: UPDATE nations 0-4
+    # v3: DELETE segment BUILDING (rows as of v2 — content irrelevant
+    # beyond the key, but schema-consistent)
+    v2_state = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_nationkey") < 5, F.col("c_acctbal") + 100.0).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    log.record(v2_state.filter(F.col("c_mktsegment") == "BUILDING"), "DELETE")
+    changes = spark.read.parquet(log.log_path)
+
+    def audit(v: int) -> DataFrame:
+        snap = snapshot_as_of(changes, ["c_custkey"], v)
+        return snap.agg(
+            F.lit(v).cast("long").alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("bal_cents"),
+        )
+
+    return audit(1).unionByName(audit(2)).unionByName(audit(3))
+
+
+@register(
+    "pl_undrop",
+    oracle="""
+    SELECT 'restored' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM supplier
+    """,
+    doc="""DROP TABLE + UNDROP (the Snowflake retention semantic: DROP
+    renames the table into time-travel retention instead of deleting
+    bytes, UNDROP renames it back — both O(1) metadata operations at
+    any table size). The query materializes supplier as a managed
+    table, DROPs it (the live path must then be gone — asserted, so a
+    broken drop can't silently pass), UNDROPs it, and audits the
+    restored content; green = the restored table is bit-identical to
+    the pre-drop state. UNDROP over a live recreated table correctly
+    refuses (unit-tested). operators/dml.py:ParquetTable.drop/undrop.""",
+    tags=("pipeline", "undrop", "storage"),
+)
+def pl_undrop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dml import ParquetTable
+
+    base = scratch_dir("undrop_")
+    t = ParquetTable(spark, f"{base}/supplier")
+    t.overwrite(load(spark, sf_dir, "supplier"))
+    t.drop()
+    if t.exists():  # the drop must actually take the live path away
+        raise RuntimeError("drop left the live table path in place")
+    t.undrop()
+    return t.read().agg(
+        F.lit("restored").alias("phase"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.expr("CAST(round(s_acctbal * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("bal_cents"),
+    )
+
+
+@register(
+    "m10_multi_table_insert",
+    oracle="""
+    WITH routed AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+                    WHEN o_totalprice > 300000 THEN 'large'
+                    ELSE 'standard' END AS target,
+               o_totalprice
+        FROM orders
+    )
+    SELECT target, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+    FROM routed GROUP BY target
+    """,
+    doc="""Snowflake ``INSERT FIRST ... WHEN ... THEN INTO ... ELSE
+    INTO`` — conditional multi-table insert routing every order into
+    exactly one of three targets (urgent / large / standard) from ONE
+    scan: rows are tagged by the first matching WHEN (later branches
+    never see them — FIRST, not ALL, semantics), clustered by the tag
+    in one shuffle, and written as one partitioned dataset whose
+    branch directories ARE the target tables
+    (operators/dml.py:multi_table_insert). The audit re-reads each
+    materialized target from disk, so a green row proves the routing
+    AND the writes. At 100 TB: one scan + one shuffle total,
+    vs one full scan per target for the naive N-filter plan.""",
+    tags=("dml", "multi-table-insert", "routing"),
+)
+def m10_multi_table_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dml import multi_table_insert
+
+    base = scratch_dir("mti_")
+    orders = load(spark, sf_dir, "orders")
+    targets = multi_table_insert(
+        spark,
+        orders,
+        branches=[
+            ("urgent", F.col("o_orderpriority") == "1-URGENT"),
+            ("large", F.col("o_totalprice") > 300000),
+        ],
+        base_path=f"{base}/routed",
+        otherwise="standard",
+    )
+    audits = [
+        t.read().agg(
+            F.lit(name).alias("target"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("price_cents"),
+        )
+        for name, t in targets.items()
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out

@@ -647,3 +647,93 @@ def test_temperature_mixture_upweights_small_sources(spark, tmp_path):
     thr = {r["source"]: r["keep_threshold"]
            for r in out.select("source", "keep_threshold").distinct().collect()}
     assert thr == {"a": 212500, "b": 850000}, thr
+
+
+def test_drop_undrop_lifecycle(spark, tmp_path):
+    """DROP moves the table into retention (live path gone), UNDROP
+    restores it bit-identically; UNDROP over a live recreated table
+    refuses; a second drop replaces the retained generation."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.operators.dml import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).selectExpr("id", "id * 2 AS v"))
+    before = sorted(tuple(r) for r in t.read().collect())
+    t.drop()
+    assert not t.exists()
+    with _pytest.raises(ValueError):
+        t.drop()  # nothing live to drop
+    t.undrop()
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+    # drop again, recreate a DIFFERENT live table, undrop must refuse
+    t.drop()
+    t.overwrite(spark.range(3).selectExpr("id", "id AS v"))
+    with _pytest.raises(ValueError):
+        t.undrop()
+    # dropping the recreated table replaces the retained generation
+    t.drop()
+    t.undrop()
+    assert t.read().count() == 3
+
+
+def test_multi_table_insert_first_semantics(spark, tmp_path):
+    """INSERT FIRST: a row matching several WHENs lands ONLY in the
+    first; ELSE catches the rest; without an ELSE, unmatched rows are
+    dropped; the union of targets partitions the matched source."""
+    from end_to_end_etl_using_snowflake_spark.operators.dml import (
+        multi_table_insert,
+    )
+
+    src = spark.createDataFrame(
+        [(1, 50), (2, 150), (3, 500), (4, 5)], "id int, v int"
+    )
+    # id=3 matches BOTH conditions -> must land only in 'big'
+    targets = multi_table_insert(
+        spark,
+        src,
+        branches=[("big", F.col("v") >= 100), ("mid", F.col("v") >= 50)],
+        base_path=str(tmp_path / "mti"),
+        otherwise="small",
+    )
+    got = {
+        n: sorted(r["id"] for r in t.read().select("id").collect())
+        for n, t in targets.items()
+    }
+    assert got == {"big": [2, 3], "mid": [1], "small": [4]}, got
+    # no ELSE: unmatched rows are not written anywhere
+    targets2 = multi_table_insert(
+        spark,
+        src,
+        branches=[("only", F.col("v") >= 100)],
+        base_path=str(tmp_path / "mti2"),
+    )
+    assert sorted(r["id"] for r in targets2["only"].read().collect()) == [2, 3]
+    import os
+
+    assert not os.path.exists(str(tmp_path / "mti2" / "__branch=__HIVE_DEFAULT_PARTITION__"))
+
+
+def test_snapshot_as_of_delete_then_reinsert(spark):
+    """Time-travel replay: a key deleted at v2 and re-inserted at v3 is
+    absent AT v2 and present AT v3 with the v3 value — the
+    latest-change-wins semantics Snowflake AT() exposes."""
+    from end_to_end_etl_using_snowflake_spark.streaming.changelog import (
+        snapshot_as_of,
+    )
+
+    changes = spark.createDataFrame(
+        [
+            (1, 10, "UPSERT", 1),
+            (2, 20, "UPSERT", 1),
+            (1, 10, "DELETE", 2),
+            (1, 99, "UPSERT", 3),
+        ],
+        "k int, v int, _action string, _version int",
+    )
+    as_of = lambda ver: sorted(
+        (r["k"], r["v"]) for r in snapshot_as_of(changes, ["k"], ver).collect()
+    )
+    assert as_of(1) == [(1, 10), (2, 20)]
+    assert as_of(2) == [(2, 20)]
+    assert as_of(3) == [(1, 99), (2, 20)]

@@ -28,27 +28,32 @@ def test_entry_smoke(spark):
 
 def test_driver_prefix_spans_all_operator_families():
     """The driver's correctness gate checks a PREFIX of queries() (50
-    entries in rounds 1-3). Round-4 rotation: rounds 1-3 drove 79
-    distinct entries to driver rows; the r4 window holds the 46
-    never-driver-checked entries plus a 4-entry always-on core. Guard
-    both properties: every never-checked entry is inside the window
-    (none silently pushed out), and the core pillars stay covered."""
+    entries per round so far). Round-5 rotation: rounds 1-4 drove 124
+    distinct entries to driver rows; the r5 window holds the 41
+    never-driver-checked round-4 additions, f11_array_funcs (the only
+    red row ever, fixed in r1 but never re-rotated), a 4-entry
+    always-on core, and 4 re-check slots. Guard both properties: every
+    never-checked entry is inside the window (none silently pushed
+    out), and the core pillars stay covered."""
     prefix = list(__spark_entry__.queries())[:50]
     families = {
         "flagship": ("flagship",),
-        "reference-pipeline": ("pl_dim_", "pl_backfill"),
-        "merge/dml": ("m1_",),
-        "casts/functions": ("f10_", "f13_", "f14_"),
-        "tpch-analytics": ("q1_", "q4_", "q5_", "q7_"),
-        "sketches": ("k1_", "k2_", "k3_"),
-        "text-analysis": ("t5_", "t6_", "t8_", "t9_", "t10_"),
-        "dedup-llm": ("d7_", "d8_", "d9_"),
-        "similarity": ("v4_", "v6_", "v8_", "v9_", "v10_"),
-        "llm-pipeline": ("x6_", "x7_", "x8_", "x9_", "x10_", "x12_"),
-        "multimodal": ("mm2_", "mm4_"),
-        "windows/quality": ("w3_", "w4_", "dq1_"),
-        "sql-surface": ("sql2_", "sql3_", "p9_", "udf1_"),
-        "layout/streaming": ("z1_", "e7_"),
+        "reference-pipeline": ("pl_dim_", "pl_backfill", "pl_schema_",
+                               "pl_secured_", "pl_zero_copy_", "pl_pipe_"),
+        "merge/dml": ("m1_", "m9_"),
+        "casts/functions": ("f10_", "f11_"),
+        "tpch-analytics": ("q2_", "q8_", "q9_", "q11_", "q12_", "q13_",
+                           "q15_", "q16_", "q17_", "q20_", "q21_"),
+        "sketches": ("k4_",),
+        "text-analysis": ("t11_", "t12_"),
+        "dedup-llm": ("d12_",),
+        "similarity": ("v11_", "v13_"),
+        "llm-pipeline": ("x16_", "x17_", "x18_", "x19_", "x20_"),
+        "multimodal": ("mm4_",),
+        "quality/profiling": ("dq2_", "dq3_", "prof1_", "prof2_"),
+        "sql-surface": ("sql4_", "sql5_", "udf2_"),
+        "streaming": ("e8_", "e9_", "e10_", "e11_", "e12_"),
+        "materialized-view": ("mv1_",),
     }
     missing = {
         fam: pfxs

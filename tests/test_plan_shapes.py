@@ -385,3 +385,13 @@ def test_pq_adc_codebook_broadcasts(spark):
     plan = plan_of(spark, "v11_pq_adc_topk")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_global_shuffle_single_exchange_no_global_sort(spark):
+    # x21: ONE hash exchange on shard + per-shard local sort; a global
+    # sort (range partitioning) would serialize the permutation write
+    plan = plan_of(spark, "x21_global_shuffle")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan, plan
+    # the scan must prune to doc_id only
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
