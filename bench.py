@@ -53,6 +53,9 @@ HEADLINE = [
     "t5_tfidf_topk",           # tf-idf top-k terms
     "llm_corpus_clean",        # composite clean pipeline (quality+lang+dedup)
     "mm1_multimodal_decode",   # Arrow mapInPandas plumbing
+    "x21_global_shuffle",      # training-data shuffle (1 exchange + local sort)
+    "m10_multi_table_insert",  # INSERT FIRST: one scan -> 3 materialized targets
+    "pl_zonemap_prune",        # micro-partition pruning (write + manifest + pruned read)
     "pl_backfill_scale",       # full ETL pipeline throughput (~150k orders @ sf0.1)
     "pl_backfill_incremental", # O(delta) fact maintenance (delta cycle only)
 ]

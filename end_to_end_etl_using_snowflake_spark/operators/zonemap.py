@@ -1,0 +1,77 @@
+"""Zone maps: per-file min/max column statistics + metadata-driven scan
+pruning — the Snowflake micro-partition pruning semantic (every
+micro-partition carries min/max per column; a predicate consults the
+metadata and scans only overlapping partitions), re-expressed over
+plain parquet files.
+
+Spark already prunes hive-style PARTITION directories and pushes
+row-group filters into parquet footers; zone maps add the layer between
+those two: file-level skipping on an UNPARTITIONED table whose files
+are clustered (range-write, Z-order, or natural ingest time). At
+100 TB the manifest is O(files) rows — millions of rows, kilobytes per
+file scanned once — while the data is petabytes; pruning there is the
+difference between touching 1/50th of the files and listing+opening
+every footer. The manifest is exactly what an Iceberg/Delta manifest
+stores; this is the engine-native form.
+
+Reference seam: Snowflake performs this transparently via its
+micro-partition metadata; order-end-to-end-pipeline-script.sql's
+date-ranged fact queries rely on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_zone_map(spark: SparkSession, table_path: str, cols: list[str]) -> DataFrame:
+    """ONE pass over the table building per-file min/max for ``cols``.
+
+    ``input_file_name()`` keys the aggregate, so the map-side combine
+    reduces each file's rows to one partial row before any shuffle —
+    the shuffle is O(files), never O(rows). Persist the result next to
+    the table and maintain it incrementally on append (new files only).
+    """
+    df = spark.read.parquet(table_path)
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (
+        df.select(F.input_file_name().alias("file"), *cols)
+        .groupBy("file")
+        .agg(*aggs)
+    )
+
+
+def pruned_files(
+    manifest: DataFrame, col: str, lo, hi
+) -> tuple[list[str], int]:
+    """Files whose [min, max] range overlaps [lo, hi], plus the total
+    file count. The manifest is metadata — O(files) rows — so the
+    driver-side collect here is the same class of operation as a
+    catalog listing, not a data read."""
+    rows = manifest.select(
+        "file",
+        (
+            (F.col(f"max_{col}") >= F.lit(lo)) & (F.col(f"min_{col}") <= F.lit(hi))
+        ).alias("overlaps"),
+    ).collect()
+    return [r["file"] for r in rows if r["overlaps"]], len(rows)
+
+
+def pruned_read(
+    spark: SparkSession,
+    manifest: DataFrame,
+    schema,
+    col: str,
+    lo,
+    hi,
+) -> tuple[DataFrame, int, int]:
+    """Read ONLY the files the zone map says can match ``col`` in
+    [lo, hi]; callers still apply the exact predicate (zone maps
+    overapproximate). Returns (frame, n_scanned, n_total)."""
+    files, total = pruned_files(manifest, col, lo, hi)
+    if not files:
+        return spark.createDataFrame([], schema), 0, total
+    return spark.read.schema(schema).parquet(*files), len(files), total

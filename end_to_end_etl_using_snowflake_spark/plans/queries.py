@@ -4250,3 +4250,120 @@ def m10_multi_table_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in audits[1:]:
         out = out.unionByName(a)
     return out
+
+
+@register(
+    "pl_zonemap_prune",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+    doc="""Zone-map scan pruning (the Snowflake micro-partition pruning
+    semantic: per-micro-partition min/max metadata lets a date
+    predicate skip partitions without opening them). orders is written
+    range-clustered on o_orderdate into 8 files (UNPARTITIONED — no
+    hive directories, so Spark's own partition pruning cannot help);
+    ONE metadata pass builds the per-file min/max manifest
+    (input_file_name-keyed aggregate — map-side combine makes the
+    shuffle O(files), never O(rows)); the 1997-only query consults the
+    manifest (O(files) metadata, the same class of read as a catalog
+    listing), reads ONLY overlapping files, and applies the exact
+    residual predicate (zone maps overapproximate). The query RAISES
+    unless pruning actually skipped files, and the oracle computes
+    from the full table — green = pruned scan ≡ full scan. At 100 TB:
+    manifest kilobytes-per-file vs petabytes of data; this is the
+    Iceberg/Delta manifest layer, engine-native.
+    operators/zonemap.py.""",
+    tags=("pipeline", "pruning", "zonemap", "layout"),
+)
+def pl_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from ..operators.zonemap import build_zone_map, pruned_read
+
+    base = scratch_dir("zonemap_")
+    orders = load(spark, sf_dir, "orders")
+    path = f"{base}/orders_clustered"
+    orders.repartitionByRange(8, "o_orderdate").write.parquet(path)
+    manifest = build_zone_map(spark, path, ["o_orderdate"])
+    lo = datetime.datetime(1997, 1, 1)
+    hi = datetime.datetime(1997, 12, 31, 23, 59, 59, 999999)
+    pruned, n_scanned, n_total = pruned_read(
+        spark, manifest, orders.schema, "o_orderdate", lo, hi
+    )
+    if not 0 < n_scanned < n_total:
+        raise RuntimeError(
+            f"zone map failed to prune: scanned {n_scanned} of {n_total} files"
+        )
+    return (
+        pruned.filter(
+            (F.col("o_orderdate") >= F.lit(lo))
+            & (F.col("o_orderdate") < F.lit(datetime.datetime(1998, 1, 1)))
+        )
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+
+
+@register(
+    "pl_result_cache",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="""Result cache (the Snowflake result-reuse / RESULT_SCAN
+    semantic: an identical query over unchanged data is answered from
+    the stored result, not a warehouse scan). The dashboard aggregate
+    runs once (miss — computed and stored), then an independently
+    CONSTRUCTED identical plan is served from the cache; the query
+    RAISES unless the second call was a true hit and a
+    predicate-changed probe a true miss (semanticHash keying), and
+    raises again unless a SNAPSHOT bump (the table-mutation
+    fingerprint) invalidates — so a green row proves reuse, plan
+    sensitivity, AND data-change invalidation, while the oracle pins
+    the served values. plans/result_cache.py.""",
+    tags=("pipeline", "result-cache", "reuse"),
+)
+def pl_result_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .result_cache import ResultCache
+
+    cache = ResultCache(spark, scratch_dir("rescache_"))
+
+    def dashboard_query() -> DataFrame:
+        return (
+            load(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+                .cast("long")
+                .alias("price_cents"),
+            )
+        )
+
+    cache.get_or_compute(dashboard_query(), snapshot="v1")  # miss: computes
+    served = cache.get_or_compute(dashboard_query(), snapshot="v1")  # hit
+    if (cache.hits, cache.misses) != (1, 1):
+        raise RuntimeError(f"expected 1 hit / 1 miss, got {cache.hits}/{cache.misses}")
+    # a semantically different plan must NOT hit
+    probe = dashboard_query().filter(F.col("o_orderpriority") != "1-URGENT")
+    cache.get_or_compute(probe, snapshot="v1")
+    if cache.misses != 2:
+        raise RuntimeError("predicate-changed plan was wrongly served from cache")
+    # data-change invalidation: same plan, bumped snapshot -> miss
+    cache.get_or_compute(dashboard_query(), snapshot="v2")
+    if cache.misses != 3:
+        raise RuntimeError("snapshot bump failed to invalidate the cached result")
+    return served

@@ -60,14 +60,13 @@ PRIORITY: tuple[str, ...] = (
     # r4); this window now front-loads the 41 entries that have
     # NEVER had a driver CORRECTNESS row (the round-4 registry
     # additions), plus f11_array_funcs (the only red row ever, r1;
-    # fixed but never re-rotated), a 4-entry always-on core, and the
-    # 4 round-5 additions (time travel, undrop, multi-table insert,
-    # global shuffle). All rotated-out entries remain locally
-    # oracle-swept at sf0.001 every pytest run.
+    # fixed but never re-rotated), a 2-entry always-on core (flagship
+    # + the reference ingest/MERGE pipeline), and the 6 round-5
+    # additions (time travel, undrop, multi-table insert, global
+    # shuffle, zone-map pruning, result cache). All rotated-out
+    # entries remain locally oracle-swept at sf0.001 every pytest run.
     "flagship_fact_rebuild",
     "pl_dim_customer",
-    "m1_merge_upsert_state",
-    "f10_try_cast",
     "f11_array_funcs",
     "q2_min_cost_supplier",
     "q8_market_share",
@@ -115,8 +114,12 @@ PRIORITY: tuple[str, ...] = (
     "pl_undrop",
     "m10_multi_table_insert",
     "x21_global_shuffle",
+    "pl_zonemap_prune",
+    "pl_result_cache",
     # ---- 51+: driver-green in r1-r4 and rotated out of the window;
     # all remain locally oracle-checked per pytest run.
+    "m1_merge_upsert_state",
+    "f10_try_cast",
     "pl_backfill_scale",
     "pl_pipe_task_admin",
     "q1_pricing_summary",

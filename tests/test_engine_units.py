@@ -737,3 +737,56 @@ def test_snapshot_as_of_delete_then_reinsert(spark):
     assert as_of(1) == [(1, 10), (2, 20)]
     assert as_of(2) == [(2, 20)]
     assert as_of(3) == [(1, 99), (2, 20)]
+
+
+def test_zone_map_empty_overlap_and_exactness(spark, tmp_path):
+    """Zone-map pruning: a predicate outside every file's range reads
+    zero files; an in-range predicate returns exactly the full-scan
+    answer even though files overapproximate."""
+    import datetime
+
+    from end_to_end_etl_using_snowflake_spark.operators.zonemap import (
+        build_zone_map,
+        pruned_read,
+    )
+
+    t0 = datetime.datetime(2020, 1, 1)
+    rows = [(i, t0 + datetime.timedelta(days=i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    path = str(tmp_path / "t")
+    df.repartitionByRange(4, "ts").write.parquet(path)
+    manifest = build_zone_map(spark, path, ["ts"])
+    assert manifest.count() == 4
+    # fully outside: zero files, empty frame with the right schema
+    out, n, total = pruned_read(
+        spark, manifest, df.schema, "ts",
+        datetime.datetime(2030, 1, 1), datetime.datetime(2031, 1, 1),
+    )
+    assert (n, total) == (0, 4) and out.count() == 0
+    assert out.schema == df.schema
+    # a 10-day slice: fewer files than total, exact ids after residual
+    lo, hi = t0 + datetime.timedelta(days=10), t0 + datetime.timedelta(days=19)
+    out, n, total = pruned_read(spark, manifest, df.schema, "ts", lo, hi)
+    assert 0 < n < total
+    got = sorted(
+        r["id"]
+        for r in out.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).collect()
+    )
+    assert got == list(range(10, 20))
+
+
+def test_result_cache_hit_miss_snapshot(spark, tmp_path):
+    from end_to_end_etl_using_snowflake_spark.plans.result_cache import (
+        ResultCache,
+    )
+
+    cache = ResultCache(spark, str(tmp_path / "rc"))
+    q = lambda: spark.range(100).groupBy((F.col("id") % 3).alias("g")).count()
+    a = cache.get_or_compute(q(), snapshot="s1")
+    b = cache.get_or_compute(q(), snapshot="s1")  # identical plan -> hit
+    assert (cache.hits, cache.misses) == (1, 1)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    cache.get_or_compute(q().filter(F.col("g") != 0), snapshot="s1")
+    assert cache.misses == 2  # different plan
+    cache.get_or_compute(q(), snapshot="s2")
+    assert cache.misses == 3  # data-change invalidation
