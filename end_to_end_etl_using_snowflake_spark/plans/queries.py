@@ -4367,3 +4367,210 @@ def pl_result_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cache.misses != 3:
         raise RuntimeError("snapshot bump failed to invalidate the cached result")
     return served
+
+
+@register(
+    "k5_file_bloom_prune",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders WHERE o_custkey = 7
+    """,
+    doc="""Point-lookup file skipping via per-file Bloom filters (the
+    Snowflake SEARCH OPTIMIZATION SERVICE semantic: equality lookups
+    on a non-clustered-key column skip micro-partitions through
+    per-partition filter structures — zone maps can't help an
+    equality predicate on a high-cardinality key). orders is written
+    hash-clustered on o_custkey into 8 files; ONE pass builds the
+    per-file Bloom manifest (DISTINCT (file, hash_i, slot) — at most
+    files x n_hashes x n_bits rows regardless of row count, the k3
+    fixed-state property); the custkey=7 lookup computes its 4 slots,
+    keeps only files whose filter has ALL of them set (never a false
+    negative, so never a wrong result — false positives just read an
+    extra file), RAISES unless files were actually skipped, and
+    applies the exact residual predicate. Oracle scans the full
+    table — green = pruned lookup ≡ full scan. At 100 TB this is the
+    needle-in-haystack path: O(files) metadata probe instead of
+    opening every footer. operators/sketches.py:bloom_membership's
+    slot formula, reused file-scoped.""",
+    tags=("pruning", "bloom", "sketch", "layout"),
+)
+def k5_file_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_hashes, n_bits = 4, 4096
+    base = scratch_dir("bloomprune_")
+    orders = load(spark, sf_dir, "orders")
+    path = f"{base}/orders_clustered"
+    orders.repartition(8, "o_custkey").write.parquet(path)
+
+    def slot(i: int, key) -> F.Column:
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}|"), key.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_bits),
+        )
+
+    back = spark.read.parquet(path)
+    manifest = (
+        back.select(
+            F.input_file_name().alias("file"),
+            *[slot(i, F.col("o_custkey")).alias(f"s{i}") for i in range(n_hashes)],
+        )
+        .groupBy("file")
+        .agg(
+            *[
+                F.collect_set(f"s{i}").alias(f"bits{i}")
+                for i in range(n_hashes)
+            ]
+        )
+    )
+    # NOTE collect_set here holds at most min(distinct keys-per-file,
+    # n_bits) = 4096 ints per file — the Bloom filter ITSELF, not row
+    # data; at scale this is the bitmap word array.
+    target = F.lit(7).cast("long")
+    probe = [slot(i, target) for i in range(n_hashes)]
+    hits = manifest.select(
+        "file",
+        *[
+            F.array_contains(F.col(f"bits{i}"), probe[i]).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    ).collect()
+    files = [r["file"] for r in hits if all(r[f"h{i}"] for i in range(n_hashes))]
+    if not 0 < len(files) < len(hits):
+        raise RuntimeError(
+            f"bloom prune failed: scanned {len(files)} of {len(hits)} files"
+        )
+    return (
+        spark.read.schema(orders.schema)
+        .parquet(*files)
+        .filter(F.col("o_custkey") == 7)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("price_cents"),
+        )
+    )
+
+
+_E13_RUNS = """
+    ev AS (
+        SELECT user_id, event_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    dirs AS (
+        SELECT user_id, event_id, ts, cents,
+               CASE WHEN cents < lag(cents) OVER w THEN -1
+                    WHEN cents > lag(cents) OVER w THEN 1
+                    WHEN lag(cents) OVER w IS NULL THEN NULL
+                    ELSE 0 END AS dir
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs0 AS (
+        SELECT user_id, event_id, ts, dir,
+               CASE WHEN dir IS DISTINCT FROM lag(dir) OVER w2
+                    THEN 1 ELSE 0 END AS chg
+        FROM dirs
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, event_id, ts, dir,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM runs0 WHERE dir IS NOT NULL
+    ),
+    runs AS (
+        SELECT user_id, run_id, dir,
+               CAST(count(*) AS BIGINT) AS n,
+               min(ts) AS first_ts, max(ts) AS last_ts
+        FROM numbered GROUP BY user_id, run_id, dir
+    )
+"""
+
+
+@register(
+    "e13_match_recognize",
+    oracle=f"""
+    WITH {_E13_RUNS}
+    SELECT d.user_id,
+           CAST(d.run_id AS BIGINT) AS match_id,
+           d.n AS n_down, u.n AS n_up,
+           d.first_ts AS start_ts, d.last_ts AS bottom_ts, u.last_ts AS end_ts
+    FROM runs d
+    JOIN runs u ON u.user_id = d.user_id AND u.run_id = d.run_id + 1
+    WHERE d.dir = -1 AND u.dir = 1 AND d.n >= 2 AND u.n >= 2
+    """,
+    doc="""Row-pattern matching (the Snowflake/ANSI MATCH_RECOGNIZE
+    surface): PATTERN (DOWN{2,} UP{2,}) over each user's event
+    values ordered by time — the V-shape/recovery detector (DEFINE
+    DOWN AS value < PREV(value), UP AS value > PREV(value); ONE ROW
+    PER MATCH with FIRST/LAST measures). Spark has no MATCH_RECOGNIZE
+    operator, so the engine lowers the pattern to its relational
+    normal form: per-row direction via lag, run-length encoding via
+    the gaps-and-islands running sum, one aggregate per run, and a
+    self-join of adjacent runs (down then up) — every step
+    whole-stage-codegen, shuffled once by user_id; adjacent-run
+    matching is a run_id+1 equi-join on data already clustered by
+    user. Strictly-equal neighbours (dir=0) break matches, exactly as
+    the strict DEFINE requires. The oracle states the identical
+    lowering in DuckDB. At 100 TB: runs compress events ~per-reversal,
+    so the join input is a fraction of the raw stream; for longer
+    regex-style patterns the same run relation feeds a chain of
+    adjacent-run joins.""",
+    tags=("sql-surface", "match-recognize", "pattern"),
+)
+def e13_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dirs = ev.withColumn(
+        "dir",
+        F.when(F.col("cents") < F.lag("cents").over(w), -1)
+        .when(F.col("cents") > F.lag("cents").over(w), 1)
+        .when(F.lag("cents").over(w).isNull(), F.lit(None).cast("int"))
+        .otherwise(0),
+    )
+    numbered = (
+        dirs.withColumn(
+            "chg",
+            F.when(
+                ~F.col("dir").eqNullSafe(F.lag("dir").over(w)), 1
+            ).otherwise(0),
+        )
+        .filter(F.col("dir").isNotNull())
+        .withColumn(
+            "run_id",
+            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    runs = numbered.groupBy("user_id", "run_id", "dir").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    d = runs.filter((F.col("dir") == -1) & (F.col("n") >= 2)).select(
+        "user_id",
+        F.col("run_id").cast("long").alias("match_id"),
+        F.col("n").alias("n_down"),
+        F.col("first_ts").alias("start_ts"),
+        F.col("last_ts").alias("bottom_ts"),
+    )
+    u = runs.filter((F.col("dir") == 1) & (F.col("n") >= 2)).select(
+        "user_id",
+        (F.col("run_id") - 1).cast("long").alias("match_id"),
+        F.col("n").alias("n_up"),
+        F.col("last_ts").alias("end_ts"),
+    )
+    return d.join(u, ["user_id", "match_id"]).select(
+        "user_id", "match_id", "n_down", "n_up", "start_ts", "bottom_ts", "end_ts"
+    )
