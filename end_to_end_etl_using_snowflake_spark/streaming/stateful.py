@@ -136,3 +136,65 @@ def dedup_within_watermark_stream(
     return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Per-user running (n_events, total_cents) on the Spark 4
+    ``transformWithStateInPandas`` arbitrary-state API — the successor
+    surface to ``applyInPandasWithState`` (e3 covers that one): a
+    ``StatefulProcessor`` with an explicit named ``ValueState``,
+    update-mode emission of the running total after every micro-batch.
+
+    GATED CAPABILITY in this sandbox: the TWS Python state server
+    speaks protobuf to the JVM, and ``google.protobuf`` is not
+    installed here (and installs are disallowed) — the query-level
+    registration is therefore withheld; ``tests/`` carries a
+    skip-unless-protobuf end-to-end test so the operator activates
+    wherever the dependency exists. The e3 ``applyInPandasWithState``
+    entry keeps the arbitrary-stateful surface driver-verified.
+
+    This is the streaming MERGE-running-aggregate shape (a live
+    per-customer spend counter). State is ONE fixed-width row per key
+    in RocksDB — bounded by key cardinality, not stream length; the
+    shuffle is the groupBy exchange only. Requires the RocksDB state
+    store provider (the API rejects the HDFS-map provider) — callers
+    scope ``spark.sql.streaming.stateStore.providerClass``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, cents = self._totals.get()
+            else:
+                n, cents = 0, 0
+            for pdf in rows:
+                n += int(len(pdf))
+                cents += int(pdf["cents"].sum())
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType="user_id bigint, n_events bigint, total_cents bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

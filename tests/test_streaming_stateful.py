@@ -129,3 +129,70 @@ def test_streaming_sessionize_matches_batch_and_survives_restart(spark, dirs):
     )
     regressions = max_b1.join(min_b2, "user_id").filter(F.col("m2") < F.col("m1"))
     assert regressions.count() == 0
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas running totals: multiple real
+    micro-batches (maxFilesPerTrigger=1), RocksDB state, final
+    latest-per-user emission equals the batch GROUP BY. Skips where
+    google.protobuf is unavailable (the TWS python state server
+    requires it; this sandbox disallows installs)."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_using_snowflake_spark.streaming.stateful import (
+        running_totals_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    rows = [(u, c) for u in range(5) for c in range(10 * (u + 1), 10 * (u + 1) + 4)]
+    df = spark.createDataFrame(rows, "user_id bigint, cents bigint")
+    df.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(in_dir)
+    df.filter(F.col("user_id") % 2 == 1).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema("user_id bigint, cents bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        q = (
+            running_totals_stream(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    from pyspark.sql import Window
+
+    emitted = spark.read.schema(
+        "user_id bigint, n_events bigint, total_cents bigint"
+    ).parquet(out_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = {
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    expect = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in df.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .collect()
+    }
+    assert final == expect
