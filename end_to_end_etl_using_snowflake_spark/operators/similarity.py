@@ -783,3 +783,98 @@ def pq_adc_topk(
             "approx_dot",
         )
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_candidates: int = 10,
+    k: int = 5,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified re-ranking (Carbonell &
+    Goldstein 1998) — the RAG retrieval step between ANN shortlist and
+    prompt assembly: greedily pick the candidate maximizing
+    ``lam * sim(q, d) - (1 - lam) * max_{s in S} sim(d, s)`` so the
+    final k results are relevant AND mutually diverse (near-duplicate
+    chunks waste context tokens).
+
+    Structure for scale: the EXPENSIVE part of retrieval is the
+    shortlist (v1/v3/v7 paths); MMR itself runs on a per-query
+    candidate set bounded by ``n_candidates``, so every join here is
+    keyed by query_id with ≤ n_candidates x k pair rows per query —
+    state is O(queries x n_candidates), never corpus-sized, and the
+    k-step loop unrolls into one lazy plan (no driver round-trips).
+
+    Determinism: vectors are unit-normalized once (element / norm,
+    sequential fold), similarities are sequential-fold dots, and every
+    argmax breaks ties by neighbor_id — bit-reproducible anywhere.
+    Returns (query_id, step, neighbor_id, mmr_score).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), V.to_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", V.norm(F.col("cv")))
+    c = c.select(
+        "neighbor_id",
+        F.transform(F.col("cv"), lambda x: x / F.col("cn")).alias("uc"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), V.to_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", V.norm(F.col("qv")))
+    q = q.select(
+        "query_id",
+        F.transform(F.col("qv"), lambda x: x / F.col("qn")).alias("uq"),
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", "uc", V.dot(F.col("uq"), F.col("uc")).alias("sim_q")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_q").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_candidates)
+        .drop("rn")
+    )
+    # step 1: empty selected set, score = lam * sim_q
+    sel = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
+        "query_id",
+        F.lit(1).cast("long").alias("step"),
+        "neighbor_id",
+        (F.lit(lam) * F.col("sim_q")).alias("mmr_score"),
+        "uc",
+    )
+    for step in range(2, k + 1):
+        rem = cand.join(
+            sel.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_anti"
+        )
+        red = (
+            rem.join(
+                sel.select("query_id", F.col("uc").alias("us")), "query_id"
+            )
+            .withColumn("s", V.dot(F.col("uc"), F.col("us")))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.max("s").alias("red"), F.first("sim_q").alias("sim_q"))
+        )
+        ws = Window.partitionBy("query_id").orderBy(
+            (F.lit(lam) * F.col("sim_q") - F.lit(1 - lam) * F.col("red")).desc(),
+            F.col("neighbor_id").asc(),
+        )
+        pick = (
+            red.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(step).cast("long").alias("step"),
+                "neighbor_id",
+                (
+                    F.lit(lam) * F.col("sim_q") - F.lit(1 - lam) * F.col("red")
+                ).alias("mmr_score"),
+            )
+            .join(cand.select("query_id", "neighbor_id", "uc"), ["query_id", "neighbor_id"])
+            .select("query_id", "step", "neighbor_id", "mmr_score", "uc")
+        )
+        sel = sel.unionByName(pick)
+    return sel.select("query_id", "step", "neighbor_id", "mmr_score")

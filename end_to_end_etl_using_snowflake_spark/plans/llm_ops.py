@@ -2569,3 +2569,94 @@ def x21_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("position", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "position")
     )
+
+
+def _v14_oracle(n_candidates: int = 10, k: int = 5) -> str:
+    # unrolled greedy MMR: one (red, pick, sel) CTE triple per step —
+    # the same loop the Spark builder unrolls lazily
+    steps = []
+    prev = "sel1"
+    for s in range(2, k + 1):
+        steps.append(f"""
+    red{s} AS (
+        SELECT r.query_id, r.neighbor_id,
+               max({sql_dot('r.uc', 's.uc')}) AS red,
+               max(r.sim_q) AS sim_q
+        FROM cand r JOIN {prev} s ON s.query_id = r.query_id
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                          WHERE x.query_id = r.query_id
+                            AND x.neighbor_id = r.neighbor_id)
+        GROUP BY r.query_id, r.neighbor_id
+    ),
+    pick{s} AS (
+        SELECT p.query_id, {s}::BIGINT AS step, p.neighbor_id, p.mmr_score, c.uc
+        FROM (
+            SELECT query_id, neighbor_id,
+                   0.5 * sim_q - 0.5 * red AS mmr_score,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY 0.5 * sim_q - 0.5 * red DESC, neighbor_id
+                   ) AS rn
+            FROM red{s}
+        ) p JOIN cand c ON c.query_id = p.query_id
+                       AND c.neighbor_id = p.neighbor_id
+        WHERE p.rn = 1
+    ),
+    sel{s} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{s})""")
+        prev = f"sel{s}"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt({sql_dot('v', 'v')}) AS nrm FROM e),
+    u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uv FROM n),
+    q AS (SELECT vec_id AS query_id, uv AS uq FROM u WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, c.uv AS uc,
+               {sql_dot('q.uq', 'c.uv')} AS sim_q
+        FROM u c JOIN q ON q.query_id != c.vec_id
+    ),
+    cand AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim_q DESC, neighbor_id
+            ) AS rn FROM scored
+        ) WHERE rn <= {n_candidates}
+    ),
+    sel1 AS (
+        SELECT query_id, 1::BIGINT AS step, neighbor_id,
+               0.5 * sim_q AS mmr_score, uc
+        FROM cand WHERE rn = 1
+    ),{",".join(steps)}
+    SELECT query_id, step, neighbor_id, mmr_score FROM {prev}
+    """
+
+
+@register(
+    "v14_mmr_rerank",
+    oracle=_v14_oracle(),
+    doc="""Maximal Marginal Relevance diversified re-ranking (Carbonell
+    & Goldstein 1998) — the RAG step between the ANN shortlist and
+    prompt assembly: greedily select k=5 of the top-10 candidates
+    maximizing lam*sim(q,d) - (1-lam)*max_{s in S} sim(d,s), so the
+    retrieved set is relevant AND mutually diverse (near-duplicate
+    chunks waste context tokens). The k-step greedy loop unrolls into
+    ONE lazy plan (no driver round-trips); every join is keyed by
+    query_id over the bounded candidate set, so MMR state is
+    O(queries x n_candidates) regardless of corpus size — the corpus
+    only appears in the shortlist stage (v1 shape; at 100 TB swap in
+    the v3/v7 shortlist paths unchanged). Unit-normalize-once +
+    sequential-fold dots + id tiebreaks keep every score
+    bit-reproducible; the oracle replays the exact greedy loop as
+    unrolled CTE triples. operators/similarity.py:mmr_rerank.""",
+    tags=("similarity", "rag", "rerank", "diversity"),
+)
+def v14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.mmr_rerank(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        n_candidates=10,
+        k=5,
+        lam=0.5,
+    )

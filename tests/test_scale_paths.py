@@ -402,3 +402,42 @@ def test_d5l_hot_bucket_cap_bounds_candidates(spark):
     assert (1000, 1001) in got_capped
     assert len(got_capped) <= 20 * 20 * 4, len(got_capped)
     assert len(got_capped) < n_uncapped / 10
+
+
+def test_mmr_diversifies_near_duplicate_candidates(spark):
+    """MMR vs plain top-k on a constructed corpus where the two most
+    query-similar docs are near-duplicates of each other: plain top-2
+    takes both; MMR's step 2 must skip the duplicate and take the
+    diverse doc instead."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_using_snowflake_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # query
+        (1, [0.99, 0.14, 0.0]),      # best match
+        (2, [0.99, 0.141, 0.001]),   # near-duplicate of 1
+        (3, [0.8, 0.0, 0.6]),        # diverse, less similar
+        (4, [0.0, 1.0, 0.0]),        # unrelated
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0)
+    plain = [
+        r["neighbor_id"]
+        for r in brute_force_topk(emb, q, "vec_id", "embedding", k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert plain == [1, 2]  # top-k happily returns the duplicate pair
+    mmr = [
+        r["neighbor_id"]
+        for r in mmr_rerank(
+            emb, q, "vec_id", "embedding", n_candidates=4, k=2, lam=0.5
+        )
+        .orderBy("step")
+        .collect()
+    ]
+    assert mmr[0] == 1 and mmr[1] == 3, mmr  # diversity beats redundancy
