@@ -4574,3 +4574,73 @@ def e13_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(u, ["user_id", "match_id"]).select(
         "user_id", "match_id", "n_down", "n_up", "start_ts", "bottom_ts", "end_ts"
     )
+
+
+@register(
+    "pl_dynamic_table",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="""Dynamic table (the Snowflake CREATE DYNAMIC TABLE ...
+    TARGET_LAG semantic — the declarative successor to the
+    reference's hand-built stream+task+MERGE chains): a per-priority
+    revenue aggregate defined ONCE, kept fresh by scheduled
+    incremental refreshes. The run lands 80% of orders, refreshes
+    (cycle 1 builds the state), lands the remaining 20%, refreshes
+    again (cycle 2 partial-aggregates ONLY the delta — changelog
+    offsets + _version partition pruning make it O(new rows)), then
+    runs a third cycle that must SKIP via the WHEN gate (no new
+    data). In-query asserts pin the task history
+    (SUCCEEDED/SUCCEEDED/SKIPPED); the oracle recomputes from ALL
+    orders, so green = the incremental refresh chain converged to the
+    exact full recompute. plans/dynamic_table.py (composition of
+    changelog consumer + incremental_agg_merge + WHEN-gated task).""",
+    tags=("pipeline", "dynamic-table", "incremental", "tasks"),
+)
+def pl_dynamic_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.changelog import Changelog
+    from ..streaming.tasks import TaskDag
+    from .dynamic_table import DynamicTable
+
+    base = scratch_dir("dyntab_")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    log = Changelog(spark, f"{base}/orders_base")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("price_cents"),
+        )
+
+    dt = DynamicTable(
+        spark,
+        f"{base}/dt_priority_revenue",
+        log,
+        partial,
+        keys=["o_orderpriority"],
+        sum_cols=["price_cents"],
+        count_col="n_orders",
+    )
+    dag = TaskDag(spark, "dt_refresh")
+    dt.as_task(dag, "refresh_priority_revenue")
+
+    log.record(orders.filter(F.col("o_orderkey") % 5 != 0), "INSERT")
+    dag.run_cycle()  # cycle 1: initial build
+    log.record(orders.filter(F.col("o_orderkey") % 5 == 0), "INSERT")
+    dag.run_cycle()  # cycle 2: O(delta) incremental fold
+    dag.run_cycle()  # cycle 3: nothing new -> WHEN gate must SKIP
+    states = [r.state for r in dag.history]
+    if states != ["SUCCEEDED", "SUCCEEDED", "SKIPPED"]:
+        raise RuntimeError(f"unexpected refresh history: {states}")
+    return dt.read().select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("price_cents").cast("long").alias("price_cents"),
+    )
