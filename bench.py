@@ -56,8 +56,12 @@ HEADLINE = [
     "x21_global_shuffle",      # training-data shuffle (1 exchange + local sort)
     "m10_multi_table_insert",  # INSERT FIRST: one scan -> 3 materialized targets
     "pl_zonemap_prune",        # micro-partition pruning (write + manifest + pruned read)
-    "pl_backfill_scale",       # full ETL pipeline throughput (~150k orders @ sf0.1)
+    # the delta-cycle measurement runs BEFORE the full rebuild: the
+    # ~15 s pl_backfill_scale churns the heap/shuffle dirs enough to
+    # inflate whatever runs next by ~30% (measured 8.8 s after vs
+    # 6.4 s isolated for the identical delta cycle)
     "pl_backfill_incremental", # O(delta) fact maintenance (delta cycle only)
+    "pl_backfill_scale",       # full ETL pipeline throughput (~150k orders @ sf0.1)
 ]
 
 # Untimed setup per headline entry: runs AFTER warm-up, BEFORE the

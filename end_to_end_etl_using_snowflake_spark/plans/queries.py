@@ -4644,3 +4644,109 @@ def pl_dynamic_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("long").alias("n_orders"),
         F.col("price_cents").cast("long").alias("price_cents"),
     )
+
+
+@register(
+    "w5_rank_distribution_funcs",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               nth_value(o_orderkey, 2) OVER (
+                   w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS second_key,
+               first_value(o_orderkey) OVER (
+                   w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS cheapest_key,
+               last_value(o_orderkey) OVER (
+                   w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS priciest_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+    )
+    SELECT * FROM ranked WHERE o_orderkey % 97 = 0
+    """,
+    doc="""Rank-distribution window battery — the analytic functions w2
+    (frames/lag/rank) and w4 (ntile) don't cover: percent_rank,
+    cume_dist, nth_value, and first/last_value over the full-partition
+    frame (the default frame would make last_value the current row —
+    the classic trap, pinned here). Ranks are computed over the FULL
+    partition, then the emitted rows subsample by key so the compared
+    set stays small without changing any rank. percent_rank/cume_dist
+    are exact integer-ratio doubles (rank arithmetic, one division) —
+    deterministic across engines; the (cents, orderkey) composite sort
+    key makes every position unique. One shuffle by priority.""",
+    tags=("window", "rank", "distribution"),
+)
+def w5_rank_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "cents",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.nth_value("o_orderkey", 2).over(full).alias("second_key"),
+            F.first("o_orderkey").over(full).alias("cheapest_key"),
+            F.last("o_orderkey").over(full).alias("priciest_key"),
+        )
+        .filter(F.col("o_orderkey") % 97 == 0)
+    )
+
+
+@register(
+    "a8_filtered_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 150000)
+                AS BIGINT) AS n_big_spenders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+                AS BIGINT) AS recent_cents,
+           CAST(coalesce(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS open_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="""Conditional-aggregate battery (the FILTER clause / count_if
+    surface — the one aggregate idiom a4-a7 leave uncovered): counts,
+    a FILTERed count DISTINCT, and FILTERed sums with and without a
+    COALESCE default, all computed in ONE aggregate pass (a naive
+    translation runs one scan per condition; the conditional form is
+    the single-scan plan that matters when the scan is 100 TB).
+    Spark expresses FILTER as count_if / sum(CASE WHEN) — identical
+    semantics, including the null-when-no-rows-match SUM that
+    open_cents deliberately contrasts with recent_cents.""",
+    tags=("aggregate", "filter", "conditional"),
+)
+def a8_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.count_if(F.col("o_orderstatus") == "F").cast("long").alias("n_finished"),
+        F.count_distinct(
+            F.when(F.col("o_totalprice") > 150000, F.col("o_custkey"))
+        )
+        .cast("long")
+        .alias("n_big_spenders"),
+        F.sum(F.when(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"), cents))
+        .cast("long")
+        .alias("recent_cents"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_orderstatus") == "O", cents)), F.lit(0)
+        )
+        .cast("long")
+        .alias("open_cents"),
+    )

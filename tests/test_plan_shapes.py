@@ -395,3 +395,25 @@ def test_global_shuffle_single_exchange_no_global_sort(spark):
     assert "rangepartitioning" not in plan, plan
     # the scan must prune to doc_id only
     assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
+
+
+def test_match_recognize_no_cartesian_single_user_shuffle(spark):
+    # e13: runs compress events; adjacent-run matching must be a keyed
+    # join (user_id, match_id), never a cartesian
+    plan = plan_of(spark, "e13_match_recognize")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_multi_table_insert_routes_in_one_scan(spark):
+    # m10 audit plan: three branch reads, no join back to the source —
+    # the routing itself happened in ONE write job at build time
+    plan = plan_of(spark, "m10_multi_table_insert")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mmr_joins_stay_keyed(spark):
+    # v14: the only BNLJ is the broadcast query block (v1 shape); the
+    # k-step loop's rem/red/pick joins must all be keyed
+    plan = plan_of(spark, "v14_mmr_rerank")
+    assert "CartesianProduct" not in plan, plan
