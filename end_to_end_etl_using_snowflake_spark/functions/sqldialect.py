@@ -107,3 +107,71 @@ def rewrite_qualify(sql: str) -> str:
         ") WHERE __qualify"
         + (f" {tail}" if tail else "")
     )
+
+
+def _balanced_span(sql: str, open_idx: int) -> int:
+    """Index just past the ')' matching the '(' at ``open_idx``
+    (string-literal aware)."""
+    depth = 0
+    i = open_idx
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        elif c == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 1
+        i += 1
+    raise ValueError("unbalanced parentheses in FLATTEN call")
+
+
+_FLATTEN_HEAD = re.compile(r",?\s*LATERAL\s+FLATTEN\s*\(", re.IGNORECASE)
+_FLATTEN_ALIAS = re.compile(r"\s*(?:AS\s+)?([A-Za-z_][A-Za-z_0-9]*)")
+
+
+def rewrite_flatten(sql: str) -> str:
+    """Lower Snowflake ``[,] LATERAL FLATTEN(input => <array expr>) f``
+    to Spark's ``LATERAL VIEW posexplode(<expr>) f AS index, value``.
+
+    The lowered alias exposes the two FLATTEN output columns this
+    surface supports — ``f.index`` (0-based position, matching
+    Snowflake) and ``f.value`` — which is the portion of FLATTEN's
+    (SEQ, KEY, PATH, INDEX, VALUE, THIS) row the array-input form
+    meaningfully populates. OBJECT-input flattening (KEY/PATH) and
+    OUTER/RECURSIVE modes raise rather than mistranslate. Every
+    occurrence is rewritten; the comma Snowflake places before LATERAL
+    is dropped (Spark's LATERAL VIEW is clause syntax, not a join
+    item).
+    """
+    out = sql
+    while True:
+        m = _FLATTEN_HEAD.search(out)
+        if m is None:
+            return out
+        open_idx = out.index("(", m.start() + out[m.start():m.end()].upper().find("FLATTEN"))
+        close = _balanced_span(out, open_idx)
+        inner = out[open_idx + 1:close - 1].strip()
+        low = inner.lower()
+        if "outer" in low.split("=>")[0] or low.startswith("outer"):
+            raise ValueError("FLATTEN OUTER mode is not supported by this shim")
+        if "recursive" in low:
+            raise ValueError("FLATTEN RECURSIVE mode is not supported by this shim")
+        if not low.startswith("input"):
+            raise ValueError("FLATTEN requires the input => <expr> form")
+        arrow = inner.index("=>")
+        expr = inner[arrow + 2:].strip()
+        am = _FLATTEN_ALIAS.match(out, close)
+        if am is None or am.group(1).upper() in {
+            "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "QUALIFY",
+            "JOIN", "LEFT", "RIGHT", "INNER", "CROSS", "ON", "UNION",
+        }:
+            raise ValueError("FLATTEN requires a table alias")
+        alias = am.group(1)
+        replacement = f" LATERAL VIEW posexplode({expr}) {alias} AS index, value"
+        out = out[:m.start()] + replacement + out[am.end():]

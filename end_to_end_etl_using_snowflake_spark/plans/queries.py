@@ -4750,3 +4750,149 @@ def a8_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("open_cents"),
     )
+
+
+_SQL6_SNOWFLAKE_TEXT = """
+SELECT d.doc_id, f.index AS word_pos, f.value AS word
+FROM documents d, LATERAL FLATTEN(input => split(d.text, ' ')) f
+WHERE d.doc_id % 25 = 0 AND f.index < 8
+"""
+
+
+@register(
+    "sql6_flatten_dialect",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(g.i AS BIGINT) AS word_pos,
+           string_split(d.text, ' ')[g.i + 1] AS word
+    FROM documents d,
+         UNNEST(generate_series(0, len(string_split(d.text, ' ')) - 1)) AS g(i)
+    WHERE d.doc_id % 25 = 0 AND g.i < 8
+    """,
+    doc="""Snowflake ``LATERAL FLATTEN(input => ...)`` accepted
+    VERBATIM (the second dialect shim after sql5's QUALIFY): the
+    reference idiom for exploding semi-structured/array values lowers
+    textually to Spark's ``LATERAL VIEW posexplode`` with the
+    (index, value) output columns FLATTEN's array form populates —
+    0-based index matching Snowflake; OBJECT/OUTER/RECURSIVE modes
+    raise rather than mistranslate
+    (functions/sqldialect.py:rewrite_flatten). A generator is a
+    narrow per-row expansion — no shuffle, no join; the oracle states
+    the same rows relationally. Split-by-raw-space (not the
+    normalized tokenizer) keeps this a pure dialect surface.""",
+    tags=("sql-surface", "dialect", "flatten"),
+)
+def sql6_flatten_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import rewrite_flatten
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrite_flatten(_SQL6_SNOWFLAKE_TEXT)).select(
+        "doc_id", F.col("word_pos").cast("long").alias("word_pos"), "word"
+    )
+
+
+_CLUSTERING_LAYOUTS = (
+    # (layout name, deterministic md5/closed-form bucket expr — Spark, DuckDB)
+    (
+        "clustered_by_date",
+        "CAST(datediff(o_orderdate, TIMESTAMP '1995-01-01') div 300 AS BIGINT)",
+        "date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) // 300",
+    ),
+    (
+        "random_layout",
+        "CAST(conv(substring(md5(concat('clus:', CAST(o_orderkey AS STRING))), 1, 15), 16, 10) AS BIGINT) % 8",
+        "CAST(concat('0x', substring(md5(concat('clus:', CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) % 8",
+    ),
+)
+
+
+def _clustering_info_oracle() -> str:
+    parts = []
+    for name, _, duck in _CLUSTERING_LAYOUTS:
+        parts.append(f"""
+    SELECT '{name}' AS layout, n_partitions, sum_overlaps,
+           CAST(sum_overlaps AS DOUBLE) / CAST(n_partitions AS DOUBLE)
+               AS avg_overlaps
+    FROM (
+        SELECT CAST(count(*) AS BIGINT) AS n_partitions,
+               CAST(sum(o) AS BIGINT) AS sum_overlaps
+        FROM (
+            SELECT a.bucket,
+                   count(*) FILTER (WHERE b.bucket != a.bucket
+                                      AND a.lo <= b.hi AND a.hi >= b.lo) AS o
+            FROM (SELECT {duck} AS bucket, min(o_orderdate) AS lo,
+                         max(o_orderdate) AS hi
+                  FROM orders GROUP BY 1) a
+            CROSS JOIN (SELECT {duck} AS bucket, min(o_orderdate) AS lo,
+                               max(o_orderdate) AS hi
+                        FROM orders GROUP BY 1) b
+            GROUP BY a.bucket
+        )
+    )""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "pl_clustering_info",
+    oracle=_clustering_info_oracle(),
+    doc="""Clustering-quality metrics (the Snowflake
+    SYSTEM$CLUSTERING_INFORMATION surface: average_overlaps tells you
+    whether a clustering key actually prunes): orders is materialized
+    under TWO layouts — date-bucketed (the layout z1/zonemap pruning
+    wants) and md5-random (the ingest-order anti-pattern) — each
+    written partition-per-bucket; the per-partition [min, max] date
+    ranges come from the zone-map manifest of the REAL written files
+    (operators/zonemap.py), and the metric counts pairwise range
+    overlaps (a date predicate on the random layout hits every file,
+    avg_overlaps = n-1; on the clustered layout, ~0 — the number IS
+    the pruning factor a 100 TB scan gains). Buckets are md5/closed-
+    form so the oracle recomputes the identical metrics straight from
+    the rows; a green row proves the written layout's zone ranges
+    match the closed form exactly.""",
+    tags=("pipeline", "clustering", "layout", "zonemap"),
+)
+def pl_clustering_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.zonemap import build_zone_map
+
+    base = scratch_dir("clusinfo_")
+    orders = load(spark, sf_dir, "orders")
+    out = None
+    for name, spark_bucket, _ in _CLUSTERING_LAYOUTS:
+        path = f"{base}/{name}"
+        (
+            orders.withColumn("__bucket", F.expr(spark_bucket))
+            .repartition(F.col("__bucket"))
+            .write.partitionBy("__bucket")
+            .parquet(path)
+        )
+        manifest = build_zone_map(spark, path, ["o_orderdate"]).select(
+            "file",
+            F.col("min_o_orderdate").alias("lo"),
+            F.col("max_o_orderdate").alias("hi"),
+        )
+        a = manifest.select(
+            F.col("file").alias("a_f"), F.col("lo").alias("a_lo"), F.col("hi").alias("a_hi")
+        )
+        b = manifest.select(
+            F.col("file").alias("b_f"), F.col("lo").alias("b_lo"), F.col("hi").alias("b_hi")
+        )
+        pairs = a.crossJoin(b)  # n_partitions^2 metadata rows — tiny at any SF
+        agg = pairs.agg(
+            F.count_if(
+                (F.col("a_f") != F.col("b_f"))
+                & (F.col("a_lo") <= F.col("b_hi"))
+                & (F.col("a_hi") >= F.col("b_lo"))
+            ).cast("long").alias("sum_overlaps_raw"),
+        )
+        n_parts = manifest.count()
+        row = agg.select(
+            F.lit(name).alias("layout"),
+            F.lit(n_parts).cast("long").alias("n_partitions"),
+            F.col("sum_overlaps_raw").alias("sum_overlaps"),
+            (
+                F.col("sum_overlaps_raw").cast("double") / F.lit(float(n_parts))
+            ).alias("avg_overlaps"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

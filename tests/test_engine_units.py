@@ -790,3 +790,30 @@ def test_result_cache_hit_miss_snapshot(spark, tmp_path):
     assert cache.misses == 2  # different plan
     cache.get_or_compute(q(), snapshot="s2")
     assert cache.misses == 3  # data-change invalidation
+
+
+def test_flatten_rewriter_edges():
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_flatten,
+    )
+
+    # no FLATTEN -> unchanged
+    assert rewrite_flatten("SELECT a FROM t") == "SELECT a FROM t"
+    # comma form lowers, AS-alias accepted, nested parens respected
+    out = rewrite_flatten(
+        "SELECT f.value FROM t, LATERAL FLATTEN(input => split(x, ',')) AS f"
+    )
+    assert "LATERAL VIEW posexplode(split(x, ',')) f AS index, value" in out
+    assert ", LATERAL" not in out
+    # unsupported modes refuse loudly
+    with _pytest.raises(ValueError, match="RECURSIVE"):
+        rewrite_flatten(
+            "SELECT 1 FROM t, LATERAL FLATTEN(input => a, recursive => true) f"
+        )
+    with _pytest.raises(ValueError, match="input =>"):
+        rewrite_flatten("SELECT 1 FROM t, LATERAL FLATTEN(a) f")
+    # missing alias refuses instead of swallowing the next keyword
+    with _pytest.raises(ValueError, match="alias"):
+        rewrite_flatten("SELECT 1 FROM t, LATERAL FLATTEN(input => a) WHERE b = 1")
