@@ -648,3 +648,64 @@ def fuzzy_name_pairs(
         .filter(F.col("dist") <= F.lit(max_dist))
         .select("n1", "n2", "dist")
     )
+
+
+def linear_quality_classifier(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_features: int = 4096,
+    weight_scale: int = 1000,
+) -> DataFrame:
+    """fastText-style linear quality classifier scoring — the learned
+    quality filter step of CCNet/LLaMA-class data pipelines (a linear
+    model over hashed bag-of-words features), expressed as the
+    inference pattern that scales: the MODEL IS A BROADCAST TABLE.
+
+    Features: normalized unigrams hashed into ``n_features`` buckets
+    (the fastText hashing trick). Weights: one (feature_id, weight)
+    row per bucket, broadcast-joined to the exploded token stream —
+    at 100 TB the corpus side streams through one broadcast hash join
+    and one per-doc aggregate; swapping in REAL trained weights is a
+    table swap, not a plan change. This stand-in weight table is a
+    deterministic md5 function of the feature id (integer weights in
+    [-weight_scale, weight_scale]), so scores are bit-reproducible and
+    oracle-checkable end to end; ``logit`` is one final IEEE division
+    of exact integers.
+
+    Returns (id, n_tokens, score_sum, logit, keep).
+    """
+    from .sketches import md5_hash64
+
+    spark = docs.sparkSession
+    weights = spark.range(n_features).select(
+        F.col("id").alias("fid"),
+        (md5_hash64(F.col("id"), salt="w") % (2 * weight_scale + 1) - weight_scale)
+        .cast("long")
+        .alias("wt"),
+    )
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(TXT.tokens(F.col(text_col))).alias("tok"),
+    ).filter(F.length("tok") >= 1)
+    feats = toks.select(
+        "id", (TXT.char_fold_hash(F.col("tok")) % n_features).alias("fid")
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "fid")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("wt").cast("long").alias("score_sum"),
+        )
+    )
+    return scored.select(
+        "id",
+        "n_tokens",
+        "score_sum",
+        (
+            F.col("score_sum").cast("double")
+            / (F.lit(float(weight_scale)) * F.col("n_tokens").cast("double"))
+        ).alias("logit"),
+        (F.col("score_sum") > 0).alias("keep"),
+    )

@@ -166,3 +166,20 @@ class Warehouse:
             rows,
             "schema string, table string, consumer string, offset long, version long",
         )
+
+    def show_columns(self) -> DataFrame:
+        """SHOW COLUMNS / INFORMATION_SCHEMA.COLUMNS: every registered
+        table's typed DDL as rows — the introspection surface BI tools
+        and migration scripts read. Pure catalog metadata (the
+        in-memory structs the S5 typed DDL declared), no file I/O."""
+        rows = []
+        for (s, n), t in sorted(self._tables.items()):
+            for i, f in enumerate(t.schema.fields):
+                rows.append(
+                    (s, n, i + 1, f.name, f.dataType.simpleString(), f.nullable)
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "schema_name string, table_name string, ordinal long, "
+            "column_name string, data_type string, nullable boolean",
+        )

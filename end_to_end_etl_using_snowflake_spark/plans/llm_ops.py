@@ -2660,3 +2660,58 @@ def v14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         lam=0.5,
     )
+
+
+def _t13_oracle(n_features: int = 4096, weight_scale: int = 1000) -> str:
+    from ..operators.sketches import sql_md5_hash64
+
+    h = sql_md5_hash64("i", salt="w")
+    fold = SQL_CHARFOLD.format(x="tok")
+    return f"""
+    WITH w AS (
+        SELECT i AS fid,
+               ({h}) % {2 * weight_scale + 1} - {weight_scale} AS wt
+        FROM (SELECT unnest(range({n_features})) AS i)
+    ),
+    toks AS (
+        SELECT doc_id AS id, unnest({SQL_TOKENS.format(x='text')}) AS tok
+        FROM documents
+    ),
+    f AS (
+        SELECT id, ({fold}) % {n_features} AS fid
+        FROM toks WHERE length(tok) >= 1
+    ),
+    s AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(wt) AS BIGINT) AS score_sum
+        FROM f JOIN w USING (fid) GROUP BY id
+    )
+    SELECT id, n_tokens, score_sum,
+           CAST(score_sum AS DOUBLE) / ({weight_scale}.0 * CAST(n_tokens AS DOUBLE))
+               AS logit,
+           score_sum > 0 AS keep
+    FROM s
+    """
+
+
+@register(
+    "t13_quality_classifier",
+    oracle=_t13_oracle(),
+    doc="""fastText-style LINEAR quality classifier scoring — the
+    learned quality-filter step of CCNet/LLaMA-class pipelines (t2 is
+    the heuristic filter; this is the model-based one). The model is
+    a BROADCAST (feature_id, weight) table over hashed unigram
+    features (the fastText hashing trick, 4096 buckets): the corpus
+    streams through one broadcast hash join + one per-doc aggregate,
+    so swapping in really-trained weights is a table swap, not a plan
+    change — the inference pattern that scales to 100 TB. The
+    stand-in weights are a deterministic md5 function of the feature
+    id (exact integers), making every score bit-reproducible; logit
+    is one final IEEE division.
+    operators/analysis.py:linear_quality_classifier.""",
+    tags=("text", "quality", "classifier", "llm-pipeline"),
+)
+def t13_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.linear_quality_classifier(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )

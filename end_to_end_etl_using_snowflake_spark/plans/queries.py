@@ -4896,3 +4896,66 @@ def pl_clustering_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def _show_columns_oracle() -> str:
+    """The oracle restates the reference's typed DDL as VALUES —
+    derived from the same struct constants the warehouse registers
+    (sources/csv_format.py, which cite the CREATE TABLE statements in
+    /root/reference/etl_script line by line), so a green row pins the
+    catalog's name/ordinal/type/nullability rendering against the
+    declared DDL."""
+    from ..sources import csv_format as CF
+
+    tables = [
+        ("stg", "stg_customer", CF.CUSTOMER_STAGE),
+        ("stg", "stg_item", CF.ITEM_STAGE),
+        ("stg", "stg_order", CF.ORDER_STAGE),
+        ("transformed", "dim_customer", CF.DIM_CUSTOMER),
+        ("transformed", "dim_item", CF.DIM_ITEM),
+        ("transformed", "fact_order", CF.FACT_ORDER),
+    ]
+    rows = []
+    for schema, name, struct in tables:
+        for i, f in enumerate(struct.fields):
+            nullable = "true" if f.nullable else "false"
+            rows.append(
+                f"('{schema}', '{name}', {i + 1}, '{f.name}', "
+                f"'{f.dataType.simpleString()}', {nullable})"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(schema_name, table_name, ordinal, column_name, data_type, nullable)"
+    )
+
+
+@register(
+    "pl_show_columns",
+    oracle=_show_columns_oracle(),
+    doc="""SHOW COLUMNS / INFORMATION_SCHEMA.COLUMNS (the S7
+    introspection family's missing member next to show
+    tables/streams/pipes): the reference's six warehouse tables —
+    schema-on-read varchar stage tables and the fully-typed
+    dim/fact DDL (customer-...sql:31-45, item-...sql:25-37,
+    order-...sql:48-61, typo'd `disount_amt` preserved) — registered
+    in a Warehouse and emitted as catalog rows
+    (schema, table, ordinal, name, type, nullability). Pure metadata:
+    no file I/O at any table size. The golden oracle restates the
+    same DDL as VALUES, pinning the type-name rendering
+    (number->bigint/int, number(p,2)->decimal(p,2), autoincrement->
+    bigint identity). plans/catalog.py:Warehouse.show_columns.""",
+    tags=("pipeline", "catalog", "introspection"),
+)
+def pl_show_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import csv_format as CF
+    from .catalog import Warehouse
+
+    wh = Warehouse(spark, scratch_dir("showcols_"))
+    wh.table("stg", "stg_customer", CF.CUSTOMER_STAGE)
+    wh.table("stg", "stg_item", CF.ITEM_STAGE)
+    wh.table("stg", "stg_order", CF.ORDER_STAGE)
+    wh.table("transformed", "dim_customer", CF.DIM_CUSTOMER)
+    wh.table("transformed", "dim_item", CF.DIM_ITEM)
+    wh.table("transformed", "fact_order", CF.FACT_ORDER)
+    return wh.show_columns()
