@@ -75,3 +75,33 @@ def pruned_read(
     if not files:
         return spark.createDataFrame([], schema), 0, total
     return spark.read.schema(schema).parquet(*files), len(files), total
+
+
+def update_zone_map(
+    spark: SparkSession, table_path: str, manifest: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Incremental manifest maintenance on append: scan ONLY files not
+    yet in the manifest (set difference on the file list — metadata),
+    aggregate their min/max, and union with the existing entries.
+    Appends are the common mutation at 100 TB; rebuilding the manifest
+    would rescan the table, while this touches exactly the new files.
+    Overwrite/truncate swap the whole directory, so their path is a
+    full rebuild — caller drops the manifest then.
+    """
+    all_files = spark.read.parquet(table_path).select(
+        F.input_file_name().alias("file")
+    ).distinct()
+    new_files = all_files.join(manifest.select("file"), "file", "left_anti")
+    paths = [r["file"] for r in new_files.collect()]  # O(files) metadata
+    if not paths:
+        return manifest
+    df = spark.read.parquet(*paths)
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    fresh = (
+        df.select(F.input_file_name().alias("file"), *cols)
+        .groupBy("file")
+        .agg(*aggs)
+    )
+    return manifest.unionByName(fresh)

@@ -817,3 +817,34 @@ def test_flatten_rewriter_edges():
     # missing alias refuses instead of swallowing the next keyword
     with _pytest.raises(ValueError, match="alias"):
         rewrite_flatten("SELECT 1 FROM t, LATERAL FLATTEN(input => a) WHERE b = 1")
+
+
+def test_zone_map_incremental_update_equals_rebuild(spark, tmp_path):
+    """Appending files and incrementally updating the manifest must
+    yield exactly the full-rebuild manifest; a no-op update returns
+    the manifest unchanged."""
+    import datetime
+
+    from end_to_end_etl_using_snowflake_spark.operators.zonemap import (
+        build_zone_map,
+        update_zone_map,
+    )
+
+    t0 = datetime.datetime(2021, 1, 1)
+    path = str(tmp_path / "t")
+    mk = lambda lo, n: spark.createDataFrame(
+        [(i, t0 + datetime.timedelta(days=lo + i)) for i in range(n)],
+        "id long, ts timestamp",
+    )
+    mk(0, 50).coalesce(2).write.parquet(path)
+    manifest = build_zone_map(spark, path, ["ts"]).localCheckpoint()
+    # no new files -> unchanged object
+    assert update_zone_map(spark, path, manifest, ["ts"]) is manifest
+    mk(100, 30).coalesce(1).write.mode("append").parquet(path)
+    updated = update_zone_map(spark, path, manifest, ["ts"])
+    rebuilt = build_zone_map(spark, path, ["ts"])
+    key = lambda df: sorted(
+        (r["file"], r["min_ts"], r["max_ts"]) for r in df.collect()
+    )
+    assert key(updated) == key(rebuilt)
+    assert len(key(updated)) == 3  # 2 original + 1 appended file
