@@ -2715,3 +2715,77 @@ def t13_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.linear_quality_classifier(
         load(spark, sf_dir, "documents"), "doc_id", "text"
     )
+
+
+def _dq4_oracle(num_hashes: int = 32, band_rows: int = 2, threshold: float = 0.6) -> str:
+    from ..operators.sketches import sql_md5_hash64
+
+    h = sql_md5_hash64("CAST(k AS VARCHAR) || '|' || shingle")
+    return f"""
+    WITH {SQL_SHINGLE_SETS},
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT id_a, id_b,
+               common::DOUBLE / (sa.n_sh + sb.n_sh - common)::DOUBLE AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+    ),
+    truth AS (SELECT id_a, id_b FROM exact WHERE jaccard >= {threshold}),
+    hashed AS (
+        SELECT sh.id, g.k, ({h}) AS hv
+        FROM sh, (SELECT unnest(range({num_hashes})) AS k) g
+    ),
+    sig AS (SELECT id, k, min(hv) AS mh FROM hashed GROUP BY id, k),
+    banded AS (
+        SELECT id, CAST(k // {band_rows} AS BIGINT) AS band,
+               string_agg(CAST(k AS VARCHAR) || ':' || CAST(mh AS VARCHAR), '|'
+                          ORDER BY CAST(k AS VARCHAR) || ':' || CAST(mh AS VARCHAR))
+                   AS band_key
+        FROM sig GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.band_key = y.band_key AND x.id < y.id
+    ),
+    hit AS (SELECT c.* FROM cand c
+            WHERE EXISTS (SELECT 1 FROM truth t
+                          WHERE t.id_a = c.id_a AND t.id_b = c.id_b))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+           (SELECT count(*) FROM hit)::DOUBLE
+               / (SELECT count(*) FROM truth)::DOUBLE AS recall,
+           (SELECT count(*) FROM cand)::DOUBLE
+               / (SELECT count(*) FROM truth)::DOUBLE AS cand_per_true
+    """
+
+
+@register(
+    "dq4_minhash_recall_eval",
+    oracle=_dq4_oracle(),
+    doc="""MinHash-banding index-quality evaluation — the dedup twin
+    of v13's ANN recall eval: ONE plan measures the banding scheme's
+    candidate RECALL at the production threshold (pairs the bands
+    miss can never be verified back — the (1-J^r)^b miss probability
+    as a measured number, not a claim) and its candidate EFFICIENCY
+    (candidate pairs per true pair = the verifier's workload factor).
+    Signatures are md5-derived (portable) rather than d3's xxhash64
+    (engine-local) precisely so the oracle replays the banding ITSELF
+    — an index evaluation is only trustworthy if the index under test
+    is reproducible. The exhaustive ground truth is the deliberately
+    quadratic verify primitive; at 100 TB the eval runs on a sample,
+    exactly as v13 prescribes for ANN.
+    operators/dedup.py:minhash_recall_eval.""",
+    tags=("dedup", "evaluation", "lsh", "quality"),
+)
+def dq4_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_recall_eval(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3,
+        num_hashes=32, band_rows=2, threshold=0.6,
+    )

@@ -196,3 +196,62 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         .collect()
     }
     assert final == expect
+
+
+def test_sessionize_stream_on_rocksdb_state_store(spark, tmp_path):
+    """The e3 stateful sessionizer on the PRODUCTION state store
+    (RocksDB): at 100 TB state sizes the default HDFS-backed in-memory
+    map provider OOMs executors, so the engine must run (and restart
+    from checkpoint) on RocksDB. Same availableNow drain, same
+    output — only the provider differs."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_using_snowflake_spark.streaming.stateful import (
+        OUTPUT_SCHEMA,
+        sessionize_stream,
+    )
+
+    rows = []
+    for u in range(3):
+        base = 1_600_000_000 + u * 100_000
+        for i in range(6):
+            # two sessions per user: 3 events 10 s apart, 1 h gap, 3 more
+            rows.append((u, u * 10 + i, base + (i % 3) * 10 + (i // 3) * 3600))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts long").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    in_dir = str(tmp_path / "in")
+    df.write.parquet(in_dir)
+    stream = spark.readStream.schema(
+        "user_id bigint, event_id bigint, ts timestamp"
+    ).parquet(in_dir)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        q = (
+            sessionize_stream(stream, gap_seconds=1800.0)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    out = spark.read.schema(OUTPUT_SCHEMA).parquet(str(tmp_path / "out"))
+    got = {
+        (r["user_id"], r["event_id"]): r["session_id"] for r in out.collect()
+    }
+    assert len(got) == 18
+    for u in range(3):
+        # first 3 events -> session 1, last 3 -> session 2, per user
+        assert {got[(u, u * 10 + i)] for i in range(3)} == {1}
+        assert {got[(u, u * 10 + i)] for i in range(3, 6)} == {2}
