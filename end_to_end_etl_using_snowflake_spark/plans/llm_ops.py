@@ -2789,3 +2789,66 @@ def dq4_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), "doc_id", "text", n=3,
         num_hashes=32, band_rows=2, threshold=0.6,
     )
+
+
+@register(
+    "x23_length_bucketing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, len({SQL_TOKENS.format(x='text')}) AS n_tokens
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, n_tokens,
+               greatest(16, power(2, ceil(log2(greatest(n_tokens, 1))))::BIGINT)
+                   AS bucket
+        FROM toks
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(bucket * count(*) AS BIGINT) AS capacity,
+           1.0 - CAST(sum(n_tokens) AS DOUBLE)
+               / CAST(bucket * count(*) AS DOUBLE) AS padding_frac
+    FROM b GROUP BY bucket
+    """,
+    doc="""Sequence-length bucketing analysis — the batching-efficiency
+    planner for training/inference: assign each document to the next
+    power-of-two length bucket (floor 16) and report per-bucket doc
+    count, real token mass, padded capacity, and padding fraction —
+    the number that decides between naive batching (pad everything to
+    max, waste = this table's worst row) and x7's token-budget packing
+    (waste ~0 at the cost of a packing pass). Integer arithmetic to
+    one final division; power-of-two bucket edges are exact in both
+    engines (log2/ceil/power on small ints are correctly-rounded).
+    One aggregate pass, bucket cardinality ~log(max_len) — trivially
+    100 TB-safe.""",
+    tags=("llm-pipeline", "batching", "analysis"),
+)
+def x23_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TXT
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.size(TXT.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    b = toks.withColumn(
+        "bucket",
+        F.greatest(
+            F.lit(16).cast("long"),
+            F.pow(
+                F.lit(2.0),
+                F.ceil(F.log2(F.greatest(F.col("n_tokens"), F.lit(1)))),
+            ).cast("long"),
+        ),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        (F.col("bucket") * F.count(F.lit(1))).cast("long").alias("capacity"),
+        (
+            F.lit(1.0)
+            - F.sum("n_tokens").cast("double")
+            / (F.col("bucket") * F.count(F.lit(1))).cast("double")
+        ).alias("padding_frac"),
+    )
