@@ -80,3 +80,101 @@ def asof_join(
     if how == "inner":
         out = out.filter(F.col(payload_cols[0]).isNotNull())
     return out
+
+
+def asof_join_directional(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Directional as-of join with match tolerance — the full
+    ``merge_asof`` / Snowflake ``ASOF JOIN MATCH_CONDITION`` surface
+    over :func:`asof_join`'s basic backward form:
+
+    - ``backward``: greatest right ts <= left ts (inclusive),
+    - ``forward``: smallest right ts >= left ts (inclusive),
+    - ``nearest``: whichever of the two is closer; ties go backward
+      (pandas' contract),
+    - ``tolerance_seconds``: a match farther than this nulls out (the
+      "feature snapshot too stale to use" guard).
+
+    Same scalable shape as the base operator — ONE union + ONE
+    hash-exchange by key; backward and forward are two window frames
+    over the same partitioning (a second sort, never a second
+    shuffle), so ``nearest`` costs one extra sort, not a join.
+    Emits left columns + ``matched_ts`` + payloads.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    on = list(on)
+    lcols = left.columns
+    l = left.withColumn(SIDE_COL, F.lit(1))
+    for c in payload_cols:
+        l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r = right.select(*on, ts_col, *payload_cols).withColumn(SIDE_COL, F.lit(0))
+    for c in lcols:
+        if c not in on and c != ts_col and c not in payload_cols:
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = l.unionByName(r.select(*l.columns)).withColumn(
+        "__rts", F.when(F.col(SIDE_COL) == 0, F.col(ts_col))
+    )
+    # backward: right rows sort BEFORE left at equal ts -> inclusive <=
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col(SIDE_COL).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # forward: right rows sort AFTER left at equal ts -> inclusive >=
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col(SIDE_COL).desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    proj = [*lcols, SIDE_COL,
+            F.last("__rts", ignorenulls=True).over(wb).alias("__b_ts"),
+            F.first("__rts", ignorenulls=True).over(wf).alias("__f_ts")]
+    for c in payload_cols:
+        rv = F.when(F.col(SIDE_COL) == 0, F.col(c))
+        proj += [
+            F.last(rv, ignorenulls=True).over(wb).alias(f"__b_{c}"),
+            F.first(rv, ignorenulls=True).over(wf).alias(f"__f_{c}"),
+        ]
+    carried = unioned.select(*proj).filter(F.col(SIDE_COL) == 1)
+
+    gap_b = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__b_ts"))
+    gap_f = F.unix_micros(F.col("__f_ts")) - F.unix_micros(F.col(ts_col))
+    if direction == "backward":
+        use_b = F.lit(True)  # never fall through to the forward candidate
+        sel_ts = F.col("__b_ts")
+    elif direction == "forward":
+        use_b = F.lit(False)
+        sel_ts = F.col("__f_ts")
+    else:  # nearest: closer side wins; tie -> backward
+        use_b = F.col("__b_ts").isNotNull() & (
+            F.col("__f_ts").isNull() | (gap_b <= gap_f)
+        )
+        sel_ts = F.when(use_b, F.col("__b_ts")).otherwise(F.col("__f_ts"))
+    in_tol = (
+        F.lit(True)
+        if tolerance_seconds is None
+        else F.abs(F.unix_micros(F.col(ts_col)) - F.unix_micros(sel_ts))
+        <= F.lit(int(tolerance_seconds * 1_000_000))
+    )
+    keep = sel_ts.isNotNull() & in_tol
+    out_cols = [c for c in lcols if c not in payload_cols]
+    sel = [
+        *out_cols,
+        F.when(keep, sel_ts).alias("matched_ts"),
+        *[
+            F.when(
+                keep,
+                F.when(use_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")),
+            ).alias(c)
+            for c in payload_cols
+        ],
+    ]
+    return carried.select(*sel)

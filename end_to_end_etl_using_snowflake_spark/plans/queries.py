@@ -4959,3 +4959,126 @@ def pl_show_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh.table("transformed", "dim_item", CF.DIM_ITEM)
     wh.table("transformed", "fact_order", CF.FACT_ORDER)
     return wh.show_columns()
+
+
+def _x24_oracle() -> str:
+    base = """
+    WITH v AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    ),
+    c0 AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'click'
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, ts ORDER BY event_id DESC
+        ) = 1
+    ),
+    m AS (
+        SELECT v.user_id, v.event_id, v.ts,
+               b.ts AS b_ts, b.cents AS b_cents,
+               f.ts AS f_ts, f.cents AS f_cents
+        FROM v
+        LEFT JOIN LATERAL (
+            SELECT ts, cents FROM c0
+            WHERE c0.user_id = v.user_id AND c0.ts <= v.ts
+            ORDER BY ts DESC LIMIT 1
+        ) b ON true
+        LEFT JOIN LATERAL (
+            SELECT ts, cents FROM c0
+            WHERE c0.user_id = v.user_id AND c0.ts >= v.ts
+            ORDER BY ts ASC LIMIT 1
+        ) f ON true
+    )
+    """
+    tol = 600 * 1_000_000
+    picks = {
+        "backward": ("b_ts", "b_cents"),
+        "forward": ("f_ts", "f_cents"),
+    }
+    sels = []
+    for d, (t, p) in picks.items():
+        sels.append(f"""
+        SELECT '{d}' AS direction, user_id, event_id, ts,
+               CASE WHEN {t} IS NOT NULL
+                     AND abs(epoch_us(ts) - epoch_us({t})) <= {tol}
+                    THEN {t} END AS matched_ts,
+               CASE WHEN {t} IS NOT NULL
+                     AND abs(epoch_us(ts) - epoch_us({t})) <= {tol}
+                    THEN {p} END AS cents
+        FROM m""")
+    sels.append(f"""
+        SELECT 'nearest' AS direction, user_id, event_id, ts,
+               CASE WHEN sel_ts IS NOT NULL
+                     AND abs(epoch_us(ts) - epoch_us(sel_ts)) <= {tol}
+                    THEN sel_ts END AS matched_ts,
+               CASE WHEN sel_ts IS NOT NULL
+                     AND abs(epoch_us(ts) - epoch_us(sel_ts)) <= {tol}
+                    THEN sel_c END AS cents
+        FROM (
+            SELECT *,
+                   CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(b_ts)
+                           <= epoch_us(f_ts) - epoch_us(ts))
+                        THEN b_ts ELSE f_ts END AS sel_ts,
+                   CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(b_ts)
+                           <= epoch_us(f_ts) - epoch_us(ts))
+                        THEN b_cents ELSE f_cents END AS sel_c
+            FROM m
+        )""")
+    return base + " UNION ALL ".join(sels)
+
+
+@register(
+    "x24_asof_directional",
+    oracle=_x24_oracle(),
+    doc="""Directional as-of join with tolerance — the full
+    pandas-`merge_asof` / Snowflake `ASOF JOIN MATCH_CONDITION`
+    surface x1's backward form doesn't cover: each view event joined
+    to its user's nearest click BACKWARD, FORWARD, and NEAREST
+    (ties backward, pandas' contract), all within a 600 s tolerance
+    (stale matches null out). Same scalable shape as x1: one union +
+    ONE hash exchange per direction; backward and forward are two
+    window FRAMES over the same key partitioning, so `nearest` costs
+    an extra sort, never a join or row multiplication. Clicks are
+    deduped per (user, ts) first (the determinism contract DuckDB's
+    ASOF shares). operators/asof.py:asof_join_directional.""",
+    tags=("join", "asof", "timeseries"),
+)
+def x24_asof_directional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_directional
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", "cents")
+    )
+    out = None
+    for d in ("backward", "forward", "nearest"):
+        part = asof_join_directional(
+            views,
+            clicks,
+            on=["user_id"],
+            ts_col="ts",
+            payload_cols=["cents"],
+            direction=d,
+            tolerance_seconds=600,
+        ).select(
+            F.lit(d).alias("direction"), "user_id", "event_id", "ts",
+            "matched_ts", "cents",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

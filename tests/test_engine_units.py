@@ -848,3 +848,46 @@ def test_zone_map_incremental_update_equals_rebuild(spark, tmp_path):
     )
     assert key(updated) == key(rebuilt)
     assert len(key(updated)) == 3  # 2 original + 1 appended file
+
+
+def test_asof_directional_semantics(spark):
+    """Constructed cases for every direction x tolerance branch: the
+    driver corpus has sparse matches, so the tie and tolerance edges
+    are pinned here. Left events at t=100 (both-sides), t=250
+    (tie-equidistant), t=400 (backward only), t=1000 (out of
+    tolerance both ways)."""
+    import datetime
+
+    from end_to_end_etl_using_snowflake_spark.operators.asof import (
+        asof_join_directional,
+    )
+
+    t = lambda s: datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(1, 1, t(100)), (1, 2, t(250)), (1, 3, t(400)), (1, 4, t(1000))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t(90), 90), (1, t(130), 130), (1, t(370), 370), (1, t(2000), 2000)],
+        "user_id long, ts timestamp, cents long",
+    )
+
+    def got(direction, tol=200):
+        rows = asof_join_directional(
+            left, right, ["user_id"], "ts", ["cents"],
+            direction=direction, tolerance_seconds=tol,
+        ).collect()
+        return {r["event_id"]: r["cents"] for r in rows}
+
+    # backward: greatest right <= left, never a future row
+    assert got("backward") == {1: 90, 2: 130, 3: 370, 4: None}
+    # forward: smallest right >= left; t=400's next click is 1600s away
+    assert got("forward") == {1: 130, 2: 370, 3: None, 4: None}
+    # nearest: t=100 -> 90 vs 130 equidistant-ish? gaps 10 vs 30 -> 90;
+    # t=250: gaps 120 (back to 130) vs 120 (fwd to 370) -> TIE -> backward
+    assert got("nearest") == {1: 90, 2: 130, 3: 370, 4: None}
+    # tolerance off: everything matches somewhere; t=1000's backward
+    # gap (630 s to 370) beats forward (1000 s to 2000)
+    assert got("nearest", tol=None) == {1: 90, 2: 130, 3: 370, 4: 370}
+    # forward with tolerance off picks the distant future click
+    assert got("forward", tol=None) == {1: 130, 2: 370, 3: 2000, 4: 2000}
