@@ -5082,3 +5082,95 @@ def x24_asof_directional(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@register(
+    "pl_quarantine",
+    oracle="""
+    SELECT 'loaded' AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer WHERE c_custkey % 97 != 0
+    UNION ALL
+    SELECT 'quarantined',
+           CAST(count(*) AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM customer WHERE c_custkey % 97 = 0
+    """,
+    doc="""COPY INTO ... ON_ERROR = CONTINUE with reject quarantine
+    (the Snowflake load-error discipline: bad rows must neither abort
+    the load NOR vanish — VALIDATE() shows them): a landed CSV batch
+    carries deliberately-corrupt balance cells on every 97th key; the
+    typed PERMISSIVE read surfaces failures in _corrupt_record, clean
+    rows load into the target table and rejects land in a quarantine
+    table WITH their raw source line (the debuggability contract).
+    The audit re-reads BOTH tables from disk, and the counts must
+    complement exactly — a silently-dropped or double-counted row
+    breaks the oracle. Per-row error capture is how a 100 TB load
+    survives the 0.001% of bad records every real feed contains.""",
+    tags=("pipeline", "ingest", "quarantine", "on-error"),
+)
+def pl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..operators.dml import ParquetTable
+
+    base = scratch_dir("quarantine_")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("bal_cents"),
+    )
+    # land the batch as CSV, corrupting bal_cents on every 97th key
+    landed = cust.select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 97 == 0, F.lit("XX"))
+        .otherwise(F.col("bal_cents").cast("string"))
+        .alias("bal_cents"),
+    )
+    landing = f"{base}/landing"
+    landed.write.option("header", True).csv(landing)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("bal_cents", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    # materialize the PERMISSIVE read once: Spark (correctly) refuses
+    # corrupt-record-only projections straight off the CSV scan, and a
+    # load step should read the landing files once anyway
+    staging = ParquetTable(spark, f"{base}/staging")
+    staging.overwrite(
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(landing)
+    )
+    raw = staging.read()
+    target = ParquetTable(spark, f"{base}/customer_bal")
+    target.overwrite(
+        raw.filter(F.col("_corrupt_record").isNull()).select(
+            "c_custkey", "c_name", "bal_cents"
+        )
+    )
+    rejects = ParquetTable(spark, f"{base}/customer_bal__rejects")
+    rejects.overwrite(
+        raw.filter(F.col("_corrupt_record").isNotNull()).select(
+            F.col("_corrupt_record").alias("raw_line")
+        )
+    )
+    loaded = target.read().agg(
+        F.lit("loaded").alias("status"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("bal_cents").cast("long").alias("bal_cents"),
+    )
+    quarantined = rejects.read().agg(
+        F.lit("quarantined").alias("status"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.lit(None).cast("long").alias("bal_cents"),
+    )
+    return loaded.unionByName(quarantined)
