@@ -891,3 +891,67 @@ def test_asof_directional_semantics(spark):
     assert got("nearest", tol=None) == {1: 90, 2: 130, 3: 370, 4: 370}
     # forward with tolerance off picks the distant future click
     assert got("forward", tol=None) == {1: 130, 2: 370, 3: 2000, 4: 2000}
+
+
+def test_asof_directional_matches_pandas_merge_asof(spark):
+    """Cross-engine validation against an INDEPENDENT reference
+    implementation: pandas.merge_asof on seeded random data, all three
+    directions, with and without tolerance. 300 left x 200 right rows
+    over 8 keys with deliberate ts collisions."""
+    import numpy as np
+    import pandas as pd
+
+    from end_to_end_etl_using_snowflake_spark.operators.asof import (
+        asof_join_directional,
+    )
+
+    rng = np.random.RandomState(42)
+    base = pd.Timestamp("2024-01-01")
+    lpd = pd.DataFrame(
+        {
+            "k": rng.randint(0, 8, 300).astype("int64"),
+            "event_id": np.arange(300).astype("int64"),
+            # second-resolution -> plenty of left/right ts collisions
+            "ts": base + pd.to_timedelta(rng.randint(0, 500, 300), unit="s"),
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "k": rng.randint(0, 8, 200).astype("int64"),
+            "ts": base + pd.to_timedelta(rng.randint(0, 500, 200), unit="s"),
+            "payload": np.arange(200).astype("int64") * 10,
+        }
+    )
+    # the operator's determinism contract: unique right (key, ts)
+    rpd = rpd.sort_values(["k", "ts", "payload"]).drop_duplicates(
+        ["k", "ts"], keep="last"
+    )
+    ldf = spark.createDataFrame(lpd)
+    rdf = spark.createDataFrame(rpd)
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 60):
+            got = (
+                asof_join_directional(
+                    ldf, rdf, ["k"], "ts", ["payload"],
+                    direction=direction, tolerance_seconds=tol,
+                )
+                .select("event_id", "payload")
+                .toPandas()
+                .set_index("event_id")["payload"]
+                .sort_index()
+            )
+            want = (
+                pd.merge_asof(
+                    lpd.sort_values("ts"),
+                    rpd.sort_values("ts"),
+                    on="ts",
+                    by="k",
+                    direction=direction,
+                    tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+                )
+                .set_index("event_id")["payload"]
+                .sort_index()
+            )
+            pd.testing.assert_series_equal(
+                got, want, check_dtype=False, obj=f"{direction}/tol={tol}"
+            )
