@@ -287,3 +287,120 @@ def multi_table_insert(
         n: ParquetTable(spark, os.path.join(base_path, f"__branch={n}"))
         for n in names
     }
+
+
+class MultiTableTransaction:
+    """Atomic multi-table commit on plain-parquet tables — the
+    Snowflake multi-statement transaction (``BEGIN ... COMMIT``)
+    semantic: either EVERY table shows its new state or NONE does,
+    even across a crash mid-commit.
+
+    Protocol (write-ahead intent + roll-forward):
+
+    1. stage: each table's post-state is written to ``<path>.__txn_<id>``
+       (full data write, crash here = garbage temps, tables untouched);
+    2. intent: ONE marker file ``<dir>/__txn_<id>.json`` listing every
+       (table, temp, old) rename — the commit point is this single
+       atomic file creation;
+    3. swap: each table's live dir renames away and the temp renames
+       in (pure metadata);
+    4. done: the marker is removed, old dirs deleted.
+
+    A crash BEFORE step 2 leaves only temps -> ``recover`` rolls BACK
+    (deletes temps; tables never changed). A crash AFTER step 2 (mid-
+    swap) -> ``recover`` rolls FORWARD (finishes the remaining renames
+    — each is idempotent: done if the temp is gone). Readers never see
+    a torn state across a recovery boundary because visibility flips
+    per the marker, exactly one table-rename at a time, and recovery
+    completes the flip before the warehouse serves queries again (the
+    reference relies on Snowflake's transaction manager for the same
+    guarantee).
+
+    At 100 TB the data writes are the same partition-level rewrites a
+    single-table commit pays; the added transactional cost is one
+    marker file + O(tables) renames.
+    """
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.txn_id = uuid.uuid4().hex[:12]
+        self._staged: list[tuple[str, str]] = []  # (live path, temp path)
+
+    def stage(self, table: "ParquetTable", df: DataFrame) -> None:
+        tmp = f"{table.path}.__txn_{self.txn_id}"
+        writer = table._clustered(df).write.mode("overwrite")
+        if table.partition_by:
+            writer = writer.partitionBy(*table.partition_by)
+        writer.parquet(tmp)
+        self._staged.append((table.path, tmp))
+
+    @property
+    def _marker(self) -> str:
+        return os.path.join(self.base_dir, f"__txn_{self.txn_id}.json")
+
+    def commit(self, crash_after_renames: int | None = None) -> None:
+        """``crash_after_renames`` is test-only fault injection: raise
+        mid-swap after N renames (AFTER the intent marker exists)."""
+        import json
+
+        intent = [{"live": live, "tmp": tmp} for live, tmp in self._staged]
+        os.makedirs(self.base_dir, exist_ok=True)
+        tmp_marker = f"{self._marker}.tmp"
+        with open(tmp_marker, "w") as f:
+            json.dump(intent, f)
+        os.rename(tmp_marker, self._marker)  # THE commit point
+        self._roll_forward(intent, crash_after_renames)
+
+    def _roll_forward(self, intent, crash_after: int | None = None) -> None:
+        done = 0
+        for entry in intent:
+            live, tmp = entry["live"], entry["tmp"]
+            if crash_after is not None and done >= crash_after:
+                raise RuntimeError(f"injected crash after {done} renames")
+            if not os.path.exists(tmp):
+                continue  # this rename already happened (recovery rerun)
+            old = f"{live}.__old_{self.txn_id}"
+            if os.path.exists(live):
+                os.rename(live, old)
+            os.rename(tmp, live)
+            if os.path.exists(old):
+                shutil.rmtree(old, ignore_errors=True)
+            done += 1
+        os.remove(self._marker)
+
+    @classmethod
+    def recover(cls, spark: SparkSession, base_dir: str) -> dict[str, int]:
+        """Crash recovery for ``base_dir``: roll FORWARD every
+        transaction whose intent marker exists, roll BACK (delete)
+        orphaned temps with no marker. Idempotent; run before serving
+        queries. Returns {'forward': n, 'back': n}."""
+        import json
+
+        stats = {"forward": 0, "back": 0}
+        markers = []
+        if os.path.isdir(base_dir):
+            markers = [
+                f for f in os.listdir(base_dir)
+                if f.startswith("__txn_") and f.endswith(".json")
+            ]
+        committed_tmps = set()
+        for m in markers:
+            with open(os.path.join(base_dir, m)) as f:
+                intent = json.load(f)
+            committed_tmps.update(e["tmp"] for e in intent)
+            txn = cls(spark, base_dir)
+            txn._staged = [(e["live"], e["tmp"]) for e in intent]
+            # borrow the marker's id so _marker resolves to this file
+            txn.txn_id = m[len("__txn_"):-len(".json")]
+            txn._roll_forward(intent)
+            stats["forward"] += 1
+        # orphaned temps (staged but never committed) roll back
+        for root, dirs, _files in os.walk(base_dir):
+            for d in list(dirs):
+                full = os.path.join(root, d)
+                if "__txn_" in d and full not in committed_tmps:
+                    shutil.rmtree(full, ignore_errors=True)
+                    dirs.remove(d)
+                    stats["back"] += 1
+        return stats

@@ -5174,3 +5174,84 @@ def pl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("bal_cents"),
     )
     return loaded.unionByName(quarantined)
+
+
+@register(
+    "pl_transaction",
+    oracle="""
+    SELECT 'customer' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round((c_acctbal
+                    + CASE WHEN c_nationkey < 5 THEN 100 ELSE 0 END) * 100)
+                AS BIGINT)) AS BIGINT) AS checksum
+    FROM customer
+    UNION ALL
+    SELECT 'adjustment_audit',
+           (SELECT CAST(count(*) AS BIGINT) FROM customer WHERE c_nationkey < 5),
+           (SELECT CAST(count(*) AS BIGINT) FROM customer WHERE c_nationkey < 5)
+             * 10000
+    """,
+    doc="""Multi-statement transaction (Snowflake BEGIN ... COMMIT
+    across tables): a balance adjustment must update the customer
+    table AND insert matching rows into an adjustment-audit table
+    atomically — a state where balances moved but the audit is missing
+    (or vice versa) is exactly what a compliance check fails. The
+    engine stages both post-states, writes ONE intent marker (the
+    commit point), then swaps; this query INJECTS A CRASH after the
+    first table's rename — mid-swap, after commit — and then runs
+    crash recovery, which rolls the transaction FORWARD
+    (operators/dml.py:MultiTableTransaction). The emitted audit reads
+    both tables from disk and the oracle states the fully-committed
+    final state: green proves the torn window healed to ALL, not
+    SOME, of the transaction. Rollback of uncommitted staging and
+    recovery idempotence are unit-tested.""",
+    tags=("pipeline", "transaction", "atomicity"),
+)
+def pl_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dml import MultiTableTransaction, ParquetTable, update_where
+
+    base = scratch_dir("txn_")
+    cust = ParquetTable(spark, f"{base}/customer")
+    cust.overwrite(load(spark, sf_dir, "customer"))
+    audit = ParquetTable(spark, f"{base}/adjustment_audit")
+    audit.overwrite(
+        spark.createDataFrame([], "c_custkey bigint, adj_cents bigint")
+    )
+
+    txn = MultiTableTransaction(spark, base)
+    txn.stage(
+        cust,
+        update_where(
+            cust.read(),
+            F.col("c_nationkey") < 5,
+            {"c_acctbal": F.col("c_acctbal") + 100.0},
+        ),
+    )
+    txn.stage(
+        audit,
+        cust.read()
+        .filter(F.col("c_nationkey") < 5)
+        .select("c_custkey", F.lit(10000).cast("long").alias("adj_cents")),
+    )
+    try:
+        txn.commit(crash_after_renames=1)  # die mid-swap, AFTER commit point
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError as e:
+        if "injected crash" not in str(e):
+            raise
+    stats = MultiTableTransaction.recover(spark, base)
+    if stats != {"forward": 1, "back": 0}:
+        raise RuntimeError(f"unexpected recovery outcome: {stats}")
+    c = cust.read().agg(
+        F.lit("customer").alias("table_name"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("checksum"),
+    )
+    a = audit.read().agg(
+        F.lit("adjustment_audit").alias("table_name"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("adj_cents").cast("long").alias("checksum"),
+    )
+    return c.unionByName(a)

@@ -955,3 +955,50 @@ def test_asof_directional_matches_pandas_merge_asof(spark):
             pd.testing.assert_series_equal(
                 got, want, check_dtype=False, obj=f"{direction}/tol={tol}"
             )
+
+
+def test_multi_table_transaction_rollback_and_roll_forward(spark, tmp_path):
+    """The two crash windows of the multi-table commit protocol:
+    BEFORE the intent marker -> recovery rolls BACK (tables
+    untouched, temps gone); AFTER the marker mid-swap -> recovery
+    rolls FORWARD (both tables show the new state); recovery is
+    idempotent."""
+    import os
+
+    from end_to_end_etl_using_snowflake_spark.operators.dml import (
+        MultiTableTransaction,
+        ParquetTable,
+    )
+
+    base = str(tmp_path / "wh")
+    t1 = ParquetTable(spark, f"{base}/t1")
+    t2 = ParquetTable(spark, f"{base}/t2")
+    t1.overwrite(spark.range(5).selectExpr("id", "id AS v"))
+    t2.overwrite(spark.range(3).selectExpr("id", "id AS v"))
+
+    # crash BEFORE commit: staged temps only -> roll back
+    txn = MultiTableTransaction(spark, base)
+    txn.stage(t1, t1.read().withColumn("v", F.col("v") + 100))
+    txn.stage(t2, t2.read().withColumn("v", F.col("v") + 100))
+    # (no commit — process "died" here)
+    stats = MultiTableTransaction.recover(spark, base)
+    assert stats == {"forward": 0, "back": 2}, stats
+    assert sorted(r.v for r in t1.read().collect()) == [0, 1, 2, 3, 4]
+    assert not [d for d in os.listdir(base) if "__txn_" in d]
+
+    # crash AFTER the intent marker, zero renames done -> roll forward
+    txn2 = MultiTableTransaction(spark, base)
+    txn2.stage(t1, t1.read().withColumn("v", F.col("v") + 100))
+    txn2.stage(t2, t2.read().withColumn("v", F.col("v") + 100))
+    try:
+        txn2.commit(crash_after_renames=0)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    stats = MultiTableTransaction.recover(spark, base)
+    assert stats == {"forward": 1, "back": 0}, stats
+    assert sorted(r.v for r in t1.read().collect()) == [100, 101, 102, 103, 104]
+    assert sorted(r.v for r in t2.read().collect()) == [100, 101, 102]
+    # idempotent: nothing left to do
+    assert MultiTableTransaction.recover(spark, base) == {"forward": 0, "back": 0}
+    assert not [d for d in os.listdir(base) if "__txn_" in d]
