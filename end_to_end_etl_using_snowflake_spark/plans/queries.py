@@ -5255,3 +5255,82 @@ def pl_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("adj_cents").cast("long").alias("checksum"),
     )
     return c.unionByName(a)
+
+
+@register(
+    "e15_stream_full_outer_join",
+    oracle="""
+    SELECT coalesce(v.user_id, c.user_id) AS user_id,
+           v.event_id AS l_event_id,
+           c.event_id AS r_event_id,
+           v.ts AS l_ts,
+           c.ts AS r_ts
+    FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+    FULL JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+      ON c.user_id = v.user_id
+     AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL 600 SECONDS
+    """,
+    doc="""Stream-stream FULL OUTER interval join run for real — the
+    last of the four streaming join modes (e7 inner, e8 stream-static,
+    e10 left outer): attribution that must ALSO emit clicks with no
+    preceding view (bot traffic / lost impressions) alongside views
+    that never converted. Both sides' unmatched rows may only emit
+    once the global watermark closes their window, so the sentinel
+    flush row goes onto EACH stream two hours past the data and the
+    no-data final micro-batch evicts both state stores — streaming
+    output equals the batch FULL JOIN bit-for-bit (the join key is
+    coalesced across sides so right-only rows keep it). State per key
+    stays bounded by (watermark delay + interval width) x arrival
+    rate. streaming/joins.py:interval_join.""",
+    tags=("streaming", "join", "full-outer"),
+)
+def e15_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import interval_join
+
+    base = scratch_dir("e15_join_")
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+
+    def side(event_type: str, sentinel_id: int, path: str) -> None:
+        real = ev.filter(F.col("event_type") == event_type).drop("event_type")
+        sentinel = (
+            spark.createDataFrame(
+                [(sentinel_id, sentinel_id)], "user_id bigint, event_id bigint"
+            )
+            .withColumn("ts", F.lit(mx) + F.expr("INTERVAL 2 HOURS"))
+        )
+        real.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(path)
+
+    side("view", -1, f"{base}/views")
+    side("click", -2, f"{base}/clicks")
+    schema = "user_id bigint, event_id bigint, ts timestamp"
+    views = spark.readStream.schema(schema).parquet(f"{base}/views")
+    clicks = spark.readStream.schema(schema).parquet(f"{base}/clicks")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            interval_join(
+                views, clicks, key="user_id", max_delay_seconds=600,
+                watermark_delay="30 minutes", how="full_outer",
+            )
+            .select("user_id", "l_event_id", "r_event_id", "l_ts", "r_ts")
+            .writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.read.schema(
+            "user_id bigint, l_event_id bigint, r_event_id bigint, "
+            "l_ts timestamp, r_ts timestamp"
+        )
+        .parquet(f"{base}/out")
+        .filter(F.col("user_id") >= 0)
+    )

@@ -61,4 +61,11 @@ def interval_join(
         & (rcol >= lcol)
         & (rcol <= lcol + F.expr(f"INTERVAL {max_delay_seconds} SECONDS"))
     )
-    return lp.join(rp, cond, how).drop("__rkey")
+    # coalesce keeps the key populated on right-unmatched rows under
+    # full_outer (inner/left rows always carry the left key, so this
+    # is identity for them)
+    return (
+        lp.join(rp, cond, how)
+        .withColumn(key, F.coalesce(F.col(key), F.col("__rkey")))
+        .drop("__rkey")
+    )
