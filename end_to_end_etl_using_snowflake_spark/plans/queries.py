@@ -5334,3 +5334,69 @@ def e15_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{base}/out")
         .filter(F.col("user_id") >= 0)
     )
+
+
+_SQL7_TEXT = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY ALL
+"""
+
+
+@register(
+    "sql7_group_by_all",
+    oracle=_SQL7_TEXT,
+    doc="""Snowflake ``GROUP BY ALL`` accepted VERBATIM — no shim
+    needed: Spark 3.4+ and DuckDB both implement the same
+    infer-grouping-keys-from-the-select-list semantic Snowflake
+    popularized, so ONE source string runs on both engines (the
+    sql1-family shared-text discipline). The inference resolves at
+    analysis time to an ordinary hash aggregate — identical plan to
+    spelling the keys out.""",
+    tags=("sql-surface", "dialect", "group-by-all"),
+)
+def sql7_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL7_TEXT)
+
+
+_F15_TEXT = """
+SELECT o_orderpriority,
+       min_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 1000000000
+                          + o_orderkey) AS cheapest_order,
+       max_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 1000000000
+                          + o_orderkey) AS priciest_order,
+       CAST(round(min(o_totalprice) * 100) AS BIGINT) AS min_cents,
+       CAST(round(max(o_totalprice) * 100) AS BIGINT) AS max_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "f15_min_max_by",
+    oracle=_F15_TEXT,
+    doc="""``min_by`` / ``max_by`` argmin-argmax aggregates — the
+    which-row-holds-the-extreme question answered WITHOUT a window +
+    filter (one aggregate pass instead of a sort-heavy row_number
+    plan; at 100 TB that is the difference between a partial-aggregate
+    shuffle and a full sort). Shared text: Spark, DuckDB, and
+    Snowflake all ship the same function pair with the same name.
+    Determinism: the ordering key is the UNIQUE composite
+    cents*1e9 + orderkey (price ties exist in the corpus at sf>=0.01 —
+    a bare argmin over price would be engine-dependent there; the
+    composite is monotone in (price, orderkey) so the tie always
+    resolves to the smallest key, on every engine).""",
+    tags=("aggregate", "argmin", "function"),
+)
+def f15_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_F15_TEXT)
