@@ -5400,3 +5400,81 @@ def f15_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_F15_TEXT)
+
+
+@register(
+    "e16_stream_session_close",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS start_ts, max(ts) AS end_ts
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    doc="""Streaming sessionization emitting CLOSED SESSIONS — the
+    stateful-API mode e3 leaves uncovered: event-time STATE TIMEOUTS
+    (`GroupStateTimeout.EventTimeTimeout`). A session row emits when a
+    same-user successor exceeds the 30-minute gap (in-batch) or when
+    the watermark passes last_ts + gap with no successor — the timeout
+    callback fires on the evicted key, which is the only way each
+    user's FINAL session ever emits from a stream. The drain pushes a
+    sentinel flush row (user -1, +2 h) so the global watermark closes
+    every real session; output equals the batch gaps-and-islands
+    sessionization bit-for-bit. Timeouts are how streaming state stays
+    bounded by ACTIVE users at 100 TB.
+    streaming/stateful.py:session_close_stream.""",
+    tags=("streaming", "stateful", "timeout", "session"),
+)
+def e16_stream_session_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import SESSION_CLOSE_SCHEMA, session_close_stream
+
+    base = scratch_dir("e16_close_")
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-1, -1)], "user_id bigint, event_id bigint"
+    ).withColumn("ts", F.lit(mx) + F.expr("INTERVAL 2 HOURS"))
+    ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(f"{base}/in")
+    stream = (
+        spark.readStream.schema("user_id bigint, event_id bigint, ts timestamp")
+        .parquet(f"{base}/in")
+        .withWatermark("ts", "30 minutes")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            session_close_stream(stream, gap_seconds=1800.0)
+            .writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.read.schema(SESSION_CLOSE_SCHEMA)
+        .parquet(f"{base}/out")
+        .filter(F.col("user_id") >= 0)
+    )

@@ -198,3 +198,90 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+SESSION_CLOSE_SCHEMA = (
+    "user_id bigint, session_id bigint, n_events bigint, "
+    "start_ts timestamp, end_ts timestamp"
+)
+
+
+def session_close_stream(events: DataFrame, gap_seconds: float = 1800.0):
+    """Sessionization that emits CLOSED SESSIONS (one row per session,
+    with its aggregates) rather than per-event assignments (e3's
+    shape) — which requires the one stateful-API mode e3 doesn't
+    exercise: **event-time state timeouts**. A session closes either
+    when a later event for the same user exceeds the gap (emitted
+    in-batch) or when the WATERMARK passes last_ts + gap with no
+    successor (``GroupStateTimeout.EventTimeTimeout`` fires on the
+    evicted key — without it, each user's final session would sit in
+    state forever). Input must carry ``withWatermark`` on ``ts``.
+
+    State is one fixed tuple per OPEN session per user; timeouts are
+    how 100 TB streaming state stays bounded by active users, not
+    all-time users.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cols = ["user_id", "session_id", "n_events", "start_ts", "end_ts"]
+
+    def close_sessions(key, pdf_iter, state: GroupState):
+        out = []
+        if state.hasTimedOut:
+            start, last, n, sid = state.get
+            out.append((key[0], sid, n, start, last))
+            state.remove()
+        else:
+            pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+            if state.exists:
+                start, last, n, sid = state.get
+            else:
+                start = last = None
+                n, sid = 0, 0
+            for ts in pdf["ts"]:
+                t = ts.timestamp()
+                if last is None:
+                    sid += 1
+                    start, last, n = t, t, 1
+                elif t - last > gap_seconds:
+                    out.append((key[0], sid, n, start, last))
+                    sid += 1
+                    start, last, n = t, t, 1
+                else:
+                    last, n = t, n + 1
+            state.update((start, last, n, sid))
+            # the close deadline: if no successor arrives before the
+            # watermark passes last + gap, the session is over
+            state.setTimeoutTimestamp(int((last + gap_seconds) * 1000))
+        def us(vals):
+            # float epoch seconds -> exact integer microseconds; a
+            # direct unit="s" conversion leaves stray nanoseconds that
+            # Arrow's safe timestamp[us] cast rejects
+            return pd.to_datetime(
+                pd.Series([round(v * 1_000_000) for v in vals], dtype="int64"),
+                unit="us",
+            )
+
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([r[0] for r in out], dtype="int64"),
+                "session_id": pd.Series([r[1] for r in out], dtype="int64"),
+                "n_events": pd.Series([r[2] for r in out], dtype="int64"),
+                "start_ts": us([r[3] for r in out]),
+                "end_ts": us([r[4] for r in out]),
+            },
+            columns=cols,
+        )
+
+    return (
+        events.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            close_sessions,
+            outputStructType=SESSION_CLOSE_SCHEMA,
+            stateStructType="start double, last double, n bigint, sid bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
