@@ -5478,3 +5478,136 @@ def e16_stream_session_close(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{base}/out")
         .filter(F.col("user_id") >= 0)
     )
+
+
+def _prof3_oracle(p: int = 8) -> str:
+    m = 1 << p
+    w_bits = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    melt = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, {duck.format(c=c)} AS val FROM orders "
+        f"WHERE {c} IS NOT NULL"
+        for c, _, duck in _PROF2_COLS
+    )
+    return f"""
+    WITH melted AS ({melt}),
+    hashed AS (
+        SELECT col_name,
+               CAST(concat('0x', substring(md5(val), 1, 15)) AS BIGINT) AS h
+        FROM melted
+    ),
+    rows_ AS (
+        SELECT col_name, h & {m - 1} AS bucket,
+               CASE WHEN (h >> {p}) = 0 THEN {w_bits + 1}
+                    ELSE {w_bits + 1} - length(bin(h >> {p})) END AS rho
+        FROM hashed
+    ),
+    regs AS (
+        SELECT col_name, bucket, max(rho) AS m_rho
+        FROM rows_ GROUP BY col_name, bucket
+    ),
+    agg AS (
+        SELECT col_name, count(*) AS n_buckets,
+               CAST(sum(CAST(1 AS BIGINT) << ({w_bits + 1} - m_rho)) AS BIGINT)
+                   AS s_observed
+        FROM regs GROUP BY col_name
+    ),
+    exact AS (
+        SELECT col_name, count(DISTINCT val) AS n_exact
+        FROM melted GROUP BY col_name
+    )
+    SELECT a.col_name,
+           CAST({m} - a.n_buckets AS BIGINT) AS v_empty,
+           CAST(a.s_observed + ({m} - a.n_buckets)
+                * CAST({1 << (w_bits + 1)} AS BIGINT) AS BIGINT) AS s_scaled,
+           CAST({alpha!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)
+               * CAST({float(1 << (w_bits + 1))!r} AS DOUBLE)
+               / CAST(a.s_observed + ({m} - a.n_buckets)
+                      * CAST({1 << (w_bits + 1)} AS BIGINT) AS DOUBLE)
+               AS raw_estimate,
+           (CAST({alpha!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)
+               * CAST({float(1 << (w_bits + 1))!r} AS DOUBLE)
+               / CAST(a.s_observed + ({m} - a.n_buckets)
+                      * CAST({1 << (w_bits + 1)} AS BIGINT) AS DOUBLE)
+            <= {2.5 * m!r}) AND ({m} - a.n_buckets) > 0 AS small_range,
+           CAST(e.n_exact AS BIGINT) AS n_exact
+    FROM agg a JOIN exact e ON e.col_name = a.col_name
+    """
+
+
+@register(
+    "prof3_sketch_profile",
+    oracle=_prof3_oracle(),
+    doc="""Sketch-based table profiler — prof2's 100 TB scale path
+    made concrete: per-column approximate NDV for all six columns in
+    ONE scan. Columns melt in-row to (col_name, canonical_value) via
+    `stack` (the prof2 renderings, so hashing is engine-identical),
+    then ONE grouped HLL: registers keyed by (col_name, bucket) — the
+    shuffle carries at most columns x 256 register rows no matter how
+    many input rows, where prof2's exact count-distinct Expand
+    multiplies the scan by the column count. Registers are mergeable
+    (k4's union property), so per-shard profiles roll up for free.
+    n_exact rides along as the self-audit the 100 TB run would drop;
+    estimates are the k1 deterministic HLL (exact scaled-integer
+    harmonic sums, one final double division — bit-identical in both
+    engines).""",
+    tags=("profile", "sketch", "hll", "aggregate"),
+)
+def prof3_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = 8
+    m = 1 << p
+    w_bits = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    orders = load(spark, sf_dir, "orders")
+    stack_args = ", ".join(
+        f"'{c}', CASE WHEN {c} IS NOT NULL THEN {render.format(c=c)} END"
+        for c, render, _ in _PROF2_COLS
+    )
+    melted = orders.selectExpr(
+        f"stack({len(_PROF2_COLS)}, {stack_args}) AS (col_name, val)"
+    ).filter(F.col("val").isNotNull())
+    h = F.conv(F.substring(F.md5(F.col("val")), 1, 15), 16, 10).cast("long")
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.bin(w))
+    )
+    rows_ = melted.select(
+        "col_name", h.bitwiseAND(F.lit(m - 1)).alias("bucket"), rho.alias("rho")
+    )
+    regs = rows_.groupBy("col_name", "bucket").agg(F.max("rho").alias("m_rho"))
+    agg = regs.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {w_bits + 1} - m_rho)"))
+        .cast("long")
+        .alias("s_observed"),
+    )
+    exact = melted.groupBy("col_name").agg(
+        F.countDistinct("val").cast("long").alias("n_exact")
+    )
+    big = 1 << (w_bits + 1)
+    s_scaled = (
+        F.col("s_observed") + (F.lit(m) - F.col("n_buckets")) * F.lit(big)
+    ).cast("long")
+    return agg.join(exact, "col_name").select(
+        "col_name",
+        (F.lit(m) - F.col("n_buckets")).cast("long").alias("v_empty"),
+        s_scaled.alias("s_scaled"),
+        (
+            F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(big))
+            / s_scaled.cast("double")
+        ).alias("raw_estimate"),
+        # deterministic regime flag: raw HLL overestimates small
+        # cardinalities; when this is true the caller applies linear
+        # counting m*ln(m/v_empty) from the shipped exact registers
+        # (ln is libm-varying, so the correction itself deliberately
+        # stays out of the bit-compared plan — k1's discipline)
+        (
+            (
+                F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(big))
+                / s_scaled.cast("double")
+                <= F.lit(2.5 * m)
+            )
+            & ((F.lit(m) - F.col("n_buckets")) > 0)
+        ).alias("small_range"),
+        "n_exact",
+    )
