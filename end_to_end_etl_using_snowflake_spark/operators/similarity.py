@@ -109,6 +109,7 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer ANN
     path: partition the corpus into ``n_cells`` Voronoi cells around
@@ -125,14 +126,22 @@ def ivf_topk(
     grouping); each query scores ~nprobe/n_cells of the corpus. Recall
     < 1 by construction; raise nprobe for higher recall.
     """
-    cent = (
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("cid"), V.to_double(F.col(vec_col)).alias("cv_c")
+    if centroids is not None:
+        # a TRAINED coarse quantizer (e.g. lloyd_centroids output,
+        # columns (cid, cv, cn)) — the v15 path; query dataflow below
+        # is identical either way
+        cent = centroids.select(
+            "cid", F.col("cv").alias("cv_c"), F.col("cn").alias("cn_c")
         )
-        .withColumn("cn_c", V.norm(F.col("cv_c")))
-    )
+    else:
+        cent = (
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("cid"), V.to_double(F.col(vec_col)).alias("cv_c")
+            )
+            .withColumn("cn_c", V.norm(F.col("cv_c")))
+        )
 
     def assign(df: DataFrame, out_id: str, out_vec: str, out_norm: str, keep: int) -> DataFrame:
         base = df.select(
@@ -233,6 +242,27 @@ def hyperplane_lsh_topk(
     )
 
 
+def lloyd_centroids(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 8,
+    iterations: int = 1,
+    exact_means: bool = False,
+) -> DataFrame:
+    """The centroid-training half of :func:`kmeans_lloyd`: smallest-id
+    init, ``iterations`` Lloyd rounds, returns the final centroid
+    frame (cid, cv, cn) as ONE lazy plan — the trained coarse
+    quantizer an IVF index consumes (v15 wires it into
+    :func:`ivf_topk`). Identical computation to the loop inside
+    kmeans_lloyd (extracted, not re-derived), so v6/v9 parity
+    semantics are unchanged."""
+    cent, _e, _assign = _lloyd_loop(
+        emb, id_col, vec_col, n_cells, iterations, exact_means
+    )
+    return cent
+
+
 def kmeans_lloyd(
     emb: DataFrame,
     id_col: str,
@@ -269,6 +299,13 @@ def kmeans_lloyd(
     map over a broadcast O(k x dims) block; the update shuffles
     (cell, dim, val) triples — rows x dims of a few bytes, linear.
     """
+    cent, e, assign = _lloyd_loop(
+        emb, id_col, vec_col, n_cells, iterations, exact_means
+    )
+    return assign(cent).select("id", "cell")
+
+
+def _lloyd_loop(emb, id_col, vec_col, n_cells, iterations, exact_means):
     e = (
         emb.select(F.col(id_col).alias("id"), V.to_double(F.col(vec_col)).alias("v"))
         .withColumn("n", V.norm(F.col("v")))
@@ -341,7 +378,7 @@ def kmeans_lloyd(
         # ReusedExchange already dedupes the repeated per-iteration
         # subplans, while the collect barrier splits the work into
         # serial jobs and forfeits that reuse.
-    return assign(cent).select("id", "cell")
+    return cent, e, assign
 
 
 def brute_force_topk_matmul(

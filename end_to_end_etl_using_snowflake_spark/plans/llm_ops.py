@@ -948,10 +948,11 @@ def x5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("interval_id", "event_id", "ts")
 
 
-def _kmeans_oracle(n_cells: int = 8, dims: int = 64, iterations: int = 1) -> str:
-    """Unrolled Lloyd iterations as chained CTEs — the oracle mirror of
-    kmeans_lloyd's driver loop (assign -> sequential-fold mean update,
-    x``iterations``, then a final assignment)."""
+def _kmeans_ctes(n_cells: int = 8, dims: int = 64, iterations: int = 1):
+    """The unrolled-Lloyd CTE chain, reusable: returns (cte_list,
+    final_centroid_cte_name) where the final CTE has (cid, cv, cn).
+    Shared by the kmeans oracles (v6/v9) and the trained-IVF oracle
+    (v15)."""
     dot_vc2 = sql_dot("n.v", "c.cv")
     dot_cc = sql_dot("cv", "cv")
 
@@ -989,7 +990,15 @@ def _kmeans_oracle(n_cells: int = 8, dims: int = 64, iterations: int = 1) -> str
     for it in range(1, iterations + 1):
         ctes.append(assign_cte(f"a{it}", f"cn{it - 1}"))
         ctes.append(update_cte(f"d{it}", f"c{it}", f"cn{it}", f"a{it}"))
-    final_cent = f"cn{iterations}"
+    return ctes, f"cn{iterations}"
+
+
+def _kmeans_oracle(n_cells: int = 8, dims: int = 64, iterations: int = 1) -> str:
+    """Unrolled Lloyd iterations as chained CTEs — the oracle mirror of
+    kmeans_lloyd's driver loop (assign -> sequential-fold mean update,
+    x``iterations``, then a final assignment)."""
+    dot_vc2 = sql_dot("n.v", "c.cv")
+    ctes, final_cent = _kmeans_ctes(n_cells, dims, iterations)
     joined = ",\n    ".join(ctes)
     return f"""
     WITH {joined}
@@ -2851,4 +2860,78 @@ def x23_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum("n_tokens").cast("double")
             / (F.col("bucket") * F.count(F.lit(1))).cast("double")
         ).alias("padding_frac"),
+    )
+
+
+def _v15_oracle(k: int = 5, n_cells: int = 16, nprobe: int = 4, iterations: int = 1) -> str:
+    # trained coarse quantizer (unrolled Lloyd) feeding the IVF
+    # probe/score dataflow — the composition the v3 docstring promises
+    ctes, final_cent = _kmeans_ctes(n_cells=n_cells, dims=64, iterations=iterations)
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    assign AS (
+        SELECT id, v, nrm, cell FROM (
+            SELECT n.id, n.v, n.nrm, c.cid AS cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.id
+                       ORDER BY {sql_dot('n.v', 'c.cv')} / (n.nrm * c.cn) DESC,
+                                c.cid ASC) AS rn
+            FROM n CROSS JOIN {final_cent} c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT id, v, nrm, cell FROM (
+            SELECT q.id, q.v, q.nrm, c.cid AS cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.id
+                       ORDER BY {sql_dot('q.v', 'c.cv')} / (q.nrm * c.cn) DESC,
+                                c.cid ASC) AS rn
+            FROM (SELECT * FROM n WHERE id < 10) q CROSS JOIN {final_cent} c
+        ) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+        SELECT p.id AS query_id, c.id AS neighbor_id,
+               {sql_dot('p.v', 'c.v')} / (p.nrm * c.nrm) AS cos_sim
+        FROM assign c JOIN probes p ON p.cell = c.cell AND p.id != c.id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, rn AS "rank", neighbor_id, cos_sim FROM ranked WHERE rn <= {k}
+    """
+
+
+@register(
+    "v15_ann_ivf_trained",
+    oracle=_v15_oracle(),
+    doc="""IVF with a TRAINED coarse quantizer — the composition v3's
+    docstring promises made real: lloyd_centroids (one Lloyd round,
+    k=16, exact sequential-fold means — the v6/v9 parity path) trains
+    the centroids, and the ivf_topk probe/score dataflow consumes them
+    unchanged (train -> index -> query as ONE lazy plan, no driver
+    round-trip between stages). Trained cells follow the data
+    distribution, so cell populations balance where v3's smallest-id
+    seeds can skew — at 100 TB that balance IS the query cost model
+    (each query scores ~nprobe/n_cells of the corpus only if cells are
+    even). The oracle unrolls training AND querying.
+    operators/similarity.py:lloyd_centroids + ivf_topk(centroids=).""",
+    tags=("similarity", "ivf", "kmeans"),
+)
+def v15_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cent = S.lloyd_centroids(
+        emb, "vec_id", "embedding", n_cells=16, iterations=1, exact_means=True
+    )
+    return S.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        k=5,
+        n_cells=16,
+        nprobe=4,
+        centroids=cent,
     )
