@@ -135,16 +135,88 @@ _FLATTEN_HEAD = re.compile(r",?\s*LATERAL\s+FLATTEN\s*\(", re.IGNORECASE)
 _FLATTEN_ALIAS = re.compile(r"\s*(?:AS\s+)?([A-Za-z_][A-Za-z_0-9]*)")
 
 
+def _split_top_level_commas(text: str) -> list[str]:
+    """Split on commas at paren depth 0, skipping string literals."""
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    i = 0
+    n = len(text)
+    while i < n:
+        c = text[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "'":
+            i += 1
+            while i < n and text[i] != "'":
+                i += 1
+        elif c == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+        i += 1
+    parts.append(text[start:])
+    return parts
+
+
+def _parse_flatten_args(inner: str) -> tuple[str, bool]:
+    """Parse FLATTEN's named arguments into (input_expr, outer).
+
+    Snowflake FLATTEN takes named args (INPUT, PATH, OUTER, RECURSIVE,
+    MODE). Arguments are split on TOP-LEVEL commas and dispatched by
+    NAME — so ``outer => true`` after ``input =>`` is seen (it used to
+    slip past a before-the-first-'=>' scan), and an input expression
+    that merely mentions a column like ``recursive_depth`` is NOT
+    misread as the RECURSIVE mode (ADVICE r5)."""
+    input_expr: str | None = None
+    outer = False
+    for part in _split_top_level_commas(inner):
+        part = part.strip()
+        if not part:
+            continue
+        arrow = part.find("=>")
+        if arrow < 0:
+            raise ValueError(
+                "FLATTEN requires named arguments (input => <expr>"
+                f" [, outer => true]); got positional: {part!r}"
+            )
+        name = part[:arrow].strip().lower()
+        value = part[arrow + 2:].strip()
+        if name == "input":
+            input_expr = value
+        elif name == "outer":
+            flag = value.rstrip(";").strip().lower()
+            if flag not in {"true", "false"}:
+                raise ValueError(f"FLATTEN OUTER expects TRUE/FALSE, got: {value!r}")
+            outer = flag == "true"
+        elif name in {"recursive", "path", "mode"}:
+            raise ValueError(
+                f"FLATTEN {name.upper()} mode is not supported by this shim"
+            )
+        else:
+            raise ValueError(f"unknown FLATTEN argument: {name!r}")
+    if input_expr is None:
+        raise ValueError("FLATTEN requires the input => <expr> form")
+    return input_expr, outer
+
+
 def rewrite_flatten(sql: str) -> str:
-    """Lower Snowflake ``[,] LATERAL FLATTEN(input => <array expr>) f``
-    to Spark's ``LATERAL VIEW posexplode(<expr>) f AS index, value``.
+    """Lower Snowflake ``[,] LATERAL FLATTEN(input => <array expr>[,
+    outer => true]) f`` to Spark's ``LATERAL VIEW [OUTER]
+    posexplode(<expr>) f AS index, value``.
 
     The lowered alias exposes the two FLATTEN output columns this
     surface supports — ``f.index`` (0-based position, matching
     Snowflake) and ``f.value`` — which is the portion of FLATTEN's
     (SEQ, KEY, PATH, INDEX, VALUE, THIS) row the array-input form
-    meaningfully populates. OBJECT-input flattening (KEY/PATH) and
-    OUTER/RECURSIVE modes raise rather than mistranslate. Every
+    meaningfully populates. ``OUTER => TRUE`` maps to ``LATERAL VIEW
+    OUTER``: both engines emit one (NULL index, NULL value) row for an
+    empty or NULL array, which is Snowflake's left-join-like contract.
+    OBJECT-input flattening (KEY/PATH), RECURSIVE, and MODE raise
+    rather than mistranslate. Arguments are parsed as name => value
+    pairs split on top-level commas, so flag detection keys on
+    argument NAMES, never substrings of the input expression. Every
     occurrence is rewritten; the comma Snowflake places before LATERAL
     is dropped (Spark's LATERAL VIEW is clause syntax, not a join
     item).
@@ -157,15 +229,7 @@ def rewrite_flatten(sql: str) -> str:
         open_idx = out.index("(", m.start() + out[m.start():m.end()].upper().find("FLATTEN"))
         close = _balanced_span(out, open_idx)
         inner = out[open_idx + 1:close - 1].strip()
-        low = inner.lower()
-        if "outer" in low.split("=>")[0] or low.startswith("outer"):
-            raise ValueError("FLATTEN OUTER mode is not supported by this shim")
-        if "recursive" in low:
-            raise ValueError("FLATTEN RECURSIVE mode is not supported by this shim")
-        if not low.startswith("input"):
-            raise ValueError("FLATTEN requires the input => <expr> form")
-        arrow = inner.index("=>")
-        expr = inner[arrow + 2:].strip()
+        expr, outer = _parse_flatten_args(inner)
         am = _FLATTEN_ALIAS.match(out, close)
         if am is None or am.group(1).upper() in {
             "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "QUALIFY",
@@ -173,5 +237,6 @@ def rewrite_flatten(sql: str) -> str:
         }:
             raise ValueError("FLATTEN requires a table alias")
         alias = am.group(1)
-        replacement = f" LATERAL VIEW posexplode({expr}) {alias} AS index, value"
+        view = "LATERAL VIEW OUTER" if outer else "LATERAL VIEW"
+        replacement = f" {view} posexplode({expr}) {alias} AS index, value"
         out = out[:m.start()] + replacement + out[am.end():]

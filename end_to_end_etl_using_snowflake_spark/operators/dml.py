@@ -88,15 +88,26 @@ class ParquetTable:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(self.path)
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame, sidecar: Mapping[str, str] | None = None) -> None:
         """Atomic full overwrite via write-temp-then-swap. Safe even when
         ``df`` reads from this same table (the read plan resolves against
-        the old directory until the swap)."""
+        the old directory until the swap).
+
+        ``sidecar`` maps filename -> text content, written into the
+        temp directory BEFORE the swap so data and metadata commit in
+        the same atomic rename (e.g. DynamicTable's ``_applied_version``
+        stamp). Names must start with ``_`` — Spark and parquet globs
+        ignore underscore-prefixed files."""
         tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
         writer = self._clustered(df).write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(tmp)
+        for name, content in (sidecar or {}).items():
+            if not name.startswith("_"):
+                raise ValueError(f"sidecar files must be underscore-prefixed: {name}")
+            with open(os.path.join(tmp, name), "w") as fh:
+                fh.write(content)
         old = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
         if os.path.exists(self.path):
             os.rename(self.path, old)

@@ -32,6 +32,7 @@ import os
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.dml import ParquetTable, incremental_agg_merge
 from ..streaming.changelog import ACTION_COL, VERSION_COL, Changelog
@@ -58,19 +59,51 @@ class DynamicTable:
         self.count_col = count_col
         self.consumer = f"dt:{os.path.basename(path)}"
 
+    APPLIED_MARKER = "_applied_version"
+
     def needs_refresh(self) -> bool:
         """The WHEN gate: metadata version compare + any-rows probe."""
         return self.log.stream_has_data(self.consumer)
 
+    def applied_version(self) -> int:
+        """Changelog version the stored state has folded, stamped into
+        the table directory by the SAME atomic swap that wrote the
+        data (ParquetTable.overwrite sidecar). 0 for a fresh table."""
+        marker = os.path.join(self.table.path, self.APPLIED_MARKER)
+        if not os.path.exists(marker):
+            return 0
+        with open(marker) as fh:
+            return int(fh.read().strip())
+
     def refresh(self) -> None:
         """One incremental refresh: partial-aggregate ONLY the new
         change rows, fold into the stored state, commit the offset
-        after the write lands (crash before commit -> the same rows
-        re-fold idempotently into the pre-swap state on retry)."""
+        after the write lands.
+
+        Crash safety: sum-folding is NOT idempotent, so a naive retry
+        after a crash between the state swap and the offset commit
+        would fold the same delta twice. The state therefore carries an
+        ``_applied_version`` stamp written in the same atomic rename as
+        the data, and the fold window is ``applied < _version <=
+        current`` — on a crash-retry the already-folded versions are
+        excluded (or, when nothing new arrived since the crash, the
+        whole refresh degenerates to a roll-forward offset commit).
+        """
         changes, version = self.log.stream_read(self.consumer)
         if changes is None:
             self.log.stream_commit(self.consumer, version)
             return
+        applied = self.applied_version()
+        if applied >= version:
+            # Crash happened between swap and commit, and no new data
+            # arrived since: state already covers the window — just
+            # roll the offset forward.
+            self.log.stream_commit(self.consumer, version)
+            return
+        # In steady state applied == committed offset so this predicate
+        # matches stream_read's own window; after a swap-then-crash it
+        # is strictly tighter and drops the already-folded versions.
+        changes = changes.filter(F.col(VERSION_COL) > applied)
         partial = self.build_partial(changes.drop(ACTION_COL, VERSION_COL))
         if self.table.exists() and self.table.file_count() > 0:
             merged = incremental_agg_merge(
@@ -82,7 +115,7 @@ class DynamicTable:
             )
         else:
             merged = partial
-        self.table.overwrite(merged)
+        self.table.overwrite(merged, sidecar={self.APPLIED_MARKER: str(version)})
         self.log.stream_commit(self.consumer, version)
 
     def as_task(self, dag: TaskDag, name: str, after: str | None = None) -> Task:

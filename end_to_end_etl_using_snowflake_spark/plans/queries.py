@@ -4792,6 +4792,55 @@ def sql6_flatten_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL8_SNOWFLAKE_TEXT = """
+SELECT d.doc_id, f.index AS word_pos, f.value AS word
+FROM documents d,
+     LATERAL FLATTEN(input => filter(split(d.text, ' '), w -> length(w) > 6),
+                     outer => TRUE) f
+WHERE d.doc_id % 10 = 3
+"""
+
+
+@register(
+    "sql8_flatten_outer",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> len(w) > 6) AS l
+        FROM documents WHERE doc_id % 10 = 3
+    )
+    SELECT doc_id,
+           CASE WHEN len(l) = 0 THEN NULL ELSE CAST(g.i AS BIGINT) END AS word_pos,
+           CASE WHEN len(l) = 0 THEN NULL ELSE l[g.i + 1] END AS word
+    FROM base,
+         UNNEST(generate_series(0, greatest(len(l) - 1, 0))) AS g(i)
+    """,
+    doc="""``FLATTEN(..., OUTER => TRUE)`` accepted VERBATIM — the
+    left-join flavor Snowflake users reach for constantly (an empty or
+    NULL array keeps its parent row, with NULL index/value), closing
+    VERDICT r5 #5. Lowering: ``LATERAL VIEW OUTER posexplode``
+    (functions/sqldialect.py:rewrite_flatten), whose empty-input
+    contract matches Snowflake's exactly. The input is a lambda-
+    filtered word list so both branches are real at every SF (8/50
+    docs empty at sf0.001, 112/500 at sf0.1): rows with long words
+    explode ordinarily; rows with none survive as a single NULL row.
+    The oracle states the same semantic with an explicit
+    generate_series and CASE NULL-out (DuckDB unnest drops empties).
+    Still a per-row generator — no shuffle, no join. The OUTER-arg
+    parse order/flag edge cases are unit-pinned
+    (test_flatten_rewriter_edges, test_flatten_outer_executes).""",
+    tags=("sql-surface", "dialect", "flatten", "outer"),
+)
+def sql8_flatten_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import rewrite_flatten
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrite_flatten(_SQL8_SNOWFLAKE_TEXT)).select(
+        "doc_id", F.col("word_pos").cast("long").alias("word_pos"), "word"
+    )
+
+
 _CLUSTERING_LAYOUTS = (
     # (layout name, deterministic md5/closed-form bucket expr — Spark, DuckDB)
     (
@@ -5422,7 +5471,8 @@ def f15_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )
-    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+    SELECT user_id,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS session_id,
            CAST(count(*) AS BIGINT) AS n_events,
            min(ts) AS start_ts, max(ts) AS end_ts
     FROM numbered GROUP BY user_id, session_id
@@ -5436,9 +5486,13 @@ def f15_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's FINAL session ever emits from a stream. The drain pushes a
     sentinel flush row (user -1, +2 h) so the global watermark closes
     every real session; output equals the batch gaps-and-islands
-    sessionization bit-for-bit. Timeouts are how streaming state stays
-    bounded by ACTIVE users at 100 TB.
-    streaming/stateful.py:session_close_stream.""",
+    sessionization bit-for-bit. ``session_id`` is the session's start
+    time in epoch micros (unique per user across micro-batches by
+    construction — a per-user counter did not survive timeout eviction
+    and restarted at 1; ADVICE r5); both engines derive it identically.
+    Timeouts are how streaming state stays bounded by ACTIVE users at
+    100 TB. streaming/stateful.py:session_close_stream; multi-batch
+    divergence case pinned in test_streaming_stateful.py.""",
     tags=("streaming", "stateful", "timeout", "session"),
 )
 def e16_stream_session_close(spark: SparkSession, sf_dir: str) -> DataFrame:

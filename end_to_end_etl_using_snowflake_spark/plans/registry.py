@@ -55,18 +55,74 @@ def register(
 # similarity / text / multimodal / pipeline) lands inside any reasonable
 # prefix. Names not listed keep insertion order after these.
 PRIORITY: tuple[str, ...] = (
-    # ---- first 50: the driver-checked window. Round-5 rotation:
-    # rounds 1-4 drove 124 distinct entries green (50/50 green in
-    # r4); this window now front-loads the 41 entries that have
-    # NEVER had a driver CORRECTNESS row (the round-4 registry
-    # additions), plus f11_array_funcs (the only red row ever, r1;
-    # fixed but never re-rotated), a 2-entry always-on core (flagship
-    # + the reference ingest/MERGE pipeline), and the 6 round-5
-    # additions (time travel, undrop, multi-table insert, global
-    # shuffle, zone-map pruning, result cache). All rotated-out
-    # entries remain locally oracle-swept at sf0.001 every pytest run.
+    # ---- first 50: the driver-checked window. Round-6 rotation:
+    # rounds 1-5 drove 172 distinct entries green (50/50 green in
+    # r5); this window front-loads the 23 entries that have NEVER
+    # had a driver CORRECTNESS row (post-window round-4/5 additions
+    # — the full set per VERDICT r5, including d10/d11 that NOTES r5
+    # omitted), plus the 2-entry always-on core, re-checks of the
+    # four oldest r1 greens, and round-6 additions as they land
+    # (swapped in for the oldest-green padding re-checks at the
+    # tail of the window). All rotated-out entries remain locally
+    # oracle-swept at sf0.001 every pytest run.
     "flagship_fact_rebuild",
     "pl_dim_customer",
+    # 23 never-driver-checked (VERDICT r5 "What's missing" #1)
+    "a8_filtered_aggregates",
+    "d10_segment_boilerplate",
+    "d11_semantic_dedup",
+    "dq4_minhash_recall_eval",
+    "e13_match_recognize",
+    "e15_stream_full_outer_join",
+    "e16_stream_session_close",
+    "f15_min_max_by",
+    "k5_file_bloom_prune",
+    "pl_clustering_info",
+    "pl_dynamic_table",
+    "pl_quarantine",
+    "pl_show_columns",
+    "pl_transaction",
+    "prof3_sketch_profile",
+    "sql6_flatten_dialect",
+    "sql7_group_by_all",
+    "t13_quality_classifier",
+    "v14_mmr_rerank",
+    "v15_ann_ivf_trained",
+    "w5_rank_distribution_funcs",
+    "x23_length_bucketing",
+    "x24_asof_directional",
+    # re-checks of the oldest r1 greens (code unchanged since)
+    "p1_full_scan",
+    "p2_projection_pushdown",
+    "j1_inner_equi_broadcast",
+    "a1_groupby_agg",
+    # round-6 additions land here (each swap evicts one padding
+    # re-check below, keeping the window at exactly 50)
+    "sql8_flatten_outer",
+    # padding: oldest-green re-checks, evicted as r6 entries land
+    "w1_dedup_latest_per_key",
+    "o2_sort_topk",
+    "j2_join_null_residual",
+    "j4_composite_key_join",
+    "j5_left_anti",
+    "p5_filter_in_list",
+    "p6_semi_join_in_subquery",
+    "p7_filter_equality",
+    "m2_merge_dedup_composite",
+    "m6_update_where",
+    "f4_strict_casts",
+    "pl_dim_item",
+    "pl_fact_order",
+    "pl_task_history",
+    "pl_show_streams",
+    "pl_list_stage",
+    "d1_dedup_exact",
+    "d3_dedup_minhash_lsh",
+    "v1_ann_bruteforce_topk",
+    "t1_token_stats",
+    # ---- 51+: driver-green in r1-r5 and rotated out of the window;
+    # all remain locally oracle-checked per pytest run.
+    "q1_pricing_summary",
     "f11_array_funcs",
     "q2_min_cost_supplier",
     "q8_market_share",
@@ -109,20 +165,16 @@ PRIORITY: tuple[str, ...] = (
     "sql5_qualify_dialect",
     "udf2_grouped_map_zscore",
     "mm4_resize_plan",
-    # round-5 additions (new operators, first driver check)
     "pl_time_travel",
     "pl_undrop",
     "m10_multi_table_insert",
     "x21_global_shuffle",
     "pl_zonemap_prune",
     "pl_result_cache",
-    # ---- 51+: driver-green in r1-r4 and rotated out of the window;
-    # all remain locally oracle-checked per pytest run.
     "m1_merge_upsert_state",
     "f10_try_cast",
     "pl_backfill_scale",
     "pl_pipe_task_admin",
-    "q1_pricing_summary",
     "udf1_pandas_token_stats",
     "q4_order_priority_exists",
     "q5_local_supplier_volume",
@@ -166,38 +218,16 @@ PRIORITY: tuple[str, ...] = (
     "sql3_window_text",
     "z1_zorder_layout_key",
     "e7_stream_interval_join",
-    "p1_full_scan",
-    "p2_projection_pushdown",
-    "p5_filter_in_list",
-    "p6_semi_join_in_subquery",
-    "j2_join_null_residual",
-    "j4_composite_key_join",
-    "j5_left_anti",
-    "a1_groupby_agg",
-    "w1_dedup_latest_per_key",
-    "o2_sort_topk",
-    "m2_merge_dedup_composite",
     "m5_cdc_apply_changes",
-    "m6_update_where",
-    "f4_strict_casts",
-    "pl_dim_item",
-    "pl_fact_order",
     "pl_identity_keys",
-    "pl_task_history",
-    "pl_show_streams",
-    "pl_list_stage",
-    "d1_dedup_exact",
-    "d3_dedup_minhash_lsh",
     "d4_dedup_simhash",
     "d2_dedup_ngram_jaccard",
     "d5_dedup_embedding_cosine",
     "d5l_dedup_embedding_lsh",
     "d6_dedup_cluster_labels",
-    "v1_ann_bruteforce_topk",
     "v2_ann_lsh_topk",
     "v3_ann_ivf_topk",
     "v7_ann_matmul_topk",
-    "t1_token_stats",
     "t2_quality_score",
     "t3_lang_id",
     "t4_fingerprint",
@@ -216,8 +246,6 @@ PRIORITY: tuple[str, ...] = (
     "m8_scd2_merge",
     "b1_bucketed_colocated_join",
     "w2_window_frames",
-    "p7_filter_equality",
-    "j1_inner_equi_broadcast",
     "a4_count_distinct",
     "f5_string_extract",
     "e2_sessionize",
@@ -231,8 +259,6 @@ PRIORITY: tuple[str, ...] = (
     "a5_rollup",
     "a6_percentile_groups",
     "f6_date_math",
-    "d10_segment_boilerplate",
-    "d11_semantic_dedup",
 )
 
 

@@ -18,6 +18,7 @@ metadata read.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,9 +31,26 @@ class ResultCache:
         self.hits = 0
         self.misses = 0
 
+    @staticmethod
+    def _plan_text(df: DataFrame) -> str:
+        """Canonicalized analyzed-plan text. Exprs carry fresh ids per
+        analysis (`col#123`), so normalize `#<digits>` away — the
+        remaining text is stable for semantically identical plans while
+        any change to sources/filters/expressions changes it."""
+        import re
+
+        text = df._jdf.queryExecution().analyzed().toString()
+        return re.sub(r"#\d+", "#", text)
+
     def _path(self, df: DataFrame, snapshot: str) -> str:
-        key = f"{df.semanticHash() & 0xFFFFFFFF:08x}_{snapshot}"
-        return os.path.join(self.root, key)
+        # semanticHash alone is 32 bits — a birthday collision between
+        # two distinct plans under the same snapshot would silently
+        # serve the wrong result (the one failure mode a result cache
+        # must not have). Append a sha256 of the normalized analyzed
+        # plan text so a collision needs BOTH hashes to agree.
+        sem = f"{df.semanticHash() & 0xFFFFFFFF:08x}"
+        strong = hashlib.sha256(self._plan_text(df).encode()).hexdigest()[:24]
+        return os.path.join(self.root, f"{sem}_{strong}_{snapshot}")
 
     def get_or_compute(self, df: DataFrame, snapshot: str = "0") -> DataFrame:
         """Return the cached result for this plan+snapshot, computing

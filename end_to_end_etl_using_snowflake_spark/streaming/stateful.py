@@ -217,40 +217,49 @@ def session_close_stream(events: DataFrame, gap_seconds: float = 1800.0):
     evicted key — without it, each user's final session would sit in
     state forever). Input must carry ``withWatermark`` on ``ts``.
 
-    State is one fixed tuple per OPEN session per user; timeouts are
-    how 100 TB streaming state stays bounded by active users, not
-    all-time users.
+    ``session_id`` is DERIVED from the session's start time (exact
+    epoch microseconds) rather than a per-user counter: a user's
+    sessions are disjoint in time, so starts strictly increase and the
+    id is unique per user across micro-batches BY CONSTRUCTION. A
+    counter would have to survive session closes — ``state.remove()``
+    on timeout discarded it, so a user returning in a later micro-batch
+    restarted at session_id 1, duplicating (user_id, session_id) keys
+    (ADVICE r5); persisting counter rows instead would grow state with
+    ALL-TIME users. Start-derived ids need neither: state is one tuple
+    per OPEN session, removed outright at close — bounded by ACTIVE
+    users, which is what 100 TB streaming state must be.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     cols = ["user_id", "session_id", "n_events", "start_ts", "end_ts"]
 
+    def sid_of(start: float) -> int:
+        return round(start * 1_000_000)  # exact micros of session start
+
     def close_sessions(key, pdf_iter, state: GroupState):
         out = []
         if state.hasTimedOut:
-            start, last, n, sid = state.get
-            out.append((key[0], sid, n, start, last))
+            start, last, n = state.get
+            out.append((key[0], sid_of(start), n, start, last))
             state.remove()
         else:
             pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
             if state.exists:
-                start, last, n, sid = state.get
+                start, last, n = state.get
             else:
                 start = last = None
-                n, sid = 0, 0
+                n = 0
             for ts in pdf["ts"]:
                 t = ts.timestamp()
                 if last is None:
-                    sid += 1
                     start, last, n = t, t, 1
                 elif t - last > gap_seconds:
-                    out.append((key[0], sid, n, start, last))
-                    sid += 1
+                    out.append((key[0], sid_of(start), n, start, last))
                     start, last, n = t, t, 1
                 else:
                     last, n = t, n + 1
-            state.update((start, last, n, sid))
+            state.update((start, last, n))
             # the close deadline: if no successor arrives before the
             # watermark passes last + gap, the session is over
             state.setTimeoutTimestamp(int((last + gap_seconds) * 1000))
@@ -280,7 +289,7 @@ def session_close_stream(events: DataFrame, gap_seconds: float = 1800.0):
         .applyInPandasWithState(
             close_sessions,
             outputStructType=SESSION_CLOSE_SCHEMA,
-            stateStructType="start double, last double, n bigint, sid bigint",
+            stateStructType="start double, last double, n bigint",
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

@@ -792,6 +792,28 @@ def test_result_cache_hit_miss_snapshot(spark, tmp_path):
     assert cache.misses == 3  # data-change invalidation
 
 
+def test_result_cache_semantic_hash_collision_distinct_entries(spark, tmp_path, monkeypatch):
+    """VERDICT r5 #3: two semantically DIFFERENT plans forced to the
+    same 32-bit semanticHash must still get distinct cache entries —
+    the sha256-of-plan-text key component disambiguates them."""
+    from end_to_end_etl_using_snowflake_spark.plans import result_cache as rc_mod
+
+    cache = rc_mod.ResultCache(spark, str(tmp_path / "rc"))
+    a = spark.range(10).selectExpr("id", "id * 2 AS v")
+    b = spark.range(10).selectExpr("id", "id * 3 AS v")
+    monkeypatch.setattr(type(a), "semanticHash", lambda self: 0xDEADBEEF)
+    got_a = cache.get_or_compute(a, snapshot="s1")
+    got_b = cache.get_or_compute(b, snapshot="s1")
+    assert cache.misses == 2 and cache.hits == 0  # no false hit
+    assert {tuple(r) for r in got_a.collect()} == {(i, i * 2) for i in range(10)}
+    assert {tuple(r) for r in got_b.collect()} == {(i, i * 3) for i in range(10)}
+    # and the identical plan still HITS under the forced collision
+    a2 = spark.range(10).selectExpr("id", "id * 2 AS v")
+    got_a2 = cache.get_or_compute(a2, snapshot="s1")
+    assert cache.hits == 1
+    assert {tuple(r) for r in got_a2.collect()} == {(i, i * 2) for i in range(10)}
+
+
 def test_flatten_rewriter_edges():
     import pytest as _pytest
 
@@ -817,6 +839,74 @@ def test_flatten_rewriter_edges():
     # missing alias refuses instead of swallowing the next keyword
     with _pytest.raises(ValueError, match="alias"):
         rewrite_flatten("SELECT 1 FROM t, LATERAL FLATTEN(input => a) WHERE b = 1")
+    # --- ADVICE r5: name-based argument parsing ---
+    # outer AFTER input (the common Snowflake order) lowers to OUTER,
+    # instead of slipping through as an opaque posexplode arg
+    out = rewrite_flatten(
+        "SELECT 1 FROM t, LATERAL FLATTEN(input => a, outer => TRUE) f"
+    )
+    assert "LATERAL VIEW OUTER posexplode(a) f AS index, value" in out
+    # outer => false is a no-op flag
+    out = rewrite_flatten(
+        "SELECT 1 FROM t, LATERAL FLATTEN(input => a, outer => false) f"
+    )
+    assert "LATERAL VIEW posexplode(a) f AS index, value" in out
+    # leading OUTER arg also works
+    out = rewrite_flatten(
+        "SELECT 1 FROM t, LATERAL FLATTEN(outer => true, input => a) f"
+    )
+    assert "LATERAL VIEW OUTER posexplode(a) f AS index, value" in out
+    # a column merely NAMED like a mode is not misread as the mode
+    out = rewrite_flatten(
+        "SELECT 1 FROM t, LATERAL FLATTEN(input => recursive_depth) f"
+    )
+    assert "LATERAL VIEW posexplode(recursive_depth) f AS index, value" in out
+    # a function call with commas inside stays one argument
+    out = rewrite_flatten(
+        "SELECT 1 FROM t, LATERAL FLATTEN(input => slice(a, 1, 3)) f"
+    )
+    assert "posexplode(slice(a, 1, 3))" in out
+    # PATH / MODE / unknown names refuse by NAME
+    with _pytest.raises(ValueError, match="PATH"):
+        rewrite_flatten("SELECT 1 FROM t, LATERAL FLATTEN(input => a, path => 'b') f")
+    with _pytest.raises(ValueError, match="MODE"):
+        rewrite_flatten(
+            "SELECT 1 FROM t, LATERAL FLATTEN(input => a, mode => 'ARRAY') f"
+        )
+    with _pytest.raises(ValueError, match="unknown FLATTEN argument"):
+        rewrite_flatten("SELECT 1 FROM t, LATERAL FLATTEN(input => a, seq => 1) f")
+    with _pytest.raises(ValueError, match="TRUE/FALSE"):
+        rewrite_flatten("SELECT 1 FROM t, LATERAL FLATTEN(input => a, outer => x) f")
+
+
+def test_flatten_outer_executes(spark):
+    """OUTER => TRUE emits one (NULL, NULL) row for empty and NULL
+    arrays — Snowflake's left-join contract, via LATERAL VIEW OUTER."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_flatten,
+    )
+
+    spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, None)], "id int, arr array<string>"
+    ).createOrReplaceTempView("flat_t")
+    rows = spark.sql(
+        rewrite_flatten(
+            "SELECT id, f.index AS i, f.value AS v "
+            "FROM flat_t, LATERAL FLATTEN(input => arr, outer => true) f"
+        )
+    ).collect()
+    got = sorted(
+        ((r.id, r.i, r.v) for r in rows),
+        key=lambda t: (t[0], t[1] is None, t[1] or 0),
+    )
+    assert got == [(1, 0, "a"), (1, 1, "b"), (2, None, None), (3, None, None)]
+    # and WITHOUT outer, the empty/null rows vanish
+    rows = spark.sql(
+        rewrite_flatten(
+            "SELECT id FROM flat_t, LATERAL FLATTEN(input => arr) f"
+        )
+    ).collect()
+    assert sorted(r.id for r in rows) == [1, 1]
 
 
 def test_zone_map_incremental_update_equals_rebuild(spark, tmp_path):
@@ -841,7 +931,29 @@ def test_zone_map_incremental_update_equals_rebuild(spark, tmp_path):
     # no new files -> unchanged object
     assert update_zone_map(spark, path, manifest, ["ts"]) is manifest
     mk(100, 30).coalesce(1).write.mode("append").parquet(path)
-    updated = update_zone_map(spark, path, manifest, ["ts"])
+    # VERDICT r5 #4: the update must not plan a scan over pre-existing
+    # files (file enumeration is a FILESYSTEM listing, not a parquet
+    # read). Record every read.parquet call during the update.
+    from pyspark.sql.readwriter import DataFrameReader
+
+    requested: list[tuple[str, ...]] = []
+    real_parquet = DataFrameReader.parquet
+
+    def recording_parquet(self, *paths, **kw):
+        requested.append(paths)
+        return real_parquet(self, *paths, **kw)
+
+    DataFrameReader.parquet = recording_parquet
+    try:
+        updated = update_zone_map(spark, path, manifest, ["ts"])
+    finally:
+        DataFrameReader.parquet = real_parquet
+    old_files = {r["file"].split("://", 1)[-1] for r in manifest.collect()}
+    scanned = {p.split("://", 1)[-1] for call in requested for p in call}
+    assert scanned, "update with new files must scan the new files"
+    assert not (scanned & old_files), (
+        f"update path scanned pre-existing files: {scanned & old_files}"
+    )
     rebuilt = build_zone_map(spark, path, ["ts"])
     key = lambda df: sorted(
         (r["file"], r["min_ts"], r["max_ts"]) for r in df.collect()
@@ -1002,3 +1114,62 @@ def test_multi_table_transaction_rollback_and_roll_forward(spark, tmp_path):
     # idempotent: nothing left to do
     assert MultiTableTransaction.recover(spark, base) == {"forward": 0, "back": 0}
     assert not [d for d in os.listdir(base) if "__txn_" in d]
+
+
+def test_dynamic_table_crash_retry_no_double_count(spark, tmp_path):
+    """ADVICE r5 (medium): a crash between the state swap and the
+    changelog offset commit must NOT double-fold the delta on retry.
+    The _applied_version sidecar (written in the same atomic rename as
+    the data) makes the fold window `applied < _version <= current`.
+    Exercises both retry shapes: no-new-data (roll-forward commit) and
+    new-data-arrived-since-crash (tightened window)."""
+    from end_to_end_etl_using_snowflake_spark.plans.dynamic_table import DynamicTable
+
+    log = Changelog(spark, str(tmp_path / "log"))
+
+    def partial(df):
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s"),
+        )
+
+    dt = DynamicTable(
+        spark,
+        str(tmp_path / "dt"),
+        log,
+        partial,
+        keys=["k"],
+        sum_cols=["s"],
+        count_col="n",
+    )
+
+    def state():
+        return {r.k: (r.n, r.s) for r in dt.read().collect()}
+
+    log.record(_df(spark, [(1, 10), (1, 5), (2, 7)], "k int, v int"), "INSERT")
+    dt.refresh()
+    assert state() == {1: (2, 15), 2: (1, 7)}
+
+    # Crash shape 1: delta folded + swapped, offset commit LOST.
+    log.record(_df(spark, [(1, 100)], "k int, v int"), "INSERT")
+    real_commit = log.stream_commit
+    log.stream_commit = lambda consumer, version: None  # swallow the commit
+    dt.refresh()
+    log.stream_commit = real_commit
+    assert state() == {1: (3, 115), 2: (1, 7)}
+    assert log.offset(dt.consumer) == 1  # commit was lost
+    # Retry with nothing new: must roll the offset forward, not re-fold.
+    dt.refresh()
+    assert state() == {1: (3, 115), 2: (1, 7)}
+    assert log.offset(dt.consumer) == 2
+
+    # Crash shape 2: commit lost AND new data arrives before the retry.
+    log.record(_df(spark, [(2, 1)], "k int, v int"), "INSERT")
+    log.stream_commit = lambda consumer, version: None
+    dt.refresh()  # folds version 3, stamps applied=3, commit lost
+    log.stream_commit = real_commit
+    log.record(_df(spark, [(3, 50)], "k int, v int"), "INSERT")  # version 4
+    dt.refresh()  # window (1, 4] but applied=3 -> folds ONLY version 4
+    assert state() == {1: (3, 115), 2: (2, 8), 3: (1, 50)}
+    assert log.offset(dt.consumer) == 4
+    assert dt.applied_version() == 4

@@ -28,32 +28,45 @@ def test_entry_smoke(spark):
 
 def test_driver_prefix_spans_all_operator_families():
     """The driver's correctness gate checks a PREFIX of queries() (50
-    entries per round so far). Round-5 rotation: rounds 1-4 drove 124
-    distinct entries to driver rows; the r5 window holds the 41
-    never-driver-checked round-4 additions, f11_array_funcs (the only
-    red row ever, fixed in r1 but never re-rotated), a 4-entry
-    always-on core, and 4 re-check slots. Guard both properties: every
+    entries per round so far). Round-6 rotation: rounds 1-5 drove 172
+    distinct entries to driver rows; the r6 window holds the 23
+    never-driver-checked entries (the full VERDICT-r5 set, including
+    d10/d11 that NOTES r5 omitted), the 2-entry always-on core,
+    re-checks of the oldest r1 greens, and padding re-checks that
+    round-6 additions evict one-for-one. Guard both properties: every
     never-checked entry is inside the window (none silently pushed
     out), and the core pillars stay covered."""
     prefix = list(__spark_entry__.queries())[:50]
+    never_checked_r6 = [
+        "a8_filtered_aggregates", "d10_segment_boilerplate",
+        "d11_semantic_dedup", "dq4_minhash_recall_eval",
+        "e13_match_recognize", "e15_stream_full_outer_join",
+        "e16_stream_session_close", "f15_min_max_by",
+        "k5_file_bloom_prune", "pl_clustering_info", "pl_dynamic_table",
+        "pl_quarantine", "pl_show_columns", "pl_transaction",
+        "prof3_sketch_profile", "sql6_flatten_dialect",
+        "sql7_group_by_all", "t13_quality_classifier", "v14_mmr_rerank",
+        "v15_ann_ivf_trained", "w5_rank_distribution_funcs",
+        "x23_length_bucketing", "x24_asof_directional",
+    ]
+    pushed_out = [n for n in never_checked_r6 if n not in prefix]
+    assert not pushed_out, (
+        f"never-driver-checked entries outside the 50-window: {pushed_out}"
+    )
     families = {
         "flagship": ("flagship",),
-        "reference-pipeline": ("pl_dim_", "pl_backfill", "pl_schema_",
-                               "pl_secured_", "pl_zero_copy_", "pl_pipe_"),
-        "merge/dml": ("m1_", "m9_"),
-        "casts/functions": ("f10_", "f11_"),
-        "tpch-analytics": ("q2_", "q8_", "q9_", "q11_", "q12_", "q13_",
-                           "q15_", "q16_", "q17_", "q20_", "q21_"),
-        "sketches": ("k4_",),
-        "text-analysis": ("t11_", "t12_"),
-        "dedup-llm": ("d12_",),
-        "similarity": ("v11_", "v13_"),
-        "llm-pipeline": ("x16_", "x17_", "x18_", "x19_", "x20_"),
-        "multimodal": ("mm4_",),
-        "quality/profiling": ("dq2_", "dq3_", "prof1_", "prof2_"),
-        "sql-surface": ("sql4_", "sql5_", "udf2_"),
-        "streaming": ("e8_", "e9_", "e10_", "e11_", "e12_"),
-        "materialized-view": ("mv1_",),
+        "reference-pipeline": ("pl_dim_", "pl_quarantine", "pl_transaction",
+                               "pl_dynamic_", "pl_clustering_", "pl_show_"),
+        "scan/project/join core": ("p1_", "p2_", "j1_", "a1_"),
+        "merge/dml": ("m2_", "m6_"),
+        "sketches": ("k5_", "prof3_"),
+        "text-analysis": ("t1_", "t13_"),
+        "dedup-llm": ("d10_", "d11_", "dq4_", "d1_", "d3_"),
+        "similarity": ("v14_", "v15_", "v1_"),
+        "llm-pipeline": ("x23_", "x24_"),
+        "window/agg-surface": ("w5_", "a8_", "f15_"),
+        "sql-surface": ("sql6_", "sql7_"),
+        "streaming": ("e13_", "e15_", "e16_"),
     }
     missing = {
         fam: pfxs

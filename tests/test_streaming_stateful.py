@@ -255,3 +255,63 @@ def test_sessionize_stream_on_rocksdb_state_store(spark, tmp_path):
         # first 3 events -> session 1, last 3 -> session 2, per user
         assert {got[(u, u * 10 + i)] for i in range(3)} == {1}
         assert {got[(u, u * 10 + i)] for i in range(3, 6)} == {2}
+
+
+def test_session_close_ids_unique_across_micro_batches(spark, tmp_path):
+    """ADVICE r5: a user whose session closes by EVENT-TIME TIMEOUT and
+    who then RETURNS in a later micro-batch must not reuse a session_id
+    (the old per-user counter died with state.remove()). Ids are now
+    derived from the session start (epoch micros), so this drives two
+    real micro-batches (maxFilesPerTrigger=1) where user 1's first
+    session times out before their second session's events arrive, and
+    asserts key uniqueness + exact aggregates."""
+    import datetime
+
+    from end_to_end_etl_using_snowflake_spark.streaming.stateful import (
+        SESSION_CLOSE_SCHEMA,
+        session_close_stream,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda m: t0 + datetime.timedelta(minutes=m)
+    # batch 1: user 1 session A (2 events), plus a watermark-driver row
+    # from user 2 far enough ahead that session A's close deadline
+    # (last + 30 min) is passed once batch 1 commits.
+    batch1 = [(1, 10, s(0)), (1, 11, s(10)), (2, 20, s(120))]
+    # batch 2: user 1 returns 3 h later (session B), sentinel user -1
+    # pushes the watermark past session B's deadline so it also closes.
+    batch2 = [(1, 12, s(180)), (1, 13, s(185)), (-1, -1, s(600))]
+    schema = "user_id bigint, event_id bigint, ts timestamp"
+    indir = str(tmp_path / "in")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(indir + "/b1")
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(
+        indir + "/b2"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir + "/b*")
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        session_close_stream(stream, gap_seconds=1800.0)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.read.schema(SESSION_CLOSE_SCHEMA)
+        .parquet(str(tmp_path / "out"))
+        .filter(F.col("user_id") == 1)
+        .collect()
+    )
+    by_key = {(r.user_id, r.session_id): (r.n_events, r.start_ts, r.end_ts) for r in got}
+    assert len(got) == 2, f"expected 2 closed sessions for user 1, got {got}"
+    assert len(by_key) == 2, f"duplicate (user_id, session_id) keys: {got}"
+    us = lambda dt: round(dt.timestamp() * 1_000_000)
+    assert by_key[(1, us(s(0)))] == (2, s(0), s(10))
+    assert by_key[(1, us(s(180)))] == (2, s(180), s(185))
