@@ -118,12 +118,27 @@ def main() -> None:
     # timed: build + materialize. build() is plan construction (~ms) for
     # pure queries, but the stateful pipeline entries (pl_backfill_scale)
     # do their real work inside build — timing both keeps one rule.
+    #
+    # Each query reports the MIN of 3 timed runs (VERDICT r5 #2): at
+    # these magnitudes a single run cannot distinguish a regression
+    # from a GC pause — r5 saw a uniform ~1.2x drift and one spurious
+    # 2.26x outlier on unchanged code. The min is the right noise-floor
+    # estimator for deterministic repeatable work (variance is all
+    # additive noise: GC, page cache, JIT recompiles). The two backfill
+    # pipeline entries stay single-run: their build consumes prepared
+    # input state (the delta cycle applies the held-back months), so a
+    # second run would measure a different, smaller computation.
+    single_run = {"pl_backfill_incremental", "pl_backfill_scale"}
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = REGISTRY[name].build(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(1 if name in single_run else repeats):
+            t0 = time.perf_counter()
+            df = REGISTRY[name].build(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(

@@ -1,0 +1,181 @@
+"""Snowflake-dialect TEXT entry point: execute the reference's own
+admin/observability statements VERBATIM against the engine.
+
+The reference scripts end with an operator console
+(customer-end-to-end-pipeline-script.sql:190-216): ``alter task ...
+suspend``, ``select * from table(information_schema.task_history())
+where name in (...) order by scheduled_time desc``, ``list @landing``,
+``show tasks/streams/pipes``, ``select system$pipe_status(...)``. The
+QUALIFY (sql5), FLATTEN (sql6/sql8), and GROUP BY ALL (sql7) shims
+prove the dialect approach for queries; this module extends it to the
+admin surface so those statements can be pasted UNCHANGED:
+
+- catalog/introspection statements dispatch to the engine registries
+  (TaskDag.show_tasks/task_history, Warehouse.show_streams, Pipe
+  status, the landing listing);
+- lifecycle statements (``alter task|pipe``) dispatch to the same
+  suspend/resume/pause primitives the pipelines use (T6/F3/S4);
+- ``table(information_schema.task_history())`` is rewritten to a temp
+  view over the engine's run log and the REST of the statement (WHERE /
+  ORDER BY / comments) executes verbatim through Spark SQL. Task names
+  surface UPPERCASED, matching Snowflake's unquoted-identifier
+  semantics (the reference filters on 'CUSTOMER_RAW_TSK' etc.);
+- anything else falls through to ``spark.sql`` after the
+  QUALIFY/FLATTEN lowering passes (the sql1 text surface).
+
+All statements are metadata-sized: show_*/task_history build rows from
+in-memory registries (O(tasks)/O(runs)), ``list @landing`` is a
+filesystem listing — none plans a data scan, which is what an admin
+console must be at 100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sqldialect import rewrite_flatten, rewrite_qualify
+
+
+def _normalize(text: str) -> str:
+    """Strip ``--`` line comments and the trailing semicolon, collapse
+    whitespace — statement-form matching only; never applied to text
+    that falls through to Spark SQL (Spark handles comments itself)."""
+    no_comments = re.sub(r"--[^\n]*", " ", text)
+    return re.sub(r"\s+", " ", no_comments).strip().rstrip(";").strip()
+
+
+def _show_tasks(spark: SparkSession, pipelines) -> DataFrame:
+    out = None
+    for entity, dag in pipelines.dags.items():
+        part = dag.show_tasks().withColumn("dag", F.lit(entity))
+        out = part if out is None else out.unionByName(part)
+    return out.select("dag", "name", "after", "state", "has_when")
+
+
+def _show_pipes(spark: SparkSession, pipelines) -> DataFrame:
+    rows = [
+        (e, s["name"], s["executionState"], s["pendingFileCount"])
+        for e, p in pipelines.pipes.items()
+        for s in [p.status()]
+    ]
+    return spark.createDataFrame(
+        rows, "entity string, name string, execution_state string, pending_files int"
+    )
+
+
+def _list_stage(spark: SparkSession, pipelines) -> DataFrame:
+    from ..sources.copy_into import list_stage
+
+    rows = [
+        (e, f)
+        for e, p in pipelines.pipes.items()
+        for f in list_stage(p.landing_dir)
+    ]
+    return spark.createDataFrame(rows, "entity string, file string")
+
+
+def _find_pipe(pipelines, name: str):
+    """Resolve '[schema.]pipe_name' against the pipe registry."""
+    bare = name.split(".")[-1].lower()
+    for p in pipelines.pipes.values():
+        if p.name.lower() == bare:
+            return p
+    raise ValueError(f"unknown pipe: {name!r}")
+
+
+def _find_dag(pipelines, task_name: str):
+    low = task_name.lower()
+    for dag in pipelines.dags.values():
+        if any(t.name.lower() == low for t in dag.tasks):
+            return dag
+    raise ValueError(f"unknown task: {task_name!r}")
+
+
+def _ok(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [("Statement executed successfully.",)], "status string"
+    )
+
+
+def _task_history_view(spark: SparkSession, pipelines) -> str:
+    """Materialize the run log of every dag as ONE temp view with
+    Snowflake-cased (UPPER) task names; returns the view name."""
+    out = None
+    for entity, dag in pipelines.dags.items():
+        part = dag.task_history().withColumn("database_name", F.lit(entity))
+        out = part if out is None else out.unionByName(part)
+    out = out.withColumn("name", F.upper(F.col("name")))
+    view = "__snowflake_task_history"
+    out.createOrReplaceTempView(view)
+    return view
+
+
+def snowflake_sql(spark: SparkSession, text: str, pipelines=None) -> DataFrame:
+    """Execute one Snowflake statement verbatim. ``pipelines`` (an
+    EntityPipelines or any object with ``dags``/``pipes``/``wh``) is
+    required for admin statements; pure queries run without it."""
+    stmt = _normalize(text)
+    low = stmt.lower()
+
+    if low in ("show tasks", "show streams", "show pipes", "show tables",
+               "show columns") or low.startswith(("list @", "alter task ",
+               "alter pipe ")) or "system$pipe_status" in low \
+            or "information_schema.task_history()" in low:
+        if pipelines is None:
+            raise ValueError(f"admin statement needs a pipeline context: {stmt!r}")
+
+    if low == "show tasks":
+        return _show_tasks(spark, pipelines)
+    if low == "show streams":
+        return pipelines.wh.show_streams()
+    if low == "show pipes":
+        return _show_pipes(spark, pipelines)
+    if low == "show tables":
+        return pipelines.wh.show_tables()
+    if low == "show columns":
+        return pipelines.wh.show_columns()
+
+    m = re.fullmatch(r"list @([a-z_][a-z0-9_.]*)", low)
+    if m:
+        return _list_stage(spark, pipelines)
+
+    m = re.fullmatch(r"alter task ([a-z_][a-z0-9_.]*) (suspend|resume)", low)
+    if m:
+        name, verb = m.group(1).split(".")[-1], m.group(2)
+        dag = _find_dag(pipelines, name)
+        (dag.suspend if verb == "suspend" else dag.resume)(name)
+        return _ok(spark)
+
+    m = re.fullmatch(
+        r"alter pipe ([a-z_][a-z0-9_.]*) set pipe_execution_paused = (true|false)",
+        low,
+    )
+    if m:
+        pipe = _find_pipe(pipelines, m.group(1))
+        pipe.pause() if m.group(2) == "true" else pipe.resume()
+        return _ok(spark)
+
+    m = re.search(r"system\$pipe_status\s*\(\s*'([^']+)'\s*\)", low)
+    if m:
+        s = _find_pipe(pipelines, m.group(1)).status()
+        return spark.createDataFrame(
+            [(s["name"], s["executionState"], s["pendingFileCount"])],
+            "name string, execution_state string, pending_files int",
+        )
+
+    if re.search(r"table\s*\(\s*information_schema\.task_history\s*\(\s*\)\s*\)",
+                 low):
+        view = _task_history_view(spark, pipelines)
+        rewritten = re.sub(
+            r"table\s*\(\s*information_schema\.task_history\s*\(\s*\)\s*\)",
+            view,
+            text,
+            flags=re.IGNORECASE,
+        )
+        return spark.sql(rewrite_qualify(rewrite_flatten(rewritten)))
+
+    # plain query: QUALIFY/FLATTEN lowering, then Spark SQL verbatim
+    return spark.sql(rewrite_qualify(rewrite_flatten(text)))

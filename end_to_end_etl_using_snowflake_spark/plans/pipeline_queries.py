@@ -602,3 +602,138 @@ def _run_admin_scenario(spark: SparkSession) -> DataFrame:
         "kind string, name string, state string, n long",
     )
     return task_rows.unionByName(pipe_rows).unionByName(table_rows)
+
+
+# ----------------------------------------------------------------------
+# The reference operator console, executed VERBATIM (VERDICT r5 #7)
+# ----------------------------------------------------------------------
+
+# Exact statement text from customer-end-to-end-pipeline-script.sql:198-216
+# (including the commented-out scheduled_time filter and spacing).
+_CONSOLE_TASK_HISTORY = """select *  from table(information_schema.task_history()) 
+where name in ('PAUSE_PIPE_CUSTOMER','CUSTOMER_RAW_TSK','DIM_CUSTOMER_TSK','TRUNCATE_STAGING_TABLE_CUSTOMER','PLAY_PIPE_CUSTOMER')
+--and scheduled_time = current_date()
+order by scheduled_time desc;"""
+
+
+@register(
+    "pl_reference_console",
+    # GOLDEN-TABLE oracle: every row is fully determined by the
+    # 3-step replay's task/stream/pipe semantics (same derivations as
+    # pl_task_history / pl_show_streams / pl_list_stage) — this entry's
+    # point is that the VERBATIM Snowflake statements produce it.
+    oracle="""
+    SELECT * FROM (VALUES
+        ('task_history', 'PAUSE_PIPE_CUSTOMER',             'SUCCEEDED:3'),
+        ('task_history', 'CUSTOMER_RAW_TSK',                'SUCCEEDED:3'),
+        ('task_history', 'DIM_CUSTOMER_TSK',                'SUCCEEDED:3'),
+        ('task_history', 'TRUNCATE_STAGING_TABLE_CUSTOMER', 'SUCCEEDED:3'),
+        ('task_history', 'PLAY_PIPE_CUSTOMER',              'SUCCEEDED:3'),
+        ('show_tasks', 'customer.pause_pipe_customer',             'started'),
+        ('show_tasks', 'customer.customer_raw_tsk',                'started'),
+        ('show_tasks', 'customer.dim_customer_tsk',                'started'),
+        ('show_tasks', 'customer.truncate_staging_table_customer', 'started'),
+        ('show_tasks', 'customer.play_pipe_customer',              'started'),
+        ('show_tasks', 'item.pause_pipe_item',                     'started'),
+        ('show_tasks', 'item.item_raw_tsk',                        'started'),
+        ('show_tasks', 'item.dim_item_tsk',                        'started'),
+        ('show_tasks', 'item.truncate_staging_table_item',         'started'),
+        ('show_tasks', 'item.play_pipe_item',                      'started'),
+        ('show_tasks', 'order.pause_pipe_order',                   'started'),
+        ('show_tasks', 'order.order_raw_tsk',                      'started'),
+        ('show_tasks', 'order.fact_order_tsk',                     'started'),
+        ('show_tasks', 'order.truncate_staging_table_order',       'started'),
+        ('show_tasks', 'order.play_pipe_order',                    'started'),
+        ('show_streams', 'raw.raw_customer', 'dim_tsk:3:3'),
+        ('show_streams', 'raw.raw_item',     'dim_tsk:3:3'),
+        ('show_streams', 'raw.raw_order',    'fact_tsk:2:2'),
+        ('show_streams', 'stg.stg_customer', 'raw_tsk:5:6'),
+        ('show_streams', 'stg.stg_item',     'raw_tsk:5:6'),
+        ('show_streams', 'stg.stg_order',    'raw_tsk:3:4'),
+        ('show_pipes', 'stg_customer_pipe', 'RUNNING:0'),
+        ('show_pipes', 'stg_item_pipe',     'RUNNING:0'),
+        ('show_pipes', 'stg_order_pipe',    'RUNNING:0'),
+        ('list_stage', 'customer_history.csv', 'customer'),
+        ('list_stage', 'customer_delta_1.csv', 'customer'),
+        ('list_stage', 'customer_delta_2.csv', 'customer'),
+        ('list_stage', 'item_history.csv',     'item'),
+        ('list_stage', 'item_delta_1.csv',     'item'),
+        ('list_stage', 'item_delta_2.csv',     'item'),
+        ('list_stage', 'order_history.csv',    'order'),
+        ('list_stage', 'order_delta_1.csv',    'order'),
+        ('pipe_status', 'stg_customer_pipe', 'RUNNING:0'),
+        ('alter_task', 'dim_customer_tsk@suspended', 'suspended'),
+        ('alter_task', 'dim_customer_tsk@resumed',   'started')
+    ) AS t(surface, item, value)
+    """,
+    doc="""The reference's OPERATOR CONSOLE executed VERBATIM
+    (customer-end-to-end-pipeline-script.sql:198-216 plus the
+    alter-task lifecycle at :190-195): the exact statement texts —
+    ``select *  from table(information_schema.task_history()) where
+    name in ('PAUSE_PIPE_CUSTOMER', ...) order by scheduled_time
+    desc`` (comment line and all), ``list @landing``, ``show tasks``,
+    ``show streams``, ``show pipes``, ``select
+    system$pipe_status('stg.stg_customer_pipe')``, ``alter task
+    dim_customer_tsk suspend/resume`` — are pasted unchanged into
+    functions/snowflake_sql.py:snowflake_sql, which dispatches catalog
+    statements to the engine registries, lifecycle statements to the
+    task/pipe primitives, and rewrites the task_history() table
+    function to a temp view over the run log (names UPPERCASED per
+    Snowflake's unquoted-identifier rule — the reference's WHERE
+    filter relies on it) so the WHERE/ORDER BY run through Spark SQL
+    verbatim. Results are projected to a (surface, item, value) long
+    format with wall-clock aggregated away; an in-query assert pins
+    the verbatim history statement's raw row count (5 tasks x 3 runs).
+    Every statement is metadata-sized — no data scan.""",
+    tags=("S6", "S7", "T6", "T7", "F3", "dialect", "pipeline"),
+)
+def pl_reference_console(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.snowflake_sql import snowflake_sql
+
+    p = _replayed(spark)
+    run = lambda text: snowflake_sql(spark, text, p)
+
+    hist = run(_CONSOLE_TASK_HISTORY)
+    hist_rows = hist.collect()  # 15 rows of run metadata — O(runs)
+    if len(hist_rows) != 15:
+        raise RuntimeError(f"verbatim task_history returned {len(hist_rows)} rows")
+    if [r["state"] for r in hist_rows].count("SUCCEEDED") != 15:
+        raise RuntimeError("unexpected non-SUCCEEDED customer task run")
+    agg = {}
+    for r in hist_rows:
+        agg[(r["name"], r["state"])] = agg.get((r["name"], r["state"]), 0) + 1
+    rows = [("task_history", n, f"{s}:{c}") for (n, s), c in agg.items()]
+
+    rows += [
+        ("show_tasks", f"{r['dag']}.{r['name']}", r["state"])
+        for r in run("show tasks;").collect()
+    ]
+    rows += [
+        ("show_streams", f"{r['schema']}.{r['table']}",
+         f"{r['consumer']}:{r['offset']}:{r['version']}")
+        for r in run("show streams;").collect()
+    ]
+    rows += [
+        ("show_pipes", r["name"], f"{r['execution_state']}:{r['pending_files']}")
+        for r in run("show pipes;").collect()
+    ]
+    rows += [
+        ("list_stage", r["file"], r["entity"])
+        for r in run("list @landing;").collect()
+    ]
+    rows += [
+        ("pipe_status", r["name"], f"{r['execution_state']}:{r['pending_files']}")
+        for r in run("select system$pipe_status('stg.stg_customer_pipe');").collect()
+    ]
+
+    # lifecycle round-trip (T6): suspend via the verbatim statement,
+    # observe through show tasks, resume — net state unchanged, so the
+    # shared replay stays valid for every other pl_* entry.
+    run("alter task dim_customer_tsk suspend;")
+    st = {r["name"]: r["state"] for r in run("show tasks;").collect()}
+    rows.append(("alter_task", "dim_customer_tsk@suspended", st["dim_customer_tsk"]))
+    run("alter task dim_customer_tsk resume;")
+    st = {r["name"]: r["state"] for r in run("show tasks;").collect()}
+    rows.append(("alter_task", "dim_customer_tsk@resumed", st["dim_customer_tsk"]))
+
+    return spark.createDataFrame(rows, "surface string, item string, value string")

@@ -3509,6 +3509,13 @@ def e10_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = scratch_dir("e10_join_")
     ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    # TEST-SOURCE SCAFFOLDING, not a production pattern: this driver
+    # collect of max(ts) exists only to synthesize the sentinel flush
+    # row for a bounded availableNow drain (the drained file source
+    # never produces events past the fixture, so nothing would advance
+    # the watermark past the last real window). A production stream
+    # closes windows by watermark advance from the live event flow --
+    # no driver pass over the data exists or is needed there.
     mx = ev.agg(F.max("ts")).collect()[0][0]
 
     def side(event_type: str, sentinel_id: int, path: str) -> None:
@@ -3581,6 +3588,13 @@ def e11_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = scratch_dir("e11_win_")
     ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    # TEST-SOURCE SCAFFOLDING, not a production pattern: this driver
+    # collect of max(ts) exists only to synthesize the sentinel flush
+    # row for a bounded availableNow drain (the drained file source
+    # never produces events past the fixture, so nothing would advance
+    # the watermark past the last real window). A production stream
+    # closes windows by watermark advance from the live event flow --
+    # no driver pass over the data exists or is needed there.
     mx = ev.agg(F.max("ts")).collect()[0][0]
     sentinel = (
         spark.createDataFrame([("__flush", 0.0)], "event_type string, value double")
@@ -5339,6 +5353,13 @@ def e15_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = scratch_dir("e15_join_")
     ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    # TEST-SOURCE SCAFFOLDING, not a production pattern: this driver
+    # collect of max(ts) exists only to synthesize the sentinel flush
+    # row for a bounded availableNow drain (the drained file source
+    # never produces events past the fixture, so nothing would advance
+    # the watermark past the last real window). A production stream
+    # closes windows by watermark advance from the live event flow --
+    # no driver pass over the data exists or is needed there.
     mx = ev.agg(F.max("ts")).collect()[0][0]
 
     def side(event_type: str, sentinel_id: int, path: str) -> None:
@@ -5502,6 +5523,13 @@ def e16_stream_session_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
     )
+    # TEST-SOURCE SCAFFOLDING, not a production pattern: this driver
+    # collect of max(ts) exists only to synthesize the sentinel flush
+    # row for a bounded availableNow drain (the drained file source
+    # never produces events past the fixture, so nothing would advance
+    # the watermark past the last real window). A production stream
+    # closes windows by watermark advance from the live event flow --
+    # no driver pass over the data exists or is needed there.
     mx = ev.agg(F.max("ts")).collect()[0][0]
     sentinel = spark.createDataFrame(
         [(-1, -1)], "user_id bigint, event_id bigint"

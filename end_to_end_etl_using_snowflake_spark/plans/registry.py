@@ -99,6 +99,7 @@ PRIORITY: tuple[str, ...] = (
     # round-6 additions land here (each swap evicts one padding
     # re-check below, keeping the window at exactly 50)
     "sql8_flatten_outer",
+    "pl_reference_console",
     # padding: oldest-green re-checks, evicted as r6 entries land
     "w1_dedup_latest_per_key",
     "o2_sort_topk",
@@ -119,9 +120,9 @@ PRIORITY: tuple[str, ...] = (
     "d1_dedup_exact",
     "d3_dedup_minhash_lsh",
     "v1_ann_bruteforce_topk",
-    "t1_token_stats",
     # ---- 51+: driver-green in r1-r5 and rotated out of the window;
     # all remain locally oracle-checked per pytest run.
+    "t1_token_stats",
     "q1_pricing_summary",
     "f11_array_funcs",
     "q2_min_cost_supplier",

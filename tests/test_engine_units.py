@@ -1173,3 +1173,66 @@ def test_dynamic_table_crash_retry_no_double_count(spark, tmp_path):
     assert state() == {1: (3, 115), 2: (2, 8), 3: (1, 50)}
     assert log.offset(dt.consumer) == 4
     assert dt.applied_version() == 4
+
+
+def test_snowflake_sql_dispatch_edges(spark, tmp_path):
+    """snowflake_sql: lifecycle + error + fallback paths not covered by
+    the pl_reference_console golden (which pins the catalog surfaces)."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.snowflake_sql import (
+        snowflake_sql,
+    )
+    from end_to_end_etl_using_snowflake_spark.pipelines.entities import (
+        EntityPipelines,
+    )
+    from end_to_end_etl_using_snowflake_spark.plans.catalog import Warehouse
+    import os
+
+    landing = str(tmp_path / "landing")
+    for e in ("customer", "item", "order"):
+        os.makedirs(os.path.join(landing, e))
+    p = EntityPipelines(spark, Warehouse(spark, str(tmp_path / "wh")), landing)
+
+    # alter pipe pause/resume (customer-...sql:68 form), verbatim
+    snowflake_sql(
+        spark, "alter pipe stg.stg_customer_pipe set pipe_execution_paused = true;", p
+    )
+    assert p.pipes["customer"].status()["executionState"] == "PAUSED"
+    snowflake_sql(
+        spark, "alter pipe stg_customer_pipe set pipe_execution_paused = false;", p
+    )
+    assert p.pipes["customer"].status()["executionState"] == "RUNNING"
+
+    # unknown objects refuse loudly
+    with _pytest.raises(ValueError, match="unknown pipe"):
+        snowflake_sql(spark, "select system$pipe_status('stg.nope_pipe');", p)
+    with _pytest.raises(ValueError, match="unknown task"):
+        snowflake_sql(spark, "alter task nope_tsk suspend;", p)
+    # admin statement without a context refuses
+    with _pytest.raises(ValueError, match="pipeline context"):
+        snowflake_sql(spark, "show pipes;", None)
+
+    # fallback: a plain Snowflake query (QUALIFY dialect) executes
+    spark.range(10).selectExpr("id", "id % 3 AS g").createOrReplaceTempView(
+        "snowsql_t"
+    )
+    got = snowflake_sql(
+        spark,
+        "SELECT id, g FROM snowsql_t "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY id) = 1",
+        None,
+    ).collect()
+    assert sorted((r.id, r.g) for r in got) == [(0, 0), (1, 1), (2, 2)]
+
+    # verbatim task_history over a run log: empty history -> 0 rows,
+    # statement still parses/executes end-to-end through Spark SQL
+    got = snowflake_sql(
+        spark,
+        "select *  from table(information_schema.task_history()) \n"
+        "where name in ('CUSTOMER_RAW_TSK')\n"
+        "--and scheduled_time = current_date()\n"
+        "order by scheduled_time desc;",
+        p,
+    )
+    assert got.count() == 0
