@@ -160,17 +160,19 @@ def _split_top_level_commas(text: str) -> list[str]:
     return parts
 
 
-def _parse_flatten_args(inner: str) -> tuple[str, bool]:
-    """Parse FLATTEN's named arguments into (input_expr, outer).
+def _parse_flatten_args(inner: str) -> tuple[str, bool, str]:
+    """Parse FLATTEN's named arguments into (input_expr, outer, mode).
 
     Snowflake FLATTEN takes named args (INPUT, PATH, OUTER, RECURSIVE,
     MODE). Arguments are split on TOP-LEVEL commas and dispatched by
     NAME — so ``outer => true`` after ``input =>`` is seen (it used to
     slip past a before-the-first-'=>' scan), and an input expression
     that merely mentions a column like ``recursive_depth`` is NOT
-    misread as the RECURSIVE mode (ADVICE r5)."""
+    misread as the RECURSIVE mode (ADVICE r5). ``mode`` accepts
+    'ARRAY' (default) and 'OBJECT'; RECURSIVE and PATH refuse."""
     input_expr: str | None = None
     outer = False
+    mode = "ARRAY"
     for part in _split_top_level_commas(inner):
         part = part.strip()
         if not part:
@@ -190,7 +192,14 @@ def _parse_flatten_args(inner: str) -> tuple[str, bool]:
             if flag not in {"true", "false"}:
                 raise ValueError(f"FLATTEN OUTER expects TRUE/FALSE, got: {value!r}")
             outer = flag == "true"
-        elif name in {"recursive", "path", "mode"}:
+        elif name == "mode":
+            m = value.rstrip(";").strip().strip("'\"").upper()
+            if m not in {"ARRAY", "OBJECT"}:
+                raise ValueError(
+                    f"FLATTEN MODE supports 'ARRAY'/'OBJECT', got: {value!r}"
+                )
+            mode = m
+        elif name in {"recursive", "path"}:
             raise ValueError(
                 f"FLATTEN {name.upper()} mode is not supported by this shim"
             )
@@ -198,7 +207,7 @@ def _parse_flatten_args(inner: str) -> tuple[str, bool]:
             raise ValueError(f"unknown FLATTEN argument: {name!r}")
     if input_expr is None:
         raise ValueError("FLATTEN requires the input => <expr> form")
-    return input_expr, outer
+    return input_expr, outer, mode
 
 
 def rewrite_flatten(sql: str) -> str:
@@ -213,8 +222,10 @@ def rewrite_flatten(sql: str) -> str:
     meaningfully populates. ``OUTER => TRUE`` maps to ``LATERAL VIEW
     OUTER``: both engines emit one (NULL index, NULL value) row for an
     empty or NULL array, which is Snowflake's left-join-like contract.
-    OBJECT-input flattening (KEY/PATH), RECURSIVE, and MODE raise
-    rather than mistranslate. Arguments are parsed as name => value
+    ``MODE => 'OBJECT'`` flattens a flat JSON object into (key, value)
+    rows via ``explode(from_json(..., 'map<string,string>'))``;
+    RECURSIVE and PATH raise rather than mistranslate. Arguments are
+    parsed as name => value
     pairs split on top-level commas, so flag detection keys on
     argument NAMES, never substrings of the input expression. Every
     occurrence is rewritten; the comma Snowflake places before LATERAL
@@ -229,7 +240,7 @@ def rewrite_flatten(sql: str) -> str:
         open_idx = out.index("(", m.start() + out[m.start():m.end()].upper().find("FLATTEN"))
         close = _balanced_span(out, open_idx)
         inner = out[open_idx + 1:close - 1].strip()
-        expr, outer = _parse_flatten_args(inner)
+        expr, outer, mode = _parse_flatten_args(inner)
         am = _FLATTEN_ALIAS.match(out, close)
         if am is None or am.group(1).upper() in {
             "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "QUALIFY",
@@ -238,5 +249,18 @@ def rewrite_flatten(sql: str) -> str:
             raise ValueError("FLATTEN requires a table alias")
         alias = am.group(1)
         view = "LATERAL VIEW OUTER" if outer else "LATERAL VIEW"
-        replacement = f" {view} posexplode({expr}) {alias} AS index, value"
+        if mode == "OBJECT":
+            # Snowflake's OBJECT flatten emits (KEY, VALUE) per field.
+            # Lowering: parse the JSON text as a string map and explode
+            # it — scalar values render identically to Snowflake/DuckDB
+            # text extraction ('69', 'x', '1.5', 'true', NULL). Flat
+            # objects only: a NESTED object value is out of contract
+            # (from_json's string map nulls it where VARIANT engines
+            # return the subtree text).
+            replacement = (
+                f" {view} explode(from_json({expr}, 'map<string,string>'))"
+                f" {alias} AS key, value"
+            )
+        else:
+            replacement = f" {view} posexplode({expr}) {alias} AS index, value"
         out = out[:m.start()] + replacement + out[am.end():]

@@ -29,7 +29,7 @@ Snowflake docs); this is the engine-native equivalent of that surface.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -481,4 +481,111 @@ def sql_hll_union_by_group(table: str, group_col: str, col: str, p: int = 8) -> 
            {est} AS raw_estimate,
            n_exact
     FROM agg JOIN exact ON exact.scope = agg.scope
+    """
+
+
+def kmv_distinct_by_group(
+    df: DataFrame, group_col: str, col: str, k: int = 64
+) -> DataFrame:
+    """KMV / bottom-k distinct-value sketch (Bar-Yossef et al. 2002;
+    Beyer et al. 2007 "distinct sampling"): per group keep the k
+    SMALLEST 60-bit hashes of the column's distinct values; the k-th
+    smallest hash h_k estimates the distinct count as
+    ``(k-1) * 2^60 / h_k`` (the k-th order statistic of n uniform
+    draws sits near k/n of the range). Groups with fewer than k
+    distinct values report their sketch size exactly.
+
+    The complement to the HLL family (k1/k4): a KMV sketch carries the
+    hash SAMPLE itself, so beyond cardinality it supports distinct
+    sampling and set-operation estimates HLL registers cannot. Same
+    mergeability story: the ``__union__`` row is computed from the
+    per-group SKETCH rows (a groups x k relation, never a rescan) by
+    taking the k smallest distinct hashes of the union — identical
+    hashes across groups dedupe, which is exactly KMV's union rule.
+
+    Scale shape: values hash BEFORE the shuffle (8-byte hashes travel,
+    never the text), per-group top-k is one window over the hashed
+    distinct set, the merge is O(groups x k). Determinism: md5 hashes
+    (engine-identical), integer order statistics, ONE double division
+    at the end — bit-exact against the SQL twin.
+    """
+    hashed = (
+        df.select(
+            F.col(group_col).cast("string").alias("scope"),
+            md5_hash64(F.col(col)).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("scope").orderBy("h")
+    sketch = hashed.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+    union_sketch = (
+        sketch.select("h")
+        .distinct()  # KMV union rule: same value -> same hash -> dedupe
+        .withColumn("r", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("r") <= k)
+        .select(F.lit("__union__").alias("scope"), "h", "r")
+    )
+    per = (
+        sketch.unionByName(union_sketch)
+        .groupBy("scope")
+        .agg(F.count(F.lit(1)).alias("n_sketch"), F.max("h").alias("kth_hash"))
+    )
+    exact = (
+        hashed.groupBy("scope")
+        .agg(F.count(F.lit(1)).alias("ndv_exact"))
+        .unionByName(
+            hashed.select("h")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("ndv_exact"))
+            .select(F.lit("__union__").alias("scope"), "ndv_exact")
+        )
+    )
+    numer = float((k - 1) * (1 << 60))  # exact double (small int * 2^60)
+    est = F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double")).otherwise(
+        F.lit(numer) / F.col("kth_hash").cast("double")
+    )
+    return per.join(exact, "scope").select(
+        "scope", "n_sketch", "kth_hash", est.alias("ndv_est"), "ndv_exact"
+    )
+
+
+def sql_kmv_distinct_by_group(table: str, group_col: str, col: str, k: int = 64) -> str:
+    """DuckDB twin of ``kmv_distinct_by_group`` — identical hashes,
+    order statistics, union rule, and final expression."""
+    h = sql_md5_hash64(col)
+    numer = float((k - 1) * (1 << 60))
+    return f"""
+    WITH hashed AS (
+        SELECT DISTINCT CAST({group_col} AS VARCHAR) AS scope, {h} AS h
+        FROM {table}
+    ),
+    sketch AS (
+        SELECT scope, h FROM (
+            SELECT scope, h,
+                   row_number() OVER (PARTITION BY scope ORDER BY h) AS r
+            FROM hashed
+        ) WHERE r <= {k}
+    ),
+    union_sketch AS (
+        SELECT '__union__' AS scope, h FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS r
+            FROM (SELECT DISTINCT h FROM sketch)
+        ) WHERE r <= {k}
+    ),
+    per AS (
+        SELECT scope, CAST(count(*) AS BIGINT) AS n_sketch,
+               CAST(max(h) AS BIGINT) AS kth_hash
+        FROM (SELECT * FROM sketch UNION ALL SELECT * FROM union_sketch)
+        GROUP BY scope
+    ),
+    exact AS (
+        SELECT scope, CAST(count(*) AS BIGINT) AS ndv_exact FROM hashed GROUP BY scope
+        UNION ALL
+        SELECT '__union__', CAST(count(DISTINCT h) AS BIGINT) FROM hashed
+    )
+    SELECT per.scope, per.n_sketch, per.kth_hash,
+           CASE WHEN per.n_sketch < {k} THEN CAST(per.n_sketch AS DOUBLE)
+                ELSE {numer!r} / CAST(per.kth_hash AS DOUBLE) END AS ndv_est,
+           exact.ndv_exact
+    FROM per JOIN exact ON per.scope = exact.scope
     """

@@ -1310,6 +1310,63 @@ def p8_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p11_dynamic_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT)
+               AS prio_1_urgent,
+           CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT)
+               AS prio_2_high,
+           CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT)
+               AS prio_3_medium,
+           CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT)
+               AS prio_4_not_specified,
+           CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT)
+               AS prio_5_low
+    FROM orders GROUP BY 1
+    """,
+    doc="""DYNAMIC pivot — Snowflake's ``PIVOT (... FOR col IN (ANY
+    ORDER BY col))``: the value list is INFERRED from the data (p8 is
+    the explicit-list form and its doc explains why that is the scale
+    default). Where dynamic pivot IS legitimate at 100 TB: the
+    category column is provably low-cardinality, so the inference is
+    one tiny distinct aggregate, and the real risk — unbounded output
+    width — is guarded in-query (raises if the inferred set exceeds
+    16; Spark's own spark.sql.pivotMaxValues is the engine-level
+    backstop). Inferred columns are renamed by a deterministic
+    sanitizer (value -> prio_<slug>, sorted) so schemas are stable
+    for the comparison; absent (status, priority) combinations
+    surface as 0 on both engines. The oracle states the inferred
+    values statically — a corpus change breaks it loudly, which is
+    the right failure mode for a pinned dynamic schema.""",
+    tags=("pivot", "aggregate", "dynamic"),
+)
+def p11_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    orders = load(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
+    piv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority")  # NO value list: the dynamic form
+        .agg(F.count(F.lit(1)))
+    )
+    vals = [c for c in piv.columns if c != "o_orderstatus"]
+    if len(vals) > 16:
+        raise RuntimeError(
+            f"dynamic pivot width {len(vals)} exceeds the sanity bound; "
+            "use the explicit-list form (p8) for high-cardinality categories"
+        )
+    slug = lambda v: "prio_" + _re.sub(r"[^a-z0-9]+", "_", v.lower()).strip("_")
+    return piv.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(slug(v))
+            for v in sorted(vals)
+        ],
+    )
+
+
+@register(
     "f6_date_math",
     oracle="""
     SELECT o_orderkey,
@@ -3296,6 +3353,40 @@ _attach_k4_oracle()
 
 
 @register(
+    "k6_kmv_distinct",
+    oracle=None,  # assigned below (generated from the sketch module)
+    doc="""KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002) per
+    document source + the k-smallest-hash union merge — the sketch
+    family's distinct-SAMPLING member: unlike HLL registers (k1/k4)
+    the sketch IS a uniform hash sample of the distinct values, so it
+    also answers set-overlap and distinct-sample questions. Hashes
+    travel 8-byte before any shuffle; the union is computed from the
+    per-group sketch rows (O(groups x k)), never a rescan. Same
+    bit-exact contract as the other sketches: md5 order statistics,
+    one final double division; exact distinct counts ride along as
+    self-audit. operators/sketches.py:kmv_distinct_by_group.""",
+    tags=("sketch", "aggregate", "mergeable", "scale-path"),
+)
+def k6_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches as K
+
+    return K.kmv_distinct_by_group(
+        load(spark, sf_dir, "documents"), "source", "text", k=64
+    )
+
+
+def _attach_k6_oracle() -> None:
+    from ..operators import sketches as K
+
+    REGISTRY["k6_kmv_distinct"].oracle = K.sql_kmv_distinct_by_group(
+        "documents", "source", "text", k=64
+    )
+
+
+_attach_k6_oracle()
+
+
+@register(
     "prof1_corr_exact",
     oracle="""
     WITH m AS (
@@ -3697,6 +3788,128 @@ def m9_cascading_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         audit("customer", victims, cust_kept)
         .unionByName(audit("orders", dead_orders, orders_kept))
         .unionByName(audit("lineitem", line_dead, line_kept))
+    )
+
+
+@register(
+    "dq5_constraint_checks",
+    oracle="""
+    WITH o AS (
+        SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS u_key,
+               CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS nn_cust,
+               CAST(count(*) FILTER (o_orderstatus NOT IN ('F','O','P'))
+                    AS BIGINT) AS av_status
+        FROM orders
+    ),
+    l AS (
+        SELECT CAST(count(*) - count(DISTINCT concat(
+                   CAST(l_orderkey AS VARCHAR), '|',
+                   CAST(l_linenumber AS VARCHAR))) AS BIGINT) AS u_line
+        FROM lineitem
+    ),
+    fk1 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM customer
+                          WHERE c_custkey = o_custkey)
+    ),
+    fk2 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_orderkey = l_orderkey)
+    ),
+    c AS (
+        SELECT CAST(count(*) FILTER (c_name IS NULL) AS BIGINT) AS nn_name
+        FROM customer
+    )
+    SELECT * FROM (
+        SELECT 'unique:o_orderkey' AS check_name, 'orders' AS table_name,
+               u_key AS n_violations FROM o
+        UNION ALL
+        SELECT 'not_null:o_custkey', 'orders', nn_cust FROM o
+        UNION ALL
+        SELECT 'accepted_values:o_orderstatus', 'orders', av_status FROM o
+        UNION ALL
+        SELECT 'unique:(l_orderkey,l_linenumber)', 'lineitem', u_line FROM l
+        UNION ALL
+        SELECT 'relationship:o_custkey->customer', 'orders', n FROM fk1
+        UNION ALL
+        SELECT 'relationship:l_orderkey->orders', 'lineitem', n FROM fk2
+        UNION ALL
+        SELECT 'not_null:c_name', 'customer', nn_name FROM c
+    )
+    """,
+    doc="""Declarative data-quality CONSTRAINT battery — the dbt-tests
+    / Snowflake-constraint discipline (unique, not_null,
+    accepted_values, relationships) as engine operators, one row per
+    check with its violation count. Extends dq1's single referential
+    audit to the full constraint taxonomy a warehouse CI runs per
+    load. Scale shape: all same-table checks FUSE into one aggregate
+    pass (orders' unique + not_null + accepted_values is a single
+    scan with conditional counts — never one scan per check);
+    relationship checks are left-anti probes whose inner side is the
+    key column only. Composite uniqueness counts via a canonical
+    string key (engine-identical; component keys are non-null here —
+    documented precondition). Zero violations on the corpus by
+    construction; the checks themselves are the operator.""",
+    tags=("dq", "constraints", "audit"),
+)
+def dq5_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    customer = load(spark, sf_dir, "customer")
+
+    o = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("u_key"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).cast("long").alias("nn_cust"),
+        F.count(F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1))
+        .cast("long")
+        .alias("av_status"),
+    )
+    l = lineitem.agg(
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("|"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            )
+        )
+        .cast("long")
+        .alias("u_line")
+    )
+    fk1 = (
+        orders.join(customer.select("c_custkey"),
+                    orders.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    fk2 = (
+        lineitem.join(orders.select("o_orderkey"),
+                      lineitem.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    c = customer.agg(
+        F.count(F.when(F.col("c_name").isNull(), 1)).cast("long").alias("nn_name")
+    )
+
+    def row(name: str, table: str, src: DataFrame, col: str) -> DataFrame:
+        return src.select(
+            F.lit(name).alias("check_name"),
+            F.lit(table).alias("table_name"),
+            F.col(col).alias("n_violations"),
+        )
+
+    return (
+        row("unique:o_orderkey", "orders", o, "u_key")
+        .unionByName(row("not_null:o_custkey", "orders", o, "nn_cust"))
+        .unionByName(row("accepted_values:o_orderstatus", "orders", o, "av_status"))
+        .unionByName(row("unique:(l_orderkey,l_linenumber)", "lineitem", l, "u_line"))
+        .unionByName(row("relationship:o_custkey->customer", "orders", fk1, "n"))
+        .unionByName(row("relationship:l_orderkey->orders", "lineitem", fk2, "n"))
+        .unionByName(row("not_null:c_name", "customer", c, "nn_name"))
     )
 
 
@@ -4719,6 +4932,59 @@ def w5_rank_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w6_ignore_nulls_fill",
+    oracle="""
+    WITH sparse AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_id % 7 = 0 THEN value END AS reading
+        FROM events
+    )
+    SELECT user_id, event_id, reading,
+           last_value(reading IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_locf,
+           first_value(reading IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           ) AS filled_nocb
+    FROM sparse
+    """,
+    doc="""IGNORE NULLS window fill — the time-series imputation idiom
+    (Snowflake LAG/LAST_VALUE ... IGNORE NULLS) the w2/w3/w5 batteries
+    leave uncovered. A sparse sensor column (reporting only on
+    event_id % 7 = 0, deliberately derived so every fill branch is
+    real) is forward-filled (LOCF: last non-null up to the current
+    row) and backward-filled (NOCB: first non-null from the current
+    row on) per user in event-time order. Spark expresses both as
+    last/first(ignorenulls=True) over the matching frame — one
+    shuffle by user, values pass through untouched (no float
+    arithmetic, bit-exact). The (ts, event_id) composite order key is
+    unique, so fills are engine-independent.""",
+    tags=("window", "ignore-nulls", "timeseries", "fill"),
+)
+def w6_ignore_nulls_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_id") % 7 == 0, F.col("value")).alias("reading"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "reading",
+        F.last("reading", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("filled_locf"),
+        F.first("reading", ignorenulls=True)
+        .over(w.rowsBetween(0, Window.unboundedFollowing))
+        .alias("filled_nocb"),
+    )
+
+
+@register(
     "a8_filtered_aggregates",
     oracle="""
     SELECT o_orderpriority,
@@ -4788,8 +5054,9 @@ WHERE d.doc_id % 25 = 0 AND f.index < 8
     reference idiom for exploding semi-structured/array values lowers
     textually to Spark's ``LATERAL VIEW posexplode`` with the
     (index, value) output columns FLATTEN's array form populates —
-    0-based index matching Snowflake; OBJECT/OUTER/RECURSIVE modes
-    raise rather than mistranslate
+    0-based index matching Snowflake; OUTER lowers to LATERAL VIEW
+    OUTER (sql8), MODE => 'OBJECT' to a map explode (sql11), and
+    RECURSIVE/PATH raise rather than mistranslate
     (functions/sqldialect.py:rewrite_flatten). A generator is a
     narrow per-row expansion — no shuffle, no join; the oracle states
     the same rows relationally. Split-by-raw-space (not the
@@ -4852,6 +5119,52 @@ def sql8_flatten_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(rewrite_flatten(_SQL8_SNOWFLAKE_TEXT)).select(
         "doc_id", F.col("word_pos").cast("long").alias("word_pos"), "word"
+    )
+
+
+_SQL11_SNOWFLAKE_TEXT = """
+SELECT e.event_id, f.key AS prop_key, f.value AS prop_value
+FROM (SELECT event_id,
+             concat('{"et": "', event_type, '", ', substring(props, 2)) AS obj
+      FROM events WHERE event_id % 101 = 0) e,
+     LATERAL FLATTEN(input => e.obj, mode => 'OBJECT') f
+"""
+
+
+@register(
+    "sql11_flatten_object",
+    oracle="""
+    WITH e AS (
+        SELECT event_id,
+               concat('{"et": "', event_type, '", ', substring(props, 2)) AS obj
+        FROM events WHERE event_id % 101 = 0
+    )
+    SELECT event_id, k AS prop_key,
+           json_extract_string(obj, '$.' || k) AS prop_value
+    FROM (SELECT event_id, obj, unnest(json_keys(obj)) AS k FROM e)
+    """,
+    doc="""``FLATTEN(..., MODE => 'OBJECT')`` accepted VERBATIM — the
+    semi-structured half of Snowflake's FLATTEN (a VARIANT object
+    explodes into one (KEY, VALUE) row per field), closing the last
+    refused FLATTEN mode that is expressible on Spark. Lowering:
+    ``explode(from_json(<expr>, 'map<string,string>'))`` — scalar
+    values render text-identically across Spark's string map,
+    Snowflake's VARIANT-to-text, and DuckDB's json_extract_string
+    ('69', 'x', '1.5', 'true', NULL; probed bit-for-bit). The input
+    enriches events.props to a two-key object by string surgery so
+    each row genuinely fans out. Flat objects only — a nested object
+    value is documented out of contract (string-map parse nulls it).
+    Still a per-row generator: no shuffle, no join. The oracle walks
+    json_keys + json_extract_string over the same object.""",
+    tags=("sql-surface", "dialect", "flatten", "semi-structured"),
+)
+def sql11_flatten_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import rewrite_flatten
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrite_flatten(_SQL11_SNOWFLAKE_TEXT)).select(
+        "event_id", "prop_key", "prop_value"
     )
 
 

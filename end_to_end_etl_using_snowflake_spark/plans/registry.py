@@ -100,6 +100,11 @@ PRIORITY: tuple[str, ...] = (
     # re-check below, keeping the window at exactly 50)
     "sql8_flatten_outer",
     "pl_reference_console",
+    "sql11_flatten_object",
+    "k6_kmv_distinct",
+    "w6_ignore_nulls_fill",
+    "p11_dynamic_pivot",
+    "dq5_constraint_checks",
     # padding: oldest-green re-checks, evicted as r6 entries land
     "w1_dedup_latest_per_key",
     "o2_sort_topk",
@@ -115,13 +120,13 @@ PRIORITY: tuple[str, ...] = (
     "pl_dim_item",
     "pl_fact_order",
     "pl_task_history",
+    # ---- 51+: driver-green in r1-r5 and rotated out of the window;
+    # all remain locally oracle-checked per pytest run.
     "pl_show_streams",
     "pl_list_stage",
     "d1_dedup_exact",
     "d3_dedup_minhash_lsh",
     "v1_ann_bruteforce_topk",
-    # ---- 51+: driver-green in r1-r5 and rotated out of the window;
-    # all remain locally oracle-checked per pytest run.
     "t1_token_stats",
     "q1_pricing_summary",
     "f11_array_funcs",

@@ -866,12 +866,24 @@ def test_flatten_rewriter_edges():
         "SELECT 1 FROM t, LATERAL FLATTEN(input => slice(a, 1, 3)) f"
     )
     assert "posexplode(slice(a, 1, 3))" in out
-    # PATH / MODE / unknown names refuse by NAME
+    # PATH / unknown names refuse by NAME; MODE accepts ARRAY/OBJECT
     with _pytest.raises(ValueError, match="PATH"):
         rewrite_flatten("SELECT 1 FROM t, LATERAL FLATTEN(input => a, path => 'b') f")
-    with _pytest.raises(ValueError, match="MODE"):
+    out = rewrite_flatten(
+        "SELECT 1 FROM t, LATERAL FLATTEN(input => a, mode => 'ARRAY') f"
+    )
+    assert "posexplode(a) f AS index, value" in out
+    out = rewrite_flatten(
+        "SELECT 1 FROM t, LATERAL FLATTEN(input => a, mode => 'OBJECT') f"
+    )
+    assert "explode(from_json(a, 'map<string,string>')) f AS key, value" in out
+    out = rewrite_flatten(
+        "SELECT 1 FROM t, LATERAL FLATTEN(input => a, outer => true, mode => 'OBJECT') f"
+    )
+    assert "LATERAL VIEW OUTER explode(from_json(a, 'map<string,string>'))" in out
+    with _pytest.raises(ValueError, match="ARRAY.*OBJECT|OBJECT.*ARRAY"):
         rewrite_flatten(
-            "SELECT 1 FROM t, LATERAL FLATTEN(input => a, mode => 'ARRAY') f"
+            "SELECT 1 FROM t, LATERAL FLATTEN(input => a, mode => 'BOTH') f"
         )
     with _pytest.raises(ValueError, match="unknown FLATTEN argument"):
         rewrite_flatten("SELECT 1 FROM t, LATERAL FLATTEN(input => a, seq => 1) f")
