@@ -55,19 +55,70 @@ def register(
 # similarity / text / multimodal / pipeline) lands inside any reasonable
 # prefix. Names not listed keep insertion order after these.
 PRIORITY: tuple[str, ...] = (
-    # ---- first 50: the driver-checked window. Round-6 rotation:
-    # rounds 1-5 drove 172 distinct entries green (50/50 green in
-    # r5); this window front-loads the 23 entries that have NEVER
-    # had a driver CORRECTNESS row (post-window round-4/5 additions
-    # — the full set per VERDICT r5, including d10/d11 that NOTES r5
-    # omitted), plus the 2-entry always-on core, re-checks of the
-    # four oldest r1 greens, and round-6 additions as they land
-    # (swapped in for the oldest-green padding re-checks at the
-    # tail of the window). All rotated-out entries remain locally
-    # oracle-swept at sf0.001 every pytest run.
+    # ---- first 50: the driver-checked window. Round-7 rotation:
+    # all 202 entries are cumulatively driver-green (r6 closed the
+    # verification debt), so rotation now serves RE-verification of
+    # the stalest greens. This window = 2-entry always-on core + the
+    # full r1/r2 last-green cohort (25 entries, VERDICT r6 item #3)
+    # + the stalest r3 greens as padding. Round-7 additions land
+    # mid-window and evict padding from the tail, keeping exactly 50.
+    # Rotated-out entries remain locally oracle-swept every pytest run.
     "flagship_fact_rebuild",
     "pl_dim_customer",
-    # 23 never-driver-checked (VERDICT r5 "What's missing" #1)
+    # 25-entry r1/r2 stale cohort (17 last-green r1, 8 last-green r2)
+    "a5_rollup",
+    "a6_percentile_groups",
+    "a7_grouping_sets",
+    "f12_histogram_bins",
+    "f6_date_math",
+    "f7_string_funcs",
+    "f8_conditional_funcs",
+    "f9_json_extract",
+    "j7_outer_join_family",
+    "p10_exists_correlated",
+    "p8_pivot",
+    "q18_large_orders_having",
+    "q3_shipping_priority",
+    "s1_set_ops",
+    "sql1_text_surface",
+    "x3_time_spine_rollup",
+    "x4_snapshot_as_of",
+    "a4_count_distinct",
+    "b1_bucketed_colocated_join",
+    "e2_sessionize",
+    "e4_sliding_window_agg",
+    "f5_string_extract",
+    "m8_scd2_merge",
+    "w2_window_frames",
+    "x5_range_join",
+    # round-7 additions land here (each evicts one tail padding entry)
+
+    # padding: stalest r3 greens, evicted as r7 entries land
+    "d1_dedup_exact",
+    "d2_dedup_ngram_jaccard",
+    "d3_dedup_minhash_lsh",
+    "d4_dedup_simhash",
+    "d5_dedup_embedding_cosine",
+    "d5l_dedup_embedding_lsh",
+    "d6_dedup_cluster_labels",
+    "llm_corpus_clean",
+    "v1_ann_bruteforce_topk",
+    "v2_ann_lsh_topk",
+    "v3_ann_ivf_topk",
+    "v7_ann_matmul_topk",
+    "t1_token_stats",
+    "t2_quality_score",
+    "t3_lang_id",
+    "t4_fingerprint",
+    "t7_repetition_filter",
+    "x1_asof_join",
+    "x2_leakage_safe_split",
+    "j6_salted_skew_join",
+    "m5_cdc_apply_changes",
+    "m7_incremental_fact_merge",
+    "pl_identity_keys",
+    # ---- 51+: driver-green in r1-r6 and rotated out of the window;
+    # all remain locally oracle-checked per pytest run.
     "a8_filtered_aggregates",
     "d10_segment_boilerplate",
     "d11_semantic_dedup",
@@ -91,13 +142,10 @@ PRIORITY: tuple[str, ...] = (
     "w5_rank_distribution_funcs",
     "x23_length_bucketing",
     "x24_asof_directional",
-    # re-checks of the oldest r1 greens (code unchanged since)
     "p1_full_scan",
     "p2_projection_pushdown",
     "j1_inner_equi_broadcast",
     "a1_groupby_agg",
-    # round-6 additions land here (each swap evicts one padding
-    # re-check below, keeping the window at exactly 50)
     "sql8_flatten_outer",
     "pl_reference_console",
     "sql11_flatten_object",
@@ -105,7 +153,6 @@ PRIORITY: tuple[str, ...] = (
     "w6_ignore_nulls_fill",
     "p11_dynamic_pivot",
     "dq5_constraint_checks",
-    # padding: oldest-green re-checks, evicted as r6 entries land
     "w1_dedup_latest_per_key",
     "o2_sort_topk",
     "j2_join_null_residual",
@@ -120,14 +167,8 @@ PRIORITY: tuple[str, ...] = (
     "pl_dim_item",
     "pl_fact_order",
     "pl_task_history",
-    # ---- 51+: driver-green in r1-r5 and rotated out of the window;
-    # all remain locally oracle-checked per pytest run.
     "pl_show_streams",
     "pl_list_stage",
-    "d1_dedup_exact",
-    "d3_dedup_minhash_lsh",
-    "v1_ann_bruteforce_topk",
-    "t1_token_stats",
     "q1_pricing_summary",
     "f11_array_funcs",
     "q2_min_cost_supplier",
@@ -224,47 +265,12 @@ PRIORITY: tuple[str, ...] = (
     "sql3_window_text",
     "z1_zorder_layout_key",
     "e7_stream_interval_join",
-    "m5_cdc_apply_changes",
-    "pl_identity_keys",
-    "d4_dedup_simhash",
-    "d2_dedup_ngram_jaccard",
-    "d5_dedup_embedding_cosine",
-    "d5l_dedup_embedding_lsh",
-    "d6_dedup_cluster_labels",
-    "v2_ann_lsh_topk",
-    "v3_ann_ivf_topk",
-    "v7_ann_matmul_topk",
-    "t2_quality_score",
-    "t3_lang_id",
-    "t4_fingerprint",
-    "t7_repetition_filter",
     "mm1_multimodal_decode",
     "mm3_feature_extract",
-    "x2_leakage_safe_split",
-    "llm_corpus_clean",
     "e1_tumbling_window_agg",
     "e5_session_window_native",
     "e3_sessionize_stateful_stream",
     "e6_stream_dedup_watermark",
-    "x1_asof_join",
-    "j6_salted_skew_join",
-    "m7_incremental_fact_merge",
-    "m8_scd2_merge",
-    "b1_bucketed_colocated_join",
-    "w2_window_frames",
-    "a4_count_distinct",
-    "f5_string_extract",
-    "e2_sessionize",
-    "e4_sliding_window_agg",
-    "x5_range_join",
-    "sql1_text_surface",
-    "p10_exists_correlated",
-    "s1_set_ops",
-    "p8_pivot",
-    "a7_grouping_sets",
-    "a5_rollup",
-    "a6_percentile_groups",
-    "f6_date_math",
 )
 
 

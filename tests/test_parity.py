@@ -28,45 +28,43 @@ def test_entry_smoke(spark):
 
 def test_driver_prefix_spans_all_operator_families():
     """The driver's correctness gate checks a PREFIX of queries() (50
-    entries per round so far). Round-6 rotation: rounds 1-5 drove 172
-    distinct entries to driver rows; the r6 window holds the 23
-    never-driver-checked entries (the full VERDICT-r5 set, including
-    d10/d11 that NOTES r5 omitted), the 2-entry always-on core,
-    re-checks of the oldest r1 greens, and padding re-checks that
-    round-6 additions evict one-for-one. Guard both properties: every
-    never-checked entry is inside the window (none silently pushed
-    out), and the core pillars stay covered."""
+    entries per round so far). Round-7 rotation: all 202 entries are
+    cumulatively driver-green (r6 closed the verification debt), so the
+    window now serves RE-verification of the stalest greens — the full
+    r1/r2 last-green cohort (25 entries, VERDICT r6 item #3) + the
+    2-entry core + stalest-r3 padding that round-7 additions evict
+    one-for-one. Guard both properties: the stale cohort is inside the
+    window (none silently pushed out), and the core pillars stay
+    covered."""
     prefix = list(__spark_entry__.queries())[:50]
-    never_checked_r6 = [
-        "a8_filtered_aggregates", "d10_segment_boilerplate",
-        "d11_semantic_dedup", "dq4_minhash_recall_eval",
-        "e13_match_recognize", "e15_stream_full_outer_join",
-        "e16_stream_session_close", "f15_min_max_by",
-        "k5_file_bloom_prune", "pl_clustering_info", "pl_dynamic_table",
-        "pl_quarantine", "pl_show_columns", "pl_transaction",
-        "prof3_sketch_profile", "sql6_flatten_dialect",
-        "sql7_group_by_all", "t13_quality_classifier", "v14_mmr_rerank",
-        "v15_ann_ivf_trained", "w5_rank_distribution_funcs",
-        "x23_length_bucketing", "x24_asof_directional",
+    stale_r1_r2 = [
+        "a5_rollup", "a6_percentile_groups", "a7_grouping_sets",
+        "f12_histogram_bins", "f6_date_math", "f7_string_funcs",
+        "f8_conditional_funcs", "f9_json_extract",
+        "j7_outer_join_family", "p10_exists_correlated", "p8_pivot",
+        "q18_large_orders_having", "q3_shipping_priority", "s1_set_ops",
+        "sql1_text_surface", "x3_time_spine_rollup", "x4_snapshot_as_of",
+        "a4_count_distinct", "b1_bucketed_colocated_join",
+        "e2_sessionize", "e4_sliding_window_agg", "f5_string_extract",
+        "m8_scd2_merge", "w2_window_frames", "x5_range_join",
     ]
-    pushed_out = [n for n in never_checked_r6 if n not in prefix]
+    pushed_out = [n for n in stale_r1_r2 if n not in prefix]
     assert not pushed_out, (
-        f"never-driver-checked entries outside the 50-window: {pushed_out}"
+        f"stale r1/r2 cohort entries outside the 50-window: {pushed_out}"
     )
     families = {
         "flagship": ("flagship",),
-        "reference-pipeline": ("pl_dim_", "pl_quarantine", "pl_transaction",
-                               "pl_dynamic_", "pl_clustering_", "pl_show_"),
-        "scan/project/join core": ("p1_", "p2_", "j1_", "a1_"),
-        "merge/dml": ("m2_", "m6_"),
-        "sketches": ("k5_", "prof3_"),
-        "text-analysis": ("t1_", "t13_"),
-        "dedup-llm": ("d10_", "d11_", "dq4_", "d1_", "d3_"),
-        "similarity": ("v14_", "v15_", "v1_"),
-        "llm-pipeline": ("x23_", "x24_"),
-        "window/agg-surface": ("w5_", "a8_", "f15_"),
-        "sql-surface": ("sql6_", "sql7_"),
-        "streaming": ("e13_", "e15_", "e16_"),
+        "reference-pipeline": ("pl_dim_", "pl_identity_"),
+        "scan/project/join core": ("p10_", "p8_", "j7_", "j6_"),
+        "merge/dml": ("m8_", "m5_", "m7_"),
+        "agg-surface": ("a4_", "a5_", "a6_", "a7_"),
+        "text-analysis": ("t1_", "t2_", "t3_", "t4_", "t7_"),
+        "dedup-llm": ("d1_", "d2_", "d3_", "d4_", "d5", "d6_"),
+        "similarity": ("v1_", "v2_", "v3_", "v7_"),
+        "llm-pipeline": ("x1_", "x2_", "x5_", "llm_corpus"),
+        "window-funcs": ("w2_", "e2_", "e4_"),
+        "sql-surface": ("sql1_",),
+        "functions": ("f5_", "f6_", "f7_", "f8_", "f9_", "f12_"),
     }
     missing = {
         fam: pfxs
