@@ -132,6 +132,134 @@ def _balanced_span(sql: str, open_idx: int) -> int:
 
 
 _FLATTEN_HEAD = re.compile(r",?\s*LATERAL\s+FLATTEN\s*\(", re.IGNORECASE)
+
+# ---------------------------------------------------------------------------
+# Snowflake SAMPLE / TABLESAMPLE
+# ---------------------------------------------------------------------------
+
+# Sampling key per engine table (TESTDATA.md). Snowflake's row sampling
+# is probabilistic per row; a cross-engine DETERMINISTIC lowering needs a
+# per-row value both engines compute identically, so the shim hashes the
+# table's key column with exact BIGINT arithmetic (Knuth multiplicative
+# step mod 1e9+7 — (key % M) * 2654435761 stays under 2^63 for any
+# BIGINT key). Callers can pass their own {table: key_expr} map; key
+# expressions must be non-negative integers.
+SAMPLE_KEYS: dict[str, str] = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "(l_orderkey * 8 + l_linenumber)",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+_SAMPLE_RE = re.compile(
+    r"(?P<table>[A-Za-z_][\w.]*)\s+"
+    r"(?:SAMPLE|TABLESAMPLE)\s+"
+    r"(?:(?P<method>BERNOULLI|ROW|SYSTEM|BLOCK)\s+)?"
+    r"\(\s*(?P<spec>[^()]*?)\s*\)"
+    r"(?:\s+(?:REPEATABLE|SEED)\s*\(\s*(?P<seed>\d+)\s*\))?",
+    re.IGNORECASE,
+)
+
+_SAMPLE_STOP_WORDS = {
+    "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "QUALIFY", "JOIN",
+    "LEFT", "RIGHT", "INNER", "CROSS", "FULL", "ON", "USING", "UNION",
+    "EXCEPT", "INTERSECT", "SAMPLE", "TABLESAMPLE", "SELECT", "FROM",
+}
+
+
+def _sample_hash(key: str, seed: int) -> str:
+    return f"(({key} % 1000000007) * 2654435761 + {seed}) % 1000000007"
+
+
+def rewrite_sample(sql: str, keys: dict[str, str] | None = None) -> str:
+    """Lower Snowflake ``<table> SAMPLE [BERNOULLI|ROW] (<spec>)
+    [REPEATABLE|SEED (n)]`` (``TABLESAMPLE`` synonym included) to a
+    deterministic salted-hash derived table — the x6/x17 sampling
+    machinery as a dialect surface, so one Snowflake source string runs
+    on this engine AND (because the lowered text is plain ANSI
+    arithmetic + ORDER BY/LIMIT) verbatim on DuckDB as the oracle.
+
+    - ``SAMPLE (p)`` / ``SAMPLE BERNOULLI|ROW (p)`` — keep each row
+      whose key hash lands under p%% of the 1e6 hash space (p accepts
+      up to 4 decimal places, exactly).
+    - ``SAMPLE (n ROWS)`` — the n rows with the smallest key hash
+      (deterministic top-n, key tiebreak): fixed-size like Snowflake's
+      row-count form, ORDER BY + LIMIT in the derived table so Spark
+      plans TakeOrderedAndProject, never a global sort of the full
+      table.
+    - ``REPEATABLE(s)`` / ``SEED(s)`` folds the seed into the hash
+      salt. Snowflake redraws per seed; here EVERY run is repeatable
+      and the seed selects which repeatable sample.
+    - ``SYSTEM`` / ``BLOCK`` (physical page sampling) raise: their
+      result depends on storage layout, which no cross-engine rewrite
+      can reproduce.
+
+    Purely textual and conservative like the other shims: the table
+    must be a bare (possibly dotted) identifier with a registered
+    sampling key; an optional ``[AS] alias`` after the clause is
+    preserved (else the table's last name component aliases the
+    derived table, keeping ``t.col`` references valid). At 100 TB the
+    lowered form is a pure projection+filter (percent) or top-n (rows)
+    — no shuffle, no RNG state, retry-stable (x6's design notes).
+    """
+    keymap = SAMPLE_KEYS if keys is None else keys
+    out = sql
+    while True:
+        m = _SAMPLE_RE.search(out)
+        if m is None:
+            return out
+        table = m.group("table")
+        method = (m.group("method") or "ROW").upper()
+        if table.upper() in _SAMPLE_STOP_WORDS:
+            raise ValueError(f"SAMPLE must follow a table name, got {table!r}")
+        if method in {"SYSTEM", "BLOCK"}:
+            raise ValueError(
+                "SAMPLE SYSTEM/BLOCK is storage-layout sampling; this shim"
+                " only lowers row sampling (BERNOULLI/ROW)"
+            )
+        base = table.rsplit(".", 1)[-1].lower()
+        key = keymap.get(base)
+        if key is None:
+            raise ValueError(f"no sampling key registered for table {table!r}")
+        seed = int(m.group("seed") or 0)
+        spec = m.group("spec")
+        rows_m = re.fullmatch(r"(\d+)\s+ROWS?", spec, re.IGNORECASE)
+        if rows_m:
+            n = int(rows_m.group(1))
+            derived = (
+                f"(SELECT * FROM {table} ORDER BY {_sample_hash(key, seed)},"
+                f" {key} LIMIT {n})"
+            )
+        else:
+            from decimal import Decimal, InvalidOperation
+
+            try:
+                pct = Decimal(spec)
+            except InvalidOperation:
+                raise ValueError(f"bad SAMPLE spec: {spec!r}") from None
+            if not (0 <= pct <= 100):
+                raise ValueError(f"SAMPLE percent out of [0, 100]: {spec!r}")
+            bps = pct * 10000
+            if bps != bps.to_integral_value():
+                raise ValueError(
+                    f"SAMPLE percent supports at most 4 decimal places: {spec!r}"
+                )
+            derived = (
+                f"(SELECT * FROM {table}"
+                f" WHERE {_sample_hash(key, seed)} % 1000000 < {int(bps)})"
+            )
+        am = _FLATTEN_ALIAS.match(out, m.end())
+        if am is not None and am.group(1).upper() not in _SAMPLE_STOP_WORDS:
+            alias, end = am.group(1), am.end()
+        else:
+            alias, end = base, m.end()
+        out = out[: m.start()] + f"{derived} AS {alias}" + out[end:]
 _FLATTEN_ALIAS = re.compile(r"\s*(?:AS\s+)?([A-Za-z_][A-Za-z_0-9]*)")
 
 

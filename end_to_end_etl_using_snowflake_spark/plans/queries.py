@@ -4226,6 +4226,49 @@ def sql5_qualify_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite_qualify(_SQL5_SNOWFLAKE_TEXT))
 
 
+_SQL12_SNOWFLAKE_TEXT = """
+SELECT 'pct' AS form, CAST(count(1) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders SAMPLE BERNOULLI (10) REPEATABLE (7)
+UNION ALL
+SELECT 'rows' AS form, CAST(count(1) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders TABLESAMPLE (500 ROWS)
+ORDER BY form
+"""
+
+
+def _sql12_lowered() -> str:
+    from ..functions.sqldialect import rewrite_sample
+
+    return rewrite_sample(_SQL12_SNOWFLAKE_TEXT)
+
+
+@register(
+    "sql12_sample_dialect",
+    # The lowered text is plain ANSI (exact BIGINT hash arithmetic +
+    # ORDER BY/LIMIT), so the oracle runs the SAME lowering DuckDB-side
+    # — one Snowflake source string, one rewrite, two engines.
+    oracle=_sql12_lowered(),
+    doc="""Snowflake SAMPLE / TABLESAMPLE dialect surface (the
+    data-exploration idiom Snowflake users hit constantly): percent
+    row sampling (SAMPLE BERNOULLI (10) REPEATABLE (7)) and fixed-size
+    sampling (TABLESAMPLE (500 ROWS)) accepted as-is and lowered to
+    the engine's deterministic salted-hash sampling machinery (x6/x17)
+    — functions/sqldialect.py:rewrite_sample. Percent form lowers to a
+    pure projection+filter (no shuffle at any scale, retry-stable, no
+    RNG state); the ROWS form to a hash-ordered top-n (Spark plans
+    TakeOrderedAndProject, never a global sort). SYSTEM/BLOCK page
+    sampling refuses loudly rather than mistranslating.""",
+    tags=("sql-surface", "dialect", "sampling"),
+)
+def sql12_sample_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_sql12_lowered())
+
+
 @register(
     "pl_secured_view",
     oracle="""

@@ -92,6 +92,7 @@ PRIORITY: tuple[str, ...] = (
     "w2_window_frames",
     "x5_range_join",
     # round-7 additions land here (each evicts one tail padding entry)
+    "sql12_sample_dialect",
 
     # padding: stalest r3 greens, evicted as r7 entries land
     "d1_dedup_exact",
@@ -116,8 +117,8 @@ PRIORITY: tuple[str, ...] = (
     "j6_salted_skew_join",
     "m5_cdc_apply_changes",
     "m7_incremental_fact_merge",
-    "pl_identity_keys",
     # ---- 51+: driver-green in r1-r6 and rotated out of the window;
+    "pl_identity_keys",
     # all remain locally oracle-checked per pytest run.
     "a8_filtered_aggregates",
     "d10_segment_boilerplate",

@@ -1248,3 +1248,85 @@ def test_snowflake_sql_dispatch_edges(spark, tmp_path):
         p,
     )
     assert got.count() == 0
+
+
+def test_sample_rewriter_edges():
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_sample,
+    )
+
+    # no SAMPLE -> unchanged
+    assert rewrite_sample("SELECT a FROM nation") == "SELECT a FROM nation"
+    # percent form: filter on the salted key hash, seed folded in
+    out = rewrite_sample("SELECT * FROM orders SAMPLE (10) REPEATABLE (7)")
+    assert "WHERE ((o_orderkey % 1000000007) * 2654435761 + 7)" in out
+    assert out.rstrip().endswith("AS orders")
+    # fixed-size form: hash-ordered top-n with key tiebreak
+    out2 = rewrite_sample("SELECT * FROM customer TABLESAMPLE (50 ROWS) AS c")
+    assert "ORDER BY ((c_custkey % 1000000007)" in out2
+    assert "LIMIT 50" in out2 and out2.rstrip().endswith("AS c")
+    # explicit alias without AS is preserved; dotted refs keep working
+    out3 = rewrite_sample(
+        "SELECT s.s_name FROM supplier SAMPLE BERNOULLI (2.5) s"
+    )
+    assert "AS s" in out3 and "< 25000" in out3
+    # composite-key table uses the registered key expression
+    out4 = rewrite_sample("SELECT * FROM lineitem SAMPLE (1)")
+    assert "(l_orderkey * 8 + l_linenumber)" in out4
+    # a trailing keyword is never eaten as the alias
+    out5 = rewrite_sample(
+        "SELECT count(1) AS n FROM orders SAMPLE (10) WHERE o_orderkey > 5"
+    )
+    assert "AS orders WHERE o_orderkey > 5" in out5
+    for bad, msg in [
+        ("SELECT * FROM orders SAMPLE SYSTEM (10)", "SYSTEM/BLOCK"),
+        ("SELECT * FROM orders SAMPLE BLOCK (10)", "SYSTEM/BLOCK"),
+        ("SELECT * FROM orders SAMPLE (101)", "out of"),
+        ("SELECT * FROM orders SAMPLE (-1)", "out of"),
+        ("SELECT * FROM orders SAMPLE (1.00001)", "4 decimal"),
+        ("SELECT * FROM orders SAMPLE (abc)", "bad SAMPLE spec"),
+        ("SELECT * FROM mystery SAMPLE (10)", "no sampling key"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            rewrite_sample(bad)
+    # custom key map overrides the default registry
+    out6 = rewrite_sample(
+        "SELECT * FROM t SAMPLE (50)", keys={"t": "my_id"}
+    )
+    assert "(my_id % 1000000007)" in out6
+
+
+def test_sample_rewriter_executes(spark):
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_sample,
+    )
+
+    spark.range(1000).selectExpr("id AS o_orderkey").createOrReplaceTempView(
+        "sample_orders"
+    )
+    keys = {"sample_orders": "o_orderkey"}
+    pct = spark.sql(
+        rewrite_sample("SELECT count(1) AS n FROM sample_orders SAMPLE (10)", keys)
+    ).collect()[0]["n"]
+    # deterministic: identical re-run, ~10% of 1000 rows
+    pct2 = spark.sql(
+        rewrite_sample("SELECT count(1) AS n FROM sample_orders SAMPLE (10)", keys)
+    ).collect()[0]["n"]
+    assert pct == pct2 and 50 <= pct <= 150
+    # a different seed selects a different repeatable sample
+    seeded = spark.sql(
+        rewrite_sample(
+            "SELECT count(1) AS n FROM sample_orders SAMPLE (10) SEED (99)", keys
+        )
+    ).collect()[0]["n"]
+    assert 50 <= seeded <= 150
+    rows = spark.sql(
+        rewrite_sample(
+            "SELECT count(1) AS n, min(o_orderkey) AS mn "
+            "FROM sample_orders SAMPLE ROW (25 ROWS)",
+            keys,
+        )
+    ).collect()[0]
+    assert rows["n"] == 25
