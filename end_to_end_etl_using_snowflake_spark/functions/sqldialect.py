@@ -288,8 +288,12 @@ def _split_top_level_commas(text: str) -> list[str]:
     return parts
 
 
-def _parse_flatten_args(inner: str) -> tuple[str, bool, str]:
-    """Parse FLATTEN's named arguments into (input_expr, outer, mode).
+_FLAT_PATH = re.compile(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*")
+
+
+def _parse_flatten_args(inner: str) -> tuple[str, bool, str, str | None]:
+    """Parse FLATTEN's named arguments into (input_expr, outer, mode,
+    path).
 
     Snowflake FLATTEN takes named args (INPUT, PATH, OUTER, RECURSIVE,
     MODE). Arguments are split on TOP-LEVEL commas and dispatched by
@@ -297,10 +301,13 @@ def _parse_flatten_args(inner: str) -> tuple[str, bool, str]:
     slip past a before-the-first-'=>' scan), and an input expression
     that merely mentions a column like ``recursive_depth`` is NOT
     misread as the RECURSIVE mode (ADVICE r5). ``mode`` accepts
-    'ARRAY' (default) and 'OBJECT'; RECURSIVE and PATH refuse."""
+    'ARRAY' (default) and 'OBJECT'; ``path`` accepts a flat dotted
+    identifier path ('a' / 'a.b.c' — no brackets, wildcards, or quoted
+    segments); RECURSIVE refuses."""
     input_expr: str | None = None
     outer = False
     mode = "ARRAY"
+    path: str | None = None
     for part in _split_top_level_commas(inner):
         part = part.strip()
         if not part:
@@ -327,15 +334,26 @@ def _parse_flatten_args(inner: str) -> tuple[str, bool, str]:
                     f"FLATTEN MODE supports 'ARRAY'/'OBJECT', got: {value!r}"
                 )
             mode = m
-        elif name in {"recursive", "path"}:
+        elif name == "path":
+            p = value.rstrip(";").strip()
+            if not (len(p) >= 2 and p[0] == p[-1] and p[0] in "'\""):
+                raise ValueError(f"FLATTEN PATH expects a quoted path, got: {value!r}")
+            p = p[1:-1]
+            if not _FLAT_PATH.fullmatch(p):
+                raise ValueError(
+                    "FLATTEN PATH supports flat dotted identifier paths"
+                    f" ('a.b.c'); got: {p!r}"
+                )
+            path = p
+        elif name == "recursive":
             raise ValueError(
-                f"FLATTEN {name.upper()} mode is not supported by this shim"
+                "FLATTEN RECURSIVE mode is not supported by this shim"
             )
         else:
             raise ValueError(f"unknown FLATTEN argument: {name!r}")
     if input_expr is None:
         raise ValueError("FLATTEN requires the input => <expr> form")
-    return input_expr, outer, mode
+    return input_expr, outer, mode, path
 
 
 def rewrite_flatten(sql: str) -> str:
@@ -352,8 +370,13 @@ def rewrite_flatten(sql: str) -> str:
     empty or NULL array, which is Snowflake's left-join-like contract.
     ``MODE => 'OBJECT'`` flattens a flat JSON object into (key, value)
     rows via ``explode(from_json(..., 'map<string,string>'))``;
-    RECURSIVE and PATH raise rather than mistranslate. Arguments are
-    parsed as name => value
+    ``PATH => 'a.b'`` first descends to the named subtree with
+    ``get_json_object(<expr>, '$.a.b')`` — in ARRAY mode the subtree
+    is parsed as a JSON string array before posexplode (string-element
+    arrays render text-identically to Snowflake's VARIANT-to-text; a
+    non-string element is out of contract), in OBJECT mode it feeds
+    the map explode unchanged; RECURSIVE raises rather than
+    mistranslate. Arguments are parsed as name => value
     pairs split on top-level commas, so flag detection keys on
     argument NAMES, never substrings of the input expression. Every
     occurrence is rewritten; the comma Snowflake places before LATERAL
@@ -368,7 +391,12 @@ def rewrite_flatten(sql: str) -> str:
         open_idx = out.index("(", m.start() + out[m.start():m.end()].upper().find("FLATTEN"))
         close = _balanced_span(out, open_idx)
         inner = out[open_idx + 1:close - 1].strip()
-        expr, outer, mode = _parse_flatten_args(inner)
+        expr, outer, mode, path = _parse_flatten_args(inner)
+        if path is not None:
+            expr = f"get_json_object({expr}, '$.{path}')"
+            if mode == "ARRAY":
+                # the subtree is JSON text; posexplode needs an array.
+                expr = f"from_json({expr}, 'array<string>')"
         am = _FLATTEN_ALIAS.match(out, close)
         if am is None or am.group(1).upper() in {
             "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "QUALIFY",

@@ -93,7 +93,7 @@ PRIORITY: tuple[str, ...] = (
     "x5_range_join",
     # round-7 additions land here (each evicts one tail padding entry)
     "sql12_sample_dialect",
-
+    "sql13_flatten_path",
     # padding: stalest r3 greens, evicted as r7 entries land
     "d1_dedup_exact",
     "d2_dedup_ngram_jaccard",
@@ -116,10 +116,10 @@ PRIORITY: tuple[str, ...] = (
     "x2_leakage_safe_split",
     "j6_salted_skew_join",
     "m5_cdc_apply_changes",
-    "m7_incremental_fact_merge",
     # ---- 51+: driver-green in r1-r6 and rotated out of the window;
-    "pl_identity_keys",
     # all remain locally oracle-checked per pytest run.
+    "m7_incremental_fact_merge",
+    "pl_identity_keys",
     "a8_filtered_aggregates",
     "d10_segment_boilerplate",
     "d11_semantic_dedup",

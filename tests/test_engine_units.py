@@ -1330,3 +1330,77 @@ def test_sample_rewriter_executes(spark):
         )
     ).collect()[0]
     assert rows["n"] == 25
+
+
+def test_flatten_path_rewriter_edges():
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_flatten,
+    )
+
+    # ARRAY mode + path: descend, parse as JSON string array, posexplode
+    out = rewrite_flatten(
+        "SELECT f.value FROM t, LATERAL FLATTEN(input => obj, path => 'a.b') f"
+    )
+    assert (
+        "posexplode(from_json(get_json_object(obj, '$.a.b'), 'array<string>'))"
+        in out
+    )
+    # OBJECT mode + path: descend, map-explode the subtree
+    out2 = rewrite_flatten(
+        "SELECT g.key FROM t, LATERAL FLATTEN(input => obj, path => 'meta',"
+        " mode => 'OBJECT') g"
+    )
+    assert "explode(from_json(get_json_object(obj, '$.meta')," in out2
+    # path composes with OUTER
+    out3 = rewrite_flatten(
+        "SELECT f.value FROM t, LATERAL FLATTEN(input => obj, path => 'a',"
+        " outer => true) f"
+    )
+    assert "LATERAL VIEW OUTER posexplode(from_json(get_json_object" in out3
+    # non-flat paths refuse loudly rather than mistranslate
+    for bad in ("'a[0]'", "'a.*'", "'a.\"x y\"'", "'.a'", "''", "a.b"):
+        with _pytest.raises(ValueError, match="PATH"):
+            rewrite_flatten(
+                f"SELECT 1 FROM t, LATERAL FLATTEN(input => obj, path => {bad}) f"
+            )
+
+
+def test_flatten_path_executes(spark):
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_flatten,
+    )
+
+    spark.sql(
+        """SELECT '{"meta": {"k1": "v1", "k2": "7"}, "tags": ["x", "y"]}' AS obj"""
+    ).createOrReplaceTempView("flatten_path_t")
+    rows = spark.sql(
+        rewrite_flatten(
+            "SELECT f.index AS i, f.value AS v FROM flatten_path_t,"
+            " LATERAL FLATTEN(input => obj, path => 'tags') f"
+        )
+    ).collect()
+    assert [(r["i"], r["v"]) for r in rows] == [(0, "x"), (1, "y")]
+    rows2 = spark.sql(
+        rewrite_flatten(
+            "SELECT g.key AS k, g.value AS v FROM flatten_path_t,"
+            " LATERAL FLATTEN(input => obj, path => 'meta', mode => 'OBJECT') g"
+        )
+    ).collect()
+    assert sorted((r["k"], r["v"]) for r in rows2) == [("k1", "v1"), ("k2", "7")]
+    # a missing path yields no rows (NULL subtree), or one NULL row with OUTER
+    rows3 = spark.sql(
+        rewrite_flatten(
+            "SELECT f.value AS v FROM flatten_path_t,"
+            " LATERAL FLATTEN(input => obj, path => 'nope') f"
+        )
+    ).collect()
+    assert rows3 == []
+    rows4 = spark.sql(
+        rewrite_flatten(
+            "SELECT f.value AS v FROM flatten_path_t,"
+            " LATERAL FLATTEN(input => obj, path => 'nope', outer => true) f"
+        )
+    ).collect()
+    assert [r["v"] for r in rows4] == [None]
