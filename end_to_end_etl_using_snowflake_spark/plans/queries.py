@@ -3387,6 +3387,52 @@ _attach_k6_oracle()
 
 
 @register(
+    "k7_tdigest_quantiles",
+    oracle=None,  # assigned below (generated from the sketch module)
+    doc="""t-digest quantile sketch (Dunning 2013) over order totals
+    per order priority + a deterministically MERGED global digest —
+    the quantile member of the sketch family (k1/k4 cardinality, k2
+    frequency, k3 membership, k6 distinct-sampling). Centroid sizing
+    uses the paper's ORIGINAL rational bound 4nq(1-q)/delta in exact
+    integer arithmetic (no asin/libm), so boundaries, assignments, the
+    (mean, scope, id) merge order, and the midpoint stratified merge
+    replay bit-exactly in the DuckDB twin (recursive-CTE boundary
+    generation). Centroid state is exact (weight, cent-sum); one
+    double division per estimate; true quantiles ride along as
+    self-audit with rank error bounded by centroid width. Rows
+    shuffle once; merge cost is O(sketch rows), never a rescan.
+    operators/sketches.py:tdigest_quantiles_by_group.""",
+    tags=("sketch", "aggregate", "mergeable", "quantile", "scale-path"),
+)
+def k7_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches as K
+
+    orders = load(spark, sf_dir, "orders")
+    return K.tdigest_quantiles_by_group(
+        orders,
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+        F.col("o_orderkey"),
+        delta=100,
+    )
+
+
+def _attach_k7_oracle() -> None:
+    from ..operators import sketches as K
+
+    REGISTRY["k7_tdigest_quantiles"].oracle = K.sql_tdigest_quantiles_by_group(
+        "orders",
+        "o_orderpriority",
+        "round(o_totalprice * 100)",
+        "o_orderkey",
+        delta=100,
+    )
+
+
+_attach_k7_oracle()
+
+
+@register(
     "prof1_corr_exact",
     oracle="""
     WITH m AS (
