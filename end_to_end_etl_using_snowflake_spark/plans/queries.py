@@ -4810,6 +4810,46 @@ _E13_RUNS = """
 """
 
 
+def _direction_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATCH_RECOGNIZE lowering's shared run relation: per-user
+    direction-run-length encoding of the event stream (one row per
+    maximal up/down/flat run) — e13's PATTERN joins consume adjacent
+    runs from it, and longer patterns (e17) just chain more of the
+    same run_id+k equi-joins."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dirs = ev.withColumn(
+        "dir",
+        F.when(F.col("cents") < F.lag("cents").over(w), -1)
+        .when(F.col("cents") > F.lag("cents").over(w), 1)
+        .when(F.lag("cents").over(w).isNull(), F.lit(None).cast("int"))
+        .otherwise(0),
+    )
+    numbered = (
+        dirs.withColumn(
+            "chg",
+            F.when(
+                ~F.col("dir").eqNullSafe(F.lag("dir").over(w)), 1
+            ).otherwise(0),
+        )
+        .filter(F.col("dir").isNotNull())
+        .withColumn(
+            "run_id",
+            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return numbered.groupBy("user_id", "run_id", "dir").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
 @register(
     "e13_match_recognize",
     oracle=f"""
@@ -4838,42 +4878,11 @@ _E13_RUNS = """
     lowering in DuckDB. At 100 TB: runs compress events ~per-reversal,
     so the join input is a fraction of the raw stream; for longer
     regex-style patterns the same run relation feeds a chain of
-    adjacent-run joins.""",
+    adjacent-run joins (e17).""",
     tags=("sql-surface", "match-recognize", "pattern"),
 )
 def e13_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        F.col("ts").cast("timestamp").alias("ts"),
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dirs = ev.withColumn(
-        "dir",
-        F.when(F.col("cents") < F.lag("cents").over(w), -1)
-        .when(F.col("cents") > F.lag("cents").over(w), 1)
-        .when(F.lag("cents").over(w).isNull(), F.lit(None).cast("int"))
-        .otherwise(0),
-    )
-    numbered = (
-        dirs.withColumn(
-            "chg",
-            F.when(
-                ~F.col("dir").eqNullSafe(F.lag("dir").over(w)), 1
-            ).otherwise(0),
-        )
-        .filter(F.col("dir").isNotNull())
-        .withColumn(
-            "run_id",
-            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-    )
-    runs = numbered.groupBy("user_id", "run_id", "dir").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.min("ts").alias("first_ts"),
-        F.max("ts").alias("last_ts"),
-    )
+    runs = _direction_runs(spark, sf_dir)
     d = runs.filter((F.col("dir") == -1) & (F.col("n") >= 2)).select(
         "user_id",
         F.col("run_id").cast("long").alias("match_id"),
@@ -4889,6 +4898,68 @@ def e13_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.join(u, ["user_id", "match_id"]).select(
         "user_id", "match_id", "n_down", "n_up", "start_ts", "bottom_ts", "end_ts"
+    )
+
+
+@register(
+    "e17_match_recognize_w",
+    oracle=f"""
+    WITH {_E13_RUNS}
+    SELECT d1.user_id,
+           CAST(d1.run_id AS BIGINT) AS match_id,
+           d1.n AS n_d1, u1.n AS n_u1, d2.n AS n_d2, u2.n AS n_u2,
+           d1.first_ts AS start_ts, u2.last_ts AS end_ts
+    FROM runs d1
+    JOIN runs u1 ON u1.user_id = d1.user_id AND u1.run_id = d1.run_id + 1
+    JOIN runs d2 ON d2.user_id = d1.user_id AND d2.run_id = d1.run_id + 2
+    JOIN runs u2 ON u2.user_id = d1.user_id AND u2.run_id = d1.run_id + 3
+    WHERE d1.dir = -1 AND u1.dir = 1 AND d2.dir = -1 AND u2.dir = 1
+      AND d1.n >= 2 AND u1.n >= 2 AND d2.n >= 2 AND u2.n >= 2
+    """,
+    doc="""Longer MATCH_RECOGNIZE pattern (the NOTES r6 lead made
+    concrete): PATTERN (DOWN{{2,}} UP{{2,}} DOWN{{2,}} UP{{2,}}) — the
+    W-shape / double-dip detector — lowered by CHAINING adjacent-run
+    equi-joins off the same shared run relation e13 builds
+    (_direction_runs): one run-length encoding pass, then run_id+1/
+    +2/+3 joins with per-leg direction and quantifier predicates.
+    This is the general compilation scheme for any concatenation
+    pattern: k legs = k-1 extra joins on data already clustered by
+    user, input compressed to ~one row per direction reversal — the
+    run relation is built once and reused, never a rescan of raw
+    events. Overlapping matches are reported per ANSI
+    AFTER MATCH SKIP TO NEXT ROW semantics (each qualifying run
+    start yields a match row). Oracle: identical chain in DuckDB.""",
+    tags=("sql-surface", "match-recognize", "pattern"),
+)
+def e17_match_recognize_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    runs = _direction_runs(spark, sf_dir)
+    legs = []
+    for i, (dirv, label) in enumerate(
+        [(-1, "d1"), (1, "u1"), (-1, "d2"), (1, "u2")]
+    ):
+        leg = runs.filter((F.col("dir") == dirv) & (F.col("n") >= 2)).select(
+            F.col("user_id").alias(f"{label}_user"),
+            (F.col("run_id") - i).cast("long").alias(f"{label}_match"),
+            F.col("n").alias(f"n_{label}"),
+            F.col("first_ts").alias(f"{label}_first"),
+            F.col("last_ts").alias(f"{label}_last"),
+        )
+        legs.append(leg)
+    out = legs[0]
+    for leg, label in zip(legs[1:], ("u1", "d2", "u2")):
+        out = out.join(
+            leg,
+            on=[
+                out["d1_user"] == leg[f"{label}_user"],
+                out["d1_match"] == leg[f"{label}_match"],
+            ],
+        )
+    return out.select(
+        F.col("d1_user").alias("user_id"),
+        F.col("d1_match").alias("match_id"),
+        "n_d1", "n_u1", "n_d2", "n_u2",
+        F.col("d1_first").alias("start_ts"),
+        F.col("u2_last").alias("end_ts"),
     )
 
 

@@ -165,7 +165,11 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('CPUS', '8')}]")
         .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", os.environ.get("DRIVER_MEM", "8g"))
+        # sweep harness collects FULL results to compare against DuckDB;
+        # O(rows) outputs at sf1 (e.g. d4's per-doc dedup relation) are
+        # legitimately >1g — this is a verifier limit, not engine state
+        .config("spark.driver.maxResultSize", os.environ.get("MAX_RESULT", "8g"))
         .config("spark.ui.enabled", "false")
         .appName("strict-parity")
         .getOrCreate()
