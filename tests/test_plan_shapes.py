@@ -417,3 +417,29 @@ def test_mmr_joins_stay_keyed(spark):
     # k-step loop's rem/red/pick joins must all be keyed
     plan = plan_of(spark, "v14_mmr_rerank")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tdigest_boundary_joins_broadcast(spark):
+    # k7: rows join their O(delta log n) boundary relation and probes —
+    # every such join must broadcast the tiny side and stay keyed or
+    # broadcast-range; a SortMergeJoin against boundaries would shuffle
+    # the full table per join at scale
+    plan = plan_of(spark, "k7_tdigest_quantiles")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_sample_dialect_percent_form_is_filter_topn_is_ordered_limit(spark):
+    # sql12: the percent branch lowers to a pure scan+filter (no
+    # shuffle before the aggregate); the ROWS branch must plan
+    # TakeOrderedAndProject, never a global Sort+collect
+    plan = plan_of(spark, "sql12_sample_dialect")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_match_recognize_w_chain_stays_keyed(spark):
+    # e17: the three extra adjacent-run joins stay (user, match) keyed
+    plan = plan_of(spark, "e17_match_recognize_w")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
