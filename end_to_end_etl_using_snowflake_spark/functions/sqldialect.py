@@ -134,6 +134,119 @@ def _balanced_span(sql: str, open_idx: int) -> int:
 _FLATTEN_HEAD = re.compile(r",?\s*LATERAL\s+FLATTEN\s*\(", re.IGNORECASE)
 
 # ---------------------------------------------------------------------------
+# Snowflake CONNECT BY (hierarchical query)
+# ---------------------------------------------------------------------------
+
+_CONNECT_RE = re.compile(
+    r"SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<table>[A-Za-z_][\w.]*)\s+"
+    r"START\s+WITH\s+(?P<start>.*?)\s+"
+    r"CONNECT\s+BY\s+PRIOR\s+(?P<prior>[A-Za-z_]\w*)\s*=\s*(?P<parent>.*?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def rewrite_connect_by(sql: str) -> str:
+    """Lower Snowflake ``SELECT <list> FROM <table> START WITH <pred>
+    CONNECT BY PRIOR <col> = <parent expr>`` (the org-chart / BOM
+    hierarchy idiom) to ANSI ``WITH RECURSIVE``:
+
+        WITH RECURSIVE __h AS (
+            SELECT *, CAST(1 AS BIGINT) AS level FROM <table>
+            WHERE <pred>
+            UNION ALL
+            SELECT c.*, __h.level + 1 FROM <table> c
+            JOIN __h ON __h.<col> = <parent expr over c>
+        ) SELECT <list> FROM __h
+
+    Both engines this repo targets execute the lowered text natively
+    (Spark 4 and DuckDB ship WITH RECURSIVE — sql4 proves the shared
+    surface), so ONE lowering serves execution and oracle. The LEVEL
+    pseudo-column is materialized as ``level`` (1-based like
+    Snowflake's). Conservative single-SELECT shape: the select list
+    may reference LEVEL; the parent expression is rewritten against
+    the child alias; other CONNECT BY features (NOCYCLE,
+    SYS_CONNECT_BY_PATH, PRIOR on the right-hand side) refuse loudly.
+    Scale shape: each recursion step is a keyed equi-join of the
+    frontier against the table — Catalyst plans the per-level joins;
+    depth is the hierarchy's, not the row count's.
+    """
+    if _top_level_keyword(sql, "CONNECT") < 0:
+        return sql
+    for kw in ("NOCYCLE", "SYS_CONNECT_BY_PATH", "CONNECT_BY_ROOT"):
+        if kw in sql.upper():
+            raise ValueError(f"CONNECT BY {kw} is not supported by this shim")
+    m = _CONNECT_RE.search(sql.strip().rstrip(";"))
+    if m is None:
+        raise ValueError(
+            "unsupported CONNECT BY shape (need SELECT ... FROM <table> "
+            "START WITH <pred> CONNECT BY PRIOR <col> = <parent expr>)"
+        )
+    sel, table, start = m.group("sel"), m.group("table"), m.group("start")
+    prior, parent = m.group("prior"), m.group("parent")
+    if re.search(r"\bPRIOR\b", parent, re.IGNORECASE):
+        raise ValueError("PRIOR on the parent side is not supported by this shim")
+    sel = re.sub(r"\bLEVEL\b", "level", sel)
+    return (
+        f"WITH RECURSIVE __h AS ("
+        f"SELECT *, CAST(1 AS BIGINT) AS level FROM {table} WHERE {start} "
+        f"UNION ALL "
+        f"SELECT c.*, __h.level + 1 FROM {table} c "
+        f"JOIN __h ON __h.{prior} = {_qualify_idents(parent, 'c')}"
+        f") SELECT {sel} FROM __h"
+    )
+
+
+_SQL_NON_COLUMN_WORDS = frozenset(
+    """AS AND OR NOT NULL TRUE FALSE CASE WHEN THEN ELSE END IN IS LIKE
+    BETWEEN BIGINT INT INTEGER SMALLINT TINYINT DOUBLE FLOAT REAL VARCHAR
+    STRING DATE TIMESTAMP BOOLEAN DECIMAL NUMERIC INTERVAL DAY MONTH
+    YEAR HOUR MINUTE SECOND""".split()
+)
+
+
+def _qualify_idents(expr: str, alias: str) -> str:
+    """Prefix bare column identifiers in ``expr`` with ``alias.`` —
+    function names (followed by '('), SQL keywords/type names, already-
+    qualified references, and numeric/string literals are left alone.
+    Used to bind CONNECT BY's parent expression to the child side of
+    the recursive join, where the bare name would be ambiguous."""
+    out: list[str] = []
+    i = 0
+    n = len(expr)
+    while i < n:
+        c = expr[i]
+        if c == "'":
+            j = i + 1
+            while j < n and expr[j] != "'":
+                j += 1
+            out.append(expr[i : j + 1])
+            i = j + 1
+        elif c.isalpha() or c == "_":
+            m = _WORD.match(expr, i)
+            word = m.group(0)
+            j = m.end()
+            k = j
+            while k < n and expr[k].isspace():
+                k += 1
+            prev = out[-1][-1] if out and out[-1] else ""
+            is_func = k < n and expr[k] == "("
+            is_qualified = prev == "." or (k < n and expr[k] == ".")
+            if (
+                not is_func
+                and not is_qualified
+                and word.upper() not in _SQL_NON_COLUMN_WORDS
+            ):
+                out.append(f"{alias}.{word}")
+            else:
+                out.append(word)
+            i = j
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
 # Snowflake SAMPLE / TABLESAMPLE
 # ---------------------------------------------------------------------------
 

@@ -1345,17 +1345,22 @@ def p11_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re as _re
 
     orders = load(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
+    # Width guard runs on a pre-counted distinct BEFORE the wide plan is
+    # built (VERDICT r6): a pathological category column fails on this
+    # one tiny aggregate, never after Spark has inferred and planned
+    # thousands of pivot columns.
+    width = orders.select("o_orderpriority").distinct().limit(17).count()
+    if width > 16:
+        raise RuntimeError(
+            f"dynamic pivot width >{width - 1} exceeds the sanity bound; "
+            "use the explicit-list form (p8) for high-cardinality categories"
+        )
     piv = (
         orders.groupBy("o_orderstatus")
         .pivot("o_orderpriority")  # NO value list: the dynamic form
         .agg(F.count(F.lit(1)))
     )
     vals = [c for c in piv.columns if c != "o_orderstatus"]
-    if len(vals) > 16:
-        raise RuntimeError(
-            f"dynamic pivot width {len(vals)} exceeds the sanity bound; "
-            "use the explicit-list form (p8) for high-cardinality categories"
-        )
     slug = lambda v: "prio_" + _re.sub(r"[^a-z0-9]+", "_", v.lower()).strip("_")
     return piv.select(
         "o_orderstatus",
@@ -5392,6 +5397,48 @@ def sql13_flatten_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite_flatten(_SQL13_SNOWFLAKE_TEXT)).select(
         "event_id", "kind", "k", "v"
     )
+
+
+_SQL14_SNOWFLAKE_TEXT = """
+SELECT c_custkey, c_nationkey, LEVEL FROM customer
+START WITH c_custkey BETWEEN 1 AND 9
+CONNECT BY PRIOR c_custkey = CAST(floor(c_custkey / 10) AS BIGINT)
+"""
+
+
+def _sql14_lowered() -> str:
+    from ..functions.sqldialect import rewrite_connect_by
+
+    return rewrite_connect_by(_SQL14_SNOWFLAKE_TEXT)
+
+
+@register(
+    "sql14_connect_by",
+    # the lowered WITH RECURSIVE text is a shared surface (sql4 proves
+    # both engines ship it) — the oracle runs the SAME lowering.
+    oracle=_sql14_lowered(),
+    doc="""Snowflake ``CONNECT BY`` hierarchical query accepted
+    VERBATIM (org chart / bill-of-materials idiom): START WITH roots,
+    PRIOR parent-child recursion, LEVEL pseudo-column — lowered
+    textually to ANSI WITH RECURSIVE
+    (functions/sqldialect.py:rewrite_connect_by), which BOTH engines
+    execute natively, so one lowering serves execution and oracle.
+    The parent expression is identifier-qualified against the child
+    side of the recursive join (bare names would be ambiguous);
+    NOCYCLE / SYS_CONNECT_BY_PATH / right-hand PRIOR refuse loudly.
+    The hierarchy here derives parent custkey = floor(key/10) (roots
+    1-9; key 0 is its own parent and is deliberately excluded — a
+    cycle would recurse forever, Snowflake's own CONNECT BY errors
+    on it). Each recursion level is one keyed equi-join of the
+    frontier against the table; depth = hierarchy depth (4 at
+    sf0.01), never row count.""",
+    tags=("sql-surface", "dialect", "hierarchical", "recursive"),
+)
+def sql14_connect_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_sql14_lowered())
 
 
 _CLUSTERING_LAYOUTS = (

@@ -96,6 +96,7 @@ PRIORITY: tuple[str, ...] = (
     "sql13_flatten_path",
     "k7_tdigest_quantiles",
     "e17_match_recognize_w",
+    "sql14_connect_by",
     # padding: stalest r3 greens, evicted as r7 entries land
     "d1_dedup_exact",
     "d2_dedup_ngram_jaccard",
@@ -115,9 +116,9 @@ PRIORITY: tuple[str, ...] = (
     "t4_fingerprint",
     "t7_repetition_filter",
     "x1_asof_join",
-    "x2_leakage_safe_split",
     # ---- 51+: driver-green in r1-r6 and rotated out of the window;
     # all remain locally oracle-checked per pytest run.
+    "x2_leakage_safe_split",
     "j6_salted_skew_join",
     "m5_cdc_apply_changes",
     "m7_incremental_fact_merge",

@@ -866,9 +866,12 @@ def test_flatten_rewriter_edges():
         "SELECT 1 FROM t, LATERAL FLATTEN(input => slice(a, 1, 3)) f"
     )
     assert "posexplode(slice(a, 1, 3))" in out
-    # PATH / unknown names refuse by NAME; MODE accepts ARRAY/OBJECT
-    with _pytest.raises(ValueError, match="PATH"):
-        rewrite_flatten("SELECT 1 FROM t, LATERAL FLATTEN(input => a, path => 'b') f")
+    # PATH now lowers (r7, sql13) — dispatch is still by NAME; unknown
+    # names refuse; MODE accepts ARRAY/OBJECT
+    out = rewrite_flatten(
+        "SELECT 1 FROM t, LATERAL FLATTEN(input => a, path => 'b') f"
+    )
+    assert "get_json_object(a, '$.b')" in out
     out = rewrite_flatten(
         "SELECT 1 FROM t, LATERAL FLATTEN(input => a, mode => 'ARRAY') f"
     )
@@ -1468,3 +1471,66 @@ def test_tdigest_merge_weight_conservation(spark):
     for n in (100, 1234, 15000):
         b = tdigest_bounds(n, delta=100)
         assert b[0][1] == 0 and b[-1][2] == n
+
+
+def test_connect_by_rewriter_edges():
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_connect_by,
+        _qualify_idents,
+    )
+
+    # no CONNECT BY -> unchanged
+    assert rewrite_connect_by("SELECT a FROM t") == "SELECT a FROM t"
+    out = rewrite_connect_by(
+        "SELECT emp_id, LEVEL FROM emp START WITH mgr_id IS NULL "
+        "CONNECT BY PRIOR emp_id = mgr_id"
+    )
+    assert out.startswith("WITH RECURSIVE __h AS (")
+    assert "__h.emp_id = c.mgr_id" in out
+    assert "SELECT emp_id, level FROM __h" in out
+    # parent expressions qualify COLUMNS only, never functions/keywords
+    q = _qualify_idents("CAST(floor(col_a / 10) AS BIGINT)", "c")
+    assert q == "CAST(floor(c.col_a / 10) AS BIGINT)"
+    q2 = _qualify_idents("t.already || 'LIT text' || plain", "c")
+    assert q2 == "t.already || 'LIT text' || c.plain"
+    for bad, msg in [
+        (
+            "SELECT a FROM t START WITH x CONNECT BY NOCYCLE PRIOR a = b",
+            "NOCYCLE",
+        ),
+        (
+            "SELECT SYS_CONNECT_BY_PATH(a, '/') FROM t START WITH x "
+            "CONNECT BY PRIOR a = b",
+            "SYS_CONNECT_BY_PATH",
+        ),
+        (
+            "SELECT a FROM t START WITH x CONNECT BY PRIOR a = PRIOR b",
+            "PRIOR on the parent side",
+        ),
+        ("SELECT a FROM t CONNECT BY PRIOR a = b", "unsupported CONNECT BY"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            rewrite_connect_by(bad)
+
+
+def test_connect_by_executes(spark):
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_connect_by,
+    )
+
+    spark.createDataFrame(
+        [(1, None), (2, 1), (3, 1), (4, 2), (5, 9)],
+        "emp_id int, mgr_id int",
+    ).createOrReplaceTempView("cb_emp")
+    rows = spark.sql(
+        rewrite_connect_by(
+            "SELECT emp_id, LEVEL FROM cb_emp START WITH mgr_id IS NULL "
+            "CONNECT BY PRIOR emp_id = mgr_id"
+        )
+    ).collect()
+    got = sorted((r["emp_id"], r["level"]) for r in rows)
+    # emp 5 reports to the non-existent 9 -> unreachable, exactly like
+    # Snowflake's CONNECT BY
+    assert got == [(1, 1), (2, 2), (3, 2), (4, 3)]
