@@ -533,3 +533,128 @@ def rewrite_flatten(sql: str) -> str:
         else:
             replacement = f" {view} posexplode({expr}) {alias} AS index, value"
         out = out[:m.start()] + replacement + out[am.end():]
+
+
+# ---------------------------------------------------------------------------
+# Snowflake ASOF JOIN ... MATCH_CONDITION
+# ---------------------------------------------------------------------------
+
+_ASOF_RE = re.compile(
+    r"SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<lt>[A-Za-z_]\w*)\s+(?P<la>[A-Za-z_]\w*)\s+"
+    r"ASOF\s+JOIN\s+(?P<rt>[A-Za-z_]\w*)\s+(?P<ra>[A-Za-z_]\w*)\s+"
+    r"MATCH_CONDITION\s*\(\s*(?P<mc>.*?)\s*\)\s+"
+    r"ON\s+(?P<on>.*?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ASOF_MC = re.compile(
+    r"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*(>=|<=|>|<)\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)$"
+)
+_ASOF_ITEM = re.compile(
+    r"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)(?:\s+AS\s+([A-Za-z_]\w*))?$", re.IGNORECASE
+)
+
+
+def asof_dialect(sql: str, tables: dict) -> "DataFrame":  # noqa: F821
+    """Execute a Snowflake ``ASOF JOIN ... MATCH_CONDITION`` statement
+    VERBATIM against the engine's as-of machinery
+    (operators/asof.py:asof_join_directional — union + per-key window,
+    one shuffle, zero range explosion).
+
+    Accepted shape (conservative, like the other shims)::
+
+        SELECT <alias.col [AS name], ...>
+        FROM <left_table> <la> ASOF JOIN <right_table> <ra>
+        MATCH_CONDITION ( la.ts >= ra.ts )       -- or <= for forward
+        ON la.k = ra.k [AND ...]
+
+    ``>=`` lowers to the backward (most recent at-or-before) direction,
+    ``<=`` to forward; the STRICT forms refuse (the window formulation
+    is inclusive, matching both Snowflake's and DuckDB's inclusive
+    operators in practice). Unmatched left rows emit NULL right columns
+    — Snowflake's documented contract (DuckDB mirrors it as ``ASOF
+    LEFT JOIN``). ``tables`` maps table names to DataFrames; right-side
+    key/timestamp columns are renamed to the left names internally
+    (the operator requires shared names) and mapped back for the
+    select list, with the right timestamp exposed via the operator's
+    ``matched_ts``.
+    """
+    from pyspark.sql import functions as _F
+
+    from ..operators.asof import asof_join_directional
+
+    m = _ASOF_RE.search(sql.strip().rstrip(";"))
+    if m is None:
+        raise ValueError(
+            "unsupported ASOF JOIN shape (need SELECT ... FROM l la ASOF "
+            "JOIN r ra MATCH_CONDITION (la.ts >= ra.ts) ON la.k = ra.k)"
+        )
+    la, ra = m.group("la"), m.group("ra")
+    mc = _ASOF_MC.match(m.group("mc"))
+    if mc is None:
+        raise ValueError(f"unsupported MATCH_CONDITION: {m.group('mc')!r}")
+    a1, c1, op, a2, c2 = mc.groups()
+    if {a1, a2} != {la, ra} or a1 == a2:
+        raise ValueError("MATCH_CONDITION must compare the two join sides")
+    if a1 == ra:  # normalize to left-side-first
+        a1, c1, a2, c2 = a2, c2, a1, c1
+        op = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}[op]
+    if op in (">", "<"):
+        raise ValueError(
+            "strict MATCH_CONDITION operators are not supported (the as-of"
+            " lowering is inclusive; use >= or <=)"
+        )
+    direction = "backward" if op == ">=" else "forward"
+    lts, rts = c1, c2
+    on_pairs = []
+    for clause in re.split(r"\bAND\b", m.group("on"), flags=re.IGNORECASE):
+        pm = re.match(
+            r"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)$",
+            clause.strip(),
+        )
+        if pm is None:
+            raise ValueError(f"unsupported ON clause term: {clause.strip()!r}")
+        b1, k1, b2, k2 = pm.groups()
+        if b1 == ra:
+            b1, k1, b2, k2 = b2, k2, b1, k1
+        if b1 != la or b2 != ra:
+            raise ValueError("ON terms must equate left and right columns")
+        on_pairs.append((k1, k2))
+    if m.group("lt") not in tables or m.group("rt") not in tables:
+        raise KeyError("ASOF tables must be provided in the tables mapping")
+    left = tables[m.group("lt")]
+    right = tables[m.group("rt")]
+    for lk, rk in on_pairs:
+        if lk != rk:
+            right = right.withColumnRenamed(rk, lk)
+    if rts != lts:
+        right = right.withColumnRenamed(rts, lts)
+    items = [
+        _ASOF_ITEM.match(item.strip())
+        for item in _split_top_level_commas(m.group("sel"))
+    ]
+    if any(i is None for i in items):
+        raise ValueError("ASOF select list supports alias.col [AS name] items")
+    keys = [lk for lk, _ in on_pairs]
+    payload = []
+    for i in items:
+        al, col = i.group(1), i.group(2)
+        if al == ra and col != rts and col not in dict(on_pairs).values():
+            payload.append(col)
+    res = asof_join_directional(
+        left, right, on=keys, ts_col=lts, payload_cols=payload,
+        direction=direction,
+    )
+    sel = []
+    rename_back = {rk: lk for lk, rk in on_pairs}
+    for i in items:
+        al, col, name = i.group(1), i.group(2), i.group(3)
+        if al == la:
+            src = _F.col(col)
+        elif col == rts:
+            src = _F.col("matched_ts")
+        elif col in rename_back:
+            src = _F.col(rename_back[col])
+        else:
+            src = _F.col(col)
+        sel.append(src.alias(name or col))
+    return res.select(*sel)

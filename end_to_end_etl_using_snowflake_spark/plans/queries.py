@@ -781,6 +781,69 @@ def x1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL15_SNOWFLAKE_TEXT = """
+SELECT p.user_id, p.event_id, p.ts, p.value,
+       c.ts AS click_ts, c.click_id, c.click_value
+FROM purchases p ASOF JOIN clicks c
+MATCH_CONDITION (p.ts >= c.ts)
+ON p.user_id = c.user_id
+"""
+
+
+@register(
+    "sql15_asof_dialect",
+    oracle="""
+    WITH l AS (
+        SELECT user_id, event_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    r0 AS (
+        SELECT user_id, ts, event_id AS click_id, value AS click_value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+    ),
+    r AS (SELECT user_id, ts, click_id, click_value FROM r0 WHERE rn = 1)
+    SELECT l.user_id, l.event_id, l.ts, l.value,
+           r.ts AS click_ts, r.click_id, r.click_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    doc="""Snowflake ``ASOF JOIN ... MATCH_CONDITION`` accepted
+    VERBATIM (the modern Snowflake surface for x1's operator): the
+    statement is parsed conservatively (two bare table refs, alias.col
+    select items, >=/<= match condition, equi-key ON chain) and
+    executed through the engine's union+window as-of machinery — one
+    shuffle per key, zero range explosion, never a range join
+    (functions/sqldialect.py:asof_dialect). ``>=`` = backward, ``<=``
+    = forward; strict ops refuse. Unmatched left rows keep NULL right
+    columns (Snowflake's contract — exercised here: purchases with no
+    prior click survive, unlike x1's inner form). Oracle: DuckDB's
+    NATIVE ``ASOF LEFT JOIN`` — two independent as-of implementations
+    plus a third formulation (the dialect path) must agree exactly.""",
+    tags=("sql-surface", "dialect", "asof"),
+)
+def sql15_asof_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import asof_dialect
+
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = M.dedup_latest(
+        events.filter(F.col("event_type") == "click").select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("click_id"),
+            F.col("value").alias("click_value"),
+        ),
+        ["user_id", "ts"],
+        [F.col("click_id").desc()],
+    )
+    return asof_dialect(
+        _SQL15_SNOWFLAKE_TEXT, {"purchases": purchases, "clicks": clicks}
+    )
+
+
 # ---------------------------------------------------------------------------
 # events: time-window analytics (engine extension; streaming-shaped)
 # ---------------------------------------------------------------------------

@@ -1534,3 +1534,57 @@ def test_connect_by_executes(spark):
     # emp 5 reports to the non-existent 9 -> unreachable, exactly like
     # Snowflake's CONNECT BY
     assert got == [(1, 1), (2, 2), (3, 2), (4, 3)]
+
+
+def test_asof_dialect_edges(spark):
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        asof_dialect,
+    )
+
+    quotes = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 101.0), (2, 15, 50.0)],
+        "sym int, qts int, px double",
+    ).selectExpr("sym", "CAST(qts AS TIMESTAMP) AS qts", "px")
+    trades = spark.createDataFrame(
+        [(1, 12, 5), (1, 25, 7), (2, 9, 3), (3, 30, 1)],
+        "sym int, tts int, qty int",
+    ).selectExpr("sym", "CAST(tts AS TIMESTAMP) AS tts", "qty")
+    tabs = {"trades": trades, "quotes": quotes}
+    out = asof_dialect(
+        "SELECT t.sym, t.tts, t.qty, q.px FROM trades t ASOF JOIN quotes q "
+        "MATCH_CONDITION (t.tts >= q.qts) ON t.sym = q.sym",
+        tabs,
+    ).collect()
+    got = sorted((r["sym"], r["qty"], r["px"]) for r in out)
+    # trade at 12 -> quote 10; 25 -> 20; sym2 trade 9 predates all quotes
+    # -> NULL (Snowflake contract); sym3 has no quotes -> NULL
+    assert got == [(1, 5, 100.0), (1, 7, 101.0), (2, 3, None), (3, 1, None)]
+    # forward direction via <=
+    out2 = asof_dialect(
+        "SELECT t.sym, t.qty, q.px FROM trades t ASOF JOIN quotes q "
+        "MATCH_CONDITION (t.tts <= q.qts) ON t.sym = q.sym",
+        tabs,
+    ).collect()
+    got2 = sorted((r["sym"], r["qty"], r["px"]) for r in out2)
+    assert got2 == [(1, 5, 101.0), (1, 7, None), (2, 3, 50.0), (3, 1, None)]
+    # flipped-side condition normalizes; strict ops refuse
+    out3 = asof_dialect(
+        "SELECT t.sym, t.qty, q.px FROM trades t ASOF JOIN quotes q "
+        "MATCH_CONDITION (q.qts <= t.tts) ON t.sym = q.sym",
+        tabs,
+    ).collect()
+    assert sorted((r["sym"], r["qty"], r["px"]) for r in out3) == got
+    for bad, msg in [
+        ("SELECT t.sym FROM trades t ASOF JOIN quotes q "
+         "MATCH_CONDITION (t.tts > q.qts) ON t.sym = q.sym", "strict"),
+        ("SELECT t.sym FROM trades t ASOF JOIN quotes q "
+         "MATCH_CONDITION (t.tts >= t.tts) ON t.sym = q.sym", "two join sides"),
+        ("SELECT t.sym FROM trades t ASOF JOIN quotes q "
+         "MATCH_CONDITION (t.tts >= q.qts) ON t.sym < q.sym", "ON clause"),
+        ("SELECT 1 + 2 FROM trades t ASOF JOIN quotes q "
+         "MATCH_CONDITION (t.tts >= q.qts) ON t.sym = q.sym", "select list"),
+    ]:
+        with _pytest.raises((ValueError, KeyError)):
+            asof_dialect(bad, tabs)
