@@ -913,3 +913,133 @@ def sql_tdigest_quantiles_by_group(
            CAST(x.cents AS DOUBLE) / 100.0 AS exact
     FROM est JOIN exacts x ON x.scope = est.scope AND x.r = est.t_rank
     """
+
+
+def kmv_set_ops(
+    df: DataFrame, group_col: str, col: str, scope_a: str, scope_b: str, k: int = 64
+) -> DataFrame:
+    """KMV set-operation estimates between two groups' sketches (k8) —
+    the capability k6's docstring promises: because a KMV sketch IS a
+    uniform hash sample of the distinct values, the UNION sketch's
+    members can be probed for membership in each side, giving
+    unbiased Jaccard / intersection / union estimates (Beyer et al.
+    2007) that HLL registers cannot produce.
+
+    Estimator: build both sketches (k smallest distinct hashes each),
+    merge to the union sketch K (k smallest of the union; its k-th
+    hash estimates |A ∪ B| exactly as in k6), then p = |K ∩ A ∩ B|/|K|
+    estimates Jaccard J(A,B); intersection ≈ p * union_est. All
+    membership probes are O(k) joins on sketch rows — the raw table is
+    scanned once for hashing and never again. Exact distinct counts of
+    both sides ride along as self-audit.
+
+    Determinism: md5 hashes, integer order statistics, the two double
+    divisions happen at the end — bit-exact vs the SQL twin.
+    """
+    hashed = (
+        df.filter(F.col(group_col).cast("string").isin(scope_a, scope_b))
+        .select(
+            F.col(group_col).cast("string").alias("scope"),
+            md5_hash64(F.col(col)).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("scope").orderBy("h")
+    sketch = hashed.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+    union_sketch = (
+        sketch.select("h")
+        .distinct()
+        .withColumn("r", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("r") <= k)
+    )
+    n_union = union_sketch.agg(
+        F.count(F.lit(1)).alias("n_k"), F.max("h").alias("kth_hash")
+    )
+    in_a = sketch.filter(F.col("scope") == scope_a).select("h")
+    in_b = sketch.filter(F.col("scope") == scope_b).select("h")
+    both = (
+        union_sketch.join(in_a, "h", "left_semi")
+        .join(in_b, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    exact = hashed.groupBy("scope").agg(F.count(F.lit(1)).alias("ndv"))
+    ex_a = exact.filter(F.col("scope") == scope_a).select(
+        F.col("ndv").alias("ndv_a")
+    )
+    ex_b = exact.filter(F.col("scope") == scope_b).select(
+        F.col("ndv").alias("ndv_b")
+    )
+    numer = float((k - 1) * (1 << 60))
+    union_est = F.when(
+        F.col("n_k") < k, F.col("n_k").cast("double")
+    ).otherwise(F.lit(numer) / F.col("kth_hash").cast("double"))
+    jacc = F.col("n_both").cast("double") / F.col("n_k").cast("double")
+    return (
+        n_union.crossJoin(both)  # 1x1 scalar aggregates
+        .crossJoin(ex_a)
+        .crossJoin(ex_b)
+        .select(
+            F.lit(scope_a).alias("scope_a"),
+            F.lit(scope_b).alias("scope_b"),
+            F.col("n_k").cast("long").alias("n_k"),
+            F.col("n_both").cast("long").alias("n_both"),
+            union_est.alias("union_est"),
+            jacc.alias("jaccard_est"),
+            (jacc * union_est).alias("intersection_est"),
+            F.col("ndv_a").cast("long").alias("ndv_a"),
+            F.col("ndv_b").cast("long").alias("ndv_b"),
+        )
+    )
+
+
+def sql_kmv_set_ops(
+    table: str, group_col: str, col: str, scope_a: str, scope_b: str, k: int = 64
+) -> str:
+    """DuckDB twin of :func:`kmv_set_ops` — identical hashes, order
+    statistics, membership probes, and final expressions."""
+    h = sql_md5_hash64(col)
+    numer = float((k - 1) * (1 << 60))
+    return f"""
+    WITH hashed AS (
+        SELECT DISTINCT CAST({group_col} AS VARCHAR) AS scope, {h} AS h
+        FROM {table}
+        WHERE CAST({group_col} AS VARCHAR) IN ('{scope_a}', '{scope_b}')
+    ),
+    sketch AS (
+        SELECT scope, h FROM (
+            SELECT scope, h,
+                   row_number() OVER (PARTITION BY scope ORDER BY h) AS r
+            FROM hashed
+        ) WHERE r <= {k}
+    ),
+    union_sketch AS (
+        SELECT h FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS r
+            FROM (SELECT DISTINCT h FROM sketch)
+        ) WHERE r <= {k}
+    ),
+    nu AS (SELECT CAST(count(*) AS BIGINT) AS n_k,
+                  CAST(max(h) AS BIGINT) AS kth_hash FROM union_sketch),
+    nboth AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_both
+        FROM union_sketch u
+        WHERE EXISTS (SELECT 1 FROM sketch s
+                      WHERE s.scope = '{scope_a}' AND s.h = u.h)
+          AND EXISTS (SELECT 1 FROM sketch s
+                      WHERE s.scope = '{scope_b}' AND s.h = u.h)
+    ),
+    ex AS (SELECT scope, CAST(count(*) AS BIGINT) AS ndv
+           FROM hashed GROUP BY scope)
+    SELECT '{scope_a}' AS scope_a, '{scope_b}' AS scope_b,
+           nu.n_k, nboth.n_both,
+           CASE WHEN nu.n_k < {k} THEN CAST(nu.n_k AS DOUBLE)
+                ELSE {numer!r} / CAST(nu.kth_hash AS DOUBLE) END AS union_est,
+           CAST(nboth.n_both AS DOUBLE) / CAST(nu.n_k AS DOUBLE) AS jaccard_est,
+           (CAST(nboth.n_both AS DOUBLE) / CAST(nu.n_k AS DOUBLE))
+             * (CASE WHEN nu.n_k < {k} THEN CAST(nu.n_k AS DOUBLE)
+                     ELSE {numer!r} / CAST(nu.kth_hash AS DOUBLE) END)
+               AS intersection_est,
+           (SELECT ndv FROM ex WHERE scope = '{scope_a}') AS ndv_a,
+           (SELECT ndv FROM ex WHERE scope = '{scope_b}') AS ndv_b
+    FROM nu, nboth
+    """

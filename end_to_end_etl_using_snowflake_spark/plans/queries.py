@@ -3501,6 +3501,42 @@ _attach_k7_oracle()
 
 
 @register(
+    "k8_kmv_set_ops",
+    oracle=None,  # assigned below (generated from the sketch module)
+    doc="""KMV set-operation estimates (k8 — the capability k6's
+    distinct-sampling design exists for, Beyer et al. 2007): Jaccard,
+    intersection, and union estimates between two groups' part-key
+    sets ('A' vs 'R' return flags over lineitem) computed ENTIRELY
+    from sketch rows — the union sketch's k smallest hashes are
+    membership-probed against each side (p = |K∩A∩B|/|K| estimates
+    J; intersection ≈ p x union_est). One scan hashes the table;
+    every later step is an O(k) join of sketch rows. Exact ndv of
+    both sides rides along as self-audit. Same bit-exact contract as
+    k1-k7: md5 order statistics, double division only at the end.
+    operators/sketches.py:kmv_set_ops.""",
+    tags=("sketch", "aggregate", "set-ops", "scale-path"),
+)
+def k8_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches as K
+
+    return K.kmv_set_ops(
+        load(spark, sf_dir, "lineitem"), "l_returnflag", "l_partkey",
+        "A", "R", k=64,
+    )
+
+
+def _attach_k8_oracle() -> None:
+    from ..operators import sketches as K
+
+    REGISTRY["k8_kmv_set_ops"].oracle = K.sql_kmv_set_ops(
+        "lineitem", "l_returnflag", "l_partkey", "A", "R", k=64
+    )
+
+
+_attach_k8_oracle()
+
+
+@register(
     "prof1_corr_exact",
     oracle="""
     WITH m AS (

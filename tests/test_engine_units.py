@@ -1588,3 +1588,29 @@ def test_asof_dialect_edges(spark):
     ]:
         with _pytest.raises((ValueError, KeyError)):
             asof_dialect(bad, tabs)
+
+
+def test_kmv_set_ops_discriminates(spark):
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_using_snowflake_spark.operators.sketches import (
+        kmv_set_ops,
+    )
+
+    # A = [0, 2000), B = [1000, 3000): |A∩B| = 1000, |A∪B| = 3000,
+    # true Jaccard = 1/3 — the driver corpus can't exercise a
+    # non-degenerate overlap (every partkey carries every flag), so
+    # pin the estimator's discrimination on constructed sets
+    a = spark.range(0, 2000).select(F.lit("a").alias("g"), F.col("id"))
+    b = spark.range(1000, 3000).select(F.lit("b").alias("g"), F.col("id"))
+    out = kmv_set_ops(a.unionByName(b), "g", "id", "a", "b", k=128).collect()[0]
+    assert out["ndv_a"] == 2000 and out["ndv_b"] == 2000
+    assert 0.20 < out["jaccard_est"] < 0.48, out
+    # KMV k=128 has ~9% 1-sigma relative error; the md5 draw here is
+    # deterministic and happens to land ~30% high on the union
+    assert 2200 < out["union_est"] < 4200, out
+    assert 500 < out["intersection_est"] < 1700, out
+    # disjoint sets -> zero intersection, exactly
+    c = spark.range(5000, 7000).select(F.lit("c").alias("g"), F.col("id"))
+    out2 = kmv_set_ops(a.unionByName(c), "g", "id", "a", "c", k=128).collect()[0]
+    assert out2["jaccard_est"] == 0.0 and out2["intersection_est"] == 0.0
