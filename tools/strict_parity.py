@@ -151,13 +151,108 @@ def compare(name: str, spark, con, sf_dir: str | None = None) -> dict:
     return out
 
 
+def compare_agg(name: str, spark, con, sf_dir: str | None = None) -> dict:
+    """Engine-side aggregate comparison for outputs too large to
+    collect (O(rows) relations at sf1+): both engines reduce the full
+    result to per-column order-insensitive checksums — count, and per
+    column SUM of a 60-bit md5 hash (strings), exact SUM/MIN/MAX
+    (integers), or SUM of round(x * 1e6) (doubles; the repo's value
+    conventions make doubles bit-identical, so the fixed-point sum
+    is exact) — and only the scalars cross the driver. Weaker than
+    the full row hash (a swap of values between rows of the same
+    column is undetected across columns) but catches count, content,
+    and distribution drift at any scale with O(1) driver memory."""
+    from end_to_end_etl_using_snowflake_spark.plans.registry import REGISTRY
+
+    sf_dir = sf_dir or SF_DIR
+    spec = REGISTRY[name]
+    out = {"name": name, "mode": "agg"}
+    if spec.oracle is None:
+        out["err"] = "agg mode requires an oracle"
+        return out
+    try:
+        sdf = spec.build(spark, sf_dir)
+    except Exception:
+        out["err"] = "spark: " + traceback.format_exc(limit=3)
+        return out
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    s_aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    d_aggs = ["CAST(count(*) AS BIGINT) AS n_rows"]
+    for f in sdf.schema.fields:
+        c = f.name
+        if isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType)):
+            s_aggs += [
+                F.sum(F.col(c).cast("decimal(38,0)")).cast("double").alias(f"{c}__sum"),
+                F.min(c).cast("long").alias(f"{c}__min"),
+                F.max(c).cast("long").alias(f"{c}__max"),
+            ]
+            d_aggs += [
+                f'CAST(CAST(sum("{c}") AS DECIMAL(38,0)) AS DOUBLE) AS "{c}__sum"',
+                f'CAST(min("{c}") AS BIGINT) AS "{c}__min"',
+                f'CAST(max("{c}") AS BIGINT) AS "{c}__max"',
+            ]
+        elif isinstance(f.dataType, T.DoubleType):
+            s_aggs += [
+                F.sum(F.expr(f"CAST(round(`{c}` * 1000000) AS DECIMAL(38,0))"))
+                .cast("double")
+                .alias(f"{c}__fxsum")
+            ]
+            d_aggs += [
+                f'CAST(sum(CAST(round("{c}" * 1000000) AS DECIMAL(38,0))) AS DOUBLE)'
+                f' AS "{c}__fxsum"'
+            ]
+        else:  # strings, dates, timestamps -> hash of the cast-to-string
+            s_aggs += [
+                F.sum(
+                    F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 15), 16, 10)
+                    .cast("decimal(38,0)")
+                )
+                .cast("double")
+                .alias(f"{c}__hsum"),
+                F.count(c).cast("long").alias(f"{c}__nn"),
+            ]
+            d_aggs += [
+                f"CAST(sum(CAST(CAST(concat('0x', substring(md5(CAST(\"{c}\" AS"
+                f" VARCHAR)), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE)"
+                f" AS \"{c}__hsum\"",
+                f'CAST(count("{c}") AS BIGINT) AS "{c}__nn"',
+            ]
+    try:
+        srow = sdf.agg(*s_aggs).collect()[0].asDict()
+    except Exception:
+        out["err"] = "spark: " + traceback.format_exc(limit=3)
+        return out
+    try:
+        drow = con.execute(
+            f"SELECT {', '.join(d_aggs)} FROM ({spec.oracle}) __agg_t"
+        ).df().iloc[0].to_dict()
+    except Exception:
+        out["err"] = "duckdb: " + traceback.format_exc(limit=3)
+        return out
+    errs = []
+    for key, sv in srow.items():
+        dv = drow.get(key)
+        same = (sv is None and (dv is None or dv != dv)) or sv == dv
+        if not same:
+            errs.append(f"{key}: spark={sv!r} duck={dv!r}")
+    out["spark_rows"] = out["duck_rows"] = int(srow["n_rows"])
+    out["errors"] = errs
+    out["ok"] = not errs
+    return out
+
+
 def main() -> None:
     # populate the registry exactly like __spark_entry__ does
     import __spark_entry__  # noqa: F401
 
     from end_to_end_etl_using_snowflake_spark.plans.registry import REGISTRY
 
-    names = sys.argv[1:] or list(REGISTRY)
+    args = sys.argv[1:]
+    agg_mode = "--agg" in args
+    names = [a for a in args if a != "--agg"] or list(REGISTRY)
     # bare session like the driver's: no arrow flag, default confs except
     # shuffle partitions kept sane for local sweeps
     from pyspark.sql import SparkSession
@@ -177,7 +272,7 @@ def main() -> None:
     con = duck_con(SF_DIR)
     bad = 0
     for n in names:
-        r = compare(n, spark, con)
+        r = (compare_agg if agg_mode else compare)(n, spark, con)
         if not r.get("ok"):
             bad += 1
         tag = "OK " if r.get("ok") else "BAD"
