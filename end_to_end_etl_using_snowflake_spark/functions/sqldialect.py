@@ -658,3 +658,66 @@ def asof_dialect(sql: str, tables: dict) -> "DataFrame":  # noqa: F821
             src = _F.col(col)
         sel.append(src.alias(name or col))
     return res.select(*sel)
+
+
+# ---------------------------------------------------------------------------
+# Snowflake GENERATOR / SEQ4 / DATEADD
+# ---------------------------------------------------------------------------
+
+_GENERATOR_RE = re.compile(
+    r"TABLE\s*\(\s*GENERATOR\s*\(\s*ROWCOUNT\s*=>\s*(\d+)\s*\)\s*\)",
+    re.IGNORECASE,
+)
+_SEQ_RE = re.compile(r"\bSEQ[48]\s*\(\s*\)", re.IGNORECASE)
+_DATEADD_HEAD = re.compile(r"\bDATEADD\s*\(", re.IGNORECASE)
+
+
+def rewrite_generator(sql: str) -> str:
+    """Lower Snowflake's row generator idiom — ``FROM
+    TABLE(GENERATOR(ROWCOUNT => n))`` with ``SEQ4()``/``SEQ8()``
+    counters and ``DATEADD(unit, n, d)`` arithmetic (the date-spine
+    recipe every Snowflake warehouse contains) — to Spark SQL:
+
+    - the generator becomes ``(SELECT id AS __gen_seq FROM range(n))``
+      (Spark's native lazy range — no data materialized, splits across
+      the cluster);
+    - ``SEQ4()``/``SEQ8()`` become the ``__gen_seq`` counter (like
+      Snowflake, values are the trivial 0..n-1 sequence here);
+    - ``DATEADD(day|week|month|quarter|year, <k>, <d>)`` becomes
+      ``date_add``/``add_months`` calls (other units refuse; Snowflake
+      semantics for these calendar units match Spark's).
+
+    ``GENERATOR(TIMELIMIT => ...)`` refuses — a wall-clock-bounded row
+    source is nondeterministic by definition.
+    """
+    if re.search(r"GENERATOR\s*\(\s*TIMELIMIT", sql, re.IGNORECASE):
+        raise ValueError("GENERATOR(TIMELIMIT) is nondeterministic; use ROWCOUNT")
+    out = _GENERATOR_RE.sub(
+        lambda m: f"(SELECT id AS __gen_seq FROM range({m.group(1)}))", sql
+    )
+    out = _SEQ_RE.sub("__gen_seq", out)
+    # DATEADD(unit, k, d) -> date_add / add_months (balanced-paren args)
+    while True:
+        m = _DATEADD_HEAD.search(out)
+        if m is None:
+            return out
+        open_idx = out.index("(", m.start())
+        close = _balanced_span(out, open_idx)
+        args = _split_top_level_commas(out[open_idx + 1 : close - 1])
+        if len(args) != 3:
+            raise ValueError("DATEADD expects (unit, n, date)")
+        unit = args[0].strip().strip("'\"").lower()
+        k, d = args[1].strip(), args[2].strip()
+        if unit == "day":
+            repl = f"date_add({d}, CAST({k} AS INT))"
+        elif unit == "week":
+            repl = f"date_add({d}, CAST(({k}) * 7 AS INT))"
+        elif unit == "month":
+            repl = f"add_months({d}, CAST({k} AS INT))"
+        elif unit == "quarter":
+            repl = f"add_months({d}, CAST(({k}) * 3 AS INT))"
+        elif unit == "year":
+            repl = f"add_months({d}, CAST(({k}) * 12 AS INT))"
+        else:
+            raise ValueError(f"DATEADD unit {unit!r} is not supported by this shim")
+        out = out[: m.start()] + repl + out[close:]

@@ -5540,6 +5540,50 @@ def sql14_connect_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_sql14_lowered())
 
 
+_SQL16_SNOWFLAKE_TEXT = """
+SELECT s.spine_date, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+FROM (SELECT DATEADD(day, SEQ4(), DATE '1998-07-01') AS spine_date
+      FROM TABLE(GENERATOR(ROWCOUNT => 31))) s
+LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = s.spine_date
+GROUP BY s.spine_date
+ORDER BY s.spine_date
+"""
+
+
+@register(
+    "sql16_generator_dialect",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(DATE '1998-07-01' + CAST(g.i AS INTEGER) AS DATE) AS spine_date
+        FROM (SELECT unnest(generate_series(0, 30)) AS i) g
+    )
+    SELECT s.spine_date, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM s LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = s.spine_date
+    GROUP BY s.spine_date
+    ORDER BY s.spine_date
+    """,
+    doc="""Snowflake row-generator idiom accepted VERBATIM — the
+    date-spine recipe every Snowflake warehouse contains:
+    ``TABLE(GENERATOR(ROWCOUNT => n))`` + ``SEQ4()`` + ``DATEADD``
+    building a gap-free calendar that LEFT JOINs facts so zero-order
+    days surface as 0 (x3 is the engine-side spine; this is the text
+    surface). Lowering (functions/sqldialect.py:rewrite_generator):
+    GENERATOR -> Spark's native lazy ``range(n)`` (no materialized
+    data, splits across executors), SEQ4/SEQ8 -> the range counter,
+    DATEADD(day|week|month|quarter|year) -> date_add/add_months;
+    GENERATOR(TIMELIMIT) refuses — wall-clock row sources are
+    nondeterministic. The spine side is tiny and broadcast; the fact
+    side never shuffles for the join.""",
+    tags=("sql-surface", "dialect", "generator", "date-spine"),
+)
+def sql16_generator_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import rewrite_generator
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrite_generator(_SQL16_SNOWFLAKE_TEXT))
+
+
 _CLUSTERING_LAYOUTS = (
     # (layout name, deterministic md5/closed-form bucket expr — Spark, DuckDB)
     (

@@ -99,6 +99,7 @@ PRIORITY: tuple[str, ...] = (
     "sql14_connect_by",
     "sql15_asof_dialect",
     "k8_kmv_set_ops",
+    "sql16_generator_dialect",
     # padding: stalest r3 greens, evicted as r7 entries land
     "d1_dedup_exact",
     "d2_dedup_ngram_jaccard",
@@ -115,9 +116,9 @@ PRIORITY: tuple[str, ...] = (
     "t1_token_stats",
     "t2_quality_score",
     "t3_lang_id",
-    "t4_fingerprint",
     # ---- 51+: driver-green in r1-r6 and rotated out of the window;
     # all remain locally oracle-checked per pytest run.
+    "t4_fingerprint",
     "t7_repetition_filter",
     "x1_asof_join",
     "x2_leakage_safe_split",

@@ -1614,3 +1614,38 @@ def test_kmv_set_ops_discriminates(spark):
     c = spark.range(5000, 7000).select(F.lit("c").alias("g"), F.col("id"))
     out2 = kmv_set_ops(a.unionByName(c), "g", "id", "a", "c", k=128).collect()[0]
     assert out2["jaccard_est"] == 0.0 and out2["intersection_est"] == 0.0
+
+
+def test_generator_rewriter_edges(spark):
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_generator,
+    )
+
+    # no generator constructs -> unchanged
+    assert rewrite_generator("SELECT a FROM t") == "SELECT a FROM t"
+    out = rewrite_generator(
+        "SELECT SEQ4() AS i FROM TABLE(GENERATOR(ROWCOUNT => 5)) g"
+    )
+    assert "(SELECT id AS __gen_seq FROM range(5)) g" in out
+    assert "__gen_seq AS i" in out
+    rows = spark.sql(out).collect()
+    assert sorted(r["i"] for r in rows) == [0, 1, 2, 3, 4]
+    # DATEADD units lower to date_add / add_months
+    assert "date_add(d, CAST(n AS INT))" in rewrite_generator(
+        "SELECT DATEADD(day, n, d) FROM t"
+    )
+    assert "add_months(d, CAST(n AS INT))" in rewrite_generator(
+        "SELECT DATEADD(month, n, d) FROM t"
+    )
+    assert "add_months(d, CAST((n) * 12 AS INT))" in rewrite_generator(
+        "SELECT DATEADD(year, n, d) FROM t"
+    )
+    # nested-comma args survive the balanced parse
+    out2 = rewrite_generator("SELECT DATEADD(week, f(a, b), g(c, d)) FROM t")
+    assert "date_add(g(c, d), CAST((f(a, b)) * 7 AS INT))" in out2
+    with _pytest.raises(ValueError, match="TIMELIMIT"):
+        rewrite_generator("SELECT 1 FROM TABLE(GENERATOR(TIMELIMIT => 10))")
+    with _pytest.raises(ValueError, match="unit"):
+        rewrite_generator("SELECT DATEADD(fortnight, 1, d) FROM t")
