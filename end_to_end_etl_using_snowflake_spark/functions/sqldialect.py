@@ -721,3 +721,42 @@ def rewrite_generator(sql: str) -> str:
         else:
             raise ValueError(f"DATEADD unit {unit!r} is not supported by this shim")
         out = out[: m.start()] + repl + out[close:]
+
+
+# ---------------------------------------------------------------------------
+# Snowflake time travel: AT (TIMESTAMP => ...)
+# ---------------------------------------------------------------------------
+
+_AT_TS_RE = re.compile(
+    r"FROM\s+([A-Za-z_]\w*)\s+AT\s*\(\s*TIMESTAMP\s*=>\s*'([^']+)'\s*\)",
+    re.IGNORECASE,
+)
+
+
+def parse_time_travel(sql: str) -> tuple[str, str, str]:
+    """Parse Snowflake's ``FROM <table> AT (TIMESTAMP => '<ts>')`` time
+    travel clause; returns ``(clean_sql, table, ts)`` where clean_sql
+    has the AT clause removed (the caller resolves the timestamp to a
+    changelog version via Changelog.version_at, reconstructs the
+    snapshot with snapshot_as_of, registers it under the table name,
+    and runs clean_sql). ``BEFORE``, ``AT(STATEMENT =>)`` and
+    ``AT(OFFSET =>)`` refuse: the changelog indexes commit TIMES, and
+    mistranslating a statement-id or relative-offset form would
+    silently read the wrong snapshot.
+    """
+    up = sql.upper()
+    if re.search(r"\bBEFORE\s*\(", up):
+        raise ValueError("BEFORE(...) time travel is not supported by this shim")
+    if re.search(r"AT\s*\(\s*(STATEMENT|OFFSET)", up):
+        raise ValueError(
+            "AT(STATEMENT/OFFSET) is not supported; use AT(TIMESTAMP => ...)"
+        )
+    m = _AT_TS_RE.search(sql)
+    if m is None:
+        raise ValueError(
+            "no AT (TIMESTAMP => '...') clause found (shim supports the"
+            " FROM <table> AT (TIMESTAMP => '<ts>') form)"
+        )
+    table, ts = m.group(1), m.group(2)
+    clean = sql[: m.start()] + f"FROM {table}" + sql[m.end():]
+    return clean, table, ts

@@ -4578,6 +4578,72 @@ def pl_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql17_time_travel_at",
+    oracle="""
+    SELECT 'at_v1' AS probe, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer
+    UNION ALL
+    SELECT 'at_v2', CAST(count(*) AS BIGINT),
+           CAST(SUM(CAST(round((c_acctbal
+                    + CASE WHEN c_nationkey < 5 THEN 100 ELSE 0 END) * 100)
+                AS BIGINT)) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'before_history', CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT)
+    FROM customer WHERE FALSE
+    """,
+    doc="""Snowflake ``AT (TIMESTAMP => ...)`` time travel accepted
+    VERBATIM (the text form of pl_time_travel's machinery): DML
+    versions are recorded into the changelog with stamped commit times
+    (injectable like the F1 clock), the AT clause is parsed off the
+    query (functions/sqldialect.py:parse_time_travel), the timestamp
+    resolves to the greatest stamped version at-or-before it
+    (Changelog.version_at), the snapshot is reconstructed with
+    snapshot_as_of, and the cleaned query runs against it. Probes: a
+    mid-v1 timestamp (sees the initial load), a post-v2 one (sees the
+    UPDATE), and a BEFORE-history one (empty table — Snowflake's
+    'did not exist yet' boundary). BEFORE(...) and
+    AT(STATEMENT/OFFSET) refuse rather than mistranslate. Scale notes
+    are pl_time_travel's: _version partition pruning, replay shuffles
+    changed keys only.""",
+    tags=("sql-surface", "dialect", "time-travel", "changelog"),
+)
+def sql17_time_travel_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import parse_time_travel
+    from ..streaming.changelog import Changelog, snapshot_as_of
+
+    base = scratch_dir("tt_at_")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    log = Changelog(spark, f"{base}/customer_hist")
+    log.record(cust, "UPSERT", at="2024-01-01 00:00:00")  # v1 load
+    updated = cust.filter(F.col("c_nationkey") < 5).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    log.record(updated, "UPSERT", at="2024-01-02 00:00:00")  # v2 UPDATE
+    changes = spark.read.parquet(log.log_path)
+
+    def run(probe: str, text: str) -> DataFrame:
+        clean, table, ts = parse_time_travel(text)
+        snap = snapshot_as_of(changes, ["c_custkey"], log.version_at(ts))
+        snap.createOrReplaceTempView(table)
+        return spark.sql(clean).select(F.lit(probe).alias("probe"), "*")
+
+    q = (
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents "
+        "FROM customer_hist AT (TIMESTAMP => '{ts}')"
+    )
+    return (
+        run("at_v1", q.format(ts="2024-01-01 12:00:00"))
+        .unionByName(run("at_v2", q.format(ts="2024-01-05 00:00:00")))
+        .unionByName(run("before_history", q.format(ts="2023-12-31 00:00:00")))
+    )
+
+
+@register(
     "pl_undrop",
     oracle="""
     SELECT 'restored' AS phase, CAST(count(*) AS BIGINT) AS n_rows,

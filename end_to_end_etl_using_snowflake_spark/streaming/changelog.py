@@ -64,8 +64,14 @@ class Changelog:
         return self._read_meta()["offsets"].get(consumer, 0)
 
     # -- producer side -----------------------------------------------------
-    def record(self, df: DataFrame, action: str) -> int:
-        """Append change rows under a new version; returns it."""
+    def record(self, df: DataFrame, action: str, at: str | None = None) -> int:
+        """Append change rows under a new version; returns it.
+
+        ``at`` optionally stamps the version's commit time (ISO text,
+        injectable for determinism like the F1 clock) into the meta —
+        the index ``AT (TIMESTAMP => ...)`` time travel resolves
+        against (:meth:`version_at`). Unstamped versions are simply
+        invisible to timestamp resolution."""
         meta = self._read_meta()
         new_version = meta["version"] + 1
         (
@@ -76,8 +82,22 @@ class Changelog:
             .parquet(self.log_path)
         )
         meta["version"] = new_version
+        if at is not None:
+            meta.setdefault("times", {})[str(new_version)] = at
         self._write_meta(meta)
         return new_version
+
+    def version_at(self, ts: str) -> int:
+        """Greatest version whose recorded commit time is <= ``ts``
+        (ISO text comparison — both sides must use the same rendering);
+        0 when no stamped version qualifies (= empty table, matching
+        Snowflake's 'object did not exist at that time' boundary)."""
+        times = self._read_meta().get("times", {})
+        best = 0
+        for v, t in times.items():
+            if t <= ts:
+                best = max(best, int(v))
+        return best
 
     def bump(self) -> int:
         """Version bump with no rows (e.g. TRUNCATE)."""

@@ -1649,3 +1649,43 @@ def test_generator_rewriter_edges(spark):
         rewrite_generator("SELECT 1 FROM TABLE(GENERATOR(TIMELIMIT => 10))")
     with _pytest.raises(ValueError, match="unit"):
         rewrite_generator("SELECT DATEADD(fortnight, 1, d) FROM t")
+
+
+def test_time_travel_at_parser_edges():
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        parse_time_travel,
+    )
+
+    clean, table, ts = parse_time_travel(
+        "SELECT a FROM hist AT (TIMESTAMP => '2024-01-02 12:00:00') WHERE a > 1"
+    )
+    assert clean == "SELECT a FROM hist WHERE a > 1"
+    assert (table, ts) == ("hist", "2024-01-02 12:00:00")
+    for bad, msg in [
+        ("SELECT a FROM hist BEFORE (STATEMENT => 'x')", "BEFORE"),
+        ("SELECT a FROM hist AT (STATEMENT => 'x')", "STATEMENT/OFFSET"),
+        ("SELECT a FROM hist AT (OFFSET => -600)", "STATEMENT/OFFSET"),
+        ("SELECT a FROM hist", "no AT"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            parse_time_travel(bad)
+
+
+def test_changelog_version_at(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_using_snowflake_spark.streaming.changelog import (
+        Changelog,
+    )
+
+    log = Changelog(spark, str(tmp_path / "t"))
+    df = spark.range(3).select(F.col("id"), F.lit("x").alias("v"))
+    log.record(df, "UPSERT", at="2024-01-01 00:00:00")
+    log.record(df, "UPSERT")  # unstamped: invisible to time resolution
+    log.record(df, "UPSERT", at="2024-03-01 00:00:00")
+    assert log.version_at("2023-12-31 00:00:00") == 0
+    assert log.version_at("2024-01-01 00:00:00") == 1  # inclusive
+    assert log.version_at("2024-02-01 00:00:00") == 1
+    assert log.version_at("2024-03-02 00:00:00") == 3
