@@ -443,3 +443,28 @@ def test_match_recognize_w_chain_stays_keyed(spark):
     plan = plan_of(spark, "e17_match_recognize_w")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_connect_by_recursion_stays_keyed(spark):
+    # sql14: each recursion level is a keyed frontier join (UnionLoop
+    # in Spark 4), with the START WITH filter pushed to the scan
+    plan = plan_of(spark, "sql14_connect_by")
+    assert "CartesianProduct" not in plan, plan
+    assert "UnionLoop" in plan, plan
+
+
+def test_asof_dialect_is_union_window_not_range_join(spark):
+    # sql15: the dialect path must inherit the as-of machinery's shape
+    # (one union + keyed window), never a range join
+    plan = plan_of(spark, "sql15_asof_dialect")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_generator_spine_broadcasts(spark):
+    # sql16: the 31-row spine must broadcast; the fact side never
+    # shuffles for the join
+    plan = plan_of(spark, "sql16_generator_dialect")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
