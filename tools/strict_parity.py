@@ -271,11 +271,15 @@ def main() -> None:
     )
     con = duck_con(SF_DIR)
     bad = 0
+    import time as _time
+
     for n in names:
+        t0 = _time.perf_counter()
         r = (compare_agg if agg_mode else compare)(n, spark, con)
+        elapsed = _time.perf_counter() - t0
         if not r.get("ok"):
             bad += 1
-        tag = "OK " if r.get("ok") else "BAD"
+        tag = f"OK  [{elapsed:7.1f}s]" if r.get("ok") else f"BAD [{elapsed:7.1f}s]"
         detail = ""
         if r.get("err"):
             detail = " | " + r["err"].strip().splitlines()[-1]
