@@ -286,16 +286,24 @@ class EntityPipelines:
             "is_active",
         ).persist()  # reused: merge source + changelog record
         now = self._now_lit()
+        target_empty = not self.dim_customer.storage.exists()
         merged = M.merge_dataframes(
             self.dim_customer.read(),
             typed,
             keys=["customer_id"],
             matched_set={"updated_timestamp": now},
             insert_defaults={"added_timestamp": now, "updated_timestamp": now},
-            target_known_empty=not self.dim_customer.storage.exists(),
+            target_known_empty=target_empty,
         ).persist()  # fill_identity + write = 3 passes; cache the merge once
         try:
-            out = M.fill_identity(merged, "customer_dim_key", order_by=["customer_id"])
+            out = M.fill_identity(
+                merged,
+                "customer_dim_key",
+                order_by=["customer_id"],
+                # initial load: every key is NULL by construction — skip
+                # fill_identity's max() pass (one fewer job per cycle)
+                existing_max=0 if target_empty else None,
+            )
             self.dim_customer.overwrite(
                 out.select(*self.dim_customer.schema.names), changes=typed
             )
@@ -325,16 +333,22 @@ class EntityPipelines:
             "is_active",
         ).persist()  # reused: merge source + changelog record
         now = self._now_lit()
+        target_empty = not self.dim_item.storage.exists()
         merged = M.merge_dataframes(
             self.dim_item.read(),
             typed,
             keys=["item_id"],
             matched_set={"updated_timestamp": now},
             insert_defaults={"added_timestamp": now, "updated_timestamp": now},
-            target_known_empty=not self.dim_item.storage.exists(),
+            target_known_empty=target_empty,
         ).persist()  # fill_identity + write = 3 passes; cache the merge once
         try:
-            out = M.fill_identity(merged, "item_dim_key", order_by=["item_id"])
+            out = M.fill_identity(
+                merged,
+                "item_dim_key",
+                order_by=["item_id"],
+                existing_max=0 if target_empty else None,
+            )
             self.dim_item.overwrite(out.select(*self.dim_item.schema.names), changes=typed)
         finally:
             merged.unpersist()
@@ -403,7 +417,9 @@ class EntityPipelines:
         )
         agg = agg.withColumn("order_fact_key", F.lit(None).cast("long")).persist()
         try:
-            existing_max = None
+            # full rebuild: order_fact_key was literally just added as
+            # NULL — its max() is provably None; skip the pass
+            existing_max = 0
             if incremental and self.fact_order.storage.exists():
                 row = self.fact_order.read().agg(F.max("order_fact_key")).first()
                 existing_max = row[0] if row and row[0] is not None else 0
