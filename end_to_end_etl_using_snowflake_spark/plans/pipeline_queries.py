@@ -737,3 +737,127 @@ def pl_reference_console(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.append(("alter_task", "dim_customer_tsk@resumed", st["dim_customer_tsk"]))
 
     return spark.createDataFrame(rows, "surface string, item string, value string")
+
+
+# ----------------------------------------------------------------------
+# sql18: the reference's raw-layer MERGE statement, verbatim
+# ----------------------------------------------------------------------
+
+# customer-end-to-end-pipeline-script.sql:77-110, pasted unchanged (the
+# task wrapper lines 70-76 are the scheduling envelope pl_task_history
+# already replays; this is the statement body the task executes).
+_SQL18_MERGE_TEXT = """
+merge into raw.raw_customer
+using stg.stg_customer_stm on
+raw_customer.customer_id = stg_customer_stm.customer_id
+when matched
+--covers updates and deletes
+ then update set
+    raw_customer.salutation = stg_customer_stm.salutation,
+    raw_customer.first_name = stg_customer_stm.first_name,
+    raw_customer.last_name = stg_customer_stm.last_name,
+    raw_customer.birth_day = stg_customer_stm.birth_day,
+    raw_customer.birth_month = stg_customer_stm.birth_month,
+    raw_customer.birth_year = stg_customer_stm.birth_year,
+    raw_customer.birth_country = stg_customer_stm.birth_country,
+    raw_customer.email_address = stg_customer_stm.email_address,
+    raw_customer.is_active = stg_customer_stm.is_active
+when not matched then
+insert (
+  customer_id ,
+  salutation ,
+  first_name ,
+  last_name ,
+  birth_day ,
+  birth_month ,
+  birth_year ,
+  birth_country ,
+  email_address,
+  is_active)
+values (
+  stg_customer_stm.customer_id ,
+  stg_customer_stm.salutation ,
+  stg_customer_stm.first_name ,
+  stg_customer_stm.last_name ,
+  stg_customer_stm.birth_day ,
+  stg_customer_stm.birth_month ,
+  stg_customer_stm.birth_year ,
+  stg_customer_stm.birth_country ,
+  stg_customer_stm.email_address,
+  stg_customer_stm.is_active)
+"""
+
+
+def _sql18_merge_step(prev: str, batch: str) -> str:
+    upd = ", ".join(f"b.{c}" for c in _CUST_COLS[1:])
+    keep = ", ".join(f"s.{c}" for c in _CUST_COLS[1:])
+    return f"""
+        SELECT s.customer_id, {upd} FROM {prev} s
+        JOIN {batch} b USING (customer_id)
+        UNION ALL
+        SELECT s.customer_id, {keep} FROM {prev} s
+        WHERE NOT EXISTS (SELECT 1 FROM {batch} b
+                          WHERE b.customer_id = s.customer_id)
+        UNION ALL
+        SELECT b.customer_id, {upd} FROM {batch} b
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                          WHERE s.customer_id = b.customer_id)
+    """
+
+
+@register(
+    "sql18_reference_merge",
+    oracle=f"""
+    WITH h AS ({_read_csv_sql('customer_history.csv', _CUST_COLS, 1)}),
+    d1 AS ({_read_csv_sql('customer_delta_1.csv', _CUST_COLS, 0)}),
+    d2 AS ({_read_csv_sql('customer_delta_2.csv', _CUST_COLS, 1)}),
+    s1 AS ({_sql18_merge_step('h', 'd1')}),
+    s2 AS ({_sql18_merge_step('s1', 'd2')})
+    SELECT * FROM s2
+    """,
+    doc="""The reference's raw-layer MERGE statement executed VERBATIM
+    as text (customer-end-to-end-pipeline-script.sql:77-110 pasted
+    unchanged) — the CENTRAL statement of every reference pipeline,
+    closing the last gap between 'equivalent machinery' and 'runs the
+    user's own SQL': functions/sqldialect.py:merge_statement parses
+    the MERGE INTO ... USING ... ON ... WHEN MATCHED THEN UPDATE SET
+    ... WHEN NOT MATCHED THEN INSERT shape and compiles it to the
+    engine's MERGE state equation as one Spark SQL text over temp
+    views (LEFT JOIN + CASE per SET column ∪ LEFT ANTI insert branch
+    — the user's expressions run exactly as written). Replayed twice
+    over the reference's own fixture CSVs (history <- delta_1 <-
+    delta_2, the engine's Snowflake file format handling the blank
+    first line / 9-column PERMISSIVE quirks); the oracle replays the
+    identical chain in DuckDB over the same bytes. Scale shape is the
+    MERGE operator's: one keyed join + one anti join per batch, no
+    row multiplication.""",
+    tags=("sql-surface", "dialect", "merge", "reference-verbatim"),
+)
+def sql18_reference_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import merge_statement
+    from ..sources.csv_format import CSV_OPTIONS, CUSTOMER_STAGE
+
+    assert_fixture_fingerprints()
+
+    from ..sources.copy_into import _starts_blank
+
+    def read(fname: str) -> DataFrame:
+        path = os.path.join(_REFERENCE_DATA, fname)
+        # the stage reader's skip_header=1 fidelity dispatch
+        # (sources/copy_into.py): Spark drops blank lines BEFORE header
+        # handling, so a blank-first-line file reads header=false
+        opts = dict(CSV_OPTIONS, header=str(not _starts_blank(path)).lower())
+        return spark.read.options(**opts).schema(CUSTOMER_STAGE).csv(path)
+
+    state = read("customer_history.csv")
+    for delta in ("customer_delta_1.csv", "customer_delta_2.csv"):
+        out = merge_statement(
+            spark,
+            _SQL18_MERGE_TEXT,
+            {"raw.raw_customer": state, "stg.stg_customer_stm": read(delta)},
+        )
+        # cut lineage between steps: the next step re-registers the
+        # target view, and a lazy plan reading that same view would
+        # cycle (O(20-row) fixture relation)
+        state = out.localCheckpoint(eager=True)
+    return state

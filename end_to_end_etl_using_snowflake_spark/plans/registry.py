@@ -101,6 +101,7 @@ PRIORITY: tuple[str, ...] = (
     "k8_kmv_set_ops",
     "sql16_generator_dialect",
     "sql17_time_travel_at",
+    "sql18_reference_merge",
     # padding: stalest r3 greens, evicted as r7 entries land
     "d1_dedup_exact",
     "d2_dedup_ngram_jaccard",
@@ -115,9 +116,9 @@ PRIORITY: tuple[str, ...] = (
     "v3_ann_ivf_topk",
     "v7_ann_matmul_topk",
     "t1_token_stats",
-    "t2_quality_score",
     # ---- 51+: driver-green in r1-r6 and rotated out of the window;
     # all remain locally oracle-checked per pytest run.
+    "t2_quality_score",
     "t3_lang_id",
     "t4_fingerprint",
     "t7_repetition_filter",

@@ -1689,3 +1689,51 @@ def test_changelog_version_at(spark, tmp_path):
     assert log.version_at("2024-01-01 00:00:00") == 1  # inclusive
     assert log.version_at("2024-02-01 00:00:00") == 1
     assert log.version_at("2024-03-02 00:00:00") == 3
+
+
+def test_merge_statement_edges(spark):
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        merge_statement,
+    )
+
+    t = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "id int, name string, v int")
+    s = spark.createDataFrame([(2, "B2", 99), (3, "c", 30)], "id int, name string, v int")
+    tabs = {"db.tgt": t, "db.src": s}
+    out = merge_statement(
+        spark,
+        "MERGE INTO db.tgt USING db.src ON tgt.id = src.id\n"
+        "WHEN MATCHED\n--update path\n THEN UPDATE SET tgt.name = src.name,"
+        " tgt.v = src.v + 1\n"
+        "WHEN NOT MATCHED THEN INSERT (id, name) VALUES (src.id, upper(src.name))",
+        tabs,
+    ).collect()
+    assert sorted((r["id"], r["name"], r["v"]) for r in out) == [
+        (1, "a", 10),   # unmatched target kept verbatim
+        (2, "B2", 100), # matched: SET exprs run as written
+        (3, "C", None), # inserted: unnamed columns NULL
+    ]
+    # subquery source with alias
+    out2 = merge_statement(
+        spark,
+        "MERGE INTO db.tgt USING (select id, name, v from db.src where v > 50)"
+        " AS s2 ON tgt.id = s2.id\n"
+        "WHEN MATCHED THEN UPDATE SET tgt.v = s2.v\n"
+        "WHEN NOT MATCHED THEN INSERT (id, name, v) VALUES (s2.id, s2.name, s2.v)",
+        tabs,
+    ).collect()
+    assert sorted((r["id"], r["v"]) for r in out2) == [(1, 10), (2, 99)]
+    for bad, msg in [
+        ("MERGE INTO db.tgt USING db.src ON tgt.id = src.id "
+         "WHEN MATCHED AND src.v > 5 THEN UPDATE SET tgt.v = src.v "
+         "WHEN NOT MATCHED THEN INSERT (id) VALUES (src.id)", "WHEN MATCHED AND"),
+        ("MERGE INTO db.tgt USING db.src ON tgt.id = src.id "
+         "WHEN MATCHED THEN DELETE", "DELETE"),
+        ("MERGE INTO db.tgt USING db.src ON tgt.id = src.id "
+         "WHEN MATCHED THEN UPDATE SET tgt.v = src.v "
+         "WHEN NOT MATCHED THEN INSERT (id, name) VALUES (src.id)", "count mismatch"),
+        ("SELECT 1", "not a MERGE"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            merge_statement(spark, bad, tabs)
