@@ -793,7 +793,9 @@ def _strip_line_comments(sql: str) -> str:
     return "\n".join(out)
 
 
-def merge_statement(spark, text: str, tables: dict) -> "DataFrame":  # noqa: F821
+def merge_statement(
+    spark, text: str, tables: dict, defaults: dict | None = None
+) -> "DataFrame":  # noqa: F821
     """Execute a Snowflake ``MERGE INTO`` statement VERBATIM and return
     the post-merge target state as a DataFrame — the reference
     pipeline's central statement (customer-...sql:77-110,
@@ -817,6 +819,15 @@ def merge_statement(spark, text: str, tables: dict) -> "DataFrame":  # noqa: F82
     the reference dedups with rownum=1 upstream). Scale shape is the
     MERGE operator's: one keyed join + one anti join, broadcastable
     batch side, no row multiplication.
+
+    Snowflake fidelity extras: every SET / VALUES expression is CAST
+    to the target column's type (Snowflake's implicit insert casts —
+    the A3/F4 posture, ANSI-strict so garbage errors instead of
+    corrupting), and ``defaults`` supplies DDL column defaults (SQL
+    expr text) for insert columns the statement leaves unnamed — the
+    reference dim tables fill added/updated timestamps this way
+    (customer-...sql DDL defaults; pass a frozen literal for the F1
+    injectable clock).
     """
     sql = _strip_line_comments(text).strip().rstrip(";")
     short = {name: name.split(".")[-1] for name in tables}
@@ -907,19 +918,24 @@ def merge_statement(spark, text: str, tables: dict) -> "DataFrame":  # noqa: F82
     matched_sel = []
     insert_sel = []
     vals_by_col = {c.lower(): v for c, v in zip(insert_cols, insert_vals)}
+    dflt = {k.lower(): v for k, v in (defaults or {}).items()}
     for f in out_cols.fields:
         c = f.name
+        typ = f.dataType.simpleString()
         if c.lower() in set_map:
             matched_sel.append(
-                f"CASE WHEN {probe} IS NOT NULL THEN ({set_map[c.lower()]})"
+                f"CASE WHEN {probe} IS NOT NULL THEN"
+                f" CAST(({set_map[c.lower()]}) AS {typ})"
                 f" ELSE {tname}.{c} END AS {c}"
             )
         else:
             matched_sel.append(f"{tname}.{c} AS {c}")
         if c.lower() in vals_by_col:
-            insert_sel.append(f"({vals_by_col[c.lower()]}) AS {c}")
+            insert_sel.append(f"CAST(({vals_by_col[c.lower()]}) AS {typ}) AS {c}")
+        elif c.lower() in dflt:
+            insert_sel.append(f"CAST(({dflt[c.lower()]}) AS {typ}) AS {c}")
         else:
-            insert_sel.append(f"CAST(NULL AS {f.dataType.simpleString()}) AS {c}")
+            insert_sel.append(f"CAST(NULL AS {typ}) AS {c}")
     final = (
         f"SELECT {', '.join(matched_sel)} FROM {tname}"
         f" LEFT JOIN {sname} ON {cond}"

@@ -861,3 +861,128 @@ def sql18_reference_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cycle (O(20-row) fixture relation)
         state = out.localCheckpoint(eager=True)
     return state
+
+
+# ----------------------------------------------------------------------
+# sql19: the reference's dim-layer MERGE statement, verbatim
+# ----------------------------------------------------------------------
+
+# customer-end-to-end-pipeline-script.sql:124-165, pasted unchanged.
+_SQL19_DIM_MERGE_TEXT = """
+  merge into transformed.dim_customer
+  using raw.raw_customer_stm
+  on
+  dim_customer.customer_id = raw_customer_stm.customer_id
+when matched
+  then update set
+      dim_customer.salutation = raw_customer_stm.salutation,
+      dim_customer.first_name = raw_customer_stm.first_name,
+      dim_customer.last_name = raw_customer_stm.last_name,
+      dim_customer.birth_day = raw_customer_stm.birth_day,
+      dim_customer.birth_month = raw_customer_stm.birth_month,
+      dim_customer.birth_year = raw_customer_stm.birth_year,
+      dim_customer.birth_country = raw_customer_stm.birth_country,
+      dim_customer.email_address = raw_customer_stm.email_address,
+      dim_customer.is_active = raw_customer_stm.is_active,
+      dim_customer.updated_timestamp = current_timestamp()
+when not matched
+then
+  insert (
+    customer_id ,
+    salutation ,
+    first_name ,
+    last_name ,
+    birth_day ,
+    birth_month ,
+    birth_year ,
+    birth_country ,
+    email_address,
+    is_active
+  )
+  values (
+    raw_customer_stm.customer_id ,
+    raw_customer_stm.salutation ,
+    raw_customer_stm.first_name ,
+    raw_customer_stm.last_name ,
+    raw_customer_stm.birth_day ,
+    raw_customer_stm.birth_month ,
+    raw_customer_stm.birth_year ,
+    raw_customer_stm.birth_country ,
+    raw_customer_stm.email_address,
+    raw_customer_stm.is_active
+   )
+"""
+
+
+@register(
+    "sql19_reference_dim_merge",
+    oracle=_PL_DIM_CUSTOMER_ORACLE,
+    doc="""The reference's DIM-layer MERGE statement executed VERBATIM
+    as text (customer-end-to-end-pipeline-script.sql:124-165 pasted
+    unchanged) — the typed half of the sql18 surface, exercising the
+    merge_statement features the raw layer doesn't: implicit
+    varchar->typed casts on every SET/VALUES expression (A3/F4,
+    ANSI-strict), DDL column DEFAULTS for the insert columns the
+    statement leaves unnamed (added/updated timestamps — the frozen
+    per-step literal is the F1 injectable clock applied at the text
+    boundary, exactly where Snowflake's DDL default would evaluate
+    current_timestamp()), and the autoincrement identity column
+    (customer_dim_key stays NULL through the text path and is filled
+    by fill_identity, the engine's ``number autoincrement`` analog;
+    key VALUES are engine-specific so the in-query audit asserts
+    non-null + unique and the projection drops them — the
+    pl_identity_keys contract). The 3-step replay (history, delta_1,
+    delta_2) over the reference's own fixture bytes converges to
+    pl_dim_customer's closed-form oracle — the DataFrame pipeline and
+    the verbatim-text pipeline provably compute the same state.""",
+    tags=("sql-surface", "dialect", "merge", "reference-verbatim"),
+)
+def sql19_reference_dim_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import merge_statement
+    from ..operators.merge import fill_identity
+    from ..sources.copy_into import _starts_blank
+    from ..sources.csv_format import CSV_OPTIONS, CUSTOMER_STAGE, DIM_CUSTOMER
+
+    assert_fixture_fingerprints()
+
+    def read(fname: str) -> DataFrame:
+        path = os.path.join(_REFERENCE_DATA, fname)
+        opts = dict(CSV_OPTIONS, header=str(not _starts_blank(path)).lower())
+        return spark.read.options(**opts).schema(CUSTOMER_STAGE).csv(path)
+
+    state = spark.createDataFrame([], DIM_CUSTOMER)
+    steps = [
+        ("customer_history.csv", _T[1]),
+        ("customer_delta_1.csv", _T[2]),
+        ("customer_delta_2.csv", _T[3]),
+    ]
+    for fname, ts in steps:
+        text = _SQL19_DIM_MERGE_TEXT.replace(
+            "current_timestamp()", f"TIMESTAMP '{ts}'"
+        )
+        out = merge_statement(
+            spark,
+            text,
+            {"transformed.dim_customer": state, "raw.raw_customer_stm": read(fname)},
+            defaults={
+                "added_timestamp": f"TIMESTAMP '{ts}'",
+                "updated_timestamp": f"TIMESTAMP '{ts}'",
+            },
+        )
+        state = fill_identity(
+            out, "customer_dim_key", order_by=["customer_id"]
+        ).localCheckpoint(eager=True)
+    # identity audit: values are engine-specific (pl_identity_keys),
+    # but every row must have a unique key — assert in-query, O(1) aggs
+    audit = state.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("customer_dim_key").alias("nn"),
+        F.countDistinct("customer_dim_key").alias("nd"),
+    ).first()
+    if not (audit["n"] == audit["nn"] == audit["nd"]):
+        raise RuntimeError(f"identity audit failed: {audit}")
+    return state.select(
+        "customer_id", "salutation", "first_name", "last_name",
+        "birth_day", "birth_month", "birth_year", "birth_country",
+        "email_address", "added_timestamp", "updated_timestamp", "is_active",
+    )
