@@ -3536,6 +3536,122 @@ def _attach_k8_oracle() -> None:
 _attach_k8_oracle()
 
 
+_PROF4_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _prof4_oracle() -> str:
+    cents = {c: f"CAST(round({c} * 100) AS BIGINT)" for c in _PROF4_COLS}
+    sums = ["CAST(COUNT(1) AS BIGINT) AS n"]
+    for i, a in enumerate(_PROF4_COLS):
+        sums.append(f"CAST(SUM({cents[a]}) AS DECIMAL(38,0)) AS s_{i}")
+        sums.append(
+            f"CAST(SUM({cents[a]} * {cents[a]}) AS DECIMAL(38,0)) AS s_{i}{i}"
+        )
+        for j, b in enumerate(_PROF4_COLS):
+            if j > i:
+                sums.append(
+                    f"CAST(SUM({cents[a]} * {cents[b]}) AS DECIMAL(38,0)) AS s_{i}{j}"
+                )
+
+    def d2(name: str) -> str:
+        # parenthesized: this fragment interpolates into products, so
+        # hi*2^26 + lo must bind as one term
+        return (
+            f"(CAST(CAST(CAST({name} AS HUGEINT) // 67108864 AS BIGINT) AS DOUBLE)"
+            f" * 67108864.0 + CAST(CAST(CAST({name} AS HUGEINT) % 67108864"
+            f" AS BIGINT) AS DOUBLE))"
+        )
+
+    pair_rows = []
+    for i, a in enumerate(_PROF4_COLS):
+        for j, b in enumerate(_PROF4_COLS):
+            if j > i:
+                num = f"(nd * {d2(f's_{i}{j}')} - {d2(f's_{i}')} * {d2(f's_{j}')})"
+                den = (
+                    f"sqrt((nd * {d2(f's_{i}{i}')} - {d2(f's_{i}')} * {d2(f's_{i}')})"
+                    f" * (nd * {d2(f's_{j}{j}')} - {d2(f's_{j}')} * {d2(f's_{j}')}))"
+                )
+                pair_rows.append(
+                    f"SELECT '{a}' AS x_col, '{b}' AS y_col, n,"
+                    f" {num} / {den} AS corr FROM md"
+                )
+    return (
+        f"WITH m AS (SELECT {', '.join(sums)} FROM lineitem),"
+        f" md AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM m) "
+        + " UNION ALL ".join(pair_rows)
+    )
+
+
+@register(
+    "prof4_corr_matrix",
+    oracle=_prof4_oracle(),
+    doc="""One-scan exact Pearson correlation MATRIX (prof1
+    generalized to k columns — the whole-table profiling shape a
+    100 TB pipeline wants): ONE aggregate pass computes all k first
+    moments, k second moments, and k(k-1)/2 cross moments as exact
+    DECIMAL(38,0) sums of integer cents (order-independent, no
+    streaming double state), then every pairwise correlation is a
+    closed-form expression over the single scalar row — k² statistics
+    for one scan, no shuffle beyond the partial-agg exchange. Same
+    bit-exactness machinery as prof1: round-then-cast cents, hi/lo
+    split for >2^53 decimal->double conversion, IEEE-exact sqrt.
+    Output: (x_col, y_col, n, corr) per unordered pair.""",
+    tags=("statistics", "profile", "aggregate", "scale-path"),
+)
+def prof4_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    cents = {
+        c: F.expr(f"CAST(round({c} * 100) AS BIGINT)") for c in _PROF4_COLS
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, a in enumerate(_PROF4_COLS):
+        aggs.append(
+            F.sum(cents[a].cast("decimal(38,0)")).cast("decimal(38,0)").alias(f"s_{i}")
+        )
+        aggs.append(
+            F.sum((cents[a] * cents[a]).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias(f"s_{i}{i}")
+        )
+        for j, b in enumerate(_PROF4_COLS):
+            if j > i:
+                aggs.append(
+                    F.sum((cents[a] * cents[b]).cast("decimal(38,0)"))
+                    .cast("decimal(38,0)")
+                    .alias(f"s_{i}{j}")
+                )
+    m = lineitem.agg(*aggs)
+
+    def d2(name: str):
+        return F.expr(
+            f"CAST({name} div 67108864 AS DOUBLE) * 67108864.0D"
+            f" + CAST({name} % 67108864 AS DOUBLE)"
+        )
+
+    nd = F.col("n").cast("double")
+    parts = []
+    for i, a in enumerate(_PROF4_COLS):
+        for j, b in enumerate(_PROF4_COLS):
+            if j > i:
+                num = nd * d2(f"s_{i}{j}") - d2(f"s_{i}") * d2(f"s_{j}")
+                den = F.sqrt(
+                    (nd * d2(f"s_{i}{i}") - d2(f"s_{i}") * d2(f"s_{i}"))
+                    * (nd * d2(f"s_{j}{j}") - d2(f"s_{j}") * d2(f"s_{j}"))
+                )
+                parts.append(
+                    m.select(
+                        F.lit(a).alias("x_col"),
+                        F.lit(b).alias("y_col"),
+                        "n",
+                        (num / den).alias("corr"),
+                    )
+                )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @register(
     "prof1_corr_exact",
     oracle="""
