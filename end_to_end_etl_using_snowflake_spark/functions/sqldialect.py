@@ -910,7 +910,12 @@ def merge_statement(
         if short[n] != tname:
             df.createOrReplaceTempView(short[n])
     if subquery is not None:
-        spark.sql(f"CREATE OR REPLACE TEMP VIEW {sname} AS {subquery}")
+        # resolve the subquery's plan against the CURRENT views first,
+        # THEN bind the result under the alias — the reference aliases
+        # its dedup subquery with the SAME name as the stage view it
+        # reads (item-...sql:75 `as stg_item_stm`), so registering by
+        # text would self-reference
+        spark.sql(subquery).createOrReplaceTempView(sname)
     elif sname.lower() != src_table.lower():
         spark.sql(f"CREATE OR REPLACE TEMP VIEW {sname} AS SELECT * FROM {src_table}")
 

@@ -986,3 +986,116 @@ def sql19_reference_dim_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "birth_day", "birth_month", "birth_year", "birth_country",
         "email_address", "added_timestamp", "updated_timestamp", "is_active",
     )
+
+
+# ----------------------------------------------------------------------
+# sql20: the reference's item raw MERGE (dedup-subquery source), verbatim
+# ----------------------------------------------------------------------
+
+# item-end-to-end-pipeline-script.sql:71-105, pasted unchanged.
+_SQL20_ITEM_MERGE_TEXT = """
+merge into raw.raw_item
+using
+(select item_id, item_desc, start_date, end_date, price, item_class, item_category, is_active from
+(select *, row_number() over(partition by item_id order by start_date desc) as rownum from stg.stg_item_stm) a
+where rownum = 1) as stg_item_stm
+on
+raw_item.item_id = stg_item_stm.item_id
+when matched
+ then update set
+    raw_item.item_desc = stg_item_stm.item_desc,
+    raw_item.start_date = stg_item_stm.start_date,
+    raw_item.end_date = stg_item_stm.end_date,
+    raw_item.price = stg_item_stm.price,
+    raw_item.item_class = stg_item_stm.item_class,
+    raw_item.item_category = stg_item_stm.item_category,
+    raw_item.is_active = stg_item_stm.is_active
+when not matched then
+insert (
+  item_id,
+  item_desc,
+  start_date,
+  end_date,
+  price,
+  item_class,
+  item_category,
+  is_active)
+values (
+  stg_item_stm.item_id,
+  stg_item_stm.item_desc,
+  stg_item_stm.start_date,
+  stg_item_stm.end_date,
+  stg_item_stm.price,
+  stg_item_stm.item_class,
+  stg_item_stm.item_category,
+  stg_item_stm.is_active)
+"""
+
+
+def _sql20_merge_step(prev: str, batch: str) -> str:
+    upd = ", ".join(f"b.{c}" for c in _ITEM_COLS[1:])
+    keep = ", ".join(f"s.{c}" for c in _ITEM_COLS[1:])
+    dedup = (
+        f"SELECT item_id, {', '.join(_ITEM_COLS[1:])} FROM "
+        f"(SELECT *, row_number() OVER (PARTITION BY item_id"
+        f" ORDER BY start_date DESC) AS rownum FROM {batch}) a"
+        f" WHERE rownum = 1"
+    )
+    return f"""
+        SELECT s.item_id, {upd} FROM {prev} s
+        JOIN ({dedup}) b USING (item_id)
+        UNION ALL
+        SELECT s.item_id, {keep} FROM {prev} s
+        WHERE NOT EXISTS (SELECT 1 FROM ({dedup}) b
+                          WHERE b.item_id = s.item_id)
+        UNION ALL
+        SELECT b.item_id, {upd} FROM ({dedup}) b
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                          WHERE s.item_id = b.item_id)
+    """
+
+
+@register(
+    "sql20_reference_item_merge",
+    oracle=f"""
+    WITH h AS ({_read_csv_sql('item_history.csv', _ITEM_COLS, 1)}),
+    d1 AS ({_read_csv_sql('item_delta_1.csv', _ITEM_COLS, 1)}),
+    d2 AS ({_read_csv_sql('item_delta_2.csv', _ITEM_COLS, 1)}),
+    s1 AS ({_sql20_merge_step('h', 'd1')}),
+    s2 AS ({_sql20_merge_step('s1', 'd2')})
+    SELECT * FROM s2
+    """,
+    doc="""The reference's ITEM raw-layer MERGE executed VERBATIM
+    (item-end-to-end-pipeline-script.sql:71-105 pasted unchanged) —
+    the subquery-source variant of sql18: the USING side is the
+    reference's own latest-start_date-wins dedup subquery (row_number
+    ... where rownum = 1), whose alias deliberately SHADOWS the stage
+    view it reads — merge_statement resolves the subquery's plan
+    against the live views before binding the alias, so the shadowing
+    works exactly as Snowflake scopes it. Replayed over the item
+    fixture CSVs (history <- delta_1 <- delta_2); oracle replays the
+    identical dedup + state equation in DuckDB over the same bytes.
+    W1 (latest-wins window dedup) + M1 composed as pure text.""",
+    tags=("sql-surface", "dialect", "merge", "reference-verbatim"),
+)
+def sql20_reference_item_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import merge_statement
+    from ..sources.copy_into import _starts_blank
+    from ..sources.csv_format import CSV_OPTIONS, ITEM_STAGE
+
+    assert_fixture_fingerprints()
+
+    def read(fname: str) -> DataFrame:
+        path = os.path.join(_REFERENCE_DATA, fname)
+        opts = dict(CSV_OPTIONS, header=str(not _starts_blank(path)).lower())
+        return spark.read.options(**opts).schema(ITEM_STAGE).csv(path)
+
+    state = read("item_history.csv")
+    for delta in ("item_delta_1.csv", "item_delta_2.csv"):
+        out = merge_statement(
+            spark,
+            _SQL20_ITEM_MERGE_TEXT,
+            {"raw.raw_item": state, "stg.stg_item_stm": read(delta)},
+        )
+        state = out.localCheckpoint(eager=True)
+    return state

@@ -104,6 +104,7 @@ PRIORITY: tuple[str, ...] = (
     "sql18_reference_merge",
     "sql19_reference_dim_merge",
     "prof4_corr_matrix",
+    "sql20_reference_item_merge",
     # padding: stalest r3 greens, evicted as r7 entries land
     "d1_dedup_exact",
     "d2_dedup_ngram_jaccard",
@@ -114,10 +115,10 @@ PRIORITY: tuple[str, ...] = (
     "d6_dedup_cluster_labels",
     "llm_corpus_clean",
     "v1_ann_bruteforce_topk",
-    "v2_ann_lsh_topk",
     "t1_token_stats",
     # ---- 51+: driver-green in r1-r6 and rotated out of the window;
     # all remain locally oracle-checked per pytest run.
+    "v2_ann_lsh_topk",
     "v3_ann_ivf_topk",
     "v7_ann_matmul_topk",
     "t2_quality_score",
