@@ -949,3 +949,50 @@ def merge_statement(
         f" LEFT ANTI JOIN {tname} ON {cond}"
     )
     return spark.sql(final)
+
+
+# ---------------------------------------------------------------------------
+# Snowflake INSERT OVERWRITE INTO ... SELECT statement text
+# ---------------------------------------------------------------------------
+
+_INSERT_OVERWRITE_RE = re.compile(
+    r"INSERT\s+OVERWRITE\s+INTO\s+(?P<target>[\w.]+)\s*\(", re.IGNORECASE
+)
+
+
+def insert_overwrite_statement(spark, text: str, tables: dict) -> "DataFrame":  # noqa: F821
+    """Execute a Snowflake ``INSERT OVERWRITE INTO <t> (cols)
+    SELECT ...`` statement VERBATIM and return the SELECT's result with
+    columns renamed positionally to the insert list — the reference's
+    fact-rebuild statement shape (order-...sql:176-209, the M3
+    INSERT OVERWRITE + O1 trailing ORDER BY). The caller owns the
+    actual overwrite (ManagedTable.overwrite — M3's atomic swap);
+    returning the relation keeps the shim pure and driver-checkable.
+
+    Tables in ``tables`` register under their last dotted component
+    (reference references mix qualified and bare names); ``--``
+    comments anywhere in the statement are stripped (the reference's
+    commented-out join residual, order-...sql:203). Snowflake maps
+    SELECT items to the insert columns BY POSITION — so does this.
+    """
+    sql = _strip_line_comments(text).strip().rstrip(";")
+    short = {name: name.split(".")[-1] for name in tables}
+    for name, s in short.items():
+        if name != s:
+            sql = re.sub(rf"\b{re.escape(name)}\b", s, sql, flags=re.IGNORECASE)
+    m = _INSERT_OVERWRITE_RE.search(sql)
+    if m is None:
+        raise ValueError("not an INSERT OVERWRITE INTO ... (cols) SELECT statement")
+    close = _balanced_span(sql, m.end() - 1)
+    cols = [c.strip() for c in _split_top_level_commas(sql[m.end() : close - 1])]
+    select = sql[close:].strip()
+    if not re.match(r"SELECT\b", select, re.IGNORECASE):
+        raise ValueError("INSERT OVERWRITE requires a SELECT body")
+    for name, df in tables.items():
+        df.createOrReplaceTempView(short[name])
+    out = spark.sql(select)
+    if len(out.columns) != len(cols):
+        raise ValueError(
+            f"insert list has {len(cols)} columns, SELECT produces {len(out.columns)}"
+        )
+    return out.toDF(*cols)

@@ -1099,3 +1099,153 @@ def sql20_reference_item_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state = out.localCheckpoint(eager=True)
     return state
+
+
+# ----------------------------------------------------------------------
+# sql21: the reference's fact-rebuild INSERT OVERWRITE, verbatim
+# ----------------------------------------------------------------------
+
+# order-end-to-end-pipeline-script.sql:176-209, pasted unchanged (the
+# task envelope :170-175 is pl_task_history's surface; this is the
+# statement body — including the commented-out item_desc residual).
+_SQL21_FACT_TEXT = """
+insert overwrite into transformed.fact_order (
+order_date,
+customer_dim_key ,
+item_dim_key ,
+order_count,
+order_quantity ,
+sale_price ,
+disount_amt ,
+coupon_amt ,
+net_paid ,
+net_paid_tax ,
+net_profit)
+select
+      ro.order_date,
+      dc.customer_dim_key ,
+      di.item_dim_key,
+      count(1) as order_count,
+      sum(ro.order_quantity) ,
+      sum(ro.sale_price) ,
+      sum(ro.disount_amt) ,
+      sum(ro.coupon_amt) ,
+      sum(ro.net_paid) ,
+      sum(ro.net_paid_tax),
+      sum(ro.net_profit)
+  from raw.raw_order ro
+    join dim_customer dc on dc.customer_id = ro.customer_id
+    join dim_item di on di.item_id = ro.item_id
+    --and di.item_desc = ro.item_desc
+    and di.end_date is null
+    group by
+        ro.order_date,
+        dc.customer_dim_key ,
+        di.item_dim_key
+        order by ro.order_date;
+"""
+
+
+# Like _FACT_GROUPED_SQL but with the dims AS OF delta_2 (sql21 runs
+# the verbatim statement against the FINAL replayed warehouse, i.e.
+# "the task re-ran now" — the recorded fact TABLE state stays at the
+# step-2 rebuild because step 3's WHEN gate skipped the order chain,
+# which pl_fact_order pins).
+_SQL21_ORACLE = f"""
+    WITH oh AS ({_read_csv_sql('order_history.csv', _ORDER_COLS, 1)}),
+    od AS ({_read_csv_sql('order_delta_1.csv', _ORDER_COLS, 1)}),
+    co AS (SELECT * FROM oh UNION ALL SELECT * FROM od),
+    ch AS ({_read_csv_sql('customer_history.csv', _CUST_COLS, 1)}),
+    cd1 AS ({_read_csv_sql('customer_delta_1.csv', _CUST_COLS, 0)}),
+    cd2 AS ({_read_csv_sql('customer_delta_2.csv', _CUST_COLS, 1)}),
+    cust AS (SELECT customer_id FROM ch UNION SELECT customer_id FROM cd1
+             UNION SELECT customer_id FROM cd2),
+    ih AS ({_read_csv_sql('item_history.csv', _ITEM_COLS, 1)}),
+    id1 AS ({_read_csv_sql('item_delta_1.csv', _ITEM_COLS, 1)}),
+    id2 AS ({_read_csv_sql('item_delta_2.csv', _ITEM_COLS, 1)}),
+    item_s2 AS (
+        SELECT item_id, end_date FROM id1
+        UNION ALL
+        SELECT item_id, end_date FROM ih
+        WHERE item_id NOT IN (SELECT item_id FROM id1)
+    ),
+    item_s3 AS (
+        SELECT item_id, end_date FROM id2
+        UNION ALL
+        SELECT item_id, end_date FROM item_s2
+        WHERE item_id NOT IN (SELECT item_id FROM id2)
+    ),
+    items AS (SELECT item_id FROM item_s3 WHERE end_date IS NULL)
+    SELECT co.order_date::DATE AS order_date, co.customer_id, co.item_id,
+           count(*)::BIGINT AS order_count,
+           sum(co.order_quantity::BIGINT)::BIGINT AS order_quantity,
+           sum(co.sale_price::DECIMAL(20,2))::DOUBLE AS sale_price,
+           sum(co.disount_amt::DECIMAL(20,2))::DOUBLE AS disount_amt,
+           sum(co.coupon_amt::DECIMAL(20,2))::DOUBLE AS coupon_amt,
+           sum(co.net_paid::DECIMAL(20,2))::DOUBLE AS net_paid,
+           sum(co.net_paid_tax::DECIMAL(20,2))::DOUBLE AS net_paid_tax,
+           sum(co.net_profit::DECIMAL(20,2))::DOUBLE AS net_profit
+    FROM co
+    JOIN cust USING (customer_id)
+    JOIN items USING (item_id)
+    GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "sql21_reference_fact_insert",
+    oracle=_SQL21_ORACLE,
+    doc="""The reference's fact-rebuild statement executed VERBATIM
+    (order-end-to-end-pipeline-script.sql:176-209 pasted unchanged,
+    commented-out join residual included) — completing the verbatim
+    set: raw MERGE (sql18), dim MERGE (sql19), dedup-subquery MERGE
+    (sql20), and now the M3 INSERT OVERWRITE star join + 3-key
+    aggregate with its A3 implicit varchar SUM casts and O1 trailing
+    ORDER BY. functions/sqldialect.py:insert_overwrite_statement
+    parses the insert list, runs the SELECT against the FINAL replayed
+    warehouse state ("the task re-ran now" — note the recorded fact
+    TABLE stays at the step-2 rebuild because step 3's WHEN gate
+    skipped the order chain, which pl_fact_order pins; the oracle here
+    carries the dims through delta_2), and maps columns BY POSITION
+    like Snowflake; the
+    caller owns the actual overwrite (M3's atomic swap) so the shim
+    stays pure. Post-projection (outside the verbatim text): dim keys
+    join back to business ids (key VALUES are engine-specific —
+    pl_identity_keys contract) and the float sums Snowflake's implicit
+    casts produce are rounded to the exact 2-dec values (group sums
+    are exact decimals; rounding removes sub-ulp float noise without
+    touching the statement). Oracle: the closed-form grouped audit
+    over the fixture bytes (pl_fact_order's relation).""",
+    tags=("sql-surface", "dialect", "insert-overwrite", "reference-verbatim"),
+)
+def sql21_reference_fact_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import insert_overwrite_statement
+
+    p = _replayed(spark)
+    out = insert_overwrite_statement(
+        spark,
+        _SQL21_FACT_TEXT,
+        {
+            "raw.raw_order": p.raw["order"].read(),
+            "dim_customer": p.dim_customer.read(),
+            "dim_item": p.dim_item.read(),
+        },
+    )
+    dc = p.dim_customer.read().select("customer_dim_key", "customer_id")
+    di = p.dim_item.read().select("item_dim_key", "item_id")
+    money = [
+        "sale_price", "disount_amt", "coupon_amt",
+        "net_paid", "net_paid_tax", "net_profit",
+    ]
+    return (
+        out.join(F.broadcast(dc), "customer_dim_key")
+        .join(F.broadcast(di), "item_dim_key")
+        .select(
+            F.col("order_date").cast("date").alias("order_date"),
+            "customer_id",
+            "item_id",
+            F.col("order_count").cast("long").alias("order_count"),
+            F.round("order_quantity", 0).cast("long").alias("order_quantity"),
+            *[F.round(F.col(c), 2).cast("double").alias(c) for c in money],
+        )
+    )
