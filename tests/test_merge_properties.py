@@ -184,3 +184,82 @@ def test_target_known_empty_fast_path_equivalence(spark):
         (f.name, f.dataType) for f in fast.schema
     ]
     assert sorted(map(tuple, slow.collect())) == sorted(map(tuple, fast.collect()))
+
+
+# ---------------------------------------------------------------------------
+# merge_statement (the verbatim MERGE INTO text compiler) must agree
+# with a plain-Python dict-upsert oracle for ALL generated states —
+# the same independence sql18-20's fixture oracles give, but over the
+# whole input space instead of the reference's 22 rows.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(target=targets, batch=st.dictionaries(KEYS, VALS, max_size=8))
+def test_merge_statement_matches_dict_upsert(spark, target, batch):
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        merge_statement,
+    )
+
+    tdf = spark.createDataFrame(
+        [(k, v) for k, v in target.items()] or [(None, None)], "id int, val string"
+    ).filter(F.col("id").isNotNull())
+    sdf = spark.createDataFrame(
+        [(k, v) for k, v in batch.items()] or [(None, None)], "id int, val string"
+    ).filter(F.col("id").isNotNull())
+    out = merge_statement(
+        spark,
+        "MERGE INTO db.t USING db.s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET t.val = s.val "
+        "WHEN NOT MATCHED THEN INSERT (id, val) VALUES (s.id, s.val)",
+        {"db.t": tdf, "db.s": sdf},
+    ).collect()
+    expected = dict(target)
+    expected.update(batch)  # dict upsert IS the MERGE semantic
+    assert sorted((r["id"], r["val"]) for r in out) == sorted(expected.items())
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    p1=st.integers(min_value=0, max_value=100),
+    p2=st.integers(min_value=0, max_value=100),
+    seed=st.integers(min_value=0, max_value=99),
+)
+def test_sample_lowering_is_monotone_and_deterministic(spark, p1, p2, seed):
+    """SAMPLE(p1) ⊆ SAMPLE(p2) for p1 <= p2 under the same seed — the
+    hash-threshold lowering guarantees nested samples (a property
+    Snowflake's independent-draw sampling does NOT give; documented
+    engine behavior worth pinning), and re-runs are identical."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_sample,
+    )
+
+    lo, hi = sorted((p1, p2))
+    spark.range(300).selectExpr("id AS k").createOrReplaceTempView("samp_t")
+    keys = {"samp_t": "k"}
+
+    def rows(p):
+        return {
+            r["k"]
+            for r in spark.sql(
+                rewrite_sample(
+                    f"SELECT k FROM samp_t SAMPLE ({p}) SEED ({seed})", keys
+                )
+            ).collect()
+        }
+
+    a, b = rows(lo), rows(hi)
+    assert a <= b, (lo, hi, sorted(a - b))
+    assert rows(lo) == a  # deterministic re-run
+    if lo == 0:
+        assert a == set()
+    if hi == 100:
+        assert b == set(range(300))
