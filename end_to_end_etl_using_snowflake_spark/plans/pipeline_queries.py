@@ -1249,3 +1249,134 @@ def sql21_reference_fact_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.round(F.col(c), 2).cast("double").alias(c) for c in money],
         )
     )
+
+
+# ----------------------------------------------------------------------
+# sql22: the reference's order raw MERGE (composite key), verbatim
+# ----------------------------------------------------------------------
+
+# order-end-to-end-pipeline-script.sql:111-163, pasted unchanged — the
+# J4 composite-key MERGE (4-column ON chain, 13 SET columns).
+_SQL22_ORDER_MERGE_TEXT = """merge into raw.raw_order
+using stg.stg_order_stm on
+raw_order.order_date = stg_order_stm.order_date and 
+raw_order.order_time = stg_order_stm.order_time and 
+raw_order.item_id = stg_order_stm.item_id and
+raw_order.item_desc = stg_order_stm.item_desc 
+when matched 
+ then update set 
+    raw_order.customer_id = stg_order_stm.customer_id,
+    raw_order.salutation = stg_order_stm.salutation,
+    raw_order.first_name = stg_order_stm.first_name,
+    raw_order.last_name = stg_order_stm.last_name,
+    raw_order.store_id = stg_order_stm.store_id,
+    raw_order.store_name = stg_order_stm.store_name,
+    raw_order.order_quantity = stg_order_stm.order_quantity,
+    raw_order.sale_price = stg_order_stm.sale_price,
+    raw_order.disount_amt = stg_order_stm.disount_amt,
+    raw_order.coupon_amt = stg_order_stm.coupon_amt,
+    raw_order.net_paid = stg_order_stm.net_paid,
+    raw_order.net_paid_tax = stg_order_stm.net_paid_tax,
+    raw_order.net_profit = stg_order_stm.net_profit
+  when not matched then 
+  insert (
+    order_date ,
+    order_time ,
+    item_id ,
+    item_desc ,
+    customer_id ,
+    salutation ,
+    first_name ,
+    last_name ,
+    store_id ,
+    store_name ,
+    order_quantity ,
+    sale_price ,
+    disount_amt ,
+    coupon_amt ,
+    net_paid ,
+    net_paid_tax ,
+    net_profit ) 
+  values (
+    stg_order_stm.order_date ,
+    stg_order_stm.order_time ,
+    stg_order_stm.item_id ,
+    stg_order_stm.item_desc ,
+    stg_order_stm.customer_id ,
+    stg_order_stm.salutation ,
+    stg_order_stm.first_name ,
+    stg_order_stm.last_name ,
+    stg_order_stm.store_id ,
+    stg_order_stm.store_name ,
+    stg_order_stm.order_quantity ,
+    stg_order_stm.sale_price ,
+    stg_order_stm.disount_amt ,
+    stg_order_stm.coupon_amt ,
+    stg_order_stm.net_paid ,
+    stg_order_stm.net_paid_tax ,
+    stg_order_stm.net_profit )"""
+
+
+def _sql22_merge_step(prev: str, batch: str) -> str:
+    keys = ["order_date", "order_time", "item_id", "item_desc"]
+    rest = [c for c in _ORDER_COLS if c not in keys]
+    # plain (null-UNSAFE) equality like the verbatim statement's ON:
+    # Snowflake's NULL = NULL is not true, so a NULL-keyed stage row
+    # never matches and always inserts — the compiled Spark join has
+    # the same semantics; the oracle must NOT use IS NOT DISTINCT FROM
+    on = " AND ".join(f"b.{k} = s.{k}" for k in keys)
+    kb = ", ".join(f"b.{k}" for k in keys)
+    ks = ", ".join(f"s.{k}" for k in keys)
+    upd = ", ".join(f"b.{c}" for c in rest)
+    keep = ", ".join(f"s.{c}" for c in rest)
+    return f"""
+        SELECT {kb}, {upd} FROM {prev} s JOIN {batch} b ON {on}
+        UNION ALL
+        SELECT {ks}, {keep} FROM {prev} s
+        WHERE NOT EXISTS (SELECT 1 FROM {batch} b WHERE {on})
+        UNION ALL
+        SELECT {kb}, {upd} FROM {batch} b
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} s WHERE {on})
+    """
+
+
+@register(
+    "sql22_reference_order_merge",
+    oracle=f"""
+    WITH h AS ({_read_csv_sql('order_history.csv', _ORDER_COLS, 1)}),
+    d1 AS ({_read_csv_sql('order_delta_1.csv', _ORDER_COLS, 1)}),
+    s1 AS ({_sql22_merge_step('h', 'd1')})
+    SELECT * FROM s1
+    """,
+    doc="""The reference's ORDER raw-layer MERGE executed VERBATIM
+    (order-end-to-end-pipeline-script.sql:111-163 pasted unchanged) —
+    the composite-key member of the verbatim set (J4: a 4-column ON
+    chain over (order_date, order_time, item_id, item_desc), 13 SET
+    columns, 17 insert columns). merge_statement's ON parser walks the
+    AND chain and null-probes the first source key for the match flag;
+    the oracle replays the same state equation in DuckDB with the
+    SAME null-UNSAFE equality (Snowflake's NULL = NULL is not true, so
+    a NULL-keyed stage row never matches and always inserts — both the
+    compiled Spark join and the oracle's NOT EXISTS preserve that).
+    History <- delta_1 replay (the order entity ships no delta_2).""",
+    tags=("sql-surface", "dialect", "merge", "reference-verbatim"),
+)
+def sql22_reference_order_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import merge_statement
+    from ..sources.copy_into import _starts_blank
+    from ..sources.csv_format import CSV_OPTIONS, ORDER_STAGE
+
+    assert_fixture_fingerprints()
+
+    def read(fname: str) -> DataFrame:
+        path = os.path.join(_REFERENCE_DATA, fname)
+        opts = dict(CSV_OPTIONS, header=str(not _starts_blank(path)).lower())
+        return spark.read.options(**opts).schema(ORDER_STAGE).csv(path)
+
+    state = read("order_history.csv")
+    out = merge_statement(
+        spark,
+        _SQL22_ORDER_MERGE_TEXT,
+        {"raw.raw_order": state, "stg.stg_order_stm": read("order_delta_1.csv")},
+    )
+    return out
