@@ -468,3 +468,19 @@ def test_generator_spine_broadcasts(spark):
     plan = plan_of(spark, "sql16_generator_dialect")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_verbatim_merge_compiles_to_join_plus_anti(spark):
+    # sql18: the MERGE text compiler must produce the engine's MERGE
+    # shape — one keyed join + one anti join, never a cartesian
+    plan = plan_of(spark, "sql18_reference_merge")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_verbatim_fact_insert_broadcasts_dims(spark):
+    # sql21: the compiled star join must broadcast both dims (the
+    # flagship's pinned posture, reached through the text path)
+    plan = plan_of(spark, "sql21_reference_fact_insert")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
