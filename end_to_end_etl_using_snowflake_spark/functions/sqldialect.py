@@ -996,3 +996,56 @@ def insert_overwrite_statement(spark, text: str, tables: dict) -> "DataFrame":  
             f"insert list has {len(cols)} columns, SELECT produces {len(out.columns)}"
         )
     return out.toDF(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Snowflake CREATE PIPE ... AS COPY INTO DDL text
+# ---------------------------------------------------------------------------
+
+_PIPE_DDL_RE = re.compile(
+    r"CREATE\s+OR\s+REPLACE\s+PIPE\s+(?P<name>[\w.]+)\s+"
+    r"(?:AUTO_INGEST\s*=\s*(?P<auto>TRUE|FALSE)\s+)?AS\s+"
+    r"COPY\s+INTO\s+(?P<table>[\w.]+)\s+"
+    r"FROM\s+@(?P<stage>[\w./]+)\s*"
+    r"(?:FILE_FORMAT\s*=\s*\((?P<fmt>[^)]*)\))?",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_pipe_ddl(text: str) -> dict:
+    """Parse Snowflake ``CREATE OR REPLACE PIPE ... AS COPY INTO ...
+    FROM @stage/path FILE_FORMAT = (...)`` DDL (the reference's ingest
+    entry point, customer-...sql:51-56) into its components:
+    ``{name, auto_ingest, table, stage_path, format_options}``. The
+    caller binds them to the engine's Pipe (sources/pipe.py — the
+    manifest-tracked idempotent COPY + pause/resume/status surface S3/
+    S4 already drive). Inline format options parse as key=value pairs;
+    ``type='CSV'``, ``skip_header=1`` and
+    ``error_on_column_count_mismatch=false`` map onto the named CSV
+    format's existing translation (sources/csv_format.py docstring);
+    other types pass through to FileFormat. Refuses on missing COPY
+    INTO body rather than guessing."""
+    sql = _strip_line_comments(text).strip().rstrip(";")
+    m = _PIPE_DDL_RE.search(sql)
+    if m is None:
+        raise ValueError(
+            "unsupported PIPE DDL shape (need CREATE OR REPLACE PIPE <n>"
+            " [AUTO_INGEST=TRUE] AS COPY INTO <t> FROM @<stage>"
+            " [FILE_FORMAT = (...)])"
+        )
+    fmt_opts: dict[str, str] = {}
+    for part in _split_top_level_commas(m.group("fmt") or ""):
+        part = part.strip()
+        if not part:
+            continue
+        eq = part.find("=")
+        if eq < 0:
+            raise ValueError(f"bad FILE_FORMAT option: {part!r}")
+        fmt_opts[part[:eq].strip().lower()] = part[eq + 1 :].strip().strip("'\"")
+    return {
+        "name": m.group("name"),
+        "auto_ingest": (m.group("auto") or "FALSE").upper() == "TRUE",
+        "table": m.group("table"),
+        "stage_path": m.group("stage"),
+        "format_options": fmt_opts,
+    }

@@ -1380,3 +1380,69 @@ def sql22_reference_order_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"raw.raw_order": state, "stg.stg_order_stm": read("order_delta_1.csv")},
     )
     return out
+
+
+# ----------------------------------------------------------------------
+# sql23: the reference's pipe DDL, verbatim
+# ----------------------------------------------------------------------
+
+# customer-end-to-end-pipeline-script.sql:51-56, pasted unchanged.
+_SQL23_PIPE_DDL = """
+create or replace pipe stg.stg_customer_pipe
+auto_ingest=true
+as
+copy into stg.stg_customer
+from @landing/landing/customer
+file_format = (type = 'CSV', skip_header=1, error_on_column_count_mismatch=false);
+"""
+
+
+@register(
+    "sql23_reference_pipe_ddl",
+    oracle=f"""
+    WITH h AS ({_read_csv_sql('customer_history.csv', _CUST_COLS, 1)}),
+    d1 AS ({_read_csv_sql('customer_delta_1.csv', _CUST_COLS, 0)})
+    SELECT * FROM h UNION ALL SELECT * FROM d1
+    """,
+    doc="""The reference's PIPE DDL executed VERBATIM
+    (customer-end-to-end-pipeline-script.sql:51-56 pasted unchanged) —
+    the INGEST entry point of the verbatim set: parse_pipe_ddl
+    (functions/sqldialect.py) extracts name / AUTO_INGEST / COPY INTO
+    target / @stage path / inline FILE_FORMAT options and binds them
+    to the engine's Pipe (sources/pipe.py — the manifest-tracked
+    idempotent COPY with the skip_header / PERMISSIVE translation the
+    named CSV format documents). The entry seeds a scratch @landing
+    with the customer history + delta_1 fixture bytes, refreshes the
+    pipe TWICE (second refresh must load nothing — the S2 idempotence
+    contract, asserted in-query), and returns the stage content; the
+    oracle reads the same bytes with read_csv. DDL text -> running
+    pipe, no translation by hand.""",
+    tags=("sql-surface", "dialect", "pipe", "reference-verbatim"),
+)
+def sql23_reference_pipe_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import parse_pipe_ddl
+    from ..plans.catalog import Warehouse
+    from ..sources.csv_format import CUSTOMER_STAGE
+    from ..sources.pipe import Pipe
+
+    assert_fixture_fingerprints()
+    ddl = parse_pipe_ddl(_SQL23_PIPE_DDL)
+    if ddl["format_options"].get("type", "").upper() != "CSV":
+        raise ValueError("reference pipe must declare the CSV format")
+
+    base = scratch_dir("pipe_ddl_")
+    # bind @landing/landing/customer to a scratch stage dir seeded with
+    # the fixture bytes
+    landing = os.path.join(base, *ddl["stage_path"].split("/")[1:])
+    os.makedirs(landing)
+    for f in ("customer_history.csv", "customer_delta_1.csv"):
+        shutil.copy(os.path.join(_REFERENCE_DATA, f), os.path.join(landing, f))
+    wh = Warehouse(spark, os.path.join(base, "warehouse"))
+    schema_name, table_name = ddl["table"].split(".")
+    stage = wh.table(schema_name, table_name, CUSTOMER_STAGE)
+    pipe = Pipe(spark, ddl["name"], landing, stage, CUSTOMER_STAGE)
+    n1 = pipe.refresh()
+    n2 = pipe.refresh()  # idempotence: already-loaded files never reload
+    if not (n1 == 2 and n2 == 0):
+        raise RuntimeError(f"pipe refresh contract violated: {n1=} {n2=}")
+    return stage.read()

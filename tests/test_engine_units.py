@@ -1737,3 +1737,31 @@ def test_merge_statement_edges(spark):
     ]:
         with _pytest.raises(ValueError, match=msg):
             merge_statement(spark, bad, tabs)
+
+
+def test_pipe_ddl_parser_edges():
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        parse_pipe_ddl,
+    )
+
+    d = parse_pipe_ddl(
+        "create or replace pipe p as copy into stg.t from @s/x/y"
+    )
+    assert d["name"] == "p" and d["auto_ingest"] is False
+    assert d["table"] == "stg.t" and d["stage_path"] == "s/x/y"
+    assert d["format_options"] == {}
+    d2 = parse_pipe_ddl(
+        "CREATE OR REPLACE PIPE a.b AUTO_INGEST=TRUE AS COPY INTO c.d "
+        "FROM @e/f FILE_FORMAT = (type = 'JSON', strip_outer_array = true)"
+    )
+    assert d2["auto_ingest"] is True
+    assert d2["format_options"] == {"type": "JSON", "strip_outer_array": "true"}
+    for bad in (
+        "create or replace pipe p as select 1",
+        "copy into t from @s",
+        "create or replace pipe p as copy into t from landing",
+    ):
+        with _pytest.raises(ValueError, match="PIPE DDL"):
+            parse_pipe_ddl(bad)
