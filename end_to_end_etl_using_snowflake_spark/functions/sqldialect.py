@@ -1049,3 +1049,62 @@ def parse_pipe_ddl(text: str) -> dict:
         "stage_path": m.group("stage"),
         "format_options": fmt_opts,
     }
+
+
+# ---------------------------------------------------------------------------
+# Snowflake CREATE TASK DDL text
+# ---------------------------------------------------------------------------
+
+_TASK_DDL_RE = re.compile(
+    r"CREATE\s+OR\s+REPLACE\s+TASK\s+(?P<name>[\w.]+)\s+"
+    r"(?:WAREHOUSE\s*=\s*(?P<wh>\w+)\s+)?"
+    r"(?:SCHEDULE\s*=\s*'(?P<sched>[^']*)'\s+)?"
+    r"(?:AFTER\s+(?P<after>[\w.]+)\s+)?"
+    r"(?:WHEN\s+SYSTEM\$STREAM_HAS_DATA\s*\(\s*'(?P<stream>[^']+)'\s*\)\s+)?"
+    r"AS\s+(?P<body>.*?)(?=;\s*(?:CREATE\s+OR\s+REPLACE\s+TASK\b|\Z)|\Z)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_task_ddls(text: str) -> list[dict]:
+    """Parse one or more Snowflake ``CREATE OR REPLACE TASK`` DDLs (the
+    reference's orchestration layer, e.g. customer-...sql:62-180) into
+    ``{name, warehouse, schedule, after, when_stream, body,
+    body_kind}`` dicts — the T3/T4 surface (schedule + AFTER chain +
+    WHEN stream gate) as text. ``body_kind`` classifies the statement
+    the engine dispatches to: ``merge_into`` (merge_statement),
+    ``insert_overwrite`` (insert_overwrite_statement), ``alter_pipe``
+    / ``pipe_force_resume`` (sources/pipe.py pause/force_resume),
+    ``truncate`` (ManagedTable.truncate), else ``other``. DDLs are
+    split on the ``;`` that precedes the next CREATE TASK, so merge
+    bodies with no inner semicolons pass through verbatim."""
+    out = []
+    for m in _TASK_DDL_RE.finditer(_strip_line_comments(text)):
+        body = m.group("body").strip().rstrip(";").strip()
+        up = body.upper()
+        if up.startswith("MERGE INTO"):
+            kind = "merge_into"
+        elif up.startswith("INSERT OVERWRITE"):
+            kind = "insert_overwrite"
+        elif "PIPE_EXECUTION_PAUSED" in up:
+            kind = "alter_pipe"
+        elif "SYSTEM$PIPE_FORCE_RESUME" in up:
+            kind = "pipe_force_resume"
+        elif up.startswith("TRUNCATE"):
+            kind = "truncate"
+        else:
+            kind = "other"
+        out.append(
+            {
+                "name": m.group("name"),
+                "warehouse": m.group("wh"),
+                "schedule": m.group("sched"),
+                "after": m.group("after"),
+                "when_stream": m.group("stream"),
+                "body": body,
+                "body_kind": kind,
+            }
+        )
+    if not out:
+        raise ValueError("no CREATE OR REPLACE TASK statements found")
+    return out

@@ -1446,3 +1446,177 @@ def sql23_reference_pipe_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not (n1 == 2 and n2 == 0):
         raise RuntimeError(f"pipe refresh contract violated: {n1=} {n2=}")
     return stage.read()
+
+
+# ----------------------------------------------------------------------
+# sql24: the reference's task-orchestration DDL, verbatim
+# ----------------------------------------------------------------------
+
+# customer-end-to-end-pipeline-script.sql:62-180, pasted unchanged —
+# the complete 5-task customer chain (root schedule + AFTER edges +
+# WHEN stream gates + bodies).
+_SQL24_TASK_DDL_BLOB = """create or replace task transformed.pause_pipe_customer
+  warehouse = ayo_warehouse 
+  schedule  = '1 minute'
+when
+  system$stream_has_data('stg.stg_customer_stm')
+as
+  alter pipe stg.stg_customer_pipe set pipe_execution_paused = true;
+  
+  
+create or replace task transformed.customer_raw_tsk
+  warehouse = ayo_warehouse 
+  after transformed.pause_pipe_customer
+when
+  system$stream_has_data('stg.stg_customer_stm')
+as
+merge into raw.raw_customer 
+using stg.stg_customer_stm on
+raw_customer.customer_id = stg_customer_stm.customer_id
+when matched
+--covers updates and deletes
+ then update set 
+    raw_customer.salutation = stg_customer_stm.salutation,
+    raw_customer.first_name = stg_customer_stm.first_name,
+    raw_customer.last_name = stg_customer_stm.last_name,
+    raw_customer.birth_day = stg_customer_stm.birth_day,
+    raw_customer.birth_month = stg_customer_stm.birth_month,
+    raw_customer.birth_year = stg_customer_stm.birth_year,
+    raw_customer.birth_country = stg_customer_stm.birth_country,
+    raw_customer.email_address = stg_customer_stm.email_address,
+    raw_customer.is_active = stg_customer_stm.is_active
+when not matched then 
+insert (
+  customer_id ,
+  salutation ,
+  first_name ,
+  last_name ,
+  birth_day ,
+  birth_month ,
+  birth_year ,
+  birth_country ,
+  email_address,
+  is_active) 
+values (
+  stg_customer_stm.customer_id ,
+  stg_customer_stm.salutation ,
+  stg_customer_stm.first_name ,
+  stg_customer_stm.last_name ,
+  stg_customer_stm.birth_day ,
+  stg_customer_stm.birth_month ,
+  stg_customer_stm.birth_year ,
+  stg_customer_stm.birth_country ,
+  stg_customer_stm.email_address,
+  stg_customer_stm.is_active);
+  
+  
+  
+create or replace task transformed.dim_customer_tsk
+    warehouse = ayo_warehouse 
+after transformed.customer_raw_tsk
+when
+  system$stream_has_data('raw.raw_customer_stm')
+as
+  merge into transformed.dim_customer 
+  using raw.raw_customer_stm 
+  on
+  dim_customer.customer_id = raw_customer_stm.customer_id 
+when matched
+  then update set 
+      dim_customer.salutation = raw_customer_stm.salutation,
+      dim_customer.first_name = raw_customer_stm.first_name,
+      dim_customer.last_name = raw_customer_stm.last_name,
+      dim_customer.birth_day = raw_customer_stm.birth_day,
+      dim_customer.birth_month = raw_customer_stm.birth_month,
+      dim_customer.birth_year = raw_customer_stm.birth_year,
+      dim_customer.birth_country = raw_customer_stm.birth_country,
+      dim_customer.email_address = raw_customer_stm.email_address,
+      dim_customer.is_active = raw_customer_stm.is_active,
+      dim_customer.updated_timestamp = current_timestamp()
+when not matched 
+then 
+  insert (
+    customer_id ,
+    salutation ,
+    first_name ,
+    last_name ,
+    birth_day ,
+    birth_month ,
+    birth_year ,
+    birth_country ,
+    email_address,
+    is_active
+  ) 
+  values (
+    raw_customer_stm.customer_id ,
+    raw_customer_stm.salutation ,
+    raw_customer_stm.first_name ,
+    raw_customer_stm.last_name ,
+    raw_customer_stm.birth_day ,
+    raw_customer_stm.birth_month ,
+    raw_customer_stm.birth_year ,
+    raw_customer_stm.birth_country ,
+    raw_customer_stm.email_address,
+    raw_customer_stm.is_active
+   );
+  
+  
+create or replace task transformed.truncate_staging_table_customer
+  warehouse = ayo_warehouse 
+  after transformed.dim_customer_tsk
+as
+  truncate table if exists stg.stg_customer;  
+  
+
+create or replace task transformed.play_pipe_customer
+  warehouse = ayo_warehouse 
+  after transformed.truncate_staging_table
+as
+  select system$pipe_force_resume('stg.stg_customer_pipe');"""
+
+
+@register(
+    "sql24_reference_task_ddl",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('transformed.pause_pipe_customer', NULL, '1 minute',
+       'stg.stg_customer_stm', 'alter_pipe'),
+      ('transformed.customer_raw_tsk', 'transformed.pause_pipe_customer',
+       NULL, 'stg.stg_customer_stm', 'merge_into'),
+      ('transformed.dim_customer_tsk', 'transformed.customer_raw_tsk',
+       NULL, 'raw.raw_customer_stm', 'merge_into'),
+      ('transformed.truncate_staging_table_customer',
+       'transformed.dim_customer_tsk', NULL, NULL, 'truncate'),
+      ('transformed.play_pipe_customer', 'transformed.truncate_staging_table',
+       NULL, NULL, 'pipe_force_resume')
+    ) AS t(task_name, after_task, schedule, when_stream, body_kind)
+    """,
+    doc="""The reference's complete task-orchestration DDL parsed
+    VERBATIM (customer-end-to-end-pipeline-script.sql:62-180 pasted
+    unchanged): parse_task_ddls (functions/sqldialect.py) extracts the
+    5-task chain — root schedule ('1 minute'), AFTER edges, WHEN
+    system$stream_has_data gates, and bodies classified to the engine
+    dispatch they run through (alter_pipe -> pipe pause, merge_into ->
+    merge_statement, truncate -> ManagedTable.truncate,
+    pipe_force_resume -> pipe.force_resume) — the T3/T4 orchestration
+    surface as text. The golden oracle pins the EXACT parsed chain,
+    including the reference's own AFTER-typo
+    ('transformed.truncate_staging_table' without the _customer
+    suffix, :177 — preserved faithfully like the disount_amt column;
+    SURVEY §7.5 reference-bug policy). The engine's running chain
+    (streaming/tasks.py, pl_task_history) implements exactly these
+    semantics; this entry proves the TEXT layer maps onto it 1:1.""",
+    tags=("sql-surface", "dialect", "tasks", "reference-verbatim"),
+)
+def sql24_reference_task_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import parse_task_ddls
+
+    rows = [
+        (t["name"], t["after"], t["schedule"], t["when_stream"], t["body_kind"])
+        for t in parse_task_ddls(_SQL24_TASK_DDL_BLOB)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "task_name string, after_task string, schedule string,"
+        " when_stream string, body_kind string",
+    )

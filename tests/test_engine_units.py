@@ -1765,3 +1765,28 @@ def test_pipe_ddl_parser_edges():
     ):
         with _pytest.raises(ValueError, match="PIPE DDL"):
             parse_pipe_ddl(bad)
+
+
+def test_task_ddl_parser_edges():
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        parse_task_ddls,
+    )
+
+    ts = parse_task_ddls(
+        "create or replace task t1 warehouse = wh schedule = '5 minute' as\n"
+        "merge into a using b on a.x = b.x when matched then update set "
+        "a.y = b.y when not matched then insert (x) values (b.x);\n"
+        "create or replace task t2 after t1 when "
+        "system$stream_has_data('s.stm') as truncate table if exists s.t;"
+    )
+    assert [t["name"] for t in ts] == ["t1", "t2"]
+    assert ts[0]["schedule"] == "5 minute" and ts[0]["after"] is None
+    assert ts[0]["body_kind"] == "merge_into"
+    assert ts[1]["after"] == "t1" and ts[1]["when_stream"] == "s.stm"
+    assert ts[1]["body_kind"] == "truncate"
+    # bodies keep their full text (for dispatch to the statement shims)
+    assert ts[0]["body"].lower().startswith("merge into a using b")
+    with _pytest.raises(ValueError, match="no CREATE OR REPLACE TASK"):
+        parse_task_ddls("select 1")
