@@ -1620,3 +1620,154 @@ def sql24_reference_task_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "task_name string, after_task string, schedule string,"
         " when_stream string, body_kind string",
     )
+
+
+# ----------------------------------------------------------------------
+# sql25: run the WHOLE customer pipeline from the reference's own text
+# ----------------------------------------------------------------------
+
+
+def _task_chain_order(tasks: list[dict]) -> list[dict]:
+    """Topological order of a parsed task chain: the scheduled root
+    first, then tasks whose AFTER target is already placed. AFTER
+    targets resolve by exact name, else by UNIQUE PREFIX — the
+    reference's own play_pipe task cites
+    'transformed.truncate_staging_table' without the _customer suffix
+    (customer-...sql:177; Snowflake would reject the DDL, but the
+    author's intent is unambiguous and pl_task_history's golden chain
+    already encodes it) — ambiguous or unresolvable targets raise."""
+    placed: list[dict] = [t for t in tasks if t["schedule"]]
+    if len(placed) != 1:
+        raise ValueError("task chain needs exactly one scheduled root")
+    remaining = [t for t in tasks if not t["schedule"]]
+    while remaining:
+        progressed = False
+        names = [p["name"] for p in placed]
+        for t in list(remaining):
+            cands = [n for n in names if n == t["after"]] or [
+                n for n in names if n.startswith(t["after"] or "\x00")
+            ]
+            if len(cands) > 1:
+                raise ValueError(f"ambiguous AFTER target: {t['after']!r}")
+            if cands:
+                placed.append(t)
+                remaining.remove(t)
+                progressed = True
+        if not progressed:
+            raise ValueError(
+                f"unresolvable AFTER targets: {[t['after'] for t in remaining]}"
+            )
+    return placed
+
+
+@register(
+    "sql25_reference_script_replay",
+    oracle=_PL_DIM_CUSTOMER_ORACLE,
+    doc="""THE capstone of the verbatim surface: the customer pipeline
+    executed end-to-end FROM THE REFERENCE'S OWN TEXT — the pipe DDL
+    (sql23's blob) and the complete 5-task DDL chain (sql24's blob)
+    are parsed, bound to engine objects (Pipe, ManagedTables, the
+    changelog streams behind each system$stream_has_data gate), and
+    the chain runs the 3-step fixture replay with every task BODY
+    dispatched through the statement shims: alter_pipe -> pause,
+    MERGE INTO raw -> merge_statement over the stage stream, MERGE
+    INTO dim -> merge_statement with DDL timestamp defaults (frozen
+    per-step clock at the text boundary = F1) + fill_identity
+    (autoincrement), truncate -> stage TRUNCATE,
+    system$pipe_force_resume -> force_resume. Stream offsets commit
+    transactionally after each body (T1); WHEN gates consult
+    stream_has_data exactly like the engine chain (T3). The final
+    dim_customer state must equal pl_dim_customer's closed-form
+    oracle — text-driven runtime and DataFrame pipeline provably
+    converge. AFTER edges resolve by unique prefix (the reference's
+    own :177 typo, documented in _task_chain_order).""",
+    tags=("sql-surface", "dialect", "pipeline", "reference-verbatim", "capstone"),
+)
+def sql25_reference_script_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import (
+        merge_statement,
+        parse_pipe_ddl,
+        parse_task_ddls,
+    )
+    from ..operators.merge import fill_identity
+    from ..plans.catalog import Warehouse
+    from ..sources.csv_format import CUSTOMER_STAGE, DIM_CUSTOMER
+    from ..sources.pipe import Pipe
+
+    assert_fixture_fingerprints()
+    base = scratch_dir("script_replay_")
+    pdd = parse_pipe_ddl(_SQL23_PIPE_DDL)
+    tasks = _task_chain_order(parse_task_ddls(_SQL24_TASK_DDL_BLOB))
+
+    landing = os.path.join(base, *pdd["stage_path"].split("/")[1:])
+    os.makedirs(landing)
+    wh = Warehouse(spark, os.path.join(base, "warehouse"))
+    sschema, stbl = pdd["table"].split(".")
+    stage = wh.table(sschema, stbl, CUSTOMER_STAGE)
+    raw = wh.table("raw", "raw_customer", CUSTOMER_STAGE)
+    dim = wh.table("transformed", "dim_customer", DIM_CUSTOMER)
+    pipe = Pipe(spark, pdd["name"], landing, stage, CUSTOMER_STAGE)
+
+    streams = {
+        "stg.stg_customer_stm": (stage, "raw_tsk"),
+        "raw.raw_customer_stm": (dim, "dim_tsk"),  # placeholder; raw below
+    }
+    streams["raw.raw_customer_stm"] = (raw, "dim_tsk")
+
+    steps = [
+        ("customer_history.csv", _T[1]),
+        ("customer_delta_1.csv", _T[2]),
+        ("customer_delta_2.csv", _T[3]),
+    ]
+    for fname, ts in steps:
+        shutil.copy(
+            os.path.join(_REFERENCE_DATA, fname), os.path.join(landing, fname)
+        )
+        pipe.refresh()  # the pipe runs between cycles (resumed last cycle)
+        for t in tasks:
+            if t["when_stream"]:
+                tbl, consumer = streams[t["when_stream"]]
+                if not tbl.changelog.stream_has_data(consumer):
+                    continue
+            kind = t["body_kind"]
+            if kind == "alter_pipe":
+                pipe.pause()
+            elif kind == "pipe_force_resume":
+                pipe.resume()
+            elif kind == "truncate":
+                stage.truncate()
+            elif kind == "merge_into":
+                tbl, consumer = streams[t["when_stream"]]
+                batch, version = tbl.changelog.stream_read(consumer)
+                batch = batch.drop("_action", "_version")
+                body = t["body"].replace("current_timestamp()", f"TIMESTAMP '{ts}'")
+                target = body.lower().split("using")[0]
+                if "raw.raw_customer" in target:
+                    out = merge_statement(
+                        spark, body,
+                        {"raw.raw_customer": raw.read(),
+                         "stg.stg_customer_stm": batch},
+                    )
+                    raw.overwrite(out.localCheckpoint(eager=True), changes=batch)
+                else:
+                    out = merge_statement(
+                        spark, body,
+                        {"transformed.dim_customer": dim.read(),
+                         "raw.raw_customer_stm": batch},
+                        defaults={
+                            "added_timestamp": f"TIMESTAMP '{ts}'",
+                            "updated_timestamp": f"TIMESTAMP '{ts}'",
+                        },
+                    )
+                    out = fill_identity(
+                        out, "customer_dim_key", order_by=["customer_id"]
+                    ).localCheckpoint(eager=True)
+                    dim.overwrite(out.select(*dim.schema.names), changes=batch)
+                tbl.changelog.stream_commit(consumer, version)
+            else:
+                raise RuntimeError(f"unexpected task body kind: {kind}")
+    return dim.read().select(
+        "customer_id", "salutation", "first_name", "last_name",
+        "birth_day", "birth_month", "birth_year", "birth_country",
+        "email_address", "added_timestamp", "updated_timestamp", "is_active",
+    )
