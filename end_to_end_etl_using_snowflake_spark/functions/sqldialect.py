@@ -915,9 +915,14 @@ def merge_statement(
         # its dedup subquery with the SAME name as the stage view it
         # reads (item-...sql:75 `as stg_item_stm`), so registering by
         # text would self-reference
-        spark.sql(subquery).createOrReplaceTempView(sname)
-    elif sname.lower() != src_table.lower():
-        spark.sql(f"CREATE OR REPLACE TEMP VIEW {sname} AS SELECT * FROM {src_table}")
+        src_df = spark.sql(subquery)
+        src_df.createOrReplaceTempView(sname)
+    else:
+        src_df = next(df for n, df in tables.items() if short[n] == src_table)
+        if sname.lower() != src_table.lower():
+            spark.sql(
+                f"CREATE OR REPLACE TEMP VIEW {sname} AS SELECT * FROM {src_table}"
+            )
 
     out_cols = target_df.schema
     matched_sel = []
@@ -948,7 +953,12 @@ def merge_statement(
         f"SELECT {', '.join(insert_sel)} FROM {sname}"
         f" LEFT ANTI JOIN {tname} ON {cond}"
     )
-    return spark.sql(final)
+    out = spark.sql(final)
+    # the RESOLVED source relation (post any dedup subquery) — callers
+    # recording CDC need the rows the statement actually applied, not
+    # the pre-dedup stream (the sql25/26 script runtime's changes=)
+    out._merge_source = src_df
+    return out
 
 
 # ---------------------------------------------------------------------------

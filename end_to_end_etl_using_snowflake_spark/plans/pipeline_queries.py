@@ -1660,6 +1660,112 @@ def _task_chain_order(tasks: list[dict]) -> list[dict]:
     return placed
 
 
+def _script_replay(
+    spark: SparkSession,
+    pipe_ddl_text: str,
+    task_blob: str,
+    stage_schema,
+    dim_schema,
+    raw_name: str,
+    dim_name: str,
+    stage_stream: str,
+    raw_stream: str,
+    identity_col: str,
+    identity_order: list,
+    steps: list,
+) -> DataFrame:
+    """The text-driven pipeline runtime behind sql25/sql26: parse the
+    pipe + task DDLs, bind to engine objects, run the fixture replay
+    with every body dispatched through the statement shims. See
+    sql25's docstring for the full contract. Reference-bug fidelity:
+    an ``alter pipe`` body naming a DIFFERENT pipe than this replay's
+    (the item script pauses the CUSTOMER pipe — copy-paste bug,
+    item-...sql:61) is skipped exactly as Snowflake would pause the
+    other pipe and leave this one running."""
+    from ..functions.sqldialect import (
+        merge_statement,
+        parse_pipe_ddl,
+        parse_task_ddls,
+    )
+    from ..operators.merge import fill_identity
+    from ..plans.catalog import Warehouse
+    from ..sources.pipe import Pipe
+
+    assert_fixture_fingerprints()
+    base = scratch_dir("script_replay_")
+    pdd = parse_pipe_ddl(pipe_ddl_text)
+    tasks = _task_chain_order(parse_task_ddls(task_blob))
+
+    landing = os.path.join(base, *pdd["stage_path"].split("/")[1:])
+    os.makedirs(landing)
+    wh = Warehouse(spark, os.path.join(base, "warehouse"))
+    sschema, stbl = pdd["table"].split(".")
+    stage = wh.table(sschema, stbl, stage_schema)
+    raw = wh.table("raw", raw_name, stage_schema)
+    dim = wh.table("transformed", dim_name, dim_schema)
+    pipe = Pipe(spark, pdd["name"], landing, stage, stage_schema)
+
+    streams = {stage_stream: (stage, "raw_tsk"), raw_stream: (raw, "dim_tsk")}
+
+    for fname, ts in steps:
+        shutil.copy(
+            os.path.join(_REFERENCE_DATA, fname), os.path.join(landing, fname)
+        )
+        pipe.refresh()  # the pipe runs between cycles (resumed last cycle)
+        for t in tasks:
+            if t["when_stream"]:
+                tbl, consumer = streams[t["when_stream"]]
+                if not tbl.changelog.stream_has_data(consumer):
+                    continue
+            kind = t["body_kind"]
+            if kind == "alter_pipe":
+                import re as _re
+
+                named = _re.search(
+                    r"alter\s+pipe\s+([\w.]+)", t["body"], _re.IGNORECASE
+                )
+                if named and named.group(1).lower() == pdd["name"].lower():
+                    pipe.pause()
+                # else: the body pauses a pipe outside this replay (the
+                # reference's own cross-entity copy-paste bug) — skip,
+                # exactly as Snowflake would leave THIS pipe running
+            elif kind == "pipe_force_resume":
+                pipe.resume()
+            elif kind == "truncate":
+                stage.truncate()
+            elif kind == "merge_into":
+                tbl, consumer = streams[t["when_stream"]]
+                batch, version = tbl.changelog.stream_read(consumer)
+                batch = batch.drop("_action", "_version")
+                body = t["body"].replace("current_timestamp()", f"TIMESTAMP '{ts}'")
+                target = body.lower().split("using")[0]
+                if f"raw.{raw_name}" in target:
+                    out = merge_statement(
+                        spark, body,
+                        {f"raw.{raw_name}": raw.read(), stage_stream: batch},
+                    )
+                    applied = out._merge_source.localCheckpoint(eager=True)
+                    raw.overwrite(out.localCheckpoint(eager=True), changes=applied)
+                else:
+                    out = merge_statement(
+                        spark, body,
+                        {f"transformed.{dim_name}": dim.read(), raw_stream: batch},
+                        defaults={
+                            "added_timestamp": f"TIMESTAMP '{ts}'",
+                            "updated_timestamp": f"TIMESTAMP '{ts}'",
+                        },
+                    )
+                    out = fill_identity(
+                        out, identity_col, order_by=identity_order
+                    ).localCheckpoint(eager=True)
+                    dim.overwrite(out.select(*dim.schema.names), changes=batch)
+                tbl.changelog.stream_commit(consumer, version)
+            else:
+                raise RuntimeError(f"unexpected task body kind: {kind}")
+    return dim.read()
+
+
+
 @register(
     "sql25_reference_script_replay",
     oracle=_PL_DIM_CUSTOMER_ORACLE,
@@ -1684,90 +1790,201 @@ def _task_chain_order(tasks: list[dict]) -> list[dict]:
     tags=("sql-surface", "dialect", "pipeline", "reference-verbatim", "capstone"),
 )
 def sql25_reference_script_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.sqldialect import (
-        merge_statement,
-        parse_pipe_ddl,
-        parse_task_ddls,
-    )
-    from ..operators.merge import fill_identity
-    from ..plans.catalog import Warehouse
     from ..sources.csv_format import CUSTOMER_STAGE, DIM_CUSTOMER
-    from ..sources.pipe import Pipe
 
-    assert_fixture_fingerprints()
-    base = scratch_dir("script_replay_")
-    pdd = parse_pipe_ddl(_SQL23_PIPE_DDL)
-    tasks = _task_chain_order(parse_task_ddls(_SQL24_TASK_DDL_BLOB))
-
-    landing = os.path.join(base, *pdd["stage_path"].split("/")[1:])
-    os.makedirs(landing)
-    wh = Warehouse(spark, os.path.join(base, "warehouse"))
-    sschema, stbl = pdd["table"].split(".")
-    stage = wh.table(sschema, stbl, CUSTOMER_STAGE)
-    raw = wh.table("raw", "raw_customer", CUSTOMER_STAGE)
-    dim = wh.table("transformed", "dim_customer", DIM_CUSTOMER)
-    pipe = Pipe(spark, pdd["name"], landing, stage, CUSTOMER_STAGE)
-
-    streams = {
-        "stg.stg_customer_stm": (stage, "raw_tsk"),
-        "raw.raw_customer_stm": (dim, "dim_tsk"),  # placeholder; raw below
-    }
-    streams["raw.raw_customer_stm"] = (raw, "dim_tsk")
-
-    steps = [
-        ("customer_history.csv", _T[1]),
-        ("customer_delta_1.csv", _T[2]),
-        ("customer_delta_2.csv", _T[3]),
-    ]
-    for fname, ts in steps:
-        shutil.copy(
-            os.path.join(_REFERENCE_DATA, fname), os.path.join(landing, fname)
-        )
-        pipe.refresh()  # the pipe runs between cycles (resumed last cycle)
-        for t in tasks:
-            if t["when_stream"]:
-                tbl, consumer = streams[t["when_stream"]]
-                if not tbl.changelog.stream_has_data(consumer):
-                    continue
-            kind = t["body_kind"]
-            if kind == "alter_pipe":
-                pipe.pause()
-            elif kind == "pipe_force_resume":
-                pipe.resume()
-            elif kind == "truncate":
-                stage.truncate()
-            elif kind == "merge_into":
-                tbl, consumer = streams[t["when_stream"]]
-                batch, version = tbl.changelog.stream_read(consumer)
-                batch = batch.drop("_action", "_version")
-                body = t["body"].replace("current_timestamp()", f"TIMESTAMP '{ts}'")
-                target = body.lower().split("using")[0]
-                if "raw.raw_customer" in target:
-                    out = merge_statement(
-                        spark, body,
-                        {"raw.raw_customer": raw.read(),
-                         "stg.stg_customer_stm": batch},
-                    )
-                    raw.overwrite(out.localCheckpoint(eager=True), changes=batch)
-                else:
-                    out = merge_statement(
-                        spark, body,
-                        {"transformed.dim_customer": dim.read(),
-                         "raw.raw_customer_stm": batch},
-                        defaults={
-                            "added_timestamp": f"TIMESTAMP '{ts}'",
-                            "updated_timestamp": f"TIMESTAMP '{ts}'",
-                        },
-                    )
-                    out = fill_identity(
-                        out, "customer_dim_key", order_by=["customer_id"]
-                    ).localCheckpoint(eager=True)
-                    dim.overwrite(out.select(*dim.schema.names), changes=batch)
-                tbl.changelog.stream_commit(consumer, version)
-            else:
-                raise RuntimeError(f"unexpected task body kind: {kind}")
-    return dim.read().select(
+    dim = _script_replay(
+        spark,
+        _SQL23_PIPE_DDL,
+        _SQL24_TASK_DDL_BLOB,
+        CUSTOMER_STAGE,
+        DIM_CUSTOMER,
+        raw_name="raw_customer",
+        dim_name="dim_customer",
+        stage_stream="stg.stg_customer_stm",
+        raw_stream="raw.raw_customer_stm",
+        identity_col="customer_dim_key",
+        identity_order=["customer_id"],
+        steps=[
+            ("customer_history.csv", _T[1]),
+            ("customer_delta_1.csv", _T[2]),
+            ("customer_delta_2.csv", _T[3]),
+        ],
+    )
+    return dim.select(
         "customer_id", "salutation", "first_name", "last_name",
         "birth_day", "birth_month", "birth_year", "birth_country",
         "email_address", "added_timestamp", "updated_timestamp", "is_active",
+    )
+
+
+# ----------------------------------------------------------------------
+# sql26: the item pipeline from the reference's own text
+# ----------------------------------------------------------------------
+
+# item-end-to-end-pipeline-script.sql:44-49 and :55-166, pasted
+# unchanged — including the pause task's CROSS-ENTITY copy-paste bug
+# (:61 pauses stg.stg_customer_pipe; the runtime skips pausing a pipe
+# outside this replay, exactly Snowflake's effect on the item pipe).
+_SQL26_ITEM_PIPE_DDL = """create or replace pipe stg.stg_item_pipe 
+auto_ingest=true 
+as
+copy into stg.stg_item
+from @landing/landing/item
+file_format = (type = 'CSV', skip_header=1, error_on_column_count_mismatch=false)"""
+
+_SQL26_ITEM_TASK_BLOB = """create or replace task transformed.pause_pipe_item
+  warehouse = ayo_warehouse 
+  schedule  = '1 minute'
+when
+  system$stream_has_data('stg.stg_item_stm')
+as
+  alter pipe stg.stg_customer_pipe set pipe_execution_paused = true;
+
+
+
+create or replace task transformed.item_raw_tsk
+  warehouse = ayo_warehouse 
+  after transformed.pause_pipe_item
+when
+  system$stream_has_data('stg.stg_item_stm')
+as
+merge into raw.raw_item 
+using 
+(select item_id, item_desc, start_date, end_date, price, item_class, item_category, is_active from 
+(select *, row_number() over(partition by item_id order by start_date desc) as rownum from stg.stg_item_stm) a
+where rownum = 1) as stg_item_stm
+on
+raw_item.item_id = stg_item_stm.item_id
+when matched 
+ then update set
+    raw_item.item_desc = stg_item_stm.item_desc, 
+    raw_item.start_date = stg_item_stm.start_date,
+    raw_item.end_date = stg_item_stm.end_date,
+    raw_item.price = stg_item_stm.price,
+    raw_item.item_class = stg_item_stm.item_class,
+    raw_item.item_category = stg_item_stm.item_category,
+    raw_item.is_active = stg_item_stm.is_active
+when not matched then 
+insert (
+  item_id,
+  item_desc,
+  start_date,
+  end_date,
+  price,
+  item_class,
+  item_category,
+  is_active) 
+values (
+  stg_item_stm.item_id,
+  stg_item_stm.item_desc,
+  stg_item_stm.start_date,
+  stg_item_stm.end_date,
+  stg_item_stm.price,
+  stg_item_stm.item_class,
+  stg_item_stm.item_category,
+  stg_item_stm.is_active);
+
+
+
+
+
+create or replace task transformed.dim_item_tsk
+  warehouse = ayo_warehouse 
+  after transformed.item_raw_tsk
+when
+    system$stream_has_data('raw.raw_item_stm')
+as
+  merge into transformed.dim_item
+  using raw.raw_item_stm 
+  on
+  dim_item.item_id = raw_item_stm.item_id
+when matched 
+  then update set
+      dim_item.item_desc = raw_item_stm.item_desc,
+      dim_item.start_date = raw_item_stm.start_date,
+      dim_item.end_date = raw_item_stm.end_date,
+      dim_item.price = raw_item_stm.price,
+      dim_item.item_class = raw_item_stm.item_class,
+      dim_item.item_category = raw_item_stm.item_category,
+      dim_item.is_active = raw_item_stm.is_active,
+      dim_item.updated_timestamp = current_timestamp()
+when not matched 
+then 
+  insert (
+    item_id,
+    item_desc,
+    start_date,
+    end_date,
+    price,
+    item_class,
+    item_category,
+    is_active
+  ) 
+  values (
+    raw_item_stm.item_id,
+    raw_item_stm.item_desc,
+    raw_item_stm.start_date,
+    raw_item_stm.end_date,
+    raw_item_stm.price,
+    raw_item_stm.item_class,
+    raw_item_stm.item_category,
+    raw_item_stm.is_active);
+    
+    
+    
+create or replace task transformed.truncate_staging_table_item
+  warehouse = ayo_warehouse 
+  after transformed.dim_item_tsk
+as
+  truncate table if exists stg.stg_item;  
+  
+
+create or replace task transformed.play_pipe_item
+  warehouse = ayo_warehouse 
+  after transformed.truncate_staging_table_item
+as
+  select system$pipe_force_resume('stg.stg_item_pipe');"""
+
+
+@register(
+    "sql26_item_script_replay",
+    oracle=_PL_DIM_ITEM_ORACLE,
+    doc="""The ITEM pipeline executed end-to-end from the reference's
+    own text (sql25's runtime, second entity): pipe DDL + 5-task DDL
+    chain parsed verbatim — this script carries TWO reference bugs the
+    replay must survive faithfully: the pause task pauses the
+    CUSTOMER pipe (:61 copy-paste — the runtime skips pausing a pipe
+    outside the replay, which is exactly the effect Snowflake's
+    execution has on the item pipe), and the raw merge dedups through
+    the alias-shadowing subquery (sql20's shape) — the runtime records
+    CDC changes from the statement's RESOLVED source so the dim
+    stream sees post-dedup rows, matching the engine pipeline.
+    3-step fixture replay converges to pl_dim_item's closed-form
+    oracle (typed casts, SCD end_date NULL semantics, frozen-clock
+    timestamps).""",
+    tags=("sql-surface", "dialect", "pipeline", "reference-verbatim", "capstone"),
+)
+def sql26_item_script_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.csv_format import DIM_ITEM, ITEM_STAGE
+
+    dim = _script_replay(
+        spark,
+        _SQL26_ITEM_PIPE_DDL,
+        _SQL26_ITEM_TASK_BLOB,
+        ITEM_STAGE,
+        DIM_ITEM,
+        raw_name="raw_item",
+        dim_name="dim_item",
+        stage_stream="stg.stg_item_stm",
+        raw_stream="raw.raw_item_stm",
+        identity_col="item_dim_key",
+        identity_order=["item_id"],
+        steps=[
+            ("item_history.csv", _T[1]),
+            ("item_delta_1.csv", _T[2]),
+            ("item_delta_2.csv", _T[3]),
+        ],
+    )
+    return dim.drop("item_dim_key").withColumn(
+        "price", F.col("price").cast("double")
     )

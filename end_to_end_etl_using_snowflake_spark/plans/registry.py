@@ -110,14 +110,15 @@ PRIORITY: tuple[str, ...] = (
     "sql23_reference_pipe_ddl",
     "sql24_reference_task_ddl",
     "sql25_reference_script_replay",
+    "sql26_item_script_replay",
     # padding: stalest r3 greens, evicted as r7 entries land
     "d1_dedup_exact",
-    "d2_dedup_ngram_jaccard",
     "d5l_dedup_embedding_lsh",
     "t1_token_stats",
     "v1_ann_bruteforce_topk",
     # ---- 51+: driver-green in r1-r6 and rotated out of the window;
     # all remain locally oracle-checked per pytest run.
+    "d2_dedup_ngram_jaccard",
     "d3_dedup_minhash_lsh",
     "d4_dedup_simhash",
     "d6_dedup_cluster_labels",
