@@ -1070,7 +1070,8 @@ _TASK_DDL_RE = re.compile(
     r"(?:WAREHOUSE\s*=\s*(?P<wh>\w+)\s+)?"
     r"(?:SCHEDULE\s*=\s*'(?P<sched>[^']*)'\s+)?"
     r"(?:AFTER\s+(?P<after>[\w.]+)\s+)?"
-    r"(?:WHEN\s+SYSTEM\$STREAM_HAS_DATA\s*\(\s*'(?P<stream>[^']+)'\s*\)\s+)?"
+    r"(?:WHEN\s+(?P<whennot>NOT\s+)?"
+    r"SYSTEM\$STREAM_HAS_DATA\s*\(\s*'(?P<stream>[^']+)'\s*\)\s+)?"
     r"AS\s+(?P<body>.*?)(?=;\s*(?:CREATE\s+OR\s+REPLACE\s+TASK\b|\Z)|\Z)",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1079,9 +1080,11 @@ _TASK_DDL_RE = re.compile(
 def parse_task_ddls(text: str) -> list[dict]:
     """Parse one or more Snowflake ``CREATE OR REPLACE TASK`` DDLs (the
     reference's orchestration layer, e.g. customer-...sql:62-180) into
-    ``{name, warehouse, schedule, after, when_stream, body,
-    body_kind}`` dicts — the T3/T4 surface (schedule + AFTER chain +
-    WHEN stream gate) as text. ``body_kind`` classifies the statement
+    ``{name, warehouse, schedule, after, when_stream, when_negated,
+    body, body_kind}`` dicts — the T3/T4 surface (schedule + AFTER
+    chain + WHEN stream gate, including the order script's negated
+    ``when not system$stream_has_data`` resume guard,
+    order-...sql:226-227) as text. ``body_kind`` classifies the statement
     the engine dispatches to: ``merge_into`` (merge_statement),
     ``insert_overwrite`` (insert_overwrite_statement), ``alter_pipe``
     / ``pipe_force_resume`` (sources/pipe.py pause/force_resume),
@@ -1111,10 +1114,39 @@ def parse_task_ddls(text: str) -> list[dict]:
                 "schedule": m.group("sched"),
                 "after": m.group("after"),
                 "when_stream": m.group("stream"),
+                "when_negated": m.group("whennot") is not None,
                 "body": body,
                 "body_kind": kind,
             }
         )
     if not out:
         raise ValueError("no CREATE OR REPLACE TASK statements found")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Snowflake CREATE STREAM DDL text
+# ---------------------------------------------------------------------------
+
+_STREAM_DDL_RE = re.compile(
+    r"CREATE\s+OR\s+REPLACE\s+STREAM\s+(?P<name>[\w.]+)\s+"
+    r"ON\s+TABLE\s+(?P<table>[\w.]+)",
+    re.IGNORECASE,
+)
+
+
+def parse_stream_ddls(text: str) -> list[dict]:
+    """Parse Snowflake ``CREATE OR REPLACE STREAM <s> ON TABLE <t>``
+    DDLs (the reference's CDC declarations, customer-...sql:48-49,
+    item-...sql:40-41, order-...sql:66-67) into ``{name, table}``
+    dicts. The caller binds each to the engine's changelog on the
+    named table (streaming/changelog.py — T1/T2); the stream's own
+    name is the natural consumer id, since a Snowflake stream IS one
+    advancing offset over its source table's change log."""
+    out = [
+        {"name": m.group("name"), "table": m.group("table")}
+        for m in _STREAM_DDL_RE.finditer(_strip_line_comments(text))
+    ]
+    if not out:
+        raise ValueError("no CREATE OR REPLACE STREAM statements found")
     return out

@@ -1715,7 +1715,10 @@ def _script_replay(
         for t in tasks:
             if t["when_stream"]:
                 tbl, consumer = streams[t["when_stream"]]
-                if not tbl.changelog.stream_has_data(consumer):
+                has = tbl.changelog.stream_has_data(consumer)
+                if t.get("when_negated"):
+                    has = not has
+                if not has:
                     continue
             kind = t["body_kind"]
             if kind == "alter_pipe":
@@ -1988,3 +1991,510 @@ def sql26_item_script_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dim.drop("item_dim_key").withColumn(
         "price", F.col("price").cast("double")
     )
+
+
+# ----------------------------------------------------------------------
+# sql27/sql28: the WHOLE three-script warehouse from the reference's
+# own text — verbatim (which wedges on the reference's cross-entity
+# pause bug) and with the one-token intent fix (which converges to the
+# engine pipelines' state)
+# ----------------------------------------------------------------------
+
+# The six CDC declarations, pasted unchanged from the three scripts
+# (customer-...sql:48-49, item-...sql:40-41, order-...sql:66-67). Note
+# the order script's raw stream is named fact_order_stm but is declared
+# ON raw_order — the trigger relation for the fact rebuild.
+_SQL27_STREAM_DDLS = """
+create or replace stream stg.stg_customer_stm on table stg.stg_customer;
+create or replace stream raw.raw_customer_stm on table raw.raw_customer;
+create or replace stream stg.stg_item_stm on table stg.stg_item;
+create or replace stream raw.raw_item_stm on table raw.raw_item;
+create or replace stream stg.stg_order_stm on table stg.stg_order;
+create or replace stream raw.fact_order_stm on table raw.raw_order;
+"""
+
+# order-end-to-end-pipeline-script.sql:72-77, pasted unchanged.
+_SQL27_ORDER_PIPE_DDL = """create or replace pipe stg.stg_order_pipe
+auto_ingest=true
+as
+copy into stg.stg_order
+from @landing/landing/order
+file_format = (type = 'CSV', skip_header=1, error_on_column_count_mismatch=false);
+"""
+
+# order-end-to-end-pipeline-script.sql:93-229, pasted unchanged — the
+# complete 5-task order chain: the scheduled pause root, the
+# composite-key raw MERGE (sql22's null-UNSAFE 4-column ON), the
+# INSERT OVERWRITE fact rebuild (sql21's statement) gated on the
+# fact_order_stm trigger, the unconditional truncate, and the resume
+# task guarded by the NEGATED gate ``when not system$stream_has_data``
+# (:226-227 — the one negated WHEN in the reference).
+_SQL27_ORDER_TASK_BLOB = """--create a task to pause pipe when stream has data
+use schema transformed;
+create or replace task transformed.pause_pipe_order
+  warehouse = ayo_warehouse
+  schedule  = '1 minute'
+when
+  system$stream_has_data('stg.stg_order_stm')
+as
+  alter pipe stg.stg_order_pipe set pipe_execution_paused = true;
+
+
+
+create or replace task transformed.raw_order_tsk
+  warehouse = ayo_warehouse
+  after transformed.pause_pipe_order
+when
+  system$stream_has_data('stg.stg_order_stm')
+as
+merge into raw.raw_order
+using stg.stg_order_stm on
+raw_order.order_date = stg_order_stm.order_date and
+raw_order.order_time = stg_order_stm.order_time and
+raw_order.item_id = stg_order_stm.item_id and
+raw_order.item_desc = stg_order_stm.item_desc
+when matched
+ then update set
+    raw_order.customer_id = stg_order_stm.customer_id,
+    raw_order.salutation = stg_order_stm.salutation,
+    raw_order.first_name = stg_order_stm.first_name,
+    raw_order.last_name = stg_order_stm.last_name,
+    raw_order.store_id = stg_order_stm.store_id,
+    raw_order.store_name = stg_order_stm.store_name,
+    raw_order.order_quantity = stg_order_stm.order_quantity,
+    raw_order.sale_price = stg_order_stm.sale_price,
+    raw_order.disount_amt = stg_order_stm.disount_amt,
+    raw_order.coupon_amt = stg_order_stm.coupon_amt,
+    raw_order.net_paid = stg_order_stm.net_paid,
+    raw_order.net_paid_tax = stg_order_stm.net_paid_tax,
+    raw_order.net_profit = stg_order_stm.net_profit
+  when not matched then
+  insert (
+    order_date ,
+    order_time ,
+    item_id ,
+    item_desc ,
+    customer_id ,
+    salutation ,
+    first_name ,
+    last_name ,
+    store_id ,
+    store_name ,
+    order_quantity ,
+    sale_price ,
+    disount_amt ,
+    coupon_amt ,
+    net_paid ,
+    net_paid_tax ,
+    net_profit )
+  values (
+    stg_order_stm.order_date ,
+    stg_order_stm.order_time ,
+    stg_order_stm.item_id ,
+    stg_order_stm.item_desc ,
+    stg_order_stm.customer_id ,
+    stg_order_stm.salutation ,
+    stg_order_stm.first_name ,
+    stg_order_stm.last_name ,
+    stg_order_stm.store_id ,
+    stg_order_stm.store_name ,
+    stg_order_stm.order_quantity ,
+    stg_order_stm.sale_price ,
+    stg_order_stm.disount_amt ,
+    stg_order_stm.coupon_amt ,
+    stg_order_stm.net_paid ,
+    stg_order_stm.net_paid_tax ,
+    stg_order_stm.net_profit );
+
+
+
+
+create or replace task transformed.fact_order_tsk
+warehouse = ayo_warehouse
+after transformed.raw_order_tsk
+when
+  system$stream_has_data('raw.fact_order_stm')
+as
+insert overwrite into transformed.fact_order (
+order_date,
+customer_dim_key ,
+item_dim_key ,
+order_count,
+order_quantity ,
+sale_price ,
+disount_amt ,
+coupon_amt ,
+net_paid ,
+net_paid_tax ,
+net_profit)
+select
+      ro.order_date,
+      dc.customer_dim_key ,
+      di.item_dim_key,
+      count(1) as order_count,
+      sum(ro.order_quantity) ,
+      sum(ro.sale_price) ,
+      sum(ro.disount_amt) ,
+      sum(ro.coupon_amt) ,
+      sum(ro.net_paid) ,
+      sum(ro.net_paid_tax),
+      sum(ro.net_profit)
+  from raw.raw_order ro
+    join dim_customer dc on dc.customer_id = ro.customer_id
+    join dim_item di on di.item_id = ro.item_id
+    --and di.item_desc = ro.item_desc
+    and di.end_date is null
+    group by
+        ro.order_date,
+        dc.customer_dim_key ,
+        di.item_dim_key
+        order by ro.order_date;
+
+
+ create or replace task transformed.truncate_staging_table_order
+  warehouse = ayo_warehouse
+  after transformed.fact_order_tsk
+as
+  truncate table if exists stg.stg_order;
+
+
+
+create or replace task transformed.play_pipe_order
+  warehouse = ayo_warehouse
+  after transformed.truncate_staging_table_order
+when not
+  system$stream_has_data('stg.stg_order_stm')
+as
+  select system$pipe_force_resume('stg.stg_order_pipe');"""
+
+
+_WH_TEXT_MEMO: dict[tuple, dict] = {}
+
+
+def _warehouse_text_replay(spark: SparkSession, fix_pause_bug: bool) -> dict:
+    """Run the reference's ENTIRE warehouse from its own text: all three
+    scripts' pipe DDLs, stream DDLs, and 5-task chains parsed verbatim
+    and driven through the 3-step fixture replay in the engine's
+    cross-entity cycle order (customer -> item -> order per step, the
+    dependency order-...sql:204-207 requires). Bodies dispatch through
+    the statement shims exactly like sql25/26; new here: the
+    ``insert_overwrite`` body kind (the fact rebuild runs
+    insert_overwrite_statement over the live warehouse views, fills
+    the autoincrement key, and commits the fact_order_stm trigger
+    offset) and the negated WHEN gate (order-...sql:226-227).
+
+    ``fix_pause_bug`` selects the treatment of the reference's
+    cross-entity copy-paste bug: the ITEM script's pause task pauses
+    the CUSTOMER pipe (item-...sql:61). Run verbatim (False), that
+    pause lands AFTER the customer chain's own resume in every cycle,
+    so the customer pipe is paused at every subsequent refresh — the
+    customer pipeline ingests nothing after step 1 and the warehouse
+    WEDGES with dim_customer frozen at the history state (sql27 pins
+    that closed form; the delta-only customer AAAAAAAAPOJJJDAA's
+    orders never reach the fact). With the one-token intent fix
+    (True — the pause task names its own pipe, which is what the
+    engine pipelines implement), the replay converges bit-exactly to
+    the engine's fact state (sql28). The divergence is thereby
+    isolated to exactly one statement of the 15-task surface."""
+    from ..functions.sqldialect import (
+        insert_overwrite_statement,
+        merge_statement,
+        parse_pipe_ddl,
+        parse_stream_ddls,
+        parse_task_ddls,
+    )
+    from ..operators.merge import fill_identity
+    from ..plans.catalog import Warehouse
+    from ..sources.csv_format import (
+        CUSTOMER_STAGE,
+        DIM_CUSTOMER,
+        DIM_ITEM,
+        FACT_ORDER,
+        ITEM_STAGE,
+        ORDER_STAGE,
+    )
+    from ..sources.pipe import Pipe
+
+    key = (id(spark), fix_pause_bug)
+    if key in _WH_TEXT_MEMO:
+        return _WH_TEXT_MEMO[key]
+    assert_fixture_fingerprints()
+    base = scratch_dir("wh_text_")
+    wh = Warehouse(spark, os.path.join(base, "warehouse"))
+
+    # typed schemas for the tables the scripts CREATE (DDL cited per
+    # field in sources/csv_format.py)
+    schemas = {
+        "stg.stg_customer": CUSTOMER_STAGE,
+        "raw.raw_customer": CUSTOMER_STAGE,
+        "transformed.dim_customer": DIM_CUSTOMER,
+        "stg.stg_item": ITEM_STAGE,
+        "raw.raw_item": ITEM_STAGE,
+        "transformed.dim_item": DIM_ITEM,
+        "stg.stg_order": ORDER_STAGE,
+        "raw.raw_order": ORDER_STAGE,
+        "transformed.fact_order": FACT_ORDER,
+    }
+    tables = {n: wh.table(*n.split("."), s) for n, s in schemas.items()}
+
+    # streams bind to the changelog of the table their DDL names; the
+    # stream's own name is its consumer id (one offset per stream)
+    streams = {
+        s["name"].lower(): (tables[s["table"].lower()], s["name"])
+        for s in parse_stream_ddls(_SQL27_STREAM_DDLS)
+    }
+
+    item_blob = _SQL26_ITEM_TASK_BLOB
+    if fix_pause_bug:
+        # the ONE-token intent fix: item's pause task pauses its OWN
+        # pipe (what the engine pipelines implement; item-...sql:61
+        # names the customer's — a copy-paste slip)
+        fixed = item_blob.replace(
+            "alter pipe stg.stg_customer_pipe", "alter pipe stg.stg_item_pipe"
+        )
+        if fixed == item_blob:
+            raise RuntimeError("pause-bug fix did not apply — blob drifted")
+        item_blob = fixed
+
+    pipes: dict[str, Pipe] = {}
+    chains = []
+    files = {
+        "customer": {
+            1: "customer_history.csv",
+            2: "customer_delta_1.csv",
+            3: "customer_delta_2.csv",
+        },
+        "item": {1: "item_history.csv", 2: "item_delta_1.csv", 3: "item_delta_2.csv"},
+        "order": {1: "order_history.csv", 2: "order_delta_1.csv"},
+    }
+    for ename, pipe_ddl, blob in (
+        ("customer", _SQL23_PIPE_DDL, _SQL24_TASK_DDL_BLOB),
+        ("item", _SQL26_ITEM_PIPE_DDL, item_blob),
+        ("order", _SQL27_ORDER_PIPE_DDL, _SQL27_ORDER_TASK_BLOB),
+    ):
+        pdd = parse_pipe_ddl(pipe_ddl)
+        landing = os.path.join(base, *pdd["stage_path"].split("/")[1:])
+        os.makedirs(landing)
+        stage = tables[pdd["table"].lower()]
+        pipes[pdd["name"].lower()] = Pipe(
+            spark, pdd["name"], landing, stage, stage.schema
+        )
+        chains.append(
+            (ename, pdd["name"].lower(), landing, _task_chain_order(parse_task_ddls(blob)))
+        )
+
+    identity = {
+        "transformed.dim_customer": ("customer_dim_key", ["customer_id"]),
+        "transformed.dim_item": ("item_dim_key", ["item_id"]),
+        "transformed.fact_order": (
+            "order_fact_key",
+            ["order_date", "customer_dim_key", "item_dim_key"],
+        ),
+    }
+    import re as _re
+
+    def run_task(t: dict, ts: str) -> None:
+        kind, body = t["body_kind"], t["body"]
+        if kind == "alter_pipe":
+            named = _re.search(r"alter\s+pipe\s+([\w.]+)", body, _re.IGNORECASE)
+            pipe = pipes.get(named.group(1).lower()) if named else None
+            if pipe is not None:
+                # pauses WHATEVER pipe the text names — under verbatim
+                # replay the item task pauses the CUSTOMER's (the bug)
+                pipe.pause()
+        elif kind == "pipe_force_resume":
+            named = _re.search(
+                r"system\$pipe_force_resume\s*\(\s*'([\w.]+)'", body, _re.IGNORECASE
+            )
+            pipes[named.group(1).lower()].resume()
+        elif kind == "truncate":
+            named = _re.search(
+                r"truncate\s+table\s+(?:if\s+exists\s+)?([\w.]+)", body, _re.IGNORECASE
+            )
+            tables[named.group(1).lower()].truncate()
+        elif kind == "merge_into":
+            src_tbl, consumer = streams[t["when_stream"].lower()]
+            batch, version = src_tbl.changelog.stream_read(consumer)
+            batch = batch.drop("_action", "_version")
+            target_name = _re.search(
+                r"merge\s+into\s+([\w.]+)", body, _re.IGNORECASE
+            ).group(1).lower()
+            target = tables[target_name]
+            body_ts = body.replace("current_timestamp()", f"TIMESTAMP '{ts}'")
+            rel = {target_name: target.read(), t["when_stream"]: batch}
+            if target_name.startswith("raw."):
+                out = merge_statement(spark, body_ts, rel)
+                applied = out._merge_source.localCheckpoint(eager=True)
+                target.overwrite(out.localCheckpoint(eager=True), changes=applied)
+            else:
+                out = merge_statement(
+                    spark,
+                    body_ts,
+                    rel,
+                    defaults={
+                        "added_timestamp": f"TIMESTAMP '{ts}'",
+                        "updated_timestamp": f"TIMESTAMP '{ts}'",
+                    },
+                )
+                id_col, id_order = identity[target_name]
+                out = fill_identity(out, id_col, order_by=id_order)
+                target.overwrite(
+                    out.select(*target.schema.names).localCheckpoint(eager=True),
+                    changes=batch,
+                )
+            src_tbl.changelog.stream_commit(consumer, version)
+        elif kind == "insert_overwrite":
+            # the trigger stream is consumed to reset it; the SELECT
+            # reads the live TABLES (order-...sql:176-177,203)
+            trig_tbl, consumer = streams[t["when_stream"].lower()]
+            _, version = trig_tbl.changelog.stream_read(consumer)
+            out = insert_overwrite_statement(
+                spark, body, {n: tbl.read() for n, tbl in tables.items()}
+            )
+            target_name = _re.search(
+                r"insert\s+overwrite\s+into\s+([\w.]+)", body, _re.IGNORECASE
+            ).group(1).lower()
+            target = tables[target_name]
+            id_col, id_order = identity[target_name]
+            # Snowflake's implicit insert casts to the DDL types, then
+            # the autoincrement fill for the unlisted identity column
+            typed = out.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in target.schema.fields
+                    if f.name != id_col
+                ]
+            ).withColumn(id_col, F.lit(None).cast("long"))
+            filled = fill_identity(typed, id_col, order_by=id_order, existing_max=0)
+            target.overwrite(
+                filled.select(*target.schema.names).localCheckpoint(eager=True)
+            )
+            trig_tbl.changelog.stream_commit(consumer, version)
+        else:
+            raise RuntimeError(f"unexpected task body kind: {kind}")
+
+    for step in (1, 2, 3):
+        for ename, _pk, landing, _tasks in chains:
+            f = files[ename].get(step)
+            if f:
+                shutil.copy(os.path.join(_REFERENCE_DATA, f), os.path.join(landing, f))
+        for ename, pipe_key, _landing, tasks in chains:
+            pipes[pipe_key].refresh()
+            for t in tasks:
+                if t["when_stream"]:
+                    tbl, consumer = streams[t["when_stream"].lower()]
+                    has = tbl.changelog.stream_has_data(consumer)
+                    if t.get("when_negated"):
+                        has = not has
+                    if not has:
+                        continue
+                run_task(t, _T[step])
+    _WH_TEXT_MEMO[key] = tables
+    return tables
+
+
+def _fact_business_projection(tables: dict) -> DataFrame:
+    """pl_fact_order's projection over a text-replayed warehouse: dim
+    keys (engine-specific VALUES, pl_identity_keys contract) join back
+    to business ids; DECIMAL money leaves as DOUBLE per the driver
+    dtype conventions."""
+    fact = tables["transformed.fact_order"].read()
+    dc = tables["transformed.dim_customer"].read().select(
+        "customer_dim_key", "customer_id"
+    )
+    di = tables["transformed.dim_item"].read().select("item_dim_key", "item_id")
+    money = [
+        "sale_price", "disount_amt", "coupon_amt",
+        "net_paid", "net_paid_tax", "net_profit",
+    ]
+    return (
+        fact.join(F.broadcast(dc), "customer_dim_key")
+        .join(F.broadcast(di), "item_dim_key")
+        .select(
+            "order_date",
+            "customer_id",
+            "item_id",
+            "order_count",
+            "order_quantity",
+            *[F.col(c).cast("double").alias(c) for c in money],
+        )
+    )
+
+
+# The wedged closed form of dim_customer: the step-1 merge ONLY —
+# history rows with both timestamps at the step-1 clock. The delta
+# files never ingest because the item script's pause task keeps the
+# customer pipe paused at every refresh after step 1.
+_WEDGED_DIM_CUSTOMER_SQL = f"""
+    WITH h AS ({_read_csv_sql('customer_history.csv', _CUST_COLS, 1)})
+    SELECT customer_id, salutation, first_name, last_name,
+           birth_day::INTEGER AS birth_day, birth_month::INTEGER AS birth_month,
+           birth_year::INTEGER AS birth_year, birth_country, email_address,
+           TIMESTAMP '{_T[1]}' AS added_timestamp,
+           TIMESTAMP '{_T[1]}' AS updated_timestamp, is_active
+    FROM h
+"""
+
+
+@register(
+    "sql27_warehouse_script_wedge",
+    oracle=_WEDGED_DIM_CUSTOMER_SQL,
+    doc="""All THREE reference scripts executed together, VERBATIM —
+    and the replay faithfully reproduces the reference's latent
+    cross-entity bug: the item script's pause task pauses the CUSTOMER
+    pipe (item-...sql:61, a copy-paste slip). In every cycle that
+    pause lands after the customer chain's own resume, so the customer
+    pipe is paused at every subsequent refresh: the delta files never
+    ingest, dim_customer FREEZES at the history state, and the fact
+    rebuild (step 2) drops the delta-only customer AAAAAAAAPOJJJDAA's
+    orders — with the reference's own referential gap (most order keys
+    miss the dims, order-...sql:365-387) that leaves the wedged fact
+    EMPTY, asserted in-query. Returned relation: the frozen
+    dim_customer; oracle = the step-1-only merge closed form (all
+    timestamps at the step-1 clock). The runtime is
+    _warehouse_text_replay: pipe + stream + task DDLs all parsed from
+    the scripts' own text, bodies dispatched through the statement
+    shims, insert_overwrite + negated-WHEN gates included. sql28 is
+    the same replay with the one-token intent fix, proving the entire
+    divergence is that single statement
+    (test_warehouse_text_replay_wedge_vs_fix pins the exact row
+    delta).""",
+    tags=("sql-surface", "dialect", "pipeline", "reference-verbatim", "capstone"),
+)
+def sql27_warehouse_script_wedge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = _warehouse_text_replay(spark, fix_pause_bug=False)
+    n_fact = tables["transformed.fact_order"].read().count()
+    if n_fact != 0:
+        raise RuntimeError(
+            f"wedge contract violated: expected an EMPTY wedged fact "
+            f"(history customers never join the fixture orders), found {n_fact} rows"
+        )
+    return (
+        tables["transformed.dim_customer"]
+        .read()
+        .drop("customer_dim_key")
+        .select(
+            "customer_id", "salutation", "first_name", "last_name",
+            "birth_day", "birth_month", "birth_year", "birth_country",
+            "email_address", "added_timestamp", "updated_timestamp", "is_active",
+        )
+    )
+
+
+@register(
+    "sql28_warehouse_script_replay",
+    oracle=_FACT_GROUPED_SQL,
+    doc="""THE full-warehouse capstone: all three reference scripts —
+    three pipe DDLs, six stream DDLs, fifteen task DDLs — parsed from
+    their own text and replayed through the statement shims in the
+    engine's cross-entity cycle order, with exactly ONE token changed
+    from the reference (the item pause task pauses its own pipe, the
+    evident intent of item-...sql:61 — sql27 runs the verbatim text
+    and pins the wedge that slip causes). Converges bit-exactly to the
+    engine pipelines' fact state (_FACT_GROUPED_SQL — pl_fact_order's
+    oracle): text-driven runtime and DataFrame pipelines provably
+    compute the same warehouse, dims and fact, end to end.""",
+    tags=("sql-surface", "dialect", "pipeline", "reference-verbatim", "capstone"),
+)
+def sql28_warehouse_script_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fact_business_projection(_warehouse_text_replay(spark, fix_pause_bug=True))

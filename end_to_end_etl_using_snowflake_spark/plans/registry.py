@@ -111,13 +111,18 @@ PRIORITY: tuple[str, ...] = (
     "sql24_reference_task_ddl",
     "sql25_reference_script_replay",
     "sql26_item_script_replay",
-    # padding: stalest r3 greens, evicted as r7 entries land
-    "d1_dedup_exact",
-    "d5l_dedup_embedding_lsh",
+    "sql27_warehouse_script_wedge",
+    "sql28_warehouse_script_replay",
+    # padding: stalest r3 greens, evicted as r7 entries land (the
+    # dedup family's d1/d5l were the last two evicted — d-family
+    # entries stay locally oracle-swept every pytest run and rotate
+    # back in next round)
     "t1_token_stats",
     "v1_ann_bruteforce_topk",
     # ---- 51+: driver-green in r1-r6 and rotated out of the window;
     # all remain locally oracle-checked per pytest run.
+    "d1_dedup_exact",
+    "d5l_dedup_embedding_lsh",
     "d2_dedup_ngram_jaccard",
     "d3_dedup_minhash_lsh",
     "d4_dedup_simhash",

@@ -1790,3 +1790,77 @@ def test_task_ddl_parser_edges():
     assert ts[0]["body"].lower().startswith("merge into a using b")
     with _pytest.raises(ValueError, match="no CREATE OR REPLACE TASK"):
         parse_task_ddls("select 1")
+
+
+def test_task_ddl_when_negated_and_stream_parser():
+    """The order script's resume guard is the one NEGATED gate in the
+    reference (order-...sql:226-227); stream DDLs parse into
+    {name, table} bindings (order-...sql:66-67 — note fact_order_stm
+    is declared ON raw_order)."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        parse_stream_ddls,
+        parse_task_ddls,
+    )
+    from end_to_end_etl_using_snowflake_spark.plans.pipeline_queries import (
+        _SQL27_ORDER_TASK_BLOB,
+        _SQL27_STREAM_DDLS,
+    )
+
+    ts = parse_task_ddls(_SQL27_ORDER_TASK_BLOB)
+    by_name = {t["name"].split(".")[-1]: t for t in ts}
+    assert set(by_name) == {
+        "pause_pipe_order", "raw_order_tsk", "fact_order_tsk",
+        "truncate_staging_table_order", "play_pipe_order",
+    }
+    play = by_name["play_pipe_order"]
+    assert play["when_stream"] == "stg.stg_order_stm"
+    assert play["when_negated"] is True
+    assert play["body_kind"] == "pipe_force_resume"
+    # every OTHER gate in the three scripts is positive
+    assert all(
+        not t["when_negated"] for n, t in by_name.items() if n != "play_pipe_order"
+    )
+    fact = by_name["fact_order_tsk"]
+    assert fact["body_kind"] == "insert_overwrite"
+    assert fact["when_stream"] == "raw.fact_order_stm"
+    assert fact["after"] == "transformed.raw_order_tsk"
+    assert by_name["raw_order_tsk"]["body_kind"] == "merge_into"
+
+    streams = parse_stream_ddls(_SQL27_STREAM_DDLS)
+    assert {s["name"]: s["table"] for s in streams}[
+        "raw.fact_order_stm"
+    ] == "raw.raw_order"
+    assert len(streams) == 6
+    with _pytest.raises(ValueError, match="no CREATE OR REPLACE STREAM"):
+        parse_stream_ddls("select 1")
+
+
+def test_warehouse_text_replay_wedge_vs_fix(spark):
+    """The verbatim three-script replay (sql27) must differ from the
+    one-token-fixed replay (sql28) by EXACTLY the delta-only customer's
+    fact rows: the item script's pause task keeps the customer pipe
+    paused (item-...sql:61 copy-paste bug), so customer deltas never
+    ingest and AAAAAAAAPOJJJDAA's orders drop from the star join."""
+    from end_to_end_etl_using_snowflake_spark.plans.pipeline_queries import (
+        _warehouse_text_replay,
+        _fact_business_projection,
+    )
+
+    wedged = _fact_business_projection(
+        _warehouse_text_replay(spark, fix_pause_bug=False)
+    )
+    fixed = _fact_business_projection(_warehouse_text_replay(spark, fix_pause_bug=True))
+    missing = fixed.exceptAll(wedged)
+    extra = wedged.exceptAll(fixed)
+    assert extra.count() == 0  # the wedge only LOSES rows
+    missing_customers = {r[0] for r in missing.select("customer_id").distinct().collect()}
+    assert missing_customers == {"AAAAAAAAPOJJJDAA"}
+    # the wedged warehouse's dim_customer froze at the history state
+    wedged_dim = _warehouse_text_replay(spark, fix_pause_bug=False)[
+        "transformed.dim_customer"
+    ].read()
+    assert wedged_dim.filter(
+        wedged_dim.customer_id == "AAAAAAAAPOJJJDAA"
+    ).count() == 0
