@@ -140,7 +140,8 @@ _FLATTEN_HEAD = re.compile(r",?\s*LATERAL\s+FLATTEN\s*\(", re.IGNORECASE)
 _CONNECT_RE = re.compile(
     r"SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<table>[A-Za-z_][\w.]*)\s+"
     r"START\s+WITH\s+(?P<start>.*?)\s+"
-    r"CONNECT\s+BY\s+PRIOR\s+(?P<prior>[A-Za-z_]\w*)\s*=\s*(?P<parent>.*?)\s*$",
+    r"CONNECT\s+BY\s+PRIOR\s+(?P<prior>[A-Za-z_]\w*)\s*=\s*(?P<parent>.*?)"
+    r"(?:\s+AND\s+LEVEL\s*<=\s*(?P<maxlvl>\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -163,9 +164,12 @@ def rewrite_connect_by(sql: str) -> str:
     surface), so ONE lowering serves execution and oracle. The LEVEL
     pseudo-column is materialized as ``level`` (1-based like
     Snowflake's). Conservative single-SELECT shape: the select list
-    may reference LEVEL; the parent expression is rewritten against
-    the child alias; other CONNECT BY features (NOCYCLE,
-    SYS_CONNECT_BY_PATH, PRIOR on the right-hand side) refuse loudly.
+    may reference LEVEL; a trailing ``AND LEVEL <= n`` bounds the
+    recursion depth (anchors always emit — Snowflake's semantics: the
+    limit gates edge expansion, not the START WITH rows); the parent
+    expression is rewritten against the child alias; other CONNECT BY
+    features (NOCYCLE, SYS_CONNECT_BY_PATH, PRIOR on the right-hand
+    side, other LEVEL predicates) refuse loudly.
     Scale shape: each recursion step is a keyed equi-join of the
     frontier against the table — Catalyst plans the per-level joins;
     depth is the hierarchy's, not the row count's.
@@ -185,13 +189,24 @@ def rewrite_connect_by(sql: str) -> str:
     prior, parent = m.group("prior"), m.group("parent")
     if re.search(r"\bPRIOR\b", parent, re.IGNORECASE):
         raise ValueError("PRIOR on the parent side is not supported by this shim")
+    if re.search(r"\bLEVEL\b", parent, re.IGNORECASE):
+        raise ValueError(
+            "CONNECT BY LEVEL predicates other than a trailing"
+            " 'AND LEVEL <= n' are not supported by this shim"
+        )
     sel = re.sub(r"\bLEVEL\b", "level", sel)
+    # Snowflake's 'AND LEVEL <= n' bounds RECURSION DEPTH: START WITH
+    # anchors are level 1 and always emitted; the limit gates only the
+    # recursive arm, capping the number of frontier joins at n-1.
+    maxlvl = m.group("maxlvl")
+    depth_guard = f" WHERE __h.level + 1 <= {maxlvl}" if maxlvl else ""
     return (
         f"WITH RECURSIVE __h AS ("
         f"SELECT *, CAST(1 AS BIGINT) AS level FROM {table} WHERE {start} "
         f"UNION ALL "
         f"SELECT c.*, __h.level + 1 FROM {table} c "
         f"JOIN __h ON __h.{prior} = {_qualify_idents(parent, 'c')}"
+        f"{depth_guard}"
         f") SELECT {sel} FROM __h"
     )
 

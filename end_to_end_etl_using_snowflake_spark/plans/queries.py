@@ -5722,6 +5722,45 @@ def sql14_connect_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_sql14_lowered())
 
 
+# sql14's hierarchy capped at two levels — the "direct reports only"
+# org-chart idiom (CONNECT BY ... AND LEVEL <= n).
+_SQL29_SNOWFLAKE_TEXT = """
+SELECT c_custkey, c_nationkey, LEVEL FROM customer
+START WITH c_custkey BETWEEN 1 AND 9
+CONNECT BY PRIOR c_custkey = CAST(floor(c_custkey / 10) AS BIGINT) AND LEVEL <= 2
+"""
+
+
+def _sql29_lowered() -> str:
+    from ..functions.sqldialect import rewrite_connect_by
+
+    return rewrite_connect_by(_SQL29_SNOWFLAKE_TEXT)
+
+
+@register(
+    "sql29_connect_by_level",
+    oracle=_sql29_lowered(),
+    doc="""Snowflake ``CONNECT BY ... AND LEVEL <= n`` accepted
+    VERBATIM — sql14's hierarchy with the depth cap every real
+    org-chart query carries ("roots and their direct reports"). The
+    trailing LEVEL bound lowers to a depth guard on the RECURSIVE arm
+    only (``WHERE __h.level + 1 <= n``): START WITH anchors always
+    emit at level 1, recursion stops expanding past n — Snowflake's
+    own semantics, where the limit gates edge expansion rather than
+    filtering rows after the fact. At scale the cap bounds the number
+    of frontier joins at n-1 regardless of hierarchy depth — the
+    difference between a 3-join plan and an unbounded fixpoint on a
+    deep (or accidentally cyclic) parent column. Oracle runs the SAME
+    lowered WITH RECURSIVE text (shared surface, sql4/sql14).""",
+    tags=("sql-surface", "dialect", "hierarchical", "recursive"),
+)
+def sql29_connect_by_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_sql29_lowered())
+
+
 _SQL16_SNOWFLAKE_TEXT = """
 SELECT s.spine_date, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
 FROM (SELECT DATEADD(day, SEQ4(), DATE '1998-07-01') AS spine_date

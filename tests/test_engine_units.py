@@ -1864,3 +1864,47 @@ def test_warehouse_text_replay_wedge_vs_fix(spark):
     assert wedged_dim.filter(
         wedged_dim.customer_id == "AAAAAAAAPOJJJDAA"
     ).count() == 0
+
+
+def test_connect_by_level_limit():
+    """A trailing AND LEVEL <= n lowers to a depth guard on the
+    recursive arm only; other LEVEL predicates refuse."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_connect_by,
+    )
+
+    out = rewrite_connect_by(
+        "SELECT emp_id, LEVEL FROM emp START WITH mgr_id IS NULL "
+        "CONNECT BY PRIOR emp_id = mgr_id AND LEVEL <= 3"
+    )
+    assert "WHERE __h.level + 1 <= 3" in out
+    # the anchor arm is NOT filtered (Snowflake emits anchors always)
+    anchor = out.split("UNION ALL")[0]
+    assert "level + 1" not in anchor
+    # the guard sits inside the recursive arm, before the closing paren
+    rec = out.split("UNION ALL")[1].split(") SELECT")[0]
+    assert rec.rstrip().endswith("<= 3")
+    with _pytest.raises(ValueError, match="LEVEL predicates"):
+        rewrite_connect_by(
+            "SELECT a FROM t START WITH x CONNECT BY PRIOR a = b AND LEVEL < 4"
+        )
+
+
+def test_connect_by_level_executes(spark):
+    """LEVEL <= 2 over sql14's hierarchy = exactly the level-1/level-2
+    rows of the unlimited query."""
+    from .conftest import SF_SMALL
+    from end_to_end_etl_using_snowflake_spark.plans.queries import (
+        sql14_connect_by,
+        sql29_connect_by_level,
+    )
+
+    full = sql14_connect_by(spark, SF_SMALL)
+    capped = sql29_connect_by_level(spark, SF_SMALL)
+    expect = full.filter(full.level <= 2)
+    assert capped.exceptAll(expect).count() == 0
+    assert expect.exceptAll(capped).count() == 0
+    assert capped.filter(capped.level > 2).count() == 0
+    assert capped.count() < full.count()
