@@ -419,9 +419,11 @@ def _split_top_level_commas(text: str) -> list[str]:
 _FLAT_PATH = re.compile(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*")
 
 
-def _parse_flatten_args(inner: str) -> tuple[str, bool, str, str | None]:
+def _parse_flatten_args(
+    inner: str,
+) -> tuple[str, bool, str | None, str | None, bool]:
     """Parse FLATTEN's named arguments into (input_expr, outer, mode,
-    path).
+    path, recursive).
 
     Snowflake FLATTEN takes named args (INPUT, PATH, OUTER, RECURSIVE,
     MODE). Arguments are split on TOP-LEVEL commas and dispatched by
@@ -429,13 +431,18 @@ def _parse_flatten_args(inner: str) -> tuple[str, bool, str, str | None]:
     slip past a before-the-first-'=>' scan), and an input expression
     that merely mentions a column like ``recursive_depth`` is NOT
     misread as the RECURSIVE mode (ADVICE r5). ``mode`` accepts
-    'ARRAY' (default) and 'OBJECT'; ``path`` accepts a flat dotted
-    identifier path ('a' / 'a.b.c' — no brackets, wildcards, or quoted
-    segments); RECURSIVE refuses."""
+    'ARRAY' / 'OBJECT' / 'BOTH' (None when unspecified — the caller
+    picks its documented default: ARRAY for the one-level rewriter,
+    BOTH — Snowflake's actual default — for the recursive executor);
+    ``path`` accepts a flat dotted identifier path ('a' / 'a.b.c' —
+    no brackets, wildcards, or quoted segments); ``recursive => true``
+    is returned as a flag (only flatten_recursive_statement executes
+    it — the one-level text rewriter refuses)."""
     input_expr: str | None = None
     outer = False
-    mode = "ARRAY"
+    mode: str | None = None
     path: str | None = None
+    recursive = False
     for part in _split_top_level_commas(inner):
         part = part.strip()
         if not part:
@@ -457,9 +464,9 @@ def _parse_flatten_args(inner: str) -> tuple[str, bool, str, str | None]:
             outer = flag == "true"
         elif name == "mode":
             m = value.rstrip(";").strip().strip("'\"").upper()
-            if m not in {"ARRAY", "OBJECT"}:
+            if m not in {"ARRAY", "OBJECT", "BOTH"}:
                 raise ValueError(
-                    f"FLATTEN MODE supports 'ARRAY'/'OBJECT', got: {value!r}"
+                    f"FLATTEN MODE supports 'ARRAY'/'OBJECT'/'BOTH', got: {value!r}"
                 )
             mode = m
         elif name == "path":
@@ -474,14 +481,17 @@ def _parse_flatten_args(inner: str) -> tuple[str, bool, str, str | None]:
                 )
             path = p
         elif name == "recursive":
-            raise ValueError(
-                "FLATTEN RECURSIVE mode is not supported by this shim"
-            )
+            flag = value.rstrip(";").strip().lower()
+            if flag not in {"true", "false"}:
+                raise ValueError(
+                    f"FLATTEN RECURSIVE expects TRUE/FALSE, got: {value!r}"
+                )
+            recursive = flag == "true"
         else:
             raise ValueError(f"unknown FLATTEN argument: {name!r}")
     if input_expr is None:
         raise ValueError("FLATTEN requires the input => <expr> form")
-    return input_expr, outer, mode, path
+    return input_expr, outer, mode, path, recursive
 
 
 def rewrite_flatten(sql: str) -> str:
@@ -519,7 +529,19 @@ def rewrite_flatten(sql: str) -> str:
         open_idx = out.index("(", m.start() + out[m.start():m.end()].upper().find("FLATTEN"))
         close = _balanced_span(out, open_idx)
         inner = out[open_idx + 1:close - 1].strip()
-        expr, outer, mode, path = _parse_flatten_args(inner)
+        expr, outer, mode, path, recursive = _parse_flatten_args(inner)
+        if recursive:
+            raise ValueError(
+                "FLATTEN RECURSIVE cannot be lowered to one-level"
+                " LATERAL VIEW text — route the statement through"
+                " flatten_recursive_statement instead"
+            )
+        mode = mode or "ARRAY"  # the rewriter's documented default
+        if mode == "BOTH":
+            raise ValueError(
+                "FLATTEN MODE => 'BOTH' requires the recursive executor"
+                " (the one-level rewriter lowers ARRAY or OBJECT)"
+            )
         if path is not None:
             expr = f"get_json_object({expr}, '$.{path}')"
             if mode == "ARRAY":
@@ -548,6 +570,176 @@ def rewrite_flatten(sql: str) -> str:
         else:
             replacement = f" {view} posexplode({expr}) {alias} AS index, value"
         out = out[:m.start()] + replacement + out[am.end():]
+
+
+def flatten_recursive(
+    df, input_col: str, mode: str = "BOTH", max_depth: int = 8
+):  # noqa: ANN001
+    """Snowflake ``FLATTEN(..., RECURSIVE => TRUE)`` as an engine
+    operator over JSON text: emit one row per element at EVERY nesting
+    level — compound values (objects/arrays) appear both as rows
+    themselves and expanded (Snowflake's documented recursive
+    contract). Output columns: the input DataFrame's columns plus
+    ``path`` ('meta.et', 'tags[0]' — Snowflake's PATH rendering),
+    ``key`` (object key or NULL), ``index`` (array position or NULL)
+    and ``value`` (element as text: scalars unquoted, compound values
+    as compact JSON — Spark's get_json_object rendering, probed
+    byte-identical to DuckDB's json_extract).
+
+    ``mode`` gates expansion like Snowflake: 'BOTH' (the default)
+    recurses into objects and arrays, 'OBJECT'/'ARRAY' only into that
+    kind. Identifier object keys only (the _FLAT_PATH contract shared
+    with PATH =>); keys needing quoting are out of contract.
+
+    Scale shape: the expansion is a FIXED ``max_depth``-deep chain of
+    narrow per-row generators (explode over json_object_keys /
+    sequence) unioned lazily — no shuffle, no join, and no driver-side
+    emptiness probes (levels past the actual nesting depth are empty
+    branches Catalyst executes for free). Depth beyond ``max_depth``
+    is not expanded — raise it for deeper documents; Snowflake's own
+    VARIANT nesting cap is 64."""
+    from pyspark.sql import functions as F
+
+    if mode not in {"BOTH", "ARRAY", "OBJECT"}:
+        raise ValueError(f"flatten_recursive mode must be BOTH/ARRAY/OBJECT: {mode}")
+    base_cols = [c for c in df.columns]
+    v = F.col("value")
+    trimmed = F.ltrim(v)
+    is_obj = trimmed.startswith("{") & F.lit(mode in ("BOTH", "OBJECT"))
+    is_arr = trimmed.startswith("[") & F.lit(mode in ("BOTH", "ARRAY"))
+    obj_exp = F.transform(
+        F.json_object_keys(v),
+        lambda k: F.struct(
+            k.alias("key"),
+            F.lit(None).cast("long").alias("index"),
+            F.when(F.col("path") == "", k)
+            .otherwise(F.concat(F.col("path"), F.lit("."), k))
+            .alias("npath"),
+        ),
+    )
+    arr_exp = F.when(
+        F.json_array_length(v) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.json_array_length(v) - 1),
+            lambda i: F.struct(
+                F.lit(None).cast("string").alias("key"),
+                i.cast("long").alias("index"),
+                F.concat(
+                    F.col("path"), F.lit("["), i.cast("string"), F.lit("]")
+                ).alias("npath"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<key:string,index:bigint,npath:string>>"))
+    expansion = (
+        F.when(is_obj, obj_exp)
+        .when(is_arr, arr_exp)
+        .otherwise(
+            F.array().cast("array<struct<key:string,index:bigint,npath:string>>")
+        )
+    )
+    child_value = F.when(
+        F.col("e.key").isNotNull(),
+        F.expr("get_json_object(value, concat('$.', e.key))"),
+    ).otherwise(F.expr("get_json_object(value, concat('$[', e.index, ']'))"))
+
+    frontier = df.select(
+        *base_cols,
+        F.lit("").alias("path"),
+        F.col(input_col).cast("string").alias("value"),
+    )
+    levels = []
+    for _depth in range(1, max_depth + 1):
+        child = frontier.select(
+            *base_cols, "path", "value", F.explode(expansion).alias("e")
+        ).select(
+            *base_cols,
+            F.col("e.npath").alias("path"),
+            F.col("e.key").alias("key"),
+            F.col("e.index").alias("index"),
+            child_value.alias("value"),
+        )
+        levels.append(child)
+        frontier = child
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out
+
+
+def flatten_recursive_statement(spark, text: str):  # noqa: ANN001
+    """Execute a Snowflake ``LATERAL FLATTEN(..., RECURSIVE => TRUE)``
+    statement VERBATIM against the flatten_recursive operator (the
+    asof_dialect pattern: text -> engine operator, since a bounded
+    fixpoint cannot be one LATERAL VIEW rewrite).
+
+    Accepted shape (conservative like every shim)::
+
+        SELECT <alias.col [AS name], ...>
+        FROM (<subquery>) <ba>, LATERAL FLATTEN(input => <ba>.<col>
+             [, recursive => true] [, mode => '...']) <fa>
+
+    The subquery runs against the session's registered views; select
+    items must be ``<ba>.<col>`` or ``<fa>.{path|key|index|value}``
+    with optional AS. MODE defaults to 'BOTH' here — Snowflake's real
+    default, which the recursion makes meaningful (the one-level
+    rewriter keeps its documented ARRAY default)."""
+    sql = _strip_line_comments(text).strip().rstrip(";")
+    m = re.search(r"^SELECT\s+(?P<sel>.*?)\s+FROM\s*\(", sql, re.IGNORECASE | re.DOTALL)
+    if m is None:
+        raise ValueError("flatten_recursive_statement needs SELECT ... FROM (subquery)")
+    open_idx = sql.index("(", m.end() - 1)
+    close = _balanced_span(sql, open_idx)
+    subquery = sql[open_idx + 1 : close - 1]
+    tail = sql[close:]
+    tm = re.match(
+        r"\s*(?:AS\s+)?(?P<ba>[A-Za-z_]\w*)\s*,\s*LATERAL\s+FLATTEN\s*\(",
+        tail,
+        re.IGNORECASE,
+    )
+    if tm is None:
+        raise ValueError(
+            "flatten_recursive_statement needs (subquery) <alias>, LATERAL FLATTEN(...)"
+        )
+    ba = tm.group("ba")
+    f_open = close + tm.end() - 1
+    f_close = _balanced_span(sql, f_open)
+    expr, outer, mode, path, recursive = _parse_flatten_args(
+        sql[f_open + 1 : f_close - 1]
+    )
+    if not recursive:
+        raise ValueError("statement is not RECURSIVE — use rewrite_flatten")
+    if outer or path is not None:
+        raise ValueError("RECURSIVE with OUTER/PATH is not supported by this shim")
+    am = re.match(r"\s*(?:AS\s+)?(?P<fa>[A-Za-z_]\w*)\s*$", sql[f_close:], re.IGNORECASE)
+    if am is None:
+        raise ValueError("FLATTEN requires a table alias")
+    fa = am.group("fa")
+    from pyspark.sql import functions as F
+
+    em = re.fullmatch(rf"{re.escape(ba)}\.([A-Za-z_]\w*)", expr.strip(), re.IGNORECASE)
+    if em is None:
+        raise ValueError(f"input must be {ba}.<column>, got: {expr!r}")
+    base = spark.sql(subquery)
+    flat = flatten_recursive(base, em.group(1), mode=mode or "BOTH")
+    out_cols = []
+    for item in _split_top_level_commas(m.group("sel")):
+        item = item.strip()
+        im = re.fullmatch(
+            r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)(?:\s+AS\s+([A-Za-z_]\w*))?",
+            item,
+            re.IGNORECASE,
+        )
+        if im is None:
+            raise ValueError(f"unsupported select item: {item!r}")
+        alias_name, col, out_name = im.group(1), im.group(2), im.group(3)
+        if alias_name.lower() == fa.lower():
+            if col.lower() not in {"path", "key", "index", "value"}:
+                raise ValueError(f"unknown FLATTEN output column: {col!r}")
+            col = col.lower()
+        elif alias_name.lower() != ba.lower():
+            raise ValueError(f"unknown alias in select item: {item!r}")
+        out_cols.append(F.col(col).alias(out_name or col))
+    return flat.select(*out_cols)
 
 
 # ---------------------------------------------------------------------------

@@ -5761,6 +5761,64 @@ def sql29_connect_by_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_sql29_lowered())
 
 
+_SQL30_SNOWFLAKE_TEXT = f"""
+SELECT e.event_id, f.path AS path, f.key AS key, f.index AS idx, f.value AS value
+FROM (SELECT event_id, {_SQL13_OBJ} AS obj
+      FROM events WHERE event_id % 101 = 0) e,
+     LATERAL FLATTEN(input => e.obj, recursive => true) f
+"""
+
+
+@register(
+    "sql30_flatten_recursive",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, {_SQL13_OBJ_DUCK} AS obj
+        FROM events WHERE event_id % 101 = 0
+    )
+    SELECT event_id, 'meta' AS path, 'meta' AS key,
+           CAST(NULL AS BIGINT) AS idx,
+           json_extract(obj, '$.meta')::VARCHAR AS value FROM e
+    UNION ALL SELECT event_id, 'meta.et', 'et', NULL,
+           json_extract_string(obj, '$.meta.et') FROM e
+    UNION ALL SELECT event_id, 'meta.bucket', 'bucket', NULL,
+           json_extract_string(obj, '$.meta.bucket') FROM e
+    UNION ALL SELECT event_id, 'tags', 'tags', NULL,
+           json_extract(obj, '$.tags')::VARCHAR FROM e
+    UNION ALL SELECT event_id, 'tags[0]', CAST(NULL AS VARCHAR), 0,
+           json_extract_string(obj, '$.tags[0]') FROM e
+    UNION ALL SELECT event_id, 'tags[1]', NULL, 1,
+           json_extract_string(obj, '$.tags[1]') FROM e
+    """,
+    doc="""``FLATTEN(..., RECURSIVE => TRUE)`` accepted VERBATIM — the
+    last FLATTEN mode (VERDICT r6 left it refused): every element at
+    EVERY nesting level emits a row, compound values appearing both as
+    rows and expanded, with Snowflake's PATH rendering ('meta.et',
+    'tags[0]'), KEY for object fields, INDEX for array slots. A
+    bounded fixpoint can't be one LATERAL VIEW, so the statement
+    routes through flatten_recursive_statement
+    (functions/sqldialect.py) into the flatten_recursive operator: a
+    FIXED max_depth chain of narrow per-row generators (explode over
+    json_object_keys / sequence + dynamic-path get_json_object),
+    unioned lazily — no shuffle, no join, no driver-side emptiness
+    probes; levels past the real nesting depth are empty branches.
+    Value text is Spark's compact get_json_object rendering, probed
+    byte-identical to DuckDB's json_extract (scalars unquote on both
+    sides). The oracle enumerates the known two-level object's six
+    rows per event in closed form — no recursion needed to CHECK what
+    recursion computed.""",
+    tags=("sql-surface", "dialect", "flatten", "semi-structured", "recursive"),
+)
+def sql30_flatten_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import flatten_recursive_statement
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return flatten_recursive_statement(spark, _SQL30_SNOWFLAKE_TEXT).select(
+        "event_id", "path", "key", F.col("idx").cast("long").alias("idx"), "value"
+    )
+
+
 _SQL16_SNOWFLAKE_TEXT = """
 SELECT s.spine_date, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
 FROM (SELECT DATEADD(day, SEQ4(), DATE '1998-07-01') AS spine_date

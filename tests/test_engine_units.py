@@ -1908,3 +1908,101 @@ def test_connect_by_level_executes(spark):
     assert expect.exceptAll(capped).count() == 0
     assert capped.filter(capped.level > 2).count() == 0
     assert capped.count() < full.count()
+
+
+def test_flatten_recursive_operator(spark):
+    """Recursive flatten emits every element at every depth with
+    Snowflake's PATH/KEY/INDEX rendering; MODE gates which compound
+    kind expands."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        flatten_recursive,
+    )
+
+    df = spark.createDataFrame(
+        [(1, '{"a": {"b": "x"}, "l": [1, 2]}'), (2, '[{"k": "v"}]'), (3, '"s"')],
+        "id int, obj string",
+    )
+    rows = {
+        (r.id, r.path, r.key, r["index"], r.value)
+        for r in flatten_recursive(df, "obj").collect()
+    }
+    assert rows == {
+        (1, "a", "a", None, '{"b":"x"}'),
+        (1, "a.b", "b", None, "x"),
+        (1, "l", "l", None, "[1,2]"),
+        (1, "l[0]", None, 0, "1"),
+        (1, "l[1]", None, 1, "2"),
+        (2, "[0]", None, 0, '{"k":"v"}'),
+        (2, "[0].k", "k", None, "v"),
+        # id 3 is a scalar: nothing to flatten, no rows (Snowflake's
+        # non-OUTER contract)
+    }
+    # MODE => 'ARRAY': only arrays expand — the root object of id 1
+    # never opens, id 2's root array does but its object element stops
+    arr_rows = {
+        (r.id, r.path) for r in flatten_recursive(df, "obj", mode="ARRAY").collect()
+    }
+    assert arr_rows == {(2, "[0]")}
+    # MODE => 'OBJECT': objects only — id 1 expands but 'l' stays
+    # closed; id 2's root array never opens
+    obj_rows = {
+        (r.id, r.path) for r in flatten_recursive(df, "obj", mode="OBJECT").collect()
+    }
+    assert obj_rows == {(1, "a"), (1, "a.b"), (1, "l")}
+    # max_depth truncates expansion without error
+    shallow = {
+        (r.id, r.path)
+        for r in flatten_recursive(df, "obj", max_depth=1).collect()
+    }
+    assert shallow == {(1, "a"), (1, "l"), (2, "[0]")}
+    with _pytest.raises(ValueError, match="mode"):
+        flatten_recursive(df, "obj", mode="NOPE")
+
+
+def test_flatten_recursive_statement_edges(spark):
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        flatten_recursive_statement,
+        rewrite_flatten,
+    )
+
+    spark.createDataFrame(
+        [(1, '{"a": [10, 20]}')], "id int, obj string"
+    ).createOrReplaceTempView("frs_t")
+    out = flatten_recursive_statement(
+        spark,
+        "SELECT e.id, f.path AS path, f.value AS v\n"
+        "FROM (SELECT id, obj FROM frs_t) e,\n"
+        "     LATERAL FLATTEN(input => e.obj, recursive => true) f",
+    )
+    assert {(r.id, r.path, r.v) for r in out.collect()} == {
+        (1, "a", "[10,20]"), (1, "a[0]", "10"), (1, "a[1]", "20"),
+    }
+    # non-recursive statements belong to the rewriter
+    with _pytest.raises(ValueError, match="not RECURSIVE"):
+        flatten_recursive_statement(
+            spark,
+            "SELECT e.id, f.value FROM (SELECT id, obj FROM frs_t) e, "
+            "LATERAL FLATTEN(input => e.obj) f",
+        )
+    # RECURSIVE + OUTER refuses; unknown flatten column refuses
+    with _pytest.raises(ValueError, match="OUTER/PATH"):
+        flatten_recursive_statement(
+            spark,
+            "SELECT e.id, f.value FROM (SELECT id, obj FROM frs_t) e, "
+            "LATERAL FLATTEN(input => e.obj, recursive => true, outer => true) f",
+        )
+    with _pytest.raises(ValueError, match="unknown FLATTEN output"):
+        flatten_recursive_statement(
+            spark,
+            "SELECT e.id, f.this FROM (SELECT id, obj FROM frs_t) e, "
+            "LATERAL FLATTEN(input => e.obj, recursive => true) f",
+        )
+    # the one-level rewriter still refuses recursive text loudly
+    with _pytest.raises(ValueError, match="RECURSIVE"):
+        rewrite_flatten(
+            "SELECT 1 FROM t, LATERAL FLATTEN(input => a, recursive => true) f"
+        )
