@@ -976,12 +976,7 @@ def parse_time_travel(sql: str) -> tuple[str, str, str]:
 _MERGE_HEAD = re.compile(
     r"MERGE\s+INTO\s+(?P<target>[\w.]+)\s+USING\s+", re.IGNORECASE
 )
-_MERGE_MATCHED = re.compile(
-    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+", re.IGNORECASE
-)
-_MERGE_NOT_MATCHED = re.compile(
-    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(", re.IGNORECASE
-)
+_MERGE_WHEN = re.compile(r"WHEN\s+(?P<neg>NOT\s+)?MATCHED\b", re.IGNORECASE)
 
 
 def _strip_line_comments(sql: str) -> str:
@@ -1008,18 +1003,31 @@ def merge_statement(
     pipeline's central statement (customer-...sql:77-110,
     item-...sql:71-104, order/dim variants) accepted as raw text.
 
-    Accepted shape (exactly the reference's — conservative like every
-    shim): ``MERGE INTO <t> USING <s>|(<subquery>) [AS] <alias> ON
-    <equi-cond chain> WHEN MATCHED THEN UPDATE SET tgt.c = expr, ...
-    WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)``. Predicated
-    WHEN clauses (``WHEN MATCHED AND ...``) and DELETE actions refuse.
+    Accepted shape (the reference's plus the CDC-apply extensions —
+    conservative like every shim): ``MERGE INTO <t> USING
+    <s>|(<subquery>) [AS] <alias> ON <equi-cond chain>`` followed by
+    WHEN clauses in any Snowflake order:
+
+    - ``WHEN MATCHED [AND <cond>] THEN UPDATE SET tgt.c = expr, ...``
+      (at most one)
+    - ``WHEN MATCHED [AND <cond>] THEN DELETE`` (at most one — the
+      delete-flag half of the canonical CDC apply)
+    - ``WHEN NOT MATCHED [AND <cond>] THEN INSERT (cols) VALUES
+      (exprs)`` (exactly one)
+
+    Clause ORDER is Snowflake's evaluation order: for a matched row
+    the first clause whose predicate holds fires; later matched
+    clauses are guarded by the cumulative negation of earlier ones. A
+    NULL predicate fires nothing (the row is kept unchanged), matching
+    Snowflake's three-valued WHEN semantics.
 
     Lowering: the statement compiles to the engine's MERGE state
     equation (operators/merge.py posture) as ONE Spark SQL text over
     temp views — matched/kept rows from a LEFT JOIN with CASE per SET
-    column, inserted rows from a LEFT ANTI JOIN with the VALUES exprs
-    (unnamed target columns NULL-typed) — so the user's expressions
-    run exactly as written, current_timestamp() and all. Names: every
+    column and a NOT-fired filter for DELETE, inserted rows from a
+    LEFT ANTI JOIN with the VALUES exprs (unnamed target columns
+    NULL-typed) — so the user's expressions run exactly as written,
+    current_timestamp() and all. Names: every
     table in ``tables`` registers under its LAST dotted component (the
     reference's own references are short names); the source must be
     unique per key chain (Snowflake's nondeterministic-merge contract;
@@ -1041,9 +1049,6 @@ def merge_statement(
     for name, s in short.items():
         if name != s:
             sql = re.sub(rf"\b{re.escape(name)}\b", s, sql, flags=re.IGNORECASE)
-    for kw in ("WHEN MATCHED AND", "DELETE"):
-        if re.search(kw.replace(" ", r"\s+"), sql, re.IGNORECASE):
-            raise ValueError(f"MERGE {kw} clauses are not supported by this shim")
 
     hm = _MERGE_HEAD.search(sql)
     if hm is None:
@@ -1069,39 +1074,94 @@ def merge_statement(
     if on_m is None:
         raise ValueError("MERGE requires an ON clause")
     cond_start = after_src + on_m.end()
-    mm = _MERGE_MATCHED.search(sql, cond_start)
-    nm = _MERGE_NOT_MATCHED.search(sql, cond_start)
-    if mm is None or nm is None:
-        raise ValueError(
-            "shim requires both WHEN MATCHED THEN UPDATE SET and "
-            "WHEN NOT MATCHED THEN INSERT clauses"
-        )
-    cond = sql[cond_start : mm.start()].strip()
-    set_text = sql[mm.end() : nm.start()].strip()
-    cols_close = _balanced_span(sql, nm.end() - 1)
-    insert_cols = [
-        c.strip() for c in _split_top_level_commas(sql[nm.end() : cols_close - 1])
-    ]
-    vm = re.match(r"\s*VALUES\s*\(", sql[cols_close:], re.IGNORECASE)
-    if vm is None:
-        raise ValueError("INSERT requires a VALUES (...) list")
-    v_open = cols_close + vm.end() - 1
-    v_close = _balanced_span(sql, v_open)
-    insert_vals = [
-        v.strip() for v in _split_top_level_commas(sql[v_open + 1 : v_close - 1])
-    ]
-    if len(insert_cols) != len(insert_vals):
-        raise ValueError("INSERT column/value count mismatch")
+    whens = [m for m in _MERGE_WHEN.finditer(sql) if m.start() >= cond_start]
+    if not whens:
+        raise ValueError("MERGE requires at least one WHEN clause")
+    cond = sql[cond_start : whens[0].start()].strip()
+
+    # Parse each WHEN clause: [AND <pred>] THEN <action>. The clause
+    # predicate ends at the first top-level THEN (a CASE ... THEN
+    # inside an unparenthesized predicate is out of contract).
+    update_clause = None  # (order_idx, pred, set_text)
+    delete_clause = None  # (order_idx, pred)
+    insert_clause = None  # (pred, cols, vals)
+    matched_preds: list[str | None] = []  # in clause order
+    for ci, w in enumerate(whens):
+        end = whens[ci + 1].start() if ci + 1 < len(whens) else len(sql)
+        body = sql[w.end() : end]
+        then_at = _top_level_keyword(body, "THEN")
+        if then_at < 0:
+            raise ValueError("WHEN clause missing THEN")
+        pre = body[:then_at].strip()
+        pred: str | None = None
+        if pre:
+            am = re.match(r"AND\s+(?P<c>.+)$", pre, re.IGNORECASE | re.DOTALL)
+            if am is None:
+                raise ValueError(f"unsupported WHEN qualifier: {pre!r}")
+            pred = am.group("c").strip()
+        action = body[then_at + len("THEN") :].strip().rstrip(";").strip()
+        if w.group("neg"):
+            im = re.match(r"INSERT\s*\(", action, re.IGNORECASE)
+            if im is None:
+                raise ValueError("WHEN NOT MATCHED supports only INSERT (cols)")
+            if insert_clause is not None:
+                raise ValueError("at most one WHEN NOT MATCHED INSERT clause")
+            cols_close = _balanced_span(action, im.end() - 1)
+            insert_cols = [
+                c.strip()
+                for c in _split_top_level_commas(action[im.end() : cols_close - 1])
+            ]
+            vm = re.match(r"\s*VALUES\s*\(", action[cols_close:], re.IGNORECASE)
+            if vm is None:
+                raise ValueError("INSERT requires a VALUES (...) list")
+            v_open = cols_close + vm.end() - 1
+            v_close = _balanced_span(action, v_open)
+            insert_vals = [
+                v.strip()
+                for v in _split_top_level_commas(action[v_open + 1 : v_close - 1])
+            ]
+            if len(insert_cols) != len(insert_vals):
+                raise ValueError("INSERT column/value count mismatch")
+            insert_clause = (pred, insert_cols, insert_vals)
+        else:
+            um = re.match(r"UPDATE\s+SET\s+", action, re.IGNORECASE)
+            if um is not None:
+                if update_clause is not None:
+                    raise ValueError("at most one WHEN MATCHED UPDATE clause")
+                update_clause = (len(matched_preds), pred, action[um.end() :])
+            elif re.fullmatch(r"DELETE", action, re.IGNORECASE):
+                if delete_clause is not None:
+                    raise ValueError("at most one WHEN MATCHED DELETE clause")
+                delete_clause = (len(matched_preds), pred)
+            else:
+                raise ValueError(
+                    f"WHEN MATCHED supports UPDATE SET / DELETE, got: {action[:40]!r}"
+                )
+            matched_preds.append(pred)
+    if insert_clause is None:
+        raise ValueError("shim requires a WHEN NOT MATCHED THEN INSERT clause")
+    insert_pred, insert_cols, insert_vals = insert_clause
+
+    def _fire(order_idx: int, pred: str | None) -> str:
+        """The clause's fire condition in Snowflake evaluation order:
+        its own predicate AND the negation of every EARLIER matched
+        clause's predicate (an earlier unconditional clause shadows)."""
+        parts = []
+        for p in matched_preds[:order_idx]:
+            parts.append("FALSE" if p is None else f"NOT COALESCE(({p}), FALSE)")
+        parts.append("TRUE" if pred is None else f"COALESCE(({pred}), FALSE)")
+        return " AND ".join(parts)
 
     set_map: dict[str, str] = {}
-    for part in _split_top_level_commas(set_text):
-        part = part.strip()
-        if not part:
-            continue
-        eq = part.find("=")
-        lhs = part[:eq].strip()
-        col = lhs.split(".")[-1].lower()
-        set_map[col] = part[eq + 1 :].strip()
+    if update_clause is not None:
+        for part in _split_top_level_commas(update_clause[2]):
+            part = part.strip()
+            if not part:
+                continue
+            eq = part.find("=")
+            lhs = part[:eq].strip()
+            col = lhs.split(".")[-1].lower()
+            set_map[col] = part[eq + 1 :].strip()
 
     # source-side null-probe for the match flag (keys are non-null by
     # the merge contract)
@@ -1136,12 +1196,18 @@ def merge_statement(
     insert_sel = []
     vals_by_col = {c.lower(): v for c, v in zip(insert_cols, insert_vals)}
     dflt = {k.lower(): v for k, v in (defaults or {}).items()}
+    matched_flag = f"{probe} IS NOT NULL"
+    update_fire = (
+        f"{matched_flag} AND {_fire(update_clause[0], update_clause[1])}"
+        if update_clause is not None
+        else None
+    )
     for f in out_cols.fields:
         c = f.name
         typ = f.dataType.simpleString()
         if c.lower() in set_map:
             matched_sel.append(
-                f"CASE WHEN {probe} IS NOT NULL THEN"
+                f"CASE WHEN {update_fire} THEN"
                 f" CAST(({set_map[c.lower()]}) AS {typ})"
                 f" ELSE {tname}.{c} END AS {c}"
             )
@@ -1153,12 +1219,19 @@ def merge_statement(
             insert_sel.append(f"CAST(({dflt[c.lower()]}) AS {typ}) AS {c}")
         else:
             insert_sel.append(f"CAST(NULL AS {typ}) AS {c}")
+    kept_where = ""
+    if delete_clause is not None:
+        delete_fire = f"{matched_flag} AND {_fire(delete_clause[0], delete_clause[1])}"
+        kept_where = f" WHERE NOT COALESCE(({delete_fire}), FALSE)"
+    insert_where = (
+        f" WHERE COALESCE(({insert_pred}), FALSE)" if insert_pred is not None else ""
+    )
     final = (
         f"SELECT {', '.join(matched_sel)} FROM {tname}"
-        f" LEFT JOIN {sname} ON {cond}"
+        f" LEFT JOIN {sname} ON {cond}{kept_where}"
         f" UNION ALL "
         f"SELECT {', '.join(insert_sel)} FROM {sname}"
-        f" LEFT ANTI JOIN {tname} ON {cond}"
+        f" LEFT ANTI JOIN {tname} ON {cond}{insert_where}"
     )
     out = spark.sql(final)
     # the RESOLVED source relation (post any dedup subquery) — callers

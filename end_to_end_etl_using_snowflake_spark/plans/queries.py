@@ -5819,6 +5819,85 @@ def sql30_flatten_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The canonical CDC-apply MERGE: a delete-flagged change batch against
+# a keyed state table. Built from customer deterministically: the
+# batch overlaps the state (updates + deletes) and extends past it
+# (inserts, some suppressed by the insert predicate).
+_SQL31_MERGE_TEXT = """
+MERGE INTO state USING batch ON state.c_custkey = batch.c_custkey
+WHEN MATCHED AND batch._action = 'DELETE' THEN DELETE
+WHEN MATCHED THEN UPDATE SET state.bal_cents = batch.bal_cents + 100
+WHEN NOT MATCHED AND batch._action = 'UPSERT' THEN
+INSERT (c_custkey, c_name, bal_cents)
+VALUES (batch.c_custkey, batch.c_name, batch.bal_cents)
+"""
+
+
+@register(
+    "sql31_merge_cdc_apply",
+    oracle="""
+    WITH t AS (
+        SELECT c_custkey, c_name,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer WHERE c_custkey <= 1000
+    ),
+    s AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 7 = 0 THEN 'DELETE' ELSE 'UPSERT' END
+                   AS _action,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer WHERE c_custkey BETWEEN 501 AND 1500
+    )
+    SELECT t.c_custkey, t.c_name,
+           CASE WHEN s.c_custkey IS NOT NULL
+                     AND NOT COALESCE(s._action = 'DELETE', FALSE)
+                THEN s.bal_cents + 100 ELSE t.bal_cents END AS bal_cents
+    FROM t LEFT JOIN s ON t.c_custkey = s.c_custkey
+    WHERE NOT COALESCE(s._action = 'DELETE', FALSE)
+    UNION ALL
+    SELECT s.c_custkey, s.c_name, s.bal_cents
+    FROM s
+    WHERE s._action = 'UPSERT'
+      AND NOT EXISTS (SELECT 1 FROM t WHERE t.c_custkey = s.c_custkey)
+    """,
+    doc="""The canonical CDC-apply MERGE accepted VERBATIM — the
+    statement every Snowflake change pipeline runs: ``WHEN MATCHED AND
+    _action = 'DELETE' THEN DELETE``, an unpredicated matched UPDATE,
+    and a predicated ``WHEN NOT MATCHED AND _action = 'UPSERT'``
+    INSERT. merge_statement (functions/sqldialect.py) now compiles
+    predicated WHEN clauses and DELETE into the same two-join state
+    equation: clause predicates fire in Snowflake's evaluation order
+    (later matched clauses guarded by cumulative negation of earlier
+    ones, NULL predicates firing nothing), DELETE becomes a NOT-fired
+    filter on the kept side, the insert predicate a WHERE on the anti
+    side — still ONE keyed join + ONE anti join, broadcastable batch,
+    no row multiplication at any scale. Money travels as exact cents
+    (BIGINT); the oracle states the identical equation relationally.
+    m5/m9 are the DataFrame-side CDC/delete operators; this is their
+    text surface.""",
+    tags=("sql-surface", "dialect", "merge", "cdc", "delete"),
+)
+def sql31_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import merge_statement
+
+    cust = load(spark, sf_dir, "customer")
+    cents = F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+    state = cust.filter(F.col("c_custkey") <= 1000).select(
+        "c_custkey", "c_name", cents.alias("bal_cents")
+    )
+    batch = cust.filter(F.col("c_custkey").between(501, 1500)).select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("DELETE"))
+        .otherwise(F.lit("UPSERT"))
+        .alias("_action"),
+        cents.alias("bal_cents"),
+    )
+    return merge_statement(
+        spark, _SQL31_MERGE_TEXT, {"state": state, "batch": batch}
+    )
+
+
 _SQL16_SNOWFLAKE_TEXT = """
 SELECT s.spine_date, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
 FROM (SELECT DATEADD(day, SEQ4(), DATE '1998-07-01') AS spine_date

@@ -1726,17 +1726,88 @@ def test_merge_statement_edges(spark):
     assert sorted((r["id"], r["v"]) for r in out2) == [(1, 10), (2, 99)]
     for bad, msg in [
         ("MERGE INTO db.tgt USING db.src ON tgt.id = src.id "
-         "WHEN MATCHED AND src.v > 5 THEN UPDATE SET tgt.v = src.v "
-         "WHEN NOT MATCHED THEN INSERT (id) VALUES (src.id)", "WHEN MATCHED AND"),
-        ("MERGE INTO db.tgt USING db.src ON tgt.id = src.id "
-         "WHEN MATCHED THEN DELETE", "DELETE"),
+         "WHEN MATCHED THEN DELETE", "requires a WHEN NOT MATCHED"),
         ("MERGE INTO db.tgt USING db.src ON tgt.id = src.id "
          "WHEN MATCHED THEN UPDATE SET tgt.v = src.v "
          "WHEN NOT MATCHED THEN INSERT (id, name) VALUES (src.id)", "count mismatch"),
+        ("MERGE INTO db.tgt USING db.src ON tgt.id = src.id "
+         "WHEN MATCHED THEN UPDATE SET tgt.v = 1 "
+         "WHEN MATCHED THEN UPDATE SET tgt.v = 2 "
+         "WHEN NOT MATCHED THEN INSERT (id) VALUES (src.id)", "at most one"),
         ("SELECT 1", "not a MERGE"),
     ]:
         with _pytest.raises(ValueError, match=msg):
             merge_statement(spark, bad, tabs)
+
+
+def test_merge_statement_cdc_clauses(spark):
+    """Predicated WHEN clauses + DELETE — the canonical CDC apply:
+    matched deletes remove, matched updates apply in clause order,
+    predicated inserts gate the anti side; NULL predicates fire
+    nothing (Snowflake three-valued WHEN semantics)."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        merge_statement,
+    )
+
+    t = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (4, "d", 40)], "id int, name string, v int"
+    )
+    s = spark.createDataFrame(
+        [(1, "DELETE", 0), (2, "UPSERT", 99), (3, "UPSERT", 30),
+         (4, None, 77), (5, "DELETE", 50)],
+        "id int, _action string, v int",
+    )
+    tabs = {"db.tgt": t, "db.src": s}
+    out = merge_statement(
+        spark,
+        "MERGE INTO db.tgt USING db.src ON tgt.id = src.id\n"
+        "WHEN MATCHED AND src._action = 'DELETE' THEN DELETE\n"
+        "WHEN MATCHED THEN UPDATE SET tgt.v = src.v\n"
+        "WHEN NOT MATCHED AND src._action = 'UPSERT' THEN INSERT (id, v)"
+        " VALUES (src.id, src.v)",
+        tabs,
+    ).collect()
+    assert sorted((r["id"], r["name"], r["v"]) for r in out) == [
+        # 1 deleted; 2 updated; 3 inserted (UPSERT); 4: NULL action
+        # predicate fires neither DELETE nor... the update clause is
+        # unpredicated so it fires (earlier clause predicate NULL ->
+        # not fired, negation coalesces to fired-later); 5: unmatched
+        # DELETE row does not insert (insert predicate false)
+        (2, "b", 99),
+        (3, None, 30),
+        (4, "d", 77),
+    ]
+    # clause ORDER matters: unpredicated UPDATE first shadows DELETE
+    out2 = merge_statement(
+        spark,
+        "MERGE INTO db.tgt USING db.src ON tgt.id = src.id\n"
+        "WHEN MATCHED THEN UPDATE SET tgt.v = src.v\n"
+        "WHEN MATCHED AND src._action = 'DELETE' THEN DELETE\n"
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (src.id, src.v)",
+        tabs,
+    ).collect()
+    assert sorted(r["id"] for r in out2) == [1, 2, 3, 4, 5]  # nothing deleted
+    # delete-only matched side (no UPDATE clause at all)
+    out3 = merge_statement(
+        spark,
+        "MERGE INTO db.tgt USING db.src ON tgt.id = src.id\n"
+        "WHEN MATCHED AND src._action = 'DELETE' THEN DELETE\n"
+        "WHEN NOT MATCHED AND src._action = 'UPSERT' THEN INSERT (id, v)"
+        " VALUES (src.id, src.v)",
+        tabs,
+    ).collect()
+    assert sorted((r["id"], r["v"]) for r in out3) == [(2, 20), (3, 30), (4, 40)]
+    with _pytest.raises(ValueError, match="at most one WHEN MATCHED DELETE"):
+        merge_statement(
+            spark,
+            "MERGE INTO db.tgt USING db.src ON tgt.id = src.id "
+            "WHEN MATCHED AND src.v > 1 THEN DELETE "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT (id) VALUES (src.id)",
+            tabs,
+        )
 
 
 def test_pipe_ddl_parser_edges():
