@@ -1043,3 +1043,167 @@ def sql_kmv_set_ops(
            (SELECT ndv FROM ex WHERE scope = '{scope_b}') AS ndv_b
     FROM nu, nboth
     """
+
+
+def kmv_set_ops_bounds(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    scope_a: str,
+    scope_b: str,
+    k: int = 64,
+    z: float = 2.0,
+) -> DataFrame:
+    """Theta-sketch-style a-priori error BOUNDS for KMV set operations
+    (k9) — the honesty layer on top of k8's point estimates: every
+    estimate ships with a [lb, ub] interval derived from the sketch
+    alone (Dasgupta/Rhodes, the DataSketches bound construction), so a
+    100 TB consumer can act on "between 1.1M and 1.3M shared keys"
+    instead of a bare point.
+
+    Construction: the union sketch's k-th smallest hash fixes the
+    sampling probability theta = kth_hash / 2^60 (hashes are uniform
+    60-bit — operators/sketches.py:md5_hash64); any derived set with
+    ``c`` retained members estimates c/theta with binomial sd
+    sqrt(c*(1-theta))/theta, giving lb = max(c, est - z*sd) and
+    ub = est + z*sd (c is an exact floor: retained members are real).
+    An unsaturated sketch (n_k < k) has theta = 1 — every distinct
+    value was retained, bounds collapse to the exact count. Exact
+    intersection/ndv ride along as the self-audit the parity test uses
+    to assert containment.
+
+    Scale shape is k8's: ONE scan hashes the table; sketches,
+    membership probes, and bound arithmetic are O(k) rows. Bit-exact
+    contract: integer order statistics; the double divisions and one
+    IEEE sqrt (correctly rounded, identical in both engines) happen
+    only in the final projection, mirrored token-for-token in the SQL
+    twin.
+    """
+    hashed = (
+        df.filter(F.col(group_col).cast("string").isin(scope_a, scope_b))
+        .select(
+            F.col(group_col).cast("string").alias("scope"),
+            md5_hash64(F.col(col)).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("scope").orderBy("h")
+    sketch = hashed.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+    union_sketch = (
+        sketch.select("h")
+        .distinct()
+        .withColumn("r", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("r") <= k)
+    )
+    n_union = union_sketch.agg(
+        F.count(F.lit(1)).alias("n_k"), F.max("h").alias("kth_hash")
+    )
+    in_a = sketch.filter(F.col("scope") == scope_a).select("h")
+    in_b = sketch.filter(F.col("scope") == scope_b).select("h")
+    both = (
+        union_sketch.join(in_a, "h", "left_semi")
+        .join(in_b, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    exact_inter = (
+        hashed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_scopes"))
+        .filter(F.col("n_scopes") == 2)
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    denom = float(1 << 60)
+    theta = F.when(F.col("n_k") < k, F.lit(1.0)).otherwise(
+        F.col("kth_hash").cast("double") / F.lit(denom)
+    )
+    c = F.col("n_both").cast("double")
+    est = c / theta
+    sd = F.sqrt(c * (F.lit(1.0) - theta)) / theta
+    lb = F.greatest(c, est - F.lit(z) * sd)
+    ub = est + F.lit(z) * sd
+    return (
+        n_union.crossJoin(both)  # 1x1 scalar aggregates
+        .crossJoin(exact_inter)
+        .select(
+            F.lit(scope_a).alias("scope_a"),
+            F.lit(scope_b).alias("scope_b"),
+            F.col("n_k").cast("long").alias("n_k"),
+            F.col("n_both").cast("long").alias("n_both"),
+            theta.alias("theta"),
+            est.alias("inter_est"),
+            lb.alias("inter_lb"),
+            ub.alias("inter_ub"),
+            F.col("exact_inter").cast("long").alias("exact_inter"),
+            (
+                (F.col("exact_inter").cast("double") >= lb)
+                & (F.col("exact_inter").cast("double") <= ub)
+            ).alias("inter_in_bounds"),
+        )
+    )
+
+
+def sql_kmv_set_ops_bounds(
+    table: str,
+    group_col: str,
+    col: str,
+    scope_a: str,
+    scope_b: str,
+    k: int = 64,
+    z: float = 2.0,
+) -> str:
+    """DuckDB twin of :func:`kmv_set_ops_bounds` — identical hashes,
+    order statistics, and final bound arithmetic token-for-token."""
+    h = sql_md5_hash64(col)
+    denom = float(1 << 60)
+    theta = (
+        f"CASE WHEN nu.n_k < {k} THEN 1.0"
+        f" ELSE CAST(nu.kth_hash AS DOUBLE) / {denom!r} END"
+    )
+    c = "CAST(nboth.n_both AS DOUBLE)"
+    est = f"({c} / ({theta}))"
+    sd = f"(sqrt({c} * (1.0 - ({theta}))) / ({theta}))"
+    lb = f"greatest({c}, {est} - {z!r} * {sd})"
+    ub = f"({est} + {z!r} * {sd})"
+    return f"""
+    WITH hashed AS (
+        SELECT DISTINCT CAST({group_col} AS VARCHAR) AS scope, {h} AS h
+        FROM {table}
+        WHERE CAST({group_col} AS VARCHAR) IN ('{scope_a}', '{scope_b}')
+    ),
+    sketch AS (
+        SELECT scope, h FROM (
+            SELECT scope, h,
+                   row_number() OVER (PARTITION BY scope ORDER BY h) AS r
+            FROM hashed
+        ) WHERE r <= {k}
+    ),
+    union_sketch AS (
+        SELECT h FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS r
+            FROM (SELECT DISTINCT h FROM sketch)
+        ) WHERE r <= {k}
+    ),
+    nu AS (SELECT CAST(count(*) AS BIGINT) AS n_k,
+                  CAST(max(h) AS BIGINT) AS kth_hash FROM union_sketch),
+    nboth AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_both
+        FROM union_sketch u
+        WHERE EXISTS (SELECT 1 FROM sketch s
+                      WHERE s.scope = '{scope_a}' AND s.h = u.h)
+          AND EXISTS (SELECT 1 FROM sketch s
+                      WHERE s.scope = '{scope_b}' AND s.h = u.h)
+    ),
+    ei AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_inter
+        FROM (SELECT h FROM hashed GROUP BY h HAVING count(*) = 2)
+    )
+    SELECT '{scope_a}' AS scope_a, '{scope_b}' AS scope_b,
+           nu.n_k, nboth.n_both,
+           {theta} AS theta,
+           {est} AS inter_est,
+           {lb} AS inter_lb,
+           {ub} AS inter_ub,
+           ei.exact_inter,
+           (CAST(ei.exact_inter AS DOUBLE) >= {lb}
+            AND CAST(ei.exact_inter AS DOUBLE) <= {ub}) AS inter_in_bounds
+    FROM nu, nboth, ei
+    """

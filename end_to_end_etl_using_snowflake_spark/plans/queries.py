@@ -3536,6 +3536,43 @@ def _attach_k8_oracle() -> None:
 _attach_k8_oracle()
 
 
+@register(
+    "k9_theta_sketch_bounds",
+    oracle=None,  # assigned below (generated from the sketch module)
+    doc="""Theta-sketch-style a-priori error BOUNDS on KMV set
+    operations (k9 — the honesty layer k8's point estimates lack, the
+    DataSketches bound construction): the union sketch's k-th hash
+    fixes the sampling probability theta, any derived count with c
+    retained members estimates c/theta with binomial sd
+    sqrt(c(1-theta))/theta, and the intersection ships as
+    [lb, ub] = [max(c, est-2sd), est+2sd]. Exact intersection rides
+    along with an in-query containment flag — the interval CLAIM is
+    itself oracle-checked bit-exactly (one IEEE sqrt, identical both
+    engines). Unsaturated sketches collapse to exact counts. Scale:
+    one scan to hash; everything after is O(k) sketch rows.
+    operators/sketches.py:kmv_set_ops_bounds.""",
+    tags=("sketch", "aggregate", "set-ops", "bounds", "scale-path"),
+)
+def k9_theta_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches as K
+
+    return K.kmv_set_ops_bounds(
+        load(spark, sf_dir, "lineitem"), "l_returnflag", "l_partkey",
+        "A", "R", k=64,
+    )
+
+
+def _attach_k9_oracle() -> None:
+    from ..operators import sketches as K
+
+    REGISTRY["k9_theta_sketch_bounds"].oracle = K.sql_kmv_set_ops_bounds(
+        "lineitem", "l_returnflag", "l_partkey", "A", "R", k=64
+    )
+
+
+_attach_k9_oracle()
+
+
 _PROF4_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 

@@ -2077,3 +2077,27 @@ def test_flatten_recursive_statement_edges(spark):
         rewrite_flatten(
             "SELECT 1 FROM t, LATERAL FLATTEN(input => a, recursive => true) f"
         )
+
+
+def test_kmv_bounds_contain_exact(spark):
+    """k9's interval must contain the exact intersection on real data
+    (saturated sketch), and collapse to exact counts when the sketch
+    retains everything (theta = 1)."""
+    from .conftest import SF_SMALL
+    from end_to_end_etl_using_snowflake_spark.operators import sketches as K
+    from end_to_end_etl_using_snowflake_spark.plans.tables import load
+
+    li = load(spark, SF_SMALL, "lineitem")
+    row = K.kmv_set_ops_bounds(li, "l_returnflag", "l_partkey", "A", "R", k=64).first()
+    assert row.inter_in_bounds, row
+    assert row.inter_lb <= row.inter_est <= row.inter_ub
+    assert row.n_k == 64  # saturated at sf0.001 (part keys >> 64)
+    assert 0.0 < row.theta < 1.0
+    # tiny k never saturates on a 3-value scope column -> exact collapse
+    tiny = li.limit(0).sparkSession.createDataFrame(
+        [("A", i) for i in range(5)] + [("R", i) for i in range(3, 9)],
+        "flag string, key int",
+    )
+    r2 = K.kmv_set_ops_bounds(tiny, "flag", "key", "A", "R", k=64).first()
+    assert r2.theta == 1.0
+    assert r2.inter_lb == r2.inter_est == r2.inter_ub == float(r2.exact_inter) == 2.0
