@@ -349,7 +349,9 @@ def rewrite_sample(sql: str, keys: dict[str, str] | None = None) -> str:
         if method in {"SYSTEM", "BLOCK"}:
             raise ValueError(
                 "SAMPLE SYSTEM/BLOCK is storage-layout sampling; this shim"
-                " only lowers row sampling (BERNOULLI/ROW)"
+                " only lowers row sampling (BERNOULLI/ROW) — the engine's"
+                " partition-granular block sampler is x25_sample_system"
+                " (ManagedTable.read_partitions over hashed block values)"
             )
         base = table.rsplit(".", 1)[-1].lower()
         key = keymap.get(base)

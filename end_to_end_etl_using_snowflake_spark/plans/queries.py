@@ -4955,6 +4955,68 @@ def pl_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x25_sample_system",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents
+    FROM lineitem
+    WHERE CAST(concat('0x', substring(md5(
+              concat('sys1:', CAST(l_orderkey % 16 AS VARCHAR))), 1, 15))
+          AS BIGINT) % 1000000 < 250000
+    GROUP BY l_returnflag
+    """,
+    doc="""Snowflake ``SAMPLE SYSTEM (25)`` — BLOCK sampling, the form
+    rewrite_sample deliberately refuses (its result depends on storage
+    layout, which no row-level rewrite can reproduce) — implemented
+    HONESTLY at the storage layer: lineitem lands in a ManagedTable
+    hive-partitioned on __bucket = l_orderkey % 16 (the micro-partition
+    analog), the sampler hashes each partition VALUE (salted md5, the
+    x6/sketch hash convention) and keeps those under 25% of the hash
+    space, and ``read_partitions`` opens ONLY the selected directories
+    — path-pruned exactly like the partition-pruned MERGE, so at 100 TB
+    the unsampled blocks are never listed, let alone read. Snowflake's
+    SYSTEM semantics hold: every row of a sampled block appears, no
+    row-level filter runs. Deterministic and retry-stable (no RNG); the
+    in-query guard RAISES unless 0 < selected < all. The oracle states
+    the identical block membership relationally (bucket-hash predicate
+    over the raw table) — checkable because the layout derives from
+    row data, the property that makes block sampling testable at all.
+    """,
+    tags=("sample", "layout", "pruning", "scale-path"),
+)
+def x25_sample_system(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from .catalog import Warehouse
+
+    li = load(spark, sf_dir, "lineitem")
+    base = scratch_dir("sample_system_")
+    wh = Warehouse(spark, base)
+    tbl = wh.table("stg", "li_blocks", li.schema, partition_by=["__bucket"])
+    tbl.overwrite(li.withColumn("__bucket", F.col("l_orderkey") % 16))
+    selected = [
+        str(v)
+        for v in range(16)
+        if int(hashlib.md5(f"sys1:{v}".encode()).hexdigest()[:15], 16) % 1000000
+        < 250000
+    ]
+    if not 0 < len(selected) < 16:
+        raise RuntimeError(f"degenerate block sample: {selected!r}")
+    return (
+        tbl.read_partitions(selected)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+
+
+@register(
     "pl_result_cache",
     oracle="""
     SELECT o_orderpriority,
