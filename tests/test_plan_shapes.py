@@ -484,3 +484,40 @@ def test_verbatim_fact_insert_broadcasts_dims(spark):
     plan = plan_of(spark, "sql21_reference_fact_insert")
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_connect_by_level_keeps_keyed_recursion(spark):
+    # sql29: the depth guard must not change the recursion shape —
+    # still a keyed frontier join per level (UnionLoop), no cartesian
+    plan = plan_of(spark, "sql29_connect_by_level")
+    assert "CartesianProduct" not in plan, plan
+    assert "UnionLoop" in plan, plan
+
+
+def test_flatten_recursive_is_pure_generators(spark):
+    # sql30: the bounded fixpoint is a union of per-row generators —
+    # one narrow pipeline per level, NO join and NO shuffle anywhere
+    plan = plan_of(spark, "sql30_flatten_recursive")
+    assert "Generate" in plan, plan
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "SortMergeJoin", "BroadcastHashJoin", "Exchange"):
+        assert node not in plan, (node, plan)
+
+
+def test_cdc_merge_compiles_to_join_plus_anti(spark):
+    # sql31: predicated clauses + DELETE must keep the MERGE shape —
+    # one keyed join + one anti join, never a cartesian
+    plan = plan_of(spark, "sql31_merge_cdc_apply")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_sample_system_scans_only_selected_blocks(spark):
+    # x25: the aggregate runs over a path-pruned read of the selected
+    # bucket directories with map-side partial aggregation; the
+    # unsampled blocks never enter the plan (the scan lists 6 of 16
+    # directories — visible as the per-file parquet scan inputs)
+    plan = plan_of(spark, "x25_sample_system")
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan, plan
