@@ -1432,3 +1432,329 @@ def parse_stream_ddls(text: str) -> list[dict]:
     if not out:
         raise ValueError("no CREATE OR REPLACE STREAM statements found")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Snowflake MATCH_RECOGNIZE (row-pattern matching) text
+# ---------------------------------------------------------------------------
+
+_MR_HEAD = re.compile(
+    r"^SELECT\s+\*\s+FROM\s+(?P<table>[\w.]+)\s+MATCH_RECOGNIZE\s*\(",
+    re.IGNORECASE,
+)
+_MR_BODY = re.compile(
+    r"PARTITION\s+BY\s+(?P<part>.+?)\s+"
+    r"ORDER\s+BY\s+(?P<order>.+?)\s+"
+    r"MEASURES\s+(?P<measures>.+?)\s+"
+    r"ONE\s+ROW\s+PER\s+MATCH\s+"
+    r"(?:AFTER\s+MATCH\s+SKIP\s+TO\s+NEXT\s+ROW\s+)?"
+    r"PATTERN\s*\(\s*(?P<pattern>[^)]*?)\s*\)\s+"
+    r"DEFINE\s+(?P<define>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MR_DEFINE = re.compile(
+    r"^(?P<sym>[A-Za-z_]\w*)\s+AS\s+(?P<col>[A-Za-z_]\w*)\s*"
+    r"(?P<op><|>)\s*PREV\s*\(\s*(?P<col2>[A-Za-z_]\w*)\s*\)$",
+    re.IGNORECASE,
+)
+_MR_QUANT = re.compile(
+    r"^(?P<sym>[A-Za-z_]\w*)(?:\{(?P<lo>\d+)(?P<comma>,)?\}|(?P<plus>\+))?$"
+)
+_MR_MEASURE = re.compile(
+    r"^(?:(?P<fn>FIRST|LAST)\s*\(\s*(?P<msym>[A-Za-z_]\w*)\.(?P<mcol>[A-Za-z_]\w*)\s*\)"
+    r"|COUNT\s*\(\s*(?P<csym>[A-Za-z_]\w*)\.\*\s*\)"
+    r"|(?P<mn>MATCH_NUMBER\s*\(\s*\)))\s+AS\s+(?P<name>[A-Za-z_]\w*)$",
+    re.IGNORECASE,
+)
+
+
+def parse_match_recognize(text: str) -> dict:
+    """Parse a Snowflake/ANSI ``MATCH_RECOGNIZE`` statement into its
+    compilable spec. Accepted (conservative — the e13/e17 lowering's
+    reach, now reachable from TEXT):
+
+        SELECT * FROM <table> MATCH_RECOGNIZE (
+          PARTITION BY <cols> ORDER BY <cols>
+          MEASURES FIRST(sym.<ordcol>)|LAST(sym.<ordcol>)|COUNT(sym.*)
+                   |MATCH_NUMBER() AS name, ...
+          ONE ROW PER MATCH [AFTER MATCH SKIP TO NEXT ROW]
+          PATTERN ( SYM[{n,}|{n}|+] ... )
+          DEFINE SYM AS <col> < PREV(<col>), SYM2 AS <col> > PREV(<col>)
+        )
+
+    DEFINE symbols must all compare ONE column against PREV of itself
+    ('<' falls, '>' rises) — the direction-run normal form; adjacent
+    pattern symbols must differ in direction (same-direction neighbors
+    would merge into one run, which ANSI pattern concatenation cannot
+    produce under strict PREV defines). ALL ROWS PER MATCH,
+    alternation/grouping, and other SKIP modes refuse loudly."""
+    sql = _strip_line_comments(text).strip().rstrip(";")
+    hm = _MR_HEAD.search(sql)
+    if hm is None:
+        raise ValueError(
+            "unsupported MATCH_RECOGNIZE shape (need SELECT * FROM <t>"
+            " MATCH_RECOGNIZE (...))"
+        )
+    close = _balanced_span(sql, hm.end() - 1)
+    if sql[close:].strip():
+        raise ValueError("trailing clauses after MATCH_RECOGNIZE are unsupported")
+    body = sql[hm.end() : close - 1].strip()
+    for kw in ("ALL ROWS PER MATCH", "SKIP PAST LAST ROW", "SKIP TO LAST", "SKIP TO FIRST"):
+        if kw in body.upper():
+            raise ValueError(f"MATCH_RECOGNIZE {kw} is not supported by this shim")
+    bm = _MR_BODY.search(body)
+    if bm is None:
+        raise ValueError(
+            "MATCH_RECOGNIZE needs PARTITION BY / ORDER BY / MEASURES /"
+            " ONE ROW PER MATCH / PATTERN / DEFINE in that order"
+        )
+    part = [c.strip() for c in bm.group("part").split(",")]
+    order = [c.strip() for c in bm.group("order").split(",")]
+    define: dict[str, int] = {}
+    def_col: str | None = None
+    for d in _split_top_level_commas(bm.group("define")):
+        dm = _MR_DEFINE.match(d.strip())
+        if dm is None:
+            raise ValueError(
+                f"DEFINE supports only '<col> </> PREV(<col>)': {d.strip()!r}"
+            )
+        if dm.group("col").lower() != dm.group("col2").lower():
+            raise ValueError("DEFINE must compare a column to PREV of itself")
+        if def_col is None:
+            def_col = dm.group("col").lower()
+        elif def_col != dm.group("col").lower():
+            raise ValueError("all DEFINE symbols must use one column")
+        define[dm.group("sym").upper()] = -1 if dm.group("op") == "<" else 1
+    pattern: list[tuple[str, int, bool]] = []  # (symbol, n, exact)
+    for tok in bm.group("pattern").split():
+        qm = _MR_QUANT.match(tok)
+        if qm is None:
+            raise ValueError(f"unsupported PATTERN token: {tok!r}")
+        sym = qm.group("sym").upper()
+        if sym not in define:
+            raise ValueError(f"PATTERN symbol {sym!r} has no DEFINE")
+        if qm.group("plus"):
+            n, exact = 1, False
+        elif qm.group("lo") is not None:
+            n, exact = int(qm.group("lo")), qm.group("comma") is None
+        else:
+            n, exact = 1, True  # bare symbol = exactly one row
+        pattern.append((sym, n, exact))
+    if not pattern:
+        raise ValueError("empty PATTERN")
+    for a, b in zip(pattern, pattern[1:]):
+        if define[a[0]] == define[b[0]]:
+            raise ValueError(
+                "adjacent PATTERN symbols must differ in direction"
+                f" ({a[0]} and {b[0]} both"
+                f" {'fall' if define[a[0]] < 0 else 'rise'})"
+            )
+    measures = []
+    for item in _split_top_level_commas(bm.group("measures")):
+        mm = _MR_MEASURE.match(item.strip())
+        if mm is None:
+            raise ValueError(f"unsupported MEASURES item: {item.strip()!r}")
+        if mm.group("mn"):
+            measures.append(("match_number", None, mm.group("name")))
+        elif mm.group("csym"):
+            measures.append(("count", mm.group("csym").upper(), mm.group("name")))
+        else:
+            mcol = mm.group("mcol").lower()
+            if mcol != order[0].lower():
+                raise ValueError(
+                    "FIRST/LAST measures support the primary ORDER BY column"
+                    f" only (got {mcol!r})"
+                )
+            measures.append(
+                (mm.group("fn").lower(), mm.group("msym").upper(), mm.group("name"))
+            )
+    return {
+        "table": hm.group("table"),
+        "partition_by": part,
+        "order_by": order,
+        "define": define,
+        "def_col": def_col,
+        "pattern": pattern,
+        "measures": measures,
+    }
+
+
+def match_recognize_statement(spark, text: str, tables: dict):  # noqa: ANN001
+    """Execute a MATCH_RECOGNIZE statement VERBATIM by compiling the
+    parsed pattern to the engine's run-relation normal form (the
+    e13/e17 scheme, now a general compiler): per-row direction via
+    lag over (PARTITION BY, ORDER BY), run-length encoding via the
+    gaps-and-islands running sum, one aggregate row per run, then ONE
+    adjacent-run equi-join per pattern leg (run_id + i), with each
+    leg's direction and quantifier as join-side predicates. Matches
+    report per ANSI AFTER MATCH SKIP TO NEXT ROW.
+
+    Scale shape: one shuffle by the partition key builds the run
+    relation (input compressed to ~one row per direction reversal);
+    k pattern legs = k-1 equi-joins on data already clustered by the
+    key — never a rescan of the raw stream, never a cartesian."""
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as F
+
+    spec = parse_match_recognize(text)
+    df = next(
+        d for n, d in tables.items()
+        if n.split(".")[-1].lower() == spec["table"].split(".")[-1].lower()
+    )
+    part, order, col = spec["partition_by"], spec["order_by"], spec["def_col"]
+    w = _W.partitionBy(*part).orderBy(*order)
+    v = F.col(col)
+    dirs = df.withColumn(
+        "__dir",
+        F.when(v < F.lag(col).over(w), -1)
+        .when(v > F.lag(col).over(w), 1)
+        .when(F.lag(col).over(w).isNull(), F.lit(None).cast("int"))
+        .otherwise(0),
+    )
+    numbered = (
+        dirs.withColumn(
+            "__chg",
+            F.when(~F.col("__dir").eqNullSafe(F.lag("__dir").over(w)), 1).otherwise(0),
+        )
+        .filter(F.col("__dir").isNotNull())
+        .withColumn(
+            "__run",
+            F.sum("__chg").over(w.rowsBetween(_W.unboundedPreceding, 0)),
+        )
+    )
+    ord0 = order[0]
+    runs = numbered.groupBy(*part, "__run", "__dir").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.min(ord0).alias("__first"),
+        F.max(ord0).alias("__last"),
+    )
+    out = None
+    for i, (sym, n, exact) in enumerate(spec["pattern"]):
+        q = (F.col("__n") == n) if exact else (F.col("__n") >= n)
+        leg = runs.filter((F.col("__dir") == spec["define"][sym]) & q).select(
+            *[F.col(p).alias(f"__p{j}_{i}") for j, p in enumerate(part)],
+            (F.col("__run") - i).cast("long").alias(f"__m_{i}"),
+            F.col("__n").alias(f"__n_{i}"),
+            F.col("__first").alias(f"__first_{i}"),
+            F.col("__last").alias(f"__last_{i}"),
+        )
+        if out is None:
+            out = leg
+        else:
+            conds = [
+                out[f"__p{j}_0"] == leg[f"__p{j}_{i}"] for j in range(len(part))
+            ] + [out["__m_0"] == leg[f"__m_{i}"]]
+            out = out.join(leg, on=conds)
+    sel = [F.col(f"__p{j}_0").alias(p) for j, p in enumerate(part)]
+    sym_legs: dict[str, list[int]] = {}
+    for i, (sym, _n, _e) in enumerate(spec["pattern"]):
+        sym_legs.setdefault(sym, []).append(i)
+    for kind, sym, name in spec["measures"]:
+        if kind == "match_number":
+            sel.append(F.col("__m_0").alias(name))
+        elif kind == "count":
+            legs = sym_legs.get(sym)
+            if not legs:
+                raise ValueError(f"measure references undefined symbol {sym!r}")
+            expr = F.col(f"__n_{legs[0]}")
+            for i in legs[1:]:
+                expr = expr + F.col(f"__n_{i}")
+            sel.append(expr.cast("long").alias(name))
+        else:  # first / last over that symbol's legs
+            legs = sym_legs.get(sym)
+            if not legs:
+                raise ValueError(f"measure references undefined symbol {sym!r}")
+            cols = (
+                [F.col(f"__first_{i}") for i in legs]
+                if kind == "first"
+                else [F.col(f"__last_{i}") for i in legs]
+            )
+            expr = F.least(*cols) if kind == "first" else F.greatest(*cols)
+            sel.append((expr if len(cols) > 1 else cols[0]).alias(name))
+    return out.select(*sel)
+
+
+def sql_match_recognize(text: str, value_expr: str | None = None) -> str:
+    """DuckDB twin of :func:`match_recognize_statement` — the identical
+    run relation and leg-join chain generated from the same parsed
+    spec, so any accepted statement carries its own oracle.
+    ``value_expr`` optionally substitutes the DEFINE column in the
+    run-building comparisons (e.g. an exact-cents rewrite)."""
+    spec = parse_match_recognize(text)
+    part = ", ".join(spec["partition_by"])
+    order = ", ".join(spec["order_by"])
+    col = value_expr or spec["def_col"]
+    ord0 = spec["order_by"][0]
+    table = spec["table"]
+    legs_sql = []
+    join_sql = []
+    for i, (sym, n, exact) in enumerate(spec["pattern"]):
+        alias = f"l{i}"
+        op = "=" if exact else ">="
+        pred = f"{alias}.__dir = {spec['define'][sym]} AND {alias}.__n {op} {n}"
+        if i == 0:
+            join_sql.append(f"FROM runs {alias}")
+            legs_sql.append(pred)
+        else:
+            keys = " AND ".join(
+                f"{alias}.{p} = l0.{p}" for p in spec["partition_by"]
+            )
+            join_sql.append(
+                f"JOIN runs {alias} ON {keys} AND {alias}.__run = l0.__run + {i}"
+            )
+            legs_sql.append(pred)
+    sym_legs: dict[str, list[int]] = {}
+    for i, (sym, _n, _e) in enumerate(spec["pattern"]):
+        sym_legs.setdefault(sym, []).append(i)
+    meas_sql = []
+    for kind, sym, name in spec["measures"]:
+        if kind == "match_number":
+            meas_sql.append(f"CAST(l0.__run AS BIGINT) AS {name}")
+        elif kind == "count":
+            terms = " + ".join(f"l{i}.__n" for i in sym_legs[sym])
+            meas_sql.append(f"CAST({terms} AS BIGINT) AS {name}")
+        elif kind == "first":
+            terms = ", ".join(f"l{i}.__first" for i in sym_legs[sym])
+            meas_sql.append(
+                f"least({terms}) AS {name}"
+                if len(sym_legs[sym]) > 1
+                else f"{terms} AS {name}"
+            )
+        else:
+            terms = ", ".join(f"l{i}.__last" for i in sym_legs[sym])
+            meas_sql.append(
+                f"greatest({terms}) AS {name}"
+                if len(sym_legs[sym]) > 1
+                else f"{terms} AS {name}"
+            )
+    part_sel = ", ".join(f"l0.{p}" for p in spec["partition_by"])
+    return f"""
+    WITH dirs AS (
+        SELECT *, CASE
+            WHEN {col} < lag({col}) OVER w THEN -1
+            WHEN {col} > lag({col}) OVER w THEN 1
+            WHEN lag({col}) OVER w IS NULL THEN NULL
+            ELSE 0 END AS __dir
+        FROM {table}
+        WINDOW w AS (PARTITION BY {part} ORDER BY {order})
+    ),
+    numbered AS (
+        SELECT *, SUM(__chg) OVER (PARTITION BY {part} ORDER BY {order}
+                                   ROWS UNBOUNDED PRECEDING) AS __run
+        FROM (
+            SELECT *, CASE WHEN __dir IS DISTINCT FROM lag(__dir) OVER w2
+                           THEN 1 ELSE 0 END AS __chg
+            FROM dirs
+            WINDOW w2 AS (PARTITION BY {part} ORDER BY {order})
+        ) WHERE __dir IS NOT NULL
+    ),
+    runs AS (
+        SELECT {part}, __run, __dir,
+               CAST(count(*) AS BIGINT) AS __n,
+               min({ord0}) AS __first, max({ord0}) AS __last
+        FROM numbered GROUP BY {part}, __run, __dir
+    )
+    SELECT {part_sel}, {", ".join(meas_sql)}
+    {" ".join(join_sql)}
+    WHERE {" AND ".join(legs_sql)}
+    """

@@ -5348,6 +5348,69 @@ def e17_match_recognize_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL32_MR_TEXT = """
+SELECT * FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES MATCH_NUMBER() AS match_id,
+           FIRST(down.ts) AS start_ts,
+           LAST(up.ts) AS end_ts,
+           COUNT(down.*) AS n_down,
+           COUNT(up.*) AS n_up
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (DOWN{2,} UP{2,} DOWN{2,} UP{2,})
+  DEFINE DOWN AS value < PREV(value),
+         UP AS value > PREV(value)
+)
+"""
+
+
+def _sql32_oracle() -> str:
+    from ..functions.sqldialect import sql_match_recognize
+
+    return sql_match_recognize(_SQL32_MR_TEXT)
+
+
+@register(
+    "sql32_match_recognize_text",
+    oracle=None,  # assigned below (generated from the same parsed spec)
+    doc="""MATCH_RECOGNIZE accepted VERBATIM — the ANSI/Snowflake
+    row-pattern clause as TEXT, compiled by a general pattern
+    compiler (functions/sqldialect.py:match_recognize_statement)
+    instead of the hand-built e13/e17 plans: PARTITION BY / ORDER BY
+    parsed as written, DEFINE's PREV comparisons become the direction
+    column, the pattern's concatenation of quantified symbols becomes
+    the run-relation chain — one run-length-encoding pass, then ONE
+    adjacent-run equi-join per leg with direction + quantifier
+    predicates ({n,} / {n} / + / bare all supported; adjacent
+    same-direction symbols refuse, as strict PREV defines cannot
+    produce them). MEASURES FIRST/LAST/COUNT aggregate across a
+    symbol's legs (COUNT(DOWN.*) sums both DOWN legs of the W);
+    MATCH_NUMBER() is the run id. ONE scan + one shuffle by the
+    partition key; k legs = k-1 keyed joins over runs (~one row per
+    reversal) — never a rescan, never a cartesian. The oracle is
+    GENERATED from the same parsed spec (sql_match_recognize), so any
+    accepted statement carries its own DuckDB twin — text in, oracle
+    out.""",
+    tags=("sql-surface", "match-recognize", "pattern", "dialect"),
+)
+def sql32_match_recognize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import match_recognize_statement
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    return match_recognize_statement(spark, _SQL32_MR_TEXT, {"events": ev})
+
+
+def _attach_sql32_oracle() -> None:
+    REGISTRY["sql32_match_recognize_text"].oracle = _sql32_oracle()
+
+
+_attach_sql32_oracle()
+
+
 @register(
     "pl_dynamic_table",
     oracle="""

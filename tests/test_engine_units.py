@@ -2101,3 +2101,89 @@ def test_kmv_bounds_contain_exact(spark):
     r2 = K.kmv_set_ops_bounds(tiny, "flag", "key", "A", "R", k=64).first()
     assert r2.theta == 1.0
     assert r2.inter_lb == r2.inter_est == r2.inter_ub == float(r2.exact_inter) == 2.0
+
+
+def test_match_recognize_parser_edges():
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        parse_match_recognize,
+    )
+
+    base = (
+        "SELECT * FROM t MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts "
+        "MEASURES FIRST(a.ts) AS s, COUNT(b.*) AS n ONE ROW PER MATCH "
+        "PATTERN ({pat}) DEFINE a AS v < PREV(v), b AS v > PREV(v))"
+    )
+    spec = parse_match_recognize(base.format(pat="A{2,} B+ A B{3}"))
+    assert spec["pattern"] == [("A", 2, False), ("B", 1, False),
+                               ("A", 1, True), ("B", 3, True)]
+    assert spec["define"] == {"A": -1, "B": 1}
+    for bad, msg in [
+        (base.format(pat="A{2,} A{3,}"), "differ in direction"),
+        (base.format(pat="A|B"), "unsupported PATTERN token"),
+        (base.format(pat="C{2,}"), "no DEFINE"),
+        (base.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+             .format(pat="A B"), "ALL ROWS"),
+        (base.replace("v < PREV(v)", "v < PREV(w)").format(pat="A B"),
+         "PREV of itself"),
+        (base.replace("FIRST(a.ts)", "FIRST(a.v)").format(pat="A B"),
+         "primary ORDER BY column"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            parse_match_recognize(bad)
+
+
+def test_match_recognize_compiler_known_matches(spark):
+    """Constructed series with one known W and one known V; the
+    compiled plan and the generated DuckDB twin must both find exactly
+    them, including bare-symbol exactly-one-row semantics."""
+    import duckdb
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        match_recognize_statement,
+        sql_match_recognize,
+    )
+
+    # user 1: W = down(2) up(2) down(2) up(3); user 2: V only
+    vals1 = [10, 8, 6, 7, 9, 5, 1, 2, 3, 4]
+    vals2 = [5, 3, 4]
+    rows = [(1, i, float(i), float(v)) for i, v in enumerate(vals1)]
+    rows += [(2, i, float(i), float(v)) for i, v in enumerate(vals2)]
+    df = spark.createDataFrame(rows, "u int, eid int, ts double, v double")
+    text = (
+        "SELECT * FROM mr_t MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts "
+        "MEASURES MATCH_NUMBER() AS m, COUNT(down.*) AS nd, COUNT(up.*) AS nu "
+        "ONE ROW PER MATCH PATTERN (DOWN{2,} UP{2,} DOWN{2,} UP{2,}) "
+        "DEFINE DOWN AS v < PREV(v), UP AS v > PREV(v))"
+    )
+    got = {
+        (r.u, r.nd, r.nu)
+        for r in match_recognize_statement(spark, text, {"mr_t": df}).collect()
+    }
+    assert got == {(1, 4, 5)}  # the W for user 1 only; user 2's V is not a W
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW mr_t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({u}, {e}, {t}, {v})" for u, e, t, v in rows)
+        + ") AS x(u, eid, ts, v)"
+    )
+    duck = {
+        tuple(r[:1]) + tuple(r[2:])
+        for r in con.execute(sql_match_recognize(text)).fetchall()
+    }
+    assert duck == {(1, 4, 5)}
+    # bare symbol = exactly one row: DOWN UP{1} finds V-with-1-leg only
+    text_v = (
+        "SELECT * FROM mr_t MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts "
+        "MEASURES COUNT(down.*) AS nd, COUNT(up.*) AS nu "
+        "ONE ROW PER MATCH PATTERN (DOWN UP) "
+        "DEFINE DOWN AS v < PREV(v), UP AS v > PREV(v))"
+    )
+    got_v = {
+        (r.u, r.nd, r.nu)
+        for r in match_recognize_statement(spark, text_v, {"mr_t": df}).collect()
+    }
+    # exactly-one-row legs: user2's V is down(1) up(1) -> matches;
+    # user1's runs are all length >= 2 -> no match
+    assert got_v == {(2, 1, 1)}

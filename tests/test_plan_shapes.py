@@ -521,3 +521,11 @@ def test_sample_system_scans_only_selected_blocks(spark):
     plan = plan_of(spark, "x25_sample_system")
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_match_recognize_text_compiler_stays_keyed(spark):
+    # sql32: the text-compiled pattern chain must match the hand-built
+    # e13/e17 shape — keyed run joins, no cartesian, single user shuffle
+    plan = plan_of(spark, "sql32_match_recognize_text")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
