@@ -1435,6 +1435,90 @@ def parse_stream_ddls(text: str) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# Snowflake SPLIT_TO_TABLE / STRTOK_SPLIT_TO_TABLE
+# ---------------------------------------------------------------------------
+
+_SPLIT_TO_TABLE_RE = re.compile(
+    r",?\s*(?:LATERAL\s+)?(?P<fn>STRTOK_SPLIT_TO_TABLE|SPLIT_TO_TABLE)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def rewrite_split_to_table(sql: str) -> str:
+    """Lower Snowflake ``[LATERAL] SPLIT_TO_TABLE(<expr>, <delim>)
+    <alias>`` (and ``STRTOK_SPLIT_TO_TABLE`` — the any-of-delimiters
+    variant) to ``LATERAL VIEW posexplode(split(...))`` — the string
+    tokenizer half of the FLATTEN family (Snowflake docs group them).
+
+    Column mapping: the alias exposes Snowflake's ``INDEX`` (1-based —
+    unlike FLATTEN's 0-based index) and ``VALUE``; every
+    ``<alias>.index`` reference in the statement is rewritten to the
+    1-based arithmetic over the 0-based posexplode position. SEQ (the
+    global input-row sequence) is not materialized — statements
+    referencing ``<alias>.seq`` refuse. SPLIT_TO_TABLE keeps empty
+    tokens (both engines' split contract); STRTOK drops them and
+    treats the delimiter string as a SET of single-char delimiters,
+    lowered to a regex char class + a filter on empty values. Still a
+    per-row generator: no shuffle, no join at any scale."""
+    out = sql
+    while True:
+        m = _SPLIT_TO_TABLE_RE.search(out)
+        if m is None:
+            return out
+        close = _balanced_span(out, m.end() - 1)
+        args = _split_top_level_commas(out[m.end() : close - 1])
+        if len(args) != 2:
+            raise ValueError("SPLIT_TO_TABLE takes (string, delimiter)")
+        expr, delim = args[0].strip(), args[1].strip()
+        am = _FLATTEN_ALIAS.match(out, close)
+        if am is None or am.group(1).upper() in _SAMPLE_STOP_WORDS:
+            raise ValueError("SPLIT_TO_TABLE requires a table alias")
+        alias = am.group(1)
+        strtok = m.group("fn").upper().startswith("STRTOK")
+        if strtok:
+            if not (len(delim) >= 2 and delim[0] == delim[-1] == "'"):
+                raise ValueError(
+                    "STRTOK_SPLIT_TO_TABLE requires a literal delimiter set"
+                )
+            chars = re.escape(delim[1:-1])
+            split_call = f"split({expr}, '[{chars}]')"
+        else:
+            split_call = f"split({expr}, {delim})"
+        repl = f" LATERAL VIEW posexplode({split_call}) {alias} AS __idx0, value"
+        out = out[: m.start()] + repl + out[am.end() :]
+        if re.search(rf"\b{re.escape(alias)}\.seq\b", out, re.IGNORECASE):
+            raise ValueError(
+                "SPLIT_TO_TABLE SEQ output is not materialized by this shim"
+            )
+        # Snowflake's INDEX is 1-based; rewrite references to the
+        # 0-based posexplode position
+        out = re.sub(
+            rf"\b{re.escape(alias)}\.index\b",
+            f"({alias}.__idx0 + 1)",
+            out,
+            flags=re.IGNORECASE,
+        )
+        if strtok:
+            # STRTOK drops empty tokens (Snowflake contract)
+            out = _append_where(out, f"{alias}.value <> ''")
+
+
+def _append_where(sql: str, pred: str) -> str:
+    """AND ``pred`` into the statement's top-level WHERE (or add one
+    before a trailing GROUP/ORDER/LIMIT, else at the end)."""
+    w = _top_level_keyword(sql, "WHERE")
+    if w >= 0:
+        insert_at = w + len("WHERE")
+        return sql[:insert_at] + f" ({pred}) AND" + sql[insert_at:]
+    cut = len(sql)
+    for kw in ("GROUP", "ORDER", "LIMIT", "HAVING"):
+        k = _top_level_keyword(sql, kw)
+        if 0 <= k < cut:
+            cut = k
+    return sql[:cut] + f" WHERE {pred} " + sql[cut:]
+
+
+# ---------------------------------------------------------------------------
 # Snowflake MATCH_RECOGNIZE (row-pattern matching) text
 # ---------------------------------------------------------------------------
 

@@ -5681,6 +5681,87 @@ def sql6_flatten_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL33_SNOWFLAKE_TEXT = """
+SELECT d.doc_id, s.index AS word_pos, s.value AS word
+FROM documents d, LATERAL SPLIT_TO_TABLE(d.text, ' ') s
+WHERE d.doc_id % 25 = 0 AND s.index <= 8
+"""
+
+
+@register(
+    "sql33_split_to_table",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(g.i + 1 AS BIGINT) AS word_pos,
+           string_split(d.text, ' ')[g.i + 1] AS word
+    FROM documents d,
+         UNNEST(generate_series(0, len(string_split(d.text, ' ')) - 1)) AS g(i)
+    WHERE d.doc_id % 25 = 0 AND g.i + 1 <= 8
+    """,
+    doc="""Snowflake ``LATERAL SPLIT_TO_TABLE(<string>, <delim>)``
+    accepted VERBATIM — the string-tokenizer member of the FLATTEN
+    family (Snowflake's docs group them) and a top data-exploration
+    idiom. Lowering (functions/sqldialect.py:rewrite_split_to_table):
+    ``LATERAL VIEW posexplode(split(...))`` with every ``s.index``
+    reference rewritten to the 1-BASED position Snowflake documents
+    (FLATTEN's index is 0-based — the off-by-one users trip on, now
+    encoded in the shim); empty tokens kept, matching both engines'
+    split; STRTOK_SPLIT_TO_TABLE lowers the delimiter SET to a regex
+    char class + empty-token filter; ``s.seq`` refuses rather than
+    fake a global sequence. Per-row generator: no shuffle, no join at
+    any scale. Same relation as sql6 shifted to 1-based — the oracle
+    states exactly that.""",
+    tags=("sql-surface", "dialect", "flatten", "tokenizer"),
+)
+def sql33_split_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import rewrite_split_to_table
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrite_split_to_table(_SQL33_SNOWFLAKE_TEXT)).select(
+        "doc_id", F.col("word_pos").cast("long").alias("word_pos"), "word"
+    )
+
+
+@register(
+    "f16_listagg",
+    oracle="""
+    SELECT r.r_name,
+           listagg(n.n_name, ';' ORDER BY n.n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="""``LISTAGG(expr, sep) WITHIN GROUP (ORDER BY ...)`` — the
+    Snowflake string-aggregation idiom (report denormalization,
+    debugging group contents). Spark 4 ships listagg natively with
+    the ANSI WITHIN GROUP syntax, so the statement runs as shared
+    text; DuckDB's listagg takes the ORDER BY inline — the one
+    dialect seam, encoded in the oracle. The explicit ORDER BY makes
+    the concatenation deterministic (an unordered LISTAGG is
+    partition-order-dependent — never hashable cross-engine); group
+    sizes here are catalog-bounded (nations per region). At scale
+    LISTAGG concentrates a group's values into one row — fine for
+    bounded groups, a deliberate anti-pattern for unbounded ones
+    (t8's top-k or x21's keyed export are the scale paths).""",
+    tags=("functions", "aggregate", "string"),
+)
+def f16_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               listagg(n.n_name, ';') WITHIN GROUP (ORDER BY n.n_name)
+                   AS nations,
+               CAST(count(*) AS BIGINT) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )
+
+
 _SQL8_SNOWFLAKE_TEXT = """
 SELECT d.doc_id, f.index AS word_pos, f.value AS word
 FROM documents d,

@@ -2187,3 +2187,47 @@ def test_match_recognize_compiler_known_matches(spark):
     # exactly-one-row legs: user2's V is down(1) up(1) -> matches;
     # user1's runs are all length >= 2 -> no match
     assert got_v == {(2, 1, 1)}
+
+
+def test_split_to_table_rewriter(spark):
+    """SPLIT_TO_TABLE lowers to posexplode with 1-BASED index
+    references; STRTOK drops empties and treats the delimiter as a
+    set; SEQ references refuse."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_split_to_table,
+    )
+
+    out = rewrite_split_to_table(
+        "SELECT t.id, s.index, s.value FROM t, LATERAL SPLIT_TO_TABLE(t.txt, ' ') s"
+    )
+    assert "posexplode(split(t.txt, ' ')) s AS __idx0, value" in out
+    assert "(s.__idx0 + 1)" in out and "s.index" not in out
+    # executes: 1-based positions, empty tokens kept
+    spark.createDataFrame([(1, "a  b")], "id int, txt string").createOrReplaceTempView(
+        "stt_t"
+    )
+    rows = spark.sql(
+        rewrite_split_to_table(
+            "SELECT t.id, s.index AS i, s.value AS v FROM stt_t t,"
+            " LATERAL SPLIT_TO_TABLE(t.txt, ' ') s"
+        )
+    ).collect()
+    assert sorted((r.i, r.v) for r in rows) == [(1, "a"), (2, ""), (3, "b")]
+    # STRTOK: delimiter SET, empties dropped
+    rows2 = spark.sql(
+        rewrite_split_to_table(
+            "SELECT t.id, s.index AS i, s.value AS v FROM stt_t t,"
+            " LATERAL STRTOK_SPLIT_TO_TABLE(t.txt, ' b') s"
+        )
+    ).collect()
+    assert sorted(r.v for r in rows2) == ["a"]
+    with _pytest.raises(ValueError, match="SEQ"):
+        rewrite_split_to_table(
+            "SELECT s.seq FROM t, LATERAL SPLIT_TO_TABLE(t.txt, ' ') s"
+        )
+    with _pytest.raises(ValueError, match="alias"):
+        rewrite_split_to_table(
+            "SELECT 1 FROM t, LATERAL SPLIT_TO_TABLE(t.txt, ' ') WHERE x = 1"
+        )
