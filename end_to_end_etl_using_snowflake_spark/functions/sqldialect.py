@@ -1435,6 +1435,56 @@ def parse_stream_ddls(text: str) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# Snowflake VARIANT path access (col:path.sub[0]::type)
+# ---------------------------------------------------------------------------
+
+_VARIANT_PATH_RE = re.compile(
+    r"(?P<base>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*(?<!:):(?!:)\s*"
+    r"(?P<path>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*|\[\d+\])*)"
+)
+
+
+def rewrite_variant_path(sql: str) -> str:
+    """Lower Snowflake VARIANT path access — ``col:seg.seg2[0]`` — to
+    ``get_json_object(col, '$.seg.seg2[0]')``. The single most
+    Snowflake-specific piece of query text there is: every
+    semi-structured query in the reference's ecosystem reads fields
+    this way, usually with a trailing ``::type`` cast, which Spark 4
+    parses natively and therefore passes through untouched (the lowered
+    expression yields the element as text: scalars unquoted, compound
+    values as compact JSON — the FLATTEN/sql30 contract).
+
+    Conservative: the base must be a bare (possibly alias-qualified)
+    identifier and the path identifier segments / [int] indexes —
+    quoted path segments and functions-as-base refuse by not matching.
+    String literals are left untouched (a ``':'`` inside text never
+    rewrites), and ``::`` casts are explicitly not path separators.
+    Pure expression rewriting: pushdown/pruning unaffected at any
+    scale."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    span_start = 0
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            out.append(_VARIANT_PATH_RE.sub(_variant_repl, sql[span_start:i]))
+            j = i + 1
+            while j < n and sql[j] != "'":
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            span_start = i
+        else:
+            i += 1
+    out.append(_VARIANT_PATH_RE.sub(_variant_repl, sql[span_start:]))
+    return "".join(out)
+
+
+def _variant_repl(m: "re.Match[str]") -> str:
+    return f"get_json_object({m.group('base')}, '$.{m.group('path')}')"
+
+
+# ---------------------------------------------------------------------------
 # Snowflake SPLIT_TO_TABLE / STRTOK_SPLIT_TO_TABLE
 # ---------------------------------------------------------------------------
 

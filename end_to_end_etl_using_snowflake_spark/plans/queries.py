@@ -5923,6 +5923,56 @@ def sql13_flatten_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL34_SNOWFLAKE_TEXT = f"""
+SELECT e.event_id,
+       e.obj:meta.et::string AS et,
+       e.obj:meta.bucket AS bucket,
+       e.obj:tags[0]::string AS first_tag,
+       e.obj:meta AS meta_json
+FROM (SELECT event_id, {_SQL13_OBJ} AS obj
+      FROM events WHERE event_id % 101 = 0) e
+"""
+
+
+@register(
+    "sql34_variant_path",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, {_SQL13_OBJ_DUCK} AS obj
+        FROM events WHERE event_id % 101 = 0
+    )
+    SELECT event_id,
+           json_extract_string(obj, '$.meta.et') AS et,
+           json_extract_string(obj, '$.meta.bucket') AS bucket,
+           json_extract_string(obj, '$.tags[0]') AS first_tag,
+           json_extract(obj, '$.meta')::VARCHAR AS meta_json
+    FROM e
+    """,
+    doc="""Snowflake VARIANT path access accepted VERBATIM — the
+    ``col:seg.sub[0]::type`` syntax every semi-structured Snowflake
+    query is written in (the single most dialect-specific construct
+    there is). Lowering
+    (functions/sqldialect.py:rewrite_variant_path): the path becomes
+    ``get_json_object(col, '$.seg.sub[0]')``; the trailing ``::type``
+    cast is Spark-native and passes through untouched; colons inside
+    string literals and ``::`` casts never rewrite (literal-aware
+    scan, unit-pinned). Element text follows the FLATTEN/sql30
+    contract — scalars unquoted, compound subtrees as compact JSON,
+    probed byte-identical to DuckDB's json_extract. Pure expression
+    rewriting: a per-row projection, no shuffle, pushdown untouched
+    at any scale.""",
+    tags=("sql-surface", "dialect", "semi-structured", "variant"),
+)
+def sql34_variant_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import rewrite_variant_path
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrite_variant_path(_SQL34_SNOWFLAKE_TEXT)).select(
+        "event_id", "et", "bucket", "first_tag", "meta_json"
+    )
+
+
 _SQL14_SNOWFLAKE_TEXT = """
 SELECT c_custkey, c_nationkey, LEVEL FROM customer
 START WITH c_custkey BETWEEN 1 AND 9

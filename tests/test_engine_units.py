@@ -2231,3 +2231,30 @@ def test_split_to_table_rewriter(spark):
         rewrite_split_to_table(
             "SELECT 1 FROM t, LATERAL SPLIT_TO_TABLE(t.txt, ' ') WHERE x = 1"
         )
+
+
+def test_variant_path_rewriter_edges(spark):
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_variant_path,
+    )
+
+    out = rewrite_variant_path("SELECT e.obj:meta.et::string FROM t e")
+    assert "get_json_object(e.obj, '$.meta.et')::string" in out
+    # array index inside the path; bare (unqualified) base
+    assert rewrite_variant_path("SELECT obj:tags[2] FROM t") == (
+        "SELECT get_json_object(obj, '$.tags[2]') FROM t"
+    )
+    # colons inside string literals never rewrite
+    s = "SELECT 'a:b' AS lit, ts FROM t WHERE x = 'h:m:s'"
+    assert rewrite_variant_path(s) == s
+    # :: casts are not path separators
+    s2 = "SELECT '5'::int AS x FROM t"
+    assert rewrite_variant_path(s2) == s2
+    # executes end-to-end with the native :: cast
+    spark.createDataFrame(
+        [('{"a": {"b": 7}}',)], "obj string"
+    ).createOrReplaceTempView("vp_t")
+    row = spark.sql(
+        rewrite_variant_path("SELECT obj:a.b::int AS v, obj:a AS sub FROM vp_t")
+    ).first()
+    assert row.v == 7 and row.sub == '{"b":7}'
