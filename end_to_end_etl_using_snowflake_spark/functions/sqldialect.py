@@ -1435,6 +1435,110 @@ def parse_stream_ddls(text: str) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# Snowflake scalar-function dialect pack
+# ---------------------------------------------------------------------------
+
+
+def _dd_day(a: str, b: str) -> str:
+    return f"date_diff(CAST(({b}) AS DATE), CAST(({a}) AS DATE))"
+
+
+_SCALAR_REWRITES = {
+    "IFF": lambda args: (
+        f"CASE WHEN {args[0]} THEN {args[1]} ELSE {args[2]} END"
+        if len(args) == 3
+        else _bad("IFF", args)
+    ),
+    "NVL2": lambda args: (
+        f"CASE WHEN ({args[0]}) IS NOT NULL THEN {args[1]} ELSE {args[2]} END"
+        if len(args) == 3
+        else _bad("NVL2", args)
+    ),
+    "ZEROIFNULL": lambda args: (
+        f"coalesce({args[0]}, 0)" if len(args) == 1 else _bad("ZEROIFNULL", args)
+    ),
+    "NULLIFZERO": lambda args: (
+        f"nullif({args[0]}, 0)" if len(args) == 1 else _bad("NULLIFZERO", args)
+    ),
+    "LEN": lambda args: (
+        f"length({args[0]})" if len(args) == 1 else _bad("LEN", args)
+    ),
+}
+
+
+def _bad(name: str, args: list) -> str:
+    raise ValueError(f"{name} expects a fixed arity, got {len(args)} args")
+
+
+def _decode_rewrite(args: list) -> str:
+    if len(args) < 3:
+        raise ValueError("DECODE needs (expr, search, result [, ...] [, default])")
+    expr, rest = args[0], args[1:]
+    branches = []
+    i = 0
+    while i + 1 < len(rest):
+        # Snowflake DECODE matches NULL to NULL — null-safe equality
+        branches.append(f"WHEN ({expr}) <=> ({rest[i]}) THEN {rest[i + 1]}")
+        i += 2
+    default = f" ELSE {rest[-1]}" if len(rest) % 2 == 1 else ""
+    return "CASE " + " ".join(branches) + default + " END"
+
+
+def _datediff_rewrite(args: list) -> str:
+    if len(args) != 3:
+        raise ValueError("DATEDIFF needs (part, start, end)")
+    part = args[0].strip().strip("'\"").lower()
+    a, b = args[1], args[2]
+    # Snowflake counts date-part BOUNDARIES crossed, not complete
+    # periods — datediff(day, 23:00, next 01:00) = 1
+    if part in {"day", "dd", "days"}:
+        return _dd_day(a, b)
+    if part in {"month", "mm", "months"}:
+        return (
+            f"((year(CAST(({b}) AS DATE)) - year(CAST(({a}) AS DATE))) * 12"
+            f" + (month(CAST(({b}) AS DATE)) - month(CAST(({a}) AS DATE))))"
+        )
+    if part in {"year", "yy", "years"}:
+        return f"(year(CAST(({b}) AS DATE)) - year(CAST(({a}) AS DATE)))"
+    raise ValueError(
+        f"DATEDIFF part {part!r} is not lowered (day/month/year supported;"
+        " sub-day parts need the boundary-count formulation)"
+    )
+
+
+def rewrite_scalar_funcs(sql: str) -> str:
+    """Lower the Snowflake scalar functions OSS Spark's parser lacks —
+    IFF, NVL2, DECODE, ZEROIFNULL, NULLIFZERO, LEN, and DATEDIFF(part,
+    a, b) — to ANSI equivalents, so the everyday Snowflake SELECT runs
+    unchanged. Highest-fidelity details: DECODE uses NULL-SAFE
+    equality (Snowflake's DECODE matches NULL to NULL — a plain CASE
+    x WHEN would silently drop those rows), and DATEDIFF counts
+    date-part BOUNDARIES crossed, not complete periods (Snowflake's
+    documented semantics — ``timestampdiff`` would be wrong by one
+    around midnight). Arguments are parsed with balanced parens /
+    string-literal awareness; nested rewritable calls resolve on
+    subsequent passes. Everything lowered is a per-row expression:
+    pushdown, pruning, and codegen unaffected."""
+    fns = dict(_SCALAR_REWRITES)
+    fns["DECODE"] = _decode_rewrite
+    fns["DATEDIFF"] = _datediff_rewrite
+    head = re.compile(r"\b(" + "|".join(fns) + r")\s*\(", re.IGNORECASE)
+    guard = 0
+    while True:
+        m = head.search(sql)
+        if m is None:
+            return sql
+        guard += 1
+        if guard > 200:
+            raise RuntimeError("rewrite_scalar_funcs did not converge")
+        open_idx = sql.index("(", m.end() - 1)
+        close = _balanced_span(sql, open_idx)
+        args = [a.strip() for a in _split_top_level_commas(sql[open_idx + 1 : close - 1])]
+        repl = fns[m.group(1).upper()](args)
+        sql = sql[: m.start()] + repl + sql[close:]
+
+
+# ---------------------------------------------------------------------------
 # Snowflake VARIANT path access (col:path.sub[0]::type)
 # ---------------------------------------------------------------------------
 

@@ -5762,6 +5762,72 @@ def f16_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_F17_SNOWFLAKE_TEXT = """
+SELECT o_orderpriority,
+       CAST(SUM(IFF(o_orderstatus = 'F', 1, 0)) AS BIGINT) AS n_f,
+       CAST(SUM(NVL2(NULLIF(o_orderstatus, 'P'), 1, 0)) AS BIGINT)
+           AS n_not_pending,
+       CAST(SUM(ZEROIFNULL(NULLIFZERO(o_custkey % 3))) AS BIGINT) AS mod_sum,
+       MAX(DECODE(o_orderstatus, 'F', 'finished', 'O', 'open', 'other'))
+           AS status_word,
+       CAST(MAX(LEN(o_orderpriority)) AS BIGINT) AS prio_len,
+       CAST(MAX(DATEDIFF('day', DATE '1995-01-01', o_orderdate)) AS BIGINT)
+           AS max_day_off,
+       CAST(MAX(DATEDIFF('month', DATE '1995-01-01', o_orderdate)) AS BIGINT)
+           AS max_month_off,
+       CAST(MAX(DATEDIFF('year', DATE '1995-01-01', o_orderdate)) AS BIGINT)
+           AS max_year_off
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "f17_scalar_dialect",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_f,
+           CAST(SUM(CASE WHEN NULLIF(o_orderstatus, 'P') IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_not_pending,
+           CAST(SUM(coalesce(nullif(o_custkey % 3, 0), 0)) AS BIGINT) AS mod_sum,
+           MAX(CASE WHEN o_orderstatus IS NOT DISTINCT FROM 'F' THEN 'finished'
+                    WHEN o_orderstatus IS NOT DISTINCT FROM 'O' THEN 'open'
+                    ELSE 'other' END) AS status_word,
+           CAST(MAX(length(o_orderpriority)) AS BIGINT) AS prio_len,
+           CAST(MAX(datediff('day', DATE '1995-01-01',
+                             CAST(o_orderdate AS DATE))) AS BIGINT)
+               AS max_day_off,
+           CAST(MAX(datediff('month', DATE '1995-01-01',
+                             CAST(o_orderdate AS DATE))) AS BIGINT)
+               AS max_month_off,
+           CAST(MAX(datediff('year', DATE '1995-01-01',
+                             CAST(o_orderdate AS DATE))) AS BIGINT)
+               AS max_year_off
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="""The everyday Snowflake scalar functions OSS Spark's parser
+    lacks, accepted VERBATIM in one statement: IFF, NVL2, DECODE,
+    ZEROIFNULL/NULLIFZERO, LEN, and DATEDIFF(part, a, b)
+    (functions/sqldialect.py:rewrite_scalar_funcs). Fidelity details
+    the naive translations get wrong: DECODE matches NULL to NULL
+    (lowered with null-safe equality, not CASE-WHEN equals) and
+    DATEDIFF counts date-part BOUNDARIES crossed, Snowflake's
+    documented semantics (timestampdiff-style complete periods would
+    be off by one around midnight — the day variant lowers to a DATE
+    subtraction, month/year to boundary arithmetic; DuckDB's
+    datediff shares the boundary convention, which the oracle
+    exercises on all three parts). All per-row expressions: pushdown
+    and codegen untouched.""",
+    tags=("sql-surface", "dialect", "functions"),
+)
+def f17_scalar_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import rewrite_scalar_funcs
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrite_scalar_funcs(_F17_SNOWFLAKE_TEXT))
+
+
 _SQL8_SNOWFLAKE_TEXT = """
 SELECT d.doc_id, f.index AS word_pos, f.value AS word
 FROM documents d,

@@ -2258,3 +2258,39 @@ def test_variant_path_rewriter_edges(spark):
         rewrite_variant_path("SELECT obj:a.b::int AS v, obj:a AS sub FROM vp_t")
     ).first()
     assert row.v == 7 and row.sub == '{"b":7}'
+
+
+def test_scalar_dialect_rewriter(spark):
+    """The Snowflake scalar pack: DECODE is NULL-safe, DATEDIFF counts
+    boundaries (not complete periods), IFF/NVL2/ZEROIFNULL lower to
+    CASE/coalesce; unknown DATEDIFF parts refuse."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_scalar_funcs,
+    )
+
+    out = rewrite_scalar_funcs("SELECT DECODE(x, 1, 'a', NULL, 'n', 'd') FROM t")
+    assert "<=>" in out and out.count("WHEN") == 2 and "ELSE 'd'" in out
+    row = spark.sql(
+        rewrite_scalar_funcs(
+            "SELECT DECODE(CAST(NULL AS INT), 1, 'a', NULL, 'isnull', 'd') AS v, "
+            "DATEDIFF('day', TIMESTAMP '2020-01-01 23:00:00',"
+            " TIMESTAMP '2020-01-02 01:00:00') AS d, "
+            "IFF(2 > 1, 'y', 'n') AS i, "
+            "NVL2(NULL, 'nn', 'isnull') AS n2, "
+            "ZEROIFNULL(CAST(NULL AS INT)) AS z, NULLIFZERO(0) AS nz, "
+            "LEN('abc') AS l, "
+            "DATEDIFF('month', DATE '2020-01-31', DATE '2020-02-01') AS m, "
+            "DATEDIFF('year', DATE '2020-12-31', DATE '2021-01-01') AS y"
+        )
+    ).first()
+    # NULL matches the NULL branch (Snowflake DECODE semantics)
+    assert row.v == "isnull"
+    # 2h window crossing midnight = 1 day boundary (not 0 complete days)
+    assert row.d == 1 and row.m == 1 and row.y == 1
+    assert (row.i, row.n2, row.z, row.nz, row.l) == ("y", "isnull", 0, None, 3)
+    with _pytest.raises(ValueError, match="not lowered"):
+        rewrite_scalar_funcs("SELECT DATEDIFF('hour', a, b) FROM t")
+    with _pytest.raises(ValueError, match="DECODE needs"):
+        rewrite_scalar_funcs("SELECT DECODE(x, 1) FROM t")
