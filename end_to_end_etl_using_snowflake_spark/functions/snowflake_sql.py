@@ -36,7 +36,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .sqldialect import rewrite_flatten, rewrite_qualify
+from .sqldialect import lower_select
 
 
 def _normalize(text: str) -> str:
@@ -175,7 +175,9 @@ def snowflake_sql(spark: SparkSession, text: str, pipelines=None) -> DataFrame:
             text,
             flags=re.IGNORECASE,
         )
-        return spark.sql(rewrite_qualify(rewrite_flatten(rewritten)))
+        return spark.sql(lower_select(rewritten))
 
-    # plain query: QUALIFY/FLATTEN lowering, then Spark SQL verbatim
-    return spark.sql(rewrite_qualify(rewrite_flatten(text)))
+    # plain query: the full composed SELECT lowering (VARIANT paths,
+    # scalar pack, SPLIT_TO_TABLE/FLATTEN/GENERATOR, SAMPLE,
+    # CONNECT BY, QUALIFY), then Spark SQL verbatim
+    return spark.sql(lower_select(text))

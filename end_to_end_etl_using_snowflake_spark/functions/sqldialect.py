@@ -1996,3 +1996,30 @@ def sql_match_recognize(text: str, value_expr: str | None = None) -> str:
     {" ".join(join_sql)}
     WHERE {" AND ".join(legs_sql)}
     """
+
+
+# ---------------------------------------------------------------------------
+# Composed SELECT lowering: paste a Snowflake SELECT, run it
+# ---------------------------------------------------------------------------
+
+
+def lower_select(sql: str) -> str:
+    """Compose every pure-text SELECT rewriter into one lowering — the
+    "paste your Snowflake query" entry point behind
+    ``snowflake_sql()``'s plain-query path. Order matters and is
+    fixed: VARIANT paths first (so later rewriters see plain
+    expressions), then scalar functions, the generator family
+    (SPLIT_TO_TABLE / FLATTEN / GENERATOR), SAMPLE, CONNECT BY, and
+    QUALIFY last (it wraps the final select list). Each rewriter is a
+    no-op when its construct is absent, so any subset composes; the
+    statement executors (MATCH_RECOGNIZE, recursive FLATTEN, ASOF,
+    MERGE/INSERT OVERWRITE, time travel) stay separate because they
+    bind engine objects, not text."""
+    sql = rewrite_variant_path(sql)
+    sql = rewrite_scalar_funcs(sql)
+    sql = rewrite_split_to_table(sql)
+    sql = rewrite_flatten(sql)
+    sql = rewrite_generator(sql)
+    sql = rewrite_sample(sql)
+    sql = rewrite_connect_by(sql)
+    return rewrite_qualify(sql)

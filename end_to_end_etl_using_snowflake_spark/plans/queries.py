@@ -6039,6 +6039,68 @@ def sql34_variant_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one statement exercising FOUR dialect constructs at once — the
+# composed lowering must handle their interactions, not just each
+# construct alone
+_SQL35_SNOWFLAKE_TEXT = f"""
+SELECT e.event_id,
+       e.obj:meta.bucket::string AS bucket,
+       IFF(s.index = 1, 'head', 'tail') AS kind,
+       s.value AS tag
+FROM (SELECT event_id, {_SQL13_OBJ} AS obj,
+             CONCAT(event_type, ',x', CAST(event_id % 7 AS STRING)) AS csv
+      FROM events WHERE event_id % 101 = 0) e,
+     LATERAL SPLIT_TO_TABLE(e.csv, ',') s
+QUALIFY row_number() OVER (PARTITION BY e.event_id ORDER BY s.index) <= 2
+"""
+
+
+@register(
+    "sql35_composed_dialect",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, {_SQL13_OBJ_DUCK} AS obj,
+               CONCAT(event_type, ',x', CAST(event_id % 7 AS VARCHAR)) AS csv
+        FROM events WHERE event_id % 101 = 0
+    ),
+    exploded AS (
+        SELECT event_id,
+               json_extract_string(obj, '$.meta.bucket') AS bucket,
+               CAST(g.i + 1 AS BIGINT) AS idx,
+               string_split(csv, ',')[g.i + 1] AS tag
+        FROM e,
+             UNNEST(generate_series(0, len(string_split(csv, ',')) - 1)) AS g(i)
+    )
+    SELECT event_id, bucket,
+           CASE WHEN idx = 1 THEN 'head' ELSE 'tail' END AS kind, tag
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY idx) AS rn
+          FROM exploded)
+    WHERE rn <= 2
+    """,
+    doc="""The composed Snowflake-SELECT lowering
+    (functions/sqldialect.py:lower_select — now the plain-query path
+    of snowflake_sql()): ONE statement mixing a VARIANT path with a
+    ::cast, IFF, LATERAL SPLIT_TO_TABLE (whose 1-based index feeds
+    both the IFF and the window), and a trailing QUALIFY — four
+    dialect constructs whose REWRITES must compose (variant paths
+    first so later passes see plain expressions, QUALIFY last because
+    it wraps the final select list; each rewriter is a no-op when its
+    construct is absent). This is the "paste your Snowflake query"
+    claim made checkable: the oracle states the same relation in
+    ANSI. Per-row generators + one window — a single shuffle by the
+    QUALIFY partition key at any scale.""",
+    tags=("sql-surface", "dialect", "composed"),
+)
+def sql35_composed_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.snowflake_sql import snowflake_sql
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return snowflake_sql(spark, _SQL35_SNOWFLAKE_TEXT).select(
+        "event_id", "bucket", "kind", "tag"
+    )
+
+
 _SQL14_SNOWFLAKE_TEXT = """
 SELECT c_custkey, c_nationkey, LEVEL FROM customer
 START WITH c_custkey BETWEEN 1 AND 9
