@@ -6039,6 +6039,63 @@ def sql34_variant_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_S8_UNLOAD_TEXT = """
+COPY INTO @export/landing/orders_out FROM (
+    SELECT o_orderkey,
+           o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM orders WHERE o_orderkey % 5 = 0
+) FILE_FORMAT = (TYPE = 'CSV') HEADER = TRUE OVERWRITE = TRUE
+"""
+
+
+@register(
+    "s8_copy_unload",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+    doc="""``COPY INTO @stage FROM (<query>)`` — the UNLOAD direction
+    of S2, executed VERBATIM (sources/copy_into.py:copy_unload): the
+    inner query runs as written, each task writes its own CSV part
+    file under the stage path (Snowflake's data_N_N_N parallel-unload
+    analog — fully distributed, no driver-side row data), HEADER /
+    OVERWRITE / FILE_FORMAT options honored, and ``list @stage`` sees
+    the files like any other stage content. The entry then RE-READS
+    the unloaded files through the stage CSV reader and returns that
+    relation against the source-side oracle — a green row proves the
+    full round trip (write text -> read text -> exact values; columns
+    restricted to exactly-text-representable types, the posture every
+    export pipeline should take). Completes the stage surface in both
+    directions: pipe/COPY loads in (S1-S3), this exports out.""",
+    tags=("sql-surface", "stage", "unload", "reference-surface"),
+)
+def s8_copy_unload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..sources.copy_into import copy_unload, list_stage
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    base = scratch_dir("unload_")
+    out_dir, n_files = copy_unload(spark, _S8_UNLOAD_TEXT, base)
+    listed = [f for f in list_stage(out_dir) if f.endswith(".csv")]
+    if n_files < 1 or len(listed) != n_files:
+        raise RuntimeError(
+            f"unload audit failed: wrote {n_files}, stage lists {len(listed)}"
+        )
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("cents", T.LongType()),
+        T.StructField("order_date", T.DateType()),
+    ])
+    return spark.read.schema(schema).option("header", True).csv(out_dir)
+
+
 # one statement exercising FOUR dialect constructs at once — the
 # composed lowering must handle their interactions, not just each
 # construct alone

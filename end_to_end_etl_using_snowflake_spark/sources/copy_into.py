@@ -104,3 +104,74 @@ def copy_into(
     for p in parts[1:]:
         df = df.unionByName(p)
     return df, new_files
+
+
+
+def parse_copy_unload(text: str) -> dict:
+    """Parse Snowflake's UNLOAD direction — ``COPY INTO @<stage>/<path>
+    FROM (<query>) FILE_FORMAT = (...) [HEADER = TRUE|FALSE]
+    [OVERWRITE = TRUE|FALSE]`` — into ``{stage_path, query,
+    format_options, header, overwrite}``. The reverse of the pipe's
+    COPY (S2): S2 loads stage files into tables, this exports a query
+    back to stage files (the reference ecosystem's hand-off to
+    downstream consumers). Only TYPE='CSV' formats are accepted (the
+    engine's stage format); subqueries parse with balanced parens so
+    nested SELECTs pass through verbatim."""
+    import re
+
+    from ..functions.sqldialect import _balanced_span, _strip_line_comments
+
+    sql = _strip_line_comments(text).strip().rstrip(";")
+    m = re.match(
+        r"COPY\s+INTO\s+@(?P<stage>[\w./]+)\s+FROM\s*\(", sql, re.IGNORECASE
+    )
+    if m is None:
+        raise ValueError(
+            "unsupported COPY unload shape (need COPY INTO @<stage> FROM"
+            " (<query>) FILE_FORMAT = (...))"
+        )
+    open_idx = sql.index("(", m.end() - 1)
+    close = _balanced_span(sql, open_idx)
+    query = sql[open_idx + 1 : close - 1].strip()
+    tail = sql[close:]
+    fm = re.search(r"FILE_FORMAT\s*=\s*\(([^)]*)\)", tail, re.IGNORECASE)
+    if fm is None:
+        raise ValueError("COPY unload requires FILE_FORMAT = (...)")
+    fmt: dict[str, str] = {}
+    for part in fm.group(1).split(","):
+        part = part.strip()
+        if not part:
+            continue
+        k, _, v = part.partition("=")
+        fmt[k.strip().lower()] = v.strip().strip("'\"")
+    if fmt.get("type", "").upper() != "CSV":
+        raise ValueError("COPY unload supports TYPE = 'CSV' only")
+    hm = re.search(r"HEADER\s*=\s*(TRUE|FALSE)", tail, re.IGNORECASE)
+    om = re.search(r"OVERWRITE\s*=\s*(TRUE|FALSE)", tail, re.IGNORECASE)
+    return {
+        "stage_path": m.group("stage"),
+        "query": query,
+        "format_options": fmt,
+        "header": (hm.group(1).upper() == "TRUE") if hm else False,
+        "overwrite": (om.group(1).upper() == "TRUE") if om else False,
+    }
+
+
+def copy_unload(spark: SparkSession, text: str, stage_root: str) -> tuple[str, int]:
+    """Execute a verbatim COPY-unload statement: run the inner query
+    and write it as CSV part files under the named stage path (rooted
+    at ``stage_root`` — the @stage binding, like the pipe DDL's). Each
+    task writes its own file (Snowflake's data_N_N_N parallel unload
+    analog) — fully distributed, no driver-side row data; returns
+    (output_dir, n_data_files). ``list @stage`` sees the written
+    files like any other stage content."""
+    spec = parse_copy_unload(text)
+    out_dir = os.path.join(stage_root, *spec["stage_path"].split("/")[1:])
+    df = spark.sql(spec["query"])
+    writer = df.write.option("header", str(spec["header"]).lower())
+    writer.mode("overwrite" if spec["overwrite"] else "errorifexists").csv(out_dir)
+    n = sum(
+        1 for f in os.listdir(out_dir)
+        if f.endswith(".csv") and not f.startswith((".", "_"))
+    )
+    return out_dir, n

@@ -2294,3 +2294,52 @@ def test_scalar_dialect_rewriter(spark):
         rewrite_scalar_funcs("SELECT DATEDIFF('hour', a, b) FROM t")
     with _pytest.raises(ValueError, match="DECODE needs"):
         rewrite_scalar_funcs("SELECT DECODE(x, 1) FROM t")
+
+
+def test_copy_unload_parser_and_roundtrip(spark, tmp_path):
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.sources.copy_into import (
+        copy_unload,
+        parse_copy_unload,
+    )
+
+    spec = parse_copy_unload(
+        "COPY INTO @ex/a/b FROM (SELECT 1 AS x) "
+        "FILE_FORMAT = (TYPE = 'CSV') HEADER = TRUE"
+    )
+    assert spec["stage_path"] == "ex/a/b" and spec["header"] is True
+    assert spec["query"] == "SELECT 1 AS x" and spec["overwrite"] is False
+    # nested parens in the query survive balanced parsing
+    spec2 = parse_copy_unload(
+        "COPY INTO @ex/q FROM (SELECT coalesce(nullif(1, 0), 2) AS x) "
+        "FILE_FORMAT = (TYPE = 'CSV')"
+    )
+    assert "coalesce(nullif(1, 0), 2)" in spec2["query"]
+    for bad, msg in [
+        ("COPY INTO t FROM (SELECT 1) FILE_FORMAT=(TYPE='CSV')", "unsupported"),
+        ("COPY INTO @s FROM (SELECT 1)", "FILE_FORMAT"),
+        ("COPY INTO @s FROM (SELECT 1) FILE_FORMAT=(TYPE='PARQUET')", "supports TYPE"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            parse_copy_unload(bad)
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").createOrReplaceTempView(
+        "cu_t"
+    )
+    out_dir, n = copy_unload(
+        spark,
+        "COPY INTO @ex/out FROM (SELECT k, v FROM cu_t) "
+        "FILE_FORMAT = (TYPE = 'CSV') HEADER = TRUE OVERWRITE = TRUE",
+        str(tmp_path),
+    )
+    assert n >= 1
+    back = spark.read.option("header", True).csv(out_dir)
+    assert sorted((r.k, r.v) for r in back.collect()) == [("1", "a"), ("2", "b")]
+    # errorifexists honored without OVERWRITE
+    with _pytest.raises(Exception):
+        copy_unload(
+            spark,
+            "COPY INTO @ex/out FROM (SELECT k, v FROM cu_t) "
+            "FILE_FORMAT = (TYPE = 'CSV')",
+            str(tmp_path),
+        )
