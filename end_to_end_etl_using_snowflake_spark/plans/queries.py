@@ -6039,6 +6039,56 @@ def sql34_variant_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "e18_append_only_stream",
+    oracle="""
+    SELECT c_custkey, CONCAT(c_name, '+u') AS name,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer WHERE c_custkey > 600 AND c_custkey <= 1000
+    """,
+    doc="""Snowflake ``CREATE STREAM ... APPEND_ONLY = TRUE`` — the
+    insert-only CDC flavor (fan-out consumers that must never see
+    updates). The replay loads keys 1-600, commits the consumer
+    offset, then applies a second batch that UPDATES keys 401-600 and
+    INSERTS 601-1000; the append-only read must surface exactly the
+    401-key insert set and hide every update. The engine's changelog
+    records batch-level actions, so the insert set is derived
+    honestly: latest unconsumed change per key (DELETEs dropped) LEFT
+    ANTI joined against the pre-offset snapshot's keys
+    (streaming/changelog.py:append_only_stream_read) — _version
+    partition pruning bounds both sides, the anti join is keyed and
+    broadcastable. Oracle: the insert set in closed form from the
+    source rows.""",
+    tags=("streaming", "cdc", "append-only", "stream"),
+)
+def e18_append_only_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.catalog import Warehouse
+    from ..streaming.changelog import append_only_stream_read
+    from .tables import load as _load
+
+    cust = _load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_name").alias("name"),
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("cents"),
+    )
+    base = scratch_dir("aos_")
+    wh = Warehouse(spark, base)
+    tbl = wh.table("stg", "aos_state", cust.schema)
+    batch1 = cust.filter(F.col("c_custkey") <= 600)
+    tbl.overwrite(batch1, changes=batch1, action="INSERT")
+    # the consumer is current as of batch 1
+    _, v1 = tbl.changelog.stream_read("aos")
+    tbl.changelog.stream_commit("aos", v1)
+    # batch 2: updates to 401-600 (name suffixed), inserts 601-1000
+    batch2 = cust.filter(
+        (F.col("c_custkey") > 400) & (F.col("c_custkey") <= 1000)
+    ).withColumn("name", F.concat(F.col("name"), F.lit("+u")))
+    state2 = batch1.filter(F.col("c_custkey") <= 400).unionByName(batch2)
+    tbl.overwrite(state2, changes=batch2)
+    inserts, _v = append_only_stream_read(tbl.changelog, "aos", ["c_custkey"])
+    return inserts.select("c_custkey", "name", "cents")
+
+
 _S8_UNLOAD_TEXT = """
 COPY INTO @export/landing/orders_out FROM (
     SELECT o_orderkey,

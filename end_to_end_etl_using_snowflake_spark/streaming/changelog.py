@@ -190,3 +190,43 @@ def snapshot_as_of(changes: DataFrame, keys, version: int) -> DataFrame:
     return latest.filter(F.col(ACTION_COL) != "DELETE").drop(
         "__rn", ACTION_COL, VERSION_COL
     )
+
+
+def append_only_stream_read(
+    changelog: "Changelog", consumer: str, keys
+) -> tuple[DataFrame, int]:
+    """Snowflake ``CREATE STREAM ... APPEND_ONLY = TRUE`` semantics:
+    the stream surfaces only genuinely NEW rows — updates and deletes
+    to existing keys are invisible (the change-data-capture flavor
+    built for insert-only fan-out consumers, cheaper than full CDC on
+    both engines). The engine's changelog records batch-level actions,
+    not row-level insert-vs-update, so the insert set is DERIVED: the
+    unconsumed change rows (latest per key, DELETEs dropped) LEFT ANTI
+    join the pre-offset snapshot's keys — a row is "appended" iff its
+    key did not exist at the consumer's last commit.
+
+    Scale: _version partition pruning bounds both sides — the
+    unconsumed batch by the offset, the pre-state by snapshot_as_of's
+    pruned replay; the anti join is keyed, batch side broadcastable.
+    Returns (inserts_df with _version, commit_version) like
+    stream_read; offsets commit through the normal stream_commit."""
+    from pyspark.sql import Window
+
+    meta = changelog._read_meta()
+    current = meta["version"]
+    offset = meta["offsets"].get(consumer, 0)
+    if not os.path.exists(changelog.log_path):
+        return None, current
+    all_changes = changelog.spark.read.parquet(changelog.log_path)
+    fresh = all_changes.filter(F.col(VERSION_COL) > offset)
+    # latest unconsumed change per key; a key deleted within the batch
+    # never surfaces
+    w = Window.partitionBy(*keys).orderBy(F.col(VERSION_COL).desc())
+    latest = (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col(ACTION_COL) != "DELETE")
+        .drop("__rn")
+    )
+    pre = snapshot_as_of(all_changes, keys, offset).select(*keys)
+    return latest.join(pre, on=list(keys), how="left_anti"), current

@@ -2343,3 +2343,41 @@ def test_copy_unload_parser_and_roundtrip(spark, tmp_path):
             "FILE_FORMAT = (TYPE = 'CSV')",
             str(tmp_path),
         )
+
+
+def test_append_only_stream_hides_updates_and_deletes(spark, tmp_path):
+    """Append-only semantics against all three change kinds: inserts
+    surface, updates to pre-offset keys hide, a key inserted-then-
+    deleted within the unconsumed window never surfaces."""
+    from end_to_end_etl_using_snowflake_spark.plans.catalog import Warehouse
+    from end_to_end_etl_using_snowflake_spark.streaming.changelog import (
+        append_only_stream_read,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df0 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    tbl = wh.table("stg", "aos_unit", df0.schema)
+    tbl.overwrite(df0, changes=df0, action="INSERT")
+    _, v1 = tbl.changelog.stream_read("c")
+    tbl.changelog.stream_commit("c", v1)
+    # batch: update k=1, insert k=3, insert k=4
+    b2 = spark.createDataFrame([(1, "a2"), (3, "c"), (4, "d")], "k int, v string")
+    tbl.overwrite(
+        spark.createDataFrame(
+            [(1, "a2"), (2, "b"), (3, "c"), (4, "d")], "k int, v string"
+        ),
+        changes=b2,
+    )
+    # then delete k=4 (still unconsumed)
+    d = spark.createDataFrame([(4, "d")], "k int, v string")
+    tbl.overwrite(
+        spark.createDataFrame([(1, "a2"), (2, "b"), (3, "c")], "k int, v string"),
+        changes=d,
+        action="DELETE",
+    )
+    inserts, v = append_only_stream_read(tbl.changelog, "c", ["k"])
+    assert sorted((r.k, r.v) for r in inserts.select("k", "v").collect()) == [(3, "c")]
+    # committing makes the stream empty
+    tbl.changelog.stream_commit("c", v)
+    again, _ = append_only_stream_read(tbl.changelog, "c", ["k"])
+    assert again.count() == 0
