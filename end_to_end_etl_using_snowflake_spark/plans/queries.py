@@ -6039,6 +6039,37 @@ def sql34_variant_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL36_TEXT = """
+SELECT o_orderkey, metric, val
+FROM (SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CAST(o_custkey AS BIGINT) AS cust_key
+      FROM orders WHERE o_orderkey % 101 = 0)
+UNPIVOT (val FOR metric IN (price_cents, cust_key))
+"""
+
+
+@register(
+    "sql36_unpivot_text",
+    oracle=_SQL36_TEXT,
+    doc="""Snowflake ``UNPIVOT (val FOR metric IN (...))`` accepted
+    VERBATIM — the ANSI rotation clause is SHARED TEXT across
+    Snowflake, Spark 4, and DuckDB (like sql1-sql4's surface), so the
+    statement doubles as its own oracle, character for character. p9
+    is the engine-side stack/melt with the same semantics; this pins
+    the text form a Snowflake user would paste. Width-to-length
+    rotation is a per-row generator: no shuffle, no join; the measure
+    columns pre-cast to one type (BIGINT cents) because UNPIVOT
+    requires a common value type on every engine.""",
+    tags=("sql-surface", "dialect", "unpivot", "shared-text"),
+)
+def sql36_unpivot_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL36_TEXT)
+
+
 @register(
     "e18_append_only_stream",
     oracle="""
