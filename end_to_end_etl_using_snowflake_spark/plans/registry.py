@@ -113,14 +113,18 @@ PRIORITY: tuple[str, ...] = (
     "sql26_item_script_replay",
     "sql27_warehouse_script_wedge",
     "sql28_warehouse_script_replay",
-    # padding: stalest r3 greens, evicted as r7 entries land (the
-    # dedup family's d1/d5l were the last two evicted — d-family
-    # entries stay locally oracle-swept every pytest run and rotate
-    # back in next round)
-    "t1_token_stats",
-    "v1_ann_bruteforce_topk",
+    # the last two padding slots went to session-2's new statement
+    # compilers (the predicated-MERGE/DELETE parser rewrite and the
+    # MATCH_RECOGNIZE pattern compiler) — new-machinery verification
+    # outranks re-verification of cumulatively-green padding (t1/v1
+    # and the d-family stay locally oracle-swept every pytest run and
+    # rotate back in r8 along with the other session-2 entries)
+    "sql31_merge_cdc_apply",
+    "sql32_match_recognize_text",
     # ---- 51+: driver-green in r1-r6 and rotated out of the window;
     # all remain locally oracle-checked per pytest run.
+    "t1_token_stats",
+    "v1_ann_bruteforce_topk",
     "d1_dedup_exact",
     "d5l_dedup_embedding_lsh",
     "d2_dedup_ngram_jaccard",

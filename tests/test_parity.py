@@ -58,12 +58,12 @@ def test_driver_prefix_spans_all_operator_families():
         "scan/project/join core": ("p10_", "p8_", "j7_", "j6_"),
         "merge/dml": ("m8_", "m5_", "m7_"),
         "agg-surface": ("a4_", "a5_", "a6_", "a7_"),
-        "text-analysis": ("t1_", "t2_", "t3_", "t4_", "t7_"),
-        # dedup-llm (d1_-d6_) rotated fully out of the r7 window when
-        # sql27/sql28 landed: all d-entries are cumulatively
-        # driver-green (d1-d6 r3, d10/d11 r6) and locally oracle-swept
-        # every pytest run; they rotate back in next round.
-        "similarity": ("v1_", "v2_", "v3_", "v7_"),
+        # text-analysis, similarity, and dedup-llm rotated fully out
+        # of the r7 window: all their entries are cumulatively
+        # driver-green (t/v r1-r6, d1-d6 r3, d10/d11 r6) and locally
+        # oracle-swept every pytest run; the final padding slots went
+        # to session-2's NEW statement compilers (sql31/sql32), and
+        # the rotated-out families return in r8.
         "llm-pipeline": ("x1_", "x2_", "x5_", "llm_corpus"),
         "window-funcs": ("w2_", "e2_", "e4_"),
         "sql-surface": ("sql1_",),
