@@ -55,17 +55,96 @@ def register(
 # similarity / text / multimodal / pipeline) lands inside any reasonable
 # prefix. Names not listed keep insertion order after these.
 PRIORITY: tuple[str, ...] = (
-    # ---- first 50: the driver-checked window. Round-7 rotation:
-    # all 202 entries are cumulatively driver-green (r6 closed the
-    # verification debt), so rotation now serves RE-verification of
-    # the stalest greens. This window = 2-entry always-on core + the
-    # full r1/r2 last-green cohort (25 entries, VERDICT r6 item #3)
-    # + the stalest r3 greens as padding. Round-7 additions land
-    # mid-window and evict padding from the tail, keeping exactly 50.
+    # ---- first 50: the driver-checked window. Round-8 rotation
+    # (VERDICT r7 item #1): 2-entry always-on core + the 12 session-2
+    # entries that have NEVER had a driver check (registered after the
+    # r7 window filled; all locally parity-green at 3 SFs) + the FULL
+    # 31-entry r3-last-green cohort (the stalest cumulative greens)
+    # + 5 r4-stale padding slots chosen for family breadth (agg,
+    # window-frame, sketch, dedup, reshape). Round-8 additions land
+    # mid-window and evict padding one-for-one, keeping exactly 50.
     # Rotated-out entries remain locally oracle-swept every pytest run.
     "flagship_fact_rebuild",
     "pl_dim_customer",
-    # 25-entry r1/r2 stale cohort (17 last-green r1, 8 last-green r2)
+    # 12-entry never-driver-checked session-2 debt (VERDICT r7 Missing #1)
+    "sql29_connect_by_level",
+    "sql30_flatten_recursive",
+    "sql33_split_to_table",
+    "sql34_variant_path",
+    "sql35_composed_dialect",
+    "sql36_unpivot_text",
+    "f16_listagg",
+    "f17_scalar_dialect",
+    "k9_theta_sketch_bounds",
+    "x25_sample_system",
+    "s8_copy_unload",
+    "e18_append_only_stream",
+    # round-8 additions land here (each evicts one tail padding entry)
+    # 31-entry r3-last-green cohort (stalest cumulative greens)
+    "d1_dedup_exact",
+    "d2_dedup_ngram_jaccard",
+    "d3_dedup_minhash_lsh",
+    "d4_dedup_simhash",
+    "d5_dedup_embedding_cosine",
+    "d5l_dedup_embedding_lsh",
+    "d6_dedup_cluster_labels",
+    "e1_tumbling_window_agg",
+    "e3_sessionize_stateful_stream",
+    "e5_session_window_native",
+    "e6_stream_dedup_watermark",
+    "j6_salted_skew_join",
+    "llm_corpus_clean",
+    "m5_cdc_apply_changes",
+    "m7_incremental_fact_merge",
+    "mm1_multimodal_decode",
+    "mm3_feature_extract",
+    "pl_identity_keys",
+    "pl_list_stage",
+    "pl_show_streams",
+    "t1_token_stats",
+    "t2_quality_score",
+    "t3_lang_id",
+    "t4_fingerprint",
+    "t7_repetition_filter",
+    "v1_ann_bruteforce_topk",
+    "v2_ann_lsh_topk",
+    "v3_ann_ivf_topk",
+    "v7_ann_matmul_topk",
+    "x1_asof_join",
+    "x2_leakage_safe_split",
+    # 5 r4-stale padding (family breadth: agg / window / sketch /
+    # dedup / reshape) — evicted one-for-one by round-8 additions
+    "q1_pricing_summary",
+    "w3_range_frame_timeseries",
+    "k1_hll_distinct_sketch",
+    "d7_dedup_stop_shingle",
+    "p9_unpivot",
+    # ---- 51+: driver-green in r1-r7 and rotated out of the window;
+    # all remain locally oracle-checked per pytest run. The r7 window
+    # (verbatim-text replays + r1/r2 cohort) heads this tail.
+    "sql18_reference_merge",
+    "sql19_reference_dim_merge",
+    "sql20_reference_item_merge",
+    "sql21_reference_fact_insert",
+    "sql22_reference_order_merge",
+    "sql23_reference_pipe_ddl",
+    "sql24_reference_task_ddl",
+    "sql25_reference_script_replay",
+    "sql26_item_script_replay",
+    "sql27_warehouse_script_wedge",
+    "sql28_warehouse_script_replay",
+    "sql31_merge_cdc_apply",
+    "sql32_match_recognize_text",
+    "sql12_sample_dialect",
+    "sql13_flatten_path",
+    "k7_tdigest_quantiles",
+    "e17_match_recognize_w",
+    "sql14_connect_by",
+    "sql15_asof_dialect",
+    "k8_kmv_set_ops",
+    "sql16_generator_dialect",
+    "sql17_time_travel_at",
+    "prof4_corr_matrix",
     "a5_rollup",
     "a6_percentile_groups",
     "a7_grouping_sets",
@@ -91,61 +170,6 @@ PRIORITY: tuple[str, ...] = (
     "m8_scd2_merge",
     "w2_window_frames",
     "x5_range_join",
-    # round-7 additions land here (each evicts one tail padding entry)
-    "sql12_sample_dialect",
-    "sql13_flatten_path",
-    "k7_tdigest_quantiles",
-    "e17_match_recognize_w",
-    "sql14_connect_by",
-    "sql15_asof_dialect",
-    "k8_kmv_set_ops",
-    "sql16_generator_dialect",
-    "sql17_time_travel_at",
-    "sql18_reference_merge",
-    "sql19_reference_dim_merge",
-    "prof4_corr_matrix",
-    "sql20_reference_item_merge",
-    "sql21_reference_fact_insert",
-    "sql22_reference_order_merge",
-    "sql23_reference_pipe_ddl",
-    "sql24_reference_task_ddl",
-    "sql25_reference_script_replay",
-    "sql26_item_script_replay",
-    "sql27_warehouse_script_wedge",
-    "sql28_warehouse_script_replay",
-    # the last two padding slots went to session-2's new statement
-    # compilers (the predicated-MERGE/DELETE parser rewrite and the
-    # MATCH_RECOGNIZE pattern compiler) — new-machinery verification
-    # outranks re-verification of cumulatively-green padding (t1/v1
-    # and the d-family stay locally oracle-swept every pytest run and
-    # rotate back in r8 along with the other session-2 entries)
-    "sql31_merge_cdc_apply",
-    "sql32_match_recognize_text",
-    # ---- 51+: driver-green in r1-r6 and rotated out of the window;
-    # all remain locally oracle-checked per pytest run.
-    "t1_token_stats",
-    "v1_ann_bruteforce_topk",
-    "d1_dedup_exact",
-    "d5l_dedup_embedding_lsh",
-    "d2_dedup_ngram_jaccard",
-    "d3_dedup_minhash_lsh",
-    "d4_dedup_simhash",
-    "d6_dedup_cluster_labels",
-    "llm_corpus_clean",
-    "d5_dedup_embedding_cosine",
-    "v2_ann_lsh_topk",
-    "v3_ann_ivf_topk",
-    "v7_ann_matmul_topk",
-    "t2_quality_score",
-    "t3_lang_id",
-    "t4_fingerprint",
-    "t7_repetition_filter",
-    "x1_asof_join",
-    "x2_leakage_safe_split",
-    "j6_salted_skew_join",
-    "m5_cdc_apply_changes",
-    "m7_incremental_fact_merge",
-    "pl_identity_keys",
     "a8_filtered_aggregates",
     "d10_segment_boilerplate",
     "d11_semantic_dedup",
@@ -194,9 +218,6 @@ PRIORITY: tuple[str, ...] = (
     "pl_dim_item",
     "pl_fact_order",
     "pl_task_history",
-    "pl_show_streams",
-    "pl_list_stage",
-    "q1_pricing_summary",
     "f11_array_funcs",
     "q2_min_cost_supplier",
     "q8_market_share",
@@ -258,7 +279,6 @@ PRIORITY: tuple[str, ...] = (
     "q14_promo_revenue",
     "q19_disjunctive_predicates",
     "q22_dormant_accounts",
-    "k1_hll_distinct_sketch",
     "k2_countmin_frequencies",
     "k3_bloom_membership",
     "t5_tfidf_topk",
@@ -266,7 +286,6 @@ PRIORITY: tuple[str, ...] = (
     "t8_vocab_topk",
     "t9_bigram_assoc",
     "t10_bpe_merges",
-    "d7_dedup_stop_shingle",
     "d8_decontaminate",
     "d9_incremental_dedup",
     "x14_content_defined_chunks",
@@ -282,22 +301,14 @@ PRIORITY: tuple[str, ...] = (
     "x9_chunk_documents",
     "x10_source_quality_cap",
     "mm2_frame_sample",
-    "w3_range_frame_timeseries",
     "w4_ntile_distribution",
     "dq1_referential_audit",
-    "p9_unpivot",
     "f13_regex_funcs",
     "f14_explode_generator",
     "sql2_lateral_topk",
     "sql3_window_text",
     "z1_zorder_layout_key",
     "e7_stream_interval_join",
-    "mm1_multimodal_decode",
-    "mm3_feature_extract",
-    "e1_tumbling_window_agg",
-    "e5_session_window_native",
-    "e3_sessionize_stateful_stream",
-    "e6_stream_dedup_watermark",
 )
 
 

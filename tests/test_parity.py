@@ -28,46 +28,54 @@ def test_entry_smoke(spark):
 
 def test_driver_prefix_spans_all_operator_families():
     """The driver's correctness gate checks a PREFIX of queries() (50
-    entries per round so far). Round-7 rotation: all 202 entries are
-    cumulatively driver-green (r6 closed the verification debt), so the
-    window now serves RE-verification of the stalest greens — the full
-    r1/r2 last-green cohort (25 entries, VERDICT r6 item #3) + the
-    2-entry core + stalest-r3 padding that round-7 additions evict
-    one-for-one. Guard both properties: the stale cohort is inside the
-    window (none silently pushed out), and the core pillars stay
-    covered."""
+    entries per round so far). Round-8 rotation (VERDICT r7 item #1):
+    2-entry core + the 12 session-2 entries that had NEVER had a driver
+    check + the full 31-entry r3-last-green cohort + 5 r4-stale padding
+    slots that round-8 additions evict one-for-one. Guard both
+    properties: the debt + stale cohorts are inside the window (none
+    silently pushed out), and the core operator families stay covered."""
     prefix = list(__spark_entry__.queries())[:50]
-    stale_r1_r2 = [
-        "a5_rollup", "a6_percentile_groups", "a7_grouping_sets",
-        "f12_histogram_bins", "f6_date_math", "f7_string_funcs",
-        "f8_conditional_funcs", "f9_json_extract",
-        "j7_outer_join_family", "p10_exists_correlated", "p8_pivot",
-        "q18_large_orders_having", "q3_shipping_priority", "s1_set_ops",
-        "sql1_text_surface", "x3_time_spine_rollup", "x4_snapshot_as_of",
-        "a4_count_distinct", "b1_bucketed_colocated_join",
-        "e2_sessionize", "e4_sliding_window_agg", "f5_string_extract",
-        "m8_scd2_merge", "w2_window_frames", "x5_range_join",
+    never_driver_checked = [
+        "sql29_connect_by_level", "sql30_flatten_recursive",
+        "sql33_split_to_table", "sql34_variant_path",
+        "sql35_composed_dialect", "sql36_unpivot_text",
+        "f16_listagg", "f17_scalar_dialect", "k9_theta_sketch_bounds",
+        "x25_sample_system", "s8_copy_unload", "e18_append_only_stream",
     ]
-    pushed_out = [n for n in stale_r1_r2 if n not in prefix]
+    stale_r3 = [
+        "d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
+        "d4_dedup_simhash", "d5_dedup_embedding_cosine",
+        "d5l_dedup_embedding_lsh", "d6_dedup_cluster_labels",
+        "e1_tumbling_window_agg", "e3_sessionize_stateful_stream",
+        "e5_session_window_native", "e6_stream_dedup_watermark",
+        "j6_salted_skew_join", "llm_corpus_clean", "m5_cdc_apply_changes",
+        "m7_incremental_fact_merge", "mm1_multimodal_decode",
+        "mm3_feature_extract", "pl_identity_keys", "pl_list_stage",
+        "pl_show_streams", "t1_token_stats", "t2_quality_score",
+        "t3_lang_id", "t4_fingerprint", "t7_repetition_filter",
+        "v1_ann_bruteforce_topk", "v2_ann_lsh_topk", "v3_ann_ivf_topk",
+        "v7_ann_matmul_topk", "x1_asof_join", "x2_leakage_safe_split",
+    ]
+    pushed_out = [n for n in never_driver_checked + stale_r3 if n not in prefix]
     assert not pushed_out, (
-        f"stale r1/r2 cohort entries outside the 50-window: {pushed_out}"
+        f"r8 debt/stale cohort entries outside the 50-window: {pushed_out}"
     )
     families = {
         "flagship": ("flagship",),
         "reference-pipeline": ("pl_dim_", "pl_identity_"),
-        "scan/project/join core": ("p10_", "p8_", "j7_", "j6_"),
-        "merge/dml": ("m8_", "m5_", "m7_"),
-        "agg-surface": ("a4_", "a5_", "a6_", "a7_"),
-        # text-analysis, similarity, and dedup-llm rotated fully out
-        # of the r7 window: all their entries are cumulatively
-        # driver-green (t/v r1-r6, d1-d6 r3, d10/d11 r6) and locally
-        # oracle-swept every pytest run; the final padding slots went
-        # to session-2's NEW statement compilers (sql31/sql32), and
-        # the rotated-out families return in r8.
-        "llm-pipeline": ("x1_", "x2_", "x5_", "llm_corpus"),
-        "window-funcs": ("w2_", "e2_", "e4_"),
-        "sql-surface": ("sql1_",),
-        "functions": ("f5_", "f6_", "f7_", "f8_", "f9_", "f12_"),
+        "scan/project/join core": ("j6_", "p9_", "x25_"),
+        "merge/dml": ("m5_", "m7_", "s8_"),
+        "agg-surface": ("q1_", "f16_"),
+        "dedup-llm": ("d1_", "d2_", "d3_", "d4_", "d5", "d6_", "d7_"),
+        "similarity-ann": ("v1_", "v2_", "v3_", "v7_"),
+        "text-analysis": ("t1_", "t2_", "t3_", "t4_", "t7_"),
+        "multimodal": ("mm1_", "mm3_"),
+        "sketches": ("k1_", "k9_"),
+        "streaming": ("e1_", "e3_", "e5_", "e6_", "e18_"),
+        "llm-pipeline": ("x1_", "x2_", "llm_corpus"),
+        "window-funcs": ("w3_",),
+        "sql-surface": ("sql29_", "sql30_", "sql33_", "sql34_", "sql35_", "sql36_"),
+        "functions": ("f16_", "f17_"),
     }
     missing = {
         fam: pfxs
