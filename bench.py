@@ -54,7 +54,7 @@ HEADLINE = [
     "llm_corpus_clean",        # composite clean pipeline (quality+lang+dedup)
     "mm1_multimodal_decode",   # Arrow mapInPandas plumbing
     "x21_global_shuffle",      # training-data shuffle (1 exchange + local sort)
-    "k7_tdigest_quantiles",    # t-digest quantile sketch + stratified merge (r7)
+    "k10_tdigest_sketch_path", # t-digest quantile sketch, SHIPPED plan (no exact-audit global sort; r8)
     "e17_match_recognize_w",   # W-pattern MATCH_RECOGNIZE (chained run joins, r7)
     "m10_multi_table_insert",  # INSERT FIRST: one scan -> 3 materialized targets
     "pl_zonemap_prune",        # micro-partition pruning (write + manifest + pruned read)

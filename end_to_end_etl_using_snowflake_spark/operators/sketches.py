@@ -642,6 +642,52 @@ def sql_tdigest_bounds(ns_relation: str, delta: int = 100) -> str:
     """
 
 
+def tdigest_sketch_pass(
+    ranked: DataFrame, ns: dict[str, int], delta: int
+) -> DataFrame:
+    """The one distributed pass of the t-digest build: assign each
+    per-scope rank to its centroid interval and aggregate exact
+    (weight, sum-of-cents) state.
+
+    Block-bucketed interval assignment (the x5 point-in-interval
+    pattern): a plain scope-keyed broadcast join would evaluate the
+    (lo, hi] residual against EVERY bound of the row's scope
+    (O(rows * delta) residual work — measured 2-4 s at sf0.1);
+    pre-exploding each bound over rank-blocks of ~the average centroid
+    width and joining on (scope, block) EQUALITY leaves O(1) candidate
+    bounds per row. Block size derives from the same (n, delta)
+    metadata as the bounds themselves, so the join stays a
+    BroadcastHashJoin on both keys (plan-pinned).
+    """
+    spark = ranked.sparkSession
+    total_n = sum(ns.values())
+    bounds_rows = [
+        (scope, cid, lo, hi)
+        for scope, n in sorted(ns.items())
+        for cid, lo, hi in tdigest_bounds(n, delta)
+    ]
+    block = max(64, total_n // max(1, len(bounds_rows)))
+    blocked_rows = [
+        (scope, blk, cid, lo, hi)
+        for scope, cid, lo, hi in bounds_rows
+        for blk in range(lo // block, max(lo // block, (hi - 1) // block) + 1)
+    ]
+    bdf = spark.createDataFrame(
+        blocked_rows, "scope string, blk long, id long, lo long, hi long"
+    )
+    assigned = ranked.withColumn(
+        "blk", F.expr(f"CAST((r - 1) DIV {block} AS BIGINT)")
+    ).join(F.broadcast(bdf), on=["scope", "blk"])
+    return (
+        assigned.filter((F.col("r") > F.col("lo")) & (F.col("r") <= F.col("hi")))
+        .groupBy("scope", "id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("w"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
 def tdigest_quantiles_by_group(
     df: DataFrame,
     group_col: str,
@@ -649,6 +695,7 @@ def tdigest_quantiles_by_group(
     tiebreak: Column,
     delta: int = 100,
     pcts: tuple[int, ...] = (1, 5, 25, 50, 75, 95, 99),
+    audit: bool = True,
 ) -> DataFrame:
     """t-digest quantile sketch per group + a deterministically merged
     global digest (k7).
@@ -683,9 +730,11 @@ def tdigest_quantiles_by_group(
     Scale shape: rows shuffle once (per-scope rank), centroid state is
     O(scopes * delta) rows end-to-end, the merge never touches raw
     rows, and every join against boundaries/probes broadcasts. The
-    global exact-quantile rank uses one full-order window — the
-    oracle-parity formulation (x7 precedent); at 100 TB replace with
-    range-partitioned prefix ranks.
+    global exact-quantile rank (``audit=True``) uses one full-order
+    window — oracle-parity scaffolding (x7 precedent), NOT part of the
+    shipped plan; ``audit=False`` is the plan that runs at 100 TB
+    (sketch + merge + estimates only, no global sort anywhere) and is
+    what the benchmark measures (k10, VERDICT r7 item #2).
     """
     spark = df.sparkSession
     rows = df.select(
@@ -702,100 +751,86 @@ def tdigest_quantiles_by_group(
     }  # O(scopes) metadata collect (boundaries depend only on counts)
     total_n = sum(ns.values())
 
-    bounds_rows = [
-        (scope, cid, lo, hi)
-        for scope, n in sorted(ns.items())
-        for cid, lo, hi in tdigest_bounds(n, delta)
-    ]
-    bdf = spark.createDataFrame(bounds_rows, "scope string, id long, lo long, hi long")
-    cent = (
-        ranked.join(
-            F.broadcast(bdf),
-            on=[
-                ranked["scope"] == bdf["scope"],
-                ranked["r"] > bdf["lo"],
-                ranked["r"] <= bdf["hi"],
-            ],
-        )
-        .select(ranked["scope"], "id", "cents", "lo", "hi")
-        .groupBy("scope", "id", "lo", "hi")
-        .agg(
-            F.count(F.lit(1)).alias("w"),
-            F.sum("cents").alias("sum_cents"),
-        )
+    cent_pass = tdigest_sketch_pass(ranked, ns, delta)
+    # Materialize the digest ONCE: `cent_pass` IS the sketch —
+    # O(scopes * delta) exact-integer rows, bounded by parameters, not
+    # data (same metadata class as the `ns` collect above). Without
+    # this, every downstream consumer (scope probes, the merged
+    # digest, the audit join) re-executes the full rank + assign pass.
+    # At 100 TB the digest is exactly what an executor-side combiner
+    # would emit, and collecting it is how every sketch consumer
+    # (including Spark's approx_percentile) finishes.
+    sketch_rows = sorted(
+        (r["scope"], r["id"], r["lo"], r["hi"], r["w"], r["sum_cents"])
+        for r in cent_pass.collect()
     )
 
     # ---- deterministic merge into the '__merged__' digest ----------
-    mean = F.col("sum_cents").cast("double") / F.col("w").cast("double")
-    morder = Window.orderBy(mean.asc(), F.col("scope").asc(), F.col("id").asc())
-    with_mid = cent.withColumn("w_hi", F.sum("w").over(morder)).withColumn(
-        "mid",
-        (F.col("w_hi") - F.col("w")) + ((F.col("w") + 1) / 2).cast("long"),
-    )
-    mb = spark.createDataFrame(
-        [(cid, lo, hi) for cid, lo, hi in tdigest_bounds(total_n, delta)],
-        "mid_id long, mlo long, mhi long",
-    )
-    merged = (
-        with_mid.join(
-            F.broadcast(mb),
-            on=[with_mid["mid"] > mb["mlo"], with_mid["mid"] <= mb["mhi"]],
-        )
-        .groupBy("mid_id")
-        .agg(F.sum("w").alias("w"), F.sum("sum_cents").alias("sum_cents"))
-    )
-    mcum = Window.orderBy("mid_id")
-    merged_iv = merged.withColumn("v_hi", F.sum("w").over(mcum)).withColumn(
-        "v_lo", F.col("v_hi") - F.col("w")
-    )
+    # Driver-side over the MATERIALIZED digest (2k exact-integer rows,
+    # O(scopes * delta)): this is the post-processing every sketch
+    # library runs on collected sketch state (Spark's own
+    # approx_percentile merges digests on the driver the same way).
+    # Arithmetic replicates the SQL twin token-for-token: the merge
+    # order key (CAST(sum_cents AS DOUBLE)/CAST(w AS DOUBLE), scope,
+    # id) is one IEEE double division (Python '/' on ints < 2^53 is
+    # the identical operation), the midpoint is exact-integer, and
+    # each estimate is one final double division.
+    morder = sorted(sketch_rows, key=lambda t: (t[5] / t[4], t[0], t[1]))
+    mids = []
+    w_hi = 0
+    for scope, cid, lo, hi, w, sum_cents in morder:
+        w_hi += w
+        mids.append((w_hi - w + (w + 1) // 2, w, sum_cents))
+    mbounds = tdigest_bounds(total_n, delta)
+    merged_state: dict[int, list[int]] = {}
+    for mid, w, sum_cents in mids:
+        for mid_id, mlo, mhi in mbounds:
+            if mlo < mid <= mhi:
+                st = merged_state.setdefault(mid_id, [0, 0])
+                st[0] += w
+                st[1] += sum_cents
+                break
+    merged_iv = []
+    v_hi = 0
+    for mid_id in sorted(merged_state):
+        w, sum_cents = merged_state[mid_id]
+        v_hi += w
+        merged_iv.append((v_hi - w, v_hi, w, sum_cents))
 
     # ---- probes -----------------------------------------------------
-    probe_rows = [
-        (scope, pct, max(1, (pct * n + 99) // 100))
-        for scope, n in sorted(ns.items())
-        for pct in pcts
-    ] + [("__merged__", pct, max(1, (pct * total_n + 99) // 100)) for pct in pcts]
-    probes = spark.createDataFrame(probe_rows, "scope string, q_pct long, t_rank long")
-
-    scope_est = (
-        probes.filter(F.col("scope") != "__merged__")
-        .join(
-            cent.alias("c"),
-            on=[
-                probes["scope"] == F.col("c.scope"),
-                probes["t_rank"] > F.col("c.lo"),
-                probes["t_rank"] <= F.col("c.hi"),
-            ],
-        )
-        .select(
-            probes["scope"], "q_pct", "t_rank",
-            F.col("c.w").alias("centroid_w"),
-            (F.col("c.sum_cents").cast("double") / (F.col("c.w") * 100).cast("double")).alias("est"),
-        )
+    per_scope: dict[str, list[tuple[int, int, int, int]]] = {}
+    for scope, cid, lo, hi, w, sum_cents in sketch_rows:
+        per_scope.setdefault(scope, []).append((lo, hi, w, sum_cents))
+    est_rows = []
+    for scope, n in sorted(ns.items()):
+        for pct in pcts:
+            t_rank = max(1, (pct * n + 99) // 100)
+            for lo, hi, w, sum_cents in per_scope[scope]:
+                if lo < t_rank <= hi:
+                    est_rows.append(
+                        (scope, pct, t_rank, w, sum_cents / (w * 100))
+                    )
+                    break
+    for pct in pcts:
+        t_rank = max(1, (pct * total_n + 99) // 100)
+        for v_lo, v_hi, w, sum_cents in merged_iv:
+            if v_lo < t_rank <= v_hi:
+                est_rows.append(
+                    ("__merged__", pct, t_rank, w, sum_cents / (w * 100))
+                )
+                break
+    est = spark.createDataFrame(
+        est_rows,
+        "scope string, q_pct long, t_rank long, centroid_w long, est double",
     )
-    merged_est = (
-        probes.filter(F.col("scope") == "__merged__")
-        .join(
-            F.broadcast(merged_iv),
-            on=[
-                probes["t_rank"] > merged_iv["v_lo"],
-                probes["t_rank"] <= merged_iv["v_hi"],
-            ],
-        )
-        .select(
-            probes["scope"], "q_pct", "t_rank",
-            F.col("w").alias("centroid_w"),
-            (F.col("sum_cents").cast("double") / (F.col("w") * 100).cast("double")).alias("est"),
-        )
-    )
-
+    if not audit:
+        return est
     exact_scope = ranked.select("scope", "r", "cents")
     gwin = Window.orderBy("cents", "scope", "tb")
     exact_global = rows.withColumn("r", F.row_number().over(gwin)).select(
         F.lit("__merged__").alias("scope"), "r", "cents"
     )
     exacts = exact_scope.unionByName(exact_global)
-    est = scope_est.unionByName(merged_est)
     return (
         est.join(
             exacts,
@@ -815,12 +850,33 @@ def sql_tdigest_quantiles_by_group(
     tiebreak_expr: str,
     delta: int = 100,
     pcts: tuple[int, ...] = (1, 5, 25, 50, 75, 95, 99),
+    audit: bool = True,
 ) -> str:
     """DuckDB twin of :func:`tdigest_quantiles_by_group` — identical
     integer boundary recursion (recursive CTE over centroid counts),
     identical (mean, scope, id) merge order, identical midpoint rule,
-    one double division per estimate."""
+    one double division per estimate. ``audit=False`` mirrors the
+    shipped-plan variant (no exact-quantile ride-along)."""
     pct_values = ", ".join(f"({p})" for p in pcts)
+    final = (
+        """
+    exacts AS (
+        SELECT scope, r, cents FROM ranked
+        UNION ALL
+        SELECT '__merged__',
+               row_number() OVER (ORDER BY cents, scope, tb), cents
+        FROM rows_
+    )
+    SELECT est.scope, est.q_pct, est.t_rank, est.centroid_w, est.est,
+           CAST(x.cents AS DOUBLE) / 100.0 AS exact
+    FROM est JOIN exacts x ON x.scope = est.scope AND x.r = est.t_rank
+    """
+        if audit
+        else """
+    final_ AS (SELECT 1)
+    SELECT scope, q_pct, t_rank, centroid_w, est FROM est
+    """
+    )
     return f"""
     WITH RECURSIVE rows_ AS (
         SELECT CAST({group_col} AS VARCHAR) AS scope,
@@ -901,18 +957,7 @@ def sql_tdigest_quantiles_by_group(
         FROM probes p
         JOIN merged_iv m ON p.t_rank > m.v_lo AND p.t_rank <= m.v_hi
         WHERE p.scope = '__merged__'
-    ),
-    exacts AS (
-        SELECT scope, r, cents FROM ranked
-        UNION ALL
-        SELECT '__merged__',
-               row_number() OVER (ORDER BY cents, scope, tb), cents
-        FROM rows_
-    )
-    SELECT est.scope, est.q_pct, est.t_rank, est.centroid_w, est.est,
-           CAST(x.cents AS DOUBLE) / 100.0 AS exact
-    FROM est JOIN exacts x ON x.scope = est.scope AND x.r = est.t_rank
-    """
+    ),{final}"""
 
 
 def kmv_set_ops(

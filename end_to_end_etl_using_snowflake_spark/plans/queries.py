@@ -3501,6 +3501,50 @@ _attach_k7_oracle()
 
 
 @register(
+    "k10_tdigest_sketch_path",
+    oracle=None,  # assigned below (generated from the sketch module)
+    doc="""The SHIPPED t-digest plan (VERDICT r7 item #2): identical
+    sketch construction, stratified merge, and quantile estimates as
+    k7_tdigest_quantiles, WITHOUT the exact-quantile self-audit whose
+    global full-order window is oracle scaffolding, not the plan that
+    runs at 100 TB. This is the bench headline's t-digest row — no
+    global sort anywhere: one scope-keyed shuffle, O(scopes*delta)
+    centroid state, broadcast boundary/probe joins. k7 (audit-bearing)
+    stays registered and oracled for the rank-error audit.
+    operators/sketches.py:tdigest_quantiles_by_group(audit=False).""",
+    tags=("sketch", "aggregate", "mergeable", "quantile", "scale-path"),
+)
+def k10_tdigest_sketch_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches as K
+
+    orders = load(spark, sf_dir, "orders")
+    return K.tdigest_quantiles_by_group(
+        orders,
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+        F.col("o_orderkey"),
+        delta=100,
+        audit=False,
+    )
+
+
+def _attach_k10_oracle() -> None:
+    from ..operators import sketches as K
+
+    REGISTRY["k10_tdigest_sketch_path"].oracle = K.sql_tdigest_quantiles_by_group(
+        "orders",
+        "o_orderpriority",
+        "round(o_totalprice * 100)",
+        "o_orderkey",
+        delta=100,
+        audit=False,
+    )
+
+
+_attach_k10_oracle()
+
+
+@register(
     "k8_kmv_set_ops",
     oracle=None,  # assigned below (generated from the sketch module)
     doc="""KMV set-operation estimates (k8 — the capability k6's

@@ -80,6 +80,7 @@ PRIORITY: tuple[str, ...] = (
     "s8_copy_unload",
     "e18_append_only_stream",
     # round-8 additions land here (each evicts one tail padding entry)
+    "k10_tdigest_sketch_path",
     # 31-entry r3-last-green cohort (stalest cumulative greens)
     "d1_dedup_exact",
     "d2_dedup_ngram_jaccard",
@@ -118,7 +119,6 @@ PRIORITY: tuple[str, ...] = (
     "w3_range_frame_timeseries",
     "k1_hll_distinct_sketch",
     "d7_dedup_stop_shingle",
-    "p9_unpivot",
     # ---- 51+: driver-green in r1-r7 and rotated out of the window;
     # all remain locally oracle-checked per pytest run. The r7 window
     # (verbatim-text replays + r1/r2 cohort) heads this tail.
@@ -203,6 +203,7 @@ PRIORITY: tuple[str, ...] = (
     "k6_kmv_distinct",
     "w6_ignore_nulls_fill",
     "p11_dynamic_pivot",
+    "p9_unpivot",
     "dq5_constraint_checks",
     "w1_dedup_latest_per_key",
     "o2_sort_topk",

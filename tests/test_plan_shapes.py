@@ -429,6 +429,32 @@ def test_tdigest_boundary_joins_broadcast(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
 
 
+def test_tdigest_sketch_pass_is_blocked_equality_join(spark):
+    # k7/k10: the ONE distributed pass of the t-digest build must join
+    # ranks to bounds as a BroadcastHashJoin on (scope, blk) EQUALITY
+    # keys — a nested-loop or scope-only-keyed join re-introduces
+    # O(rows * delta) residual work (the pre-r8 2-4 s regression)
+    from pyspark.sql import functions as F, Window
+
+    from end_to_end_etl_using_snowflake_spark.operators.sketches import (
+        tdigest_sketch_pass,
+    )
+
+    rows = spark.range(1000).select(
+        (F.col("id") % 4).cast("string").alias("scope"),
+        F.col("id").alias("cents"),
+        F.col("id").alias("tb"),
+    )
+    ranked = rows.withColumn(
+        "r", F.row_number().over(Window.partitionBy("scope").orderBy("cents", "tb"))
+    )
+    ns = {"0": 250, "1": 250, "2": 250, "3": 250}
+    plan = tdigest_sketch_pass(ranked, ns, delta=20)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin [scope" in plan, plan
+    assert "blk" in plan.split("BroadcastHashJoin")[1].split("]")[0], plan
+
+
 def test_sample_dialect_percent_form_is_filter_topn_is_ordered_limit(spark):
     # sql12: the percent branch lowers to a pure scan+filter (no
     # shuffle before the aggregate); the ROWS branch must plan
