@@ -941,30 +941,62 @@ _AT_TS_RE = re.compile(
     re.IGNORECASE,
 )
 
+_AT_OFFSET_RE = re.compile(
+    r"FROM\s+([A-Za-z_]\w*)\s+AT\s*\(\s*OFFSET\s*=>\s*(-?\d+)\s*\)",
+    re.IGNORECASE,
+)
 
-def parse_time_travel(sql: str) -> tuple[str, str, str]:
-    """Parse Snowflake's ``FROM <table> AT (TIMESTAMP => '<ts>')`` time
-    travel clause; returns ``(clean_sql, table, ts)`` where clean_sql
-    has the AT clause removed (the caller resolves the timestamp to a
-    changelog version via Changelog.version_at, reconstructs the
-    snapshot with snapshot_as_of, registers it under the table name,
-    and runs clean_sql). ``BEFORE``, ``AT(STATEMENT =>)`` and
-    ``AT(OFFSET =>)`` refuse: the changelog indexes commit TIMES, and
-    mistranslating a statement-id or relative-offset form would
+
+def parse_time_travel(sql: str, now: str | None = None) -> tuple[str, str, str]:
+    """Parse Snowflake's ``FROM <table> AT (TIMESTAMP => '<ts>')`` or
+    ``AT (OFFSET => -<seconds>)`` time travel clause; returns
+    ``(clean_sql, table, ts)`` where clean_sql has the AT clause
+    removed (the caller resolves the timestamp to a changelog version
+    via Changelog.version_at, reconstructs the snapshot with
+    snapshot_as_of, registers it under the table name, and runs
+    clean_sql).
+
+    ``AT (OFFSET => -n)`` is "the table state n seconds ago": it
+    resolves to the absolute timestamp ``now + offset`` (offset must
+    be <= 0, as in Snowflake), then time-resolves exactly like the
+    TIMESTAMP form — "latest version whose commit stamp <= now - n".
+    ``now`` is the injectable statement clock (the F1 convention;
+    reference etl_script pipelines stamp current_timestamp the same
+    way) and is REQUIRED for the OFFSET form — a wall-clock default
+    would make the query nondeterministic.
+
+    ``BEFORE`` and ``AT(STATEMENT =>)`` refuse: the changelog indexes
+    commit TIMES, and mistranslating a statement-id form would
     silently read the wrong snapshot.
     """
     up = sql.upper()
     if re.search(r"\bBEFORE\s*\(", up):
         raise ValueError("BEFORE(...) time travel is not supported by this shim")
-    if re.search(r"AT\s*\(\s*(STATEMENT|OFFSET)", up):
+    if re.search(r"AT\s*\(\s*STATEMENT", up):
         raise ValueError(
-            "AT(STATEMENT/OFFSET) is not supported; use AT(TIMESTAMP => ...)"
+            "AT(STATEMENT) is not supported; use AT(TIMESTAMP/OFFSET => ...)"
         )
+    mo = _AT_OFFSET_RE.search(sql)
+    if mo is not None:
+        table, off = mo.group(1), int(mo.group(2))
+        if off > 0:
+            raise ValueError("AT(OFFSET) must be <= 0 (seconds before now)")
+        if now is None:
+            raise ValueError(
+                "AT(OFFSET) needs the statement clock: pass now='<ts>'"
+                " (wall-clock would be nondeterministic)"
+            )
+        import datetime as _dt
+
+        base = _dt.datetime.fromisoformat(now)
+        ts = (base + _dt.timedelta(seconds=off)).strftime("%Y-%m-%d %H:%M:%S")
+        clean = sql[: mo.start()] + f"FROM {table}" + sql[mo.end():]
+        return clean, table, ts
     m = _AT_TS_RE.search(sql)
     if m is None:
         raise ValueError(
-            "no AT (TIMESTAMP => '...') clause found (shim supports the"
-            " FROM <table> AT (TIMESTAMP => '<ts>') form)"
+            "no AT (TIMESTAMP => '...') / AT (OFFSET => -n) clause found"
+            " (shim supports the FROM <table> AT (...) forms)"
         )
     table, ts = m.group(1), m.group(2)
     clean = sql[: m.start()] + f"FROM {table}" + sql[m.end():]

@@ -4841,6 +4841,72 @@ def sql17_time_travel_at(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql37_time_travel_offset",
+    oracle="""
+    SELECT 'offset_recent' AS probe, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round((c_acctbal
+                    + CASE WHEN c_nationkey < 5 THEN 100 ELSE 0 END) * 100)
+                AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer
+    UNION ALL
+    SELECT 'offset_at_v1_edge', CAST(count(*) AS BIGINT),
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'offset_before_history', CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT)
+    FROM customer WHERE FALSE
+    """,
+    doc="""Snowflake ``AT (OFFSET => -n)`` relative time travel
+    accepted verbatim (r8, VERDICT r7 item #3 — the refusal converted
+    to a feature): the offset resolves against the INJECTABLE
+    statement clock (the F1 frozen-clock convention) to an absolute
+    timestamp ``now - n``, then reuses sql17's machinery — greatest
+    stamped changelog version at-or-before it (Changelog.version_at),
+    snapshot_as_of reconstruction, cleaned query over the registered
+    snapshot. Probes with now = 2024-01-05 12:00:00: -3600 s (sees
+    the v2 UPDATE), -4.5 days (lands exactly ON v1's stamp — the inclusive boundary),
+    -10 years (before history: Snowflake's 'did not exist yet' empty
+    table). functions/sqldialect.py:parse_time_travel (OFFSET branch).
+    Scale notes are pl_time_travel's: _version partition pruning,
+    replay shuffles changed keys only.""",
+    tags=("sql-surface", "dialect", "time-travel", "changelog"),
+)
+def sql37_time_travel_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import parse_time_travel
+    from ..streaming.changelog import Changelog, snapshot_as_of
+
+    base = scratch_dir("tt_off_")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    log = Changelog(spark, f"{base}/customer_hist")
+    log.record(cust, "UPSERT", at="2024-01-01 00:00:00")  # v1 load
+    updated = cust.filter(F.col("c_nationkey") < 5).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    log.record(updated, "UPSERT", at="2024-01-02 00:00:00")  # v2 UPDATE
+    changes = spark.read.parquet(log.log_path)
+    now = "2024-01-05 12:00:00"  # frozen statement clock (F1)
+
+    def run(probe: str, text: str) -> DataFrame:
+        clean, table, ts = parse_time_travel(text, now=now)
+        snap = snapshot_as_of(changes, ["c_custkey"], log.version_at(ts))
+        snap.createOrReplaceTempView(table)
+        return spark.sql(clean).select(F.lit(probe).alias("probe"), "*")
+
+    q = (
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents "
+        "FROM customer_hist AT (OFFSET => {off})"
+    )
+    return (
+        run("offset_recent", q.format(off=-3600))
+        .unionByName(run("offset_at_v1_edge", q.format(off=-(4 * 86400 + 12 * 3600))))
+        .unionByName(run("offset_before_history", q.format(off=-315360000)))
+    )
+
+
+@register(
     "pl_undrop",
     oracle="""
     SELECT 'restored' AS phase, CAST(count(*) AS BIGINT) AS n_rows,

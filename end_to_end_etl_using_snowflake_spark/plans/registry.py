@@ -81,6 +81,7 @@ PRIORITY: tuple[str, ...] = (
     "e18_append_only_stream",
     # round-8 additions land here (each evicts one tail padding entry)
     "k10_tdigest_sketch_path",
+    "sql37_time_travel_offset",
     # 31-entry r3-last-green cohort (stalest cumulative greens)
     "d1_dedup_exact",
     "d2_dedup_ngram_jaccard",
@@ -118,7 +119,6 @@ PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "w3_range_frame_timeseries",
     "k1_hll_distinct_sketch",
-    "d7_dedup_stop_shingle",
     # ---- 51+: driver-green in r1-r7 and rotated out of the window;
     # all remain locally oracle-checked per pytest run. The r7 window
     # (verbatim-text replays + r1/r2 cohort) heads this tail.
@@ -287,6 +287,7 @@ PRIORITY: tuple[str, ...] = (
     "t8_vocab_topk",
     "t9_bigram_assoc",
     "t10_bpe_merges",
+    "d7_dedup_stop_shingle",
     "d8_decontaminate",
     "d9_incremental_dedup",
     "x14_content_defined_chunks",

@@ -1663,14 +1663,34 @@ def test_time_travel_at_parser_edges():
     )
     assert clean == "SELECT a FROM hist WHERE a > 1"
     assert (table, ts) == ("hist", "2024-01-02 12:00:00")
-    for bad, msg in [
-        ("SELECT a FROM hist BEFORE (STATEMENT => 'x')", "BEFORE"),
-        ("SELECT a FROM hist AT (STATEMENT => 'x')", "STATEMENT/OFFSET"),
-        ("SELECT a FROM hist AT (OFFSET => -600)", "STATEMENT/OFFSET"),
-        ("SELECT a FROM hist", "no AT"),
+    # OFFSET form (r8, VERDICT r7 item #3): resolves against the
+    # injectable statement clock to an absolute stamp, then time-
+    # resolves exactly like the TIMESTAMP form
+    clean, table, ts = parse_time_travel(
+        "SELECT a FROM hist AT (OFFSET => -600) WHERE a > 1",
+        now="2024-01-02 12:10:00",
+    )
+    assert clean == "SELECT a FROM hist WHERE a > 1"
+    assert (table, ts) == ("hist", "2024-01-02 12:00:00")
+    # day-crossing arithmetic
+    _, _, ts2 = parse_time_travel(
+        "SELECT a FROM hist AT (OFFSET => -86400)", now="2024-03-01 00:00:30"
+    )
+    assert ts2 == "2024-02-29 00:00:30"  # leap-year day back
+    # OFFSET => 0 is 'now'
+    _, _, ts3 = parse_time_travel(
+        "SELECT a FROM hist AT (OFFSET => 0)", now="2024-01-02 12:10:00"
+    )
+    assert ts3 == "2024-01-02 12:10:00"
+    for bad, msg, kw in [
+        ("SELECT a FROM hist BEFORE (STATEMENT => 'x')", "BEFORE", {}),
+        ("SELECT a FROM hist AT (STATEMENT => 'x')", "STATEMENT", {}),
+        ("SELECT a FROM hist AT (OFFSET => -600)", "statement clock", {}),
+        ("SELECT a FROM hist AT (OFFSET => 600)", "<= 0", {"now": "2024-01-01 00:00:00"}),
+        ("SELECT a FROM hist", "no AT", {}),
     ]:
         with _pytest.raises(ValueError, match=msg):
-            parse_time_travel(bad)
+            parse_time_travel(bad, **kw)
 
 
 def test_changelog_version_at(spark, tmp_path):
