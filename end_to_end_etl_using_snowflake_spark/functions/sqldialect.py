@@ -1718,7 +1718,10 @@ _MR_BODY = re.compile(
     r"MEASURES\s+(?P<measures>.+?)\s+"
     r"ONE\s+ROW\s+PER\s+MATCH\s+"
     r"(?:AFTER\s+MATCH\s+SKIP\s+TO\s+NEXT\s+ROW\s+)?"
-    r"PATTERN\s*\(\s*(?P<pattern>[^)]*?)\s*\)\s+"
+    # pattern may itself contain (grouping|alternation) parens, so it
+    # matches lazily up to the ') DEFINE' anchor (DEFINE is always the
+    # last clause in the accepted shape)
+    r"PATTERN\s*\(\s*(?P<pattern>.*?)\s*\)\s+"
     r"DEFINE\s+(?P<define>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1730,6 +1733,147 @@ _MR_DEFINE = re.compile(
 _MR_QUANT = re.compile(
     r"^(?P<sym>[A-Za-z_]\w*)(?:\{(?P<lo>\d+)(?P<comma>,)?\}|(?P<plus>\+))?$"
 )
+_MR_GROUP_QUANT = re.compile(r"^\{(?P<lo>\d+),(?P<hi>\d+)\}")
+
+
+def _mr_leg_token(tok: str, define: dict[str, int]) -> tuple[str, int, bool]:
+    """One pattern symbol with its optional quantifier -> (sym, n, exact)."""
+    qm = _MR_QUANT.match(tok)
+    if qm is None:
+        raise ValueError(f"unsupported PATTERN token: {tok!r}")
+    sym = qm.group("sym").upper()
+    if sym not in define:
+        raise ValueError(f"PATTERN symbol {sym!r} has no DEFINE")
+    if qm.group("plus"):
+        return sym, 1, False
+    if qm.group("lo") is not None:
+        return sym, int(qm.group("lo")), qm.group("comma") is None
+    return sym, 1, True  # bare symbol = exactly one row
+
+
+def _mr_parse_pattern(
+    pat: str, define: dict[str, int]
+) -> list[list[list[tuple[str, int, bool]]]]:
+    """Parse the PATTERN body into match VARIANTS, each a sequence of
+    LEGS, each leg a set of symbol ALTERNATIVES:
+
+    - ``SYM`` / ``SYM+`` / ``SYM{n}`` / ``SYM{n,}`` — a singleton leg
+      (the original grammar).
+    - ``(A|B)`` — ONE leg with alternative symbols (branches may carry
+      their own quantifiers); which branch matched is resolved at
+      runtime by the run's direction, so branches must have DISTINCT
+      directions (same-direction branches are the same predicate under
+      strict PREV defines — ambiguous attribution, refused).
+    - ``(A B){m,n}`` — a grouped sequence repeated m..n times
+      (1 <= m <= n), expanded to one variant per repetition count in
+      GREEDY order (longest first — the ANSI default); at most one
+      quantified group per pattern so greedy preference stays a total
+      order.
+
+    Variants whose adjacency is statically dead (two adjacent legs
+    whose every alternative pair shares a direction — impossible over
+    maximal direction runs) are dropped; that is the pattern's real
+    semantics, not an error, unless NO variant survives.
+    """
+    elems: list[tuple] = []  # ('leg', alts) | ('group', legs, m, n)
+    i, n = 0, len(pat)
+    saw_group = False
+    while i < n:
+        c = pat[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == "(":
+            close = pat.find(")", i)
+            if close < 0:
+                raise ValueError("unbalanced parens in PATTERN")
+            inner = pat[i + 1 : close]
+            if "(" in inner:
+                raise ValueError("nested PATTERN groups are not supported")
+            i = close + 1
+            gq = _MR_GROUP_QUANT.match(pat[i:])
+            if "|" in inner:
+                if gq is not None:
+                    raise ValueError(
+                        "quantified alternation groups are not supported"
+                    )
+                alts = [
+                    _mr_leg_token(b.strip(), define)
+                    for b in inner.split("|")
+                ]
+                dirs = [define[a[0]] for a in alts]
+                if len(set(dirs)) != len(dirs):
+                    raise ValueError(
+                        "alternation branches must have distinct directions"
+                        " (same-direction branches are the same predicate)"
+                    )
+                elems.append(("leg", alts))
+            else:
+                legs = [
+                    [_mr_leg_token(t, define)] for t in inner.split()
+                ]
+                if not legs:
+                    raise ValueError("empty PATTERN group")
+                if gq is None:
+                    elems.extend(("leg", alts) for alts in legs)
+                else:
+                    lo, hi = int(gq.group("lo")), int(gq.group("hi"))
+                    if not (1 <= lo <= hi):
+                        raise ValueError(
+                            "group quantifier needs 1 <= m <= n"
+                        )
+                    if hi - lo > 15:
+                        raise ValueError(
+                            "group quantifier span {m,n} wider than 16"
+                            " is not supported"
+                        )
+                    if saw_group:
+                        raise ValueError(
+                            "at most one quantified group per PATTERN"
+                            " (greedy preference must stay a total order)"
+                        )
+                    saw_group = True
+                    i += gq.end()
+                    elems.append(("group", legs, lo, hi))
+        elif c == ")":
+            raise ValueError("unbalanced parens in PATTERN")
+        else:
+            j = i
+            while j < n and not pat[j].isspace() and pat[j] not in "()|":
+                j += 1
+            elems.append(("leg", [_mr_leg_token(pat[i:j], define)]))
+            i = j
+    if not elems:
+        raise ValueError("empty PATTERN")
+
+    def _expansions() -> list[list[list[tuple[str, int, bool]]]]:
+        g = next((idx for idx, e in enumerate(elems) if e[0] == "group"), None)
+        if g is None:
+            return [[e[1] for e in elems]]
+        prefix = [e[1] for e in elems[:g]]
+        suffix = [e[1] for e in elems[g + 1 :]]
+        _, legs, lo, hi = elems[g]
+        return [
+            prefix + legs * k + suffix for k in range(hi, lo - 1, -1)
+        ]  # greedy: longest first
+
+    variants = []
+    for var in _expansions():
+        dead = False
+        for a, b in zip(var, var[1:]):
+            if all(
+                define[sa[0]] == define[sb[0]] for sa in a for sb in b
+            ):
+                dead = True
+                break
+        if not dead:
+            variants.append(var)
+    if not variants:
+        raise ValueError(
+            "adjacent PATTERN symbols must differ in direction"
+            " (no variant of this pattern can match maximal runs)"
+        )
+    return variants
 _MR_MEASURE = re.compile(
     r"^(?:(?P<fn>FIRST|LAST)\s*\(\s*(?P<msym>[A-Za-z_]\w*)\.(?P<mcol>[A-Za-z_]\w*)\s*\)"
     r"|COUNT\s*\(\s*(?P<csym>[A-Za-z_]\w*)\.\*\s*\)"
@@ -1748,7 +1892,7 @@ def parse_match_recognize(text: str) -> dict:
           MEASURES FIRST(sym.<ordcol>)|LAST(sym.<ordcol>)|COUNT(sym.*)
                    |MATCH_NUMBER() AS name, ...
           ONE ROW PER MATCH [AFTER MATCH SKIP TO NEXT ROW]
-          PATTERN ( SYM[{n,}|{n}|+] ... )
+          PATTERN ( SYM[{n,}|{n}|+] | (A|B) | (SYM ...){m,n} ... )
           DEFINE SYM AS <col> < PREV(<col>), SYM2 AS <col> > PREV(<col>)
         )
 
@@ -1756,8 +1900,11 @@ def parse_match_recognize(text: str) -> dict:
     ('<' falls, '>' rises) — the direction-run normal form; adjacent
     pattern symbols must differ in direction (same-direction neighbors
     would merge into one run, which ANSI pattern concatenation cannot
-    produce under strict PREV defines). ALL ROWS PER MATCH,
-    alternation/grouping, and other SKIP modes refuse loudly."""
+    produce under strict PREV defines). r8 (VERDICT r7 item #4) adds
+    ``(A|B)`` alternation legs (branch resolved at runtime by run
+    direction) and ``(A B){m,n}`` grouped repetition (expanded to
+    greedy-ordered variants — see :func:`_mr_parse_pattern`).
+    ALL ROWS PER MATCH and other SKIP modes refuse loudly."""
     sql = _strip_line_comments(text).strip().rstrip(";")
     hm = _MR_HEAD.search(sql)
     if hm is None:
@@ -1795,30 +1942,13 @@ def parse_match_recognize(text: str) -> dict:
         elif def_col != dm.group("col").lower():
             raise ValueError("all DEFINE symbols must use one column")
         define[dm.group("sym").upper()] = -1 if dm.group("op") == "<" else 1
-    pattern: list[tuple[str, int, bool]] = []  # (symbol, n, exact)
-    for tok in bm.group("pattern").split():
-        qm = _MR_QUANT.match(tok)
-        if qm is None:
-            raise ValueError(f"unsupported PATTERN token: {tok!r}")
-        sym = qm.group("sym").upper()
-        if sym not in define:
-            raise ValueError(f"PATTERN symbol {sym!r} has no DEFINE")
-        if qm.group("plus"):
-            n, exact = 1, False
-        elif qm.group("lo") is not None:
-            n, exact = int(qm.group("lo")), qm.group("comma") is None
-        else:
-            n, exact = 1, True  # bare symbol = exactly one row
-        pattern.append((sym, n, exact))
-    if not pattern:
-        raise ValueError("empty PATTERN")
-    for a, b in zip(pattern, pattern[1:]):
-        if define[a[0]] == define[b[0]]:
-            raise ValueError(
-                "adjacent PATTERN symbols must differ in direction"
-                f" ({a[0]} and {b[0]} both"
-                f" {'fall' if define[a[0]] < 0 else 'rise'})"
-            )
+    variants = _mr_parse_pattern(bm.group("pattern"), define)
+    # Back-compat view: the original flat (sym, n, exact) list when the
+    # pattern has exactly one variant of singleton legs (the pre-r8
+    # grammar); None for alternation / grouped patterns.
+    pattern: list[tuple[str, int, bool]] | None = None
+    if len(variants) == 1 and all(len(alts) == 1 for alts in variants[0]):
+        pattern = [alts[0] for alts in variants[0]]
     measures = []
     for item in _split_top_level_commas(bm.group("measures")):
         mm = _MR_MEASURE.match(item.strip())
@@ -1845,6 +1975,7 @@ def parse_match_recognize(text: str) -> dict:
         "define": define,
         "def_col": def_col,
         "pattern": pattern,
+        "variants": variants,
         "measures": measures,
     }
 
@@ -1898,50 +2029,90 @@ def match_recognize_statement(spark, text: str, tables: dict):  # noqa: ANN001
         F.min(ord0).alias("__first"),
         F.max(ord0).alias("__last"),
     )
-    out = None
-    for i, (sym, n, exact) in enumerate(spec["pattern"]):
-        q = (F.col("__n") == n) if exact else (F.col("__n") >= n)
-        leg = runs.filter((F.col("__dir") == spec["define"][sym]) & q).select(
-            *[F.col(p).alias(f"__p{j}_{i}") for j, p in enumerate(part)],
-            (F.col("__run") - i).cast("long").alias(f"__m_{i}"),
-            F.col("__n").alias(f"__n_{i}"),
-            F.col("__first").alias(f"__first_{i}"),
-            F.col("__last").alias(f"__last_{i}"),
-        )
-        if out is None:
-            out = leg
-        else:
-            conds = [
-                out[f"__p{j}_0"] == leg[f"__p{j}_{i}"] for j in range(len(part))
-            ] + [out["__m_0"] == leg[f"__m_{i}"]]
-            out = out.join(leg, on=conds)
-    sel = [F.col(f"__p{j}_0").alias(p) for j, p in enumerate(part)]
-    sym_legs: dict[str, list[int]] = {}
-    for i, (sym, _n, _e) in enumerate(spec["pattern"]):
-        sym_legs.setdefault(sym, []).append(i)
-    for kind, sym, name in spec["measures"]:
-        if kind == "match_number":
-            sel.append(F.col("__m_0").alias(name))
-        elif kind == "count":
-            legs = sym_legs.get(sym)
-            if not legs:
-                raise ValueError(f"measure references undefined symbol {sym!r}")
-            expr = F.col(f"__n_{legs[0]}")
-            for i in legs[1:]:
-                expr = expr + F.col(f"__n_{i}")
-            sel.append(expr.cast("long").alias(name))
-        else:  # first / last over that symbol's legs
-            legs = sym_legs.get(sym)
-            if not legs:
-                raise ValueError(f"measure references undefined symbol {sym!r}")
-            cols = (
-                [F.col(f"__first_{i}") for i in legs]
-                if kind == "first"
-                else [F.col(f"__last_{i}") for i in legs]
+    def build_variant(var, vrank):
+        out = None
+        for i, alts in enumerate(var):
+            cond = None
+            for sym, n, exact in alts:
+                q = (F.col("__n") == n) if exact else (F.col("__n") >= n)
+                c = (F.col("__dir") == spec["define"][sym]) & q
+                cond = c if cond is None else (cond | c)
+            leg = runs.filter(cond).select(
+                *[F.col(p).alias(f"__p{j}_{i}") for j, p in enumerate(part)],
+                (F.col("__run") - i).cast("long").alias(f"__m_{i}"),
+                F.col("__n").alias(f"__n_{i}"),
+                F.col("__first").alias(f"__first_{i}"),
+                F.col("__last").alias(f"__last_{i}"),
+                F.col("__dir").alias(f"__d_{i}"),
             )
-            expr = F.least(*cols) if kind == "first" else F.greatest(*cols)
-            sel.append((expr if len(cols) > 1 else cols[0]).alias(name))
-    return out.select(*sel)
+            if out is None:
+                out = leg
+            else:
+                conds = [
+                    out[f"__p{j}_0"] == leg[f"__p{j}_{i}"] for j in range(len(part))
+                ] + [out["__m_0"] == leg[f"__m_{i}"]]
+                out = out.join(leg, on=conds)
+        sel = [F.col(f"__p{j}_0").alias(p) for j, p in enumerate(part)]
+        # (leg index, unconditional?) per symbol: an alternation leg
+        # contributes to a symbol's measure only when the matched run's
+        # direction IS that symbol's (ANSI: un-participating symbols
+        # yield NULL for FIRST/LAST, 0 for COUNT)
+        sym_legs: dict[str, list[tuple[int, bool]]] = {}
+        for i, alts in enumerate(var):
+            for sym, _n, _e in alts:
+                sym_legs.setdefault(sym, []).append((i, len(alts) == 1))
+        for kind, sym, name in spec["measures"]:
+            if kind == "match_number":
+                sel.append(F.col("__m_0").alias(name))
+                continue
+            legs = sym_legs.get(sym)
+            if not legs:
+                raise ValueError(f"measure references undefined symbol {sym!r}")
+            d = spec["define"][sym]
+            if kind == "count":
+                expr = None
+                for i, uncond in legs:
+                    term = (
+                        F.col(f"__n_{i}")
+                        if uncond
+                        else F.when(F.col(f"__d_{i}") == d, F.col(f"__n_{i}")).otherwise(F.lit(0))
+                    )
+                    expr = term if expr is None else expr + term
+                sel.append(expr.cast("long").alias(name))
+            else:  # first / last over that symbol's legs
+                src = "__first" if kind == "first" else "__last"
+                cols = [
+                    F.col(f"{src}_{i}")
+                    if uncond
+                    else F.when(F.col(f"__d_{i}") == d, F.col(f"{src}_{i}"))
+                    for i, uncond in legs
+                ]
+                expr = (
+                    cols[0]
+                    if len(cols) == 1
+                    else (F.least(*cols) if kind == "first" else F.greatest(*cols))
+                )
+                sel.append(expr.alias(name))
+        if len(spec["variants"]) > 1:
+            sel.append(F.col("__m_0").alias("__start"))
+            sel.append(F.lit(vrank).alias("__v"))
+        return out.select(*sel)
+
+    variants = spec["variants"]
+    if len(variants) == 1:
+        return build_variant(variants[0], 0)
+    # Greedy selection across variants (ANSI: quantifiers prefer the
+    # longest match from a given start): variants were expanded longest
+    # first, so per (partition key, start run) keep the lowest rank.
+    unioned = build_variant(variants[0], 0)
+    for vrank, var in enumerate(variants[1:], start=1):
+        unioned = unioned.unionByName(build_variant(var, vrank))
+    wv = _W.partitionBy(*part, "__start").orderBy("__v")
+    return (
+        unioned.withColumn("__rk", F.row_number().over(wv))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "__start", "__v")
+    )
 
 
 def sql_match_recognize(text: str, value_expr: str | None = None) -> str:
@@ -1956,48 +2127,89 @@ def sql_match_recognize(text: str, value_expr: str | None = None) -> str:
     col = value_expr or spec["def_col"]
     ord0 = spec["order_by"][0]
     table = spec["table"]
-    legs_sql = []
-    join_sql = []
-    for i, (sym, n, exact) in enumerate(spec["pattern"]):
-        alias = f"l{i}"
-        op = "=" if exact else ">="
-        pred = f"{alias}.__dir = {spec['define'][sym]} AND {alias}.__n {op} {n}"
-        if i == 0:
-            join_sql.append(f"FROM runs {alias}")
-            legs_sql.append(pred)
-        else:
-            keys = " AND ".join(
-                f"{alias}.{p} = l0.{p}" for p in spec["partition_by"]
-            )
-            join_sql.append(
-                f"JOIN runs {alias} ON {keys} AND {alias}.__run = l0.__run + {i}"
-            )
-            legs_sql.append(pred)
-    sym_legs: dict[str, list[int]] = {}
-    for i, (sym, _n, _e) in enumerate(spec["pattern"]):
-        sym_legs.setdefault(sym, []).append(i)
-    meas_sql = []
-    for kind, sym, name in spec["measures"]:
-        if kind == "match_number":
-            meas_sql.append(f"CAST(l0.__run AS BIGINT) AS {name}")
-        elif kind == "count":
-            terms = " + ".join(f"l{i}.__n" for i in sym_legs[sym])
-            meas_sql.append(f"CAST({terms} AS BIGINT) AS {name}")
-        elif kind == "first":
-            terms = ", ".join(f"l{i}.__first" for i in sym_legs[sym])
-            meas_sql.append(
-                f"least({terms}) AS {name}"
-                if len(sym_legs[sym]) > 1
-                else f"{terms} AS {name}"
-            )
-        else:
-            terms = ", ".join(f"l{i}.__last" for i in sym_legs[sym])
-            meas_sql.append(
-                f"greatest({terms}) AS {name}"
-                if len(sym_legs[sym]) > 1
-                else f"{terms} AS {name}"
-            )
     part_sel = ", ".join(f"l0.{p}" for p in spec["partition_by"])
+    multi = len(spec["variants"]) > 1
+
+    def variant_select(var, vrank: int) -> str:
+        legs_sql = []
+        join_sql = []
+        for i, alts in enumerate(var):
+            alias = f"l{i}"
+            branches = []
+            for sym, n, exact in alts:
+                op = "=" if exact else ">="
+                branches.append(
+                    f"({alias}.__dir = {spec['define'][sym]}"
+                    f" AND {alias}.__n {op} {n})"
+                )
+            pred = " OR ".join(branches)
+            if i == 0:
+                join_sql.append(f"FROM runs {alias}")
+            else:
+                keys = " AND ".join(
+                    f"{alias}.{p} = l0.{p}" for p in spec["partition_by"]
+                )
+                join_sql.append(
+                    f"JOIN runs {alias} ON {keys} AND {alias}.__run = l0.__run + {i}"
+                )
+            legs_sql.append(f"({pred})" if len(branches) > 1 else pred)
+        sym_legs: dict[str, list[tuple[int, bool]]] = {}
+        for i, alts in enumerate(var):
+            for sym, _n, _e in alts:
+                sym_legs.setdefault(sym, []).append((i, len(alts) == 1))
+        meas_sql = []
+        for kind, sym, name in spec["measures"]:
+            if kind == "match_number":
+                meas_sql.append(f"CAST(l0.__run AS BIGINT) AS {name}")
+                continue
+            legs = sym_legs[sym]
+            d = spec["define"][sym]
+            if kind == "count":
+                terms = " + ".join(
+                    f"l{i}.__n"
+                    if uncond
+                    else f"(CASE WHEN l{i}.__dir = {d} THEN l{i}.__n ELSE 0 END)"
+                    for i, uncond in legs
+                )
+                meas_sql.append(f"CAST({terms} AS BIGINT) AS {name}")
+            else:
+                src = "__first" if kind == "first" else "__last"
+                fn = "least" if kind == "first" else "greatest"
+                terms = ", ".join(
+                    f"l{i}.{src}"
+                    if uncond
+                    else f"(CASE WHEN l{i}.__dir = {d} THEN l{i}.{src} END)"
+                    for i, uncond in legs
+                )
+                meas_sql.append(
+                    f"{fn}({terms}) AS {name}"
+                    if len(legs) > 1
+                    else f"{terms} AS {name}"
+                )
+        extra = (
+            f", CAST(l0.__run AS BIGINT) AS __start, {vrank} AS __v" if multi else ""
+        )
+        return (
+            f"SELECT {part_sel}, {', '.join(meas_sql)}{extra}\n"
+            f"    {' '.join(join_sql)}\n"
+            f"    WHERE {' AND '.join(legs_sql)}"
+        )
+
+    if not multi:
+        var_sql = variant_select(spec["variants"][0], 0)
+    else:
+        # greedy pick per (partition, start run): variants are emitted
+        # longest-first, keep the lowest __v (ANSI greedy quantifier)
+        unions = "\n    UNION ALL\n    ".join(
+            variant_select(var, vrank)
+            for vrank, var in enumerate(spec["variants"])
+        )
+        keys = ", ".join(spec["partition_by"])
+        var_sql = (
+            f"SELECT * EXCLUDE (__start, __v) FROM (\n    {unions}\n    )\n"
+            f"    QUALIFY row_number() OVER (PARTITION BY {keys}, __start"
+            f" ORDER BY __v) = 1"
+        )
     return f"""
     WITH dirs AS (
         SELECT *, CASE
@@ -2024,9 +2236,7 @@ def sql_match_recognize(text: str, value_expr: str | None = None) -> str:
                min({ord0}) AS __first, max({ord0}) AS __last
         FROM numbered GROUP BY {part}, __run, __dir
     )
-    SELECT {part_sel}, {", ".join(meas_sql)}
-    {" ".join(join_sql)}
-    WHERE {" AND ".join(legs_sql)}
+    {var_sql}
     """
 
 

@@ -5521,6 +5521,96 @@ def _attach_sql32_oracle() -> None:
 _attach_sql32_oracle()
 
 
+_SQL38_MR_ALT = """
+SELECT * FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES MATCH_NUMBER() AS match_id,
+           COUNT(down.*) AS n_down,
+           COUNT(up.*) AS n_up,
+           FIRST(down.ts) AS first_down_ts,
+           LAST(up.ts) AS last_up_ts
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN ((DOWN{4,}|UP{4,}))
+  DEFINE DOWN AS value < PREV(value),
+         UP AS value > PREV(value)
+)
+"""
+
+_SQL38_MR_GRP = """
+SELECT * FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES MATCH_NUMBER() AS match_id,
+           COUNT(down.*) AS n_down,
+           COUNT(up.*) AS n_up,
+           FIRST(down.ts) AS first_down_ts,
+           LAST(up.ts) AS last_up_ts
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN ((DOWN{2,} UP{2,}){1,2})
+  DEFINE DOWN AS value < PREV(value),
+         UP AS value > PREV(value)
+)
+"""
+
+
+@register(
+    "sql38_match_recognize_alt",
+    oracle=None,  # assigned below (generated from the same parsed specs)
+    doc="""MATCH_RECOGNIZE alternation + grouped repetition from TEXT
+    (r8, VERDICT r7 item #4 — the two pattern-grammar refusals
+    converted to features over the existing run relation):
+
+    - ``(DOWN{4,}|UP{4,})`` — an ALTERNATION leg: one leg matching
+      either direction, the branch resolved at runtime by the run's
+      direction; measures attribute to the branch that actually ran
+      (un-participating symbols yield COUNT 0 / FIRST-LAST NULL, the
+      ANSI rule) — "flag every big move either way" in one statement.
+    - ``(DOWN{2,} UP{2,}){1,2}`` — a GROUPED quantifier: the V-shape
+      repeated once or twice (V or W), expanded to variants in greedy
+      order (ANSI quantifiers prefer the longest match) and deduped
+      per (partition, start run) by variant rank — a W is never also
+      reported as its V prefix.
+
+    Both statements run verbatim through the same pattern compiler
+    (functions/sqldialect.py:_mr_parse_pattern /
+    match_recognize_statement) and each GENERATES its own DuckDB twin
+    (sql_match_recognize), so the oracle covers branch attribution
+    AND greedy variant selection bit-exactly. Scale shape unchanged
+    from sql32: one shuffle builds the run relation (Spark reuses the
+    exchange across variants), k-leg variants are k-1 keyed run
+    joins, greedy dedupe is a window over match starts — never a
+    rescan, never a cartesian.""",
+    tags=("sql-surface", "match-recognize", "pattern", "dialect"),
+)
+def sql38_match_recognize_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import match_recognize_statement
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    alt = match_recognize_statement(spark, _SQL38_MR_ALT, {"events": ev})
+    grp = match_recognize_statement(spark, _SQL38_MR_GRP, {"events": ev})
+    return alt.select(F.lit("alt").alias("probe"), "*").unionByName(
+        grp.select(F.lit("grp").alias("probe"), "*")
+    )
+
+
+def _attach_sql38_oracle() -> None:
+    from ..functions.sqldialect import sql_match_recognize
+
+    REGISTRY["sql38_match_recognize_alt"].oracle = (
+        f"SELECT 'alt' AS probe, * FROM ({sql_match_recognize(_SQL38_MR_ALT)})"
+        " UNION ALL "
+        f"SELECT 'grp' AS probe, * FROM ({sql_match_recognize(_SQL38_MR_GRP)})"
+    )
+
+
+_attach_sql38_oracle()
+
+
 @register(
     "pl_dynamic_table",
     oracle="""

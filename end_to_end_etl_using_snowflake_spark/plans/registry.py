@@ -82,6 +82,7 @@ PRIORITY: tuple[str, ...] = (
     # round-8 additions land here (each evicts one tail padding entry)
     "k10_tdigest_sketch_path",
     "sql37_time_travel_offset",
+    "sql38_match_recognize_alt",
     # 31-entry r3-last-green cohort (stalest cumulative greens)
     "d1_dedup_exact",
     "d2_dedup_ngram_jaccard",
@@ -118,7 +119,6 @@ PRIORITY: tuple[str, ...] = (
     # dedup / reshape) — evicted one-for-one by round-8 additions
     "q1_pricing_summary",
     "w3_range_frame_timeseries",
-    "k1_hll_distinct_sketch",
     # ---- 51+: driver-green in r1-r7 and rotated out of the window;
     # all remain locally oracle-checked per pytest run. The r7 window
     # (verbatim-text replays + r1/r2 cohort) heads this tail.
@@ -280,6 +280,7 @@ PRIORITY: tuple[str, ...] = (
     "q14_promo_revenue",
     "q19_disjunctive_predicates",
     "q22_dormant_accounts",
+    "k1_hll_distinct_sketch",
     "k2_countmin_frequencies",
     "k3_bloom_membership",
     "t5_tfidf_topk",

@@ -2139,10 +2139,31 @@ def test_match_recognize_parser_edges():
     assert spec["pattern"] == [("A", 2, False), ("B", 1, False),
                                ("A", 1, True), ("B", 3, True)]
     assert spec["define"] == {"A": -1, "B": 1}
+    # r8 grammar: alternation legs and grouped repetition
+    spec_alt = parse_match_recognize(base.format(pat="(A{2,}|B+) A"))
+    assert spec_alt["pattern"] is None
+    assert spec_alt["variants"] == [
+        [[("A", 2, False), ("B", 1, False)], [("A", 1, True)]]
+    ]
+    spec_grp = parse_match_recognize(base.format(pat="(A+ B+){1,3}"))
+    assert spec_grp["variants"] == [  # greedy: longest first
+        [[("A", 1, False)], [("B", 1, False)]] * 3,
+        [[("A", 1, False)], [("B", 1, False)]] * 2,
+        [[("A", 1, False)], [("B", 1, False)]],
+    ]
+    # statically-dead variants drop (repetition boundary A..A), live ones stay
+    spec_dead = parse_match_recognize(base.format(pat="(A+ B+ A+){1,2}"))
+    assert len(spec_dead["variants"]) == 1  # only k=1 survives
     for bad, msg in [
         (base.format(pat="A{2,} A{3,}"), "differ in direction"),
         (base.format(pat="A|B"), "unsupported PATTERN token"),
         (base.format(pat="C{2,}"), "no DEFINE"),
+        (base.format(pat="(A|B){1,2}"), "quantified alternation"),
+        (base.format(pat="(A|A{2})"), "distinct directions"),
+        (base.format(pat="((A B)){1,2}"), "nested"),
+        (base.format(pat="(A B){0,2}"), "1 <= m <= n"),
+        (base.format(pat="(A B){1,2} (B A){1,2}"), "one quantified group"),
+        (base.format(pat="(A A){1,2}"), "differ in direction"),
         (base.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
              .format(pat="A B"), "ALL ROWS"),
         (base.replace("v < PREV(v)", "v < PREV(w)").format(pat="A B"),
@@ -2207,6 +2228,69 @@ def test_match_recognize_compiler_known_matches(spark):
     # exactly-one-row legs: user2's V is down(1) up(1) -> matches;
     # user1's runs are all length >= 2 -> no match
     assert got_v == {(2, 1, 1)}
+
+
+def test_match_recognize_alternation_and_group(spark):
+    """r8 grammar: (A B){m,n} greedy grouped repetition and (A|B)
+    alternation with runtime symbol attribution — Spark plan and the
+    generated DuckDB twin must agree on both."""
+    import duckdb
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        match_recognize_statement,
+        sql_match_recognize,
+    )
+
+    # user 1: W = d(2) u(2) d(2) u(3); user 2: V = d(1) u(1)
+    vals1 = [10, 8, 6, 7, 9, 5, 1, 2, 3, 4]
+    vals2 = [5, 3, 4]
+    rows = [(1, i, float(i), float(v)) for i, v in enumerate(vals1)]
+    rows += [(2, i, float(i), float(v)) for i, v in enumerate(vals2)]
+    df = spark.createDataFrame(rows, "u int, eid int, ts double, v double")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW mr_t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({u}, {e}, CAST({t} AS DOUBLE), CAST({v} AS DOUBLE))"
+            for u, e, t, v in rows
+        )
+        + ") AS x(u, eid, ts, v)"
+    )
+    # grouped repetition, greedy: (DOWN+ UP+){1,2} = V or W, W preferred
+    text_g = (
+        "SELECT * FROM mr_t MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts "
+        "MEASURES MATCH_NUMBER() AS m, COUNT(down.*) AS nd, COUNT(up.*) AS nu "
+        "ONE ROW PER MATCH PATTERN ((DOWN+ UP+){1,2}) "
+        "DEFINE DOWN AS v < PREV(v), UP AS v > PREV(v))"
+    )
+    got = sorted(
+        (r.u, r.m, r.nd, r.nu)
+        for r in match_recognize_statement(spark, text_g, {"mr_t": df}).collect()
+    )
+    # user1 start run1: greedy takes the W (not the V prefix);
+    # start run3: only the trailing V remains; user2: its V
+    assert got == [(1, 1, 4, 5), (1, 3, 2, 3), (2, 1, 1, 1)]
+    duck = sorted(tuple(r) for r in con.execute(sql_match_recognize(text_g)).fetchall())
+    assert duck == got
+    # alternation with runtime attribution: leg0 matches either
+    # direction; measures attribute to the branch that actually ran
+    text_a = (
+        "SELECT * FROM mr_t MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts "
+        "MEASURES COUNT(down.*) AS nd, COUNT(up.*) AS nu, "
+        "FIRST(up.ts) AS fu, LAST(down.ts) AS ld "
+        "ONE ROW PER MATCH PATTERN ((DOWN+|UP+) DOWN{2}) "
+        "DEFINE DOWN AS v < PREV(v), UP AS v > PREV(v))"
+    )
+    got_a = sorted(
+        (r.u, r.nd, r.nu, r.fu, r.ld)
+        for r in match_recognize_statement(spark, text_a, {"mr_t": df}).collect()
+    )
+    # only user1's u(2) at ts3-4 followed by d(2) at ts5-6 matches:
+    # COUNT(down.*) counts ONLY the down leg (leg0 ran as UP),
+    # FIRST(up.ts)=3.0, LAST(down.ts)=6.0
+    assert got_a == [(1, 2, 2, 3.0, 6.0)]
+    duck_a = sorted(tuple(r) for r in con.execute(sql_match_recognize(text_a)).fetchall())
+    assert duck_a == got_a
 
 
 def test_split_to_table_rewriter(spark):
