@@ -1538,6 +1538,142 @@ def _datediff_rewrite(args: list) -> str:
     )
 
 
+_WITHIN_GROUP_RE = re.compile(
+    r"\s*WITHIN\s+GROUP\s*\(", re.IGNORECASE
+)
+_ORDER_BY_BODY_RE = re.compile(
+    r"^\s*ORDER\s+BY\s+(?P<expr>.+?)\s*(?P<dir>ASC|DESC)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def rewrite_semi_structured(sql: str) -> str:
+    """Lower the Snowflake semi-structured construction idioms to
+    Spark's JSON-text VARIANT convention (the sql30/sql34 contract:
+    VARIANT = compact JSON text), keys in canonical alphabetical
+    order — byte-identical to ``TO_JSON(OBJECT_CONSTRUCT(...))`` in
+    Snowflake, which sorts object keys:
+
+    - ``OBJECT_CONSTRUCT('k1', v1, 'k2', v2, ...)`` (literal keys) ->
+      ``to_json(named_struct(...))`` with pairs sorted by key;
+      NULL-valued pairs are OMITTED (Snowflake's default, and exactly
+      Spark to_json's default ignoreNullFields behavior).
+    - ``OBJECT_CONSTRUCT_KEEP_NULL(...)`` -> same with
+      ``map('ignoreNullFields', 'false')`` so nulls render as
+      ``"k":null``.
+    - ``OBJECT_AGG(k, v)`` -> ``to_json(map_from_entries(filter(
+      array_sort(array_agg(named_struct('key', k, 'value', v))), ...)))``
+      — deterministic alphabetical key order; pairs with NULL key or
+      value omitted (Snowflake's documented rule).
+    - ``ARRAY_AGG([DISTINCT] x) WITHIN GROUP (ORDER BY e [ASC|DESC])``
+      -> ``array_sort(array_agg(x))`` when e is x itself (reverse()
+      for DESC), else the struct-sort-project form
+      ``transform(array_sort(array_agg(named_struct('o', e, 'v', x))),
+      s -> s.v)``; DISTINCT is supported only in the self-ordered
+      form (the struct carrier would dedupe (e, x) pairs, not x).
+
+    ``OBJECT_CONSTRUCT(*)`` and non-literal keys refuse loudly
+    (star-expansion needs schema binding, and a computed key cannot be
+    canonically sorted at rewrite time). Everything lowered is a
+    per-row / per-group expression: pushdown, partial aggregation, and
+    codegen are unaffected; no shuffle is added beyond the aggregate
+    the user already wrote."""
+    # ---- ARRAY_AGG ... WITHIN GROUP --------------------------------
+    head = re.compile(r"\bARRAY_AGG\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = head.search(sql, pos)
+        if m is None:
+            break
+        open_idx = sql.index("(", m.end() - 1)
+        close = _balanced_span(sql, open_idx)
+        arg = sql[open_idx + 1 : close - 1].strip()
+        wg = _WITHIN_GROUP_RE.match(sql[close:])
+        if wg is None:
+            pos = close
+            continue
+        wg_open = close + wg.end() - 1
+        wg_close = _balanced_span(sql, wg_open)
+        ob = _ORDER_BY_BODY_RE.match(sql[wg_open + 1 : wg_close - 1])
+        if ob is None:
+            raise ValueError("WITHIN GROUP needs (ORDER BY <expr> [ASC|DESC])")
+        order_expr = ob.group("expr").strip()
+        desc = (ob.group("dir") or "ASC").upper() == "DESC"
+        distinct = re.match(r"^DISTINCT\s+(?P<x>.+)$", arg, re.IGNORECASE | re.DOTALL)
+        x = (distinct.group("x") if distinct else arg).strip()
+        if order_expr.lower() == x.lower():
+            inner = f"array_agg({'DISTINCT ' if distinct else ''}{x})"
+            repl = f"array_sort({inner})"
+        else:
+            if distinct:
+                raise ValueError(
+                    "ARRAY_AGG(DISTINCT x) WITHIN GROUP supports ORDER BY x"
+                    " only (a struct carrier would dedupe (order, x) pairs)"
+                )
+            # 'on' (order-key-is-null) leads the struct so NULL order
+            # keys sort LAST (Snowflake's ASC default); NULL aggregated
+            # values are dropped (ARRAY_AGG skips them — the plain
+            # array_agg path gets this for free, the struct carrier
+            # must filter)
+            repl = (
+                f"transform(array_sort(filter(array_agg(named_struct("
+                f"'on', ({order_expr}) IS NULL, 'o', {order_expr},"
+                f" 'v', {x})), s -> s.v IS NOT NULL)), s -> s.v)"
+            )
+        if desc:
+            repl = f"reverse({repl})"
+        sql = sql[: m.start()] + repl + sql[wg_close:]
+        pos = m.start() + len(repl)
+
+    # ---- OBJECT_CONSTRUCT[_KEEP_NULL] ------------------------------
+    head = re.compile(
+        r"\b(?P<fn>OBJECT_CONSTRUCT(?:_KEEP_NULL)?)\s*\(", re.IGNORECASE
+    )
+    while True:
+        m = head.search(sql)
+        if m is None:
+            break
+        open_idx = sql.index("(", m.end() - 1)
+        close = _balanced_span(sql, open_idx)
+        args = [a.strip() for a in _split_top_level_commas(sql[open_idx + 1 : close - 1])]
+        if len(args) == 1 and args[0] == "*":
+            raise ValueError("OBJECT_CONSTRUCT(*) needs schema binding; list the keys")
+        if len(args) % 2 != 0 or not args:
+            raise ValueError("OBJECT_CONSTRUCT needs (key, value) pairs")
+        pairs = []
+        for k, v in zip(args[::2], args[1::2]):
+            km = re.match(r"^'(?P<k>[^']*)'$", k)
+            if km is None:
+                raise ValueError(
+                    f"OBJECT_CONSTRUCT key must be a string literal: {k!r}"
+                )
+            pairs.append((km.group("k"), v))
+        pairs.sort(key=lambda p: p[0])  # Snowflake canonical key order
+        body = ", ".join(f"'{k}', {v}" for k, v in pairs)
+        keep = m.group("fn").upper().endswith("KEEP_NULL")
+        opts = ", map('ignoreNullFields', 'false')" if keep else ""
+        sql = sql[: m.start()] + f"to_json(named_struct({body}){opts})" + sql[close:]
+
+    # ---- OBJECT_AGG ------------------------------------------------
+    head = re.compile(r"\bOBJECT_AGG\s*\(", re.IGNORECASE)
+    while True:
+        m = head.search(sql)
+        if m is None:
+            return sql
+        open_idx = sql.index("(", m.end() - 1)
+        close = _balanced_span(sql, open_idx)
+        args = [a.strip() for a in _split_top_level_commas(sql[open_idx + 1 : close - 1])]
+        if len(args) != 2:
+            raise ValueError("OBJECT_AGG needs (key, value)")
+        k, v = args
+        repl = (
+            f"to_json(map_from_entries(filter(array_sort(array_agg("
+            f"named_struct('key', {k}, 'value', {v}))),"
+            f" s -> s.key IS NOT NULL AND s.value IS NOT NULL)))"
+        )
+        sql = sql[: m.start()] + repl + sql[close:]
+
+
 def rewrite_scalar_funcs(sql: str) -> str:
     """Lower the Snowflake scalar functions OSS Spark's parser lacks —
     IFF, NVL2, DECODE, ZEROIFNULL, NULLIFZERO, LEN, and DATEDIFF(part,
@@ -2250,7 +2386,9 @@ def lower_select(sql: str) -> str:
     "paste your Snowflake query" entry point behind
     ``snowflake_sql()``'s plain-query path. Order matters and is
     fixed: VARIANT paths first (so later rewriters see plain
-    expressions), then scalar functions, the generator family
+    expressions), then the semi-structured constructors
+    (OBJECT_CONSTRUCT / OBJECT_AGG / ARRAY_AGG WITHIN GROUP, r8),
+    scalar functions, the generator family
     (SPLIT_TO_TABLE / FLATTEN / GENERATOR), SAMPLE, CONNECT BY, and
     QUALIFY last (it wraps the final select list). Each rewriter is a
     no-op when its construct is absent, so any subset composes; the
@@ -2258,6 +2396,7 @@ def lower_select(sql: str) -> str:
     MERGE/INSERT OVERWRITE, time travel) stay separate because they
     bind engine objects, not text."""
     sql = rewrite_variant_path(sql)
+    sql = rewrite_semi_structured(sql)
     sql = rewrite_scalar_funcs(sql)
     sql = rewrite_split_to_table(sql)
     sql = rewrite_flatten(sql)

@@ -83,6 +83,7 @@ PRIORITY: tuple[str, ...] = (
     "k10_tdigest_sketch_path",
     "sql37_time_travel_offset",
     "sql38_match_recognize_alt",
+    "f18_semi_structured_agg",
     # 31-entry r3-last-green cohort (stalest cumulative greens)
     "d1_dedup_exact",
     "d2_dedup_ngram_jaccard",
@@ -117,7 +118,6 @@ PRIORITY: tuple[str, ...] = (
     "x2_leakage_safe_split",
     # 5 r4-stale padding (family breadth: agg / window / sketch /
     # dedup / reshape) — evicted one-for-one by round-8 additions
-    "q1_pricing_summary",
     "w3_range_frame_timeseries",
     # ---- 51+: driver-green in r1-r7 and rotated out of the window;
     # all remain locally oracle-checked per pytest run. The r7 window
@@ -220,6 +220,7 @@ PRIORITY: tuple[str, ...] = (
     "pl_fact_order",
     "pl_task_history",
     "f11_array_funcs",
+    "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q8_market_share",
     "q9_product_profit",

@@ -2293,6 +2293,64 @@ def test_match_recognize_alternation_and_group(spark):
     assert duck_a == got_a
 
 
+def test_semi_structured_rewriter(spark):
+    """OBJECT_CONSTRUCT sorts literal keys and drops nulls (KEEP_NULL
+    keeps them); OBJECT_AGG emits alphabetical keys and skips null
+    pairs; ARRAY_AGG WITHIN GROUP handles self-order, other-column
+    order (null keys last, null values skipped), DESC, and DISTINCT;
+    malformed forms refuse."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_semi_structured,
+    )
+
+    out = spark.sql(
+        rewrite_semi_structured(
+            "SELECT OBJECT_CONSTRUCT('z', 1, 'a', 'x', 'm', NULL) AS o1,"
+            " OBJECT_CONSTRUCT_KEEP_NULL('z', 1, 'a', NULL) AS o2"
+        )
+    ).first()
+    assert out.o1 == '{"a":"x","z":1}'  # sorted keys, null dropped
+    assert out.o2 == '{"a":null,"z":1}'
+    rows = (
+        spark.sql(
+            rewrite_semi_structured(
+                "SELECT k, OBJECT_AGG(name, val) AS obj,"
+                " TO_JSON(ARRAY_AGG(name) WITHIN GROUP (ORDER BY name DESC)) AS names_desc,"
+                " TO_JSON(ARRAY_AGG(DISTINCT val) WITHIN GROUP (ORDER BY val)) AS vals,"
+                " TO_JSON(ARRAY_AGG(name) WITHIN GROUP (ORDER BY val ASC)) AS by_val"
+                " FROM VALUES (1,'b',10),(1,'a',20),(1,'c',NULL),(1,NULL,5),(1,'a2',20)"
+                " t(k,name,val) GROUP BY k"
+            )
+        )
+        .first()
+    )
+    assert rows.obj == '{"a":20,"a2":20,"b":10}'  # null key + null value skipped
+    assert rows.names_desc == '["c","b","a2","a"]'
+    assert rows.vals == "[5,10,20]"
+    # order-by-val: b(10), a/a2(20, name tiebreak), c(null key LAST),
+    # null name skipped entirely
+    assert rows.by_val == '["b","a","a2","c"]'
+    for bad, msg in [
+        ("SELECT OBJECT_CONSTRUCT(*) FROM t", "schema binding"),
+        ("SELECT OBJECT_CONSTRUCT('a') FROM t", "pairs"),
+        ("SELECT OBJECT_CONSTRUCT(k, 1) FROM t", "string literal"),
+        ("SELECT OBJECT_AGG(a, b, c) FROM t", "OBJECT_AGG needs"),
+        (
+            "SELECT ARRAY_AGG(DISTINCT x) WITHIN GROUP (ORDER BY y) FROM t",
+            "ORDER BY x only",
+        ),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            rewrite_semi_structured(bad)
+    # plain ARRAY_AGG without WITHIN GROUP passes through untouched
+    assert (
+        rewrite_semi_structured("SELECT ARRAY_AGG(x) FROM t")
+        == "SELECT ARRAY_AGG(x) FROM t"
+    )
+
+
 def test_split_to_table_rewriter(spark):
     """SPLIT_TO_TABLE lowers to posexplode with 1-BASED index
     references; STRTOK drops empties and treats the delimiter as a
