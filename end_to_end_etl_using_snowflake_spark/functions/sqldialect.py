@@ -777,9 +777,10 @@ def asof_dialect(sql: str, tables: dict) -> "DataFrame":  # noqa: F821
         ON la.k = ra.k [AND ...]
 
     ``>=`` lowers to the backward (most recent at-or-before) direction,
-    ``<=`` to forward; the STRICT forms refuse (the window formulation
-    is inclusive, matching both Snowflake's and DuckDB's inclusive
-    operators in practice). Unmatched left rows emit NULL right columns
+    ``<=`` to forward; the STRICT forms ``>`` / ``<`` (r8) lower to the
+    same windows with the side-marker tie-break swapped, excluding
+    equal-ts matches — both Snowflake and DuckDB accept all four
+    operators. Unmatched left rows emit NULL right columns
     — Snowflake's documented contract (DuckDB mirrors it as ``ASOF
     LEFT JOIN``). ``tables`` maps table names to DataFrames; right-side
     key/timestamp columns are renamed to the left names internally
@@ -807,12 +808,8 @@ def asof_dialect(sql: str, tables: dict) -> "DataFrame":  # noqa: F821
     if a1 == ra:  # normalize to left-side-first
         a1, c1, a2, c2 = a2, c2, a1, c1
         op = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}[op]
-    if op in (">", "<"):
-        raise ValueError(
-            "strict MATCH_CONDITION operators are not supported (the as-of"
-            " lowering is inclusive; use >= or <=)"
-        )
-    direction = "backward" if op == ">=" else "forward"
+    strict = op in (">", "<")
+    direction = "backward" if op in (">=", ">") else "forward"
     lts, rts = c1, c2
     on_pairs = []
     for clause in re.split(r"\bAND\b", m.group("on"), flags=re.IGNORECASE):
@@ -851,7 +848,7 @@ def asof_dialect(sql: str, tables: dict) -> "DataFrame":  # noqa: F821
             payload.append(col)
     res = asof_join_directional(
         left, right, on=keys, ts_col=lts, payload_cols=payload,
-        direction=direction,
+        direction=direction, strict=strict,
     )
     sel = []
     rename_back = {rk: lk for lk, rk in on_pairs}

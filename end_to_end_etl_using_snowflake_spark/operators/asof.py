@@ -90,6 +90,7 @@ def asof_join_directional(
     payload_cols: Sequence[str],
     direction: str = "backward",
     tolerance_seconds: float | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Directional as-of join with match tolerance — the full
     ``merge_asof`` / Snowflake ``ASOF JOIN MATCH_CONDITION`` surface
@@ -100,7 +101,13 @@ def asof_join_directional(
     - ``nearest``: whichever of the two is closer; ties go backward
       (pandas' contract),
     - ``tolerance_seconds``: a match farther than this nulls out (the
-      "feature snapshot too stale to use" guard).
+      "feature snapshot too stale to use" guard),
+    - ``strict`` (r8, VERDICT r7 item #8): exclusive comparisons —
+      backward becomes ``right ts < left ts``, forward ``>``. No new
+      plan machinery: inclusivity lives entirely in the tie-break
+      ORDER of the side marker at equal ts (right-before-left makes
+      the frame inclusive, right-after-left excludes the equal-ts
+      row), so strict just swaps the marker direction in each window.
 
     Same scalable shape as the base operator — ONE union + ONE
     hash-exchange by key; backward and forward are two window frames
@@ -123,15 +130,25 @@ def asof_join_directional(
         "__rts", F.when(F.col(SIDE_COL) == 0, F.col(ts_col))
     )
     # backward: right rows sort BEFORE left at equal ts -> inclusive <=
+    # (strict: right rows sort AFTER left at equal ts, so the
+    # preceding frame excludes them -> exclusive <)
     wb = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col(SIDE_COL).asc())
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col(SIDE_COL).desc() if strict else F.col(SIDE_COL).asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # forward: right rows sort AFTER left at equal ts -> inclusive >=
+    # (strict: right rows sort BEFORE left, excluded from the
+    # following frame -> exclusive >)
     wf = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col(SIDE_COL).desc())
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col(SIDE_COL).asc() if strict else F.col(SIDE_COL).desc(),
+        )
         .rowsBetween(0, Window.unboundedFollowing)
     )
     proj = [*lcols, SIDE_COL,

@@ -844,6 +844,71 @@ def sql15_asof_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL39_SNOWFLAKE_TEXT = """
+SELECT p.user_id, p.event_id, p.ts, p.value,
+       c.ts AS click_ts, c.click_id, c.click_value
+FROM purchases p ASOF JOIN clicks c
+MATCH_CONDITION (p.ts > c.ts)
+ON p.user_id = c.user_id
+"""
+
+
+@register(
+    "sql39_asof_strict",
+    oracle="""
+    WITH l AS (
+        SELECT user_id, event_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    r0 AS (
+        SELECT user_id, ts, event_id AS click_id, value AS click_value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+    ),
+    r AS (SELECT user_id, ts, click_id, click_value FROM r0 WHERE rn = 1)
+    SELECT l.user_id, l.event_id, l.ts, l.value,
+           r.ts AS click_ts, r.click_id, r.click_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts > r.ts
+    """,
+    doc="""STRICT ``ASOF JOIN MATCH_CONDITION (l.ts > r.ts)`` accepted
+    verbatim (r8, VERDICT r7 item #8 — the last ASOF refusal converted
+    to a feature): a purchase must match the most recent click
+    STRICTLY BEFORE it — a click at the purchase's own timestamp no
+    longer matches (the 'no same-instant attribution' rule real
+    attribution pipelines want). No new plan machinery: inclusivity
+    lives entirely in the union+window formulation's side-marker
+    tie-break at equal ts, so strict just swaps that ORDER
+    (operators/asof.py:asof_join_directional(strict=True);
+    functions/sqldialect.py:asof_dialect). Same scale shape as
+    sql15/x1: one shuffle per key, zero range explosion. Oracle:
+    DuckDB's NATIVE ``ASOF LEFT JOIN ... ON l.ts > r.ts`` — its
+    strict operator against ours, two independent implementations
+    agreeing on the equal-ts exclusions exactly.""",
+    tags=("sql-surface", "dialect", "asof"),
+)
+def sql39_asof_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import asof_dialect
+
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = M.dedup_latest(
+        events.filter(F.col("event_type") == "click").select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("click_id"),
+            F.col("value").alias("click_value"),
+        ),
+        ["user_id", "ts"],
+        [F.col("click_id").desc()],
+    )
+    return asof_dialect(
+        _SQL39_SNOWFLAKE_TEXT, {"purchases": purchases, "clicks": clicks}
+    )
+
+
 # ---------------------------------------------------------------------------
 # events: time-window analytics (engine extension; streaming-shaped)
 # ---------------------------------------------------------------------------

@@ -84,6 +84,7 @@ PRIORITY: tuple[str, ...] = (
     "sql37_time_travel_offset",
     "sql38_match_recognize_alt",
     "f18_semi_structured_agg",
+    "sql39_asof_strict",
     # 31-entry r3-last-green cohort (stalest cumulative greens)
     "d1_dedup_exact",
     "d2_dedup_ngram_jaccard",
@@ -116,9 +117,8 @@ PRIORITY: tuple[str, ...] = (
     "v7_ann_matmul_topk",
     "x1_asof_join",
     "x2_leakage_safe_split",
-    # 5 r4-stale padding (family breadth: agg / window / sketch /
-    # dedup / reshape) — evicted one-for-one by round-8 additions
-    "w3_range_frame_timeseries",
+    # (the 5 r4-stale padding slots were all evicted one-for-one by
+    # the round-8 additions k10 / sql37 / sql38 / f18 / sql39)
     # ---- 51+: driver-green in r1-r7 and rotated out of the window;
     # all remain locally oracle-checked per pytest run. The r7 window
     # (verbatim-text replays + r1/r2 cohort) heads this tail.
@@ -190,6 +190,7 @@ PRIORITY: tuple[str, ...] = (
     "t13_quality_classifier",
     "v14_mmr_rerank",
     "v15_ann_ivf_trained",
+    "w3_range_frame_timeseries",
     "w5_rank_distribution_funcs",
     "x23_length_bucketing",
     "x24_asof_directional",

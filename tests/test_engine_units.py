@@ -1576,9 +1576,40 @@ def test_asof_dialect_edges(spark):
         tabs,
     ).collect()
     assert sorted((r["sym"], r["qty"], r["px"]) for r in out3) == got
+    # r8: STRICT operators — equal-ts right rows no longer match.
+    # Add a trade exactly AT quote time 20: inclusive >= matches the
+    # 101.0 quote; strict > must step back to the 100.0 quote at 10.
+    trades_eq = trades.unionByName(
+        spark.createDataFrame([(1, 20, 9)], "sym int, tts int, qty int")
+        .selectExpr("sym", "CAST(tts AS TIMESTAMP) AS tts", "qty")
+    )
+    tabs_eq = {"trades": trades_eq, "quotes": quotes}
+    incl = asof_dialect(
+        "SELECT t.sym, t.qty, q.px FROM trades t ASOF JOIN quotes q "
+        "MATCH_CONDITION (t.tts >= q.qts) ON t.sym = q.sym",
+        tabs_eq,
+    ).collect()
+    assert sorted((r["sym"], r["qty"], r["px"]) for r in incl) == [
+        (1, 5, 100.0), (1, 7, 101.0), (1, 9, 101.0), (2, 3, None), (3, 1, None)
+    ]
+    stri = asof_dialect(
+        "SELECT t.sym, t.qty, q.px FROM trades t ASOF JOIN quotes q "
+        "MATCH_CONDITION (t.tts > q.qts) ON t.sym = q.sym",
+        tabs_eq,
+    ).collect()
+    assert sorted((r["sym"], r["qty"], r["px"]) for r in stri) == [
+        (1, 5, 100.0), (1, 7, 101.0), (1, 9, 100.0), (2, 3, None), (3, 1, None)
+    ]
+    # strict forward: trade at quote time 20 must jump past it -> NULL
+    strf = asof_dialect(
+        "SELECT t.sym, t.qty, q.px FROM trades t ASOF JOIN quotes q "
+        "MATCH_CONDITION (t.tts < q.qts) ON t.sym = q.sym",
+        tabs_eq,
+    ).collect()
+    assert sorted((r["sym"], r["qty"], r["px"]) for r in strf) == [
+        (1, 5, 101.0), (1, 7, None), (1, 9, None), (2, 3, 50.0), (3, 1, None)
+    ]
     for bad, msg in [
-        ("SELECT t.sym FROM trades t ASOF JOIN quotes q "
-         "MATCH_CONDITION (t.tts > q.qts) ON t.sym = q.sym", "strict"),
         ("SELECT t.sym FROM trades t ASOF JOIN quotes q "
          "MATCH_CONDITION (t.tts >= t.tts) ON t.sym = q.sym", "two join sides"),
         ("SELECT t.sym FROM trades t ASOF JOIN quotes q "

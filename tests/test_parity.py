@@ -73,7 +73,10 @@ def test_driver_prefix_spans_all_operator_families():
         "sketches": ("k1_", "k9_"),
         "streaming": ("e1_", "e3_", "e5_", "e6_", "e18_"),
         "llm-pipeline": ("x1_", "x2_", "llm_corpus"),
-        "window-funcs": ("w3_",),
+        # w3 (the last r4 padding slot) was evicted by sql39; window-
+        # function machinery stays covered by the event-window and
+        # asof entries inside the prefix
+        "window-funcs": ("e1_", "e5_", "x1_"),
         "sql-surface": ("sql29_", "sql30_", "sql33_", "sql34_", "sql35_", "sql36_"),
         "functions": ("f16_", "f17_"),
     }
