@@ -943,15 +943,24 @@ _AT_OFFSET_RE = re.compile(
     re.IGNORECASE,
 )
 
+_BEFORE_TS_RE = re.compile(
+    r"FROM\s+([A-Za-z_]\w*)\s+BEFORE\s*\(\s*TIMESTAMP\s*=>\s*'([^']+)'\s*\)",
+    re.IGNORECASE,
+)
 
-def parse_time_travel(sql: str, now: str | None = None) -> tuple[str, str, str]:
-    """Parse Snowflake's ``FROM <table> AT (TIMESTAMP => '<ts>')`` or
-    ``AT (OFFSET => -<seconds>)`` time travel clause; returns
-    ``(clean_sql, table, ts)`` where clean_sql has the AT clause
-    removed (the caller resolves the timestamp to a changelog version
-    via Changelog.version_at, reconstructs the snapshot with
-    snapshot_as_of, registers it under the table name, and runs
-    clean_sql).
+
+def parse_time_travel(
+    sql: str, now: str | None = None
+) -> tuple[str, str, str, bool]:
+    """Parse Snowflake's ``FROM <table> AT (TIMESTAMP => '<ts>')``,
+    ``AT (OFFSET => -<seconds>)``, or ``BEFORE (TIMESTAMP => '<ts>')``
+    time travel clause; returns ``(clean_sql, table, ts, inclusive)``
+    where clean_sql has the clause removed. The caller resolves the
+    timestamp to a changelog version (Changelog.version_at when
+    ``inclusive`` — AT's at-or-before rule — or
+    Changelog.version_before when not — BEFORE's strictly-before
+    rule), reconstructs the snapshot with snapshot_as_of, registers it
+    under the table name, and runs clean_sql.
 
     ``AT (OFFSET => -n)`` is "the table state n seconds ago": it
     resolves to the absolute timestamp ``now + offset`` (offset must
@@ -962,16 +971,27 @@ def parse_time_travel(sql: str, now: str | None = None) -> tuple[str, str, str]:
     way) and is REQUIRED for the OFFSET form — a wall-clock default
     would make the query nondeterministic.
 
-    ``BEFORE`` and ``AT(STATEMENT =>)`` refuse: the changelog indexes
-    commit TIMES, and mistranslating a statement-id form would
-    silently read the wrong snapshot.
+    ``BEFORE (TIMESTAMP => ...)`` (r8) is the state immediately
+    before the given instant — a version committed exactly AT the
+    probe timestamp is EXCLUDED (Snowflake's documented AT-vs-BEFORE
+    boundary). ``AT(STATEMENT =>)`` / ``BEFORE(STATEMENT =>)``
+    refuse: the changelog indexes commit TIMES, and mistranslating a
+    statement-id form would silently read the wrong snapshot.
     """
     up = sql.upper()
-    if re.search(r"\bBEFORE\s*\(", up):
-        raise ValueError("BEFORE(...) time travel is not supported by this shim")
-    if re.search(r"AT\s*\(\s*STATEMENT", up):
+    if re.search(r"\b(AT|BEFORE)\s*\(\s*STATEMENT", up):
         raise ValueError(
-            "AT(STATEMENT) is not supported; use AT(TIMESTAMP/OFFSET => ...)"
+            "STATEMENT-id time travel is not supported; use TIMESTAMP/OFFSET"
+        )
+    mb = _BEFORE_TS_RE.search(sql)
+    if mb is not None:
+        table, ts = mb.group(1), mb.group(2)
+        clean = sql[: mb.start()] + f"FROM {table}" + sql[mb.end():]
+        return clean, table, ts, False
+    if re.search(r"\bBEFORE\s*\(", up):
+        raise ValueError(
+            "unsupported BEFORE(...) form (shim supports"
+            " BEFORE (TIMESTAMP => '<ts>'))"
         )
     mo = _AT_OFFSET_RE.search(sql)
     if mo is not None:
@@ -988,16 +1008,16 @@ def parse_time_travel(sql: str, now: str | None = None) -> tuple[str, str, str]:
         base = _dt.datetime.fromisoformat(now)
         ts = (base + _dt.timedelta(seconds=off)).strftime("%Y-%m-%d %H:%M:%S")
         clean = sql[: mo.start()] + f"FROM {table}" + sql[mo.end():]
-        return clean, table, ts
+        return clean, table, ts, True
     m = _AT_TS_RE.search(sql)
     if m is None:
         raise ValueError(
-            "no AT (TIMESTAMP => '...') / AT (OFFSET => -n) clause found"
-            " (shim supports the FROM <table> AT (...) forms)"
+            "no AT (TIMESTAMP => '...') / AT (OFFSET => -n) /"
+            " BEFORE (TIMESTAMP => '...') clause found"
         )
     table, ts = m.group(1), m.group(2)
     clean = sql[: m.start()] + f"FROM {table}" + sql[m.end():]
-    return clean, table, ts
+    return clean, table, ts, True
 
 
 # ---------------------------------------------------------------------------

@@ -4888,8 +4888,9 @@ def sql17_time_travel_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = spark.read.parquet(log.log_path)
 
     def run(probe: str, text: str) -> DataFrame:
-        clean, table, ts = parse_time_travel(text)
-        snap = snapshot_as_of(changes, ["c_custkey"], log.version_at(ts))
+        clean, table, ts, inclusive = parse_time_travel(text)
+        v = log.version_at(ts) if inclusive else log.version_before(ts)
+        snap = snapshot_as_of(changes, ["c_custkey"], v)
         snap.createOrReplaceTempView(table)
         return spark.sql(clean).select(F.lit(probe).alias("probe"), "*")
 
@@ -4954,8 +4955,9 @@ def sql37_time_travel_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     now = "2024-01-05 12:00:00"  # frozen statement clock (F1)
 
     def run(probe: str, text: str) -> DataFrame:
-        clean, table, ts = parse_time_travel(text, now=now)
-        snap = snapshot_as_of(changes, ["c_custkey"], log.version_at(ts))
+        clean, table, ts, inclusive = parse_time_travel(text, now=now)
+        v = log.version_at(ts) if inclusive else log.version_before(ts)
+        snap = snapshot_as_of(changes, ["c_custkey"], v)
         snap.createOrReplaceTempView(table)
         return spark.sql(clean).select(F.lit(probe).alias("probe"), "*")
 
@@ -4968,6 +4970,72 @@ def sql37_time_travel_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         run("offset_recent", q.format(off=-3600))
         .unionByName(run("offset_at_v1_edge", q.format(off=-(4 * 86400 + 12 * 3600))))
         .unionByName(run("offset_before_history", q.format(off=-315360000)))
+    )
+
+
+@register(
+    "sql40_time_travel_before",
+    oracle="""
+    SELECT 'before_v2_commit' AS probe, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer
+    UNION ALL
+    SELECT 'before_later', CAST(count(*) AS BIGINT),
+           CAST(SUM(CAST(round((c_acctbal
+                    + CASE WHEN c_nationkey < 5 THEN 100 ELSE 0 END) * 100)
+                AS BIGINT)) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'before_v1_commit', CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT)
+    FROM customer WHERE FALSE
+    """,
+    doc="""Snowflake ``BEFORE (TIMESTAMP => ...)`` time travel accepted
+    verbatim (r8 — the last time-travel refusal next to AT/OFFSET):
+    the state immediately BEFORE the given instant, i.e. the greatest
+    stamped changelog version strictly < ts
+    (streaming/changelog.py:version_before) — a version committed
+    exactly AT the probe instant is EXCLUDED, Snowflake's documented
+    AT-vs-BEFORE boundary, and exactly what this entry pins: probing
+    BEFORE at v2's own commit stamp returns the v1 state (sql17's AT
+    at the same instant returns v2), a later probe sees v2, and
+    BEFORE at v1's own stamp is the empty 'did not exist yet' table.
+    BEFORE(STATEMENT =>) still refuses — the changelog indexes commit
+    times, not statement ids. Scale notes are pl_time_travel's:
+    _version partition pruning, replay shuffles changed keys only.""",
+    tags=("sql-surface", "dialect", "time-travel", "changelog"),
+)
+def sql40_time_travel_before(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import parse_time_travel
+    from ..streaming.changelog import Changelog, snapshot_as_of
+
+    base = scratch_dir("tt_bef_")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    log = Changelog(spark, f"{base}/customer_hist")
+    log.record(cust, "UPSERT", at="2024-01-01 00:00:00")  # v1 load
+    updated = cust.filter(F.col("c_nationkey") < 5).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    log.record(updated, "UPSERT", at="2024-01-02 00:00:00")  # v2 UPDATE
+    changes = spark.read.parquet(log.log_path)
+
+    def run(probe: str, text: str) -> DataFrame:
+        clean, table, ts, inclusive = parse_time_travel(text)
+        v = log.version_at(ts) if inclusive else log.version_before(ts)
+        snap = snapshot_as_of(changes, ["c_custkey"], v)
+        snap.createOrReplaceTempView(table)
+        return spark.sql(clean).select(F.lit(probe).alias("probe"), "*")
+
+    q = (
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents "
+        "FROM customer_hist BEFORE (TIMESTAMP => '{ts}')"
+    )
+    return (
+        run("before_v2_commit", q.format(ts="2024-01-02 00:00:00"))
+        .unionByName(run("before_later", q.format(ts="2024-02-01 00:00:00")))
+        .unionByName(run("before_v1_commit", q.format(ts="2024-01-01 00:00:00")))
     )
 
 

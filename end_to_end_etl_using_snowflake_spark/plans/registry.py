@@ -120,8 +120,12 @@ PRIORITY: tuple[str, ...] = (
     # (the 5 r4-stale padding slots were all evicted one-for-one by
     # the round-8 additions k10 / sql37 / sql38 / f18 / sql39)
     # ---- 51+: driver-green in r1-r7 and rotated out of the window;
-    # all remain locally oracle-checked per pytest run. The r7 window
-    # (verbatim-text replays + r1/r2 cohort) heads this tail.
+    # all remain locally oracle-checked per pytest run. sql40 (r8,
+    # registered after the window filled — the VERDICT-mandated
+    # debt+r3-cohort composition leaves no slot) heads the tail and is
+    # first in line for the r9 rotation; the r7 window (verbatim-text
+    # replays + r1/r2 cohort) follows.
+    "sql40_time_travel_before",
     "sql18_reference_merge",
     "sql19_reference_dim_merge",
     "sql20_reference_item_merge",

@@ -99,6 +99,18 @@ class Changelog:
                 best = max(best, int(v))
         return best
 
+    def version_before(self, ts: str) -> int:
+        """Greatest version whose recorded commit time is strictly
+        < ``ts`` — Snowflake's ``BEFORE (TIMESTAMP => ...)`` boundary
+        (a version committed exactly AT the probe instant is
+        excluded, unlike :meth:`version_at`); 0 when none qualifies."""
+        times = self._read_meta().get("times", {})
+        best = 0
+        for v, t in times.items():
+            if t < ts:
+                best = max(best, int(v))
+        return best
+
     def bump(self) -> int:
         """Version bump with no rows (e.g. TRUNCATE)."""
         meta = self._read_meta()

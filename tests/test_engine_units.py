@@ -1689,33 +1689,41 @@ def test_time_travel_at_parser_edges():
         parse_time_travel,
     )
 
-    clean, table, ts = parse_time_travel(
+    clean, table, ts, incl = parse_time_travel(
         "SELECT a FROM hist AT (TIMESTAMP => '2024-01-02 12:00:00') WHERE a > 1"
     )
     assert clean == "SELECT a FROM hist WHERE a > 1"
-    assert (table, ts) == ("hist", "2024-01-02 12:00:00")
+    assert (table, ts, incl) == ("hist", "2024-01-02 12:00:00", True)
     # OFFSET form (r8, VERDICT r7 item #3): resolves against the
     # injectable statement clock to an absolute stamp, then time-
     # resolves exactly like the TIMESTAMP form
-    clean, table, ts = parse_time_travel(
+    clean, table, ts, incl = parse_time_travel(
         "SELECT a FROM hist AT (OFFSET => -600) WHERE a > 1",
         now="2024-01-02 12:10:00",
     )
     assert clean == "SELECT a FROM hist WHERE a > 1"
-    assert (table, ts) == ("hist", "2024-01-02 12:00:00")
+    assert (table, ts, incl) == ("hist", "2024-01-02 12:00:00", True)
     # day-crossing arithmetic
-    _, _, ts2 = parse_time_travel(
+    _, _, ts2, _ = parse_time_travel(
         "SELECT a FROM hist AT (OFFSET => -86400)", now="2024-03-01 00:00:30"
     )
     assert ts2 == "2024-02-29 00:00:30"  # leap-year day back
     # OFFSET => 0 is 'now'
-    _, _, ts3 = parse_time_travel(
+    _, _, ts3, _ = parse_time_travel(
         "SELECT a FROM hist AT (OFFSET => 0)", now="2024-01-02 12:10:00"
     )
     assert ts3 == "2024-01-02 12:10:00"
+    # BEFORE form (r8): same parse, exclusive resolution flag
+    clean, table, ts, incl = parse_time_travel(
+        "SELECT a FROM hist BEFORE (TIMESTAMP => '2024-01-02 00:00:00')"
+    )
+    assert (clean, table, ts, incl) == (
+        "SELECT a FROM hist", "hist", "2024-01-02 00:00:00", False
+    )
     for bad, msg, kw in [
-        ("SELECT a FROM hist BEFORE (STATEMENT => 'x')", "BEFORE", {}),
-        ("SELECT a FROM hist AT (STATEMENT => 'x')", "STATEMENT", {}),
+        ("SELECT a FROM hist BEFORE (STATEMENT => 'x')", "STATEMENT-id", {}),
+        ("SELECT a FROM hist BEFORE (OFFSET => -1)", "unsupported BEFORE", {}),
+        ("SELECT a FROM hist AT (STATEMENT => 'x')", "STATEMENT-id", {}),
         ("SELECT a FROM hist AT (OFFSET => -600)", "statement clock", {}),
         ("SELECT a FROM hist AT (OFFSET => 600)", "<= 0", {"now": "2024-01-01 00:00:00"}),
         ("SELECT a FROM hist", "no AT", {}),
@@ -1740,6 +1748,11 @@ def test_changelog_version_at(spark, tmp_path):
     assert log.version_at("2024-01-01 00:00:00") == 1  # inclusive
     assert log.version_at("2024-02-01 00:00:00") == 1
     assert log.version_at("2024-03-02 00:00:00") == 3
+    # version_before (r8): exactly-at is EXCLUDED
+    assert log.version_before("2024-01-01 00:00:00") == 0
+    assert log.version_before("2024-01-01 00:00:01") == 1
+    assert log.version_before("2024-03-01 00:00:00") == 1
+    assert log.version_before("2024-03-02 00:00:00") == 3
 
 
 def test_merge_statement_edges(spark):
