@@ -418,7 +418,30 @@ def _split_top_level_commas(text: str) -> list[str]:
     return parts
 
 
-_FLAT_PATH = re.compile(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*")
+_FLAT_PATH = re.compile(
+    r'(?:[A-Za-z_]\w*|"[^"]+")(?:\.(?:[A-Za-z_]\w*|"[^"]+"))*'
+)
+_FLAT_SEG = re.compile(r'[A-Za-z_]\w*|"[^"]+"')
+
+
+def _flat_path_to_json_path(path: str) -> str:
+    """Render a validated FLATTEN/variant path to Spark's JSON-path
+    syntax: bare segments as ``.seg``, ``"quoted"`` segments (r8 —
+    keys with spaces/dots/reserved chars) as bracket form ``['seg']``
+    (Spark's get_json_object accepts it; DuckDB oracles keep
+    Snowflake's ``."seg"`` spelling — both probed byte-identical)."""
+    parts = []
+    for seg in _FLAT_SEG.findall(path):
+        if seg.startswith('"'):
+            key = seg[1:-1]
+            if "'" in key:
+                raise ValueError(
+                    f"quoted path segment cannot contain a single quote: {seg!r}"
+                )
+            parts.append(f"['{key}']")
+        else:
+            parts.append(f".{seg}")
+    return "$" + "".join(parts)
 
 
 def _parse_flatten_args(
@@ -436,8 +459,9 @@ def _parse_flatten_args(
     'ARRAY' / 'OBJECT' / 'BOTH' (None when unspecified — the caller
     picks its documented default: ARRAY for the one-level rewriter,
     BOTH — Snowflake's actual default — for the recursive executor);
-    ``path`` accepts a flat dotted identifier path ('a' / 'a.b.c' —
-    no brackets, wildcards, or quoted segments); ``recursive => true``
+    ``path`` accepts a dotted identifier path ('a' / 'a.b.c'), with
+    ``"quoted"`` segments for keys containing spaces/dots (r8 — no
+    brackets or wildcards); ``recursive => true``
     is returned as a flag (only flatten_recursive_statement executes
     it — the one-level text rewriter refuses)."""
     input_expr: str | None = None
@@ -478,8 +502,8 @@ def _parse_flatten_args(
             p = p[1:-1]
             if not _FLAT_PATH.fullmatch(p):
                 raise ValueError(
-                    "FLATTEN PATH supports flat dotted identifier paths"
-                    f" ('a.b.c'); got: {p!r}"
+                    "FLATTEN PATH supports dotted identifier paths with"
+                    f" optional \"quoted\" segments ('a.\"b c\".d'); got: {p!r}"
                 )
             path = p
         elif name == "recursive":
@@ -545,7 +569,11 @@ def rewrite_flatten(sql: str) -> str:
                 " (the one-level rewriter lowers ARRAY or OBJECT)"
             )
         if path is not None:
-            expr = f"get_json_object({expr}, '$.{path}')"
+            jp = _flat_path_to_json_path(path)
+            # bracket segments carry single quotes — emit those inside
+            # a double-quoted SQL literal (segments cannot contain '"')
+            lit = f'"{jp}"' if "'" in jp else f"'{jp}'"
+            expr = f"get_json_object({expr}, {lit})"
             if mode == "ARRAY":
                 # the subtree is JSON text; posexplode needs an array.
                 expr = f"from_json({expr}, 'array<string>')"

@@ -126,6 +126,7 @@ PRIORITY: tuple[str, ...] = (
     # first in line for the r9 rotation; the r7 window (verbatim-text
     # replays + r1/r2 cohort) follows.
     "sql40_time_travel_before",
+    "sql41_flatten_quoted_path",
     "sql18_reference_merge",
     "sql19_reference_dim_merge",
     "sql20_reference_item_merge",

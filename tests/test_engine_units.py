@@ -1362,8 +1362,15 @@ def test_flatten_path_rewriter_edges():
         " outer => true) f"
     )
     assert "LATERAL VIEW OUTER posexplode(from_json(get_json_object" in out3
+    # r8: "quoted" segments lower to Spark's bracket form inside a
+    # double-quoted SQL literal (brackets carry single quotes)
+    out4 = rewrite_flatten(
+        "SELECT f.value FROM t, LATERAL FLATTEN(input => obj,"
+        " path => 'a.\"x y\".c') f"
+    )
+    assert "get_json_object(obj, \"$.a['x y'].c\")" in out4
     # non-flat paths refuse loudly rather than mistranslate
-    for bad in ("'a[0]'", "'a.*'", "'a.\"x y\"'", "'.a'", "''", "a.b"):
+    for bad in ("'a[0]'", "'a.*'", "'.a'", "''", "a.b"):
         with _pytest.raises(ValueError, match="PATH"):
             rewrite_flatten(
                 f"SELECT 1 FROM t, LATERAL FLATTEN(input => obj, path => {bad}) f"
