@@ -1757,8 +1757,10 @@ def rewrite_scalar_funcs(sql: str) -> str:
 
 _VARIANT_PATH_RE = re.compile(
     r"(?P<base>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*(?<!:):(?!:)\s*"
-    r"(?P<path>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*|\[\d+\])*)"
+    r'(?P<path>(?:[A-Za-z_]\w*|"[^"]+")'
+    r'(?:\.(?:[A-Za-z_]\w*|"[^"]+")|\[\d+\])*)'
 )
+_VARIANT_SEG_RE = re.compile(r'[A-Za-z_]\w*|"[^"]+"|\[\d+\]')
 
 
 def rewrite_variant_path(sql: str) -> str:
@@ -1772,8 +1774,10 @@ def rewrite_variant_path(sql: str) -> str:
     values as compact JSON — the FLATTEN/sql30 contract).
 
     Conservative: the base must be a bare (possibly alias-qualified)
-    identifier and the path identifier segments / [int] indexes —
-    quoted path segments and functions-as-base refuse by not matching.
+    identifier and the path identifier segments / [int] indexes /
+    ``"quoted"`` segments for keys with spaces or dots (r8, rendered
+    in Spark's bracket form) — functions-as-base refuse by not
+    matching.
     String literals are left untouched (a ``':'`` inside text never
     rewrites), and ``::`` casts are explicitly not path separators.
     Pure expression rewriting: pushdown/pruning unaffected at any
@@ -1798,7 +1802,21 @@ def rewrite_variant_path(sql: str) -> str:
 
 
 def _variant_repl(m: "re.Match[str]") -> str:
-    return f"get_json_object({m.group('base')}, '$.{m.group('path')}')"
+    parts = []
+    for seg in _VARIANT_SEG_RE.findall(m.group("path")):
+        if seg.startswith('"'):
+            # r8: "quoted" segment (key with spaces/dots) -> Spark's
+            # bracket form; segments cannot contain a double quote
+            parts.append(f"['{seg[1:-1]}']")
+        elif seg.startswith("["):
+            parts.append(seg)
+        else:
+            parts.append(f".{seg}")
+    jp = "$" + "".join(parts)
+    # bracket segments carry single quotes — emit those inside a
+    # double-quoted SQL literal
+    lit = f'"{jp}"' if "'" in jp else f"'{jp}'"
+    return f"get_json_object({m.group('base')}, {lit})"
 
 
 # ---------------------------------------------------------------------------

@@ -2471,6 +2471,18 @@ def test_variant_path_rewriter_edges(spark):
         rewrite_variant_path("SELECT obj:a.b::int AS v, obj:a AS sub FROM vp_t")
     ).first()
     assert row.v == 7 and row.sub == '{"b":7}'
+    # r8: "quoted" segments (keys with spaces/dots) lower to the
+    # bracket form inside a double-quoted SQL literal, composing with
+    # bare segments, [int] indexes, and the :: cast
+    out_q = rewrite_variant_path('SELECT obj:"a b".c[0]::int FROM t')
+    assert 'get_json_object(obj, "$[\'a b\'].c[0]")::int' in out_q
+    spark.createDataFrame(
+        [('{"a b": {"c": [9]}}',)], "obj string"
+    ).createOrReplaceTempView("vp_q_t")
+    rowq = spark.sql(
+        rewrite_variant_path('SELECT obj:"a b".c[0]::int AS v FROM vp_q_t')
+    ).first()
+    assert rowq.v == 9
 
 
 def test_scalar_dialect_rewriter(spark):
