@@ -1915,7 +1915,7 @@ _MR_BODY = re.compile(
     r"PARTITION\s+BY\s+(?P<part>.+?)\s+"
     r"ORDER\s+BY\s+(?P<order>.+?)\s+"
     r"MEASURES\s+(?P<measures>.+?)\s+"
-    r"ONE\s+ROW\s+PER\s+MATCH\s+"
+    r"(?P<permatch>ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH)\s+"
     r"(?:AFTER\s+MATCH\s+SKIP\s+TO\s+NEXT\s+ROW\s+)?"
     # pattern may itself contain (grouping|alternation) parens, so it
     # matches lazily up to the ') DEFINE' anchor (DEFINE is always the
@@ -2074,9 +2074,11 @@ def _mr_parse_pattern(
         )
     return variants
 _MR_MEASURE = re.compile(
-    r"^(?:(?P<fn>FIRST|LAST)\s*\(\s*(?P<msym>[A-Za-z_]\w*)\.(?P<mcol>[A-Za-z_]\w*)\s*\)"
+    r"^(?:(?P<sem>RUNNING|FINAL)\s+)?"
+    r"(?:(?P<fn>FIRST|LAST)\s*\(\s*(?P<msym>[A-Za-z_]\w*)\.(?P<mcol>[A-Za-z_]\w*)\s*\)"
     r"|COUNT\s*\(\s*(?P<csym>[A-Za-z_]\w*)\.\*\s*\)"
-    r"|(?P<mn>MATCH_NUMBER\s*\(\s*\)))\s+AS\s+(?P<name>[A-Za-z_]\w*)$",
+    r"|(?P<mn>MATCH_NUMBER\s*\(\s*\))"
+    r"|(?P<cls>CLASSIFIER\s*\(\s*\)))\s+AS\s+(?P<name>[A-Za-z_]\w*)$",
     re.IGNORECASE,
 )
 
@@ -2115,7 +2117,7 @@ def parse_match_recognize(text: str) -> dict:
     if sql[close:].strip():
         raise ValueError("trailing clauses after MATCH_RECOGNIZE are unsupported")
     body = sql[hm.end() : close - 1].strip()
-    for kw in ("ALL ROWS PER MATCH", "SKIP PAST LAST ROW", "SKIP TO LAST", "SKIP TO FIRST"):
+    for kw in ("SKIP PAST LAST ROW", "SKIP TO LAST", "SKIP TO FIRST"):
         if kw in body.upper():
             raise ValueError(f"MATCH_RECOGNIZE {kw} is not supported by this shim")
     bm = _MR_BODY.search(body)
@@ -2148,15 +2150,31 @@ def parse_match_recognize(text: str) -> dict:
     pattern: list[tuple[str, int, bool]] | None = None
     if len(variants) == 1 and all(len(alts) == 1 for alts in variants[0]):
         pattern = [alts[0] for alts in variants[0]]
+    all_rows = "ALL" in bm.group("permatch").upper().split()[0]
     measures = []
     for item in _split_top_level_commas(bm.group("measures")):
         mm = _MR_MEASURE.match(item.strip())
         if mm is None:
             raise ValueError(f"unsupported MEASURES item: {item.strip()!r}")
+        # aggregate semantics: ANSI defaults RUNNING in ALL ROWS mode,
+        # and RUNNING == FINAL at a match's last row, which is the one
+        # row ONE ROW mode emits — so ONE ROW always resolves to final
+        sem = (mm.group("sem") or ("RUNNING" if all_rows else "FINAL")).lower()
+        if not all_rows:
+            sem = "final"
         if mm.group("mn"):
-            measures.append(("match_number", None, mm.group("name")))
+            measures.append(("match_number", None, mm.group("name"), sem))
+        elif mm.group("cls"):
+            if not all_rows:
+                raise ValueError(
+                    "CLASSIFIER() needs ALL ROWS PER MATCH (a one-row"
+                    " match summary has no single classifier)"
+                )
+            measures.append(("classifier", None, mm.group("name"), sem))
         elif mm.group("csym"):
-            measures.append(("count", mm.group("csym").upper(), mm.group("name")))
+            measures.append(
+                ("count", mm.group("csym").upper(), mm.group("name"), sem)
+            )
         else:
             mcol = mm.group("mcol").lower()
             if mcol != order[0].lower():
@@ -2165,7 +2183,7 @@ def parse_match_recognize(text: str) -> dict:
                     f" only (got {mcol!r})"
                 )
             measures.append(
-                (mm.group("fn").lower(), mm.group("msym").upper(), mm.group("name"))
+                (mm.group("fn").lower(), mm.group("msym").upper(), mm.group("name"), sem)
             )
     return {
         "table": hm.group("table"),
@@ -2176,6 +2194,7 @@ def parse_match_recognize(text: str) -> dict:
         "pattern": pattern,
         "variants": variants,
         "measures": measures,
+        "all_rows": all_rows,
     }
 
 
@@ -2228,7 +2247,7 @@ def match_recognize_statement(spark, text: str, tables: dict):  # noqa: ANN001
         F.min(ord0).alias("__first"),
         F.max(ord0).alias("__last"),
     )
-    def build_variant(var, vrank):
+    def chain(var):
         out = None
         for i, alts in enumerate(var):
             cond = None
@@ -2251,7 +2270,9 @@ def match_recognize_statement(spark, text: str, tables: dict):  # noqa: ANN001
                     out[f"__p{j}_0"] == leg[f"__p{j}_{i}"] for j in range(len(part))
                 ] + [out["__m_0"] == leg[f"__m_{i}"]]
                 out = out.join(leg, on=conds)
-        sel = [F.col(f"__p{j}_0").alias(p) for j, p in enumerate(part)]
+        return out
+
+    def var_sym_legs(var):
         # (leg index, unconditional?) per symbol: an alternation leg
         # contributes to a symbol's measure only when the matched run's
         # direction IS that symbol's (ANSI: un-participating symbols
@@ -2260,58 +2281,153 @@ def match_recognize_statement(spark, text: str, tables: dict):  # noqa: ANN001
         for i, alts in enumerate(var):
             for sym, _n, _e in alts:
                 sym_legs.setdefault(sym, []).append((i, len(alts) == 1))
-        for kind, sym, name in spec["measures"]:
+        return sym_legs
+
+    def final_measure_expr(kind, sym, sym_legs):
+        legs = sym_legs.get(sym)
+        if not legs:
+            raise ValueError(f"measure references undefined symbol {sym!r}")
+        d = spec["define"][sym]
+        if kind == "count":
+            expr = None
+            for i, uncond in legs:
+                term = (
+                    F.col(f"__n_{i}")
+                    if uncond
+                    else F.when(F.col(f"__d_{i}") == d, F.col(f"__n_{i}")).otherwise(F.lit(0))
+                )
+                expr = term if expr is None else expr + term
+            return expr.cast("long")
+        src = "__first" if kind == "first" else "__last"
+        cols = [
+            F.col(f"{src}_{i}")
+            if uncond
+            else F.when(F.col(f"__d_{i}") == d, F.col(f"{src}_{i}"))
+            for i, uncond in legs
+        ]
+        if len(cols) == 1:
+            return cols[0]
+        return F.least(*cols) if kind == "first" else F.greatest(*cols)
+
+    def build_variant(var, vrank):
+        out = chain(var)
+        sym_legs = var_sym_legs(var)
+        sel = [F.col(f"__p{j}_0").alias(p) for j, p in enumerate(part)]
+        for kind, sym, name, _sem in spec["measures"]:
             if kind == "match_number":
                 sel.append(F.col("__m_0").alias(name))
-                continue
-            legs = sym_legs.get(sym)
-            if not legs:
-                raise ValueError(f"measure references undefined symbol {sym!r}")
-            d = spec["define"][sym]
-            if kind == "count":
-                expr = None
-                for i, uncond in legs:
-                    term = (
-                        F.col(f"__n_{i}")
-                        if uncond
-                        else F.when(F.col(f"__d_{i}") == d, F.col(f"__n_{i}")).otherwise(F.lit(0))
-                    )
-                    expr = term if expr is None else expr + term
-                sel.append(expr.cast("long").alias(name))
-            else:  # first / last over that symbol's legs
-                src = "__first" if kind == "first" else "__last"
-                cols = [
-                    F.col(f"{src}_{i}")
-                    if uncond
-                    else F.when(F.col(f"__d_{i}") == d, F.col(f"{src}_{i}"))
-                    for i, uncond in legs
-                ]
-                expr = (
-                    cols[0]
-                    if len(cols) == 1
-                    else (F.least(*cols) if kind == "first" else F.greatest(*cols))
-                )
-                sel.append(expr.alias(name))
+            else:
+                sel.append(final_measure_expr(kind, sym, sym_legs).alias(name))
         if len(spec["variants"]) > 1:
             sel.append(F.col("__m_0").alias("__start"))
             sel.append(F.lit(vrank).alias("__v"))
         return out.select(*sel)
 
+    def build_variant_all_rows(var, vrank):
+        # match relation -> one row per (match, leg), carrying the
+        # leg's run id and resolved CLASSIFIER, plus every FINAL
+        # aggregate (computed once per match, replicated per row)
+        out = chain(var)
+        sym_legs = var_sym_legs(var)
+        finals = []
+        for kind, sym, name, sem in spec["measures"]:
+            if kind in ("count", "first", "last") and sem == "final":
+                finals.append(
+                    final_measure_expr(kind, sym, sym_legs).alias(f"__fm_{name}")
+                )
+        leg_structs = []
+        for i, alts in enumerate(var):
+            if len(alts) == 1:
+                cls = F.lit(alts[0][0])
+            else:
+                cls = None
+                for sym, _n, _e in alts:
+                    d = spec["define"][sym]
+                    term = F.when(F.col(f"__d_{i}") == d, F.lit(sym))
+                    cls = term if cls is None else cls.when(F.col(f"__d_{i}") == d, F.lit(sym))
+            leg_structs.append(
+                F.struct(
+                    (F.col("__m_0") + i).cast("long").alias("rid"),
+                    cls.alias("cls"),
+                )
+            )
+        return out.select(
+            *[F.col(f"__p{j}_0").alias(f"__ep{j}") for j in range(len(part))],
+            F.col("__m_0").alias("__mn"),
+            F.lit(vrank).alias("__v"),
+            *finals,
+            F.explode(F.array(*leg_structs)).alias("__leg"),
+        ).select(
+            "*",
+            F.col("__leg.rid").alias("__rid"),
+            F.col("__leg.cls").alias("__cls"),
+        ).drop("__leg")
+
     variants = spec["variants"]
-    if len(variants) == 1:
-        return build_variant(variants[0], 0)
-    # Greedy selection across variants (ANSI: quantifiers prefer the
-    # longest match from a given start): variants were expanded longest
-    # first, so per (partition key, start run) keep the lowest rank.
-    unioned = build_variant(variants[0], 0)
+    if not spec["all_rows"]:
+        if len(variants) == 1:
+            return build_variant(variants[0], 0)
+        # Greedy selection across variants (ANSI: quantifiers prefer the
+        # longest match from a given start): variants were expanded
+        # longest first, so per (partition key, start run) keep the
+        # lowest rank.
+        unioned = build_variant(variants[0], 0)
+        for vrank, var in enumerate(variants[1:], start=1):
+            unioned = unioned.unionByName(build_variant(var, vrank))
+        wv = _W.partitionBy(*part, "__start").orderBy("__v")
+        return (
+            unioned.withColumn("__rk", F.row_number().over(wv))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk", "__start", "__v")
+        )
+
+    # ---- ALL ROWS PER MATCH (r8) -----------------------------------
+    # One row per matched input row: the per-leg exploded match
+    # relation joins back to the numbered row relation on
+    # (partition key, run id) — a keyed equi-join against data already
+    # clustered by the key, never a rescan of the raw stream. Output
+    # projection contract (documented, conservative): partition
+    # columns + order columns + measures. RUNNING aggregates are
+    # windows over (partition, match) in the statement's ORDER BY.
+    exploded = build_variant_all_rows(variants[0], 0)
     for vrank, var in enumerate(variants[1:], start=1):
-        unioned = unioned.unionByName(build_variant(var, vrank))
-    wv = _W.partitionBy(*part, "__start").orderBy("__v")
-    return (
-        unioned.withColumn("__rk", F.row_number().over(wv))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk", "__start", "__v")
+        exploded = exploded.unionByName(build_variant_all_rows(var, vrank))
+    if len(variants) > 1:
+        # greedy: keep only legs of the lowest-rank variant per match
+        wmin = _W.partitionBy(*[f"__ep{j}" for j in range(len(part))], "__mn")
+        exploded = exploded.withColumn("__vmin", F.min("__v").over(wmin)).filter(
+            F.col("__v") == F.col("__vmin")
+        )
+    conds = [
+        numbered[p] == exploded[f"__ep{j}"] for j, p in enumerate(part)
+    ] + [numbered["__run"] == exploded["__rid"]]
+    joined = numbered.join(exploded, on=conds)
+    wrun = _W.partitionBy(
+        *[numbered[p] for p in part], exploded["__mn"]
+    ).orderBy(*[numbered[o] for o in order]).rowsBetween(
+        _W.unboundedPreceding, 0
     )
+    sel = [numbered[p].alias(p) for p in part] + [
+        numbered[o].alias(o) for o in order
+    ]
+    for kind, sym, name, sem in spec["measures"]:
+        if kind == "match_number":
+            sel.append(exploded["__mn"].alias(name))
+        elif kind == "classifier":
+            sel.append(exploded["__cls"].alias(name))
+        elif sem == "final":
+            sel.append(exploded[f"__fm_{name}"].alias(name))
+        elif kind == "count":
+            sel.append(
+                F.sum(
+                    F.when(exploded["__cls"] == sym, 1).otherwise(0)
+                ).over(wrun).cast("long").alias(name)
+            )
+        else:  # running first / last of the primary order column
+            probe = F.when(exploded["__cls"] == sym, numbered[ord0])
+            fn = F.first if kind == "first" else F.last
+            sel.append(fn(probe, ignorenulls=True).over(wrun).alias(name))
+    return joined.select(*sel)
 
 
 def sql_match_recognize(text: str, value_expr: str | None = None) -> str:
@@ -2329,7 +2445,7 @@ def sql_match_recognize(text: str, value_expr: str | None = None) -> str:
     part_sel = ", ".join(f"l0.{p}" for p in spec["partition_by"])
     multi = len(spec["variants"]) > 1
 
-    def variant_select(var, vrank: int) -> str:
+    def var_parts(var):
         legs_sql = []
         join_sql = []
         for i, alts in enumerate(var):
@@ -2356,35 +2472,37 @@ def sql_match_recognize(text: str, value_expr: str | None = None) -> str:
         for i, alts in enumerate(var):
             for sym, _n, _e in alts:
                 sym_legs.setdefault(sym, []).append((i, len(alts) == 1))
+        return join_sql, legs_sql, sym_legs
+
+    def final_meas_sql(kind, sym, sym_legs):
+        legs = sym_legs[sym]
+        d = spec["define"][sym]
+        if kind == "count":
+            terms = " + ".join(
+                f"l{i}.__n"
+                if uncond
+                else f"(CASE WHEN l{i}.__dir = {d} THEN l{i}.__n ELSE 0 END)"
+                for i, uncond in legs
+            )
+            return f"CAST({terms} AS BIGINT)"
+        src = "__first" if kind == "first" else "__last"
+        fn = "least" if kind == "first" else "greatest"
+        terms = ", ".join(
+            f"l{i}.{src}"
+            if uncond
+            else f"(CASE WHEN l{i}.__dir = {d} THEN l{i}.{src} END)"
+            for i, uncond in legs
+        )
+        return f"{fn}({terms})" if len(legs) > 1 else terms
+
+    def variant_select(var, vrank: int) -> str:
+        join_sql, legs_sql, sym_legs = var_parts(var)
         meas_sql = []
-        for kind, sym, name in spec["measures"]:
+        for kind, sym, name, _sem in spec["measures"]:
             if kind == "match_number":
                 meas_sql.append(f"CAST(l0.__run AS BIGINT) AS {name}")
-                continue
-            legs = sym_legs[sym]
-            d = spec["define"][sym]
-            if kind == "count":
-                terms = " + ".join(
-                    f"l{i}.__n"
-                    if uncond
-                    else f"(CASE WHEN l{i}.__dir = {d} THEN l{i}.__n ELSE 0 END)"
-                    for i, uncond in legs
-                )
-                meas_sql.append(f"CAST({terms} AS BIGINT) AS {name}")
             else:
-                src = "__first" if kind == "first" else "__last"
-                fn = "least" if kind == "first" else "greatest"
-                terms = ", ".join(
-                    f"l{i}.{src}"
-                    if uncond
-                    else f"(CASE WHEN l{i}.__dir = {d} THEN l{i}.{src} END)"
-                    for i, uncond in legs
-                )
-                meas_sql.append(
-                    f"{fn}({terms}) AS {name}"
-                    if len(legs) > 1
-                    else f"{terms} AS {name}"
-                )
+                meas_sql.append(f"{final_meas_sql(kind, sym, sym_legs)} AS {name}")
         extra = (
             f", CAST(l0.__run AS BIGINT) AS __start, {vrank} AS __v" if multi else ""
         )
@@ -2394,7 +2512,88 @@ def sql_match_recognize(text: str, value_expr: str | None = None) -> str:
             f"    WHERE {' AND '.join(legs_sql)}"
         )
 
-    if not multi:
+    def variant_all_rows_select(var, vrank: int) -> str:
+        # one SELECT per LEG of the variant: (partition, match number,
+        # variant rank, leg run id, resolved classifier, finals)
+        join_sql, legs_sql, sym_legs = var_parts(var)
+        finals = []
+        for kind, sym, name, sem in spec["measures"]:
+            if kind in ("count", "first", "last") and sem == "final":
+                finals.append(f"{final_meas_sql(kind, sym, sym_legs)} AS __fm_{name}")
+        out = []
+        for i, alts in enumerate(var):
+            if len(alts) == 1:
+                cls = f"'{alts[0][0]}'"
+            else:
+                whens = " ".join(
+                    f"WHEN {spec['define'][sym]} THEN '{sym}'"
+                    for sym, _n, _e in alts
+                )
+                cls = f"(CASE l{i}.__dir {whens} END)"
+            cols = [
+                part_sel,
+                f"CAST(l0.__run AS BIGINT) AS __mn",
+                f"{vrank} AS __v",
+                f"CAST(l0.__run + {i} AS BIGINT) AS __rid",
+                f"{cls} AS __cls",
+                *finals,
+            ]
+            out.append(
+                f"SELECT {', '.join(cols)}\n"
+                f"    {' '.join(join_sql)}\n"
+                f"    WHERE {' AND '.join(legs_sql)}"
+            )
+        return "\n    UNION ALL\n    ".join(out)
+
+    if spec["all_rows"]:
+        unions = "\n    UNION ALL\n    ".join(
+            variant_all_rows_select(var, vrank)
+            for vrank, var in enumerate(spec["variants"])
+        )
+        keys_b = ", ".join(spec["partition_by"])
+        pick = (
+            f"SELECT * FROM (\n    {unions}\n    )\n"
+            + (
+                f"    QUALIFY __v = min(__v) OVER (PARTITION BY {keys_b}, __mn)"
+                if multi
+                else ""
+            )
+        )
+        run_keys = " AND ".join(
+            f"n.{p} = x.{p}" for p in spec["partition_by"]
+        )
+        sel = [f"n.{p}" for p in spec["partition_by"]] + [
+            f"n.{o}" for o in spec["order_by"]
+        ]
+        wrun = (
+            f"OVER (PARTITION BY {', '.join('n.' + p for p in spec['partition_by'])},"
+            f" x.__mn ORDER BY {', '.join('n.' + o for o in spec['order_by'])}"
+            f" ROWS UNBOUNDED PRECEDING)"
+        )
+        for kind, sym, name, sem in spec["measures"]:
+            if kind == "match_number":
+                sel.append(f"x.__mn AS {name}")
+            elif kind == "classifier":
+                sel.append(f"x.__cls AS {name}")
+            elif sem == "final":
+                sel.append(f"x.__fm_{name} AS {name}")
+            elif kind == "count":
+                sel.append(
+                    f"CAST(SUM(CASE WHEN x.__cls = '{sym}' THEN 1 ELSE 0 END)"
+                    f" {wrun} AS BIGINT) AS {name}"
+                )
+            else:
+                fn = "first_value" if kind == "first" else "last_value"
+                sel.append(
+                    f"{fn}(CASE WHEN x.__cls = '{sym}' THEN n.{ord0} END"
+                    f" IGNORE NULLS) {wrun} AS {name}"
+                )
+        var_sql = (
+            f"SELECT {', '.join(sel)}\n"
+            f"    FROM numbered n JOIN (\n    {pick}\n    ) x\n"
+            f"    ON {run_keys} AND n.__run = x.__rid"
+        )
+    elif not multi:
         var_sql = variant_select(spec["variants"][0], 0)
     else:
         # greedy pick per (partition, start run): variants are emitted

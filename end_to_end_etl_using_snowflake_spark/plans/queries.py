@@ -6393,6 +6393,68 @@ def sql13_flatten_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL42_MR_TEXT = """
+SELECT * FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES MATCH_NUMBER() AS match_id,
+           CLASSIFIER() AS sym,
+           RUNNING COUNT(down.*) AS run_n_down,
+           RUNNING COUNT(up.*) AS run_n_up,
+           FINAL COUNT(down.*) AS tot_down,
+           RUNNING LAST(down.ts) AS last_down_ts
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (DOWN{2,} UP{2,})
+  DEFINE DOWN AS value < PREV(value),
+         UP AS value > PREV(value)
+)
+"""
+
+
+@register(
+    "sql42_match_recognize_all_rows",
+    oracle=None,  # assigned below (generated from the same parsed spec)
+    doc="""``ALL ROWS PER MATCH`` from TEXT (r8 — the remaining
+    MATCH_RECOGNIZE output mode): one output row per MATCHED INPUT ROW
+    instead of one per match, with MATCH_NUMBER(), CLASSIFIER() (the
+    symbol that classified each row — resolved per leg, at runtime for
+    alternation legs), RUNNING aggregates (ANSI's default in this
+    mode: windows over (partition, match) in the statement's ORDER
+    BY — count-so-far, last-so-far with NULL until the symbol first
+    appears), and explicit FINAL aggregates (computed once per match
+    on the run relation and replicated). Execution: the match relation
+    explodes to one row per (match, leg) carrying the leg's run id +
+    classifier, then ONE keyed equi-join back to the numbered row
+    relation on (partition key, run id) — data already clustered by
+    the key, never a rescan; greedy variant selection applies at the
+    match level BEFORE the join. Projection contract (conservative,
+    documented): partition columns + order columns + measures. The
+    oracle is GENERATED from the same parsed spec
+    (sql_match_recognize — per-leg UNION ALL + the identical join and
+    windows), so the mode carries its own DuckDB twin.""",
+    tags=("sql-surface", "match-recognize", "pattern", "dialect"),
+)
+def sql42_match_recognize_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import match_recognize_statement
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    return match_recognize_statement(spark, _SQL42_MR_TEXT, {"events": ev})
+
+
+def _attach_sql42_oracle() -> None:
+    from ..functions.sqldialect import sql_match_recognize
+
+    REGISTRY["sql42_match_recognize_all_rows"].oracle = sql_match_recognize(
+        _SQL42_MR_TEXT
+    )
+
+
+_attach_sql42_oracle()
+
+
 _SQL41_OBJ = (
     "concat('{\"user meta\": {\"tag list\": [\"t', "
     "CAST(event_id % 5 AS STRING), '\", \"', event_type, '\"]}}')"

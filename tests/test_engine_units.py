@@ -2205,6 +2205,16 @@ def test_match_recognize_parser_edges():
     # statically-dead variants drop (repetition boundary A..A), live ones stay
     spec_dead = parse_match_recognize(base.format(pat="(A+ B+ A+){1,2}"))
     assert len(spec_dead["variants"]) == 1  # only k=1 survives
+    # r8: ALL ROWS PER MATCH parses; ONE ROW resolves aggregates final
+    spec_all = parse_match_recognize(
+        base.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH").format(pat="A B")
+    )
+    assert spec_all["all_rows"] is True
+    # ANSI default semantics: RUNNING in ALL ROWS mode
+    assert [m[3] for m in spec_all["measures"]] == ["running", "running"]
+    spec_one = parse_match_recognize(base.format(pat="A B"))
+    assert spec_one["all_rows"] is False
+    assert [m[3] for m in spec_one["measures"]] == ["final", "final"]
     for bad, msg in [
         (base.format(pat="A{2,} A{3,}"), "differ in direction"),
         (base.format(pat="A|B"), "unsupported PATTERN token"),
@@ -2215,8 +2225,12 @@ def test_match_recognize_parser_edges():
         (base.format(pat="(A B){0,2}"), "1 <= m <= n"),
         (base.format(pat="(A B){1,2} (B A){1,2}"), "one quantified group"),
         (base.format(pat="(A A){1,2}"), "differ in direction"),
-        (base.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
-             .format(pat="A B"), "ALL ROWS"),
+        # CLASSIFIER needs ALL ROWS mode; SKIP modes still refuse
+        (base.replace("COUNT(b.*)", "CLASSIFIER()").format(pat="A B"),
+         "CLASSIFIER"),
+        (base.replace("ONE ROW PER MATCH",
+                      "ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW")
+             .format(pat="A B"), "SKIP PAST"),
         (base.replace("v < PREV(v)", "v < PREV(w)").format(pat="A B"),
          "PREV of itself"),
         (base.replace("FIRST(a.ts)", "FIRST(a.v)").format(pat="A B"),
@@ -2342,6 +2356,75 @@ def test_match_recognize_alternation_and_group(spark):
     assert got_a == [(1, 2, 2, 3.0, 6.0)]
     duck_a = sorted(tuple(r) for r in con.execute(sql_match_recognize(text_a)).fetchall())
     assert duck_a == got_a
+
+
+def test_match_recognize_all_rows(spark):
+    """r8: ALL ROWS PER MATCH — one output row per matched input row
+    with MATCH_NUMBER / CLASSIFIER / RUNNING and FINAL aggregates;
+    greedy variant selection applies at the match level; the generated
+    DuckDB twin agrees row-for-row."""
+    import duckdb
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        match_recognize_statement,
+        sql_match_recognize,
+    )
+
+    vals1 = [10, 8, 6, 7, 9, 5, 1, 2, 3, 4]  # W: d2 u2 d2 u3
+    vals2 = [5, 3, 4]                         # V: d1 u1
+    rows = [(1, i, float(i), float(v)) for i, v in enumerate(vals1)]
+    rows += [(2, i, float(i), float(v)) for i, v in enumerate(vals2)]
+    df = spark.createDataFrame(rows, "u int, eid int, ts double, v double")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW mr_t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({u}, {e}, CAST({t} AS DOUBLE), CAST({v} AS DOUBLE))"
+            for u, e, t, v in rows
+        )
+        + ") AS x(u, eid, ts, v)"
+    )
+    text = (
+        "SELECT * FROM mr_t MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts "
+        "MEASURES MATCH_NUMBER() AS m, CLASSIFIER() AS c, "
+        "RUNNING COUNT(down.*) AS rcd, FINAL COUNT(up.*) AS fcu, "
+        "RUNNING LAST(down.ts) AS rld "
+        "ALL ROWS PER MATCH PATTERN (DOWN+ UP+) "
+        "DEFINE DOWN AS v < PREV(v), UP AS v > PREV(v))"
+    )
+    got = sorted(
+        (r.u, r.ts, r.m, r.c, r.rcd, r.fcu, r.rld)
+        for r in match_recognize_statement(spark, text, {"mr_t": df}).collect()
+    )
+    # user1: two matches (runs 1-2, runs 3-4) covering all 9 direction
+    # rows; running count/last advance inside each match; FINAL count
+    # is constant per match; user2: the V
+    assert got[:4] == [
+        (1, 1.0, 1, "DOWN", 1, 2, 1.0),
+        (1, 2.0, 1, "DOWN", 2, 2, 2.0),
+        (1, 3.0, 1, "UP", 2, 2, 2.0),
+        (1, 4.0, 1, "UP", 2, 2, 2.0),
+    ]
+    assert len(got) == 11
+    duck = sorted(tuple(r) for r in con.execute(sql_match_recognize(text)).fetchall())
+    assert duck == got
+    # greedy grouped quantifier in ALL ROWS mode: the W start keeps the
+    # 4-leg variant; its rows never ALSO appear as the 2-leg V prefix
+    text_g = (
+        "SELECT * FROM mr_t MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts "
+        "MEASURES MATCH_NUMBER() AS m, CLASSIFIER() AS c "
+        "ALL ROWS PER MATCH PATTERN ((DOWN+ UP+){1,2}) "
+        "DEFINE DOWN AS v < PREV(v), UP AS v > PREV(v))"
+    )
+    got_g = sorted(
+        (r.u, r.ts, r.m, r.c)
+        for r in match_recognize_statement(spark, text_g, {"mr_t": df}).collect()
+    )
+    duck_g = sorted(tuple(r) for r in con.execute(sql_match_recognize(text_g)).fetchall())
+    assert duck_g == got_g
+    # user1 match m=1 is the full W: 9 rows, exactly once each
+    m1 = [g for g in got_g if g[0] == 1 and g[2] == 1]
+    assert len(m1) == 9 and len({g[1] for g in m1}) == 9
 
 
 def test_semi_structured_rewriter(spark):
