@@ -1540,7 +1540,92 @@ _SCALAR_REWRITES = {
     "LEN": lambda args: (
         f"length({args[0]})" if len(args) == 1 else _bad("LEN", args)
     ),
+    # ---- conversion pack (r8). TO_NUMBER/TO_DECIMAL default to
+    # NUMBER(38, 0) — Snowflake's documented default precision/scale;
+    # TRY_ variants null out instead of erroring (Spark try_cast).
+    # Format-string forms refuse (a mistranslated format would corrupt
+    # silently).
+    "TO_NUMBER": lambda args: _to_number_rewrite("TO_NUMBER", "cast", args),
+    "TO_DECIMAL": lambda args: _to_number_rewrite("TO_DECIMAL", "cast", args),
+    "TRY_TO_NUMBER": lambda args: _to_number_rewrite(
+        "TRY_TO_NUMBER", "try_cast", args
+    ),
+    "TRY_TO_DECIMAL": lambda args: _to_number_rewrite(
+        "TRY_TO_DECIMAL", "try_cast", args
+    ),
+    "TRY_TO_DATE": lambda args: (
+        f"try_cast({args[0]} AS DATE)"
+        if len(args) == 1
+        else _bad("TRY_TO_DATE (format forms refuse)", args)
+    ),
+    "TRY_TO_TIMESTAMP": lambda args: (
+        f"try_cast({args[0]} AS TIMESTAMP)"
+        if len(args) == 1
+        else _bad("TRY_TO_TIMESTAMP (format forms refuse)", args)
+    ),
+    # VARIANT = JSON text (the sql30/sql34 contract): PARSE_JSON is
+    # the identity on already-JSON text, TO_VARIANT of a scalar is its
+    # JSON rendering
+    "PARSE_JSON": lambda args: (
+        f"({args[0]})" if len(args) == 1 else _bad("PARSE_JSON", args)
+    ),
+    "TO_VARIANT": lambda args: (
+        f"to_json({args[0]})" if len(args) == 1 else _bad("TO_VARIANT", args)
+    ),
+    # GET_PATH(v, 'a.b') is the function form of v:a.b
+    "GET_PATH": lambda args: _get_path_rewrite(args),
+    # Snowflake's argument order is (value, array) — Spark's is
+    # (array, value). Lowered to array_position > 0 (same truth table
+    # incl. NULL value -> NULL) — emitting Spark's own array_contains
+    # would re-match this case-insensitive head and never converge.
+    "ARRAY_CONTAINS": lambda args: (
+        f"(array_position({args[1]}, {args[0]}) > 0)"
+        if len(args) == 2
+        else _bad("ARRAY_CONTAINS", args)
+    ),
+    "ARRAY_SIZE": lambda args: (
+        f"size({args[0]})" if len(args) == 1 else _bad("ARRAY_SIZE", args)
+    ),
+    "ARRAY_CONSTRUCT": lambda args: f"array({', '.join(args)})",
 }
+
+
+def _to_number_rewrite(name: str, cast_fn: str, args: list) -> str:
+    if len(args) == 1:
+        return f"{cast_fn}({args[0]} AS DECIMAL(38, 0))"
+    if len(args) == 3:
+        p, s = args[1].strip(), args[2].strip()
+        if p.isdigit() and s.isdigit():
+            return f"{cast_fn}({args[0]} AS DECIMAL({p}, {s}))"
+    raise ValueError(
+        f"{name} supports (expr) or (expr, precision, scale);"
+        " format-string forms are not lowered"
+    )
+
+
+def _get_path_rewrite(args: list) -> str:
+    if len(args) != 2:
+        raise ValueError("GET_PATH needs (variant, 'path')")
+    p = args[1].strip()
+    if not (len(p) >= 2 and p[0] == p[-1] and p[0] == "'"):
+        raise ValueError(f"GET_PATH path must be a string literal, got: {p!r}")
+    path = p[1:-1]
+    if not re.fullmatch(
+        r'(?:[A-Za-z_]\w*|"[^"]+")(?:\.(?:[A-Za-z_]\w*|"[^"]+")|\[\d+\])*', path
+    ):
+        raise ValueError(f"GET_PATH supports dotted identifier paths, got: {path!r}")
+    jp_parts = []
+    for m in re.finditer(r'[A-Za-z_]\w*|"[^"]+"|\[\d+\]', path):
+        seg = m.group(0)
+        if seg.startswith('"'):
+            jp_parts.append(f"['{seg[1:-1]}']")
+        elif seg.startswith("["):
+            jp_parts.append(seg)
+        else:
+            jp_parts.append(f".{seg}")
+    jp = "$" + "".join(jp_parts)
+    lit = f'"{jp}"' if "'" in jp else f"'{jp}'"
+    return f"get_json_object({args[0]}, {lit})"
 
 
 def _bad(name: str, args: list) -> str:

@@ -6161,6 +6161,79 @@ def f17_scalar_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite_scalar_funcs(_F17_SNOWFLAKE_TEXT))
 
 
+_F19_SNOWFLAKE_TEXT = """
+SELECT o_orderpriority,
+       CAST(SUM(TO_NUMBER(SUBSTR(o_orderpriority, 1, 1))) AS BIGINT)
+           AS prio_sum,
+       CAST(SUM(TRY_TO_NUMBER(SUBSTR(o_orderpriority, 1, 1), 38, 0)) AS BIGINT)
+           AS prio_try_sum,
+       CAST(SUM(IFF(TRY_TO_NUMBER(o_orderstatus) IS NULL, 1, 0)) AS BIGINT)
+           AS non_numeric,
+       MAX(TRY_TO_DATE(SUBSTR(CAST(o_orderdate AS STRING), 1, 10)))
+           AS max_date,
+       CAST(SUM(IFF(TRY_TO_TIMESTAMP(o_orderstatus) IS NULL, 1, 0)) AS BIGINT)
+           AS bad_ts,
+       MAX(GET_PATH(PARSE_JSON(CONCAT('{"p": "', o_orderpriority, '"}')), 'p'))
+           AS p_extract,
+       MAX(TO_VARIANT(ARRAY_CONSTRUCT(o_orderstatus))) AS status_var,
+       CAST(SUM(IFF(ARRAY_CONTAINS(o_orderpriority,
+                                   ARRAY_CONSTRUCT('1-URGENT', '2-HIGH')), 1, 0))
+            AS BIGINT) AS urgent_high,
+       CAST(MAX(ARRAY_SIZE(ARRAY_CONSTRUCT(o_orderkey, o_custkey))) AS BIGINT)
+           AS pair_size
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "f19_conversion_dialect",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(SUBSTR(o_orderpriority, 1, 1) AS DECIMAL(38, 0)))
+                AS BIGINT) AS prio_sum,
+           CAST(SUM(TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS DECIMAL(38, 0)))
+                AS BIGINT) AS prio_try_sum,
+           CAST(SUM(CASE WHEN TRY_CAST(o_orderstatus AS DECIMAL(38, 0)) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS non_numeric,
+           MAX(TRY_CAST(SUBSTR(CAST(o_orderdate AS VARCHAR), 1, 10) AS DATE))
+               AS max_date,
+           CAST(SUM(CASE WHEN TRY_CAST(o_orderstatus AS TIMESTAMP) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_ts,
+           MAX(json_extract_string(CONCAT('{"p": "', o_orderpriority, '"}'),
+                                   '$.p')) AS p_extract,
+           MAX(to_json([o_orderstatus])) AS status_var,
+           CAST(SUM(CASE WHEN list_contains(['1-URGENT', '2-HIGH'],
+                                            o_orderpriority)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS urgent_high,
+           CAST(MAX(len([o_orderkey, o_custkey])) AS BIGINT) AS pair_size
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="""The Snowflake CONVERSION + semi-structured scalar pack
+    accepted VERBATIM in one statement (r8, second scalar batch —
+    functions/sqldialect.py:_SCALAR_REWRITES): TO_NUMBER /
+    TRY_TO_NUMBER with Snowflake's documented NUMBER(38,0) default
+    and explicit (precision, scale) forms (TRY_ nulls out via
+    try_cast, TO_ stays strict; format-string forms refuse loudly
+    rather than mistranslate), TRY_TO_DATE / TRY_TO_TIMESTAMP,
+    PARSE_JSON (identity on the engine's JSON-text VARIANT),
+    TO_VARIANT (JSON rendering of compound values — arrays/objects;
+    scalar input fails LOUDLY at analysis, never silently), GET_PATH (the function form of the colon path, sharing
+    the quoted-segment JSON-path renderer), ARRAY_CONTAINS with
+    Snowflake's (value, array) ARGUMENT ORDER swapped to Spark's
+    (array, value) — the classic silent-corruption trap, pinned by
+    the oracle — ARRAY_SIZE, and ARRAY_CONSTRUCT. All per-row
+    expressions: pushdown, partial aggregation, and codegen
+    untouched.""",
+    tags=("sql-surface", "dialect", "functions", "conversion"),
+)
+def f19_conversion_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import rewrite_scalar_funcs
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrite_scalar_funcs(_F19_SNOWFLAKE_TEXT))
+
+
 _F18_SNOWFLAKE_TEXT = """
 SELECT r.r_name,
        OBJECT_CONSTRUCT(

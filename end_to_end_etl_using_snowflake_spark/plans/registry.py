@@ -128,6 +128,7 @@ PRIORITY: tuple[str, ...] = (
     "sql40_time_travel_before",
     "sql41_flatten_quoted_path",
     "sql42_match_recognize_all_rows",
+    "f19_conversion_dialect",
     "sql18_reference_merge",
     "sql19_reference_dim_merge",
     "sql20_reference_item_merge",

@@ -2604,6 +2604,53 @@ def test_scalar_dialect_rewriter(spark):
         rewrite_scalar_funcs("SELECT DECODE(x, 1) FROM t")
 
 
+def test_conversion_pack_rewriter(spark):
+    """r8 conversion pack: TO_NUMBER defaults NUMBER(38,0), TRY_
+    variants null out, ARRAY_CONTAINS swaps Snowflake's (value, array)
+    order and converges (regression: emitting Spark's array_contains
+    re-matched the head forever); format-string forms refuse."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_scalar_funcs,
+    )
+
+    out = rewrite_scalar_funcs(
+        "SELECT TO_NUMBER(x), TRY_TO_NUMBER(y, 10, 2),"
+        " ARRAY_CONTAINS(v, arr) FROM t"
+    )
+    assert "cast(x AS DECIMAL(38, 0))" in out
+    assert "try_cast(y AS DECIMAL(10, 2))" in out
+    assert "(array_position(arr, v) > 0)" in out
+    row = spark.sql(
+        rewrite_scalar_funcs(
+            "SELECT TO_NUMBER('42') AS a, TRY_TO_NUMBER('x') AS b,"
+            " TRY_TO_NUMBER('3.9', 10, 2) AS b2,"
+            " TRY_TO_DATE('2024-02-29') AS c, TRY_TO_TIMESTAMP('nope') AS d,"
+            " GET_PATH(PARSE_JSON('{\"a\": {\"b c\": 5}}'), 'a.\"b c\"') AS e,"
+            " ARRAY_CONTAINS('x', ARRAY_CONSTRUCT('w', 'x')) AS f,"
+            " ARRAY_SIZE(ARRAY_CONSTRUCT(1, 2, 3)) AS g,"
+            " TO_VARIANT(ARRAY_CONSTRUCT('F')) AS h"
+        )
+    ).first()
+    import datetime
+    import decimal
+
+    assert row.a == decimal.Decimal(42) and row.b is None
+    assert row.b2 == decimal.Decimal("3.90")
+    assert row.c == datetime.date(2024, 2, 29) and row.d is None
+    assert row.e == "5" and row.f is True and row.g == 3
+    assert row.h == '["F"]'
+    for bad, msg in [
+        ("SELECT TO_NUMBER(x, '999.99') FROM t", "format-string"),
+        ("SELECT TRY_TO_DATE(x, 'YYYY') FROM t", "format forms"),
+        ("SELECT GET_PATH(v, p) FROM t", "string literal"),
+        ("SELECT GET_PATH(v, 'a..b') FROM t", "dotted identifier"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            rewrite_scalar_funcs(bad)
+
+
 def test_copy_unload_parser_and_roundtrip(spark, tmp_path):
     import pytest as _pytest
 
