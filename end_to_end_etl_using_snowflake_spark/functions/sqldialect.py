@@ -1048,6 +1048,43 @@ def parse_time_travel(
     return clean, table, ts, True
 
 
+_CHANGES_RE = re.compile(
+    r"^SELECT\s+\*\s+FROM\s+(?P<table>[A-Za-z_]\w*)\s+CHANGES\s*\(\s*"
+    r"INFORMATION\s*=>\s*(?P<info>DEFAULT|APPEND_ONLY)\s*\)\s+"
+    r"AT\s*\(\s*TIMESTAMP\s*=>\s*'(?P<ts>[^']+)'\s*\)\s*$",
+    re.IGNORECASE,
+)
+
+
+def changes_statement(spark, text: str, log, changes, keys):  # noqa: ANN001
+    """Execute Snowflake's ``SELECT * FROM <t> CHANGES (INFORMATION =>
+    DEFAULT | APPEND_ONLY) AT (TIMESTAMP => '<ts>')`` verbatim (r8) —
+    the table-function form of streams: the net row delta between the
+    table state at the AT point and now, with METADATA$ACTION /
+    METADATA$ISUPDATE columns. The AT timestamp resolves through the
+    same stamped-version index as time travel (Changelog.version_at);
+    the diff is streaming/changelog.py:table_changes (two pruned
+    snapshot replays + ONE keyed full-outer join — net semantics, not
+    the raw journal). ``log``/``changes``/``keys`` bind the engine
+    changelog exactly as the AT/BEFORE executors do."""
+    m = _CHANGES_RE.match(_strip_line_comments(text).strip().rstrip(";"))
+    if m is None:
+        raise ValueError(
+            "unsupported CHANGES shape (need SELECT * FROM <t> CHANGES"
+            " (INFORMATION => DEFAULT|APPEND_ONLY) AT (TIMESTAMP => '<ts>'))"
+        )
+    from ..streaming.changelog import table_changes
+
+    v_from = log.version_at(m.group("ts"))
+    return table_changes(
+        changes,
+        keys,
+        v_from,
+        log.version,
+        append_only=m.group("info").upper() == "APPEND_ONLY",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Snowflake MERGE INTO statement text
 # ---------------------------------------------------------------------------

@@ -5040,6 +5040,122 @@ def sql40_time_travel_before(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql43_changes_clause",
+    oracle="""
+    WITH upd AS (  -- v2: +100 for low nations
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               c_acctbal + CASE WHEN c_nationkey < 5 THEN 100 ELSE 0 END AS bal
+        FROM customer
+    ),
+    newrows AS (   -- v4 inserts
+        SELECT c_custkey + 1000000 AS c_custkey, c_nationkey,
+               'NEWSEG' AS c_mktsegment, 0.0 AS bal
+        FROM customer WHERE c_custkey % 97 = 0
+    )
+    -- probe 'full' (AT mid-v1): net delta v1 -> v4
+    SELECT 'full' AS probe, c_custkey, c_nationkey, c_mktsegment,
+           CAST(round(bal * 100) AS BIGINT) AS bal_cents,
+           'INSERT' AS action, FALSE AS isupdate
+    FROM newrows
+    UNION ALL
+    SELECT 'full', c_custkey, c_nationkey, c_mktsegment,
+           CAST(round(c_acctbal * 100) AS BIGINT), 'DELETE', FALSE
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT 'full', u.c_custkey, u.c_nationkey, u.c_mktsegment,
+           CAST(round(u.bal * 100) AS BIGINT), 'INSERT', TRUE
+    FROM upd u WHERE u.c_nationkey < 5 AND u.c_custkey % 10 <> 0
+    UNION ALL
+    SELECT 'full', c_custkey, c_nationkey, c_mktsegment,
+           CAST(round(c_acctbal * 100) AS BIGINT), 'DELETE', TRUE
+    FROM customer WHERE c_nationkey < 5 AND c_custkey % 10 <> 0
+    UNION ALL
+    -- probe 'ao' (APPEND_ONLY over the same interval): inserts only
+    SELECT 'ao', c_custkey, c_nationkey, c_mktsegment,
+           CAST(round(bal * 100) AS BIGINT), 'INSERT', FALSE
+    FROM newrows
+    UNION ALL
+    -- probe 'from_v2' (AT after the update): deletes carry the v2
+    -- payload; the v2 updates themselves are invisible
+    SELECT 'from_v2', c_custkey, c_nationkey, c_mktsegment,
+           CAST(round(bal * 100) AS BIGINT), 'INSERT', FALSE
+    FROM newrows
+    UNION ALL
+    SELECT 'from_v2', u.c_custkey, u.c_nationkey, u.c_mktsegment,
+           CAST(round(u.bal * 100) AS BIGINT), 'DELETE', FALSE
+    FROM upd u WHERE u.c_custkey % 10 = 0
+    """,
+    doc="""Snowflake's ``CHANGES (INFORMATION => DEFAULT |
+    APPEND_ONLY) AT (TIMESTAMP => ...)`` clause accepted VERBATIM
+    (r8) — the table-function form of streams: the NET row delta
+    between the AT point and now with METADATA$ACTION /
+    METADATA$ISUPDATE, resolved through the same stamped-version
+    index as time travel (functions/sqldialect.py:changes_statement;
+    streaming/changelog.py:table_changes). Probes over a 4-version
+    changelog (load, +100 update for low nations, delete every 10th
+    key, insert synthetic keys): 'full' pins all four delta kinds —
+    plain inserts, deletes carrying the OLD payload, and the
+    DELETE+INSERT pair (ISUPDATE true) for net updates; 'ao' pins the
+    APPEND_ONLY flavor (inserts only); 'from_v2' pins net semantics —
+    starting after the update, the update is INVISIBLE and deletes
+    carry the updated payload. Scale: two _version-pruned snapshot
+    replays + ONE keyed full-outer join; never the raw journal, never
+    a window over history.""",
+    tags=("sql-surface", "dialect", "changes", "changelog", "streams"),
+)
+def sql43_changes_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import changes_statement
+    from ..streaming.changelog import Changelog
+
+    base = scratch_dir("chg_")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    log = Changelog(spark, f"{base}/customer_hist")
+    log.record(cust, "UPSERT", at="2024-01-01 00:00:00")  # v1 load
+    updated = cust.filter(F.col("c_nationkey") < 5).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    log.record(updated, "UPSERT", at="2024-01-02 00:00:00")  # v2 update
+    log.record(
+        cust.filter(F.col("c_custkey") % 10 == 0),
+        "DELETE",
+        at="2024-01-03 00:00:00",
+    )  # v3 delete
+    newrows = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_nationkey",
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    log.record(newrows, "UPSERT", at="2024-01-04 00:00:00")  # v4 insert
+    changes = spark.read.parquet(log.log_path)
+    keys = ["c_custkey"]
+
+    def run(probe: str, text: str) -> DataFrame:
+        out = changes_statement(spark, text, log, changes, keys)
+        return out.select(
+            F.lit(probe).alias("probe"),
+            "c_custkey",
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("bal_cents"),
+            F.col("METADATA$ACTION").alias("action"),
+            F.col("METADATA$ISUPDATE").alias("isupdate"),
+        )
+
+    q = (
+        "SELECT * FROM customer_hist CHANGES (INFORMATION => {info})"
+        " AT (TIMESTAMP => '{ts}')"
+    )
+    return (
+        run("full", q.format(info="DEFAULT", ts="2024-01-01 12:00:00"))
+        .unionByName(run("ao", q.format(info="APPEND_ONLY", ts="2024-01-01 12:00:00")))
+        .unionByName(run("from_v2", q.format(info="DEFAULT", ts="2024-01-02 12:00:00")))
+    )
+
+
+@register(
     "pl_undrop",
     oracle="""
     SELECT 'restored' AS phase, CAST(count(*) AS BIGINT) AS n_rows,

@@ -129,6 +129,7 @@ PRIORITY: tuple[str, ...] = (
     "sql41_flatten_quoted_path",
     "sql42_match_recognize_all_rows",
     "f19_conversion_dialect",
+    "sql43_changes_clause",
     "sql18_reference_merge",
     "sql19_reference_dim_merge",
     "sql20_reference_item_merge",

@@ -1762,6 +1762,57 @@ def test_changelog_version_at(spark, tmp_path):
     assert log.version_before("2024-03-02 00:00:00") == 3
 
 
+def test_table_changes_net_semantics(spark, tmp_path):
+    """r8 CHANGES: net delta, not the journal — a row updated then
+    REVERTED inside the interval emits nothing; update pairs carry
+    ISUPDATE true; APPEND_ONLY sees only genuine inserts."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_using_snowflake_spark.streaming.changelog import (
+        Changelog,
+        table_changes,
+    )
+
+    log = Changelog(spark, str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    log.record(base, "UPSERT", at="2024-01-01 00:00:00")           # v1
+    log.record(
+        spark.createDataFrame([(1, "a2"), (2, "b2")], "k int, v string"),
+        "UPSERT", at="2024-01-02 00:00:00",
+    )                                                               # v2
+    log.record(
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        "UPSERT", at="2024-01-03 00:00:00",
+    )                                                               # v3: k=1 reverted
+    log.record(
+        spark.createDataFrame([(3, "c")], "k int, v string"),
+        "DELETE", at="2024-01-04 00:00:00",
+    )                                                               # v4: k=3 gone
+    log.record(
+        spark.createDataFrame([(9, "new")], "k int, v string"),
+        "UPSERT", at="2024-01-05 00:00:00",
+    )                                                               # v5: insert
+    changes = spark.read.parquet(log.log_path)
+    got = sorted(
+        (r["k"], r["v"], r["METADATA$ACTION"], r["METADATA$ISUPDATE"])
+        for r in table_changes(changes, ["k"], 1, 5).collect()
+    )
+    # k=1 reverted -> invisible; k=2 update pair; k=3 delete; k=9 insert
+    assert got == [
+        (2, "b", "DELETE", True),
+        (2, "b2", "INSERT", True),
+        (3, "c", "DELETE", False),
+        (9, "new", "INSERT", False),
+    ]
+    ao = sorted(
+        (r["k"], r["v"])
+        for r in table_changes(changes, ["k"], 1, 5, append_only=True).collect()
+    )
+    assert ao == [(9, "new")]
+
+
 def test_merge_statement_edges(spark):
     import pytest as _pytest
 
