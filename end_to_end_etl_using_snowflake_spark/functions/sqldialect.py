@@ -1714,6 +1714,24 @@ _ORDER_BY_BODY_RE = re.compile(
 )
 
 
+_TOP_RE = re.compile(r"^(\s*SELECT)\s+TOP\s+(\d+)\s+", re.IGNORECASE)
+
+
+def rewrite_top(sql: str) -> str:
+    """Lower Snowflake's ``SELECT TOP n ...`` to ``... LIMIT n`` (r8).
+    Top-level statement only (a TOP in a subquery fails loudly in
+    Spark's parser rather than silently mistranslating); refuses when
+    the statement already carries a LIMIT (Snowflake forbids mixing
+    TOP and LIMIT too)."""
+    m = _TOP_RE.match(sql)
+    if m is None:
+        return sql
+    body = sql[m.end():].rstrip().rstrip(";")
+    if re.search(r"\bLIMIT\s+\d+\s*$", body, re.IGNORECASE):
+        raise ValueError("TOP and LIMIT cannot be combined")
+    return f"{m.group(1)} {body} LIMIT {m.group(2)}"
+
+
 def rewrite_semi_structured(sql: str) -> str:
     """Lower the Snowflake semi-structured construction idioms to
     Spark's JSON-text VARIANT convention (the sql30/sql34 contract:
@@ -2779,6 +2797,7 @@ def lower_select(sql: str) -> str:
     statement executors (MATCH_RECOGNIZE, recursive FLATTEN, ASOF,
     MERGE/INSERT OVERWRITE, time travel) stay separate because they
     bind engine objects, not text."""
+    sql = rewrite_top(sql)
     sql = rewrite_variant_path(sql)
     sql = rewrite_semi_structured(sql)
     sql = rewrite_scalar_funcs(sql)

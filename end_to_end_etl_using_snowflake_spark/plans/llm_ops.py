@@ -762,6 +762,85 @@ def d6_dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d13_dedup_representative",
+    oracle=f"""
+    WITH RECURSIVE
+    {SQL_SHINGLE_SETS},
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    jpairs AS (
+        SELECT id_a, id_b FROM pairs
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common)::DOUBLE >= 0.6
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM jpairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM jpairs
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    ),
+    labels AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a),
+    ranked AS (
+        SELECT l.cluster, d.doc_id, length(d.text) AS n_len,
+               ROW_NUMBER() OVER (PARTITION BY l.cluster
+                                  ORDER BY length(d.text) DESC, d.doc_id) AS rn
+        FROM labels l JOIN documents d ON d.doc_id = l.id
+    )
+    SELECT cluster,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN rn > 1 THEN n_len ELSE 0 END) AS BIGINT)
+               AS chars_removed
+    FROM ranked GROUP BY cluster
+    """,
+    doc="""Near-dup cluster REPRESENTATIVE selection (d13) — the step
+    that makes pairwise dedup actionable for a training corpus: for
+    every connected component of the MinHash-LSH near-dup graph (d6's
+    labels), keep exactly ONE document — the longest member, doc_id
+    ascending as the deterministic tiebreak ("keep the most complete
+    copy", the common crawl-dedup policy) — and account for what was
+    dropped (member count + characters removed). One window over the
+    labeled docs: rank members per cluster, rn=1 is the keeper, the
+    rest aggregate into the removal ledger. Scale shape: d6's banded
+    LSH + min-label propagation (no cartesian), then ONE keyed join
+    + one cluster-keyed window + one aggregate — every stage keyed by
+    cluster, nothing global. The oracle recomputes the identical
+    components via recursive-CTE transitive closure and the identical
+    window rule.""",
+    tags=("dedup", "llm-pipeline", "representative"),
+)
+def d13_dedup_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=32, threshold=0.6)
+    ids = docs.select(F.col("doc_id").alias("id"))
+    labels = D.connected_components(ids, pairs.select("id_a", "id_b"))
+    member = labels.join(docs, labels["id"] == docs["doc_id"]).select(
+        "cluster", "doc_id", F.length("text").alias("n_len")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("n_len").desc(), F.col("doc_id").asc()
+    )
+    ranked = member.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("cluster").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_len")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("chars_removed"),
+    )
+
+
+@register(
     "x2_leakage_safe_split",
     oracle=f"""
     WITH RECURSIVE

@@ -6350,6 +6350,35 @@ def f19_conversion_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite_scalar_funcs(_F19_SNOWFLAKE_TEXT))
 
 
+@register(
+    "sql44_top_dialect",
+    oracle="""
+    SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 7
+    """,
+    doc="""Snowflake ``SELECT TOP n`` accepted verbatim (r8,
+    functions/sqldialect.py:rewrite_top): lowers to a trailing LIMIT
+    after the statement's ORDER BY, so Catalyst plans
+    TakeOrderedAndProject — per-partition top-k then a k-row driver
+    merge, never a global sort (o2's pinned shape). Deterministic
+    total tiebreak on the order key; TOP+LIMIT together refuses, as
+    in Snowflake. Oracle is the LIMIT spelling of the same query.""",
+    tags=("sql-surface", "dialect", "topk"),
+)
+def sql44_top_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import lower_select
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        lower_select(
+            "SELECT TOP 7 o_orderkey,"
+            " CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents"
+            " FROM orders ORDER BY o_totalprice DESC, o_orderkey"
+        )
+    )
+
+
 _F18_SNOWFLAKE_TEXT = """
 SELECT r.r_name,
        OBJECT_CONSTRUCT(

@@ -130,6 +130,8 @@ PRIORITY: tuple[str, ...] = (
     "sql42_match_recognize_all_rows",
     "f19_conversion_dialect",
     "sql43_changes_clause",
+    "sql44_top_dialect",
+    "d13_dedup_representative",
     "sql18_reference_merge",
     "sql19_reference_dim_merge",
     "sql20_reference_item_merge",

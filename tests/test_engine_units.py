@@ -2655,6 +2655,25 @@ def test_scalar_dialect_rewriter(spark):
         rewrite_scalar_funcs("SELECT DECODE(x, 1) FROM t")
 
 
+def test_top_rewriter():
+    """SELECT TOP n lowers to a trailing LIMIT; TOP+LIMIT refuses;
+    non-TOP statements pass through untouched."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_top,
+    )
+
+    assert rewrite_top("SELECT TOP 5 a FROM t ORDER BY a;") == (
+        "SELECT a FROM t ORDER BY a LIMIT 5"
+    )
+    assert rewrite_top("SELECT top 10 a FROM t") == "SELECT a FROM t LIMIT 10"
+    s = "SELECT a FROM t LIMIT 3"
+    assert rewrite_top(s) == s
+    with _pytest.raises(ValueError, match="cannot be combined"):
+        rewrite_top("SELECT TOP 5 a FROM t LIMIT 3")
+
+
 def test_conversion_pack_rewriter(spark):
     """r8 conversion pack: TO_NUMBER defaults NUMBER(38,0), TRY_
     variants null out, ARRAY_CONTAINS swaps Snowflake's (value, array)
