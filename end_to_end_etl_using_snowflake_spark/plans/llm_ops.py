@@ -2854,6 +2854,122 @@ def _dq4_oracle(num_hashes: int = 32, band_rows: int = 2, threshold: float = 0.6
     """
 
 
+_DQ6_K = 128
+_DQ6_NUMER = float((_DQ6_K - 1) * (1 << 60))
+
+
+@register(
+    "dq6_source_overlap_matrix",
+    oracle=f"""
+    WITH toks AS (SELECT source AS id, {{tokens}} AS w FROM documents),
+    sh AS (SELECT DISTINCT id, unnest({{shingles}}) AS shingle FROM toks),
+    hashed AS (SELECT DISTINCT id AS source,
+                      {{h}} AS h
+               FROM sh),
+    sk AS (SELECT source, h FROM (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS r
+        FROM hashed) WHERE r <= {_DQ6_K}),
+    srcs AS (SELECT DISTINCT source FROM hashed),
+    pairs AS (SELECT a.source AS sa, b.source AS sb
+              FROM srcs a JOIN srcs b ON a.source < b.source),
+    uh AS (SELECT DISTINCT p.sa, p.sb, s.h
+           FROM pairs p JOIN sk s ON s.source = p.sa OR s.source = p.sb),
+    usk AS (SELECT sa, sb, h FROM (
+        SELECT sa, sb, h,
+               ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS r
+        FROM uh) WHERE r <= {_DQ6_K}),
+    stats AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_k,
+                     CAST(max(h) AS BIGINT) AS kth
+              FROM usk GROUP BY 1, 2),
+    nboth AS (SELECT u.sa, u.sb, CAST(count(*) AS BIGINT) AS n_both
+              FROM usk u
+              WHERE EXISTS (SELECT 1 FROM sk WHERE source = u.sa AND h = u.h)
+                AND EXISTS (SELECT 1 FROM sk WHERE source = u.sb AND h = u.h)
+              GROUP BY 1, 2)
+    SELECT st.sa AS source_a, st.sb AS source_b, st.n_k,
+           COALESCE(nb.n_both, 0) AS n_both,
+           CASE WHEN st.n_k < {_DQ6_K} THEN CAST(st.n_k AS DOUBLE)
+                ELSE {_DQ6_NUMER!r} / CAST(st.kth AS DOUBLE) END AS union_est,
+           CAST(COALESCE(nb.n_both, 0) AS DOUBLE) / CAST(st.n_k AS DOUBLE)
+               AS jaccard_est,
+           (CAST(COALESCE(nb.n_both, 0) AS DOUBLE) / CAST(st.n_k AS DOUBLE))
+             * (CASE WHEN st.n_k < {_DQ6_K} THEN CAST(st.n_k AS DOUBLE)
+                     ELSE {_DQ6_NUMER!r} / CAST(st.kth AS DOUBLE) END)
+               AS intersection_est
+    FROM stats st LEFT JOIN nboth nb ON nb.sa = st.sa AND nb.sb = st.sb
+    """,
+    doc="""Cross-SOURCE shingle-overlap matrix via KMV sketches (dq6)
+    — the corpus-level contamination/duplication audit a training-data
+    pipeline runs before mixing sources: for every source pair, an
+    unbiased Jaccard / intersection / union estimate of their 3-gram
+    shingle sets (Beyer et al. 2007 — k8's estimator, generalized
+    from one pair to the full S x S matrix). ONE pass builds distinct
+    (source, shingle-hash) pairs, ONE source-keyed window takes each
+    source's k=128 smallest hashes, and the S*k-row sketch relation —
+    bounded by parameters, not data, the t-digest/k10 materialization
+    class — is collected and compared pairwise driver-side (exact
+    integer order statistics, two final double divisions per pair,
+    replicating the SQL twin token-for-token). At 100 TB the raw
+    shingle scan is the only data-sized stage; the matrix math never
+    touches an executor again. The DuckDB oracle computes the
+    identical sketches and estimates in SQL (pair UNION sketches via
+    per-pair ROW_NUMBER, membership probes via EXISTS).""",
+    tags=("data-quality", "llm-pipeline", "sketch", "dedup"),
+)
+def dq6_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import md5_hash64
+
+    docs = load(spark, sf_dir, "documents")
+    sh = D._shingle_sets(docs, "source", "text", 3)
+    hashed = sh.select(
+        F.col("id").alias("source"), md5_hash64(F.col("shingle")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hashed.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _DQ6_K)
+        .select("source", "h")
+    )
+    per: dict[str, list[int]] = {}
+    for row in sorted((r["source"], r["h"]) for r in sk.collect()):
+        per.setdefault(row[0], []).append(row[1])
+    out = []
+    srcs = sorted(per)
+    for i, sa in enumerate(srcs):
+        a = set(per[sa])
+        for sb in srcs[i + 1 :]:
+            b = set(per[sb])
+            union = sorted(a | b)[: _DQ6_K]
+            n_k = len(union)
+            n_both = sum(1 for h in union if h in a and h in b)
+            union_est = (
+                float(n_k) if n_k < _DQ6_K else _DQ6_NUMER / float(union[-1])
+            )
+            jacc = n_both / n_k
+            out.append((sa, sb, n_k, n_both, union_est, jacc, jacc * union_est))
+    return spark.createDataFrame(
+        out,
+        "source_a string, source_b string, n_k long, n_both long,"
+        " union_est double, jaccard_est double, intersection_est double",
+    )
+
+
+def _attach_dq6_oracle() -> None:
+    from ..operators.sketches import sql_md5_hash64
+
+    REGISTRY["dq6_source_overlap_matrix"].oracle = REGISTRY[
+        "dq6_source_overlap_matrix"
+    ].oracle.format(
+        tokens=SQL_TOKENS.format(x="text"),
+        shingles=SQL_SHINGLES3.format(w="w"),
+        h=sql_md5_hash64("shingle"),
+    )
+
+
+_attach_dq6_oracle()
+
+
 @register(
     "dq4_minhash_recall_eval",
     oracle=_dq4_oracle(),

@@ -132,6 +132,7 @@ PRIORITY: tuple[str, ...] = (
     "sql43_changes_clause",
     "sql44_top_dialect",
     "d13_dedup_representative",
+    "dq6_source_overlap_matrix",
     "sql18_reference_merge",
     "sql19_reference_dim_merge",
     "sql20_reference_item_merge",
