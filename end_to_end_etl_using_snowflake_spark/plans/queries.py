@@ -6914,6 +6914,55 @@ def s8_copy_unload(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).option("header", True).csv(out_dir)
 
 
+@register(
+    "s9_stage_metadata_select",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('customer_history.csv', 20, 20, 20),
+        ('customer_delta_1.csv', 1, 0, 1),
+        ('customer_delta_2.csv', 1, 0, 1)
+    ) AS t(fname, n_rows, n_active, n_customers)
+    """,
+    doc="""Snowflake's query-the-stage idiom — ``SELECT ...
+    METADATA$FILENAME ... FROM @stage/prefix`` accepted VERBATIM (r8,
+    sources/copy_into.py:stage_select): the landing files are read
+    through COPY INTO's exact named-format path (skip_header=1
+    fidelity including the blank-first-line split that preserves
+    customer_delta_1.csv's only data row), every row stamped with its
+    source file's basename via input_file_name() — a scan-provided
+    column, no join or shuffle added — and the statement runs over
+    the registered relation. The per-file audit pins the three
+    fixture files' exact row counts, the is_active='Y' count (the
+    deltas carry NULL there — delta_1 by the 9-of-10-column
+    PERMISSIVE fill, delta_2 by having no such column), and distinct
+    customer ids, against a GOLDEN VALUES oracle hand-derived from
+    the md5-pinned fixture bytes (pl_list_stage's convention).
+    METADATA$FILE_ROW_NUMBER refuses: physical row order inside a
+    Spark file split is not a stable contract.""",
+    tags=("sources", "stage", "metadata", "dialect"),
+)
+def s9_stage_metadata_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.copy_into import stage_select
+    from ..sources.csv_format import CUSTOMER_STAGE
+    from .pipeline_queries import _REFERENCE_DATA, assert_fixture_fingerprints
+
+    assert_fixture_fingerprints()
+    return stage_select(
+        spark,
+        """
+        SELECT METADATA$FILENAME AS fname,
+               CAST(COUNT(*) AS INT) AS n_rows,
+               CAST(SUM(CASE WHEN is_active = 'Y' THEN 1 ELSE 0 END) AS INT)
+                   AS n_active,
+               CAST(COUNT(DISTINCT customer_id) AS INT) AS n_customers
+        FROM @ayo_landing_stage/customer
+        GROUP BY METADATA$FILENAME
+        """,
+        _REFERENCE_DATA,
+        CUSTOMER_STAGE,
+    )
+
+
 # one statement exercising FOUR dialect constructs at once — the
 # composed lowering must handle their interactions, not just each
 # construct alone

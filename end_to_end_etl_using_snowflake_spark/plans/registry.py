@@ -133,6 +133,7 @@ PRIORITY: tuple[str, ...] = (
     "sql44_top_dialect",
     "d13_dedup_representative",
     "dq6_source_overlap_matrix",
+    "s9_stage_metadata_select",
     "sql18_reference_merge",
     "sql19_reference_dim_merge",
     "sql20_reference_item_merge",

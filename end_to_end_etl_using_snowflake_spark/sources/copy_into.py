@@ -107,6 +107,72 @@ def copy_into(
 
 
 
+def stage_select(
+    spark: SparkSession, text: str, stage_root: str, schema: T.StructType
+) -> DataFrame:
+    """Snowflake's query-the-stage-directly idiom (r8): ``SELECT ...
+    METADATA$FILENAME ... FROM @<stage>[/prefix] ...`` verbatim. The
+    stage files are read with the same named-format quirks as COPY
+    INTO (skip_header=1 fidelity incl. the blank-first-line split —
+    S2's exact read path), each row stamped with its source file's
+    basename as ``METADATA$FILENAME``, and the statement runs over
+    the registered relation. ``METADATA$FILE_ROW_NUMBER`` is NOT
+    exposed: physical row order inside a Spark file split is not a
+    stable contract — refusing beats a nondeterministic column.
+
+    Scale: listing + blank-byte peek are O(files) driver metadata
+    (copy_into's cost class); the read itself is one spark.read.csv
+    over the matched files with the filename column coming from the
+    scan (input_file_name — no join, no shuffle added)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from .file_format import CSV_FORMAT, FileFormat
+
+    if re.search(r"METADATA\$FILE_ROW_NUMBER", text, re.IGNORECASE):
+        raise ValueError(
+            "METADATA$FILE_ROW_NUMBER is not exposed (row order inside a"
+            " file split is not a stable Spark contract)"
+        )
+    m = re.search(r"FROM\s+@(\w+)(?:/(\w+))?", text, re.IGNORECASE)
+    if m is None:
+        raise ValueError("stage_select needs a FROM @<stage>[/prefix] clause")
+    prefix = m.group(2) or ""
+    files = [f for f in list_stage(stage_root) if f.startswith(prefix)]
+    if not files:
+        raise ValueError(f"no stage files match prefix {prefix!r}")
+    paths = [os.path.join(stage_root, f) for f in sorted(files)]
+    fname = F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+    parts = []
+    with_header = [p for p in paths if not _starts_blank(p)]
+    headerless = [p for p in paths if _starts_blank(p)]
+    if with_header:
+        parts.append(
+            CSV_FORMAT.read(spark, with_header, schema).withColumn(
+                "METADATA$FILENAME", fname
+            )
+        )
+    if headerless:
+        headerless_fmt = FileFormat("csv", dict(CSV_FORMAT.options, header="false"))
+        parts.append(
+            headerless_fmt.read(spark, headerless, schema).withColumn(
+                "METADATA$FILENAME", fname
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    view = f"__stage_{prefix or 'all'}"
+    df.createOrReplaceTempView(view)
+    clean = text[: m.start()] + f"FROM {view}" + text[m.end():]
+    clean = re.sub(
+        r"(?<!`)METADATA\$FILENAME", "`METADATA$FILENAME`", clean,
+        flags=re.IGNORECASE,
+    )
+    return spark.sql(clean)
+
+
 def parse_copy_unload(text: str) -> dict:
     """Parse Snowflake's UNLOAD direction — ``COPY INTO @<stage>/<path>
     FROM (<query>) FILE_FORMAT = (...) [HEADER = TRUE|FALSE]
