@@ -555,3 +555,48 @@ def test_match_recognize_text_compiler_stays_keyed(spark):
     plan = plan_of(spark, "sql32_match_recognize_text")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_match_recognize_all_rows_stays_keyed(spark):
+    # sql42: the exploded match relation joins back to the numbered
+    # row relation on (partition key, run id) — a keyed equi-join,
+    # never a cartesian; the RUNNING windows ride the same partitioning
+    plan = plan_of(spark, "sql42_match_recognize_all_rows")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_mr_variants_stay_keyed_and_bounded(spark):
+    # sql38: Catalyst pushes each variant-leg's direction/quantifier
+    # filter BELOW the shared run-relation subtree (per-leg pruning
+    # beats exchange reuse — each leg aggregates only its matching
+    # runs), so assert the properties that matter at scale instead:
+    # every join keyed, no cartesian, and the exchange count bounded
+    # by the total leg count (not quadratic in anything)
+    plan = plan_of(spark, "sql38_match_recognize_alt")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    total_legs = 4 + 2 + 1  # W variant + V variant + the alt statement
+    assert plan.count("Exchange") <= 2 * total_legs, plan
+
+
+def test_dedup_representative_stays_cluster_keyed(spark):
+    # d13: label join + member window + aggregate all keyed by
+    # cluster/doc — no cartesian anywhere in the LSH + components +
+    # representative pipeline
+    plan = plan_of(spark, "d13_dedup_representative")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_source_overlap_sketch_pass_is_one_window(spark):
+    # dq6: the distributed portion is the distinct (source, hash) pass
+    # + ONE source-keyed top-k window; the pairwise matrix math happens
+    # on the collected sketch (bounded by S*k), so the returned plan is
+    # a local relation — assert the build ran and produced the matrix
+    # without any join/exchange in the RETURNED dataframe's plan
+    from end_to_end_etl_using_snowflake_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["dq6_source_overlap_matrix"].build(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
