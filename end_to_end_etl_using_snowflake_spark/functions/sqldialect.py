@@ -1048,6 +1048,77 @@ def parse_time_travel(
     return clean, table, ts, True
 
 
+_UPDATE_RE = re.compile(
+    r"^UPDATE\s+(?P<t>[\w.]+)\s+SET\s+(?P<set>.+?)(?:\s+WHERE\s+(?P<pred>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^DELETE\s+FROM\s+(?P<t>[\w.]+)(?:\s+WHERE\s+(?P<pred>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _dml_table(tables: dict, name: str):
+    for n, d in tables.items():
+        if n.split(".")[-1].lower() == name.split(".")[-1].lower():
+            return d
+    raise KeyError(f"table {name!r} not in the tables mapping")
+
+
+def update_statement(spark, text: str, tables: dict):  # noqa: ANN001
+    """Execute ``UPDATE <t> SET c = expr[, ...] [WHERE pred]`` verbatim
+    (r8): assignments and predicate pass through the scalar dialect
+    pack (IFF/DECODE/...), then lower to operators/dml.py:update_where
+    — one conditional projection over the table, no join, no shuffle.
+    Returns the new table state (the caller owns the overwrite, like
+    the other statement shims). A missing WHERE updates every row,
+    Snowflake's semantics."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dml import update_where
+
+    sql = _strip_line_comments(text).strip().rstrip(";")
+    m = _UPDATE_RE.match(sql)
+    if m is None:
+        raise ValueError("unsupported UPDATE shape (UPDATE t SET ... [WHERE ...])")
+    df = _dml_table(tables, m.group("t"))
+    assignments = {}
+    for part in _split_top_level_commas(m.group("set")):
+        eq = part.find("=")
+        if eq < 0:
+            raise ValueError(f"SET item needs '=': {part.strip()!r}")
+        col = part[:eq].strip()
+        if col not in df.columns:
+            raise ValueError(f"SET target {col!r} is not a column of the table")
+        assignments[col] = F.expr(rewrite_scalar_funcs(part[eq + 1 :].strip()))
+    pred = (
+        F.expr(rewrite_scalar_funcs(m.group("pred").strip()))
+        if m.group("pred")
+        else F.lit(True)
+    )
+    return update_where(df, pred, assignments)
+
+
+def delete_statement(spark, text: str, tables: dict):  # noqa: ANN001
+    """Execute ``DELETE FROM <t> [WHERE pred]`` verbatim (r8): the
+    predicate lowers through the scalar pack to
+    operators/dml.py:delete_where (the complement filter, NULL
+    predicates keep the row — SQL's three-valued DELETE rule). A
+    missing WHERE empties the table."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dml import delete_where
+
+    sql = _strip_line_comments(text).strip().rstrip(";")
+    m = _DELETE_RE.match(sql)
+    if m is None:
+        raise ValueError("unsupported DELETE shape (DELETE FROM t [WHERE ...])")
+    df = _dml_table(tables, m.group("t"))
+    if not m.group("pred"):
+        return df.filter(F.lit(False))
+    return delete_where(df, F.expr(rewrite_scalar_funcs(m.group("pred").strip())))
+
+
 _CHANGES_RE = re.compile(
     r"^SELECT\s+\*\s+FROM\s+(?P<table>[A-Za-z_]\w*)\s+CHANGES\s*\(\s*"
     r"INFORMATION\s*=>\s*(?P<info>DEFAULT|APPEND_ONLY)\s*\)\s+"

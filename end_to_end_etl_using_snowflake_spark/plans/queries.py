@@ -6915,6 +6915,66 @@ def s8_copy_unload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql45_update_delete_text",
+    oracle="""
+    WITH updated AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM orders
+    ),
+    kept AS (SELECT * FROM updated WHERE NOT (o_custkey % 7 = 0))
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents
+    FROM kept GROUP BY o_orderstatus
+    """,
+    doc="""``UPDATE ... SET ... WHERE`` and ``DELETE FROM ... WHERE``
+    accepted VERBATIM (r8 — the last everyday DML statements that only
+    had operator forms, M6/M5's text face): assignments and predicates
+    pass through the scalar dialect pack (the UPDATE here uses IFF in
+    a SET expression), then lower to the existing conditional-
+    projection / complement-filter operators — no join, no shuffle,
+    one pass each (functions/sqldialect.py:update_statement /
+    delete_statement). The entry runs both statements against a
+    registered orders relation and audits the final state per status
+    group; the oracle replays the same two statements as CASE/NOT
+    closed forms. NULL-predicate DELETE keeps the row (SQL's
+    three-valued rule, delete_where's contract).""",
+    tags=("sql-surface", "dialect", "dml"),
+)
+def sql45_update_delete_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import delete_statement, update_statement
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    t1 = update_statement(
+        spark,
+        "UPDATE order_work SET o_totalprice = IFF(o_orderpriority = '1-URGENT',"
+        " o_totalprice * 1.1, o_totalprice),"
+        " o_orderstatus = IFF(o_orderpriority = '1-URGENT', 'X', o_orderstatus)"
+        " WHERE o_orderpriority = '1-URGENT'",
+        {"order_work": orders},
+    )
+    t2 = delete_statement(
+        spark,
+        "DELETE FROM order_work WHERE o_custkey % 7 = 0",
+        {"order_work": t1},
+    )
+    return t2.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("price_cents"),
+    )
+
+
+@register(
     "s9_stage_metadata_select",
     oracle="""
     SELECT * FROM (VALUES

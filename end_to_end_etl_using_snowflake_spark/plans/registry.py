@@ -134,6 +134,7 @@ PRIORITY: tuple[str, ...] = (
     "d13_dedup_representative",
     "dq6_source_overlap_matrix",
     "s9_stage_metadata_select",
+    "sql45_update_delete_text",
     "sql18_reference_merge",
     "sql19_reference_dim_merge",
     "sql20_reference_item_merge",
