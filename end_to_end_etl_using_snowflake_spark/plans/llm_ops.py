@@ -2363,6 +2363,48 @@ def x19_stratified_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udf3_arrow_udtf_chunker",
+    oracle="""
+    SELECT d.doc_id, CAST(g.i AS INT) AS chunk_idx,
+           substr(d.text, CAST(g.i * 150 + 1 AS BIGINT), 200) AS chunk
+    FROM documents d,
+         UNNEST(generate_series(0,
+             CAST(floor((length(d.text) - 1) / 150.0) AS BIGINT))) AS g(i)
+    WHERE length(d.text) > 0
+    """,
+    doc="""Spark 4 Python UDTF surface (r8 — the table-function member
+    of the Python-extension family udf1 scalar / udf2 grouped-map /
+    e3 stateful / mm mapInPandas): a text chunker emitting overlapping
+    200-char windows at stride 150 per document, registered with
+    ``useArrow=True`` so rows move in Arrow batches
+    (ArrowEvalPythonUDTF in the plan — pinned), invoked through the
+    SQL LATERAL form exactly as a user would. DEMONSTRATION of the
+    extension point, not the recommended plan: x9_chunk_documents is
+    the declarative JVM-side chunker and the 100 TB path; the UDTF
+    costs a Python worker round-trip per batch regardless of Arrow.
+    The oracle replays the same windows with generate_series +
+    substr — empty documents emit no chunks on both engines.""",
+    tags=("udf", "udtf", "arrow", "llm-pipeline"),
+)
+def udf3_arrow_udtf_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string", useArrow=True)
+    class Chunker:
+        def eval(self, text):  # noqa: ANN001
+            t = text or ""
+            for i in range(0, len(t), 150):
+                yield i // 150, t[i : i + 200]
+
+    spark.udtf.register("udf3_chunker", Chunker)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk"
+        " FROM __udtf_docs d, LATERAL udf3_chunker(d.text) c"
+    )
+
+
+@register(
     "udf2_grouped_map_zscore",
     oracle="""
     WITH c AS (

@@ -135,6 +135,7 @@ PRIORITY: tuple[str, ...] = (
     "dq6_source_overlap_matrix",
     "s9_stage_metadata_select",
     "sql45_update_delete_text",
+    "udf3_arrow_udtf_chunker",
     "sql18_reference_merge",
     "sql19_reference_dim_merge",
     "sql20_reference_item_merge",

@@ -600,3 +600,11 @@ def test_source_overlap_sketch_pass_is_one_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_udtf_runs_arrow_batched(spark):
+    # udf3: the Python UDTF must evaluate through the Arrow batch path
+    # (ArrowEvalPythonUDTF), never the pickled row-at-a-time BatchEval
+    plan = plan_of(spark, "udf3_arrow_udtf_chunker")
+    assert "ArrowEvalPythonUDTF" in plan, plan
+    assert "BatchEvalPythonUDTF" not in plan, plan
