@@ -1099,6 +1099,69 @@ def update_statement(spark, text: str, tables: dict):  # noqa: ANN001
     return update_where(df, pred, assignments)
 
 
+_INSERT_RE = re.compile(
+    r"^INSERT\s+INTO\s+(?P<t>[\w.]+)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?"
+    r"(?P<body>VALUES\s*\(.+|SELECT\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def insert_statement(spark, text: str, tables: dict):  # noqa: ANN001
+    """Execute plain ``INSERT INTO <t> [(cols)] VALUES (...)[, ...]``
+    or ``INSERT INTO <t> [(cols)] SELECT ...`` verbatim (r8 — the last
+    everyday DML statement without a standalone text face; MERGE /
+    INSERT OVERWRITE / UPDATE / DELETE / TRUNCATE already have shims).
+    The source rows come from Spark's own VALUES table constructor or
+    from the lowered SELECT run over the ``tables`` mapping (each
+    registered as a view); with a column list, unnamed target columns
+    fill with typed NULLs and every provided column casts STRICTLY to
+    the target type (the F4 convention — a silent coercion would
+    corrupt). Returns the post-insert table state; the caller owns the
+    overwrite, like the other statement shims."""
+    from pyspark.sql import functions as F
+
+    sql = _strip_line_comments(text).strip().rstrip(";")
+    m = _INSERT_RE.match(sql)
+    if m is None:
+        raise ValueError(
+            "unsupported INSERT shape (INSERT INTO t [(cols)] VALUES"
+            " (...) | SELECT ...)"
+        )
+    df = _dml_table(tables, m.group("t"))
+    body = m.group("body").strip()
+    cols = (
+        [c.strip() for c in m.group("cols").split(",")]
+        if m.group("cols")
+        else list(df.columns)
+    )
+    unknown = [c for c in cols if c not in df.columns]
+    if unknown:
+        raise ValueError(f"INSERT columns not in the table: {unknown}")
+    if body.upper().startswith("VALUES"):
+        src = spark.sql(
+            f"SELECT * FROM {body} AS __v({', '.join(cols)})"
+        )
+    else:
+        for n, d in tables.items():
+            d.createOrReplaceTempView(n.split(".")[-1])
+        src = spark.sql(lower_select(body))
+        if len(src.columns) != len(cols):
+            raise ValueError(
+                f"INSERT SELECT arity mismatch: {len(src.columns)} vs {len(cols)}"
+            )
+        src = src.toDF(*cols)
+    types = dict(df.dtypes)
+    aligned = src.select(
+        *[
+            (F.col(c).cast(types[c]).alias(c) if c in cols
+             else F.lit(None).cast(types[c]).alias(c))
+            for c in df.columns
+        ]
+    )
+    return df.unionByName(aligned)
+
+
 def delete_statement(spark, text: str, tables: dict):  # noqa: ANN001
     """Execute ``DELETE FROM <t> [WHERE pred]`` verbatim (r8): the
     predicate lowers through the scalar pack to

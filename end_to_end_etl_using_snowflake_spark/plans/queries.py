@@ -6975,6 +6975,70 @@ def sql45_update_delete_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql46_insert_text",
+    oracle="""
+    WITH work AS (
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+        UNION ALL
+        SELECT 90, 'ATLANTIS', 0
+        UNION ALL
+        SELECT 91, 'ELDORADO', CAST(NULL AS BIGINT)
+        UNION ALL
+        SELECT r_regionkey + 100, upper(r_name), r_regionkey FROM region
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_region
+    FROM work
+    """,
+    doc="""Plain ``INSERT INTO ... VALUES`` (multi-row, with a column
+    list — the unnamed column fills with a typed NULL) and ``INSERT
+    INTO ... SELECT`` accepted VERBATIM (r8 — completes the everyday
+    DML text set: MERGE, INSERT OVERWRITE, UPDATE, DELETE, TRUNCATE
+    already run as text): VALUES rows ride Spark's own table
+    constructor, the SELECT form runs through lower_select over the
+    registered relations, and every provided column casts STRICTLY to
+    the target type (F4). The audit pins row count, key sum, and the
+    NULL-filled column; the oracle replays both inserts as closed
+    UNIONs. functions/sqldialect.py:insert_statement. No shuffle
+    beyond the user's SELECT; the union is a metadata concat.""",
+    tags=("sql-surface", "dialect", "dml"),
+)
+def sql46_insert_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import insert_statement
+
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load(spark, sf_dir, "region")
+    t1 = insert_statement(
+        spark,
+        "INSERT INTO nation_work VALUES (90, 'ATLANTIS', 0)",
+        {"nation_work": nation},
+    )
+    t2 = insert_statement(
+        spark,
+        "INSERT INTO nation_work (n_nationkey, n_name)"
+        " VALUES (91, 'ELDORADO')",
+        {"nation_work": t1},
+    )
+    t3 = insert_statement(
+        spark,
+        "INSERT INTO nation_work"
+        " SELECT r_regionkey + 100, upper(r_name), r_regionkey FROM region",
+        {"nation_work": t2, "region": region},
+    )
+    return t3.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_nationkey").cast("long").alias("key_sum"),
+        F.sum(F.when(F.col("n_regionkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_region"),
+    )
+
+
+@register(
     "s9_stage_metadata_select",
     oracle="""
     SELECT * FROM (VALUES

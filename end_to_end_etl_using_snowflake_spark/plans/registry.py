@@ -136,6 +136,7 @@ PRIORITY: tuple[str, ...] = (
     "s9_stage_metadata_select",
     "sql45_update_delete_text",
     "udf3_arrow_udtf_chunker",
+    "sql46_insert_text",
     "sql18_reference_merge",
     "sql19_reference_dim_merge",
     "sql20_reference_item_merge",
