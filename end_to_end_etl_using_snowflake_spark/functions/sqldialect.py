@@ -1848,6 +1848,97 @@ _ORDER_BY_BODY_RE = re.compile(
 )
 
 
+_WINFN_HEAD = re.compile(
+    r"\b(?P<fn>RATIO_TO_REPORT|CONDITIONAL_TRUE_EVENT|CONDITIONAL_CHANGE_EVENT)"
+    r"\s*\(",
+    re.IGNORECASE,
+)
+_OVER_RE = re.compile(r"\s*OVER\s*\(", re.IGNORECASE)
+
+
+def rewrite_window_dialect(sql: str) -> str:
+    """Lower the Snowflake-specific window functions (r8):
+
+    - ``RATIO_TO_REPORT(x) OVER (w)`` -> ``x / SUM(x) OVER (w)`` as
+      one double division (the share-of-partition idiom).
+    - ``CONDITIONAL_TRUE_EVENT(cond) OVER (w)`` -> running count of
+      rows where cond held, with an explicit ROWS frame (Snowflake's
+      row-based semantics; a default RANGE frame would double-count
+      order-key ties).
+    - ``CONDITIONAL_CHANGE_EVENT(expr) OVER (w)`` -> the
+      gaps-and-islands run id (exactly the MATCH_RECOGNIZE engine's
+      __chg/running-sum construction): 0 on each partition's first row,
+      +1 whenever expr IS DISTINCT FROM the previous row's value. A
+      window function cannot nest inside another's argument, so the
+      per-row change flag is computed in a WRAPPED subquery (the
+      QUALIFY pattern) and the outer call becomes a running SUM over
+      it. First-row detection uses ``LAG(named_struct('v', expr))`` —
+      NULL only at the partition edge, so a NULL-valued expr mid-run
+      still compares correctly.
+
+    CHANGE_EVENT requires the plain SELECT ... FROM shape (trailing
+    ORDER BY / LIMIT stay on the outer query); other shapes refuse.
+    """
+    cce = []  # (placeholder, inner_col_sql, outer_sql)
+    out = sql
+    while True:
+        m = _WINFN_HEAD.search(out)
+        if m is None:
+            break
+        fn = m.group("fn").upper()
+        open_idx = out.index("(", m.end() - 1)
+        close = _balanced_span(out, open_idx)
+        arg = out[open_idx + 1 : close - 1].strip()
+        om = _OVER_RE.match(out[close:])
+        if om is None:
+            raise ValueError(f"{fn} requires an OVER (...) clause")
+        w_open = close + om.end() - 1
+        w_close = _balanced_span(out, w_open)
+        win = out[w_open + 1 : w_close - 1].strip()
+        rows_frame = f"{win} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        if fn == "RATIO_TO_REPORT":
+            repl = (
+                f"(CAST(({arg}) AS DOUBLE)"
+                f" / CAST(SUM({arg}) OVER ({win}) AS DOUBLE))"
+            )
+        elif fn == "CONDITIONAL_TRUE_EVENT":
+            repl = (
+                f"SUM(CASE WHEN ({arg}) THEN 1 ELSE 0 END)"
+                f" OVER ({rows_frame})"
+            )
+        else:  # CONDITIONAL_CHANGE_EVENT
+            i = len(cce)
+            inner = (
+                f"CASE WHEN LAG(named_struct('v', ({arg}))) OVER ({win}) IS NULL"
+                f" THEN 0 WHEN ({arg}) IS DISTINCT FROM LAG({arg}) OVER ({win})"
+                f" THEN 1 ELSE 0 END AS __cce_{i}"
+            )
+            repl = f"SUM(__cce_{i}) OVER ({rows_frame})"
+            cce.append(inner)
+        out = out[: m.start()] + repl + out[w_close:]
+    if not cce:
+        return out
+    sel = _top_level_keyword(out, "SELECT")
+    frm = _top_level_keyword(out, "FROM", start=sel)
+    if sel < 0 or frm < 0:
+        raise ValueError(
+            "CONDITIONAL_CHANGE_EVENT needs the plain SELECT ... FROM shape"
+        )
+    select_list = out[sel + len("SELECT") : frm].strip()
+    tail_at = len(out)
+    for kw in ("ORDER", "LIMIT"):
+        k = _top_level_keyword(out, kw, start=frm)
+        if 0 <= k < tail_at:
+            tail_at = k
+    rest = out[frm:tail_at].strip().rstrip(";")
+    tail = out[tail_at:].strip().rstrip(";")
+    inner_cols = ", ".join(cce)
+    return (
+        f"SELECT {select_list} FROM (SELECT *, {inner_cols} {rest})"
+        + (f" {tail}" if tail else "")
+    )
+
+
 _TOP_RE = re.compile(r"^(\s*SELECT)\s+TOP\s+(\d+)\s+", re.IGNORECASE)
 
 
@@ -2933,6 +3024,7 @@ def lower_select(sql: str) -> str:
     bind engine objects, not text."""
     sql = rewrite_top(sql)
     sql = rewrite_variant_path(sql)
+    sql = rewrite_window_dialect(sql)
     sql = rewrite_semi_structured(sql)
     sql = rewrite_scalar_funcs(sql)
     sql = rewrite_split_to_table(sql)

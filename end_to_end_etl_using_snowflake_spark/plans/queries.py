@@ -6974,6 +6974,73 @@ def sql45_update_delete_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_F20_SNOWFLAKE_TEXT = """
+SELECT user_id, ts, event_id,
+       CAST(CONDITIONAL_CHANGE_EVENT(event_type)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+           AS type_run,
+       CAST(CONDITIONAL_TRUE_EVENT(event_type = 'purchase')
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+           AS purchases_so_far,
+       RATIO_TO_REPORT(CAST(round(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id) AS value_share
+FROM events
+"""
+
+
+@register(
+    "f20_window_dialect",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN ROW_NUMBER() OVER w = 1 THEN 0
+                    WHEN event_type IS DISTINCT FROM LAG(event_type) OVER w
+                    THEN 1 ELSE 0 END AS chg
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, ts, event_id,
+           CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS type_run,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS purchases_so_far,
+           CAST(cents AS DOUBLE)
+               / CAST(SUM(cents) OVER (PARTITION BY user_id) AS DOUBLE)
+               AS value_share
+    FROM flagged
+    """,
+    doc="""The Snowflake-SPECIFIC window functions accepted VERBATIM
+    (r8, functions/sqldialect.py:rewrite_window_dialect):
+    RATIO_TO_REPORT (share of partition — exact integer cents summed,
+    ONE final double division, the determinism convention; a raw
+    double SUM would be partition-order-dependent),
+    CONDITIONAL_TRUE_EVENT (running count of rows satisfying the
+    condition, lowered with an explicit ROWS frame — the default
+    RANGE frame would double-count order ties), and
+    CONDITIONAL_CHANGE_EVENT (the gaps-and-islands run id — exactly
+    the __chg/running-sum construction the MATCH_RECOGNIZE engine
+    builds internally, now reachable as the standalone Snowflake
+    function; the per-row change flag computes in a wrapped subquery
+    because window functions cannot nest, with LAG-of-struct edge
+    detection so NULL values mid-run still compare). One shuffle by
+    user_id serves all three; the oracle states the identical
+    lowering.""",
+    tags=("functions", "window", "dialect"),
+)
+def f20_window_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import lower_select
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(lower_select(_F20_SNOWFLAKE_TEXT))
+
+
 @register(
     "sql46_insert_text",
     oracle="""

@@ -137,6 +137,7 @@ PRIORITY: tuple[str, ...] = (
     "sql45_update_delete_text",
     "udf3_arrow_udtf_chunker",
     "sql46_insert_text",
+    "f20_window_dialect",
     "sql18_reference_merge",
     "sql19_reference_dim_merge",
     "sql20_reference_item_merge",

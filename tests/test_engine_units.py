@@ -2674,6 +2674,44 @@ def test_top_rewriter():
         rewrite_top("SELECT TOP 5 a FROM t LIMIT 3")
 
 
+def test_window_dialect_rewriter(spark):
+    """RATIO_TO_REPORT / CONDITIONAL_TRUE_EVENT / CONDITIONAL_CHANGE_
+    EVENT semantics on a constructed series: change-event starts at 0,
+    increments across NULL transitions (LAG-of-struct edge detection),
+    true-event counts rows where the condition held, ratio is
+    share-of-partition."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_window_dialect,
+    )
+
+    spark.createDataFrame(
+        [(1, 1, "a", 10), (1, 2, "a", 20), (1, 3, None, 30),
+         (1, 4, "b", 40), (2, 1, "z", 5)],
+        "g int, o int, v string, x int",
+    ).createOrReplaceTempView("wd_t")
+    rows = spark.sql(
+        rewrite_window_dialect(
+            "SELECT g, o,"
+            " CONDITIONAL_CHANGE_EVENT(v) OVER (PARTITION BY g ORDER BY o) AS ce,"
+            " CONDITIONAL_TRUE_EVENT(x >= 20) OVER (PARTITION BY g ORDER BY o) AS te,"
+            " RATIO_TO_REPORT(x) OVER (PARTITION BY g) AS rr"
+            " FROM wd_t"
+        )
+    ).collect()
+    got = {(r.g, r.o): (r.ce, r.te, round(r.rr, 6)) for r in rows}
+    # g=1: v runs a,a,NULL,b -> change ids 0,0,1,2; x>=20 at o=2,3,4;
+    # x shares of 100
+    assert got[(1, 1)] == (0, 0, 0.1)
+    assert got[(1, 2)] == (0, 1, 0.2)
+    assert got[(1, 3)] == (1, 2, 0.3)  # a -> NULL counts as a change
+    assert got[(1, 4)] == (2, 3, 0.4)  # NULL -> b counts as a change
+    assert got[(2, 1)] == (0, 0, 1.0)  # fresh partition restarts at 0
+    with _pytest.raises(ValueError, match="OVER"):
+        rewrite_window_dialect("SELECT RATIO_TO_REPORT(x) FROM t")
+
+
 def test_conversion_pack_rewriter(spark):
     """r8 conversion pack: TO_NUMBER defaults NUMBER(38,0), TRY_
     variants null out, ARRAY_CONTAINS swaps Snowflake's (value, array)
