@@ -1758,7 +1758,40 @@ _SCALAR_REWRITES = {
         f"size({args[0]})" if len(args) == 1 else _bad("ARRAY_SIZE", args)
     ),
     "ARRAY_CONSTRUCT": lambda args: f"array({', '.join(args)})",
+    # ---- NULL-semantics fidelity pack (r8). Snowflake's GREATEST /
+    # LEAST return NULL when ANY argument is NULL; Spark's builtins
+    # SKIP nulls — a pasted query would silently produce different
+    # results. Lowered via array_max/array_min under an any-null guard
+    # (emitting Spark's greatest/least would re-match this
+    # case-insensitive head and never converge — the ARRAY_CONTAINS
+    # lesson). The *_IGNORE_NULLS forms are Spark's skip behavior,
+    # spelled explicitly.
+    "GREATEST": lambda args: _null_poisoning_extreme("array_max", args),
+    "LEAST": lambda args: _null_poisoning_extreme("array_min", args),
+    "GREATEST_IGNORE_NULLS": lambda args: f"array_max(array({', '.join(args)}))",
+    "LEAST_IGNORE_NULLS": lambda args: f"array_min(array({', '.join(args)}))",
+    "EQUAL_NULL": lambda args: (
+        f"(({args[0]}) <=> ({args[1]}))"
+        if len(args) == 2
+        else _bad("EQUAL_NULL", args)
+    ),
+    "BOOLOR_AGG": lambda args: (
+        f"bool_or({args[0]})" if len(args) == 1 else _bad("BOOLOR_AGG", args)
+    ),
+    "BOOLAND_AGG": lambda args: (
+        f"bool_and({args[0]})" if len(args) == 1 else _bad("BOOLAND_AGG", args)
+    ),
 }
+
+
+def _null_poisoning_extreme(fn: str, args: list) -> str:
+    if len(args) < 2:
+        raise ValueError("GREATEST/LEAST need at least 2 arguments")
+    any_null = " OR ".join(f"({a}) IS NULL" for a in args)
+    return (
+        f"(CASE WHEN {any_null} THEN NULL"
+        f" ELSE {fn}(array({', '.join(args)})) END)"
+    )
 
 
 def _to_number_rewrite(name: str, cast_fn: str, args: list) -> str:

@@ -6974,6 +6974,76 @@ def sql45_update_delete_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_F21_SNOWFLAKE_TEXT = """
+SELECT o_orderpriority,
+       CAST(SUM(IFF(GREATEST(NULLIF(o_custkey % 5, 0), o_orderkey % 7) IS NULL,
+                    1, 0)) AS BIGINT) AS n_poisoned,
+       CAST(SUM(ZEROIFNULL(GREATEST(NULLIF(o_custkey % 5, 0),
+                                    o_orderkey % 7))) AS BIGINT) AS g_sum,
+       CAST(SUM(LEAST(NULLIF(o_custkey % 5, 0), o_orderkey % 7)) AS BIGINT)
+           AS l_sum,
+       CAST(SUM(GREATEST_IGNORE_NULLS(NULLIF(o_custkey % 5, 0),
+                                      o_orderkey % 7)) AS BIGINT) AS gin_sum,
+       CAST(SUM(IFF(EQUAL_NULL(NULLIF(o_custkey % 5, 0),
+                               NULLIF(o_orderkey % 5, 0)), 1, 0)) AS BIGINT)
+           AS n_equal_null,
+       BOOLOR_AGG(o_orderstatus = 'F') AS any_f,
+       BOOLAND_AGG(o_totalprice > 0) AS all_positive
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "f21_null_semantics_dialect",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority,
+               NULLIF(o_custkey % 5, 0) AS a,
+               o_orderkey % 7 AS b,
+               NULLIF(o_orderkey % 5, 0) AS c,
+               o_orderstatus, o_totalprice
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN a IS NULL OR b IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_poisoned,
+           CAST(SUM(coalesce(CASE WHEN a IS NULL OR b IS NULL THEN NULL
+                                  ELSE greatest(a, b) END, 0)) AS BIGINT)
+               AS g_sum,
+           CAST(SUM(CASE WHEN a IS NULL OR b IS NULL THEN NULL
+                         ELSE least(a, b) END) AS BIGINT) AS l_sum,
+           CAST(SUM(greatest(a, b)) AS BIGINT) AS gin_sum,
+           CAST(SUM(CASE WHEN a IS NOT DISTINCT FROM c THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_equal_null,
+           bool_or(o_orderstatus = 'F') AS any_f,
+           bool_and(o_totalprice > 0) AS all_positive
+    FROM base GROUP BY o_orderpriority
+    """,
+    doc="""NULL-semantics fidelity pack accepted VERBATIM (r8): the
+    constructs where a naive Spark translation SILENTLY diverges from
+    Snowflake. GREATEST / LEAST return NULL when ANY argument is NULL
+    in Snowflake, while Spark's builtins SKIP nulls — the lowering
+    guards with an any-null CASE over array_max/array_min (emitting
+    Spark's own greatest/least would re-match the case-insensitive
+    rewrite head and never converge, the ARRAY_CONTAINS lesson);
+    GREATEST_IGNORE_NULLS / LEAST_IGNORE_NULLS spell Spark's skip
+    behavior explicitly; EQUAL_NULL is null-safe equality (<=>,
+    NULL==NULL true — counted here on the both-NULL residue pairs);
+    BOOLOR_AGG / BOOLAND_AGG map to bool_or / bool_and. The oracle
+    states the poisoning CASEs explicitly because DuckDB's greatest
+    ALSO skips nulls — three engines, two conventions, one pinned
+    contract. All per-row/per-group expressions: pushdown and partial
+    aggregation untouched.""",
+    tags=("functions", "dialect", "null-semantics"),
+)
+def f21_null_semantics_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import rewrite_scalar_funcs
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrite_scalar_funcs(_F21_SNOWFLAKE_TEXT))
+
+
 _F20_SNOWFLAKE_TEXT = """
 SELECT user_id, ts, event_id,
        CAST(CONDITIONAL_CHANGE_EVENT(event_type)

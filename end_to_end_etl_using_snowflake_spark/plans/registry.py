@@ -138,6 +138,7 @@ PRIORITY: tuple[str, ...] = (
     "udf3_arrow_udtf_chunker",
     "sql46_insert_text",
     "f20_window_dialect",
+    "f21_null_semantics_dialect",
     "sql18_reference_merge",
     "sql19_reference_dim_merge",
     "sql20_reference_item_merge",
