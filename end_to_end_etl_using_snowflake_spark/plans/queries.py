@@ -6974,6 +6974,49 @@ def sql45_update_delete_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql47_pivot_text",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+                AS BIGINT) AS urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+                AS BIGINT) AS high,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+                AS BIGINT) AS medium
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="""Snowflake ``PIVOT (agg FOR col IN (... AS alias))`` as
+    SHARED TEXT (r8 — the f16/sql36 pattern: Spark 4 parses the ANSI
+    pivot clause natively, so the Snowflake statement runs UNCHANGED,
+    aliases and all; no rewriter needed, which is itself the claim
+    worth pinning). Values absent from a group render NULL on both
+    engines. The p8/p11 operators stay the DataFrame and
+    dynamic-value-list paths; the oracle states the equivalent
+    conditional aggregation since DuckDB's PIVOT dialect differs.
+    One shuffle, partial aggregation — a pivot IS a grouped
+    conditional agg.""",
+    tags=("sql-surface", "pivot", "shared-text"),
+)
+def sql47_pivot_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * FROM (
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ) PIVOT (SUM(cents) FOR o_orderpriority IN
+                 ('1-URGENT' AS urgent, '2-HIGH' AS high, '3-MEDIUM' AS medium))
+        """
+    )
+
+
 _F21_SNOWFLAKE_TEXT = """
 SELECT o_orderpriority,
        CAST(SUM(IFF(GREATEST(NULLIF(o_custkey % 5, 0), o_orderkey % 7) IS NULL,

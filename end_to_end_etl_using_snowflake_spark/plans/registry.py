@@ -139,6 +139,7 @@ PRIORITY: tuple[str, ...] = (
     "sql46_insert_text",
     "f20_window_dialect",
     "f21_null_semantics_dialect",
+    "sql47_pivot_text",
     "sql18_reference_merge",
     "sql19_reference_dim_merge",
     "sql20_reference_item_merge",
