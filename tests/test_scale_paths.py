@@ -441,3 +441,63 @@ def test_mmr_diversifies_near_duplicate_candidates(spark):
         .collect()
     ]
     assert mmr[0] == 1 and mmr[1] == 3, mmr  # diversity beats redundancy
+
+
+def test_table_changes_delta_reconstructs_end_snapshot(spark, tmp_path):
+    """The CDC algebra law behind CHANGES (r8): for ANY churn,
+    (start snapshot MINUS keys of DELETE rows) UNION the INSERT rows
+    must equal the end snapshot exactly. Exercised over a 5-version
+    changelog with overlapping update/delete/re-insert churn — the
+    law is what lets a downstream consumer apply the net delta
+    instead of replaying the journal."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_using_snowflake_spark.streaming.changelog import (
+        Changelog,
+        snapshot_as_of,
+        table_changes,
+    )
+
+    log = Changelog(spark, str(tmp_path / "t"))
+    base = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    log.record(base, "UPSERT", at="2024-01-01 00:00:00")            # v1
+    log.record(  # update a third
+        base.filter(F.col("k") % 3 == 0).withColumn("v", F.col("v") + 1000),
+        "UPSERT", at="2024-01-02 00:00:00",
+    )                                                                # v2
+    log.record(  # delete a fifth (some of them just updated)
+        base.filter(F.col("k") % 5 == 0), "DELETE", at="2024-01-03 00:00:00"
+    )                                                                # v3
+    log.record(  # re-insert a few deleted keys with fresh payloads
+        base.filter(F.col("k") % 15 == 0).withColumn("v", F.lit(-7)),
+        "UPSERT", at="2024-01-04 00:00:00",
+    )                                                                # v4
+    log.record(  # brand-new keys
+        spark.range(200, 230).select(
+            F.col("id").alias("k"), F.lit(0).alias("v")
+        ),
+        "UPSERT", at="2024-01-05 00:00:00",
+    )                                                                # v5
+    changes = spark.read.parquet(log.log_path)
+    start = snapshot_as_of(changes, ["k"], 1)
+    end = snapshot_as_of(changes, ["k"], 5)
+    delta = table_changes(changes, ["k"], 1, 5)
+    removed = delta.filter(F.col("METADATA$ACTION") == "DELETE").select("k")
+    inserted = delta.filter(F.col("METADATA$ACTION") == "INSERT").select("k", "v")
+    rebuilt = start.join(removed, "k", "left_anti").unionByName(inserted)
+    got = sorted((r.k, r.v) for r in rebuilt.collect())
+    want = sorted((r.k, r.v) for r in end.collect())
+    assert got == want
+    # and the delta is MINIMAL: no key appears as an unchanged pair
+    pair_keys = (
+        delta.groupBy("k")
+        .agg(F.countDistinct("METADATA$ACTION").alias("n"))
+        .filter(F.col("n") == 2)
+    )
+    both = delta.join(pair_keys, "k", "left_semi")
+    same = (
+        both.groupBy("k").agg(F.countDistinct("v").alias("nv")).filter(F.col("nv") == 1)
+    )
+    assert same.count() == 0  # every DELETE+INSERT pair changed the payload
