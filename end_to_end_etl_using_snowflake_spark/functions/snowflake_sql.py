@@ -113,12 +113,39 @@ def _task_history_view(spark: SparkSession, pipelines) -> str:
     return view
 
 
-def snowflake_sql(spark: SparkSession, text: str, pipelines=None) -> DataFrame:
+def snowflake_sql(
+    spark: SparkSession, text: str, pipelines=None, tables: dict | None = None
+) -> DataFrame:
     """Execute one Snowflake statement verbatim. ``pipelines`` (an
     EntityPipelines or any object with ``dags``/``pipes``/``wh``) is
-    required for admin statements; pure queries run without it."""
+    required for admin statements; pure queries run without it.
+    ``tables`` (name -> DataFrame) binds the DML statement shims (r8):
+    MERGE INTO, INSERT OVERWRITE, plain INSERT, UPDATE, and DELETE all
+    dispatch from here when a mapping is provided — each returns the
+    post-statement table state (the caller owns the write, as
+    everywhere in the statement layer)."""
     stmt = _normalize(text)
     low = stmt.lower()
+
+    if tables is not None:
+        from .sqldialect import (
+            delete_statement,
+            insert_overwrite_statement,
+            insert_statement,
+            merge_statement,
+            update_statement,
+        )
+
+        if low.startswith("merge into"):
+            return merge_statement(spark, text, tables)
+        if low.startswith("insert overwrite"):
+            return insert_overwrite_statement(spark, text, tables)
+        if low.startswith("insert into"):
+            return insert_statement(spark, text, tables)
+        if low.startswith("update "):
+            return update_statement(spark, text, tables)
+        if low.startswith("delete "):
+            return delete_statement(spark, text, tables)
 
     if low in ("show tasks", "show streams", "show pipes", "show tables",
                "show columns") or low.startswith(("list @", "alter task ",

@@ -1240,6 +1240,20 @@ def test_snowflake_sql_dispatch_edges(spark, tmp_path):
     ).collect()
     assert sorted((r.id, r.g) for r in got) == [(0, 0), (1, 1), (2, 2)]
 
+    # r8: the DML statement shims dispatch from the entry point when a
+    # tables mapping is bound — UPDATE then DELETE round-trips state
+    work = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k int, v int")
+    t1 = snowflake_sql(
+        spark, "UPDATE w SET v = v + 1 WHERE k >= 2", None, tables={"w": work}
+    )
+    t2 = snowflake_sql(
+        spark, "DELETE FROM w WHERE k = 1", None, tables={"w": t1}
+    )
+    t3 = snowflake_sql(
+        spark, "INSERT INTO w VALUES (9, 90)", None, tables={"w": t2}
+    )
+    assert sorted((r.k, r.v) for r in t3.collect()) == [(2, 21), (3, 31), (9, 90)]
+
     # verbatim task_history over a run log: empty history -> 0 rows,
     # statement still parses/executes end-to-end through Spark SQL
     got = snowflake_sql(
