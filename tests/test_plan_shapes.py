@@ -608,3 +608,13 @@ def test_udtf_runs_arrow_batched(spark):
     plan = plan_of(spark, "udf3_arrow_udtf_chunker")
     assert "ArrowEvalPythonUDTF" in plan, plan
     assert "BatchEvalPythonUDTF" not in plan, plan
+
+
+def test_window_dialect_shares_one_shuffle(spark):
+    # f20: RATIO_TO_REPORT + CONDITIONAL_TRUE_EVENT +
+    # CONDITIONAL_CHANGE_EVENT all partition by user_id — Catalyst must
+    # serve all three (plus the wrapped change-flag subquery) from ONE
+    # exchange and one sort, not one per window
+    plan = plan_of(spark, "f20_window_dialect")
+    assert plan.count("Exchange") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
