@@ -1182,6 +1182,39 @@ def delete_statement(spark, text: str, tables: dict):  # noqa: ANN001
     return delete_where(df, F.expr(rewrite_scalar_funcs(m.group("pred").strip())))
 
 
+_CTAS_RE = re.compile(
+    r"^CREATE\s+(?:OR\s+REPLACE\s+)?(?P<kind>TABLE|(?:SECURE\s+)?VIEW)\s+"
+    r"(?P<name>[\w.]+)\s+AS\s+(?P<body>SELECT\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def ctas_statement(spark, text: str, tables: dict):  # noqa: ANN001
+    """Execute ``CREATE [OR REPLACE] TABLE|[SECURE ]VIEW <name> AS
+    SELECT ...`` verbatim (r8): the body runs through the full
+    composed lowering over the ``tables`` mapping (each registered as
+    a view) and the result comes back as the created relation's
+    content — for TABLE the caller owns the materializing write (the
+    statement-layer contract), for VIEW the lowered body ALSO
+    registers under the view's name so later statements can reference
+    it. Snowflake's SECURE modifier parses and is recorded only as
+    text here (the masking/row-policy machinery in plans/governance.py
+    is the engine's real secured-view surface — pl_secured_view)."""
+    sql = _strip_line_comments(text).strip().rstrip(";")
+    m = _CTAS_RE.match(sql)
+    if m is None:
+        raise ValueError(
+            "unsupported CREATE shape (CREATE [OR REPLACE] TABLE|VIEW"
+            " <name> AS SELECT ...)"
+        )
+    for n, d in tables.items():
+        d.createOrReplaceTempView(n.split(".")[-1])
+    out = spark.sql(lower_select(m.group("body")))
+    if "VIEW" in m.group("kind").upper():
+        out.createOrReplaceTempView(m.group("name").split(".")[-1])
+    return out
+
+
 _CHANGES_RE = re.compile(
     r"^SELECT\s+\*\s+FROM\s+(?P<table>[A-Za-z_]\w*)\s+CHANGES\s*\(\s*"
     r"INFORMATION\s*=>\s*(?P<info>DEFAULT|APPEND_ONLY)\s*\)\s+"

@@ -6975,6 +6975,55 @@ def sql45_update_delete_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql48_ctas_text",
+    oracle="""
+    WITH prio AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_orders, cents
+    FROM prio WHERE n_orders > (SELECT AVG(n_orders) FROM prio) * 0.5
+    """,
+    doc="""``CREATE [OR REPLACE] TABLE ... AS SELECT`` and ``CREATE OR
+    REPLACE VIEW ... AS SELECT`` accepted VERBATIM (r8,
+    functions/sqldialect.py:ctas_statement): the body runs through the
+    full composed lowering over the bound relations; a created VIEW
+    registers under its own name so later statements can build on it —
+    exercised here by a CTAS whose SELECT reads the just-created view
+    (the two-step derived-table idiom every warehouse migration
+    starts with). SECURE parses (the governance machinery in
+    pl_secured_view is the real enforcement surface). The oracle
+    states the composition as one CTE chain. Plans are whatever the
+    user's SELECTs lower to — nothing is added by the shim.""",
+    tags=("sql-surface", "dialect", "ddl", "ctas"),
+)
+def sql48_ctas_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import ctas_statement
+
+    orders = load(spark, sf_dir, "orders")
+    ctas_statement(
+        spark,
+        "CREATE OR REPLACE VIEW prio_rollup AS"
+        " SELECT o_orderpriority,"
+        " CAST(count(*) AS BIGINT) AS n_orders,"
+        " CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        " AS cents"
+        " FROM orders GROUP BY o_orderpriority",
+        {"orders": orders},
+    )
+    return ctas_statement(
+        spark,
+        "CREATE TABLE prio_big AS"
+        " SELECT o_orderpriority, n_orders, cents FROM prio_rollup"
+        " WHERE n_orders > (SELECT AVG(n_orders) FROM prio_rollup) * 0.5",
+        {},
+    )
+
+
+@register(
     "sql47_pivot_text",
     oracle="""
     SELECT o_orderstatus,

@@ -140,6 +140,7 @@ PRIORITY: tuple[str, ...] = (
     "f20_window_dialect",
     "f21_null_semantics_dialect",
     "sql47_pivot_text",
+    "sql48_ctas_text",
     "sql18_reference_merge",
     "sql19_reference_dim_merge",
     "sql20_reference_item_merge",
