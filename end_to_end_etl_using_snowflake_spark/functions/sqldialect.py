@@ -1814,7 +1814,47 @@ _SCALAR_REWRITES = {
     "BOOLAND_AGG": lambda args: (
         f"bool_and({args[0]})" if len(args) == 1 else _bad("BOOLAND_AGG", args)
     ),
+    "TIME_SLICE": lambda args: _time_slice_rewrite(args),
 }
+
+
+_TIME_SLICE_SECS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _time_slice_rewrite(args: list) -> str:
+    """``TIME_SLICE(ts, n, 'unit' [, 'START'|'END'])`` -> fixed-width
+    epoch bucketing (Snowflake slices align to the 1970-01-01 epoch,
+    including weeks). Calendar units (month/quarter/year) refuse —
+    they are not fixed-width and DATE_TRUNC is the right tool there.
+    The epoch math routes through unix_timestamp so TIMESTAMP_NTZ
+    inputs work (the events-table gotcha: NTZ does not cast to
+    double)."""
+    if len(args) not in (3, 4):
+        raise ValueError("TIME_SLICE needs (ts, n, 'unit' [, 'START'|'END'])")
+    ts, n_txt, unit_txt = args[0], args[1].strip(), args[2].strip().strip("'\"").lower()
+    kind = (args[3].strip().strip("'\"").upper() if len(args) == 4 else "START")
+    if kind not in ("START", "END"):
+        raise ValueError("TIME_SLICE kind must be 'START' or 'END'")
+    if not n_txt.isdigit() or int(n_txt) < 1:
+        raise ValueError("TIME_SLICE width must be a positive integer literal")
+    if unit_txt not in _TIME_SLICE_SECS:
+        raise ValueError(
+            f"TIME_SLICE unit {unit_txt!r} is not fixed-width"
+            " (second/minute/hour/day/week supported; use DATE_TRUNC for"
+            " calendar units)"
+        )
+    w = int(n_txt) * _TIME_SLICE_SECS[unit_txt]
+    off = w if kind == "END" else 0
+    return (
+        f"to_timestamp(CAST(FLOOR(unix_timestamp({ts}) /"
+        f" CAST({w} AS DOUBLE)) AS BIGINT) * {w} + {off})"
+    )
 
 
 def _null_poisoning_extreme(fn: str, args: list) -> str:

@@ -6974,6 +6974,55 @@ def sql45_update_delete_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_F22_SNOWFLAKE_TEXT = """
+SELECT TIME_SLICE(ts, 4, 'HOUR') AS slice_4h,
+       TIME_SLICE(ts, 30, 'MINUTE', 'END') AS slice_30m_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(IFF(event_type = 'purchase', 1, 0)) AS BIGINT) AS n_purchases
+FROM events
+GROUP BY TIME_SLICE(ts, 4, 'HOUR'), TIME_SLICE(ts, 30, 'MINUTE', 'END')
+"""
+
+
+@register(
+    "f22_time_slice",
+    oracle="""
+    WITH sliced AS (
+        SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 14400.0) AS BIGINT)
+                    * 14400) AS TIMESTAMP) AS slice_4h,
+               CAST(to_timestamp(CAST(floor(epoch(ts) / 1800.0) AS BIGINT)
+                    * 1800 + 1800) AS TIMESTAMP) AS slice_30m_end,
+               event_type
+        FROM events
+    )
+    SELECT slice_4h, slice_30m_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM sliced GROUP BY slice_4h, slice_30m_end
+    """,
+    doc="""Snowflake ``TIME_SLICE(ts, n, unit [, START|END])`` accepted
+    VERBATIM (r8 — the time-series downsampling idiom behind every
+    fixed-width rollup): epoch-aligned fixed-width bucketing (weeks
+    included — Snowflake slices align to 1970-01-01, NOT to Monday),
+    END returning the slice's exclusive upper bound. Lowered through
+    unix_timestamp so TIMESTAMP_NTZ inputs work (the events-table
+    gotcha), with the slice arithmetic in exact integers and one
+    to_timestamp render. Calendar units (month/quarter/year) refuse —
+    not fixed-width; DATE_TRUNC is the tool there (f6/x3 cover it).
+    Per-row expression: pushdown and partial aggregation untouched;
+    the rollup here is one shuffle. Oracle: the identical epoch
+    arithmetic in DuckDB with TIMESTAMPTZ normalized to naive.""",
+    tags=("functions", "dialect", "time-series"),
+)
+def f22_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import rewrite_scalar_funcs
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrite_scalar_funcs(_F22_SNOWFLAKE_TEXT))
+
+
 @register(
     "sql48_ctas_text",
     oracle="""

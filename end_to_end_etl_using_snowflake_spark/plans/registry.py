@@ -141,6 +141,7 @@ PRIORITY: tuple[str, ...] = (
     "f21_null_semantics_dialect",
     "sql47_pivot_text",
     "sql48_ctas_text",
+    "f22_time_slice",
     "sql18_reference_merge",
     "sql19_reference_dim_merge",
     "sql20_reference_item_merge",
