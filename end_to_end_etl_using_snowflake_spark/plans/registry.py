@@ -55,18 +55,89 @@ def register(
 # similarity / text / multimodal / pipeline) lands inside any reasonable
 # prefix. Names not listed keep insertion order after these.
 PRIORITY: tuple[str, ...] = (
-    # ---- first 50: the driver-checked window. Round-8 rotation
-    # (VERDICT r7 item #1): 2-entry always-on core + the 12 session-2
-    # entries that have NEVER had a driver check (registered after the
-    # r7 window filled; all locally parity-green at 3 SFs) + the FULL
-    # 31-entry r3-last-green cohort (the stalest cumulative greens)
-    # + 5 r4-stale padding slots chosen for family breadth (agg,
-    # window-frame, sketch, dedup, reshape). Round-8 additions land
-    # mid-window and evict padding one-for-one, keeping exactly 50.
-    # Rotated-out entries remain locally oracle-swept every pytest run.
+    # ---- first 50: the driver-checked window. Round-9 rotation
+    # (VERDICT r8 Missing #1): 2-entry always-on core + the 17
+    # round-8 entries that have NEVER had a driver check (registered
+    # after the r8 window filled; all locally parity-green at 3 SFs
+    # and driver-strict-verified by the r8 judge at sf0.01) + 31 of
+    # the 48-entry r4-last-green cohort (the stalest cumulative
+    # greens), chosen for family breadth. Round-9 additions land
+    # mid-window and evict r4-stale padding one-for-one, keeping
+    # exactly 50. Rotated-out entries remain locally oracle-swept
+    # every pytest run.
     "flagship_fact_rebuild",
     "pl_dim_customer",
-    # 12-entry never-driver-checked session-2 debt (VERDICT r7 Missing #1)
+    # 17-entry never-driver-checked round-8 debt (VERDICT r8 Missing #1)
+    "sql40_time_travel_before",
+    "sql41_flatten_quoted_path",
+    "sql42_match_recognize_all_rows",
+    "f19_conversion_dialect",
+    "sql43_changes_clause",
+    "sql44_top_dialect",
+    "d13_dedup_representative",
+    "dq6_source_overlap_matrix",
+    "s9_stage_metadata_select",
+    "sql45_update_delete_text",
+    "udf3_arrow_udtf_chunker",
+    "sql46_insert_text",
+    "f20_window_dialect",
+    "f21_null_semantics_dialect",
+    "sql47_pivot_text",
+    "sql48_ctas_text",
+    "f22_time_slice",
+    # 31 of the 48-entry r4-last-green cohort (family-breadth pick)
+    "d7_dedup_stop_shingle",
+    "d8_decontaminate",
+    "d9_incremental_dedup",
+    "k1_hll_distinct_sketch",
+    "k2_countmin_frequencies",
+    "k3_bloom_membership",
+    "q1_pricing_summary",
+    "q4_order_priority_exists",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q19_disjunctive_predicates",
+    "q22_dormant_accounts",
+    "t5_tfidf_topk",
+    "t6_bm25_topk",
+    "t8_vocab_topk",
+    "t9_bigram_assoc",
+    "t10_bpe_merges",
+    "udf1_pandas_token_stats",
+    "v4_ann_lsh_multiprobe",
+    "v6_kmeans_assign",
+    "v8_quantize_int8",
+    "v9_kmeans_iter3",
+    "v10_ann_quantized_rerank",
+    "w3_range_frame_timeseries",
+    "w4_ntile_distribution",
+    "x6_corpus_mixture_sample",
+    "x7_sequence_packing",
+    "x8_pii_pseudonymize",
+    # ---- 51+: the 17 remaining r4-stale entries head the tail and
+    # are first in line for the r10 rotation; then the r8 window
+    # (driver-green in r8) and everything else, all still locally
+    # oracle-checked per pytest run.
+    "dq1_referential_audit",
+    "e7_stream_interval_join",
+    "f10_try_cast",
+    "f13_regex_funcs",
+    "f14_explode_generator",
+    "m1_merge_upsert_state",
+    "mm2_frame_sample",
+    "p9_unpivot",
+    "pl_backfill_scale",
+    "pl_pipe_task_admin",
+    "sql2_lateral_topk",
+    "sql3_window_text",
+    "x9_chunk_documents",
+    "x10_source_quality_cap",
+    "x12_similar_doc_retrieval",
+    "x14_content_defined_chunks",
+    "z1_zorder_layout_key",
     "sql29_connect_by_level",
     "sql30_flatten_recursive",
     "sql33_split_to_table",
@@ -79,13 +150,11 @@ PRIORITY: tuple[str, ...] = (
     "x25_sample_system",
     "s8_copy_unload",
     "e18_append_only_stream",
-    # round-8 additions land here (each evicts one tail padding entry)
     "k10_tdigest_sketch_path",
     "sql37_time_travel_offset",
     "sql38_match_recognize_alt",
     "f18_semi_structured_agg",
     "sql39_asof_strict",
-    # 31-entry r3-last-green cohort (stalest cumulative greens)
     "d1_dedup_exact",
     "d2_dedup_ngram_jaccard",
     "d3_dedup_minhash_lsh",
@@ -117,31 +186,6 @@ PRIORITY: tuple[str, ...] = (
     "v7_ann_matmul_topk",
     "x1_asof_join",
     "x2_leakage_safe_split",
-    # (the 5 r4-stale padding slots were all evicted one-for-one by
-    # the round-8 additions k10 / sql37 / sql38 / f18 / sql39)
-    # ---- 51+: driver-green in r1-r7 and rotated out of the window;
-    # all remain locally oracle-checked per pytest run. sql40 (r8,
-    # registered after the window filled — the VERDICT-mandated
-    # debt+r3-cohort composition leaves no slot) heads the tail and is
-    # first in line for the r9 rotation; the r7 window (verbatim-text
-    # replays + r1/r2 cohort) follows.
-    "sql40_time_travel_before",
-    "sql41_flatten_quoted_path",
-    "sql42_match_recognize_all_rows",
-    "f19_conversion_dialect",
-    "sql43_changes_clause",
-    "sql44_top_dialect",
-    "d13_dedup_representative",
-    "dq6_source_overlap_matrix",
-    "s9_stage_metadata_select",
-    "sql45_update_delete_text",
-    "udf3_arrow_udtf_chunker",
-    "sql46_insert_text",
-    "f20_window_dialect",
-    "f21_null_semantics_dialect",
-    "sql47_pivot_text",
-    "sql48_ctas_text",
-    "f22_time_slice",
     "sql18_reference_merge",
     "sql19_reference_dim_merge",
     "sql20_reference_item_merge",
@@ -210,7 +254,6 @@ PRIORITY: tuple[str, ...] = (
     "t13_quality_classifier",
     "v14_mmr_rerank",
     "v15_ann_ivf_trained",
-    "w3_range_frame_timeseries",
     "w5_rank_distribution_funcs",
     "x23_length_bucketing",
     "x24_asof_directional",
@@ -224,7 +267,6 @@ PRIORITY: tuple[str, ...] = (
     "k6_kmv_distinct",
     "w6_ignore_nulls_fill",
     "p11_dynamic_pivot",
-    "p9_unpivot",
     "dq5_constraint_checks",
     "w1_dedup_latest_per_key",
     "o2_sort_topk",
@@ -241,7 +283,6 @@ PRIORITY: tuple[str, ...] = (
     "pl_fact_order",
     "pl_task_history",
     "f11_array_funcs",
-    "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q8_market_share",
     "q9_product_profit",
@@ -289,51 +330,6 @@ PRIORITY: tuple[str, ...] = (
     "x21_global_shuffle",
     "pl_zonemap_prune",
     "pl_result_cache",
-    "m1_merge_upsert_state",
-    "f10_try_cast",
-    "pl_backfill_scale",
-    "pl_pipe_task_admin",
-    "udf1_pandas_token_stats",
-    "q4_order_priority_exists",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q19_disjunctive_predicates",
-    "q22_dormant_accounts",
-    "k1_hll_distinct_sketch",
-    "k2_countmin_frequencies",
-    "k3_bloom_membership",
-    "t5_tfidf_topk",
-    "t6_bm25_topk",
-    "t8_vocab_topk",
-    "t9_bigram_assoc",
-    "t10_bpe_merges",
-    "d7_dedup_stop_shingle",
-    "d8_decontaminate",
-    "d9_incremental_dedup",
-    "x14_content_defined_chunks",
-    "v4_ann_lsh_multiprobe",
-    "v6_kmeans_assign",
-    "v8_quantize_int8",
-    "v9_kmeans_iter3",
-    "v10_ann_quantized_rerank",
-    "x12_similar_doc_retrieval",
-    "x6_corpus_mixture_sample",
-    "x7_sequence_packing",
-    "x8_pii_pseudonymize",
-    "x9_chunk_documents",
-    "x10_source_quality_cap",
-    "mm2_frame_sample",
-    "w4_ntile_distribution",
-    "dq1_referential_audit",
-    "f13_regex_funcs",
-    "f14_explode_generator",
-    "sql2_lateral_topk",
-    "sql3_window_text",
-    "z1_zorder_layout_key",
-    "e7_stream_interval_join",
 )
 
 

@@ -28,57 +28,55 @@ def test_entry_smoke(spark):
 
 def test_driver_prefix_spans_all_operator_families():
     """The driver's correctness gate checks a PREFIX of queries() (50
-    entries per round so far). Round-8 rotation (VERDICT r7 item #1):
-    2-entry core + the 12 session-2 entries that had NEVER had a driver
-    check + the full 31-entry r3-last-green cohort + 5 r4-stale padding
-    slots that round-8 additions evict one-for-one. Guard both
-    properties: the debt + stale cohorts are inside the window (none
-    silently pushed out), and the core operator families stay covered."""
+    entries per round so far). Round-9 rotation (VERDICT r8 Missing #1):
+    2-entry core + the 17 round-8 entries that had NEVER had a driver
+    check + 31 of the 48-entry r4-last-green cohort (the stalest
+    cumulative greens), with round-9 additions evicting r4-stale padding
+    one-for-one. Guard both properties: the debt + stale cohorts are
+    inside the window (none silently pushed out), and the core operator
+    families stay covered."""
     prefix = list(__spark_entry__.queries())[:50]
     never_driver_checked = [
-        "sql29_connect_by_level", "sql30_flatten_recursive",
-        "sql33_split_to_table", "sql34_variant_path",
-        "sql35_composed_dialect", "sql36_unpivot_text",
-        "f16_listagg", "f17_scalar_dialect", "k9_theta_sketch_bounds",
-        "x25_sample_system", "s8_copy_unload", "e18_append_only_stream",
+        "sql40_time_travel_before", "sql41_flatten_quoted_path",
+        "sql42_match_recognize_all_rows", "f19_conversion_dialect",
+        "sql43_changes_clause", "sql44_top_dialect",
+        "d13_dedup_representative", "dq6_source_overlap_matrix",
+        "s9_stage_metadata_select", "sql45_update_delete_text",
+        "udf3_arrow_udtf_chunker", "sql46_insert_text",
+        "f20_window_dialect", "f21_null_semantics_dialect",
+        "sql47_pivot_text", "sql48_ctas_text", "f22_time_slice",
     ]
-    stale_r3 = [
-        "d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
-        "d4_dedup_simhash", "d5_dedup_embedding_cosine",
-        "d5l_dedup_embedding_lsh", "d6_dedup_cluster_labels",
-        "e1_tumbling_window_agg", "e3_sessionize_stateful_stream",
-        "e5_session_window_native", "e6_stream_dedup_watermark",
-        "j6_salted_skew_join", "llm_corpus_clean", "m5_cdc_apply_changes",
-        "m7_incremental_fact_merge", "mm1_multimodal_decode",
-        "mm3_feature_extract", "pl_identity_keys", "pl_list_stage",
-        "pl_show_streams", "t1_token_stats", "t2_quality_score",
-        "t3_lang_id", "t4_fingerprint", "t7_repetition_filter",
-        "v1_ann_bruteforce_topk", "v2_ann_lsh_topk", "v3_ann_ivf_topk",
-        "v7_ann_matmul_topk", "x1_asof_join", "x2_leakage_safe_split",
+    stale_r4_core = [
+        # the r4-stale picks that must not be silently pushed out by
+        # later registrations; round-9 additions evict only from the
+        # padding tail of the window (the q/t/v/w/x picks below stay).
+        "d7_dedup_stop_shingle", "d8_decontaminate", "d9_incremental_dedup",
+        "k1_hll_distinct_sketch", "k2_countmin_frequencies",
+        "k3_bloom_membership", "q1_pricing_summary",
+        "t5_tfidf_topk", "udf1_pandas_token_stats",
+        "v4_ann_lsh_multiprobe", "w3_range_frame_timeseries",
+        "x6_corpus_mixture_sample",
     ]
-    pushed_out = [n for n in never_driver_checked + stale_r3 if n not in prefix]
+    pushed_out = [n for n in never_driver_checked + stale_r4_core if n not in prefix]
     assert not pushed_out, (
-        f"r8 debt/stale cohort entries outside the 50-window: {pushed_out}"
+        f"r9 debt/stale cohort entries outside the 50-window: {pushed_out}"
     )
     families = {
         "flagship": ("flagship",),
-        "reference-pipeline": ("pl_dim_", "pl_identity_"),
-        "scan/project/join core": ("j6_", "p9_", "x25_"),
-        "merge/dml": ("m5_", "m7_", "s8_"),
-        "agg-surface": ("q1_", "f16_"),
-        "dedup-llm": ("d1_", "d2_", "d3_", "d4_", "d5", "d6_", "d7_"),
-        "similarity-ann": ("v1_", "v2_", "v3_", "v7_"),
-        "text-analysis": ("t1_", "t2_", "t3_", "t4_", "t7_"),
-        "multimodal": ("mm1_", "mm3_"),
-        "sketches": ("k1_", "k9_"),
-        "streaming": ("e1_", "e3_", "e5_", "e6_", "e18_"),
-        "llm-pipeline": ("x1_", "x2_", "llm_corpus"),
-        # w3 (the last r4 padding slot) was evicted by sql39; window-
-        # function machinery stays covered by the event-window and
-        # asof entries inside the prefix
-        "window-funcs": ("e1_", "e5_", "x1_"),
-        "sql-surface": ("sql29_", "sql30_", "sql33_", "sql34_", "sql35_", "sql36_"),
-        "functions": ("f16_", "f17_"),
+        "reference-pipeline": ("pl_dim_",),
+        "scan/project/join core": ("q1_", "q10_", "s9_"),
+        "merge/dml": ("sql45_", "sql46_", "d13_"),
+        "agg-surface": ("q1_", "f20_"),
+        "dedup-llm": ("d7_", "d8_", "d9_", "d13_"),
+        "similarity-ann": ("v4_", "v6_", "v8_", "v9_", "v10_"),
+        "text-analysis": ("t5_", "t6_", "t8_", "t9_", "t10_"),
+        "sketches": ("k1_", "k2_", "k3_", "dq6_"),
+        "streaming/cdc": ("sql43_", "f22_"),
+        "llm-pipeline": ("x6_", "x7_", "x8_"),
+        "window-funcs": ("w3_", "w4_", "f20_"),
+        "sql-surface": ("sql40_", "sql41_", "sql42_", "sql44_", "sql47_", "sql48_"),
+        "functions": ("f19_", "f21_", "f22_"),
+        "udf-extension": ("udf1_", "udf3_"),
     }
     missing = {
         fam: pfxs
