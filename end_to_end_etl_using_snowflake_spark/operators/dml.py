@@ -25,14 +25,25 @@ from pyspark.sql import functions as F
 def update_where(
     df: DataFrame, predicate: Column, assignments: Mapping[str, Column]
 ) -> DataFrame:
-    """M6: ``UPDATE ... SET ... WHERE`` (order-...sql:377-387) as a
-    conditional projection over the full table."""
-    out = df
-    for col_name, value in assignments.items():
-        out = out.withColumn(
-            col_name, F.when(predicate, value).otherwise(F.col(col_name))
-        )
-    return out
+    """M6: ``UPDATE ... SET ... WHERE`` (order-...sql:377-387) as ONE
+    conditional projection over the full table.
+
+    SQL/Snowflake UPDATE evaluates the WHERE predicate and EVERY SET
+    expression against the PRE-update row, so all assignments land in a
+    single ``select`` over the original columns — ``UPDATE t SET a=b,
+    b=a`` swaps. (Sequential ``withColumn`` calls would let a later SET
+    expression see an earlier target's NEW value — ADVICE r8.)"""
+    unknown = sorted(set(assignments) - set(df.columns))
+    if unknown:
+        raise ValueError(f"SET targets not columns of the table: {unknown}")
+    return df.select(
+        *[
+            F.when(predicate, assignments[c]).otherwise(F.col(c)).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
 
 
 def delete_where(df: DataFrame, predicate: Column) -> DataFrame:

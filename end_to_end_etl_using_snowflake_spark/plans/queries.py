@@ -6919,7 +6919,8 @@ def s8_copy_unload(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH updated AS (
         SELECT o_orderkey, o_custkey,
-               CASE WHEN o_orderpriority = '1-URGENT' THEN 'X'
+               CASE WHEN o_orderpriority = '1-URGENT'
+                         AND o_totalprice > 200000 THEN 'X'
                     ELSE o_orderstatus END AS o_orderstatus,
                CASE WHEN o_orderpriority = '1-URGENT'
                     THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
@@ -6939,11 +6940,14 @@ def s8_copy_unload(spark: SparkSession, sf_dir: str) -> DataFrame:
     a SET expression), then lower to the existing conditional-
     projection / complement-filter operators — no join, no shuffle,
     one pass each (functions/sqldialect.py:update_statement /
-    delete_statement). The entry runs both statements against a
-    registered orders relation and audits the final state per status
-    group; the oracle replays the same two statements as CASE/NOT
-    closed forms. NULL-predicate DELETE keeps the row (SQL's
-    three-valued rule, delete_where's contract).""",
+    delete_statement). The UPDATE's second SET expression reads the
+    FIRST SET's target column (``o_orderstatus`` gated on
+    ``o_totalprice``, which the same statement boosts): SQL evaluates
+    every SET expression against the PRE-update row, so the status flag
+    must key off the OLD price — the oracle's single-projection CASE
+    closed form only matches if update_where builds one select, not
+    sequential withColumns (ADVICE r8). NULL-predicate DELETE keeps the
+    row (SQL's three-valued rule, delete_where's contract).""",
     tags=("sql-surface", "dialect", "dml"),
 )
 def sql45_update_delete_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6955,9 +6959,8 @@ def sql45_update_delete_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t1 = update_statement(
         spark,
-        "UPDATE order_work SET o_totalprice = IFF(o_orderpriority = '1-URGENT',"
-        " o_totalprice * 1.1, o_totalprice),"
-        " o_orderstatus = IFF(o_orderpriority = '1-URGENT', 'X', o_orderstatus)"
+        "UPDATE order_work SET o_totalprice = o_totalprice * 1.1,"
+        " o_orderstatus = IFF(o_totalprice > 200000, 'X', o_orderstatus)"
         " WHERE o_orderpriority = '1-URGENT'",
         {"order_work": orders},
     )

@@ -86,6 +86,24 @@ def test_update_delete_where(spark):
     assert [r.k for r in dele.collect()] == [2]
 
 
+def test_update_set_evaluates_against_pre_update_row(spark):
+    # SQL UPDATE semantics: every SET expression (and the predicate)
+    # sees the OLD row — `SET a = b, b = a` swaps (ADVICE r8).
+    df = _df(spark, [(1, 10, 20), (2, 30, 40)], "k int, a int, b int")
+    out = dml.update_where(
+        df, F.col("k") == 1, {"a": F.col("b"), "b": F.col("a")}
+    )
+    assert {(r.k, r.a, r.b) for r in out.collect()} == {(1, 20, 10), (2, 30, 40)}
+    # the predicate too must see the pre-update value even when its
+    # column is itself a SET target
+    out2 = dml.update_where(df, F.col("a") == 10, {"a": F.lit(99), "b": F.col("a") + 1})
+    assert {(r.k, r.a, r.b) for r in out2.collect()} == {(1, 99, 11), (2, 30, 40)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SET targets"):
+        dml.update_where(df, F.lit(True), {"nope": F.lit(1)})
+
+
 def test_changelog_offsets(spark, tmp_path):
     log = Changelog(spark, str(tmp_path / "t"))
     df = _df(spark, [(1,), (2,)], "k int")
