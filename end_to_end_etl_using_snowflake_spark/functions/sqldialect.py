@@ -1226,14 +1226,15 @@ _CHANGES_RE = re.compile(
 def changes_statement(spark, text: str, log, changes, keys):  # noqa: ANN001
     """Execute Snowflake's ``SELECT * FROM <t> CHANGES (INFORMATION =>
     DEFAULT | APPEND_ONLY) AT (TIMESTAMP => '<ts>')`` verbatim (r8) —
-    the table-function form of streams: the net row delta between the
-    table state at the AT point and now, with METADATA$ACTION /
-    METADATA$ISUPDATE columns. The AT timestamp resolves through the
-    same stamped-version index as time travel (Changelog.version_at);
-    the diff is streaming/changelog.py:table_changes (two pruned
-    snapshot replays + ONE keyed full-outer join — net semantics, not
-    the raw journal). ``log``/``changes``/``keys`` bind the engine
-    changelog exactly as the AT/BEFORE executors do."""
+    the table-function form of streams: DEFAULT returns the NET row
+    delta between the table state at the AT point and now;
+    APPEND_ONLY follows Snowflake's journal-based contract (rows
+    inserted then deleted in the interval still surface, re-inserts
+    count) — both with METADATA$ACTION / METADATA$ISUPDATE columns.
+    The AT timestamp resolves through the same stamped-version index
+    as time travel (Changelog.version_at); the diff is
+    streaming/changelog.py:table_changes. ``log``/``changes``/``keys``
+    bind the engine changelog exactly as the AT/BEFORE executors do."""
     m = _CHANGES_RE.match(_strip_line_comments(text).strip().rstrip(";"))
     if m is None:
         raise ValueError(

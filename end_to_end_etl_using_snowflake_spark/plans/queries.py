@@ -5096,11 +5096,15 @@ def sql40_time_travel_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, insert synthetic keys): 'full' pins all four delta kinds —
     plain inserts, deletes carrying the OLD payload, and the
     DELETE+INSERT pair (ISUPDATE true) for net updates; 'ao' pins the
-    APPEND_ONLY flavor (inserts only); 'from_v2' pins net semantics —
-    starting after the update, the update is INVISIBLE and deletes
-    carry the updated payload. Scale: two _version-pruned snapshot
-    replays + ONE keyed full-outer join; never the raw journal, never
-    a window over history.""",
+    APPEND_ONLY flavor (journal-based per Snowflake's contract —
+    inserts of genuinely-new keys; in this fixture the v4 rows);
+    'from_v2' pins DEFAULT's net semantics — starting after the
+    update, the update is INVISIBLE and deletes carry the updated
+    payload. Insert-then-delete and re-insert journal cases are
+    pinned in test_table_changes_net_semantics. Scale: DEFAULT is two
+    _version-pruned snapshot replays + ONE keyed full-outer join;
+    APPEND_ONLY is one keyed lag-window over the pruned journal —
+    both shuffle deltas only.""",
     tags=("sql-surface", "dialect", "changes", "changelog", "streams"),
 )
 def sql43_changes_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6820,13 +6824,14 @@ def sql36_unpivot_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset, then applies a second batch that UPDATES keys 401-600 and
     INSERTS 601-1000; the append-only read must surface exactly the
     401-key insert set and hide every update. The engine's changelog
-    records batch-level actions, so the insert set is derived
-    honestly: latest unconsumed change per key (DELETEs dropped) LEFT
-    ANTI joined against the pre-offset snapshot's keys
-    (streaming/changelog.py:append_only_stream_read) — _version
-    partition pruning bounds both sides, the anti join is keyed and
-    broadcastable. Oracle: the insert set in closed form from the
-    source rows.""",
+    records batch-level actions, so append-ness is derived from the
+    JOURNAL (Snowflake's documented contract — rows inserted then
+    deleted in the interval still surface): a change row is an append
+    iff its action is insert-ish and the key's immediately-preceding
+    journal action is absent or DELETE
+    (streaming/changelog.py:append_only_stream_read) — one keyed
+    lag-window over journal rows only, never the table. Oracle: the
+    insert set in closed form from the source rows.""",
     tags=("streaming", "cdc", "append-only", "stream"),
 )
 def e18_append_only_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

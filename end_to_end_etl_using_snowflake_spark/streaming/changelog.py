@@ -225,18 +225,55 @@ def table_changes(
     - unchanged rows emit nothing (a row updated and reverted inside
       the interval is invisible — net semantics).
 
-    ``append_only=True`` keeps only the genuine inserts (the
-    APPEND_ONLY stream flavor, e18's contract).
+    ``append_only=True`` switches to Snowflake's documented
+    APPEND_ONLY contract, which is JOURNAL-based, not net (ADVICE r8):
+    every row genuinely APPENDED inside ``(v_from, v_to]`` surfaces —
+    including rows inserted then deleted within the interval
+    (Snowflake's 10-inserted/5-deleted example returns 10) and
+    re-inserts under a key that was deleted earlier; updates to
+    existing keys stay invisible. Derived from the journal itself: a
+    change row is an append iff its action is insert-ish and the key's
+    immediately-preceding journal action (if any) is DELETE.
 
-    Scale: both endpoint snapshots replay with _version partition
+    Scale: DEFAULT's endpoint snapshots replay with _version partition
     pruning (snapshot_as_of) and the diff is ONE keyed full-outer
     join + per-column null-safe comparison — no window over the raw
-    journal, no cartesian. METADATA$ROW_ID is not emitted (the engine
-    keys rows by the caller's key columns, which the output carries).
+    journal, no cartesian. APPEND_ONLY is one keyed window (lag of
+    _action) over journal rows pruned to ``_version <= v_to`` — the
+    journal holds changed rows only, so both paths shuffle deltas,
+    never the table. METADATA$ROW_ID is not emitted (the engine keys
+    rows by the caller's key columns, which the output carries).
+    Retention caveat (both flavors): versions vacuumed below v_from
+    must still satisfy every consumer's offset floor (vacuum's
+    contract) or prior-existence classification loses history.
     """
     from functools import reduce
 
     keys = list(keys)
+    if append_only:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.col(VERSION_COL))
+        hist = changes.filter(F.col(VERSION_COL) <= v_to).withColumn(
+            "__prev_action", F.lag(ACTION_COL).over(w)
+        )
+        payload = [
+            c for c in changes.columns
+            if c not in keys and c not in (ACTION_COL, VERSION_COL)
+        ]
+        return hist.filter(
+            (F.col(VERSION_COL) > v_from)
+            & (F.col(ACTION_COL) != "DELETE")
+            & (
+                F.col("__prev_action").isNull()
+                | (F.col("__prev_action") == "DELETE")
+            )
+        ).select(
+            *keys,
+            *payload,
+            F.lit("INSERT").alias("METADATA$ACTION"),
+            F.lit(False).alias("METADATA$ISUPDATE"),
+        )
     start = snapshot_as_of(changes, keys, v_from)
     now = snapshot_as_of(changes, keys, v_to)
     payload = [c for c in start.columns if c not in keys]
@@ -263,8 +300,6 @@ def table_changes(
     new_cols = [F.col(c).alias(c) for c in payload]
     old_cols = [F.col(f"__old_{c}").alias(c) for c in payload]
     inserts = _rows(F.col("__in_s").isNull(), new_cols, "INSERT", False)
-    if append_only:
-        return inserts
     deletes = _rows(F.col("__in_n").isNull(), old_cols, "DELETE", False)
     upd_ins = _rows(in_both & ~same, new_cols, "INSERT", True)
     upd_del = _rows(in_both & ~same, old_cols, "DELETE", True)
@@ -275,19 +310,23 @@ def append_only_stream_read(
     changelog: "Changelog", consumer: str, keys
 ) -> tuple[DataFrame, int]:
     """Snowflake ``CREATE STREAM ... APPEND_ONLY = TRUE`` semantics:
-    the stream surfaces only genuinely NEW rows — updates and deletes
-    to existing keys are invisible (the change-data-capture flavor
-    built for insert-only fan-out consumers, cheaper than full CDC on
-    both engines). The engine's changelog records batch-level actions,
-    not row-level insert-vs-update, so the insert set is DERIVED: the
-    unconsumed change rows (latest per key, DELETEs dropped) LEFT ANTI
-    join the pre-offset snapshot's keys — a row is "appended" iff its
-    key did not exist at the consumer's last commit.
+    the stream surfaces only genuinely APPENDED rows — updates to
+    existing keys are invisible, and the contract is JOURNAL-based
+    (ADVICE r8): a row inserted then deleted inside the unconsumed
+    interval still surfaces (Snowflake's documented
+    10-inserted/5-deleted example returns 10), and a re-insert under a
+    previously-deleted key counts as appended. The engine's changelog
+    records batch-level actions, not row-level insert-vs-update, so
+    append-ness is DERIVED from the journal: a change row is an append
+    iff its action is insert-ish and the key's immediately-preceding
+    journal action (lag of ``_action`` per key, any version) is either
+    absent or DELETE.
 
-    Scale: _version partition pruning bounds both sides — the
-    unconsumed batch by the offset, the pre-state by snapshot_as_of's
-    pruned replay; the anti join is keyed, batch side broadcastable.
-    Returns (inserts_df with _version, commit_version) like
+    Scale: one keyed window over journal rows only (changed rows,
+    never the table); classification needs each batch key's prior
+    journal row, so the read spans the retained log — vacuum's
+    consumer-floor contract guarantees nothing a consumer still needs
+    is gone. Returns (inserts_df with _version, commit_version) like
     stream_read; offsets commit through the normal stream_commit."""
     from pyspark.sql import Window
 
@@ -297,15 +336,16 @@ def append_only_stream_read(
     if not os.path.exists(changelog.log_path):
         return None, current
     all_changes = changelog.spark.read.parquet(changelog.log_path)
-    fresh = all_changes.filter(F.col(VERSION_COL) > offset)
-    # latest unconsumed change per key; a key deleted within the batch
-    # never surfaces
-    w = Window.partitionBy(*keys).orderBy(F.col(VERSION_COL).desc())
-    latest = (
-        fresh.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .filter(F.col(ACTION_COL) != "DELETE")
-        .drop("__rn")
+    w = Window.partitionBy(*keys).orderBy(F.col(VERSION_COL))
+    hist = all_changes.withColumn("__prev_action", F.lag(ACTION_COL).over(w))
+    return (
+        hist.filter(
+            (F.col(VERSION_COL) > offset)
+            & (F.col(ACTION_COL) != "DELETE")
+            & (
+                F.col("__prev_action").isNull()
+                | (F.col("__prev_action") == "DELETE")
+            )
+        ).drop("__prev_action"),
+        current,
     )
-    pre = snapshot_as_of(all_changes, keys, offset).select(*keys)
-    return latest.join(pre, on=list(keys), how="left_anti"), current

@@ -1843,6 +1843,38 @@ def test_table_changes_net_semantics(spark, tmp_path):
         for r in table_changes(changes, ["k"], 1, 5, append_only=True).collect()
     )
     assert ao == [(9, "new")]
+    # APPEND_ONLY is JOURNAL-based, not net (ADVICE r8): extend the log
+    # with a delete of k=9 (v6) and a re-insert of k=3 (v7), then check
+    # the two cases net semantics would silently drop.
+    log.record(
+        spark.createDataFrame([(9, "new")], "k int, v string"),
+        "DELETE", at="2024-01-06 00:00:00",
+    )                                                               # v6
+    log.record(
+        spark.createDataFrame([(3, "c3")], "k int, v string"),
+        "UPSERT", at="2024-01-07 00:00:00",
+    )                                                               # v7: re-insert
+    changes7 = spark.read.parquet(log.log_path)
+    ao7 = sorted(
+        (r["k"], r["v"], r["METADATA$ACTION"], r["METADATA$ISUPDATE"])
+        for r in table_changes(changes7, ["k"], 1, 7, append_only=True).collect()
+    )
+    # k=9 inserted at v5 and deleted at v6 STILL surfaces (Snowflake's
+    # 10-inserted/5-deleted example); k=3 deleted at v4 and re-inserted
+    # at v7 counts as appended; the v2/v3 updates stay invisible.
+    assert ao7 == [(3, "c3", "INSERT", False), (9, "new", "INSERT", False)]
+    # DEFAULT stays net over the same interval: k=9's insert+delete
+    # cancels, k=3 nets to an update pair, k=1 reverted -> invisible.
+    dflt7 = sorted(
+        (r["k"], r["v"], r["METADATA$ACTION"], r["METADATA$ISUPDATE"])
+        for r in table_changes(changes7, ["k"], 1, 7).collect()
+    )
+    assert dflt7 == [
+        (2, "b", "DELETE", True),
+        (2, "b2", "INSERT", True),
+        (3, "c", "DELETE", True),
+        (3, "c3", "INSERT", True),
+    ]
 
 
 def test_merge_statement_edges(spark):
