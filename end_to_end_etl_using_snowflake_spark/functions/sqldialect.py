@@ -1059,9 +1059,18 @@ _DELETE_RE = re.compile(
 
 
 def _dml_table(tables: dict, name: str):
-    for n, d in tables.items():
-        if n.split(".")[-1].lower() == name.split(".")[-1].lower():
-            return d
+    # resolve by case-insensitive last dotted segment, but REFUSE when
+    # two mapping entries share the short name — first-match would
+    # silently route the DML to whichever was inserted first (ADVICE
+    # r8; mirrors merge_statement's short-name registration posture).
+    short = name.split(".")[-1].lower()
+    hits = [n for n in tables if n.split(".")[-1].lower() == short]
+    if len(hits) > 1:
+        raise KeyError(
+            f"table name {name!r} is ambiguous in the tables mapping: {sorted(hits)}"
+        )
+    if hits:
+        return tables[hits[0]]
     raise KeyError(f"table {name!r} not in the tables mapping")
 
 
@@ -1896,6 +1905,13 @@ def _get_path_rewrite(args: list) -> str:
     for m in re.finditer(r'[A-Za-z_]\w*|"[^"]+"|\[\d+\]', path):
         seg = m.group(0)
         if seg.startswith('"'):
+            if "'" in seg:
+                # same refusal as _flat_path_to_json_path: the bracket
+                # rendering ['it's'] is not a parseable JSON path and
+                # get_json_object would return NULL silently (ADVICE r8)
+                raise ValueError(
+                    f"quoted path segment cannot contain a single quote: {seg!r}"
+                )
             jp_parts.append(f"['{seg[1:-1]}']")
         elif seg.startswith("["):
             jp_parts.append(seg)
@@ -2278,7 +2294,14 @@ def _variant_repl(m: "re.Match[str]") -> str:
     for seg in _VARIANT_SEG_RE.findall(m.group("path")):
         if seg.startswith('"'):
             # r8: "quoted" segment (key with spaces/dots) -> Spark's
-            # bracket form; segments cannot contain a double quote
+            # bracket form; segments cannot contain a double quote.
+            # A single quote inside the key refuses like
+            # _flat_path_to_json_path — ['it's'] is not a parseable
+            # JSON path, get_json_object would NULL silently (ADVICE r8)
+            if "'" in seg:
+                raise ValueError(
+                    f"quoted path segment cannot contain a single quote: {seg!r}"
+                )
             parts.append(f"['{seg[1:-1]}']")
         elif seg.startswith("["):
             parts.append(seg)

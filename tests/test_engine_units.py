@@ -86,6 +86,25 @@ def test_update_delete_where(spark):
     assert [r.k for r in dele.collect()] == [2]
 
 
+def test_update_statement_text_semantics(spark):
+    """Text-form UPDATE: SET expressions see the pre-update row
+    (`SET a = b, b = a` swaps — ADVICE r8) and _dml_table refuses an
+    ambiguous short name instead of first-match routing."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        update_statement,
+    )
+
+    df = _df(spark, [(1, 10, 20)], "k int, a int, b int")
+    out = update_statement(spark, "UPDATE t SET a = b, b = a", {"s.t": df})
+    assert [(r.k, r.a, r.b) for r in out.collect()] == [(1, 20, 10)]
+    with _pytest.raises(KeyError, match="ambiguous"):
+        update_statement(spark, "UPDATE t SET a = 1", {"x.t": df, "y.t": df})
+    with _pytest.raises(KeyError, match="not in the tables mapping"):
+        update_statement(spark, "UPDATE nope SET a = 1", {"s.t": df})
+
+
 def test_update_set_evaluates_against_pre_update_row(spark):
     # SQL UPDATE semantics: every SET expression (and the predicate)
     # sees the OLD row — `SET a = b, b = a` swaps (ADVICE r8).
@@ -2681,6 +2700,25 @@ def test_variant_path_rewriter_edges(spark):
         rewrite_variant_path('SELECT obj:"a b".c[0]::int AS v FROM vp_q_t')
     ).first()
     assert rowq.v == 9
+    # a single quote inside a quoted segment never silently NULLs
+    # (ADVICE r8): the bracket rendering ['it's'] would not be a
+    # parseable JSON path. GET_PATH refuses loudly like
+    # _flat_path_to_json_path; the variant-path scanner treats the
+    # apostrophe as a literal opener so the path never matches — the
+    # statement passes through UNREWRITTEN (Spark then rejects the
+    # Snowflake syntax at parse, loud), and _variant_repl itself
+    # carries the same ValueError guard should a future scanner change
+    # let such a segment reach it.
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_scalar_funcs,
+    )
+
+    s_q = 'SELECT obj:"it\'s".c FROM t'
+    assert rewrite_variant_path(s_q) == s_q  # no partial/mangled rewrite
+    with _pytest.raises(ValueError, match="single quote"):
+        rewrite_scalar_funcs("SELECT GET_PATH(v, 'a.\"it''s\"') FROM t")
 
 
 def test_scalar_dialect_rewriter(spark):
@@ -2874,8 +2912,10 @@ def test_copy_unload_parser_and_roundtrip(spark, tmp_path):
 
 def test_append_only_stream_hides_updates_and_deletes(spark, tmp_path):
     """Append-only semantics against all three change kinds: inserts
-    surface, updates to pre-offset keys hide, a key inserted-then-
-    deleted within the unconsumed window never surfaces."""
+    surface, updates to pre-offset keys hide, and — per Snowflake's
+    JOURNAL-based contract (ADVICE r8) — a key inserted then deleted
+    within the unconsumed window STILL surfaces (the documented
+    10-inserted/5-deleted example returns 10)."""
     from end_to_end_etl_using_snowflake_spark.plans.catalog import Warehouse
     from end_to_end_etl_using_snowflake_spark.streaming.changelog import (
         append_only_stream_read,
@@ -2903,8 +2943,23 @@ def test_append_only_stream_hides_updates_and_deletes(spark, tmp_path):
         action="DELETE",
     )
     inserts, v = append_only_stream_read(tbl.changelog, "c", ["k"])
-    assert sorted((r.k, r.v) for r in inserts.select("k", "v").collect()) == [(3, "c")]
+    # k=1's update hides; k=3 and k=4 were genuinely appended — k=4's
+    # later in-window delete does NOT retract the append (journal
+    # semantics, not net)
+    assert sorted((r.k, r.v) for r in inserts.select("k", "v").collect()) == [
+        (3, "c"),
+        (4, "d"),
+    ]
     # committing makes the stream empty
     tbl.changelog.stream_commit("c", v)
     again, _ = append_only_stream_read(tbl.changelog, "c", ["k"])
     assert again.count() == 0
+    # a re-insert under the previously-deleted key counts as appended
+    tbl.overwrite(
+        spark.createDataFrame(
+            [(1, "a2"), (2, "b"), (3, "c"), (4, "d2")], "k int, v string"
+        ),
+        changes=spark.createDataFrame([(4, "d2")], "k int, v string"),
+    )
+    re_ins, _ = append_only_stream_read(tbl.changelog, "c", ["k"])
+    assert sorted((r.k, r.v) for r in re_ins.select("k", "v").collect()) == [(4, "d2")]
