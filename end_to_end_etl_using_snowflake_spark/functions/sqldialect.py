@@ -1754,11 +1754,16 @@ _SCALAR_REWRITES = {
     "LEN": lambda args: (
         f"length({args[0]})" if len(args) == 1 else _bad("LEN", args)
     ),
-    # ---- conversion pack (r8). TO_NUMBER/TO_DECIMAL default to
-    # NUMBER(38, 0) — Snowflake's documented default precision/scale;
-    # TRY_ variants null out instead of erroring (Spark try_cast).
-    # Format-string forms refuse (a mistranslated format would corrupt
-    # silently).
+    # ---- conversion pack (r8; format strings r9). TO_NUMBER/
+    # TO_DECIMAL default to NUMBER(38, 0) — Snowflake's documented
+    # default precision/scale; TRY_ variants null out instead of
+    # erroring (Spark try_cast). Format strings translate through a
+    # strict element table (_sf_datetime_format_to_spark /
+    # _sf_number_format): any element without an exact Spark
+    # equivalent refuses loudly — a mistranslated format would corrupt
+    # silently (Spark's pattern letters differ: Snowflake YYYY/DD/MI
+    # are Spark yyyy/dd/mm; passing Snowflake text through unmapped
+    # would parse week-years and day-of-year).
     "TO_NUMBER": lambda args: _to_number_rewrite("TO_NUMBER", "cast", args),
     "TO_DECIMAL": lambda args: _to_number_rewrite("TO_DECIMAL", "cast", args),
     "TRY_TO_NUMBER": lambda args: _to_number_rewrite(
@@ -1767,16 +1772,26 @@ _SCALAR_REWRITES = {
     "TRY_TO_DECIMAL": lambda args: _to_number_rewrite(
         "TRY_TO_DECIMAL", "try_cast", args
     ),
-    "TRY_TO_DATE": lambda args: (
-        f"try_cast({args[0]} AS DATE)"
-        if len(args) == 1
-        else _bad("TRY_TO_DATE (format forms refuse)", args)
+    "TO_DATE": lambda args: _to_datetime_rewrite(
+        "TO_DATE", args, as_date=True, try_=False
     ),
-    "TRY_TO_TIMESTAMP": lambda args: (
-        f"try_cast({args[0]} AS TIMESTAMP)"
-        if len(args) == 1
-        else _bad("TRY_TO_TIMESTAMP (format forms refuse)", args)
+    "TO_TIMESTAMP": lambda args: _to_datetime_rewrite(
+        "TO_TIMESTAMP", args, as_date=False, try_=False
     ),
+    "TO_TIMESTAMP_NTZ": lambda args: _to_datetime_rewrite(
+        "TO_TIMESTAMP_NTZ", args, as_date=False, try_=False
+    ),
+    "TRY_TO_DATE": lambda args: _to_datetime_rewrite(
+        "TRY_TO_DATE", args, as_date=True, try_=True
+    ),
+    "TRY_TO_TIMESTAMP": lambda args: _to_datetime_rewrite(
+        "TRY_TO_TIMESTAMP", args, as_date=False, try_=True
+    ),
+    # TO_CHAR/TO_VARCHAR: 1-arg = string cast; 2-arg datetime format
+    # -> date_format with the translated pattern (numeric 9/0-padding
+    # output formats refuse — no exact Spark equivalent)
+    "TO_CHAR": lambda args: _to_char_rewrite("TO_CHAR", args),
+    "TO_VARCHAR": lambda args: _to_char_rewrite("TO_VARCHAR", args),
     # VARIANT = JSON text (the sql30/sql34 contract): PARSE_JSON is
     # the identity on already-JSON text, TO_VARIANT of a scalar is its
     # JSON rendering
@@ -1877,16 +1892,187 @@ def _null_poisoning_extreme(fn: str, args: list) -> str:
     )
 
 
-def _to_number_rewrite(name: str, cast_fn: str, args: list) -> str:
+# Snowflake datetime format elements -> Spark (Java DateTimeFormatter)
+# pattern letters. STRICT and longest-first: anything not in this table
+# (and not allowed punctuation or a "quoted" literal) refuses loudly —
+# Snowflake's letters overlap Spark's with DIFFERENT meanings (Spark Y
+# is week-year, D is day-of-year), so passthrough would corrupt
+# silently. Case-insensitive like Snowflake.
+_SF_DT_ELEMS: tuple[tuple[str, str], ...] = (
+    ("YYYY", "yyyy"),
+    ("YY", "yy"),
+    ("MMMM", "MMMM"),  # full month name
+    ("MON", "MMM"),  # abbreviated month name
+    ("MM", "MM"),
+    ("DAY", "EEEE"),  # full day name
+    ("DY", "EEE"),  # abbreviated day name
+    ("DD", "dd"),
+    ("HH24", "HH"),
+    ("HH12", "hh"),
+    ("HH", "HH"),  # Snowflake treats bare HH as HH24
+    ("AM", "a"),
+    ("PM", "a"),
+    ("MI", "mm"),
+    ("SS", "ss"),
+    ("FF6", "SSSSSS"),
+    ("FF5", "SSSSS"),
+    ("FF4", "SSSS"),
+    ("FF3", "SSS"),
+    ("FF2", "SS"),
+    ("FF1", "S"),
+)
+_SF_DT_PUNCT = " -/,.:;"
+
+
+def _sf_datetime_format_to_spark(fmt: str) -> str:
+    """Translate a Snowflake datetime format string (``'YYYYMMDD'``,
+    ``'YYYY-MM-DD"T"HH24:MI:SS.FF3'``) to Spark's pattern letters.
+    Raises ValueError on any element without an exact Spark equivalent
+    (FF7-FF9 nanoseconds, TZH/TZM offsets, bare FF) — refusal beats a
+    silent mistranslation."""
+    out: list[str] = []
+    i, n = 0, len(fmt)
+    up = fmt.upper()
+    while i < n:
+        c = fmt[i]
+        if c == '"':  # Snowflake's quoted literal -> Spark's 'literal'
+            j = fmt.find('"', i + 1)
+            if j < 0:
+                raise ValueError(f"unterminated quoted literal in format: {fmt!r}")
+            lit = fmt[i + 1 : j]
+            if "'" in lit:
+                raise ValueError(
+                    f"format literal cannot contain a single quote: {lit!r}"
+                )
+            out.append(f"'{lit}'")
+            i = j + 1
+            continue
+        for sf, sp in _SF_DT_ELEMS:
+            if up.startswith(sf, i):
+                out.append(sp)
+                i += len(sf)
+                break
+        else:
+            if c in _SF_DT_PUNCT:
+                out.append(c)
+                i += 1
+                continue
+            raise ValueError(
+                f"unsupported datetime format element at {fmt[i:]!r}"
+                f" in {fmt!r} (supported: "
+                + ", ".join(e for e, _ in _SF_DT_ELEMS)
+                + ', punctuation, "quoted" literals)'
+            )
+    return "".join(out)
+
+
+def _fmt_literal(args: list, idx: int, name: str) -> str | None:
+    """Return the unquoted string if args[idx] is a '...' literal."""
+    if idx >= len(args):
+        return None
+    a = args[idx].strip()
+    if len(a) >= 2 and a[0] == "'" and a[-1] == "'" and "'" not in a[1:-1]:
+        return a[1:-1]
+    return None
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _to_datetime_rewrite(name: str, args: list, *, as_date: bool, try_: bool) -> str:
+    """TO_DATE / TO_TIMESTAMP[_NTZ] / TRY_ variants, with Snowflake
+    format strings translated element-by-element (r9 — VERDICT r8
+    flagged ``TO_DATE(col, 'YYYYMMDD')`` as the most common remaining
+    real-user refusal). AUTO = the no-format default. Non-format,
+    non-literal second arguments refuse (Snowflake also accepts a
+    session-parameter name there — not a deterministic lowering)."""
+    target = "DATE" if as_date else "TIMESTAMP"
+    fmt = _fmt_literal(args, 1, name)
+    if len(args) == 1 or (len(args) == 2 and fmt is not None and fmt.upper() == "AUTO"):
+        f = "try_cast" if try_ else "cast"
+        return f"{f}({args[0]} AS {target})"
+    if len(args) == 2 and fmt is not None:
+        spark_fmt = _sql_str(_sf_datetime_format_to_spark(fmt))
+        if try_:
+            base = f"try_to_timestamp({args[0]}, {spark_fmt})"
+            return f"CAST({base} AS DATE)" if as_date else base
+        fn = "to_date" if as_date else "to_timestamp"
+        return f"{fn}({args[0]}, {spark_fmt})"
+    raise ValueError(
+        f"{name} supports (expr) or (expr, '<format>') with a literal"
+        f" format string; got {len(args)} args"
+    )
+
+
+def _to_char_rewrite(name: str, args: list) -> str:
     if len(args) == 1:
+        return f"cast({args[0]} AS STRING)"
+    fmt = _fmt_literal(args, 1, name)
+    if len(args) == 2 and fmt is not None:
+        if re.fullmatch(r"[Ss]?\$?[09,GD.]+", fmt.strip()):
+            raise ValueError(
+                f"{name} numeric output formats (9/0 padding) have no"
+                " exact Spark equivalent and are not lowered"
+            )
+        return f"date_format({args[0]}, {_sql_str(_sf_datetime_format_to_spark(fmt))})"
+    raise ValueError(
+        f"{name} supports (expr) or (expr, '<datetime format>');"
+        f" got {len(args)} args"
+    )
+
+
+def _sf_number_format(name: str, fmt: str) -> tuple[int, int]:
+    """Validate a Snowflake numeric format ('$9,999,999.99', 'S0000',
+    'G'/'D' synonyms) and derive the result (precision, scale): every
+    0/9 is a digit position, digits after the decimal marker set the
+    scale. Elements without a clean parse lowering (MI trailing minus,
+    PR angle brackets, X hex, EEEE) refuse."""
+    f = fmt.strip().upper().replace("G", ",").replace("D", ".")
+    m = re.fullmatch(r"(S?)(\$?)([09,]*[09])(?:\.([09]+))?", f)
+    if m is None:
+        raise ValueError(
+            f"{name} format {fmt!r} is not a supported numeric format"
+            " (S, $, 0/9 digits, ',' groups, '.' decimal; MI/PR/X/EEEE"
+            " refuse)"
+        )
+    int_digits = sum(ch in "09" for ch in m.group(3))
+    frac = m.group(4) or ""
+    p, s = int_digits + len(frac), len(frac)
+    if p > 38:
+        raise ValueError(f"{name} format {fmt!r} implies precision {p} > 38")
+    return p, s
+
+
+def _to_number_rewrite(name: str, cast_fn: str, args: list) -> str:
+    """TO_NUMBER/TO_DECIMAL and TRY_ variants: (expr), (expr, p),
+    (expr, p, s), and the r9 format-string forms (expr, '<fmt>'
+    [, p [, s]]). A format strips the grouping/currency characters it
+    declares ($ and ,) before the strict DECIMAL cast and supplies the
+    default (p, s) from its digit layout."""
+    fmt = _fmt_literal(args, 1, name)
+    if fmt is not None and fmt.upper() != "AUTO":
+        fp, fs = _sf_number_format(name, fmt)
+        rest = args[2:]
+        if len(rest) == 2 and rest[0].strip().isdigit() and rest[1].strip().isdigit():
+            fp, fs = int(rest[0]), int(rest[1])
+        elif len(rest) == 1 and rest[0].strip().isdigit():
+            fp, fs = int(rest[0]), 0
+        elif rest:
+            raise ValueError(f"{name}: trailing args must be precision[, scale]")
+        stripped = f"regexp_replace({args[0]}, '[,$]', '')"
+        return f"{cast_fn}({stripped} AS DECIMAL({fp}, {fs}))"
+    if len(args) == 1 or (fmt is not None and fmt.upper() == "AUTO" and len(args) == 2):
         return f"{cast_fn}({args[0]} AS DECIMAL(38, 0))"
+    if len(args) == 2 and args[1].strip().isdigit():
+        return f"{cast_fn}({args[0]} AS DECIMAL({args[1].strip()}, 0))"
     if len(args) == 3:
         p, s = args[1].strip(), args[2].strip()
         if p.isdigit() and s.isdigit():
             return f"{cast_fn}({args[0]} AS DECIMAL({p}, {s}))"
     raise ValueError(
-        f"{name} supports (expr) or (expr, precision, scale);"
-        " format-string forms are not lowered"
+        f"{name} supports (expr), (expr, precision[, scale]), or"
+        f" (expr, '<format>'[, precision[, scale]])"
     )
 
 
@@ -2224,9 +2410,16 @@ def rewrite_scalar_funcs(sql: str) -> str:
     fns["DECODE"] = _decode_rewrite
     fns["DATEDIFF"] = _datediff_rewrite
     head = re.compile(r"\b(" + "|".join(fns) + r")\s*\(", re.IGNORECASE)
+    # Scan left-to-right with an explicit position: arguments are
+    # lowered RECURSIVELY before the replacement is built, and the
+    # scan resumes AFTER the replacement — so a lowering may emit
+    # Spark functions whose names the head would match (to_date /
+    # to_timestamp, the r9 format-string forms) without re-matching
+    # its own output forever.
+    pos = 0
     guard = 0
     while True:
-        m = head.search(sql)
+        m = head.search(sql, pos)
         if m is None:
             return sql
         guard += 1
@@ -2234,9 +2427,11 @@ def rewrite_scalar_funcs(sql: str) -> str:
             raise RuntimeError("rewrite_scalar_funcs did not converge")
         open_idx = sql.index("(", m.end() - 1)
         close = _balanced_span(sql, open_idx)
-        args = [a.strip() for a in _split_top_level_commas(sql[open_idx + 1 : close - 1])]
+        inner = rewrite_scalar_funcs(sql[open_idx + 1 : close - 1])
+        args = [a.strip() for a in _split_top_level_commas(inner)]
         repl = fns[m.group(1).upper()](args)
         sql = sql[: m.start()] + repl + sql[close:]
+        pos = m.start() + len(repl)
 
 
 # ---------------------------------------------------------------------------

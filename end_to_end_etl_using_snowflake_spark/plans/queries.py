@@ -6333,8 +6333,9 @@ FROM orders GROUP BY o_orderpriority
     functions/sqldialect.py:_SCALAR_REWRITES): TO_NUMBER /
     TRY_TO_NUMBER with Snowflake's documented NUMBER(38,0) default
     and explicit (precision, scale) forms (TRY_ nulls out via
-    try_cast, TO_ stays strict; format-string forms refuse loudly
-    rather than mistranslate), TRY_TO_DATE / TRY_TO_TIMESTAMP,
+    try_cast, TO_ stays strict; format-string forms lower through the
+    strict element table since r9 — f23 pins them), TRY_TO_DATE /
+    TRY_TO_TIMESTAMP,
     PARSE_JSON (identity on the engine's JSON-text VARIANT),
     TO_VARIANT (JSON rendering of compound values — arrays/objects;
     scalar input fails LOUDLY at analysis, never silently), GET_PATH (the function form of the colon path, sharing
@@ -7029,6 +7030,81 @@ def f22_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(rewrite_scalar_funcs(_F22_SNOWFLAKE_TEXT))
+
+
+_F23_SNOWFLAKE_TEXT = """
+SELECT o_orderkey,
+       TO_DATE(ymd, 'YYYYMMDD') AS parsed_date,
+       TRY_TO_DATE(maybe_bad, 'YYYY-MM-DD') AS tried_date,
+       TO_TIMESTAMP(iso_ts, 'YYYY-MM-DD"T"HH24:MI:SS.FF3') AS parsed_ts,
+       CAST(TO_NUMBER(money, '$99,999,999,999.99') * 100 AS BIGINT)
+           AS parsed_cents,
+       TO_CHAR(o_date, 'DD MON YYYY') AS pretty,
+       TO_CHAR(o_date, 'YYYY-MM-DD"T"HH24:MI') AS iso_out
+FROM fmt_src
+"""
+
+
+@register(
+    "f23_format_strings",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS parsed_date,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE CAST(o_orderdate AS DATE) END AS tried_date,
+           strptime(strftime(o_orderdate, '%Y-%m-%d') || 'T12:34:56.250',
+                    '%Y-%m-%dT%H:%M:%S.%g') AS parsed_ts,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS parsed_cents,
+           strftime(o_orderdate, '%d %b %Y') AS pretty,
+           strftime(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP),
+                    '%Y-%m-%dT%H:%M') AS iso_out
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+    doc="""Snowflake FORMAT STRINGS accepted VERBATIM (r9 — VERDICT r8
+    named ``TO_DATE(col, 'YYYYMMDD')`` the most common remaining
+    real-user refusal): TO_DATE / TRY_TO_DATE / TO_TIMESTAMP with
+    datetime formats, TO_NUMBER with a numeric format
+    ('$99,999,999.99' — strips the declared $/, then strict DECIMAL
+    cast with (p, s) derived from the digit layout), and TO_CHAR
+    datetime rendering. Formats translate through a STRICT element
+    table (functions/sqldialect.py:_sf_datetime_format_to_spark) —
+    Snowflake's letters overlap Spark's with different meanings
+    (Spark Y is week-year, D day-of-year), so each element maps
+    explicitly (YYYY->yyyy, MI->mm, FF3->SSS, "T"->'T') and anything
+    unmapped (FF9 nanos, TZH/TZM, numeric TO_CHAR padding) refuses
+    loudly. The entry round-trips orders through formatted strings
+    built with exact decimal arithmetic; the oracle recomputes the
+    parsed values in closed form (and re-renders via strftime — %g is
+    DuckDB's milliseconds, matching SSS). TRY_TO_DATE nulls out the
+    poisoned rows. All per-row expressions: pushdown/codegen
+    untouched at any scale.""",
+    tags=("sql-surface", "dialect", "functions", "conversion", "formats"),
+)
+def f23_format_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import rewrite_scalar_funcs
+
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    o_date = F.to_date("o_orderdate")
+    src = orders.select(
+        "o_orderkey",
+        o_date.alias("o_date"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("ymd"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("not-a-date"))
+        .otherwise(o_date.cast("string"))
+        .alias("maybe_bad"),
+        F.concat(o_date.cast("string"), F.lit("T12:34:56.250")).alias(
+            "iso_ts"
+        ),
+        # exact decimal cents -> '$1,234.56' (format_number on DECIMAL
+        # is exact, no double rounding in the round trip)
+        F.concat(
+            F.lit("$"),
+            F.format_number(cents.cast("decimal(20,2)") / 100, 2),
+        ).alias("money"),
+    )
+    src.createOrReplaceTempView("fmt_src")
+    return spark.sql(rewrite_scalar_funcs(_F23_SNOWFLAKE_TEXT))
 
 
 @register(

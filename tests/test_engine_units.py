@@ -2851,9 +2851,40 @@ def test_conversion_pack_rewriter(spark):
     assert row.c == datetime.date(2024, 2, 29) and row.d is None
     assert row.e == "5" and row.f is True and row.g == 3
     assert row.h == '["F"]'
+    # r9: format strings lower through the strict element table
+    # (Snowflake YYYY/DD/MI -> Spark yyyy/dd/mm — raw passthrough
+    # would parse week-years/day-of-year and corrupt silently)
+    out_f = rewrite_scalar_funcs(
+        "SELECT TO_DATE(x, 'YYYYMMDD') AS d1,"
+        " TO_TIMESTAMP(x, 'YYYY-MM-DD\"T\"HH24:MI:SS.FF3') AS t1,"
+        " TO_NUMBER(x, '$9,999,999.99') AS n1,"
+        " TO_CHAR(d, 'YYYY-MM') AS c1 FROM t"
+    )
+    assert "to_date(x, 'yyyyMMdd')" in out_f
+    assert "to_timestamp(x, 'yyyy-MM-dd''T''HH:mm:ss.SSS')" in out_f
+    assert "cast(regexp_replace(x, '[,$]', '') AS DECIMAL(9, 2))" in out_f
+    assert "date_format(d, 'yyyy-MM')" in out_f
+    rowf = spark.sql(
+        rewrite_scalar_funcs(
+            "SELECT TO_DATE('20240229', 'YYYYMMDD') AS d1,"
+            " TRY_TO_DATE('2024-13-01', 'YYYY-MM-DD') AS d2,"
+            " TO_TIMESTAMP('2024-02-29T10:30:00.250',"
+            "   'YYYY-MM-DD\"T\"HH24:MI:SS.FF3') AS t1,"
+            " TO_NUMBER('$1,234.56', '$9,999.99') AS n1,"
+            " TO_CHAR(DATE '2024-02-29', 'DD MON YYYY') AS c1"
+        )
+    ).first()
+    assert rowf.d1 == datetime.date(2024, 2, 29) and rowf.d2 is None
+    assert rowf.t1 == datetime.datetime(2024, 2, 29, 10, 30, 0, 250000)
+    assert rowf.n1 == decimal.Decimal("1234.56")
+    assert rowf.c1 == "29 Feb 2024"
     for bad, msg in [
-        ("SELECT TO_NUMBER(x, '999.99') FROM t", "format-string"),
-        ("SELECT TRY_TO_DATE(x, 'YYYY') FROM t", "format forms"),
+        # elements with no exact Spark equivalent refuse loudly
+        ("SELECT TO_DATE(x, 'YYYY-Q') FROM t", "unsupported datetime format"),
+        ("SELECT TO_TIMESTAMP(x, 'FF') FROM t", "unsupported datetime format"),
+        ("SELECT TO_DATE(x, fmtcol) FROM t", "literal"),
+        ("SELECT TO_CHAR(n, '999.99') FROM t", "numeric output formats"),
+        ("SELECT TO_NUMBER(x, 'MI999') FROM t", "not a supported numeric"),
         ("SELECT GET_PATH(v, p) FROM t", "string literal"),
         ("SELECT GET_PATH(v, 'a..b') FROM t", "dotted identifier"),
     ]:
