@@ -86,9 +86,32 @@ def _prepare(spark, sf_dir: str) -> None:
     synthesize_landing(spark, sf_dir, scratch_dir("bench_synth_warm_"))
 
 
+def _loadavg() -> float | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    # Contention guard (VERDICT r8 "What's wrong" #1: a bench recorded
+    # under a concurrent parity sweep showed a phantom +10%/1.45x on
+    # plans whose files hadn't changed). If the 1-minute load is above
+    # threshold, wait for the machine to quiet down (bounded), then
+    # proceed either way and RECORD the load in the output so a
+    # contended artifact is self-describing instead of silently wrong.
+    thresh = 0.25 * (os.cpu_count() or 8)
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "300"))
+    waited = 0.0
+    load = _loadavg()
+    while load is not None and load > thresh and waited < max_wait:
+        time.sleep(15)
+        waited += 15
+        load = _loadavg()
 
     from end_to_end_etl_using_snowflake_spark.session import get_spark
 
@@ -142,6 +165,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    end_load = _loadavg()
     print(
         json.dumps(
             {
@@ -150,6 +174,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                # contention self-description: loadavg_start is the
+                # 1-min load when the timed section was allowed to
+                # begin (after waiting <= SPARK_GRAFT_BENCH_MAX_WAIT
+                # for it to drop below load_threshold); contended=true
+                # means external load never settled and the numbers
+                # should not be compared across rounds.
+                "loadavg_start": load,
+                "loadavg_end": end_load,
+                "load_threshold": round(thresh, 2),
+                "load_waited_sec": waited,
+                "contended": bool(load is not None and load > thresh),
             }
         )
     )
