@@ -1553,21 +1553,33 @@ def test_connect_by_rewriter_edges():
     assert q == "CAST(floor(c.col_a / 10) AS BIGINT)"
     q2 = _qualify_idents("t.already || 'LIT text' || plain", "c")
     assert q2 == "t.already || 'LIT text' || c.plain"
+    # r9 companions: NOCYCLE guards the recursive join; path/root
+    # become recursion-carried columns
+    out_c = rewrite_connect_by(
+        "SELECT SYS_CONNECT_BY_PATH(a, '/') AS p, CONNECT_BY_ROOT a AS r"
+        " FROM t START WITH x CONNECT BY NOCYCLE PRIOR a = b"
+    )
+    assert "NOT contains(__h.__vis" in out_c
+    assert "'/' || CAST(a AS STRING) AS __scbp0" in out_c
+    assert "__h.__scbp0 || '/' || CAST(c.a AS STRING)" in out_c
+    assert "a AS __root0" in out_c and "__h.__root0" in out_c
+    assert "SELECT __scbp0 AS p, __root0 AS r FROM __h" in out_c
     for bad, msg in [
-        (
-            "SELECT a FROM t START WITH x CONNECT BY NOCYCLE PRIOR a = b",
-            "NOCYCLE",
-        ),
-        (
-            "SELECT SYS_CONNECT_BY_PATH(a, '/') FROM t START WITH x "
-            "CONNECT BY PRIOR a = b",
-            "SYS_CONNECT_BY_PATH",
-        ),
         (
             "SELECT a FROM t START WITH x CONNECT BY PRIOR a = PRIOR b",
             "PRIOR on the parent side",
         ),
         ("SELECT a FROM t CONNECT BY PRIOR a = b", "unsupported CONNECT BY"),
+        (
+            "SELECT SYS_CONNECT_BY_PATH(a || b, '/') FROM t START WITH x"
+            " CONNECT BY PRIOR a = b",
+            "bare column",
+        ),
+        (
+            "SELECT SYS_CONNECT_BY_PATH(a, sep) FROM t START WITH x"
+            " CONNECT BY PRIOR a = b",
+            "string literal",
+        ),
     ]:
         with _pytest.raises(ValueError, match=msg):
             rewrite_connect_by(bad)
@@ -1592,6 +1604,22 @@ def test_connect_by_executes(spark):
     # emp 5 reports to the non-existent 9 -> unreachable, exactly like
     # Snowflake's CONNECT BY
     assert got == [(1, 1), (2, 2), (3, 2), (4, 3)]
+    # NOCYCLE on a graph WITH a cycle (2 <-> 4) terminates and skips
+    # only the back-edge; path and root come along for the ride
+    spark.createDataFrame(
+        [(1, None), (2, 1), (4, 2), (2, 4)],
+        "emp_id int, mgr_id int",
+    ).createOrReplaceTempView("cb_cyc")
+    cyc = spark.sql(
+        rewrite_connect_by(
+            "SELECT emp_id, LEVEL, SYS_CONNECT_BY_PATH(emp_id, '/') AS p,"
+            " CONNECT_BY_ROOT emp_id AS r FROM cb_cyc"
+            " START WITH mgr_id IS NULL"
+            " CONNECT BY NOCYCLE PRIOR emp_id = mgr_id"
+        )
+    ).collect()
+    got_c = sorted((r["emp_id"], r["level"], r["p"], r["r"]) for r in cyc)
+    assert got_c == [(1, 1, "/1", 1), (2, 2, "/1/2", 1), (4, 3, "/1/2/4", 1)]
 
 
 def test_asof_dialect_edges(spark):
