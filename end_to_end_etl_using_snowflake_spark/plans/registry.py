@@ -89,6 +89,7 @@ PRIORITY: tuple[str, ...] = (
     # slot from the window tail; evicted entries head the 51+ queue)
     "f23_format_strings",
     "sql49_connect_by_path",
+    "sql50_match_recognize_skip",
     # 31 of the 48-entry r4-last-green cohort (family-breadth pick)
     "d7_dedup_stop_shingle",
     "d8_decontaminate",
@@ -117,14 +118,14 @@ PRIORITY: tuple[str, ...] = (
     "v9_kmeans_iter3",
     "v10_ann_quantized_rerank",
     "w3_range_frame_timeseries",
-    "w4_ntile_distribution",
     "x6_corpus_mixture_sample",
-    # (x7_sequence_packing evicted by sql49, x8_pii_pseudonymize by
-    # f23 — both head the r10 queue below)
+    # (w4_ntile_distribution evicted by sql50, x7_sequence_packing by
+    # sql49, x8_pii_pseudonymize by f23 — all head the r10 queue below)
     # ---- 51+: the remaining r4-stale entries head the tail and
     # are first in line for the r10 rotation; then the r8 window
     # (driver-green in r8) and everything else, all still locally
     # oracle-checked per pytest run.
+    "w4_ntile_distribution",
     "x7_sequence_packing",
     "x8_pii_pseudonymize",
     "dq1_referential_audit",

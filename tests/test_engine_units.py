@@ -2377,6 +2377,19 @@ def test_match_recognize_parser_edges():
     spec_one = parse_match_recognize(base.format(pat="A B"))
     assert spec_one["all_rows"] is False
     assert [m[3] for m in spec_one["measures"]] == ["final", "final"]
+    # r9 skip modes: absent clause = ANSI/Snowflake default SKIP PAST
+    # LAST ROW; both explicit forms parse
+    assert spec_one["skip"] == "past_last"
+    assert parse_match_recognize(
+        base.replace("ONE ROW PER MATCH",
+                     "ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW")
+        .format(pat="A B")
+    )["skip"] == "next_row"
+    assert parse_match_recognize(
+        base.replace("ONE ROW PER MATCH",
+                     "ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW")
+        .format(pat="A B")
+    )["skip"] == "past_last"
     for bad, msg in [
         (base.format(pat="A{2,} A{3,}"), "differ in direction"),
         (base.format(pat="A|B"), "unsupported PATTERN token"),
@@ -2387,12 +2400,12 @@ def test_match_recognize_parser_edges():
         (base.format(pat="(A B){0,2}"), "1 <= m <= n"),
         (base.format(pat="(A B){1,2} (B A){1,2}"), "one quantified group"),
         (base.format(pat="(A A){1,2}"), "differ in direction"),
-        # CLASSIFIER needs ALL ROWS mode; SKIP modes still refuse
+        # CLASSIFIER needs ALL ROWS mode; SKIP TO <symbol> still refuses
         (base.replace("COUNT(b.*)", "CLASSIFIER()").format(pat="A B"),
          "CLASSIFIER"),
         (base.replace("ONE ROW PER MATCH",
-                      "ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW")
-             .format(pat="A B"), "SKIP PAST"),
+                      "ONE ROW PER MATCH AFTER MATCH SKIP TO FIRST a")
+             .format(pat="A B"), "SKIP TO FIRST"),
         (base.replace("v < PREV(v)", "v < PREV(w)").format(pat="A B"),
          "PREV of itself"),
         (base.replace("FIRST(a.ts)", "FIRST(a.v)").format(pat="A B"),
@@ -2487,7 +2500,8 @@ def test_match_recognize_alternation_and_group(spark):
     text_g = (
         "SELECT * FROM mr_t MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts "
         "MEASURES MATCH_NUMBER() AS m, COUNT(down.*) AS nd, COUNT(up.*) AS nu "
-        "ONE ROW PER MATCH PATTERN ((DOWN+ UP+){1,2}) "
+        "ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW "
+        "PATTERN ((DOWN+ UP+){1,2}) "
         "DEFINE DOWN AS v < PREV(v), UP AS v > PREV(v))"
     )
     got = sorted(
@@ -2495,7 +2509,8 @@ def test_match_recognize_alternation_and_group(spark):
         for r in match_recognize_statement(spark, text_g, {"mr_t": df}).collect()
     )
     # user1 start run1: greedy takes the W (not the V prefix);
-    # start run3: only the trailing V remains; user2: its V
+    # start run3: only the trailing V remains (SKIP TO NEXT ROW allows
+    # the overlap); user2: its V
     assert got == [(1, 1, 4, 5), (1, 3, 2, 3), (2, 1, 1, 1)]
     duck = sorted(tuple(r) for r in con.execute(sql_match_recognize(text_g)).fetchall())
     assert duck == got
@@ -2518,6 +2533,75 @@ def test_match_recognize_alternation_and_group(spark):
     assert got_a == [(1, 2, 2, 3.0, 6.0)]
     duck_a = sorted(tuple(r) for r in con.execute(sql_match_recognize(text_a)).fetchall())
     assert duck_a == got_a
+
+
+def test_match_recognize_skip_past_last_row(spark):
+    """r9: AFTER MATCH SKIP PAST LAST ROW (the ANSI/Snowflake DEFAULT)
+    accepts only non-overlapping matches, earliest first; SKIP TO NEXT
+    ROW keeps the overlaps. Spark plan and DuckDB twin agree."""
+    import duckdb
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        match_recognize_statement,
+        sql_match_recognize,
+    )
+
+    # zig-zag: runs D2 U2 D2 U2 D2 -> (D+ U+ D+) candidates start at
+    # runs 1, 3 (spans 1-3 and 3-5, OVERLAPPING at run 3)
+    vals = [9, 8, 7, 8, 9, 8, 7, 8, 9, 8, 7]
+    rows = [(1, i, float(i), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "u int, eid int, ts double, v double")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW mr_t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({u}, {e}, CAST({t} AS DOUBLE), CAST({v} AS DOUBLE))"
+            for u, e, t, v in rows
+        )
+        + ") AS x(u, eid, ts, v)"
+    )
+    base = (
+        "SELECT * FROM mr_t MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts "
+        "MEASURES MATCH_NUMBER() AS m, FIRST(down.ts) AS s, "
+        "LAST(down.ts) AS e, COUNT(down.*) AS nd "
+        "ONE ROW PER MATCH {skip}PATTERN (DOWN+ UP+ DOWN+) "
+        "DEFINE DOWN AS v < PREV(v), UP AS v > PREV(v))"
+    )
+    for skip, expect in [
+        ("AFTER MATCH SKIP TO NEXT ROW ", [(1, 1, 1.0, 6.0, 4), (1, 3, 5.0, 10.0, 4)]),
+        # past-last: the run-3 candidate overlaps the accepted run-1
+        # match and is skipped
+        ("AFTER MATCH SKIP PAST LAST ROW ", [(1, 1, 1.0, 6.0, 4)]),
+        ("", [(1, 1, 1.0, 6.0, 4)]),  # absent clause = past-last default
+    ]:
+        text = base.format(skip=skip)
+        got = sorted(
+            (r.u, r.m, r.s, r.e, r.nd)
+            for r in match_recognize_statement(spark, text, {"mr_t": df}).collect()
+        )
+        assert got == expect, (skip, got)
+        duck = sorted(
+            tuple(r) for r in con.execute(sql_match_recognize(text)).fetchall()
+        )
+        assert duck == expect, (skip, duck)
+    # ALL ROWS PER MATCH under past-last: only the accepted match's
+    # rows come back
+    text_ar = (
+        "SELECT * FROM mr_t MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts "
+        "MEASURES MATCH_NUMBER() AS m, CLASSIFIER() AS c "
+        "ALL ROWS PER MATCH AFTER MATCH SKIP PAST LAST ROW "
+        "PATTERN (DOWN+ UP+ DOWN+) "
+        "DEFINE DOWN AS v < PREV(v), UP AS v > PREV(v))"
+    )
+    got_ar = sorted(
+        (r.u, r.ts, r.m, r.c)
+        for r in match_recognize_statement(spark, text_ar, {"mr_t": df}).collect()
+    )
+    assert [g[1] for g in got_ar] == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    duck_ar = sorted(
+        tuple(r) for r in con.execute(sql_match_recognize(text_ar)).fetchall()
+    )
+    assert duck_ar == got_ar
 
 
 def test_match_recognize_all_rows(spark):
