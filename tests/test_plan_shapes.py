@@ -618,3 +618,33 @@ def test_window_dialect_shares_one_shuffle(spark):
     plan = plan_of(spark, "f20_window_dialect")
     assert plan.count("Exchange") <= 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_format_strings_stay_projected(spark):
+    # f23: format-string conversions are per-row expressions over one
+    # scan — no join, no cartesian; the single exchange is the
+    # (absent) aggregation's, i.e. none
+    plan = plan_of(spark, "f23_format_strings")
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_connect_by_path_stays_keyed(spark):
+    # sql49: every recursion step is a keyed equi-join of the frontier
+    # against the table; the NOCYCLE/path state is carried in columns,
+    # never via a cartesian or nested-loop re-probe
+    plan = plan_of(spark, "sql49_connect_by_path")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_mr_skip_past_last_runs_arrow_on_candidates(spark):
+    # sql50: the greedy non-overlap selection is an Arrow
+    # applyInPandas (FlatMapGroupsInArrow/Pandas) over the COMPRESSED
+    # candidate relation — it must sit ABOVE the run-relation
+    # aggregation (never over raw events), everything stays keyed, and
+    # the raw-row path has no Python at all (the 'next' probe's half)
+    plan = plan_of(spark, "sql50_match_recognize_skip")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FlatMapGroupsIn" in plan, plan  # the greedy step, Arrow-grouped
