@@ -1860,6 +1860,39 @@ _SCALAR_REWRITES = {
     # output formats refuse — no exact Spark equivalent)
     "TO_CHAR": lambda args: _to_char_rewrite("TO_CHAR", args),
     "TO_VARCHAR": lambda args: _to_char_rewrite("TO_VARCHAR", args),
+    # ---- everyday scalar pack (r9): the functions real Snowflake ETL
+    # uses constantly that Spark either lacks or names differently.
+    # DATEADD lowers to `expr + INTERVAL` so the INPUT TYPE is
+    # preserved exactly like Snowflake (DATE + months stays DATE,
+    # DATE + hours promotes to TIMESTAMP; month-end clamps match).
+    "DATEADD": lambda args: _dateadd_rewrite("DATEADD", args),
+    "TIMEADD": lambda args: _dateadd_rewrite("TIMEADD", args),
+    "TIMESTAMPADD": lambda args: _dateadd_rewrite("TIMESTAMPADD", args),
+    # Snowflake CHARINDEX(needle, hay[, start]) = Spark locate
+    "CHARINDEX": lambda args: (
+        f"locate({', '.join(args)})"
+        if len(args) in (2, 3)
+        else _bad("CHARINDEX", args)
+    ),
+    "EDITDISTANCE": lambda args: (
+        f"levenshtein({args[0]}, {args[1]})"
+        if len(args) == 2
+        else _bad("EDITDISTANCE (max_distance form refuses)", args)
+    ),
+    # Snowflake returns 3-letter English abbreviations
+    "DAYNAME": lambda args: (
+        f"date_format({args[0]}, 'EEE')" if len(args) == 1 else _bad("DAYNAME", args)
+    ),
+    "MONTHNAME": lambda args: (
+        f"date_format({args[0]}, 'MMM')"
+        if len(args) == 1
+        else _bad("MONTHNAME", args)
+    ),
+    # Spark's boolean cast accepts Snowflake's t/f/y/n/yes/no/true/
+    # false/0/1 set EXCEPT on/off — intercept those, cast the rest of
+    # the ORIGINAL expression (numeric nonzero -> true rides the cast)
+    "TO_BOOLEAN": lambda args: _to_boolean_rewrite("cast", args),
+    "TRY_TO_BOOLEAN": lambda args: _to_boolean_rewrite("try_cast", args),
     # VARIANT = JSON text (the sql30/sql34 contract): PARSE_JSON is
     # the identity on already-JSON text, TO_VARIANT of a scalar is its
     # JSON rendering
@@ -2110,6 +2143,57 @@ def _sf_number_format(name: str, fmt: str) -> tuple[int, int]:
     if p > 38:
         raise ValueError(f"{name} format {fmt!r} implies precision {p} > 38")
     return p, s
+
+
+_DATE_PART_CANON = {
+    # Snowflake's documented date-part aliases -> (canonical Spark
+    # interval unit, multiplier). WEEK/QUARTER aren't ANSI interval
+    # qualifiers, so they scale into DAY/MONTH.
+    **{k: ("YEAR", 1) for k in ("year", "y", "yy", "yyy", "yyyy", "yr", "years", "yrs")},
+    **{k: ("MONTH", 3) for k in ("quarter", "q", "qtr", "qtrs", "quarters")},
+    **{k: ("MONTH", 1) for k in ("month", "mm", "mon", "mons", "months")},
+    **{k: ("DAY", 7) for k in ("week", "w", "wk", "weekofyear", "woy", "wy", "weeks")},
+    **{k: ("DAY", 1) for k in ("day", "d", "dd", "days", "dayofmonth")},
+    **{k: ("HOUR", 1) for k in ("hour", "h", "hh", "hr", "hours", "hrs")},
+    **{k: ("MINUTE", 1) for k in ("minute", "m", "mi", "min", "minutes", "mins")},
+    **{k: ("SECOND", 1) for k in ("second", "s", "sec", "seconds", "secs")},
+}
+
+
+def _dateadd_rewrite(name: str, args: list) -> str:
+    """DATEADD/TIMEADD/TIMESTAMPADD(part, n, expr) -> ``expr +
+    INTERVAL 'n' <unit>`` — the only lowering that preserves
+    Snowflake's RESULT TYPE rule (DATE + year/month/day parts stays
+    DATE, time parts promote to TIMESTAMP; month-end clamping
+    matches). The amount must be an integer literal: a column amount
+    would force timestampadd, which silently promotes DATE results to
+    TIMESTAMP — refuse instead."""
+    if len(args) != 3:
+        raise ValueError(f"{name} needs (part, amount, expr)")
+    part = args[0].strip().strip("'\"").lower()
+    canon = _DATE_PART_CANON.get(part)
+    if canon is None:
+        raise ValueError(f"{name} date part {part!r} is not supported")
+    unit, mult = canon
+    n = args[1].strip()
+    if not re.fullmatch(r"[+-]?\d+", n):
+        raise ValueError(
+            f"{name} amount must be an integer literal (got {n!r}) — a"
+            " column amount has no type-preserving lowering (timestampadd"
+            " would silently promote DATE results to TIMESTAMP)"
+        )
+    return f"(({args[2]}) + INTERVAL '{int(n) * mult}' {unit})"
+
+
+def _to_boolean_rewrite(cast_fn: str, args: list) -> str:
+    if len(args) != 1:
+        raise ValueError("TO_BOOLEAN/TRY_TO_BOOLEAN take one argument")
+    e = args[0]
+    low = f"lower(CAST(({e}) AS STRING))"
+    return (
+        f"(CASE WHEN {low} = 'on' THEN true WHEN {low} = 'off' THEN false"
+        f" ELSE {cast_fn}(({e}) AS BOOLEAN) END)"
+    )
 
 
 def _to_number_rewrite(name: str, cast_fn: str, args: list) -> str:

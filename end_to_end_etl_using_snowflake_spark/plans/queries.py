@@ -7107,6 +7107,72 @@ def f23_format_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite_scalar_funcs(_F23_SNOWFLAKE_TEXT))
 
 
+_F24_SNOWFLAKE_TEXT = """
+SELECT o_orderkey,
+       DATEADD(month, 3, o_date) AS due_month,
+       DATEADD('hour', -6, o_date) AS cutoff_ts,
+       DATEADD(week, 2, o_date) AS followup,
+       DAYNAME(o_date) AS dn,
+       MONTHNAME(o_date) AS mn,
+       CHARINDEX('URGENT', o_orderpriority) AS pos_urgent,
+       EDITDISTANCE(o_orderstatus, 'OF') AS ed,
+       TO_BOOLEAN(IFF(o_orderkey % 2 = 0, 'on', 'f')) AS flag,
+       CAST(TRY_TO_BOOLEAN(o_orderstatus) AS STRING) AS maybe_flag
+FROM f24_src
+"""
+
+
+@register(
+    "f24_everyday_scalars",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+               AS due_month,
+           CAST(o_orderdate AS TIMESTAMP) - INTERVAL 6 HOUR AS cutoff_ts,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 14 DAY AS DATE)
+               AS followup,
+           strftime(o_orderdate, '%a') AS dn,
+           strftime(o_orderdate, '%b') AS mn,
+           CAST(strpos(o_orderpriority, 'URGENT') AS INTEGER) AS pos_urgent,
+           CAST(levenshtein(o_orderstatus, 'OF') AS INTEGER) AS ed,
+           o_orderkey % 2 = 0 AS flag,
+           -- nullable BOOLEAN nulls round-trip as NaN from DuckDB but
+           -- None from Spark (distinct per the driver's canonicalizer)
+           -- so the tried boolean is projected through a string cast
+           CASE WHEN o_orderstatus = 'F' THEN 'false' ELSE NULL END
+               AS maybe_flag
+    FROM orders WHERE o_orderkey % 11 = 0
+    """,
+    doc="""The EVERYDAY Snowflake scalar pack accepted VERBATIM (r9):
+    DATEADD/TIMEADD/TIMESTAMPADD lowered to ``expr + INTERVAL`` — the
+    only lowering that preserves Snowflake's RESULT TYPE rule (DATE +
+    month/week parts stays DATE, time parts promote to TIMESTAMP;
+    month-end clamping matches; WEEK/QUARTER scale into DAY/MONTH
+    since they aren't ANSI interval qualifiers; non-literal amounts
+    refuse rather than silently promote) — plus CHARINDEX (-> locate,
+    same 1-based/0-absent contract), EDITDISTANCE (-> levenshtein),
+    DAYNAME/MONTHNAME (3-letter English abbreviations via
+    date_format), and TO_BOOLEAN/TRY_TO_BOOLEAN (Spark's boolean cast
+    accepts Snowflake's whole t/f/y/n/yes/no/true/false/0/1 set
+    except on/off, which a CASE intercepts; TRY_ nulls out — the 'O'
+    and 'P' statuses here). All per-row expressions: pushdown and
+    codegen untouched (functions/sqldialect.py:_dateadd_rewrite,
+    _to_boolean_rewrite).""",
+    tags=("sql-surface", "dialect", "functions", "scalar"),
+)
+def f24_everyday_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import rewrite_scalar_funcs
+
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    orders.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("o_date"),
+        "o_orderpriority",
+        "o_orderstatus",
+    ).createOrReplaceTempView("f24_src")
+    return spark.sql(rewrite_scalar_funcs(_F24_SNOWFLAKE_TEXT))
+
+
 @register(
     "sql48_ctas_text",
     oracle="""
