@@ -2990,8 +2990,30 @@ def test_conversion_pack_rewriter(spark):
     assert rowf.t1 == datetime.datetime(2024, 2, 29, 10, 30, 0, 250000)
     assert rowf.n1 == decimal.Decimal("1234.56")
     assert rowf.c1 == "29 Feb 2024"
+    # r9 everyday scalars: DATEADD's INTERVAL lowering preserves
+    # Snowflake's result-type rule (date + month stays DATE, date +
+    # hour promotes) and month-end clamps
+    rowd = spark.sql(
+        rewrite_scalar_funcs(
+            "SELECT DATEADD(month, 1, DATE '2024-01-31') AS clamp,"
+            " DATEADD(week, 2, DATE '2024-01-01') AS wk,"
+            " DATEADD('hour', -6, DATE '2024-01-02') AS promoted,"
+            " CHARINDEX('b', 'abcb', 3) AS ci,"
+            " EDITDISTANCE('kitten', 'sitting') AS ed,"
+            " DAYNAME(DATE '2024-02-05') AS dn,"
+            " TO_BOOLEAN('on') AS b1, TRY_TO_BOOLEAN('nope') AS b2"
+        )
+    ).first()
+    assert rowd.clamp == datetime.date(2024, 2, 29)  # clamped like Snowflake
+    assert rowd.wk == datetime.date(2024, 1, 15)
+    assert rowd.promoted == datetime.datetime(2024, 1, 1, 18, 0)
+    assert rowd.ci == 4 and rowd.ed == 3 and rowd.dn == "Mon"
+    assert rowd.b1 is True and rowd.b2 is None
     for bad, msg in [
         # elements with no exact Spark equivalent refuse loudly
+        ("SELECT DATEADD(day, n_col, d) FROM t", "integer literal"),
+        ("SELECT DATEADD(fortnight, 1, d) FROM t", "not supported"),
+        ("SELECT EDITDISTANCE(a, b, 3) FROM t", "max_distance"),
         ("SELECT TO_DATE(x, 'YYYY-Q') FROM t", "unsupported datetime format"),
         ("SELECT TO_TIMESTAMP(x, 'FF') FROM t", "unsupported datetime format"),
         ("SELECT TO_DATE(x, fmtcol) FROM t", "literal"),
