@@ -7626,6 +7626,49 @@ def s9_stage_metadata_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s10_stage_positional_select",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('AAAAAAAAMKJPHPBA', 'Christopher', 'Y', 10),
+        ('AAAAAAAAONMOGPBA', 'Rosalinda', 'Y', 10),
+        ('AAAAAAAAPOJJJDAA', 'Neal', NULL, 10),
+        ('AAAAAAAALKBJCPAA', 'Antonio', NULL, 10)
+    ) AS t(cust_id, first_name, active_flag, n_cols)
+    """,
+    doc="""Snowflake's POSITIONAL stage columns — ``SELECT $1, $3 FROM
+    @stage`` — accepted VERBATIM (r9): the raw-COPY preview idiom
+    every loading runbook starts with ($n = the named file format's
+    n-th column, 1-based, resolved against the format schema;
+    out-of-range refuses; a literal-aware scan keeps '$2' inside
+    string constants intact). Reads ride COPY INTO's exact named-
+    format path (sources/copy_into.py:stage_select). The probe pins
+    four known fixture rows — two history rows with $10 (is_active)
+    = 'Y', delta_1's 9-column PERMISSIVE NULL-fill on $10, and
+    delta_2's missing-column NULL — against a GOLDEN VALUES oracle
+    derived from the md5-pinned fixture bytes (s9's convention).""",
+    tags=("sources", "stage", "dialect", "positional"),
+)
+def s10_stage_positional_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.copy_into import stage_select
+    from ..sources.csv_format import CUSTOMER_STAGE
+    from .pipeline_queries import _REFERENCE_DATA, assert_fixture_fingerprints
+
+    assert_fixture_fingerprints()
+    return stage_select(
+        spark,
+        """
+        SELECT $1 AS cust_id, $3 AS first_name, $10 AS active_flag,
+               CAST(10 AS INT) AS n_cols
+        FROM @ayo_landing_stage/customer
+        WHERE $1 IN ('AAAAAAAAMKJPHPBA', 'AAAAAAAAONMOGPBA',
+                     'AAAAAAAAPOJJJDAA', 'AAAAAAAALKBJCPAA')
+        """,
+        _REFERENCE_DATA,
+        CUSTOMER_STAGE,
+    )
+
+
 # one statement exercising FOUR dialect constructs at once — the
 # composed lowering must handle their interactions, not just each
 # construct alone

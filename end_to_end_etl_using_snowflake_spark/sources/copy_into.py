@@ -170,7 +170,40 @@ def stage_select(
         r"(?<!`)METADATA\$FILENAME", "`METADATA$FILENAME`", clean,
         flags=re.IGNORECASE,
     )
-    return spark.sql(clean)
+    # Snowflake's POSITIONAL stage columns — `SELECT $1, $2::int FROM
+    # @stage` (r9, the raw-COPY preview idiom): $n resolves to the
+    # named format's n-th schema column, 1-based; out-of-range refuses.
+    # Literal-aware scan so a '$2' inside a string constant survives.
+    ncols = len(schema.fields)
+
+    def _positional(segment: str) -> str:
+        def sub(mo: "re.Match[str]") -> str:
+            i = int(mo.group(1))
+            if not (1 <= i <= ncols):
+                raise ValueError(
+                    f"positional column ${i} out of range (format has"
+                    f" {ncols} columns)"
+                )
+            return f"`{schema.fields[i - 1].name}`"
+
+        return re.sub(r"\$(\d+)", sub, segment)
+
+    out: list[str] = []
+    i = 0
+    span = 0
+    while i < len(clean):
+        if clean[i] == "'":
+            out.append(_positional(clean[span:i]))
+            j = i + 1
+            while j < len(clean) and clean[j] != "'":
+                j += 1
+            out.append(clean[i : j + 1])
+            i = j + 1
+            span = i
+        else:
+            i += 1
+    out.append(_positional(clean[span:]))
+    return spark.sql("".join(out))
 
 
 def parse_copy_unload(text: str) -> dict:

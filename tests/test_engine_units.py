@@ -3075,6 +3075,38 @@ def test_copy_unload_parser_and_roundtrip(spark, tmp_path):
         )
 
 
+def test_stage_positional_columns(spark):
+    """r9: $n positional stage columns resolve 1-based against the
+    named format's schema; string literals keep their dollars;
+    out-of-range refuses."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.plans.pipeline_queries import (
+        _REFERENCE_DATA,
+    )
+    from end_to_end_etl_using_snowflake_spark.sources.copy_into import stage_select
+    from end_to_end_etl_using_snowflake_spark.sources.csv_format import (
+        CUSTOMER_STAGE,
+    )
+
+    df = stage_select(
+        spark,
+        "SELECT $1 AS cid, '$2 stays' AS lit FROM @s/customer"
+        " WHERE $1 = 'AAAAAAAAMKJPHPBA'",
+        _REFERENCE_DATA,
+        CUSTOMER_STAGE,
+    )
+    r = df.first()
+    assert r.cid == "AAAAAAAAMKJPHPBA" and r.lit == "$2 stays"
+    with _pytest.raises(ValueError, match="out of range"):
+        stage_select(
+            spark,
+            "SELECT $11 FROM @s/customer",
+            _REFERENCE_DATA,
+            CUSTOMER_STAGE,
+        )
+
+
 def test_append_only_stream_hides_updates_and_deletes(spark, tmp_path):
     """Append-only semantics against all three change kinds: inserts
     surface, updates to pre-offset keys hide, and — per Snowflake's
