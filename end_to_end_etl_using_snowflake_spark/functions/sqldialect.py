@@ -1893,6 +1893,54 @@ _SCALAR_REWRITES = {
     # the ORIGINAL expression (numeric nonzero -> true rides the cast)
     "TO_BOOLEAN": lambda args: _to_boolean_rewrite("cast", args),
     "TRY_TO_BOOLEAN": lambda args: _to_boolean_rewrite("try_cast", args),
+    # ---- array pack (r9): the Snowflake array functions whose names
+    # or SEMANTICS differ from Spark's. Same-name/same-semantics ones
+    # (ARRAY_DISTINCT, ARRAY_EXCEPT, ARRAYS_OVERLAP, ARRAY_MAX/MIN)
+    # pass through untouched.
+    "ARRAY_CAT": lambda args: (
+        f"concat({args[0]}, {args[1]})"
+        if len(args) == 2
+        else _bad("ARRAY_CAT", args)
+    ),
+    # Snowflake: 0-based from, EXCLUSIVE to, negatives from the end;
+    # Spark slice is 1-based (start, length) with negative start from
+    # the end — the CASE keeps both sign conventions exact
+    "ARRAY_SLICE": lambda args: (
+        f"slice({args[0]}, CASE WHEN ({args[1]}) >= 0 THEN ({args[1]}) + 1"
+        f" ELSE ({args[1]}) END, ({args[2]}) - ({args[1]}))"
+        if len(args) == 3
+        else _bad("ARRAY_SLICE", args)
+    ),
+    # Snowflake renders NULL elements as EMPTY STRING (Spark's default
+    # array_join SKIPS them — the third argument restores fidelity)
+    "ARRAY_TO_STRING": lambda args: (
+        f"array_join({args[0]}, {args[1]}, '')"
+        if len(args) == 2
+        else _bad("ARRAY_TO_STRING", args)
+    ),
+    "ARRAY_COMPACT": lambda args: (
+        f"filter({args[0]}, x -> x IS NOT NULL)"
+        if len(args) == 1
+        else _bad("ARRAY_COMPACT", args)
+    ),
+    # Snowflake: (element, array), 0-BASED, NULL when absent; Spark:
+    # (array, element), 1-based, 0 when absent
+    "ARRAY_POSITION": lambda args: (
+        f"(nullif(array_position({args[1]}, {args[0]}), 0) - 1)"
+        if len(args) == 2
+        else _bad("ARRAY_POSITION", args)
+    ),
+    "ARRAY_INTERSECTION": lambda args: (
+        f"array_intersect({args[0]}, {args[1]})"
+        if len(args) == 2
+        else _bad("ARRAY_INTERSECTION", args)
+    ),
+    # VARIANT = JSON-text OBJECT_KEYS (document order, both engines)
+    "OBJECT_KEYS": lambda args: (
+        f"json_object_keys({args[0]})"
+        if len(args) == 1
+        else _bad("OBJECT_KEYS", args)
+    ),
     # VARIANT = JSON text (the sql30/sql34 contract): PARSE_JSON is
     # the identity on already-JSON text, TO_VARIANT of a scalar is its
     # JSON rendering

@@ -7626,6 +7626,85 @@ def s9_stage_metadata_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_F25_SNOWFLAKE_TEXT = """
+SELECT o_orderkey,
+       ARRAY_TO_STRING(ARRAY_SLICE(tags, 1, 3), '|') AS mid,
+       ARRAY_TO_STRING(ARRAY_SLICE(tags, -2, -1), '|') AS near_end,
+       ARRAY_TO_STRING(ARRAY_CAT(tags, ARRAY_CONSTRUCT('z')), ',') AS cat,
+       ARRAY_TO_STRING(with_null, ',') AS null_render,
+       ARRAY_TO_STRING(ARRAY_COMPACT(with_null), ',') AS compacted,
+       ARRAY_POSITION('x2', tags) AS pos_x2,
+       ARRAY_POSITION('nope', tags) AS pos_absent,
+       ARRAY_TO_STRING(ARRAY_INTERSECTION(tags, ARRAY_CONSTRUCT('x2', 'w')),
+                       ',') AS both_sides,
+       ARRAY_TO_STRING(OBJECT_KEYS(props), ',') AS keys
+FROM f25_src
+"""
+
+
+@register(
+    "f25_array_dialect",
+    oracle="""
+    SELECT o_orderkey,
+           'x2|y' || CAST(o_orderkey % 5 AS VARCHAR) AS mid,
+           'y' || CAST(o_orderkey % 5 AS VARCHAR) AS near_end,
+           'x' || CAST(o_orderkey % 3 AS VARCHAR) || ',x2,y'
+               || CAST(o_orderkey % 5 AS VARCHAR) || ',w,z' AS cat,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'a,,c' ELSE 'a,b,c' END
+               AS null_render,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'a,c' ELSE 'a,b,c' END
+               AS compacted,
+           CASE WHEN o_orderkey % 3 = 2 THEN 0 ELSE 1 END AS pos_x2,
+           CAST(NULL AS INTEGER) AS pos_absent,
+           'x2,w' AS both_sides,
+           'k' || CAST(o_orderkey % 3 AS VARCHAR) || ',common' AS keys
+    FROM orders WHERE o_orderkey % 13 = 0
+    """,
+    doc="""The Snowflake ARRAY pack accepted VERBATIM (r9) — the
+    functions whose names or SEMANTICS differ from Spark's:
+    ARRAY_SLICE (0-based from / EXCLUSIVE to / negatives from the end
+    -> Spark's 1-based (start, length) via a sign-preserving CASE),
+    ARRAY_TO_STRING (Snowflake renders NULL elements as EMPTY STRING
+    — Spark's default array_join SKIPS them, the classic silent
+    corruption; the 3-arg form restores fidelity, pinned by
+    null_render), ARRAY_POSITION (Snowflake (element, array) +
+    0-based + NULL-when-absent vs Spark (array, element) + 1-based +
+    0-when-absent — every convention flipped), ARRAY_CAT,
+    ARRAY_COMPACT, ARRAY_INTERSECTION, and OBJECT_KEYS over JSON-text
+    VARIANTs (document key order, identical on both engines).
+    Same-name/same-semantics functions (ARRAY_DISTINCT, ARRAY_EXCEPT,
+    ARRAYS_OVERLAP, ARRAY_MAX/MIN) pass through untouched. All
+    per-row expressions; outputs projected to scalars (the harness
+    hashes scalar cells only). Oracle: closed forms from the same
+    key arithmetic — including the pos_x2 first-occurrence trap when
+    tags[0] collides with 'x2' (keys = 2 mod 3).""",
+    tags=("sql-surface", "dialect", "functions", "array"),
+)
+def f25_array_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import rewrite_scalar_funcs
+
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    k = F.col("o_orderkey")
+    orders.select(
+        "o_orderkey",
+        F.array(
+            F.concat(F.lit("x"), (k % 3).cast("string")),
+            F.lit("x2"),
+            F.concat(F.lit("y"), (k % 5).cast("string")),
+            F.lit("w"),
+        ).alias("tags"),
+        F.array(
+            F.lit("a"),
+            F.when(k % 2 == 0, F.lit(None).cast("string")).otherwise(F.lit("b")),
+            F.lit("c"),
+        ).alias("with_null"),
+        F.concat(
+            F.lit('{"k'), (k % 3).cast("string"), F.lit('":1,"common":2}')
+        ).alias("props"),
+    ).createOrReplaceTempView("f25_src")
+    return spark.sql(rewrite_scalar_funcs(_F25_SNOWFLAKE_TEXT))
+
+
 @register(
     "s10_stage_positional_select",
     oracle="""

@@ -92,6 +92,7 @@ PRIORITY: tuple[str, ...] = (
     "sql50_match_recognize_skip",
     "f24_everyday_scalars",
     "s10_stage_positional_select",
+    "f25_array_dialect",
     # 31 of the 48-entry r4-last-green cohort (family-breadth pick)
     "d7_dedup_stop_shingle",
     "d8_decontaminate",
@@ -116,16 +117,16 @@ PRIORITY: tuple[str, ...] = (
     "udf1_pandas_token_stats",
     "v4_ann_lsh_multiprobe",
     "v6_kmeans_assign",
-    "v8_quantize_int8",
     "w3_range_frame_timeseries",
     "x6_corpus_mixture_sample",
-    # (v9 evicted by s10, v10 by f24, w4_ntile_distribution by sql50,
-    # x7_sequence_packing by sql49, x8_pii_pseudonymize by f23 — all
-    # head the r10 queue below)
+    # (v8 evicted by f25, v9 by s10, v10 by f24, w4_ntile_distribution
+    # by sql50, x7_sequence_packing by sql49, x8_pii_pseudonymize by
+    # f23 — all head the r10 queue below)
     # ---- 51+: the remaining r4-stale entries head the tail and
     # are first in line for the r10 rotation; then the r8 window
     # (driver-green in r8) and everything else, all still locally
     # oracle-checked per pytest run.
+    "v8_quantize_int8",
     "v9_kmeans_iter3",
     "v10_ann_quantized_rerank",
     "w4_ntile_distribution",
