@@ -2807,7 +2807,8 @@ _MR_BODY = re.compile(
     r"MEASURES\s+(?P<measures>.+?)\s+"
     r"(?P<permatch>ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH)\s+"
     r"(?:AFTER\s+MATCH\s+"
-    r"(?P<skip>SKIP\s+TO\s+NEXT\s+ROW|SKIP\s+PAST\s+LAST\s+ROW)\s+)?"
+    r"(?P<skip>SKIP\s+TO\s+NEXT\s+ROW|SKIP\s+PAST\s+LAST\s+ROW"
+    r"|SKIP\s+TO\s+(?P<skipdir>FIRST|LAST)\s+(?P<skipsym>[A-Za-z_]\w*))\s+)?"
     # pattern may itself contain (grouping|alternation) parens, so it
     # matches lazily up to the ') DEFINE' anchor (DEFINE is always the
     # last clause in the accepted shape)
@@ -2997,11 +2998,13 @@ def parse_match_recognize(text: str) -> dict:
     ``(A|B)`` alternation legs (branch resolved at runtime by run
     direction) and ``(A B){m,n}`` grouped repetition (expanded to
     greedy-ordered variants — see :func:`_mr_parse_pattern`); r8 adds
-    ALL ROWS PER MATCH; r9 adds AFTER MATCH SKIP PAST LAST ROW
-    (the ANSI/Snowflake DEFAULT when the clause is absent —
-    non-overlapping matches via greedy earliest-first selection over
-    the candidate run spans). SKIP TO FIRST/LAST <symbol> refuse
-    loudly."""
+    ALL ROWS PER MATCH; r9 adds the full AFTER MATCH SKIP family:
+    PAST LAST ROW (the ANSI/Snowflake DEFAULT when the clause is
+    absent — non-overlapping matches via greedy earliest-first
+    selection over the candidate run spans) and TO FIRST|LAST
+    <symbol> (resume at the symbol's run — the run-aligned contract;
+    the symbol must be an unconditional leg of every variant, and a
+    first-leg resume refuses as ANSI's infinite-loop error)."""
     sql = _strip_line_comments(text).strip().rstrip(";")
     hm = _MR_HEAD.search(sql)
     if hm is None:
@@ -3013,9 +3016,6 @@ def parse_match_recognize(text: str) -> dict:
     if sql[close:].strip():
         raise ValueError("trailing clauses after MATCH_RECOGNIZE are unsupported")
     body = sql[hm.end() : close - 1].strip()
-    for kw in ("SKIP TO LAST", "SKIP TO FIRST"):
-        if kw in body.upper():
-            raise ValueError(f"MATCH_RECOGNIZE {kw} is not supported by this shim")
     bm = _MR_BODY.search(body)
     if bm is None:
         raise ValueError(
@@ -3083,9 +3083,45 @@ def parse_match_recognize(text: str) -> dict:
             )
     skip_clause = (bm.group("skip") or "").upper()
     # ANSI/Snowflake default is SKIP PAST LAST ROW (non-overlapping
-    # matches); an explicit SKIP TO NEXT ROW allows overlaps (r9 —
-    # VERDICT r8 Missing #3 named the skip variants)
-    skip = "next_row" if "NEXT" in skip_clause else "past_last"
+    # matches); an explicit SKIP TO NEXT ROW allows overlaps; SKIP TO
+    # FIRST|LAST <sym> resumes at the symbol's run under the engine's
+    # run-aligned contract (r9 — VERDICT r8 Missing #3 named the skip
+    # variants). skip_leg maps each variant to the resume OFFSET (runs
+    # past the match start).
+    skip_leg: list[int] | None = None
+    if bm.group("skipdir"):
+        sym = bm.group("skipsym").upper()
+        if sym not in define:
+            raise ValueError(f"SKIP TO {bm.group('skipdir')} {sym}: undefined symbol")
+        first = bm.group("skipdir").upper() == "FIRST"
+        skip = "to_first_sym" if first else "to_last_sym"
+        skip_leg = []
+        for var in variants:
+            # only UNCONDITIONAL legs (no alternation) participate
+            # statically; runtime participation would make the resume
+            # point data-dependent in a way the normal form can't bind
+            idxs = [
+                i for i, alts in enumerate(var)
+                if len(alts) == 1 and alts[0][0] == sym
+            ]
+            if not idxs:
+                raise ValueError(
+                    f"SKIP TO {'FIRST' if first else 'LAST'} {sym}: the symbol"
+                    " must appear as an unconditional leg of every pattern"
+                    " variant"
+                )
+            leg = idxs[0] if first else idxs[-1]
+            if leg == 0:
+                raise ValueError(
+                    f"SKIP TO {'FIRST' if first else 'LAST'} {sym} resolves to"
+                    " the match's own first run — infinite loop (ANSI errors"
+                    " here too)"
+                )
+            skip_leg.append(leg)
+    elif "NEXT" in skip_clause:
+        skip = "next_row"
+    else:
+        skip = "past_last"
     return {
         "table": hm.group("table"),
         "partition_by": part,
@@ -3097,6 +3133,7 @@ def parse_match_recognize(text: str) -> dict:
         "measures": measures,
         "all_rows": all_rows,
         "skip": skip,
+        "skip_leg": skip_leg,
     }
 
 
@@ -3211,7 +3248,15 @@ def match_recognize_statement(spark, text: str, tables: dict):  # noqa: ANN001
             return cols[0]
         return F.least(*cols) if kind == "first" else F.greatest(*cols)
 
-    need_span = spec["skip"] == "past_last"
+    need_span = spec["skip"] != "next_row"
+
+    def resume_offset(var, vrank):
+        # runs past the match start where the scan resumes after an
+        # accepted match: past-last = the whole span; SKIP TO
+        # FIRST/LAST <sym> = that symbol's (static) leg
+        if spec["skip"] == "past_last":
+            return len(var)
+        return spec["skip_leg"][vrank]
 
     def build_variant(var, vrank):
         out = chain(var)
@@ -3226,13 +3271,20 @@ def match_recognize_statement(spark, text: str, tables: dict):  # noqa: ANN001
             sel.append(F.col("__m_0").alias("__start"))
             sel.append(F.lit(vrank).alias("__v"))
         if need_span:
-            sel.append((F.col("__m_0") + (len(var) - 1)).cast("long").alias("__end"))
+            sel.append(
+                (F.col("__m_0") + resume_offset(var, vrank))
+                .cast("long")
+                .alias("__resume")
+            )
         return out.select(*sel)
 
-    def greedy_non_overlapping(df, start_col, end_col, group_cols):
-        # SKIP PAST LAST ROW: earliest-first interval selection per
-        # partition — each acceptance depends on the previous one, an
-        # INHERENTLY sequential chain, so it runs as an Arrow
+    def greedy_non_overlapping(df, start_col, resume_col, group_cols):
+        # AFTER MATCH SKIP selection: earliest-first scan per
+        # partition, resuming at each accepted match's __resume run
+        # (PAST LAST ROW = past the whole span; SKIP TO <sym> = at the
+        # symbol's run, so later matches may overlap the earlier one's
+        # tail). Each acceptance depends on the previous one — an
+        # INHERENTLY sequential chain — so it runs as an Arrow
         # applyInPandas over the CANDIDATE relation (already compressed
         # to ~one row per direction reversal, orders of magnitude
         # smaller than the raw stream; the same per-key-sequential
@@ -3243,11 +3295,12 @@ def match_recognize_statement(spark, text: str, tables: dict):  # noqa: ANN001
 
         def pick(pdf):
             pdf = pdf.sort_values(start_col)
-            keep, nxt = [], None
-            for idx, s, e in zip(pdf.index, pdf[start_col], pdf[end_col]):
-                if nxt is None or s > nxt:
+            keep, resume, last_s = [], None, None
+            for idx, s, r in zip(pdf.index, pdf[start_col], pdf[resume_col]):
+                if resume is None or (s >= resume and s > last_s):
                     keep.append(idx)
-                    nxt = e
+                    resume = r
+                    last_s = s
             return pdf.loc[keep]
 
         return df.groupBy(*group_cols).applyInPandas(pick, schema)
@@ -3280,10 +3333,20 @@ def match_recognize_statement(spark, text: str, tables: dict):  # noqa: ANN001
                     cls.alias("cls"),
                 )
             )
+        resume = (
+            [
+                (F.col("__m_0") + resume_offset(var, vrank))
+                .cast("long")
+                .alias("__resume")
+            ]
+            if need_span
+            else []
+        )
         return out.select(
             *[F.col(f"__p{j}_0").alias(f"__ep{j}") for j in range(len(part))],
             F.col("__m_0").alias("__mn"),
             F.lit(vrank).alias("__v"),
+            *resume,
             *finals,
             F.explode(F.array(*leg_structs)).alias("__leg"),
         ).select(
@@ -3297,8 +3360,8 @@ def match_recognize_statement(spark, text: str, tables: dict):  # noqa: ANN001
         if len(variants) == 1:
             cand = build_variant(variants[0], 0)
             if need_span:
-                cand = greedy_non_overlapping(cand, "__start", "__end", part)
-                cand = cand.drop("__start", "__end", "__v")
+                cand = greedy_non_overlapping(cand, "__start", "__resume", part)
+                cand = cand.drop("__start", "__resume", "__v")
             return cand
         # Greedy selection across variants (ANSI: quantifiers prefer the
         # longest match from a given start): variants were expanded
@@ -3315,8 +3378,8 @@ def match_recognize_statement(spark, text: str, tables: dict):  # noqa: ANN001
         )
         if need_span:
             picked = greedy_non_overlapping(
-                picked.drop("__v"), "__start", "__end", part
-            ).drop("__end")
+                picked.drop("__v"), "__start", "__resume", part
+            ).drop("__resume")
         return picked.drop("__start", "__v")
 
     # ---- ALL ROWS PER MATCH (r8) -----------------------------------
@@ -3337,15 +3400,15 @@ def match_recognize_statement(spark, text: str, tables: dict):  # noqa: ANN001
             F.col("__v") == F.col("__vmin")
         )
     if need_span:
-        # SKIP PAST LAST ROW on the exploded relation: select
-        # non-overlapping matches at MATCH level (span = [start run,
-        # max leg run]) then keep only their legs
+        # AFTER MATCH SKIP on the exploded relation: select matches at
+        # MATCH level (start run + per-variant resume run) then keep
+        # only their legs
         ep = [f"__ep{j}" for j in range(len(part))]
         spans = exploded.groupBy(*ep, "__mn").agg(
             F.min("__mn").cast("long").alias("__start"),
-            F.max("__rid").cast("long").alias("__end"),
+            F.max("__resume").cast("long").alias("__rs"),
         )
-        accepted = greedy_non_overlapping(spans, "__start", "__end", ep).select(
+        accepted = greedy_non_overlapping(spans, "__start", "__rs", ep).select(
             *ep, "__mn"
         )
         exploded = exploded.join(accepted, on=[*ep, "__mn"], how="left_semi")
@@ -3446,7 +3509,12 @@ def sql_match_recognize(text: str, value_expr: str | None = None) -> str:
         )
         return f"{fn}({terms})" if len(legs) > 1 else terms
 
-    need_span = spec["skip"] == "past_last"
+    need_span = spec["skip"] != "next_row"
+
+    def resume_offset(var, vrank: int) -> int:
+        if spec["skip"] == "past_last":
+            return len(var)
+        return spec["skip_leg"][vrank]
 
     def variant_select(var, vrank: int) -> str:
         join_sql, legs_sql, sym_legs = var_parts(var)
@@ -3460,7 +3528,10 @@ def sql_match_recognize(text: str, value_expr: str | None = None) -> str:
         if multi or need_span:
             extra += f", CAST(l0.__run AS BIGINT) AS __start, {vrank} AS __v"
         if need_span:
-            extra += f", CAST(l0.__run + {len(var) - 1} AS BIGINT) AS __end"
+            extra += (
+                f", CAST(l0.__run + {resume_offset(var, vrank)} AS BIGINT)"
+                " AS __resume"
+            )
         return (
             f"SELECT {part_sel}, {', '.join(meas_sql)}{extra}\n"
             f"    {' '.join(join_sql)}\n"
@@ -3468,13 +3539,15 @@ def sql_match_recognize(text: str, value_expr: str | None = None) -> str:
         )
 
     def greedy_sel_cte(cands: str, part_cols: list[str]) -> str:
-        # SKIP PAST LAST ROW as a recursive CTE: per partition, accept
-        # the earliest candidate, then repeatedly the earliest starting
-        # after the accepted span — the same greedy the Spark executor
-        # runs in applyInPandas.
+        # AFTER MATCH SKIP selection as a recursive CTE: per partition,
+        # accept the earliest candidate, then repeatedly the earliest
+        # starting at/after the accepted match's resume run (and
+        # strictly after its start, so SKIP TO <sym> always advances) —
+        # the same greedy the Spark executor runs in applyInPandas.
         keys_cc = " AND ".join(f"c2.{p} = c.{p}" for p in part_cols) or "TRUE"
         keys_sc = " AND ".join(f"c.{p} = s.{p}" for p in part_cols) or "TRUE"
         keys_s2 = " AND ".join(f"c2.{p} = s.{p}" for p in part_cols) or "TRUE"
+        step = "c2.__start >= s.__resume AND c2.__start > s.__start"
         return (
             f"__sel AS (\n"
             f"        SELECT c.* FROM {cands} c\n"
@@ -3482,9 +3555,10 @@ def sql_match_recognize(text: str, value_expr: str | None = None) -> str:
             f" WHERE {keys_cc})\n"
             f"        UNION ALL\n"
             f"        SELECT c.* FROM __sel s JOIN {cands} c"
-            f" ON {keys_sc} AND c.__start > s.__end\n"
+            f" ON {keys_sc} AND c.__start >= s.__resume"
+            f" AND c.__start > s.__start\n"
             f"        WHERE c.__start = (SELECT min(c2.__start) FROM {cands} c2"
-            f" WHERE {keys_s2} AND c2.__start > s.__end)\n"
+            f" WHERE {keys_s2} AND {step})\n"
             f"    )"
         )
 
@@ -3512,6 +3586,14 @@ def sql_match_recognize(text: str, value_expr: str | None = None) -> str:
                 f"{vrank} AS __v",
                 f"CAST(l0.__run + {i} AS BIGINT) AS __rid",
                 f"{cls} AS __cls",
+                *(
+                    [
+                        f"CAST(l0.__run + {resume_offset(var, vrank)} AS BIGINT)"
+                        " AS __resume"
+                    ]
+                    if need_span
+                    else []
+                ),
                 *finals,
             ]
             out.append(
@@ -3537,8 +3619,8 @@ def sql_match_recognize(text: str, value_expr: str | None = None) -> str:
             )
         )
         if need_span:
-            # match-level SKIP PAST LAST ROW, then keep only accepted
-            # matches' legs
+            # match-level AFTER MATCH SKIP selection, then keep only
+            # accepted matches' legs
             sel_keys = " AND ".join(
                 f"e.{p} = s.{p}" for p in spec["partition_by"]
             )
@@ -3547,7 +3629,7 @@ def sql_match_recognize(text: str, value_expr: str | None = None) -> str:
                 f"    __cands AS (\n"
                 f"        SELECT {keys_b}, __mn,"
                 f" CAST(min(__mn) AS BIGINT) AS __start,"
-                f" CAST(max(__rid) AS BIGINT) AS __end\n"
+                f" CAST(max(__resume) AS BIGINT) AS __resume\n"
                 f"        FROM __exp GROUP BY {keys_b}, __mn\n    ),\n    "
                 + greedy_sel_cte("__cands", spec["partition_by"])
             )
@@ -3593,7 +3675,7 @@ def sql_match_recognize(text: str, value_expr: str | None = None) -> str:
         if need_span:
             cand_sql = variant_select(spec["variants"][0], 0)
             var_sql = (
-                f"SELECT * EXCLUDE (__start, __v, __end) FROM __sel"
+                f"SELECT * EXCLUDE (__start, __v, __resume) FROM __sel"
             )
             extra_ctes = (
                 f",\n    __cands AS (\n    {cand_sql}\n    ),\n    "
@@ -3615,7 +3697,7 @@ def sql_match_recognize(text: str, value_expr: str | None = None) -> str:
                 f"    QUALIFY row_number() OVER (PARTITION BY {keys}, __start"
                 f" ORDER BY __v) = 1"
             )
-            var_sql = "SELECT * EXCLUDE (__start, __end) FROM __sel"
+            var_sql = "SELECT * EXCLUDE (__start, __resume) FROM __sel"
             extra_ctes = (
                 f",\n    __cands AS (\n    {pick_sql}\n    ),\n    "
                 + greedy_sel_cte("__cands", spec["partition_by"])

@@ -2584,6 +2584,53 @@ def test_match_recognize_skip_past_last_row(spark):
             tuple(r) for r in con.execute(sql_match_recognize(text)).fetchall()
         )
         assert duck == expect, (skip, duck)
+    # SKIP TO LAST <sym>: resume at the symbol's run (run-aligned
+    # contract) — on a long zig-zag with PATTERN (D+ U+ D+ U+ D+) and
+    # SKIP TO LAST UP (leg 3), accepted starts advance by 4 runs:
+    # r1, r5, ... — between TO NEXT ROW (every 2) and PAST LAST (every 6)
+    vals_l = [9, 8, 7, 8, 9, 8, 7, 8, 9, 8, 7, 8, 9, 8, 7, 8, 9, 8, 7]
+    rows_l = [(1, i, float(i), float(v)) for i, v in enumerate(vals_l)]
+    df_l = spark.createDataFrame(rows_l, "u int, eid int, ts double, v double")
+    con.execute(
+        "CREATE VIEW mr_l AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({u}, {e}, CAST({t} AS DOUBLE), CAST({v} AS DOUBLE))"
+            for u, e, t, v in rows_l
+        )
+        + ") AS x(u, eid, ts, v)"
+    )
+    base5 = (
+        "SELECT * FROM mr_l MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts "
+        "MEASURES MATCH_NUMBER() AS m "
+        "ONE ROW PER MATCH AFTER MATCH {skip} "
+        "PATTERN (DOWN+ UP+ DOWN+ UP+ DOWN+) "
+        "DEFINE DOWN AS v < PREV(v), UP AS v > PREV(v))"
+    )
+    # candidates start at down-runs 1, 3, 5 (9 runs total, 5-leg span)
+    for skip, starts in [
+        ("SKIP TO NEXT ROW", [1, 3, 5]),
+        ("SKIP TO LAST UP", [1, 5]),  # resume = start + 3 -> skips r3
+        ("SKIP PAST LAST ROW", [1]),  # resume = start + 5 -> skips both
+    ]:
+        text5 = base5.format(skip=skip)
+        got5 = sorted(
+            r.m for r in match_recognize_statement(spark, text5, {"mr_l": df_l}).collect()
+        )
+        assert got5 == starts, (skip, got5)
+        duck5 = sorted(
+            r[1] for r in con.execute(sql_match_recognize(text5)).fetchall()
+        )
+        assert duck5 == starts, (skip, duck5)
+    # refusals: undefined symbol, first-leg infinite loop, alternation
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        parse_match_recognize,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="undefined symbol"):
+        parse_match_recognize(base5.format(skip="SKIP TO LAST NOPE"))
+    with _pytest.raises(ValueError, match="infinite loop"):
+        parse_match_recognize(base5.format(skip="SKIP TO FIRST DOWN"))
     # ALL ROWS PER MATCH under past-last: only the accepted match's
     # rows come back
     text_ar = (
