@@ -56,6 +56,7 @@ HEADLINE = [
     "x21_global_shuffle",      # training-data shuffle (1 exchange + local sort)
     "k10_tdigest_sketch_path", # t-digest quantile sketch, SHIPPED plan (no exact-audit global sort; r8)
     "e17_match_recognize_w",   # W-pattern MATCH_RECOGNIZE (chained run joins, r7)
+    "sql50_match_recognize_skip", # AFTER MATCH SKIP family: Arrow greedy over the candidate relation (r9)
     "m10_multi_table_insert",  # INSERT FIRST: one scan -> 3 materialized targets
     "pl_zonemap_prune",        # micro-partition pruning (write + manifest + pruned read)
     # the delta-cycle measurement runs BEFORE the full rebuild: the
