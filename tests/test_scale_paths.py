@@ -501,3 +501,101 @@ def test_table_changes_delta_reconstructs_end_snapshot(spark, tmp_path):
         both.groupBy("k").agg(F.countDistinct("v").alias("nv")).filter(F.col("nv") == 1)
     )
     assert same.count() == 0  # every DELETE+INSERT pair changed the payload
+
+
+def test_format_string_roundtrip_property(spark):
+    """Property (r9): for any date, rendering with a translated
+    Snowflake format then parsing it back with the same format is the
+    identity — across every composite format the element table
+    supports. A wrong element mapping (Spark's Y week-year / D
+    day-of-year traps) breaks this immediately at year boundaries,
+    which the probe dates deliberately straddle."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        _sf_datetime_format_to_spark,
+    )
+
+    formats = [
+        "YYYYMMDD",
+        "YYYY-MM-DD",
+        "DD/MM/YYYY",
+        "MON DD, YYYY",
+        "DD MON YYYY",
+        "YYYY-MM-DD\"T\"HH24:MI:SS",
+    ]
+    # week-53 / year-boundary dates are where week-year mistranslation
+    # shows: 2020-12-31 is in ISO week-year 2020 but week-based 'YYYY'
+    # (Spark Y) would render 2021
+    df = spark.sql(
+        "SELECT explode(sequence(DATE '2019-12-25', DATE '2020-01-07')) AS d"
+        " UNION ALL"
+        " SELECT explode(sequence(DATE '2024-02-26', DATE '2024-03-03')) AS d"
+    )
+    for fmt in formats:
+        spark_fmt = _sf_datetime_format_to_spark(fmt)
+        lit = "'" + spark_fmt.replace("'", "''") + "'"
+        bad = df.selectExpr(
+            f"count_if(to_date(date_format(d, {lit}), {lit}) <> d) AS n"
+        ).first()["n"]
+        assert bad == 0, (fmt, spark_fmt)
+
+
+def test_skip_greedy_pandas_matches_recursive_cte():
+    """Property (r9): the AFTER MATCH SKIP greedy that the Spark
+    executor runs in applyInPandas and the recursive-CTE form the
+    DuckDB twin emits select IDENTICAL candidate sets, for random
+    candidate relations and resume offsets (covers past-last AND
+    skip-to-symbol shapes)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(907)
+    for trial in range(25):
+        cands = []
+        for part in range(rng.randint(1, 3)):
+            starts = sorted(rng.sample(range(1, 40), rng.randint(0, 12)))
+            for s in starts:
+                cands.append((part, s, s + rng.randint(1, 6)))
+        # pandas-side greedy (the executor's pick())
+        accepted = set()
+        bypart: dict[int, list] = {}
+        for p, s, r in cands:
+            bypart.setdefault(p, []).append((s, r))
+        for p, rows in bypart.items():
+            resume, last_s = None, None
+            for s, r in sorted(rows):
+                if resume is None or (s >= resume and s > last_s):
+                    accepted.add((p, s))
+                    resume, last_s = r, s
+        # recursive-CTE greedy (the twin's __sel)
+        con = duckdb.connect()
+        if cands:
+            vals = ", ".join(f"({p}, {s}, {r})" for p, s, r in cands)
+            got = set(
+                (p, s)
+                for p, s in con.execute(
+                    f"""
+                WITH RECURSIVE c AS (
+                    SELECT * FROM (VALUES {vals}) AS t(part, __start, __resume)
+                ),
+                __sel AS (
+                    SELECT c.* FROM c
+                    WHERE c.__start = (SELECT min(c2.__start) FROM c c2
+                                       WHERE c2.part = c.part)
+                    UNION ALL
+                    SELECT c.* FROM __sel s JOIN c
+                      ON c.part = s.part AND c.__start >= s.__resume
+                     AND c.__start > s.__start
+                    WHERE c.__start = (SELECT min(c2.__start) FROM c c2
+                        WHERE c2.part = s.part AND c2.__start >= s.__resume
+                          AND c2.__start > s.__start)
+                )
+                SELECT part, __start FROM __sel
+                """
+                ).fetchall()
+            )
+        else:
+            got = set()
+        assert got == accepted, (trial, sorted(got ^ accepted))
