@@ -1874,10 +1874,25 @@ _SCALAR_REWRITES = {
         if len(args) in (2, 3)
         else _bad("CHARINDEX", args)
     ),
+    # Snowflake EDITDISTANCE(a, b[, max_distance]): the 3-arg form
+    # CAPS the result at max_distance (a negative/zero cap returns 0).
+    # Spark's levenshtein(a, b, threshold) is the right physical plan
+    # (banded DP, early exit — the 100 TB path for long documents) but
+    # returns -1 when exceeded, so the lowering maps -1 back to the
+    # cap; the NULL guard is explicit because Spark's least()/coalesce
+    # would otherwise swallow a NULL input into the cap value.
     "EDITDISTANCE": lambda args: (
         f"levenshtein({args[0]}, {args[1]})"
         if len(args) == 2
-        else _bad("EDITDISTANCE (max_distance form refuses)", args)
+        else (
+            f"CASE WHEN ({args[0]}) IS NULL OR ({args[1]}) IS NULL"
+            f" OR ({args[2]}) IS NULL THEN CAST(NULL AS INT)"
+            f" WHEN ({args[2]}) <= 0 THEN 0"
+            f" ELSE coalesce(nullif(levenshtein({args[0]}, {args[1]},"
+            f" CAST({args[2]} AS INT)), -1), CAST({args[2]} AS INT)) END"
+            if len(args) == 3
+            else _bad("EDITDISTANCE", args)
+        )
     ),
     # Snowflake returns 3-letter English abbreviations
     "DAYNAME": lambda args: (

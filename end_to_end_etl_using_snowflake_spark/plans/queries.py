@@ -7116,6 +7116,7 @@ SELECT o_orderkey,
        MONTHNAME(o_date) AS mn,
        CHARINDEX('URGENT', o_orderpriority) AS pos_urgent,
        EDITDISTANCE(o_orderstatus, 'OF') AS ed,
+       EDITDISTANCE(o_orderpriority, '1-URGENT', 3) AS ed_cap,
        TO_BOOLEAN(IFF(o_orderkey % 2 = 0, 'on', 'f')) AS flag,
        CAST(TRY_TO_BOOLEAN(o_orderstatus) AS STRING) AS maybe_flag
 FROM f24_src
@@ -7135,6 +7136,8 @@ FROM f24_src
            strftime(o_orderdate, '%b') AS mn,
            CAST(strpos(o_orderpriority, 'URGENT') AS INTEGER) AS pos_urgent,
            CAST(levenshtein(o_orderstatus, 'OF') AS INTEGER) AS ed,
+           CAST(least(levenshtein(o_orderpriority, '1-URGENT'), 3)
+               AS INTEGER) AS ed_cap,
            o_orderkey % 2 = 0 AS flag,
            -- nullable BOOLEAN nulls round-trip as NaN from DuckDB but
            -- None from Spark (distinct per the driver's canonicalizer)
@@ -7150,7 +7153,11 @@ FROM f24_src
     month-end clamping matches; WEEK/QUARTER scale into DAY/MONTH
     since they aren't ANSI interval qualifiers; non-literal amounts
     refuse rather than silently promote) — plus CHARINDEX (-> locate,
-    same 1-based/0-absent contract), EDITDISTANCE (-> levenshtein),
+    same 1-based/0-absent contract), EDITDISTANCE (-> levenshtein;
+    the 3-arg max_distance form caps via Spark's THRESHOLD
+    levenshtein — banded DP with early exit, the plan you want on
+    long documents at scale — with -1-exceeded mapped back to the
+    cap and explicit NULL/negative-cap guards),
     DAYNAME/MONTHNAME (3-letter English abbreviations via
     date_format), and TO_BOOLEAN/TRY_TO_BOOLEAN (Spark's boolean cast
     accepts Snowflake's whole t/f/y/n/yes/no/true/false/0/1 set

@@ -3047,6 +3047,10 @@ def test_conversion_pack_rewriter(spark):
             " DATEADD('hour', -6, DATE '2024-01-02') AS promoted,"
             " CHARINDEX('b', 'abcb', 3) AS ci,"
             " EDITDISTANCE('kitten', 'sitting') AS ed,"
+            " EDITDISTANCE('kitten', 'sitting', 2) AS edcap,"
+            " EDITDISTANCE('kitten', 'sitting', 5) AS eduncapped,"
+            " EDITDISTANCE('kitten', 'sitting', -1) AS edneg,"
+            " EDITDISTANCE('kitten', CAST(NULL AS STRING), 2) AS ednull,"
             " DAYNAME(DATE '2024-02-05') AS dn,"
             " TO_BOOLEAN('on') AS b1, TRY_TO_BOOLEAN('nope') AS b2"
         )
@@ -3055,12 +3059,16 @@ def test_conversion_pack_rewriter(spark):
     assert rowd.wk == datetime.date(2024, 1, 15)
     assert rowd.promoted == datetime.datetime(2024, 1, 1, 18, 0)
     assert rowd.ci == 4 and rowd.ed == 3 and rowd.dn == "Mon"
+    # 3-arg EDITDISTANCE caps at max_distance (Snowflake contract:
+    # exceeded -> cap, negative cap -> 0, any NULL input -> NULL)
+    assert rowd.edcap == 2 and rowd.eduncapped == 3
+    assert rowd.edneg == 0 and rowd.ednull is None
     assert rowd.b1 is True and rowd.b2 is None
     for bad, msg in [
         # elements with no exact Spark equivalent refuse loudly
         ("SELECT DATEADD(day, n_col, d) FROM t", "integer literal"),
         ("SELECT DATEADD(fortnight, 1, d) FROM t", "not supported"),
-        ("SELECT EDITDISTANCE(a, b, 3) FROM t", "max_distance"),
+        ("SELECT EDITDISTANCE(a) FROM t", "EDITDISTANCE"),
         ("SELECT TO_DATE(x, 'YYYY-Q') FROM t", "unsupported datetime format"),
         ("SELECT TO_TIMESTAMP(x, 'FF') FROM t", "unsupported datetime format"),
         ("SELECT TO_DATE(x, fmtcol) FROM t", "literal"),
