@@ -263,3 +263,54 @@ def test_sample_lowering_is_monotone_and_deterministic(spark, p1, p2, seed):
         assert a == set()
     if hi == 100:
         assert b == set(range(300))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.text(alphabet="abx", min_size=0, max_size=8),
+            st.text(alphabet="abx", min_size=0, max_size=8),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    cap=st.integers(min_value=-2, max_value=9),
+)
+def test_editdistance_cap_lowering_matches_reference_dp(spark, pairs, cap):
+    """EDITDISTANCE(a, b, max_distance) == min(true Levenshtein, cap)
+    with a negative cap clamped to 0 — the Snowflake contract — for ALL
+    string pairs, against a plain-Python Wagner-Fischer oracle. The
+    lowering goes through Spark's THRESHOLD levenshtein (-1 on exceed),
+    so this pins the -1 -> cap remap and the NULL/negative guards."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_scalar_funcs,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[len(b)]
+
+    df = spark.createDataFrame(pairs, "a string, b string")
+    df.createOrReplaceTempView("ed_prop_src")
+    out = spark.sql(
+        rewrite_scalar_funcs(
+            f"SELECT a, b, EDITDISTANCE(a, b, {cap}) AS edc,"
+            " EDITDISTANCE(a, b) AS ed FROM ed_prop_src"
+        )
+    ).collect()
+    for r in out:
+        want = lev(r["a"], r["b"])
+        assert r["ed"] == want
+        assert r["edc"] == min(want, max(cap, 0))

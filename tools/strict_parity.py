@@ -34,6 +34,18 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     from end_to_end_etl_using_snowflake_spark.plans.tables import TPCH_TABLES
 
     con = duckdb.connect()
+    # Large-SF sweeps: the ORACLE is the memory hog (e.g. d3's shingle
+    # explosion at sf10 materializes tens of GB in DuckDB and got the
+    # whole process OOM-killed alongside the Spark JVM). Cap DuckDB and
+    # let it spill to disk instead of dying; defaults keep small sweeps
+    # unchanged. DUCK_MEM e.g. "48GB", DUCK_TMP a writable directory.
+    mem = os.environ.get("DUCK_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    tmp = os.environ.get("DUCK_TMP")
+    if tmp:
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
     for name in TPCH_TABLES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
