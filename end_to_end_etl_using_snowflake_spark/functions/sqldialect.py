@@ -2004,6 +2004,43 @@ _SCALAR_REWRITES = {
         f"bool_and({args[0]})" if len(args) == 1 else _bad("BOOLAND_AGG", args)
     ),
     "TIME_SLICE": lambda args: _time_slice_rewrite(args),
+    # ---- REGEXP argument forms (r9 session 2): Snowflake's position/
+    # occurrence/parameters/group arguments, and REGEXP_LIKE's implicit
+    # FULL-MATCH anchoring (Spark's regexp_like is a substring search).
+    # RLIKE/REGEXP function forms share REGEXP_LIKE's contract.
+    "REGEXP_LIKE": lambda args: _regexp_like_rewrite("REGEXP_LIKE", args),
+    "REGEXP_SUBSTR": lambda args: _regexp_substr_rewrite("REGEXP_SUBSTR", args),
+    "REGEXP_COUNT": lambda args: _regexp_count_rewrite("REGEXP_COUNT", args),
+    "REGEXP_INSTR": lambda args: _regexp_instr_rewrite("REGEXP_INSTR", args),
+    "REGEXP_REPLACE": lambda args: _regexp_replace_rewrite(
+        "REGEXP_REPLACE", args
+    ),
+    # ---- calendar / timezone pack (r9 session 2). The ISO family is
+    # session-parameter-independent (Snowflake's plain DAYOFWEEK/WEEK
+    # obey WEEK_START; the ISO forms are the stable contract).
+    "CONVERT_TIMEZONE": lambda args: _convert_timezone_rewrite(args),
+    "DAYOFWEEKISO": lambda args: (
+        f"((dayofweek({args[0]}) + 5) % 7 + 1)"
+        if len(args) == 1
+        else _bad("DAYOFWEEKISO", args)
+    ),
+    "WEEKISO": lambda args: (
+        f"weekofyear({args[0]})" if len(args) == 1 else _bad("WEEKISO", args)
+    ),
+    "YEAROFWEEKISO": lambda args: (
+        f"extract(YEAROFWEEK FROM {args[0]})"
+        if len(args) == 1
+        else _bad("YEAROFWEEKISO", args)
+    ),
+    # strictly-before counterpart of next_day (strictly-after): the
+    # 8-day re-base makes the search window (d-8, d-1] — exactly the
+    # latest such weekday EARLIER than d, never d itself
+    "PREVIOUS_DAY": lambda args: (
+        f"next_day(date_sub(CAST({args[0]} AS DATE), 8), {args[1]})"
+        if len(args) == 2
+        else _bad("PREVIOUS_DAY", args)
+    ),
+    "DATE_PART": lambda args: _date_part_rewrite(args),
 }
 
 
@@ -2361,6 +2398,290 @@ def _datediff_rewrite(args: list) -> str:
         f"DATEDIFF part {part!r} is not lowered (day/month/year supported;"
         " sub-day parts need the boundary-count formulation)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Snowflake REGEXP_* argument forms (r9 session 2). Snowflake's regex
+# functions carry position/occurrence/parameters/group arguments Spark's
+# same-named builtins lack, and REGEXP_LIKE is IMPLICITLY FULL-MATCH
+# anchored (Spark's is a substring search — a pasted predicate would
+# silently match more rows). Everything lowers to JVM builtins; the
+# emitted text is never rescanned (resume-after-replacement), so
+# same-name heads like regexp_replace are safe to emit.
+# ---------------------------------------------------------------------------
+
+
+def _regex_params(name: str, args: list, idx: int) -> tuple[str, bool]:
+    """Parse the Snowflake ``regex_parameters`` literal at ``args[idx]``
+    into (inline-flag prefix, extract_mode). Default 'c' (case
+    sensitive); of 'c'/'i' the LAST wins (documented); 's' and 'm' map
+    to the identical Java/RE2 inline flags; 'e' switches SUBSTR to
+    group extraction. Unknown letters refuse loudly."""
+    if idx >= len(args):
+        return "", False
+    p = _fmt_literal(args, idx, name)
+    if p is None:
+        raise ValueError(f"{name}: regex parameters must be a string literal")
+    ci = False
+    extract = False
+    flags: set[str] = set()
+    for ch in p:
+        if ch == "c":
+            ci = False
+        elif ch == "i":
+            ci = True
+        elif ch in ("s", "m"):
+            flags.add(ch)
+        elif ch == "e":
+            extract = True
+        else:
+            raise ValueError(
+                f"{name}: unsupported regex parameter {ch!r} (c/i/s/m/e)"
+            )
+    if ci:
+        flags.add("i")
+    return ("(?" + "".join(sorted(flags)) + ")") if flags else "", extract
+
+
+def _regex_pattern(name: str, args: list, flags: str) -> str:
+    """SQL literal for the (flag-prefixed) pattern. The pattern must be
+    a string literal whenever flags apply — splicing inline flags into
+    a runtime expression would need engine-side escaping we refuse to
+    guess at."""
+    pat = _fmt_literal(args, 1, name)
+    if pat is None:
+        if flags:
+            raise ValueError(
+                f"{name}: pattern must be a string literal when regex"
+                " parameters are given"
+            )
+        return args[1]
+    return _sql_str(flags + pat)
+
+
+def _regex_int_literal(name: str, args: list, idx: int, default: int) -> int:
+    if idx >= len(args):
+        return default
+    a = args[idx].strip()
+    if not re.fullmatch(r"\d+", a):
+        raise ValueError(
+            f"{name}: argument {idx + 1} must be a non-negative integer"
+            f" literal, got {a!r}"
+        )
+    return int(a)
+
+
+def _regexp_like_rewrite(name: str, args: list) -> str:
+    if len(args) not in (2, 3):
+        return _bad(name, args)
+    flags, extract = _regex_params(name, args, 2)
+    if extract:
+        raise ValueError(f"{name}: parameter 'e' does not apply")
+    pat = _fmt_literal(args, 1, name)
+    if pat is not None:
+        anchored = _sql_str("^(?:" + flags + pat + ")$")
+    else:
+        if flags:
+            raise ValueError(
+                f"{name}: pattern must be a string literal when regex"
+                " parameters are given"
+            )
+        anchored = f"concat('^(?:', {args[1]}, ')$')"
+    # Snowflake REGEXP_LIKE is a FULL match (implicit ^...$); the
+    # non-capturing wrap keeps top-level alternation inside the anchors
+    return f"(({args[0]}) RLIKE {anchored})"
+
+
+def _regexp_substr_rewrite(name: str, args: list) -> str:
+    if not 2 <= len(args) <= 6:
+        return _bad(name, args)
+    flags, extract = _regex_params(name, args, 4)
+    pos = _regex_int_literal(name, args, 2, 1)
+    occ = _regex_int_literal(name, args, 3, 1)
+    if pos < 1 or occ < 1:
+        raise ValueError(f"{name}: position and occurrence must be >= 1")
+    grp = _regex_int_literal(name, args, 5, 1) if extract else 0
+    if len(args) == 6 and not extract:
+        raise ValueError(f"{name}: group_num requires the 'e' parameter")
+    pat = _regex_pattern(name, args, flags)
+    subject = args[0] if pos == 1 else f"substr({args[0]}, {pos})"
+    return (
+        f"try_element_at(regexp_extract_all({subject}, {pat}, {grp}), {occ})"
+    )
+
+
+def _regexp_count_rewrite(name: str, args: list) -> str:
+    if not 2 <= len(args) <= 4:
+        return _bad(name, args)
+    flags, _ = _regex_params(name, args, 3)
+    pos = _regex_int_literal(name, args, 2, 1)
+    if pos < 1:
+        raise ValueError(f"{name}: position must be >= 1")
+    pat = _regex_pattern(name, args, flags)
+    subject = args[0] if pos == 1 else f"substr({args[0]}, {pos})"
+    return f"size(regexp_extract_all({subject}, {pat}, 0))"
+
+
+def _regexp_instr_rewrite(name: str, args: list) -> str:
+    if not 2 <= len(args) <= 6:
+        return _bad(name, args)
+    flags, extract = _regex_params(name, args, 5)
+    if extract:
+        raise ValueError(
+            f"{name}: the 'e'/group form is not lowered (Spark's"
+            " regexp_instr reports whole-match positions)"
+        )
+    pos = _regex_int_literal(name, args, 2, 1)
+    occ = _regex_int_literal(name, args, 3, 1)
+    opt = _regex_int_literal(name, args, 4, 0)
+    if pos < 1:
+        raise ValueError(f"{name}: position must be >= 1")
+    if occ != 1:
+        raise ValueError(
+            f"{name}: occurrence > 1 is not lowered (no Spark builtin"
+            " reports the n-th match position)"
+        )
+    if opt not in (0, 1):
+        raise ValueError(f"{name}: option must be 0 or 1")
+    pat = _regex_pattern(name, args, flags)
+    subject = args[0] if pos == 1 else f"substr({args[0]}, {pos})"
+    base = f"regexp_instr({subject}, {pat})"
+    if pos == 1 and opt == 0:
+        return base
+    # 0 stays 0 (no match); otherwise re-base to the full string and,
+    # for option=1, add the match length (position AFTER the match)
+    end = (
+        f" + length(regexp_extract({subject}, {pat}, 0))" if opt == 1 else ""
+    )
+    return (
+        f"(CASE WHEN {base} = 0 THEN 0"
+        f" ELSE {base} + {pos - 1}{end} END)"
+    )
+
+
+def _java_replacement(name: str, raw: str) -> str:
+    """Translate a Snowflake regex replacement to Java's ``$N`` form —
+    at the RAW SQL-text level. Both Snowflake and Spark process C-style
+    backslash escapes inside '...' literals, so a Snowflake backref is
+    written ``\\\\N`` in the SQL text (string value ``\\N``); the raw
+    span is rewritten to ``$N`` (value ``$N``, Java's backref), a
+    Java-meaningful ``$`` is escaped to raw ``\\\\$`` (value ``\\$``),
+    and an escaped backslash (raw ``\\\\\\\\``) passes through — the
+    same raw spelling is a literal backslash in both grammars. Other
+    escape sequences (``\\n`` …) mean the same character in both
+    parsers and pass through untouched."""
+    out: list[str] = []
+    i = 0
+    while i < len(raw):
+        c = raw[i]
+        nxt = raw[i + 1] if i + 1 < len(raw) else ""
+        nxt2 = raw[i + 2] if i + 2 < len(raw) else ""
+        if c == "\\" and nxt == "\\" and nxt2.isdigit():
+            out.append("$" + nxt2)
+            i += 3
+        elif c == "\\" and nxt == "\\":
+            out.append("\\\\")
+            i += 2
+        elif c == "$":
+            out.append("\\\\$")
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _regexp_replace_rewrite(name: str, args: list) -> str:
+    if not 2 <= len(args) <= 6:
+        return _bad(name, args)
+    flags, _ = _regex_params(name, args, 5)
+    pos = _regex_int_literal(name, args, 3, 1)
+    occ = _regex_int_literal(name, args, 4, 0)
+    if pos < 1:
+        raise ValueError(f"{name}: position must be >= 1")
+    if occ != 0:
+        raise ValueError(
+            f"{name}: occurrence-specific replacement is not lowered"
+            " (Spark replaces all matches from the position)"
+        )
+    pat = _regex_pattern(name, args, flags)
+    if len(args) >= 3:
+        raw = _fmt_literal(args, 2, name)
+        if raw is None:
+            raise ValueError(
+                f"{name}: replacement must be a string literal (Java's"
+                " '$'/backslash replacement grammar differs from"
+                " Snowflake's — a runtime expression would corrupt"
+                " silently)"
+            )
+        repl = _sql_str(_java_replacement(name, raw))
+    else:
+        repl = "''"
+    tail = f", {pos}" if pos != 1 else ""
+    return f"regexp_replace({args[0]}, {pat}, {repl}{tail})"
+
+
+# ---------------------------------------------------------------------------
+# Snowflake calendar / timezone scalars (r9 session 2)
+# ---------------------------------------------------------------------------
+
+
+def _convert_timezone_rewrite(args: list) -> str:
+    if len(args) == 2:
+        raise ValueError(
+            "CONVERT_TIMEZONE(target, ts) returns TIMESTAMP_TZ — a type"
+            " this engine (and the parity harness) deliberately does"
+            " not carry; use the 3-arg NTZ form"
+        )
+    if len(args) != 3:
+        return _bad("CONVERT_TIMEZONE", args)
+    src, tgt, ts = args
+    # interpret the naive ts in src, re-express its instant in tgt —
+    # exactly from_utc_timestamp∘to_utc_timestamp (DST-correct, both
+    # ends named IANA zones resolved by the JVM tz database)
+    return f"from_utc_timestamp(to_utc_timestamp({ts}, {src}), {tgt})"
+
+
+_DATE_PART_FN = {
+    # DATE_PART aliases -> plain Spark function heads (never rescanned)
+    **{k: "year" for k in ("year", "y", "yy", "yyy", "yyyy", "yr", "years")},
+    **{k: "quarter" for k in ("quarter", "q", "qtr", "quarters")},
+    **{k: "month" for k in ("month", "mm", "mon", "months")},
+    **{k: "day" for k in ("day", "d", "dd", "days", "dayofmonth")},
+    **{k: "dayofyear" for k in ("dayofyear", "yearday", "doy", "dy")},
+    **{k: "hour" for k in ("hour", "h", "hh", "hr", "hours")},
+    **{k: "minute" for k in ("minute", "mi", "min", "minutes")},
+    **{k: "second" for k in ("second", "s", "sec", "seconds")},
+    # WEEK/WEEKISO both map to ISO weekofyear: this engine pins
+    # WEEK_OF_YEAR_POLICY = 0 + WEEK_START = 1 (the ISO profile);
+    # Snowflake's other session profiles are refused by omission
+    **{k: "weekofyear" for k in ("week", "wk", "weekofyear", "woy", "wy",
+                                 "weekiso", "week_iso", "weekofyeariso")},
+}
+
+
+def _date_part_rewrite(args: list) -> str:
+    if len(args) != 2:
+        return _bad("DATE_PART", args)
+    part = args[0].strip().strip("'\"").lower()
+    x = args[1]
+    if part in ("epoch_second", "epoch_seconds", "epoch"):
+        return f"unix_timestamp({x})"
+    if part in ("epoch_millisecond", "epoch_milliseconds"):
+        return f"unix_millis(CAST({x} AS TIMESTAMP))"
+    if part in ("dayofweekiso", "weekday_iso", "dow_iso"):
+        return f"((dayofweek({x}) + 5) % 7 + 1)"
+    if part in ("yearofweekiso", "yearofweek"):
+        return f"extract(YEAROFWEEK FROM {x})"
+    if part in ("dayofweek", "weekday", "dow", "dw"):
+        raise ValueError(
+            "DATE_PART(dayofweek) depends on the WEEK_START session"
+            " parameter; use DAYOFWEEKISO (parameter-independent)"
+        )
+    fn = _DATE_PART_FN.get(part)
+    if fn is None:
+        raise ValueError(f"DATE_PART part {part!r} is not lowered")
+    return f"{fn}({x})"
 
 
 _WITHIN_GROUP_RE = re.compile(

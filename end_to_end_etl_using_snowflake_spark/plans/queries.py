@@ -7731,6 +7731,169 @@ def f25_array_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite_scalar_funcs(_F25_SNOWFLAKE_TEXT))
 
 
+# phone synthesized with the SAME printf on both engines so the regex
+# targets carry real per-row variety (customer has no phone column)
+_F26_PHONE = (
+    "printf('%02d-%03d-%03d-%04d', c_custkey % 89 + 10,"
+    " c_custkey % 900 + 100, (c_custkey * 7) % 900 + 100,"
+    " (c_custkey * 13) % 9000 + 1000)"
+)
+
+_F26_SNOWFLAKE_TEXT = r"""
+SELECT c_custkey,
+       REGEXP_SUBSTR(phone, '[0-9]+', 1, 3) AS third_run,
+       REGEXP_SUBSTR(phone, '([0-9]{3})-([0-9]{4})', 1, 1, 'e', 2) AS last4,
+       REGEXP_SUBSTR(phone, 'x[0-9]+') AS missing,
+       REGEXP_COUNT(phone, '[0-9]+') AS n_runs,
+       REGEXP_COUNT(phone, '[0-9]+', 4) AS n_runs_mid,
+       REGEXP_INSTR(phone, '-[0-9]{3}-') AS seg_at,
+       REGEXP_INSTR(phone, '-[0-9]{3}-', 2, 1, 1) AS seg_end,
+       REGEXP_REPLACE(phone, '([0-9]{3})-([0-9]{4})$', '\\2+\\1') AS swapped,
+       REGEXP_REPLACE(phone, '[0-9]', '#', 7) AS masked,
+       REGEXP_REPLACE(phone, '-') AS digits_only,
+       REGEXP_LIKE(name, 'customer#[0-9]+', 'i') AS is_cust,
+       REGEXP_LIKE(name, '[0-9]+') AS num_only
+FROM f26_src
+"""
+
+
+@register(
+    "f26_regexp_dialect",
+    oracle=r"""
+    WITH src AS (
+        SELECT c_custkey, c_name AS name,
+               printf('%02d-%03d-%03d-%04d', c_custkey % 89 + 10,
+                      c_custkey % 900 + 100, (c_custkey * 7) % 900 + 100,
+                      (c_custkey * 13) % 9000 + 1000) AS phone
+        FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT c_custkey,
+           regexp_extract_all(phone, '[0-9]+')[3]                AS third_run,
+           regexp_extract_all(phone, '([0-9]{3})-([0-9]{4})', 2)[1] AS last4,
+           regexp_extract_all(phone, 'x[0-9]+')[1]               AS missing,
+           len(regexp_extract_all(phone, '[0-9]+'))              AS n_runs,
+           len(regexp_extract_all(substr(phone, 4), '[0-9]+'))   AS n_runs_mid,
+           CASE WHEN regexp_matches(phone, '-[0-9]{3}-')
+                THEN length(regexp_split_to_array(phone, '-[0-9]{3}-')[1]) + 1
+                ELSE 0 END                                       AS seg_at,
+           CASE WHEN regexp_matches(substr(phone, 2), '-[0-9]{3}-')
+                THEN length(regexp_split_to_array(substr(phone, 2),
+                                                  '-[0-9]{3}-')[1]) + 1
+                     + 1
+                     + length(regexp_extract(substr(phone, 2), '-[0-9]{3}-'))
+                ELSE 0 END                                       AS seg_end,
+           regexp_replace(phone, '([0-9]{3})-([0-9]{4})$', '\2+\1', 'g')
+                                                                 AS swapped,
+           substr(phone, 1, 6)
+               || regexp_replace(substr(phone, 7), '[0-9]', '#', 'g')
+                                                                 AS masked,
+           regexp_replace(phone, '-', '', 'g')                   AS digits_only,
+           regexp_full_match(name, '(?i)customer#[0-9]+')        AS is_cust,
+           regexp_full_match(name, '[0-9]+')                     AS num_only
+    FROM src
+    """,
+    doc="""The Snowflake REGEXP_* ARGUMENT FORMS accepted VERBATIM (r9
+    session 2) — position / occurrence / regex_parameters / group_num,
+    the arguments Spark's same-named builtins lack: REGEXP_SUBSTR
+    occurrence selection (``try_element_at(regexp_extract_all(...))``
+    — NULL when absent, Snowflake's contract), the 'e'+group_num
+    submatch form, REGEXP_COUNT from a position, REGEXP_INSTR start /
+    end (option=1) positions re-based after a position offset,
+    REGEXP_REPLACE with backreference translation (Snowflake ``\\N``
+    -> Java ``$N`` at the raw-literal level, ``$`` escaped) and the
+    position form (Spark's 4-arg regexp_replace keeps the prefix —
+    probed identical), and REGEXP_LIKE's IMPLICIT FULL-MATCH anchoring
+    with parameter flags mapped to inline ``(?i)(?s)(?m)`` (num_only
+    pins the anchor: a substring-matching lowering would return TRUE).
+    All JVM-side single-projection expressions; occurrence-specific
+    REPLACE and n-th-match INSTR refuse loudly (no Spark builtin).
+    Oracle: DuckDB's 1-based list extracts, regexp_full_match, and the
+    split-prefix-length identity for match positions
+    (functions/sqldialect.py:_regexp_substr_rewrite ff.).""",
+    tags=("sql-surface", "dialect", "functions", "regex"),
+)
+def f26_regexp_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import rewrite_scalar_funcs
+
+    customer = load(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 7 == 0
+    )
+    customer.select(
+        "c_custkey",
+        F.col("c_name").alias("name"),
+        F.expr(_F26_PHONE).alias("phone"),
+    ).createOrReplaceTempView("f26_src")
+    return spark.sql(rewrite_scalar_funcs(_F26_SNOWFLAKE_TEXT))
+
+
+_F27_SNOWFLAKE_TEXT = """
+SELECT event_id,
+       DAYOFWEEKISO(d) AS dow_iso,
+       WEEKISO(d) AS wk_iso,
+       YEAROFWEEKISO(d) AS yow_iso,
+       DATE_PART(dayofyear, d) AS doy,
+       NEXT_DAY(d, 'fr') AS next_fri,
+       PREVIOUS_DAY(d, 'tu') AS prev_tue,
+       DATE_PART(year, ts) AS y,
+       DATE_PART('epoch_second', ts) AS epoch_s,
+       CONVERT_TIMEZONE('UTC', 'America/New_York', ts) AS ts_nyc,
+       CONVERT_TIMEZONE('Asia/Kathmandu', 'UTC', ts) AS ts_from_ktm
+FROM f27_src
+"""
+
+
+@register(
+    "f27_calendar_dialect",
+    oracle="""
+    WITH src AS (
+        SELECT event_id, ts, CAST(ts AS DATE) AS d
+        FROM events WHERE event_id % 13 = 0
+    )
+    SELECT event_id,
+           isodow(d)                                   AS dow_iso,
+           week(d)                                     AS wk_iso,
+           isoyear(d)                                  AS yow_iso,
+           dayofyear(d)                                AS doy,
+           d + CAST(((5 - isodow(d) + 6) % 7 + 1) AS INT)  AS next_fri,
+           d - CAST(((isodow(d) - 2 + 6) % 7 + 1) AS INT)  AS prev_tue,
+           year(ts)                                    AS y,
+           -- Spark's unix_timestamp TRUNCATES sub-second time; a bare
+           -- BIGINT cast of DuckDB's fractional epoch() would ROUND
+           CAST(floor(epoch(ts)) AS BIGINT)            AS epoch_s,
+           (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York'
+                                                       AS ts_nyc,
+           (ts AT TIME ZONE 'Asia/Kathmandu') AT TIME ZONE 'UTC'
+                                                       AS ts_from_ktm
+    FROM src
+    """,
+    doc="""Snowflake CALENDAR / TIMEZONE scalars accepted VERBATIM (r9
+    session 2): the ISO week family (DAYOFWEEKISO / WEEKISO /
+    YEAROFWEEKISO — the session-parameter-INDEPENDENT forms; Spark's
+    weekofyear and extract(YEAROFWEK) are ISO by definition, dayofweek
+    re-based Monday=1), PREVIOUS_DAY (strictly-before counterpart of
+    next_day via an 8-day re-base — the search window (d-8, d-1]
+    is exactly the latest such weekday EARLIER than d, never d
+    itself), DATE_PART with Snowflake's alias table including the
+    EPOCH_SECOND form (-> unix_timestamp; plain DAYOFWEEK refuses —
+    it obeys the WEEK_START session parameter), and CONVERT_TIMEZONE
+    3-arg NTZ form -> from_utc_timestamp∘to_utc_timestamp (value-
+    level, session-timezone-independent, DST-correct through the JVM
+    tz database; the 2-arg form refuses — it returns TIMESTAMP_TZ, a
+    type this engine deliberately does not carry). Kathmandu's +05:45
+    pins sub-hour offsets. Oracle: DuckDB isodow/week/isoyear, day
+    arithmetic, and the double AT TIME ZONE idiom over ICU.""",
+    tags=("sql-surface", "dialect", "functions", "calendar", "timezone"),
+)
+def f27_calendar_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import rewrite_scalar_funcs
+
+    events = load(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
+    events.select(
+        "event_id", "ts", F.col("ts").cast("date").alias("d")
+    ).createOrReplaceTempView("f27_src")
+    return spark.sql(rewrite_scalar_funcs(_F27_SNOWFLAKE_TEXT))
+
+
 @register(
     "s10_stage_positional_select",
     oracle="""

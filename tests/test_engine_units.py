@@ -2916,6 +2916,91 @@ def test_scalar_dialect_rewriter(spark):
         rewrite_scalar_funcs("SELECT DECODE(x, 1) FROM t")
 
 
+def test_regexp_dialect_rewriter(spark):
+    """Snowflake REGEXP_* argument forms: full-match anchoring on
+    REGEXP_LIKE, occurrence selection, backref translation at the raw
+    literal level, parameter flags; the un-lowerable forms refuse."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_scalar_funcs,
+    )
+
+    row = spark.sql(
+        rewrite_scalar_funcs(
+            r"SELECT REGEXP_LIKE('abc', 'b') AS part_anchored, "
+            r"REGEXP_LIKE('aXbXc', 'a.b.c', 's') AS flagged, "
+            r"REGEXP_SUBSTR('a1b22c333', '[0-9]+', 1, 2) AS occ2, "
+            r"REGEXP_SUBSTR('a1b22c333', '[0-9]+', 1, 9) AS occ_absent, "
+            r"REGEXP_SUBSTR('k=12;v=34', '([a-z])=([0-9]+)', 1, 2, 'e', 2)"
+            r" AS grp, "
+            r"REGEXP_COUNT('a1b22c333', '[0-9]+', 3) AS cnt_pos, "
+            r"REGEXP_INSTR('xx-123-yy', '[0-9]+') AS at1, "
+            r"REGEXP_INSTR('xx-123-yy', '[0-9]+', 2, 1, 1) AS at_end, "
+            r"REGEXP_REPLACE('ab-12', '([a-z]+)-([0-9]+)', '\\2$\\1')"
+            r" AS backref, "
+            r"REGEXP_REPLACE('a1b2', '[0-9]') AS strip2"
+        )
+    ).first()
+    # Snowflake REGEXP_LIKE is a FULL match: 'b' alone must NOT match
+    assert row.part_anchored is False and row.flagged is True
+    assert row.occ2 == "22" and row.occ_absent is None and row.grp == "34"
+    assert row.cnt_pos == 2  # from position 3 ('b22c333'): '22', '333'
+    assert row.at1 == 4 and row.at_end == 7  # option=1: first char AFTER match
+    assert row.backref == "ab-12".replace("ab-12", "12$ab") and row.strip2 == "ab"
+    with _pytest.raises(ValueError, match="occurrence-specific"):
+        rewrite_scalar_funcs("SELECT REGEXP_REPLACE(s, 'a', 'b', 1, 2) FROM t")
+    with _pytest.raises(ValueError, match="replacement must be a string"):
+        rewrite_scalar_funcs("SELECT REGEXP_REPLACE(s, 'a', col) FROM t")
+    with _pytest.raises(ValueError, match="occurrence > 1"):
+        rewrite_scalar_funcs("SELECT REGEXP_INSTR(s, 'a', 1, 2) FROM t")
+    with _pytest.raises(ValueError, match="unsupported regex parameter"):
+        rewrite_scalar_funcs("SELECT REGEXP_LIKE(s, 'a', 'g') FROM t")
+    with _pytest.raises(ValueError, match="must be a string literal"):
+        rewrite_scalar_funcs("SELECT REGEXP_SUBSTR(s, p, 1, 1, 'i') FROM t")
+    # non-literal pattern without flags passes straight through
+    out = rewrite_scalar_funcs("SELECT REGEXP_COUNT(s, p) FROM t")
+    assert "regexp_extract_all(s, p, 0)" in out
+
+
+def test_calendar_dialect_rewriter(spark):
+    """ISO week family, PREVIOUS_DAY's strictly-before contract (a
+    Tuesday's previous Tuesday is 7 days back), CONVERT_TIMEZONE NTZ
+    composition, DATE_PART aliases + refusals."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_scalar_funcs,
+    )
+
+    row = spark.sql(
+        rewrite_scalar_funcs(
+            # 2024-01-02 is a Tuesday; 2024-12-30 is ISO week 1 of 2025
+            "SELECT DAYOFWEEKISO(DATE '2024-01-02') AS dow, "
+            "WEEKISO(DATE '2024-12-30') AS wk, "
+            "YEAROFWEEKISO(DATE '2024-12-30') AS yow, "
+            "PREVIOUS_DAY(DATE '2024-01-02', 'tu') AS prev_same, "
+            "PREVIOUS_DAY(DATE '2024-01-02', 'we') AS prev_wed, "
+            "DATE_PART('epoch_second', TIMESTAMP '2024-07-01 12:00:00')"
+            " AS es, "
+            "DATE_PART(quarter, DATE '2024-07-01') AS q, "
+            "CONVERT_TIMEZONE('UTC', 'Asia/Kathmandu',"
+            " TIMESTAMP '2024-07-01 12:00:00') AS ktm"
+        )
+    ).first()
+    assert row.dow == 2 and row.wk == 1 and row.yow == 2025
+    assert str(row.prev_same) == "2023-12-26"  # strictly before, not itself
+    assert str(row.prev_wed) == "2023-12-27"
+    assert row.es == 1719835200 and row.q == 3
+    assert str(row.ktm) == "2024-07-01 17:45:00"  # +05:45 sub-hour offset
+    with _pytest.raises(ValueError, match="WEEK_START"):
+        rewrite_scalar_funcs("SELECT DATE_PART(dayofweek, d) FROM t")
+    with _pytest.raises(ValueError, match="TIMESTAMP_TZ"):
+        rewrite_scalar_funcs("SELECT CONVERT_TIMEZONE('UTC', ts) FROM t")
+    with _pytest.raises(ValueError, match="not lowered"):
+        rewrite_scalar_funcs("SELECT DATE_PART(nanosecond, ts) FROM t")
+
+
 def test_top_rewriter():
     """SELECT TOP n lowers to a trailing LIMIT; TOP+LIMIT refuses;
     non-TOP statements pass through untouched."""
