@@ -2041,7 +2041,92 @@ _SCALAR_REWRITES = {
         else _bad("PREVIOUS_DAY", args)
     ),
     "DATE_PART": lambda args: _date_part_rewrite(args),
+    # ---- bit-operation pack (r9 session 2): Snowflake's named bit
+    # functions -> Spark's operators/builtins. BITSHIFTRIGHT is an
+    # ARITHMETIC shift on signed integers in both engines.
+    "BITAND": lambda args: (
+        f"(({args[0]}) & ({args[1]}))" if len(args) == 2 else _bad("BITAND", args)
+    ),
+    "BITOR": lambda args: (
+        f"(({args[0]}) | ({args[1]}))" if len(args) == 2 else _bad("BITOR", args)
+    ),
+    "BITXOR": lambda args: (
+        f"(({args[0]}) ^ ({args[1]}))" if len(args) == 2 else _bad("BITXOR", args)
+    ),
+    "BITNOT": lambda args: (
+        f"(~({args[0]}))" if len(args) == 1 else _bad("BITNOT", args)
+    ),
+    "BITSHIFTLEFT": lambda args: (
+        f"shiftleft({args[0]}, {args[1]})"
+        if len(args) == 2
+        else _bad("BITSHIFTLEFT", args)
+    ),
+    "BITSHIFTRIGHT": lambda args: (
+        f"shiftright({args[0]}, {args[1]})"
+        if len(args) == 2
+        else _bad("BITSHIFTRIGHT", args)
+    ),
+    "GETBIT": lambda args: (
+        f"getbit({args[0]}, {args[1]})"
+        if len(args) == 2
+        else _bad("GETBIT", args)
+    ),
+    # ---- VARIANT type predicates (r9 session 2). VARIANT = JSON text
+    # in this engine (the sql30/sql34 contract), so TYPEOF classifies
+    # the rendered JSON: structural classes by first character, JSON
+    # numbers fine-classed the way Snowflake's PARSE_JSON stores them
+    # (integer text -> INTEGER, plain fraction -> DECIMAL, exponent
+    # form -> DOUBLE). NULL SQL value stays NULL; JSON null is the
+    # distinct NULL_VALUE.
+    "TYPEOF": lambda args: (
+        _typeof_case(args[0]) if len(args) == 1 else _bad("TYPEOF", args)
+    ),
+    "IS_OBJECT": lambda args: (
+        f"(startswith(trim({args[0]}), '{{'))"
+        if len(args) == 1
+        else _bad("IS_OBJECT", args)
+    ),
+    "IS_ARRAY": lambda args: (
+        f"(startswith(trim({args[0]}), '['))"
+        if len(args) == 1
+        else _bad("IS_ARRAY", args)
+    ),
+    "IS_BOOLEAN": lambda args: (
+        f"(trim({args[0]}) IN ('true', 'false'))"
+        if len(args) == 1
+        else _bad("IS_BOOLEAN", args)
+    ),
+    "IS_NULL_VALUE": lambda args: (
+        f"(trim({args[0]}) = 'null')"
+        if len(args) == 1
+        else _bad("IS_NULL_VALUE", args)
+    ),
+    "IS_VARCHAR": lambda args: (
+        f"(startswith(trim({args[0]}), '\"'))"
+        if len(args) == 1
+        else _bad("IS_VARCHAR", args)
+    ),
+    "IS_INTEGER": lambda args: (
+        f"(trim({args[0]}) RLIKE '^-?[0-9]+$')"
+        if len(args) == 1
+        else _bad("IS_INTEGER", args)
+    ),
 }
+
+
+def _typeof_case(v: str) -> str:
+    t = f"trim({v})"
+    return (
+        f"(CASE WHEN ({v}) IS NULL THEN CAST(NULL AS STRING)"
+        f" WHEN {t} = 'null' THEN 'NULL_VALUE'"
+        f" WHEN startswith({t}, '{{') THEN 'OBJECT'"
+        f" WHEN startswith({t}, '[') THEN 'ARRAY'"
+        f" WHEN startswith({t}, '\"') THEN 'VARCHAR'"
+        f" WHEN {t} IN ('true', 'false') THEN 'BOOLEAN'"
+        f" WHEN {t} RLIKE '^-?[0-9]+$' THEN 'INTEGER'"
+        f" WHEN {t} RLIKE '^-?[0-9]+\\\\.[0-9]+$' THEN 'DECIMAL'"
+        f" ELSE 'DOUBLE' END)"
+    )
 
 
 _TIME_SLICE_SECS = {

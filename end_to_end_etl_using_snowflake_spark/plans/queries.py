@@ -7894,6 +7894,195 @@ def f27_calendar_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite_scalar_funcs(_F27_SNOWFLAKE_TEXT))
 
 
+_F28_SNOWFLAKE_TEXT = """
+SELECT o_orderkey,
+       BITAND(o_orderkey, 255) AS lo,
+       BITOR(o_orderkey, 16) AS set4,
+       BITXOR(o_orderkey, o_custkey) AS mix,
+       BITNOT(o_orderkey) AS flipped,
+       BITSHIFTLEFT(o_orderkey, 3) AS shl,
+       BITSHIFTRIGHT(BITNOT(o_orderkey), 2) AS shr_neg,
+       GETBIT(o_orderkey, 5) AS b5
+FROM f28_src
+"""
+
+
+@register(
+    "f28_bit_ops",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255                AS lo,
+           o_orderkey | 16                 AS set4,
+           xor(o_orderkey, o_custkey)      AS mix,
+           ~o_orderkey                     AS flipped,
+           o_orderkey << 3                 AS shl,
+           (~o_orderkey) >> 2              AS shr_neg,
+           (o_orderkey >> 5) & 1           AS b5
+    FROM orders WHERE o_orderkey % 17 = 0
+    """,
+    doc="""Snowflake's named BIT functions accepted VERBATIM (r9
+    session 2): BITAND/BITOR/BITXOR/BITNOT -> Spark's operators,
+    BITSHIFTLEFT/RIGHT -> shiftleft/shiftright, GETBIT -> getbit.
+    shr_neg pins the ARITHMETIC (sign-preserving) right shift on a
+    negative operand — both engines' ``>>`` floor toward -inf on
+    signed integers, the contract a logical-shift lowering would
+    break. All single-projection JVM expressions
+    (functions/sqldialect.py bit pack rows).""",
+    tags=("sql-surface", "dialect", "functions", "bitops"),
+)
+def f28_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import rewrite_scalar_funcs
+
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 17 == 0)
+    orders.select("o_orderkey", "o_custkey").createOrReplaceTempView("f28_src")
+    return spark.sql(rewrite_scalar_funcs(_F28_SNOWFLAKE_TEXT))
+
+
+_F29_SHARED_TEXT = """
+SELECT o_orderpriority,
+       MEDIAN(cents) AS med,
+       PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY cents) AS p25,
+       PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY cents) AS p75,
+       PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY cents) AS p90d,
+       COUNT(*) AS n
+FROM {src} GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "f29_percentile_dialect",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(MEDIAN(cents) AS DOUBLE) AS med,
+           PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY cents) AS p25,
+           PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY cents) AS p75,
+           CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY cents)
+                AS DOUBLE) AS p90d,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM src GROUP BY o_orderpriority
+    """,
+    doc="""Snowflake's ordered-set percentile aggregates run as ONE
+    SHARED TEXT — Spark 4 parses MEDIAN and PERCENTILE_CONT/DISC
+    WITHIN GROUP (ORDER BY ...) natively, which is the pinned claim
+    (no rewriter in the path; DuckDB differs only in result-type
+    casts). Inputs are exact cents BIGINTs so CONT interpolation at
+    quarter fractions is EXACT in double ((n-1)*0.25 and both
+    interpolation products are dyadic — engine-formula-independent);
+    DISC picks an existing value by the standard first-cume_dist>=p
+    rule, identical double comparison on both engines. MEDIAN =
+    PERCENTILE_CONT(0.5) per Snowflake's definition.""",
+    tags=("sql-surface", "dialect", "aggregation", "percentile"),
+)
+def f29_percentile_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    ).createOrReplaceTempView("f29_src")
+    return spark.sql(_F29_SHARED_TEXT.format(src="f29_src"))
+
+
+# one VARIANT cell per row cycling through every JSON type class —
+# the SAME constructor expression runs on both engines
+_F30_VARIANT_CASE = """
+CASE event_id % 9
+    WHEN 0 THEN props
+    WHEN 1 THEN '[1, 2]'
+    WHEN 2 THEN '"text"'
+    WHEN 3 THEN 'true'
+    WHEN 4 THEN '-42'
+    WHEN 5 THEN '3.14'
+    WHEN 6 THEN '2.5e10'
+    WHEN 7 THEN 'null'
+    ELSE NULL
+END
+"""
+
+# predicate outputs ride a STRING cast: nullable BOOLEAN NULLs
+# round-trip as NaN from DuckDB but None from Spark (the f24 gotcha —
+# the driver canonicalizer keeps them distinct)
+_F30_SNOWFLAKE_TEXT = """
+SELECT event_id,
+       TYPEOF(v) AS t,
+       CAST(IS_OBJECT(v) AS STRING) AS is_obj,
+       CAST(IS_ARRAY(v) AS STRING) AS is_arr,
+       CAST(IS_BOOLEAN(v) AS STRING) AS is_bool,
+       CAST(IS_INTEGER(v) AS STRING) AS is_int,
+       CAST(IS_VARCHAR(v) AS STRING) AS is_str,
+       CAST(IS_NULL_VALUE(v) AS STRING) AS is_jnull
+FROM f30_src
+"""
+
+
+@register(
+    "f30_variant_typeof",
+    oracle=r"""
+    WITH src AS (
+        SELECT event_id,
+               CASE event_id % 9
+                   WHEN 0 THEN props
+                   WHEN 1 THEN '[1, 2]'
+                   WHEN 2 THEN '"text"'
+                   WHEN 3 THEN 'true'
+                   WHEN 4 THEN '-42'
+                   WHEN 5 THEN '3.14'
+                   WHEN 6 THEN '2.5e10'
+                   WHEN 7 THEN 'null'
+                   ELSE NULL
+               END AS v
+        FROM events WHERE event_id % 11 = 0
+    )
+    SELECT event_id,
+           CASE WHEN v IS NULL THEN NULL
+                WHEN trim(v) = 'null' THEN 'NULL_VALUE'
+                WHEN json_type(v) = 'OBJECT' THEN 'OBJECT'
+                WHEN json_type(v) = 'ARRAY' THEN 'ARRAY'
+                WHEN json_type(v) = 'VARCHAR' THEN 'VARCHAR'
+                WHEN json_type(v) = 'BOOLEAN' THEN 'BOOLEAN'
+                WHEN regexp_full_match(trim(v), '-?[0-9]+') THEN 'INTEGER'
+                WHEN regexp_full_match(trim(v), '-?[0-9]+\.[0-9]+')
+                    THEN 'DECIMAL'
+                ELSE 'DOUBLE' END            AS t,
+           CAST(json_type(v) = 'OBJECT' AS VARCHAR)  AS is_obj,
+           CAST(json_type(v) = 'ARRAY' AS VARCHAR)   AS is_arr,
+           CAST(json_type(v) = 'BOOLEAN' AS VARCHAR) AS is_bool,
+           CAST(regexp_full_match(trim(v), '-?[0-9]+') AS VARCHAR) AS is_int,
+           CAST(json_type(v) = 'VARCHAR' AS VARCHAR) AS is_str,
+           CAST(trim(v) = 'null' AS VARCHAR)         AS is_jnull
+    FROM src
+    """,
+    doc="""Snowflake VARIANT TYPE PREDICATES accepted VERBATIM (r9
+    session 2) over this engine's JSON-text VARIANT contract (the
+    sql30/sql34 convention): TYPEOF classifies the rendered JSON —
+    structural classes by leading character, JSON numbers fine-classed
+    the way Snowflake's PARSE_JSON stores them (integer text ->
+    INTEGER, plain fraction -> DECIMAL, exponent form -> DOUBLE) —
+    plus IS_OBJECT/IS_ARRAY/IS_BOOLEAN/IS_INTEGER/IS_VARCHAR/
+    IS_NULL_VALUE. SQL NULL propagates as NULL; JSON ``null`` is the
+    distinct NULL_VALUE class (Snowflake's own split). The probe
+    cycles one cell through all nine classes including real
+    ``events.props`` objects. Oracle classifies semi-independently via
+    DuckDB's json_type for structural classes + the shared numeric
+    regexes (functions/sqldialect.py:_typeof_case).""",
+    tags=("sql-surface", "dialect", "variant", "functions"),
+)
+def f30_variant_typeof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import rewrite_scalar_funcs
+
+    events = load(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    events.select(
+        "event_id", F.expr(_F30_VARIANT_CASE).alias("v")
+    ).createOrReplaceTempView("f30_src")
+    return spark.sql(rewrite_scalar_funcs(_F30_SNOWFLAKE_TEXT))
+
+
 @register(
     "s10_stage_positional_select",
     oracle="""

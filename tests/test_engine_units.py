@@ -3001,6 +3001,35 @@ def test_calendar_dialect_rewriter(spark):
         rewrite_scalar_funcs("SELECT DATE_PART(nanosecond, ts) FROM t")
 
 
+def test_bitops_typeof_rewriter(spark):
+    """BIT pack lowers to operators (arithmetic right shift pinned on a
+    negative); TYPEOF classifies JSON-text VARIANTs incl. the
+    INTEGER/DECIMAL/DOUBLE fine-classing and the SQL-NULL vs JSON-null
+    split."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_scalar_funcs,
+    )
+
+    row = spark.sql(
+        rewrite_scalar_funcs(
+            "SELECT BITAND(12, 10) AS a, BITOR(12, 2) AS o, "
+            "BITXOR(12, 10) AS x, BITNOT(0) AS n, "
+            "BITSHIFTLEFT(3, 4) AS l, BITSHIFTRIGHT(-21, 2) AS r, "
+            "GETBIT(10, 1) AS g, "
+            "TYPEOF('{\"a\":1}') AS t_obj, TYPEOF(' [1]') AS t_arr, "
+            "TYPEOF('-7') AS t_int, TYPEOF('7.25') AS t_dec, "
+            "TYPEOF('1e3') AS t_dbl, TYPEOF('null') AS t_jnull, "
+            "TYPEOF(CAST(NULL AS STRING)) AS t_null, "
+            "IS_INTEGER('42') AS ii, IS_NULL_VALUE('null') AS inull"
+        )
+    ).first()
+    assert (row.a, row.o, row.x, row.n, row.l, row.g) == (8, 14, 6, -1, 48, 1)
+    assert row.r == -6  # arithmetic shift: floor(-21 / 4), not logical
+    assert (row.t_obj, row.t_arr, row.t_int) == ("OBJECT", "ARRAY", "INTEGER")
+    assert (row.t_dec, row.t_dbl, row.t_jnull) == ("DECIMAL", "DOUBLE", "NULL_VALUE")
+    assert row.t_null is None and row.ii is True and row.inull is True
+
+
 def test_top_rewriter():
     """SELECT TOP n lowers to a trailing LIMIT; TOP+LIMIT refuses;
     non-TOP statements pass through untouched."""
