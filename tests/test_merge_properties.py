@@ -314,3 +314,58 @@ def test_editdistance_cap_lowering_matches_reference_dp(spark, pairs, cap):
         want = lev(r["a"], r["b"])
         assert r["ed"] == want
         assert r["edc"] == min(want, max(cap, 0))
+
+
+_RX_PATTERNS = ["[0-9]+", "[ab]+", "a[0-9]", "b+", "[0-9]-a"]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    subjects=st.lists(
+        st.text(alphabet="ab019-", min_size=0, max_size=12),
+        min_size=1,
+        max_size=10,
+    ),
+    pat_i=st.integers(min_value=0, max_value=4),
+    pos=st.integers(min_value=1, max_value=5),
+    occ=st.integers(min_value=1, max_value=3),
+)
+def test_regexp_arg_forms_match_python_re(spark, subjects, pat_i, pos, occ):
+    """The Snowflake REGEXP_* argument-form lowerings (position /
+    occurrence / option) agree with a third, independent regex engine —
+    Python ``re`` on the same subject tail — for SUBSTR occurrence
+    selection (NULL when absent), COUNT, INSTR start and option=1 end
+    positions re-based to the full string, and REGEXP_LIKE's implicit
+    full-match anchor. Patterns are from the Java∩RE2∩Python common
+    subset and none can match empty."""
+    import re as _re
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_scalar_funcs,
+    )
+
+    p = _RX_PATTERNS[pat_i]
+    df = spark.createDataFrame([(s,) for s in subjects], "s string")
+    df.createOrReplaceTempView("rx_prop_src")
+    out = spark.sql(
+        rewrite_scalar_funcs(
+            f"SELECT s, REGEXP_SUBSTR(s, '{p}', {pos}, {occ}) AS sub,"
+            f" REGEXP_COUNT(s, '{p}', {pos}) AS cnt,"
+            f" REGEXP_INSTR(s, '{p}', {pos}) AS ins,"
+            f" REGEXP_INSTR(s, '{p}', {pos}, 1, 1) AS ine,"
+            f" REGEXP_LIKE(s, '{p}') AS lk"
+            " FROM rx_prop_src"
+        )
+    ).collect()
+    for r in out:
+        s = r["s"]
+        ms = list(_re.finditer(p, s[pos - 1 :]))
+        assert r["sub"] == (ms[occ - 1].group(0) if len(ms) >= occ else None)
+        assert r["cnt"] == len(ms)
+        assert r["ins"] == ((ms[0].start() + pos) if ms else 0)
+        assert r["ine"] == ((ms[0].end() + pos) if ms else 0)
+        assert r["lk"] == (_re.fullmatch(p, s) is not None)
