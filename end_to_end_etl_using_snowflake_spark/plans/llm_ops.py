@@ -266,6 +266,77 @@ def d5l_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_capped_pairs_oracle(
+    threshold: float = 0.5, planes: int = 24, bands: int = 4, dims: int = 64
+) -> str:
+    """d14's twin: the d5l banding with the HOT-BUCKET CAP — bucket
+    size limit computed FROM THE DATA on both engines (greatest(32,
+    n//16) = 4x the average (band,key) occupancy at r=6), buckets over
+    the cap dropped entirely, surviving pairs DISTINCT-deduped (the
+    capped mode's dedup — a pair's first agreeing band may be a
+    dropped hot bucket)."""
+    weights = S.hyperplane_weights(planes, dims)
+    dot_cols = []
+    for p, row in enumerate(weights):
+        lits = "[" + ", ".join(f"{float(x)}" for x in row) + "]"
+        dot_cols.append(
+            f"CASE WHEN list_reduce(list_concat([0.0::DOUBLE], "
+            f"list_transform(generate_series(1, len(v)), i -> v[i]*({lits}[i]))), "
+            f"(x,y) -> x+y) > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
+        )
+    sig = " + ".join(dot_cols)
+    r = planes // bands
+    mask = (1 << r) - 1
+    return f"""
+    WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    cap AS (SELECT greatest(32, count(*) // 16) AS mb FROM e),
+    n AS (SELECT id, v, sqrt({sql_dot('v', 'v')}) AS nrm, {sig} AS sig FROM e),
+    x AS (SELECT id, band, (sig >> (band * {r})) & {mask} AS key
+          FROM n, (SELECT unnest(range({bands})) AS band)),
+    bs AS (SELECT band, key FROM x GROUP BY band, key
+           HAVING count(*) <= (SELECT mb FROM cap)),
+    xs AS (SELECT x.* FROM x JOIN bs USING (band, key)),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM xs a JOIN xs b
+             ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+    SELECT c.id_a, c.id_b,
+           {sql_dot('na.v', 'nb.v')} / (na.nrm * nb.nrm) AS cos_sim
+    FROM cand c JOIN n na ON na.id = c.id_a JOIN n nb ON nb.id = c.id_b
+    WHERE {sql_dot('na.v', 'nb.v')} / (na.nrm * nb.nrm) >= {threshold}
+    """
+
+
+@register(
+    "d14_dedup_lsh_bucket_cap",
+    oracle=_lsh_capped_pairs_oracle(planes=24, bands=4),
+    doc="""d5l's banded hyperplane-LSH dedup WITH THE HOT-BUCKET CAP
+    engaged — the defense the sf10 adversarial sweep proved necessary
+    (r9 session 2): the 100x-replicated corpus turns every LSH bucket
+    into a >=100-member near-dup clique, and uncapped pair enumeration
+    is Omega(sum bucket^2) — billions of candidates that exhausted
+    spill disk. The cap is DATA-DERIVED on both engines (greatest(32,
+    n//16) = 4x the average (band,key) occupancy at r=6), so it tracks
+    corpus growth instead of degenerating like an absolute constant;
+    buckets above it are dropped BEFORE the self-join (the size
+    aggregation shuffles (band,key) rows only), bounding per-bucket
+    fan-out at cap^2. Dropped hot buckets are near-identical content
+    by construction — a production run routes their members through
+    the exact/minhash path (d1/d3), the same division of labor as d7's
+    stop-shingle cap. The one-row cap scalar is the only driver-side
+    state (p11's width-guard class). Oracle replicates banding + cap +
+    DISTINCT pair dedup exactly (operators/dedup.py:
+    embedding_cosine_pairs_lsh max_bucket).""",
+    tags=("dedup", "vectors", "lsh", "skew"),
+)
+def d14_dedup_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cap = max(32, emb.count() // 16)
+    return D.embedding_cosine_pairs_lsh(
+        emb, "vec_id", "embedding",
+        threshold=0.5, planes=24, bands=4, dims=64, max_bucket=cap,
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

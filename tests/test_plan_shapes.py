@@ -230,6 +230,29 @@ def test_lsh_pairs_plan_has_no_cartesian_node(spark):
         assert "zip_with" not in line, line
 
 
+def test_lsh_bucket_cap_plan_filters_before_self_join(spark):
+    """d14 (capped banded LSH) inherits d5l's no-cartesian / narrow-
+    banding-join contract AND must apply the hot-bucket size filter
+    BEFORE the candidate self-join: the cap's whole point is bounding
+    per-bucket fan-out at cap^2 — a post-join filter would still
+    enumerate the Omega(bucket^2) pairs the sf10 adversarial corpus
+    proved fatal. Filter evidence: a size aggregate over (band, key)
+    feeding the join side (count + filter nodes keyed on band/key)."""
+    plan = plan_of(spark, "d14_dedup_lsh_bucket_cap")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    band_join_lines = [
+        line for line in plan.splitlines()
+        if "Join" in line and "band" in line and "key" in line
+    ]
+    assert band_join_lines, plan
+    for line in band_join_lines:
+        assert "zip_with" not in line, line
+    # the bucket-size aggregate exists and its filter survives planning
+    assert "partial_count" in plan or "count(1)" in plan, plan
+    assert "__bn" in plan, plan
+
+
 def test_q6_all_predicates_reach_the_scan(spark):
     """TPC-H Q6 is the pushdown probe: ship-date bounds must land in
     PushedFilters so row groups prune at the parquet reader; the
