@@ -1461,6 +1461,80 @@ def x8_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic PII injection — the synthetic corpus carries no real
+# PII, so the probe plants emails/phones/IPs derived from doc_id with
+# the SAME expression on both engines (the f26 printf convention)
+_PII_TEXT = (
+    "text || ' Contact user' || doc_id || '@mail' || (doc_id % 7)"
+    " || '.com, call '"
+    " || printf('%03d-%03d-%04d', doc_id % 900 + 100,"
+    " (doc_id * 3) % 900 + 100, (doc_id * 7) % 9000 + 1000)"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' from 10.' || (doc_id % 256)"
+    " || '.0.' || (doc_id % 100) ELSE '' END"
+)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@register(
+    "t14_pii_redact",
+    oracle=f"""
+    WITH src AS (SELECT doc_id, {_PII_TEXT} AS t FROM documents),
+    red AS (
+        SELECT doc_id, t,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                   '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g'),
+                   '{_PII_IP}', '<IP>', 'g') AS redacted,
+               len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phones,
+               len(regexp_extract_all(t, '{_PII_IP}')) AS n_ips
+        FROM src
+    )
+    SELECT doc_id, redacted, n_emails, n_phones, n_ips,
+           (n_emails + n_phones + n_ips) > 0 AS has_pii
+    FROM red
+    """,
+    doc="""PII DETECTION + REDACTION — the scrub pass every public
+    training-data pipeline runs before release (emails, phone numbers,
+    IPv4 addresses -> typed placeholder tokens, plus per-doc detection
+    counts for the removal ledger). Redaction is a CHAIN in a fixed
+    documented order (email -> phone -> IP, each over the previous
+    output) because the categories' character classes overlap —
+    unordered passes could double-hit; counts are measured on the
+    ORIGINAL text. Patterns live in the Java∩RE2 common subset so both
+    engines match identically; all row-local regexp expressions —
+    whole-stage codegen, zero shuffles, linear in corpus bytes at any
+    scale. The probe plants deterministic PII (the corpus has none) via
+    one shared constructor expression.""",
+    tags=("text", "governance", "pii"),
+)
+def t14_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.expr(_PII_TEXT)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    n_emails = F.regexp_count(t, F.lit(_PII_EMAIL))
+    n_phones = F.regexp_count(t, F.lit(_PII_PHONE))
+    n_ips = F.regexp_count(t, F.lit(_PII_IP))
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        ((n_emails + n_phones + n_ips) > 0).alias("has_pii"),
+    )
+
+
 @register(
     "v8_quantize_int8",
     oracle=f"""
