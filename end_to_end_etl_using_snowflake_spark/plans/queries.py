@@ -8126,6 +8126,72 @@ def s10_stage_positional_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s11_put_remove_stage",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('put_fresh',          'UPLOADED'),
+        ('put_dup',            'SKIPPED'),
+        ('put_gz',             'UPLOADED'),
+        ('gz_target',          'orders_fix.csv.gz'),
+        ('stage_after_put',    'orders_fix.csv|orders_fix.csv.gz'),
+        ('roundtrip_rows',     '4'),
+        ('roundtrip_qty_sum',  '60'),
+        ('removed',            'orders_fix.csv.gz'),
+        ('stage_after_remove', 'orders_fix.csv')
+    ) AS t(step, value)
+    """,
+    doc="""``PUT file:// @stage`` and ``REMOVE @stage`` accepted
+    VERBATIM (r9 session 2) — the first and last verbs of every
+    Snowflake loading runbook, closing the stage-lifecycle text
+    surface around list/COPY/unload (S6/S2/s8): PUT uploads a local
+    file into the stage directory (AUTO_COMPRESS defaults TRUE —
+    gzip + ``.gz`` with deterministic bytes via mtime=0; OVERWRITE
+    defaults FALSE — the duplicate PUT returns SKIPPED, pinned),
+    REMOVE deletes by stage-relative prefix and returns one row per
+    removed file. The probe round-trips: upload plain + gzipped copies,
+    read BOTH back through one Spark CSV load (the .gz rides Spark's
+    native codec path — the data plane stays distributed), then REMOVE
+    the gzip and re-list. Golden VALUES oracle
+    (sources/copy_into.py:put_statement, remove_statement).""",
+    tags=("sources", "stage", "dialect", "put"),
+)
+def s11_put_remove_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..functions.scratch import scratch_dir
+    from ..sources.copy_into import list_stage, put_statement, remove_statement
+
+    root = scratch_dir("put_stage_")
+    land = os.path.join(root, "inbox")
+    os.makedirs(land, exist_ok=True)
+    src = os.path.join(root, "orders_fix.csv")
+    with open(src, "w") as f:
+        f.write("id,qty\n1,10\n2,20\n")
+
+    r1 = put_statement(f"PUT file://{src} @inbox AUTO_COMPRESS = FALSE", land)
+    r2 = put_statement(f"PUT file://{src} @inbox AUTO_COMPRESS = FALSE", land)
+    r3 = put_statement(f"PUT file://{src} @inbox", land)
+    after_put = "|".join(list_stage(land))
+    both = spark.read.option("header", "true").csv(land)
+    n_rows = both.count()
+    qty_sum = both.agg(F.sum(F.col("qty").cast("long"))).collect()[0][0]
+    removed = remove_statement("REMOVE @inbox/orders_fix.csv.gz", land)
+    after_remove = "|".join(list_stage(land))
+    probes = [
+        ("put_fresh", r1["status"]),
+        ("put_dup", r2["status"]),
+        ("put_gz", r3["status"]),
+        ("gz_target", r3["target"]),
+        ("stage_after_put", after_put),
+        ("roundtrip_rows", str(n_rows)),
+        ("roundtrip_qty_sum", str(qty_sum)),
+        ("removed", "|".join(removed)),
+        ("stage_after_remove", after_remove),
+    ]
+    return spark.createDataFrame(probes, "step string, value string")
+
+
 # one statement exercising FOUR dialect constructs at once — the
 # composed lowering must handle their interactions, not just each
 # construct alone

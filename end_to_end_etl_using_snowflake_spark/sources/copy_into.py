@@ -274,3 +274,100 @@ def copy_unload(spark: SparkSession, text: str, stage_root: str) -> tuple[str, i
         if f.endswith(".csv") and not f.startswith((".", "_"))
     )
     return out_dir, n
+
+
+def put_statement(text: str, stage_root: str) -> dict:
+    """Execute a verbatim ``PUT file://<local> @<stage>[/prefix]
+    [AUTO_COMPRESS = TRUE|FALSE] [OVERWRITE = TRUE|FALSE]`` — the first
+    verb of every Snowflake loading runbook (upload a local file into a
+    stage). The stage is the directory rooted at ``stage_root`` (the
+    @stage binding copy_unload/pipes use); the target keeps the source
+    basename. AUTO_COMPRESS defaults TRUE like Snowflake: the staged
+    copy is gzipped with ``.gz`` appended (mtime pinned to 0 so staged
+    bytes are deterministic) unless the name already ends compressed.
+    OVERWRITE defaults FALSE: an existing target row comes back
+    ``SKIPPED`` instead of clobbering (Snowflake's contract). Returns
+    the status row — {source, target, source_size, target_size,
+    status} — one PUT = one file (wildcards refuse loudly).
+    O(file bytes) driver-local I/O, the same cost class as the stage
+    listing; the data path stays distributed (Spark reads .csv.gz
+    natively)."""
+    import gzip
+    import re
+
+    from ..functions.sqldialect import _strip_line_comments
+
+    sql = _strip_line_comments(text).strip().rstrip(";")
+    m = re.match(
+        r"PUT\s+file://(?P<src>\S+)\s+@(?P<stage>[\w./]+)(?P<tail>.*)$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m is None:
+        raise ValueError("unsupported PUT shape (need PUT file://<path> @<stage>)")
+    src = m.group("src")
+    if any(ch in src for ch in "*?["):
+        raise ValueError("PUT wildcards are not supported (one file per PUT)")
+    tail = m.group("tail")
+    ac = re.search(r"AUTO_COMPRESS\s*=\s*(TRUE|FALSE)", tail, re.IGNORECASE)
+    ow = re.search(r"OVERWRITE\s*=\s*(TRUE|FALSE)", tail, re.IGNORECASE)
+    auto_compress = (ac.group(1).upper() == "TRUE") if ac else True
+    overwrite = (ow.group(1).upper() == "TRUE") if ow else False
+    parts = m.group("stage").split("/")
+    out_dir = os.path.join(stage_root, *parts[1:]) if len(parts) > 1 else stage_root
+    os.makedirs(out_dir, exist_ok=True)
+    base = os.path.basename(src)
+    compressed = auto_compress and not base.endswith((".gz", ".bz2", ".zst"))
+    target = base + ".gz" if compressed else base
+    dst = os.path.join(out_dir, target)
+    src_size = os.path.getsize(src)
+    if os.path.exists(dst) and not overwrite:
+        return {
+            "source": base,
+            "target": target,
+            "source_size": src_size,
+            "target_size": os.path.getsize(dst),
+            "status": "SKIPPED",
+        }
+    with open(src, "rb") as f:
+        data = f.read()
+    payload = gzip.compress(data, mtime=0) if compressed else data
+    fd, tmp = tempfile.mkstemp(dir=out_dir)
+    with os.fdopen(fd, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, dst)
+    return {
+        "source": base,
+        "target": target,
+        "source_size": src_size,
+        "target_size": len(payload),
+        "status": "UPLOADED",
+    }
+
+
+def remove_statement(text: str, stage_root: str) -> list[str]:
+    """Execute a verbatim ``REMOVE @<stage>[/prefix]`` — delete every
+    stage file whose stage-relative path starts with the prefix and
+    return their names sorted (Snowflake returns one row per removed
+    file). Prefix semantics match Snowflake's: ``REMOVE @s/dir`` clears
+    the subtree, ``REMOVE @s/file.csv`` one file. Listing + unlink only
+    — never touches file contents."""
+    import re
+
+    from ..functions.sqldialect import _strip_line_comments
+
+    sql = _strip_line_comments(text).strip().rstrip(";")
+    m = re.match(r"REMOVE\s+@(?P<stage>[\w./]+)\s*$", sql, re.IGNORECASE)
+    if m is None:
+        raise ValueError("unsupported REMOVE shape (need REMOVE @<stage>[/prefix])")
+    parts = m.group("stage").split("/")
+    prefix = "/".join(parts[1:])
+    removed = []
+    for dirpath, _dirs, files in os.walk(stage_root):
+        for f in files:
+            full = os.path.join(dirpath, f)
+            rel = os.path.relpath(full, stage_root)
+            if not prefix or rel.startswith(prefix):
+                os.remove(full)
+                removed.append(rel)
+    return sorted(removed)

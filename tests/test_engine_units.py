@@ -3001,6 +3001,56 @@ def test_calendar_dialect_rewriter(spark):
         rewrite_scalar_funcs("SELECT DATE_PART(nanosecond, ts) FROM t")
 
 
+def test_put_remove_statement_edges(tmp_path):
+    """PUT: OVERWRITE=TRUE clobbers (fresh UPLOADED), wildcards refuse,
+    already-compressed names skip re-gzip; REMOVE: subtree prefix
+    clears nested files, bad shapes refuse."""
+    import gzip
+    import os
+
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.sources.copy_into import (
+        put_statement,
+        remove_statement,
+    )
+
+    land = str(tmp_path / "stage")
+    src = str(tmp_path / "a.csv")
+    with open(src, "w") as f:
+        f.write("x\n1\n")
+    r1 = put_statement(f"PUT file://{src} @s AUTO_COMPRESS = FALSE", land)
+    assert (r1["status"], r1["target"]) == ("UPLOADED", "a.csv")
+    # grow the source; without OVERWRITE the stale copy survives
+    with open(src, "w") as f:
+        f.write("x\n1\n2\n")
+    r2 = put_statement(f"PUT file://{src} @s AUTO_COMPRESS = FALSE", land)
+    assert r2["status"] == "SKIPPED"
+    r3 = put_statement(
+        f"PUT file://{src} @s AUTO_COMPRESS = FALSE OVERWRITE = TRUE", land
+    )
+    assert r3["status"] == "UPLOADED" and r3["target_size"] == r3["source_size"]
+    # gzip round-trips the bytes and is deterministic (mtime=0)
+    rz = put_statement(f"PUT file://{src} @s/sub", land)
+    with open(os.path.join(land, "sub", "a.csv.gz"), "rb") as f:
+        assert gzip.decompress(f.read()) == b"x\n1\n2\n"
+    rz2 = put_statement(f"PUT file://{src} @s/sub OVERWRITE = TRUE", land)
+    assert rz2["target_size"] == rz["target_size"]
+    # pre-compressed names are staged as-is
+    gz_src = str(tmp_path / "b.csv.gz")
+    with open(gz_src, "wb") as f:
+        f.write(gzip.compress(b"y\n", mtime=0))
+    rb = put_statement(f"PUT file://{gz_src} @s", land)
+    assert rb["target"] == "b.csv.gz"
+    with _pytest.raises(ValueError, match="wildcards"):
+        put_statement(f"PUT file://{tmp_path}/*.csv @s", land)
+    removed = remove_statement("REMOVE @s/sub", land)
+    assert removed == [os.path.join("sub", "a.csv.gz")]
+    assert sorted(remove_statement("REMOVE @s", land)) == ["a.csv", "b.csv.gz"]
+    with _pytest.raises(ValueError, match="unsupported REMOVE"):
+        remove_statement("REMOVE TABLE t", land)
+
+
 def test_bitops_typeof_rewriter(spark):
     """BIT pack lowers to operators (arithmetic right shift pinned on a
     negative); TYPEOF classifies JSON-text VARIANTs incl. the
