@@ -39,6 +39,8 @@ HEADLINE = [
     "d7_dedup_stop_shingle",   # minhash LSH + stop-shingle skew cap
     "d4_dedup_simhash",        # pigeonhole-banded simhash
     "d5l_dedup_embedding_lsh", # banded-LSH embedding pairs (scale path)
+    "d14_dedup_lsh_bucket_cap",# capped banded LSH (hot-bucket defense, r9)
+    "t14_pii_redact",          # PII scrub pass (regex chain, r9)
     "d10_segment_boilerplate", # cross-doc segment/boilerplate removal
     "d11_semantic_dedup",      # SemDeDup cluster-then-prune
     "t12_bpe_encode",          # BPE corpus encoding (train+encode one plan)

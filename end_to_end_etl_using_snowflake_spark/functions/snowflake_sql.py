@@ -114,7 +114,8 @@ def _task_history_view(spark: SparkSession, pipelines) -> str:
 
 
 def snowflake_sql(
-    spark: SparkSession, text: str, pipelines=None, tables: dict | None = None
+    spark: SparkSession, text: str, pipelines=None, tables: dict | None = None,
+    stages: dict | None = None,
 ) -> DataFrame:
     """Execute one Snowflake statement verbatim. ``pipelines`` (an
     EntityPipelines or any object with ``dags``/``pipes``/``wh``) is
@@ -123,9 +124,32 @@ def snowflake_sql(
     MERGE INTO, INSERT OVERWRITE, plain INSERT, UPDATE, and DELETE all
     dispatch from here when a mapping is provided — each returns the
     post-statement table state (the caller owns the write, as
-    everywhere in the statement layer)."""
+    everywhere in the statement layer). ``stages`` (stage name -> root
+    directory) binds the file-transfer verbs (r9 session 2): PUT
+    returns its one status row, REMOVE one row per removed file —
+    Snowflake's own result shapes."""
     stmt = _normalize(text)
     low = stmt.lower()
+
+    if stages is not None and low.startswith(("put ", "remove @")):
+        from ..sources.copy_into import put_statement, remove_statement
+
+        m = re.search(r"@([\w.]+)", stmt)
+        if m is None:
+            raise ValueError(f"no @stage reference in: {stmt!r}")
+        root = stages[m.group(1).split("/")[0]]
+        if low.startswith("put "):
+            r = put_statement(text, root)
+            return spark.createDataFrame(
+                [(r["source"], r["target"], r["source_size"],
+                  r["target_size"], r["status"])],
+                "source string, target string, source_size long,"
+                " target_size long, status string",
+            )
+        removed = remove_statement(text, root)
+        return spark.createDataFrame(
+            [(n,) for n in removed], "name string"
+        )
 
     if tables is not None:
         from .sqldialect import (

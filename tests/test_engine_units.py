@@ -3051,6 +3051,31 @@ def test_put_remove_statement_edges(tmp_path):
         remove_statement("REMOVE TABLE t", land)
 
 
+def test_snowflake_sql_dispatches_put_remove(spark, tmp_path):
+    """The one-entry-point console routes PUT/REMOVE through the stage
+    binding and returns Snowflake's result shapes (one status row / one
+    row per removed file)."""
+    import os
+
+    from end_to_end_etl_using_snowflake_spark.functions.snowflake_sql import (
+        snowflake_sql,
+    )
+
+    land = str(tmp_path / "inbox")
+    src = str(tmp_path / "f.csv")
+    with open(src, "w") as f:
+        f.write("a\n1\n")
+    stages = {"inbox": land}
+    r = snowflake_sql(
+        spark, f"PUT file://{src} @inbox AUTO_COMPRESS = FALSE", stages=stages
+    ).first()
+    assert (r.source, r.target, r.status) == ("f.csv", "f.csv", "UPLOADED")
+    assert os.path.exists(os.path.join(land, "f.csv"))
+    out = snowflake_sql(spark, "REMOVE @inbox/f.csv", stages=stages).collect()
+    assert [x.name for x in out] == ["f.csv"]
+    assert not os.path.exists(os.path.join(land, "f.csv"))
+
+
 def test_bitops_typeof_rewriter(spark):
     """BIT pack lowers to operators (arithmetic right shift pinned on a
     negative); TYPEOF classifies JSON-text VARIANTs incl. the
