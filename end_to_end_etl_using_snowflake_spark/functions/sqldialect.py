@@ -1126,7 +1126,7 @@ _DELETE_RE = re.compile(
 )
 
 
-def _dml_table(tables: dict, name: str):
+def _dml_key(tables: dict, name: str) -> str:
     # resolve by case-insensitive last dotted segment, but REFUSE when
     # two mapping entries share the short name — first-match would
     # silently route the DML to whichever was inserted first (ADVICE
@@ -1138,8 +1138,127 @@ def _dml_table(tables: dict, name: str):
             f"table name {name!r} is ambiguous in the tables mapping: {sorted(hits)}"
         )
     if hits:
-        return tables[hits[0]]
+        return hits[0]
     raise KeyError(f"table {name!r} not in the tables mapping")
+
+
+def _dml_table(tables: dict, name: str):
+    return tables[_dml_key(tables, name)]
+
+
+def _split_statements(text: str) -> list[str]:
+    """Split a multi-statement script on top-level ``;`` — aware of
+    '...' string literals (with '' self-escape), ``--`` line comments,
+    and ``/* */`` block comments, so separators inside any of those
+    never split."""
+    out: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'" and text[j + 1 : j + 2] == "'":
+                    j += 2
+                elif text[j] == "'":
+                    break
+                else:
+                    j += 1
+            buf.append(text[i : j + 1])
+            i = j + 1
+        elif c == "-" and text[i + 1 : i + 2] == "-":
+            j = text.find("\n", i)
+            j = n if j < 0 else j
+            buf.append(text[i:j])
+            i = j
+        elif c == "/" and text[i + 1 : i + 2] == "*":
+            j = text.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            buf.append(text[i:j])
+            i = j
+        elif c == ";":
+            out.append("".join(buf))
+            buf = []
+            i += 1
+        else:
+            buf.append(c)
+            i += 1
+    if "".join(buf).strip():
+        out.append("".join(buf))
+    return [s for s in (x.strip() for x in out) if s]
+
+
+_DML_HEAD_RE = re.compile(
+    r"^(?P<head>MERGE\s+INTO|INSERT\s+OVERWRITE(?:\s+INTO)?|INSERT\s+INTO|"
+    r"UPDATE|DELETE\s+FROM)\s+(?P<t>[\w.]+)",
+    re.IGNORECASE,
+)
+
+
+def transaction_script(spark, text: str, tables: dict) -> dict:  # noqa: ANN001
+    """Run a ``;``-separated DML script with explicit transaction
+    blocks — ``BEGIN ... COMMIT`` applies atomically, ``BEGIN ...
+    ROLLBACK`` (or an error inside the block) leaves no trace —
+    accepted VERBATIM (r9 session 2). Statements dispatch through the
+    existing shims (MERGE / INSERT OVERWRITE / INSERT / UPDATE /
+    DELETE); inside a block they run against a WORKING COPY of the
+    tables mapping that replaces the live mapping only at COMMIT, so a
+    statement sees the block's earlier uncommitted writes (read-your-
+    writes, Snowflake's in-transaction visibility) while outside
+    readers never do. Statements outside any block autocommit
+    (Snowflake's AUTOCOMMIT=TRUE default). Nested BEGIN and an
+    unterminated block refuse loudly. Returns the final name ->
+    DataFrame mapping; the caller owns all writes, as everywhere in
+    the statement layer. Plans: each statement's own shim lowering —
+    a block adds NO materialization (the working copy holds lazy
+    DataFrames; atomicity is mapping-swap, the pl_transaction
+    storage-layer protocol's text-level analog)."""
+    live = dict(tables)
+    working: dict | None = None
+    for stmt in _split_statements(text):
+        stmt = _strip_line_comments(stmt).strip()
+        if not stmt:
+            continue
+        low = " ".join(stmt.lower().split())
+        if low in ("begin", "begin transaction", "begin work",
+                   "start transaction"):
+            if working is not None:
+                raise ValueError("nested BEGIN is not supported")
+            working = dict(live)
+            continue
+        if low == "commit":
+            if working is None:
+                raise ValueError("COMMIT outside a transaction block")
+            live, working = working, None
+            continue
+        if low == "rollback":
+            if working is None:
+                raise ValueError("ROLLBACK outside a transaction block")
+            working = None
+            continue
+        target = live if working is None else working
+        m = _DML_HEAD_RE.match(stmt)
+        if m is None:
+            raise ValueError(
+                f"unsupported statement in transaction script: {stmt[:60]!r}"
+            )
+        key = _dml_key(target, m.group("t"))
+        head = " ".join(m.group("head").upper().split())
+        if head == "MERGE INTO":
+            new = merge_statement(spark, stmt, target)
+        elif head.startswith("INSERT OVERWRITE"):
+            new = insert_overwrite_statement(spark, stmt, target)
+        elif head == "INSERT INTO":
+            new = insert_statement(spark, stmt, target)
+        elif head == "UPDATE":
+            new = update_statement(spark, stmt, target)
+        else:
+            new = delete_statement(spark, stmt, target)
+        target[key] = new
+    if working is not None:
+        raise ValueError("unterminated transaction block (missing COMMIT/ROLLBACK)")
+    return live
 
 
 def update_statement(spark, text: str, tables: dict):  # noqa: ANN001

@@ -8126,6 +8126,63 @@ def s10_stage_positional_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL51_SCRIPT = """
+BEGIN;
+UPDATE acct SET bal = bal + 10000 WHERE id % 4 = 0;
+DELETE FROM acct WHERE bal < 200000;  -- sees the block's own UPDATE
+COMMIT;
+BEGIN;
+UPDATE acct SET bal = 0;
+INSERT INTO acct VALUES (900000001, 1);
+ROLLBACK;
+UPDATE acct SET bal = bal - 5000 WHERE id % 3 = 0
+"""
+
+
+@register(
+    "sql51_transaction_text",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS id,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        FROM customer
+    ),
+    s1 AS (SELECT id,
+                  CASE WHEN id % 4 = 0 THEN bal + 10000 ELSE bal END AS bal
+           FROM base),
+    s2 AS (SELECT * FROM s1 WHERE NOT (bal < 200000)),
+    s3 AS (SELECT id,
+                  CASE WHEN id % 3 = 0 THEN bal - 5000 ELSE bal END AS bal
+           FROM s2)
+    SELECT id, bal FROM s3
+    """,
+    doc="""EXPLICIT TRANSACTION BLOCKS accepted VERBATIM (r9 session
+    2): ``BEGIN; <DML...>; COMMIT`` applies atomically, ``BEGIN; ...;
+    ROLLBACK`` leaves no trace, statements outside blocks autocommit —
+    Snowflake's AUTOCOMMIT=TRUE contract over the existing DML shims
+    (functions/sqldialect.py:transaction_script). The probe pins the
+    three behaviors at once: a committed block whose DELETE reads the
+    block's OWN uncommitted UPDATE (read-your-writes — rows the
+    UPDATE lifts over the threshold survive the DELETE), a rolled-back
+    block (zero-out + insert vanish entirely), and a trailing
+    autocommit UPDATE. Statement splitting is quote/comment-aware.
+    Atomicity is a lazy mapping swap — a block adds no materialization
+    or shuffle; this is the text-level analog of pl_transaction's
+    storage-layer intent-marker protocol. Oracle: the committed
+    effects as one CTE chain.""",
+    tags=("sql-surface", "dialect", "dml", "transaction"),
+)
+def sql51_transaction_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import transaction_script
+
+    acct = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+    )
+    final = transaction_script(spark, _SQL51_SCRIPT, {"acct": acct})
+    return final["acct"]
+
+
 @register(
     "s11_put_remove_stage",
     oracle="""

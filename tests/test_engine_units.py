@@ -3051,6 +3051,53 @@ def test_put_remove_statement_edges(tmp_path):
         remove_statement("REMOVE TABLE t", land)
 
 
+def test_transaction_script_edges(spark):
+    """BEGIN/COMMIT/ROLLBACK runner: read-your-writes inside a block,
+    rollback leaves no trace, an error inside a block leaves the
+    caller's mapping untouched, nested/unterminated/naked verbs refuse,
+    and ';' inside a string literal never splits."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        _split_statements,
+        transaction_script,
+    )
+
+    t = spark.createDataFrame([(1, 10), (2, 20)], "id int, v int")
+    # committed block; the DELETE sees the UPDATE's value
+    out = transaction_script(
+        spark,
+        "BEGIN; UPDATE t SET v = v + 100 WHERE id = 1;"
+        " DELETE FROM t WHERE v < 50; COMMIT",
+        {"t": t},
+    )
+    assert sorted((r.id, r.v) for r in out["t"].collect()) == [(1, 110)]
+    # rolled-back block leaves the input state
+    out = transaction_script(
+        spark, "BEGIN; UPDATE t SET v = 0; ROLLBACK", {"t": t}
+    )
+    assert sorted((r.id, r.v) for r in out["t"].collect()) == [(1, 10), (2, 20)]
+    # an error inside a block propagates and the caller's mapping is
+    # untouched (the working copy is discarded)
+    tables = {"t": t}
+    with _pytest.raises(ValueError, match="SET target"):
+        transaction_script(
+            spark, "BEGIN; UPDATE t SET nope = 1; COMMIT", tables
+        )
+    assert tables["t"] is t
+    with _pytest.raises(ValueError, match="nested BEGIN"):
+        transaction_script(spark, "BEGIN; BEGIN; COMMIT", {"t": t})
+    with _pytest.raises(ValueError, match="unterminated"):
+        transaction_script(spark, "BEGIN; UPDATE t SET v = 1", {"t": t})
+    with _pytest.raises(ValueError, match="COMMIT outside"):
+        transaction_script(spark, "COMMIT", {"t": t})
+    # splitter: ';' inside literals and comments never splits
+    parts = _split_statements(
+        "UPDATE t SET s = 'a;b'; -- c;d\nDELETE FROM t /* x;y */ WHERE v < 9"
+    )
+    assert len(parts) == 2 and "'a;b'" in parts[0]
+
+
 def test_snowflake_sql_dispatches_put_remove(spark, tmp_path):
     """The one-entry-point console routes PUT/REMOVE through the stage
     binding and returns Snowflake's result shapes (one status row / one
