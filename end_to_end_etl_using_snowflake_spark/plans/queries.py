@@ -8126,6 +8126,72 @@ def s10_stage_positional_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# runs on Spark AS WRITTEN — the pinned claim is "no rewriter in the
+# path" (the sql47 PIVOT posture): these Snowflake spellings parse
+# natively in Spark 4
+_SQL52_SNOWFLAKE_TEXT = r"""
+SELECT p_partkey,
+       p_type ILIKE '%brass%' AS brassy,
+       p_type LIKE ANY ('STANDARD%', 'SMALL%') AS std_small,
+       p_type LIKE ALL ('%ED%', '%I%') AS frag_both,
+       TRIM(BOTH 'STN' FROM p_type) AS trimmed,
+       POSITION('#' IN p_brand) AS hash_at,
+       TRANSLATE(p_brand, '#', '-') AS dashed,
+       (p_brand || '_' || CAST(p_size AS STRING)) LIKE '%\\_4' ESCAPE '\\'
+           AS esc_like
+FROM sql52_src
+MINUS
+SELECT p_partkey,
+       p_type ILIKE '%brass%',
+       p_type LIKE ANY ('STANDARD%', 'SMALL%'),
+       p_type LIKE ALL ('%ED%', '%I%'),
+       TRIM(BOTH 'STN' FROM p_type),
+       POSITION('#' IN p_brand),
+       TRANSLATE(p_brand, '#', '-'),
+       (p_brand || '_' || CAST(p_size AS STRING)) LIKE '%\\_4' ESCAPE '\\'
+FROM sql52_src WHERE p_partkey % 10 = 3
+"""
+
+
+@register(
+    "sql52_native_spellings",
+    oracle=r"""
+    WITH src AS (SELECT * FROM part WHERE p_partkey % 7 = 0),
+    sel AS (
+        SELECT p_partkey,
+               p_type ILIKE '%brass%' AS brassy,
+               (p_type LIKE 'STANDARD%' OR p_type LIKE 'SMALL%')
+                   AS std_small,
+               (p_type LIKE '%ED%' AND p_type LIKE '%I%') AS frag_both,
+               trim(p_type, 'STN') AS trimmed,
+               CAST(strpos(p_brand, '#') AS INT) AS hash_at,
+               translate(p_brand, '#', '-') AS dashed,
+               (p_brand || '_' || CAST(p_size AS VARCHAR))
+                   LIKE '%\_4' ESCAPE '\' AS esc_like
+        FROM src
+    )
+    SELECT * FROM sel WHERE p_partkey % 10 != 3
+    """,
+    doc="""Snowflake spellings that run on Spark 4 AS WRITTEN — the
+    pinned claim is that NO rewriter touches the text (sql47's
+    posture, so a future regression in pass-through coverage fails
+    loudly): MINUS (= EXCEPT DISTINCT), ILIKE, LIKE ANY / LIKE ALL
+    pattern lists, ANSI TRIM(BOTH <charset> FROM x) (char-SET trim on
+    both engines, not substring), POSITION(x IN y), TRANSLATE, and
+    LIKE ... ESCAPE with an escaped ``_`` wildcard (matches only the
+    literal underscore the concat planted). The oracle restates the
+    two forms DuckDB's parser lacks (MINUS -> complement predicate,
+    LIKE ANY/ALL -> OR/AND chains) and keeps the rest verbatim —
+    documenting exactly which spellings are portable SQL and which are
+    Spark-parser surface.""",
+    tags=("sql-surface", "dialect", "native-parse"),
+)
+def sql52_native_spellings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    part.createOrReplaceTempView("sql52_src")
+    return spark.sql(_SQL52_SNOWFLAKE_TEXT)
+
+
 _SQL51_SCRIPT = """
 BEGIN;
 UPDATE acct SET bal = bal + 10000 WHERE id % 4 = 0;
