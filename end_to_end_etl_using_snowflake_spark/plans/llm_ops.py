@@ -2846,6 +2846,76 @@ def x21_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x26_sql(md5_expr: str) -> str:
+    """x26's one query text, shared across engines up to the md5-int
+    idiom: disc thresholds are EXISTING n_chars values (exact at any
+    magnitude — Spark's DOUBLE return is integer-valued and compares
+    exactly against BIGINT n_chars), the 1-row threshold relation
+    cross-joins in (the allowed BNLJ-vs-scalar-aggregate shape), and
+    position is a per-(band, shard) local rank — no global sort."""
+    return f"""
+    WITH th AS (
+        SELECT PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY n_chars) AS t1,
+               PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY n_chars) AS t2,
+               PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY n_chars) AS t3
+        FROM x26_src
+    ),
+    banded AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN n_chars <= t1 THEN 0
+                    WHEN n_chars <= t2 THEN 1
+                    WHEN n_chars <= t3 THEN 2
+                    ELSE 3 END AS band,
+               {md5_expr} AS k
+        FROM x26_src, th
+    )
+    SELECT doc_id, band, k % 8 AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY band, k % 8 ORDER BY k ASC, doc_id ASC
+           ) AS BIGINT) AS position
+    FROM banded
+    """
+
+
+def _x26_oracle() -> str:
+    from ..operators.sketches import sql_md5_hash64
+
+    body = _x26_sql(sql_md5_hash64("doc_id", salt="x26"))
+    return (
+        "WITH x26_src AS (SELECT doc_id, n_chars FROM documents)"
+        + body.replace("WITH th AS", ", th AS", 1)
+    )
+
+
+@register(
+    "x26_quality_curriculum",
+    oracle=_x26_oracle(),
+    doc="""CURRICULUM SHARDING — order a training corpus easy-to-hard
+    without a global sort: docs band into quartiles of an exact
+    integer difficulty key (n_chars here; any scored column slots in),
+    then shuffle WITHIN each band into salted-md5 shards with a local
+    rank (x21's deterministic-shuffle idiom), so a trainer consumes
+    band 0 shards first and each (band, shard) file is independently
+    readable. Thresholds are PERCENTILE_DISC values — existing data
+    values, exact on both engines at any magnitude (the 1-row
+    threshold relation broadcast-cross-joins in: the allowed
+    BNLJ-vs-scalar-aggregate shape). At 100 TB: one pass for
+    thresholds, one hash exchange on (band, shard), per-shard local
+    sorts (spillable) — a global ORDER BY difficulty would serialize
+    the write for nothing, the same argument as x21. Deterministic:
+    any rerun reproduces the identical curriculum.""",
+    tags=("llm-pipeline", "training", "curriculum", "shuffle"),
+)
+def x26_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    docs.select("doc_id", "n_chars").createOrReplaceTempView("x26_src")
+    spark_md5 = (
+        "CAST(conv(substring(md5(concat('x26:', CAST(doc_id AS STRING))),"
+        " 1, 15), 16, 10) AS BIGINT)"
+    )
+    return spark.sql(_x26_sql(spark_md5))
+
+
 def _v14_oracle(n_candidates: int = 10, k: int = 5) -> str:
     # unrolled greedy MMR: one (red, pick, sel) CTE triple per step —
     # the same loop the Spark builder unrolls lazily
