@@ -131,8 +131,12 @@ def snowflake_sql(
     stmt = _normalize(text)
     low = stmt.lower()
 
-    if stages is not None and low.startswith(("put ", "remove @")):
-        from ..sources.copy_into import put_statement, remove_statement
+    if stages is not None and low.startswith(("put ", "remove @", "get @")):
+        from ..sources.copy_into import (
+            get_statement,
+            put_statement,
+            remove_statement,
+        )
 
         m = re.search(r"@([\w.]+)", stmt)
         if m is None:
@@ -145,6 +149,12 @@ def snowflake_sql(
                   r["target_size"], r["status"])],
                 "source string, target string, source_size long,"
                 " target_size long, status string",
+            )
+        if low.startswith("get "):
+            rows = get_statement(text, root)
+            return spark.createDataFrame(
+                [(r["file"], r["size"], r["status"]) for r in rows],
+                "file string, size long, status string",
             )
         removed = remove_statement(text, root)
         return spark.createDataFrame(

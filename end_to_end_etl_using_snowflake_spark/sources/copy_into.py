@@ -371,3 +371,45 @@ def remove_statement(text: str, stage_root: str) -> list[str]:
                 os.remove(full)
                 removed.append(rel)
     return sorted(removed)
+
+
+def get_statement(text: str, stage_root: str) -> list[dict]:
+    """Execute a verbatim ``GET @<stage>[/prefix] file://<local_dir>``
+    — download stage files matching the prefix into a local directory
+    (PUT's inverse; the stage-lifecycle triad's last verb). One result
+    row per file: {file, size, status} with status DOWNLOADED —
+    Snowflake's shape. Existing local files are overwritten
+    (Snowflake's GET default). Bytes are copied verbatim — a ``.gz``
+    staged by PUT comes back compressed, exactly like Snowflake."""
+    import re
+    import shutil
+
+    from ..functions.sqldialect import _strip_line_comments
+
+    sql = _strip_line_comments(text).strip().rstrip(";")
+    m = re.match(
+        r"GET\s+@(?P<stage>[\w./]+)\s+file://(?P<dst>\S+)\s*$",
+        sql,
+        re.IGNORECASE,
+    )
+    if m is None:
+        raise ValueError(
+            "unsupported GET shape (need GET @<stage>[/prefix] file://<dir>)"
+        )
+    parts = m.group("stage").split("/")
+    prefix = "/".join(parts[1:])
+    dst_dir = m.group("dst")
+    os.makedirs(dst_dir, exist_ok=True)
+    out = []
+    for dirpath, _dirs, files in os.walk(stage_root):
+        for f in files:
+            full = os.path.join(dirpath, f)
+            rel = os.path.relpath(full, stage_root)
+            if not prefix or rel.startswith(prefix):
+                target = os.path.join(dst_dir, os.path.basename(rel))
+                shutil.copyfile(full, target)
+                out.append(
+                    {"file": rel, "size": os.path.getsize(full),
+                     "status": "DOWNLOADED"}
+                )
+    return sorted(out, key=lambda r: r["file"])

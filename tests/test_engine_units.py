@@ -3118,6 +3118,13 @@ def test_snowflake_sql_dispatches_put_remove(spark, tmp_path):
     ).first()
     assert (r.source, r.target, r.status) == ("f.csv", "f.csv", "UPLOADED")
     assert os.path.exists(os.path.join(land, "f.csv"))
+    dl = str(tmp_path / "downloads")
+    got = snowflake_sql(
+        spark, f"GET @inbox file://{dl}", stages=stages
+    ).collect()
+    assert [(g.file, g.status) for g in got] == [("f.csv", "DOWNLOADED")]
+    with open(os.path.join(dl, "f.csv")) as f:
+        assert f.read() == "a\n1\n"  # bytes verbatim (PUT's inverse)
     out = snowflake_sql(spark, "REMOVE @inbox/f.csv", stages=stages).collect()
     assert [x.name for x in out] == ["f.csv"]
     assert not os.path.exists(os.path.join(land, "f.csv"))
