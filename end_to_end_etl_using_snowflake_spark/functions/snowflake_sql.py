@@ -199,6 +199,20 @@ def snowflake_sql(
     if low == "show columns":
         return pipelines.wh.show_columns()
 
+    m = re.fullmatch(r"desc(?:ribe)?\s+table\s+([\w.]+)", low)
+    if m:
+        # DESC TABLE <t> = the one-table slice of SHOW COLUMNS
+        # (Snowflake's own column set), resolved by short name
+        if pipelines is None:
+            raise ValueError(f"admin statement needs a pipeline context: {stmt!r}")
+        short = m.group(1).split(".")[-1]
+        out = pipelines.wh.show_columns().filter(
+            F.lower(F.col("table_name")) == short.lower()
+        )
+        if not out.take(1):
+            raise ValueError(f"DESC TABLE: unknown table {m.group(1)!r}")
+        return out
+
     m = re.fullmatch(r"list @([a-z_][a-z0-9_.]*)", low)
     if m:
         return _list_stage(spark, pipelines)

@@ -1256,6 +1256,15 @@ def test_snowflake_sql_dispatch_edges(spark, tmp_path):
     )
     assert p.pipes["customer"].status()["executionState"] == "RUNNING"
 
+    # DESC TABLE = the one-table slice of SHOW COLUMNS; unknown refuses
+    cust_cols = snowflake_sql(spark, "desc table raw.raw_customer;", p)
+    names = [r.column_name for r in cust_cols.collect()]
+    assert names and all(
+        r.table_name == "raw_customer" for r in cust_cols.collect()
+    )
+    with _pytest.raises(ValueError, match="unknown table"):
+        snowflake_sql(spark, "describe table nope_tbl;", p)
+
     # unknown objects refuse loudly
     with _pytest.raises(ValueError, match="unknown pipe"):
         snowflake_sql(spark, "select system$pipe_status('stg.nope_pipe');", p)

@@ -227,7 +227,10 @@ def compare_agg(name: str, spark, con, sf_dir: str | None = None) -> dict:
                 F.count(c).cast("long").alias(f"{c}__nn"),
             ]
             d_aggs += [
-                f"CAST(sum(CAST(CAST(concat('0x', substring(md5(CAST(\"{c}\" AS"
+                # '||' not concat(): DuckDB's concat SKIPS NULLs, so a
+                # NULL cell would become the unparseable literal '0x'
+                # (Spark's md5(NULL) is NULL and the sum skips it)
+                f"CAST(sum(CAST(CAST(('0x' || substring(md5(CAST(\"{c}\" AS"
                 f" VARCHAR)), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE)"
                 f" AS \"{c}__hsum\"",
                 f'CAST(count("{c}") AS BIGINT) AS "{c}__nn"',
