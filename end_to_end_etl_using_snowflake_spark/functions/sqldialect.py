@@ -2099,6 +2099,13 @@ _SCALAR_REWRITES = {
         f"size({args[0]})" if len(args) == 1 else _bad("ARRAY_SIZE", args)
     ),
     "ARRAY_CONSTRUCT": lambda args: f"array({', '.join(args)})",
+    "ARRAY_FLATTEN": lambda args: (
+        f"flatten({args[0]})" if len(args) == 1 else _bad("ARRAY_FLATTEN", args)
+    ),
+    # Snowflake's stop is EXCLUSIVE; Spark's sequence() is inclusive —
+    # the stop shifts by one against the step's sign (literal steps
+    # only: a runtime-signed step cannot shift deterministically)
+    "ARRAY_GENERATE_RANGE": lambda args: _array_generate_range(args),
     # ---- NULL-semantics fidelity pack (r8). Snowflake's GREATEST /
     # LEAST return NULL when ANY argument is NULL; Spark's builtins
     # SKIP nulls — a pasted query would silently produce different
@@ -2231,6 +2238,32 @@ _SCALAR_REWRITES = {
         else _bad("IS_INTEGER", args)
     ),
 }
+
+
+def _array_generate_range(args: list) -> str:
+    """Snowflake's stop is EXCLUSIVE and an empty range returns [];
+    Spark's sequence() is inclusive and REVERSES direction when start
+    passes stop — both deltas guarded (the empty case emits a typed
+    empty array via slice of a 1-element sequence)."""
+    if len(args) not in (2, 3):
+        return _bad("ARRAY_GENERATE_RANGE", args)
+    a, b = args[0], args[1]
+    step = args[2].strip() if len(args) == 3 else "1"
+    if re.fullmatch(r"-?\d+", step) is None:
+        raise ValueError(
+            "ARRAY_GENERATE_RANGE: step must be an integer literal"
+            " (the exclusive-stop shift depends on its sign)"
+        )
+    if int(step) == 0:
+        raise ValueError("ARRAY_GENERATE_RANGE: step must be nonzero")
+    neg = int(step) < 0
+    shift = "+ 1" if neg else "- 1"
+    empty_when = f"({a}) <= ({b})" if neg else f"({a}) >= ({b})"
+    tail = f", {step}" if len(args) == 3 else ""
+    return (
+        f"(CASE WHEN {empty_when} THEN slice(sequence({a}, {a}), 1, 0)"
+        f" ELSE sequence({a}, ({b}) {shift}{tail}) END)"
+    )
 
 
 def _typeof_case(v: str) -> str:

@@ -3060,6 +3060,33 @@ def test_put_remove_statement_edges(tmp_path):
         remove_statement("REMOVE TABLE t", land)
 
 
+def test_array_flatten_generate_range(spark):
+    """ARRAY_FLATTEN -> flatten; ARRAY_GENERATE_RANGE's exclusive stop,
+    negative step, and EMPTY range (Spark's sequence would reverse
+    direction — the guard returns [] like Snowflake)."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_scalar_funcs,
+    )
+
+    row = spark.sql(
+        rewrite_scalar_funcs(
+            "SELECT ARRAY_FLATTEN(array(array(1,2), array(3))) AS f, "
+            "ARRAY_GENERATE_RANGE(2, 5) AS r, "
+            "ARRAY_GENERATE_RANGE(5, 2) AS empty_fwd, "
+            "ARRAY_GENERATE_RANGE(5, 1, -2) AS down, "
+            "ARRAY_GENERATE_RANGE(1, 5, -1) AS empty_down"
+        )
+    ).first()
+    assert row.f == [1, 2, 3] and row.r == [2, 3, 4]
+    assert row.empty_fwd == [] and row.down == [5, 3] and row.empty_down == []
+    with _pytest.raises(ValueError, match="step must be an integer literal"):
+        rewrite_scalar_funcs("SELECT ARRAY_GENERATE_RANGE(1, 9, n) FROM t")
+    with _pytest.raises(ValueError, match="nonzero"):
+        rewrite_scalar_funcs("SELECT ARRAY_GENERATE_RANGE(1, 9, 0) FROM t")
+
+
 def test_transaction_script_edges(spark):
     """BEGIN/COMMIT/ROLLBACK runner: read-your-writes inside a block,
     rollback leaves no trace, an error inside a block leaves the
