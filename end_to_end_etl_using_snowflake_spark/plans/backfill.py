@@ -369,7 +369,7 @@ def _audit_oracle(incremental: bool) -> str:
         CROSS JOIN (SELECT COUNT(*) AS n FROM part) np
         JOIN part p ON p.p_partkey = o.o_orderkey % np.n
     ),
-    surviving AS (
+    surviving AS MATERIALIZED (
         SELECT * FROM (
             SELECT s.*, row_number() OVER (
                 PARTITION BY order_date, order_time, item_id, item_desc
