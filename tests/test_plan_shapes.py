@@ -253,6 +253,29 @@ def test_lsh_bucket_cap_plan_filters_before_self_join(spark):
     assert "__bn" in plan, plan
 
 
+def test_curriculum_shard_plan_no_global_sort(spark):
+    """x26 (curriculum sharding) must rank per (band, shard) with a
+    HASH exchange, never a range/global sort — the whole point is that
+    a trainer's curriculum order needs only within-shard order. The
+    1-row threshold relation may BNLJ in (the allowed scalar-aggregate
+    shape); a range partitioning would mean someone reintroduced a
+    global ORDER BY difficulty."""
+    plan = plan_of(spark, "x26_quality_curriculum")
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "hashpartitioning(band" in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pii_redact_plan_single_stage(spark):
+    """t14 (PII scrub) is a pure row-local regexp projection: zero
+    exchanges, zero Python nodes — the linear-in-corpus-bytes contract
+    its doc claims at 100 TB."""
+    plan = plan_of(spark, "t14_pii_redact")
+    assert "Exchange" not in plan, plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, plan
+
+
 def test_q6_all_predicates_reach_the_scan(spark):
     """TPC-H Q6 is the pushdown probe: ship-date bounds must land in
     PushedFilters so row groups prune at the parquet reader; the
