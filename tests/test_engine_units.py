@@ -3002,6 +3002,18 @@ def test_calendar_dialect_rewriter(spark):
     assert str(row.prev_wed) == "2023-12-27"
     assert row.es == 1719835200 and row.q == 3
     assert str(row.ktm) == "2024-07-01 17:45:00"  # +05:45 sub-hour offset
+    # MONTHS_BETWEEN is a shared-name PASSTHROUGH (no lowering): pin
+    # that Spark's semantics match Snowflake's documented corners —
+    # same day-of-month and both-last-day give integers, otherwise the
+    # (d1-d2)/31 fraction (rounded to 8 digits). Deliberately NOT in
+    # an oracled entry: replicating Spark's 8-digit HALF_UP decimal
+    # rounding in DuckDB is a 1-ulp footgun with no user value.
+    mb = spark.sql(
+        "SELECT months_between(DATE'2024-03-15', DATE'2024-01-15') AS a, "
+        "months_between(DATE'2024-02-29', DATE'2024-01-31') AS b, "
+        "months_between(DATE'2024-03-10', DATE'2024-01-15') AS c"
+    ).first()
+    assert mb.a == 2.0 and mb.b == 1.0 and abs(mb.c - (2 - 5 / 31)) < 1e-8
     with _pytest.raises(ValueError, match="WEEK_START"):
         rewrite_scalar_funcs("SELECT DATE_PART(dayofweek, d) FROM t")
     with _pytest.raises(ValueError, match="TIMESTAMP_TZ"):
