@@ -138,7 +138,14 @@ def snowflake_sql(
             remove_statement,
         )
 
-        m = re.search(r"@([\w.]+)", stmt)
+        # Per-verb stage anchoring (r9 ADVICE): a bare first-'@' grab
+        # would mis-route a PUT whose LOCAL path contains '@'
+        # (file:///data/user@host/x.csv). PUT's stage follows the
+        # file:// operand; GET/REMOVE's follows the verb.
+        if low.startswith("put "):
+            m = re.search(r"file://\S+\s+@([\w.]+)", stmt, re.IGNORECASE)
+        else:
+            m = re.match(r"(?:get|remove)\s+@([\w.]+)", stmt, re.IGNORECASE)
         if m is None:
             raise ValueError(f"no @stage reference in: {stmt!r}")
         root = stages[m.group(1).split("/")[0]]

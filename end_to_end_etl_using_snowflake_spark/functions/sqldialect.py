@@ -2133,8 +2133,14 @@ _SCALAR_REWRITES = {
     # ---- REGEXP argument forms (r9 session 2): Snowflake's position/
     # occurrence/parameters/group arguments, and REGEXP_LIKE's implicit
     # FULL-MATCH anchoring (Spark's regexp_like is a substring search).
-    # RLIKE/REGEXP function forms share REGEXP_LIKE's contract.
+    # RLIKE/REGEXP function forms share REGEXP_LIKE's contract (and
+    # are registered below -- the head regex only matches the CALL form
+    # `RLIKE(`, so infix `x RLIKE 'p'` is untouched; a parenthesized
+    # infix operand `x RLIKE ('p')` arrives here with arity 1 and is
+    # passed through verbatim).
     "REGEXP_LIKE": lambda args: _regexp_like_rewrite("REGEXP_LIKE", args),
+    "RLIKE": lambda args: _regexp_like_rewrite("RLIKE", args),
+    "REGEXP": lambda args: _regexp_like_rewrite("REGEXP", args),
     "REGEXP_SUBSTR": lambda args: _regexp_substr_rewrite("REGEXP_SUBSTR", args),
     "REGEXP_COUNT": lambda args: _regexp_count_rewrite("REGEXP_COUNT", args),
     "REGEXP_INSTR": lambda args: _regexp_instr_rewrite("REGEXP_INSTR", args),
@@ -2709,6 +2715,10 @@ def _regex_int_literal(name: str, args: list, idx: int, default: int) -> int:
 
 
 def _regexp_like_rewrite(name: str, args: list) -> str:
+    if name in ("RLIKE", "REGEXP") and len(args) == 1:
+        # head matched a parenthesized INFIX operand (`x RLIKE ('p')`),
+        # not the 2/3-arg function-call form: pass through untouched
+        return f"{name}({args[0]})"
     if len(args) not in (2, 3):
         return _bad(name, args)
     flags, extract = _regex_params(name, args, 2)
@@ -2716,7 +2726,11 @@ def _regexp_like_rewrite(name: str, args: list) -> str:
         raise ValueError(f"{name}: parameter 'e' does not apply")
     pat = _fmt_literal(args, 1, name)
     if pat is not None:
-        anchored = _sql_str("^(?:" + flags + pat + ")$")
+        # inline flags HOISTED before the leading anchor so ^ and $ see
+        # the same mode -- flags inside the group would leave ^ a
+        # subject anchor while (?m) turns $ into a line anchor
+        # (asymmetric anchoring no Snowflake mode has; r9 ADVICE)
+        anchored = _sql_str(flags + "^(?:" + pat + ")$")
     else:
         if flags:
             raise ValueError(
@@ -2737,9 +2751,12 @@ def _regexp_substr_rewrite(name: str, args: list) -> str:
     occ = _regex_int_literal(name, args, 3, 1)
     if pos < 1 or occ < 1:
         raise ValueError(f"{name}: position and occurrence must be >= 1")
+    # Snowflake: specifying group_num IMPLIES 'e' (docs: "if you
+    # specify group_num, Snowflake assumes extraction") -- a 6th arg
+    # without an explicit 'e' is valid text, not an error (r9 ADVICE)
+    if len(args) == 6:
+        extract = True
     grp = _regex_int_literal(name, args, 5, 1) if extract else 0
-    if len(args) == 6 and not extract:
-        raise ValueError(f"{name}: group_num requires the 'e' parameter")
     pat = _regex_pattern(name, args, flags)
     subject = args[0] if pos == 1 else f"substr({args[0]}, {pos})"
     return (

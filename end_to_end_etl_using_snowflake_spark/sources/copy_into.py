@@ -378,7 +378,9 @@ def get_statement(text: str, stage_root: str) -> list[dict]:
     — download stage files matching the prefix into a local directory
     (PUT's inverse; the stage-lifecycle triad's last verb). One result
     row per file: {file, size, status} with status DOWNLOADED —
-    Snowflake's shape. Existing local files are overwritten
+    Snowflake's shape. The stage-RELATIVE path is preserved under the
+    destination directory (so equal basenames in different stage
+    subdirectories never collide). Existing local files are overwritten
     (Snowflake's GET default). Bytes are copied verbatim — a ``.gz``
     staged by PUT comes back compressed, exactly like Snowflake."""
     import re
@@ -406,7 +408,12 @@ def get_statement(text: str, stage_root: str) -> list[dict]:
             full = os.path.join(dirpath, f)
             rel = os.path.relpath(full, stage_root)
             if not prefix or rel.startswith(prefix):
-                target = os.path.join(dst_dir, os.path.basename(rel))
+                # preserve the stage-relative path under the local dir
+                # (r9 ADVICE: basename-flattening let two stage files
+                # in different subdirs with the same basename silently
+                # overwrite each other while both reported DOWNLOADED)
+                target = os.path.join(dst_dir, rel)
+                os.makedirs(os.path.dirname(target), exist_ok=True)
                 shutil.copyfile(full, target)
                 out.append(
                     {"file": rel, "size": os.path.getsize(full),

@@ -2972,6 +2972,42 @@ def test_regexp_dialect_rewriter(spark):
     assert "regexp_extract_all(s, p, 0)" in out
 
 
+def test_regexp_dialect_r10_advice(spark):
+    """r9 ADVICE closures: RLIKE/REGEXP function forms carry
+    REGEXP_LIKE's full-match anchoring; a parenthesized INFIX operand
+    passes through; group_num implies 'e'; the 'm' parameter anchors
+    BOTH ends at line boundaries (no asymmetric subject-^/line-$)."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_scalar_funcs,
+    )
+
+    row = spark.sql(
+        rewrite_scalar_funcs(
+            r"SELECT RLIKE('abc', 'b') AS fn_anchored, "
+            r"REGEXP('abc', 'a.c') AS fn_full, "
+            r"RLIKE('ABC', 'abc', 'i') AS fn_ci, "
+            r"('abc' RLIKE ('b')) AS infix_substring, "
+            r"REGEXP_SUBSTR('k=12;v=34', '([a-z])=([0-9]+)', 1, 2, 'i', 2)"
+            r" AS grp_implied_e, "
+            r"REGEXP_LIKE('ab\ncd', 'cd', 'm') AS m_head_line, "
+            r"REGEXP_LIKE('ab\ncd', 'ab', 'm') AS m_tail_line, "
+            r"REGEXP_LIKE('ab\ncd', 'ab') AS no_m"
+        )
+    ).first()
+    # function forms share REGEXP_LIKE's implicit ^...$ contract
+    assert row.fn_anchored is False and row.fn_full is True
+    assert row.fn_ci is True
+    # infix RLIKE with a parenthesized pattern keeps Spark's substring
+    # semantics (the head matched `RLIKE (`, arity-1 passthrough)
+    assert row.infix_substring is True
+    # 6th arg (group_num) implies extraction mode per Snowflake docs
+    assert row.grp_implied_e == "34"
+    # 'm' hoisted before the anchors: ^ AND $ are both line anchors —
+    # the asymmetric form would leave m_head_line False
+    assert row.m_head_line is True and row.m_tail_line is True
+    assert row.no_m is False
+
+
 def test_calendar_dialect_rewriter(spark):
     """ISO week family, PREVIOUS_DAY's strictly-before contract (a
     Tuesday's previous Tuesday is 7 days back), CONVERT_TIMEZONE NTZ
@@ -3176,6 +3212,43 @@ def test_snowflake_sql_dispatches_put_remove(spark, tmp_path):
     out = snowflake_sql(spark, "REMOVE @inbox/f.csv", stages=stages).collect()
     assert [x.name for x in out] == ["f.csv"]
     assert not os.path.exists(os.path.join(land, "f.csv"))
+
+
+def test_stage_verbs_r10_advice(spark, tmp_path):
+    """r9 ADVICE closures: PUT routes on the stage AFTER the file://
+    operand (an '@' inside the local path must not grab routing), and
+    GET preserves stage-relative paths so equal basenames in different
+    stage subdirectories never silently overwrite each other."""
+    import os
+
+    from end_to_end_etl_using_snowflake_spark.functions.snowflake_sql import (
+        snowflake_sql,
+    )
+
+    land = str(tmp_path / "inbox")
+    atdir = tmp_path / "user@host"
+    atdir.mkdir()
+    src = str(atdir / "x.csv")
+    with open(src, "w") as f:
+        f.write("a\n1\n")
+    stages = {"inbox": land}
+    r = snowflake_sql(
+        spark, f"PUT file://{src} @inbox AUTO_COMPRESS = FALSE", stages=stages
+    ).first()
+    assert r.status == "UPLOADED"
+    assert os.path.exists(os.path.join(land, "x.csv"))
+    # two stage files, same basename, different subdirs
+    for sub in ("a", "b"):
+        os.makedirs(os.path.join(land, sub), exist_ok=True)
+        with open(os.path.join(land, sub, "f.csv"), "w") as f:
+            f.write(f"src={sub}\n")
+    dl = str(tmp_path / "downloads")
+    got = snowflake_sql(spark, f"GET @inbox file://{dl}", stages=stages).collect()
+    assert sorted(g.file for g in got) == ["a/f.csv", "b/f.csv", "x.csv"]
+    with open(os.path.join(dl, "a", "f.csv")) as f:
+        assert f.read() == "src=a\n"
+    with open(os.path.join(dl, "b", "f.csv")) as f:
+        assert f.read() == "src=b\n"
 
 
 def test_bitops_typeof_rewriter(spark):
