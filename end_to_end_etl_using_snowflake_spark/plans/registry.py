@@ -55,83 +55,30 @@ def register(
 # similarity / text / multimodal / pipeline) lands inside any reasonable
 # prefix. Names not listed keep insertion order after these.
 PRIORITY: tuple[str, ...] = (
-    # ---- first 50: the driver-checked window. Round-9 rotation
-    # (VERDICT r8 Missing #1): 2-entry always-on core + the 17
-    # round-8 entries that have NEVER had a driver check (registered
-    # after the r8 window filled; all locally parity-green at 3 SFs
-    # and driver-strict-verified by the r8 judge at sf0.01) + 31 of
-    # the 48-entry r4-last-green cohort (the stalest cumulative
-    # greens), chosen for family breadth. Round-9 additions land
-    # mid-window and evict r4-stale padding one-for-one, keeping
-    # exactly 50. Rotated-out entries remain locally oracle-swept
-    # every pytest run.
+    # ---- first 50: the r10 driver-checked window (VERDICT r9
+    # Next-round #1). 2-entry always-on core + the 11 session-3
+    # entries that have NEVER had a driver check (all locally
+    # 3-SF parity-green; 9 sf10-green; judge-strict-verified at
+    # sf0.01 in r9) + the FULL 23-entry r4-stale cohort + 14
+    # family-diverse picks from the r5-stale cohort, headlined by
+    # pl_backfill_incremental (the O(delta) maintenance path --
+    # the most load-bearing 100 TB claim). r10 additions land in
+    # the window by evicting r5 picks one-for-one from the tail.
     "flagship_fact_rebuild",
     "pl_dim_customer",
-    # 17-entry never-driver-checked round-8 debt (VERDICT r8 Missing #1)
-    "sql40_time_travel_before",
-    "sql41_flatten_quoted_path",
-    "sql42_match_recognize_all_rows",
-    "f19_conversion_dialect",
-    "sql43_changes_clause",
-    "sql44_top_dialect",
-    "d13_dedup_representative",
-    "dq6_source_overlap_matrix",
-    "s9_stage_metadata_select",
-    "sql45_update_delete_text",
-    "udf3_arrow_udtf_chunker",
-    "sql46_insert_text",
-    "f20_window_dialect",
-    "f21_null_semantics_dialect",
-    "sql47_pivot_text",
-    "sql48_ctas_text",
-    "f22_time_slice",
-    # round-9 additions land here (each evicts one r4-stale padding
-    # slot from the window tail; evicted entries head the 51+ queue)
-    "f23_format_strings",
-    "sql49_connect_by_path",
-    "sql50_match_recognize_skip",
-    "f24_everyday_scalars",
-    "s10_stage_positional_select",
-    "f25_array_dialect",
-    # 31 of the 48-entry r4-last-green cohort (family-breadth pick)
-    "d7_dedup_stop_shingle",
-    "d8_decontaminate",
-    "d9_incremental_dedup",
-    "k1_hll_distinct_sketch",
-    "k2_countmin_frequencies",
-    "k3_bloom_membership",
-    "q1_pricing_summary",
-    "q4_order_priority_exists",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q19_disjunctive_predicates",
-    "q22_dormant_accounts",
-    "t5_tfidf_topk",
-    "t6_bm25_topk",
-    "t8_vocab_topk",
-    "t9_bigram_assoc",
-    "t10_bpe_merges",
-    "udf1_pandas_token_stats",
-    "v4_ann_lsh_multiprobe",
-    "v6_kmeans_assign",
-    "w3_range_frame_timeseries",
-    "x6_corpus_mixture_sample",
-    # (v8 evicted by f25, v9 by s10, v10 by f24, w4_ntile_distribution
-    # by sql50, x7_sequence_packing by sql49, x8_pii_pseudonymize by
-    # f23 — all head the r10 queue below)
-    # ---- 51+: the remaining r4-stale entries head the tail and
-    # are first in line for the r10 rotation; then the r8 window
-    # (driver-green in r8) and everything else, all still locally
-    # oracle-checked per pytest run.
-    "v8_quantize_int8",
-    "v9_kmeans_iter3",
-    "v10_ann_quantized_rerank",
-    "w4_ntile_distribution",
-    "x7_sequence_packing",
-    "x8_pii_pseudonymize",
+    # 11-entry never-driver-checked session-3 debt
+    "f26_regexp_dialect",
+    "f27_calendar_dialect",
+    "f28_bit_ops",
+    "f29_percentile_dialect",
+    "f30_variant_typeof",
+    "sql51_transaction_text",
+    "sql52_native_spellings",
+    "s11_put_remove_stage",
+    "d14_dedup_lsh_bucket_cap",
+    "t14_pii_redact",
+    "x26_quality_curriculum",
+    # full 23-entry r4-last-green cohort (stalest cumulative greens)
     "dq1_referential_audit",
     "e7_stream_interval_join",
     "f10_try_cast",
@@ -144,61 +91,150 @@ PRIORITY: tuple[str, ...] = (
     "pl_pipe_task_admin",
     "sql2_lateral_topk",
     "sql3_window_text",
-    "x9_chunk_documents",
+    "v10_ann_quantized_rerank",
+    "v8_quantize_int8",
+    "v9_kmeans_iter3",
+    "w4_ntile_distribution",
     "x10_source_quality_cap",
     "x12_similar_doc_retrieval",
     "x14_content_defined_chunks",
+    "x7_sequence_packing",
+    "x8_pii_pseudonymize",
+    "x9_chunk_documents",
     "z1_zorder_layout_key",
-    "sql29_connect_by_level",
-    "sql30_flatten_recursive",
-    "sql33_split_to_table",
-    "sql34_variant_path",
-    "sql35_composed_dialect",
-    "sql36_unpivot_text",
-    "f16_listagg",
-    "f17_scalar_dialect",
-    "k9_theta_sketch_bounds",
-    "x25_sample_system",
-    "s8_copy_unload",
-    "e18_append_only_stream",
-    "k10_tdigest_sketch_path",
-    "sql37_time_travel_offset",
-    "sql38_match_recognize_alt",
-    "f18_semi_structured_agg",
-    "sql39_asof_strict",
-    "d1_dedup_exact",
-    "d2_dedup_ngram_jaccard",
-    "d3_dedup_minhash_lsh",
-    "d4_dedup_simhash",
-    "d5_dedup_embedding_cosine",
-    "d5l_dedup_embedding_lsh",
-    "d6_dedup_cluster_labels",
-    "e1_tumbling_window_agg",
-    "e3_sessionize_stateful_stream",
-    "e5_session_window_native",
-    "e6_stream_dedup_watermark",
-    "j6_salted_skew_join",
-    "llm_corpus_clean",
-    "m5_cdc_apply_changes",
-    "m7_incremental_fact_merge",
-    "mm1_multimodal_decode",
-    "mm3_feature_extract",
-    "pl_identity_keys",
-    "pl_list_stage",
-    "pl_show_streams",
-    "t1_token_stats",
-    "t2_quality_score",
-    "t3_lang_id",
-    "t4_fingerprint",
-    "t7_repetition_filter",
-    "v1_ann_bruteforce_topk",
-    "v2_ann_lsh_topk",
-    "v3_ann_ivf_topk",
-    "v7_ann_matmul_topk",
-    "x1_asof_join",
-    "x2_leakage_safe_split",
+    # 14 r5-last-green picks (family breadth; backfill first)
+    "pl_backfill_incremental",
+    "d12_duplicate_spans",
+    "dq2_robust_outliers",
+    "e9_funnel_conversion",
+    "e12_foreachbatch_merge_sink",
+    "f11_array_funcs",
+    "k4_hll_union_sources",
+    "mm4_resize_plan",
+    "mv1_incremental_agg",
+    "pl_schema_evolution",
+    "q2_min_cost_supplier",
+    "sql4_recursive_cte",
+    "t11_bigram_lm_score",
+    "v11_pq_adc_topk",
+    # ---- 51+: ascending last-green round (stalest first), so the
+    # r11 rotation simply takes the prefix; everything is still
+    # locally oracle-checked per pytest run.
+    "dq3_distribution_drift",
+    "e10_stream_outer_join",
+    "e11_stream_window_agg",
+    "e8_stream_static_enrich",
+    "m10_multi_table_insert",
+    "m9_cascading_delete",
+    "pl_result_cache",
+    "pl_secured_view",
+    "pl_time_travel",
+    "pl_undrop",
+    "pl_zero_copy_clone",
+    "pl_zonemap_prune",
+    "prof1_corr_exact",
+    "prof2_table_profile",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q8_market_share",
+    "q9_product_profit",
+    "sql5_qualify_dialect",
+    "t12_bpe_encode",
+    "udf2_grouped_map_zscore",
+    "v13_ann_recall_eval",
+    "x16_pagerank_iter3",
+    "x17_weighted_sample",
+    "x18_fuzzy_name_join",
+    "x19_stratified_exact_sample",
+    "x20_temperature_mixture",
+    "x21_global_shuffle",
+    "a1_groupby_agg",
+    "a8_filtered_aggregates",
+    "d10_segment_boilerplate",
+    "d11_semantic_dedup",
+    "dq4_minhash_recall_eval",
+    "dq5_constraint_checks",
+    "e13_match_recognize",
+    "e15_stream_full_outer_join",
+    "e16_stream_session_close",
+    "f15_min_max_by",
+    "f4_strict_casts",
+    "j1_inner_equi_broadcast",
+    "j2_join_null_residual",
+    "j4_composite_key_join",
+    "j5_left_anti",
+    "k5_file_bloom_prune",
+    "k6_kmv_distinct",
+    "m2_merge_dedup_composite",
+    "m6_update_where",
+    "o2_sort_topk",
+    "p11_dynamic_pivot",
+    "p1_full_scan",
+    "p2_projection_pushdown",
+    "p5_filter_in_list",
+    "p6_semi_join_in_subquery",
+    "p7_filter_equality",
+    "pl_clustering_info",
+    "pl_dim_item",
+    "pl_dynamic_table",
+    "pl_fact_order",
+    "pl_quarantine",
+    "pl_reference_console",
+    "pl_show_columns",
+    "pl_task_history",
+    "pl_transaction",
+    "prof3_sketch_profile",
+    "sql11_flatten_object",
+    "sql6_flatten_dialect",
+    "sql7_group_by_all",
+    "sql8_flatten_outer",
+    "t13_quality_classifier",
+    "v14_mmr_rerank",
+    "v15_ann_ivf_trained",
+    "w1_dedup_latest_per_key",
+    "w5_rank_distribution_funcs",
+    "w6_ignore_nulls_fill",
+    "x23_length_bucketing",
+    "x24_asof_directional",
+    "a4_count_distinct",
+    "a5_rollup",
+    "a6_percentile_groups",
+    "a7_grouping_sets",
+    "b1_bucketed_colocated_join",
+    "e17_match_recognize_w",
+    "e2_sessionize",
+    "e4_sliding_window_agg",
+    "f12_histogram_bins",
+    "f5_string_extract",
+    "f6_date_math",
+    "f7_string_funcs",
+    "f8_conditional_funcs",
+    "f9_json_extract",
+    "j7_outer_join_family",
+    "k7_tdigest_quantiles",
+    "k8_kmv_set_ops",
+    "m8_scd2_merge",
+    "p10_exists_correlated",
+    "p8_pivot",
+    "prof4_corr_matrix",
+    "q18_large_orders_having",
+    "q3_shipping_priority",
+    "s1_set_ops",
+    "sql12_sample_dialect",
+    "sql13_flatten_path",
+    "sql14_connect_by",
+    "sql15_asof_dialect",
+    "sql16_generator_dialect",
+    "sql17_time_travel_at",
     "sql18_reference_merge",
     "sql19_reference_dim_merge",
+    "sql1_text_surface",
     "sql20_reference_item_merge",
     "sql21_reference_fact_insert",
     "sql22_reference_order_merge",
@@ -210,137 +246,106 @@ PRIORITY: tuple[str, ...] = (
     "sql28_warehouse_script_replay",
     "sql31_merge_cdc_apply",
     "sql32_match_recognize_text",
-    "sql12_sample_dialect",
-    "sql13_flatten_path",
-    "k7_tdigest_quantiles",
-    "e17_match_recognize_w",
-    "sql14_connect_by",
-    "sql15_asof_dialect",
-    "k8_kmv_set_ops",
-    "sql16_generator_dialect",
-    "sql17_time_travel_at",
-    "prof4_corr_matrix",
-    "a5_rollup",
-    "a6_percentile_groups",
-    "a7_grouping_sets",
-    "f12_histogram_bins",
-    "f6_date_math",
-    "f7_string_funcs",
-    "f8_conditional_funcs",
-    "f9_json_extract",
-    "j7_outer_join_family",
-    "p10_exists_correlated",
-    "p8_pivot",
-    "q18_large_orders_having",
-    "q3_shipping_priority",
-    "s1_set_ops",
-    "sql1_text_surface",
+    "w2_window_frames",
     "x3_time_spine_rollup",
     "x4_snapshot_as_of",
-    "a4_count_distinct",
-    "b1_bucketed_colocated_join",
-    "e2_sessionize",
-    "e4_sliding_window_agg",
-    "f5_string_extract",
-    "m8_scd2_merge",
-    "w2_window_frames",
     "x5_range_join",
-    "a8_filtered_aggregates",
-    "d10_segment_boilerplate",
-    "d11_semantic_dedup",
-    "dq4_minhash_recall_eval",
-    "e13_match_recognize",
-    "e15_stream_full_outer_join",
-    "e16_stream_session_close",
-    "f15_min_max_by",
-    "k5_file_bloom_prune",
-    "pl_clustering_info",
-    "pl_dynamic_table",
-    "pl_quarantine",
-    "pl_show_columns",
-    "pl_transaction",
-    "prof3_sketch_profile",
-    "sql6_flatten_dialect",
-    "sql7_group_by_all",
-    "t13_quality_classifier",
-    "v14_mmr_rerank",
-    "v15_ann_ivf_trained",
-    "w5_rank_distribution_funcs",
-    "x23_length_bucketing",
-    "x24_asof_directional",
-    "p1_full_scan",
-    "p2_projection_pushdown",
-    "j1_inner_equi_broadcast",
-    "a1_groupby_agg",
-    "sql8_flatten_outer",
-    "pl_reference_console",
-    "sql11_flatten_object",
-    "k6_kmv_distinct",
-    "w6_ignore_nulls_fill",
-    "p11_dynamic_pivot",
-    "dq5_constraint_checks",
-    "w1_dedup_latest_per_key",
-    "o2_sort_topk",
-    "j2_join_null_residual",
-    "j4_composite_key_join",
-    "j5_left_anti",
-    "p5_filter_in_list",
-    "p6_semi_join_in_subquery",
-    "p7_filter_equality",
-    "m2_merge_dedup_composite",
-    "m6_update_where",
-    "f4_strict_casts",
-    "pl_dim_item",
-    "pl_fact_order",
-    "pl_task_history",
-    "f11_array_funcs",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "pl_backfill_incremental",
-    "pl_schema_evolution",
-    "pl_secured_view",
-    "pl_zero_copy_clone",
-    "t11_bigram_lm_score",
-    "t12_bpe_encode",
-    "d12_duplicate_spans",
-    "v11_pq_adc_topk",
-    "v13_ann_recall_eval",
-    "e8_stream_static_enrich",
-    "e9_funnel_conversion",
-    "e10_stream_outer_join",
-    "e11_stream_window_agg",
-    "e12_foreachbatch_merge_sink",
-    "dq2_robust_outliers",
-    "dq3_distribution_drift",
-    "x16_pagerank_iter3",
-    "x17_weighted_sample",
-    "x18_fuzzy_name_join",
-    "x19_stratified_exact_sample",
-    "x20_temperature_mixture",
-    "k4_hll_union_sources",
-    "m9_cascading_delete",
-    "mv1_incremental_agg",
-    "prof1_corr_exact",
-    "prof2_table_profile",
-    "sql4_recursive_cte",
-    "sql5_qualify_dialect",
-    "udf2_grouped_map_zscore",
-    "mm4_resize_plan",
-    "pl_time_travel",
-    "pl_undrop",
-    "m10_multi_table_insert",
-    "x21_global_shuffle",
-    "pl_zonemap_prune",
-    "pl_result_cache",
+    "d1_dedup_exact",
+    "d2_dedup_ngram_jaccard",
+    "d3_dedup_minhash_lsh",
+    "d4_dedup_simhash",
+    "d5_dedup_embedding_cosine",
+    "d5l_dedup_embedding_lsh",
+    "d6_dedup_cluster_labels",
+    "e18_append_only_stream",
+    "e1_tumbling_window_agg",
+    "e3_sessionize_stateful_stream",
+    "e5_session_window_native",
+    "e6_stream_dedup_watermark",
+    "f16_listagg",
+    "f17_scalar_dialect",
+    "f18_semi_structured_agg",
+    "j6_salted_skew_join",
+    "k10_tdigest_sketch_path",
+    "k9_theta_sketch_bounds",
+    "llm_corpus_clean",
+    "m5_cdc_apply_changes",
+    "m7_incremental_fact_merge",
+    "mm1_multimodal_decode",
+    "mm3_feature_extract",
+    "pl_identity_keys",
+    "pl_list_stage",
+    "pl_show_streams",
+    "s8_copy_unload",
+    "sql29_connect_by_level",
+    "sql30_flatten_recursive",
+    "sql33_split_to_table",
+    "sql34_variant_path",
+    "sql35_composed_dialect",
+    "sql36_unpivot_text",
+    "sql37_time_travel_offset",
+    "sql38_match_recognize_alt",
+    "sql39_asof_strict",
+    "t1_token_stats",
+    "t2_quality_score",
+    "t3_lang_id",
+    "t4_fingerprint",
+    "t7_repetition_filter",
+    "v1_ann_bruteforce_topk",
+    "v2_ann_lsh_topk",
+    "v3_ann_ivf_topk",
+    "v7_ann_matmul_topk",
+    "x1_asof_join",
+    "x25_sample_system",
+    "x2_leakage_safe_split",
+    "d13_dedup_representative",
+    "d7_dedup_stop_shingle",
+    "d8_decontaminate",
+    "d9_incremental_dedup",
+    "dq6_source_overlap_matrix",
+    "f19_conversion_dialect",
+    "f20_window_dialect",
+    "f21_null_semantics_dialect",
+    "f22_time_slice",
+    "f23_format_strings",
+    "f24_everyday_scalars",
+    "f25_array_dialect",
+    "k1_hll_distinct_sketch",
+    "k2_countmin_frequencies",
+    "k3_bloom_membership",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q19_disjunctive_predicates",
+    "q1_pricing_summary",
+    "q22_dormant_accounts",
+    "q4_order_priority_exists",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "s10_stage_positional_select",
+    "s9_stage_metadata_select",
+    "sql40_time_travel_before",
+    "sql41_flatten_quoted_path",
+    "sql42_match_recognize_all_rows",
+    "sql43_changes_clause",
+    "sql44_top_dialect",
+    "sql45_update_delete_text",
+    "sql46_insert_text",
+    "sql47_pivot_text",
+    "sql48_ctas_text",
+    "sql49_connect_by_path",
+    "sql50_match_recognize_skip",
+    "t10_bpe_merges",
+    "t5_tfidf_topk",
+    "t6_bm25_topk",
+    "t8_vocab_topk",
+    "t9_bigram_assoc",
+    "udf1_pandas_token_stats",
+    "udf3_arrow_udtf_chunker",
+    "v4_ann_lsh_multiprobe",
+    "v6_kmeans_assign",
+    "w3_range_frame_timeseries",
+    "x6_corpus_mixture_sample",
 )
 
 

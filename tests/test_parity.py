@@ -28,55 +28,56 @@ def test_entry_smoke(spark):
 
 def test_driver_prefix_spans_all_operator_families():
     """The driver's correctness gate checks a PREFIX of queries() (50
-    entries per round so far). Round-9 rotation (VERDICT r8 Missing #1):
-    2-entry core + the 17 round-8 entries that had NEVER had a driver
-    check + 31 of the 48-entry r4-last-green cohort (the stalest
-    cumulative greens), with round-9 additions evicting r4-stale padding
-    one-for-one. Guard both properties: the debt + stale cohorts are
-    inside the window (none silently pushed out), and the core operator
-    families stay covered."""
+    entries per round so far). Round-10 rotation (VERDICT r9 Next #1):
+    2-entry core + the 11 session-3 entries that have NEVER had a
+    driver check + the FULL 23-entry r4-last-green cohort + 14 r5-stale
+    family picks (pl_backfill_incremental first). Guard both
+    properties: the debt + stale cohorts are inside the window (none
+    silently pushed out), and the core operator families stay
+    covered. r10 additions evict only r5-pick padding from the tail."""
     prefix = list(__spark_entry__.queries())[:50]
     never_driver_checked = [
-        "sql40_time_travel_before", "sql41_flatten_quoted_path",
-        "sql42_match_recognize_all_rows", "f19_conversion_dialect",
-        "sql43_changes_clause", "sql44_top_dialect",
-        "d13_dedup_representative", "dq6_source_overlap_matrix",
-        "s9_stage_metadata_select", "sql45_update_delete_text",
-        "udf3_arrow_udtf_chunker", "sql46_insert_text",
-        "f20_window_dialect", "f21_null_semantics_dialect",
-        "sql47_pivot_text", "sql48_ctas_text", "f22_time_slice",
+        "f26_regexp_dialect", "f27_calendar_dialect", "f28_bit_ops",
+        "f29_percentile_dialect", "f30_variant_typeof",
+        "sql51_transaction_text", "sql52_native_spellings",
+        "s11_put_remove_stage", "d14_dedup_lsh_bucket_cap",
+        "t14_pii_redact", "x26_quality_curriculum",
     ]
-    stale_r4_core = [
-        # the r4-stale picks that must not be silently pushed out by
-        # later registrations; round-9 additions evict only from the
-        # padding tail of the window (the q/t/v/w/x picks below stay).
-        "d7_dedup_stop_shingle", "d8_decontaminate", "d9_incremental_dedup",
-        "k1_hll_distinct_sketch", "k2_countmin_frequencies",
-        "k3_bloom_membership", "q1_pricing_summary",
-        "t5_tfidf_topk", "udf1_pandas_token_stats",
-        "v4_ann_lsh_multiprobe", "w3_range_frame_timeseries",
-        "x6_corpus_mixture_sample",
+    stale_r4_cohort = [
+        "dq1_referential_audit", "e7_stream_interval_join", "f10_try_cast",
+        "f13_regex_funcs", "f14_explode_generator", "m1_merge_upsert_state",
+        "mm2_frame_sample", "p9_unpivot", "pl_backfill_scale",
+        "pl_pipe_task_admin", "sql2_lateral_topk", "sql3_window_text",
+        "v10_ann_quantized_rerank", "v8_quantize_int8", "v9_kmeans_iter3",
+        "w4_ntile_distribution", "x10_source_quality_cap",
+        "x12_similar_doc_retrieval", "x14_content_defined_chunks",
+        "x7_sequence_packing", "x8_pii_pseudonymize", "x9_chunk_documents",
+        "z1_zorder_layout_key",
     ]
-    pushed_out = [n for n in never_driver_checked + stale_r4_core if n not in prefix]
+    must_keep = ["pl_backfill_incremental"]  # the O(delta) 100 TB claim
+    pushed_out = [
+        n for n in never_driver_checked + stale_r4_cohort + must_keep
+        if n not in prefix
+    ]
     assert not pushed_out, (
-        f"r9 debt/stale cohort entries outside the 50-window: {pushed_out}"
+        f"r10 debt/stale cohort entries outside the 50-window: {pushed_out}"
     )
     families = {
         "flagship": ("flagship",),
-        "reference-pipeline": ("pl_dim_",),
-        "scan/project/join core": ("q1_", "q10_", "s9_"),
-        "merge/dml": ("sql45_", "sql46_", "d13_"),
-        "agg-surface": ("q1_", "f20_"),
-        "dedup-llm": ("d7_", "d8_", "d9_", "d13_"),
-        "similarity-ann": ("v4_", "v6_", "v8_", "v9_", "v10_"),
-        "text-analysis": ("t5_", "t6_", "t8_", "t9_", "t10_"),
-        "sketches": ("k1_", "k2_", "k3_", "dq6_"),
-        "streaming/cdc": ("sql43_", "f22_"),
-        "llm-pipeline": ("x6_", "x7_", "x8_"),
-        "window-funcs": ("w3_", "w4_", "f20_"),
-        "sql-surface": ("sql40_", "sql41_", "sql42_", "sql44_", "sql47_", "sql48_"),
-        "functions": ("f19_", "f21_", "f22_"),
-        "udf-extension": ("udf1_", "udf3_"),
+        "reference-pipeline": ("pl_dim_", "pl_backfill_", "pl_pipe_"),
+        "scan/project/join core": ("p9_", "f10_", "sql2_"),
+        "merge/dml": ("m1_", "sql51_"),
+        "dedup-llm": ("d14_", "d12_"),
+        "similarity-ann": ("v8_", "v9_", "v10_", "v11_"),
+        "text-analysis": ("t14_", "t11_", "x9_"),
+        "sketches": ("k4_", "dq2_"),
+        "streaming/cdc": ("e7_", "e12_", "e9_"),
+        "llm-pipeline": ("x7_", "x8_", "x10_", "x12_", "x14_", "x26_"),
+        "window-funcs": ("w4_",),
+        "sql-surface": ("sql3_", "sql4_", "sql52_"),
+        "functions": ("f1", "f2"),
+        "stage-verbs": ("s11_",),
+        "multimodal": ("mm2_", "mm4_"),
     }
     missing = {
         fam: pfxs
@@ -85,8 +86,6 @@ def test_driver_prefix_spans_all_operator_families():
     }
     assert not missing, f"families absent from the checked prefix: {missing}"
     # every entry in the checked window must carry a real oracle
-    # (round 4 upgraded the last rows-only entry, pl_backfill_scale,
-    # to a closed-form audit oracle over the source parquet).
     rows_only = [n for n in prefix if REGISTRY[n].oracle is None]
     assert rows_only == [], (
         f"unexpected rows-only queries inside the checked prefix: {rows_only}"
