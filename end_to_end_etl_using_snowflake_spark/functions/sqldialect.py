@@ -2454,15 +2454,104 @@ def _to_char_rewrite(name: str, args: list) -> str:
         return f"cast({args[0]} AS STRING)"
     fmt = _fmt_literal(args, 1, name)
     if len(args) == 2 and fmt is not None:
-        if re.fullmatch(r"[Ss]?\$?[09,GD.]+", fmt.strip()):
-            raise ValueError(
-                f"{name} numeric output formats (9/0 padding) have no"
-                " exact Spark equivalent and are not lowered"
-            )
+        # numeric masks are exactly the ones with 0/9 digit positions —
+        # no datetime element contains either, so '999.99MI' routes
+        # here and refuses with the NUMERIC message, not a confusing
+        # datetime-element error
+        if ("0" in fmt or "9" in fmt) and "FF" not in fmt.upper():
+            return _to_char_numeric_lower(name, args[0], fmt)
         return f"date_format({args[0]}, {_sql_str(_sf_datetime_format_to_spark(fmt))})"
     raise ValueError(
-        f"{name} supports (expr) or (expr, '<datetime format>');"
+        f"{name} supports (expr) or (expr, '<format>');"
         f" got {len(args)} args"
+    )
+
+
+def _to_char_numeric_lower(name: str, x: str, fmt: str) -> str:
+    """Lower a Snowflake numeric OUTPUT mask (``TO_CHAR(amt,
+    '$9,999,999.00')``) to a composition of exact-decimal Spark
+    expressions (VERDICT r10 #2 — previously a refusal).
+
+    Pinned semantics (each reproducible bit-exactly in ANSI SQL, so the
+    DuckDB oracle twin replicates every branch):
+
+    - the value is rounded HALF-AWAY-FROM-ZERO to the mask's scale by a
+      ``DECIMAL(38, s)`` cast (both engines' documented decimal-cast
+      rounding) — never through a double;
+    - fraction digits render to exactly ``s`` places (trailing zeros
+      kept); a zero integer part renders ``0`` (``'0.10'``);
+    - ``,``/``G`` groups the integer digits every 3 (the standard
+      grouping every real mask encodes positionally);
+    - ``0`` positions zero-pad the integer part to the width from the
+      leftmost ``0``; zero padding combined with grouping refuses
+      (contradictory rendering, and Snowflake masks don't mix them);
+    - ``S`` renders an explicit ``+``/``-``; without ``S`` negatives
+      get ``-`` and positives no sign character;
+    - ``$`` prefixes the digits, after the sign (``-$12.40``);
+    - integer overflow of the mask renders ``#`` across the mask's
+      digit/group/decimal positions with the ``$``/sign kept
+      (``'$####'`` — snowflake.com/en/sql-reference/sql-format-models);
+    - DIVERGENCE, stated loudly: Snowflake blank-pads unused leading
+      digit positions to a fixed width; this engine emits the unpadded
+      canonical form (wrap with LPAD for fixed-width output). Values,
+      signs, grouping, rounding, and overflow behavior match.
+
+    MI/PR/X/EEEE/FM and masks with more than 18 integer digit
+    positions refuse loudly (no silent mistranslation).
+    """
+    f = fmt.strip().upper().replace("G", ",").replace("D", ".")
+    m = re.fullmatch(r"(S?)(\$?)([09,]*[09])(?:\.([09]*))?", f)
+    if m is None:
+        raise ValueError(
+            f"{name} format {fmt!r} is not a supported numeric format"
+            " (S, $, 0/9 digits, ',' groups, '.' decimal; MI/PR/X/EEEE"
+            " refuse)"
+        )
+    sign_explicit = bool(m.group(1))
+    dollar = m.group(2)
+    int_mask = m.group(3)
+    frac = m.group(4) or ""
+    ip = sum(ch in "09" for ch in int_mask)
+    s = len(frac)
+    if ip > 18:
+        raise ValueError(
+            f"{name} format {fmt!r}: more than 18 integer digit positions"
+        )
+    has_comma = "," in int_mask
+    zpad = 0
+    if "0" in int_mask:
+        zpad = sum(ch in "09" for ch in int_mask[int_mask.index("0"):])
+    if zpad and has_comma:
+        raise ValueError(
+            f"{name} format {fmt!r}: zero padding combined with group"
+            " separators is not lowered"
+        )
+    d = f"CAST(({x}) AS DECIMAL(38,{s}))"
+    a = f"ABS({d})"
+    astr = f"CAST({a} AS STRING)"
+    # DECIMAL(38,s) renders with exactly s decimals on both engines
+    istr = f"substring_index({astr}, '.', 1)" if s else astr
+    if has_comma:
+        int_out = f"format_number(CAST({istr} AS BIGINT), 0)"
+    elif zpad:
+        int_out = (
+            f"lpad({istr}, greatest(length({istr}), {zpad}), '0')"
+        )
+    else:
+        int_out = istr
+    body = int_out
+    if s:
+        body = f"concat({int_out}, '.', substring_index({astr}, '.', -1))"
+    if sign_explicit:
+        sign = f"(CASE WHEN {d} < 0 THEN '-' ELSE '+' END)"
+    else:
+        sign = f"(CASE WHEN {d} < 0 THEN '-' ELSE '' END)"
+    prefix = f"concat({sign}, '{dollar}')" if dollar else sign
+    width = len(int_mask) + (s + 1 if s else 0)
+    fill = "'" + "#" * width + "'"
+    return (
+        f"(CASE WHEN length({istr}) > {ip} THEN concat({prefix}, {fill})"
+        f" ELSE concat({prefix}, {body}) END)"
     )
 
 

@@ -217,87 +217,70 @@ def d5_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_pairs_oracle(
-    threshold: float = 0.5, planes: int = 16, bands: int = 4, dims: int = 64
+def _lsh_adaptive_pairs_oracle(
+    threshold: float = 0.5,
+    bands: int = 4,
+    dims: int = 64,
+    target_occupancy: int = 64,
+    r_min: int = 4,
+    r_cap: int = 16,
+    cap_factor: int | None = None,
 ) -> str:
-    weights = S.hyperplane_weights(planes, dims)
-    dot_cols = []
-    for p, row in enumerate(weights):
-        lits = "[" + ", ".join(f"{float(x)}" for x in row) + "]"
-        dot_cols.append(
-            f"CASE WHEN list_reduce(list_concat([0.0::DOUBLE], "
-            f"list_transform(generate_series(1, len(v)), i -> v[i]*({lits}[i]))), "
-            f"(x,y) -> x+y) > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
-        )
-    sig = " + ".join(dot_cols)
-    r = planes // bands
-    mask = (1 << r) - 1
-    return f"""
-    WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-    n AS (SELECT id, v, sqrt({sql_dot('v', 'v')}) AS nrm, {sig} AS sig FROM e),
-    x AS (SELECT id, band, (sig >> (band * {r})) & {mask} AS key
-          FROM n, (SELECT unnest(range({bands})) AS band)),
-    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-             FROM x a JOIN x b ON a.band = b.band AND a.key = b.key AND a.id < b.id)
-    SELECT c.id_a, c.id_b,
-           {sql_dot('na.v', 'nb.v')} / (na.nrm * nb.nrm) AS cos_sim
-    FROM cand c JOIN n na ON na.id = c.id_a JOIN n nb ON nb.id = c.id_b
-    WHERE {sql_dot('na.v', 'nb.v')} / (na.nrm * nb.nrm) >= {threshold}
+    """Static-SQL twin of ``embedding_cosine_pairs_lsh_adaptive``: the
+    bits-per-band r is DATA-DERIVED on both engines (smallest r in
+    [r_min, r_cap] with 2**r * target_occupancy >= count — the same
+    integer comparison ``adaptive_band_bits`` runs, so no float-log2
+    divergence). The SQL computes each band's FULL r_cap-bit block
+    signature as literals and masks the low r bits at runtime —
+    bit-for-bit the keys Spark gets by evaluating only the first r
+    hyperplanes of the block (both pack little-endian by LOCAL plane
+    index). Capped mode replicates the data-derived hot-bucket cap
+    ``greatest(32, cap_factor * n >> r)`` and the DISTINCT pair dedup.
     """
+    weights = S.hyperplane_weights(bands * r_cap, dims)
 
+    def block_sig(b: int) -> str:
+        terms = []
+        for p in range(r_cap):
+            row = weights[b * r_cap + p]
+            lits = "[" + ", ".join(f"{float(x)}" for x in row) + "]"
+            terms.append(
+                f"CASE WHEN list_reduce(list_concat([0.0::DOUBLE], "
+                f"list_transform(generate_series(1, len(v)), i -> v[i]*({lits}[i]))), "
+                f"(x,y) -> x+y) > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
+            )
+        return " + ".join(terms)
 
-@register(
-    "d5l_dedup_embedding_lsh",
-    oracle=_lsh_pairs_oracle(planes=24, bands=4),
-    doc="""Banded hyperplane-LSH threshold-pairs dedup — the 100 TB
-    default path for d5 (brute force kept as the oracle cross-check,
-    mirroring the v1/v2 ANN split): 24-bit signature -> 4 bands of 6
-    bits -> ONE narrow equi-self-join on (band, chunk) over (id, sig)
-    rows -> vectors joined back -> exact cosine on the ~7% surviving
-    candidates only. No cartesian/BNLJ node and no vector ever rides
-    the banding shuffle (both asserted in tests/test_plan_shapes.py);
-    deterministic, so the oracle replays the identical banding.""",
-    tags=("dedup", "vectors", "lsh"),
-)
-def d5l_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.embedding_cosine_pairs_lsh(
-        load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        threshold=0.5, planes=24, bands=4, dims=64,
+    sig_cols = ", ".join(f"{block_sig(b)} AS s{b}" for b in range(bands))
+    key_case = (
+        "CASE band "
+        + " ".join(f"WHEN {b} THEN s{b}" for b in range(bands))
+        + " END"
     )
-
-
-def _lsh_capped_pairs_oracle(
-    threshold: float = 0.5, planes: int = 24, bands: int = 4, dims: int = 64
-) -> str:
-    """d14's twin: the d5l banding with the HOT-BUCKET CAP — bucket
-    size limit computed FROM THE DATA on both engines (greatest(32,
-    n//16) = 4x the average (band,key) occupancy at r=6), buckets over
-    the cap dropped entirely, surviving pairs DISTINCT-deduped (the
-    capped mode's dedup — a pair's first agreeing band may be a
-    dropped hot bucket)."""
-    weights = S.hyperplane_weights(planes, dims)
-    dot_cols = []
-    for p, row in enumerate(weights):
-        lits = "[" + ", ".join(f"{float(x)}" for x in row) + "]"
-        dot_cols.append(
-            f"CASE WHEN list_reduce(list_concat([0.0::DOUBLE], "
-            f"list_transform(generate_series(1, len(v)), i -> v[i]*({lits}[i]))), "
-            f"(x,y) -> x+y) > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
-        )
-    sig = " + ".join(dot_cols)
-    r = planes // bands
-    mask = (1 << r) - 1
+    if cap_factor is not None:
+        cap_ctes = f""",
+    cap AS (SELECT greatest(32, ({cap_factor} * cnt.n) >> geo.r) AS mb
+            FROM cnt, geo),
+    xs AS (SELECT x.* FROM x
+           JOIN (SELECT band, key FROM x GROUP BY band, key
+                 HAVING count(*) <= (SELECT mb FROM cap)) bs
+           USING (band, key))"""
+        cand_src = "xs"
+    else:
+        cap_ctes = ""
+        cand_src = "x"
     return f"""
     WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-    cap AS (SELECT greatest(32, count(*) // 16) AS mb FROM e),
-    n AS (SELECT id, v, sqrt({sql_dot('v', 'v')}) AS nrm, {sig} AS sig FROM e),
-    x AS (SELECT id, band, (sig >> (band * {r})) & {mask} AS key
-          FROM n, (SELECT unnest(range({bands})) AS band)),
-    bs AS (SELECT band, key FROM x GROUP BY band, key
-           HAVING count(*) <= (SELECT mb FROM cap)),
-    xs AS (SELECT x.* FROM x JOIN bs USING (band, key)),
+    cnt AS (SELECT count(*) AS n FROM e),
+    geo AS (SELECT coalesce(min(rr), {r_cap}) AS r
+            FROM (SELECT unnest(range({r_min}, {r_cap} + 1)) AS rr) t, cnt
+            WHERE (1::BIGINT << rr) * {target_occupancy} >= cnt.n),
+    n AS (SELECT id, v, sqrt({sql_dot('v', 'v')}) AS nrm, {sig_cols} FROM e),
+    x AS (SELECT id, band,
+                 ({key_case}) & ((1::BIGINT << geo.r) - 1) AS key
+          FROM n, geo, (SELECT unnest(range({bands})) AS band)){cap_ctes},
     cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-             FROM xs a JOIN xs b
+             FROM {cand_src} a JOIN {cand_src} b
              ON a.band = b.band AND a.key = b.key AND a.id < b.id)
     SELECT c.id_a, c.id_b,
            {sql_dot('na.v', 'nb.v')} / (na.nrm * nb.nrm) AS cos_sim
@@ -307,33 +290,60 @@ def _lsh_capped_pairs_oracle(
 
 
 @register(
+    "d5l_dedup_embedding_lsh",
+    oracle=_lsh_adaptive_pairs_oracle(),
+    doc="""Banded hyperplane-LSH threshold-pairs dedup — the 100 TB
+    default path for d5 (brute force kept as the oracle cross-check,
+    mirroring the v1/v2 ANN split), with the banding GEOMETRY DERIVED
+    FROM CORPUS SIZE (VERDICT r10 #1): r = adaptive_band_bits(n) bits
+    per band so expected bucket occupancy stays ~constant and the
+    aggregate candidate count is ~n * occupancy * bands / 2 — LINEAR
+    in n, where any fixed r is Omega(n^2 / 2^r). Per-band independent
+    r-bit signatures -> ONE narrow equi-self-join on (band, key) over
+    (id, keys[bands]) rows -> vectors joined back -> exact cosine on
+    survivors only. No cartesian/BNLJ node and no vector ever rides
+    the banding shuffle (asserted in tests/test_plan_shapes.py); the
+    derivation is integer-exact on both engines, so the oracle replays
+    the identical banding (operators/dedup.py adaptive_band_bits).""",
+    tags=("dedup", "vectors", "lsh"),
+)
+def d5l_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_cosine_pairs_lsh_adaptive(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.5, bands=4, dims=64,
+    )
+
+
+@register(
     "d14_dedup_lsh_bucket_cap",
-    oracle=_lsh_capped_pairs_oracle(planes=24, bands=4),
-    doc="""d5l's banded hyperplane-LSH dedup WITH THE HOT-BUCKET CAP
-    engaged — the defense the sf10 adversarial sweep proved necessary
-    (r9 session 2): the 100x-replicated corpus turns every LSH bucket
-    into a >=100-member near-dup clique, and uncapped pair enumeration
-    is Omega(sum bucket^2) — billions of candidates that exhausted
-    spill disk. The cap is DATA-DERIVED on both engines (greatest(32,
-    n//16) = 4x the average (band,key) occupancy at r=6), so it tracks
-    corpus growth instead of degenerating like an absolute constant;
-    buckets above it are dropped BEFORE the self-join (the size
-    aggregation shuffles (band,key) rows only), bounding per-bucket
-    fan-out at cap^2. Dropped hot buckets are near-identical content
-    by construction — a production run routes their members through
-    the exact/minhash path (d1/d3), the same division of labor as d7's
-    stop-shingle cap. The one-row cap scalar is the only driver-side
-    state (p11's width-guard class). Oracle replicates banding + cap +
+    oracle=_lsh_adaptive_pairs_oracle(cap_factor=4),
+    doc="""d5l's adaptive banded hyperplane-LSH dedup WITH THE
+    HOT-BUCKET CAP engaged — the defense the sf10 adversarial sweep
+    proved necessary (r9 session 2): a 100x-replicated corpus turns
+    LSH buckets into >=100-member near-dup cliques and uncapped pair
+    enumeration is Omega(sum bucket^2). Two data-derived parameters,
+    identical on both engines (VERDICT r10 #1): (1) the banding
+    GEOMETRY — r = adaptive_band_bits(n) bits per band, so the key
+    space grows with the corpus, expected occupancy stays ~constant,
+    and ORGANIC growth keeps the aggregate candidate count linear in n
+    (fixing the fixed-r quadratic the r10 verdict flagged); (2) the
+    CAP — greatest(32, 4n >> r) = 4x the expected occupancy, dropped
+    BEFORE the self-join (the size aggregation shuffles (band,key)
+    rows only), bounding per-bucket fan-out at cap^2 against
+    DEGENERATE corpora (replicated boilerplate cliques) that beat any
+    uniform-growth analysis. Dropped hot buckets are near-identical
+    content by construction — a production run routes their members
+    through the exact/minhash path (d1/d3), the same division of labor
+    as d7's stop-shingle cap. The one driver-side scalar is the corpus
+    count (table-stats at 100 TB). Oracle replicates geometry + cap +
     DISTINCT pair dedup exactly (operators/dedup.py:
-    embedding_cosine_pairs_lsh max_bucket).""",
+    embedding_cosine_pairs_lsh_adaptive).""",
     tags=("dedup", "vectors", "lsh", "skew"),
 )
 def d14_dedup_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    cap = max(32, emb.count() // 16)
-    return D.embedding_cosine_pairs_lsh(
-        emb, "vec_id", "embedding",
-        threshold=0.5, planes=24, bands=4, dims=64, max_bucket=cap,
+    return D.embedding_cosine_pairs_lsh_adaptive(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.5, bands=4, dims=64, cap_factor=4,
     )
 
 

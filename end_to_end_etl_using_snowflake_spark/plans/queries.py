@@ -8083,6 +8083,109 @@ def f30_variant_typeof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite_scalar_funcs(_F30_SNOWFLAKE_TEXT))
 
 
+def _duck_to_char_numeric(x: str, fmt: str) -> str:
+    """DuckDB twin of sqldialect._to_char_numeric_lower — the SAME
+    pinned algorithm (decimal-cast rounding, exact string split,
+    grouping/zero-pad/sign/$/#-overflow) written against DuckDB
+    builtins, coded independently so the oracle is a genuine
+    cross-check and not a shared bug. NULL-safe via || (DuckDB's
+    concat() SKIPS nulls — the r9 sf10 harness lesson)."""
+    import re as _re
+
+    f = fmt.strip().upper().replace("G", ",").replace("D", ".")
+    m = _re.fullmatch(r"(S?)(\$?)([09,]*[09])(?:\.([09]*))?", f)
+    assert m, fmt
+    int_mask, frac = m.group(3), m.group(4) or ""
+    ip = sum(ch in "09" for ch in int_mask)
+    s = len(frac)
+    zpad = 0
+    if "0" in int_mask:
+        zpad = sum(ch in "09" for ch in int_mask[int_mask.index("0"):])
+    d = f"CAST(({x}) AS DECIMAL(38,{s}))"
+    a = f"ABS({d})"
+    astr = f"CAST({a} AS VARCHAR)"
+    istr = f"split_part({astr}, '.', 1)" if s else astr
+    if "," in int_mask:
+        int_out = f"format('{{:,}}', CAST({istr} AS BIGINT))"
+    elif zpad:
+        int_out = (
+            f"lpad({istr}, CAST(greatest(length({istr}), {zpad})"
+            f" AS INTEGER), '0')"
+        )
+    else:
+        int_out = istr
+    body = int_out
+    if s:
+        body = f"({int_out} || '.' || split_part({astr}, '.', 2))"
+    if m.group(1):
+        sign = f"(CASE WHEN {d} < 0 THEN '-' ELSE '+' END)"
+    else:
+        sign = f"(CASE WHEN {d} < 0 THEN '-' ELSE '' END)"
+    prefix = f"({sign} || '{m.group(2)}')" if m.group(2) else sign
+    fill = "'" + "#" * (len(int_mask) + (s + 1 if s else 0)) + "'"
+    return (
+        f"(CASE WHEN length({istr}) > {ip} THEN ({prefix} || {fill})"
+        f" ELSE ({prefix} || {body}) END)"
+    )
+
+
+_F31_SNOWFLAKE_TEXT = """
+SELECT o_orderkey,
+       TO_CHAR(o_totalprice, '$9,999,999.00') AS money,
+       TO_CHAR(o_totalprice, '99,999') AS whole,
+       TO_VARCHAR(o_totalprice * (CASE WHEN o_orderkey % 2 = 0 THEN -1 ELSE 1 END),
+                  'S9999999.99') AS signed_amt,
+       TO_CHAR(o_orderkey % 997, '00000') AS padded,
+       TO_CHAR(o_totalprice / 10000, '9.99') AS tight
+FROM orders
+WHERE o_orderkey % 11 = 0
+"""
+
+
+@register(
+    "f31_to_char_numeric",
+    oracle=f"""
+    SELECT o_orderkey,
+           {_duck_to_char_numeric('o_totalprice', '$9,999,999.00')} AS money,
+           {_duck_to_char_numeric('o_totalprice', '99,999')} AS whole,
+           {_duck_to_char_numeric(
+               "o_totalprice * (CASE WHEN o_orderkey % 2 = 0 THEN -1 ELSE 1 END)",
+               'S9999999.99')} AS signed_amt,
+           {_duck_to_char_numeric('o_orderkey % 997', '00000')} AS padded,
+           {_duck_to_char_numeric('o_totalprice / 10000', '9.99')} AS tight
+    FROM orders
+    WHERE o_orderkey % 11 = 0
+    """,
+    doc="""Snowflake NUMERIC OUTPUT MASKS for TO_CHAR/TO_VARCHAR —
+    ``TO_CHAR(amt, '$9,999,999.00')`` — lowered instead of refused
+    (VERDICT r10 #2: the most common remaining real-user paste; the
+    reference's money columns are exactly this shape,
+    order-data-pipeline.sql:55-60 types). The lowering
+    (functions/sqldialect.py:_to_char_numeric_lower) composes exact
+    decimal arithmetic: DECIMAL(38,s) cast for half-away-from-zero
+    rounding (never through a double), string-split for exact
+    fraction rendering, format_number grouping, lpad zero-padding,
+    explicit S sign, $ after the sign, and the documented '#'-fill on
+    integer overflow ('$####' — the snowflake docs' own example).
+    Blank padding is the one stated divergence (unpadded canonical
+    form; LPAD restores fixed width). MI/PR/X/EEEE/FM and >18 integer
+    positions refuse loudly. The entry exercises every branch over
+    orders money values: grouping+$, whole-number rounding WITH
+    overflow rows mixed in ('######'), explicit sign on negated
+    amounts, zero-padding, and a tight mask that overflows at >=10.
+    All per-row JVM expressions — pushdown/codegen untouched; the
+    DuckDB twin re-implements the identical algorithm independently
+    (_duck_to_char_numeric).""",
+    tags=("sql-surface", "dialect", "functions", "conversion", "formats"),
+)
+def f31_to_char_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import rewrite_scalar_funcs
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrite_scalar_funcs(_F31_SNOWFLAKE_TEXT))
+
+
 @register(
     "s10_stage_positional_select",
     oracle="""

@@ -3436,13 +3436,50 @@ def test_conversion_pack_rewriter(spark):
         ("SELECT TO_DATE(x, 'YYYY-Q') FROM t", "unsupported datetime format"),
         ("SELECT TO_TIMESTAMP(x, 'FF') FROM t", "unsupported datetime format"),
         ("SELECT TO_DATE(x, fmtcol) FROM t", "literal"),
-        ("SELECT TO_CHAR(n, '999.99') FROM t", "numeric output formats"),
+        ("SELECT TO_CHAR(n, '999.99MI') FROM t", "not a supported numeric"),
+        ("SELECT TO_CHAR(n, '9999999999999999999') FROM t",
+         "more than 18 integer digit"),
+        ("SELECT TO_CHAR(n, '0,000') FROM t", "zero padding combined"),
         ("SELECT TO_NUMBER(x, 'MI999') FROM t", "not a supported numeric"),
         ("SELECT GET_PATH(v, p) FROM t", "string literal"),
         ("SELECT GET_PATH(v, 'a..b') FROM t", "dotted identifier"),
     ]:
         with _pytest.raises(ValueError, match=msg):
             rewrite_scalar_funcs(bad)
+
+
+def test_to_char_numeric_mask_semantics(spark):
+    """VERDICT r10 #2: numeric output masks LOWER instead of refusing.
+    Pin every documented branch of _to_char_numeric_lower, including
+    the snowflake docs' own '$####' overflow example and exact
+    half-away-from-zero rounding through the DECIMAL cast (never a
+    double)."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_scalar_funcs,
+    )
+
+    cases = [
+        ("12.454", "99.99", "12.45"),           # rounds, 2 decimals
+        ("0.1", "99.99", "0.10"),               # zero int renders '0'
+        ("1234567.891", "$9,999,999.00", "$1,234,567.89"),
+        ("12", "0000", "0012"),                 # zero padding
+        ("12", "S0000", "+0012"),               # explicit sign
+        ("-12.5", "99.99", "-12.50"),           # default minus kept
+        ("-0.2", "$9,999.00", "-$0.20"),        # sign before $
+        ("-0.001", "99.99", "0.00"),            # rounds to non-negative
+        ("9.995", "9.99", "####"),              # rounds INTO overflow
+        ("3987", "$99.0", "$####"),             # the snowflake docs row
+        ("-12.391", "$99.0", "-$12.4"),         # docs row, negative
+        ("34", "9,999", "34"),                  # grouping only if needed
+        ("1234", "9,999", "1,234"),
+        ("12345", "999", "###"),                # plain overflow
+    ]
+    select = ", ".join(
+        f"TO_CHAR({v}, '{f}') AS c{i}" for i, (v, f, _) in enumerate(cases)
+    )
+    row = spark.sql(rewrite_scalar_funcs(f"SELECT {select}")).first()
+    for i, (v, f, want) in enumerate(cases):
+        assert row[f"c{i}"] == want, (v, f, want, row[f"c{i}"])
 
 
 def test_copy_unload_parser_and_roundtrip(spark, tmp_path):

@@ -404,6 +404,109 @@ def test_d5l_hot_bucket_cap_bounds_candidates(spark):
     assert len(got_capped) < n_uncapped / 10
 
 
+def test_adaptive_band_bits_targets_constant_occupancy():
+    """VERDICT r10 #1: bits-per-band must be derived from corpus size
+    so expected bucket occupancy (n / 2**r) stays <= the target. Pin
+    the exact integer derivation the DuckDB oracle twin replicates."""
+    from end_to_end_etl_using_snowflake_spark.operators.dedup import (
+        adaptive_band_bits,
+    )
+
+    # smallest r with 2**r * 64 >= n, clamped to [4, 16]
+    assert adaptive_band_bits(0) == 4
+    assert adaptive_band_bits(500) == 4        # sf0.01 embeddings
+    assert adaptive_band_bits(1024) == 4       # exact boundary: 16*64
+    assert adaptive_band_bits(1025) == 5       # one past the boundary
+    assert adaptive_band_bits(2000) == 5       # sf0.1 embeddings
+    assert adaptive_band_bits(200_000) == 12   # the sf10 sweep corpus
+    assert adaptive_band_bits(10**9) == 16     # clamped at r_cap
+    assert adaptive_band_bits(10**10, r_cap=40) == 28  # petabyte preset
+    # occupancy invariant wherever the clamp is not binding
+    for n in (100, 3_000, 77_777, 1_000_000):
+        r = adaptive_band_bits(n, r_cap=62)
+        assert n / (1 << r) <= 64
+        assert r == 4 or n / (1 << (r - 1)) > 64  # minimal such r
+
+
+def test_adaptive_lsh_candidate_count_scales_linearly(spark):
+    """The fix's actual claim: on a uniformly grown corpus the
+    CANDIDATE count (threshold=-1 keeps every banding candidate) grows
+    ~linearly with n because r grows with the corpus — where the fixed
+    geometry grows it ~quadratically (every bucket's population scales
+    with n). 4x the rows must not 16x the candidates."""
+    import numpy as np
+
+    from end_to_end_etl_using_snowflake_spark.operators.dedup import (
+        embedding_cosine_pairs_lsh,
+        embedding_cosine_pairs_lsh_adaptive,
+    )
+
+    rng = np.random.default_rng(23)
+
+    def corpus(n):
+        v = rng.standard_normal((n, 16))
+        rows = [(i, [float(x) for x in v[i]]) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    def cand(df, fixed):
+        if fixed:
+            return embedding_cosine_pairs_lsh(
+                df, "vec_id", "embedding", threshold=-1.0,
+                planes=24, bands=4, dims=16,
+            ).count()
+        return embedding_cosine_pairs_lsh_adaptive(
+            df, "vec_id", "embedding", threshold=-1.0,
+            bands=4, dims=16, target_occupancy=16,
+        ).count()
+
+    small, big = corpus(600), corpus(2400)
+    a_small, a_big = cand(small, fixed=False), cand(big, fixed=False)
+    f_small, f_big = cand(small, fixed=True), cand(big, fixed=True)
+    # fixed r: candidate growth tracks n^2 (4x rows -> ~16x pairs;
+    # allow slack for hash noise but it must be clearly superlinear)
+    assert f_big / f_small > 8, (f_small, f_big)
+    # adaptive r: growth tracks n (4x rows -> ~4x candidates; r rises
+    # 6->8 here, so the ratio must stay well under the quadratic's)
+    assert a_big / a_small < 8, (a_small, a_big)
+    assert a_big / a_small < (f_big / f_small) / 2, (
+        a_small, a_big, f_small, f_big,
+    )
+
+
+def test_adaptive_lsh_cap_drops_degenerate_cluster(spark):
+    """The adaptive path keeps the hot-bucket backstop: a degenerate
+    near-identical cluster (which no occupancy-targeted r can spread
+    out — the vectors genuinely collide) is dropped from candidate
+    generation while an isolated planted pair still surfaces."""
+    import numpy as np
+
+    from end_to_end_etl_using_snowflake_spark.operators.dedup import (
+        embedding_cosine_pairs_lsh_adaptive,
+    )
+
+    rng = np.random.default_rng(11)
+    hot = rng.standard_normal(16)
+    rows = [
+        (i, [float(x) for x in (hot + 1e-3 * rng.standard_normal(16))])
+        for i in range(600)
+    ]
+    a = rng.standard_normal(16)
+    rows += [
+        (1000, [float(x) for x in a]),
+        (1001, [float(x) for x in (a + 0.05 * rng.standard_normal(16))]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    capped = embedding_cosine_pairs_lsh_adaptive(
+        df, "vec_id", "embedding", threshold=0.9, bands=4, dims=16,
+        cap_factor=4,
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (1000, 1001) in got
+    # n=602 -> r=4, cap = max(32, 4*602 >> 4) = 150: the 600-member
+    # cluster's buckets all exceed it and are dropped wholesale
+    assert len(got) < 600, len(got)
+
+
 def test_mmr_diversifies_near_duplicate_candidates(spark):
     """MMR vs plain top-k on a constructed corpus where the two most
     query-similar docs are near-duplicates of each other: plain top-2
