@@ -41,6 +41,8 @@ HEADLINE = [
     "d5l_dedup_embedding_lsh", # banded-LSH embedding pairs (scale path)
     "d14_dedup_lsh_bucket_cap",# capped banded LSH (hot-bucket defense, r9)
     "t14_pii_redact",          # PII scrub pass (regex chain, r9)
+    "f31_to_char_numeric",     # numeric TO_CHAR masks (exact decimal, r11)
+    "wp1_write_file_plan",     # stats-driven write file planning (r11)
     "d10_segment_boilerplate", # cross-doc segment/boilerplate removal
     "d11_semantic_dedup",      # SemDeDup cluster-then-prune
     "t12_bpe_encode",          # BPE corpus encoding (train+encode one plan)
@@ -159,7 +161,18 @@ def main() -> None:
     single_run = {"pl_backfill_incremental", "pl_backfill_scale"}
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
+    # per-query contention sampling (VERDICT r9 #7 / r10 #5): sample
+    # the 1-min loadavg before each query so a mid-loop external spike
+    # is visible in the artifact, not just the start/end bookends. The
+    # samples are SELF-INCLUSIVE (our own executor burst from the
+    # previous query lingers in the 1-min average), so the per-query
+    # flag uses a near-saturation threshold (0.5 * cpus) well above
+    # the bench's own measured steady-state (~6-8 on 32 cpus), where
+    # the start-gate keeps the stricter 0.25 * cpus on a quiet JVM.
+    midloop_thresh = 0.5 * (os.cpu_count() or 8)
+    query_load: dict[str, float | None] = {}
     for name in HEADLINE:
+        query_load[name] = _loadavg()
         best = float("inf")
         for _ in range(1 if name in single_run else repeats):
             t0 = time.perf_counter()
@@ -167,6 +180,10 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+    contended_queries = sorted(
+        n for n, lv in query_load.items()
+        if lv is not None and lv > midloop_thresh
+    )
 
     end_load = _loadavg()
     print(
@@ -188,6 +205,12 @@ def main() -> None:
                 "load_threshold": round(thresh, 2),
                 "load_waited_sec": waited,
                 "contended": bool(load is not None and load > thresh),
+                # self-inclusive 1-min loadavg sampled as each query
+                # started; contended_queries = samples above
+                # midloop_load_threshold (see comment at the loop)
+                "loadavg_per_query": query_load,
+                "midloop_load_threshold": round(midloop_thresh, 2),
+                "contended_queries": contended_queries,
             }
         )
     )

@@ -2806,7 +2806,13 @@ def _regex_int_literal(name: str, args: list, idx: int, default: int) -> int:
 def _regexp_like_rewrite(name: str, args: list) -> str:
     if name in ("RLIKE", "REGEXP") and len(args) == 1:
         # head matched a parenthesized INFIX operand (`x RLIKE ('p')`),
-        # not the 2/3-arg function-call form: pass through untouched
+        # not the 2/3-arg function-call form: pass through untouched.
+        # r10 ADVICE note: a genuinely malformed 1-arg CALL — a pasted
+        # `RLIKE(pattern)` missing its subject — is textually
+        # indistinguishable from this infix shape, so it is
+        # DELIBERATELY deferred to Spark's analyzer (which rejects it)
+        # rather than refused here, where refusing would break every
+        # legitimate `x RLIKE ('p')`.
         return f"{name}({args[0]})"
     if len(args) not in (2, 3):
         return _bad(name, args)

@@ -55,71 +55,24 @@ def register(
 # similarity / text / multimodal / pipeline) lands inside any reasonable
 # prefix. Names not listed keep insertion order after these.
 PRIORITY: tuple[str, ...] = (
-    # ---- first 50: the r10 driver-checked window (VERDICT r9
-    # Next-round #1). 2-entry always-on core + the 11 session-3
-    # entries that have NEVER had a driver check (all locally
-    # 3-SF parity-green; 9 sf10-green; judge-strict-verified at
-    # sf0.01 in r9) + the FULL 23-entry r4-stale cohort + 14
-    # family-diverse picks from the r5-stale cohort, headlined by
-    # pl_backfill_incremental (the O(delta) maintenance path --
-    # the most load-bearing 100 TB claim). r10 additions land in
-    # the window by evicting r5 picks one-for-one from the tail.
+    # ---- first 50: the r11 driver-checked window (VERDICT r10 #4).
+    # 2-entry always-on core + d5l/d14 (REDEFINED this round: adaptive
+    # banding geometry — new oracles need a fresh driver check) + the
+    # two never-driver-checked r11 additions (f31 numeric TO_CHAR
+    # masks, wp1 write planner) + the FULL 34-entry r5-stale cohort
+    # (the last r5 greens anywhere; after this round the staleness
+    # ceiling moves to r6) + 10 family-diverse picks from the
+    # 48-entry r6-stale cohort. All window entries are locally
+    # 3-SF parity-green per pytest run.
     "flagship_fact_rebuild",
     "pl_dim_customer",
-    # 11-entry never-driver-checked session-3 debt
-    "f26_regexp_dialect",
-    "f27_calendar_dialect",
-    "f28_bit_ops",
-    "f29_percentile_dialect",
-    "f30_variant_typeof",
-    "sql51_transaction_text",
-    "sql52_native_spellings",
-    "s11_put_remove_stage",
+    # redefined this round (adaptive LSH geometry)
+    "d5l_dedup_embedding_lsh",
     "d14_dedup_lsh_bucket_cap",
-    "t14_pii_redact",
-    "x26_quality_curriculum",
-    # full 23-entry r4-last-green cohort (stalest cumulative greens)
-    "dq1_referential_audit",
-    "e7_stream_interval_join",
-    "f10_try_cast",
-    "f13_regex_funcs",
-    "f14_explode_generator",
-    "m1_merge_upsert_state",
-    "mm2_frame_sample",
-    "p9_unpivot",
-    "pl_backfill_scale",
-    "pl_pipe_task_admin",
-    "sql2_lateral_topk",
-    "sql3_window_text",
-    "v10_ann_quantized_rerank",
-    "v8_quantize_int8",
-    "v9_kmeans_iter3",
-    "w4_ntile_distribution",
-    "x10_source_quality_cap",
-    "x12_similar_doc_retrieval",
-    "x14_content_defined_chunks",
-    "x7_sequence_packing",
-    "x8_pii_pseudonymize",
-    "x9_chunk_documents",
-    "z1_zorder_layout_key",
-    # 14 r5-last-green picks (family breadth; backfill first)
-    "pl_backfill_incremental",
-    "d12_duplicate_spans",
-    "dq2_robust_outliers",
-    "e9_funnel_conversion",
-    "e12_foreachbatch_merge_sink",
-    "f11_array_funcs",
-    "k4_hll_union_sources",
-    "mm4_resize_plan",
-    "mv1_incremental_agg",
-    "pl_schema_evolution",
-    "q2_min_cost_supplier",
-    "sql4_recursive_cte",
-    "t11_bigram_lm_score",
-    "v11_pq_adc_topk",
-    # ---- 51+: ascending last-green round (stalest first), so the
-    # r11 rotation simply takes the prefix; everything is still
-    # locally oracle-checked per pytest run.
+    # never-driver-checked r11 additions
+    "f31_to_char_numeric",
+    "wp1_write_file_plan",
+    # full 34-entry r5-last-green cohort
     "dq3_distribution_drift",
     "e10_stream_outer_join",
     "e11_stream_window_agg",
@@ -154,22 +107,32 @@ PRIORITY: tuple[str, ...] = (
     "x19_stratified_exact_sample",
     "x20_temperature_mixture",
     "x21_global_shuffle",
+    # 10 family-diverse picks from the r6-stale cohort
+    "pl_fact_order",
+    "j1_inner_equi_broadcast",
     "a1_groupby_agg",
+    "sql6_flatten_dialect",
+    "e13_match_recognize",
+    "k5_file_bloom_prune",
+    "d11_semantic_dedup",
+    "v15_ann_ivf_trained",
+    "t13_quality_classifier",
+    "x24_asof_directional",
+    # ---- 51+: ascending last-green round (stalest first), so
+    # the r12 rotation simply takes the prefix; everything is
+    # still locally oracle-checked per pytest run.
+    # last driver-green r6 (38 entries)
     "a8_filtered_aggregates",
     "d10_segment_boilerplate",
-    "d11_semantic_dedup",
     "dq4_minhash_recall_eval",
     "dq5_constraint_checks",
-    "e13_match_recognize",
     "e15_stream_full_outer_join",
     "e16_stream_session_close",
     "f15_min_max_by",
     "f4_strict_casts",
-    "j1_inner_equi_broadcast",
     "j2_join_null_residual",
     "j4_composite_key_join",
     "j5_left_anti",
-    "k5_file_bloom_prune",
     "k6_kmv_distinct",
     "m2_merge_dedup_composite",
     "m6_update_where",
@@ -183,7 +146,6 @@ PRIORITY: tuple[str, ...] = (
     "pl_clustering_info",
     "pl_dim_item",
     "pl_dynamic_table",
-    "pl_fact_order",
     "pl_quarantine",
     "pl_reference_console",
     "pl_show_columns",
@@ -191,17 +153,14 @@ PRIORITY: tuple[str, ...] = (
     "pl_transaction",
     "prof3_sketch_profile",
     "sql11_flatten_object",
-    "sql6_flatten_dialect",
     "sql7_group_by_all",
     "sql8_flatten_outer",
-    "t13_quality_classifier",
     "v14_mmr_rerank",
-    "v15_ann_ivf_trained",
     "w1_dedup_latest_per_key",
     "w5_rank_distribution_funcs",
     "w6_ignore_nulls_fill",
     "x23_length_bucketing",
-    "x24_asof_directional",
+    # last driver-green r7 (48 entries)
     "a4_count_distinct",
     "a5_rollup",
     "a6_percentile_groups",
@@ -250,12 +209,12 @@ PRIORITY: tuple[str, ...] = (
     "x3_time_spine_rollup",
     "x4_snapshot_as_of",
     "x5_range_join",
+    # last driver-green r8 (47 entries)
     "d1_dedup_exact",
     "d2_dedup_ngram_jaccard",
     "d3_dedup_minhash_lsh",
     "d4_dedup_simhash",
     "d5_dedup_embedding_cosine",
-    "d5l_dedup_embedding_lsh",
     "d6_dedup_cluster_labels",
     "e18_append_only_stream",
     "e1_tumbling_window_agg",
@@ -298,6 +257,7 @@ PRIORITY: tuple[str, ...] = (
     "x1_asof_join",
     "x25_sample_system",
     "x2_leakage_safe_split",
+    # last driver-green r9 (48 entries)
     "d13_dedup_representative",
     "d7_dedup_stop_shingle",
     "d8_decontaminate",
@@ -346,6 +306,54 @@ PRIORITY: tuple[str, ...] = (
     "v6_kmeans_assign",
     "w3_range_frame_timeseries",
     "x6_corpus_mixture_sample",
+    # last driver-green r10 (47 entries)
+    "f26_regexp_dialect",
+    "f27_calendar_dialect",
+    "f28_bit_ops",
+    "f29_percentile_dialect",
+    "f30_variant_typeof",
+    "sql51_transaction_text",
+    "sql52_native_spellings",
+    "s11_put_remove_stage",
+    "t14_pii_redact",
+    "x26_quality_curriculum",
+    "dq1_referential_audit",
+    "e7_stream_interval_join",
+    "f10_try_cast",
+    "f13_regex_funcs",
+    "f14_explode_generator",
+    "m1_merge_upsert_state",
+    "mm2_frame_sample",
+    "p9_unpivot",
+    "pl_backfill_scale",
+    "pl_pipe_task_admin",
+    "sql2_lateral_topk",
+    "sql3_window_text",
+    "v10_ann_quantized_rerank",
+    "v8_quantize_int8",
+    "v9_kmeans_iter3",
+    "w4_ntile_distribution",
+    "x10_source_quality_cap",
+    "x12_similar_doc_retrieval",
+    "x14_content_defined_chunks",
+    "x7_sequence_packing",
+    "x8_pii_pseudonymize",
+    "x9_chunk_documents",
+    "z1_zorder_layout_key",
+    "pl_backfill_incremental",
+    "d12_duplicate_spans",
+    "dq2_robust_outliers",
+    "e9_funnel_conversion",
+    "e12_foreachbatch_merge_sink",
+    "f11_array_funcs",
+    "k4_hll_union_sources",
+    "mm4_resize_plan",
+    "mv1_incremental_agg",
+    "pl_schema_evolution",
+    "q2_min_cost_supplier",
+    "sql4_recursive_cte",
+    "t11_bigram_lm_score",
+    "v11_pq_adc_topk",
 )
 
 

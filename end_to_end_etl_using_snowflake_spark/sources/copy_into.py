@@ -378,11 +378,19 @@ def get_statement(text: str, stage_root: str) -> list[dict]:
     — download stage files matching the prefix into a local directory
     (PUT's inverse; the stage-lifecycle triad's last verb). One result
     row per file: {file, size, status} with status DOWNLOADED —
-    Snowflake's shape. The stage-RELATIVE path is preserved under the
-    destination directory (so equal basenames in different stage
-    subdirectories never collide). Existing local files are overwritten
+    Snowflake's shape. Existing local files are overwritten
     (Snowflake's GET default). Bytes are copied verbatim — a ``.gz``
-    staged by PUT comes back compressed, exactly like Snowflake."""
+    staged by PUT comes back compressed, exactly like Snowflake.
+
+    DELIBERATE DIVERGENCE (r10 ADVICE): real Snowflake GET downloads
+    files FLAT into the target directory, so two stage files with
+    equal basenames in different subdirectories silently overwrite
+    each other locally while both report DOWNLOADED. This engine
+    instead preserves each file's path RELATIVE TO THE GET PREFIX
+    under the destination (and the ``file`` result column carries
+    that prefix-relative subpath) — anti-collision beats flat-parity
+    here. ``GET @stage/a file://d`` lands ``a/x.csv`` at ``d/x.csv``
+    exactly like Snowflake; only nested files gain subdirectories."""
     import re
     import shutil
 
@@ -408,15 +416,22 @@ def get_statement(text: str, stage_root: str) -> list[dict]:
             full = os.path.join(dirpath, f)
             rel = os.path.relpath(full, stage_root)
             if not prefix or rel.startswith(prefix):
-                # preserve the stage-relative path under the local dir
-                # (r9 ADVICE: basename-flattening let two stage files
-                # in different subdirs with the same basename silently
-                # overwrite each other while both reported DOWNLOADED)
-                target = os.path.join(dst_dir, rel)
-                os.makedirs(os.path.dirname(target), exist_ok=True)
+                # preserve the PREFIX-relative path under the local
+                # dir (r9/r10 ADVICE: flattening let equal basenames
+                # in different subdirs silently overwrite each other;
+                # stripping the GET prefix stays closest to Snowflake,
+                # which downloads the prefix's files directly into the
+                # target). Snowflake prefixes are blob-style STRING
+                # prefixes, so strip only what was matched.
+                sub = rel[len(prefix):].lstrip("/") if prefix else rel
+                if not sub:  # GET of one exact file: keep its basename
+                    sub = os.path.basename(rel)
+                target = os.path.join(dst_dir, sub)
+                os.makedirs(os.path.dirname(target) or dst_dir,
+                            exist_ok=True)
                 shutil.copyfile(full, target)
                 out.append(
-                    {"file": rel, "size": os.path.getsize(full),
+                    {"file": sub, "size": os.path.getsize(full),
                      "status": "DOWNLOADED"}
                 )
     return sorted(out, key=lambda r: r["file"])

@@ -3616,3 +3616,44 @@ def test_append_only_stream_hides_updates_and_deletes(spark, tmp_path):
     )
     re_ins, _ = append_only_stream_read(tbl.changelog, "c", ["k"])
     assert sorted((r.k, r.v) for r in re_ins.select("k", "v").collect()) == [(4, "d2")]
+
+
+def test_write_planner_exact_file_counts(spark, tmp_path):
+    """The planner's contract end-to-end with a REAL write: per output
+    partition, the number of parquet files on disk equals the plan's
+    n_files exactly (the partitionBy(part, __file_id) layout makes
+    hash collisions between groups unable to merge planned files)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_using_snowflake_spark.operators.write_planner import (
+        apply_write_plan,
+        plan_partition_files,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("part"),
+        F.col("id").alias("k"),
+        F.repeat(F.lit("x"), ((F.col("id") % 3) * 40 + 10).cast("int")).alias(
+            "payload"
+        ),
+    )
+    plan = plan_partition_files(df, ["part"], target_bytes=8192)
+    rows = {r.part: r for r in plan.collect()}
+    # widths differ per part -> different planned fan-out
+    assert rows["0"].n_files < rows["2"].n_files
+    for r in rows.values():
+        assert r.n_files == max(1, -(-r.est_bytes // 8192))
+    out = str(tmp_path / "planned_write")
+    apply_write_plan(df, plan, ["part"], ["k"]).write.partitionBy(
+        "part", "__file_id"
+    ).parquet(out)
+    for part, r in rows.items():
+        files = _glob.glob(f"{out}/part={part}/__file_id=*/*.parquet")
+        dirs = _glob.glob(f"{out}/part={part}/__file_id=*")
+        assert len(dirs) == r.n_files, (part, len(dirs), r.n_files)
+        assert len(files) == r.n_files, (part, len(files), r.n_files)
+    # read-back prunes on the partition column and round-trips rows
+    back = spark.read.parquet(out)
+    assert back.filter(F.col("part") == "2").count() == 1000

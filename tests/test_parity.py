@@ -28,56 +28,57 @@ def test_entry_smoke(spark):
 
 def test_driver_prefix_spans_all_operator_families():
     """The driver's correctness gate checks a PREFIX of queries() (50
-    entries per round so far). Round-10 rotation (VERDICT r9 Next #1):
-    2-entry core + the 11 session-3 entries that have NEVER had a
-    driver check + the FULL 23-entry r4-last-green cohort + 14 r5-stale
-    family picks (pl_backfill_incremental first). Guard both
-    properties: the debt + stale cohorts are inside the window (none
-    silently pushed out), and the core operator families stay
-    covered. r10 additions evict only r5-pick padding from the tail."""
+    entries per round so far). Round-11 rotation (VERDICT r10 #4):
+    2-entry core + d5l/d14 (REDEFINED this round — adaptive banding
+    geometry, fresh oracles) + the two never-driver-checked r11
+    additions (f31, wp1) + the FULL 34-entry r5-last-green cohort +
+    10 family-diverse r6-stale picks. Guard both properties: the
+    redefined/debt/stale cohorts are inside the window (none silently
+    pushed out), and the core operator families stay covered."""
     prefix = list(__spark_entry__.queries())[:50]
-    never_driver_checked = [
-        "f26_regexp_dialect", "f27_calendar_dialect", "f28_bit_ops",
-        "f29_percentile_dialect", "f30_variant_typeof",
-        "sql51_transaction_text", "sql52_native_spellings",
-        "s11_put_remove_stage", "d14_dedup_lsh_bucket_cap",
-        "t14_pii_redact", "x26_quality_curriculum",
+    redefined_or_new = [
+        "d5l_dedup_embedding_lsh", "d14_dedup_lsh_bucket_cap",
+        "f31_to_char_numeric", "wp1_write_file_plan",
     ]
-    stale_r4_cohort = [
-        "dq1_referential_audit", "e7_stream_interval_join", "f10_try_cast",
-        "f13_regex_funcs", "f14_explode_generator", "m1_merge_upsert_state",
-        "mm2_frame_sample", "p9_unpivot", "pl_backfill_scale",
-        "pl_pipe_task_admin", "sql2_lateral_topk", "sql3_window_text",
-        "v10_ann_quantized_rerank", "v8_quantize_int8", "v9_kmeans_iter3",
-        "w4_ntile_distribution", "x10_source_quality_cap",
-        "x12_similar_doc_retrieval", "x14_content_defined_chunks",
-        "x7_sequence_packing", "x8_pii_pseudonymize", "x9_chunk_documents",
-        "z1_zorder_layout_key",
+    stale_r5_cohort = [
+        "dq3_distribution_drift", "e10_stream_outer_join",
+        "e11_stream_window_agg", "e8_stream_static_enrich",
+        "m10_multi_table_insert", "m9_cascading_delete",
+        "pl_result_cache", "pl_secured_view", "pl_time_travel",
+        "pl_undrop", "pl_zero_copy_clone", "pl_zonemap_prune",
+        "prof1_corr_exact", "prof2_table_profile", "q11_important_stock",
+        "q12_priority_shipping", "q13_customer_distribution",
+        "q15_top_supplier", "q16_supplier_part_counts",
+        "q17_small_qty_revenue", "q20_promotion_suppliers",
+        "q21_waiting_suppliers", "q8_market_share", "q9_product_profit",
+        "sql5_qualify_dialect", "t12_bpe_encode", "udf2_grouped_map_zscore",
+        "v13_ann_recall_eval", "x16_pagerank_iter3", "x17_weighted_sample",
+        "x18_fuzzy_name_join", "x19_stratified_exact_sample",
+        "x20_temperature_mixture", "x21_global_shuffle",
     ]
-    must_keep = ["pl_backfill_incremental"]  # the O(delta) 100 TB claim
     pushed_out = [
-        n for n in never_driver_checked + stale_r4_cohort + must_keep
-        if n not in prefix
+        n for n in redefined_or_new + stale_r5_cohort if n not in prefix
     ]
     assert not pushed_out, (
-        f"r10 debt/stale cohort entries outside the 50-window: {pushed_out}"
+        f"r11 redefined/stale cohort entries outside the 50-window: {pushed_out}"
     )
     families = {
         "flagship": ("flagship",),
-        "reference-pipeline": ("pl_dim_", "pl_backfill_", "pl_pipe_"),
-        "scan/project/join core": ("p9_", "f10_", "sql2_"),
-        "merge/dml": ("m1_", "sql51_"),
-        "dedup-llm": ("d14_", "d12_"),
-        "similarity-ann": ("v8_", "v9_", "v10_", "v11_"),
-        "text-analysis": ("t14_", "t11_", "x9_"),
-        "sketches": ("k4_", "dq2_"),
-        "streaming/cdc": ("e7_", "e12_", "e9_"),
-        "llm-pipeline": ("x7_", "x8_", "x10_", "x12_", "x14_", "x26_"),
-        "window-funcs": ("w4_",),
-        "sql-surface": ("sql3_", "sql4_", "sql52_"),
-        "functions": ("f1", "f2"),
-        "stage-verbs": ("s11_",),
-        "multimodal": ("mm2_", "mm4_"),
+        "reference-pipeline": ("pl_dim_", "pl_fact_", "pl_time_"),
+        "scan/project/join core": ("j1_", "a1_", "m9_", "m10_"),
+        "dedup-llm": ("d5l_", "d14_", "d11_"),
+        "similarity-ann": ("v13_", "v15_"),
+        "text-analysis": ("t12_", "t13_"),
+        "sketches": ("k5_", "prof2_"),
+        "streaming/cdc": ("e8_", "e10_", "e11_", "e13_"),
+        "llm-pipeline": ("x16_", "x17_", "x19_", "x20_", "x21_"),
+        "sql-surface": ("sql5_", "sql6_"),
+        # underscore-terminated explicit prefixes (ADVICE r10: bare
+        # "f1"/"f2" matched f10_* and pinned nothing)
+        "functions": ("f31_",),
+        "write-planning": ("wp1_",),
+        "profiling": ("prof1_", "udf2_"),
+        "quality": ("dq3_",),
     }
     missing = {
         fam: pfxs
