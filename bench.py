@@ -50,6 +50,7 @@ HEADLINE = [
     "v1_ann_bruteforce_topk",  # brute-force cosine top-k (fold path)
     "v7_ann_matmul_topk",      # brute-force via blocked matmul (BLAS path)
     "v3_ann_ivf_topk",         # IVF cell-probed top-k (scale path)
+    "v16_ann_lsh_adaptive",    # adaptive-width multiprobe LSH top-k (r11)
     "v6_kmeans_assign",        # Lloyd iteration (iterative algo rep)
     "v9_kmeans_iter3",         # 3-iteration Lloyd convergence loop
     "e5_session_window_native",# native merging session windows

@@ -242,6 +242,41 @@ def hyperplane_lsh_topk(
     )
 
 
+def hyperplane_lsh_topk_adaptive(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    dims: int = 64,
+    target_occupancy: int = 64,
+    r_min: int = 4,
+    r_cap: int = 16,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """``hyperplane_lsh_topk`` with the signature WIDTH derived from
+    corpus size (the ANN port of dedup.adaptive_band_bits — VERDICT
+    r10 noted v2/v4's fixed key space inherits d14's caveat): planes =
+    smallest r with ``2**r * target_occupancy >= n``, so expected
+    bucket occupancy — and therefore the per-query candidate scan —
+    stays ~constant as the corpus grows, where a fixed 8-bit signature
+    scans n/256 rows per probe (linear in n). The weights are the
+    SAME deterministic table's first r rows, so an oracle computing
+    the full r_cap-bit signature and masking the low r bits replays
+    the buckets exactly while r stays data-derived on both engines.
+    One driver-side scalar (the corpus count; table stats at 100 TB).
+    Multiprobe defaults ON: with occupancy-targeted r the probe count
+    tracks r = O(log n) while each probe's cost stays bounded."""
+    from .dedup import adaptive_band_bits
+
+    n = corpus.count()
+    r = adaptive_band_bits(n, target_occupancy, r_min, r_cap)
+    return hyperplane_lsh_topk(
+        corpus, queries, id_col, vec_col,
+        k=k, planes=r, dims=dims, multiprobe=multiprobe,
+    )
+
+
 def lloyd_centroids(
     emb: DataFrame,
     id_col: str,

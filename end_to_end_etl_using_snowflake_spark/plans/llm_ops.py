@@ -1034,6 +1034,89 @@ def v4_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_adaptive_topk_oracle(
+    k: int = 5,
+    dims: int = 64,
+    target_occupancy: int = 64,
+    r_min: int = 4,
+    r_cap: int = 16,
+) -> str:
+    """v16's twin: hyperplane-LSH top-k with the signature WIDTH
+    data-derived on both engines (the ANN port of the d5l/d14 adaptive
+    geometry): the SQL computes the full r_cap-bit signature as
+    literals and masks the low r bits, where r is the same integer
+    derivation adaptive_band_bits runs; multiprobe enumerates probe 0
+    (exact) plus one bit-flip per ACTIVE plane (pp <= r), deduped with
+    DISTINCT before ranking."""
+    weights = S.hyperplane_weights(r_cap, dims)
+    dot_cols = []
+    for p, row in enumerate(weights):
+        lits = "[" + ", ".join(f"{float(x)}" for x in row) + "]"
+        dot_cols.append(
+            f"CASE WHEN list_reduce(list_concat([0.0::DOUBLE], "
+            f"list_transform(generate_series(1, len(v)), i -> v[i]*({lits}[i]))), "
+            f"(x,y) -> x+y) > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
+        )
+    sig = " + ".join(dot_cols)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cnt AS (SELECT count(*) AS n FROM e),
+    geo AS (SELECT coalesce(min(rr), {r_cap}) AS r
+            FROM (SELECT unnest(range({r_min}, {r_cap} + 1)) AS rr) t, cnt
+            WHERE (1::BIGINT << rr) * {target_occupancy} >= cnt.n),
+    n AS (SELECT vec_id, v, sqrt({sql_dot('v', 'v')}) AS nrm, {sig} AS sig
+          FROM e),
+    nb AS (SELECT vec_id, v, nrm,
+                  sig & ((1::BIGINT << geo.r) - 1) AS bucket
+           FROM n, geo),
+    q AS (SELECT * FROM nb WHERE vec_id < 10),
+    probes AS (SELECT q.vec_id, q.v, q.nrm,
+                      CASE WHEN pp = 0 THEN q.bucket
+                           ELSE xor(q.bucket, (1::BIGINT << (pp - 1))) END
+                        AS probe
+               FROM q, geo, (SELECT unnest(range({r_cap} + 1)) AS pp) t
+               WHERE pp <= geo.r),
+    scored AS (
+        SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {sql_dot('p.v', 'c.v')} / (p.nrm * c.nrm) AS cos_sim
+        FROM nb c JOIN probes p
+        ON c.bucket = p.probe AND p.vec_id != c.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, rn AS "rank", neighbor_id, cos_sim
+    FROM ranked WHERE rn <= {k}
+    """
+
+
+@register(
+    "v16_ann_lsh_adaptive",
+    oracle=_lsh_adaptive_topk_oracle(),
+    doc="""Multi-probe hyperplane-LSH top-5 with the signature width
+    DERIVED FROM CORPUS SIZE — closing the fixed-key-space caveat the
+    r10 verdict noted v2/v4 inherit from d14: planes = the smallest r
+    with 2^r * 64 >= n (the same integer derivation as
+    dedup.adaptive_band_bits), so expected bucket occupancy — and the
+    per-probe candidate scan — stays ~constant as the corpus grows,
+    where v2's fixed 8-bit signature scans n/256 rows per probe
+    (linear in n). Probe count tracks r = O(log n); v2/v4 stay as the
+    preset-pinned baselines (the v1/v2 split's discipline). Oracle
+    computes the full 16-bit signature and masks the low r bits with
+    the data-derived r — bit-exact replay of the geometry on both
+    engines (operators/similarity.py:hyperplane_lsh_topk_adaptive).""",
+    tags=("similarity", "lsh", "multiprobe", "adaptive"),
+)
+def v16_ann_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.hyperplane_lsh_topk_adaptive(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, dims=64, multiprobe=True,
+    )
+
+
 @register(
     "t5_tfidf_topk",
     oracle=f"""

@@ -39,6 +39,7 @@ def test_driver_prefix_spans_all_operator_families():
     redefined_or_new = [
         "d5l_dedup_embedding_lsh", "d14_dedup_lsh_bucket_cap",
         "f31_to_char_numeric", "wp1_write_file_plan",
+        "v16_ann_lsh_adaptive",
     ]
     stale_r5_cohort = [
         "dq3_distribution_drift", "e10_stream_outer_join",
@@ -67,7 +68,7 @@ def test_driver_prefix_spans_all_operator_families():
         "reference-pipeline": ("pl_dim_", "pl_fact_", "pl_time_"),
         "scan/project/join core": ("j1_", "a1_", "m9_", "m10_"),
         "dedup-llm": ("d5l_", "d14_", "d11_"),
-        "similarity-ann": ("v13_", "v15_"),
+        "similarity-ann": ("v13_", "v15_", "v16_"),
         "text-analysis": ("t12_", "t13_"),
         "sketches": ("k5_", "prof2_"),
         "streaming/cdc": ("e8_", "e10_", "e11_", "e13_"),

@@ -73,6 +73,11 @@ def main() -> None:
         cap = max(32, (4 * n) >> r)
         adaptive_pairs, sizes = bucket_stats(emb, r, blocked=True)
         fixed_pairs, _ = bucket_stats(emb, 6, blocked=False)
+        capped_pairs = sizes.filter(F.col("bn") <= cap).agg(
+            F.coalesce(
+                F.sum(F.expr("bn * (bn - 1) / 2")), F.lit(0)
+            ).cast("long").alias("pairs")
+        ).collect()[0].pairs
         drop = sizes.filter(F.col("bn") > cap).agg(
             F.count(F.lit(1)).cast("long").alias("n_buckets"),
             F.coalesce(F.sum("bn"), F.lit(0)).cast("long").alias("n_rows"),
@@ -84,6 +89,7 @@ def main() -> None:
             "r_adaptive": r,
             "cap": cap,
             "enumerated_pairs_adaptive": adaptive_pairs,
+            "enumerated_pairs_adaptive_capped": int(capped_pairs),
             "enumerated_pairs_fixed_r6": fixed_pairs,
             "pairs_per_row_adaptive": round(adaptive_pairs / max(n, 1), 1),
             "pairs_per_row_fixed_r6": round(fixed_pairs / max(n, 1), 1),
