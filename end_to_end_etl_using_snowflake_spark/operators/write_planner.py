@@ -34,7 +34,7 @@ is proportionality, which is what file sizing needs).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -138,3 +138,47 @@ def apply_write_plan(
                             F.col("n_files")),
     ).drop("n_files")
     return planned.repartition(*part_cols, "__file_id")
+
+
+def plan_compaction_groups(
+    manifest: DataFrame,
+    file_col: str,
+    bytes_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Group EXISTING files into compaction batches of ~``target_bytes``
+    — the read-side half of the small-files story (``apply_write_plan``
+    prevents new small files; this plans the rewrite of accumulated
+    ones, e.g. streaming sink output or years of tiny daily loads).
+
+    Deterministic start-offset binning over the size-DESCENDING file
+    stream (first-fit on a sorted stream — the classic compaction
+    heuristic): running byte offset ``S`` before each file, group =
+    ``S DIV target``. Descending order packs the big files first so
+    small files fill the remainders; every group's total is within one
+    member file of the target. Ties break on the file id, so reruns
+    produce identical groups and the plan is oracle-replicable as one
+    window running sum.
+
+    Scale: the input is a FILE MANIFEST — O(files) metadata rows, not
+    data — so the single-partition ordered window is bounded by
+    manifest size (the zonemap-manifest class of driver-adjacent
+    state), never by table bytes. Output: (file, bytes, compact_group).
+    """
+    return (
+        manifest.select(
+            F.col(file_col).alias("file"),
+            F.col(bytes_col).cast("long").alias("bytes"),
+        )
+        .withColumn("__end", F.sum("bytes").over(
+            Window.orderBy(F.col("bytes").desc(), F.col("file").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+        .select(
+            "file",
+            "bytes",
+            F.expr(f"(__end - bytes) DIV {target_bytes}").alias(
+                "compact_group"
+            ),
+        )
+    )

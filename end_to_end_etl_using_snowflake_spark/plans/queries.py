@@ -9589,11 +9589,13 @@ def prof3_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WP1_TARGET_BYTES = 16384  # small target so the small-SF plan still fans out
 
 
-def _wp1_row_bytes_sql() -> str:
+def _wp_row_bytes_sql(*exclude: str) -> str:
     """DuckDB twin of operators/write_planner.py:estimated_row_bytes
     over the lineitem schema: fixed widths (BIGINT/DOUBLE/TIMESTAMP 8,
     INTEGER 4) + 4-byte prefix + byte length for strings, NULL -> 0 —
-    the identical arithmetic, written independently."""
+    the identical arithmetic, written independently. ``exclude`` drops
+    partition columns (the Spark side excludes part_cols from the
+    width estimate — they live in the directory path, not the file)."""
     fixed = {
         "l_orderkey": 8, "l_partkey": 8, "l_suppkey": 8,
         "l_linenumber": 4, "l_quantity": 8, "l_extendedprice": 8,
@@ -9601,11 +9603,11 @@ def _wp1_row_bytes_sql() -> str:
     }
     parts = [
         f"(CASE WHEN {c} IS NULL THEN 0 ELSE {w} END)"
-        for c, w in fixed.items()
+        for c, w in fixed.items() if c not in exclude
     ]
     parts += [
         f"(CASE WHEN {c} IS NULL THEN 0 ELSE 4 + strlen({c}) END)"
-        for c in ("l_returnflag", "l_linestatus")
+        for c in ("l_returnflag", "l_linestatus") if c not in exclude
     ]
     return " + ".join(parts)
 
@@ -9615,8 +9617,8 @@ def _wp1_row_bytes_sql() -> str:
     oracle=f"""
     SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
            CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum({_wp1_row_bytes_sql()}) AS BIGINT) AS est_bytes,
-           CAST(greatest(1, (sum({_wp1_row_bytes_sql()})
+           CAST(sum({_wp_row_bytes_sql()}) AS BIGINT) AS est_bytes,
+           CAST(greatest(1, (sum({_wp_row_bytes_sql()})
                  + {_WP1_TARGET_BYTES - 1}) // {_WP1_TARGET_BYTES})
                 AS BIGINT) AS n_files
     FROM lineitem
@@ -9652,3 +9654,59 @@ def wp1_write_file_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_partition_files(
         li, ["ship_month"], _WP1_TARGET_BYTES
     ).orderBy("ship_month")
+
+
+_WP2_TARGET_BYTES = 65536
+
+
+@register(
+    "wp2_compaction_plan",
+    oracle=f"""
+    WITH m AS (
+        SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m')
+                 || '/' || l_returnflag AS file,
+               CAST(sum({_wp_row_bytes_sql('l_returnflag')}) AS BIGINT)
+                 AS bytes
+        FROM lineitem GROUP BY 1
+    )
+    SELECT file, bytes,
+           CAST((sum(bytes) OVER (ORDER BY bytes DESC, file
+                                  ROWS UNBOUNDED PRECEDING) - bytes)
+                // {_WP2_TARGET_BYTES} AS BIGINT) AS compact_group
+    FROM m
+    """,
+    doc="""COMPACTION planner — the read-side half of wp1's small-files
+    story: group accumulated files into rewrite batches of ~target
+    bytes via deterministic start-offset binning over the
+    size-descending manifest (first-fit on a sorted stream: running
+    byte offset S before each file, group = S DIV target; big files
+    first so small ones fill remainders; each group within one member
+    file of target). The input is a FILE MANIFEST — O(files) metadata
+    rows — so the single-partition ordered window is bounded by
+    manifest size, the zonemap-manifest class of driver-adjacent
+    state, never by table bytes. Entry synthesizes the manifest from
+    wp1's own per-(month, returnflag) byte estimates (the planner
+    compacting its own output stats); DuckDB twin recomputes the
+    identical widths and the identical running-sum binning
+    (operators/write_planner.py:plan_compaction_groups).""",
+    tags=("write", "layout", "planner", "compaction", "scale"),
+)
+def wp2_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.write_planner import (
+        plan_compaction_groups,
+        plan_partition_files,
+    )
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.date_format(F.col("l_shipdate"), "yyyy-MM")
+    )
+    plan = plan_partition_files(
+        li, ["ship_month", "l_returnflag"], _WP1_TARGET_BYTES
+    )
+    manifest = plan.select(
+        F.concat_ws("/", "ship_month", "l_returnflag").alias("file"),
+        "est_bytes",
+    )
+    return plan_compaction_groups(
+        manifest, "file", "est_bytes", _WP2_TARGET_BYTES
+    ).orderBy("file")

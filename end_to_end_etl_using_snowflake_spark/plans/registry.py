@@ -73,6 +73,7 @@ PRIORITY: tuple[str, ...] = (
     "f31_to_char_numeric",
     "wp1_write_file_plan",
     "v16_ann_lsh_adaptive",
+    "wp2_compaction_plan",
     # full 34-entry r5-last-green cohort
     "dq3_distribution_drift",
     "e10_stream_outer_join",
@@ -117,12 +118,13 @@ PRIORITY: tuple[str, ...] = (
     "k5_file_bloom_prune",
     "d11_semantic_dedup",
     "v15_ann_ivf_trained",
-    "t13_quality_classifier",
-    # (x24_asof_directional evicted by v16 — heads the r6 tail below)
+    # (t13_quality_classifier evicted by wp2, x24_asof_directional by
+    # v16 — both head the r6 tail below)
     # ---- 51+: ascending last-green round (stalest first), so
     # the r12 rotation simply takes the prefix; everything is
     # still locally oracle-checked per pytest run.
-    # last driver-green r6 (39 entries)
+    # last driver-green r6 (40 entries)
+    "t13_quality_classifier",
     "x24_asof_directional",
     "a8_filtered_aggregates",
     "d10_segment_boilerplate",
