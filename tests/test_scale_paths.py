@@ -473,6 +473,68 @@ def test_adaptive_lsh_candidate_count_scales_linearly(spark):
     )
 
 
+def test_adaptive_recall_geometry_derivation():
+    """adaptive_lsh_recall_geometry holds BOTH invariants: occupancy
+    (via adaptive_band_bits) and banding recall >= target (bands =
+    ceil(log(1-recall)/log(1-p^r)) — the standard multi-table LSH
+    sizing). Pin exact values at p = 1 - acos(0.9)/pi."""
+    import math
+
+    from end_to_end_etl_using_snowflake_spark.operators.dedup import (
+        adaptive_lsh_recall_geometry,
+    )
+
+    p = 1 - math.acos(0.9) / math.pi
+    assert adaptive_lsh_recall_geometry(2000, p) == (5, 3)
+    assert adaptive_lsh_recall_geometry(20000, p) == (9, 6)
+    assert adaptive_lsh_recall_geometry(200000, p) == (12, 10)
+    # petabyte tier: bands demand (122) exceeds the cap -> capped
+    assert adaptive_lsh_recall_geometry(10**10, p) == (28, 64)
+    # the recall floor holds exactly wherever the cap is not binding
+    for n in (1000, 50_000, 3_000_000):
+        r, bands = adaptive_lsh_recall_geometry(n, p, recall_target=0.8)
+        assert 1 - (1 - p ** r) ** bands >= 0.8
+        assert bands == 1 or 1 - (1 - p ** r) ** (bands - 1) < 0.8
+
+
+def test_adaptive_recall_geometry_holds_measured_recall(spark):
+    """The measured half: on a planted near-dup corpus big enough that
+    occupancy-targeted r climbs (occupancy 4 -> r = 9 at n = 1260),
+    the DERIVED band count keeps measured recall above the target
+    while a fixed small band count falls well below — i.e. bands is
+    the working recall lever the geometry derivation claims."""
+    import math
+
+    from end_to_end_etl_using_snowflake_spark.operators.dedup import (
+        adaptive_lsh_recall_geometry,
+        embedding_cosine_pairs_lsh_adaptive,
+    )
+
+    df, planted_cos = _planted_corpus(spark, n_base=1200, n_dups=60)
+    truth = {pair for pair, c in planted_cos.items() if c >= 0.9}
+    assert len(truth) >= 40
+    n = df.count()
+    p = 1 - math.acos(0.95) / math.pi  # planted pairs sit near 0.95
+    r, bands = adaptive_lsh_recall_geometry(
+        n, p, recall_target=0.9, target_occupancy=4, r_cap=16
+    )
+    assert r == 9 and bands >= 4
+
+    def recall(nbands):
+        got = {
+            (row.id_a, row.id_b)
+            for row in embedding_cosine_pairs_lsh_adaptive(
+                df, "vec_id", "embedding", threshold=0.9,
+                bands=nbands, dims=16, target_occupancy=4,
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_derived, r_fixed2 = recall(bands), recall(2)
+    assert r_derived >= 0.75, r_derived
+    assert r_fixed2 < r_derived, (r_fixed2, r_derived)
+
+
 def test_adaptive_lsh_cap_drops_degenerate_cluster(spark):
     """The adaptive path keeps the hot-bucket backstop: a degenerate
     near-identical cluster (which no occupancy-targeted r can spread
