@@ -2129,6 +2129,76 @@ _SCALAR_REWRITES = {
     "BOOLAND_AGG": lambda args: (
         f"bool_and({args[0]})" if len(args) == 1 else _bad("BOOLAND_AGG", args)
     ),
+    # ---- statistics / aggregate pack (r11): every lowering here is
+    # ORDER-DETERMINISTIC — moment-based aggregates (SKEW, KURTOSIS,
+    # REGR_*) go through exact fixed-point-integer DECIMAL power sums
+    # (addition commutes exactly at any partitioning) and convert to
+    # double only for the final closed-form arithmetic, so a value
+    # hash of the result is stable across engines and shuffle orders.
+    "MEDIAN": lambda args: (
+        f"median({args[0]})" if len(args) == 1 else _bad("MEDIAN", args)
+    ),
+    "MODE": lambda args: (
+        # WITHIN GROUP pins the tie rule: lowest value among the most
+        # frequent (Snowflake leaves ties unspecified; determinism is
+        # this engine's convention so oracles can replay it)
+        f"mode() WITHIN GROUP (ORDER BY {args[0]})"
+        if len(args) == 1
+        else _bad("MODE", args)
+    ),
+    "BITAND_AGG": lambda args: (
+        f"bit_and({args[0]})" if len(args) == 1 else _bad("BITAND_AGG", args)
+    ),
+    "BITOR_AGG": lambda args: (
+        f"bit_or({args[0]})" if len(args) == 1 else _bad("BITOR_AGG", args)
+    ),
+    "BITXOR_AGG": lambda args: (
+        f"bit_xor({args[0]})" if len(args) == 1 else _bad("BITXOR_AGG", args)
+    ),
+    "WIDTH_BUCKET": lambda args: (
+        f"width_bucket({', '.join(args)})"
+        if len(args) == 4
+        else _bad("WIDTH_BUCKET", args)
+    ),
+    "OBJECT_AGG": lambda args: (
+        # JSON-text OBJECT (this engine's VARIANT convention, f30),
+        # keys sorted so the aggregate is order-insensitive
+        f"concat('{{', concat_ws(',', sort_array(collect_list("
+        f"btrim(to_json(map({args[0]}, {args[1]})), '{{}}')))), '}}')"
+        if len(args) == 2
+        else _bad("OBJECT_AGG", args)
+    ),
+    "SKEW": lambda args: (
+        _skew_kurt_lower("SKEW", args[0])
+        if len(args) == 1
+        else _bad("SKEW", args)
+    ),
+    "KURTOSIS": lambda args: (
+        _skew_kurt_lower("KURTOSIS", args[0])
+        if len(args) == 1
+        else _bad("KURTOSIS", args)
+    ),
+    "REGR_SLOPE": lambda args: (
+        _regr_lower("SLOPE", args[0], args[1])
+        if len(args) == 2
+        else _bad("REGR_SLOPE", args)
+    ),
+    "REGR_INTERCEPT": lambda args: (
+        _regr_lower("INTERCEPT", args[0], args[1])
+        if len(args) == 2
+        else _bad("REGR_INTERCEPT", args)
+    ),
+    "REGR_R2": lambda args: (
+        _regr_lower("R2", args[0], args[1])
+        if len(args) == 2
+        else _bad("REGR_R2", args)
+    ),
+    "REGR_COUNT": lambda args: (
+        f"COUNT(CASE WHEN ({args[0]}) IS NOT NULL"
+        f" AND ({args[1]}) IS NOT NULL THEN 1 END)"
+        if len(args) == 2
+        else _bad("REGR_COUNT", args)
+    ),
     "TIME_SLICE": lambda args: _time_slice_rewrite(args),
     # ---- REGEXP argument forms (r9 session 2): Snowflake's position/
     # occurrence/parameters/group arguments, and REGEXP_LIKE's implicit
@@ -2552,6 +2622,124 @@ def _to_char_numeric_lower(name: str, x: str, fmt: str) -> str:
     return (
         f"(CASE WHEN length({istr}) > {ip} THEN concat({prefix}, {fill})"
         f" ELSE concat({prefix}, {body}) END)"
+    )
+
+
+def _fixed_point_sums(
+    x: str, scale: int = 100, carrier: str = "DECIMAL(38,0)"
+) -> dict[str, str]:
+    """Exact moment machinery: round x to 1/``scale`` fixed-point and
+    carry it as an INTEGER decimal (scale 0 — decimal multiplication
+    can cap precision but never rounds a zero-scale value), so SUM(m),
+    SUM(m^2), SUM(m^3), SUM(m^4) are exact integers whatever the
+    partitioning/order, then convert to DOUBLE once. Skewness, excess
+    kurtosis, slope and R^2 are invariant to the linear x -> 100x
+    rescale, so the fixed-point factor cancels in every consumer
+    except REGR_INTERCEPT (which divides it back out). Exactness
+    envelope: |x| <= ~3e7 at 2 dp keeps m^4 under 38 digits; beyond
+    that the SUM overflows to NULL loudly (never silently wrong).
+    Inputs are rounded to 2 dp — the money/measure class this engine's
+    determinism conventions target."""
+    # ``carrier`` is the exact-integer type holding the fixed-point
+    # values: DECIMAL(38,0) on Spark; a DuckDB oracle twin passes
+    # HUGEINT (int128) — same integers, so the DOUBLE conversions and
+    # the (textually identical) closed-form arithmetic match bit-exact
+    m = (
+        f"CAST(ROUND(CAST(({x}) AS DECIMAL(38,6)) * {scale})"
+        f" AS {carrier})"
+    )
+    return {
+        "n": f"CAST(COUNT({x}) AS DOUBLE)",
+        "s1": f"CAST(SUM({m}) AS DOUBLE)",
+        "s2": f"CAST(SUM({m} * {m}) AS DOUBLE)",
+        "s3": f"CAST(SUM({m} * {m} * {m}) AS DOUBLE)",
+        "s4": f"CAST(SUM({m} * {m} * {m} * {m}) AS DOUBLE)",
+        "count": f"COUNT({x})",
+    }
+
+
+def _skew_kurt_lower(
+    name: str, x: str, carrier: str = "DECIMAL(38,0)"
+) -> str:
+    """Snowflake SKEW / KURTOSIS = the SAMPLE (bias-corrected, Excel
+    SKEW/KURT) statistics, via exact central-moment expansions over
+    :func:`_fixed_point_sums` (scale-invariant, so the fixed-point
+    factor cancels). NULL below the defined arity (n<3 / n<4) and at
+    zero variance — never an IEEE Inf/NaN in the output."""
+    f = _fixed_point_sums(x, carrier=carrier)
+    n, s1, s2, s3, s4 = f["n"], f["s1"], f["s2"], f["s3"], f["s4"]
+    mu = f"(({s1}) / ({n}))"
+    m2 = f"(({s2}) - ({s1}) * ({s1}) / ({n}))"  # sum (x-mu)^2
+    svar = f"(({m2}) / (({n}) - 1))"
+    # NO pow(): libm pow is not correctly rounded and differs across
+    # engines in the last ulp; explicit IEEE multiplies and sqrt (which
+    # IS correctly rounded everywhere) keep both dialects bit-identical
+    if name == "SKEW":
+        m3 = (
+            f"(({s3}) - 3 * {mu} * ({s2})"
+            f" + 2 * ({n}) * ({mu} * {mu} * {mu}))"
+        )
+        return (
+            f"(CASE WHEN {f['count']} < 3 OR {m2} <= 0 THEN NULL ELSE"
+            f" (({n}) / ((({n}) - 1) * (({n}) - 2)))"
+            f" * ({m3}) / (({svar}) * sqrt({svar})) END)"
+        )
+    m4 = (
+        f"(({s4}) - 4 * {mu} * ({s3}) + 6 * ({mu} * {mu}) * ({s2})"
+        f" - 3 * ({n}) * ({mu} * {mu} * {mu} * {mu}))"
+    )
+    return (
+        f"(CASE WHEN {f['count']} < 4 OR {m2} <= 0 THEN NULL ELSE"
+        f" (({n}) * (({n}) + 1) / ((({n}) - 1) * (({n}) - 2)"
+        f" * (({n}) - 3))) * ({m4}) / (({svar}) * ({svar}))"
+        f" - 3 * ((({n}) - 1) * (({n}) - 1))"
+        f" / ((({n}) - 2) * (({n}) - 3)) END)"
+    )
+
+
+def _regr_lower(
+    kind: str, y: str, x: str, carrier: str = "DECIMAL(38,0)"
+) -> str:
+    """REGR_SLOPE / REGR_INTERCEPT / REGR_R2 over exact fixed-point
+    sums; pairs with ANY null are excluded (the ANSI/Snowflake rule)
+    via a CASE inside every aggregate. R2 follows the ANSI contract:
+    NULL at zero x-variance, 1 at zero y-variance, else corr^2."""
+    both = f"(({x}) IS NOT NULL AND ({y}) IS NOT NULL)"
+    mx = (
+        f"CAST(ROUND(CAST((CASE WHEN {both} THEN ({x}) END)"
+        f" AS DECIMAL(38,6)) * 100) AS {carrier})"
+    )
+    my = (
+        f"CAST(ROUND(CAST((CASE WHEN {both} THEN ({y}) END)"
+        f" AS DECIMAL(38,6)) * 100) AS {carrier})"
+    )
+    n = f"CAST(COUNT(CASE WHEN {both} THEN 1 END) AS DOUBLE)"
+    cnt = f"COUNT(CASE WHEN {both} THEN 1 END)"
+    sx = f"CAST(SUM({mx}) AS DOUBLE)"
+    sy = f"CAST(SUM({my}) AS DOUBLE)"
+    sxy = f"CAST(SUM({mx} * {my}) AS DOUBLE)"
+    sx2 = f"CAST(SUM({mx} * {mx}) AS DOUBLE)"
+    sy2 = f"CAST(SUM({my} * {my}) AS DOUBLE)"
+    num = f"(({n}) * ({sxy}) - ({sx}) * ({sy}))"
+    varx = f"(({n}) * ({sx2}) - ({sx}) * ({sx}))"
+    vary = f"(({n}) * ({sy2}) - ({sy}) * ({sy}))"
+    slope = f"(({num}) / ({varx}))"
+    if kind == "SLOPE":
+        return (
+            f"(CASE WHEN {cnt} < 2 OR {varx} <= 0 THEN NULL"
+            f" ELSE {slope} END)"
+        )
+    if kind == "INTERCEPT":
+        # sums are in 100x fixed-point units; slope is scale-free, the
+        # intercept divides the factor back out
+        return (
+            f"(CASE WHEN {cnt} < 2 OR {varx} <= 0 THEN NULL"
+            f" ELSE (({sy}) - {slope} * ({sx})) / (({n}) * 100) END)"
+        )
+    return (
+        f"(CASE WHEN {cnt} < 1 OR {varx} <= 0 THEN NULL"
+        f" WHEN {vary} <= 0 THEN CAST(1.0 AS DOUBLE)"
+        f" ELSE ({num}) * ({num}) / (({varx}) * ({vary})) END)"
     )
 
 

@@ -9583,6 +9583,159 @@ def prof3_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# statistics aggregate pack (r11)
+# ---------------------------------------------------------------------------
+
+
+def _f32_oracle() -> str:
+    """DuckDB twin: the identical closed-form double arithmetic via the
+    shared formula generators with an int128 (HUGEINT) fixed-point
+    carrier — the sums are the same exact integers as Spark's
+    DECIMAL(38,0), so every downstream IEEE operation (written once,
+    emitted to both dialects) is bit-identical. MEDIAN is computed on
+    fixed-point cents so the even-count interpolation is an exact
+    binary half; MODE is restated as the explicit count-desc,
+    value-asc rank (the tie rule the Spark lowering pins via WITHIN
+    GROUP). WIDTH_BUCKET is restated in closed form (DuckDB lacks it);
+    the entry's integer quantities sit >= 0.1 from every bucket edge,
+    so the two formulas cannot disagree on FP rounding."""
+    from ..functions.sqldialect import _regr_lower, _skew_kurt_lower
+
+    H = "HUGEINT"
+    cents = ("CAST(ROUND(CAST(l_extendedprice AS DECIMAL(38,6)) * 100)"
+             " AS BIGINT)")
+    return f"""
+    WITH base AS (
+        SELECT l_returnflag AS flag,
+               CAST(FLOOR((l_quantity - 0.0) / ((51.0 - 0.0) / 10)) + 1
+                    AS BIGINT) AS qband,
+               l_quantity, l_extendedprice, l_linenumber, l_orderkey,
+               l_linestatus
+        FROM lineitem
+    ),
+    g AS (
+        SELECT flag, qband,
+               CAST(COUNT(1) AS BIGINT) AS n_rows,
+               quantile_cont({cents}, 0.5) AS med_cents,
+               {_skew_kurt_lower('SKEW', 'l_extendedprice', carrier=H)}
+                 AS skew_price,
+               {_skew_kurt_lower('KURTOSIS', 'l_extendedprice', carrier=H)}
+                 AS kurt_price,
+               {_regr_lower('SLOPE', 'l_extendedprice', 'l_quantity', carrier=H)}
+                 AS slope,
+               {_regr_lower('INTERCEPT', 'l_extendedprice', 'l_quantity', carrier=H)}
+                 AS icept,
+               {_regr_lower('R2', 'l_extendedprice', 'l_quantity', carrier=H)}
+                 AS r2,
+               CAST(COUNT(CASE WHEN l_quantity IS NOT NULL
+                          AND l_extendedprice IS NOT NULL THEN 1 END)
+                    AS BIGINT) AS n_pairs,
+               bit_and(l_linenumber) AS line_and,
+               bit_or(l_linenumber) AS line_or,
+               bit_xor(l_orderkey) AS key_xor
+        FROM base GROUP BY flag, qband
+    ),
+    mode_rank AS (
+        SELECT flag, qband, l_linenumber,
+               ROW_NUMBER() OVER (PARTITION BY flag, qband
+                                  ORDER BY COUNT(1) DESC, l_linenumber)
+                 AS rn
+        FROM base GROUP BY flag, qband, l_linenumber
+    ),
+    status_counts AS (
+        SELECT flag, l_linestatus AS st, CAST(COUNT(1) AS BIGINT) AS c
+        FROM base GROUP BY flag, st
+    ),
+    o AS (
+        SELECT flag,
+               '{{' || string_agg('"' || st || '":' || c, ','
+                                  ORDER BY st) || '}}' AS status_obj
+        FROM status_counts GROUP BY flag
+    )
+    SELECT g.flag, g.qband, g.n_rows, g.med_cents, g.skew_price,
+           g.kurt_price, g.slope, g.icept, g.r2, g.n_pairs, g.line_and,
+           g.line_or, g.key_xor, m.l_linenumber AS mode_line,
+           o.status_obj
+    FROM g
+    JOIN mode_rank m ON m.flag = g.flag AND m.qband = g.qband AND m.rn = 1
+    JOIN o ON o.flag = g.flag
+    """
+
+
+_F32_SNOWFLAKE_TEXT = """
+WITH base AS (
+    SELECT l_returnflag AS flag,
+           WIDTH_BUCKET(l_quantity, 0.0, 51.0, 10) AS qband,
+           l_quantity, l_extendedprice, l_linenumber, l_orderkey,
+           l_linestatus
+    FROM lineitem
+),
+g AS (
+    SELECT flag, qband,
+           COUNT(1) AS n_rows,
+           MEDIAN(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(38,6)) * 100)
+                       AS BIGINT)) AS med_cents,
+           SKEW(l_extendedprice) AS skew_price,
+           KURTOSIS(l_extendedprice) AS kurt_price,
+           REGR_SLOPE(l_extendedprice, l_quantity) AS slope,
+           REGR_INTERCEPT(l_extendedprice, l_quantity) AS icept,
+           REGR_R2(l_extendedprice, l_quantity) AS r2,
+           REGR_COUNT(l_extendedprice, l_quantity) AS n_pairs,
+           BITAND_AGG(l_linenumber) AS line_and,
+           BITOR_AGG(l_linenumber) AS line_or,
+           BITXOR_AGG(l_orderkey) AS key_xor,
+           MODE(l_linenumber) AS mode_line
+    FROM base GROUP BY flag, qband
+),
+status_counts AS (
+    SELECT flag, l_linestatus AS st, COUNT(1) AS c
+    FROM base GROUP BY flag, st
+),
+o AS (
+    SELECT flag, OBJECT_AGG(st, c) AS status_obj
+    FROM status_counts GROUP BY flag
+)
+SELECT g.flag, g.qband, g.n_rows, g.med_cents, g.skew_price,
+       g.kurt_price, g.slope, g.icept, g.r2, g.n_pairs, g.line_and,
+       g.line_or, g.key_xor, g.mode_line, o.status_obj
+FROM g JOIN o ON o.flag = g.flag
+"""
+
+
+@register(
+    "f32_agg_dialect",
+    oracle=_f32_oracle(),
+    doc="""Snowflake STATISTICS/AGGREGATE pack accepted verbatim —
+    MEDIAN, MODE, SKEW, KURTOSIS, REGR_SLOPE/INTERCEPT/R2/COUNT,
+    BITAND_AGG/BITOR_AGG/BITXOR_AGG, OBJECT_AGG, WIDTH_BUCKET — the
+    everyday analyst surface previously unregistered. The hard part is
+    DETERMINISM: moment aggregates over doubles are order-dependent
+    (a different shuffle -> a different last ulp), so SKEW/KURTOSIS/
+    REGR_* lower through EXACT fixed-point-integer DECIMAL power sums
+    (addition commutes exactly at any partitioning; |x| <= ~3e7 at 2dp
+    before loud overflow) and convert to double only for the final
+    closed form, which avoids libm pow entirely (explicit IEEE
+    multiplies + correctly-rounded sqrt). The closed forms reproduce
+    DuckDB's own sample skewness/kurtosis and regr_* to float noise
+    (validated in tests), while the oracle runs the SAME formula text
+    over an int128 carrier for bit-exact value hashes. MODE pins the
+    unspecified-tie rule to lowest-among-most-frequent via WITHIN
+    GROUP; MEDIAN interpolates on exact cents (binary halves);
+    OBJECT_AGG renders the key-sorted JSON-text VARIANT convention
+    (f30). Map-side partial aggregation everywhere — one shuffle per
+    GROUP BY at any scale (functions/sqldialect.py:_fixed_point_sums,
+    _skew_kurt_lower, _regr_lower).""",
+    tags=("sql-surface", "dialect", "aggregates", "statistics"),
+)
+def f32_agg_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import rewrite_scalar_funcs
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrite_scalar_funcs(_F32_SNOWFLAKE_TEXT))
+
+
+# ---------------------------------------------------------------------------
 # write planning (stats-driven output file sizing)
 # ---------------------------------------------------------------------------
 

@@ -74,6 +74,7 @@ PRIORITY: tuple[str, ...] = (
     "wp1_write_file_plan",
     "v16_ann_lsh_adaptive",
     "wp2_compaction_plan",
+    "f32_agg_dialect",
     # full 34-entry r5-last-green cohort
     "dq3_distribution_drift",
     "e10_stream_outer_join",
@@ -117,13 +118,13 @@ PRIORITY: tuple[str, ...] = (
     "e13_match_recognize",
     "k5_file_bloom_prune",
     "d11_semantic_dedup",
-    "v15_ann_ivf_trained",
-    # (t13_quality_classifier evicted by wp2, x24_asof_directional by
-    # v16 — both head the r6 tail below)
+    # (v15_ann_ivf_trained evicted by f32, t13_quality_classifier by
+    # wp2, x24_asof_directional by v16 — all head the r6 tail below)
     # ---- 51+: ascending last-green round (stalest first), so
     # the r12 rotation simply takes the prefix; everything is
     # still locally oracle-checked per pytest run.
-    # last driver-green r6 (40 entries)
+    # last driver-green r6 (41 entries)
+    "v15_ann_ivf_trained",
     "t13_quality_classifier",
     "x24_asof_directional",
     "a8_filtered_aggregates",

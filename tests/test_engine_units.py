@@ -3657,3 +3657,66 @@ def test_write_planner_exact_file_counts(spark, tmp_path):
     # read-back prunes on the partition column and round-trips rows
     back = spark.read.parquet(out)
     assert back.filter(F.col("part") == "2").count() == 1000
+
+
+def test_agg_dialect_pack_semantics(spark):
+    """r11 statistics pack: the fixed-point closed forms must
+    reproduce the reference sample statistics (cross-checked against
+    independently-implemented DuckDB builtins to float noise), MODE
+    must pin the lowest-among-most-frequent tie rule, OBJECT_AGG the
+    key-sorted JSON text, WIDTH_BUCKET the ANSI edge semantics."""
+    import duckdb
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_scalar_funcs,
+    )
+
+    vals = [(1.0, 2.0), (2.0, 4.1), (2.5, 5.0), (9.0, 18.2), (4.25, 8.0)]
+    values = ", ".join(f"({x}, {y})" for x, y in vals)
+    row = spark.sql(rewrite_scalar_funcs(f"""
+        SELECT SKEW(x) AS sk, KURTOSIS(x) AS ku, REGR_SLOPE(y, x) AS sl,
+               REGR_INTERCEPT(y, x) AS ic, REGR_R2(y, x) AS r2,
+               REGR_COUNT(y, x) AS rc, MEDIAN(x) AS med
+        FROM (VALUES {values}) t(x, y)
+    """)).first()
+    ref = duckdb.sql(f"""
+        SELECT skewness(x) sk, kurtosis(x) ku, regr_slope(y, x) sl,
+               regr_intercept(y, x) ic, regr_r2(y, x) r2,
+               median(x)::DOUBLE med
+        FROM (VALUES {values}) t(x, y)
+    """).fetchone()
+    for got, want, name in [
+        (row.sk, ref[0], "skew"), (row.ku, ref[1], "kurtosis"),
+        (row.sl, ref[2], "slope"), (row.ic, ref[3], "intercept"),
+        (row.r2, ref[4], "r2"), (row.med, ref[5], "median"),
+    ]:
+        assert abs(got - want) < 1e-9, (name, got, want)
+    assert row.rc == 5
+
+    row2 = spark.sql(rewrite_scalar_funcs("""
+        SELECT MODE(x) AS mo,
+               OBJECT_AGG(k, v) AS obj,
+               BITAND_AGG(v) AS ba, BITOR_AGG(v) AS bo,
+               BITXOR_AGG(v) AS bx
+        FROM (VALUES (2, 'b', 3), (1, 'a', 5), (1, 'c', 6), (2, 'd', 12))
+             t(x, k, v)
+    """)).first()
+    assert row2.mo == 1          # tie between 1 and 2 -> lowest wins
+    assert row2.obj == '{"a":5,"b":3,"c":6,"d":12}'  # keys sorted
+    assert (row2.ba, row2.bo, row2.bx) == (3 & 5 & 6 & 12, 3 | 5 | 6 | 12,
+                                           3 ^ 5 ^ 6 ^ 12)
+
+    row3 = spark.sql(rewrite_scalar_funcs("""
+        SELECT WIDTH_BUCKET(5.35, 0.0, 10.0, 5) AS mid,
+               WIDTH_BUCKET(-1.0, 0.0, 10.0, 5) AS below,
+               WIDTH_BUCKET(10.0, 0.0, 10.0, 5) AS atmax,
+               SKEW(x) AS degenerate_skew,
+               KURTOSIS(x) AS degenerate_kurt,
+               REGR_SLOPE(x, CAST(1.0 AS DOUBLE)) AS zero_varx
+        FROM (VALUES (2.0), (2.0), (2.0), (2.0)) t(x)
+    """)).first()
+    assert (row3.mid, row3.below, row3.atmax) == (3, 0, 6)
+    # zero variance / zero x-variance -> NULL, never Inf/NaN
+    assert row3.degenerate_skew is None
+    assert row3.degenerate_kurt is None
+    assert row3.zero_varx is None

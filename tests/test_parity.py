@@ -40,6 +40,7 @@ def test_driver_prefix_spans_all_operator_families():
         "d5l_dedup_embedding_lsh", "d14_dedup_lsh_bucket_cap",
         "f31_to_char_numeric", "wp1_write_file_plan",
         "v16_ann_lsh_adaptive", "wp2_compaction_plan",
+        "f32_agg_dialect",
     ]
     stale_r5_cohort = [
         "dq3_distribution_drift", "e10_stream_outer_join",
@@ -68,7 +69,7 @@ def test_driver_prefix_spans_all_operator_families():
         "reference-pipeline": ("pl_dim_", "pl_fact_", "pl_time_"),
         "scan/project/join core": ("j1_", "a1_", "m9_", "m10_"),
         "dedup-llm": ("d5l_", "d14_", "d11_"),
-        "similarity-ann": ("v13_", "v15_", "v16_"),
+        "similarity-ann": ("v13_", "v16_"),
         "text-analysis": ("t12_",),
         "sketches": ("k5_", "prof2_"),
         "streaming/cdc": ("e8_", "e10_", "e11_", "e13_"),
@@ -76,7 +77,7 @@ def test_driver_prefix_spans_all_operator_families():
         "sql-surface": ("sql5_", "sql6_"),
         # underscore-terminated explicit prefixes (ADVICE r10: bare
         # "f1"/"f2" matched f10_* and pinned nothing)
-        "functions": ("f31_",),
+        "functions": ("f31_", "f32_"),
         "write-planning": ("wp1_", "wp2_"),
         "profiling": ("prof1_", "udf2_"),
         "quality": ("dq3_",),
