@@ -1380,7 +1380,9 @@ def delete_statement(spark, text: str, tables: dict):  # noqa: ANN001
 
 _CTAS_RE = re.compile(
     r"^CREATE\s+(?:OR\s+REPLACE\s+)?(?P<kind>TABLE|(?:SECURE\s+)?VIEW)\s+"
-    r"(?P<name>[\w.]+)\s+AS\s+(?P<body>SELECT\s+.+)$",
+    r"(?P<name>[\w.]+)\s*"
+    r"(?:CLUSTER\s+BY\s*\((?P<cluster>[^)]+)\)\s*)?"
+    r"AS\s+(?P<body>SELECT\s+.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -1406,6 +1408,20 @@ def ctas_statement(spark, text: str, tables: dict):  # noqa: ANN001
     for n, d in tables.items():
         d.createOrReplaceTempView(n.split(".")[-1])
     out = spark.sql(lower_select(m.group("body")))
+    if m.group("cluster"):
+        # Snowflake CLUSTER BY -> the Spark-native clustering: range-
+        # partition the write on the cluster keys and sort within each
+        # task, so every output file covers a DISJOINT key range —
+        # exactly the property SYSTEM$CLUSTERING_INFORMATION measures
+        # (average_overlaps -> 0) and zone-map pruning exploits
+        # (operators/zonemap.py reads one file per point lookup). The
+        # range partitioner samples, so this is the plan Spark would
+        # pick for a sorted write at ANY scale; VIEWs reject the
+        # clause (Snowflake clusters tables only).
+        if "VIEW" in m.group("kind").upper():
+            raise ValueError("CLUSTER BY applies to tables, not views")
+        cols = [c.strip() for c in m.group("cluster").split(",")]
+        out = out.repartitionByRange(*cols).sortWithinPartitions(*cols)
     if "VIEW" in m.group("kind").upper():
         out.createOrReplaceTempView(m.group("name").split(".")[-1])
     return out

@@ -9863,3 +9863,55 @@ def wp2_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_compaction_groups(
         manifest, "file", "est_bytes", _WP2_TARGET_BYTES
     ).orderBy("file")
+
+
+_SQL53_TEXT = """
+CREATE OR REPLACE TABLE lineitem_clustered CLUSTER BY (l_shipdate)
+AS SELECT l_orderkey, l_shipdate, l_extendedprice
+   FROM lineitem WHERE l_orderkey % 5 = 0
+"""
+
+
+@register(
+    "sql53_cluster_by_ddl",
+    oracle="""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM lineitem WHERE l_orderkey % 5 = 0
+    GROUP BY 1
+    """,
+    doc="""Snowflake ``CREATE TABLE ... CLUSTER BY (keys) AS SELECT``
+    accepted VERBATIM (r11) — the warehouse clustering DDL the
+    reference domain lives on. CLUSTER BY lowers to the Spark-native
+    equivalent: ``repartitionByRange(keys)`` +
+    ``sortWithinPartitions(keys)`` on the materializing write, so
+    every output file covers a DISJOINT key range — the physical
+    property SYSTEM$CLUSTERING_INFORMATION measures (average_overlaps
+    -> 0, pl_clustering_info) and zone-map pruning exploits
+    (k5/pl_zonemap_prune read one file per point lookup). The range
+    partitioner SAMPLES boundaries, so the same statement produces
+    balanced cluster files at any scale — no hand-tuned ranges. The
+    entry executes the DDL text and returns the created relation's
+    monthly rollup (content parity); the physical contract —
+    RangePartitioning in the plan, zero overlapping file ranges on
+    disk via the zone map — is pinned in
+    tests/test_engine_units.py::test_cluster_by_ddl_physical_layout
+    (functions/sqldialect.py:ctas_statement).""",
+    tags=("sql-surface", "dialect", "ddl", "clustering", "layout"),
+)
+def sql53_cluster_by_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import ctas_statement
+
+    clustered = ctas_statement(
+        spark, _SQL53_TEXT, {"lineitem": load(spark, sf_dir, "lineitem")}
+    )
+    return clustered.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents"),
+    )

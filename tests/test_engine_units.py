@@ -3720,3 +3720,58 @@ def test_agg_dialect_pack_semantics(spark):
     assert row3.degenerate_skew is None
     assert row3.degenerate_kurt is None
     assert row3.zero_varx is None
+
+
+def test_cluster_by_ddl_physical_layout(spark, tmp_path):
+    """sql53's physical contract: CLUSTER BY in the CTAS text must
+    produce a RangePartitioning exchange + in-partition sort, and a
+    real write must land files whose cluster-key ranges are pairwise
+    DISJOINT (the zone-map property SYSTEM$CLUSTERING_INFORMATION
+    scores and pruning exploits). A VIEW with CLUSTER BY refuses."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        ctas_statement,
+    )
+    from end_to_end_etl_using_snowflake_spark.operators.zonemap import (
+        build_zone_map,
+    )
+
+    src = spark.range(5000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 37 % 1000).alias("ckey"),
+    )
+    out = ctas_statement(
+        spark,
+        "CREATE OR REPLACE TABLE t CLUSTER BY (ckey) AS"
+        " SELECT k, ckey FROM src",
+        {"src": src},
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(ckey" in plan.lower(), plan
+    assert "Sort [ckey" in plan, plan
+    path = str(tmp_path / "clustered")
+    # tiny test input: AQE legitimately coalesces the sampled ranges
+    # to one partition; disable coalescing so the on-disk layout shows
+    # the multi-file clustering a real-scale write produces
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        out.write.parquet(path)
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    zm = build_zone_map(spark, path, ["ckey"]).collect()
+    assert len(zm) > 1  # actually clustered into multiple files
+    ranges = sorted((r["min_ckey"], r["max_ckey"]) for r in zm)
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo, ranges  # disjoint: zero overlapping file pairs
+    with _pytest.raises(ValueError, match="tables, not views"):
+        ctas_statement(
+            spark,
+            "CREATE OR REPLACE VIEW v CLUSTER BY (ckey) AS"
+            " SELECT * FROM src",
+            {"src": src},
+        )
