@@ -1948,6 +1948,113 @@ _SCALAR_REWRITES = {
         if len(args) == 3
         else _bad("NVL2", args)
     ),
+    # ---- everyday-scalar pack 2 (r11): spellings the probe battery
+    # showed were passing through the rewriter UNMAPPED and dying in
+    # Spark's analyzer — worse than a refusal. Each lowers to exact
+    # built-in compositions; the two with no faithful equivalent
+    # (JAROWINKLER_SIMILARITY, OBJECT_INSERT/DELETE) refuse loudly.
+    "TRUNCATE": lambda args: _numeric_trunc_rewrite("TRUNCATE", args),
+    "TRUNC": lambda args: _numeric_trunc_rewrite("TRUNC", args),
+    "LAST_DAY": lambda args: _last_day_rewrite(args),
+    "UUID_STRING": lambda args: (
+        "uuid()" if not args or args == [""] else _bad("UUID_STRING", args)
+    ),
+    "SEQ4": lambda args: "monotonically_increasing_id()",
+    "SEQ8": lambda args: "monotonically_increasing_id()",
+    "BASE64_ENCODE": lambda args: (
+        f"base64(CAST({args[0]} AS BINARY))"
+        if len(args) == 1
+        else _bad("BASE64_ENCODE", args)
+    ),
+    "BASE64_DECODE_STRING": lambda args: (
+        f"CAST(unbase64({args[0]}) AS STRING)"
+        if len(args) == 1
+        else _bad("BASE64_DECODE_STRING", args)
+    ),
+    "BASE64_DECODE_BINARY": lambda args: (
+        f"unbase64({args[0]})"
+        if len(args) == 1
+        else _bad("BASE64_DECODE_BINARY", args)
+    ),
+    "HEX_ENCODE": lambda args: (
+        f"hex({args[0]})" if len(args) == 1 else _bad("HEX_ENCODE", args)
+    ),
+    "HEX_DECODE_STRING": lambda args: (
+        f"CAST(unhex({args[0]}) AS STRING)"
+        if len(args) == 1
+        else _bad("HEX_DECODE_STRING", args)
+    ),
+    "HEX_DECODE_BINARY": lambda args: (
+        f"unhex({args[0]})"
+        if len(args) == 1
+        else _bad("HEX_DECODE_BINARY", args)
+    ),
+    "MD5_HEX": lambda args: (
+        f"md5({args[0]})" if len(args) == 1 else _bad("MD5_HEX", args)
+    ),
+    "SHA1_HEX": lambda args: (
+        f"sha1({args[0]})" if len(args) == 1 else _bad("SHA1_HEX", args)
+    ),
+    "JAROWINKLER_SIMILARITY": lambda args: (_ for _ in ()).throw(
+        ValueError(
+            "JAROWINKLER_SIMILARITY has no Spark built-in; use"
+            " EDITDISTANCE (lowered to levenshtein) for fuzzy matching"
+        )
+    ),
+    "STRTOK": lambda args: _strtok_rewrite("STRTOK", args),
+    "STRTOK_TO_ARRAY": lambda args: _strtok_rewrite("STRTOK_TO_ARRAY", args),
+    "INSERT": lambda args: (
+        # INSERT(base, pos, len, repl): replace len chars at 1-based pos
+        f"concat(substr({args[0]}, 1, ({args[1]}) - 1), {args[3]},"
+        f" substr({args[0]}, ({args[1]}) + ({args[2]})))"
+        if len(args) == 4
+        else _bad("INSERT", args)
+    ),
+    "OBJECT_INSERT": lambda args: (_ for _ in ()).throw(
+        ValueError(
+            "OBJECT_INSERT cannot be lowered losslessly over JSON-text"
+            " VARIANTs (value types would be re-encoded); restructure"
+            " with OBJECT_CONSTRUCT at build time"
+        )
+    ),
+    "OBJECT_DELETE": lambda args: (_ for _ in ()).throw(
+        ValueError(
+            "OBJECT_DELETE cannot be lowered losslessly over JSON-text"
+            " VARIANTs; restructure with OBJECT_CONSTRUCT at build time"
+        )
+    ),
+    "CHECK_JSON": lambda args: (
+        # Snowflake: NULL if valid/NULL input, an error string if not.
+        # The message is a deterministic constant here (Snowflake's
+        # parser prose is not reproducible) — documented divergence.
+        f"(CASE WHEN ({args[0]}) IS NULL THEN CAST(NULL AS STRING)"
+        f" WHEN try_parse_json({args[0]}) IS NULL THEN 'invalid JSON'"
+        f" ELSE CAST(NULL AS STRING) END)"
+        if len(args) == 1
+        else _bad("CHECK_JSON", args)
+    ),
+    "PARSE_URL": lambda args: _parse_url_rewrite(args),
+    "BOOLXOR": lambda args: (
+        f"((({args[0]}) <> 0) <> (({args[1]}) <> 0))"
+        if len(args) == 2
+        else _bad("BOOLXOR", args)
+    ),
+    "BOOLNOT": lambda args: (
+        f"(({args[0]}) = 0)" if len(args) == 1 else _bad("BOOLNOT", args)
+    ),
+    "HLL": lambda args: (
+        f"approx_count_distinct({', '.join(args)})"
+        if len(args) >= 1
+        else _bad("HLL", args)
+    ),
+    "VARIANCE_POP": lambda args: (
+        f"var_pop({args[0]})" if len(args) == 1 else _bad("VARIANCE_POP", args)
+    ),
+    "VARIANCE_SAMP": lambda args: (
+        f"var_samp({args[0]})"
+        if len(args) == 1
+        else _bad("VARIANCE_SAMP", args)
+    ),
     "ZEROIFNULL": lambda args: (
         f"coalesce({args[0]}, 0)" if len(args) == 1 else _bad("ZEROIFNULL", args)
     ),
@@ -2494,6 +2601,130 @@ def _sf_datetime_format_to_spark(fmt: str) -> str:
                 + ', punctuation, "quoted" literals)'
             )
     return "".join(out)
+
+
+def _numeric_trunc_rewrite(name: str, args: list) -> str:
+    """Snowflake TRUNCATE/TRUNC(x[, scale]): numeric truncation TOWARD
+    ZERO at a literal integer scale (Spark's ``trunc`` is date-only).
+    TRUNC with a quoted second argument keeps Spark's native
+    date-truncation passthrough (``trunc(d, 'MON')``); arity-1 TRUNC
+    is numeric scale 0 (use DATE_TRUNC for timestamps — documented)."""
+    if name == "TRUNC" and len(args) == 2 and _fmt_literal(args, 1, name):
+        return f"trunc({args[0]}, {args[1]})"
+    if len(args) not in (1, 2):
+        return _bad(name, args)
+    d_txt = args[1].strip() if len(args) == 2 else "0"
+    try:
+        d = int(d_txt)
+    except ValueError:
+        raise ValueError(
+            f"{name} scale must be an integer literal (got {d_txt!r})"
+        ) from None
+    x = args[0]
+    if d >= 0:
+        f = 10 ** d
+        return (
+            f"(CASE WHEN ({x}) >= 0 THEN FLOOR(({x}) * {f}) / {f}"
+            f" ELSE -FLOOR(-({x}) * {f}) / {f} END)"
+        )
+    f = 10 ** (-d)
+    return (
+        f"(CASE WHEN ({x}) >= 0 THEN FLOOR(({x}) / {f}) * {f}"
+        f" ELSE -FLOOR(-({x}) / {f}) * {f} END)"
+    )
+
+
+def _strtok_rewrite(name: str, args: list) -> str:
+    """STRTOK(s[, delims[, part]]) / STRTOK_TO_ARRAY(s[, delims]):
+    ``delims`` is a SET of single characters (Snowflake semantics —
+    consecutive delimiters collapse, empty tokens never surface), so
+    it lowers to one regex character class + a filter; the token index
+    is 1-based and out-of-range returns NULL (try_element_at). The
+    delimiter must be a string literal (the class is built at rewrite
+    time)."""
+    max_args = 2 if name == "STRTOK_TO_ARRAY" else 3
+    if not 1 <= len(args) <= max_args:
+        return _bad(name, args)
+    delims = " "
+    if len(args) >= 2:
+        lit = _fmt_literal(args, 1, name)
+        if lit is None:
+            raise ValueError(f"{name} delimiters must be a string literal")
+        delims = lit
+    if "\\" in delims:
+        raise ValueError(
+            f"{name}: backslash delimiter is not supported (regex/SQL"
+            " literal escaping is engine-ambiguous)"
+        )
+    # build the character class POSITIONALLY instead of with backslash
+    # escapes: Spark SQL string literals eat unknown escapes ('\-' ->
+    # '-'), so an escaped class silently changes meaning. ']' is
+    # literal first-in-class, '-' literal last, '^' literal anywhere
+    # but first.
+    # dedupe (delims is a SET of chars) — also keeps a repeated '&'
+    # from forming Java regex class intersection ('[&&]')
+    delims = "".join(dict.fromkeys(delims))
+    plain = [c for c in delims if c not in "]^-"]
+    cls = "[" + ("]" if "]" in delims else "") + "".join(plain) + (
+        "^" if "^" in delims else "") + ("-" if "-" in delims else "") + "]"
+    arr = (
+        f"filter(split({args[0]}, {_sql_str(cls)}), __t -> __t <> '')"
+    )
+    if name == "STRTOK_TO_ARRAY":
+        return arr
+    part = args[2] if len(args) == 3 else "1"
+    return f"try_element_at({arr}, {part})"
+
+
+def _parse_url_rewrite(args: list) -> str:
+    """PARSE_URL(u): Snowflake's OBJECT result re-expressed in this
+    engine's JSON-text VARIANT convention via Spark's parse_url parts:
+    {fragment, host, parameters (query map), path (leading '/'
+    stripped, as Snowflake does), port (omitted when absent —
+    to_json drops null fields), query, scheme}. The permissive
+    second argument is not supported (errors must surface)."""
+    if len(args) != 1:
+        return _bad("PARSE_URL", args)
+    u = args[0]
+    return (
+        "to_json(named_struct("
+        f"'fragment', parse_url({u}, 'REF'), "
+        f"'host', parse_url({u}, 'HOST'), "
+        f"'parameters', str_to_map(parse_url({u}, 'QUERY'), '&', '='), "
+        f"'path', regexp_replace(parse_url({u}, 'PATH'), '^/', ''), "
+        f"'port', nullif(regexp_extract({u}, '://[^/@]*:([0-9]+)', 1),"
+        f" ''), "
+        f"'query', parse_url({u}, 'QUERY'), "
+        f"'scheme', parse_url({u}, 'PROTOCOL')))"
+    )
+
+
+def _last_day_rewrite(args: list) -> str:
+    """LAST_DAY(d[, part]): Spark's last_day is month-only; year /
+    quarter / week lower to date_trunc arithmetic (week = ISO Monday
+    week, so its last day is the Sunday)."""
+    if len(args) == 1:
+        return f"last_day({args[0]})"
+    if len(args) != 2:
+        return _bad("LAST_DAY", args)
+    part = (_fmt_literal(args, 1, "LAST_DAY") or args[1]).strip().lower()
+    canon = _DATE_PART_CANON.get(part)
+    if canon is None:
+        raise ValueError(f"LAST_DAY: unknown date part {part!r}")
+    unit, mult = canon
+    d = args[0]
+    if (unit, mult) == ("MONTH", 1):
+        return f"last_day({d})"
+    if (unit, mult) == ("MONTH", 3):
+        return (
+            f"date_sub(add_months(CAST(date_trunc('QUARTER', {d})"
+            f" AS DATE), 3), 1)"
+        )
+    if (unit, mult) == ("YEAR", 1):
+        return f"make_date(year({d}), 12, 31)"
+    if (unit, mult) == ("DAY", 7):
+        return f"date_add(CAST(date_trunc('WEEK', {d}) AS DATE), 6)"
+    raise ValueError(f"LAST_DAY: unsupported date part {part!r}")
 
 
 def _fmt_literal(args: list, idx: int, name: str) -> str | None:

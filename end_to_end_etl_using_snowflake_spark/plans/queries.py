@@ -9915,3 +9915,109 @@ def sql53_cluster_by_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
+
+
+_F33_SNOWFLAKE_TEXT = """
+SELECT o_orderkey,
+       TRUNCATE(o_totalprice, 1) AS trunc1,
+       CAST(TRUNCATE(o_totalprice, -3) AS DOUBLE) AS trunc_k,
+       LAST_DAY(CAST(o_orderdate AS DATE), 'quarter') AS q_end,
+       LAST_DAY(CAST(o_orderdate AS DATE), 'year') AS y_end,
+       LAST_DAY(CAST(o_orderdate AS DATE), 'week') AS w_end,
+       BASE64_ENCODE(o_orderpriority) AS prio_b64,
+       BASE64_DECODE_STRING(BASE64_ENCODE(o_orderpriority)) AS prio_rt,
+       HEX_ENCODE(o_orderstatus) AS status_hex,
+       MD5_HEX(o_orderpriority) AS prio_md5,
+       STRTOK(o_orderpriority, '-', 2) AS prio_word,
+       INSERT(o_orderpriority, 2, 1, 'XX') AS prio_ins,
+       CHECK_JSON(CASE WHEN o_orderkey % 2 = 0
+                       THEN '{"a": ' || o_orderkey || '}'
+                       ELSE 'not json' END) AS json_ok,
+       PARSE_URL('https://w' || (o_orderkey % 3) || '.example.com'
+                 || (CASE WHEN o_orderkey % 2 = 0 THEN ':8443' ELSE '' END)
+                 || '/orders/' || o_orderkey
+                 || '?cust=' || o_custkey || '&p=' || (o_orderkey % 7)
+                 || (CASE WHEN o_orderkey % 5 = 0 THEN '#f' ELSE '' END))
+         AS url_obj,
+       BOOLXOR(o_orderkey % 2, o_orderkey % 3) AS bx,
+       BOOLNOT(o_orderkey % 4) AS bn
+FROM orders
+WHERE o_orderkey % 13 = 0
+"""
+
+
+@register(
+    "f33_everyday_scalars2",
+    oracle="""
+    SELECT o_orderkey,
+           (CASE WHEN o_totalprice >= 0
+                 THEN FLOOR(o_totalprice * 10) / 10
+                 ELSE -FLOOR(-o_totalprice * 10) / 10 END) AS trunc1,
+           (CASE WHEN o_totalprice >= 0
+                 THEN FLOOR(o_totalprice / 1000) * 1000
+                 ELSE -FLOOR(-o_totalprice / 1000) * 1000 END) AS trunc_k,
+           CAST(date_trunc('quarter', CAST(o_orderdate AS DATE))
+                + INTERVAL 3 MONTH - INTERVAL 1 DAY AS DATE) AS q_end,
+           make_date(CAST(year(o_orderdate) AS INTEGER), 12, 31) AS y_end,
+           CAST(date_trunc('week', CAST(o_orderdate AS DATE))
+                + INTERVAL 6 DAY AS DATE) AS w_end,
+           to_base64(o_orderpriority::BLOB) AS prio_b64,
+           o_orderpriority AS prio_rt,
+           hex(o_orderstatus) AS status_hex,
+           md5(o_orderpriority) AS prio_md5,
+           list_filter(regexp_split_to_array(o_orderpriority, '[-]'),
+                       t -> t != '')[2] AS prio_word,
+           substr(o_orderpriority, 1, 1) || 'XX'
+             || substr(o_orderpriority, 3) AS prio_ins,
+           (CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                 ELSE 'invalid JSON' END) AS json_ok,
+           '{'
+             || (CASE WHEN o_orderkey % 5 = 0
+                      THEN '"fragment":"f",' ELSE '' END)
+             || '"host":"w' || (o_orderkey % 3) || '.example.com",'
+             || '"parameters":{"cust":"' || o_custkey || '","p":"'
+             || (o_orderkey % 7) || '"},'
+             || '"path":"orders/' || o_orderkey || '",'
+             || (CASE WHEN o_orderkey % 2 = 0
+                      THEN '"port":"8443",' ELSE '' END)
+             || '"query":"cust=' || o_custkey || '&p=' || (o_orderkey % 7)
+             || '","scheme":"https"}' AS url_obj,
+           ((o_orderkey % 2 <> 0) <> (o_orderkey % 3 <> 0)) AS bx,
+           (o_orderkey % 4 = 0) AS bn
+    FROM orders
+    WHERE o_orderkey % 13 = 0
+    """,
+    doc="""Everyday-scalar pack 2 (r11): the probe battery found these
+    common spellings passing through the rewriter UNMAPPED and dying
+    as opaque Spark analyzer errors — TRUNCATE/TRUNC numeric
+    truncation (toward zero, literal scale, negative scales; TRUNC
+    keeps the native date passthrough on quoted parts), LAST_DAY with
+    a date part (quarter/year/week via date_trunc arithmetic),
+    BASE64_/HEX_ ENCODE/DECODE, MD5_HEX/SHA1_HEX, STRTOK/
+    STRTOK_TO_ARRAY (delimiter CHARACTER SET semantics with a
+    positionally-built regex class — backslash escapes would be eaten
+    by SQL string literals), INSERT (4-arg string splice), CHECK_JSON
+    (NULL-if-valid via try_parse_json; the invalid-text message is a
+    deterministic constant, stated divergence), PARSE_URL (the OBJECT
+    result in the engine's JSON-text VARIANT convention, port/
+    fragment/parameters omitted when absent), BOOLXOR/BOOLNOT, plus
+    HLL -> approx_count_distinct and VARIANCE_POP/SAMP aliases
+    (unit-tested; estimates are engine-specific so they stay out of
+    the oracle). UUID_STRING/SEQ4/SEQ8 lower to uuid()/
+    monotonically_increasing_id() (nondeterministic by contract, also
+    out of the oracle). JAROWINKLER_SIMILARITY and OBJECT_INSERT/
+    DELETE refuse loudly with guidance. The oracle twin reconstructs
+    every value closed-form from the same columns — including the
+    PARSE_URL object, because the entry BUILDS its URLs from columns,
+    so the twin needs no URL parser. All per-row JVM expressions:
+    pushdown/codegen untouched (functions/sqldialect.py:
+    _numeric_trunc_rewrite, _strtok_rewrite, _parse_url_rewrite,
+    _last_day_rewrite).""",
+    tags=("sql-surface", "dialect", "functions", "scalars"),
+)
+def f33_everyday_scalars2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import rewrite_scalar_funcs
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrite_scalar_funcs(_F33_SNOWFLAKE_TEXT))

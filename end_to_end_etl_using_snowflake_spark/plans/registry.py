@@ -76,6 +76,7 @@ PRIORITY: tuple[str, ...] = (
     "wp2_compaction_plan",
     "f32_agg_dialect",
     "sql53_cluster_by_ddl",
+    "f33_everyday_scalars2",
     # full 34-entry r5-last-green cohort
     "dq3_distribution_drift",
     "e10_stream_outer_join",
@@ -116,15 +117,15 @@ PRIORITY: tuple[str, ...] = (
     "j1_inner_equi_broadcast",
     "a1_groupby_agg",
     "sql6_flatten_dialect",
-    "e13_match_recognize",
     "k5_file_bloom_prune",
-    # (d11_semantic_dedup evicted by sql53, v15_ann_ivf_trained by
-    # f32, t13_quality_classifier by wp2, x24_asof_directional by v16
-    # — all head the r6 tail below)
+    # (e13_match_recognize evicted by f33, d11_semantic_dedup by
+    # sql53, v15_ann_ivf_trained by f32, t13_quality_classifier by
+    # wp2, x24_asof_directional by v16 — all head the r6 tail below)
     # ---- 51+: ascending last-green round (stalest first), so
     # the r12 rotation simply takes the prefix; everything is
     # still locally oracle-checked per pytest run.
-    # last driver-green r6 (42 entries)
+    # last driver-green r6 (43 entries)
+    "e13_match_recognize",
     "d11_semantic_dedup",
     "v15_ann_ivf_trained",
     "t13_quality_classifier",

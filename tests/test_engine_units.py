@@ -3775,3 +3775,80 @@ def test_cluster_by_ddl_physical_layout(spark, tmp_path):
             " SELECT * FROM src",
             {"src": src},
         )
+
+
+def test_everyday_scalar_pack2_semantics(spark):
+    """r11 probe battery closure: spellings that previously passed
+    through the rewriter unmapped and died in Spark's analyzer now
+    lower to exact built-in compositions. Pin each one's semantics."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_scalar_funcs,
+    )
+
+    def one(expr):
+        return spark.sql(rewrite_scalar_funcs(f"SELECT {expr} AS r")).first().r
+
+    # numeric truncation toward zero, literal scale, negative scales
+    assert float(one("TRUNCATE(3.789, 1)")) == 3.7
+    assert float(one("TRUNCATE(-3.789, 1)")) == -3.7
+    assert float(one("TRUNC(-3.789)")) == -3.0
+    assert one("TRUNCATE(1234, -2)") == 1200
+    # TRUNC keeps its native date passthrough on a quoted part
+    assert str(one("TRUNC(DATE'2024-02-15', 'MON')")) == "2024-02-01"
+    # LAST_DAY parts
+    assert str(one("LAST_DAY(DATE'2024-02-15', 'quarter')")) == "2024-03-31"
+    assert str(one("LAST_DAY(DATE'2024-02-15', 'year')")) == "2024-12-31"
+    assert str(one("LAST_DAY(DATE'2024-02-15', 'week')")) == "2024-02-18"
+    assert str(one("LAST_DAY(DATE'2024-02-15')")) == "2024-02-29"
+    # encode/decode round trips
+    assert one("BASE64_ENCODE('Hi')") == "SGk="
+    assert one("BASE64_DECODE_STRING('SGk=')") == "Hi"
+    assert one("HEX_ENCODE('Snowman')") == "536E6F776D616E"
+    assert one("HEX_DECODE_STRING('536E6F776D616E')") == "Snowman"
+    assert one("MD5_HEX('a')") == "0cc175b9c0f1b6a831c399e269772661"
+    # STRTOK: delimiter SET, empty tokens collapse, OOB -> NULL,
+    # regex-hostile delimiters stay literal (positional char class)
+    assert one("STRTOK('a.b.c', '.', 2)") == "b"
+    assert one("STRTOK('a b')") == "a"
+    assert one("STRTOK('a.b', '.', 9)") is None
+    assert one("STRTOK('a-b^c]d', '-^]', 4)") == "d"
+    assert one("STRTOK_TO_ARRAY('a..b,c', ',.')") == ["a", "b", "c"]
+    assert one("INSERT('abcdef', 3, 2, 'ZZZ')") == "abZZZef"
+    # JSON check: NULL when valid, deterministic text when not
+    assert one("CHECK_JSON('{\"a\":1}')") is None
+    assert one("CHECK_JSON('nope{')") == "invalid JSON"
+    # PARSE_URL -> JSON-text object, port omitted when absent
+    full = one("PARSE_URL('https://h.co:8080/p/q?x=1&y=2#f')")
+    assert full == (
+        '{"fragment":"f","host":"h.co","parameters":{"x":"1","y":"2"},'
+        '"path":"p/q","port":"8080","query":"x=1&y=2","scheme":"https"}'
+    )
+    assert '"port"' not in one("PARSE_URL('https://h.co/p')")
+    # boolean-numeric pack
+    assert one("BOOLXOR(5, 0)") is True
+    assert one("BOOLXOR(1, 7)") is False
+    assert one("BOOLNOT(0)") is True
+    assert one("BOOLNOT(3)") is False
+    # sketch/stat aliases resolve
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_scalar_funcs as _rw,
+    )
+
+    agg = spark.sql(_rw(
+        "SELECT HLL(x) AS h, VARIANCE_POP(y) AS vp"
+        " FROM (VALUES (1, 1.0), (2, 3.0), (1, 1.0)) t(x, y)"
+    )).first()
+    assert agg.h >= 2
+    assert abs(agg.vp - 8.0 / 9.0) < 1e-12
+    # no silent mistranslation: the two with no faithful equivalent
+    for bad, msg in [
+        ("SELECT JAROWINKLER_SIMILARITY(a, b) FROM t", "EDITDISTANCE"),
+        ("SELECT OBJECT_INSERT(o, 'k', 1) FROM t", "OBJECT_CONSTRUCT"),
+        ("SELECT OBJECT_DELETE(o, 'k') FROM t", "OBJECT_CONSTRUCT"),
+        ("SELECT STRTOK(s, c, 1) FROM t", "string literal"),
+        ("SELECT TRUNCATE(x, n) FROM t", "integer literal"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            rewrite_scalar_funcs(bad)

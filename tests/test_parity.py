@@ -41,6 +41,7 @@ def test_driver_prefix_spans_all_operator_families():
         "f31_to_char_numeric", "wp1_write_file_plan",
         "v16_ann_lsh_adaptive", "wp2_compaction_plan",
         "f32_agg_dialect", "sql53_cluster_by_ddl",
+        "f33_everyday_scalars2",
     ]
     stale_r5_cohort = [
         "dq3_distribution_drift", "e10_stream_outer_join",
@@ -72,12 +73,12 @@ def test_driver_prefix_spans_all_operator_families():
         "similarity-ann": ("v13_", "v16_"),
         "text-analysis": ("t12_",),
         "sketches": ("k5_", "prof2_"),
-        "streaming/cdc": ("e8_", "e10_", "e11_", "e13_"),
+        "streaming/cdc": ("e8_", "e10_", "e11_"),
         "llm-pipeline": ("x16_", "x17_", "x19_", "x20_", "x21_"),
         "sql-surface": ("sql5_", "sql6_", "sql53_"),
         # underscore-terminated explicit prefixes (ADVICE r10: bare
         # "f1"/"f2" matched f10_* and pinned nothing)
-        "functions": ("f31_", "f32_"),
+        "functions": ("f31_", "f32_", "f33_"),
         "write-planning": ("wp1_", "wp2_"),
         "profiling": ("prof1_", "udf2_"),
         "quality": ("dq3_",),
