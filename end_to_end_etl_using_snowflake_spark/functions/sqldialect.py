@@ -2204,8 +2204,122 @@ _SCALAR_REWRITES = {
     "PARSE_JSON": lambda args: (
         f"({args[0]})" if len(args) == 1 else _bad("PARSE_JSON", args)
     ),
+    # scalar-safe VARIANT encoding: to_json rejects scalar input, so
+    # wrap in a 1-element array and strip exactly one bracket per end
+    # (substr, not btrim/regex — btrim over-strips nested arrays and
+    # SQL literals eat regex backslashes). Structs/arrays round-trip
+    # identically to plain to_json; scalars become JSON scalars
+    # ('"a"', '1') — the engine's JSON-text VARIANT convention (f30).
     "TO_VARIANT": lambda args: (
-        f"to_json({args[0]})" if len(args) == 1 else _bad("TO_VARIANT", args)
+        f"substr(to_json(array({args[0]})), 2,"
+        f" length(to_json(array({args[0]}))) - 2)"
+        if len(args) == 1
+        else _bad("TO_VARIANT", args)
+    ),
+    "ARRAYS_TO_OBJECT": lambda args: (
+        f"to_json(map_from_arrays({args[0]}, {args[1]}))"
+        if len(args) == 2
+        else _bad("ARRAYS_TO_OBJECT", args)
+    ),
+    "GET_IGNORE_CASE": lambda args: (_ for _ in ()).throw(
+        ValueError(
+            "GET_IGNORE_CASE is not lowered (JSON-text GET is"
+            " case-sensitive here); normalize keys at build time or"
+            " use GET with the exact key"
+        )
+    ),
+    "REGEXP_EXTRACT_ALL": lambda args: (
+        f"regexp_extract_all({args[0]}, {args[1]}, 0)"
+        if len(args) == 2
+        else (
+            f"regexp_extract_all({', '.join(args)})"
+            if len(args) == 3
+            else _bad("REGEXP_EXTRACT_ALL", args)
+        )
+    ),
+    "UNICODE": lambda args: (
+        f"ascii({args[0]})" if len(args) == 1 else _bad("UNICODE", args)
+    ),
+    "TO_DOUBLE": lambda args: (
+        f"CAST({args[0]} AS DOUBLE)"
+        if len(args) == 1
+        else _bad("TO_DOUBLE", args)
+    ),
+    "TRY_TO_DOUBLE": lambda args: (
+        f"try_cast({args[0]} AS DOUBLE)"
+        if len(args) == 1
+        else _bad("TRY_TO_DOUBLE", args)
+    ),
+    # ISO week-year via the Thursday rule (Spark forbids week-year
+    # letters in its formatter); this engine runs the ISO week policy
+    # throughout, so YEAROFWEEK == YEAROFWEEKISO
+    "YEAROFWEEK": lambda args: (
+        f"year(date_add(CAST(date_trunc('WEEK', {args[0]}) AS DATE), 3))"
+        if len(args) == 1
+        else _bad("YEAROFWEEK", args)
+    ),
+    "YEAROFWEEKISO": lambda args: (
+        f"year(date_add(CAST(date_trunc('WEEK', {args[0]}) AS DATE), 3))"
+        if len(args) == 1
+        else _bad("YEAROFWEEKISO", args)
+    ),
+    # Snowflake *_FROM_PARTS NORMALIZE out-of-range components
+    # (month 14 -> next year's February; day 0 -> last day of the
+    # prior month) — make_date errors instead, so build from an
+    # anchor + exact month/day arithmetic
+    "DATE_FROM_PARTS": lambda args: (
+        f"date_add(add_months(make_date({args[0]}, 1, 1),"
+        f" ({args[1]}) - 1), ({args[2]}) - 1)"
+        if len(args) == 3
+        else _bad("DATE_FROM_PARTS", args)
+    ),
+    "TIMESTAMP_FROM_PARTS": lambda args: _timestamp_from_parts(
+        "TIMESTAMP_FROM_PARTS", args
+    ),
+    "TIMESTAMP_NTZ_FROM_PARTS": lambda args: _timestamp_from_parts(
+        "TIMESTAMP_NTZ_FROM_PARTS", args
+    ),
+    "TIME_FROM_PARTS": lambda args: (_ for _ in ()).throw(
+        ValueError(
+            "TIME_FROM_PARTS: Spark has no TIME type; model times as"
+            " TIMESTAMP (TIMESTAMP_FROM_PARTS) or seconds-since-"
+            "midnight integers"
+        )
+    ),
+    "NORMAL": lambda args: (
+        # gaussian generator; the gen argument (RANDOM()) selects
+        # Snowflake's stream — Spark's randn() is the one stream
+        f"(({args[0]}) + ({args[1]}) * randn())"
+        if len(args) == 3
+        else _bad("NORMAL", args)
+    ),
+    "UNIFORM": lambda args: (
+        f"uniform({args[0]}, {args[1]})"
+        if len(args) == 3
+        else _bad("UNIFORM", args)
+    ),
+    "RTRIMMED_LENGTH": lambda args: (
+        f"length(rtrim({args[0]}))"
+        if len(args) == 1
+        else _bad("RTRIMMED_LENGTH", args)
+    ),
+    "COMPRESS": lambda args: (_ for _ in ()).throw(
+        ValueError("COMPRESS: no zlib/zstd codec surface in Spark SQL"
+                   " expressions; compress at the storage layer")
+    ),
+    "DECOMPRESS_STRING": lambda args: (_ for _ in ()).throw(
+        ValueError("DECOMPRESS_STRING: no codec surface in Spark SQL")
+    ),
+    "DECOMPRESS_BINARY": lambda args: (_ for _ in ()).throw(
+        ValueError("DECOMPRESS_BINARY: no codec surface in Spark SQL")
+    ),
+    "TO_GEOGRAPHY": lambda args: (_ for _ in ()).throw(
+        ValueError("TO_GEOGRAPHY: geospatial types are not supported"
+                   " by this engine")
+    ),
+    "TO_GEOMETRY": lambda args: (_ for _ in ()).throw(
+        ValueError("TO_GEOMETRY: geospatial types are not supported"
+                   " by this engine")
     ),
     # GET_PATH(v, 'a.b') is the function form of v:a.b
     "GET_PATH": lambda args: _get_path_rewrite(args),
@@ -2696,6 +2810,32 @@ def _parse_url_rewrite(args: list) -> str:
         f" ''), "
         f"'query', parse_url({u}, 'QUERY'), "
         f"'scheme', parse_url({u}, 'PROTOCOL')))"
+    )
+
+
+def _timestamp_from_parts(name: str, args: list) -> str:
+    """TIMESTAMP[_NTZ]_FROM_PARTS(y, mo, d, h, mi, s): normalized like
+    Snowflake (out-of-range components roll over — hour 25 lands on
+    the next day) via anchor-date + exact interval arithmetic. The
+    optional nanoseconds argument refuses unless it is the literal 0
+    (Spark timestamps are microsecond; silent truncation is worse
+    than a refusal)."""
+    if len(args) == 7:
+        if args[6].strip() != "0":
+            raise ValueError(
+                f"{name}: nanoseconds argument must be 0 (Spark"
+                " timestamps are microsecond-precision)"
+            )
+        args = args[:6]
+    if len(args) != 6:
+        return _bad(name, args)
+    y, mo, d, h, mi, sec = args
+    base = (
+        f"CAST(date_add(add_months(make_date({y}, 1, 1), ({mo}) - 1),"
+        f" ({d}) - 1) AS TIMESTAMP)"
+    )
+    return (
+        f"({base} + make_interval(0, 0, 0, 0, {h}, {mi}, {sec}))"
     )
 
 

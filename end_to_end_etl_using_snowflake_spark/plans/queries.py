@@ -9940,7 +9940,17 @@ SELECT o_orderkey,
                  || (CASE WHEN o_orderkey % 5 = 0 THEN '#f' ELSE '' END))
          AS url_obj,
        BOOLXOR(o_orderkey % 2, o_orderkey % 3) AS bx,
-       BOOLNOT(o_orderkey % 4) AS bn
+       BOOLNOT(o_orderkey % 4) AS bn,
+       DATE_FROM_PARTS(1998, CAST(o_orderkey % 30 AS INT),
+                       CAST(o_orderkey % 40 AS INT)) AS norm_date,
+       TIMESTAMP_FROM_PARTS(1998, 1, 1, CAST(o_orderkey % 30 AS INT),
+                            0, CAST(o_orderkey % 90 AS INT)) AS norm_ts,
+       YEAROFWEEKISO(CAST(o_orderdate AS DATE)) AS iso_wyear,
+       UNICODE(o_orderpriority) AS prio_cp,
+       RTRIMMED_LENGTH(o_orderstatus || '  ') AS rt_len,
+       TO_VARIANT(o_orderkey % 9) AS num_var,
+       ARRAYS_TO_OBJECT(ARRAY_CONSTRUCT('k'),
+                        ARRAY_CONSTRUCT(o_orderkey % 9)) AS kv_obj
 FROM orders
 WHERE o_orderkey % 13 = 0
 """
@@ -9983,7 +9993,21 @@ WHERE o_orderkey % 13 = 0
              || '"query":"cust=' || o_custkey || '&p=' || (o_orderkey % 7)
              || '","scheme":"https"}' AS url_obj,
            ((o_orderkey % 2 <> 0) <> (o_orderkey % 3 <> 0)) AS bx,
-           (o_orderkey % 4 = 0) AS bn
+           (o_orderkey % 4 = 0) AS bn,
+           CAST(make_date(1998, 1, 1)
+                + ((o_orderkey % 30) - 1) * INTERVAL 1 MONTH
+                + ((o_orderkey % 40) - 1) * INTERVAL 1 DAY
+                AS DATE) AS norm_date,
+           make_date(1998, 1, 1)::TIMESTAMP
+             + ((o_orderkey % 30)) * INTERVAL 1 HOUR
+             + ((o_orderkey % 90)) * INTERVAL 1 SECOND AS norm_ts,
+           CAST(isoyear(CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS iso_wyear,
+           CAST(unicode(o_orderpriority) AS INTEGER) AS prio_cp,
+           CAST(length(rtrim(o_orderstatus || '  ')) AS INTEGER)
+             AS rt_len,
+           CAST(o_orderkey % 9 AS VARCHAR) AS num_var,
+           '{"k":' || (o_orderkey % 9) || '}' AS kv_obj
     FROM orders
     WHERE o_orderkey % 13 = 0
     """,

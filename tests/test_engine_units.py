@@ -3852,3 +3852,55 @@ def test_everyday_scalar_pack2_semantics(spark):
     ]:
         with _pytest.raises(ValueError, match=msg):
             rewrite_scalar_funcs(bad)
+
+
+def test_everyday_scalar_pack2_battery2(spark):
+    """Second probe-battery closure (r11): variant/array/date-parts
+    spellings. TO_VARIANT is now scalar-safe (the old to_json lowering
+    required complex input and died in the analyzer); the *_FROM_PARTS
+    family NORMALIZES out-of-range components exactly like Snowflake;
+    YEAROFWEEK[ISO] follows the ISO Thursday rule."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_scalar_funcs,
+    )
+
+    def one(expr):
+        return spark.sql(rewrite_scalar_funcs(f"SELECT {expr} AS r")).first().r
+
+    assert one("TO_VARIANT(5)") == "5"
+    assert one("TO_VARIANT('a\"b')") == '"a\\"b"'       # escaped JSON scalar
+    assert one("TO_VARIANT(ARRAY_CONSTRUCT(1,2))") == "[1,2]"
+    assert one(
+        "ARRAYS_TO_OBJECT(ARRAY_CONSTRUCT('a','b'), ARRAY_CONSTRUCT(1,2))"
+    ) == '{"a":1,"b":2}'
+    assert one("REGEXP_EXTRACT_ALL('ab cd', '[a-z]+')") == ["ab", "cd"]
+    assert one("UNICODE('Abc')") == 65
+    assert one("TO_DOUBLE('1.5')") == 1.5
+    assert one("TRY_TO_DOUBLE('x')") is None
+    # Snowflake normalization: month 14 rolls the year, day 0 is the
+    # prior month's last day, hour 25 crosses midnight
+    assert str(one("DATE_FROM_PARTS(2024, 14, 1)")) == "2025-02-01"
+    assert str(one("DATE_FROM_PARTS(2024, 2, 0)")) == "2024-01-31"
+    assert str(one("TIMESTAMP_FROM_PARTS(2024, 1, 31, 25, 0, 0)")) == (
+        "2024-02-01 01:00:00"
+    )
+    assert str(one("TIMESTAMP_FROM_PARTS(2024, 1, 1, 0, 0, 0, 0)")) == (
+        "2024-01-01 00:00:00"
+    )
+    # ISO week-year Thursday rule at the year boundary
+    assert one("YEAROFWEEKISO(DATE'2021-01-01')") == 2020  # Fri of W53/2020
+    assert one("YEAROFWEEK(DATE'2021-01-04')") == 2021     # Mon of W1/2021
+    assert one("RTRIMMED_LENGTH('ab  ')") == 2
+    assert one("LENGTH(RANDSTR(10, 42))") == 10
+    for bad, msg in [
+        ("SELECT GET_IGNORE_CASE(o, 'K') FROM t", "case-sensitive"),
+        ("SELECT TIME_FROM_PARTS(1, 2, 3) FROM t", "no TIME type"),
+        ("SELECT COMPRESS(s, 'zlib') FROM t", "codec"),
+        ("SELECT TO_GEOGRAPHY(s) FROM t", "geospatial"),
+        ("SELECT TIMESTAMP_FROM_PARTS(2024,1,1,0,0,0,500) FROM t",
+         "nanoseconds"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            rewrite_scalar_funcs(bad)
