@@ -177,6 +177,12 @@ def snowflake_sql(
             update_statement,
         )
 
+        if low.startswith("copy into") and not low.startswith("copy into @"):
+            if stages is None:
+                raise ValueError("COPY INTO <table> needs a stages binding")
+            from ..sources.copy_into import copy_statement
+
+            return copy_statement(spark, text, tables, stages)
         if low.startswith("merge into"):
             return merge_statement(spark, text, tables)
         if low.startswith("insert overwrite"):

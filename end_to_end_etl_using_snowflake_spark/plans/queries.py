@@ -10045,3 +10045,75 @@ def f33_everyday_scalars2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(rewrite_scalar_funcs(_F33_SNOWFLAKE_TEXT))
+
+
+@register(
+    "sql54_copy_into_text",
+    oracle="""
+    WITH sub AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sub
+          WHERE o_orderkey % 2 = 0),
+    b AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sub
+          WHERE o_orderkey % 2 <> 0)
+    SELECT 'even.csv' AS file, 'LOADED' AS status, a.n AS rows_parsed,
+           a.n AS rows_loaded, CAST(0 AS BIGINT) AS errors_seen,
+           CAST(NULL AS VARCHAR) AS first_error
+    FROM a
+    UNION ALL
+    SELECT 'odd.csv', 'PARTIALLY_LOADED', b.n + 1, b.n,
+           CAST(1 AS BIGINT), 'rejected record: POISONED_ROW,extra,fields'
+    FROM b
+    """,
+    doc="""Verbatim ``COPY INTO <table> FROM @stage`` — the TEXT form
+    of S2 and Snowflake's single most common statement (the
+    programmatic copy_into/pipes are the pipeline path; this is what a
+    user pastes). Full option surface: FILES / PATTERN / FILE_FORMAT /
+    FORCE / load-history idempotence / ON_ERROR = CONTINUE |
+    ABORT_STATEMENT (the Snowflake default — first rejected record
+    fails the statement) / VALIDATION_MODE = RETURN_ERRORS (loads
+    NOTHING, returns the rejected records; row/byte offsets are not
+    exposed for the same physical-row-order reason as
+    METADATA$FILE_ROW_NUMBER). Returns Snowflake's per-file status
+    relation (LOADED / PARTIALLY_LOADED / LOAD_FAILED, rows_parsed,
+    rows_loaded, errors_seen, first_error) and swaps the statement
+    layer's table mapping to the post-load state (read-your-writes).
+    ONE permissive CSV scan with corrupt-record capture serves stats,
+    validation, and the append (cached at statement-batch granularity
+    — Spark's documented remedy for corrupt-only projections); per-
+    file stats aggregate the scan's own input_file_name. The entry
+    synthesizes a two-file landing (one poisoned record) from a
+    deterministic orders slice and runs the statement verbatim with
+    ON_ERROR=CONTINUE; the oracle computes the expected status
+    relation in closed form from the same slice
+    (sources/copy_into.py:copy_statement; unit battery in
+    tests/test_engine_units.py::test_copy_into_table_statement).""",
+    tags=("sql-surface", "sources", "copy", "stages"),
+)
+def sql54_copy_into_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..functions.scratch import scratch_dir
+    from ..sources.copy_into import copy_statement
+
+    land = scratch_dir("sql54_inbox_")
+    rows = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey")
+        .collect()
+    )  # bounded fixture synthesis (~n/97 keys), not the load path
+    even = [r.o_orderkey for r in rows if r.o_orderkey % 2 == 0]
+    odd = [r.o_orderkey for r in rows if r.o_orderkey % 2 != 0]
+    with open(_os.path.join(land, "even.csv"), "w") as f:
+        f.write("k\n" + "".join(f"{k}\n" for k in sorted(even)))
+    with open(_os.path.join(land, "odd.csv"), "w") as f:
+        f.write("k\n" + "".join(f"{k}\n" for k in sorted(odd))
+                + "POISONED_ROW,extra,fields\n")
+    tables = {"landing_keys": spark.createDataFrame([], "k long")}
+    return copy_statement(
+        spark,
+        "COPY INTO landing_keys FROM @inbox FILE_FORMAT = (TYPE = 'CSV')"
+        " ON_ERROR = CONTINUE",
+        tables,
+        {"inbox": land},
+    )

@@ -77,6 +77,7 @@ PRIORITY: tuple[str, ...] = (
     "f32_agg_dialect",
     "sql53_cluster_by_ddl",
     "f33_everyday_scalars2",
+    "sql54_copy_into_text",
     # full 34-entry r5-last-green cohort
     "dq3_distribution_drift",
     "e10_stream_outer_join",
@@ -116,15 +117,16 @@ PRIORITY: tuple[str, ...] = (
     "pl_fact_order",
     "j1_inner_equi_broadcast",
     "a1_groupby_agg",
-    "sql6_flatten_dialect",
     "k5_file_bloom_prune",
-    # (e13_match_recognize evicted by f33, d11_semantic_dedup by
-    # sql53, v15_ann_ivf_trained by f32, t13_quality_classifier by
-    # wp2, x24_asof_directional by v16 — all head the r6 tail below)
+    # (sql6_flatten_dialect evicted by sql54, e13_match_recognize by
+    # f33, d11_semantic_dedup by sql53, v15_ann_ivf_trained by f32,
+    # t13_quality_classifier by wp2, x24_asof_directional by v16 —
+    # all head the r6 tail below)
     # ---- 51+: ascending last-green round (stalest first), so
     # the r12 rotation simply takes the prefix; everything is
     # still locally oracle-checked per pytest run.
-    # last driver-green r6 (43 entries)
+    # last driver-green r6 (44 entries)
+    "sql6_flatten_dialect",
     "e13_match_recognize",
     "d11_semantic_dedup",
     "v15_ann_ivf_trained",

@@ -435,3 +435,219 @@ def get_statement(text: str, stage_root: str) -> list[dict]:
                      "status": "DOWNLOADED"}
                 )
     return sorted(out, key=lambda r: r["file"])
+
+
+def parse_copy_statement(text: str) -> dict:
+    """Parse the LOAD direction — Snowflake's single most common
+    statement — ``COPY INTO <table> FROM @<stage>[/prefix]
+    [FILES = ('a.csv', ...)] [PATTERN = '<regex>']
+    [FILE_FORMAT = (TYPE = 'CSV' ...)]
+    [VALIDATION_MODE = RETURN_ERRORS]
+    [ON_ERROR = CONTINUE | ABORT_STATEMENT] [FORCE = TRUE|FALSE]``
+    into a spec dict. Unsupported clauses refuse loudly (MATCH_BY
+    COLUMN_NAME, transformations-in-FROM go through the stage_select /
+    pipeline surfaces instead)."""
+    import re
+
+    from ..functions.sqldialect import _strip_line_comments
+
+    sql = _strip_line_comments(text).strip().rstrip(";")
+    m = re.match(
+        r"COPY\s+INTO\s+(?P<table>[A-Za-z_][\w.]*)\s+FROM\s+"
+        r"@(?P<stage>[\w./]+)\s*(?P<tail>.*)$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m is None:
+        raise ValueError(
+            "unsupported COPY shape (need COPY INTO <table> FROM"
+            " @<stage>[/prefix] [options]; transformations in FROM go"
+            " through stage_select)"
+        )
+    tail = m.group("tail")
+    known = re.sub(
+        r"FILES\s*=\s*\([^)]*\)|PATTERN\s*=\s*'[^']*'"
+        r"|FILE_FORMAT\s*=\s*\([^)]*\)"
+        r"|VALIDATION_MODE\s*=\s*RETURN_ERRORS"
+        r"|ON_ERROR\s*=\s*'?(?:CONTINUE|ABORT_STATEMENT)'?"
+        r"|FORCE\s*=\s*(?:TRUE|FALSE)",
+        "",
+        tail,
+        flags=re.IGNORECASE,
+    ).strip()
+    if known:
+        raise ValueError(f"unsupported COPY options: {known[:80]!r}")
+    files_m = re.search(r"FILES\s*=\s*\(([^)]*)\)", tail, re.IGNORECASE)
+    files = None
+    if files_m:
+        files = [
+            f.strip().strip("'\"") for f in files_m.group(1).split(",")
+            if f.strip()
+        ]
+    pat_m = re.search(r"PATTERN\s*=\s*'([^']*)'", tail, re.IGNORECASE)
+    fm = re.search(r"FILE_FORMAT\s*=\s*\(([^)]*)\)", tail, re.IGNORECASE)
+    fmt: dict[str, str] = {}
+    if fm:
+        for part in fm.group(1).split(","):
+            part = part.strip()
+            if part:
+                k, _, v = part.partition("=")
+                fmt[k.strip().lower()] = v.strip().strip("'\"")
+        if fmt.get("type", "CSV").upper() != "CSV":
+            raise ValueError("COPY load supports TYPE = 'CSV' only")
+    on_error_m = re.search(
+        r"ON_ERROR\s*=\s*'?(CONTINUE|ABORT_STATEMENT)'?", tail, re.IGNORECASE
+    )
+    stage = m.group("stage").split("/")
+    return {
+        "table": m.group("table"),
+        "stage": stage[0],
+        "prefix": "/".join(stage[1:]),
+        "files": files,
+        "pattern": pat_m.group(1) if pat_m else None,
+        "format_options": fmt,
+        "validate_only": bool(
+            re.search(r"VALIDATION_MODE\s*=\s*RETURN_ERRORS", tail,
+                      re.IGNORECASE)
+        ),
+        "on_error": (on_error_m.group(1).upper() if on_error_m
+                     else "ABORT_STATEMENT"),
+        "force": bool(re.search(r"FORCE\s*=\s*TRUE", tail, re.IGNORECASE)),
+    }
+
+
+def copy_statement(
+    spark: SparkSession,
+    text: str,
+    tables: dict,
+    stages: dict[str, str],
+    loaded_files: set[str] | None = None,
+) -> DataFrame:
+    """Execute a verbatim ``COPY INTO <table> FROM @stage`` (the text
+    form of S2 — the programmatic ``copy_into`` is the pipeline path).
+
+    Returns Snowflake's per-file load-status relation: (file, status,
+    rows_parsed, rows_loaded, errors_seen, first_error) — status
+    LOADED / PARTIALLY_LOADED / LOAD_FAILED — and, like the other
+    statement shims, swaps ``tables[target]`` to the post-load state
+    (read-your-writes for later statements; the caller owns real
+    writes). Semantics pinned to Snowflake:
+
+    - idempotence: files in ``loaded_files`` are skipped (Snowflake's
+      load history); ``FORCE = TRUE`` reloads them. Pass one set
+      across calls to get re-run-safe loads; successful files are
+      added to it.
+    - ``VALIDATION_MODE = RETURN_ERRORS``: loads NOTHING; returns one
+      row per rejected record (error, file, rejected_record) — the
+      row/line/byte offsets Snowflake adds are not exposed because
+      physical row order inside a Spark file split is not a stable
+      contract (the METADATA$FILE_ROW_NUMBER refusal's reason).
+    - ``ON_ERROR = ABORT_STATEMENT`` (the Snowflake default): any
+      rejected record fails the whole statement and nothing is
+      appended. ``CONTINUE``: good rows load, bad rows count into
+      errors_seen and the file reports PARTIALLY_LOADED.
+
+    Scale: listing is O(files) driver metadata; the read is ONE
+    spark.read.csv over the matched files with PERMISSIVE corrupt-
+    record capture — per-file stats come from a groupBy on the scan's
+    own input_file_name, no extra pass over the data.
+    """
+    from pyspark.sql import functions as F
+
+    from .file_format import CSV_FORMAT, FileFormat
+
+    spec = parse_copy_statement(text)
+    if spec["table"] not in tables:
+        raise ValueError(f"COPY: unknown table {spec['table']!r}")
+    root = stages[spec["stage"]]
+    target = tables[spec["table"]]
+    names = sorted(list_stage(root))
+    if spec["prefix"]:
+        names = [n for n in names if n.startswith(spec["prefix"])]
+    if spec["files"] is not None:
+        wanted = set(spec["files"])
+        names = [n for n in names if os.path.basename(n) in wanted]
+    if spec["pattern"] is not None:
+        import re as _re
+
+        rx = _re.compile(spec["pattern"])
+        names = [n for n in names if rx.fullmatch(n)]
+    if loaded_files is not None and not spec["force"]:
+        names = [n for n in names if n not in loaded_files]
+    status_schema = (
+        "file string, status string, rows_parsed long, rows_loaded long,"
+        " errors_seen long, first_error string"
+    )
+    if not names:
+        return spark.createDataFrame([], status_schema)
+    fmt = FileFormat(
+        "csv", dict(CSV_FORMAT.options, **spec["format_options"],
+                    mode="PERMISSIVE",
+                    columnNameOfCorruptRecord="__rejected"),
+    )
+    schema = T.StructType(
+        list(target.schema.fields)
+        + [T.StructField("__rejected", T.StringType())]
+    )
+    paths = [os.path.join(root, n) for n in names]
+    raw = fmt.read(spark, paths, schema).withColumn(
+        "__file", F.input_file_name()
+    )
+    raw = raw.withColumn(
+        "__file",
+        F.regexp_replace(F.col("__file"), r"^.*?" + os.path.basename(root)
+                         + "/", ""),
+    )
+    # Spark refuses corrupt-record-ONLY projections on a raw CSV scan
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN); its documented remedy is to
+    # cache the parsed batch first. A COPY statement's batch is the
+    # right cache granularity — it is the statement's own input, never
+    # the table — and both the stats aggregate and the appended rows
+    # reuse the single cached parse instead of re-scanning the files.
+    raw = raw.cache()
+    bad = raw.filter(F.col("__rejected").isNotNull())
+    if spec["validate_only"]:
+        return bad.select(
+            F.lit("parse error: record does not conform to the table"
+                  " schema").alias("error"),
+            F.col("__file").alias("file"),
+            F.col("__rejected").alias("rejected_record"),
+        )
+    stats = (
+        raw.groupBy(F.col("__file").alias("file"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rows_parsed"),
+            F.sum(F.when(F.col("__rejected").isNull(), 1).otherwise(0))
+            .cast("long").alias("rows_loaded"),
+            F.sum(F.when(F.col("__rejected").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("errors_seen"),
+            F.min("__rejected").alias("first_error_record"),
+        )
+        .select(
+            "file",
+            F.when(F.col("errors_seen") == 0, F.lit("LOADED"))
+            .when(F.col("rows_loaded") > 0, F.lit("PARTIALLY_LOADED"))
+            .otherwise(F.lit("LOAD_FAILED")).alias("status"),
+            "rows_parsed", "rows_loaded", "errors_seen",
+            F.when(
+                F.col("errors_seen") > 0,
+                F.concat(F.lit("rejected record: "),
+                         F.col("first_error_record")),
+            ).alias("first_error"),
+        )
+    )
+    if spec["on_error"] == "ABORT_STATEMENT":
+        n_bad = bad.limit(1).count()
+        if n_bad:
+            first = bad.select("__file", "__rejected").first()
+            raise ValueError(
+                f"COPY aborted (ON_ERROR = ABORT_STATEMENT): rejected"
+                f" record in {first['__file']}: {first['__rejected']!r}"
+            )
+    good = raw.filter(F.col("__rejected").isNull()).select(
+        *[f.name for f in target.schema.fields]
+    )
+    tables[spec["table"]] = target.unionByName(good)
+    if loaded_files is not None:
+        loaded_files.update(names)
+    return stats.orderBy("file")

@@ -3904,3 +3904,91 @@ def test_everyday_scalar_pack2_battery2(spark):
     ]:
         with _pytest.raises(ValueError, match=msg):
             rewrite_scalar_funcs(bad)
+
+
+def test_copy_into_table_statement(spark, tmp_path):
+    """Verbatim COPY INTO <table> FROM @stage (the text form of S2):
+    per-file Snowflake status rows, ON_ERROR semantics, VALIDATION_MODE
+    loads nothing, load-history idempotence with FORCE override,
+    FILES/PATTERN selection, unknown options refuse."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.snowflake_sql import (
+        snowflake_sql,
+    )
+    from end_to_end_etl_using_snowflake_spark.sources.copy_into import (
+        copy_statement,
+    )
+
+    land = tmp_path / "inbox"
+    land.mkdir()
+    (land / "a.csv").write_text("id,name\n1,x\n2,y\n")
+    (land / "b.csv").write_text("id,name\n3,z\nPOISONED_ROW\n4,w\n")
+    stages = {"inbox": str(land)}
+
+    def fresh():
+        return {"tgt": spark.createDataFrame([], "id int, name string")}
+
+    tables = fresh()
+    out = snowflake_sql(
+        spark,
+        "COPY INTO tgt FROM @inbox FILE_FORMAT=(TYPE='CSV')"
+        " ON_ERROR=CONTINUE",
+        tables=tables, stages=stages,
+    ).collect()
+    assert [(r.file, r.status, r.rows_parsed, r.rows_loaded, r.errors_seen)
+            for r in out] == [
+        ("a.csv", "LOADED", 2, 2, 0),
+        ("b.csv", "PARTIALLY_LOADED", 3, 2, 1),
+    ]
+    assert "POISONED_ROW" in out[1].first_error
+    # read-your-writes: the mapping now holds the post-load state
+    assert tables["tgt"].count() == 4
+
+    # idempotence via load history; FORCE reloads
+    seen: set[str] = set()
+    t2 = fresh()
+    copy_statement(spark, "COPY INTO tgt FROM @inbox ON_ERROR=CONTINUE",
+                   t2, stages, loaded_files=seen)
+    assert copy_statement(
+        spark, "COPY INTO tgt FROM @inbox ON_ERROR=CONTINUE",
+        t2, stages, loaded_files=seen,
+    ).count() == 0
+    assert copy_statement(
+        spark, "COPY INTO tgt FROM @inbox ON_ERROR=CONTINUE FORCE=TRUE",
+        t2, stages, loaded_files=seen,
+    ).count() == 2
+
+    # VALIDATION_MODE returns error rows and loads NOTHING
+    t3 = fresh()
+    v = copy_statement(
+        spark, "COPY INTO tgt FROM @inbox VALIDATION_MODE = RETURN_ERRORS",
+        t3, stages,
+    ).collect()
+    assert [(r.file, r.rejected_record) for r in v] == [
+        ("b.csv", "POISONED_ROW")
+    ]
+    assert t3["tgt"].count() == 0
+
+    # the Snowflake default aborts on the first rejected record
+    with _pytest.raises(ValueError, match="ABORT_STATEMENT"):
+        copy_statement(spark, "COPY INTO tgt FROM @inbox", fresh(), stages)
+
+    # FILES / PATTERN selection
+    f = copy_statement(
+        spark, "COPY INTO tgt FROM @inbox FILES=('a.csv')", fresh(), stages
+    ).collect()
+    assert [(r.file, r.status) for r in f] == [("a.csv", "LOADED")]
+    p = copy_statement(
+        spark, "COPY INTO tgt FROM @inbox PATTERN='a.*' ON_ERROR=CONTINUE",
+        fresh(), stages,
+    ).collect()
+    assert [r.file for r in p] == ["a.csv"]
+
+    # loud refusal on unsupported options
+    with _pytest.raises(ValueError, match="unsupported COPY options"):
+        copy_statement(
+            spark,
+            "COPY INTO tgt FROM @inbox MATCH_BY_COLUMN_NAME=CASE_SENSITIVE",
+            fresh(), stages,
+        )

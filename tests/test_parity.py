@@ -41,7 +41,7 @@ def test_driver_prefix_spans_all_operator_families():
         "f31_to_char_numeric", "wp1_write_file_plan",
         "v16_ann_lsh_adaptive", "wp2_compaction_plan",
         "f32_agg_dialect", "sql53_cluster_by_ddl",
-        "f33_everyday_scalars2",
+        "f33_everyday_scalars2", "sql54_copy_into_text",
     ]
     stale_r5_cohort = [
         "dq3_distribution_drift", "e10_stream_outer_join",
@@ -75,7 +75,7 @@ def test_driver_prefix_spans_all_operator_families():
         "sketches": ("k5_", "prof2_"),
         "streaming/cdc": ("e8_", "e10_", "e11_"),
         "llm-pipeline": ("x16_", "x17_", "x19_", "x20_", "x21_"),
-        "sql-surface": ("sql5_", "sql6_", "sql53_"),
+        "sql-surface": ("sql5_", "sql53_", "sql54_"),
         # underscore-terminated explicit prefixes (ADVICE r10: bare
         # "f1"/"f2" matched f10_* and pinned nothing)
         "functions": ("f31_", "f32_", "f33_"),
