@@ -2210,6 +2210,55 @@ _SCALAR_REWRITES = {
     # SQL literals eat regex backslashes). Structs/arrays round-trip
     # identically to plain to_json; scalars become JSON scalars
     # ('"a"', '1') — the engine's JSON-text VARIANT convention (f30).
+    # ---- probe battery 3 (r11): timestamp aliases, console context
+    # functions, order-independent aggregate hashing
+    "SYSDATE": lambda args: "current_timestamp()",
+    "GETDATE": lambda args: "current_timestamp()",
+    "SYSTIMESTAMP": lambda args: "current_timestamp()",
+    "TO_TIME": lambda args: (_ for _ in ()).throw(
+        ValueError(
+            "TO_TIME: Spark has no TIME type; model times as TIMESTAMP"
+            " or seconds-since-midnight integers"
+        )
+    ),
+    "TRY_TO_TIME": lambda args: (_ for _ in ()).throw(
+        ValueError("TRY_TO_TIME: Spark has no TIME type")
+    ),
+    # order-independent content hash of the group (Snowflake's exact
+    # hash value is proprietary; this engine's contract matches —
+    # deterministic, order- and partitioning-independent, equal
+    # multisets hash equal): wrap-free decimal SUM of per-row
+    # xxhash64, folded back to 64 bits. SUM (not XOR) so duplicate
+    # row pairs cannot cancel.
+    "HASH_AGG": lambda args: (
+        f"CAST(pmod(sum(CAST(xxhash64({', '.join(args)})"
+        f" AS DECIMAL(38,0))), CAST(9223372036854775807"
+        f" AS DECIMAL(38,0))) AS BIGINT)"
+        if args and args != [""]
+        else _bad("HASH_AGG", args)
+    ),
+    # deterministic spelling of Snowflake's arbitrary-order result
+    "ARRAY_UNIQUE_AGG": lambda args: (
+        f"sort_array(array_distinct(collect_list({args[0]})))"
+        if len(args) == 1
+        else _bad("ARRAY_UNIQUE_AGG", args)
+    ),
+    # console context functions: honest engine-local values — no
+    # virtual warehouse or named session exists (NULL, exactly what
+    # Snowflake returns when none is bound), the default role is
+    # PUBLIC, version is the real engine version
+    "CURRENT_WAREHOUSE": lambda args: "CAST(NULL AS STRING)",
+    "CURRENT_SESSION": lambda args: "CAST(NULL AS STRING)",
+    "CURRENT_ROLE": lambda args: "'PUBLIC'",
+    "CURRENT_REGION": lambda args: "'LOCAL'",
+    "CURRENT_VERSION": lambda args: "version()",
+    "ENCRYPT": lambda args: (_ for _ in ()).throw(
+        ValueError("ENCRYPT: no cipher surface in Spark SQL expressions;"
+                   " encrypt at the storage layer")
+    ),
+    "DECRYPT": lambda args: (_ for _ in ()).throw(
+        ValueError("DECRYPT: no cipher surface in Spark SQL expressions")
+    ),
     "TO_VARIANT": lambda args: (
         f"substr(to_json(array({args[0]})), 2,"
         f" length(to_json(array({args[0]}))) - 2)"

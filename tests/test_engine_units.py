@@ -3992,3 +3992,38 @@ def test_copy_into_table_statement(spark, tmp_path):
             "COPY INTO tgt FROM @inbox MATCH_BY_COLUMN_NAME=CASE_SENSITIVE",
             fresh(), stages,
         )
+
+
+def test_everyday_scalar_pack2_battery3(spark):
+    """Third probe battery (r11): timestamp aliases, console context
+    functions, order-independent aggregate hashing."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_scalar_funcs,
+    )
+
+    r = spark.sql(rewrite_scalar_funcs(
+        "SELECT HASH_AGG(x) AS h1, HASH_AGG(x, x + 1) AS h2,"
+        " ARRAY_UNIQUE_AGG(x) AS u, CURRENT_WAREHOUSE() AS w,"
+        " CURRENT_ROLE() AS ro FROM (VALUES (3),(1),(3),(2)) t(x)"
+    )).first()
+    r_perm = spark.sql(rewrite_scalar_funcs(
+        "SELECT HASH_AGG(x) AS h1 FROM (VALUES (2),(3),(3),(1)) t(x)"
+    )).first()
+    r_dupes = spark.sql(rewrite_scalar_funcs(
+        "SELECT HASH_AGG(x) AS h1 FROM (VALUES (3),(1),(2)) t(x)"
+    )).first()
+    assert r.h1 == r_perm.h1          # order-independent
+    assert r.h1 != r_dupes.h1         # multiset-sensitive (SUM, not XOR)
+    assert r.u == [1, 2, 3]           # deterministic sorted distinct
+    assert r.w is None and r.ro == "PUBLIC"
+    assert str(spark.sql(rewrite_scalar_funcs(
+        "SELECT SYSDATE() AS d"
+    )).schema["d"].dataType) == "TimestampType()"
+    for bad, msg in [
+        ("SELECT TO_TIME('10:30') FROM t", "no TIME type"),
+        ("SELECT ENCRYPT(s, 'p') FROM t", "cipher"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            rewrite_scalar_funcs(bad)
