@@ -2479,6 +2479,31 @@ _SCALAR_REWRITES = {
         if len(args) == 2
         else _bad("REGR_R2", args)
     ),
+    "REGR_AVGX": lambda args: (
+        _regr_lower("AVGX", args[0], args[1])
+        if len(args) == 2
+        else _bad("REGR_AVGX", args)
+    ),
+    "REGR_AVGY": lambda args: (
+        _regr_lower("AVGY", args[0], args[1])
+        if len(args) == 2
+        else _bad("REGR_AVGY", args)
+    ),
+    "REGR_SXX": lambda args: (
+        _regr_lower("SXX", args[0], args[1])
+        if len(args) == 2
+        else _bad("REGR_SXX", args)
+    ),
+    "REGR_SYY": lambda args: (
+        _regr_lower("SYY", args[0], args[1])
+        if len(args) == 2
+        else _bad("REGR_SYY", args)
+    ),
+    "REGR_SXY": lambda args: (
+        _regr_lower("SXY", args[0], args[1])
+        if len(args) == 2
+        else _bad("REGR_SXY", args)
+    ),
     "REGR_COUNT": lambda args: (
         f"COUNT(CASE WHEN ({args[0]}) IS NOT NULL"
         f" AND ({args[1]}) IS NOT NULL THEN 1 END)"
@@ -3160,6 +3185,32 @@ def _regr_lower(
     varx = f"(({n}) * ({sx2}) - ({sx}) * ({sx}))"
     vary = f"(({n}) * ({sy2}) - ({sy}) * ({sy}))"
     slope = f"(({num}) / ({varx}))"
+    if kind == "AVGX":
+        return (
+            f"(CASE WHEN {cnt} < 1 THEN NULL"
+            f" ELSE ({sx}) / (({n}) * 100) END)"
+        )
+    if kind == "AVGY":
+        return (
+            f"(CASE WHEN {cnt} < 1 THEN NULL"
+            f" ELSE ({sy}) / (({n}) * 100) END)"
+        )
+    if kind == "SXX":
+        # sum (x - avg x)^2 over non-null pairs; /100^2 unscales
+        return (
+            f"(CASE WHEN {cnt} < 1 THEN NULL"
+            f" ELSE (({sx2}) - ({sx}) * ({sx}) / ({n})) / 10000 END)"
+        )
+    if kind == "SYY":
+        return (
+            f"(CASE WHEN {cnt} < 1 THEN NULL"
+            f" ELSE (({sy2}) - ({sy}) * ({sy}) / ({n})) / 10000 END)"
+        )
+    if kind == "SXY":
+        return (
+            f"(CASE WHEN {cnt} < 1 THEN NULL"
+            f" ELSE (({sxy}) - ({sx}) * ({sy}) / ({n})) / 10000 END)"
+        )
     if kind == "SLOPE":
         return (
             f"(CASE WHEN {cnt} < 2 OR {varx} <= 0 THEN NULL"

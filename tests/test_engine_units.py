@@ -4021,6 +4021,23 @@ def test_everyday_scalar_pack2_battery3(spark):
     assert str(spark.sql(rewrite_scalar_funcs(
         "SELECT SYSDATE() AS d"
     )).schema["d"].dataType) == "TimestampType()"
+    # the REGR family is COMPLETE and deterministic (fixed-point sums;
+    # the 5 moment members cross-checked vs DuckDB's independent
+    # builtins)
+    import duckdb as _duck
+
+    vals = "(1.0,2.0),(2.0,4.1),(2.5,5.0),(9.0,18.2)"
+    rr = spark.sql(rewrite_scalar_funcs(
+        f"SELECT REGR_AVGX(y,x) a, REGR_AVGY(y,x) b, REGR_SXX(y,x) c,"
+        f" REGR_SYY(y,x) d, REGR_SXY(y,x) e"
+        f" FROM (VALUES {vals}) t(x,y)"
+    )).first()
+    ref = _duck.sql(
+        f"SELECT regr_avgx(y,x), regr_avgy(y,x), regr_sxx(y,x),"
+        f" regr_syy(y,x), regr_sxy(y,x) FROM (VALUES {vals}) t(x,y)"
+    ).fetchone()
+    for got, want in zip(rr, ref):
+        assert abs(got - want) < 1e-9, (got, want)
     for bad, msg in [
         ("SELECT TO_TIME('10:30') FROM t", "no TIME type"),
         ("SELECT ENCRYPT(s, 'p') FROM t", "cipher"),
