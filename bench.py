@@ -188,34 +188,58 @@ def main() -> None:
     )
 
     end_load = _loadavg()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                # contention self-description: loadavg_start is the
-                # 1-min load when the timed section was allowed to
-                # begin (after waiting <= SPARK_GRAFT_BENCH_MAX_WAIT
-                # for it to drop below load_threshold); contended=true
-                # means external load never settled and the numbers
-                # should not be compared across rounds.
-                "loadavg_start": load,
-                "loadavg_end": end_load,
-                "load_threshold": round(thresh, 2),
-                "load_waited_sec": waited,
-                "contended": bool(load is not None and load > thresh),
-                # self-inclusive 1-min loadavg sampled as each query
-                # started; contended_queries = samples above
-                # midloop_load_threshold (see comment at the loop)
-                "loadavg_per_query": query_load,
-                "midloop_load_threshold": round(midloop_thresh, 2),
-                "contended_queries": contended_queries,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        # contention self-description: loadavg_start is the
+        # 1-min load when the timed section was allowed to
+        # begin (after waiting <= SPARK_GRAFT_BENCH_MAX_WAIT
+        # for it to drop below load_threshold); contended=true
+        # means external load never settled and the numbers
+        # should not be compared across rounds.
+        "loadavg_start": load,
+        "loadavg_end": end_load,
+        "load_threshold": round(thresh, 2),
+        "load_waited_sec": waited,
+        "contended": bool(load is not None and load > thresh),
+        # self-inclusive 1-min loadavg sampled as each query
+        # started; contended_queries = samples above
+        # midloop_load_threshold (see comment at the loop)
+        "loadavg_per_query": query_load,
+        "midloop_load_threshold": round(midloop_thresh, 2),
+        "contended_queries": contended_queries,
+    }
+    # VERDICT r11 #1: the driver keeps only the LAST 2000 chars of
+    # stdout, and r11's full JSON grew past that — the headline metric
+    # fell out the front of the capture (parsed: null). The full
+    # diagnostics now live in a sidecar next to this script; stdout is
+    # ONE compact line, guaranteed to fit the tail capture whole. The
+    # per-query timings map stays on the line while it fits (it is the
+    # per-round perf signal); if the headline list ever grows past the
+    # capture budget, the map is dropped from the LINE only — it is
+    # always recoverable from the sidecar.
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_out.json")
+    with open(sidecar, "w") as f:
+        json.dump(full, f, indent=1)
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        # 2-dp on the LINE (fits ~8 more entries in the capture
+        # budget); the sidecar keeps 3-dp
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": full["sf"],
+        "contended": full["contended"],
+        "contended_queries": contended_queries,
+        "detail": "bench_out.json",
+    }
+    if len(json.dumps(compact)) > 1900:
+        compact.pop("queries")
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -3100,7 +3100,25 @@ def _fixed_point_sums(
     envelope: |x| <= ~3e7 at 2 dp keeps m^4 under 38 digits; beyond
     that the SUM overflows to NULL loudly (never silently wrong).
     Inputs are rounded to 2 dp — the money/measure class this engine's
-    determinism conventions target."""
+    determinism conventions target.
+
+    Two runtime envelope DETECTORS back those claims (ADVICE r11 #2 —
+    neither hazard may produce a silently-wrong number):
+
+    - ``count_m`` vs ``count``: a per-row DECIMAL(38,6) cast that
+      overflows (|x| > ~1e32) yields NULL, which would drop the row
+      from the sums but not from COUNT(x) — inconsistent moments.
+      Consumers compare the two counts and return NULL for the whole
+      statistic on any mismatch.
+    - ``n_inexact``: rows where the fixed-point rounding MOVED the
+      value (x*scale not integral — all-decimal comparison, exact on
+      both engines). Rounding noise is uniform on ±0.5 units
+      (sd ~0.29); when the data's own sd in units is within ~10x of
+      that, the moments are dominated by quantization — consumers NULL
+      when ``n_inexact > 0`` and the rounded variance sits under
+      ``_RESOLUTION_VAR_FLOOR`` units^2. Data already exact at the
+      resolution (2-dp money) never trips it, whatever its variance.
+    """
     # ``carrier`` is the exact-integer type holding the fixed-point
     # values: DECIMAL(38,0) on Spark; a DuckDB oracle twin passes
     # HUGEINT (int128) — same integers, so the DOUBLE conversions and
@@ -3109,6 +3127,7 @@ def _fixed_point_sums(
         f"CAST(ROUND(CAST(({x}) AS DECIMAL(38,6)) * {scale})"
         f" AS {carrier})"
     )
+    d100 = f"(CAST(({x}) AS DECIMAL(38,6)) * {scale})"
     return {
         "n": f"CAST(COUNT({x}) AS DOUBLE)",
         "s1": f"CAST(SUM({m}) AS DOUBLE)",
@@ -3116,7 +3135,18 @@ def _fixed_point_sums(
         "s3": f"CAST(SUM({m} * {m} * {m}) AS DOUBLE)",
         "s4": f"CAST(SUM({m} * {m} * {m} * {m}) AS DOUBLE)",
         "count": f"COUNT({x})",
+        "count_m": f"COUNT({m})",
+        "n_inexact": (
+            f"COUNT(CASE WHEN ROUND({d100}) <> {d100} THEN 1 END)"
+        ),
     }
+
+
+# Quantization-noise floor for the fixed-point moment detectors: NULL
+# a moment statistic when rounding moved any input AND the rounded
+# variance is under this many units^2 (sd < 3 units = 0.03 at the
+# default 2-dp scale, ~10x the +-0.5-uniform rounding noise's 0.29 sd).
+_RESOLUTION_VAR_FLOOR = 9
 
 
 def _skew_kurt_lower(
@@ -3132,6 +3162,15 @@ def _skew_kurt_lower(
     mu = f"(({s1}) / ({n}))"
     m2 = f"(({s2}) - ({s1}) * ({s1}) / ({n}))"  # sum (x-mu)^2
     svar = f"(({m2}) / (({n}) - 1))"
+    # envelope detectors (see _fixed_point_sums): cast overflow ->
+    # whole statistic NULL (never a silently inconsistent mix of
+    # counted-but-unsummed rows); variation below the fixed-point
+    # resolution -> NULL (never a quantization-noise artifact).
+    guards = (
+        f"WHEN {f['count']} <> {f['count_m']} THEN NULL"
+        f" WHEN {f['n_inexact']} > 0"
+        f" AND {m2} < {_RESOLUTION_VAR_FLOOR} * ({n}) THEN NULL"
+    )
     # NO pow(): libm pow is not correctly rounded and differs across
     # engines in the last ulp; explicit IEEE multiplies and sqrt (which
     # IS correctly rounded everywhere) keep both dialects bit-identical
@@ -3141,7 +3180,8 @@ def _skew_kurt_lower(
             f" + 2 * ({n}) * ({mu} * {mu} * {mu}))"
         )
         return (
-            f"(CASE WHEN {f['count']} < 3 OR {m2} <= 0 THEN NULL ELSE"
+            f"(CASE {guards}"
+            f" WHEN {f['count']} < 3 OR {m2} <= 0 THEN NULL ELSE"
             f" (({n}) / ((({n}) - 1) * (({n}) - 2)))"
             f" * ({m3}) / (({svar}) * sqrt({svar})) END)"
         )
@@ -3150,7 +3190,8 @@ def _skew_kurt_lower(
         f" - 3 * ({n}) * ({mu} * {mu} * {mu} * {mu}))"
     )
     return (
-        f"(CASE WHEN {f['count']} < 4 OR {m2} <= 0 THEN NULL ELSE"
+        f"(CASE {guards}"
+        f" WHEN {f['count']} < 4 OR {m2} <= 0 THEN NULL ELSE"
         f" (({n}) * (({n}) + 1) / ((({n}) - 1) * (({n}) - 2)"
         f" * (({n}) - 3))) * ({m4}) / (({svar}) * ({svar}))"
         f" - 3 * ((({n}) - 1) * (({n}) - 1))"
@@ -3164,7 +3205,15 @@ def _regr_lower(
     """REGR_SLOPE / REGR_INTERCEPT / REGR_R2 over exact fixed-point
     sums; pairs with ANY null are excluded (the ANSI/Snowflake rule)
     via a CASE inside every aggregate. R2 follows the ANSI contract:
-    NULL at zero x-variance, 1 at zero y-variance, else corr^2."""
+    NULL at zero x-variance, 1 at zero y-variance, else corr^2.
+
+    Envelope detectors (see _fixed_point_sums): per-row cast overflow
+    on either side NULLs the whole statistic (counted-but-unsummed
+    rows would otherwise skew it silently); the variance-dependent
+    kinds additionally NULL when rounding moved any input and either
+    rounded variance sits under the quantization-noise floor. AVGX /
+    AVGY carry only the overflow guard — a mean's quantization error
+    is bounded by half a unit, inside the documented 2-dp convention."""
     both = f"(({x}) IS NOT NULL AND ({y}) IS NOT NULL)"
     mx = (
         f"CAST(ROUND(CAST((CASE WHEN {both} THEN ({x}) END)"
@@ -3185,46 +3234,62 @@ def _regr_lower(
     varx = f"(({n}) * ({sx2}) - ({sx}) * ({sx}))"
     vary = f"(({n}) * ({sy2}) - ({sy}) * ({sy}))"
     slope = f"(({num}) / ({varx}))"
+    dx = f"(CAST((CASE WHEN {both} THEN ({x}) END) AS DECIMAL(38,6)) * 100)"
+    dy = f"(CAST((CASE WHEN {both} THEN ({y}) END) AS DECIMAL(38,6)) * 100)"
+    over = (
+        f"WHEN {cnt} <> COUNT({mx}) OR {cnt} <> COUNT({my}) THEN NULL"
+    )
+    inexact = (
+        f"(COUNT(CASE WHEN ROUND({dx}) <> {dx} THEN 1 END)"
+        f" + COUNT(CASE WHEN ROUND({dy}) <> {dy} THEN 1 END))"
+    )
+    floor2 = f"{_RESOLUTION_VAR_FLOOR} * ({n}) * ({n})"
+    res = (
+        f"WHEN {inexact} > 0 AND (({varx}) < {floor2}"
+        f" OR ({vary}) < {floor2}) THEN NULL"
+    )
+    res_x = f"WHEN {inexact} > 0 AND ({varx}) < {floor2} THEN NULL"
+    res_y = f"WHEN {inexact} > 0 AND ({vary}) < {floor2} THEN NULL"
     if kind == "AVGX":
         return (
-            f"(CASE WHEN {cnt} < 1 THEN NULL"
+            f"(CASE {over} WHEN {cnt} < 1 THEN NULL"
             f" ELSE ({sx}) / (({n}) * 100) END)"
         )
     if kind == "AVGY":
         return (
-            f"(CASE WHEN {cnt} < 1 THEN NULL"
+            f"(CASE {over} WHEN {cnt} < 1 THEN NULL"
             f" ELSE ({sy}) / (({n}) * 100) END)"
         )
     if kind == "SXX":
         # sum (x - avg x)^2 over non-null pairs; /100^2 unscales
         return (
-            f"(CASE WHEN {cnt} < 1 THEN NULL"
+            f"(CASE {over} {res_x} WHEN {cnt} < 1 THEN NULL"
             f" ELSE (({sx2}) - ({sx}) * ({sx}) / ({n})) / 10000 END)"
         )
     if kind == "SYY":
         return (
-            f"(CASE WHEN {cnt} < 1 THEN NULL"
+            f"(CASE {over} {res_y} WHEN {cnt} < 1 THEN NULL"
             f" ELSE (({sy2}) - ({sy}) * ({sy}) / ({n})) / 10000 END)"
         )
     if kind == "SXY":
         return (
-            f"(CASE WHEN {cnt} < 1 THEN NULL"
+            f"(CASE {over} {res} WHEN {cnt} < 1 THEN NULL"
             f" ELSE (({sxy}) - ({sx}) * ({sy}) / ({n})) / 10000 END)"
         )
     if kind == "SLOPE":
         return (
-            f"(CASE WHEN {cnt} < 2 OR {varx} <= 0 THEN NULL"
+            f"(CASE {over} {res} WHEN {cnt} < 2 OR {varx} <= 0 THEN NULL"
             f" ELSE {slope} END)"
         )
     if kind == "INTERCEPT":
         # sums are in 100x fixed-point units; slope is scale-free, the
         # intercept divides the factor back out
         return (
-            f"(CASE WHEN {cnt} < 2 OR {varx} <= 0 THEN NULL"
+            f"(CASE {over} {res} WHEN {cnt} < 2 OR {varx} <= 0 THEN NULL"
             f" ELSE (({sy}) - {slope} * ({sx})) / (({n}) * 100) END)"
         )
     return (
-        f"(CASE WHEN {cnt} < 1 OR {varx} <= 0 THEN NULL"
+        f"(CASE {over} {res} WHEN {cnt} < 1 OR {varx} <= 0 THEN NULL"
         f" WHEN {vary} <= 0 THEN CAST(1.0 AS DOUBLE)"
         f" ELSE ({num}) * ({num}) / (({varx}) * ({vary})) END)"
     )
@@ -3987,9 +4052,27 @@ def rewrite_scalar_funcs(sql: str) -> str:
             raise RuntimeError("rewrite_scalar_funcs did not converge")
         open_idx = sql.index("(", m.end() - 1)
         close = _balanced_span(sql, open_idx)
+        name = m.group(1).upper()
+        if name == "INSERT":
+            # ADVICE r11 #5: the scalar INSERT(base, pos, len, repl)
+            # must not swallow DML column lists that reach a text
+            # lowering path — ``... THEN INSERT (a,b,c,d)`` (MERGE) or
+            # ``INSERT (a,b,c,d) VALUES ...`` would be silently
+            # spliced into substr/concat when exactly 4 columns line
+            # up. Skip when the context is a DML clause: preceded by
+            # THEN/ALL/FIRST/OVERWRITE or followed by VALUES/SELECT.
+            before = sql[: m.start()].rstrip()
+            after = sql[close:].lstrip()
+            if (
+                re.search(r"\b(THEN|ALL|FIRST|OVERWRITE)$", before,
+                          re.IGNORECASE)
+                or re.match(r"(VALUES|SELECT)\b", after, re.IGNORECASE)
+            ):
+                pos = close
+                continue
         inner = rewrite_scalar_funcs(sql[open_idx + 1 : close - 1])
         args = [a.strip() for a in _split_top_level_commas(inner)]
-        repl = fns[m.group(1).upper()](args)
+        repl = fns[name](args)
         sql = sql[: m.start()] + repl + sql[close:]
         pos = m.start() + len(repl)
 

@@ -437,6 +437,159 @@ def get_statement(text: str, stage_root: str) -> list[dict]:
     return sorted(out, key=lambda r: r["file"])
 
 
+def _list_stage_recursive(root: str) -> list[str]:
+    """Stage listing as stage-relative POSIX paths, subdirectories
+    included — the path space Snowflake's FILES / PATTERN / prefix
+    clauses address (entries are stage-relative paths, never bare
+    basenames). ``list_stage`` stays the flat S6 console listing."""
+    out: list[str] = []
+    for dirpath, _dirs, files in os.walk(root):
+        rel = os.path.relpath(dirpath, root)
+        for f in files:
+            if f.startswith("."):
+                continue
+            out.append(f if rel == "." else f"{rel.replace(os.sep, '/')}/{f}")
+    return sorted(out)
+
+
+def _decode_sf_escapes(s: str) -> str:
+    """Decode the escape forms Snowflake format options use in
+    delimiter/quote values: ``\\t``/``\\n``/``\\r``/``\\\\`` and
+    3-digit octal (``\\042`` = ``"``), plus ``0x``-hex (``0x27``)."""
+    import re
+
+    if re.fullmatch(r"0[xX][0-9a-fA-F]{2}", s):
+        return chr(int(s[2:], 16))
+
+    def sub(m: "re.Match[str]") -> str:
+        body = m.group(1)
+        if body.isdigit():
+            return chr(int(body, 8))
+        return {"t": "\t", "n": "\n", "r": "\r", "\\": "\\"}[body]
+
+    return re.sub(r"\\([0-7]{3}|[tnr\\])", sub, s)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a FILE_FORMAT body on commas outside quotes/parens, so
+    list-valued options (``NULL_IF = ('\\\\N', '')``) survive."""
+    parts, depth, quote, start = [], 0, False, 0
+    for i, ch in enumerate(s):
+        if ch == "'":
+            quote = not quote
+        elif not quote and ch == "(":
+            depth += 1
+        elif not quote and ch == ")":
+            depth -= 1
+        elif not quote and depth == 0 and ch == ",":
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def translate_csv_format_options(fmt: dict[str, str]) -> dict[str, str]:
+    """Translate Snowflake CSV FILE_FORMAT options into Spark CSV
+    reader options — names differ systematically (SKIP_HEADER vs
+    header, FIELD_DELIMITER vs sep, NULL_IF vs nullValue), so passing
+    them through verbatim would make Spark silently ignore every one
+    of them (the module's refuse-loudly rule forbids exactly that).
+    Unrecognized keys and untranslatable values raise ValueError.
+
+    ``fmt`` keys are lower-case Snowflake names; values are the raw
+    (quote-stripped) statement text, lists kept as ``(...)``."""
+    out: dict[str, str] = {}
+    for k, v in fmt.items():
+        if k == "type":
+            continue  # validated by the caller (CSV only)
+        if k == "skip_header":
+            if v == "0":
+                out["header"] = "false"
+            elif v == "1":
+                out["header"] = "true"
+            else:
+                raise ValueError(
+                    f"SKIP_HEADER = {v}: Spark's header option skips"
+                    " exactly one line; multi-line skips are not"
+                    " supported"
+                )
+        elif k == "field_delimiter":
+            out["sep"] = _decode_sf_escapes(v)
+        elif k == "record_delimiter":
+            out["lineSep"] = _decode_sf_escapes(v)
+        elif k == "null_if":
+            vals = [p.strip().strip("'") for p in
+                    _split_top_level(v.strip().lstrip("(").rstrip(")"))]
+            vals = vals or [""]
+            if len(vals) > 1:
+                raise ValueError(
+                    f"NULL_IF with {len(vals)} entries: Spark's CSV"
+                    " reader takes one nullValue; multi-token NULL_IF"
+                    " needs a post-read replace"
+                )
+            out["nullValue"] = _decode_sf_escapes(vals[0])
+        elif k == "field_optionally_enclosed_by":
+            out["quote"] = ("" if v.upper() == "NONE"
+                            else _decode_sf_escapes(v))
+        elif k == "escape":
+            if v.upper() != "NONE":
+                out["escape"] = _decode_sf_escapes(v)
+        elif k == "escape_unenclosed_field":
+            if v.upper() != "NONE":
+                raise ValueError(
+                    "ESCAPE_UNENCLOSED_FIELD: Spark's CSV reader has no"
+                    " unenclosed-field escape; only NONE is supported"
+                )
+        elif k == "empty_field_as_null":
+            if v.lower() != "true":
+                raise ValueError(
+                    "EMPTY_FIELD_AS_NULL = FALSE: Spark's CSV reader"
+                    " cannot distinguish empty from NULL per-field"
+                )
+        elif k == "error_on_column_count_mismatch":
+            # both values run under PERMISSIVE + corrupt-record capture:
+            # the statement's ON_ERROR clause (not the format) decides
+            # whether a short/long row rejects the load, which is the
+            # COPY-statement semantic in both systems.
+            if v.lower() not in ("true", "false"):
+                raise ValueError(
+                    f"ERROR_ON_COLUMN_COUNT_MISMATCH = {v!r}: boolean"
+                    " expected"
+                )
+        elif k == "compression":
+            if v.lower() not in ("auto", "none", "gzip", "bz2", "bzip2",
+                                 "zstd", "deflate"):
+                raise ValueError(
+                    f"COMPRESSION = {v}: codec not readable by Spark's"
+                    " CSV source"
+                )
+            # Spark picks the codec from the file extension — no option.
+        elif k == "date_format":
+            if v.upper() != "AUTO":
+                out["dateFormat"] = v
+        elif k == "timestamp_format":
+            if v.upper() != "AUTO":
+                out["timestampFormat"] = v
+        elif k == "encoding":
+            out["encoding"] = v
+        elif k == "trim_space":
+            if v.lower() == "true":
+                out["ignoreLeadingWhiteSpace"] = "true"
+                out["ignoreTrailingWhiteSpace"] = "true"
+        else:
+            raise ValueError(
+                f"unsupported FILE_FORMAT option {k.upper()}: no Spark"
+                " CSV reader equivalent (refusing rather than silently"
+                " ignoring it)"
+            )
+    return out
+
+
+# FILE_FORMAT body with one level of nested parens (NULL_IF lists) and
+# quoted values that may themselves contain parens/commas.
+_FILE_FORMAT_RX = r"FILE_FORMAT\s*=\s*\((?:[^()']|'[^']*'|\([^()]*\))*\)"
+
+
 def parse_copy_statement(text: str) -> dict:
     """Parse the LOAD direction — Snowflake's single most common
     statement — ``COPY INTO <table> FROM @<stage>[/prefix]
@@ -467,7 +620,7 @@ def parse_copy_statement(text: str) -> dict:
     tail = m.group("tail")
     known = re.sub(
         r"FILES\s*=\s*\([^)]*\)|PATTERN\s*=\s*'[^']*'"
-        r"|FILE_FORMAT\s*=\s*\([^)]*\)"
+        r"|" + _FILE_FORMAT_RX +
         r"|VALIDATION_MODE\s*=\s*RETURN_ERRORS"
         r"|ON_ERROR\s*=\s*'?(?:CONTINUE|ABORT_STATEMENT)'?"
         r"|FORCE\s*=\s*(?:TRUE|FALSE)",
@@ -485,14 +638,19 @@ def parse_copy_statement(text: str) -> dict:
             if f.strip()
         ]
     pat_m = re.search(r"PATTERN\s*=\s*'([^']*)'", tail, re.IGNORECASE)
-    fm = re.search(r"FILE_FORMAT\s*=\s*\(([^)]*)\)", tail, re.IGNORECASE)
+    fm = re.search(_FILE_FORMAT_RX, tail, re.IGNORECASE)
     fmt: dict[str, str] = {}
     if fm:
-        for part in fm.group(1).split(","):
-            part = part.strip()
-            if part:
-                k, _, v = part.partition("=")
-                fmt[k.strip().lower()] = v.strip().strip("'\"")
+        body = fm.group(0)
+        body = body[body.index("(") + 1:body.rindex(")")]
+        for part in _split_top_level(body):
+            k, _, v = part.partition("=")
+            v = v.strip()
+            # keep list values (NULL_IF = (...)) intact; strip quotes
+            # from scalars only
+            if not v.startswith("("):
+                v = v.strip("'\"")
+            fmt[k.strip().lower()] = v
         if fmt.get("type", "CSV").upper() != "CSV":
             raise ValueError("COPY load supports TYPE = 'CSV' only")
     on_error_m = re.search(
@@ -561,12 +719,20 @@ def copy_statement(
         raise ValueError(f"COPY: unknown table {spec['table']!r}")
     root = stages[spec["stage"]]
     target = tables[spec["table"]]
-    names = sorted(list_stage(root))
+    names = _list_stage_recursive(root)
     if spec["prefix"]:
         names = [n for n in names if n.startswith(spec["prefix"])]
     if spec["files"] is not None:
-        wanted = set(spec["files"])
-        names = [n for n in names if os.path.basename(n) in wanted]
+        # Snowflake FILES entries are stage/prefix-relative PATHS, not
+        # basenames — 'sub/a.csv' under FROM @stage/prefix means
+        # prefix/sub/a.csv, and a same-named file elsewhere must NOT
+        # load.
+        prefix = spec["prefix"]
+        wanted = {
+            f"{prefix.rstrip('/')}/{f}" if prefix else f
+            for f in spec["files"]
+        }
+        names = [n for n in names if n in wanted]
     if spec["pattern"] is not None:
         import re as _re
 
@@ -581,7 +747,8 @@ def copy_statement(
     if not names:
         return spark.createDataFrame([], status_schema)
     fmt = FileFormat(
-        "csv", dict(CSV_FORMAT.options, **spec["format_options"],
+        "csv", dict(CSV_FORMAT.options,
+                    **translate_csv_format_options(spec["format_options"]),
                     mode="PERMISSIVE",
                     columnNameOfCorruptRecord="__rejected"),
     )
@@ -593,10 +760,20 @@ def copy_statement(
     raw = fmt.read(spark, paths, schema).withColumn(
         "__file", F.input_file_name()
     )
+    # input_file_name() is a URL-encoded URI (spaces -> %20): decode it
+    # so the stats/idempotence keys match the stage-relative listing
+    # (try_url_decode: a path with a literal stray '%' falls back to
+    # the raw form instead of failing the scan), then strip everything
+    # through the stage-root basename — regex-escaped, so a root like
+    # "stage(v2)" cannot corrupt the pattern.
+    import re as _re2
+
     raw = raw.withColumn(
         "__file",
-        F.regexp_replace(F.col("__file"), r"^.*?" + os.path.basename(root)
-                         + "/", ""),
+        F.regexp_replace(
+            F.coalesce(F.expr("try_url_decode(__file)"), F.col("__file")),
+            r"^.*?" + _re2.escape(os.path.basename(root)) + "/", "",
+        ),
     )
     # Spark refuses corrupt-record-ONLY projections on a raw CSV scan
     # (QUERY_ONLY_CORRUPT_RECORD_COLUMN); its documented remedy is to

@@ -3721,6 +3721,39 @@ def test_agg_dialect_pack_semantics(spark):
     assert row3.degenerate_kurt is None
     assert row3.zero_varx is None
 
+    # ADVICE r11 #2 — fixed-point envelope detectors. Variation
+    # entirely below the 0.01 resolution: the rounded moments would be
+    # quantization-noise artifacts -> NULL on BOTH engines (the DuckDB
+    # twin via the same generated text, HUGEINT carrier).
+    sub = "(VALUES (0.001,0.002),(0.004,0.009),(0.009,0.018)," \
+          "(0.002,0.004),(0.003,0.007)) t(x, y)"
+    row4 = spark.sql(rewrite_scalar_funcs(f"""
+        SELECT SKEW(x) AS sk, KURTOSIS(x) AS ku, REGR_SLOPE(y, x) AS sl,
+               REGR_R2(y, x) AS r2, REGR_SXX(y, x) AS sxx,
+               REGR_AVGX(y, x) AS ax
+        FROM {sub}
+    """)).first()
+    assert (row4.sk, row4.ku, row4.sl, row4.r2, row4.sxx) == (None,) * 5
+    # the mean carries only the overflow guard (error <= half a unit)
+    assert row4.ax is not None
+    # 2-dp-exact data with small variance: rounding moved nothing, so
+    # the floor does NOT trip and the fixed-point result is EXACT
+    row5 = spark.sql(rewrite_scalar_funcs("""
+        SELECT SKEW(x) AS sk FROM (VALUES (1.00), (1.01), (1.02), (1.05))
+        t(x)
+    """)).first()
+    import duckdb as _dd
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        _skew_kurt_lower,
+    )
+
+    twin = _dd.sql(
+        f"SELECT {_skew_kurt_lower('SKEW', 'x', carrier='HUGEINT')}"
+        " FROM (VALUES (1.00), (1.01), (1.02), (1.05)) t(x)"
+    ).fetchone()[0]
+    assert row5.sk == twin and row5.sk is not None
+
 
 def test_cluster_by_ddl_physical_layout(spark, tmp_path):
     """sql53's physical contract: CLUSTER BY in the CTAS text must
@@ -3816,6 +3849,20 @@ def test_everyday_scalar_pack2_semantics(spark):
     assert one("STRTOK('a-b^c]d', '-^]', 4)") == "d"
     assert one("STRTOK_TO_ARRAY('a..b,c', ',.')") == ["a", "b", "c"]
     assert one("INSERT('abcdef', 3, 2, 'ZZZ')") == "abZZZef"
+    # ADVICE r11 #5: DML column lists named INSERT stay untouched even
+    # with exactly 4 columns — only the scalar call shape rewrites
+    for dml in (
+        "MERGE INTO t USING s ON t.id = s.id"
+        " WHEN NOT MATCHED THEN INSERT (a, b, c, d)"
+        " VALUES (s.a, s.b, s.c, s.d)",
+        "INSERT (a, b, c, d) VALUES (1, 2, 3, 4)",
+        "INSERT (a, b, c, d) SELECT 1, 2, 3, 4",
+    ):
+        from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+            rewrite_scalar_funcs as _rsf,
+        )
+
+        assert _rsf(dml) == dml
     # JSON check: NULL when valid, deterministic text when not
     assert one("CHECK_JSON('{\"a\":1}')") is None
     assert one("CHECK_JSON('nope{')") == "invalid JSON"
@@ -3992,6 +4039,106 @@ def test_copy_into_table_statement(spark, tmp_path):
             "COPY INTO tgt FROM @inbox MATCH_BY_COLUMN_NAME=CASE_SENSITIVE",
             fresh(), stages,
         )
+
+
+def test_copy_into_file_format_translation(spark, tmp_path):
+    """ADVICE r11 (high): Snowflake FILE_FORMAT option names must be
+    TRANSLATED to Spark CSV reader options, not merged verbatim (Spark
+    silently ignores unknown options — SKIP_HEADER=0 would drop the
+    first data row of every file). Also: FILES entries are stage-
+    relative paths (not basenames), and unknown format keys refuse."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.sources.copy_into import (
+        copy_statement,
+        parse_copy_statement,
+        translate_csv_format_options,
+    )
+
+    land = tmp_path / "stage"
+    land.mkdir()
+    # headerless pipe-delimited with \N nulls
+    (land / "h.csv").write_text("1|x\n2|\\N\n")
+    stages = {"stage": str(land)}
+
+    def fresh():
+        return {"tgt": spark.createDataFrame([], "id int, name string")}
+
+    t = fresh()
+    out = copy_statement(
+        spark,
+        "COPY INTO tgt FROM @stage FILE_FORMAT=(TYPE='CSV',"
+        " SKIP_HEADER=0, FIELD_DELIMITER='|', NULL_IF=('\\\\N'))",
+        t, stages,
+    ).collect()
+    # skip_header=0: BOTH rows load (the old verbatim merge silently
+    # kept header=true and dropped row 1)
+    assert [(r.file, r.rows_loaded) for r in out] == [("h.csv", 2)]
+    got = {(r.id, r.name) for r in t["tgt"].collect()}
+    assert got == {(1, "x"), (2, None)}
+
+    # octal quote char + skip_header=1 round-trips the named format
+    (land / "h.csv").unlink()
+    (land / "q.csv").write_text('id,name\n1,"a,b"\n')
+    t2 = fresh()
+    copy_statement(
+        spark,
+        "COPY INTO tgt FROM @stage FILE_FORMAT=(TYPE='CSV', SKIP_HEADER=1,"
+        " FIELD_OPTIONALLY_ENCLOSED_BY='\\042')",
+        t2, stages,
+    )
+    assert [r.name for r in t2["tgt"].collect()] == ["a,b"]
+
+    # untranslatable / unknown format options refuse loudly
+    for opts, msg in [
+        ("SKIP_HEADER=3", "SKIP_HEADER"),
+        ("NULL_IF=('a','b')", "NULL_IF"),
+        ("EMPTY_FIELD_AS_NULL=FALSE", "EMPTY_FIELD_AS_NULL"),
+        ("PARSE_HEADER=TRUE", "PARSE_HEADER"),
+        ("ESCAPE_UNENCLOSED_FIELD='\\\\'", "ESCAPE_UNENCLOSED_FIELD"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            copy_statement(
+                spark,
+                f"COPY INTO tgt FROM @stage FILE_FORMAT=(TYPE='CSV', {opts})",
+                fresh(), stages,
+            )
+
+    # pure-translator checks (no scan needed)
+    assert translate_csv_format_options(
+        {"record_delimiter": "\\n", "trim_space": "true",
+         "timestamp_format": "YYYY-MM-DD", "compression": "gzip"}
+    ) == {"lineSep": "\n", "ignoreLeadingWhiteSpace": "true",
+          "ignoreTrailingWhiteSpace": "true",
+          "timestampFormat": "YYYY-MM-DD"}
+
+    # FILES entries match stage-relative PATHS: a same-named file in a
+    # subdirectory is NOT selected by a bare basename entry (ADVICE r11
+    # medium), and IS selected by its relative path.
+    (land / "q.csv").unlink()
+    sub = land / "sub"
+    sub.mkdir()
+    (land / "a.csv").write_text("id,name\n1,top\n")
+    (sub / "a.csv").write_text("id,name\n2,nested\n")
+    t3 = fresh()
+    s = copy_statement(
+        spark, "COPY INTO tgt FROM @stage FILES=('a.csv')", t3, stages
+    ).collect()
+    assert [r.file for r in s] == ["a.csv"]
+    assert [r.name for r in t3["tgt"].collect()] == ["top"]
+    t4 = fresh()
+    s2 = copy_statement(
+        spark, "COPY INTO tgt FROM @stage FILES=('sub/a.csv')", t4, stages
+    ).collect()
+    assert [r.file for r in s2] == ["sub/a.csv"]
+    assert [r.name for r in t4["tgt"].collect()] == ["nested"]
+
+    # the NULL_IF list survives the FILE_FORMAT clause parse intact
+    spec = parse_copy_statement(
+        "COPY INTO tgt FROM @stage FILE_FORMAT=(TYPE='CSV',"
+        " NULL_IF=('\\\\N'), FIELD_DELIMITER=',')"
+    )
+    assert spec["format_options"]["null_if"] == "('\\\\N')"
 
 
 def test_everyday_scalar_pack2_battery3(spark):
