@@ -3027,21 +3027,36 @@ def _to_char_numeric_lower(name: str, x: str, fmt: str) -> str:
       canonical form (wrap with LPAD for fixed-width output). Values,
       signs, grouping, rounding, and overflow behavior match.
 
-    MI/PR/X/EEEE/FM and masks with more than 18 integer digit
-    positions refuse loudly (no silent mistranslation).
+    - ``MI`` renders the sign TRAILING: ``-`` for negatives, a blank
+      for non-negatives (the Oracle-model alignment contract MI exists
+      for — a signless positive would misalign the column);
+    - ``PR`` renders negatives in angle brackets (``<12.40>``) and
+      non-negatives with a trailing blank standing in the ``>``
+      position (the leading ``<`` position is absorbed by the same
+      unpadded-leading-edge convention stated above);
+    - ``S`` combined with ``MI``/``PR`` refuses (two sign locations).
+
+    X/EEEE/FM and masks with more than 18 integer digit positions
+    refuse loudly (no silent mistranslation).
     """
     f = fmt.strip().upper().replace("G", ",").replace("D", ".")
-    m = re.fullmatch(r"(S?)(\$?)([09,]*[09])(?:\.([09]*))?", f)
+    m = re.fullmatch(r"(S?)(\$?)([09,]*[09])(?:\.([09]*))?(MI|PR)?", f)
     if m is None:
         raise ValueError(
             f"{name} format {fmt!r} is not a supported numeric format"
-            " (S, $, 0/9 digits, ',' groups, '.' decimal; MI/PR/X/EEEE"
-            " refuse)"
+            " (S, $, 0/9 digits, ',' groups, '.' decimal, trailing"
+            " MI/PR; X/EEEE refuse)"
         )
     sign_explicit = bool(m.group(1))
     dollar = m.group(2)
     int_mask = m.group(3)
     frac = m.group(4) or ""
+    trailing_sign = m.group(5)  # 'MI' | 'PR' | None
+    if sign_explicit and trailing_sign:
+        raise ValueError(
+            f"{name} format {fmt!r}: S combined with {trailing_sign}"
+            " puts the sign in two places"
+        )
     ip = sum(ch in "09" for ch in int_mask)
     s = len(frac)
     if ip > 18:
@@ -3073,16 +3088,25 @@ def _to_char_numeric_lower(name: str, x: str, fmt: str) -> str:
     body = int_out
     if s:
         body = f"concat({int_out}, '.', substring_index({astr}, '.', -1))"
-    if sign_explicit:
+    if trailing_sign == "MI":
+        sign = "''"
+        suffix = f"(CASE WHEN {d} < 0 THEN '-' ELSE ' ' END)"
+    elif trailing_sign == "PR":
+        sign = f"(CASE WHEN {d} < 0 THEN '<' ELSE '' END)"
+        suffix = f"(CASE WHEN {d} < 0 THEN '>' ELSE ' ' END)"
+    elif sign_explicit:
         sign = f"(CASE WHEN {d} < 0 THEN '-' ELSE '+' END)"
+        suffix = "''"
     else:
         sign = f"(CASE WHEN {d} < 0 THEN '-' ELSE '' END)"
+        suffix = "''"
     prefix = f"concat({sign}, '{dollar}')" if dollar else sign
     width = len(int_mask) + (s + 1 if s else 0)
     fill = "'" + "#" * width + "'"
     return (
-        f"(CASE WHEN length({istr}) > {ip} THEN concat({prefix}, {fill})"
-        f" ELSE concat({prefix}, {body}) END)"
+        f"(CASE WHEN length({istr}) > {ip}"
+        f" THEN concat({prefix}, {fill}, {suffix})"
+        f" ELSE concat({prefix}, {body}, {suffix}) END)"
     )
 
 

@@ -8093,9 +8093,10 @@ def _duck_to_char_numeric(x: str, fmt: str) -> str:
     import re as _re
 
     f = fmt.strip().upper().replace("G", ",").replace("D", ".")
-    m = _re.fullmatch(r"(S?)(\$?)([09,]*[09])(?:\.([09]*))?", f)
+    m = _re.fullmatch(r"(S?)(\$?)([09,]*[09])(?:\.([09]*))?(MI|PR)?", f)
     assert m, fmt
     int_mask, frac = m.group(3), m.group(4) or ""
+    trailing = m.group(5)
     ip = sum(ch in "09" for ch in int_mask)
     s = len(frac)
     zpad = 0
@@ -8117,15 +8118,24 @@ def _duck_to_char_numeric(x: str, fmt: str) -> str:
     body = int_out
     if s:
         body = f"({int_out} || '.' || split_part({astr}, '.', 2))"
-    if m.group(1):
+    if trailing == "MI":
+        sign = "''"
+        suffix = f"(CASE WHEN {d} < 0 THEN '-' ELSE ' ' END)"
+    elif trailing == "PR":
+        sign = f"(CASE WHEN {d} < 0 THEN '<' ELSE '' END)"
+        suffix = f"(CASE WHEN {d} < 0 THEN '>' ELSE ' ' END)"
+    elif m.group(1):
         sign = f"(CASE WHEN {d} < 0 THEN '-' ELSE '+' END)"
+        suffix = "''"
     else:
         sign = f"(CASE WHEN {d} < 0 THEN '-' ELSE '' END)"
+        suffix = "''"
     prefix = f"({sign} || '{m.group(2)}')" if m.group(2) else sign
     fill = "'" + "#" * (len(int_mask) + (s + 1 if s else 0)) + "'"
     return (
-        f"(CASE WHEN length({istr}) > {ip} THEN ({prefix} || {fill})"
-        f" ELSE ({prefix} || {body}) END)"
+        f"(CASE WHEN length({istr}) > {ip}"
+        f" THEN ({prefix} || {fill} || {suffix})"
+        f" ELSE ({prefix} || {body} || {suffix}) END)"
     )
 
 
@@ -8136,7 +8146,11 @@ SELECT o_orderkey,
        TO_VARCHAR(o_totalprice * (CASE WHEN o_orderkey % 2 = 0 THEN -1 ELSE 1 END),
                   'S9999999.99') AS signed_amt,
        TO_CHAR(o_orderkey % 997, '00000') AS padded,
-       TO_CHAR(o_totalprice / 10000, '9.99') AS tight
+       TO_CHAR(o_totalprice / 10000, '9.99') AS tight,
+       TO_CHAR(o_totalprice * (CASE WHEN o_orderkey % 3 = 0 THEN -1 ELSE 1 END),
+               '9999999.99MI') AS ledger_mi,
+       TO_CHAR(o_totalprice * (CASE WHEN o_orderkey % 3 = 0 THEN -1 ELSE 1 END),
+               '$9999999.99PR') AS ledger_pr
 FROM orders
 WHERE o_orderkey % 11 = 0
 """
@@ -8152,7 +8166,13 @@ WHERE o_orderkey % 11 = 0
                "o_totalprice * (CASE WHEN o_orderkey % 2 = 0 THEN -1 ELSE 1 END)",
                'S9999999.99')} AS signed_amt,
            {_duck_to_char_numeric('o_orderkey % 997', '00000')} AS padded,
-           {_duck_to_char_numeric('o_totalprice / 10000', '9.99')} AS tight
+           {_duck_to_char_numeric('o_totalprice / 10000', '9.99')} AS tight,
+           {_duck_to_char_numeric(
+               "o_totalprice * (CASE WHEN o_orderkey % 3 = 0 THEN -1 ELSE 1 END)",
+               '9999999.99MI')} AS ledger_mi,
+           {_duck_to_char_numeric(
+               "o_totalprice * (CASE WHEN o_orderkey % 3 = 0 THEN -1 ELSE 1 END)",
+               '$9999999.99PR')} AS ledger_pr
     FROM orders
     WHERE o_orderkey % 11 = 0
     """,
@@ -8168,11 +8188,15 @@ WHERE o_orderkey % 11 = 0
     explicit S sign, $ after the sign, and the documented '#'-fill on
     integer overflow ('$####' — the snowflake docs' own example).
     Blank padding is the one stated divergence (unpadded canonical
-    form; LPAD restores fixed width). MI/PR/X/EEEE/FM and >18 integer
+    form; LPAD restores fixed width). Trailing-sign masks lower too
+    (r12, VERDICT r11 #4): MI renders '-'/blank AFTER the digits, PR
+    wraps negatives in angle brackets with a blank standing in the
+    '>' position for non-negatives. X/EEEE/FM and >18 integer
     positions refuse loudly. The entry exercises every branch over
     orders money values: grouping+$, whole-number rounding WITH
     overflow rows mixed in ('######'), explicit sign on negated
-    amounts, zero-padding, and a tight mask that overflows at >=10.
+    amounts, zero-padding, a tight mask that overflows at >=10, and
+    MI/PR ledger columns on sign-alternating amounts.
     All per-row JVM expressions — pushdown/codegen untouched; the
     DuckDB twin re-implements the identical algorithm independently
     (_duck_to_char_numeric).""",

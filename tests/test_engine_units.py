@@ -3436,7 +3436,8 @@ def test_conversion_pack_rewriter(spark):
         ("SELECT TO_DATE(x, 'YYYY-Q') FROM t", "unsupported datetime format"),
         ("SELECT TO_TIMESTAMP(x, 'FF') FROM t", "unsupported datetime format"),
         ("SELECT TO_DATE(x, fmtcol) FROM t", "literal"),
-        ("SELECT TO_CHAR(n, '999.99MI') FROM t", "not a supported numeric"),
+        ("SELECT TO_CHAR(n, '999.99XX') FROM t", "not a supported numeric"),
+        ("SELECT TO_CHAR(n, 'S999MI') FROM t", "two places"),
         ("SELECT TO_CHAR(n, '9999999999999999999') FROM t",
          "more than 18 integer digit"),
         ("SELECT TO_CHAR(n, '0,000') FROM t", "zero padding combined"),
@@ -3473,6 +3474,13 @@ def test_to_char_numeric_mask_semantics(spark):
         ("34", "9,999", "34"),                  # grouping only if needed
         ("1234", "9,999", "1,234"),
         ("12345", "999", "###"),                # plain overflow
+        # r12 (VERDICT r11 #4): trailing-sign masks
+        ("-12.4", "99.99MI", "12.40-"),         # MI: trailing minus
+        ("12.4", "99.99MI", "12.40 "),          # MI: trailing blank
+        ("-12.4", "99.99PR", "<12.40>"),        # PR: angle brackets
+        ("12.4", "99.99PR", "12.40 "),          # PR: trailing blank
+        ("-3987", "$99.0PR", "<$####>"),        # PR overflow keeps $
+        ("-12", "$999MI", "$12-"),              # MI with currency
     ]
     select = ", ".join(
         f"TO_CHAR({v}, '{f}') AS c{i}" for i, (v, f, _) in enumerate(cases)
