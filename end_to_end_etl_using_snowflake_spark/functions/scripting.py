@@ -1,0 +1,593 @@
+"""Snowflake SESSION VARIABLES, ``EXECUTE IMMEDIATE``, and anonymous
+SCRIPTING BLOCKS over the verbatim statement layer.
+
+The reference workflow is an interactive console script
+(customer-end-to-end-pipeline-script.sql) — and real console scripts
+lean on session variables constantly: ``SET cutoff = ...;`` then
+``$cutoff`` in every statement after it, ``EXECUTE IMMEDIATE`` for
+statements built as strings, and pasted stored-procedure bodies
+(``DECLARE ... BEGIN ... END``). This module closes that last
+text-surface gap (VERDICT r11 #3/#5) the same way the DML/DDL shims
+did: a small deterministic interpreter that dispatches every real
+statement through the EXISTING shims (``snowflake_sql``), so the
+engine's plans, pushdown posture, and read-your-writes semantics are
+untouched — variables only ever splice SQL LITERALS into statement
+text before dispatch.
+
+Semantics pinned to Snowflake:
+
+- ``SET v = <expr>`` evaluates the expression AT SET TIME (a query
+  expression runs once, here via one scalar-subquery ``SELECT``); the
+  variable holds the resulting VALUE, typed. ``SET (a, b) = (e1, e2)``
+  sets both; ``UNSET v`` drops; ``SHOW VARIABLES`` lists name/value/
+  type (names UPPERCASED, Snowflake's unquoted-identifier rule).
+- ``$v`` in later statements is substituted as a typed SQL literal —
+  never inside string literals or comments (``'give me $5'`` stays
+  text), matching Snowflake's reference-not-template behavior.
+  Referencing an unset variable raises ``Session variable '$V' does
+  not exist`` (Snowflake's error, error-class for error-class).
+- ``EXECUTE IMMEDIATE '<sql>'`` / ``$$<sql>$$`` / ``$v`` runs the
+  contained statement (or scripting block) through the same dispatch,
+  with variables resolved at EXECUTION time (a variable set between
+  building and executing the string is honored, like Snowflake).
+- Anonymous blocks ``[DECLARE ...] BEGIN ... [RETURN expr;] END`` run
+  a CONSERVATIVE subset: typed declarations with ``DEFAULT``,
+  ``LET x := expr`` / re-assignment ``x := expr``, embedded SQL
+  statements with ``:x`` bind references, and ``RETURN``. Control
+  flow (IF/FOR/WHILE/LOOP), cursors, RESULTSETs, and EXCEPTION
+  handlers REFUSE LOUDLY — nothing silently mistranslates. The block
+  result is Snowflake's one-column relation (named
+  ``anonymous_block``; Snowflake's own header contains a space).
+
+Scale shape: the interpreter itself is O(statements) driver-side
+string work; every data-touching statement executes through the same
+lowered Spark plans as the rest of the text surface. A SET whose
+expression scans a table costs exactly that one scan — the value is
+then a literal, which is a PLANNING WIN at 100 TB: ``WHERE col >=
+$cutoff`` arrives at Catalyst as a foldable predicate that prunes
+partitions/files, where a correlated subquery might not.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import date, datetime
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .snowflake_sql import snowflake_sql
+from .sqldialect import _dml_key, _DML_HEAD_RE, _strip_line_comments, lower_select
+
+__all__ = [
+    "SessionVariable",
+    "console_script",
+    "execute_immediate",
+    "scripting_block",
+    "substitute_variables",
+]
+
+
+class SessionVariable:
+    """One session variable: the VALUE (python object), its rendered
+    SQL literal (what ``$name`` splices), and the Snowflake-reported
+    type name for SHOW VARIABLES."""
+
+    __slots__ = ("value", "literal", "sf_type")
+
+    def __init__(self, value, literal: str, sf_type: str):
+        self.value = value
+        self.literal = literal
+        self.sf_type = sf_type
+
+
+def _render_literal(value) -> tuple[str, str]:
+    """python value -> (SQL literal text, Snowflake type name). The
+    literal must parse identically in Spark SQL and (via the oracle
+    twin statements) DuckDB, so only engine-neutral spellings are
+    emitted."""
+    if value is None:
+        return "NULL", "null"
+    if isinstance(value, bool):
+        return ("TRUE" if value else "FALSE"), "boolean"
+    if isinstance(value, int):
+        return str(value), "fixed"
+    if isinstance(value, Decimal):
+        return str(value), "fixed"
+    if isinstance(value, float):
+        return repr(value), "real"
+    if isinstance(value, str):
+        return "'" + value.replace("'", "''") + "'", "text"
+    if isinstance(value, datetime):
+        return (
+            "TIMESTAMP '" + value.strftime("%Y-%m-%d %H:%M:%S.%f") + "'",
+            "timestamp",
+        )
+    if isinstance(value, date):
+        return "DATE '" + value.isoformat() + "'", "date"
+    raise ValueError(
+        f"SET: unsupported variable value type {type(value).__name__}"
+        " (scalars only — Snowflake session variables cannot hold"
+        " arrays/objects either)"
+    )
+
+
+_VAR_REF = re.compile(r"\$([A-Za-z_]\w*)")
+
+
+def _scan_outside_literals(sql: str):
+    """Yield (start, end, is_code) spans: is_code=False for '...'
+    string literals (with '' self-escape) and -- / block comments —
+    the regions ``$var`` substitution must never touch."""
+    i, n = 0, len(sql)
+    code_start = 0
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            yield code_start, i, True
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and sql[j + 1 : j + 2] == "'":
+                    j += 2
+                elif sql[j] == "'":
+                    break
+                else:
+                    j += 1
+            yield i, min(j + 1, n), False
+            i = code_start = min(j + 1, n)
+        elif c == "-" and sql[i + 1 : i + 2] == "-":
+            yield code_start, i, True
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            yield i, j, False
+            i = code_start = j
+        elif c == "/" and sql[i + 1 : i + 2] == "*":
+            yield code_start, i, True
+            j = sql.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            yield i, j, False
+            i = code_start = j
+        else:
+            i += 1
+    yield code_start, n, True
+
+
+def substitute_variables(
+    sql: str, variables: dict[str, SessionVariable]
+) -> str:
+    """Replace ``$name`` references with the variable's SQL literal —
+    literal-aware (never inside '...' / comments); unknown names raise
+    Snowflake's error. ``$1``-style positional stage refs don't match
+    (digits are not identifier heads)."""
+
+    def repl(m: "re.Match[str]") -> str:
+        name = m.group(1).upper()
+        if name not in variables:
+            raise ValueError(
+                f"Session variable '${name}' does not exist"
+            )
+        return variables[name].literal
+
+    out = []
+    for a, b, is_code in _scan_outside_literals(sql):
+        seg = sql[a:b]
+        out.append(_VAR_REF.sub(repl, seg) if is_code else seg)
+    return "".join(out)
+
+
+def _eval_scalar(spark: SparkSession, expr: str):
+    """Evaluate one scalar expression (literal, arithmetic, or scalar
+    subquery over registered views) -> python value. One Spark job at
+    most; a pure-literal expression folds to a LocalRelation."""
+    row = spark.sql(lower_select(f"SELECT ({expr}) AS __v")).first()
+    return row["__v"]
+
+
+def _split_script(text: str) -> list[str]:
+    """Statement split for console scripts: top-level ``;`` outside
+    '...' literals, ``$$...$$`` dollar-quoted strings, and comments —
+    so an EXECUTE IMMEDIATE body keeps its internal separators."""
+    out: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "$" and text[i + 1 : i + 2] == "$":
+            j = text.find("$$", i + 2)
+            j = n if j < 0 else j + 2
+            buf.append(text[i:j])
+            i = j
+        elif c == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'" and text[j + 1 : j + 2] == "'":
+                    j += 2
+                elif text[j] == "'":
+                    break
+                else:
+                    j += 1
+            buf.append(text[i : j + 1])
+            i = j + 1
+        elif c == "-" and text[i + 1 : i + 2] == "-":
+            j = text.find("\n", i)
+            j = n if j < 0 else j
+            buf.append(text[i:j])
+            i = j
+        elif c == "/" and text[i + 1 : i + 2] == "*":
+            j = text.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            buf.append(text[i:j])
+            i = j
+        elif c == ";":
+            out.append("".join(buf))
+            buf = []
+            i += 1
+        else:
+            buf.append(c)
+            i += 1
+    if "".join(buf).strip():
+        out.append("".join(buf))
+    return [s for s in (x.strip() for x in out) if s]
+
+
+_SET_RE = re.compile(
+    r"SET\s+(?:(?P<name>[A-Za-z_]\w*)|\(\s*(?P<names>[A-Za-z_]\w*"
+    r"(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))\s*=\s*(?P<rhs>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top_commas(s: str) -> list[str]:
+    parts, depth, quote, start = [], 0, False, 0
+    for i, ch in enumerate(s):
+        if ch == "'":
+            quote = not quote
+        elif not quote and ch in "([":
+            depth += 1
+        elif not quote and ch in ")]":
+            depth -= 1
+        elif not quote and depth == 0 and ch == ",":
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts]
+
+
+def _do_set(
+    spark: SparkSession, stmt: str, variables: dict[str, SessionVariable]
+) -> None:
+    m = _SET_RE.match(stmt)
+    if m is None:
+        raise ValueError(f"unsupported SET shape: {stmt[:60]!r}")
+    rhs = substitute_variables(m.group("rhs").strip(), variables)
+    if m.group("name"):
+        names, exprs = [m.group("name")], [rhs]
+    else:
+        names = [x.strip() for x in m.group("names").split(",")]
+        body = rhs.strip()
+        if not (body.startswith("(") and body.endswith(")")):
+            raise ValueError(
+                "SET (a, b) = ... needs a parenthesized expression list"
+            )
+        exprs = _split_top_commas(body[1:-1])
+        if len(exprs) != len(names):
+            raise ValueError(
+                f"SET: {len(names)} names but {len(exprs)} expressions"
+            )
+    for name, expr in zip(names, exprs):
+        value = _eval_scalar(spark, expr)
+        literal, sf_type = _render_literal(value)
+        variables[name.upper()] = SessionVariable(value, literal, sf_type)
+
+
+def _show_variables(
+    spark: SparkSession, variables: dict[str, SessionVariable]
+) -> DataFrame:
+    rows = [
+        (name, str(v.value), v.sf_type)
+        for name, v in sorted(variables.items())
+    ]
+    return spark.createDataFrame(
+        rows, "name string, value string, type string"
+    )
+
+
+_EXEC_IMM_RE = re.compile(r"EXECUTE\s+IMMEDIATE\s+", re.IGNORECASE)
+
+_BLOCK_HEAD_RE = re.compile(r"(?:DECLARE|BEGIN)\b", re.IGNORECASE)
+_TXN_BEGIN_RE = re.compile(
+    r"BEGIN(?:\s+(?:TRANSACTION|WORK))?\s*(?:;|$)", re.IGNORECASE
+)
+
+
+def _is_block(stmt: str) -> bool:
+    """Anonymous scripting block vs transaction BEGIN: a block starts
+    with DECLARE, or with BEGIN followed by more than a transaction
+    keyword (its body ends with END)."""
+    s = _strip_line_comments(stmt).strip()
+    if re.match(r"DECLARE\b", s, re.IGNORECASE):
+        return True
+    if re.match(r"BEGIN\b", s, re.IGNORECASE):
+        return not _TXN_BEGIN_RE.match(s)
+    return False
+
+
+def execute_immediate(
+    spark: SparkSession,
+    stmt: str,
+    variables: dict[str, SessionVariable],
+    **ctx,
+) -> DataFrame | None:
+    """``EXECUTE IMMEDIATE <'sql' | $$sql$$ | $var>`` — resolve the
+    statement text, then run it through the console dispatch (so the
+    payload may itself be a SET, a DML statement, or a block)."""
+    m = _EXEC_IMM_RE.match(stmt)
+    body = stmt[m.end():].strip()
+    if body.startswith("$$") and body.endswith("$$") and len(body) >= 4:
+        inner = body[2:-2]
+    elif body.startswith("'") and body.endswith("'") and len(body) >= 2:
+        inner = body[1:-1].replace("''", "'")
+    else:
+        vm = _VAR_REF.fullmatch(body)
+        if vm is None:
+            raise ValueError(
+                "EXECUTE IMMEDIATE takes a string literal, a $$-quoted"
+                f" body, or a $variable — got {body[:40]!r}"
+            )
+        name = vm.group(1).upper()
+        if name not in variables:
+            raise ValueError(f"Session variable '${name}' does not exist")
+        var = variables[name]
+        if var.sf_type != "text":
+            raise ValueError(
+                f"EXECUTE IMMEDIATE ${name}: variable is {var.sf_type},"
+                " not text"
+            )
+        inner = var.value
+    return console_script(spark, inner, variables=variables, **ctx)
+
+
+def console_script(
+    spark: SparkSession,
+    text: str,
+    pipelines=None,
+    tables: dict | None = None,
+    stages: dict | None = None,
+    variables: dict[str, SessionVariable] | None = None,
+) -> DataFrame | None:
+    """Run a ``;``-separated console script with session-variable
+    state; returns the LAST statement's result relation (what the
+    console shows). ``variables`` may be passed in to carry session
+    state across calls — it is mutated in place, like the ``tables``
+    read-your-writes convention of the statement layer. DML results
+    are written back into ``tables`` so later statements read this
+    script's writes (the snowflake_sql shims return post-state; the
+    mapping update is the script runner's job, same as
+    transaction_script's)."""
+    if variables is None:
+        variables = {}
+    result: DataFrame | None = None
+    whole = text.strip()
+    stmts = [whole] if _is_block(whole) else _split_script(text)
+    for stmt in stmts:
+        bare = _strip_line_comments(stmt).strip().rstrip(";").strip()
+        if not bare:
+            continue
+        low = " ".join(bare.lower().split())
+        if _is_block(stmt):
+            result = scripting_block(
+                spark, stmt, variables,
+                pipelines=pipelines, tables=tables, stages=stages,
+            )
+            continue
+        if low.startswith("set ") or low.startswith("set("):
+            _do_set(spark, bare, variables)
+            result = None
+            continue
+        if low.startswith("unset "):
+            name = bare.split(None, 1)[1].strip().upper()
+            variables.pop(name, None)
+            result = None
+            continue
+        if low == "show variables":
+            result = _show_variables(spark, variables)
+            continue
+        if low in ("begin", "begin transaction", "begin work",
+                   "start transaction", "commit", "rollback"):
+            raise ValueError(
+                "transaction blocks in scripts run through"
+                " sqldialect.transaction_script (DML-only atomic"
+                " scripts); the console runner keeps autocommit"
+            )
+        if low.startswith("execute immediate"):
+            result = execute_immediate(
+                spark, bare, variables,
+                pipelines=pipelines, tables=tables, stages=stages,
+            )
+            continue
+        resolved = substitute_variables(stmt, variables)
+        result = snowflake_sql(
+            spark, resolved, pipelines=pipelines, tables=tables,
+            stages=stages,
+        )
+        if tables is not None:
+            dm = _DML_HEAD_RE.match(
+                _strip_line_comments(resolved).strip()
+            )
+            if dm is not None:
+                tables[_dml_key(tables, dm.group("t"))] = result
+    return result
+
+
+# ---------------------------------------------------------------------------
+# anonymous scripting blocks (conservative subset)
+# ---------------------------------------------------------------------------
+
+_UNSUPPORTED_BLOCK = re.compile(
+    r"^(IF|ELSE|ELSEIF|WHILE|FOR|LOOP|REPEAT|CASE|OPEN|FETCH|CLOSE|"
+    r"CALL|CURSOR|BREAK|CONTINUE|NULL)\b",
+    re.IGNORECASE,
+)
+
+_DECL_RE = re.compile(
+    r"^(?P<name>[A-Za-z_]\w*)\s+(?P<type>[A-Za-z_]\w*(?:\s*\(\s*\d+"
+    r"(?:\s*,\s*\d+)?\s*\))?)\s*(?:(?:DEFAULT|:=)\s*(?P<dflt>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_LET_RE = re.compile(
+    r"^(?:LET\s+)?(?P<name>[A-Za-z_]\w*)\s*(?:\:=|=)\s*(?P<expr>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_BIND_REF = re.compile(r":([A-Za-z_]\w*)")
+
+
+def _subst_block_vars(
+    expr: str, block_vars: dict[str, SessionVariable]
+) -> str:
+    """In block EXPRESSIONS, variables are referenced BARE (Snowflake
+    Scripting's expression scope); substitute known names as literals,
+    word-boundary + literal-aware. Unknown bare words pass through —
+    they may be column references inside a scalar subquery."""
+    if not block_vars:
+        return expr
+    rx = re.compile(
+        r"\b(" + "|".join(re.escape(n) for n in block_vars) + r")\b",
+        re.IGNORECASE,
+    )
+    out = []
+    for a, b, is_code in _scan_outside_literals(expr):
+        seg = expr[a:b]
+        out.append(
+            rx.sub(lambda m: block_vars[m.group(1).upper()].literal, seg)
+            if is_code else seg
+        )
+    return "".join(out)
+
+
+def _subst_binds(
+    sql: str, block_vars: dict[str, SessionVariable]
+) -> str:
+    """In embedded SQL STATEMENTS, block variables are referenced with
+    ``:name`` binds (Snowflake Scripting's statement scope); splice
+    them as literals. A ``:name`` that is no block variable refuses —
+    silence would ship an unbound parameter to the parser. The scan is
+    literal-aware and skips ``::`` casts."""
+
+    def repl(m: "re.Match[str]") -> str:
+        name = m.group(1).upper()
+        if name not in block_vars:
+            raise ValueError(f"undeclared bind variable :{m.group(1)}")
+        return block_vars[name].literal
+
+    out = []
+    for a, b, is_code in _scan_outside_literals(sql):
+        seg = sql[a:b]
+        if is_code:
+            seg = re.sub(
+                r"(?<!:):([A-Za-z_]\w*)",
+                lambda m: repl(m), seg,
+            )
+        out.append(seg)
+    return "".join(out)
+
+
+def scripting_block(
+    spark: SparkSession,
+    text: str,
+    variables: dict[str, SessionVariable] | None = None,
+    pipelines=None,
+    tables: dict | None = None,
+    stages: dict | None = None,
+) -> DataFrame:
+    """Run an anonymous ``[DECLARE ...] BEGIN ... END`` block (the
+    stored-procedure-body paste). Supported: typed DECLARE with
+    DEFAULT, ``LET``/re-assignment, embedded SQL statements with
+    ``:var`` binds, ``RETURN expr``. Control flow, cursors,
+    RESULTSETs, and EXCEPTION sections refuse loudly. Session
+    variables ($v) remain visible inside the block (resolved before
+    block-local scope). Returns the one-column ``anonymous_block``
+    relation holding RETURN's value (cast to its natural type), or a
+    NULL row when the block falls off the END without RETURN."""
+    variables = variables if variables is not None else {}
+    s = text.strip().rstrip(";").strip()
+    m = re.match(
+        r"(?:DECLARE\s+(?P<decl>.*?))?\bBEGIN\b(?P<body>.*)\bEND$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m is None:
+        raise ValueError(
+            "unsupported block shape (need [DECLARE ...] BEGIN ... END)"
+        )
+    if re.search(r"\bEXCEPTION\b", m.group("body"), re.IGNORECASE):
+        raise ValueError(
+            "EXCEPTION sections are not supported in scripting blocks"
+        )
+    block_vars: dict[str, SessionVariable] = {}
+
+    def eval_expr(expr: str):
+        resolved = substitute_variables(
+            _subst_block_vars(expr, block_vars), variables
+        )
+        return _eval_scalar(spark, resolved)
+
+    for decl in _split_script(m.group("decl") or ""):
+        dm = _DECL_RE.match(decl.strip())
+        if dm is None:
+            raise ValueError(f"unsupported DECLARE entry: {decl[:60]!r}")
+        if dm.group("type").upper() in ("CURSOR", "RESULTSET", "EXCEPTION"):
+            raise ValueError(
+                f"DECLARE {dm.group('type').upper()} is not supported"
+                " in scripting blocks"
+            )
+        value = eval_expr(dm.group("dflt")) if dm.group("dflt") else None
+        literal, sf_type = _render_literal(value)
+        block_vars[dm.group("name").upper()] = SessionVariable(
+            value, literal, sf_type
+        )
+
+    returned = None
+    has_return = False
+    for stmt in _split_script(m.group("body")):
+        bare = _strip_line_comments(stmt).strip()
+        if not bare:
+            continue
+        if _UNSUPPORTED_BLOCK.match(bare):
+            kw = bare.split(None, 1)[0].upper()
+            raise ValueError(
+                f"scripting blocks: {kw} control flow is not supported"
+                " (conservative subset — LET / SQL statements / RETURN)"
+            )
+        rm = re.match(r"RETURN(?:\s+(?P<expr>.+))?$", bare,
+                      re.IGNORECASE | re.DOTALL)
+        if rm:
+            if rm.group("expr"):
+                returned = eval_expr(rm.group("expr"))
+            has_return = True
+            break
+        lm = _LET_RE.match(bare)
+        head = bare.split(None, 1)[0].upper()
+        if lm and (
+            head == "LET"
+            or (lm.group("name").upper() in block_vars and ":=" in bare)
+        ):
+            value = eval_expr(lm.group("expr"))
+            literal, sf_type = _render_literal(value)
+            block_vars[lm.group("name").upper()] = SessionVariable(
+                value, literal, sf_type
+            )
+            continue
+        resolved = substitute_variables(
+            _subst_binds(bare, block_vars), variables
+        )
+        out = snowflake_sql(
+            spark, resolved, pipelines=pipelines, tables=tables,
+            stages=stages,
+        )
+        if tables is not None:
+            dm2 = _DML_HEAD_RE.match(resolved)
+            if dm2 is not None:
+                tables[_dml_key(tables, dm2.group("t"))] = out
+    literal, _t = _render_literal(returned if has_return else None)
+    return spark.sql(f"SELECT {literal} AS anonymous_block")

@@ -10141,3 +10141,125 @@ def sql54_copy_into_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables,
         {"inbox": land},
     )
+
+
+# ---------------------------------------------------------------------------
+# session variables + scripting (r12)
+# ---------------------------------------------------------------------------
+
+
+_SQL55_SNOWFLAKE_TEXT = """
+SET hi_qty = (SELECT CAST(MAX(l_quantity) AS BIGINT) - 5 FROM lineitem);
+SET flag = 'R';
+SET tag = 'qty>=' || CAST($hi_qty AS STRING);
+EXECUTE IMMEDIATE 'SELECT l_returnflag AS flag, l_linestatus AS status,
+    CAST(COUNT(1) AS BIGINT) AS n, $tag AS tag
+ FROM lineitem
+ WHERE l_quantity >= $hi_qty AND l_returnflag = $flag
+ GROUP BY l_returnflag, l_linestatus';
+"""
+
+
+@register(
+    "sql55_session_variables",
+    oracle="""
+    WITH hi AS (
+        SELECT CAST(MAX(l_quantity) AS BIGINT) - 5 AS h FROM lineitem
+    )
+    SELECT l_returnflag AS flag, l_linestatus AS status,
+           CAST(COUNT(1) AS BIGINT) AS n,
+           'qty>=' || CAST((SELECT h FROM hi) AS VARCHAR) AS tag
+    FROM lineitem
+    WHERE l_quantity >= (SELECT h FROM hi) AND l_returnflag = 'R'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="""SESSION VARIABLES + ``EXECUTE IMMEDIATE`` — the console
+    scripting surface every pasted Snowflake runbook leans on
+    (VERDICT r11 #3): ``SET v = <expr>`` evaluates AT SET TIME (query
+    expressions run once — the MAX here is one scan, after which
+    ``$hi_qty`` is a LITERAL, so the downstream WHERE arrives at
+    Catalyst foldable and prunable — a planning WIN at 100 TB vs. a
+    repeated scalar subquery), ``$v`` references splice typed SQL
+    literals (never inside string literals/comments; unknown names
+    raise Snowflake's ``Session variable '$V' does not exist``), SET
+    chains reference earlier variables, and EXECUTE IMMEDIATE runs a
+    string-built statement with variables resolved at EXECUTION time.
+    The script SETs a computed threshold, a filter constant, and a
+    derived label, then EXECUTE-IMMEDIATEs a grouped aggregate using
+    all three; the oracle is the closed static form. UNSET / SHOW
+    VARIABLES / multi-assign SET (a,b)=(..) / $$-quoting / $var
+    payloads are unit-pinned (functions/scripting.py:console_script;
+    tests/test_engine_units.py::test_session_variables_battery).""",
+    tags=("sql-surface", "dialect", "scripting", "variables"),
+)
+def sql55_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scripting import console_script
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return console_script(spark, _SQL55_SNOWFLAKE_TEXT)
+
+
+_SQL56_BLOCK_TEXT = """
+DECLARE
+  bump NUMBER DEFAULT 100;
+  cap NUMBER;
+BEGIN
+  LET cap := bump * 2;
+  UPDATE nation_work SET n_regionkey = n_regionkey + :bump
+   WHERE n_nationkey < 10;
+  DELETE FROM nation_work WHERE n_nationkey >= :cap / 10;
+  RETURN bump + cap;
+END;
+"""
+
+
+@register(
+    "sql56_scripting_block",
+    oracle="""
+    WITH work AS (
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey < 10 THEN n_regionkey + 100
+                    ELSE n_regionkey END AS n_regionkey
+        FROM nation
+        WHERE n_nationkey < 20
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_regionkey) AS BIGINT) AS region_sum,
+           CAST(300 AS BIGINT) AS block_return
+    FROM work
+    """,
+    doc="""Anonymous SCRIPTING BLOCK ``DECLARE ... BEGIN ... END`` —
+    the paste-a-stored-procedure-body gap (VERDICT r11 #5), run as a
+    CONSERVATIVE subset: typed declarations with DEFAULT, ``LET`` /
+    ``:=`` re-assignment (expressions see block variables bare,
+    Snowflake Scripting's expression scope), embedded SQL statements
+    referencing block variables through ``:name`` binds (statement
+    scope — an undeclared bind refuses rather than shipping an
+    unbound parameter), and ``RETURN`` producing Snowflake's
+    one-column block-result relation. Control flow (IF/FOR/WHILE/
+    LOOP), cursors, RESULTSETs, and EXCEPTION sections REFUSE LOUDLY
+    — nothing silently mistranslates. The block UPDATEs then DELETEs
+    a nation work table through the verbatim DML shims
+    (read-your-writes via the tables mapping, exactly
+    transaction_script's convention) and returns bump+cap; the entry
+    audits the post-block table plus the returned value (1x1
+    broadcast attach); the oracle replays the block's effects in
+    closed form (functions/scripting.py:scripting_block).""",
+    tags=("sql-surface", "dialect", "scripting", "dml"),
+)
+def sql56_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scripting import scripting_block
+
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    tables = {"nation_work": nation}
+    ret = scripting_block(spark, _SQL56_BLOCK_TEXT, tables=tables)
+    audit = tables["nation_work"].agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_regionkey").cast("long").alias("region_sum"),
+    )
+    return audit.crossJoin(
+        ret.select(F.col("anonymous_block").cast("long").alias("block_return"))
+    )

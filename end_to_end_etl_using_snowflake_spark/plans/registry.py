@@ -55,77 +55,23 @@ def register(
 # similarity / text / multimodal / pipeline) lands inside any reasonable
 # prefix. Names not listed keep insertion order after these.
 PRIORITY: tuple[str, ...] = (
-    # ---- first 50: the r11 driver-checked window (VERDICT r10 #4).
-    # 2-entry always-on core + d5l/d14 (REDEFINED this round: adaptive
-    # banding geometry — new oracles need a fresh driver check) + the
-    # two never-driver-checked r11 additions (f31 numeric TO_CHAR
-    # masks, wp1 write planner) + the FULL 34-entry r5-stale cohort
-    # (the last r5 greens anywhere; after this round the staleness
-    # ceiling moves to r6) + 10 family-diverse picks from the
-    # 48-entry r6-stale cohort. All window entries are locally
-    # 3-SF parity-green per pytest run.
+    # ---- first 50: the r12 driver-checked window (VERDICT r11 #2).
+    # 2-entry always-on core + f31 (REDEFINED this round: MI/PR
+    # trailing-sign masks added - fresh oracle columns) + the two
+    # never-driver-checked r12 additions (sql55 session variables +
+    # EXECUTE IMMEDIATE, sql56 anonymous scripting blocks) + the FULL
+    # 44-entry r6-stale cohort (the last r6 greens anywhere - after
+    # this round the staleness ceiling moves to r7) + the head of the
+    # r7 cohort to fill slot 50. All window entries are locally 3-SF
+    # parity-green per pytest run.
     "flagship_fact_rebuild",
     "pl_dim_customer",
-    # redefined this round (adaptive LSH geometry)
-    "d5l_dedup_embedding_lsh",
-    "d14_dedup_lsh_bucket_cap",
-    # never-driver-checked r11 additions
+    # redefined this round (MI/PR trailing-sign masks)
     "f31_to_char_numeric",
-    "wp1_write_file_plan",
-    "v16_ann_lsh_adaptive",
-    "wp2_compaction_plan",
-    "f32_agg_dialect",
-    "sql53_cluster_by_ddl",
-    "f33_everyday_scalars2",
-    "sql54_copy_into_text",
-    # full 34-entry r5-last-green cohort
-    "dq3_distribution_drift",
-    "e10_stream_outer_join",
-    "e11_stream_window_agg",
-    "e8_stream_static_enrich",
-    "m10_multi_table_insert",
-    "m9_cascading_delete",
-    "pl_result_cache",
-    "pl_secured_view",
-    "pl_time_travel",
-    "pl_undrop",
-    "pl_zero_copy_clone",
-    "pl_zonemap_prune",
-    "prof1_corr_exact",
-    "prof2_table_profile",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "q8_market_share",
-    "q9_product_profit",
-    "sql5_qualify_dialect",
-    "t12_bpe_encode",
-    "udf2_grouped_map_zscore",
-    "v13_ann_recall_eval",
-    "x16_pagerank_iter3",
-    "x17_weighted_sample",
-    "x18_fuzzy_name_join",
-    "x19_stratified_exact_sample",
-    "x20_temperature_mixture",
-    "x21_global_shuffle",
-    # 10 family-diverse picks from the r6-stale cohort
-    "pl_fact_order",
-    "j1_inner_equi_broadcast",
-    "a1_groupby_agg",
-    "k5_file_bloom_prune",
-    # (sql6_flatten_dialect evicted by sql54, e13_match_recognize by
-    # f33, d11_semantic_dedup by sql53, v15_ann_ivf_trained by f32,
-    # t13_quality_classifier by wp2, x24_asof_directional by v16 —
-    # all head the r6 tail below)
-    # ---- 51+: ascending last-green round (stalest first), so
-    # the r12 rotation simply takes the prefix; everything is
-    # still locally oracle-checked per pytest run.
-    # last driver-green r6 (44 entries)
+    # never-driver-checked r12 additions
+    "sql55_session_variables",
+    "sql56_scripting_block",
+    # full 44-entry r6-last-green cohort
     "sql6_flatten_dialect",
     "e13_match_recognize",
     "d11_semantic_dedup",
@@ -170,8 +116,12 @@ PRIORITY: tuple[str, ...] = (
     "w5_rank_distribution_funcs",
     "w6_ignore_nulls_fill",
     "x23_length_bucketing",
-    # last driver-green r7 (48 entries)
+    # r7-cohort head (window fill to 50)
     "a4_count_distinct",
+    # ---- 51+: ascending last-green round (stalest first), so
+    # the r13 rotation simply takes the prefix; everything is
+    # still locally oracle-checked per pytest run.
+    # last driver-green r7 (rest of the cohort)
     "a5_rollup",
     "a6_percentile_groups",
     "a7_grouping_sets",
@@ -219,7 +169,7 @@ PRIORITY: tuple[str, ...] = (
     "x3_time_spine_rollup",
     "x4_snapshot_as_of",
     "x5_range_join",
-    # last driver-green r8 (47 entries)
+    # last driver-green r8
     "d1_dedup_exact",
     "d2_dedup_ngram_jaccard",
     "d3_dedup_minhash_lsh",
@@ -267,7 +217,7 @@ PRIORITY: tuple[str, ...] = (
     "x1_asof_join",
     "x25_sample_system",
     "x2_leakage_safe_split",
-    # last driver-green r9 (48 entries)
+    # last driver-green r9
     "d13_dedup_representative",
     "d7_dedup_stop_shingle",
     "d8_decontaminate",
@@ -316,7 +266,7 @@ PRIORITY: tuple[str, ...] = (
     "v6_kmeans_assign",
     "w3_range_frame_timeseries",
     "x6_corpus_mixture_sample",
-    # last driver-green r10 (47 entries)
+    # last driver-green r10
     "f26_regexp_dialect",
     "f27_calendar_dialect",
     "f28_bit_ops",
@@ -364,6 +314,54 @@ PRIORITY: tuple[str, ...] = (
     "sql4_recursive_cte",
     "t11_bigram_lm_score",
     "v11_pq_adc_topk",
+    # last driver-green r11 (the previous window, freshest)
+    "d5l_dedup_embedding_lsh",
+    "d14_dedup_lsh_bucket_cap",
+    "wp1_write_file_plan",
+    "v16_ann_lsh_adaptive",
+    "wp2_compaction_plan",
+    "f32_agg_dialect",
+    "sql53_cluster_by_ddl",
+    "f33_everyday_scalars2",
+    "sql54_copy_into_text",
+    "dq3_distribution_drift",
+    "e10_stream_outer_join",
+    "e11_stream_window_agg",
+    "e8_stream_static_enrich",
+    "m10_multi_table_insert",
+    "m9_cascading_delete",
+    "pl_result_cache",
+    "pl_secured_view",
+    "pl_time_travel",
+    "pl_undrop",
+    "pl_zero_copy_clone",
+    "pl_zonemap_prune",
+    "prof1_corr_exact",
+    "prof2_table_profile",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q8_market_share",
+    "q9_product_profit",
+    "sql5_qualify_dialect",
+    "t12_bpe_encode",
+    "udf2_grouped_map_zscore",
+    "v13_ann_recall_eval",
+    "x16_pagerank_iter3",
+    "x17_weighted_sample",
+    "x18_fuzzy_name_join",
+    "x19_stratified_exact_sample",
+    "x20_temperature_mixture",
+    "x21_global_shuffle",
+    "pl_fact_order",
+    "j1_inner_equi_broadcast",
+    "a1_groupby_agg",
+    "k5_file_bloom_prune",
 )
 
 

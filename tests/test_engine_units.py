@@ -4199,3 +4199,160 @@ def test_everyday_scalar_pack2_battery3(spark):
     ]:
         with _pytest.raises(ValueError, match=msg):
             rewrite_scalar_funcs(bad)
+
+
+def test_session_variables_battery(spark):
+    """r12 scripting surface: SET forms (expression, multi-assign,
+    chained references), $var literal-aware substitution, UNSET, SHOW
+    VARIABLES, EXECUTE IMMEDIATE ('...', $$...$$, $var payload),
+    typed literal rendering, and the loud refusals."""
+    import datetime as _dt
+
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.scripting import (
+        SessionVariable,
+        console_script,
+        substitute_variables,
+    )
+
+    # SET evaluates at set time; chained SETs see earlier variables
+    out = console_script(spark, """
+        SET a = 2 + 3;
+        SET b = $a * 10;
+        SET (c, d) = ('x''y', 1.5);
+        SHOW VARIABLES;
+    """)
+    rows = {r.name: (r.value, r.type) for r in out.collect()}
+    # 1.5 parses as DECIMAL(2,1) -> Snowflake NUMBER -> 'fixed'
+    # (Snowflake's own typing: unsuffixed decimals are NUMBER, not
+    # FLOAT; SET f = 1.5e0 would be 'real')
+    assert rows == {
+        "A": ("5", "fixed"), "B": ("50", "fixed"),
+        "C": ("x'y", "text"), "D": ("1.5", "fixed"),
+    }
+
+    # $var substitution is literal-aware; strings re-escape round-trip
+    r = console_script(spark, """
+        SET c = 'x''y';
+        SELECT $c AS v, 'keep $c intact' AS lit;
+    """).first()
+    assert r.v == "x'y" and r.lit == "keep $c intact"
+
+    # UNSET then reference -> Snowflake's error text
+    with _pytest.raises(ValueError, match="does not exist"):
+        console_script(spark, "SET z = 1; UNSET z; SELECT $z")
+
+    # EXECUTE IMMEDIATE: string, $$-quoted, and $var payloads; inner
+    # statements resolve variables at EXECUTION time
+    assert console_script(
+        spark, "SET n = 4; EXECUTE IMMEDIATE 'SELECT $n + 1 AS v'"
+    ).first().v == 5
+    assert console_script(
+        spark, "SET n = 4; EXECUTE IMMEDIATE $$SELECT $n + 2 AS v$$"
+    ).first().v == 6
+    assert console_script(
+        spark,
+        "SET q = 'SELECT $n * 3 AS v'; SET n = 4; EXECUTE IMMEDIATE $q",
+    ).first().v == 12
+    with _pytest.raises(ValueError, match="string literal"):
+        console_script(spark, "EXECUTE IMMEDIATE 42")
+    with _pytest.raises(ValueError, match="not text"):
+        console_script(spark, "SET n = 1; EXECUTE IMMEDIATE $n")
+
+    # typed literals: date/timestamp/boolean/NULL render as typed SQL
+    r2 = console_script(spark, """
+        SET d = DATE '2024-02-29';
+        SET ts = TIMESTAMP '2024-02-29 12:30:00';
+        SET flag = (1 = 1);
+        SELECT $d AS d, $ts AS ts, $flag AS f;
+    """).first()
+    assert r2.d == _dt.date(2024, 2, 29)
+    assert r2.ts == _dt.datetime(2024, 2, 29, 12, 30)
+    assert r2.f is True
+
+    # transaction keywords refuse toward transaction_script
+    with _pytest.raises(ValueError, match="transaction"):
+        console_script(spark, "BEGIN; COMMIT;")
+
+    # substitution never touches comments
+    vars_ = {"V": SessionVariable(1, "1", "fixed")}
+    s = "SELECT $v AS a -- keep $v here\n, 2 AS b /* and $v */"
+    sub = substitute_variables(s, vars_)
+    assert "keep $v here" in sub and "and $v" in sub
+    assert sub.startswith("SELECT 1 AS a")
+
+    # DML read-your-writes through the console runner
+    tables = {"w": spark.createDataFrame([(1, 5), (2, 6)], "id int, v int")}
+    console_script(spark, """
+        SET lim = 5;
+        UPDATE w SET v = v * 10 WHERE v > $lim;
+        DELETE FROM w WHERE id = 1;
+    """, tables=tables)
+    assert [(r.id, r.v) for r in tables["w"].orderBy("id").collect()] == [
+        (2, 60)
+    ]
+
+
+def test_scripting_block_battery(spark):
+    """r12 anonymous blocks: DECLARE defaults, LET/:=, :binds into
+    verbatim DML, RETURN (valued and bare), session-variable
+    visibility inside blocks, and loud refusals for the unsupported
+    scripting constructs."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.scripting import (
+        console_script,
+        scripting_block,
+    )
+
+    # session vars visible inside a $$-quoted block via EXECUTE
+    # IMMEDIATE; block vars shadow nothing (distinct namespaces)
+    v = console_script(spark, """
+        SET base = 7;
+        EXECUTE IMMEDIATE $$
+        DECLARE x NUMBER DEFAULT 3;
+        BEGIN
+          LET x := x + $base;
+          RETURN x;
+        END
+        $$;
+    """).first()
+    assert v.anonymous_block == 10
+
+    # bare RETURN -> NULL row; re-assignment without LET
+    r = scripting_block(spark, """
+        DECLARE y NUMBER DEFAULT 1;
+        BEGIN
+          y := y + 1;
+          RETURN;
+        END
+    """)
+    assert r.first().anonymous_block is None
+
+    # undeclared :bind refuses; unsupported control flow refuses
+    with _pytest.raises(ValueError, match="undeclared bind"):
+        scripting_block(
+            spark,
+            "BEGIN UPDATE w SET v = :nope; END",
+            tables={"w": spark.createDataFrame([(1,)], "v int")},
+        )
+    for bad, msg in [
+        ("BEGIN FOR i IN 1..3 DO RETURN 1; END FOR; END", "FOR"),
+        ("BEGIN WHILE (1=1) DO RETURN 1; END WHILE; END", "WHILE"),
+        ("DECLARE c CURSOR FOR SELECT 1; BEGIN RETURN 1; END", "CURSOR"),
+        ("BEGIN SELECT 1; EXCEPTION WHEN OTHER THEN RETURN 0; END",
+         "EXCEPTION"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            scripting_block(spark, bad)
+
+    # ::casts inside embedded SQL are not binds
+    t = {"w": spark.createDataFrame([(1,)], "v int")}
+    scripting_block(spark, """
+        DECLARE n NUMBER DEFAULT 2;
+        BEGIN
+          UPDATE w SET v = CAST('3' AS INT) + :n;
+        END
+    """, tables=t)
+    assert t["w"].first().v == 5

@@ -28,60 +28,64 @@ def test_entry_smoke(spark):
 
 def test_driver_prefix_spans_all_operator_families():
     """The driver's correctness gate checks a PREFIX of queries() (50
-    entries per round so far). Round-11 rotation (VERDICT r10 #4):
-    2-entry core + d5l/d14 (REDEFINED this round — adaptive banding
-    geometry, fresh oracles) + the two never-driver-checked r11
-    additions (f31, wp1) + the FULL 34-entry r5-last-green cohort +
-    10 family-diverse r6-stale picks. Guard both properties: the
-    redefined/debt/stale cohorts are inside the window (none silently
-    pushed out), and the core operator families stay covered."""
+    entries per round so far). Round-12 rotation (VERDICT r11 #2):
+    2-entry core + f31 (REDEFINED this round — MI/PR trailing-sign
+    masks, fresh oracle columns) + the two never-driver-checked r12
+    additions (sql55 session variables, sql56 scripting blocks) + the
+    FULL 44-entry r6-last-green cohort + the r7 head to fill slot 50.
+    Guard both properties: the redefined/new/stale cohorts are inside
+    the window (none silently pushed out), and the core operator
+    families stay covered."""
     prefix = list(__spark_entry__.queries())[:50]
     redefined_or_new = [
-        "d5l_dedup_embedding_lsh", "d14_dedup_lsh_bucket_cap",
-        "f31_to_char_numeric", "wp1_write_file_plan",
-        "v16_ann_lsh_adaptive", "wp2_compaction_plan",
-        "f32_agg_dialect", "sql53_cluster_by_ddl",
-        "f33_everyday_scalars2", "sql54_copy_into_text",
+        "f31_to_char_numeric",
+        "sql55_session_variables", "sql56_scripting_block",
     ]
-    stale_r5_cohort = [
-        "dq3_distribution_drift", "e10_stream_outer_join",
-        "e11_stream_window_agg", "e8_stream_static_enrich",
-        "m10_multi_table_insert", "m9_cascading_delete",
-        "pl_result_cache", "pl_secured_view", "pl_time_travel",
-        "pl_undrop", "pl_zero_copy_clone", "pl_zonemap_prune",
-        "prof1_corr_exact", "prof2_table_profile", "q11_important_stock",
-        "q12_priority_shipping", "q13_customer_distribution",
-        "q15_top_supplier", "q16_supplier_part_counts",
-        "q17_small_qty_revenue", "q20_promotion_suppliers",
-        "q21_waiting_suppliers", "q8_market_share", "q9_product_profit",
-        "sql5_qualify_dialect", "t12_bpe_encode", "udf2_grouped_map_zscore",
-        "v13_ann_recall_eval", "x16_pagerank_iter3", "x17_weighted_sample",
-        "x18_fuzzy_name_join", "x19_stratified_exact_sample",
-        "x20_temperature_mixture", "x21_global_shuffle",
+    stale_r6_cohort = [
+        "sql6_flatten_dialect", "e13_match_recognize",
+        "d11_semantic_dedup", "v15_ann_ivf_trained",
+        "t13_quality_classifier", "x24_asof_directional",
+        "a8_filtered_aggregates", "d10_segment_boilerplate",
+        "dq4_minhash_recall_eval", "dq5_constraint_checks",
+        "e15_stream_full_outer_join", "e16_stream_session_close",
+        "f15_min_max_by", "f4_strict_casts", "j2_join_null_residual",
+        "j4_composite_key_join", "j5_left_anti", "k6_kmv_distinct",
+        "m2_merge_dedup_composite", "m6_update_where", "o2_sort_topk",
+        "p11_dynamic_pivot", "p1_full_scan", "p2_projection_pushdown",
+        "p5_filter_in_list", "p6_semi_join_in_subquery",
+        "p7_filter_equality", "pl_clustering_info", "pl_dim_item",
+        "pl_dynamic_table", "pl_quarantine", "pl_reference_console",
+        "pl_show_columns", "pl_task_history", "pl_transaction",
+        "prof3_sketch_profile", "sql11_flatten_object",
+        "sql7_group_by_all", "sql8_flatten_outer", "v14_mmr_rerank",
+        "w1_dedup_latest_per_key", "w5_rank_distribution_funcs",
+        "w6_ignore_nulls_fill", "x23_length_bucketing",
     ]
     pushed_out = [
-        n for n in redefined_or_new + stale_r5_cohort if n not in prefix
+        n for n in redefined_or_new + stale_r6_cohort if n not in prefix
     ]
     assert not pushed_out, (
-        f"r11 redefined/stale cohort entries outside the 50-window: {pushed_out}"
+        f"r12 redefined/stale cohort entries outside the 50-window: {pushed_out}"
     )
     families = {
         "flagship": ("flagship",),
-        "reference-pipeline": ("pl_dim_", "pl_fact_", "pl_time_"),
-        "scan/project/join core": ("j1_", "a1_", "m9_", "m10_"),
-        "dedup-llm": ("d5l_", "d14_", "d11_"),
-        "similarity-ann": ("v13_", "v16_"),
-        "text-analysis": ("t12_",),
-        "sketches": ("k5_", "prof2_"),
-        "streaming/cdc": ("e8_", "e10_", "e11_"),
-        "llm-pipeline": ("x16_", "x17_", "x19_", "x20_", "x21_"),
-        "sql-surface": ("sql5_", "sql53_", "sql54_"),
+        "reference-pipeline": ("pl_dim_", "pl_task_", "pl_quarantine"),
+        "scan/project core": ("p1_", "p2_", "p5_", "p6_", "p7_"),
+        "join core": ("j2_", "j4_", "j5_"),
+        "agg core": ("a4_", "a8_"),
+        "dedup-llm": ("d10_", "d11_", "dq4_"),
+        "similarity-ann": ("v14_", "v15_"),
+        "text-analysis": ("t13_", "x23_"),
+        "sketches": ("k6_", "prof3_"),
+        "streaming/cdc": ("e13_", "e15_", "e16_"),
+        "merge/dml": ("m2_", "m6_",),
+        "window": ("w1_", "w5_", "w6_"),
+        "sql-surface": ("sql6_", "sql7_", "sql8_", "sql11_"),
         # underscore-terminated explicit prefixes (ADVICE r10: bare
         # "f1"/"f2" matched f10_* and pinned nothing)
-        "functions": ("f31_", "f32_", "f33_"),
-        "write-planning": ("wp1_", "wp2_"),
-        "profiling": ("prof1_", "udf2_"),
-        "quality": ("dq3_",),
+        "functions": ("f31_", "f15_", "f4_"),
+        "scripting (r12)": ("sql55_", "sql56_"),
+        "quality": ("dq5_",),
     }
     missing = {
         fam: pfxs
