@@ -152,26 +152,52 @@ def _scan_outside_literals(sql: str):
     yield code_start, n, True
 
 
+_IDENTIFIER_REF = re.compile(
+    r"IDENTIFIER\s*\(\s*\$([A-Za-z_]\w*)\s*\)", re.IGNORECASE
+)
+_VALID_IDENT = re.compile(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*")
+
+
 def substitute_variables(
     sql: str, variables: dict[str, SessionVariable]
 ) -> str:
     """Replace ``$name`` references with the variable's SQL literal —
     literal-aware (never inside '...' / comments); unknown names raise
     Snowflake's error. ``$1``-style positional stage refs don't match
-    (digits are not identifier heads)."""
+    (digits are not identifier heads). ``IDENTIFIER($name)`` splices
+    the variable's text as a BARE identifier (Snowflake's
+    name-from-variable idiom — ``SELECT ... FROM IDENTIFIER($tbl)``);
+    the value must be a valid dotted identifier, or it refuses —
+    splicing arbitrary text as an identifier would be an injection
+    hole, not a convenience."""
+
+    def lookup(name: str) -> SessionVariable:
+        key = name.upper()
+        if key not in variables:
+            raise ValueError(f"Session variable '${key}' does not exist")
+        return variables[key]
+
+    def ident_repl(m: "re.Match[str]") -> str:
+        var = lookup(m.group(1))
+        if var.sf_type != "text" or not _VALID_IDENT.fullmatch(
+            str(var.value)
+        ):
+            raise ValueError(
+                f"IDENTIFIER(${m.group(1).upper()}): value"
+                f" {var.value!r} is not a valid identifier"
+            )
+        return str(var.value)
 
     def repl(m: "re.Match[str]") -> str:
-        name = m.group(1).upper()
-        if name not in variables:
-            raise ValueError(
-                f"Session variable '${name}' does not exist"
-            )
-        return variables[name].literal
+        return lookup(m.group(1)).literal
 
     out = []
     for a, b, is_code in _scan_outside_literals(sql):
         seg = sql[a:b]
-        out.append(_VAR_REF.sub(repl, seg) if is_code else seg)
+        if is_code:
+            seg = _IDENTIFIER_REF.sub(ident_repl, seg)
+            seg = _VAR_REF.sub(repl, seg)
+        out.append(seg)
     return "".join(out)
 
 
@@ -292,6 +318,71 @@ def _show_variables(
     )
 
 
+# session parameters ride the same variables mapping under a reserved
+# prefix ($-references can't reach it: '.' is not an identifier char)
+_PARAM_PREFIX = "PARAM."
+
+# ALTER SESSION SET accepts only parameters whose effect here is
+# either METADATA (tags/timeouts — recorded, surfaced by SHOW
+# PARAMETERS) or VERIFIABLE AGAINST THE ENGINE'S PINNED POSTURE
+# (TIMEZONE=UTC is the engine's determinism pin — any other zone would
+# silently change every timestamp-rendering statement after it, so it
+# refuses). Every other parameter changes real statement semantics
+# (WEEK_START, *_OUTPUT_FORMAT, ...) and refuses rather than being
+# silently recorded-but-ignored.
+_METADATA_PARAMS = {
+    "QUERY_TAG", "STATEMENT_TIMEOUT_IN_SECONDS",
+    "STATEMENT_QUEUED_TIMEOUT_IN_SECONDS", "ABORT_DETACHED_QUERY",
+    "AUTOCOMMIT",  # TRUE is the engine's (and Snowflake's) default
+}
+
+
+def _alter_session(
+    spark: SparkSession, stmt: str, variables: dict[str, SessionVariable]
+) -> DataFrame:
+    m = re.match(
+        r"ALTER\s+SESSION\s+(SET\s+(?P<k>[A-Za-z_]\w*)\s*=\s*(?P<v>.+)"
+        r"|UNSET\s+(?P<uk>[A-Za-z_]\w*))$",
+        stmt, re.IGNORECASE | re.DOTALL,
+    )
+    if m is None:
+        raise ValueError(f"unsupported ALTER SESSION shape: {stmt[:60]!r}")
+    if m.group("uk"):
+        variables.pop(_PARAM_PREFIX + m.group("uk").upper(), None)
+        return _ok_status(spark)
+    key = m.group("k").upper()
+    raw = m.group("v").strip().strip("'\"")
+    if key == "TIMEZONE":
+        if raw not in ("UTC", "Etc/UTC"):
+            raise ValueError(
+                "ALTER SESSION SET TIMEZONE: the engine pins the"
+                " session zone to UTC (determinism contract) — only"
+                " 'UTC' is accepted"
+            )
+    elif key == "AUTOCOMMIT":
+        if raw.upper() != "TRUE":
+            raise ValueError(
+                "ALTER SESSION SET AUTOCOMMIT=FALSE: implicit"
+                " transactions are not supported — use explicit"
+                " BEGIN/COMMIT scripts via transaction_script"
+            )
+    elif key not in _METADATA_PARAMS:
+        raise ValueError(
+            f"ALTER SESSION SET {key}: parameter changes real statement"
+            " semantics and has no engine mapping — refusing rather"
+            " than recording it silently"
+        )
+    literal, sf_type = _render_literal(raw)
+    variables[_PARAM_PREFIX + key] = SessionVariable(raw, literal, sf_type)
+    return _ok_status(spark)
+
+
+def _ok_status(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [("Statement executed successfully.",)], "status string"
+    )
+
+
 _EXEC_IMM_RE = re.compile(r"EXECUTE\s+IMMEDIATE\s+", re.IGNORECASE)
 
 _BLOCK_HEAD_RE = re.compile(r"(?:DECLARE|BEGIN)\b", re.IGNORECASE)
@@ -399,6 +490,21 @@ def console_script(
                 " sqldialect.transaction_script (DML-only atomic"
                 " scripts); the console runner keeps autocommit"
             )
+        if low.startswith("alter session "):
+            result = _alter_session(spark, bare, variables)
+            continue
+        if low == "show parameters":
+            rows = sorted(
+                (k[len(_PARAM_PREFIX):], str(v.value))
+                for k, v in variables.items()
+                if k.startswith(_PARAM_PREFIX)
+            )
+            result = spark.createDataFrame(
+                rows or [("", "")], "key string, value string"
+            )
+            if not rows:
+                result = result.limit(0)
+            continue
         if low.startswith("execute immediate"):
             result = execute_immediate(
                 spark, bare, variables,

@@ -4275,6 +4275,18 @@ def test_session_variables_battery(spark):
     with _pytest.raises(ValueError, match="transaction"):
         console_script(spark, "BEGIN; COMMIT;")
 
+    # IDENTIFIER($v): name-from-variable; invalid identifiers refuse
+    spark.sql("SELECT 11 AS x").createOrReplaceTempView("ident_demo")
+    assert console_script(
+        spark,
+        "SET t = 'ident_demo'; SELECT x FROM IDENTIFIER($t)",
+    ).first().x == 11
+    with _pytest.raises(ValueError, match="not a valid identifier"):
+        console_script(
+            spark,
+            "SET t = 'demo; DROP TABLE x'; SELECT 1 FROM IDENTIFIER($t)",
+        )
+
     # substitution never touches comments
     vars_ = {"V": SessionVariable(1, "1", "fixed")}
     s = "SELECT $v AS a -- keep $v here\n, 2 AS b /* and $v */"
@@ -4356,3 +4368,45 @@ def test_scripting_block_battery(spark):
         END
     """, tables=t)
     assert t["w"].first().v == 5
+
+
+def test_alter_session_parameters(spark):
+    """r12: ALTER SESSION SET in console scripts — metadata params
+    recorded + surfaced by SHOW PARAMETERS, the UTC determinism pin
+    enforced, semantic params refused loudly, UNSET drops."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.scripting import (
+        console_script,
+    )
+
+    out = console_script(spark, """
+        ALTER SESSION SET QUERY_TAG = 'nightly-load';
+        ALTER SESSION SET TIMEZONE = 'UTC';
+        SHOW PARAMETERS;
+    """)
+    rows = {r.key: r.value for r in out.collect()}
+    assert rows == {"QUERY_TAG": "nightly-load", "TIMEZONE": "UTC"}
+
+    # params are invisible to $-references (reserved dotted namespace)
+    with _pytest.raises(ValueError, match="does not exist"):
+        console_script(spark, """
+            ALTER SESSION SET QUERY_TAG = 'x';
+            SELECT $query_tag;
+        """)
+
+    with _pytest.raises(ValueError, match="UTC"):
+        console_script(
+            spark, "ALTER SESSION SET TIMEZONE = 'America/New_York'"
+        )
+    with _pytest.raises(ValueError, match="no engine mapping"):
+        console_script(spark, "ALTER SESSION SET WEEK_START = 1")
+    with _pytest.raises(ValueError, match="AUTOCOMMIT"):
+        console_script(spark, "ALTER SESSION SET AUTOCOMMIT = FALSE")
+
+    v = console_script(spark, """
+        ALTER SESSION SET QUERY_TAG = 'x';
+        ALTER SESSION UNSET QUERY_TAG;
+        SHOW PARAMETERS;
+    """)
+    assert v.count() == 0
