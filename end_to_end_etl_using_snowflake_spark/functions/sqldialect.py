@@ -2985,11 +2985,13 @@ def _to_char_rewrite(name: str, args: list) -> str:
         return f"cast({args[0]} AS STRING)"
     fmt = _fmt_literal(args, 1, name)
     if len(args) == 2 and fmt is not None:
-        # numeric masks are exactly the ones with 0/9 digit positions —
-        # no datetime element contains either, so '999.99MI' routes
+        # numeric masks are exactly the ones with 0/9 digit positions
+        # (no datetime element contains either, so '999.99MI' routes
         # here and refuses with the NUMERIC message, not a confusing
-        # datetime-element error
-        if ("0" in fmt or "9" in fmt) and "FF" not in fmt.upper():
+        # datetime-element error) — plus the all-X hex masks (r12)
+        if (("0" in fmt or "9" in fmt) and "FF" not in fmt.upper()) or (
+            fmt.strip() and set(fmt.strip()) <= {"X", "x"}
+        ):
             return _to_char_numeric_lower(name, args[0], fmt)
         return f"date_format({args[0]}, {_sql_str(_sf_datetime_format_to_spark(fmt))})"
     raise ValueError(
@@ -3036,16 +3038,57 @@ def _to_char_numeric_lower(name: str, x: str, fmt: str) -> str:
       unpadded-leading-edge convention stated above);
     - ``S`` combined with ``MI``/``PR`` refuses (two sign locations).
 
-    X/EEEE/FM and masks with more than 18 integer digit positions
-    refuse loudly (no silent mistranslation).
+    - ``EEEE`` (scientific notation, r12): ``[S]9[.99]EEEE`` lowers to
+      the C/Java ``%.<s>E`` rendering — mantissa rounded to the
+      fraction width, ``E±NN`` exponent — which Spark's format_string
+      and DuckDB's printf produce byte-identically. ``S`` maps to the
+      explicit-sign ``%+``; $/grouping/MI/PR with EEEE refuse.
+    - ``X`` masks (hexadecimal, r12): all-X masks render the value
+      rounded to an integer as hex (mask case sets digit case —
+      ``XXXX`` upper, ``xxxx`` lower). Negative values and values
+      wider than the mask render the ``#`` fill (the overflow
+      convention; Snowflake errors on negatives — fill is this
+      engine's documented no-per-row-errors posture). Masks over 15 X
+      positions refuse (past the exact BIGINT-hex envelope).
+
+    FM and masks with more than 18 integer digit positions refuse
+    loudly (no silent mistranslation).
     """
+    bare = fmt.strip()
+    em = re.fullmatch(r"(S?)([09])(?:\.([09]+))?EEEE", bare.upper())
+    if em:
+        s = len(em.group(3) or "")
+        spec = ("%+." if em.group(1) else "%.") + str(s) + "E"
+        return f"format_string('{spec}', CAST(({x}) AS DOUBLE))"
+    if bare and set(bare) <= {"X", "x"}:
+        if len(set(bare)) != 1:
+            raise ValueError(
+                f"{name} format {fmt!r}: mixed-case hex mask"
+            )
+        if len(bare) > 15:
+            raise ValueError(
+                f"{name} format {fmt!r}: more than 15 hex positions"
+                " exceeds the exact BIGINT envelope"
+            )
+        d = f"CAST(({x}) AS DECIMAL(38,0))"
+        h = f"hex(CAST({d} AS BIGINT))"
+        if bare[0] == "x":
+            h = f"lower({h})"
+        fill = "'" + "#" * len(bare) + "'"
+        return (
+            f"(CASE WHEN {d} < 0 OR {d} > 1152921504606846975"
+            f" THEN {fill}"
+            f" WHEN length({h}) > {len(bare)} THEN {fill}"
+            f" ELSE {h} END)"
+        )
     f = fmt.strip().upper().replace("G", ",").replace("D", ".")
     m = re.fullmatch(r"(S?)(\$?)([09,]*[09])(?:\.([09]*))?(MI|PR)?", f)
     if m is None:
         raise ValueError(
             f"{name} format {fmt!r} is not a supported numeric format"
             " (S, $, 0/9 digits, ',' groups, '.' decimal, trailing"
-            " MI/PR; X/EEEE refuse)"
+            " MI/PR; standalone [S]9[.99]EEEE and all-X hex masks"
+            " lower; other combinations refuse)"
         )
     sign_explicit = bool(m.group(1))
     dollar = m.group(2)

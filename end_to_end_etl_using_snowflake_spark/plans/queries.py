@@ -8092,6 +8092,19 @@ def _duck_to_char_numeric(x: str, fmt: str) -> str:
     concat() SKIPS nulls — the r9 sf10 harness lesson)."""
     import re as _re
 
+    bare = fmt.strip()
+    em = _re.fullmatch(r"(S?)([09])(?:\.([09]+))?EEEE", bare.upper())
+    if em:
+        spec = ("%+." if em.group(1) else "%.") + str(len(em.group(3) or "")) + "E"
+        return f"printf('{spec}', CAST(({x}) AS DOUBLE))"
+    if bare and set(bare) <= {"X", "x"}:
+        d = f"CAST(({x}) AS DECIMAL(38,0))"
+        h = f"printf('%{'x' if bare[0] == 'x' else 'X'}', CAST({d} AS BIGINT))"
+        xfill = "'" + "#" * len(bare) + "'"
+        return (
+            f"(CASE WHEN {d} < 0 OR {d} > 1152921504606846975 THEN {xfill}"
+            f" WHEN length({h}) > {len(bare)} THEN {xfill} ELSE {h} END)"
+        )
     f = fmt.strip().upper().replace("G", ",").replace("D", ".")
     m = _re.fullmatch(r"(S?)(\$?)([09,]*[09])(?:\.([09]*))?(MI|PR)?", f)
     assert m, fmt
@@ -8150,7 +8163,9 @@ SELECT o_orderkey,
        TO_CHAR(o_totalprice * (CASE WHEN o_orderkey % 3 = 0 THEN -1 ELSE 1 END),
                '9999999.99MI') AS ledger_mi,
        TO_CHAR(o_totalprice * (CASE WHEN o_orderkey % 3 = 0 THEN -1 ELSE 1 END),
-               '$9999999.99PR') AS ledger_pr
+               '$9999999.99PR') AS ledger_pr,
+       TO_CHAR(o_totalprice, '9.99EEEE') AS sci,
+       TO_CHAR(o_orderkey, 'XXXXXXXX') AS key_hex
 FROM orders
 WHERE o_orderkey % 11 = 0
 """
@@ -8172,7 +8187,9 @@ WHERE o_orderkey % 11 = 0
                '9999999.99MI')} AS ledger_mi,
            {_duck_to_char_numeric(
                "o_totalprice * (CASE WHEN o_orderkey % 3 = 0 THEN -1 ELSE 1 END)",
-               '$9999999.99PR')} AS ledger_pr
+               '$9999999.99PR')} AS ledger_pr,
+           {_duck_to_char_numeric('o_totalprice', '9.99EEEE')} AS sci,
+           {_duck_to_char_numeric('o_orderkey', 'XXXXXXXX')} AS key_hex
     FROM orders
     WHERE o_orderkey % 11 = 0
     """,
@@ -8191,8 +8208,14 @@ WHERE o_orderkey % 11 = 0
     form; LPAD restores fixed width). Trailing-sign masks lower too
     (r12, VERDICT r11 #4): MI renders '-'/blank AFTER the digits, PR
     wraps negatives in angle brackets with a blank standing in the
-    '>' position for non-negatives. X/EEEE/FM and >18 integer
-    positions refuse loudly. The entry exercises every branch over
+    '>' position for non-negatives. EEEE lowers to the %.sE
+    scientific rendering (byte-identical across format_string/printf
+    on both engines; S maps to the explicit '+'), all-X masks to
+    rounded-integer hex (mask case picks digit case; negatives and
+    overflow render the '#' fill — the engine's documented
+    no-per-row-errors posture where Snowflake errors). FM, combined
+    X/EEEE forms, and >18 integer positions refuse loudly. The entry
+    exercises every branch over
     orders money values: grouping+$, whole-number rounding WITH
     overflow rows mixed in ('######'), explicit sign on negated
     amounts, zero-padding, a tight mask that overflows at >=10, and

@@ -3481,6 +3481,16 @@ def test_to_char_numeric_mask_semantics(spark):
         ("12.4", "99.99PR", "12.40 "),          # PR: trailing blank
         ("-3987", "$99.0PR", "<$####>"),        # PR overflow keeps $
         ("-12", "$999MI", "$12-"),              # MI with currency
+        # r12: scientific + hex masks
+        ("12345", "9.99EEEE", "1.23E+04"),      # EEEE scientific
+        ("0.00123", "9EEEE", "1E-03"),
+        ("-12345", "9.99EEEE", "-1.23E+04"),
+        ("12345", "S9.9EEEE", "+1.2E+04"),      # S -> explicit +
+        ("255", "XXXX", "FF"),                  # hex, upper
+        ("255", "xxxx", "ff"),                  # hex, lower
+        ("255.6", "XXX", "100"),                # rounds to 256 -> hex
+        ("-255", "XXXX", "####"),               # negative -> fill
+        ("65536", "XXXX", "####"),              # 5 hex digits > 4 X
     ]
     select = ", ".join(
         f"TO_CHAR({v}, '{f}') AS c{i}" for i, (v, f, _) in enumerate(cases)
