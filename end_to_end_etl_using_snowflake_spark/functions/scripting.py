@@ -385,6 +385,12 @@ def _ok_status(spark: SparkSession) -> DataFrame:
 
 _EXEC_IMM_RE = re.compile(r"EXECUTE\s+IMMEDIATE\s+", re.IGNORECASE)
 
+_RESULT_SCAN_RE = re.compile(
+    r"TABLE\s*\(\s*RESULT_SCAN\s*\(\s*LAST_QUERY_ID\s*\(\s*(?:-\s*1)?"
+    r"\s*\)\s*\)\s*\)",
+    re.IGNORECASE,
+)
+
 _BLOCK_HEAD_RE = re.compile(r"(?:DECLARE|BEGIN)\b", re.IGNORECASE)
 _TXN_BEGIN_RE = re.compile(
     r"BEGIN(?:\s+(?:TRANSACTION|WORK))?\s*(?:;|$)", re.IGNORECASE
@@ -512,6 +518,29 @@ def console_script(
             )
             continue
         resolved = substitute_variables(stmt, variables)
+        rs = _RESULT_SCAN_RE.search(resolved)
+        if rs is not None:
+            # Snowflake's show-then-filter idiom: ``SHOW TASKS;
+            # SELECT ... FROM TABLE(RESULT_SCAN(LAST_QUERY_ID()))`` —
+            # the previous statement's relation queried as a table.
+            # Only the immediately-previous result is kept (the
+            # console runner's history depth is 1; explicit query ids
+            # refuse below rather than silently aliasing).
+            if result is None:
+                raise ValueError(
+                    "RESULT_SCAN(LAST_QUERY_ID()): no previous result"
+                    " in this script"
+                )
+            result.createOrReplaceTempView("__console_last_result")
+            resolved = _RESULT_SCAN_RE.sub(
+                "__console_last_result", resolved
+            )
+        elif re.search(r"\bRESULT_SCAN\b", resolved, re.IGNORECASE):
+            raise ValueError(
+                "RESULT_SCAN supports only LAST_QUERY_ID() / "
+                "LAST_QUERY_ID(-1) (the runner keeps one result of"
+                " history; explicit query ids have no engine mapping)"
+            )
         result = snowflake_sql(
             spark, resolved, pipelines=pipelines, tables=tables,
             stages=stages,

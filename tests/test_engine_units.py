@@ -4420,3 +4420,38 @@ def test_alter_session_parameters(spark):
         SHOW PARAMETERS;
     """)
     assert v.count() == 0
+
+
+def test_result_scan_last_query_id(spark):
+    """r12: the show-then-filter console idiom — the previous
+    statement's relation re-queried through
+    TABLE(RESULT_SCAN(LAST_QUERY_ID())); one result of history,
+    explicit query ids refuse."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.scripting import (
+        console_script,
+    )
+
+    out = console_script(spark, """
+        SELECT * FROM VALUES (1, 'a'), (2, 'b'), (3, 'a') AS t(id, g);
+        SELECT g, CAST(COUNT(1) AS BIGINT) AS n
+        FROM TABLE(RESULT_SCAN(LAST_QUERY_ID())) GROUP BY g ORDER BY g;
+    """)
+    assert [(r.g, r.n) for r in out.collect()] == [("a", 2), ("b", 1)]
+
+    # LAST_QUERY_ID(-1) is the same statement; deeper history refuses
+    out2 = console_script(spark, """
+        SELECT 5 AS v;
+        SELECT v * 2 AS w FROM TABLE(RESULT_SCAN(LAST_QUERY_ID(-1)));
+    """)
+    assert out2.first().w == 10
+    with _pytest.raises(ValueError, match="no previous result"):
+        console_script(
+            spark, "SELECT * FROM TABLE(RESULT_SCAN(LAST_QUERY_ID()))"
+        )
+    with _pytest.raises(ValueError, match="one result of history"):
+        console_script(spark, """
+            SELECT 1;
+            SELECT * FROM TABLE(RESULT_SCAN('01b2-f00'));
+        """)

@@ -694,3 +694,21 @@ def test_mr_skip_past_last_runs_arrow_on_candidates(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "FlatMapGroupsIn" in plan, plan  # the greedy step, Arrow-grouped
+
+
+def test_session_variable_predicate_is_pushed_literal(spark):
+    """sql55's 100 TB claim, enforced: after SET, a $var predicate
+    arrives at Catalyst as a FOLDABLE LITERAL — the parquet scan shows
+    it in PushedFilters (partition/row-group pruning territory), with
+    no subquery or join node standing in for the variable."""
+    df = REGISTRY["sql55_session_variables"].build(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan, plan
+    # the computed threshold itself (MAX - 5) appears as a literal
+    # GreaterThanOrEqual pushed to the scan (the PushedFilters list is
+    # truncated by toString, so the equality literal is asserted on
+    # the Filter node instead)
+    assert "GreaterThanOrEqual(l_quantity" in plan, plan
+    assert "= R)" in plan, plan
+    # and no scalar-subquery re-evaluation survives into the main scan
+    assert "Subquery" not in plan, plan
