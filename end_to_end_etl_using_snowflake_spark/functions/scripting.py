@@ -517,6 +517,12 @@ def console_script(
                 pipelines=pipelines, tables=tables, stages=stages,
             )
             continue
+        if re.match(
+            r"create\s+(or\s+replace\s+)?(temp(orary)?\s+)?function\b",
+            low,
+        ):
+            result = create_function_statement(spark, stmt)
+            continue
         resolved = substitute_variables(stmt, variables)
         rs = _RESULT_SCAN_RE.search(resolved)
         if rs is not None:
@@ -552,6 +558,124 @@ def console_script(
             if dm is not None:
                 tables[_dml_key(tables, dm.group("t"))] = result
     return result
+
+
+# ---------------------------------------------------------------------------
+# SQL UDFs (CREATE FUNCTION ... AS '<expr>')
+# ---------------------------------------------------------------------------
+
+# Snowflake type name -> Spark DDL type for UDF signatures. VARIANT /
+# OBJECT / ARRAY map to STRING per the engine's JSON-text VARIANT
+# convention; TIME and the zoned timestamps refuse (types the engine
+# deliberately does not carry).
+_SF_TYPE_MAP = {
+    "NUMBER": "DECIMAL(38,0)", "NUMERIC": "DECIMAL(38,0)",
+    "DECIMAL": "DECIMAL(38,0)", "INT": "BIGINT", "INTEGER": "BIGINT",
+    "BIGINT": "BIGINT", "SMALLINT": "BIGINT", "TINYINT": "BIGINT",
+    "BYTEINT": "BIGINT", "FLOAT": "DOUBLE", "FLOAT4": "DOUBLE",
+    "FLOAT8": "DOUBLE", "DOUBLE": "DOUBLE", "REAL": "DOUBLE",
+    "VARCHAR": "STRING", "CHAR": "STRING", "CHARACTER": "STRING",
+    "STRING": "STRING", "TEXT": "STRING", "BOOLEAN": "BOOLEAN",
+    "DATE": "DATE", "TIMESTAMP": "TIMESTAMP", "DATETIME": "TIMESTAMP",
+    "TIMESTAMP_NTZ": "TIMESTAMP", "BINARY": "BINARY",
+    "VARIANT": "STRING", "OBJECT": "STRING", "ARRAY": "STRING",
+}
+
+
+def _sf_type_to_spark(t: str) -> str:
+    m = re.fullmatch(r"([A-Za-z_]\w*)(\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?",
+                     t.strip())
+    if m is None:
+        raise ValueError(f"unsupported type spelling: {t!r}")
+    base = m.group(1).upper()
+    args = re.sub(r"\s", "", m.group(2) or "")
+    if base in ("NUMBER", "NUMERIC", "DECIMAL") and args:
+        return f"DECIMAL{args if ',' in args else args[:-1] + ',0)'}"
+    if base in ("VARCHAR", "CHAR", "CHARACTER", "STRING", "TEXT"):
+        return "STRING"  # length is advisory in Snowflake too
+    if base in ("TIME", "TIMESTAMP_TZ", "TIMESTAMP_LTZ"):
+        raise ValueError(
+            f"{base} is a type this engine deliberately does not carry"
+            " (no Spark TIME type; zoned timestamps break the UTC"
+            " determinism pin)"
+        )
+    if base not in _SF_TYPE_MAP:
+        raise ValueError(f"unsupported Snowflake type: {t!r}")
+    return _SF_TYPE_MAP[base]
+
+
+_CREATE_FN_RE = re.compile(
+    r"CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?FUNCTION\s+"
+    r"(?P<name>[A-Za-z_]\w*)\s*\((?P<params>(?:[^()]|\([^()]*\))*)\)\s*"
+    r"RETURNS\s+(?P<ret>[A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+    r"\s*(?P<tail>.*?)\s*AS\s+(?P<body>'(?:[^']|'')*'|\$\$.*?\$\$)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def create_function_statement(spark: SparkSession, text: str) -> DataFrame:
+    """``CREATE [OR REPLACE] FUNCTION f(x NUMBER, ...) RETURNS <type>
+    [LANGUAGE SQL] AS '<expr>'`` — the Snowflake SQL UDF — lowered to
+    Spark's native SQL UDF (``CREATE OR REPLACE TEMPORARY FUNCTION ...
+    RETURN <expr>``), so Catalyst INLINES the body into every calling
+    plan: pushdown/codegen see the expression itself, the UDF is free
+    at any scale (never a Python round-trip). Scalar expressions only;
+    RETURNS TABLE, non-SQL LANGUAGEs, and RETURNS NULL ON NULL INPUT
+    (strictness Spark's SQL UDFs cannot encode) refuse loudly. UDFs
+    may call other UDFs — resolution happens at Spark's analysis time
+    exactly like Snowflake's."""
+    s = _strip_line_comments(text).strip().rstrip(";").strip()
+    if re.search(r"RETURNS\s+TABLE", s, re.IGNORECASE):
+        raise ValueError(
+            "CREATE FUNCTION ... RETURNS TABLE: table functions are not"
+            " lowered (use a named query / view instead)"
+        )
+    m = _CREATE_FN_RE.match(s)
+    if m is None:
+        raise ValueError(
+            "unsupported CREATE FUNCTION shape (need CREATE [OR"
+            " REPLACE] FUNCTION name(args) RETURNS type [LANGUAGE SQL]"
+            f" AS '<expr>'): {s[:80]!r}"
+        )
+    tail = m.group("tail").strip()
+    if tail:
+        t_up = " ".join(tail.upper().split())
+        if re.search(r"RETURNS\s+NULL\s+ON\s+NULL\s+INPUT", t_up):
+            raise ValueError(
+                "RETURNS NULL ON NULL INPUT: Spark SQL UDFs cannot"
+                " encode strictness — wrap the body in CASE WHEN ..."
+                " IS NULL instead"
+            )
+        lang = re.fullmatch(
+            r"(?:LANGUAGE\s+(\w+)\s*)?(?:IMMUTABLE|VOLATILE|CALLED\s+ON"
+            r"\s+NULL\s+INPUT|\s)*",
+            t_up,
+        )
+        if lang is None or (lang.group(1) and lang.group(1) != "SQL"):
+            raise ValueError(
+                f"unsupported CREATE FUNCTION clause: {tail[:40]!r}"
+                " (LANGUAGE SQL only; JS/Python/Java bodies have no"
+                " engine mapping)"
+            )
+    body = m.group("body")
+    body = (body[2:-2] if body.startswith("$$")
+            else body[1:-1].replace("''", "'"))
+    params = []
+    for p in _split_top_commas(m.group("params")):
+        if not p:
+            continue
+        pm = re.fullmatch(r"([A-Za-z_]\w*)\s+(.+)", p.strip(), re.DOTALL)
+        if pm is None:
+            raise ValueError(f"unsupported parameter spelling: {p!r}")
+        params.append(f"{pm.group(1)} {_sf_type_to_spark(pm.group(2))}")
+    ddl = (
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {m.group('name')}"
+        f"({', '.join(params)})"
+        f" RETURNS {_sf_type_to_spark(m.group('ret'))}"
+        f" RETURN {lower_select(body)}"
+    )
+    spark.sql(ddl)
+    return _ok_status(spark)
 
 
 # ---------------------------------------------------------------------------

@@ -10286,3 +10286,62 @@ def sql56_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit.crossJoin(
         ret.select(F.col("anonymous_block").cast("long").alias("block_return"))
     )
+
+
+_SQL57_SNOWFLAKE_TEXT = """
+CREATE OR REPLACE FUNCTION disc_price(p FLOAT, d FLOAT)
+  RETURNS NUMBER(38,4) LANGUAGE SQL
+  AS 'CAST(p AS DECIMAL(18,2)) * (1 - CAST(d AS DECIMAL(18,2)))';
+CREATE OR REPLACE FUNCTION price_band(p FLOAT) RETURNS VARCHAR
+  AS $$IFF(p < 20000, 'low', IFF(p < 45000, 'mid', 'high'))$$;
+SELECT band, CAST(COUNT(1) AS BIGINT) AS n,
+       CAST(SUM(rev) AS DOUBLE) AS revenue
+FROM (
+    SELECT price_band(l_extendedprice) AS band,
+           disc_price(l_extendedprice, l_discount) AS rev
+    FROM lineitem
+)
+GROUP BY band;
+"""
+
+
+@register(
+    "sql57_sql_udf",
+    oracle="""
+    WITH b AS (
+        SELECT CASE WHEN l_extendedprice < 20000 THEN 'low'
+                    WHEN l_extendedprice < 45000 THEN 'mid'
+                    ELSE 'high' END AS band,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+        FROM lineitem
+    )
+    SELECT band, CAST(COUNT(1) AS BIGINT) AS n,
+           CAST(SUM(rev) AS DOUBLE) AS revenue
+    FROM b GROUP BY band
+    """,
+    doc="""Snowflake SQL UDFs — ``CREATE [OR REPLACE] FUNCTION f(x
+    NUMBER) RETURNS <type> [LANGUAGE SQL] AS '<expr>'`` (r12) —
+    lowered to SPARK'S NATIVE SQL UDFs (``CREATE TEMPORARY FUNCTION
+    ... RETURN <expr>``), so Catalyst INLINES the body into every
+    calling plan: at 100 TB the UDF costs exactly its expression
+    (pushdown/codegen see through it; never a Python round-trip).
+    Snowflake type signatures map through the engine's type table
+    (NUMBER(p,s)->DECIMAL, VARCHAR->STRING, VARIANT->JSON-text
+    STRING; TIME / zoned timestamps refuse), UDF bodies pass through
+    the full dialect lowering (the IFF here), UDFs call other UDFs,
+    and the $$-quoted body form works. RETURNS TABLE, non-SQL
+    LANGUAGEs, and RETURNS NULL ON NULL INPUT strictness refuse
+    loudly. The entry defines a decimal-exact discounted-price UDF +
+    a banding UDF and aggregates lineitem through both; the oracle
+    restates the inlined expressions (exactly what Catalyst executes)
+    (functions/scripting.py:create_function_statement;
+    tests/test_engine_units.py::test_create_function_sql_udf).""",
+    tags=("sql-surface", "dialect", "functions", "udf"),
+)
+def sql57_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scripting import console_script
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return console_script(spark, _SQL57_SNOWFLAKE_TEXT)

@@ -59,10 +59,10 @@ PRIORITY: tuple[str, ...] = (
     # 2-entry always-on core + f31 (REDEFINED this round: MI/PR
     # trailing-sign masks added - fresh oracle columns) + the two
     # never-driver-checked r12 additions (sql55 session variables +
-    # EXECUTE IMMEDIATE, sql56 anonymous scripting blocks) + the FULL
-    # 44-entry r6-stale cohort (the last r6 greens anywhere - after
-    # this round the staleness ceiling moves to r7) + the head of the
-    # r7 cohort to fill slot 50. All window entries are locally 3-SF
+    # EXECUTE IMMEDIATE, sql56 anonymous scripting blocks, sql57 SQL
+    # UDFs — the last in slot 50) + the FULL 44-entry r6-stale cohort
+    # (the last r6 greens anywhere - after this round the staleness
+    # ceiling moves to r7). All window entries are locally 3-SF
     # parity-green per pytest run.
     "flagship_fact_rebuild",
     "pl_dim_customer",
@@ -116,12 +116,13 @@ PRIORITY: tuple[str, ...] = (
     "w5_rank_distribution_funcs",
     "w6_ignore_nulls_fill",
     "x23_length_bucketing",
-    # r7-cohort head (window fill to 50)
-    "a4_count_distinct",
+    # third never-driver-checked r12 addition (SQL UDFs)
+    "sql57_sql_udf",
     # ---- 51+: ascending last-green round (stalest first), so
     # the r13 rotation simply takes the prefix; everything is
     # still locally oracle-checked per pytest run.
-    # last driver-green r7 (rest of the cohort)
+    # last driver-green r7
+    "a4_count_distinct",
     "a5_rollup",
     "a6_percentile_groups",
     "a7_grouping_sets",

@@ -4455,3 +4455,42 @@ def test_result_scan_last_query_id(spark):
             SELECT 1;
             SELECT * FROM TABLE(RESULT_SCAN('01b2-f00'));
         """)
+
+
+def test_create_function_sql_udf(spark):
+    """r12 SQL UDFs: Snowflake CREATE FUNCTION ... AS '<expr>' lowers
+    to Spark's native SQL UDF — typed signature mapping, dialect
+    bodies, $$-quoting, UDF-calls-UDF, and the loud refusals."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.scripting import (
+        console_script,
+        create_function_statement,
+    )
+
+    r = console_script(spark, """
+        CREATE OR REPLACE FUNCTION area(w NUMBER(10,2), h NUMBER(10,2))
+          RETURNS NUMBER(20,4) LANGUAGE SQL AS 'w * h';
+        CREATE OR REPLACE FUNCTION double_area(w NUMBER(10,2), h NUMBER(10,2))
+          RETURNS NUMBER(21,4) AS $$area(w, h) * 2$$;
+        CREATE FUNCTION clampz(x FLOAT) RETURNS FLOAT
+          AS 'IFF(x < 0, 0.0, x)';
+        SELECT CAST(area(2.5, 4.0) AS DOUBLE) AS a,
+               CAST(double_area(2.5, 4.0) AS DOUBLE) AS d,
+               clampz(-3.5) AS lo, clampz(2.0) AS hi;
+    """).first()
+    assert (r.a, r.d, r.lo, r.hi) == (10.0, 20.0, 0.0, 2.0)
+
+    for bad, msg in [
+        ("CREATE FUNCTION j(x NUMBER) RETURNS NUMBER LANGUAGE JAVASCRIPT"
+         " AS 'return x'", "LANGUAGE SQL only"),
+        ("CREATE FUNCTION t() RETURNS TABLE (a NUMBER) AS 'SELECT 1'",
+         "RETURNS TABLE"),
+        ("CREATE FUNCTION s(x NUMBER) RETURNS NUMBER"
+         " RETURNS NULL ON NULL INPUT AS 'x'", "strictness"),
+        ("CREATE FUNCTION tt(x TIME) RETURNS NUMBER AS '1'", "TIME"),
+        ("CREATE FUNCTION z(x TIMESTAMP_TZ) RETURNS NUMBER AS '1'",
+         "TIMESTAMP_TZ"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            create_function_statement(spark, bad)

@@ -40,6 +40,7 @@ def test_driver_prefix_spans_all_operator_families():
     redefined_or_new = [
         "f31_to_char_numeric",
         "sql55_session_variables", "sql56_scripting_block",
+        "sql57_sql_udf",
     ]
     stale_r6_cohort = [
         "sql6_flatten_dialect", "e13_match_recognize",
