@@ -712,3 +712,16 @@ def test_session_variable_predicate_is_pushed_literal(spark):
     assert "= R)" in plan, plan
     # and no scalar-subquery re-evaluation survives into the main scan
     assert "Subquery" not in plan, plan
+
+
+def test_sql_udf_body_inlines_into_the_plan(spark):
+    """sql57's 100 TB claim, enforced: a Snowflake SQL UDF lowered to
+    Spark's native SQL function INLINES — the executed plan contains
+    the body's expressions inside whole-stage codegen, with no Python
+    evaluation node and partial aggregation intact."""
+    df = REGISTRY["sql57_sql_udf"].build(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    # the banding UDF's CASE landed in the scan-side project
+    assert "CASE WHEN" in plan, plan
