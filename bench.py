@@ -44,6 +44,7 @@ HEADLINE = [
     "f31_to_char_numeric",     # numeric TO_CHAR masks (exact decimal, r11)
     "f32_agg_dialect",         # statistics agg pack (fixed-point moments, r11)
     "sql55_session_variables", # SET/$var/EXECUTE IMMEDIATE console path (r12)
+    "sql57_sql_udf",           # SQL UDFs inlined via Spark native SQL fns (r12)
     "wp1_write_file_plan",     # stats-driven write file planning (r11)
     "d10_segment_boilerplate", # cross-doc segment/boilerplate removal
     "d11_semantic_dedup",      # SemDeDup cluster-then-prune

@@ -3169,14 +3169,9 @@ def _fixed_point_sums(
     Inputs are rounded to 2 dp — the money/measure class this engine's
     determinism conventions target.
 
-    Two runtime envelope DETECTORS back those claims (ADVICE r11 #2 —
-    neither hazard may produce a silently-wrong number):
+    Runtime envelope DETECTOR (ADVICE r11 #2 — neither hazard may
+    produce a silently-wrong number):
 
-    - ``count_m`` vs ``count``: a per-row DECIMAL(38,6) cast that
-      overflows (|x| > ~1e32) yields NULL, which would drop the row
-      from the sums but not from COUNT(x) — inconsistent moments.
-      Consumers compare the two counts and return NULL for the whole
-      statistic on any mismatch.
     - ``n_inexact``: rows where the fixed-point rounding MOVED the
       value (x*scale not integral — all-decimal comparison, exact on
       both engines). Rounding noise is uniform on ±0.5 units
@@ -3185,6 +3180,16 @@ def _fixed_point_sums(
       when ``n_inexact > 0`` and the rounded variance sits under
       ``_RESOLUTION_VAR_FLOOR`` units^2. Data already exact at the
       resolution (2-dp money) never trips it, whatever its variance.
+    - Per-row cast overflow (|x| > ~1e32) is LOUD by the ANSI
+      contract both engines run under: Spark (ANSI on, the engine's
+      F4 posture) raises ARITHMETIC_OVERFLOW and DuckDB raises a
+      Conversion Error — the counted-but-unsummed silent-skew mode
+      ADVICE r11 #2 described requires a non-ANSI session this engine
+      never creates (unit-pinned in the moment-aggregate battery).
+      Detecting it with extra COUNT aggregates is exactly what pushed
+      the f32 aggregate past whole-stage codegen's expression budget
+      (measured 2.7x cliff at 60M rows), so the contract is enforced
+      by configuration + test, not per-row bookkeeping.
     """
     # ``carrier`` is the exact-integer type holding the fixed-point
     # values: DECIMAL(38,0) on Spark; a DuckDB oracle twin passes
@@ -3202,9 +3207,17 @@ def _fixed_point_sums(
         "s3": f"CAST(SUM({m} * {m} * {m}) AS DOUBLE)",
         "s4": f"CAST(SUM({m} * {m} * {m} * {m}) AS DOUBLE)",
         "count": f"COUNT({x})",
-        "count_m": f"COUNT({m})",
+        # m <> d100 detects rounding movement ~2.3x cheaper than a
+        # second ROUND (measured, 60M rows). The carrier is explicitly
+        # cast to DECIMAL(38,6) for the comparison: without it Spark's
+        # (38,0)-vs-(38,6) promotion caps at 38 digits and ROUNDS the
+        # fractional operand to scale 0 — silently equal, detector
+        # dead. The explicit cast makes both engines compare in the
+        # (38,6) domain exactly (values past ~1e32 throw, the ANSI
+        # loud-overflow posture).
         "n_inexact": (
-            f"COUNT(CASE WHEN ROUND({d100}) <> {d100} THEN 1 END)"
+            f"COUNT(CASE WHEN CAST({m} AS DECIMAL(38,6)) <> {d100}"
+            f" THEN 1 END)"
         ),
     }
 
@@ -3229,13 +3242,11 @@ def _skew_kurt_lower(
     mu = f"(({s1}) / ({n}))"
     m2 = f"(({s2}) - ({s1}) * ({s1}) / ({n}))"  # sum (x-mu)^2
     svar = f"(({m2}) / (({n}) - 1))"
-    # envelope detectors (see _fixed_point_sums): cast overflow ->
-    # whole statistic NULL (never a silently inconsistent mix of
-    # counted-but-unsummed rows); variation below the fixed-point
-    # resolution -> NULL (never a quantization-noise artifact).
+    # envelope detector (see _fixed_point_sums): variation below the
+    # fixed-point resolution -> NULL, never a quantization-noise
+    # artifact (cast overflow is loud by the ANSI contract).
     guards = (
-        f"WHEN {f['count']} <> {f['count_m']} THEN NULL"
-        f" WHEN {f['n_inexact']} > 0"
+        f"WHEN {f['n_inexact']} > 0"
         f" AND {m2} < {_RESOLUTION_VAR_FLOOR} * ({n}) THEN NULL"
     )
     # NO pow(): libm pow is not correctly rounded and differs across
@@ -3274,13 +3285,15 @@ def _regr_lower(
     via a CASE inside every aggregate. R2 follows the ANSI contract:
     NULL at zero x-variance, 1 at zero y-variance, else corr^2.
 
-    Envelope detectors (see _fixed_point_sums): per-row cast overflow
-    on either side NULLs the whole statistic (counted-but-unsummed
-    rows would otherwise skew it silently); the variance-dependent
-    kinds additionally NULL when rounding moved any input and either
-    rounded variance sits under the quantization-noise floor. AVGX /
-    AVGY carry only the overflow guard — a mean's quantization error
-    is bounded by half a unit, inside the documented 2-dp convention."""
+    Envelope detector (see _fixed_point_sums): the variance-dependent
+    kinds NULL when rounding moved any input on either side and the
+    relevant rounded variance sits under the quantization-noise floor
+    (one fused COUNT across both sides — the guard only tests > 0, so
+    per-side counts would buy nothing but aggregate-expression budget,
+    which is what keeps the consumer's whole-stage codegen alive).
+    AVGX / AVGY carry no detector — a mean's quantization error is
+    bounded by half a unit, inside the documented 2-dp convention;
+    per-row cast overflow is loud by the ANSI contract."""
     both = f"(({x}) IS NOT NULL AND ({y}) IS NOT NULL)"
     mx = (
         f"CAST(ROUND(CAST((CASE WHEN {both} THEN ({x}) END)"
@@ -3303,12 +3316,12 @@ def _regr_lower(
     slope = f"(({num}) / ({varx}))"
     dx = f"(CAST((CASE WHEN {both} THEN ({x}) END) AS DECIMAL(38,6)) * 100)"
     dy = f"(CAST((CASE WHEN {both} THEN ({y}) END) AS DECIMAL(38,6)) * 100)"
-    over = (
-        f"WHEN {cnt} <> COUNT({mx}) OR {cnt} <> COUNT({my}) THEN NULL"
-    )
+    # one fused detector across both sides (identical text in every
+    # kind -> ONE deduped aggregate in the consumer's plan); explicit
+    # (38,6) carrier cast — see _fixed_point_sums's n_inexact note
     inexact = (
-        f"(COUNT(CASE WHEN ROUND({dx}) <> {dx} THEN 1 END)"
-        f" + COUNT(CASE WHEN ROUND({dy}) <> {dy} THEN 1 END))"
+        f"COUNT(CASE WHEN CAST({mx} AS DECIMAL(38,6)) <> {dx}"
+        f" OR CAST({my} AS DECIMAL(38,6)) <> {dy} THEN 1 END)"
     )
     floor2 = f"{_RESOLUTION_VAR_FLOOR} * ({n}) * ({n})"
     res = (
@@ -3319,44 +3332,44 @@ def _regr_lower(
     res_y = f"WHEN {inexact} > 0 AND ({vary}) < {floor2} THEN NULL"
     if kind == "AVGX":
         return (
-            f"(CASE {over} WHEN {cnt} < 1 THEN NULL"
+            f"(CASE WHEN {cnt} < 1 THEN NULL"
             f" ELSE ({sx}) / (({n}) * 100) END)"
         )
     if kind == "AVGY":
         return (
-            f"(CASE {over} WHEN {cnt} < 1 THEN NULL"
+            f"(CASE WHEN {cnt} < 1 THEN NULL"
             f" ELSE ({sy}) / (({n}) * 100) END)"
         )
     if kind == "SXX":
         # sum (x - avg x)^2 over non-null pairs; /100^2 unscales
         return (
-            f"(CASE {over} {res_x} WHEN {cnt} < 1 THEN NULL"
+            f"(CASE {res_x} WHEN {cnt} < 1 THEN NULL"
             f" ELSE (({sx2}) - ({sx}) * ({sx}) / ({n})) / 10000 END)"
         )
     if kind == "SYY":
         return (
-            f"(CASE {over} {res_y} WHEN {cnt} < 1 THEN NULL"
+            f"(CASE {res_y} WHEN {cnt} < 1 THEN NULL"
             f" ELSE (({sy2}) - ({sy}) * ({sy}) / ({n})) / 10000 END)"
         )
     if kind == "SXY":
         return (
-            f"(CASE {over} {res} WHEN {cnt} < 1 THEN NULL"
+            f"(CASE {res} WHEN {cnt} < 1 THEN NULL"
             f" ELSE (({sxy}) - ({sx}) * ({sy}) / ({n})) / 10000 END)"
         )
     if kind == "SLOPE":
         return (
-            f"(CASE {over} {res} WHEN {cnt} < 2 OR {varx} <= 0 THEN NULL"
+            f"(CASE {res} WHEN {cnt} < 2 OR {varx} <= 0 THEN NULL"
             f" ELSE {slope} END)"
         )
     if kind == "INTERCEPT":
         # sums are in 100x fixed-point units; slope is scale-free, the
         # intercept divides the factor back out
         return (
-            f"(CASE {over} {res} WHEN {cnt} < 2 OR {varx} <= 0 THEN NULL"
+            f"(CASE {res} WHEN {cnt} < 2 OR {varx} <= 0 THEN NULL"
             f" ELSE (({sy}) - {slope} * ({sx})) / (({n}) * 100) END)"
         )
     return (
-        f"(CASE {over} {res} WHEN {cnt} < 1 OR {varx} <= 0 THEN NULL"
+        f"(CASE {res} WHEN {cnt} < 1 OR {varx} <= 0 THEN NULL"
         f" WHEN {vary} <= 0 THEN CAST(1.0 AS DOUBLE)"
         f" ELSE ({num}) * ({num}) / (({varx}) * ({vary})) END)"
     )

@@ -3772,6 +3772,25 @@ def test_agg_dialect_pack_semantics(spark):
     ).fetchone()[0]
     assert row5.sk == twin and row5.sk is not None
 
+    # per-row cast overflow is LOUD by the ANSI contract on BOTH
+    # engines (the docstring's no-silent-skew claim for |x| > ~1e32;
+    # replacing the r12 count-based guard that collapsed whole-stage
+    # codegen)
+    import pytest as _pytest
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    with _pytest.raises(Exception, match="(?i)overflow|cannot be"):
+        spark.sql(rewrite_scalar_funcs(
+            "SELECT SKEW(x) FROM (VALUES (CAST(1e33 AS DOUBLE)),"
+            " (CAST(1.0 AS DOUBLE)), (CAST(2.0 AS DOUBLE)),"
+            " (CAST(3.0 AS DOUBLE))) t(x)"
+        )).collect()
+    with _pytest.raises(Exception, match="(?i)conversion|overflow"):
+        _dd.sql(
+            f"SELECT {_skew_kurt_lower('SKEW', 'x', carrier='HUGEINT')}"
+            " FROM (VALUES (1e33), (1.0), (2.0), (3.0)) t(x)"
+        ).fetchall()
+
 
 def test_cluster_by_ddl_physical_layout(spark, tmp_path):
     """sql53's physical contract: CLUSTER BY in the CTAS text must
