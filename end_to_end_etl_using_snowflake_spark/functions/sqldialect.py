@@ -2001,6 +2001,67 @@ _SCALAR_REWRITES = {
             " EDITDISTANCE (lowered to levenshtein) for fuzzy matching"
         )
     ),
+    # DIV0 / DIV0NULL (probe battery 4, r12): Snowflake's most common
+    # safe-division idioms. The CASE keeps ANSI division-by-zero from
+    # raising (lazy branch), exactly Snowflake's contract: 0 on a zero
+    # (DIV0) or zero-or-NULL (DIV0NULL) divisor, a/b otherwise.
+    "DIV0": lambda args: (
+        f"(CASE WHEN ({args[1]}) = 0 THEN 0"
+        f" ELSE ({args[0]}) / ({args[1]}) END)"
+        if len(args) == 2
+        else _bad("DIV0", args)
+    ),
+    "DIV0NULL": lambda args: (
+        f"(CASE WHEN ({args[1]}) = 0 OR ({args[1]}) IS NULL THEN 0"
+        f" ELSE ({args[0]}) / ({args[1]}) END)"
+        if len(args) == 2
+        else _bad("DIV0NULL", args)
+    ),
+    # REGEXP_SUBSTR_ALL(subject, pattern) -> every match, in order.
+    # The positional variants (position/occurrence/params/group) have
+    # no direct Spark spelling and refuse rather than approximating.
+    "REGEXP_SUBSTR_ALL": lambda args: (
+        f"regexp_extract_all({args[0]}, {args[1]}, 0)"
+        if len(args) == 2
+        else (_ for _ in ()).throw(ValueError(
+            "REGEXP_SUBSTR_ALL supports (subject, pattern) only —"
+            " position/occurrence/params/group variants have no exact"
+            " Spark lowering"
+        ))
+    ),
+    # 1-arg INITCAP is native Spark; the 2-arg delimiter form has no
+    # Spark equivalent (Spark capitalizes after whitespace only)
+    "INITCAP": lambda args: (
+        f"initcap({args[0]})"
+        if len(args) == 1
+        else (_ for _ in ()).throw(ValueError(
+            "INITCAP(expr, delimiters): Spark's initcap has no"
+            " delimiter-set form; compose with regexp_replace or use"
+            " the default whitespace behavior"
+        ))
+    ),
+    "MINHASH": lambda args: (_ for _ in ()).throw(ValueError(
+        "MINHASH/APPROXIMATE_SIMILARITY: use the engine's MinHash"
+        " dedup operators (operators/dedup.py minhash_lsh_pairs — the"
+        " d3/d7 registry entries) which carry the banding and"
+        " verification Snowflake's sketch would need anyway"
+    )),
+    "MINHASH_COMBINE": lambda args: (_ for _ in ()).throw(ValueError(
+        "MINHASH_COMBINE: use the engine's MinHash dedup operators"
+        " (operators/dedup.py)"
+    )),
+    "APPROXIMATE_SIMILARITY": lambda args: (_ for _ in ()).throw(
+        ValueError(
+            "APPROXIMATE_SIMILARITY: use the engine's MinHash dedup"
+            " operators (operators/dedup.py)"
+        )
+    ),
+    "APPROXIMATE_JACCARD_INDEX": lambda args: (_ for _ in ()).throw(
+        ValueError(
+            "APPROXIMATE_JACCARD_INDEX: use the engine's MinHash dedup"
+            " operators (operators/dedup.py)"
+        )
+    ),
     "STRTOK": lambda args: _strtok_rewrite("STRTOK", args),
     "STRTOK_TO_ARRAY": lambda args: _strtok_rewrite("STRTOK_TO_ARRAY", args),
     "INSERT": lambda args: (
@@ -5267,6 +5328,35 @@ def sql_match_recognize(text: str, value_expr: str | None = None) -> str:
 # ---------------------------------------------------------------------------
 
 
+_COLLATE_RE = re.compile(r"COLLATE\s+'([^']*)'", re.IGNORECASE)
+
+
+def rewrite_collate(sql: str) -> str:
+    """Snowflake ``COLLATE '<spec>'`` -> Spark's native collation
+    clause (Spark 4 carries real collations). Conservative spec map:
+    the case-insensitive forms (``ci`` / ``en-ci`` / ``utf8-ci`` and
+    the upper/lower variants) lower to ``COLLATE UTF8_LCASE``; the
+    case-sensitive/binary forms drop the clause (Spark's default
+    binary collation IS that semantics); locale-specific, accent- or
+    punctuation-insensitive, and trim specs refuse loudly — a wrong
+    collation silently changes every comparison it touches."""
+
+    def repl(m: "re.Match[str]") -> str:
+        spec = m.group(1).strip().lower().replace("_", "-")
+        if spec in ("ci", "en-ci", "utf8-ci", "en-us-ci"):
+            return "COLLATE UTF8_LCASE"
+        if spec in ("", "cs", "en-cs", "utf8", "binary", "utf8-cs"):
+            return ""
+        raise ValueError(
+            f"COLLATE {m.group(1)!r}: only case-insensitive"
+            " (ci/en-ci/utf8-ci) and binary/cs specs are lowered;"
+            " locale/accent/punctuation/trim collations have no exact"
+            " Spark mapping"
+        )
+
+    return _COLLATE_RE.sub(repl, sql)
+
+
 def lower_select(sql: str) -> str:
     """Compose every pure-text SELECT rewriter into one lowering — the
     "paste your Snowflake query" entry point behind
@@ -5282,6 +5372,7 @@ def lower_select(sql: str) -> str:
     MERGE/INSERT OVERWRITE, time travel) stay separate because they
     bind engine objects, not text."""
     sql = rewrite_top(sql)
+    sql = rewrite_collate(sql)
     sql = rewrite_variant_path(sql)
     sql = rewrite_window_dialect(sql)
     sql = rewrite_semi_structured(sql)

@@ -10345,3 +10345,62 @@ def sql57_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return console_script(spark, _SQL57_SNOWFLAKE_TEXT)
+
+
+_F34_SNOWFLAKE_TEXT = """
+SELECT o_orderkey,
+       CAST(DIV0(o_totalprice, o_orderkey % 3) AS DOUBLE) AS safe_rate,
+       CAST(DIV0NULL(o_totalprice,
+                     NULLIF(o_orderkey % 3, 1)) AS DOUBLE) AS safe_rate2,
+       ARRAY_TO_STRING(REGEXP_SUBSTR_ALL(o_orderpriority, '[0-9]+'), '|')
+           AS prio_digits,
+       o_orderpriority = UPPER(o_orderpriority) COLLATE 'en-ci' AS prio_ci,
+       o_orderstatus = UPPER(o_orderstatus) COLLATE 'utf8' AS status_cs
+FROM orders
+WHERE o_orderkey % 13 = 0
+"""
+
+
+@register(
+    "f34_everyday_scalars3",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderkey % 3 = 0 THEN 0
+                ELSE o_totalprice / (o_orderkey % 3) END AS DOUBLE)
+               AS safe_rate,
+           CAST(CASE WHEN NULLIF(o_orderkey % 3, 1) = 0
+                       OR NULLIF(o_orderkey % 3, 1) IS NULL THEN 0
+                ELSE o_totalprice / NULLIF(o_orderkey % 3, 1) END
+                AS DOUBLE) AS safe_rate2,
+           array_to_string(regexp_extract_all(o_orderpriority, '[0-9]+'),
+                           '|') AS prio_digits,
+           lower(o_orderpriority) = lower(upper(o_orderpriority))
+               AS prio_ci,
+           o_orderstatus = upper(o_orderstatus) AS status_cs
+    FROM orders
+    WHERE o_orderkey % 13 = 0
+    """,
+    doc="""Probe-battery-4 closures (r12): DIV0 / DIV0NULL
+    (Snowflake's most common safe-division idioms — the CASE guard
+    keeps ANSI division-by-zero loud semantics out of the 0-divisor
+    branch exactly like Snowflake), REGEXP_SUBSTR_ALL (every match in
+    order; positional variants refuse), and the ``COLLATE '<spec>'``
+    clause lowered to SPARK'S NATIVE COLLATIONS — 'en-ci'/'ci' ->
+    COLLATE UTF8_LCASE (real collation comparison in the JVM, not a
+    lower() rewrite of the engine's making), binary/cs specs drop to
+    Spark's default binary collation, locale/accent/trim specs refuse
+    loudly (a wrong collation silently changes every comparison).
+    Also refused loudly with guidance: 2-arg INITCAP (no Spark
+    delimiter-set form), MINHASH / MINHASH_COMBINE /
+    APPROXIMATE_SIMILARITY / APPROXIMATE_JACCARD_INDEX (the engine's
+    MinHash dedup operators are the real path). All per-row JVM
+    expressions; pushdown/codegen untouched
+    (functions/sqldialect.py:rewrite_collate, _SCALAR_REWRITES).""",
+    tags=("sql-surface", "dialect", "functions", "scalars"),
+)
+def f34_everyday_scalars3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import lower_select
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(lower_select(_F34_SNOWFLAKE_TEXT))

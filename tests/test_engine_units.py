@@ -4513,3 +4513,44 @@ def test_create_function_sql_udf(spark):
     ]:
         with _pytest.raises(ValueError, match=msg):
             create_function_statement(spark, bad)
+
+
+def test_probe_battery4_semantics(spark):
+    """r12 probe-battery-4: DIV0/DIV0NULL zero-and-null division,
+    REGEXP_SUBSTR_ALL ordering, COLLATE spec mapping, and the loud
+    refusals (2-arg INITCAP, MinHash sketch functions, unsupported
+    collations, positional REGEXP_SUBSTR_ALL)."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        lower_select,
+        rewrite_collate,
+    )
+
+    r = spark.sql(lower_select(
+        "SELECT DIV0(10, 0) AS a, DIV0(10.0, 4) AS b,"
+        " DIV0NULL(10, NULL) AS c, DIV0NULL(10, 0) AS d,"
+        " ARRAY_TO_STRING(REGEXP_SUBSTR_ALL('a1b22c333', '[0-9]+'), '|')"
+        "   AS m,"
+        " 'straße' = 'STRASSE' COLLATE 'en-ci' AS de_ci,"
+        " 'a' = 'A' COLLATE 'en-ci' AS ci, 'a' = 'A' COLLATE 'cs' AS cs"
+    )).first()
+    assert (float(r.a), float(r.b), float(r.c), float(r.d)) == (
+        0.0, 2.5, 0.0, 0.0)
+    assert r.m == "1|22|333"
+    assert r.ci is True and r.cs is False
+    # UTF8_LCASE is case-only (no locale tailoring) — documented edge
+    assert r.de_ci is False
+
+    for bad, msg in [
+        ("SELECT INITCAP(x, '-') FROM t", "delimiter-set"),
+        ("SELECT MINHASH(5, x) FROM t", "MinHash"),
+        ("SELECT APPROXIMATE_JACCARD_INDEX(m) FROM t", "MinHash"),
+        ("SELECT REGEXP_SUBSTR_ALL(x, 'p', 2) FROM t", "position"),
+        ("SELECT x = y COLLATE 'fr-ai' FROM t", "no exact Spark mapping"),
+        ("SELECT x = y COLLATE 'upper' FROM t", "no exact Spark mapping"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            lower_select(bad)
+    # the rewriter is a no-op without the clause
+    assert rewrite_collate("SELECT 1") == "SELECT 1"
