@@ -1961,9 +1961,16 @@ _SCALAR_REWRITES = {
     ),
     "SEQ4": lambda args: "monotonically_increasing_id()",
     "SEQ8": lambda args: "monotonically_increasing_id()",
+    # 2-arg form: max_line_length 0 = no wrapping (Spark's only mode);
+    # nonzero wrapping refuses rather than emitting unwrapped silently
     "BASE64_ENCODE": lambda args: (
         f"base64(CAST({args[0]} AS BINARY))"
         if len(args) == 1
+        or (len(args) == 2 and args[1].strip() == "0")
+        else (_ for _ in ()).throw(ValueError(
+            "BASE64_ENCODE(input, max_line_length): Spark's base64"
+            " never wraps lines — only max_line_length = 0 is lowered"
+        )) if len(args) == 2
         else _bad("BASE64_ENCODE", args)
     ),
     "BASE64_DECODE_STRING": lambda args: (
@@ -2674,6 +2681,102 @@ _SCALAR_REWRITES = {
         f"(trim({args[0]}) = 'null')"
         if len(args) == 1
         else _bad("IS_NULL_VALUE", args)
+    ),
+    # AS_* strict variant casts (probe battery 5, r12): the typed
+    # extraction twins of the IS_* family — value when the JSON-text
+    # VARIANT holds that type, NULL otherwise (Snowflake's contract;
+    # never a coercion)
+    "AS_INTEGER": lambda args: (
+        f"(CASE WHEN trim({args[0]}) RLIKE '^-?[0-9]+$'"
+        f" THEN CAST(trim({args[0]}) AS BIGINT) END)"
+        if len(args) == 1
+        else _bad("AS_INTEGER", args)
+    ),
+    "AS_NUMBER": lambda args: (
+        f"(CASE WHEN trim({args[0]}) RLIKE '^-?[0-9]+$'"
+        f" THEN CAST(trim({args[0]}) AS BIGINT) END)"
+        if len(args) == 1
+        else _bad("AS_NUMBER", args)
+    ),
+    "AS_DOUBLE": lambda args: (
+        f"(CASE WHEN trim({args[0]}) RLIKE"
+        f" '^-?[0-9]+(\\\\.[0-9]+)?([eE][+-]?[0-9]+)?$'"
+        f" THEN CAST(trim({args[0]}) AS DOUBLE) END)"
+        if len(args) == 1
+        else _bad("AS_DOUBLE", args)
+    ),
+    "AS_REAL": lambda args: (
+        f"(CASE WHEN trim({args[0]}) RLIKE"
+        f" '^-?[0-9]+(\\\\.[0-9]+)?([eE][+-]?[0-9]+)?$'"
+        f" THEN CAST(trim({args[0]}) AS DOUBLE) END)"
+        if len(args) == 1
+        else _bad("AS_REAL", args)
+    ),
+    "AS_VARCHAR": lambda args: (
+        f"(CASE WHEN startswith(trim({args[0]}), '\"')"
+        f" THEN get_json_object({args[0]}, '$') END)"
+        if len(args) == 1
+        else _bad("AS_VARCHAR", args)
+    ),
+    "AS_CHAR": lambda args: (
+        f"(CASE WHEN startswith(trim({args[0]}), '\"')"
+        f" THEN get_json_object({args[0]}, '$') END)"
+        if len(args) == 1
+        else _bad("AS_CHAR", args)
+    ),
+    "AS_BOOLEAN": lambda args: (
+        f"(CASE WHEN trim({args[0]}) IN ('true', 'false')"
+        f" THEN trim({args[0]}) = 'true' END)"
+        if len(args) == 1
+        else _bad("AS_BOOLEAN", args)
+    ),
+    "AS_ARRAY": lambda args: (
+        f"(CASE WHEN startswith(trim({args[0]}), '[')"
+        f" THEN {args[0]} END)"
+        if len(args) == 1
+        else _bad("AS_ARRAY", args)
+    ),
+    "AS_OBJECT": lambda args: (
+        f"(CASE WHEN startswith(trim({args[0]}), '{{')"
+        f" THEN {args[0]} END)"
+        if len(args) == 1
+        else _bad("AS_OBJECT", args)
+    ),
+    "AS_DATE": lambda args: (
+        f"(CASE WHEN startswith(trim({args[0]}), '\"')"
+        f" THEN try_cast(get_json_object({args[0]}, '$') AS DATE) END)"
+        if len(args) == 1
+        else _bad("AS_DATE", args)
+    ),
+    "AS_TIMESTAMP_NTZ": lambda args: (
+        f"(CASE WHEN startswith(trim({args[0]}), '\"')"
+        f" THEN try_cast(get_json_object({args[0]}, '$') AS TIMESTAMP)"
+        f" END)"
+        if len(args) == 1
+        else _bad("AS_TIMESTAMP_NTZ", args)
+    ),
+    # TO_JSON over the engine's JSON-text VARIANT convention is the
+    # identity (the VARIANT already IS its json text)
+    "TO_JSON": lambda args: (
+        f"CAST({args[0]} AS STRING)"
+        if len(args) == 1
+        else _bad("TO_JSON", args)
+    ),
+    "SQUARE": lambda args: (
+        f"(({args[0]}) * ({args[0]}))"
+        if len(args) == 1
+        else _bad("SQUARE", args)
+    ),
+    # great-circle distance in km, Snowflake's HAVERSINE signature
+    # (lat1, lon1, lat2, lon2); IEEE trig composition — keep out of
+    # bit-exact oracles unless rounded
+    "HAVERSINE": lambda args: (
+        "(2 * 6371 * asin(sqrt("
+        f"pow(sin(radians(({args[2]}) - ({args[0]})) / 2), 2)"
+        f" + cos(radians({args[0]})) * cos(radians({args[2]}))"
+        f" * pow(sin(radians(({args[3]}) - ({args[1]})) / 2), 2))))"
+        if len(args) == 4
+        else _bad("HAVERSINE", args)
     ),
     "IS_VARCHAR": lambda args: (
         f"(startswith(trim({args[0]}), '\"'))"

@@ -10355,7 +10355,10 @@ SELECT o_orderkey,
        ARRAY_TO_STRING(REGEXP_SUBSTR_ALL(o_orderpriority, '[0-9]+'), '|')
            AS prio_digits,
        o_orderpriority = UPPER(o_orderpriority) COLLATE 'en-ci' AS prio_ci,
-       o_orderstatus = UPPER(o_orderstatus) COLLATE 'utf8' AS status_cs
+       o_orderstatus = UPPER(o_orderstatus) COLLATE 'utf8' AS status_cs,
+       AS_INTEGER(CAST(o_orderkey AS STRING)) AS v_int,
+       AS_VARCHAR('"' || o_orderstatus || '"') AS v_str,
+       AS_INTEGER('"' || o_orderstatus || '"') AS v_miss
 FROM orders
 WHERE o_orderkey % 13 = 0
 """
@@ -10376,7 +10379,10 @@ WHERE o_orderkey % 13 = 0
                            '|') AS prio_digits,
            lower(o_orderpriority) = lower(upper(o_orderpriority))
                AS prio_ci,
-           o_orderstatus = upper(o_orderstatus) AS status_cs
+           o_orderstatus = upper(o_orderstatus) AS status_cs,
+           o_orderkey AS v_int,
+           o_orderstatus AS v_str,
+           CAST(NULL AS BIGINT) AS v_miss
     FROM orders
     WHERE o_orderkey % 13 = 0
     """,

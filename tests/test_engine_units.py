@@ -4554,3 +4554,49 @@ def test_probe_battery4_semantics(spark):
             lower_select(bad)
     # the rewriter is a no-op without the clause
     assert rewrite_collate("SELECT 1") == "SELECT 1"
+
+
+def test_probe_battery5_variant_casts(spark):
+    """r12 probe-battery-5: the AS_* strict variant-cast family
+    (value when the JSON-text VARIANT holds that type, NULL otherwise
+    — never a coercion), TO_JSON identity over the JSON-text
+    convention, SQUARE, HAVERSINE, BASE64_ENCODE line-length arg."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        lower_select,
+    )
+
+    r = spark.sql(lower_select("""
+        SELECT AS_INTEGER(PARSE_JSON('1')) AS i,
+               AS_INTEGER(PARSE_JSON('"x"')) AS i2,
+               AS_INTEGER(PARSE_JSON('1.5')) AS i3,
+               AS_VARCHAR(PARSE_JSON('"hi"')) AS s,
+               AS_VARCHAR(PARSE_JSON('1')) AS s2,
+               AS_DOUBLE(PARSE_JSON('1.5e2')) AS d,
+               AS_BOOLEAN(PARSE_JSON('true')) AS b,
+               AS_BOOLEAN(PARSE_JSON('1')) AS b2,
+               AS_ARRAY(PARSE_JSON('[1,2]')) AS a,
+               AS_ARRAY(PARSE_JSON('1')) AS a2,
+               AS_OBJECT(PARSE_JSON('{"k":1}')) AS o,
+               AS_DATE(PARSE_JSON('"2024-02-29"')) AS dt,
+               AS_DATE(PARSE_JSON('"nope"')) AS dt2,
+               AS_TIMESTAMP_NTZ(PARSE_JSON('"2024-02-29 12:00:00"')) AS ts,
+               TO_JSON(PARSE_JSON('{"a":1}')) AS tj,
+               SQUARE(4) AS sq,
+               BASE64_ENCODE('ab', 0) AS b64,
+               ROUND(HAVERSINE(40.7127, -74.0059, 34.05, -118.25), 0) AS hv
+    """)).first()
+    import datetime as _dt
+
+    assert (r.i, r.i2, r.i3) == (1, None, None)
+    assert (r.s, r.s2) == ("hi", None)
+    assert r.d == 150.0 and r.b is True and r.b2 is None
+    assert (r.a, r.a2) == ("[1,2]", None)
+    assert r.o == '{"k":1}'
+    assert r.dt == _dt.date(2024, 2, 29) and r.dt2 is None
+    assert r.ts == _dt.datetime(2024, 2, 29, 12)
+    assert r.tj == '{"a":1}' and r.sq == 16 and r.b64 == "YWI="
+    assert r.hv == 3936.0  # NYC -> LA great-circle km
+    with _pytest.raises(ValueError, match="max_line_length"):
+        lower_select("SELECT BASE64_ENCODE('ab', 76)")
