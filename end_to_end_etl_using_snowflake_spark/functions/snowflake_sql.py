@@ -246,6 +246,21 @@ def snowflake_sql(
         pipe.pause() if m.group(2) == "true" else pipe.resume()
         return _ok(spark)
 
+    m = re.fullmatch(
+        r"select\s+get_ddl\s*\(\s*'table'\s*,\s*'([\w.]+)'\s*\)", low
+    )
+    if m:
+        if pipelines is None:
+            raise ValueError(f"GET_DDL needs a pipeline context: {stmt!r}")
+        return spark.createDataFrame(
+            [(pipelines.wh.get_ddl(m.group(1)),)], "ddl string"
+        )
+    if "get_ddl" in low:
+        raise ValueError(
+            "GET_DDL supports SELECT GET_DDL('TABLE', '<name>') only"
+            " (views/tasks/pipes describe through SHOW/DESC)"
+        )
+
     m = re.search(r"system\$pipe_status\s*\(\s*'([^']+)'\s*\)", low)
     if m:
         s = _find_pipe(pipelines, m.group(1)).status()

@@ -183,3 +183,52 @@ class Warehouse:
             "schema_name string, table_name string, ordinal long, "
             "column_name string, data_type string, nullable boolean",
         )
+
+    def get_ddl(self, name: str) -> str:
+        """``GET_DDL('TABLE', '<name>')`` (r12): reconstruct the
+        Snowflake-style CREATE statement from the registered typed
+        struct — the reverse of the S5 typed-DDL declaration, so a
+        user can round-trip a table definition out of the engine.
+        Spark types render as their Snowflake spellings (STRING ->
+        VARCHAR, BIGINT -> NUMBER(38,0), DOUBLE -> FLOAT, DECIMAL ->
+        NUMBER(p,s), TIMESTAMP -> TIMESTAMP_NTZ); a partitioned
+        layout surfaces as CLUSTER BY, the physical contract sql53
+        gives that clause. Name resolves as schema.name or by unique
+        short name; unknown/ambiguous names refuse."""
+        low = name.lower()
+        hits = [
+            k for k in self._tables
+            if f"{k[0]}.{k[1]}".lower() == low or k[1].lower() == low
+        ]
+        if len(hits) != 1:
+            raise ValueError(
+                f"GET_DDL: table {name!r} is "
+                + ("ambiguous: " + str(sorted(hits)) if hits
+                   else "not registered")
+            )
+        (schema, tname) = hits[0]
+        t = self._tables[(schema, tname)]
+        sf = {
+            "string": "VARCHAR", "bigint": "NUMBER(38,0)",
+            "int": "NUMBER(38,0)", "smallint": "NUMBER(38,0)",
+            "double": "FLOAT", "float": "FLOAT", "boolean": "BOOLEAN",
+            "date": "DATE", "timestamp": "TIMESTAMP_NTZ",
+            "timestamp_ntz": "TIMESTAMP_NTZ", "binary": "BINARY",
+        }
+        cols = []
+        for f in t.schema.fields:
+            s = f.dataType.simpleString()
+            if s.startswith("decimal("):
+                typ = "NUMBER" + s[len("decimal"):]
+            else:
+                typ = sf.get(s, s.upper())
+            cols.append(
+                f"\t{f.name} {typ}{'' if f.nullable else ' NOT NULL'}"
+            )
+        ddl = (
+            f"create or replace TABLE {schema.upper()}.{tname.upper()} (\n"
+            + ",\n".join(cols) + "\n)"
+        )
+        if t.storage.partition_by:
+            ddl += " cluster by (" + ", ".join(t.storage.partition_by) + ")"
+        return ddl + ";"

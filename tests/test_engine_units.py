@@ -1265,6 +1265,20 @@ def test_snowflake_sql_dispatch_edges(spark, tmp_path):
     with _pytest.raises(ValueError, match="unknown table"):
         snowflake_sql(spark, "describe table nope_tbl;", p)
 
+    # GET_DDL (r12): round-trip the typed DDL out of the catalog
+    ddl = snowflake_sql(
+        spark, "select get_ddl('TABLE', 'raw.raw_customer');", p
+    ).first().ddl
+    assert ddl.startswith("create or replace TABLE RAW.RAW_CUSTOMER (")
+    assert "customer_id VARCHAR" in ddl and ddl.rstrip().endswith(";")
+    # short-name resolution + refusals
+    ddl2 = snowflake_sql(spark, "select get_ddl('TABLE', 'dim_customer');", p)
+    assert "NUMBER(38,0)" in ddl2.first().ddl  # identity key is bigint
+    with _pytest.raises(ValueError, match="not registered"):
+        snowflake_sql(spark, "select get_ddl('TABLE', 'nope');", p)
+    with _pytest.raises(ValueError, match="GET_DDL supports"):
+        snowflake_sql(spark, "select get_ddl('VIEW', 'v');", p)
+
     # unknown objects refuse loudly
     with _pytest.raises(ValueError, match="unknown pipe"):
         snowflake_sql(spark, "select system$pipe_status('stg.nope_pipe');", p)
