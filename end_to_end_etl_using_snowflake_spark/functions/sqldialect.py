@@ -2755,13 +2755,13 @@ _SCALAR_REWRITES = {
         if len(args) == 1
         else _bad("AS_TIMESTAMP_NTZ", args)
     ),
-    # TO_JSON over the engine's JSON-text VARIANT convention is the
-    # identity (the VARIANT already IS its json text)
-    "TO_JSON": lambda args: (
-        f"CAST({args[0]} AS STRING)"
-        if len(args) == 1
-        else _bad("TO_JSON", args)
-    ),
+    # TO_JSON deliberately NOT rewritten: Spark's native to_json
+    # covers every constructor output (struct/map/array — including
+    # the 2-arg options form the semi-structured pass itself emits,
+    # which a naive identity rewrite here broke in r12: f18's
+    # OBJECT_CONSTRUCT_KEEP_NULL lowering re-entered this table).
+    # TO_JSON over a JSON-TEXT variant column errors loudly at
+    # analysis (the VARIANT already IS its json text — drop the call).
     "SQUARE": lambda args: (
         f"(({args[0]}) * ({args[0]}))"
         if len(args) == 1

@@ -4573,8 +4573,9 @@ def test_probe_battery4_semantics(spark):
 def test_probe_battery5_variant_casts(spark):
     """r12 probe-battery-5: the AS_* strict variant-cast family
     (value when the JSON-text VARIANT holds that type, NULL otherwise
-    — never a coercion), TO_JSON identity over the JSON-text
-    convention, SQUARE, HAVERSINE, BASE64_ENCODE line-length arg."""
+    — never a coercion), SQUARE, HAVERSINE, BASE64_ENCODE line-length
+    arg; TO_JSON stays native-Spark (struct/map/array) and a native
+    to_json still composes with the variant constructors."""
     import pytest as _pytest
 
     from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
@@ -4596,7 +4597,6 @@ def test_probe_battery5_variant_casts(spark):
                AS_DATE(PARSE_JSON('"2024-02-29"')) AS dt,
                AS_DATE(PARSE_JSON('"nope"')) AS dt2,
                AS_TIMESTAMP_NTZ(PARSE_JSON('"2024-02-29 12:00:00"')) AS ts,
-               TO_JSON(PARSE_JSON('{"a":1}')) AS tj,
                SQUARE(4) AS sq,
                BASE64_ENCODE('ab', 0) AS b64,
                ROUND(HAVERSINE(40.7127, -74.0059, 34.05, -118.25), 0) AS hv
@@ -4610,7 +4610,7 @@ def test_probe_battery5_variant_casts(spark):
     assert r.o == '{"k":1}'
     assert r.dt == _dt.date(2024, 2, 29) and r.dt2 is None
     assert r.ts == _dt.datetime(2024, 2, 29, 12)
-    assert r.tj == '{"a":1}' and r.sq == 16 and r.b64 == "YWI="
+    assert r.sq == 16 and r.b64 == "YWI="
     assert r.hv == 3936.0  # NYC -> LA great-circle km
     with _pytest.raises(ValueError, match="max_line_length"):
         lower_select("SELECT BASE64_ENCODE('ab', 76)")
