@@ -422,25 +422,42 @@ def execute_immediate(
     body = stmt[m.end():].strip()
     if body.startswith("$$") and body.endswith("$$") and len(body) >= 4:
         inner = body[2:-2]
-    elif body.startswith("'") and body.endswith("'") and len(body) >= 2:
+    elif (
+        body.startswith("'") and body.endswith("'") and len(body) >= 2
+        # ONE literal, not an expression that merely starts and ends
+        # with a quote ('SELECT ' || $v): after collapsing the ''
+        # self-escape, no quote may remain inside
+        and "'" not in body[1:-1].replace("''", "")
+    ):
         inner = body[1:-1].replace("''", "'")
     else:
         vm = _VAR_REF.fullmatch(body)
-        if vm is None:
-            raise ValueError(
-                "EXECUTE IMMEDIATE takes a string literal, a $$-quoted"
-                f" body, or a $variable — got {body[:40]!r}"
+        if vm is not None:
+            name = vm.group(1).upper()
+            if name not in variables:
+                raise ValueError(
+                    f"Session variable '${name}' does not exist"
+                )
+            var = variables[name]
+            if var.sf_type != "text":
+                raise ValueError(
+                    f"EXECUTE IMMEDIATE ${name}: variable is"
+                    f" {var.sf_type}, not text"
+                )
+            inner = var.value
+        else:
+            # Snowflake takes any string EXPRESSION ('SELECT ' ||
+            # $col) — evaluate it, require text
+            val = _eval_scalar(
+                spark, substitute_variables(body, variables)
             )
-        name = vm.group(1).upper()
-        if name not in variables:
-            raise ValueError(f"Session variable '${name}' does not exist")
-        var = variables[name]
-        if var.sf_type != "text":
-            raise ValueError(
-                f"EXECUTE IMMEDIATE ${name}: variable is {var.sf_type},"
-                " not text"
-            )
-        inner = var.value
+            if not isinstance(val, str):
+                raise ValueError(
+                    "EXECUTE IMMEDIATE takes a string literal, a"
+                    " $$-quoted body, a $variable, or a string"
+                    f" expression — got {body[:40]!r}"
+                )
+            inner = val
     return console_script(spark, inner, variables=variables, **ctx)
 
 

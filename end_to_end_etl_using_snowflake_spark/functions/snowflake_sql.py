@@ -255,7 +255,7 @@ def snowflake_sql(
         return spark.createDataFrame(
             [(pipelines.wh.get_ddl(m.group(1)),)], "ddl string"
         )
-    if "get_ddl" in low:
+    if re.search(r"\bget_ddl\s*\(", low):
         raise ValueError(
             "GET_DDL supports SELECT GET_DDL('TABLE', '<name>') only"
             " (views/tasks/pipes describe through SHOW/DESC)"

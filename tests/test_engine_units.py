@@ -4614,3 +4614,28 @@ def test_probe_battery5_variant_casts(spark):
     assert r.hv == 3936.0  # NYC -> LA great-circle km
     with _pytest.raises(ValueError, match="max_line_length"):
         lower_select("SELECT BASE64_ENCODE('ab', 76)")
+
+
+def test_execute_immediate_string_expressions(spark):
+    """r12 self-audit fix: EXECUTE IMMEDIATE takes any string
+    EXPRESSION ('SELECT ' || $v — Snowflake's contract), and an
+    expression that merely starts and ends with a quote is not
+    mis-parsed as one literal; non-string expressions refuse."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.scripting import (
+        console_script,
+    )
+
+    assert console_script(spark, """
+        SET col = 'doubled';
+        SET n = 21;
+        EXECUTE IMMEDIATE 'SELECT ' || CAST($n * 2 AS STRING)
+            || ' AS ' || $col;
+    """).first().doubled == 42
+    # '' self-escape still round-trips in the single-literal path
+    assert console_script(
+        spark, "EXECUTE IMMEDIATE 'SELECT ''a''''b'' AS s'"
+    ).first().s == "a'b"
+    with _pytest.raises(ValueError, match="string"):
+        console_script(spark, "EXECUTE IMMEDIATE 1 + 2")
