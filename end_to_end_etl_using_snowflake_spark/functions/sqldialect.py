@@ -5457,7 +5457,40 @@ def rewrite_collate(sql: str) -> str:
             " Spark mapping"
         )
 
-    return _COLLATE_RE.sub(repl, sql)
+    # literal-aware scan: the word COLLATE inside a '...' string must
+    # never rewrite (the spec operand itself is matched WITH its
+    # quotes by the regex, so scanning code spans only is safe)
+    out: list[str] = []
+    i, n = 0, len(sql)
+    span = 0
+    while i < n:
+        if sql[i] == "'":
+            out.append(_COLLATE_RE.sub(repl, sql[span:i]))
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and sql[j + 1 : j + 2] == "'":
+                    j += 2
+                elif sql[j] == "'":
+                    break
+                else:
+                    j += 1
+            # include the literal verbatim — UNLESS it is the operand
+            # of a COLLATE immediately before it (the regex needs to
+            # see keyword + operand together, so splice them)
+            tail_code = out[-1]
+            if re.search(r"COLLATE\s*$", tail_code, re.IGNORECASE):
+                merged = _COLLATE_RE.sub(
+                    repl, tail_code + sql[i : j + 1]
+                )
+                out[-1] = merged
+            else:
+                out.append(sql[i : j + 1])
+            i = j + 1
+            span = i
+        else:
+            i += 1
+    out.append(_COLLATE_RE.sub(repl, sql[span:]))
+    return "".join(out)
 
 
 def lower_select(sql: str) -> str:
