@@ -10410,3 +10410,54 @@ def f34_everyday_scalars3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(lower_select(_F34_SNOWFLAKE_TEXT))
+
+
+_SQL58_CONSOLE_SESSION = """
+ALTER SESSION SET QUERY_TAG = 'r12-console-replay';
+SET region = 'ASIA';
+SET rkey = (SELECT r_regionkey FROM region WHERE r_name = $region);
+CREATE OR REPLACE FUNCTION nation_label(n VARCHAR, k NUMBER)
+  RETURNS VARCHAR LANGUAGE SQL AS 'n || ''#'' || CAST(k AS STRING)';
+SELECT n_nationkey, nation_label(n_name, n_nationkey) AS label
+FROM nation WHERE n_regionkey = $rkey;
+SELECT CAST(COUNT(1) AS BIGINT) AS n_rows, MIN(label) AS first_label,
+       CAST($rkey AS BIGINT) AS region_key
+FROM TABLE(RESULT_SCAN(LAST_QUERY_ID()));
+"""
+
+
+@register(
+    "sql58_console_session",
+    oracle="""
+    WITH rk AS (
+        SELECT r_regionkey AS k FROM region WHERE r_name = 'ASIA'
+    ),
+    lab AS (
+        SELECT n_name || '#' || CAST(n_nationkey AS VARCHAR) AS label
+        FROM nation WHERE n_regionkey = (SELECT k FROM rk)
+    )
+    SELECT CAST(COUNT(1) AS BIGINT) AS n_rows,
+           MIN(label) AS first_label,
+           CAST((SELECT k FROM rk) AS BIGINT) AS region_key
+    FROM lab
+    """,
+    doc="""END-TO-END CONSOLE SESSION replay (r12 capstone): one
+    script through `console_script` composing the whole new surface
+    in the order a real worksheet uses it — ALTER SESSION SET (tag
+    recorded), SET with a literal then a QUERY expression (evaluated
+    once at set time; `$rkey` thereafter a foldable literal), CREATE
+    FUNCTION (a SQL UDF Catalyst inlines), a SELECT using the UDF and
+    the variable, and a final show-then-filter aggregate over
+    TABLE(RESULT_SCAN(LAST_QUERY_ID())). The oracle restates the
+    whole session closed-form. Each piece is also unit-pinned alone;
+    this entry pins the COMPOSITION (statement ordering, shared
+    variable state, result-history handoff)
+    (functions/scripting.py:console_script).""",
+    tags=("sql-surface", "dialect", "scripting", "composition"),
+)
+def sql58_console_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scripting import console_script
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return console_script(spark, _SQL58_CONSOLE_SESSION)

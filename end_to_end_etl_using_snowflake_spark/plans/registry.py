@@ -121,9 +121,10 @@ PRIORITY: tuple[str, ...] = (
     # ---- 51+: ascending last-green round (stalest first), so
     # the r13 rotation simply takes the prefix; everything is
     # still locally oracle-checked per pytest run.
-    # never driver-checked (r12 addition past the 50-slot window;
-    # heads the r13 rotation)
+    # never driver-checked (r12 additions past the 50-slot window;
+    # these head the r13 rotation)
     "f34_everyday_scalars3",
+    "sql58_console_session",
     # last driver-green r7
     "a4_count_distinct",
     "a5_rollup",
