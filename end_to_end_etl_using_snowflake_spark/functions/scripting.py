@@ -468,6 +468,7 @@ def console_script(
     tables: dict | None = None,
     stages: dict | None = None,
     variables: dict[str, SessionVariable] | None = None,
+    procedures: dict | None = None,
 ) -> DataFrame | None:
     """Run a ``;``-separated console script with session-variable
     state; returns the LAST statement's result relation (what the
@@ -480,6 +481,8 @@ def console_script(
     transaction_script's)."""
     if variables is None:
         variables = {}
+    if procedures is None:
+        procedures = {}
     result: DataFrame | None = None
     whole = text.strip()
     stmts = [whole] if _is_block(whole) else _split_script(text)
@@ -531,6 +534,16 @@ def console_script(
         if low.startswith("execute immediate"):
             result = execute_immediate(
                 spark, bare, variables,
+                pipelines=pipelines, tables=tables, stages=stages,
+                procedures=procedures,
+            )
+            continue
+        if re.match(r"create\s+(or\s+replace\s+)?procedure\b", low):
+            result = create_procedure_statement(spark, stmt, procedures)
+            continue
+        if low.startswith("call "):
+            result = call_statement(
+                spark, bare, variables, procedures,
                 pipelines=pipelines, tables=tables, stages=stages,
             )
             continue
@@ -776,6 +789,8 @@ def scripting_block(
     pipelines=None,
     tables: dict | None = None,
     stages: dict | None = None,
+    initial_vars: dict[str, SessionVariable] | None = None,
+    result_name: str = "anonymous_block",
 ) -> DataFrame:
     """Run an anonymous ``[DECLARE ...] BEGIN ... END`` block (the
     stored-procedure-body paste). Supported: typed DECLARE with
@@ -800,7 +815,7 @@ def scripting_block(
         raise ValueError(
             "EXCEPTION sections are not supported in scripting blocks"
         )
-    block_vars: dict[str, SessionVariable] = {}
+    block_vars: dict[str, SessionVariable] = dict(initial_vars or {})
 
     def eval_expr(expr: str):
         resolved = substitute_variables(
@@ -866,4 +881,127 @@ def scripting_block(
             if dm2 is not None:
                 tables[_dml_key(tables, dm2.group("t"))] = out
     literal, _t = _render_literal(returned if has_return else None)
-    return spark.sql(f"SELECT {literal} AS anonymous_block")
+    return spark.sql(f"SELECT {literal} AS {result_name}")
+
+
+# ---------------------------------------------------------------------------
+# stored procedures (CREATE PROCEDURE ... AS $$block$$; CALL)
+# ---------------------------------------------------------------------------
+
+
+class SqlProcedure:
+    """One registered SQL procedure: typed parameter list + the block
+    body text (parsed fresh at every CALL — the block interpreter owns
+    all semantics)."""
+
+    __slots__ = ("name", "params", "body")
+
+    def __init__(self, name: str, params: list[tuple[str, str]], body: str):
+        self.name = name
+        self.params = params
+        self.body = body
+
+
+_CREATE_PROC_RE = re.compile(
+    r"CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\s+(?P<name>[A-Za-z_]\w*)\s*"
+    r"\((?P<params>(?:[^()]|\([^()]*\))*)\)\s*"
+    r"RETURNS\s+(?P<ret>[A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+    r"\s*(?P<tail>.*?)\s*AS\s+(?P<body>'(?:[^']|'')*'|\$\$.*?\$\$)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_CALL_RE = re.compile(
+    r"CALL\s+(?P<name>[A-Za-z_]\w*)\s*\((?P<args>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def create_procedure_statement(
+    spark: SparkSession, text: str, procedures: dict[str, SqlProcedure]
+) -> DataFrame:
+    """``CREATE [OR REPLACE] PROCEDURE p(x NUMBER, ...) RETURNS <type>
+    [LANGUAGE SQL] [EXECUTE AS CALLER|OWNER] AS $$ BEGIN ... END $$``
+    — the paste-a-stored-procedure statement. The body must be a
+    scripting block (the conservative subset ``scripting_block``
+    runs); parameters bind as pre-declared block variables at CALL.
+    Non-SQL LANGUAGEs refuse; EXECUTE AS is tolerated (the engine has
+    one principal). The RETURNS type is advisory, like Snowflake's
+    own (the block's RETURN value is what comes back)."""
+    s = _strip_line_comments(text).strip().rstrip(";").strip()
+    m = _CREATE_PROC_RE.match(s)
+    if m is None:
+        raise ValueError(
+            "unsupported CREATE PROCEDURE shape (need CREATE [OR"
+            " REPLACE] PROCEDURE name(args) RETURNS type [LANGUAGE"
+            f" SQL] AS $$ <block> $$): {s[:80]!r}"
+        )
+    tail = " ".join(m.group("tail").upper().split())
+    if tail:
+        ok = re.fullmatch(
+            r"(?:LANGUAGE\s+SQL\s*|EXECUTE\s+AS\s+(?:CALLER|OWNER)\s*)*",
+            tail,
+        )
+        lang = re.search(r"LANGUAGE\s+(\w+)", tail)
+        if (lang and lang.group(1) != "SQL") or ok is None:
+            raise ValueError(
+                f"unsupported CREATE PROCEDURE clause: {tail[:40]!r}"
+                " (LANGUAGE SQL only; JS/Python/Java bodies have no"
+                " engine mapping)"
+            )
+    body = m.group("body")
+    body = (body[2:-2] if body.startswith("$$")
+            else body[1:-1].replace("''", "'")).strip()
+    if not _is_block(body):
+        raise ValueError(
+            "CREATE PROCEDURE: the body must be a scripting block"
+            " ([DECLARE ...] BEGIN ... END) — single-statement bodies"
+            " run directly through console_script / snowflake_sql"
+        )
+    params: list[tuple[str, str]] = []
+    for p in _split_top_commas(m.group("params")):
+        if not p:
+            continue
+        pm = re.fullmatch(r"([A-Za-z_]\w*)\s+(.+)", p.strip(), re.DOTALL)
+        if pm is None:
+            raise ValueError(f"unsupported parameter spelling: {p!r}")
+        _sf_type_to_spark(pm.group(2))  # validate the type spelling
+        params.append((pm.group(1).upper(), pm.group(2).strip()))
+    procedures[m.group("name").upper()] = SqlProcedure(
+        m.group("name"), params, body
+    )
+    return _ok_status(spark)
+
+
+def call_statement(
+    spark: SparkSession,
+    stmt: str,
+    variables: dict[str, SessionVariable],
+    procedures: dict[str, SqlProcedure],
+    **ctx,
+) -> DataFrame:
+    """``CALL p(<expr>, ...)`` — evaluate the arguments (session
+    variables resolve), bind them as the procedure's block variables,
+    run the body block, and return Snowflake's one-column result
+    relation named after the procedure."""
+    m = _CALL_RE.match(stmt)
+    if m is None:
+        raise ValueError(f"unsupported CALL shape: {stmt[:60]!r}")
+    key = m.group("name").upper()
+    if key not in procedures:
+        raise ValueError(f"unknown procedure: {m.group('name')!r}")
+    proc = procedures[key]
+    raw_args = [a for a in _split_top_commas(m.group("args")) if a]
+    if len(raw_args) != len(proc.params):
+        raise ValueError(
+            f"CALL {proc.name}: {len(proc.params)} parameters but"
+            f" {len(raw_args)} arguments"
+        )
+    bound: dict[str, SessionVariable] = {}
+    for (pname, _ptype), arg in zip(proc.params, raw_args):
+        value = _eval_scalar(spark, substitute_variables(arg, variables))
+        literal, sf_type = _render_literal(value)
+        bound[pname] = SessionVariable(value, literal, sf_type)
+    return scripting_block(
+        spark, proc.body, variables,
+        initial_vars=bound, result_name=proc.name.lower(), **ctx,
+    )

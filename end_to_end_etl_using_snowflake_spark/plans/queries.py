@@ -10461,3 +10461,72 @@ def sql58_console_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return console_script(spark, _SQL58_CONSOLE_SESSION)
+
+
+_SQL59_PROC_SCRIPT = """
+CREATE OR REPLACE PROCEDURE retire_nations(cutoff NUMBER, bump NUMBER)
+  RETURNS NUMBER LANGUAGE SQL EXECUTE AS CALLER
+  AS $$
+  DECLARE moved NUMBER DEFAULT 0;
+  BEGIN
+    UPDATE nation_work SET n_regionkey = n_regionkey + :bump
+     WHERE n_nationkey < :cutoff;
+    DELETE FROM nation_work WHERE n_nationkey >= :cutoff * 2;
+    LET moved := cutoff + bump;
+    RETURN moved;
+  END
+  $$;
+SET lim = 10;
+CALL retire_nations($lim, 100);
+"""
+
+
+@register(
+    "sql59_stored_procedure",
+    oracle="""
+    WITH work AS (
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey < 10 THEN n_regionkey + 100
+                    ELSE n_regionkey END AS n_regionkey
+        FROM nation
+        WHERE n_nationkey < 20
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_regionkey) AS BIGINT) AS region_sum,
+           CAST(110 AS BIGINT) AS proc_return
+    FROM work
+    """,
+    doc="""STORED PROCEDURES (r12): ``CREATE [OR REPLACE] PROCEDURE
+    p(x NUMBER, ...) RETURNS <type> [LANGUAGE SQL] [EXECUTE AS
+    CALLER|OWNER] AS $$ <block> $$`` registers the body (the
+    conservative scripting-block subset — sql56's machinery), and
+    ``CALL p(<expr>, ...)`` evaluates the arguments (session
+    variables resolve), binds them as block variables, runs the body
+    through the verbatim DML shims with read-your-writes, and returns
+    Snowflake's one-column relation named after the procedure.
+    Non-SQL LANGUAGEs, non-block bodies, arity mismatches, and
+    unknown procedures refuse loudly. The entry creates a
+    two-parameter UPDATE+DELETE procedure, CALLs it with a session
+    variable, and audits the post-CALL table plus the returned value;
+    the oracle replays the effects closed-form
+    (functions/scripting.py:create_procedure_statement,
+    call_statement).""",
+    tags=("sql-surface", "dialect", "scripting", "procedures", "dml"),
+)
+def sql59_stored_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scripting import console_script
+
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    tables = {"nation_work": nation}
+    ret = console_script(spark, _SQL59_PROC_SCRIPT, tables=tables)
+    audit = tables["nation_work"].agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_regionkey").cast("long").alias("region_sum"),
+    )
+    return audit.crossJoin(
+        ret.select(
+            F.col("retire_nations").cast("long").alias("proc_return")
+        )
+    )

@@ -125,6 +125,7 @@ PRIORITY: tuple[str, ...] = (
     # these head the r13 rotation)
     "f34_everyday_scalars3",
     "sql58_console_session",
+    "sql59_stored_procedure",
     # last driver-green r7
     "a4_count_distinct",
     "a5_rollup",

@@ -4639,3 +4639,61 @@ def test_execute_immediate_string_expressions(spark):
     ).first().s == "a'b"
     with _pytest.raises(ValueError, match="string"):
         console_script(spark, "EXECUTE IMMEDIATE 1 + 2")
+
+
+def test_stored_procedure_battery(spark):
+    """r12 stored procedures: CREATE PROCEDURE registers the block
+    body, CALL evaluates arguments (session variables resolve), binds
+    them as block variables, mutates tables with read-your-writes,
+    and returns the one-column relation named after the procedure;
+    arity/language/body-shape/unknown-name refusals."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.scripting import (
+        console_script,
+    )
+
+    tables = {"acct": spark.createDataFrame([(1, 100), (2, 50)],
+                                            "id int, bal int")}
+    out = console_script(spark, """
+        CREATE OR REPLACE PROCEDURE apply_fee(fee NUMBER, floor_bal NUMBER)
+          RETURNS NUMBER LANGUAGE SQL EXECUTE AS CALLER
+          AS $$
+          DECLARE applied NUMBER DEFAULT 0;
+          BEGIN
+            UPDATE acct SET bal = bal - :fee WHERE bal >= :floor_bal;
+            LET applied := fee * 2;
+            RETURN applied;
+          END
+          $$;
+        SET myfee = 10;
+        CALL apply_fee($myfee, 60);
+    """, tables=tables)
+    assert out.columns == ["apply_fee"] and out.first().apply_fee == 20
+    assert [(r.id, r.bal) for r in tables["acct"].orderBy("id").collect()] \
+        == [(1, 90), (2, 50)]
+
+    # OR REPLACE re-registers; CALL through EXECUTE IMMEDIATE shares
+    # the procedure registry
+    out2 = console_script(spark, """
+        CREATE OR REPLACE PROCEDURE twice(x NUMBER) RETURNS NUMBER
+          AS $$ BEGIN RETURN x * 2; END $$;
+        EXECUTE IMMEDIATE 'CALL twice(21)';
+    """)
+    assert out2.first().twice == 42
+
+    for bad, msg in [
+        ("CREATE PROCEDURE p() RETURNS NUMBER LANGUAGE JAVASCRIPT"
+         " AS 'return 1'", "LANGUAGE SQL only"),
+        ("CREATE PROCEDURE p() RETURNS NUMBER AS 'SELECT 1'",
+         "must be a scripting block"),
+        ("CALL nope()", "unknown procedure"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            console_script(spark, bad)
+    with _pytest.raises(ValueError, match="parameters but"):
+        console_script(spark, """
+            CREATE PROCEDURE one(x NUMBER) RETURNS NUMBER
+              AS $$ BEGIN RETURN x; END $$;
+            CALL one(1, 2);
+        """)
