@@ -2004,8 +2004,11 @@ _SCALAR_REWRITES = {
     ),
     "JAROWINKLER_SIMILARITY": lambda args: (_ for _ in ()).throw(
         ValueError(
-            "JAROWINKLER_SIMILARITY has no Spark built-in; use"
-            " EDITDISTANCE (lowered to levenshtein) for fuzzy matching"
+            "JAROWINKLER_SIMILARITY has no Spark built-in; use the"
+            " engine's jaro_winkler_pairs operator (operators/"
+            "analysis.py, the x28 registry entry — q-gram-blocked"
+            " candidates scored by the standard DP, DuckDB-exact), or"
+            " EDITDISTANCE (lowered to levenshtein) for inline use"
         )
     ),
     # DIV0 / DIV0NULL (probe battery 4, r12): Snowflake's most common

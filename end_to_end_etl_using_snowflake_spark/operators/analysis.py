@@ -650,6 +650,112 @@ def fuzzy_name_pairs(
     )
 
 
+def _jaro_winkler_py(s1: str, s2: str) -> float:
+    """Standard Jaro-Winkler similarity (matching window
+    max(l1,l2)//2 - 1; transpositions = out-of-order matches / 2;
+    Winkler boost 0.1 per common-prefix char up to 4, applied only
+    when jaro > 0.7) — the exact definition DuckDB's
+    jaro_winkler_similarity implements, pinned value-for-value in the
+    unit battery so the oracle is a genuine cross-check."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    t //= 2
+    jaro = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    if jaro <= 0.7:
+        return jaro
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        prefix += 1
+    return jaro + prefix * 0.1 * (1.0 - jaro)
+
+
+def jaro_winkler_pairs(
+    df: DataFrame,
+    name_col: str,
+    q: int = 3,
+    len_tol: int = 4,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """JAROWINKLER_SIMILARITY as a scale operator (r12 — closing the
+    dialect refusal with the real thing): distinct-name pairs scoring
+    >= ``threshold``, found by the same q-gram blocking as
+    :func:`fuzzy_name_pairs` (the equi-self-join on grams IS the
+    operator at 100 TB; the all-pairs form is quadratic), then scored
+    by an Arrow-batched pandas UDF running the standard Jaro-Winkler
+    DP — a documented slow-path use of Python: per CANDIDATE pair
+    (already blocked+length-filtered), never per corpus row. Scores
+    round to 6 dp so both engines' IEEE orderings agree bit-exactly
+    in the comparison domain.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _jw_batch(a, b):
+        return pd.Series(
+            [_jaro_winkler_py(x, y) for x, y in zip(a, b)]
+        )
+
+    # this module uses `from __future__ import annotations`, which
+    # stringifies inline hints before pandas_udf can inspect them —
+    # set the evaluated annotations explicitly instead
+    _jw_batch.__annotations__ = {
+        "a": pd.Series, "b": pd.Series, "return": pd.Series,
+    }
+    jw = pandas_udf(_jw_batch, "double")
+
+    names = df.select(F.lower(F.col(name_col)).alias("nm")).distinct()
+    grams = names.select(
+        "nm",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(nm) - {q - 1}, 1)),"
+                f" i -> substring(nm, i, {q}))"
+            )
+        ).alias("g"),
+    ).distinct()
+    a = grams.select(F.col("nm").alias("n1"), "g")
+    b = grams.select(F.col("nm").alias("n2"), "g")
+    cand = (
+        a.join(b, "g")
+        .filter(F.col("n1") < F.col("n2"))
+        .filter(F.abs(F.length("n1") - F.length("n2")) <= F.lit(len_tol))
+        .select("n1", "n2")
+        .distinct()
+    )
+    return (
+        cand.withColumn("jw", F.round(jw(F.col("n1"), F.col("n2")), 6))
+        .filter(F.col("jw") >= F.lit(threshold))
+        .select("n1", "n2", "jw")
+    )
+
+
 def linear_quality_classifier(
     docs: DataFrame,
     id_col: str,

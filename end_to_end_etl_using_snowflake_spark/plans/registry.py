@@ -126,6 +126,7 @@ PRIORITY: tuple[str, ...] = (
     "f34_everyday_scalars3",
     "sql58_console_session",
     "sql59_stored_procedure",
+    "x28_jaro_winkler_join",
     # last driver-green r7
     "a4_count_distinct",
     "a5_rollup",

@@ -3942,7 +3942,7 @@ def test_everyday_scalar_pack2_semantics(spark):
     assert abs(agg.vp - 8.0 / 9.0) < 1e-12
     # no silent mistranslation: the two with no faithful equivalent
     for bad, msg in [
-        ("SELECT JAROWINKLER_SIMILARITY(a, b) FROM t", "EDITDISTANCE"),
+        ("SELECT JAROWINKLER_SIMILARITY(a, b) FROM t", "jaro_winkler_pairs"),
         ("SELECT OBJECT_INSERT(o, 'k', 1) FROM t", "OBJECT_CONSTRUCT"),
         ("SELECT OBJECT_DELETE(o, 'k') FROM t", "OBJECT_CONSTRUCT"),
         ("SELECT STRTOK(s, c, 1) FROM t", "string literal"),
@@ -4697,3 +4697,41 @@ def test_stored_procedure_battery(spark):
               AS $$ BEGIN RETURN x; END $$;
             CALL one(1, 2);
         """)
+
+
+def test_jaro_winkler_exactness(spark):
+    """r12: the python Jaro-Winkler DP is value-for-value identical to
+    DuckDB's native jaro_winkler_similarity (the x28 oracle), across
+    boost-threshold, transposition, window, prefix-cap, and
+    degenerate cases."""
+    import duckdb as _dd
+
+    from end_to_end_etl_using_snowflake_spark.operators.analysis import (
+        _jaro_winkler_py,
+        jaro_winkler_pairs,
+    )
+
+    cases = [
+        ("martha", "marhta"), ("DIXON", "DICKSONX"), ("abc", "abc"),
+        ("", "a"), ("CRATE", "TRACE"), ("arnab", "raanb"),
+        ("prefix", "prefixxx"), ("ab", "ba"), ("x", "y"),
+        ("JELLYFISH", "SMELLYFISH"), ("ax", "ay"), ("aqqqq", "azzzz"),
+        ("goldenrod lavender", "goldenrod lavendar"),
+        ("a" * 50, "a" * 49 + "b"),
+    ]
+    for a, b in cases:
+        d = _dd.sql(
+            f"SELECT jaro_winkler_similarity('{a}', '{b}')"
+        ).fetchone()[0]
+        assert abs(_jaro_winkler_py(a, b) - d) < 1e-12, (a, b)
+
+    # the operator end-to-end: a planted near-duplicate pair surfaces
+    df = spark.createDataFrame(
+        [("goldenrod lavender",), ("goldenrod lavendar",),
+         ("totally different",), ("unrelated name",)],
+        "name string",
+    )
+    rows = jaro_winkler_pairs(df, "name", threshold=0.9).collect()
+    assert [(r.n1, r.n2, r.jw) for r in rows] == [
+        ("goldenrod lavendar", "goldenrod lavender", 0.977778)
+    ]
