@@ -725,3 +725,20 @@ def test_sql_udf_body_inlines_into_the_plan(spark):
     assert "partial_count" in plan or "partial_sum" in plan, plan
     # the banding UDF's CASE landed in the scan-side project
     assert "CASE WHEN" in plan, plan
+
+
+def test_jaro_winkler_udf_runs_on_candidates_only(spark):
+    """x28's scale claim, enforced: the pandas-UDF Jaro-Winkler scan
+    (ArrowEvalPython) sits ABOVE the gram equi-join — it scores
+    blocked candidate pairs, never a corpus-sized or cartesian
+    relation."""
+    plan = plan_of(spark, "x28_jaro_winkler_join")
+    assert "ArrowEvalPython" in plan, plan
+    # the blocker is a real equi-join, not a cartesian product
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    # the UDF appears once, downstream of the join (the join's hash
+    # exchange precedes it in the plan text)
+    udf_at = plan.index("ArrowEvalPython")
+    assert "HashJoin" in plan[udf_at:] or "SortMergeJoin" in plan[udf_at:], (
+        "gram join must be below the UDF"
+    )
