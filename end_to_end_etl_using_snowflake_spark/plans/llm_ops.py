@@ -3497,9 +3497,14 @@ def v15_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT a.nm AS n1, b.nm AS n2
         FROM grams a JOIN grams b ON a.g = b.g AND a.nm < b.nm
         WHERE abs(length(a.nm) - length(b.nm)) <= 4
+    ),
+    pre AS (
+        SELECT n1, n2 FROM cand
+        WHERE levenshtein(n1, n2)
+              <= floor(0.5 * greatest(length(n1), length(n2)))
     )
     SELECT n1, n2, ROUND(jaro_winkler_similarity(n1, n2), 6) AS jw
-    FROM cand WHERE ROUND(jaro_winkler_similarity(n1, n2), 6) >= 0.9
+    FROM pre WHERE ROUND(jaro_winkler_similarity(n1, n2), 6) >= 0.9
     """,
     doc="""JAROWINKLER_SIMILARITY as a scale operator (r12 — the
     dialect refusal closed with the real thing): distinct part-name
@@ -3509,9 +3514,17 @@ def v15_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's native jaro_winkler_similarity in the unit battery, 14
     exact cases). Candidates come from the same 3-gram blocking as
     x18 (the equi-self-join on grams IS the operator at 100 TB; the
-    all-pairs form is quadratic); the DP runs in an Arrow-batched
-    pandas UDF over CANDIDATE pairs only — the documented slow-path
-    Python class, bounded by the blocker, never per corpus row.
+    all-pairs form is quadratic), HARDENED for the Python-DP cost
+    class: a JVM levenshtein prefilter (dist <= half the longer
+    length, implied by JW >= 0.9 — recall-free) disqualifies random
+    pairs in codegen before the Arrow-batched pandas UDF prices the
+    plausible ones (measured on a 20k hot-gram corpus: 474 s -> 92 s
+    at full planted recall), and an OPT-IN ``max_gram_freq`` cap
+    (d7's stop-shingle defense, 92 s -> 12 s there) trades recall for
+    cost where the candidate set is quadratic-hot — opt-in precisely
+    because that trade must be chosen (36% planted-recall loss on
+    that all-hot corpus). The documented slow-path Python class,
+    bounded by the blocker, never per corpus row.
     Scores round to 6 dp so both engines' IEEE orderings agree in the
     comparison domain (operators/analysis.py:jaro_winkler_pairs).""",
     tags=("fuzzy", "entity-resolution", "join", "udf"),
