@@ -2083,15 +2083,28 @@ _SCALAR_REWRITES = {
     ),
     "OBJECT_INSERT": lambda args: (_ for _ in ()).throw(
         ValueError(
-            "OBJECT_INSERT cannot be lowered losslessly over JSON-text"
-            " VARIANTs (value types would be re-encoded); restructure"
-            " with OBJECT_CONSTRUCT at build time"
+            "OBJECT_INSERT over an OPAQUE json-text VARIANT cannot be"
+            " lowered losslessly (each remaining value's type — string"
+            " vs number vs nested — is unrecoverable from extracted"
+            " text at re-serialization); it IS lowered compositionally"
+            " when the base object is an inline"
+            " OBJECT_CONSTRUCT[_KEEP_NULL](...) expression"
         )
     ),
     "OBJECT_DELETE": lambda args: (_ for _ in ()).throw(
         ValueError(
-            "OBJECT_DELETE cannot be lowered losslessly over JSON-text"
-            " VARIANTs; restructure with OBJECT_CONSTRUCT at build time"
+            "OBJECT_DELETE over an OPAQUE json-text VARIANT cannot be"
+            " lowered losslessly; it IS lowered compositionally when"
+            " the base object is an inline"
+            " OBJECT_CONSTRUCT[_KEEP_NULL](...) expression"
+        )
+    ),
+    "OBJECT_PICK": lambda args: (_ for _ in ()).throw(
+        ValueError(
+            "OBJECT_PICK over an OPAQUE json-text VARIANT cannot be"
+            " lowered losslessly; it IS lowered compositionally when"
+            " the base object is an inline"
+            " OBJECT_CONSTRUCT[_KEEP_NULL](...) expression"
         )
     ),
     "CHECK_JSON": lambda args: (
@@ -3872,15 +3885,28 @@ def _regexp_instr_rewrite(name: str, args: list) -> str:
     opt = _regex_int_literal(name, args, 4, 0)
     if pos < 1:
         raise ValueError(f"{name}: position must be >= 1")
-    if occ != 1:
-        raise ValueError(
-            f"{name}: occurrence > 1 is not lowered (no Spark builtin"
-            " reports the n-th match position)"
-        )
+    if occ < 1:
+        raise ValueError(f"{name}: occurrence must be >= 1")
     if opt not in (0, 1):
         raise ValueError(f"{name}: option must be 0 or 1")
     pat = _regex_pattern(name, args, flags)
     subject = args[0] if pos == 1 else f"substr({args[0]}, {pos})"
+    if occ > 1:
+        # n-th match position via the same splice as REGEXP_REPLACE's
+        # occurrence form: 1 + |seg_1||m_1||…||seg_occ prefix| (+ the
+        # match length when option=1), re-based by pos; 0 when fewer
+        # matches exist. Same runtime zero-width guard.
+        m = f"regexp_extract_all({subject}, {pat}, 0)"
+        g = f"split({subject}, {pat}, -1)"
+        before = _splice_pieces(subject, pat, f"sequence(1, {occ - 1})")
+        end = f" + length(element_at({m}, {occ}))" if opt == 1 else ""
+        bad, err = _occurrence_guard(name, subject, pat)
+        return (
+            f"(CASE WHEN size({m}) < {occ} THEN 0"
+            f" WHEN {bad} THEN {err}"
+            f" ELSE {pos - 1} + 1 + length({before})"
+            f" + length(element_at({g}, {occ})){end} END)"
+        )
     base = f"regexp_instr({subject}, {pat})"
     if pos == 1 and opt == 0:
         return base
@@ -3927,6 +3953,96 @@ def _java_replacement(name: str, raw: str) -> str:
     return "".join(out)
 
 
+def _splice_pieces(subject: str, pat: str, rng: str) -> str:
+    """``segment_i || match_i`` joined over the 1-based index range
+    ``rng`` — the building block of the occurrence splice. ``split``
+    and ``regexp_extract_all`` run the SAME java.util.regex engine
+    with the same leftmost-greedy find loop, so
+    ``s == seg_1 || m_1 || … || m_n || seg_{n+1}`` exactly whenever
+    the two agree on the match count (guarded at runtime)."""
+    m = f"regexp_extract_all({subject}, {pat}, 0)"
+    g = f"split({subject}, {pat}, -1)"
+    return (
+        f"array_join(transform({rng}, i -> concat(element_at({g}, i),"
+        f" element_at({m}, i))), '')"
+    )
+
+
+def _occurrence_guard(name: str, subject: str, pat: str) -> str:
+    """The zero-width defense: if ``split`` segments the subject
+    differently than the find loop counts matches (possible only for
+    patterns that can match the empty string, where Java's split
+    drops a leading zero-width delimiter), the splice would silently
+    reassemble a DIFFERENT string — refuse loudly at runtime instead."""
+    m = f"regexp_extract_all({subject}, {pat}, 0)"
+    g = f"split({subject}, {pat}, -1)"
+    return (
+        f"size({g}) <> size({m}) + 1"
+    ), (
+        f"raise_error('{name}: occurrence splice cannot segment this"
+        f" subject (pattern matches a zero-width span — Java split and"
+        f" the match loop disagree); rewrite the pattern to consume at"
+        f" least one character')"
+    )
+
+
+def _regexp_replace_occurrence(
+    name: str, args: list, pat: str, pos: int, occ: int
+) -> str:
+    """``REGEXP_REPLACE(s, pat, repl, pos, occ)`` with ``occ >= 1`` —
+    replace ONLY the occ-th match (Snowflake semantics; the subject is
+    returned unchanged when fewer matches exist). No Spark builtin
+    addresses a single occurrence, but the whole operation is a
+    deterministic SPLICE over two builtins that share one regex
+    engine: ``split`` yields the between-match segments, ``regexp_
+    extract_all`` the matches, and the result is
+    ``seg_1||m_1||…||seg_occ || REPL || seg_{occ+1}||m_{occ+1}||…`` —
+    all JVM-side, codegen-friendly, zero Python. Backreferences in the
+    replacement refuse (the replacement is spliced literally, never
+    re-matched — re-running the pattern against its own match text
+    can bind groups differently). Runtime guard: see
+    ``_occurrence_guard``."""
+    raw = _fmt_literal(args, 2, name) if len(args) >= 3 else ""
+    if raw is None:
+        raise ValueError(
+            f"{name}: replacement must be a string literal"
+        )
+    i = 0
+    while i < len(raw) - 2:
+        if raw[i] == "\\" and raw[i + 1] == "\\":
+            if raw[i + 2].isdigit():
+                raise ValueError(
+                    f"{name}: backreferences are not supported with an"
+                    " occurrence argument (the single-occurrence splice"
+                    " inserts the replacement literally; re-matching the"
+                    " pattern against its own match text to bind groups"
+                    " is not guaranteed to reproduce the in-context"
+                    " capture) — use occurrence 0 or restructure"
+                )
+            i += 2
+            continue
+        i += 1
+    repl = _sql_str(raw)
+    s = args[0] if pos == 1 else f"substr({args[0]}, {pos})"
+    kept = "" if pos == 1 else f"substr({args[0]}, 1, {pos - 1}), "
+    m = f"regexp_extract_all({s}, {pat}, 0)"
+    g = f"split({s}, {pat}, -1)"
+    prefix = (
+        "''" if occ == 1
+        else _splice_pieces(s, pat, f"sequence(1, {occ - 1})")
+    )
+    tail = _splice_pieces(
+        s, pat, f"filter(sequence(1, size({m})), i -> i > {occ})"
+    )
+    bad, err = _occurrence_guard(name, s, pat)
+    return (
+        f"(CASE WHEN size({m}) < {occ} THEN {args[0]}"
+        f" WHEN {bad} THEN {err}"
+        f" ELSE concat({kept}{prefix}, element_at({g}, {occ}), {repl},"
+        f" {tail}, element_at({g}, size({m}) + 1)) END)"
+    )
+
+
 def _regexp_replace_rewrite(name: str, args: list) -> str:
     if not 2 <= len(args) <= 6:
         return _bad(name, args)
@@ -3935,12 +4051,9 @@ def _regexp_replace_rewrite(name: str, args: list) -> str:
     occ = _regex_int_literal(name, args, 4, 0)
     if pos < 1:
         raise ValueError(f"{name}: position must be >= 1")
-    if occ != 0:
-        raise ValueError(
-            f"{name}: occurrence-specific replacement is not lowered"
-            " (Spark replaces all matches from the position)"
-        )
     pat = _regex_pattern(name, args, flags)
+    if occ != 0:
+        return _regexp_replace_occurrence(name, args, pat, pos, occ)
     if len(args) >= 3:
         raw = _fmt_literal(args, 2, name)
         if raw is None:
@@ -3964,11 +4077,17 @@ def _regexp_replace_rewrite(name: str, args: list) -> str:
 
 def _convert_timezone_rewrite(args: list) -> str:
     if len(args) == 2:
-        raise ValueError(
-            "CONVERT_TIMEZONE(target, ts) returns TIMESTAMP_TZ — a type"
-            " this engine (and the parity harness) deliberately does"
-            " not carry; use the 3-arg NTZ form"
-        )
+        # CONVERT_TIMEZONE(target, ts): Snowflake interprets a naive
+        # ts in the SESSION timezone and returns the same instant as
+        # TIMESTAMP_TZ in target. This engine pins TIMEZONE=UTC (its
+        # determinism pin — ALTER SESSION refuses any other zone), so
+        # the instant is the naive value read as UTC, and the result
+        # is carried as the target-zone WALLCLOCK (TIMESTAMP_NTZ):
+        # exactly the value Snowflake displays, minus the offset
+        # annotation the engine's type system (deliberately) does not
+        # carry. DST-correct via the JVM tz database.
+        tgt, ts = args
+        return f"from_utc_timestamp({ts}, {tgt})"
     if len(args) != 3:
         return _bad("CONVERT_TIMEZONE", args)
     src, tgt, ts = args
@@ -4138,6 +4257,131 @@ def rewrite_top(sql: str) -> str:
     return f"{m.group(1)} {body} LIMIT {m.group(2)}"
 
 
+_OBJ_MUT_HEAD = re.compile(
+    r"\b(?P<fn>OBJECT_INSERT|OBJECT_DELETE|OBJECT_PICK)\s*\(",
+    re.IGNORECASE,
+)
+_OBJ_BASE_HEAD = re.compile(
+    r"^(?P<fn>OBJECT_CONSTRUCT(?:_KEEP_NULL)?)\s*\(", re.IGNORECASE
+)
+
+
+def _object_mutators(sql: str) -> str:
+    """Fold ``OBJECT_INSERT`` / ``OBJECT_DELETE`` / ``OBJECT_PICK``
+    whose base object is an inline ``OBJECT_CONSTRUCT[_KEEP_NULL]``
+    into a single constructor call, COMPOSITIONALLY (innermost
+    mutator first, so chains like
+    ``OBJECT_INSERT(OBJECT_DELETE(OBJECT_CONSTRUCT(...), 'a'), 'b', v)``
+    fold completely) — closing the r11 refusal for the common
+    paste-an-expression case without pretending the impossible one
+    works: over an OPAQUE json-text column the engine cannot re-apply
+    each remaining value's type when re-serializing (string vs number
+    vs nested is unrecoverable from extracted text), so that form
+    still refuses loudly with this guidance. Snowflake semantics
+    preserved at rewrite time:
+
+    - INSERT of an existing key errors unless the literal updateFlag
+      TRUE is given (then it replaces); a runtime updateFlag refuses.
+    - INSERT of a SQL NULL value follows the base constructor's null
+      policy (plain OBJECT_CONSTRUCT omits the pair — Snowflake's
+      documented rule, "use PARSE_JSON('null') to insert a JSON
+      null"; the _KEEP_NULL base keeps it as ``"k":null``).
+    - DELETE of an absent key is a no-op; PICK keeps only the listed
+      keys (absent keys contribute nothing).
+    - Deleting/picking down to zero pairs emits the literal ``'{}'``
+      (Snowflake's empty object).
+
+    The output is ordinary OBJECT_CONSTRUCT text handled by the pass
+    below; everything stays a per-row JVM expression."""
+    pos = 0
+    while True:
+        m = _OBJ_MUT_HEAD.search(sql, pos)
+        if m is None:
+            return sql
+        fn = m.group("fn").upper()
+        open_idx = sql.index("(", m.end() - 1)
+        close = _balanced_span(sql, open_idx)
+        args = [
+            a.strip()
+            for a in _split_top_level_commas(sql[open_idx + 1 : close - 1])
+        ]
+        if len(args) < 2:
+            raise ValueError(f"{fn} needs an object and at least one key")
+        base = _OBJ_BASE_HEAD.match(args[0])
+        if base is None:
+            # not (yet) a constructor base — an inner mutator may fold
+            # first; rescan from inside this head's argument list
+            pos = open_idx + 1
+            continue
+        b_open = args[0].index("(", base.end() - 1)
+        b_close = _balanced_span(args[0], b_open)
+        if args[0][b_close:].strip():
+            pos = open_idx + 1
+            continue
+        keep = base.group("fn").upper().endswith("KEEP_NULL")
+        inner = args[0][b_open + 1 : b_close - 1].strip()
+        raw_pairs = (
+            [a.strip() for a in _split_top_level_commas(inner)]
+            if inner
+            else []
+        )
+        if len(raw_pairs) % 2 != 0:
+            raise ValueError(f"{fn}: base OBJECT_CONSTRUCT needs (key, value) pairs")
+        pairs: list[tuple[str, str]] = []
+        for k, v in zip(raw_pairs[::2], raw_pairs[1::2]):
+            km = re.match(r"^'(?P<k>[^']*)'$", k)
+            if km is None:
+                raise ValueError(
+                    f"{fn}: base OBJECT_CONSTRUCT key must be a string"
+                    f" literal: {k!r}"
+                )
+            pairs.append((km.group("k"), v))
+
+        def _lit_key(arg: str, what: str) -> str:
+            km = re.match(r"^'(?P<k>[^']*)'$", arg.strip())
+            if km is None:
+                raise ValueError(
+                    f"{fn}: {what} must be a string literal (a runtime"
+                    " key cannot be folded at rewrite time): {0!r}".format(arg)
+                )
+            return km.group("k")
+
+        if fn == "OBJECT_INSERT":
+            if len(args) not in (3, 4):
+                raise ValueError("OBJECT_INSERT needs (object, key, value[, updateFlag])")
+            key = _lit_key(args[1], "key")
+            flag = args[3].strip().upper() if len(args) == 4 else "FALSE"
+            if flag not in ("TRUE", "FALSE"):
+                raise ValueError(
+                    "OBJECT_INSERT: updateFlag must be the literal TRUE or"
+                    " FALSE (a runtime flag cannot be folded)"
+                )
+            exists = any(k == key for k, _ in pairs)
+            if exists and flag != "TRUE":
+                raise ValueError(
+                    f"OBJECT_INSERT: key {key!r} already exists (Snowflake"
+                    " errors unless updateFlag is TRUE)"
+                )
+            pairs = [(k, v) for k, v in pairs if k != key]
+            pairs.append((key, args[2]))
+        elif fn == "OBJECT_DELETE":
+            drop = {_lit_key(a, "key") for a in args[1:]}
+            pairs = [(k, v) for k, v in pairs if k not in drop]
+        else:  # OBJECT_PICK
+            want = {_lit_key(a, "key") for a in args[1:]}
+            pairs = [(k, v) for k, v in pairs if k in want]
+
+        if pairs:
+            body = ", ".join(f"'{k}', {v}" for k, v in pairs)
+            repl = (
+                f"OBJECT_CONSTRUCT{'_KEEP_NULL' if keep else ''}({body})"
+            )
+        else:
+            repl = "'{}'"
+        sql = sql[: m.start()] + repl + sql[close:]
+        pos = 0  # restart: an outer mutator may now see a constructor
+
+
 def rewrite_semi_structured(sql: str) -> str:
     """Lower the Snowflake semi-structured construction idioms to
     Spark's JSON-text VARIANT convention (the sql30/sql34 contract:
@@ -4169,6 +4413,10 @@ def rewrite_semi_structured(sql: str) -> str:
     per-row / per-group expression: pushdown, partial aggregation, and
     codegen are unaffected; no shuffle is added beyond the aggregate
     the user already wrote."""
+    # ---- OBJECT_INSERT / OBJECT_DELETE / OBJECT_PICK over inline
+    # constructors fold FIRST, so the constructor pass below sees
+    # plain OBJECT_CONSTRUCT text (see _object_mutators) ------------
+    sql = _object_mutators(sql)
     # ---- ARRAY_AGG ... WITHIN GROUP --------------------------------
     head = re.compile(r"\bARRAY_AGG\s*\(", re.IGNORECASE)
     pos = 0

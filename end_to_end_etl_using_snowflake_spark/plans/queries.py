@@ -7626,8 +7626,7 @@ def sql46_insert_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     PERMISSIVE fill, delta_2 by having no such column), and distinct
     customer ids, against a GOLDEN VALUES oracle hand-derived from
     the md5-pinned fixture bytes (pl_list_stage's convention).
-    METADATA$FILE_ROW_NUMBER refuses: physical row order inside a
-    Spark file split is not a stable contract.""",
+    METADATA$FILE_ROW_NUMBER is exercised by s10 (r12).""",
     tags=("sources", "stage", "metadata", "dialect"),
 )
 def s9_stage_metadata_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10529,4 +10528,232 @@ def sql59_stored_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
         ret.select(
             F.col("retire_nations").cast("long").alias("proc_return")
         )
+    )
+
+
+_F35_SNOWFLAKE_TEXT = """
+SELECT doc_id,
+       REGEXP_REPLACE(text, '[aeiou]', '*', 1, 4) AS rep4,
+       CAST(REGEXP_INSTR(text, '[aeiou]', 1, 5) AS BIGINT) AS pos5,
+       CAST(REGEXP_INSTR(text, '[aeiou]', 1, 5, 1) AS BIGINT) AS end5,
+       REGEXP_REPLACE(text, ' ', '_', 1, 3) AS third_space
+FROM documents
+WHERE doc_id % 7 = 0
+"""
+
+
+def _dd_splice_rep(pat: str, repl: str, occ: int) -> str:
+    """DuckDB splice for replace-the-occ-th-match — the INDEPENDENT
+    implementation of the same decomposition (RE2's extract_all +
+    str_split_regex vs the JVM's), so the oracle is a genuine
+    cross-engine check, not an echo of the Spark expression."""
+    m = f"regexp_extract_all(text, '{pat}')"
+    g = f"str_split_regex(text, '{pat}')"
+
+    def pieces(rng: str) -> str:
+        return (
+            f"coalesce(list_aggregate(list_transform({rng},"
+            f" i -> {g}[i] || {m}[i]), 'string_agg', ''), '')"
+        )
+
+    return (
+        f"CASE WHEN len({m}) < {occ} THEN text"
+        f" ELSE {pieces(f'range(1, {occ})')} || {g}[{occ}] || '{repl}'"
+        f" || {pieces(f'range({occ} + 1, len({m}) + 1)')}"
+        f" || {g}[len({m}) + 1] END"
+    )
+
+
+def _dd_splice_pos(pat: str, occ: int, end: bool = False) -> str:
+    m = f"regexp_extract_all(text, '{pat}')"
+    g = f"str_split_regex(text, '{pat}')"
+    prefix = (
+        f"coalesce(list_aggregate(list_transform(range(1, {occ}),"
+        f" i -> {g}[i] || {m}[i]), 'string_agg', ''), '')"
+    )
+    tail = f" + length({m}[{occ}])" if end else ""
+    return (
+        f"CAST(CASE WHEN len({m}) < {occ} THEN 0"
+        f" ELSE 1 + length({prefix}) + length({g}[{occ}]){tail} END"
+        f" AS BIGINT)"
+    )
+
+
+@register(
+    "f35_regex_occurrence",
+    oracle=f"""
+    SELECT doc_id,
+           {_dd_splice_rep('[aeiou]', '*', 4)} AS rep4,
+           {_dd_splice_pos('[aeiou]', 5)} AS pos5,
+           {_dd_splice_pos('[aeiou]', 5, end=True)} AS end5,
+           {_dd_splice_rep(' ', '_', 3)} AS third_space
+    FROM documents
+    WHERE doc_id % 7 = 0
+    """,
+    doc="""OCCURRENCE-SPECIFIC REGEXP_REPLACE / REGEXP_INSTR (r12 —
+    closes the r11 refusal): no Spark builtin addresses the n-th
+    match, but the operation is a deterministic SPLICE over two
+    builtins sharing one regex engine — ``split`` gives the
+    between-match segments, ``regexp_extract_all`` the matches, and
+    ``seg_1||m_1||…||seg_occ||REPL||…`` reassembles with only the
+    occ-th match replaced (REGEXP_INSTR: 1 + prefix length, + match
+    length for option=1). All JVM-side codegen expressions, zero
+    Python, pushdown untouched. A RUNTIME guard refuses zero-width
+    patterns where Java's split drops a leading empty delimiter (the
+    one case the two views of the match loop disagree — reassembly
+    would silently build a different string). Backreferences refuse
+    with an occurrence argument (the replacement is spliced
+    literally, never re-matched). The oracle is the SAME
+    decomposition implemented independently over DuckDB's RE2
+    (regexp_extract_all + str_split_regex + list_transform), run over
+    every 7th document — a true cross-engine check of both the
+    splice algebra and the engines' match loops
+    (functions/sqldialect.py:_regexp_replace_occurrence,
+    _regexp_instr_rewrite). Scale: per-row expression, no shuffle,
+    whole-stage codegen; 100 TB posture identical to any scalar
+    projection.""",
+    tags=("sql-surface", "dialect", "functions", "regex"),
+)
+def f35_regex_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import lower_select
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(lower_select(_F35_SNOWFLAKE_TEXT))
+
+
+_F36_SNOWFLAKE_TEXT = """
+SELECT o_orderkey,
+       OBJECT_INSERT(OBJECT_CONSTRUCT('p', o_orderpriority,
+                                      's', o_orderstatus),
+                     'k', o_orderkey) AS obj_ins,
+       OBJECT_INSERT(OBJECT_CONSTRUCT('p', o_orderpriority,
+                                      's', o_orderstatus),
+                     's', 'X', TRUE) AS obj_upd,
+       OBJECT_DELETE(OBJECT_CONSTRUCT('k', o_orderkey,
+                                      'p', o_orderpriority,
+                                      's', o_orderstatus),
+                     's', 'zz') AS obj_del,
+       OBJECT_PICK(OBJECT_CONSTRUCT('k', o_orderkey,
+                                    'p', o_orderpriority,
+                                    's', o_orderstatus),
+                   'p') AS obj_pick,
+       CONVERT_TIMEZONE('Asia/Tokyo',
+                        CAST(o_orderdate AS TIMESTAMP)) AS tokyo_wall,
+       CONVERT_TIMEZONE('America/New_York',
+                        CAST(o_orderdate AS TIMESTAMP)) AS nyc_wall
+FROM orders
+WHERE o_orderkey % 13 = 0
+"""
+
+
+@register(
+    "f36_object_mutators_tz",
+    oracle="""
+    SELECT o_orderkey,
+           '{"k":' || o_orderkey || ',"p":"' || o_orderpriority
+               || '","s":"' || o_orderstatus || '"}' AS obj_ins,
+           '{"p":"' || o_orderpriority || '","s":"X"}' AS obj_upd,
+           '{"k":' || o_orderkey || ',"p":"' || o_orderpriority
+               || '"}' AS obj_del,
+           '{"p":"' || o_orderpriority || '"}' AS obj_pick,
+           (o_orderdate::TIMESTAMP AT TIME ZONE 'UTC')
+               AT TIME ZONE 'Asia/Tokyo' AS tokyo_wall,
+           (o_orderdate::TIMESTAMP AT TIME ZONE 'UTC')
+               AT TIME ZONE 'America/New_York' AS nyc_wall
+    FROM orders
+    WHERE o_orderkey % 13 = 0
+    """,
+    doc="""OBJECT_INSERT / OBJECT_DELETE / OBJECT_PICK +
+    2-arg CONVERT_TIMEZONE (r12 — closes two r11 refusals). The
+    object mutators fold COMPOSITIONALLY over inline
+    OBJECT_CONSTRUCT[_KEEP_NULL] bases at rewrite time (insert
+    errors on an existing key unless the literal updateFlag TRUE;
+    SQL-NULL values follow the base constructor's null policy —
+    Snowflake's documented "use PARSE_JSON('null')" rule; delete of
+    an absent key is a no-op; emptied objects render '{}'); over an
+    OPAQUE json-text column they still refuse loudly — each remaining
+    value's type is unrecoverable from extracted text, so a lossless
+    re-serialization does not exist in pure SQL. 2-arg
+    CONVERT_TIMEZONE(target, ts): the engine pins session
+    TIMEZONE=UTC, so the naive input IS the UTC instant and the
+    result is the DST-correct target-zone wallclock
+    (from_utc_timestamp; the offset annotation of TIMESTAMP_TZ is the
+    one thing not carried, documented). Oracle: closed-form JSON text
+    (keys in the engine's canonical alphabetical order) and DuckDB's
+    double AT TIME ZONE hop — session-independent on both engines
+    (functions/sqldialect.py:_object_mutators,
+    _convert_timezone_rewrite). Scale: per-row expressions, codegen,
+    no shuffle.""",
+    tags=("sql-surface", "dialect", "functions", "semi-structured"),
+)
+def f36_object_mutators_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import lower_select
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(lower_select(_F36_SNOWFLAKE_TEXT))
+
+
+@register(
+    "s10_stage_file_row_number",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('customer_history.csv', 2, 21, 20, 20,
+         'AAAAAAAAMKJPHPBA', 'AAAAAAAAGCKCCLAA'),
+        ('customer_delta_1.csv', 1, 1, 1, 1,
+         NULL, NULL),
+        ('customer_delta_2.csv', 2, 2, 1, 1,
+         'AAAAAAAALKBJCPAA', NULL)
+    ) AS t(fname, first_rn, last_rn, n_rows, n_distinct_rn,
+           rn2_customer, rn21_customer)
+    """,
+    doc="""``METADATA$FILE_ROW_NUMBER`` (r12 — closes the r11
+    refusal). The column is the PARSED-record number inside each
+    source file, +1 when the named format consumed a header line (so
+    customer_history.csv's 20 data rows number 2..21 and the
+    headerless blank-first-line customer_delta_1.csv's single row
+    numbers 1 — Snowflake counts file records, and the one reader
+    divergence, blank lines the CSV parser drops, is documented in
+    stage_select). Exactness is an ENFORCED engine invariant, not an
+    assumption: in-file row order is stable iff the file occupies a
+    single scan split, which holds for files <=
+    spark.sql.files.maxPartitionBytes — checked per file, refusing
+    loudly with the conf to raise (Spark bin-packs whole small files
+    but never splits below the threshold). The number itself is
+    row_number() over (file-path partition, scan-sequence order) with
+    both nondeterministic leaves materialized at the scan — the one
+    added shuffle groups at most ONE FILE per task, the same per-file
+    cost class as Snowflake's own metadata scan, and is added only
+    when the statement references the column. The golden oracle
+    hand-derives first/last/count/distinct row numbers AND the exact
+    customer ids at file rows 2 and 21 from the md5-pinned fixture
+    bytes — pinning true in-file ordering, not just ranges
+    (sources/copy_into.py:stage_select).""",
+    tags=("sources", "stage", "metadata", "dialect"),
+)
+def s10_stage_file_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.copy_into import stage_select
+    from ..sources.csv_format import CUSTOMER_STAGE
+    from .pipeline_queries import _REFERENCE_DATA, assert_fixture_fingerprints
+
+    assert_fixture_fingerprints()
+    return stage_select(
+        spark,
+        """
+        SELECT METADATA$FILENAME AS fname,
+               CAST(MIN(METADATA$FILE_ROW_NUMBER) AS INT) AS first_rn,
+               CAST(MAX(METADATA$FILE_ROW_NUMBER) AS INT) AS last_rn,
+               CAST(COUNT(*) AS INT) AS n_rows,
+               CAST(COUNT(DISTINCT METADATA$FILE_ROW_NUMBER) AS INT)
+                   AS n_distinct_rn,
+               MIN(CASE WHEN METADATA$FILE_ROW_NUMBER = 2
+                        THEN customer_id END) AS rn2_customer,
+               MIN(CASE WHEN METADATA$FILE_ROW_NUMBER = 21
+                        THEN customer_id END) AS rn21_customer
+        FROM @ayo_landing_stage/customer
+        GROUP BY METADATA$FILENAME
+        """,
+        _REFERENCE_DATA,
+        CUSTOMER_STAGE,
     )

@@ -127,6 +127,9 @@ PRIORITY: tuple[str, ...] = (
     "sql58_console_session",
     "sql59_stored_procedure",
     "x28_jaro_winkler_join",
+    "f35_regex_occurrence",
+    "f36_object_mutators_tz",
+    "s10_stage_file_row_number",
     # last driver-green r7
     "a4_count_distinct",
     "a5_rollup",

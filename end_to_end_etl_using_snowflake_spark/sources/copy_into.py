@@ -116,25 +116,41 @@ def stage_select(
     INTO (skip_header=1 fidelity incl. the blank-first-line split —
     S2's exact read path), each row stamped with its source file's
     basename as ``METADATA$FILENAME``, and the statement runs over
-    the registered relation. ``METADATA$FILE_ROW_NUMBER`` is NOT
-    exposed: physical row order inside a Spark file split is not a
-    stable contract — refusing beats a nondeterministic column.
+    the registered relation.
+
+    ``METADATA$FILE_ROW_NUMBER`` (r12 — closes the r11 refusal) is
+    the PHYSICAL record number inside the source file, header line
+    included (so with the named format's skip_header=1 the first
+    data row is 2 — Snowflake counts file records, not returned
+    rows). Exactness rests on one engine invariant, ENFORCED rather
+    than hoped for: a file yields in-order rows iff it occupies a
+    single scan split, which Spark guarantees for files no larger
+    than ``spark.sql.files.maxPartitionBytes`` (bin-packing may put
+    several whole files in one partition — fine; it never splits a
+    file below that size). Files above the threshold refuse loudly
+    with the conf to raise. The row number itself is
+    ``row_number() OVER (PARTITION BY input_file_name() ORDER BY
+    monotonically_increasing_id())`` — the id's per-partition
+    sequence IS the scan row order within the split; the window
+    shuffles at most one file per group (the same per-file cost
+    class as Snowflake's own metadata scan), and is added ONLY when
+    the statement references the column.
 
     Scale: listing + blank-byte peek are O(files) driver metadata
     (copy_into's cost class); the read itself is one spark.read.csv
     over the matched files with the filename column coming from the
-    scan (input_file_name — no join, no shuffle added)."""
+    scan (input_file_name — no join; the one optional shuffle is
+    documented above)."""
     import re
 
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     from .file_format import CSV_FORMAT, FileFormat
 
-    if re.search(r"METADATA\$FILE_ROW_NUMBER", text, re.IGNORECASE):
-        raise ValueError(
-            "METADATA$FILE_ROW_NUMBER is not exposed (row order inside a"
-            " file split is not a stable Spark contract)"
-        )
+    want_rownum = bool(
+        re.search(r"METADATA\$FILE_ROW_NUMBER", text, re.IGNORECASE)
+    )
     m = re.search(r"FROM\s+@(\w+)(?:/(\w+))?", text, re.IGNORECASE)
     if m is None:
         raise ValueError("stage_select needs a FROM @<stage>[/prefix] clause")
@@ -143,22 +159,61 @@ def stage_select(
     if not files:
         raise ValueError(f"no stage files match prefix {prefix!r}")
     paths = [os.path.join(stage_root, f) for f in sorted(files)]
+    if want_rownum:
+        raw = spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"
+        ).strip().lower()
+        mm = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", raw)
+        if mm is None:
+            raise ValueError(
+                f"unparseable spark.sql.files.maxPartitionBytes: {raw!r}"
+            )
+        max_split = int(mm.group(1)) * (
+            1024 ** {"": 0, "k": 1, "m": 2, "g": 3, "t": 4}[mm.group(2)]
+        )
+        too_big = [
+            p for p in paths if os.path.getsize(p) > max_split
+        ]
+        if too_big:
+            raise ValueError(
+                "METADATA$FILE_ROW_NUMBER needs each stage file to fit a"
+                " single scan split (in-file row order is only guaranteed"
+                " unsplit); raise spark.sql.files.maxPartitionBytes above"
+                f" the largest file ({too_big[0]} exceeds {max_split}B)"
+            )
     fname = F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+
+    def _with_meta(df: DataFrame, header_consumed: bool) -> DataFrame:
+        # nondeterministic leaf expressions (input_file_name, the scan
+        # sequence id) must be MATERIALIZED in a Project before a
+        # window may key/order on them — and materializing pins their
+        # evaluation to the scan, which is the semantics we want
+        df = df.withColumn("METADATA$FILENAME", fname)
+        if want_rownum:
+            # key on the FULL path (same-basename files under two
+            # prefixes must not interleave their numbering)
+            df = df.withColumn(
+                "__path", F.input_file_name()
+            ).withColumn("__seq", F.monotonically_increasing_id())
+            w = Window.partitionBy("__path").orderBy("__seq")
+            df = df.withColumn(
+                "METADATA$FILE_ROW_NUMBER",
+                F.row_number().over(w)
+                + F.lit(1 if header_consumed else 0),
+            ).drop("__seq", "__path")
+        return df
+
     parts = []
     with_header = [p for p in paths if not _starts_blank(p)]
     headerless = [p for p in paths if _starts_blank(p)]
     if with_header:
         parts.append(
-            CSV_FORMAT.read(spark, with_header, schema).withColumn(
-                "METADATA$FILENAME", fname
-            )
+            _with_meta(CSV_FORMAT.read(spark, with_header, schema), True)
         )
     if headerless:
         headerless_fmt = FileFormat("csv", dict(CSV_FORMAT.options, header="false"))
         parts.append(
-            headerless_fmt.read(spark, headerless, schema).withColumn(
-                "METADATA$FILENAME", fname
-            )
+            _with_meta(headerless_fmt.read(spark, headerless, schema), False)
         )
     df = parts[0]
     for p in parts[1:]:
@@ -167,7 +222,11 @@ def stage_select(
     df.createOrReplaceTempView(view)
     clean = text[: m.start()] + f"FROM {view}" + text[m.end():]
     clean = re.sub(
-        r"(?<!`)METADATA\$FILENAME", "`METADATA$FILENAME`", clean,
+        r"(?<!`)METADATA\$FILE_ROW_NUMBER", "`METADATA$FILE_ROW_NUMBER`",
+        clean, flags=re.IGNORECASE,
+    )
+    clean = re.sub(
+        r"(?<!`)METADATA\$FILENAME(?!_|\$|`)", "`METADATA$FILENAME`", clean,
         flags=re.IGNORECASE,
     )
     # Snowflake's POSITIONAL stage columns — `SELECT $1, $2::int FROM

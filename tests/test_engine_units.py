@@ -2971,12 +2971,12 @@ def test_regexp_dialect_rewriter(spark):
     assert row.cnt_pos == 2  # from position 3 ('b22c333'): '22', '333'
     assert row.at1 == 4 and row.at_end == 7  # option=1: first char AFTER match
     assert row.backref == "ab-12".replace("ab-12", "12$ab") and row.strip2 == "ab"
-    with _pytest.raises(ValueError, match="occurrence-specific"):
-        rewrite_scalar_funcs("SELECT REGEXP_REPLACE(s, 'a', 'b', 1, 2) FROM t")
     with _pytest.raises(ValueError, match="replacement must be a string"):
         rewrite_scalar_funcs("SELECT REGEXP_REPLACE(s, 'a', col) FROM t")
-    with _pytest.raises(ValueError, match="occurrence > 1"):
-        rewrite_scalar_funcs("SELECT REGEXP_INSTR(s, 'a', 1, 2) FROM t")
+    with _pytest.raises(ValueError, match="backref"):
+        rewrite_scalar_funcs(
+            r"SELECT REGEXP_REPLACE(s, '(a)', '\\1x', 1, 2) FROM t"
+        )
     with _pytest.raises(ValueError, match="unsupported regex parameter"):
         rewrite_scalar_funcs("SELECT REGEXP_LIKE(s, 'a', 'g') FROM t")
     with _pytest.raises(ValueError, match="must be a string literal"):
@@ -2984,6 +2984,126 @@ def test_regexp_dialect_rewriter(spark):
     # non-literal pattern without flags passes straight through
     out = rewrite_scalar_funcs("SELECT REGEXP_COUNT(s, p) FROM t")
     assert "regexp_extract_all(s, p, 0)" in out
+
+
+def test_regexp_occurrence_splice(spark):
+    """r12: occurrence-specific REGEXP_REPLACE / REGEXP_INSTR lower to
+    the split/extract_all splice (one regex engine, two views of the
+    same match loop). Exactness pinned against Python re.finditer on
+    every case; the zero-width divergence refuses at RUNTIME."""
+    import re as _pyre
+
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_scalar_funcs,
+    )
+
+    cases = [
+        ("the cat sat on the mat", "at", "XX", 1, 1),
+        ("the cat sat on the mat", "at", "XX", 1, 2),
+        ("the cat sat on the mat", "at", "XX", 1, 3),
+        ("the cat sat on the mat", "at", "XX", 1, 4),  # absent -> unchanged
+        ("aaa", "a", "b", 1, 2),
+        ("a1b22c333", "[0-9]+", "#", 1, 2),
+        ("a1b22c333", "[0-9]+", "#", 3, 2),  # pos keeps the prefix
+        ("x,y,,z", ",", ";", 1, 3),
+        ("", "a", "b", 1, 1),
+        ("overlap aaaa", "aa", "X", 1, 2),
+    ]
+    exprs, expected = [], []
+    for i, (s, p, r, pos, occ) in enumerate(cases):
+        exprs.append(
+            f"REGEXP_REPLACE('{s}', '{p}', '{r}', {pos}, {occ}) AS c{i}"
+        )
+        sub = s[pos - 1 :]
+        ms = list(_pyre.finditer(p, sub))
+        if len(ms) < occ:
+            expected.append(s)
+        else:
+            m = ms[occ - 1]
+            expected.append(s[: pos - 1] + sub[: m.start()] + r + sub[m.end() :])
+    row = spark.sql(
+        rewrite_scalar_funcs("SELECT " + ", ".join(exprs))
+    ).first()
+    for i, exp in enumerate(expected):
+        assert row[f"c{i}"] == exp, (cases[i], row[f"c{i}"], exp)
+
+    # REGEXP_INSTR occurrence > 1, both option ends, with position
+    irow = spark.sql(rewrite_scalar_funcs(
+        "SELECT REGEXP_INSTR('the cat sat on the mat', 'at', 1, 3) AS a,"
+        " REGEXP_INSTR('the cat sat on the mat', 'at', 1, 2, 1) AS b,"
+        " REGEXP_INSTR('the cat sat on the mat', 'at', 5, 2) AS c,"
+        " REGEXP_INSTR('abc', 'z', 1, 4) AS d,"
+        " REGEXP_INSTR('A cat and a CAT', 'cat', 1, 2, 0, 'i') AS e"
+    )).first()
+    assert irow.a == 21 and irow.b == 12 and irow.c == 10
+    assert irow.d == 0 and irow.e == 13
+
+    # zero-width pattern: split and the find loop disagree -> loud
+    import pyspark.sql.utils  # noqa: F401
+
+    with _pytest.raises(Exception, match="zero-width"):
+        spark.sql(rewrite_scalar_funcs(
+            "SELECT REGEXP_REPLACE('aXb', 'X*', '#', 1, 1) AS x"
+        )).collect()
+
+    # case-insensitive flag applies to BOTH views of the match loop
+    ci = spark.sql(rewrite_scalar_funcs(
+        "SELECT REGEXP_REPLACE('A cat and a CAT', 'cat', 'dog', 1, 2, 'i')"
+        " AS x"
+    )).first()
+    assert ci.x == "A cat and a dog"
+
+
+def test_object_mutators_fold(spark):
+    """r12: OBJECT_INSERT / OBJECT_DELETE / OBJECT_PICK fold
+    compositionally over inline OBJECT_CONSTRUCT bases; opaque-column
+    bases still refuse (typed re-serialization is unrecoverable)."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        lower_select,
+        rewrite_scalar_funcs,
+    )
+
+    row = spark.sql(lower_select(
+        "SELECT OBJECT_INSERT(OBJECT_CONSTRUCT('a', 1, 'b', 2), 'c', 3)"
+        " AS ins,"
+        " OBJECT_INSERT(OBJECT_CONSTRUCT('a', 1, 'b', 2), 'a', 9, TRUE)"
+        " AS upd,"
+        " OBJECT_DELETE(OBJECT_CONSTRUCT('a', 1, 'b', 2, 'c', 3), 'b',"
+        " 'zz') AS dl,"
+        " OBJECT_PICK(OBJECT_CONSTRUCT('a', 1, 'b', 2, 'c', 3), 'c', 'a')"
+        " AS pick,"
+        " OBJECT_INSERT(OBJECT_DELETE(OBJECT_CONSTRUCT('a', 1, 'b', 2),"
+        " 'a'), 'z', 'q') AS nested,"
+        " OBJECT_DELETE(OBJECT_CONSTRUCT('a', 1), 'a') AS emptied,"
+        " OBJECT_INSERT(OBJECT_CONSTRUCT('a', 1), 'n', NULL) AS null_drop,"
+        " OBJECT_INSERT(OBJECT_CONSTRUCT_KEEP_NULL('a', 1), 'n', NULL)"
+        " AS null_kept"
+    )).first()
+    assert row.ins == '{"a":1,"b":2,"c":3}'
+    assert row.upd == '{"a":9,"b":2}'
+    assert row.dl == '{"a":1,"c":3}'
+    assert row.pick == '{"a":1,"c":3}'
+    assert row.nested == '{"b":2,"z":"q"}'
+    assert row.emptied == "{}"
+    assert row.null_drop == '{"a":1}'
+    assert row.null_kept == '{"a":1,"n":null}'
+
+    for bad, msg in [
+        ("SELECT OBJECT_INSERT(OBJECT_CONSTRUCT('a', 1), 'a', 2) AS x",
+         "already exists"),
+        ("SELECT OBJECT_INSERT(OBJECT_CONSTRUCT('a', 1), 'b', 2, f) AS x",
+         "literal TRUE or"),
+        ("SELECT OBJECT_INSERT(OBJECT_CONSTRUCT('a', 1), k, 2) AS x",
+         "string literal"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            lower_select(bad)
+    with _pytest.raises(ValueError, match="OPAQUE"):
+        rewrite_scalar_funcs("SELECT OBJECT_PICK(o, 'k') FROM t")
 
 
 def test_regexp_dialect_r10_advice(spark):
@@ -3066,10 +3186,81 @@ def test_calendar_dialect_rewriter(spark):
     assert mb.a == 2.0 and mb.b == 1.0 and abs(mb.c - (2 - 5 / 31)) < 1e-8
     with _pytest.raises(ValueError, match="WEEK_START"):
         rewrite_scalar_funcs("SELECT DATE_PART(dayofweek, d) FROM t")
-    with _pytest.raises(ValueError, match="TIMESTAMP_TZ"):
-        rewrite_scalar_funcs("SELECT CONVERT_TIMEZONE('UTC', ts) FROM t")
+    # 2-arg CONVERT_TIMEZONE (r12): session timezone is pinned UTC,
+    # so the naive input is the UTC instant and the result is the
+    # target-zone wallclock — DST-correct on both sides of a spring
+    # transition (America/New_York 2026: EST until Mar 8, EDT after)
+    ctz = spark.sql(rewrite_scalar_funcs(
+        "SELECT CONVERT_TIMEZONE('America/New_York',"
+        " TIMESTAMP'2026-03-01 12:00:00') AS est,"
+        " CONVERT_TIMEZONE('America/New_York',"
+        " TIMESTAMP'2026-03-15 12:00:00') AS edt"
+    )).first()
+    assert str(ctz.est) == "2026-03-01 07:00:00"
+    assert str(ctz.edt) == "2026-03-15 08:00:00"
     with _pytest.raises(ValueError, match="not lowered"):
         rewrite_scalar_funcs("SELECT DATE_PART(nanosecond, ts) FROM t")
+
+
+def test_stage_file_row_number_exact_order(spark, tmp_path):
+    """r12: METADATA$FILE_ROW_NUMBER pins per-row IN-FILE ordering —
+    every (file, row) pair checked against the written bytes on a
+    synthetic multi-file stage, with header (+1) and headerless
+    numbering, and the over-threshold refusal fires per file."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.sources.copy_into import (
+        stage_select,
+    )
+    from end_to_end_etl_using_snowflake_spark.sources.csv_format import (
+        _string_schema,
+    )
+
+    schema = _string_schema("k", "v")
+    # two header files of different sizes + one blank-first-line
+    # headerless file, all under one prefix
+    rows_a = [f"a{i},v{i}" for i in range(7)]
+    rows_b = [f"b{i},w{i}" for i in range(23)]
+    (tmp_path / "part_a.csv").write_text("k,v\n" + "\n".join(rows_a) + "\n")
+    (tmp_path / "part_b.csv").write_text("k,v\n" + "\n".join(rows_b) + "\n")
+    (tmp_path / "part_c.csv").write_text("\nc0,x0\nc1,x1")
+    got = stage_select(
+        spark,
+        """
+        SELECT METADATA$FILENAME AS f, METADATA$FILE_ROW_NUMBER AS rn, k
+        FROM @stage/part
+        """,
+        str(tmp_path),
+        schema,
+    ).collect()
+    expect = (
+        {("part_a.csv", i + 2, f"a{i}") for i in range(7)}
+        | {("part_b.csv", i + 2, f"b{i}") for i in range(23)}
+        | {("part_c.csv", i + 1, f"c{i}") for i in range(2)}
+    )
+    assert {(r.f, r.rn, r.k) for r in got} == expect
+
+    # refusal: any file over spark.sql.files.maxPartitionBytes
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "64")
+    try:
+        with _pytest.raises(ValueError, match="maxPartitionBytes"):
+            stage_select(
+                spark,
+                "SELECT METADATA$FILE_ROW_NUMBER AS rn FROM @stage/part",
+                str(tmp_path),
+                schema,
+            )
+        # without the column the same statement still runs
+        n = stage_select(
+            spark,
+            "SELECT COUNT(*) AS n FROM @stage/part",
+            str(tmp_path),
+            schema,
+        ).first().n
+        assert n == 32
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
 
 def test_put_remove_statement_edges(tmp_path):
