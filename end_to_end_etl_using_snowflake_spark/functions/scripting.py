@@ -713,10 +713,179 @@ def create_function_statement(spark: SparkSession, text: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _UNSUPPORTED_BLOCK = re.compile(
-    r"^(IF|ELSE|ELSEIF|WHILE|FOR|LOOP|REPEAT|CASE|OPEN|FETCH|CLOSE|"
-    r"CALL|CURSOR|BREAK|CONTINUE|NULL)\b",
+    r"^(LOOP|REPEAT|CASE|OPEN|FETCH|CLOSE|CALL|CURSOR)\b",
     re.IGNORECASE,
 )
+
+# control-flow markers (r12 session 4): heads that OPEN a construct,
+# and the branch/closer statements that terminate a parse level
+_IF_HEAD = re.compile(r"^IF\s*\(", re.IGNORECASE)
+_WHILE_HEAD = re.compile(r"^WHILE\s*\(", re.IGNORECASE)
+_FOR_HEAD = re.compile(
+    r"^FOR\s+(?P<var>[A-Za-z_]\w*)\s+IN\s+(?P<rev>REVERSE\s+)?"
+    r"(?P<a>.+?)\s+TO\s+(?P<b>.+?)\s+(?:DO|LOOP)\b(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_FOR_CURSOR = re.compile(r"^FOR\s+[A-Za-z_]\w*\s+IN\s*\(", re.IGNORECASE)
+_ELSEIF_HEAD = re.compile(r"^ELSE\s*IF\s*\(|^ELSEIF\s*\(", re.IGNORECASE)
+_ELSE_HEAD = re.compile(r"^ELSE\b(?!\s*IF)(?P<rest>.*)$",
+                        re.IGNORECASE | re.DOTALL)
+_END_RE = re.compile(r"^END\s+(?P<kw>IF|FOR|WHILE|LOOP)\s*$", re.IGNORECASE)
+
+_MAX_LOOP_ITERS = 100_000
+
+
+class _BlockBreak(Exception):
+    pass
+
+
+class _BlockContinue(Exception):
+    pass
+
+
+class _BlockReturn(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+def _cond_and_rest(stmt: str, head_kw: str, then_kw: str) -> tuple[str, str]:
+    """Split ``IF (cond) THEN rest`` / ``WHILE (cond) DO rest`` with a
+    BALANCED-paren condition (the condition may itself contain calls
+    and subqueries). Snowflake Scripting requires the parentheses."""
+    from .sqldialect import _balanced_span
+
+    open_idx = stmt.index("(")
+    close = _balanced_span(stmt, open_idx)
+    cond = stmt[open_idx + 1 : close - 1].strip()
+    tail = stmt[close:].lstrip()
+    km = re.match(rf"{then_kw}\b(?P<rest>.*)$", tail,
+                  re.IGNORECASE | re.DOTALL)
+    if km is None:
+        raise ValueError(
+            f"{head_kw} (condition) must be followed by {then_kw}"
+        )
+    return cond, km.group("rest").strip()
+
+
+def _parse_block_body(stmts: list[str], terminators: tuple[str, ...] = ()):
+    """Recursive-descent parse of the semicolon-split statement stream
+    into nodes: ('stmt', text) | ('return', expr|None) |
+    ('if', [(cond, body), ...], else_body) |
+    ('while', cond, body) | ('for', var, a, b, reverse, body) |
+    ('break',) | ('continue',). The first statement of a branch rides
+    on the marker segment (no ';' after THEN/DO/ELSE) and is pushed
+    back onto the stream. Returns (nodes, terminator) where terminator
+    is the branch/closer statement that ended this level ('' at
+    end-of-stream, only legal for the top level)."""
+    nodes: list = []
+    while stmts:
+        raw = stmts.pop(0)
+        bare = _strip_line_comments(raw).strip()
+        if not bare:
+            continue
+        kind = None
+        em = _END_RE.match(bare)
+        if em is not None:
+            kind = "END " + em.group("kw").upper()
+        elif _ELSEIF_HEAD.match(bare):
+            kind = "ELSEIF"
+        elif _ELSE_HEAD.match(bare):
+            kind = "ELSE"
+        if kind is not None:
+            for t in terminators:
+                if kind == t or (kind.startswith("END") and t == kind):
+                    return nodes, bare
+            raise ValueError(
+                f"scripting blocks: unexpected {kind} (no open construct"
+                " expects it here)"
+            )
+        if _FOR_CURSOR.match(bare):
+            raise ValueError(
+                "scripting blocks: cursor FOR loops (FOR x IN"
+                " (SELECT ...)) are not supported — counter loops"
+                " (FOR i IN a TO b DO) are"
+            )
+        if _IF_HEAD.match(bare):
+            cond, rest = _cond_and_rest(bare, "IF", "THEN")
+            if rest:
+                stmts.insert(0, rest)
+            branches = []
+            else_body: list = []
+            while True:
+                body, term = _parse_block_body(
+                    stmts, ("ELSEIF", "ELSE", "END IF")
+                )
+                branches.append((cond, body))
+                if _ELSEIF_HEAD.match(term):
+                    cond, rest = _cond_and_rest(term, "ELSEIF", "THEN")
+                    if rest:
+                        stmts.insert(0, rest)
+                    continue
+                if _ELSE_HEAD.match(term):
+                    rest = _ELSE_HEAD.match(term).group("rest").strip()
+                    if rest:
+                        stmts.insert(0, rest)
+                    else_body, term2 = _parse_block_body(
+                        stmts, ("END IF",)
+                    )
+                break
+            nodes.append(("if", branches, else_body))
+            continue
+        if _WHILE_HEAD.match(bare):
+            cond, rest = _cond_and_rest(bare, "WHILE", "(?:DO|LOOP)")
+            if rest:
+                stmts.insert(0, rest)
+            body, _ = _parse_block_body(stmts, ("END WHILE", "END LOOP"))
+            nodes.append(("while", cond, body))
+            continue
+        fm = _FOR_HEAD.match(bare)
+        if fm is not None:
+            rest = fm.group("rest").strip()
+            if rest:
+                stmts.insert(0, rest)
+            body, _ = _parse_block_body(stmts, ("END FOR", "END LOOP"))
+            nodes.append((
+                "for", fm.group("var").upper(), fm.group("a").strip(),
+                fm.group("b").strip(), bool(fm.group("rev")), body,
+            ))
+            continue
+        if re.match(r"^(IF|WHILE|FOR|ELSE)\b", bare, re.IGNORECASE):
+            # a control head that matched none of the supported shapes
+            # must not fall through to the SQL path
+            kw = bare.split(None, 1)[0].upper()
+            raise ValueError(
+                f"scripting blocks: unsupported {kw} shape (grammar:"
+                " IF (cond) THEN ... [ELSEIF (cond) THEN ...] [ELSE"
+                " ...] END IF; WHILE (cond) DO ... END WHILE;"
+                " FOR i IN [REVERSE] a TO b DO ... END FOR)"
+            )
+        if re.match(r"^(BREAK|EXIT)\s*$", bare, re.IGNORECASE):
+            nodes.append(("break",))
+            continue
+        if re.match(r"^(CONTINUE|ITERATE)\s*$", bare, re.IGNORECASE):
+            nodes.append(("continue",))
+            continue
+        if re.match(r"^NULL\s*$", bare, re.IGNORECASE):
+            continue  # Snowflake Scripting's explicit no-op statement
+        rm = re.match(r"RETURN(?:\s+(?P<expr>.+))?$", bare,
+                      re.IGNORECASE | re.DOTALL)
+        if rm:
+            nodes.append(("return", rm.group("expr")))
+            continue
+        if _UNSUPPORTED_BLOCK.match(bare):
+            kw = bare.split(None, 1)[0].upper()
+            raise ValueError(
+                f"scripting blocks: {kw} is not supported (supported"
+                " control flow: IF/ELSEIF/ELSE, WHILE, counter FOR,"
+                " BREAK/CONTINUE; plus LET / SQL statements / RETURN)"
+            )
+        nodes.append(("stmt", bare))
+    if terminators:
+        raise ValueError(
+            f"scripting blocks: unterminated construct (expected one of"
+            f" {', '.join(terminators)})"
+        )
+    return nodes, ""
 
 _DECL_RE = re.compile(
     r"^(?P<name>[A-Za-z_]\w*)\s+(?P<type>[A-Za-z_]\w*(?:\s*\(\s*\d+"
@@ -795,12 +964,22 @@ def scripting_block(
     """Run an anonymous ``[DECLARE ...] BEGIN ... END`` block (the
     stored-procedure-body paste). Supported: typed DECLARE with
     DEFAULT, ``LET``/re-assignment, embedded SQL statements with
-    ``:var`` binds, ``RETURN expr``. Control flow, cursors,
-    RESULTSETs, and EXCEPTION sections refuse loudly. Session
-    variables ($v) remain visible inside the block (resolved before
-    block-local scope). Returns the one-column ``anonymous_block``
-    relation holding RETURN's value (cast to its natural type), or a
-    NULL row when the block falls off the END without RETURN."""
+    ``:var`` binds, ``RETURN expr``, and (r12 session 4) CONTROL
+    FLOW — ``IF (c) THEN / ELSEIF (c) THEN / ELSE / END IF``,
+    ``WHILE (c) DO|LOOP ... END WHILE|LOOP``, counter
+    ``FOR i IN [REVERSE] a TO b DO|LOOP ... END FOR|LOOP`` (bounds
+    must evaluate to integers; the counter is loop-scoped), and
+    ``BREAK``/``EXIT`` / ``CONTINUE``/``ITERATE``. Conditions must be
+    parenthesized (Snowflake Scripting's grammar) and evaluate to
+    BOOLEAN (NULL is not-taken, CASE semantics; any other type
+    refuses — a silent coercion would hide a mistyped predicate);
+    runaway loops refuse at 100k iterations. Still refused loudly:
+    cursors / FOR-over-query, RESULTSETs, bare LOOP, REPEAT, CASE
+    blocks, nested CALL, and EXCEPTION sections. Session variables
+    ($v) remain visible inside the block (resolved before block-local
+    scope). Returns the one-column ``anonymous_block`` relation
+    holding RETURN's value (cast to its natural type), or a NULL row
+    when the block falls off the END without RETURN."""
     variables = variables if variables is not None else {}
     s = text.strip().rstrip(";").strip()
     m = re.match(
@@ -818,8 +997,15 @@ def scripting_block(
     block_vars: dict[str, SessionVariable] = dict(initial_vars or {})
 
     def eval_expr(expr: str):
+        # expressions accept BOTH variable spellings (Snowflake allows
+        # :var inside expression subqueries too): resolve :binds first
+        # — else the bare-name pass would rewrite the name inside a
+        # ':name' and leave a stray ':' for the parser
         resolved = substitute_variables(
-            _subst_block_vars(expr, block_vars), variables
+            _subst_block_vars(
+                _subst_binds(expr, block_vars), block_vars
+            ),
+            variables,
         )
         return _eval_scalar(spark, resolved)
 
@@ -838,25 +1024,7 @@ def scripting_block(
             value, literal, sf_type
         )
 
-    returned = None
-    has_return = False
-    for stmt in _split_script(m.group("body")):
-        bare = _strip_line_comments(stmt).strip()
-        if not bare:
-            continue
-        if _UNSUPPORTED_BLOCK.match(bare):
-            kw = bare.split(None, 1)[0].upper()
-            raise ValueError(
-                f"scripting blocks: {kw} control flow is not supported"
-                " (conservative subset — LET / SQL statements / RETURN)"
-            )
-        rm = re.match(r"RETURN(?:\s+(?P<expr>.+))?$", bare,
-                      re.IGNORECASE | re.DOTALL)
-        if rm:
-            if rm.group("expr"):
-                returned = eval_expr(rm.group("expr"))
-            has_return = True
-            break
+    def run_stmt(bare: str) -> None:
         lm = _LET_RE.match(bare)
         head = bare.split(None, 1)[0].upper()
         if lm and (
@@ -868,7 +1036,7 @@ def scripting_block(
             block_vars[lm.group("name").upper()] = SessionVariable(
                 value, literal, sf_type
             )
-            continue
+            return
         resolved = substitute_variables(
             _subst_binds(bare, block_vars), variables
         )
@@ -880,6 +1048,103 @@ def scripting_block(
             dm2 = _DML_HEAD_RE.match(resolved)
             if dm2 is not None:
                 tables[_dml_key(tables, dm2.group("t"))] = out
+
+    def set_var(name: str, value) -> None:
+        literal, sf_type = _render_literal(value)
+        block_vars[name] = SessionVariable(value, literal, sf_type)
+
+    def truthy(cond: str) -> bool:
+        v = eval_expr(cond)
+        if v is None:
+            return False  # CASE/WHERE semantics: NULL is not taken
+        if not isinstance(v, bool):
+            raise ValueError(
+                f"scripting blocks: condition ({cond[:60]}) evaluated to"
+                f" non-boolean {type(v).__name__} — a silent coercion"
+                " would hide a mistyped predicate"
+            )
+        return v
+
+    def run_nodes(nodes) -> None:
+        for node in nodes:
+            kind = node[0]
+            if kind == "stmt":
+                run_stmt(node[1])
+            elif kind == "return":
+                raise _BlockReturn(
+                    eval_expr(node[1]) if node[1] else None
+                )
+            elif kind == "break":
+                raise _BlockBreak()
+            elif kind == "continue":
+                raise _BlockContinue()
+            elif kind == "if":
+                _, branches, else_body = node
+                for cond, body in branches:
+                    if truthy(cond):
+                        run_nodes(body)
+                        break
+                else:
+                    run_nodes(else_body)
+            elif kind == "while":
+                _, cond, body = node
+                iters = 0
+                while truthy(cond):
+                    iters += 1
+                    if iters > _MAX_LOOP_ITERS:
+                        raise ValueError(
+                            "scripting blocks: WHILE exceeded"
+                            f" {_MAX_LOOP_ITERS} iterations (runaway"
+                            " loop guard)"
+                        )
+                    try:
+                        run_nodes(body)
+                    except _BlockContinue:
+                        continue
+                    except _BlockBreak:
+                        break
+            else:  # for
+                _, var, a_expr, b_expr, rev, body = node
+                a, b = eval_expr(a_expr), eval_expr(b_expr)
+                if not isinstance(a, int) or not isinstance(b, int):
+                    raise ValueError(
+                        "scripting blocks: FOR counter bounds must be"
+                        f" integers (got {a!r} TO {b!r})"
+                    )
+                if b - a + 1 > _MAX_LOOP_ITERS:
+                    raise ValueError(
+                        "scripting blocks: FOR range exceeds"
+                        f" {_MAX_LOOP_ITERS} iterations (runaway guard)"
+                    )
+                shadowed = block_vars.get(var)
+                rng = range(b, a - 1, -1) if rev else range(a, b + 1)
+                for v in rng:
+                    set_var(var, v)
+                    try:
+                        run_nodes(body)
+                    except _BlockContinue:
+                        continue
+                    except _BlockBreak:
+                        break
+                # the loop counter is loop-scoped (Snowflake: out of
+                # scope after END FOR); restore any shadowed declare
+                if shadowed is None:
+                    block_vars.pop(var, None)
+                else:
+                    block_vars[var] = shadowed
+
+    parsed, _term = _parse_block_body(_split_script(m.group("body")))
+    returned = None
+    has_return = False
+    try:
+        run_nodes(parsed)
+    except _BlockReturn as r:
+        returned = r.value
+        has_return = True
+    except (_BlockBreak, _BlockContinue):
+        raise ValueError(
+            "scripting blocks: BREAK/CONTINUE outside a loop"
+        )
     literal, _t = _render_literal(returned if has_return else None)
     return spark.sql(f"SELECT {literal} AS {result_name}")
 

@@ -10757,3 +10757,74 @@ def s10_stage_file_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
         _REFERENCE_DATA,
         CUSTOMER_STAGE,
     )
+
+
+_SQL60_PROC_CONTROL_FLOW = """
+CREATE OR REPLACE PROCEDURE region_score(rk NUMBER)
+  RETURNS NUMBER LANGUAGE SQL AS $$
+  DECLARE n NUMBER DEFAULT 0; score NUMBER DEFAULT 0;
+  BEGIN
+    LET n := (SELECT COUNT(*) FROM nation WHERE n_regionkey = :rk);
+    IF (n = 0) THEN RETURN -1; END IF;
+    FOR i IN 1 TO n DO
+      IF (i % 2 = 0) THEN CONTINUE; END IF;
+      LET score := score + i;
+    END FOR;
+    WHILE (score < 20) DO
+      LET score := score * 2 + 1;
+    END WHILE;
+    RETURN score;
+  END
+  $$;
+CALL region_score(2);
+"""
+
+
+@register(
+    "sql60_proc_control_flow",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT CAST(POWER(CEIL(COUNT(*) / 2.0), 2) AS BIGINT) AS v
+        FROM nation WHERE n_regionkey = 2
+    ),
+    grow AS (
+        SELECT v FROM base
+        UNION ALL
+        SELECT v * 2 + 1 FROM grow WHERE v < 20
+    )
+    SELECT CAST(MAX(v) AS BIGINT) AS region_score FROM grow
+    """,
+    doc="""SCRIPTING CONTROL FLOW (r12 session 4 — extends the sql56/
+    sql59 conservative subset): ``IF (c) THEN/ELSEIF/ELSE/END IF``,
+    ``WHILE (c) DO ... END WHILE``, counter ``FOR i IN [REVERSE] a TO
+    b DO ... END FOR`` (loop-scoped counter), and BREAK/EXIT /
+    CONTINUE/ITERATE, parsed by recursive descent over the
+    semicolon-split statement stream (branch statements ride on their
+    THEN/DO/ELSE marker and are pushed back) and executed with
+    block-variable state; conditions must be parenthesized and
+    BOOLEAN (NULL = not taken, any other type refuses — no silent
+    coercion), FOR bounds must be integers, and a 100k-iteration
+    guard refuses runaway loops. Still refused: cursors /
+    FOR-over-query, RESULTSET, bare LOOP, REPEAT, CASE blocks,
+    EXCEPTION sections. The entry creates a procedure whose body
+    early-RETURNs on an empty region, sums odd counters via
+    FOR+CONTINUE, then grows the sum with a WHILE — and CALLs it; the
+    oracle RE-DERIVES the same semantics independently (sum of odds
+    1..n = ceil(n/2)^2; the WHILE as a recursive CTE fixpoint) —
+    nothing about the oracle echoes the interpreter
+    (functions/scripting.py:_parse_block_body, scripting_block).
+    Scale: control flow is DRIVER-side orchestration over O(1) scalar
+    state — exactly Snowflake's own scripting model; every embedded
+    statement remains a full distributed plan.""",
+    tags=("sql-surface", "dialect", "scripting", "procedures",
+          "control-flow"),
+)
+def sql60_proc_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scripting import console_script
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    ret = console_script(spark, _SQL60_PROC_CONTROL_FLOW)
+    return ret.select(
+        F.col("region_score").cast("long").alias("region_score")
+    )

@@ -130,6 +130,7 @@ PRIORITY: tuple[str, ...] = (
     "f35_regex_occurrence",
     "f36_object_mutators_tz",
     "s10_stage_file_row_number",
+    "sql60_proc_control_flow",
     # last driver-green r7
     "a4_count_distinct",
     "a5_rollup",

@@ -4584,14 +4584,20 @@ def test_scripting_block_battery(spark):
             tables={"w": spark.createDataFrame([(1,)], "v int")},
         )
     for bad, msg in [
-        ("BEGIN FOR i IN 1..3 DO RETURN 1; END FOR; END", "FOR"),
-        ("BEGIN WHILE (1=1) DO RETURN 1; END WHILE; END", "WHILE"),
+        # r12 session 4: the '..' range spelling is NOT the supported
+        # counter grammar (a TO b) — must refuse, not reach SQL
+        ("BEGIN FOR i IN 1..3 DO RETURN 1; END FOR; END",
+         "unsupported FOR shape"),
         ("DECLARE c CURSOR FOR SELECT 1; BEGIN RETURN 1; END", "CURSOR"),
         ("BEGIN SELECT 1; EXCEPTION WHEN OTHER THEN RETURN 0; END",
          "EXCEPTION"),
     ]:
         with _pytest.raises(ValueError, match=msg):
             scripting_block(spark, bad)
+    # WHILE with an immediate RETURN now executes (control flow, r12 s4)
+    assert scripting_block(
+        spark, "BEGIN WHILE (1=1) DO RETURN 41 + 1; END WHILE; END"
+    ).first().anonymous_block == 42
 
     # ::casts inside embedded SQL are not binds
     t = {"w": spark.createDataFrame([(1,)], "v int")}
@@ -4602,6 +4608,118 @@ def test_scripting_block_battery(spark):
         END
     """, tables=t)
     assert t["w"].first().v == 5
+
+
+def test_scripting_control_flow_battery(spark):
+    """r12 session 4: IF/ELSEIF/ELSE, WHILE, counter FOR (REVERSE,
+    loop-scoped counter), BREAK/CONTINUE, nesting, DML inside
+    branches, and the loud refusals for malformed heads, non-boolean
+    conditions, non-integer FOR bounds, and runaway loops."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.scripting import (
+        scripting_block,
+    )
+
+    # IF/ELSEIF/ELSE with nesting: classify 7 -> 'mid-odd'
+    r = scripting_block(spark, """
+        DECLARE n NUMBER DEFAULT 7; label VARCHAR DEFAULT '';
+        BEGIN
+          IF (n < 5) THEN
+            LET label := 'low';
+          ELSEIF (n < 10) THEN
+            IF (n % 2 = 1) THEN LET label := 'mid-odd';
+            ELSE LET label := 'mid-even';
+            END IF;
+          ELSE
+            LET label := 'high';
+          END IF;
+          RETURN label;
+        END
+    """)
+    assert r.first().anonymous_block == "mid-odd"
+
+    # WHILE with CONTINUE (skip multiples of 3) and BREAK (stop at 10):
+    # sums 1+2+4+5+7+8+10 = 37
+    r = scripting_block(spark, """
+        DECLARE i NUMBER DEFAULT 0; total NUMBER DEFAULT 0;
+        BEGIN
+          WHILE (i < 100) DO
+            LET i := i + 1;
+            IF (i % 3 = 0) THEN CONTINUE; END IF;
+            LET total := total + i;
+            IF (i >= 10) THEN BREAK; END IF;
+          END WHILE;
+          RETURN total;
+        END
+    """)
+    assert r.first().anonymous_block == 37
+
+    # counter FOR, REVERSE, loop-scoped counter restoring the declare
+    r = scripting_block(spark, """
+        DECLARE i NUMBER DEFAULT 99; digits VARCHAR DEFAULT '';
+        BEGIN
+          FOR i IN REVERSE 1 TO 4 DO
+            LET digits := digits || CAST(i AS STRING);
+          END FOR;
+          RETURN digits || '|' || CAST(i AS STRING);
+        END
+    """)
+    assert r.first().anonymous_block == "4321|99"
+
+    # DML inside a FOR body (:binds see the counter) — three UPDATEs
+    t = {"w": spark.createDataFrame([(0,)], "v int")}
+    scripting_block(spark, """
+        BEGIN
+          FOR k IN 1 TO 3 DO
+            UPDATE w SET v = v + :k;
+          END FOR;
+        END
+    """, tables=t)
+    assert t["w"].first().v == 6
+
+    # RETURN from inside a nested loop propagates out of the block
+    r = scripting_block(spark, """
+        BEGIN
+          FOR a IN 1 TO 5 DO
+            FOR b IN 1 TO 5 DO
+              IF (a * b = 12) THEN RETURN a * 10 + b; END IF;
+            END FOR;
+          END FOR;
+          RETURN -1;
+        END
+    """)
+    assert r.first().anonymous_block == 34  # a=3,b=4 first hits 12
+
+    for bad, msg in [
+        ("BEGIN IF n > 1 THEN RETURN 1; END IF; END",
+         "unsupported IF shape"),
+        ("BEGIN WHILE (1) DO BREAK; END WHILE; END", "non-boolean"),
+        ("BEGIN FOR i IN 1 TO 2.5 DO NULL; END FOR; END",
+         "must be integers"),
+        ("BEGIN FOR r IN (SELECT 1) DO NULL; END FOR; END", "cursor"),
+        ("BEGIN IF (1=1) THEN RETURN 1; END", "unterminated"),
+        ("BEGIN BREAK; END", "outside a loop"),
+        ("BEGIN END WHILE; END", "unexpected"),
+        ("BEGIN LOOP RETURN 1; END LOOP; END", "LOOP is not supported"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            scripting_block(spark, bad)
+
+    # runaway WHILE trips the iteration guard (condition never flips)
+    import end_to_end_etl_using_snowflake_spark.functions.scripting as S
+    old = S._MAX_LOOP_ITERS
+    S._MAX_LOOP_ITERS = 5
+    try:
+        with _pytest.raises(ValueError, match="runaway"):
+            scripting_block(spark, """
+                DECLARE i NUMBER DEFAULT 0;
+                BEGIN
+                  WHILE (i >= 0) DO LET i := i + 1; END WHILE;
+                END
+            """)
+    finally:
+        S._MAX_LOOP_ITERS = old
 
 
 def test_alter_session_parameters(spark):
