@@ -734,6 +734,22 @@ _END_RE = re.compile(r"^END\s+(?P<kw>IF|FOR|WHILE|LOOP)\s*$", re.IGNORECASE)
 
 _MAX_LOOP_ITERS = 100_000
 
+_DECL_EXC_RE = re.compile(
+    r"^(?P<name>[A-Za-z_]\w*)\s+EXCEPTION\s*"
+    r"(?:\(\s*(?P<code>-?\d+)\s*,\s*'(?P<msg>[^']*)'\s*\))?$",
+    re.IGNORECASE,
+)
+_RAISE_RE = re.compile(
+    r"^RAISE(?:\s+(?P<name>[A-Za-z_]\w*))?\s*$", re.IGNORECASE
+)
+_EXC_SECTION_RE = re.compile(r"^EXCEPTION\s+(?P<rest>WHEN\b.*)$",
+                             re.IGNORECASE | re.DOTALL)
+_WHEN_CLAUSE_RE = re.compile(
+    r"^WHEN\s+(?P<names>[A-Za-z_]\w*(?:\s+OR\s+[A-Za-z_]\w*)*)\s+"
+    r"THEN\b(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 
 class _BlockBreak(Exception):
     pass
@@ -746,6 +762,38 @@ class _BlockContinue(Exception):
 class _BlockReturn(Exception):
     def __init__(self, value):
         self.value = value
+
+
+class _BareRaise(Exception):
+    """``RAISE;`` with no name — re-raise the current handler's
+    exception; an error outside a handler."""
+
+
+class _UserException(Exception):
+    """A RAISEd declared exception — carries Snowflake's triple."""
+
+    def __init__(self, name: str, code: int, msg: str):
+        super().__init__(f"{name} ({code}): {msg}")
+        self.name = name
+        self.code = code
+        self.msg = msg
+
+
+class _StatementError(Exception):
+    """An embedded SQL statement failed at runtime (the
+    STATEMENT_ERROR handler class). Wraps the engine error."""
+
+    def __init__(self, cause: Exception):
+        super().__init__(str(cause))
+        self.cause = cause
+
+
+class _ExpressionError(Exception):
+    """A block expression failed at runtime (EXPRESSION_ERROR)."""
+
+    def __init__(self, cause: Exception):
+        super().__init__(str(cause))
+        self.cause = cause
 
 
 def _cond_and_rest(stmt: str, head_kw: str, then_kw: str) -> tuple[str, str]:
@@ -767,7 +815,11 @@ def _cond_and_rest(stmt: str, head_kw: str, then_kw: str) -> tuple[str, str]:
     return cond, km.group("rest").strip()
 
 
-def _parse_block_body(stmts: list[str], terminators: tuple[str, ...] = ()):
+def _parse_block_body(
+    stmts: list[str],
+    terminators: tuple[str, ...] = (),
+    eof_ok: bool = False,
+):
     """Recursive-descent parse of the semicolon-split statement stream
     into nodes: ('stmt', text) | ('return', expr|None) |
     ('if', [(cond, body), ...], else_body) |
@@ -791,6 +843,8 @@ def _parse_block_body(stmts: list[str], terminators: tuple[str, ...] = ()):
             kind = "ELSEIF"
         elif _ELSE_HEAD.match(bare):
             kind = "ELSE"
+        elif re.match(r"^WHEN\b", bare, re.IGNORECASE):
+            kind = "WHEN"
         if kind is not None:
             for t in terminators:
                 if kind == t or (kind.startswith("END") and t == kind):
@@ -867,6 +921,10 @@ def _parse_block_body(stmts: list[str], terminators: tuple[str, ...] = ()):
             continue
         if re.match(r"^NULL\s*$", bare, re.IGNORECASE):
             continue  # Snowflake Scripting's explicit no-op statement
+        rr = _RAISE_RE.match(bare)
+        if rr is not None:
+            nodes.append(("raise", (rr.group("name") or "").upper()))
+            continue
         rm = re.match(r"RETURN(?:\s+(?P<expr>.+))?$", bare,
                       re.IGNORECASE | re.DOTALL)
         if rm:
@@ -880,7 +938,7 @@ def _parse_block_body(stmts: list[str], terminators: tuple[str, ...] = ()):
                 " BREAK/CONTINUE; plus LET / SQL statements / RETURN)"
             )
         nodes.append(("stmt", bare))
-    if terminators:
+    if terminators and not eof_ok:
         raise ValueError(
             f"scripting blocks: unterminated construct (expected one of"
             f" {', '.join(terminators)})"
@@ -973,13 +1031,22 @@ def scripting_block(
     parenthesized (Snowflake Scripting's grammar) and evaluate to
     BOOLEAN (NULL is not-taken, CASE semantics; any other type
     refuses — a silent coercion would hide a mistyped predicate);
-    runaway loops refuse at 100k iterations. Still refused loudly:
+    runaway loops refuse at 100k iterations. EXCEPTION handling (r12
+    session 4): ``DECLARE e EXCEPTION [(code, 'msg')]``, ``RAISE e``,
+    and one trailing ``EXCEPTION WHEN <e> [OR <e>] THEN ... [WHEN
+    STATEMENT_ERROR|EXPRESSION_ERROR|OTHER THEN ...]`` section —
+    embedded-SQL failures dispatch as STATEMENT_ERROR, block
+    expression failures as EXPRESSION_ERROR (interpreter refusals
+    stay loud — a handler must not swallow an unsupported-shape
+    error), the handler sees SQLCODE/SQLERRM/SQLSTATE as block
+    variables, bare ``RAISE`` re-raises, and an unhandled exception
+    surfaces the ORIGINAL engine error. Still refused loudly:
     cursors / FOR-over-query, RESULTSETs, bare LOOP, REPEAT, CASE
-    blocks, nested CALL, and EXCEPTION sections. Session variables
-    ($v) remain visible inside the block (resolved before block-local
-    scope). Returns the one-column ``anonymous_block`` relation
-    holding RETURN's value (cast to its natural type), or a NULL row
-    when the block falls off the END without RETURN."""
+    blocks, nested CALL. Session variables ($v) remain visible inside
+    the block (resolved before block-local scope). Returns the
+    one-column ``anonymous_block`` relation holding RETURN's value
+    (cast to its natural type), or a NULL row when the block falls
+    off the END without RETURN."""
     variables = variables if variables is not None else {}
     s = text.strip().rstrip(";").strip()
     m = re.match(
@@ -990,11 +1057,8 @@ def scripting_block(
         raise ValueError(
             "unsupported block shape (need [DECLARE ...] BEGIN ... END)"
         )
-    if re.search(r"\bEXCEPTION\b", m.group("body"), re.IGNORECASE):
-        raise ValueError(
-            "EXCEPTION sections are not supported in scripting blocks"
-        )
     block_vars: dict[str, SessionVariable] = dict(initial_vars or {})
+    block_excs: dict[str, tuple[int, str]] = {}
 
     def eval_expr(expr: str):
         # expressions accept BOTH variable spellings (Snowflake allows
@@ -1010,13 +1074,26 @@ def scripting_block(
         return _eval_scalar(spark, resolved)
 
     for decl in _split_script(m.group("decl") or ""):
+        # tolerate a repeated DECLARE keyword per entry (Snowflake
+        # needs it once, but real pastes write both spellings)
+        decl = re.sub(r"^DECLARE\s+", "", decl.strip(), flags=re.IGNORECASE)
+        xm = _DECL_EXC_RE.match(decl.strip())
+        if xm is not None:
+            # DECLARE name EXCEPTION [(code, 'msg')] — Snowflake's
+            # user-exception declaration (default code -20000)
+            block_excs[xm.group("name").upper()] = (
+                int(xm.group("code") or -20000),
+                xm.group("msg") or xm.group("name").lower(),
+            )
+            continue
         dm = _DECL_RE.match(decl.strip())
         if dm is None:
             raise ValueError(f"unsupported DECLARE entry: {decl[:60]!r}")
         if dm.group("type").upper() in ("CURSOR", "RESULTSET", "EXCEPTION"):
             raise ValueError(
                 f"DECLARE {dm.group('type').upper()} is not supported"
-                " in scripting blocks"
+                " in scripting blocks (EXCEPTION takes an optional"
+                " (code, 'message') literal pair only)"
             )
         value = eval_expr(dm.group("dflt")) if dm.group("dflt") else None
         literal, sf_type = _render_literal(value)
@@ -1031,7 +1108,7 @@ def scripting_block(
             head == "LET"
             or (lm.group("name").upper() in block_vars and ":=" in bare)
         ):
-            value = eval_expr(lm.group("expr"))
+            value = eval_tagged(lm.group("expr"))
             literal, sf_type = _render_literal(value)
             block_vars[lm.group("name").upper()] = SessionVariable(
                 value, literal, sf_type
@@ -1040,21 +1117,47 @@ def scripting_block(
         resolved = substitute_variables(
             _subst_binds(bare, block_vars), variables
         )
-        out = snowflake_sql(
-            spark, resolved, pipelines=pipelines, tables=tables,
-            stages=stages,
-        )
-        if tables is not None:
-            dm2 = _DML_HEAD_RE.match(resolved)
-            if dm2 is not None:
-                tables[_dml_key(tables, dm2.group("t"))] = out
+        try:
+            out = snowflake_sql(
+                spark, resolved, pipelines=pipelines, tables=tables,
+                stages=stages,
+            )
+            dm2 = _DML_HEAD_RE.match(resolved) if tables is not None else None
+            if exec_ctx["eager"]:
+                # an EXCEPTION section demands STATEMENT-BOUNDARY
+                # execution: Spark's laziness would otherwise carry a
+                # data error (bad cast, ANSI overflow) past the
+                # handler's scope. DML results are checkpointed (the
+                # statement's effect becomes a stable snapshot, exactly
+                # the read-your-writes the tables-dict promises);
+                # other statements just execute and discard.
+                if dm2 is not None:
+                    out = out.localCheckpoint(eager=True)
+                else:
+                    out.count()
+        except (_UserException, _StatementError, _ExpressionError):
+            raise
+        except Exception as exc:  # the STATEMENT_ERROR handler class
+            raise _StatementError(exc) from exc
+        if dm2 is not None:
+            tables[_dml_key(tables, dm2.group("t"))] = out
+
+    def eval_tagged(expr: str):
+        try:
+            return eval_expr(expr)
+        except ValueError:
+            raise  # interpreter refusals (undeclared bind, ...) stay loud
+        except Exception as exc:  # the EXPRESSION_ERROR handler class
+            raise _ExpressionError(exc) from exc
+
+    exec_ctx = {"eager": False}
 
     def set_var(name: str, value) -> None:
         literal, sf_type = _render_literal(value)
         block_vars[name] = SessionVariable(value, literal, sf_type)
 
     def truthy(cond: str) -> bool:
-        v = eval_expr(cond)
+        v = eval_tagged(cond)
         if v is None:
             return False  # CASE/WHERE semantics: NULL is not taken
         if not isinstance(v, bool):
@@ -1072,12 +1175,22 @@ def scripting_block(
                 run_stmt(node[1])
             elif kind == "return":
                 raise _BlockReturn(
-                    eval_expr(node[1]) if node[1] else None
+                    eval_tagged(node[1]) if node[1] else None
                 )
             elif kind == "break":
                 raise _BlockBreak()
             elif kind == "continue":
                 raise _BlockContinue()
+            elif kind == "raise":
+                name = node[1]
+                if not name:
+                    raise _BareRaise()
+                if name not in block_excs:
+                    raise ValueError(
+                        f"RAISE {name}: no such declared exception"
+                    )
+                code, msg = block_excs[name]
+                raise _UserException(name, code, msg)
             elif kind == "if":
                 _, branches, else_body = node
                 for cond, body in branches:
@@ -1105,7 +1218,7 @@ def scripting_block(
                         break
             else:  # for
                 _, var, a_expr, b_expr, rev, body = node
-                a, b = eval_expr(a_expr), eval_expr(b_expr)
+                a, b = eval_tagged(a_expr), eval_tagged(b_expr)
                 if not isinstance(a, int) or not isinstance(b, int):
                     raise ValueError(
                         "scripting blocks: FOR counter bounds must be"
@@ -1133,9 +1246,52 @@ def scripting_block(
                 else:
                     block_vars[var] = shadowed
 
-    parsed, _term = _parse_block_body(_split_script(m.group("body")))
+    # split the statement stream at the EXCEPTION section head (one
+    # section per block, Snowflake's shape; handler clauses are WHEN
+    # <name> [OR <name>]* THEN <statements> in declaration order)
+    body_stmts = _split_script(m.group("body"))
+    handler_stmts: list[str] = []
+    for idx, st in enumerate(body_stmts):
+        xm = _EXC_SECTION_RE.match(_strip_line_comments(st).strip())
+        if xm is not None:
+            handler_stmts = [xm.group("rest")] + body_stmts[idx + 1 :]
+            body_stmts = body_stmts[:idx]
+            break
+    handlers: list[tuple[list[str], list]] = []
+    while handler_stmts:
+        head = _strip_line_comments(handler_stmts.pop(0)).strip()
+        wm = _WHEN_CLAUSE_RE.match(head)
+        if wm is None:
+            raise ValueError(
+                f"EXCEPTION section: expected WHEN <exception> THEN,"
+                f" got {head[:60]!r}"
+            )
+        if wm.group("rest").strip():
+            handler_stmts.insert(0, wm.group("rest").strip())
+        names = [
+            n.strip().upper()
+            for n in re.split(r"\s+OR\s+", wm.group("names"),
+                              flags=re.IGNORECASE)
+        ]
+        for n in names:
+            if n not in block_excs and n not in (
+                "OTHER", "STATEMENT_ERROR", "EXPRESSION_ERROR"
+            ):
+                raise ValueError(
+                    f"EXCEPTION handler for undeclared exception {n!r}"
+                )
+        body, term = _parse_block_body(
+            handler_stmts, ("WHEN",), eof_ok=True
+        )
+        handlers.append((names, body))
+        if term:
+            handler_stmts.insert(0, term)
+
+    parsed, _term = _parse_block_body(body_stmts)
     returned = None
     has_return = False
+    caught: Exception | None = None
+    exec_ctx["eager"] = bool(handlers)
     try:
         run_nodes(parsed)
     except _BlockReturn as r:
@@ -1145,6 +1301,51 @@ def scripting_block(
         raise ValueError(
             "scripting blocks: BREAK/CONTINUE outside a loop"
         )
+    except _BareRaise:
+        raise ValueError(
+            "scripting blocks: bare RAISE is only valid inside an"
+            " EXCEPTION handler"
+        )
+    except (_UserException, _StatementError, _ExpressionError) as exc:
+        caught = exc
+    if caught is not None:
+        if isinstance(caught, _UserException):
+            want = {caught.name, "OTHER"}
+            triple = (caught.code, caught.msg, "P0001")
+        elif isinstance(caught, _StatementError):
+            want = {"STATEMENT_ERROR", "OTHER"}
+            triple = (-1, str(caught).splitlines()[0][:200], "42000")
+        else:
+            want = {"EXPRESSION_ERROR", "OTHER"}
+            triple = (-1, str(caught).splitlines()[0][:200], "42000")
+        clause = next(
+            (body for names, body in handlers if want & set(names)), None
+        )
+        if clause is None:
+            # unhandled: surface the ORIGINAL failure, loudly
+            if isinstance(caught, _UserException):
+                raise ValueError(f"uncaught exception {caught}") from caught
+            raise caught.cause
+        # Snowflake's handler scope: the error triple is readable as
+        # block variables (and thus :binds) inside the handler
+        for nm, v in zip(("SQLCODE", "SQLERRM", "SQLSTATE"), triple):
+            lit, t = _render_literal(v)
+            block_vars[nm] = SessionVariable(v, lit, t)
+        current = caught
+
+        try:
+            try:
+                run_nodes(clause)
+            except _BareRaise:
+                # bare RAISE re-raises the CURRENT exception
+                raise current from None
+        except _BlockReturn as r:
+            returned = r.value
+            has_return = True
+        except _UserException as exc2:
+            raise ValueError(f"uncaught exception {exc2}") from exc2
+        except (_StatementError, _ExpressionError) as exc2:
+            raise exc2.cause
     literal, _t = _render_literal(returned if has_return else None)
     return spark.sql(f"SELECT {literal} AS {result_name}")
 

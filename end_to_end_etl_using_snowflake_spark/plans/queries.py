@@ -10828,3 +10828,69 @@ def sql60_proc_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ret.select(
         F.col("region_score").cast("long").alias("region_score")
     )
+
+
+_SQL61_PROC_EXCEPTION = """
+CREATE OR REPLACE PROCEDURE guarded_total(cap NUMBER)
+  RETURNS STRING LANGUAGE SQL AS $$
+  DECLARE overflow EXCEPTION (-20031, 'region total over cap');
+  DECLARE total NUMBER DEFAULT 0;
+  BEGIN
+    LET total := (SELECT SUM(n_nationkey) FROM nation
+                  WHERE n_regionkey <= 2);
+    IF (total > cap) THEN RAISE overflow; END IF;
+    RETURN 'under: ' || CAST(total AS STRING);
+  EXCEPTION
+    WHEN overflow THEN
+      RETURN 'over cap ' || CAST(:cap AS STRING) || ' (' || SQLERRM
+             || ', code ' || CAST(SQLCODE AS STRING) || ')';
+    WHEN OTHER THEN
+      RETURN 'unexpected';
+  END
+  $$;
+CALL guarded_total(50);
+"""
+
+
+@register(
+    "sql61_proc_exception",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(SUM(n_nationkey) AS BIGINT) AS total
+        FROM nation WHERE n_regionkey <= 2
+    )
+    SELECT CASE WHEN total > 50
+           THEN 'over cap 50 (region total over cap, code -20031)'
+           ELSE 'under: ' || CAST(total AS VARCHAR) END AS guarded_total
+    FROM s
+    """,
+    doc="""EXCEPTION HANDLING in scripting blocks / procedures (r12
+    session 4 — closes the last refused Snowflake Scripting section):
+    ``DECLARE e EXCEPTION [(code, 'msg')]``, ``RAISE e``, and a
+    trailing ``EXCEPTION WHEN e [OR e2] THEN ... WHEN
+    STATEMENT_ERROR | EXPRESSION_ERROR | OTHER THEN ...`` section.
+    Embedded-SQL runtime failures dispatch as STATEMENT_ERROR and
+    block-expression failures as EXPRESSION_ERROR — made DETECTABLE
+    at their statement boundary by executing eagerly whenever a
+    handler section exists (Spark's laziness would otherwise float a
+    data error past the handler's scope; DML results are checkpointed
+    so read-your-writes becomes a stable per-statement snapshot,
+    which IS Snowflake's statement semantics). Handlers read
+    SQLCODE/SQLERRM/SQLSTATE as block variables; bare RAISE
+    re-raises; unhandled errors surface the ORIGINAL engine error;
+    interpreter refusals (unsupported shapes) are never swallowed by
+    OTHER. The entry's procedure RAISEs on a data-dependent guard and
+    the handler formats the error triple; the oracle re-derives BOTH
+    control paths closed-form from the same relation
+    (functions/scripting.py:scripting_block). Scale: driver-side
+    orchestration over O(1) state, one extra action per statement
+    only when a handler section exists.""",
+    tags=("sql-surface", "dialect", "scripting", "exceptions",
+          "procedures"),
+)
+def sql61_proc_exception(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scripting import console_script
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return console_script(spark, _SQL61_PROC_EXCEPTION)

@@ -131,6 +131,7 @@ PRIORITY: tuple[str, ...] = (
     "f36_object_mutators_tz",
     "s10_stage_file_row_number",
     "sql60_proc_control_flow",
+    "sql61_proc_exception",
     # last driver-green r7
     "a4_count_distinct",
     "a5_rollup",

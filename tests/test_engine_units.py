@@ -4589,11 +4589,14 @@ def test_scripting_block_battery(spark):
         ("BEGIN FOR i IN 1..3 DO RETURN 1; END FOR; END",
          "unsupported FOR shape"),
         ("DECLARE c CURSOR FOR SELECT 1; BEGIN RETURN 1; END", "CURSOR"),
-        ("BEGIN SELECT 1; EXCEPTION WHEN OTHER THEN RETURN 0; END",
-         "EXCEPTION"),
     ]:
         with _pytest.raises(ValueError, match=msg):
             scripting_block(spark, bad)
+    # an EXCEPTION section with no error never fires (r12 s4)
+    r = scripting_block(
+        spark, "BEGIN RETURN 5; EXCEPTION WHEN OTHER THEN RETURN 0; END"
+    )
+    assert r.first().anonymous_block == 5
     # WHILE with an immediate RETURN now executes (control flow, r12 s4)
     assert scripting_block(
         spark, "BEGIN WHILE (1=1) DO RETURN 41 + 1; END WHILE; END"
@@ -4720,6 +4723,120 @@ def test_scripting_control_flow_battery(spark):
             """)
     finally:
         S._MAX_LOOP_ITERS = old
+
+
+def test_scripting_exception_battery(spark):
+    """r12 session 4: DECLARE EXCEPTION / RAISE / EXCEPTION WHEN
+    sections — user exceptions route to their named handler with the
+    SQLCODE/SQLERRM/SQLSTATE triple bound, statement and expression
+    failures classify, bare RAISE re-raises, unhandled errors surface
+    the original, and interpreter refusals are NOT swallowed."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.scripting import (
+        scripting_block,
+    )
+
+    # named handler + the error triple
+    r = scripting_block(spark, """
+        DECLARE too_big EXCEPTION (-20007, 'value too big');
+        DECLARE v NUMBER DEFAULT 99;
+        BEGIN
+          IF (v > 10) THEN RAISE too_big; END IF;
+          RETURN 'ok';
+        EXCEPTION
+          WHEN too_big THEN
+            RETURN 'caught ' || CAST(SQLCODE AS STRING) || ': ' || SQLERRM;
+        END
+    """)
+    assert r.first().anonymous_block == "caught -20007: value too big"
+
+    # OR-lists and OTHER; default code -20000
+    r = scripting_block(spark, """
+        DECLARE a EXCEPTION; b EXCEPTION (-20002, 'bee');
+        BEGIN
+          RAISE b;
+        EXCEPTION
+          WHEN a OR b THEN RETURN SQLCODE;
+          WHEN OTHER THEN RETURN 0;
+        END
+    """)
+    assert r.first().anonymous_block == -20002
+
+    # statement failures classify as STATEMENT_ERROR; handlers can
+    # run follow-up DML (read-your-writes preserved)
+    t = {"w": spark.createDataFrame([(1,)], "v int")}
+    r = scripting_block(spark, """
+        BEGIN
+          UPDATE w SET v = CAST('oops' AS INT);
+          RETURN 'unreachable';
+        EXCEPTION
+          WHEN EXPRESSION_ERROR THEN RETURN 'expr';
+          WHEN STATEMENT_ERROR THEN
+            UPDATE w SET v = v + 41;
+            RETURN 'stmt';
+        END
+    """, tables=t)
+    assert r.first().anonymous_block == "stmt"
+    assert t["w"].first().v == 42
+
+    # expression failures classify as EXPRESSION_ERROR
+    r = scripting_block(spark, """
+        BEGIN
+          LET x := CAST('nope' AS INT) + 1;
+          RETURN 'unreachable';
+        EXCEPTION
+          WHEN EXPRESSION_ERROR THEN RETURN 'expr';
+          WHEN OTHER THEN RETURN 'other';
+        END
+    """)
+    assert r.first().anonymous_block == "expr"
+
+    # bare RAISE re-raises; unhandled surfaces the original class
+    with _pytest.raises(ValueError, match="uncaught exception"):
+        scripting_block(spark, """
+            DECLARE e EXCEPTION (-20009, 'boom');
+            BEGIN
+              RAISE e;
+            EXCEPTION
+              WHEN e THEN RAISE;
+            END
+        """)
+    with _pytest.raises(ValueError, match="uncaught exception"):
+        scripting_block(spark, """
+            DECLARE e EXCEPTION;
+            BEGIN RAISE e; END
+        """)
+    # unhandled statement error -> the ORIGINAL engine error, not a wrap
+    with _pytest.raises(Exception, match="CAST_INVALID_INPUT|cannot be cast"):
+        scripting_block(spark, """
+            BEGIN
+              LET x := CAST('nope' AS INT);
+            END
+        """)
+
+    # refusal semantics preserved: interpreter refusals are NOT
+    # swallowed by OTHER (a handler must not hide unsupported shapes)
+    with _pytest.raises(ValueError, match="unsupported IF shape"):
+        scripting_block(spark, """
+            BEGIN
+              IF x THEN RETURN 1; END IF;
+            EXCEPTION
+              WHEN OTHER THEN RETURN 0;
+            END
+        """)
+    with _pytest.raises(ValueError, match="bare RAISE"):
+        scripting_block(spark, "BEGIN RAISE; END")
+    with _pytest.raises(ValueError, match="no such declared"):
+        scripting_block(spark, "BEGIN RAISE ghost; END")
+    with _pytest.raises(ValueError, match="undeclared exception"):
+        scripting_block(spark, """
+            BEGIN
+              RETURN 1;
+            EXCEPTION
+              WHEN ghost THEN RETURN 0;
+            END
+        """)
 
 
 def test_alter_session_parameters(spark):
