@@ -727,6 +727,16 @@ _FOR_HEAD = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _FOR_CURSOR = re.compile(r"^FOR\s+[A-Za-z_]\w*\s+IN\s*\(", re.IGNORECASE)
+_FOR_CURSOR_NAME = re.compile(
+    r"^FOR\s+(?P<var>[A-Za-z_]\w*)\s+IN\s+(?P<cur>[A-Za-z_]\w*)\s+"
+    r"(?:DO|LOOP)\b(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DECL_CURSOR_RE = re.compile(
+    r"^(?P<name>[A-Za-z_]\w*)\s+CURSOR\s+FOR\s+(?P<query>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MAX_CURSOR_ROWS = 10_000
 _ELSEIF_HEAD = re.compile(r"^ELSE\s*IF\s*\(|^ELSEIF\s*\(", re.IGNORECASE)
 _ELSE_HEAD = re.compile(r"^ELSE\b(?!\s*IF)(?P<rest>.*)$",
                         re.IGNORECASE | re.DOTALL)
@@ -855,9 +865,9 @@ def _parse_block_body(
             )
         if _FOR_CURSOR.match(bare):
             raise ValueError(
-                "scripting blocks: cursor FOR loops (FOR x IN"
-                " (SELECT ...)) are not supported — counter loops"
-                " (FOR i IN a TO b DO) are"
+                "scripting blocks: inline FOR x IN (SELECT ...) is not"
+                " Snowflake Scripting grammar — DECLARE a cursor"
+                " (c CURSOR FOR <query>) and loop FOR x IN c DO"
             )
         if _IF_HEAD.match(bare):
             cond, rest = _cond_and_rest(bare, "IF", "THEN")
@@ -901,6 +911,17 @@ def _parse_block_body(
             nodes.append((
                 "for", fm.group("var").upper(), fm.group("a").strip(),
                 fm.group("b").strip(), bool(fm.group("rev")), body,
+            ))
+            continue
+        cm = _FOR_CURSOR_NAME.match(bare)
+        if cm is not None:
+            rest = cm.group("rest").strip()
+            if rest:
+                stmts.insert(0, rest)
+            body, _ = _parse_block_body(stmts, ("END FOR", "END LOOP"))
+            nodes.append((
+                "forc", cm.group("var").upper(),
+                cm.group("cur").upper(), body,
             ))
             continue
         if re.match(r"^(IF|WHILE|FOR|ELSE)\b", bare, re.IGNORECASE):
@@ -969,7 +990,12 @@ def _subst_block_vars(
     if not block_vars:
         return expr
     rx = re.compile(
-        r"\b(" + "|".join(re.escape(n) for n in block_vars) + r")\b",
+        r"\b("
+        + "|".join(
+            re.escape(n)
+            for n in sorted(block_vars, key=len, reverse=True)
+        )
+        + r")\b",
         re.IGNORECASE,
     )
     out = []
@@ -1001,8 +1027,10 @@ def _subst_binds(
     for a, b, is_code in _scan_outside_literals(sql):
         seg = sql[a:b]
         if is_code:
+            # dotted names cover cursor-row fields (:rec.col); the
+            # longer spelling must win, so the dot arm is greedy
             seg = re.sub(
-                r"(?<!:):([A-Za-z_]\w*)",
+                r"(?<!:):([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)",
                 lambda m: repl(m), seg,
             )
         out.append(seg)
@@ -1059,6 +1087,7 @@ def scripting_block(
         )
     block_vars: dict[str, SessionVariable] = dict(initial_vars or {})
     block_excs: dict[str, tuple[int, str]] = {}
+    block_cursors: dict[str, str] = {}
 
     def eval_expr(expr: str):
         # expressions accept BOTH variable spellings (Snowflake allows
@@ -1086,14 +1115,21 @@ def scripting_block(
                 xm.group("msg") or xm.group("name").lower(),
             )
             continue
+        km = _DECL_CURSOR_RE.match(decl.strip())
+        if km is not None:
+            # DECLARE name CURSOR FOR <query> — the query text binds
+            # lazily; it runs (once) when a FOR loop opens the cursor
+            block_cursors[km.group("name").upper()] = km.group("query")
+            continue
         dm = _DECL_RE.match(decl.strip())
         if dm is None:
             raise ValueError(f"unsupported DECLARE entry: {decl[:60]!r}")
         if dm.group("type").upper() in ("CURSOR", "RESULTSET", "EXCEPTION"):
             raise ValueError(
                 f"DECLARE {dm.group('type').upper()} is not supported"
-                " in scripting blocks (EXCEPTION takes an optional"
-                " (code, 'message') literal pair only)"
+                " in this spelling (CURSOR takes 'c CURSOR FOR"
+                " <query>'; EXCEPTION an optional (code, 'message')"
+                " literal pair; RESULTSET has no engine mapping)"
             )
         value = eval_expr(dm.group("dflt")) if dm.group("dflt") else None
         literal, sf_type = _render_literal(value)
@@ -1216,6 +1252,64 @@ def scripting_block(
                         continue
                     except _BlockBreak:
                         break
+            elif kind == "forc":
+                # cursor FOR: run the declared query ONCE (through the
+                # same statement dispatch, so tables-dict relations and
+                # session variables resolve), then iterate rows
+                # DRIVER-side — Snowflake's own cursor model. Bounded
+                # state: more than _MAX_CURSOR_ROWS rows refuses
+                # loudly (a cursor loop is per-row orchestration, not
+                # a data plan — aggregate instead).
+                _, var, cur, body = node
+                if cur not in block_cursors:
+                    raise ValueError(
+                        f"FOR {var} IN {cur}: no such declared cursor"
+                    )
+                q = substitute_variables(
+                    _subst_binds(block_cursors[cur], block_vars),
+                    variables,
+                )
+                if tables is not None:
+                    # the cursor query is a plain SELECT — bind the
+                    # block's table states as temp views so it reads
+                    # the same read-your-writes snapshot the DML
+                    # shims maintain
+                    for tname, tdf in tables.items():
+                        tdf.createOrReplaceTempView(tname)
+                try:
+                    cdf = snowflake_sql(
+                        spark, q, pipelines=pipelines, tables=tables,
+                        stages=stages,
+                    )
+                    rows = cdf.limit(_MAX_CURSOR_ROWS + 1).collect()
+                except (_UserException, _StatementError,
+                        _ExpressionError):
+                    raise
+                except Exception as exc:
+                    raise _StatementError(exc) from exc
+                if len(rows) > _MAX_CURSOR_ROWS:
+                    raise ValueError(
+                        f"cursor {cur} exceeds {_MAX_CURSOR_ROWS} rows"
+                        " — a FOR loop is per-row driver orchestration;"
+                        " restructure as a set-based statement"
+                    )
+                fields = rows[0].__fields__ if rows else []
+                keys = [f"{var}.{f.upper()}" for f in fields]
+                shadow = {k: block_vars.get(k) for k in keys}
+                for row in rows:
+                    for f in fields:
+                        set_var(f"{var}.{f.upper()}", row[f])
+                    try:
+                        run_nodes(body)
+                    except _BlockContinue:
+                        continue
+                    except _BlockBreak:
+                        break
+                for k, old in shadow.items():
+                    if old is None:
+                        block_vars.pop(k, None)
+                    else:
+                        block_vars[k] = old
             else:  # for
                 _, var, a_expr, b_expr, rev, body = node
                 a, b = eval_tagged(a_expr), eval_tagged(b_expr)

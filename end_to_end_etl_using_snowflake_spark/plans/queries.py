@@ -10894,3 +10894,66 @@ def sql61_proc_exception(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return console_script(spark, _SQL61_PROC_EXCEPTION)
+
+
+_SQL62_CURSOR_FOR = """
+EXECUTE IMMEDIATE $$
+DECLARE c CURSOR FOR SELECT r_regionkey AS rk, r_name
+                     FROM region ORDER BY r_regionkey;
+DECLARE acc VARCHAR DEFAULT ''; total NUMBER DEFAULT 0;
+BEGIN
+  FOR r IN c DO
+    IF (r.rk % 2 = 0) THEN CONTINUE; END IF;
+    LET total := total + (SELECT COUNT(*) FROM nation
+                          WHERE n_regionkey = :r.rk);
+    LET acc := acc || SUBSTR(r.r_name, 1, 2) || '.';
+  END FOR;
+  RETURN acc || CAST(total AS STRING);
+END
+$$;
+"""
+
+
+@register(
+    "sql62_cursor_for",
+    oracle="""
+    WITH odd AS (
+        SELECT r_regionkey AS rk, r_name FROM region
+        WHERE r_regionkey % 2 = 1
+    ),
+    agg AS (
+        SELECT string_agg(substr(r_name, 1, 2) || '.', ''
+                          ORDER BY rk) AS acc,
+               (SELECT COUNT(*) FROM nation n JOIN odd o
+                ON n.n_regionkey = o.rk) AS total
+        FROM odd
+    )
+    SELECT acc || CAST(total AS VARCHAR) AS anonymous_block FROM agg
+    """,
+    doc="""CURSOR FOR LOOPS (r12 session 4): ``DECLARE c CURSOR FOR
+    <query>`` binds the query text lazily; ``FOR rec IN c DO ... END
+    FOR`` runs it ONCE at loop open (through the statement dispatch,
+    so session variables, :binds, and the block's read-your-writes
+    table snapshot all resolve) and iterates rows DRIVER-side with
+    ``rec.col`` readable bare in expressions and as ``:rec.col``
+    binds in statements (loop-scoped, shadow-restored). BOUNDED STATE
+    by design: a cursor beyond 10k rows refuses loudly — a cursor
+    loop is per-row orchestration (Snowflake's own cursor model), not
+    a data plan; the refusal message says to restructure set-based.
+    OPEN/FETCH/CLOSE manual cursor verbs and RESULTSETs stay refused.
+    The entry's block walks regions in key order, CONTINUEs past even
+    keys, and accumulates both a string fold and a per-row correlated
+    count; the oracle re-derives it set-based (ordered string_agg +
+    join-count) — independently, not by mirroring the loop
+    (functions/scripting.py:_FOR_CURSOR_NAME, scripting_block).
+    Scale: one distributed query per cursor open; O(rows<=cap) driver
+    iteration; every embedded statement is a full Spark plan.""",
+    tags=("sql-surface", "dialect", "scripting", "cursors",
+          "control-flow"),
+)
+def sql62_cursor_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scripting import console_script
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return console_script(spark, _SQL62_CURSOR_FOR)

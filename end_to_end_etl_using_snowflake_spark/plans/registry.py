@@ -132,6 +132,7 @@ PRIORITY: tuple[str, ...] = (
     "s10_stage_file_row_number",
     "sql60_proc_control_flow",
     "sql61_proc_exception",
+    "sql62_cursor_for",
     # last driver-green r7
     "a4_count_distinct",
     "a5_rollup",

@@ -4588,7 +4588,7 @@ def test_scripting_block_battery(spark):
         # counter grammar (a TO b) — must refuse, not reach SQL
         ("BEGIN FOR i IN 1..3 DO RETURN 1; END FOR; END",
          "unsupported FOR shape"),
-        ("DECLARE c CURSOR FOR SELECT 1; BEGIN RETURN 1; END", "CURSOR"),
+        ("DECLARE r RESULTSET; BEGIN RETURN 1; END", "RESULTSET"),
     ]:
         with _pytest.raises(ValueError, match=msg):
             scripting_block(spark, bad)
@@ -4837,6 +4837,92 @@ def test_scripting_exception_battery(spark):
               WHEN ghost THEN RETURN 0;
             END
         """)
+
+
+def test_scripting_cursor_for_battery(spark):
+    """r12 session 4: DECLARE c CURSOR FOR <query> + FOR rec IN c DO —
+    rows iterate driver-side with rec.col readable bare in
+    expressions and as :rec.col binds in statements; the row cap
+    refuses unbounded loops; OPEN/FETCH stay refused."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.scripting import (
+        scripting_block,
+    )
+
+    t = {
+        "src": spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "id int, tag string, amt int",
+        ),
+        "sink": spark.createDataFrame([(0, "seed")], "total int, path string"),
+    }
+    r = scripting_block(spark, """
+        DECLARE c CURSOR FOR SELECT id, tag, amt FROM src
+                             WHERE id <> 2 ORDER BY id;
+        DECLARE total NUMBER DEFAULT 0; path VARCHAR DEFAULT '';
+        BEGIN
+          FOR rec IN c DO
+            LET total := total + rec.amt;
+            LET path := path || rec.tag;
+            UPDATE sink SET total = :total, path = :rec.tag || '/' || :path;
+          END FOR;
+          RETURN CAST(total AS STRING) || '|' || path;
+        END
+    """, tables=t)
+    assert r.first().anonymous_block == "40|ac"
+    row = t["sink"].first()
+    assert row.total == 40 and row.path == "c/ac"
+
+    # cursor query sees block variables via :binds at OPEN time
+    r = scripting_block(spark, """
+        DECLARE lim NUMBER DEFAULT 25;
+        DECLARE c CURSOR FOR SELECT amt FROM src WHERE amt < :lim
+                             ORDER BY amt;
+        DECLARE seen NUMBER DEFAULT 0;
+        BEGIN
+          FOR x IN c DO LET seen := seen + x.amt; END FOR;
+          RETURN seen;
+        END
+    """, tables=t)
+    assert r.first().anonymous_block == 30  # 10 + 20
+
+    # BREAK inside a cursor loop; the row var is loop-scoped
+    r = scripting_block(spark, """
+        DECLARE c CURSOR FOR SELECT id FROM src ORDER BY id;
+        BEGIN
+          FOR rec IN c DO
+            IF (rec.id >= 2) THEN BREAK; END IF;
+          END FOR;
+          RETURN 'done';
+        END
+    """, tables=t)
+    assert r.first().anonymous_block == "done"
+
+    for bad, msg in [
+        ("BEGIN FOR r IN nope DO NULL; END FOR; END", "no such declared"),
+        ("BEGIN FOR r IN (SELECT 1) DO NULL; END FOR; END",
+         "DECLARE a cursor"),
+        ("DECLARE c CURSOR FOR SELECT 1; BEGIN OPEN c; END",
+         "OPEN is not supported"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            scripting_block(spark, bad, tables=dict(t))
+
+    # the bounded-state cap refuses oversized cursors
+    import end_to_end_etl_using_snowflake_spark.functions.scripting as S
+    old = S._MAX_CURSOR_ROWS
+    S._MAX_CURSOR_ROWS = 2
+    try:
+        with _pytest.raises(ValueError, match="exceeds 2 rows"):
+            scripting_block(spark, """
+                DECLARE c CURSOR FOR SELECT id FROM src;
+                BEGIN
+                  FOR r IN c DO NULL; END FOR;
+                END
+            """, tables=dict(t))
+    finally:
+        S._MAX_CURSOR_ROWS = old
 
 
 def test_alter_session_parameters(spark):
