@@ -713,7 +713,7 @@ def create_function_statement(spark: SparkSession, text: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _UNSUPPORTED_BLOCK = re.compile(
-    r"^(LOOP|REPEAT|CASE|OPEN|FETCH|CLOSE|CALL|CURSOR)\b",
+    r"^(LOOP|REPEAT|CALL|CURSOR)\b",
     re.IGNORECASE,
 )
 
@@ -740,7 +740,20 @@ _MAX_CURSOR_ROWS = 10_000
 _ELSEIF_HEAD = re.compile(r"^ELSE\s*IF\s*\(|^ELSEIF\s*\(", re.IGNORECASE)
 _ELSE_HEAD = re.compile(r"^ELSE\b(?!\s*IF)(?P<rest>.*)$",
                         re.IGNORECASE | re.DOTALL)
-_END_RE = re.compile(r"^END\s+(?P<kw>IF|FOR|WHILE|LOOP)\s*$", re.IGNORECASE)
+_END_RE = re.compile(
+    r"^END\s+(?P<kw>IF|FOR|WHILE|LOOP|CASE)\s*$", re.IGNORECASE
+)
+_OPEN_RE = re.compile(r"^OPEN\s+(?P<cur>[A-Za-z_]\w*)\s*$", re.IGNORECASE)
+_CLOSE_RE = re.compile(r"^CLOSE\s+(?P<cur>[A-Za-z_]\w*)\s*$", re.IGNORECASE)
+_FETCH_RE = re.compile(
+    r"^FETCH\s+(?P<cur>[A-Za-z_]\w*)\s+INTO\s+(?P<vars>:?[A-Za-z_]\w*"
+    r"(?:\s*,\s*:?[A-Za-z_]\w*)*)\s*$",
+    re.IGNORECASE,
+)
+_CASE_WHEN_RE = re.compile(
+    r"^WHEN\s+(?P<cond>.+?)\s+THEN\b(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 _MAX_LOOP_ITERS = 100_000
 
@@ -924,7 +937,77 @@ def _parse_block_body(
                 cm.group("cur").upper(), body,
             ))
             continue
-        if re.match(r"^(IF|WHILE|FOR|ELSE)\b", bare, re.IGNORECASE):
+        casem = re.match(r"^CASE\b(?P<rest>.*)$", bare,
+                         re.IGNORECASE | re.DOTALL)
+        if casem is not None:
+            # CASE blocks (searched and simple) lower to the IF node:
+            # a simple-CASE subject turns each WHEN value into an
+            # equality condition (standard CASE semantics — a NULL
+            # subject matches nothing and falls to ELSE)
+            from .sqldialect import _balanced_span
+
+            rest = casem.group("rest").strip()
+            subject = None
+            if rest.startswith("("):
+                close = _balanced_span(rest, 0)
+                subject = rest[1:close - 1].strip()
+                rest = rest[close:].strip()
+            nxt = rest
+            branches = []
+            else_body: list = []
+            while True:
+                if not nxt:
+                    if not stmts:
+                        raise ValueError(
+                            "CASE block: expected WHEN ... THEN"
+                        )
+                    nxt = _strip_line_comments(stmts.pop(0)).strip()
+                wm = _CASE_WHEN_RE.match(nxt)
+                if wm is None:
+                    raise ValueError(
+                        f"CASE block: expected WHEN <cond> THEN, got"
+                        f" {nxt[:60]!r}"
+                    )
+                cond = wm.group("cond").strip()
+                if subject is not None:
+                    cond = f"({subject}) = ({cond})"
+                if wm.group("rest").strip():
+                    stmts.insert(0, wm.group("rest").strip())
+                body, term = _parse_block_body(
+                    stmts, ("WHEN", "ELSE", "END CASE")
+                )
+                branches.append((cond, body))
+                if re.match(r"^WHEN\b", term, re.IGNORECASE):
+                    nxt = term
+                    continue
+                if _ELSE_HEAD.match(term):
+                    r2 = _ELSE_HEAD.match(term).group("rest").strip()
+                    if r2:
+                        stmts.insert(0, r2)
+                    else_body, _ = _parse_block_body(
+                        stmts, ("END CASE",)
+                    )
+                break
+            nodes.append(("if", branches, else_body))
+            continue
+        om = _OPEN_RE.match(bare)
+        if om is not None:
+            nodes.append(("open", om.group("cur").upper()))
+            continue
+        zm = _CLOSE_RE.match(bare)
+        if zm is not None:
+            nodes.append(("close", zm.group("cur").upper()))
+            continue
+        fe = _FETCH_RE.match(bare)
+        if fe is not None:
+            nodes.append((
+                "fetch", fe.group("cur").upper(),
+                [v.strip().lstrip(":").upper()
+                 for v in fe.group("vars").split(",")],
+            ))
+            continue
+        if re.match(r"^(IF|WHILE|FOR|ELSE|OPEN|FETCH|CLOSE)\b", bare,
+                    re.IGNORECASE):
             # a control head that matched none of the supported shapes
             # must not fall through to the SQL path
             kw = bare.split(None, 1)[0].upper()
@@ -1068,9 +1151,12 @@ def scripting_block(
     stay loud — a handler must not swallow an unsupported-shape
     error), the handler sees SQLCODE/SQLERRM/SQLSTATE as block
     variables, bare ``RAISE`` re-raises, and an unhandled exception
-    surfaces the ORIGINAL engine error. Still refused loudly:
-    cursors / FOR-over-query, RESULTSETs, bare LOOP, REPEAT, CASE
-    blocks, nested CALL. Session variables ($v) remain visible inside
+    surfaces the ORIGINAL engine error. Cursors (r12 session 4):
+    ``DECLARE c CURSOR FOR <query>``, ``FOR rec IN c DO`` (bounded at
+    10k rows), manual ``OPEN``/``FETCH INTO``/``CLOSE`` (past-the-end
+    FETCH leaves NULLs), and CASE blocks (searched + simple) lowered
+    to the IF node. Still refused loudly: inline FOR-over-query,
+    RESULTSETs, bare LOOP, REPEAT, nested CALL. Session variables ($v) remain visible inside
     the block (resolved before block-local scope). Returns the
     one-column ``anonymous_block`` relation holding RETURN's value
     (cast to its natural type), or a NULL row when the block falls
@@ -1187,6 +1273,40 @@ def scripting_block(
             raise _ExpressionError(exc) from exc
 
     exec_ctx = {"eager": False}
+    cursor_state: dict[str, dict] = {}
+
+    def open_cursor(cur: str) -> list:
+        """Run a declared cursor's query once (through the statement
+        dispatch, so variables/:binds and the block's table snapshot
+        resolve) and return its rows, capped at _MAX_CURSOR_ROWS."""
+        if cur not in block_cursors:
+            raise ValueError(f"{cur}: no such declared cursor")
+        q = substitute_variables(
+            _subst_binds(block_cursors[cur], block_vars), variables
+        )
+        if tables is not None:
+            # the cursor query is a plain SELECT — bind the block's
+            # table states as temp views so it reads the same
+            # read-your-writes snapshot the DML shims maintain
+            for tname, tdf in tables.items():
+                tdf.createOrReplaceTempView(tname)
+        try:
+            cdf = snowflake_sql(
+                spark, q, pipelines=pipelines, tables=tables,
+                stages=stages,
+            )
+            rows = cdf.limit(_MAX_CURSOR_ROWS + 1).collect()
+        except (_UserException, _StatementError, _ExpressionError):
+            raise
+        except Exception as exc:
+            raise _StatementError(exc) from exc
+        if len(rows) > _MAX_CURSOR_ROWS:
+            raise ValueError(
+                f"cursor {cur} exceeds {_MAX_CURSOR_ROWS} rows"
+                " — a cursor is per-row driver orchestration;"
+                " restructure as a set-based statement"
+            )
+        return rows
 
     def set_var(name: str, value) -> None:
         literal, sf_type = _render_literal(value)
@@ -1252,6 +1372,38 @@ def scripting_block(
                         continue
                     except _BlockBreak:
                         break
+            elif kind == "open":
+                cursor_state[node[1]] = {
+                    "rows": open_cursor(node[1]), "pos": 0,
+                }
+            elif kind == "close":
+                if node[1] not in cursor_state:
+                    raise ValueError(f"CLOSE {node[1]}: cursor not open")
+                del cursor_state[node[1]]
+            elif kind == "fetch":
+                _, cur, into = node
+                if cur not in cursor_state:
+                    raise ValueError(f"FETCH {cur}: cursor not open")
+                st = cursor_state[cur]
+                for v in into:
+                    if v not in block_vars:
+                        raise ValueError(
+                            f"FETCH INTO {v}: variable not declared"
+                        )
+                if st["pos"] < len(st["rows"]):
+                    row = st["rows"][st["pos"]]
+                    st["pos"] += 1
+                    if len(into) != len(row.__fields__):
+                        raise ValueError(
+                            f"FETCH {cur}: {len(row.__fields__)} cursor"
+                            f" columns but {len(into)} INTO variables"
+                        )
+                    for v, f in zip(into, row.__fields__):
+                        set_var(v, row[f])
+                else:
+                    # past the last row: Snowflake leaves NULLs
+                    for v in into:
+                        set_var(v, None)
             elif kind == "forc":
                 # cursor FOR: run the declared query ONCE (through the
                 # same statement dispatch, so tables-dict relations and
@@ -1261,38 +1413,7 @@ def scripting_block(
                 # loudly (a cursor loop is per-row orchestration, not
                 # a data plan — aggregate instead).
                 _, var, cur, body = node
-                if cur not in block_cursors:
-                    raise ValueError(
-                        f"FOR {var} IN {cur}: no such declared cursor"
-                    )
-                q = substitute_variables(
-                    _subst_binds(block_cursors[cur], block_vars),
-                    variables,
-                )
-                if tables is not None:
-                    # the cursor query is a plain SELECT — bind the
-                    # block's table states as temp views so it reads
-                    # the same read-your-writes snapshot the DML
-                    # shims maintain
-                    for tname, tdf in tables.items():
-                        tdf.createOrReplaceTempView(tname)
-                try:
-                    cdf = snowflake_sql(
-                        spark, q, pipelines=pipelines, tables=tables,
-                        stages=stages,
-                    )
-                    rows = cdf.limit(_MAX_CURSOR_ROWS + 1).collect()
-                except (_UserException, _StatementError,
-                        _ExpressionError):
-                    raise
-                except Exception as exc:
-                    raise _StatementError(exc) from exc
-                if len(rows) > _MAX_CURSOR_ROWS:
-                    raise ValueError(
-                        f"cursor {cur} exceeds {_MAX_CURSOR_ROWS} rows"
-                        " — a FOR loop is per-row driver orchestration;"
-                        " restructure as a set-based statement"
-                    )
+                rows = open_cursor(cur)
                 fields = rows[0].__fields__ if rows else []
                 keys = [f"{var}.{f.upper()}" for f in fields]
                 shadow = {k: block_vars.get(k) for k in keys}

@@ -10940,7 +10940,9 @@ $$;
     by design: a cursor beyond 10k rows refuses loudly — a cursor
     loop is per-row orchestration (Snowflake's own cursor model), not
     a data plan; the refusal message says to restructure set-based.
-    OPEN/FETCH/CLOSE manual cursor verbs and RESULTSETs stay refused.
+    Manual OPEN/FETCH INTO/CLOSE share the same bounded open path
+    (past-the-end FETCH leaves NULLs — Snowflake's rule); RESULTSETs
+    stay refused.
     The entry's block walks regions in key order, CONTINUEs past even
     keys, and accumulates both a string fold and a per-row correlated
     count; the oracle re-derives it set-based (ordered string_agg +

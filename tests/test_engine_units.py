@@ -4903,8 +4903,9 @@ def test_scripting_cursor_for_battery(spark):
         ("BEGIN FOR r IN nope DO NULL; END FOR; END", "no such declared"),
         ("BEGIN FOR r IN (SELECT 1) DO NULL; END FOR; END",
          "DECLARE a cursor"),
-        ("DECLARE c CURSOR FOR SELECT 1; BEGIN OPEN c; END",
-         "OPEN is not supported"),
+        # OPEN with a malformed operand refuses as an unsupported shape
+        ("DECLARE c CURSOR FOR SELECT 1; BEGIN OPEN c FOR x; END",
+         "unsupported OPEN shape"),
     ]:
         with _pytest.raises(ValueError, match=msg):
             scripting_block(spark, bad, tables=dict(t))
@@ -4923,6 +4924,89 @@ def test_scripting_cursor_for_battery(spark):
             """, tables=dict(t))
     finally:
         S._MAX_CURSOR_ROWS = old
+
+
+def test_scripting_case_and_manual_cursor(spark):
+    """r12 session 4: CASE blocks (searched + simple, lowered to the
+    IF node) and manual OPEN / FETCH INTO / CLOSE cursor verbs with
+    Snowflake's past-the-end NULL fill."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.scripting import (
+        scripting_block,
+    )
+
+    # searched CASE with ELSE
+    r = scripting_block(spark, """
+        DECLARE n NUMBER DEFAULT 7; label VARCHAR DEFAULT '';
+        BEGIN
+          CASE
+            WHEN n < 5 THEN LET label := 'low';
+            WHEN n < 10 THEN LET label := 'mid';
+            ELSE LET label := 'high';
+          END CASE;
+          RETURN label;
+        END
+    """)
+    assert r.first().anonymous_block == "mid"
+
+    # simple CASE: subject equality, NULL subject falls to ELSE
+    r = scripting_block(spark, """
+        DECLARE s VARCHAR DEFAULT 'b'; hit NUMBER DEFAULT 0;
+        BEGIN
+          CASE (s)
+            WHEN 'a' THEN LET hit := 1;
+            WHEN 'b' THEN LET hit := 2;
+            ELSE LET hit := 99;
+          END CASE;
+          RETURN hit;
+        END
+    """)
+    assert r.first().anonymous_block == 2
+    r = scripting_block(spark, """
+        DECLARE s VARCHAR; hit NUMBER DEFAULT 0;
+        BEGIN
+          CASE (s) WHEN 'a' THEN LET hit := 1;
+          ELSE LET hit := 99; END CASE;
+          RETURN hit;
+        END
+    """)
+    assert r.first().anonymous_block == 99
+
+    # OPEN / FETCH INTO / CLOSE over a declared cursor; fetch past the
+    # end leaves NULLs
+    t = {"src": spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id int, tag string")}
+    r = scripting_block(spark, """
+        DECLARE c CURSOR FOR SELECT id, tag FROM src ORDER BY id;
+        DECLARE i NUMBER; g VARCHAR; acc VARCHAR DEFAULT '';
+        BEGIN
+          OPEN c;
+          FETCH c INTO i, g;
+          LET acc := acc || CAST(i AS STRING) || g;
+          FETCH c INTO i, g;
+          LET acc := acc || CAST(i AS STRING) || g;
+          FETCH c INTO i, g;
+          IF (i IS NULL) THEN LET acc := acc || '~'; END IF;
+          CLOSE c;
+          RETURN acc;
+        END
+    """, tables=t)
+    assert r.first().anonymous_block == "1x2y~"
+
+    for bad, msg in [
+        ("BEGIN FETCH c INTO x; END", "cursor not open"),
+        ("BEGIN CLOSE c; END", "cursor not open"),
+        ("DECLARE c CURSOR FOR SELECT 1 AS a; DECLARE x NUMBER;\n"
+         "BEGIN OPEN c; FETCH c INTO x, x; END",
+         "1 cursor columns but 2"),
+        ("DECLARE c CURSOR FOR SELECT 1 AS a;\n"
+         "BEGIN OPEN c; FETCH c INTO ghost; END", "not declared"),
+        ("BEGIN CASE WHEN 1 THEN NULL; END CASE; END", "non-boolean"),
+        ("BEGIN CASE END CASE; END", "expected WHEN"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            scripting_block(spark, bad)
 
 
 def test_alter_session_parameters(spark):
