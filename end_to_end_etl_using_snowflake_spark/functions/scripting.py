@@ -495,6 +495,7 @@ def console_script(
             result = scripting_block(
                 spark, stmt, variables,
                 pipelines=pipelines, tables=tables, stages=stages,
+                procedures=procedures,
             )
             continue
         if low.startswith("set ") or low.startswith("set("):
@@ -713,7 +714,7 @@ def create_function_statement(spark: SparkSession, text: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _UNSUPPORTED_BLOCK = re.compile(
-    r"^(LOOP|REPEAT|CALL|CURSOR)\b",
+    r"^(LOOP|REPEAT|CURSOR)\b",
     re.IGNORECASE,
 )
 
@@ -1129,6 +1130,8 @@ def scripting_block(
     stages: dict | None = None,
     initial_vars: dict[str, SessionVariable] | None = None,
     result_name: str = "anonymous_block",
+    procedures: dict | None = None,
+    depth: int = 0,
 ) -> DataFrame:
     """Run an anonymous ``[DECLARE ...] BEGIN ... END`` block (the
     stored-procedure-body paste). Supported: typed DECLARE with
@@ -1155,13 +1158,20 @@ def scripting_block(
     ``DECLARE c CURSOR FOR <query>``, ``FOR rec IN c DO`` (bounded at
     10k rows), manual ``OPEN``/``FETCH INTO``/``CLOSE`` (past-the-end
     FETCH leaves NULLs), and CASE blocks (searched + simple) lowered
-    to the IF node. Still refused loudly: inline FOR-over-query,
-    RESULTSETs, bare LOOP, REPEAT, nested CALL. Session variables ($v) remain visible inside
+    to the IF node. Nested ``CALL`` dispatches through the shared
+    procedure registry (depth-capped at 16; exceptions propagate RAW
+    across frames so a caller's handler catches a callee's RAISE by
+    name). Still refused loudly: inline FOR-over-query, RESULTSETs,
+    bare LOOP, REPEAT. Session variables ($v) remain visible inside
     the block (resolved before block-local scope). Returns the
     one-column ``anonymous_block`` relation holding RETURN's value
     (cast to its natural type), or a NULL row when the block falls
     off the END without RETURN."""
     variables = variables if variables is not None else {}
+    if depth > 16:
+        raise ValueError(
+            "procedure CALL depth exceeds 16 (recursion guard)"
+        )
     s = text.strip().rstrip(";").strip()
     m = re.match(
         r"(?:DECLARE\s+(?P<decl>.*?))?\bBEGIN\b(?P<body>.*)\bEND$",
@@ -1239,6 +1249,29 @@ def scripting_block(
         resolved = substitute_variables(
             _subst_binds(bare, block_vars), variables
         )
+        if head == "CALL":
+            # nested procedure calls (r12 s4): the callee runs with
+            # the same context and a depth-capped recursion guard;
+            # the result relation is discarded (Snowflake's statement
+            # form — capture via the procedure's table effects)
+            if procedures is None:
+                raise ValueError(
+                    "CALL inside a block needs a procedure registry"
+                    " (run the script through console_script)"
+                )
+            try:
+                call_statement(
+                    spark, resolved, variables, procedures,
+                    depth=depth + 1, pipelines=pipelines,
+                    tables=tables, stages=stages,
+                )
+            except (_UserException, _StatementError, _ExpressionError):
+                raise
+            except ValueError:
+                raise
+            except Exception as exc:
+                raise _StatementError(exc) from exc
+            return
         try:
             out = snowflake_sql(
                 spark, resolved, pipelines=pipelines, tables=tables,
@@ -1537,7 +1570,12 @@ def scripting_block(
             (body for names, body in handlers if want & set(names)), None
         )
         if clause is None:
-            # unhandled: surface the ORIGINAL failure, loudly
+            # unhandled: in a NESTED call frame, propagate RAW so the
+            # caller's handler can still catch it by name/class
+            # (Snowflake's propagation rule); at the outermost frame,
+            # surface the ORIGINAL failure loudly
+            if depth > 0:
+                raise caught
             if isinstance(caught, _UserException):
                 raise ValueError(f"uncaught exception {caught}") from caught
             raise caught.cause
@@ -1558,8 +1596,12 @@ def scripting_block(
             returned = r.value
             has_return = True
         except _UserException as exc2:
+            if depth > 0:
+                raise
             raise ValueError(f"uncaught exception {exc2}") from exc2
         except (_StatementError, _ExpressionError) as exc2:
+            if depth > 0:
+                raise
             raise exc2.cause
     literal, _t = _render_literal(returned if has_return else None)
     return spark.sql(f"SELECT {literal} AS {result_name}")
@@ -1658,6 +1700,7 @@ def call_statement(
     stmt: str,
     variables: dict[str, SessionVariable],
     procedures: dict[str, SqlProcedure],
+    depth: int = 0,
     **ctx,
 ) -> DataFrame:
     """``CALL p(<expr>, ...)`` — evaluate the arguments (session
@@ -1684,5 +1727,6 @@ def call_statement(
         bound[pname] = SessionVariable(value, literal, sf_type)
     return scripting_block(
         spark, proc.body, variables,
-        initial_vars=bound, result_name=proc.name.lower(), **ctx,
+        initial_vars=bound, result_name=proc.name.lower(),
+        procedures=procedures, depth=depth, **ctx,
     )

@@ -5009,6 +5009,76 @@ def test_scripting_case_and_manual_cursor(spark):
             scripting_block(spark, bad)
 
 
+def test_scripting_nested_call(spark):
+    """r12 session 4: CALL inside blocks/procedures — callee effects
+    on the shared tables land, exceptions propagate RAW across call
+    frames (caught by a caller's handler for the same name), and the
+    recursion guard refuses runaway self-calls."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.scripting import (
+        console_script,
+    )
+
+    t = {"w": spark.createDataFrame([(0,)], "v int")}
+    out = console_script(spark, """
+        CREATE OR REPLACE PROCEDURE bump(amt NUMBER)
+          RETURNS NUMBER LANGUAGE SQL AS $$
+          BEGIN
+            UPDATE w SET v = v + :amt;
+            RETURN amt;
+          END
+          $$;
+        CREATE OR REPLACE PROCEDURE bump_twice(amt NUMBER)
+          RETURNS NUMBER LANGUAGE SQL AS $$
+          BEGIN
+            CALL bump(:amt);
+            CALL bump(:amt + 1);
+            RETURN amt;
+          END
+          $$;
+        CALL bump_twice(5);
+    """, tables=t)
+    assert out.first().bump_twice == 5
+    assert t["w"].first().v == 11  # 5 + 6
+
+    # a callee's RAISEd exception crosses the frame and is caught by
+    # the CALLER's handler for the same declared name
+    out = console_script(spark, """
+        CREATE OR REPLACE PROCEDURE risky()
+          RETURNS NUMBER LANGUAGE SQL AS $$
+          DECLARE boom EXCEPTION (-20044, 'from callee');
+          BEGIN
+            RAISE boom;
+          END
+          $$;
+        CREATE OR REPLACE PROCEDURE guard()
+          RETURNS STRING LANGUAGE SQL AS $$
+          DECLARE boom EXCEPTION (-20044, 'from callee');
+          BEGIN
+            CALL risky();
+            RETURN 'no error';
+          EXCEPTION
+            WHEN boom THEN RETURN 'caught ' || SQLERRM;
+          END
+          $$;
+        CALL guard();
+    """)
+    assert out.first().guard == "caught from callee"
+
+    # runaway recursion trips the depth guard
+    with _pytest.raises(ValueError, match="depth exceeds"):
+        console_script(spark, """
+            CREATE OR REPLACE PROCEDURE loop_forever()
+              RETURNS NUMBER LANGUAGE SQL AS $$
+              BEGIN
+                CALL loop_forever();
+              END
+              $$;
+            CALL loop_forever();
+        """)
+
+
 def test_alter_session_parameters(spark):
     """r12: ALTER SESSION SET in console scripts — metadata params
     recorded + surfaced by SHOW PARAMETERS, the UTC determinism pin
