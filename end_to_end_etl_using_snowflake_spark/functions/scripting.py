@@ -30,14 +30,18 @@ Semantics pinned to Snowflake:
   contained statement (or scripting block) through the same dispatch,
   with variables resolved at EXECUTION time (a variable set between
   building and executing the string is honored, like Snowflake).
-- Anonymous blocks ``[DECLARE ...] BEGIN ... [RETURN expr;] END`` run
-  a CONSERVATIVE subset: typed declarations with ``DEFAULT``,
-  ``LET x := expr`` / re-assignment ``x := expr``, embedded SQL
-  statements with ``:x`` bind references, and ``RETURN``. Control
-  flow (IF/FOR/WHILE/LOOP), cursors, RESULTSETs, and EXCEPTION
-  handlers REFUSE LOUDLY — nothing silently mistranslates. The block
-  result is Snowflake's one-column relation (named
-  ``anonymous_block``; Snowflake's own header contains a space).
+- Anonymous blocks ``[DECLARE ...] BEGIN ... [RETURN expr;] END``
+  run the FULL Snowflake Scripting statement set (r12): typed
+  declarations with ``DEFAULT``, ``LET``/re-assignment, embedded SQL
+  with ``:x`` binds, ``RETURN``, control flow (IF/ELSEIF/ELSE, CASE
+  searched+simple, WHILE, counter FOR [REVERSE], bare LOOP,
+  REPEAT...UNTIL, BREAK/CONTINUE), EXCEPTION declaration / RAISE /
+  handler sections with SQLCODE/SQLERRM/SQLSTATE, cursors (FOR-over-
+  cursor bounded at 10k rows, manual OPEN/FETCH INTO/CLOSE), nested
+  CALL (depth-capped, exceptions propagate across frames), and
+  stored procedures. RESULTSETs refuse loudly — nothing silently
+  mistranslates. The block result is Snowflake's one-column relation
+  (named ``anonymous_block``).
 
 Scale shape: the interpreter itself is O(statements) driver-side
 string work; every data-touching statement executes through the same
@@ -714,7 +718,7 @@ def create_function_statement(spark: SparkSession, text: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _UNSUPPORTED_BLOCK = re.compile(
-    r"^(LOOP|REPEAT|CURSOR)\b",
+    r"^(CURSOR)\b",
     re.IGNORECASE,
 )
 
@@ -869,6 +873,8 @@ def _parse_block_body(
             kind = "ELSE"
         elif re.match(r"^WHEN\b", bare, re.IGNORECASE):
             kind = "WHEN"
+        elif re.match(r"^UNTIL\s*\(", bare, re.IGNORECASE):
+            kind = "UNTIL"
         if kind is not None:
             for t in terminators:
                 if kind == t or (kind.startswith("END") and t == kind):
@@ -1018,6 +1024,38 @@ def _parse_block_body(
                 " ...] END IF; WHILE (cond) DO ... END WHILE;"
                 " FOR i IN [REVERSE] a TO b DO ... END FOR)"
             )
+        lpm = re.match(r"^LOOP\b(?P<rest>.*)$", bare,
+                       re.IGNORECASE | re.DOTALL)
+        if lpm is not None:
+            # bare LOOP ... END LOOP: the unconditional loop — BREAK
+            # is the only exit (plus the shared runaway guard)
+            rest = lpm.group("rest").strip()
+            if rest:
+                stmts.insert(0, rest)
+            body, _ = _parse_block_body(stmts, ("END LOOP",))
+            nodes.append(("loop", body))
+            continue
+        rpm = re.match(r"^REPEAT\b(?P<rest>.*)$", bare,
+                       re.IGNORECASE | re.DOTALL)
+        if rpm is not None:
+            # REPEAT ... UNTIL (cond) END REPEAT: body first, check
+            # after — CONTINUE jumps to the UNTIL check
+            rest = rpm.group("rest").strip()
+            if rest:
+                stmts.insert(0, rest)
+            body, term = _parse_block_body(stmts, ("UNTIL",))
+            from .sqldialect import _balanced_span
+            open_idx = term.index("(")
+            close = _balanced_span(term, open_idx)
+            cond = term[open_idx + 1 : close - 1].strip()
+            tail = term[close:].strip()
+            if not re.fullmatch(r"END\s+REPEAT", tail, re.IGNORECASE):
+                raise ValueError(
+                    "REPEAT: expected UNTIL (cond) END REPEAT, got"
+                    f" {term[:60]!r}"
+                )
+            nodes.append(("repeat", cond, body))
+            continue
         if re.match(r"^(BREAK|EXIT)\s*$", bare, re.IGNORECASE):
             nodes.append(("break",))
             continue
@@ -1161,8 +1199,9 @@ def scripting_block(
     to the IF node. Nested ``CALL`` dispatches through the shared
     procedure registry (depth-capped at 16; exceptions propagate RAW
     across frames so a caller's handler catches a callee's RAISE by
-    name). Still refused loudly: inline FOR-over-query, RESULTSETs,
-    bare LOOP, REPEAT. Session variables ($v) remain visible inside
+    name). Bare ``LOOP ... END LOOP`` and ``REPEAT ...
+    UNTIL (c) END REPEAT`` run under the same runaway guard. Still
+    refused loudly: inline FOR-over-query, RESULTSETs. Session variables ($v) remain visible inside
     the block (resolved before block-local scope). Returns the
     one-column ``anonymous_block`` relation holding RETURN's value
     (cast to its natural type), or a NULL row when the block falls
@@ -1404,6 +1443,41 @@ def scripting_block(
                     except _BlockContinue:
                         continue
                     except _BlockBreak:
+                        break
+            elif kind == "loop":
+                iters = 0
+                while True:
+                    iters += 1
+                    if iters > _MAX_LOOP_ITERS:
+                        raise ValueError(
+                            "scripting blocks: LOOP exceeded"
+                            f" {_MAX_LOOP_ITERS} iterations (runaway"
+                            " loop guard)"
+                        )
+                    try:
+                        run_nodes(node[1])
+                    except _BlockContinue:
+                        continue
+                    except _BlockBreak:
+                        break
+            elif kind == "repeat":
+                _, cond, body = node
+                iters = 0
+                while True:
+                    iters += 1
+                    if iters > _MAX_LOOP_ITERS:
+                        raise ValueError(
+                            "scripting blocks: REPEAT exceeded"
+                            f" {_MAX_LOOP_ITERS} iterations (runaway"
+                            " loop guard)"
+                        )
+                    try:
+                        run_nodes(body)
+                    except _BlockContinue:
+                        pass  # falls through to the UNTIL check
+                    except _BlockBreak:
+                        break
+                    if truthy(cond):
                         break
             elif kind == "open":
                 cursor_state[node[1]] = {

@@ -10804,9 +10804,9 @@ CALL region_score(2);
     block-variable state; conditions must be parenthesized and
     BOOLEAN (NULL = not taken, any other type refuses — no silent
     coercion), FOR bounds must be integers, and a 100k-iteration
-    guard refuses runaway loops. Still refused: cursors /
-    FOR-over-query, RESULTSET, bare LOOP, REPEAT, CASE blocks,
-    EXCEPTION sections. The entry creates a procedure whose body
+    guard refuses runaway loops. Cursors, CASE blocks, bare LOOP,
+    REPEAT...UNTIL, and EXCEPTION sections landed in the same session
+    (sql61/sql62); RESULTSET stays refused. The entry creates a procedure whose body
     early-RETURNs on an empty region, sums odd counters via
     FOR+CONTINUE, then grows the sum with a WHILE — and CALLs it; the
     oracle RE-DERIVES the same semantics independently (sum of odds

@@ -4704,10 +4704,37 @@ def test_scripting_control_flow_battery(spark):
         ("BEGIN IF (1=1) THEN RETURN 1; END", "unterminated"),
         ("BEGIN BREAK; END", "outside a loop"),
         ("BEGIN END WHILE; END", "unexpected"),
-        ("BEGIN LOOP RETURN 1; END LOOP; END", "LOOP is not supported"),
+        ("BEGIN UNTIL (1=1); END", "unexpected"),
     ]:
         with _pytest.raises(ValueError, match=msg):
             scripting_block(spark, bad)
+
+    # bare LOOP + BREAK, and REPEAT ... UNTIL (do-while: body runs
+    # before the check; CONTINUE jumps to the check) — r12 s4 closes
+    # the last two loop spellings
+    r = scripting_block(spark, """
+        DECLARE i NUMBER DEFAULT 0;
+        BEGIN
+          LOOP
+            LET i := i + 10;
+            IF (i >= 30) THEN BREAK; END IF;
+          END LOOP;
+          RETURN i;
+        END
+    """)
+    assert r.first().anonymous_block == 30
+    r = scripting_block(spark, """
+        DECLARE i NUMBER DEFAULT 0; hits NUMBER DEFAULT 0;
+        BEGIN
+          REPEAT
+            LET i := i + 1;
+            IF (i % 2 = 0) THEN CONTINUE; END IF;
+            LET hits := hits + 1;
+          UNTIL (i >= 5) END REPEAT;
+          RETURN CAST(i AS STRING) || '/' || CAST(hits AS STRING);
+        END
+    """)
+    assert r.first().anonymous_block == "5/3"  # odd i in 1..5
 
     # runaway WHILE trips the iteration guard (condition never flips)
     import end_to_end_etl_using_snowflake_spark.functions.scripting as S
