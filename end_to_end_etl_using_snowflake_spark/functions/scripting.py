@@ -39,8 +39,9 @@ Semantics pinned to Snowflake:
   handler sections with SQLCODE/SQLERRM/SQLSTATE, cursors (FOR-over-
   cursor bounded at 10k rows, manual OPEN/FETCH INTO/CLOSE), nested
   CALL (depth-capped, exceptions propagate across frames), and
-  stored procedures. RESULTSETs refuse loudly — nothing silently
-  mistranslates. The block result is Snowflake's one-column relation
+  stored procedures, and RESULTSETs (assignment-snapshot handles,
+  TABLE(r) reads, RETURN TABLE(r) table-valued results) — nothing
+  silently mistranslates. The block result is Snowflake's one-column relation
   (named ``anonymous_block``).
 
 Scale shape: the interpreter itself is O(statements) driver-side
@@ -742,6 +743,14 @@ _DECL_CURSOR_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _MAX_CURSOR_ROWS = 10_000
+_DECL_RESULTSET_RE = re.compile(
+    r"^(?P<name>[A-Za-z_]\w*)\s+RESULTSET\s*"
+    r"(?:(?:DEFAULT|:=)\s*(?P<q>\(.*\)))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_RETURN_TABLE_RE = re.compile(
+    r"^TABLE\s*\(\s*(?P<name>[A-Za-z_]\w*)\s*\)$", re.IGNORECASE
+)
 _ELSEIF_HEAD = re.compile(r"^ELSE\s*IF\s*\(|^ELSEIF\s*\(", re.IGNORECASE)
 _ELSE_HEAD = re.compile(r"^ELSE\b(?!\s*IF)(?P<rest>.*)$",
                         re.IGNORECASE | re.DOTALL)
@@ -1200,8 +1209,10 @@ def scripting_block(
     procedure registry (depth-capped at 16; exceptions propagate RAW
     across frames so a caller's handler catches a callee's RAISE by
     name). Bare ``LOOP ... END LOOP`` and ``REPEAT ...
-    UNTIL (c) END REPEAT`` run under the same runaway guard. Still
-    refused loudly: inline FOR-over-query, RESULTSETs. Session variables ($v) remain visible inside
+    UNTIL (c) END REPEAT`` run under the same runaway guard. RESULTSETs (r12 s4):
+    assignment executes-and-snapshots, TABLE(r) reads, RETURN
+    TABLE(r) returns the relation. Still refused loudly: inline
+    FOR-over-query. Session variables ($v) remain visible inside
     the block (resolved before block-local scope). Returns the
     one-column ``anonymous_block`` relation holding RETURN's value
     (cast to its natural type), or a NULL row when the block falls
@@ -1223,24 +1234,79 @@ def scripting_block(
     block_vars: dict[str, SessionVariable] = dict(initial_vars or {})
     block_excs: dict[str, tuple[int, str]] = {}
     block_cursors: dict[str, str] = {}
+    block_resultsets: dict[str, "DataFrame | None"] = {}
 
     def eval_expr(expr: str):
         # expressions accept BOTH variable spellings (Snowflake allows
         # :var inside expression subqueries too): resolve :binds first
         # — else the bare-name pass would rewrite the name inside a
-        # ':name' and leave a stray ':' for the parser
+        # ':name' and leave a stray ':' for the parser. TABLE(r)
+        # resultset reads resolve before either.
         resolved = substitute_variables(
             _subst_block_vars(
-                _subst_binds(expr, block_vars), block_vars
+                _subst_binds(_sub_resultsets(expr), block_vars),
+                block_vars,
             ),
             variables,
         )
+        if tables is not None:
+            # scalar subqueries must read the CURRENT table states
+            # (read-your-writes after embedded DML), not whatever a
+            # temp view captured earlier
+            for tname, tdf in tables.items():
+                tdf.createOrReplaceTempView(tname)
         return _eval_scalar(spark, resolved)
+
+    def _sub_resultsets(sqltext: str) -> str:
+        """Replace ``TABLE(name)`` for an assigned RESULTSET with a
+        registered temp view over its snapshot (only known names —
+        TABLE(RESULT_SCAN(...)) and friends pass through)."""
+
+        def repl(mm: "re.Match[str]") -> str:
+            nm = mm.group("name").upper()
+            if nm not in block_resultsets:
+                return mm.group(0)
+            rdf = block_resultsets[nm]
+            if rdf is None:
+                raise ValueError(f"RESULTSET {nm} is unassigned")
+            view = f"__rs_{nm.lower()}"
+            rdf.createOrReplaceTempView(view)
+            return view
+
+        return re.sub(
+            r"\bTABLE\s*\(\s*(?P<name>[A-Za-z_]\w*)\s*\)",
+            repl, sqltext, flags=re.IGNORECASE,
+        )
+
+    def eval_resultset(qtext: str) -> DataFrame:
+        """Assign a RESULTSET: run the parenthesized query NOW and
+        snapshot it (Snowflake executes at assignment — the handle is
+        a materialized result, not a view; localCheckpoint gives the
+        same statement-boundary snapshot the EXCEPTION path uses)."""
+        q = qtext.strip()
+        if q.startswith("(") and q.endswith(")"):
+            q = q[1:-1].strip()
+        q = substitute_variables(
+            _subst_binds(_sub_resultsets(q), block_vars), variables
+        )
+        if tables is not None:
+            for tname, tdf in tables.items():
+                tdf.createOrReplaceTempView(tname)
+        rdf = snowflake_sql(
+            spark, q, pipelines=pipelines, tables=tables, stages=stages,
+        )
+        return rdf.localCheckpoint(eager=True)
 
     for decl in _split_script(m.group("decl") or ""):
         # tolerate a repeated DECLARE keyword per entry (Snowflake
         # needs it once, but real pastes write both spellings)
         decl = re.sub(r"^DECLARE\s+", "", decl.strip(), flags=re.IGNORECASE)
+        rsm = _DECL_RESULTSET_RE.match(decl.strip())
+        if rsm is not None:
+            block_resultsets[rsm.group("name").upper()] = (
+                eval_resultset(rsm.group("q")) if rsm.group("q") else None
+            )
+            continue
         xm = _DECL_EXC_RE.match(decl.strip())
         if xm is not None:
             # DECLARE name EXCEPTION [(code, 'msg')] — Snowflake's
@@ -1264,7 +1330,7 @@ def scripting_block(
                 f"DECLARE {dm.group('type').upper()} is not supported"
                 " in this spelling (CURSOR takes 'c CURSOR FOR"
                 " <query>'; EXCEPTION an optional (code, 'message')"
-                " literal pair; RESULTSET has no engine mapping)"
+                " literal pair; RESULTSET an optional ':= (query)')"
             )
         value = eval_expr(dm.group("dflt")) if dm.group("dflt") else None
         literal, sf_type = _render_literal(value)
@@ -1273,6 +1339,20 @@ def scripting_block(
         )
 
     def run_stmt(bare: str) -> None:
+        lrs = re.match(
+            r"^(?:LET\s+)?(?P<name>[A-Za-z_]\w*)(?:\s+RESULTSET)?"
+            r"\s*:=\s*(?P<q>\(.*\))$",
+            bare, re.IGNORECASE | re.DOTALL,
+        )
+        if lrs is not None and (
+            lrs.group("name").upper() in block_resultsets
+            or re.search(r"\bRESULTSET\b", bare[: lrs.start("q")],
+                         re.IGNORECASE)
+        ):
+            block_resultsets[lrs.group("name").upper()] = eval_resultset(
+                lrs.group("q")
+            )
+            return
         lm = _LET_RE.match(bare)
         head = bare.split(None, 1)[0].upper()
         if lm and (
@@ -1286,7 +1366,7 @@ def scripting_block(
             )
             return
         resolved = substitute_variables(
-            _subst_binds(bare, block_vars), variables
+            _subst_binds(_sub_resultsets(bare), block_vars), variables
         )
         if head == "CALL":
             # nested procedure calls (r12 s4): the callee runs with
@@ -1354,7 +1434,8 @@ def scripting_block(
         if cur not in block_cursors:
             raise ValueError(f"{cur}: no such declared cursor")
         q = substitute_variables(
-            _subst_binds(block_cursors[cur], block_vars), variables
+            _subst_binds(_sub_resultsets(block_cursors[cur]), block_vars),
+            variables,
         )
         if tables is not None:
             # the cursor query is a plain SELECT — bind the block's
@@ -1402,6 +1483,16 @@ def scripting_block(
             if kind == "stmt":
                 run_stmt(node[1])
             elif kind == "return":
+                if node[1]:
+                    tm = _RETURN_TABLE_RE.match(node[1].strip())
+                    if tm and tm.group("name").upper() in block_resultsets:
+                        rdf = block_resultsets[tm.group("name").upper()]
+                        if rdf is None:
+                            raise ValueError(
+                                f"RESULTSET {tm.group('name').upper()}"
+                                " is unassigned"
+                            )
+                        raise _BlockReturn(rdf)
                 raise _BlockReturn(
                     eval_tagged(node[1]) if node[1] else None
                 )
@@ -1677,6 +1768,10 @@ def scripting_block(
             if depth > 0:
                 raise
             raise exc2.cause
+    if has_return and isinstance(returned, DataFrame):
+        # RETURN TABLE(r): the relation IS the result (table-valued
+        # blocks/procedures — Snowflake's RETURNS TABLE contract)
+        return returned
     literal, _t = _render_literal(returned if has_return else None)
     return spark.sql(f"SELECT {literal} AS {result_name}")
 
@@ -1702,7 +1797,8 @@ class SqlProcedure:
 _CREATE_PROC_RE = re.compile(
     r"CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\s+(?P<name>[A-Za-z_]\w*)\s*"
     r"\((?P<params>(?:[^()]|\([^()]*\))*)\)\s*"
-    r"RETURNS\s+(?P<ret>[A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+    r"RETURNS\s+(?P<ret>TABLE\s*\([^)]*\)"
+    r"|[A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
     r"\s*(?P<tail>.*?)\s*AS\s+(?P<body>'(?:[^']|'')*'|\$\$.*?\$\$)\s*$",
     re.IGNORECASE | re.DOTALL,
 )

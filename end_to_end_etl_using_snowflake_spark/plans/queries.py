@@ -10959,3 +10959,53 @@ def sql62_cursor_for(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return console_script(spark, _SQL62_CURSOR_FOR)
+
+
+_SQL63_RESULTSET_PROC = """
+CREATE OR REPLACE PROCEDURE nation_roster(rk NUMBER)
+  RETURNS TABLE(n_name STRING, n_nationkey NUMBER) LANGUAGE SQL AS $$
+  DECLARE r RESULTSET;
+  BEGIN
+    LET r := (SELECT n_name, n_nationkey FROM nation
+              WHERE n_regionkey = :rk);
+    RETURN TABLE(r);
+  END
+  $$;
+CALL nation_roster(1);
+"""
+
+
+@register(
+    "sql63_resultset_table_proc",
+    oracle="""
+    SELECT n_name, CAST(n_nationkey AS BIGINT) AS n_nationkey
+    FROM nation WHERE n_regionkey = 1
+    """,
+    doc="""RESULTSETs + TABLE-VALUED PROCEDURES (r12 session 4 — the
+    LAST scripting refusal closed): ``DECLARE r RESULTSET [:=
+    (query)]`` / ``LET r := (query)`` EXECUTES the query at
+    assignment and snapshots it (localCheckpoint — Snowflake's
+    resultset is a materialized result handle, and the snapshot means
+    later DML cannot retroactively change it, unit-pinned);
+    ``TABLE(r)`` reads the snapshot in later statements, block
+    expressions, and cursor declarations; ``RETURN TABLE(r)`` makes
+    the block — and via ``RETURNS TABLE(...)`` the procedure —
+    table-valued, with CALL returning the full relation. Block
+    expressions also re-register the tables-dict state before every
+    evaluation, so scalar subqueries observe read-your-writes after
+    embedded DML (found-and-fixed while building this). The entry's
+    procedure filters nation by a bound argument and returns the
+    relation; the oracle is the same filter stated directly
+    (functions/scripting.py:eval_resultset, _sub_resultsets). Scale:
+    one distributed plan per assignment; the snapshot cost is the
+    result's size, the same class as CACHE TABLE — callers stream it
+    without re-execution.""",
+    tags=("sql-surface", "dialect", "scripting", "resultsets",
+          "procedures"),
+)
+def sql63_resultset_table_proc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scripting import console_script
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return console_script(spark, _SQL63_RESULTSET_PROC)

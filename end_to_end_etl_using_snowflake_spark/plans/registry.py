@@ -133,6 +133,7 @@ PRIORITY: tuple[str, ...] = (
     "sql60_proc_control_flow",
     "sql61_proc_exception",
     "sql62_cursor_for",
+    "sql63_resultset_table_proc",
     # last driver-green r7
     "a4_count_distinct",
     "a5_rollup",

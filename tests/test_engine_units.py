@@ -4588,7 +4588,7 @@ def test_scripting_block_battery(spark):
         # counter grammar (a TO b) — must refuse, not reach SQL
         ("BEGIN FOR i IN 1..3 DO RETURN 1; END FOR; END",
          "unsupported FOR shape"),
-        ("DECLARE r RESULTSET; BEGIN RETURN 1; END", "RESULTSET"),
+        ("DECLARE r RESULTSET := 5; BEGIN RETURN 1; END", "RESULTSET"),
     ]:
         with _pytest.raises(ValueError, match=msg):
             scripting_block(spark, bad)
@@ -5104,6 +5104,68 @@ def test_scripting_nested_call(spark):
               $$;
             CALL loop_forever();
         """)
+
+
+def test_scripting_resultset_battery(spark):
+    """r12 session 4: RESULTSETs — assignment executes the query and
+    snapshots it (later DML does not change the handle), TABLE(r)
+    reads it in later statements and cursors, RETURN TABLE(r) makes
+    the block/procedure table-valued, and unassigned use refuses."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.scripting import (
+        console_script,
+        scripting_block,
+    )
+
+    t = {"src": spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id int, amt int")}
+    # snapshot semantics: r is captured BEFORE the UPDATE; the block
+    # reads both the snapshot and the live table afterwards
+    r = scripting_block(spark, """
+        DECLARE r RESULTSET := (SELECT id, amt FROM src WHERE amt > 10);
+        DECLARE snap NUMBER; live NUMBER;
+        BEGIN
+          UPDATE src SET amt = amt + 100;
+          LET snap := (SELECT SUM(amt) FROM TABLE(r));
+          LET live := (SELECT SUM(amt) FROM src);
+          RETURN CAST(snap AS STRING) || '/' || CAST(live AS STRING);
+        END
+    """, tables=t)
+    assert r.first().anonymous_block == "50/360"
+
+    # table-valued procedure: RETURNS TABLE(...) + RETURN TABLE(r)
+    out = console_script(spark, """
+        CREATE OR REPLACE PROCEDURE top_amts(lo NUMBER)
+          RETURNS TABLE(id NUMBER, amt NUMBER) LANGUAGE SQL AS $$
+          DECLARE r RESULTSET;
+          BEGIN
+            LET r := (SELECT id, amt FROM src WHERE amt >= :lo
+                      ORDER BY amt DESC);
+            RETURN TABLE(r);
+          END
+          $$;
+        CALL top_amts(120);
+    """, tables=t)
+    rows = [(x.id, x.amt) for x in out.collect()]
+    assert rows == [(3, 130), (2, 120)]
+
+    # declared-unassigned use refuses; a cursor can read TABLE(r)
+    with _pytest.raises(ValueError, match="unassigned"):
+        scripting_block(spark, """
+            DECLARE r RESULTSET;
+            BEGIN RETURN TABLE(r); END
+        """)
+    r = scripting_block(spark, """
+        DECLARE r RESULTSET := (SELECT id FROM src ORDER BY id);
+        DECLARE c CURSOR FOR SELECT id FROM TABLE(r) WHERE id <> 2;
+        DECLARE acc NUMBER DEFAULT 0;
+        BEGIN
+          FOR x IN c DO LET acc := acc + x.id; END FOR;
+          RETURN acc;
+        END
+    """, tables=t)
+    assert r.first().anonymous_block == 4  # 1 + 3
 
 
 def test_alter_session_parameters(spark):
