@@ -2027,29 +2027,8 @@ _SCALAR_REWRITES = {
         if len(args) == 2
         else _bad("DIV0NULL", args)
     ),
-    # REGEXP_SUBSTR_ALL(subject, pattern) -> every match, in order.
-    # The positional variants (position/occurrence/params/group) have
-    # no direct Spark spelling and refuse rather than approximating.
-    "REGEXP_SUBSTR_ALL": lambda args: (
-        f"regexp_extract_all({args[0]}, {args[1]}, 0)"
-        if len(args) == 2
-        else (_ for _ in ()).throw(ValueError(
-            "REGEXP_SUBSTR_ALL supports (subject, pattern) only —"
-            " position/occurrence/params/group variants have no exact"
-            " Spark lowering"
-        ))
-    ),
-    # 1-arg INITCAP is native Spark; the 2-arg delimiter form has no
-    # Spark equivalent (Spark capitalizes after whitespace only)
-    "INITCAP": lambda args: (
-        f"initcap({args[0]})"
-        if len(args) == 1
-        else (_ for _ in ()).throw(ValueError(
-            "INITCAP(expr, delimiters): Spark's initcap has no"
-            " delimiter-set form; compose with regexp_replace or use"
-            " the default whitespace behavior"
-        ))
-    ),
+    "REGEXP_SUBSTR_ALL": lambda args: _regexp_substr_all_rewrite(args),
+    "INITCAP": lambda args: _initcap_rewrite(args),
     "MINHASH": lambda args: (_ for _ in ()).throw(ValueError(
         "MINHASH/APPROXIMATE_SIMILARITY: use the engine's MinHash"
         " dedup operators (operators/dedup.py minhash_lsh_pairs — the"
@@ -4040,6 +4019,100 @@ def _regexp_replace_occurrence(
         f" WHEN {bad} THEN {err}"
         f" ELSE concat({kept}{prefix}, element_at({g}, {occ}), {repl},"
         f" {tail}, element_at({g}, size({m}) + 1)) END)"
+    )
+
+
+def _regexp_substr_all_rewrite(args: list) -> str:
+    """``REGEXP_SUBSTR_ALL(subject, pattern[, position[, occurrence[,
+    params[, group_num]]]])`` (r12 s4 — closes the positional-variant
+    refusal): every match in order; ``position`` starts the search
+    (substr), ``occurrence`` drops matches BEFORE the occ-th
+    (Snowflake: "the first occurrence from which to start returning
+    matches" -> an array slice), params/'e'/group_num exactly as
+    REGEXP_SUBSTR (a 6th arg implies 'e')."""
+    name = "REGEXP_SUBSTR_ALL"
+    if not 2 <= len(args) <= 6:
+        return _bad(name, args)
+    flags, extract = _regex_params(name, args, 4)
+    pos = _regex_int_literal(name, args, 2, 1)
+    occ = _regex_int_literal(name, args, 3, 1)
+    if pos < 1 or occ < 1:
+        raise ValueError(f"{name}: position and occurrence must be >= 1")
+    if len(args) == 6:
+        extract = True
+    grp = _regex_int_literal(name, args, 5, 1) if extract else 0
+    pat = _regex_pattern(name, args, flags)
+    subject = args[0] if pos == 1 else f"substr({args[0]}, {pos})"
+    base = f"regexp_extract_all({subject}, {pat}, {grp})"
+    if occ == 1:
+        return base
+    return (
+        f"slice({base}, {occ}, greatest(size({base}) - {occ - 1}, 0))"
+    )
+
+
+# Snowflake's DEFAULT INITCAP delimiter set (docs: whitespace plus
+# this exact punctuation list; the apostrophe is NOT in it, so
+# o'brien -> O'brien). Spelled as a Java regex character class.
+_INITCAP_DEFAULT_CLASS = (
+    "[\\s!?@\"^#$&~_,.:;+\\-*%/|\\\\\\[\\](){}<>]+"
+)
+
+
+def _initcap_rewrite(args: list) -> str:
+    """``INITCAP(expr[, delimiters])`` (r12 s4): Snowflake
+    capitalizes the first letter after ANY delimiter-set character
+    and lowercases the rest — Spark's native ``initcap`` splits on
+    spaces only, so even the 1-ARG form was a silent divergence for
+    punctuation-adjacent words ('john-doe' -> 'John-Doe' in
+    Snowflake). Both forms now lower to the split/extract_all splice:
+    delimiter RUNS are preserved verbatim, each between-run segment
+    gets first-char-upper + rest-lower (NOT Spark initcap — a
+    segment may contain spaces that are not delimiters). The
+    delimiter set must be a string literal (a runtime set cannot be
+    compiled into the character class); '' means the whole string is
+    one word."""
+    if len(args) not in (1, 2):
+        return _bad("INITCAP", args)
+    s = args[0]
+
+    def capseg(x: str) -> str:
+        return (
+            f"concat(upper(substring({x}, 1, 1)),"
+            f" lower(substring({x}, 2)))"
+        )
+
+    if len(args) == 1:
+        cls_value = _INITCAP_DEFAULT_CLASS
+    else:
+        raw = _fmt_literal(args, 1, "INITCAP")
+        if raw is None:
+            raise ValueError(
+                "INITCAP: the delimiter set must be a string literal"
+                " (a runtime set cannot be compiled into the regex"
+                " character class)"
+            )
+        if raw == "":
+            return f"({capseg(s)})"
+        body = "".join(
+            ("\\" + c) if c in "\\^]-[" else c for c in dict.fromkeys(raw)
+        )
+        cls_value = f"[{body}]+"
+    # spell the class as a Spark string literal: the parser processes
+    # C-style escapes inside '...', so every backslash doubles
+    pat = "'" + cls_value.replace("\\", "\\\\").replace("'", "''") + "'"
+    m = f"regexp_extract_all({s}, {pat}, 0)"
+    g = f"split({s}, {pat}, -1)"
+    idx = f"filter(sequence(1, greatest(size({m}), 1)), i -> i <= size({m}))"
+    body_sql = (
+        f"array_join(transform({idx}, i ->"
+        f" concat({capseg(f'element_at({g}, i)')},"
+        f" element_at({m}, i))), '')"
+    )
+    last = capseg(f"element_at({g}, size({m}) + 1)")
+    return (
+        f"(CASE WHEN {s} IS NULL THEN NULL"
+        f" ELSE concat({body_sql}, {last}) END)"
     )
 
 

@@ -11009,3 +11009,67 @@ def sql63_resultset_table_proc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return console_script(spark, _SQL63_RESULTSET_PROC)
+
+
+_F37_SNOWFLAKE_TEXT = """
+SELECT o_orderkey,
+       INITCAP(o_orderpriority) AS prio_title,
+       INITCAP(o_orderpriority, '-') AS prio_dash,
+       ARRAY_TO_STRING(
+           REGEXP_SUBSTR_ALL(o_orderpriority, '[A-Z]+', 1, 2), '|')
+           AS tail_words
+FROM orders
+WHERE o_orderkey % 17 = 0
+"""
+
+
+@register(
+    "f37_initcap_delimiters",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderpriority
+             WHEN '1-URGENT' THEN '1-Urgent'
+             WHEN '2-HIGH' THEN '2-High'
+             WHEN '3-MEDIUM' THEN '3-Medium'
+             WHEN '4-NOT SPECIFIED' THEN '4-Not Specified'
+             WHEN '5-LOW' THEN '5-Low' END AS prio_title,
+           CASE o_orderpriority
+             WHEN '1-URGENT' THEN '1-Urgent'
+             WHEN '2-HIGH' THEN '2-High'
+             WHEN '3-MEDIUM' THEN '3-Medium'
+             WHEN '4-NOT SPECIFIED' THEN '4-Not specified'
+             WHEN '5-LOW' THEN '5-Low' END AS prio_dash,
+           CASE o_orderpriority
+             WHEN '4-NOT SPECIFIED' THEN 'SPECIFIED' ELSE '' END
+               AS tail_words
+    FROM orders
+    WHERE o_orderkey % 17 = 0
+    """,
+    doc="""INITCAP with Snowflake's DELIMITER-SET semantics +
+    positional REGEXP_SUBSTR_ALL (r12 s4 — closes two f34 refusals,
+    and FIXES a shipped silent divergence: Spark's native initcap
+    capitalizes after spaces only, while Snowflake's default
+    delimiter set includes punctuation — 'john-doe' is 'John-Doe' in
+    Snowflake, and even the 1-arg form previously passed through to
+    Spark's narrower behavior). Both forms lower to the split /
+    regexp_extract_all splice over a compiled delimiter character
+    class (delimiter RUNS preserved verbatim; each segment gets
+    first-char-upper + rest-lower — deliberately NOT Spark initcap,
+    since a segment may contain spaces that are not delimiters; the
+    apostrophe is not in Snowflake's default set, so o'brien ->
+    O'brien). Runtime delimiter sets refuse. REGEXP_SUBSTR_ALL gains
+    position (substr), occurrence (array slice from the occ-th
+    match), params and group extraction — REGEXP_SUBSTR's exact
+    conventions. The oracle is a GOLDEN CASE over the column's closed
+    domain — independent of both engines' string machinery
+    (functions/sqldialect.py:_initcap_rewrite,
+    _regexp_substr_all_rewrite). Scale: per-row codegen expressions,
+    pushdown untouched, no shuffle.""",
+    tags=("sql-surface", "dialect", "functions", "strings"),
+)
+def f37_initcap_delimiters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import lower_select
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(lower_select(_F37_SNOWFLAKE_TEXT))

@@ -134,6 +134,7 @@ PRIORITY: tuple[str, ...] = (
     "sql61_proc_exception",
     "sql62_cursor_for",
     "sql63_resultset_table_proc",
+    "f37_initcap_delimiters",
     # last driver-green r7
     "a4_count_distinct",
     "a5_rollup",

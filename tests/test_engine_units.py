@@ -3106,6 +3106,46 @@ def test_object_mutators_fold(spark):
         rewrite_scalar_funcs("SELECT OBJECT_PICK(o, 'k') FROM t")
 
 
+def test_initcap_and_substr_all_positional(spark):
+    """r12 s4: INITCAP's delimiter-set semantics (Snowflake's default
+    punctuation set — NOT Spark's space-only initcap) and positional
+    REGEXP_SUBSTR_ALL."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_scalar_funcs,
+    )
+
+    r = spark.sql(rewrite_scalar_funcs(
+        "SELECT INITCAP('john-doe smith_jones') AS a,"
+        " INITCAP('o''brien and MCDONALD') AS b,"
+        " INITCAP('a.b,c;d') AS c,"
+        " INITCAP('hello world-foo', '-') AS d,"
+        " INITCAP('x|y z', '|') AS e,"
+        " INITCAP('whole STRING here', '') AS f,"
+        " INITCAP(CAST(NULL AS STRING)) AS n,"
+        " REGEXP_SUBSTR_ALL('a1b22c333d4', '[0-9]+', 1, 2) AS s1,"
+        " REGEXP_SUBSTR_ALL('a1b22c333d4', '[0-9]+', 1, 9) AS s2,"
+        " REGEXP_SUBSTR_ALL('a1b22c333', '[0-9]+', 3, 1) AS s3,"
+        " REGEXP_SUBSTR_ALL('k=12;v=34', '([a-z])=([0-9]+)', 1, 1,"
+        " 'e', 2) AS s4"
+    )).first()
+    assert r.a == "John-Doe Smith_Jones"      # '-' and '_' delimit
+    assert r.b == "O'brien And Mcdonald"      # apostrophe does NOT
+    assert r.c == "A.B,C;D"
+    assert r.d == "Hello world-Foo"           # only '-' delimits
+    assert r.e == "X|Y z"                     # space is NOT a delim
+    assert r.f == "Whole string here"         # '' = one word
+    assert r.n is None
+    assert r.s1 == ["22", "333", "4"]         # from the 2nd match
+    assert r.s2 == []                         # past the last match
+    assert r.s3 == ["22", "333"]              # position re-base
+    assert r.s4 == ["12", "34"]               # group extraction
+
+    with _pytest.raises(ValueError, match="string literal"):
+        rewrite_scalar_funcs("SELECT INITCAP(x, d) FROM t")
+
+
 def test_regexp_dialect_r10_advice(spark):
     """r9 ADVICE closures: RLIKE/REGEXP function forms carry
     REGEXP_LIKE's full-match anchoring; a parenthesized INFIX operand
@@ -5312,10 +5352,11 @@ def test_probe_battery4_semantics(spark):
     assert r.de_ci is False
 
     for bad, msg in [
-        ("SELECT INITCAP(x, '-') FROM t", "delimiter-set"),
+        # r12 s4: 2-arg INITCAP and positional REGEXP_SUBSTR_ALL now
+        # lower; only the non-literal delimiter set still refuses
+        ("SELECT INITCAP(x, d) FROM t", "string literal"),
         ("SELECT MINHASH(5, x) FROM t", "MinHash"),
         ("SELECT APPROXIMATE_JACCARD_INDEX(m) FROM t", "MinHash"),
-        ("SELECT REGEXP_SUBSTR_ALL(x, 'p', 2) FROM t", "position"),
         ("SELECT x = y COLLATE 'fr-ai' FROM t", "no exact Spark mapping"),
         ("SELECT x = y COLLATE 'upper' FROM t", "no exact Spark mapping"),
     ]:
