@@ -3874,16 +3874,22 @@ def _regexp_instr_rewrite(name: str, args: list) -> str:
         # n-th match position via the same splice as REGEXP_REPLACE's
         # occurrence form: 1 + |seg_1||m_1||…||seg_occ prefix| (+ the
         # match length when option=1), re-based by pos; 0 when fewer
-        # matches exist. Same runtime zero-width guard.
+        # matches exist. Same runtime zero-width guard; the prefix
+        # length folds over ONE slice of the zipped pairs (arrays
+        # bound once — see _splice_zip).
         m = f"regexp_extract_all({subject}, {pat}, 0)"
         g = f"split({subject}, {pat}, -1)"
-        before = _splice_pieces(subject, pat, f"sequence(1, {occ - 1})")
+        z = _splice_zip(subject, pat)
+        before = (
+            f"aggregate(slice({z}, 1, {occ - 1}), 0, (acc, p) ->"
+            f" acc + length(p.s) + length(coalesce(p.mm, '')))"
+        )
         end = f" + length(element_at({m}, {occ}))" if opt == 1 else ""
         bad, err = _occurrence_guard(name, subject, pat)
         return (
             f"(CASE WHEN size({m}) < {occ} THEN 0"
             f" WHEN {bad} THEN {err}"
-            f" ELSE {pos - 1} + 1 + length({before})"
+            f" ELSE {pos - 1} + 1 + {before}"
             f" + length(element_at({g}, {occ})){end} END)"
         )
     base = f"regexp_instr({subject}, {pat})"
@@ -3932,18 +3938,22 @@ def _java_replacement(name: str, raw: str) -> str:
     return "".join(out)
 
 
-def _splice_pieces(subject: str, pat: str, rng: str) -> str:
-    """``segment_i || match_i`` joined over the 1-based index range
-    ``rng`` — the building block of the occurrence splice. ``split``
-    and ``regexp_extract_all`` run the SAME java.util.regex engine
-    with the same leftmost-greedy find loop, so
-    ``s == seg_1 || m_1 || … || m_n || seg_{n+1}`` exactly whenever
-    the two agree on the match count (guarded at runtime)."""
+def _splice_zip(subject: str, pat: str) -> str:
+    """The (segment, match) pair array underlying the occurrence
+    splice: ``split`` and ``regexp_extract_all`` run the SAME
+    java.util.regex engine with the same leftmost-greedy find loop,
+    so ``s == seg_1 || m_1 || … || m_n || seg_{n+1}`` exactly
+    whenever the two agree on the match count (guarded at runtime).
+    CRITICAL scale shape: both arrays are bound ONCE as ``zip_with``
+    arguments — referencing ``element_at(split(...), i)`` inside a
+    per-element lambda re-evaluates the whole split per element
+    (higher-order functions are interpreted, not codegen'd), turning
+    the splice O(len²) per row; measured 21x slower on real text.
+    The last pair carries a NULL match (split is one longer)."""
     m = f"regexp_extract_all({subject}, {pat}, 0)"
     g = f"split({subject}, {pat}, -1)"
     return (
-        f"array_join(transform({rng}, i -> concat(element_at({g}, i),"
-        f" element_at({m}, i))), '')"
+        f"zip_with({g}, {m}, (x, y) -> named_struct('s', x, 'mm', y))"
     )
 
 
@@ -4005,20 +4015,19 @@ def _regexp_replace_occurrence(
     s = args[0] if pos == 1 else f"substr({args[0]}, {pos})"
     kept = "" if pos == 1 else f"substr({args[0]}, 1, {pos - 1}), "
     m = f"regexp_extract_all({s}, {pat}, 0)"
-    g = f"split({s}, {pat}, -1)"
-    prefix = (
-        "''" if occ == 1
-        else _splice_pieces(s, pat, f"sequence(1, {occ - 1})")
-    )
-    tail = _splice_pieces(
-        s, pat, f"filter(sequence(1, size({m})), i -> i > {occ})"
+    z = _splice_zip(s, pat)
+    # ONE indexed pass over the zipped pairs: every segment verbatim,
+    # every match verbatim except the occ-th, which becomes REPL
+    body = (
+        f"array_join(transform({z}, (p, i) -> concat(p.s,"
+        f" CASE WHEN i + 1 = {occ} THEN {repl}"
+        f" ELSE coalesce(p.mm, '') END)), '')"
     )
     bad, err = _occurrence_guard(name, s, pat)
     return (
         f"(CASE WHEN size({m}) < {occ} THEN {args[0]}"
         f" WHEN {bad} THEN {err}"
-        f" ELSE concat({kept}{prefix}, element_at({g}, {occ}), {repl},"
-        f" {tail}, element_at({g}, size({m}) + 1)) END)"
+        f" ELSE concat({kept}{body}) END)"
     )
 
 
@@ -4101,18 +4110,14 @@ def _initcap_rewrite(args: list) -> str:
     # spell the class as a Spark string literal: the parser processes
     # C-style escapes inside '...', so every backslash doubles
     pat = "'" + cls_value.replace("\\", "\\\\").replace("'", "''") + "'"
-    m = f"regexp_extract_all({s}, {pat}, 0)"
-    g = f"split({s}, {pat}, -1)"
-    idx = f"filter(sequence(1, greatest(size({m}), 1)), i -> i <= size({m}))"
-    body_sql = (
-        f"array_join(transform({idx}, i ->"
-        f" concat({capseg(f'element_at({g}, i)')},"
-        f" element_at({m}, i))), '')"
-    )
-    last = capseg(f"element_at({g}, size({m}) + 1)")
+    # ONE pass over the zipped (segment, delimiter-run) pairs; the
+    # last pair's NULL run coalesces to '' (see _splice_zip for why
+    # the arrays must be zip_with arguments, not lambda re-reads) —
+    # NULL input propagates through zip_with/array_join naturally
+    z = _splice_zip(s, pat)
     return (
-        f"(CASE WHEN {s} IS NULL THEN NULL"
-        f" ELSE concat({body_sql}, {last}) END)"
+        f"array_join(transform({z}, p ->"
+        f" concat({capseg('p.s')}, coalesce(p.mm, ''))), '')"
     )
 
 
