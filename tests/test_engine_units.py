@@ -3055,6 +3055,29 @@ def test_regexp_occurrence_splice(spark):
     )).first()
     assert ci.x == "A cat and a dog"
 
+    # SCALE-SHAPE PIN (r12 s4): the arrays must be bound ONCE as
+    # zip_with arguments — a lambda body that re-reads a COMPUTED
+    # split()/regexp_extract_all() subtree re-evaluates it PER
+    # ELEMENT (higher-order functions run interpreted; measured 21x
+    # slower, O(len^2) per row). The quadratic shape's signature was
+    # element_at(split(...), i) / element_at(regexp_extract_all(...),
+    # i) inside the per-element lambdas; the fixed shape reads only
+    # the zipped pair fields (p.s / p.mm) there.
+    for sql, allowed_elem in (
+        ("SELECT REGEXP_REPLACE(s, '[ab]', 'x', 1, 2) FROM t", 0),
+        # instr keeps one element_at OUTSIDE lambdas (the occ-th
+        # segment length, evaluated once per row; +1 with option=1)
+        ("SELECT REGEXP_INSTR(s, '[ab]', 1, 3) FROM t", 1),
+        ("SELECT REGEXP_INSTR(s, '[ab]', 1, 3, 1) FROM t", 2),
+        ("SELECT INITCAP(s) FROM t", 0),
+        ("SELECT INITCAP(s, '-') FROM t", 0),
+    ):
+        out = rewrite_scalar_funcs(sql)
+        assert "zip_with(" in out, f"no zip_with in lowering of {sql}"
+        assert out.count("element_at(") == allowed_elem, (sql, out)
+    out = rewrite_scalar_funcs("SELECT REGEXP_INSTR(s, '[ab]', 1, 3) FROM t")
+    assert "aggregate(slice(zip_with(" in out  # the once-bound fold
+
 
 def test_object_mutators_fold(spark):
     """r12: OBJECT_INSERT / OBJECT_DELETE / OBJECT_PICK fold
