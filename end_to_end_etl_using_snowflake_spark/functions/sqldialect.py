@@ -2333,12 +2333,33 @@ _SCALAR_REWRITES = {
         if len(args) == 2
         else _bad("ARRAYS_TO_OBJECT", args)
     ),
-    "GET_IGNORE_CASE": lambda args: (_ for _ in ()).throw(
-        ValueError(
-            "GET_IGNORE_CASE is not lowered (JSON-text GET is"
-            " case-sensitive here); normalize keys at build time or"
-            " use GET with the exact key"
-        )
+    # GET_IGNORE_CASE (r12 s4 — closes the refusal): resolve the
+    # actual key case-insensitively from json_object_keys (FIRST
+    # match in document order — Snowflake documents the multi-match
+    # pick as arbitrary, this engine pins it deterministic), then
+    # extract through a DYNAMIC bracket-quoted path — Spark's
+    # get_json_object accepts non-foldable paths, and the
+    # '$[''key'']' form survives dots/spaces in keys. Same text-out
+    # convention as GET / the ':' path operator (scalars unquoted,
+    # compound values compact JSON). try_element_at keeps the
+    # no-match case NULL under ANSI; NULL/non-object inputs
+    # propagate NULL exactly like Snowflake. A matched key that
+    # itself contains a quote cannot be spelled in the path — loud
+    # runtime refusal rather than a silent NULL.
+    "GET_IGNORE_CASE": lambda args: (
+        (
+            lambda obj, key: (
+                f"get_json_object({obj}, concat('$[''',"
+                f" CASE WHEN try_element_at(filter(json_object_keys({obj}),"
+                f" k -> lower(k) = lower({key})), 1) LIKE '%''%'"
+                f" THEN raise_error('GET_IGNORE_CASE: matched key"
+                f" contains a quote — not spellable in a JSON path')"
+                f" ELSE try_element_at(filter(json_object_keys({obj}),"
+                f" k -> lower(k) = lower({key})), 1) END, ''']'))"
+            )
+        )(args[0], args[1])
+        if len(args) == 2
+        else _bad("GET_IGNORE_CASE", args)
     ),
     "REGEXP_EXTRACT_ALL": lambda args: (
         f"regexp_extract_all({args[0]}, {args[1]}, 0)"

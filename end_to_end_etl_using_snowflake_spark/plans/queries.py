@@ -11017,7 +11017,15 @@ SELECT o_orderkey,
        INITCAP(o_orderpriority, '-') AS prio_dash,
        ARRAY_TO_STRING(
            REGEXP_SUBSTR_ALL(o_orderpriority, '[A-Z]+', 1, 2), '|')
-           AS tail_words
+           AS tail_words,
+       GET_IGNORE_CASE(OBJECT_CONSTRUCT('OrderKey', o_orderkey,
+                                        'Status', o_orderstatus),
+                       'sTaTuS') AS gic_s,
+       GET_IGNORE_CASE(OBJECT_CONSTRUCT('OrderKey', o_orderkey,
+                                        'Status', o_orderstatus),
+                       'orderkey') AS gic_k,
+       GET_IGNORE_CASE(OBJECT_CONSTRUCT('OrderKey', o_orderkey),
+                       'missing') AS gic_null
 FROM orders
 WHERE o_orderkey % 17 = 0
 """
@@ -11041,7 +11049,10 @@ WHERE o_orderkey % 17 = 0
              WHEN '5-LOW' THEN '5-Low' END AS prio_dash,
            CASE o_orderpriority
              WHEN '4-NOT SPECIFIED' THEN 'SPECIFIED' ELSE '' END
-               AS tail_words
+               AS tail_words,
+           o_orderstatus AS gic_s,
+           CAST(o_orderkey AS VARCHAR) AS gic_k,
+           CAST(NULL AS VARCHAR) AS gic_null
     FROM orders
     WHERE o_orderkey % 17 = 0
     """,
@@ -11060,7 +11071,12 @@ WHERE o_orderkey % 17 = 0
     O'brien). Runtime delimiter sets refuse. REGEXP_SUBSTR_ALL gains
     position (substr), occurrence (array slice from the occ-th
     match), params and group extraction — REGEXP_SUBSTR's exact
-    conventions. The oracle is a GOLDEN CASE over the column's closed
+    conventions. GET_IGNORE_CASE (a third closed refusal, REDEFINING
+    this entry) resolves the key case-insensitively from
+    json_object_keys (deterministic first-match) and extracts through
+    a DYNAMIC bracket-quoted json path — GET's exact text-out
+    convention; no-match/NULL/non-object all yield NULL. The oracle
+    is a GOLDEN CASE over the column's closed
     domain — independent of both engines' string machinery
     (functions/sqldialect.py:_initcap_rewrite,
     _regexp_substr_all_rewrite). Scale: per-row codegen expressions,

@@ -4246,8 +4246,16 @@ def test_everyday_scalar_pack2_battery2(spark):
     assert one("YEAROFWEEK(DATE'2021-01-04')") == 2021     # Mon of W1/2021
     assert one("RTRIMMED_LENGTH('ab  ')") == 2
     assert one("LENGTH(RANDSTR(10, 42))") == 10
+    # GET_IGNORE_CASE (r12 s4): first-match-in-document-order pick,
+    # dynamic bracket path, GET's text-out convention
+    gic = one(
+        'GET_IGNORE_CASE(\'{"Nested Key":{"z":1},"B":2}\','
+        " 'nested key')"
+    )
+    assert gic == '{"z":1}'
+    assert one("GET_IGNORE_CASE('{\"A\":1}', 'zz')") is None
+    assert one("GET_IGNORE_CASE('[1,2]', 'a')") is None
     for bad, msg in [
-        ("SELECT GET_IGNORE_CASE(o, 'K') FROM t", "case-sensitive"),
         ("SELECT TIME_FROM_PARTS(1, 2, 3) FROM t", "no TIME type"),
         ("SELECT COMPRESS(s, 'zlib') FROM t", "codec"),
         ("SELECT TO_GEOGRAPHY(s) FROM t", "geospatial"),
