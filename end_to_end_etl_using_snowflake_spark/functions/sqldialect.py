@@ -2250,10 +2250,63 @@ _SCALAR_REWRITES = {
         if len(args) == 2
         else _bad("ARRAY_POSITION", args)
     ),
+    # Snowflake's ARRAY_INTERSECTION / ARRAY_EXCEPT are MULTISET
+    # operations (x kept min(m,n) / max(m-n,0) times) — Spark's
+    # array_intersect/array_except DEDUPLICATE, a silent divergence
+    # for duplicate-bearing arrays (probe battery 6). Exact lowering:
+    # keep the k-th occurrence of x iff k <= / > count(x in other),
+    # via one indexed filter (null-safe <=>; O(n^2) per row over
+    # row-local arrays — the arrays are lambda-bound columns, no
+    # recompute hazard).
     "ARRAY_INTERSECTION": lambda args: (
-        f"array_intersect({args[0]}, {args[1]})"
+        f"filter({args[0]}, (x, i) ->"
+        f" size(filter(slice({args[0]}, 1, i + 1), y -> y <=> x))"
+        f" <= size(filter({args[1]}, y -> y <=> x)))"
         if len(args) == 2
         else _bad("ARRAY_INTERSECTION", args)
+    ),
+    "ARRAY_EXCEPT": lambda args: (
+        f"filter({args[0]}, (x, i) ->"
+        f" size(filter(slice({args[0]}, 1, i + 1), y -> y <=> x))"
+        f" > size(filter({args[1]}, y -> y <=> x)))"
+        if len(args) == 2
+        else _bad("ARRAY_EXCEPT", args)
+    ),
+    # Snowflake ARRAY_INSERT is 0-BASED (Spark's native is 1-based —
+    # passing through was a silent off-by-one); non-negative
+    # positions shift by one, negative positions refuse (the two
+    # engines' from-the-end conventions disagree in a way no shift
+    # reconciles).
+    "ARRAY_INSERT": lambda args: (
+        f"(CASE WHEN ({args[1]}) < 0 THEN"
+        f" raise_error('ARRAY_INSERT: negative positions are not"
+        f" lowered (Snowflake and Spark count from the end"
+        f" differently)') ELSE"
+        f" array_insert({args[0]}, ({args[1]}) + 1, {args[2]}) END)"
+        if len(args) == 3
+        else _bad("ARRAY_INSERT", args)
+    ),
+    # ARRAY_REMOVE_AT: 0-based position; negative counts from the
+    # end; out-of-range returns the array unchanged (Snowflake's
+    # documented rule). concat of the two surrounding slices.
+    "ARRAY_REMOVE_AT": lambda args: (
+        (
+            lambda a, p: (
+                f"(CASE WHEN ({a}) IS NULL OR ({p}) IS NULL THEN NULL"
+                f" WHEN (CASE WHEN ({p}) < 0 THEN size({a}) + ({p})"
+                f" ELSE ({p}) END) < 0"
+                f" OR (CASE WHEN ({p}) < 0 THEN size({a}) + ({p})"
+                f" ELSE ({p}) END) >= size({a}) THEN {a}"
+                f" ELSE concat("
+                f"slice({a}, 1, CASE WHEN ({p}) < 0 THEN size({a}) + ({p})"
+                f" ELSE ({p}) END),"
+                f" slice({a}, (CASE WHEN ({p}) < 0 THEN size({a}) + ({p})"
+                f" ELSE ({p}) END) + 2,"
+                f" size({a}))) END)"
+            )
+        )(args[0], args[1])
+        if len(args) == 2
+        else _bad("ARRAY_REMOVE_AT", args)
     ),
     # VARIANT = JSON-text OBJECT_KEYS (document order, both engines)
     "OBJECT_KEYS": lambda args: (
@@ -2472,6 +2525,14 @@ _SCALAR_REWRITES = {
     "ARRAY_FLATTEN": lambda args: (
         f"flatten({args[0]})" if len(args) == 1 else _bad("ARRAY_FLATTEN", args)
     ),
+    # Snowflake ARRAY_SORT(a[, ascending[, nulls_first]]) with
+    # literal booleans (Spark's 2-arg array_sort takes a COMPARATOR
+    # lambda, so the boolean forms died in the analyzer): each of the
+    # four combinations maps to an exact Spark composition —
+    # asc/nulls-last = array_sort, asc/nulls-first = sort_array(true),
+    # desc/nulls-last = sort_array(false), desc/nulls-first =
+    # reverse(array_sort). Runtime booleans refuse.
+    "ARRAY_SORT": lambda args: _array_sort_rewrite(args),
     # Snowflake's stop is EXCLUSIVE; Spark's sequence() is inclusive —
     # the stop shifts by one against the step's sign (literal steps
     # only: a runtime-signed step cannot shift deterministically)
@@ -4050,6 +4111,33 @@ def _regexp_replace_occurrence(
         f" WHEN {bad} THEN {err}"
         f" ELSE concat({kept}{body}) END)"
     )
+
+
+def _array_sort_rewrite(args: list) -> str:
+    if len(args) == 1:
+        return f"array_sort({args[0]})"
+    if len(args) not in (2, 3):
+        return _bad("ARRAY_SORT", args)
+    flags = []
+    for a in args[1:]:
+        v = a.strip().upper()
+        if v not in ("TRUE", "FALSE"):
+            raise ValueError(
+                "ARRAY_SORT: sort_ascending / nulls_first must be the"
+                " literal TRUE or FALSE (runtime flags cannot pick the"
+                " Spark composition)"
+            )
+        flags.append(v == "TRUE")
+    asc = flags[0]
+    nulls_first = flags[1] if len(flags) == 2 else False
+    a0 = args[0]
+    if asc and not nulls_first:
+        return f"array_sort({a0})"
+    if asc and nulls_first:
+        return f"sort_array({a0}, true)"
+    if not asc and nulls_first:
+        return f"reverse(array_sort({a0}))"
+    return f"sort_array({a0}, false)"
 
 
 def _regexp_substr_all_rewrite(args: list) -> str:

@@ -11089,3 +11089,69 @@ def f37_initcap_delimiters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(lower_select(_F37_SNOWFLAKE_TEXT))
+
+
+_F38_SNOWFLAKE_TEXT = """
+SELECT o_orderkey,
+       ARRAY_TO_STRING(ARRAY_INSERT(ARRAY_CONSTRUCT('a', 'c'), 1,
+                                    o_orderstatus), ',') AS ins,
+       ARRAY_TO_STRING(ARRAY_EXCEPT(ARRAY_CONSTRUCT('x', 'x', 'y'),
+                                    ARRAY_CONSTRUCT('x')), ',') AS exc,
+       ARRAY_TO_STRING(ARRAY_INTERSECTION(
+           ARRAY_CONSTRUCT('x', 'x', 'y'),
+           ARRAY_CONSTRUCT('x', 'x', 'z')), ',') AS its,
+       ARRAY_TO_STRING(ARRAY_REMOVE_AT(ARRAY_CONSTRUCT('a', 'b', 'c'),
+                                       o_orderkey % 5), ',') AS rm,
+       ARRAY_TO_STRING(ARRAY_SORT(ARRAY_CONSTRUCT(o_orderstatus,
+                                                  'M', 'A'),
+                                  FALSE), ',') AS srt
+FROM orders
+WHERE o_orderkey % 23 = 0
+"""
+
+
+@register(
+    "f38_array_fidelity",
+    oracle="""
+    SELECT o_orderkey,
+           'a,' || o_orderstatus || ',c' AS ins,
+           'x,y' AS exc,
+           'x,x' AS its,
+           CASE o_orderkey % 5
+             WHEN 0 THEN 'b,c' WHEN 1 THEN 'a,c' WHEN 2 THEN 'a,b'
+             ELSE 'a,b,c' END AS rm,
+           CASE o_orderstatus
+             WHEN 'F' THEN 'M,F,A' WHEN 'O' THEN 'O,M,A'
+             WHEN 'P' THEN 'P,M,A' END AS srt
+    FROM orders
+    WHERE o_orderkey % 23 = 0
+    """,
+    doc="""ARRAY-FUNCTION FIDELITY batch (r12 s4, probe battery 6 —
+    two of these were SILENT divergences, the worst class): Snowflake
+    ARRAY_INSERT is 0-BASED while Spark's same-named native is
+    1-based, so the previous passthrough inserted one slot off —
+    non-negative positions now shift by one, negative positions
+    refuse (the engines' from-the-end conventions disagree
+    irreconcilably). ARRAY_EXCEPT / ARRAY_INTERSECTION are MULTISET
+    in Snowflake (x kept max(m-n,0) / min(m,n) times) but Spark's
+    natives deduplicate — now lowered to an exact indexed
+    occurrence-counting filter (null-safe <=>, first-array order,
+    O(n^2) over row-local arrays). ARRAY_REMOVE_AT added (0-based,
+    negative from end, out-of-range returns the array unchanged).
+    ARRAY_SORT's literal boolean forms map each of the four
+    asc/nulls-first combinations to the exact Spark composition
+    (Spark's own 2-arg array_sort takes a comparator lambda, so
+    these died in the analyzer); runtime flags refuse. The oracle is
+    golden closed-form over the status domain and the mod-5 position
+    ladder — every ARRAY_REMOVE_AT branch (head/middle/negative/
+    out-of-range) exercised by real keys
+    (functions/sqldialect.py:_SCALAR_REWRITES, _array_sort_rewrite).
+    Scale: per-row expressions, no shuffle, pushdown untouched.""",
+    tags=("sql-surface", "dialect", "functions", "arrays"),
+)
+def f38_array_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import lower_select
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(lower_select(_F38_SNOWFLAKE_TEXT))

@@ -135,6 +135,7 @@ PRIORITY: tuple[str, ...] = (
     "sql62_cursor_for",
     "sql63_resultset_table_proc",
     "f37_initcap_delimiters",
+    "f38_array_fidelity",
     # last driver-green r7
     "a4_count_distinct",
     "a5_rollup",

@@ -3129,6 +3129,51 @@ def test_object_mutators_fold(spark):
         rewrite_scalar_funcs("SELECT OBJECT_PICK(o, 'k') FROM t")
 
 
+def test_array_fidelity_battery(spark):
+    """r12 s4 probe battery 6: Snowflake's 0-based ARRAY_INSERT (the
+    native passthrough was a silent off-by-one), MULTISET
+    ARRAY_EXCEPT/ARRAY_INTERSECTION (Spark's natives dedupe),
+    ARRAY_REMOVE_AT with every positional branch, and ARRAY_SORT's
+    four literal boolean combinations."""
+    import pytest as _pytest
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_scalar_funcs,
+    )
+
+    cases = [
+        ("ARRAY_INSERT(array(1, 3), 1, 2)", [1, 2, 3]),
+        ("ARRAY_INSERT(array(1, 3), 0, 9)", [9, 1, 3]),
+        ("ARRAY_INSERT(array(1), 3, 9)", [1, None, None, 9]),
+        ("ARRAY_EXCEPT(array(1, 1, 2), array(1))", [1, 2]),
+        ("ARRAY_EXCEPT(array(1, 2), array(2))", [1]),
+        ("ARRAY_INTERSECTION(array(1, 1, 2), array(1, 1, 3))", [1, 1]),
+        ("ARRAY_INTERSECTION(array(1, 2), array(2, 3))", [2]),
+        ("ARRAY_REMOVE_AT(array(1, 2, 3), 1)", [1, 3]),
+        ("ARRAY_REMOVE_AT(array(1, 2, 3), 0)", [2, 3]),
+        ("ARRAY_REMOVE_AT(array(1, 2, 3), -1)", [1, 2]),
+        ("ARRAY_REMOVE_AT(array(1, 2, 3), 9)", [1, 2, 3]),
+        ("ARRAY_REMOVE_AT(array(1, 2, 3), -9)", [1, 2, 3]),
+        ("ARRAY_SORT(array(3, NULL, 1))", [1, 3, None]),
+        ("ARRAY_SORT(array(3, NULL, 1), TRUE, TRUE)", [None, 1, 3]),
+        ("ARRAY_SORT(array(3, NULL, 1), FALSE)", [3, 1, None]),
+        ("ARRAY_SORT(array(3, NULL, 1), FALSE, TRUE)", [None, 3, 1]),
+    ]
+    exprs = ", ".join(
+        f"{e} AS c{i}" for i, (e, _) in enumerate(cases)
+    )
+    row = spark.sql(rewrite_scalar_funcs(f"SELECT {exprs}")).first()
+    for i, (e, want) in enumerate(cases):
+        assert row[f"c{i}"] == want, (e, row[f"c{i}"], want)
+
+    with _pytest.raises(Exception, match="negative positions"):
+        spark.sql(rewrite_scalar_funcs(
+            "SELECT ARRAY_INSERT(array(1), -1, 2) AS v"
+        )).collect()
+    with _pytest.raises(ValueError, match="literal TRUE or FALSE"):
+        rewrite_scalar_funcs("SELECT ARRAY_SORT(a, f) FROM t")
+
+
 def test_initcap_and_substr_all_positional(spark):
     """r12 s4: INITCAP's delimiter-set semantics (Snowflake's default
     punctuation set — NOT Spark's space-only initcap) and positional
