@@ -2525,6 +2525,19 @@ _SCALAR_REWRITES = {
     "ARRAY_FLATTEN": lambda args: (
         f"flatten({args[0]})" if len(args) == 1 else _bad("ARRAY_FLATTEN", args)
     ),
+    # Snowflake SPLIT splits on the LITERAL delimiter — Spark's
+    # same-named native takes a REGEX, so SPLIT(s, '.') silently
+    # exploded every character (probe battery 6). \Q...\E quotes any
+    # delimiter, runtime expressions included; an empty delimiter
+    # returns the whole string as a one-element array (Snowflake's
+    # rule); NULLs propagate through concat/split naturally.
+    "SPLIT": lambda args: (
+        f"(CASE WHEN ({args[1]}) = '' THEN array({args[0]})"
+        f" ELSE split({args[0]},"
+        f" concat('\\\\Q', {args[1]}, '\\\\E')) END)"
+        if len(args) == 2
+        else _bad("SPLIT", args)
+    ),
     # Snowflake ARRAY_SORT(a[, ascending[, nulls_first]]) with
     # literal booleans (Spark's 2-arg array_sort takes a COMPARATOR
     # lambda, so the boolean forms died in the analyzer): each of the
@@ -4883,7 +4896,17 @@ def rewrite_split_to_table(sql: str) -> str:
             chars = re.escape(delim[1:-1])
             split_call = f"split({expr}, '[{chars}]')"
         else:
-            split_call = f"split({expr}, {delim})"
+            # Snowflake splits on the LITERAL delimiter; Spark's
+            # split takes a REGEX — '.' would split on every
+            # character. \Q...\E quotes ANY delimiter (runtime
+            # expressions included); the empty delimiter returns the
+            # whole string as one token (Snowflake's rule; an empty
+            # regex would explode per character).
+            split_call = (
+                f"CASE WHEN ({delim}) = '' THEN array({expr})"
+                f" ELSE split({expr},"
+                f" concat('\\\\Q', {delim}, '\\\\E')) END"
+            )
         repl = f" LATERAL VIEW posexplode({split_call}) {alias} AS __idx0, value"
         out = out[: m.start()] + repl + out[am.end() :]
         if re.search(rf"\b{re.escape(alias)}\.seq\b", out, re.IGNORECASE):

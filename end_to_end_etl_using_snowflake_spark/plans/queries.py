@@ -11104,7 +11104,9 @@ SELECT o_orderkey,
                                        o_orderkey % 5), ',') AS rm,
        ARRAY_TO_STRING(ARRAY_SORT(ARRAY_CONSTRUCT(o_orderstatus,
                                                   'M', 'A'),
-                                  FALSE), ',') AS srt
+                                  FALSE), ',') AS srt,
+       ARRAY_TO_STRING(SPLIT('a.' || o_orderstatus || '.z', '.'), '/')
+           AS sp
 FROM orders
 WHERE o_orderkey % 23 = 0
 """
@@ -11122,7 +11124,8 @@ WHERE o_orderkey % 23 = 0
              ELSE 'a,b,c' END AS rm,
            CASE o_orderstatus
              WHEN 'F' THEN 'M,F,A' WHEN 'O' THEN 'O,M,A'
-             WHEN 'P' THEN 'P,M,A' END AS srt
+             WHEN 'P' THEN 'P,M,A' END AS srt,
+           'a/' || o_orderstatus || '/z' AS sp
     FROM orders
     WHERE o_orderkey % 23 = 0
     """,
@@ -11141,7 +11144,12 @@ WHERE o_orderkey % 23 = 0
     ARRAY_SORT's literal boolean forms map each of the four
     asc/nulls-first combinations to the exact Spark composition
     (Spark's own 2-arg array_sort takes a comparator lambda, so
-    these died in the analyzer); runtime flags refuse. The oracle is
+    these died in the analyzer); runtime flags refuse. SPLIT (a
+    THIRD silent divergence, entry redefined) splits on the LITERAL
+    delimiter via \\Q-quoting — Spark's same-named native takes a
+    REGEX, so SPLIT(s, '.') exploded every character; '' returns the
+    whole string one-element (Snowflake's rule); SPLIT_TO_TABLE's
+    plain branch shares the fix. The oracle is
     golden closed-form over the status domain and the mod-5 position
     ladder — every ARRAY_REMOVE_AT branch (head/middle/negative/
     out-of-range) exercised by real keys

@@ -2814,7 +2814,11 @@ def test_split_to_table_rewriter(spark):
     out = rewrite_split_to_table(
         "SELECT t.id, s.index, s.value FROM t, LATERAL SPLIT_TO_TABLE(t.txt, ' ') s"
     )
-    assert "posexplode(split(t.txt, ' ')) s AS __idx0, value" in out
+    # r12 s4: the delimiter is \Q-quoted (Snowflake splits on the
+    # LITERAL delimiter; a raw regex split exploded '.' per char) and
+    # '' returns the whole string as one token
+    assert "posexplode(CASE WHEN (' ') = '' THEN array(t.txt)" in out
+    assert "concat('\\\\Q', ' ', '\\\\E')" in out
     assert "(s.__idx0 + 1)" in out and "s.index" not in out
     # executes: 1-based positions, empty tokens kept
     spark.createDataFrame([(1, "a  b")], "id int, txt string").createOrReplaceTempView(
