@@ -1959,8 +1959,34 @@ _SCALAR_REWRITES = {
     "UUID_STRING": lambda args: (
         "uuid()" if not args or args == [""] else _bad("UUID_STRING", args)
     ),
-    "SEQ4": lambda args: "monotonically_increasing_id()",
+    # Snowflake SEQn wraps at 2^(8n) — SEQ1/SEQ2/SEQ4 take the id
+    # modulo their width (SEQ4 previously passed through unwrapped,
+    # silently diverging past 4B rows); SEQ8 is the full 64-bit id.
+    "SEQ1": lambda args: "pmod(monotonically_increasing_id(), 256)",
+    "SEQ2": lambda args: "pmod(monotonically_increasing_id(), 65536)",
+    "SEQ4": lambda args: "pmod(monotonically_increasing_id(), 4294967296)",
     "SEQ8": lambda args: "monotonically_increasing_id()",
+    # Snowflake RANDOM([seed]) returns a 64-BIT INTEGER — Spark's
+    # native random() is a float, a silent type-contract divergence
+    # for RANDOM() % n arithmetic. Seeded form: one seed per query,
+    # like Snowflake's per-row-varying seeded stream.
+    "RANDOM": lambda args: (
+        "CAST((rand() * 2.0 - 1.0) * 9.223372036854775E18 AS BIGINT)"
+        if not args or args == [""]
+        else (
+            f"CAST((rand({args[0]}) * 2.0 - 1.0)"
+            f" * 9.223372036854775E18 AS BIGINT)"
+            if len(args) == 1
+            else _bad("RANDOM", args)
+        )
+    ),
+    # Snowflake HASH(...) is a 64-bit stable hash — Spark's native
+    # hash() is 32-bit murmur; xxhash64 keeps the width contract
+    # (values are engine-specific in Snowflake too, never portable).
+    "HASH": lambda args: (
+        f"xxhash64({', '.join(args)})" if args and args != [""]
+        else _bad("HASH", args)
+    ),
     # 2-arg form: max_line_length 0 = no wrapping (Spark's only mode);
     # nonzero wrapping refuses rather than emitting unwrapped silently
     "BASE64_ENCODE": lambda args: (
@@ -2104,6 +2130,19 @@ _SCALAR_REWRITES = {
     ),
     "BOOLNOT": lambda args: (
         f"(({args[0]}) = 0)" if len(args) == 1 else _bad("BOOLNOT", args)
+    ),
+    # three-valued OR/AND over the <> 0 truth map — Snowflake's NULL
+    # rules fall out of SQL semantics (NULL OR TRUE = TRUE,
+    # NULL OR FALSE = NULL, dually for AND)
+    "BOOLOR": lambda args: (
+        f"((({args[0]}) <> 0) OR (({args[1]}) <> 0))"
+        if len(args) == 2
+        else _bad("BOOLOR", args)
+    ),
+    "BOOLAND": lambda args: (
+        f"((({args[0]}) <> 0) AND (({args[1]}) <> 0))"
+        if len(args) == 2
+        else _bad("BOOLAND", args)
     ),
     "HLL": lambda args: (
         f"approx_count_distinct({', '.join(args)})"
@@ -3052,6 +3091,25 @@ def _numeric_trunc_rewrite(name: str, args: list) -> str:
     date-truncation passthrough (``trunc(d, 'MON')``); arity-1 TRUNC
     is numeric scale 0 (use DATE_TRUNC for timestamps — documented)."""
     if name == "TRUNC" and len(args) == 2 and _fmt_literal(args, 1, name):
+        part = _fmt_literal(args, 1, name).upper()
+        if part in ("DAY", "DD", "D", "DAYS", "HOUR", "HH", "HOURS",
+                    "MINUTE", "MI", "MINUTES", "SECOND", "SS",
+                    "SECONDS"):
+            # Spark's trunc() is month-grain-and-up and returns NULL
+            # for time parts — a silent divergence; sub-day grains
+            # route to date_trunc (timestamp out, Snowflake's type)
+            canon = {"DD": "DAY", "D": "DAY", "DAYS": "DAY",
+                     "HH": "HOUR", "HOURS": "HOUR", "MI": "MINUTE",
+                     "MINUTES": "MINUTE", "SS": "SECOND",
+                     "SECONDS": "SECOND"}.get(part, part)
+            return f"date_trunc('{canon}', {args[0]})"
+        if part not in ("YEAR", "YYYY", "YY", "YEARS", "MONTH", "MON",
+                        "MM", "MONTHS", "QUARTER", "Q", "QUARTERS",
+                        "WEEK", "WK", "WEEKS"):
+            raise ValueError(
+                f"TRUNC: unsupported date part {part!r} (Spark's"
+                " trunc would return NULL silently)"
+            )
         return f"trunc({args[0]}, {args[1]})"
     if len(args) not in (1, 2):
         return _bad(name, args)

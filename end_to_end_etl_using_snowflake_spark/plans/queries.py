@@ -11106,7 +11106,11 @@ SELECT o_orderkey,
                                                   'M', 'A'),
                                   FALSE), ',') AS srt,
        ARRAY_TO_STRING(SPLIT('a.' || o_orderstatus || '.z', '.'), '/')
-           AS sp
+           AS sp,
+       TRUNC(TIMEADD(minute, 437,
+                     CAST(o_orderdate AS TIMESTAMP)), 'HOUR') AS th,
+       BOOLOR(o_orderkey % 2, 0) AS bo,
+       BOOLAND(o_orderkey % 2, 1) AS ba
 FROM orders
 WHERE o_orderkey % 23 = 0
 """
@@ -11125,7 +11129,10 @@ WHERE o_orderkey % 23 = 0
            CASE o_orderstatus
              WHEN 'F' THEN 'M,F,A' WHEN 'O' THEN 'O,M,A'
              WHEN 'P' THEN 'P,M,A' END AS srt,
-           'a/' || o_orderstatus || '/z' AS sp
+           'a/' || o_orderstatus || '/z' AS sp,
+           o_orderdate::TIMESTAMP + INTERVAL 7 HOUR AS th,
+           o_orderkey % 2 <> 0 AS bo,
+           o_orderkey % 2 <> 0 AS ba
     FROM orders
     WHERE o_orderkey % 23 = 0
     """,
@@ -11149,7 +11156,15 @@ WHERE o_orderkey % 23 = 0
     delimiter via \\Q-quoting — Spark's same-named native takes a
     REGEX, so SPLIT(s, '.') exploded every character; '' returns the
     whole string one-element (Snowflake's rule); SPLIT_TO_TABLE's
-    plain branch shares the fix. The oracle is
+    plain branch shares the fix. Probe battery 7 (entry redefined
+    again): TRUNC's sub-day grains route to date_trunc (Spark's
+    trunc is month-and-up and returned NULL SILENTLY — unknown parts
+    now refuse); BOOLOR/BOOLAND as three-valued OR/AND over the <>0
+    truth map; HASH -> xxhash64 (Snowflake's 64-bit width — Spark's
+    native hash is 32-bit; values are engine-specific in Snowflake
+    too); RANDOM -> a 64-bit INTEGER (the native float broke
+    RANDOM() % n arithmetic); SEQ1/SEQ2 added and SEQ4 wraps at
+    2^32 per Snowflake's documented widths. The oracle is
     golden closed-form over the status domain and the mod-5 position
     ladder — every ARRAY_REMOVE_AT branch (head/middle/negative/
     out-of-range) exercised by real keys

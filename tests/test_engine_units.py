@@ -3177,6 +3177,25 @@ def test_array_fidelity_battery(spark):
     with _pytest.raises(ValueError, match="literal TRUE or FALSE"):
         rewrite_scalar_funcs("SELECT ARRAY_SORT(a, f) FROM t")
 
+    # probe battery 7 (r12 s4): TRUNC sub-day grains, three-valued
+    # BOOLOR/BOOLAND, 64-bit HASH/RANDOM contracts, SEQn wrap widths
+    row = spark.sql(rewrite_scalar_funcs(
+        "SELECT TRUNC(TIMESTAMP'2026-08-16 10:30:44', 'HOUR') AS th,"
+        " TRUNC(TIMESTAMP'2026-08-16 10:30:44', 'DAY') AS td,"
+        " BOOLOR(NULL, 1) AS b1, BOOLOR(NULL, 0) AS b2,"
+        " BOOLAND(NULL, 0) AS b3, BOOLAND(NULL, 1) AS b4,"
+        " HASH(1, 'a') AS h, RANDOM() AS r, SEQ1() AS s1"
+    )).first()
+    assert str(row.th) == "2026-08-16 10:00:00"
+    assert str(row.td) == "2026-08-16 00:00:00"
+    assert row.b1 is True and row.b2 is None
+    assert row.b3 is False and row.b4 is None
+    assert isinstance(row.h, int) and abs(row.h) > 2**31  # 64-bit
+    assert isinstance(row.r, int)                          # int64 contract
+    assert 0 <= row.s1 < 256                               # SEQ1 wraps
+    with _pytest.raises(ValueError, match="unsupported date part"):
+        rewrite_scalar_funcs("SELECT TRUNC(d, 'FORTNIGHT') FROM t")
+
 
 def test_initcap_and_substr_all_positional(spark):
     """r12 s4: INITCAP's delimiter-set semantics (Snowflake's default
