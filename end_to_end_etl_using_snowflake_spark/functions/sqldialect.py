@@ -2560,6 +2560,15 @@ _SCALAR_REWRITES = {
     "ARRAY_SIZE": lambda args: (
         f"size({args[0]})" if len(args) == 1 else _bad("ARRAY_SIZE", args)
     ),
+    # TO_ARRAY dispatches on the RUNTIME type (array -> identity,
+    # scalar -> one-element array) — Spark expressions are statically
+    # typed, so no single lowering covers both without silently
+    # wrapping arrays one level deeper. Refuse with the split.
+    "TO_ARRAY": lambda args: (_ for _ in ()).throw(ValueError(
+        "TO_ARRAY cannot dispatch on runtime type in statically-typed"
+        " Spark SQL: over an array expression it is the identity"
+        " (drop the call); over a scalar use ARRAY_CONSTRUCT(x)"
+    )),
     "ARRAY_CONSTRUCT": lambda args: f"array({', '.join(args)})",
     "ARRAY_FLATTEN": lambda args: (
         f"flatten({args[0]})" if len(args) == 1 else _bad("ARRAY_FLATTEN", args)
