@@ -1150,9 +1150,17 @@ def _subst_binds(
 
     def repl(m: "re.Match[str]") -> str:
         name = m.group(1).upper()
-        if name not in block_vars:
-            raise ValueError(f"undeclared bind variable :{m.group(1)}")
-        return block_vars[name].literal
+        if name in block_vars:
+            return block_vars[name].literal
+        # The dot arm is greedy so cursor-row fields (:rec.col) match
+        # whole, but a SCALAR variable followed by a path suffix
+        # (:v.field on a VARIANT splice) must not be swallowed —
+        # fall back to the undotted prefix and keep the suffix text.
+        if "." in name:
+            head, _, tail = m.group(1).partition(".")
+            if head.upper() in block_vars:
+                return block_vars[head.upper()].literal + "." + tail
+        raise ValueError(f"undeclared bind variable :{m.group(1)}")
 
     out = []
     for a, b, is_code in _scan_outside_literals(sql):

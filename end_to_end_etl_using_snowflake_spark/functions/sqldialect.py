@@ -1959,12 +1959,22 @@ _SCALAR_REWRITES = {
     "UUID_STRING": lambda args: (
         "uuid()" if not args or args == [""] else _bad("UUID_STRING", args)
     ),
-    # Snowflake SEQn wraps at 2^(8n) — SEQ1/SEQ2/SEQ4 take the id
-    # modulo their width (SEQ4 previously passed through unwrapped,
-    # silently diverging past 4B rows); SEQ8 is the full 64-bit id.
-    "SEQ1": lambda args: "pmod(monotonically_increasing_id(), 256)",
-    "SEQ2": lambda args: "pmod(monotonically_increasing_id(), 65536)",
-    "SEQ4": lambda args: "pmod(monotonically_increasing_id(), 4294967296)",
+    # Snowflake SEQn are SIGNED n-byte integers: the wrap past the
+    # positive max goes NEGATIVE (127 -> -128 for SEQ1), so a plain
+    # unsigned pmod would emit 128..255 — values Snowflake can never
+    # produce — and never the negative half it does. Two's-complement
+    # wrap: pmod(id + 2^(8n-1), 2^(8n)) - 2^(8n-1). SEQ8 is the full
+    # 64-bit id (BIGINT arithmetic already wraps two's-complement).
+    "SEQ1": lambda args: (
+        "(pmod(monotonically_increasing_id() + 128, 256) - 128)"
+    ),
+    "SEQ2": lambda args: (
+        "(pmod(monotonically_increasing_id() + 32768, 65536) - 32768)"
+    ),
+    "SEQ4": lambda args: (
+        "(pmod(monotonically_increasing_id() + 2147483648,"
+        " 4294967296) - 2147483648)"
+    ),
     "SEQ8": lambda args: "monotonically_increasing_id()",
     # Snowflake RANDOM([seed]) returns a 64-BIT INTEGER — Spark's
     # native random() is a float, a silent type-contract divergence
@@ -2578,9 +2588,17 @@ _SCALAR_REWRITES = {
     # exploded every character (probe battery 6). \Q...\E quotes any
     # delimiter, runtime expressions included; an empty delimiter
     # returns the whole string as a one-element array (Snowflake's
-    # rule); NULLs propagate through concat/split naturally.
+    # rule); NULLs propagate through concat/split naturally. A runtime
+    # delimiter CONTAINING the two characters '\E' would end the quote
+    # region early and leave the remainder interpreted as regex — a
+    # silent wrong-split — so that case raise_errors loudly (same
+    # pattern as the zero-width occurrence guard).
     "SPLIT": lambda args: (
         f"(CASE WHEN ({args[1]}) = '' THEN array({args[0]})"
+        f" WHEN contains({args[1]}, '\\\\E') THEN"
+        f" raise_error(concat('SPLIT: delimiter ', {args[1]},"
+        " ' contains the regex-quote terminator \\\\E; literal"
+        " splitting on it is not expressible via \\\\Q-quoting'))"
         f" ELSE split({args[0]},"
         f" concat('\\\\Q', {args[1]}, '\\\\E')) END)"
         if len(args) == 2
@@ -4969,8 +4987,15 @@ def rewrite_split_to_table(sql: str) -> str:
             # expressions included); the empty delimiter returns the
             # whole string as one token (Snowflake's rule; an empty
             # regex would explode per character).
+            # a delimiter containing '\E' would terminate the quote
+            # region early (remainder read as regex) — refuse loudly
             split_call = (
                 f"CASE WHEN ({delim}) = '' THEN array({expr})"
+                f" WHEN contains({delim}, '\\\\E') THEN"
+                f" raise_error(concat('SPLIT_TO_TABLE: delimiter ',"
+                f" {delim}, ' contains the regex-quote terminator"
+                " \\\\E; literal splitting on it is not expressible"
+                " via \\\\Q-quoting'))"
                 f" ELSE split({expr},"
                 f" concat('\\\\Q', {delim}, '\\\\E')) END"
             )

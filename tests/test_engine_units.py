@@ -3192,9 +3192,38 @@ def test_array_fidelity_battery(spark):
     assert row.b3 is False and row.b4 is None
     assert isinstance(row.h, int) and abs(row.h) > 2**31  # 64-bit
     assert isinstance(row.r, int)                          # int64 contract
-    assert 0 <= row.s1 < 256                               # SEQ1 wraps
+    assert -128 <= row.s1 <= 127                           # SIGNED byte
     with _pytest.raises(ValueError, match="unsupported date part"):
         rewrite_scalar_funcs("SELECT TRUNC(d, 'FORTNIGHT') FROM t")
+
+    # r13 (ADVICE r12): SEQn wrap is SIGNED two's-complement — an
+    # unsigned pmod would emit 128..255 (values Snowflake never
+    # produces) and never the negative half it does. Pin the wrap
+    # point by evaluating the lowering's arithmetic at id = 200.
+    seq1_sql = rewrite_scalar_funcs("SELECT SEQ1() AS s")
+    wrapped = seq1_sql.replace("monotonically_increasing_id()", "200")
+    assert spark.sql(wrapped).first().s == -56  # 200 - 256
+    seq2_sql = rewrite_scalar_funcs("SELECT SEQ2() AS s")
+    assert spark.sql(
+        seq2_sql.replace("monotonically_increasing_id()", "40000")
+    ).first().s == 40000 - 65536
+    seq4_sql = rewrite_scalar_funcs("SELECT SEQ4() AS s")
+    assert spark.sql(
+        seq4_sql.replace("monotonically_increasing_id()", "3000000000")
+    ).first().s == 3000000000 - 4294967296
+
+    # r13 (ADVICE r12): a runtime SPLIT delimiter containing '\E'
+    # would end the \Q quote region early and leave the remainder
+    # interpreted as regex — must raise loudly, not silently
+    # wrong-split. CHR(92) dodges string-literal escape ambiguity.
+    with _pytest.raises(Exception, match="regex-quote terminator"):
+        spark.sql(rewrite_scalar_funcs(
+            "SELECT SPLIT('ab', CONCAT(CHR(92), 'E')) AS p"
+        )).collect()
+    # ... while ordinary regex-metachar delimiters still split literally
+    assert spark.sql(rewrite_scalar_funcs(
+        "SELECT SPLIT('a.b', '.') AS p"
+    )).first().p == ["a", "b"]
 
 
 def test_initcap_and_substr_all_positional(spark):
@@ -4722,6 +4751,23 @@ def test_scripting_block_battery(spark):
             "BEGIN UPDATE w SET v = :nope; END",
             tables={"w": spark.createDataFrame([(1,)], "v int")},
         )
+
+    # r13 (ADVICE r12): the greedy dotted-bind arm captures
+    # ':v.field' whole — when the dotted name is NOT a declared row
+    # variable, the undotted PREFIX must resolve (splice :v, keep
+    # '.field' as suffix text) instead of raising 'undeclared'.
+    from end_to_end_etl_using_snowflake_spark.functions.scripting import (
+        SessionVariable as _SV,
+        _subst_binds,
+    )
+    bv = {"V": _SV(None, "named_struct('field', 41)", "OBJECT")}
+    assert _subst_binds("SELECT :v.field + 1 AS r", bv) == (
+        "SELECT named_struct('field', 41).field + 1 AS r"
+    )
+    assert spark.sql(_subst_binds("SELECT :v.field + 1 AS r", bv)).first().r == 42
+    # a dotted name that resolves NEITHER whole nor by prefix refuses
+    with _pytest.raises(ValueError, match="undeclared bind"):
+        _subst_binds("SELECT :nope.field", bv)
     for bad, msg in [
         # r12 session 4: the '..' range spelling is NOT the supported
         # counter grammar (a TO b) — must refuse, not reach SQL
