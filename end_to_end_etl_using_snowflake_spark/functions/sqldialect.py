@@ -1937,6 +1937,110 @@ def _dd_day(a: str, b: str) -> str:
     return f"date_diff(CAST(({b}) AS DATE), CAST(({a}) AS DATE))"
 
 
+# ---------------------------------------------------------------------------
+# MINHASH sketch family (r13) — Snowflake's MINHASH(k, ...) /
+# MINHASH_COMBINE(state) / APPROXIMATE_SIMILARITY(state) lowered to
+# declarative aggregate compositions over an array<bigint> register
+# state. Snowflake's hash is engine-internal (its estimates are
+# hash-draw-dependent there too); this engine uses its PORTABLE
+# md5-derived 60-bit register hash (operators/sketches.md5_hash64's
+# SQL spelling) so DuckDB oracles replay registers bit-exactly. The
+# state is the bare k-register array, not Snowflake's versioned OBJECT
+# wrapper — states interoperate within this engine only, the same
+# caveat Snowflake documents across its own sketch versions.
+# ---------------------------------------------------------------------------
+
+# k aggregate buffers and k md5 calls per row are the inherent minhash
+# cost; past 256 registers the generated expression (and each group's
+# shuffle payload) stops being reasonable — refuse, don't crawl.
+_MINHASH_MAX_K = 256
+
+
+def _minhash_reg_hash(seed: int, value_expr: str) -> str:
+    """Register hash: first 15 md5 hex chars parsed base-16 (60-bit,
+    non-negative) of ``'<seed>:' || value`` — the exact SQL twin of
+    operators/sketches.sql_md5_hash64."""
+    return (
+        f"CAST(conv(substring(md5(concat('{seed}:', {value_expr})),"
+        " 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def _minhash_rewrite(args: list[str]) -> str:
+    """``MINHASH(k, e1[, e2...])`` (aggregate) -> ``array(min(h0),
+    ..., min(h(k-1)))``: k seeded register mins, exactly
+    operators/dedup.py:_signatures_from_sets' shape. Whole-stage
+    codegen with map-side partial mins — the shuffle carries k longs
+    per group, never raw values. k must be a literal (Snowflake's own
+    contract: a constant 2..1024; this engine caps at 256)."""
+    if len(args) < 2:
+        return _bad("MINHASH", args)
+    try:
+        k = int(args[0].strip())
+    except ValueError:
+        raise ValueError(
+            "MINHASH(k, ...): k must be a literal integer constant"
+        ) from None
+    if not 2 <= k <= _MINHASH_MAX_K:
+        raise ValueError(
+            f"MINHASH k={k} out of range: 2..{_MINHASH_MAX_K}"
+            " (k registers = k aggregate buffers and k hashes per row)"
+        )
+    vals = [f"CAST({a} AS STRING)" for a in args[1:]]
+    value = vals[0] if len(vals) == 1 else (
+        "concat(" + ", '|', ".join(vals) + ")"
+    )
+    mins = ", ".join(
+        f"min({_minhash_reg_hash(i, value)})" for i in range(k)
+    )
+    return f"array({mins})"
+
+
+# Register-wise min over the group's states. collect_list ships each
+# group's STATES (k longs apiece, sketch-sized, never raw data) — the
+# same bounded-state shape as the k4 HLL register union. CASE (not
+# least/greatest) keeps this head-rewriter output from re-matching the
+# null-poisoning LEAST lowering on a later scan.
+_MINHASH_COMBINE_TMPL = (
+    "aggregate(collect_list({s}), CAST(NULL AS ARRAY<BIGINT>),"
+    " (__mh_acc, __mh_x) -> CASE WHEN __mh_acc IS NULL THEN __mh_x"
+    " ELSE zip_with(__mh_acc, __mh_x, (__ma, __mb) ->"
+    " CASE WHEN __ma < __mb THEN __ma ELSE __mb END) END)"
+)
+
+
+def _minhash_combine_rewrite(args: list[str]) -> str:
+    """``MINHASH_COMBINE(state)`` (aggregate): merged state = register-
+    wise min — combine(minhash(A), minhash(B)) == minhash(A UNION B)
+    exactly, the property the k11 oracle pins."""
+    if len(args) != 1:
+        return _bad("MINHASH_COMBINE", args)
+    return _MINHASH_COMBINE_TMPL.format(s=args[0])
+
+
+def _approx_similarity_rewrite(name: str, args: list[str]) -> str:
+    """``APPROXIMATE_SIMILARITY(state)`` / ``APPROXIMATE_JACCARD_
+    INDEX(state)`` (aggregate over >=2 state rows): the standard
+    k-way minhash Jaccard estimator — the fraction of registers on
+    which ALL states agree, i.e. where the register-wise min equals
+    the register-wise max. k is read from the state itself (size), so
+    no literal is needed here."""
+    if len(args) != 1:
+        return _bad(name, args)
+    mn = _MINHASH_COMBINE_TMPL.format(s=args[0])
+    mx = (
+        f"aggregate(collect_list({args[0]}), CAST(NULL AS ARRAY<BIGINT>),"
+        " (__mh_acc, __mh_x) -> CASE WHEN __mh_acc IS NULL THEN __mh_x"
+        " ELSE zip_with(__mh_acc, __mh_x, (__ma, __mb) ->"
+        " CASE WHEN __ma > __mb THEN __ma ELSE __mb END) END)"
+    )
+    return (
+        f"(CAST(size(filter(zip_with({mn}, {mx},"
+        " (__sa, __sb) -> __sa <=> __sb), __sp -> __sp)) AS DOUBLE)"
+        f" / CAST(size({mn}) AS DOUBLE))"
+    )
+
+
 _SCALAR_REWRITES = {
     "IFF": lambda args: (
         f"CASE WHEN {args[0]} THEN {args[1]} ELSE {args[2]} END"
@@ -2065,27 +2169,15 @@ _SCALAR_REWRITES = {
     ),
     "REGEXP_SUBSTR_ALL": lambda args: _regexp_substr_all_rewrite(args),
     "INITCAP": lambda args: _initcap_rewrite(args),
-    "MINHASH": lambda args: (_ for _ in ()).throw(ValueError(
-        "MINHASH/APPROXIMATE_SIMILARITY: use the engine's MinHash"
-        " dedup operators (operators/dedup.py minhash_lsh_pairs — the"
-        " d3/d7 registry entries) which carry the banding and"
-        " verification Snowflake's sketch would need anyway"
-    )),
-    "MINHASH_COMBINE": lambda args: (_ for _ in ()).throw(ValueError(
-        "MINHASH_COMBINE: use the engine's MinHash dedup operators"
-        " (operators/dedup.py)"
-    )),
-    "APPROXIMATE_SIMILARITY": lambda args: (_ for _ in ()).throw(
-        ValueError(
-            "APPROXIMATE_SIMILARITY: use the engine's MinHash dedup"
-            " operators (operators/dedup.py)"
-        )
+    # MINHASH sketch family (r13, VERDICT r12 #5) — lowered onto the
+    # same register shape as operators/dedup.py's signature builder.
+    "MINHASH": lambda args: _minhash_rewrite(args),
+    "MINHASH_COMBINE": lambda args: _minhash_combine_rewrite(args),
+    "APPROXIMATE_SIMILARITY": lambda args: _approx_similarity_rewrite(
+        "APPROXIMATE_SIMILARITY", args
     ),
-    "APPROXIMATE_JACCARD_INDEX": lambda args: (_ for _ in ()).throw(
-        ValueError(
-            "APPROXIMATE_JACCARD_INDEX: use the engine's MinHash dedup"
-            " operators (operators/dedup.py)"
-        )
+    "APPROXIMATE_JACCARD_INDEX": lambda args: _approx_similarity_rewrite(
+        "APPROXIMATE_JACCARD_INDEX", args
     ),
     "STRTOK": lambda args: _strtok_rewrite("STRTOK", args),
     "STRTOK_TO_ARRAY": lambda args: _strtok_rewrite("STRTOK_TO_ARRAY", args),

@@ -3682,6 +3682,98 @@ def _attach_k9_oracle() -> None:
 _attach_k9_oracle()
 
 
+_K11_SNOWFLAKE_TEXT = """
+WITH states AS (
+    SELECT o_orderpriority AS grp, MINHASH(32, o_custkey) AS mh
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT (SELECT CAST(COUNT(1) AS BIGINT) FROM states) AS n_states,
+       (SELECT CAST(APPROXIMATE_SIMILARITY(mh) AS DOUBLE) FROM states)
+           AS sim_all,
+       (SELECT CAST(APPROXIMATE_JACCARD_INDEX(mh) AS DOUBLE)
+        FROM states WHERE grp IN ('1-URGENT', '2-HIGH'))
+           AS sim_urgent_high,
+       (SELECT CAST(APPROXIMATE_SIMILARITY(mh) AS DOUBLE) FROM (
+            SELECT MINHASH_COMBINE(mh) AS mh
+            FROM states WHERE grp IN ('1-URGENT', '2-HIGH')
+            UNION ALL
+            SELECT MINHASH(32, o_custkey) AS mh FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+       )) AS combine_equals_union
+"""
+
+
+@register(
+    "k11_minhash_sql_family",
+    oracle="""
+    WITH regs AS (SELECT i FROM generate_series(0, 31) t(i)),
+    h AS (
+        SELECT o.o_orderpriority AS grp, r.i,
+               MIN(CAST(concat('0x', substring(md5(concat(r.i, ':',
+                   CAST(o.o_custkey AS VARCHAR))), 1, 15)) AS BIGINT))
+                   AS mh
+        FROM orders o CROSS JOIN regs r
+        GROUP BY grp, r.i
+    ),
+    agree_all AS (
+        SELECT CAST(SUM(CASE WHEN mn = mx THEN 1 ELSE 0 END) AS DOUBLE)
+                 / 32 AS v
+        FROM (SELECT i, MIN(mh) AS mn, MAX(mh) AS mx FROM h GROUP BY i)
+    ),
+    agree_uh AS (
+        SELECT CAST(SUM(CASE WHEN mn = mx THEN 1 ELSE 0 END) AS DOUBLE)
+                 / 32 AS v
+        FROM (SELECT i, MIN(mh) AS mn, MAX(mh) AS mx FROM h
+              WHERE grp IN ('1-URGENT', '2-HIGH') GROUP BY i)
+    ),
+    comb AS (SELECT i, MIN(mh) AS mh FROM h
+             WHERE grp IN ('1-URGENT', '2-HIGH') GROUP BY i),
+    direct AS (
+        SELECT r.i,
+               MIN(CAST(concat('0x', substring(md5(concat(r.i, ':',
+                   CAST(o.o_custkey AS VARCHAR))), 1, 15)) AS BIGINT))
+                   AS mh
+        FROM orders o CROSS JOIN regs r
+        WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY r.i
+    ),
+    ceu AS (
+        SELECT CAST(SUM(CASE WHEN c.mh = d.mh THEN 1 ELSE 0 END)
+                 AS DOUBLE) / 32 AS v
+        FROM comb c JOIN direct d USING (i)
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+            FROM orders) AS n_states,
+           (SELECT v FROM agree_all) AS sim_all,
+           (SELECT v FROM agree_uh) AS sim_urgent_high,
+           (SELECT v FROM ceu) AS combine_equals_union
+    """,
+    doc="""Snowflake's MINHASH sketch family accepted VERBATIM (r13,
+    VERDICT r12 #5 — previously a refusal): ``MINHASH(k, expr)`` ->
+    k seeded register mins as one codegen'd hash-agg (exactly
+    operators/dedup.py:_signatures_from_sets' shape — map-side
+    partial mins, the shuffle carries k longs per group, never raw
+    values), ``MINHASH_COMBINE(state)`` -> register-wise min over the
+    group's states (bounded sketch-sized state, the k4 HLL-union
+    shape), ``APPROXIMATE_SIMILARITY``/``APPROXIMATE_JACCARD_INDEX``
+    -> the standard k-way estimator (fraction of registers on which
+    all states agree = register-wise min equals max). Registers use
+    the engine's PORTABLE md5-derived 60-bit hash (Snowflake's own is
+    engine-internal and its estimates hash-draw-dependent there too),
+    so the oracle replays every register bit-exactly in closed form —
+    including combine(minhash(A), minhash(B)) == minhash(A UNION B),
+    the algebraic property that makes the sketch mergeable across
+    100 TB partitions (functions/sqldialect.py:_minhash_rewrite).""",
+    tags=("sql-surface", "sketch", "dialect", "minhash", "aggregate"),
+)
+def k11_minhash_sql_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.snowflake_sql import snowflake_sql
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return snowflake_sql(spark, _K11_SNOWFLAKE_TEXT)
+
+
 _PROF4_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 

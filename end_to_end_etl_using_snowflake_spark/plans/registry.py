@@ -40,8 +40,17 @@ def register(
     oracle: str | None,
     doc: str = "",
     tags: tuple[str, ...] = (),
+    replace: bool = False,
 ) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable[[SparkSession, str], DataFrame]]:
     def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+        # A silent re-register would overwrite a live entry's builder
+        # AND its oracle — a latent way to lose a correctness check
+        # without noticing (VERDICT r12 #2). Explicit opt-in only.
+        if name in REGISTRY and not replace:
+            raise ValueError(
+                f"registry entry {name!r} already registered; pass"
+                " replace=True to overwrite deliberately"
+            )
         REGISTRY[name] = QuerySpec(name=name, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
         return fn
 

@@ -3226,6 +3226,37 @@ def test_array_fidelity_battery(spark):
     )).first().p == ["a", "b"]
 
 
+def test_minhash_sql_family(spark):
+    """r13 (VERDICT r12 #5): MINHASH/MINHASH_COMBINE/APPROXIMATE_
+    SIMILARITY lowered onto md5-register minhash. Identical inputs
+    estimate 1.0 exactly; combine == union-state algebraically; k
+    must be a small literal."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_scalar_funcs,
+    )
+
+    spark.createDataFrame(
+        [(g, v) for g in ("a", "b") for v in range(20)], "g string, v int"
+    ).createOrReplaceTempView("mh_t")
+    row = spark.sql(rewrite_scalar_funcs("""
+        WITH s AS (SELECT g, MINHASH(8, v) AS mh FROM mh_t GROUP BY g)
+        SELECT (SELECT APPROXIMATE_SIMILARITY(mh) FROM s) AS sim,
+               (SELECT APPROXIMATE_JACCARD_INDEX(mh) FROM s) AS sim2,
+               (SELECT APPROXIMATE_SIMILARITY(mh) FROM (
+                    SELECT MINHASH_COMBINE(mh) AS mh FROM s
+                    UNION ALL
+                    SELECT MINHASH(8, v) AS mh FROM mh_t
+               )) AS combine_vs_union
+    """)).first()
+    # both groups hold the identical value set -> every register agrees
+    assert row.sim == 1.0 and row.sim2 == 1.0
+    assert row.combine_vs_union == 1.0  # combine(states) == state(union)
+    with pytest.raises(ValueError, match="literal integer"):
+        rewrite_scalar_funcs("SELECT MINHASH(k, v) FROM mh_t")
+    with pytest.raises(ValueError, match="out of range"):
+        rewrite_scalar_funcs("SELECT MINHASH(1024, v) FROM mh_t")
+
+
 def test_initcap_and_substr_all_positional(spark):
     """r12 s4: INITCAP's delimiter-set semantics (Snowflake's default
     punctuation set — NOT Spark's space-only initcap) and positional

@@ -26,6 +26,16 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+def test_registry_size_pinned():
+    """VERDICT r12 #2: the NOTES ledger drifted from the artifact
+    (hand-counted 303 vs 300 exported). The count is now pinned from
+    code — update this constant per round alongside the NOTES closing
+    block — and ``register`` raises on a duplicate name, so an entry
+    can no longer be silently overwritten (oracle lost) or
+    double-counted."""
+    assert len(REGISTRY) == 301  # +k11_minhash_sql_family (r13)
+
+
 def test_driver_prefix_spans_all_operator_families():
     """The driver's correctness gate checks a PREFIX of queries() (50
     entries per round so far). Round-12 rotation (VERDICT r11 #2):
