@@ -71,9 +71,42 @@ HEADLINE = [
     # ~15 s pl_backfill_scale churns the heap/shuffle dirs enough to
     # inflate whatever runs next by ~30% (measured 8.8 s after vs
     # 6.4 s isolated for the identical delta cycle)
+    "x28_jaro_winkler_join",   # JW fuzzy join: JVM prefilter + candidates-only Arrow DP (r12; headlined r13)
     "pl_backfill_incremental", # O(delta) fact maintenance (delta cycle only)
     "pl_backfill_scale",       # full ETL pipeline throughput (~150k orders @ sf0.1)
 ]
+
+
+# ---------------------------------------------------------------------------
+# Cross-day drift anchor (VERDICT r12 #4). The builder's ledger shows
+# identical code measuring 5.8 s vs 13.5 s across machine-days; without
+# an anchor, cross-round ratios conflate engine changes with host
+# drift. This probe is a CONSTANT synthetic workload — pure Spark
+# builtins over a pinned-partitioning range, no engine code, no input
+# files — that must NEVER change across rounds. Any round's headline
+# can then be normalized: value * (CAL_REFERENCE_SEC / cal_now).
+# ---------------------------------------------------------------------------
+
+# reference cal timing measured on the round-13 quiet-bench host-day
+# (min of 3). Update ONLY if the probe itself is ever changed (don't).
+CAL_REFERENCE_SEC = 1.986
+
+
+def _calibration(spark) -> None:
+    # 30M rows, 32 fixed partitions, multiplicative-hash key derive,
+    # 2-key agg + global sort of the 100k groups — touches shuffle,
+    # codegen and sort machinery in fixed proportion
+    df = (
+        spark.range(0, 30_000_000, 1, 32)
+        .selectExpr(
+            "id % 100003 AS k",
+            "(id * 2654435761) % 1000000007 AS v",
+        )
+        .groupBy("k")
+        .agg({"v": "sum", "*": "count"})
+        .orderBy("k")
+    )
+    df.write.format("noop").mode("overwrite").save()
 
 # Untimed setup per headline entry: runs AFTER warm-up, BEFORE the
 # timed loop. pl_backfill_incremental's initial load (98% of the data)
@@ -149,6 +182,15 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # calibration probe: warm once, then min-of-3 like every headline
+    _calibration(spark)
+    cal = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _calibration(spark)
+        cal = min(cal, time.perf_counter() - t0)
+    cal = round(cal, 3)
+
     # timed: build + materialize. build() is plan construction (~ms) for
     # pure queries, but the stateful pipeline entries (pl_backfill_scale)
     # do their real work inside build — timing both keeps one rule.
@@ -213,6 +255,16 @@ def main() -> None:
         "loadavg_per_query": query_load,
         "midloop_load_threshold": round(midloop_thresh, 2),
         "contended_queries": contended_queries,
+        # drift anchor (VERDICT r12 #4): constant synthetic probe
+        # timing + the headline normalized to the r13 reference
+        # host-day. Cross-round comparisons should quote
+        # value_normalized; a cal far from CAL_REFERENCE_SEC means
+        # the host is faster/slower that day, not the engine.
+        "calibration_sec": cal,
+        "calibration_reference_sec": CAL_REFERENCE_SEC,
+        "value_normalized": round(
+            sum(timings.values()) * (CAL_REFERENCE_SEC / cal), 3
+        ),
     }
     # VERDICT r11 #1: the driver keeps only the LAST 2000 chars of
     # stdout, and r11's full JSON grew past that — the headline metric
@@ -230,6 +282,8 @@ def main() -> None:
     compact = {
         "metric": full["metric"],
         "value": full["value"],
+        "value_normalized": full["value_normalized"],
+        "calibration_sec": cal,
         "unit": "sec",
         # 2-dp on the LINE (fits ~8 more entries in the capture
         # budget); the sidecar keeps 3-dp

@@ -2579,16 +2579,14 @@ _SCALAR_REWRITES = {
     ),
     # ISO week-year via the Thursday rule (Spark forbids week-year
     # letters in its formatter); this engine runs the ISO week policy
-    # throughout, so YEAROFWEEK == YEAROFWEEKISO
+    # throughout, so YEAROFWEEK == YEAROFWEEKISO (defined in the
+    # calendar pack below — r13 removed a duplicate dict key here
+    # that silently shadowed this one; both spellings agreed on all
+    # dates, but a dict literal must not carry duplicate keys).
     "YEAROFWEEK": lambda args: (
         f"year(date_add(CAST(date_trunc('WEEK', {args[0]}) AS DATE), 3))"
         if len(args) == 1
         else _bad("YEAROFWEEK", args)
-    ),
-    "YEAROFWEEKISO": lambda args: (
-        f"year(date_add(CAST(date_trunc('WEEK', {args[0]}) AS DATE), 3))"
-        if len(args) == 1
-        else _bad("YEAROFWEEKISO", args)
     ),
     # Snowflake *_FROM_PARTS NORMALIZE out-of-range components
     # (month 14 -> next year's February; day 0 -> last day of the
@@ -2852,6 +2850,49 @@ _SCALAR_REWRITES = {
         f"((dayofweek({args[0]}) + 5) % 7 + 1)"
         if len(args) == 1
         else _bad("DAYOFWEEKISO", args)
+    ),
+    # Probe battery 8 (r13): Snowflake's ADD_MONTHS carries the
+    # Oracle LAST-DAY RULE — if the input is the last day of its
+    # month, the result is the last day of the target month
+    # (ADD_MONTHS('2016-02-29', 1) = '2016-03-31') — which Spark's
+    # same-named native does NOT (it returns '2016-03-29'): a silent
+    # month-end divergence on every month-end fact date. (Snowflake's
+    # DATEADD(month)/+INTERVAL deliberately keep the plain clamp —
+    # only ADD_MONTHS has the rule, in both engines' docs.) Spark's
+    # add_months family is DATE-typed, so time-of-day on TIMESTAMP
+    # inputs is dropped (Spark's documented contract, unchanged here).
+    "ADD_MONTHS": lambda args: (
+        f"(CASE WHEN CAST({args[0]} AS DATE) = last_day({args[0]})"
+        f" THEN last_day(add_months({args[0]}, {args[1]}))"
+        f" ELSE add_months({args[0]}, {args[1]}) END)"
+        if len(args) == 2
+        else _bad("ADD_MONTHS", args)
+    ),
+    # Snowflake MONTHS_BETWEEN does not round; Spark's same-named
+    # native rounds to 8 decimal places by default — pass
+    # roundOff=false to keep the exact 31-day-rule float
+    "MONTHS_BETWEEN": lambda args: (
+        f"months_between({args[0]}, {args[1]}, false)"
+        if len(args) == 2
+        else _bad("MONTHS_BETWEEN", args)
+    ),
+    # Probe battery 8 (r13): bare DAYOFWEEK previously passed through
+    # to Spark's native (Sunday=1..Saturday=7) — a SILENT off-by-one
+    # against Snowflake's default/pinned profile, where WEEK_START=0
+    # (legacy) uses ISO-like semantics: Monday=1..Sunday=7. This
+    # engine pins the ISO session profile throughout (see
+    # _DATE_PART_FN), so DAYOFWEEK == DAYOFWEEKISO here. Emitting
+    # lower-case dayofweek( is safe: the scan resumes past each
+    # replacement.
+    "DAYOFWEEK": lambda args: (
+        f"((dayofweek({args[0]}) + 5) % 7 + 1)"
+        if len(args) == 1
+        else _bad("DAYOFWEEK", args)
+    ),
+    # bare WEEK(x) died in Spark's analyzer (no such function); under
+    # the pinned ISO profile it is weekofyear
+    "WEEK": lambda args: (
+        f"weekofyear({args[0]})" if len(args) == 1 else _bad("WEEK", args)
     ),
     "WEEKISO": lambda args: (
         f"weekofyear({args[0]})" if len(args) == 1 else _bad("WEEKISO", args)
@@ -3842,6 +3883,18 @@ _DATE_PART_CANON = {
     **{k: ("SECOND", 1) for k in ("second", "s", "sec", "seconds", "secs")},
 }
 
+# sub-second DATEADD parts (probe battery 8, r13): microseconds per
+# unit; nanoseconds are flagged separately (amounts must be whole µs)
+_NANOSECOND_PARTS = frozenset(
+    ("nanosecond", "ns", "nsec", "nanosec", "nsecond", "nanoseconds",
+     "nanosecs", "nseconds")
+)
+_SUBSECOND_PART_MICROS = {
+    **{k: 1000 for k in ("millisecond", "ms", "msec", "milliseconds")},
+    **{k: 1 for k in ("microsecond", "us", "usec", "microseconds")},
+    **{k: 1 for k in _NANOSECOND_PARTS},
+}
+
 
 def _dateadd_rewrite(name: str, args: list) -> str:
     """DATEADD/TIMEADD/TIMESTAMPADD(part, n, expr) -> ``expr +
@@ -3854,10 +3907,6 @@ def _dateadd_rewrite(name: str, args: list) -> str:
     if len(args) != 3:
         raise ValueError(f"{name} needs (part, amount, expr)")
     part = args[0].strip().strip("'\"").lower()
-    canon = _DATE_PART_CANON.get(part)
-    if canon is None:
-        raise ValueError(f"{name} date part {part!r} is not supported")
-    unit, mult = canon
     n = args[1].strip()
     if not re.fullmatch(r"[+-]?\d+", n):
         raise ValueError(
@@ -3865,6 +3914,31 @@ def _dateadd_rewrite(name: str, args: list) -> str:
             " column amount has no type-preserving lowering (timestampadd"
             " would silently promote DATE results to TIMESTAMP)"
         )
+    canon = _DATE_PART_CANON.get(part)
+    if canon is None:
+        # probe battery 8 (r13): sub-second parts as a fractional
+        # SECOND interval (Spark's grammar has no sub-second unit).
+        # Spark timestamps are microsecond-precision, so nanosecond
+        # amounts must be whole microseconds — refuse a lossy add.
+        mult_us = _SUBSECOND_PART_MICROS.get(part)
+        if mult_us is None:
+            raise ValueError(f"{name} date part {part!r} is not supported")
+        if part in _NANOSECOND_PARTS:
+            if int(n) % 1000:
+                raise ValueError(
+                    f"{name}(nanosecond): Spark timestamps carry"
+                    " microsecond precision — the amount must be a"
+                    f" multiple of 1000 ns (got {n})"
+                )
+            total_us = int(n) // 1000
+        else:
+            total_us = int(n) * mult_us
+        sign = "-" if total_us < 0 else ""
+        whole, frac = divmod(abs(total_us), 1_000_000)
+        return (
+            f"(({args[2]}) + INTERVAL '{sign}{whole}.{frac:06d}' SECOND)"
+        )
+    unit, mult = canon
     return f"(({args[2]}) + INTERVAL '{int(n) * mult}' {unit})"
 
 
@@ -3895,7 +3969,21 @@ def _to_number_rewrite(name: str, cast_fn: str, args: list) -> str:
             fp, fs = int(rest[0]), 0
         elif rest:
             raise ValueError(f"{name}: trailing args must be precision[, scale]")
-        stripped = f"regexp_replace({args[0]}, '[,$]', '')"
+        # probe battery 8 (r13): strip ONLY the group/currency
+        # characters the mask DECLARES. The old unconditional '[,$]'
+        # strip silently accepted TO_NUMBER('$12', '99') — input
+        # characters the mask never declared, which Snowflake rejects;
+        # now the undeclared character survives into the strict cast
+        # and fails loudly (or yields NULL under TRY_).
+        f_norm = fmt.strip().upper().replace("G", ",").replace("D", ".")
+        strip_chars = "".join(
+            c for c in ",$" if c in f_norm
+        )
+        if strip_chars:
+            # '$' is literal inside a character class — no escaping
+            stripped = f"regexp_replace({args[0]}, '[{strip_chars}]', '')"
+        else:
+            stripped = args[0]
         return f"{cast_fn}({stripped} AS DECIMAL({fp}, {fs}))"
     if len(args) == 1 or (fmt is not None and fmt.upper() == "AUTO" and len(args) == 2):
         return f"{cast_fn}({args[0]} AS DECIMAL(38, 0))"
@@ -3967,20 +4055,78 @@ def _datediff_rewrite(args: list) -> str:
     part = args[0].strip().strip("'\"").lower()
     a, b = args[1], args[2]
     # Snowflake counts date-part BOUNDARIES crossed, not complete
-    # periods — datediff(day, 23:00, next 01:00) = 1
+    # periods — datediff(day, 23:00, next 01:00) = 1. Probe battery 8
+    # (r13) extended the part set from day/month/year to the full
+    # family, each spelled as an explicit boundary count: truncate
+    # both endpoints to the part, then count whole parts between the
+    # truncations (timestampdiff counts COMPLETE periods — wrong by
+    # one around every boundary).
     if part in {"day", "dd", "days"}:
         return _dd_day(a, b)
-    if part in {"month", "mm", "months"}:
+    if part in {"month", "mm", "mon", "mons", "months"}:
         return (
             f"((year(CAST(({b}) AS DATE)) - year(CAST(({a}) AS DATE))) * 12"
             f" + (month(CAST(({b}) AS DATE)) - month(CAST(({a}) AS DATE))))"
         )
-    if part in {"year", "yy", "years"}:
+    if part in {"year", "y", "yy", "yyy", "yyyy", "yr", "years", "yrs"}:
         return f"(year(CAST(({b}) AS DATE)) - year(CAST(({a}) AS DATE)))"
-    raise ValueError(
-        f"DATEDIFF part {part!r} is not lowered (day/month/year supported;"
-        " sub-day parts need the boundary-count formulation)"
-    )
+    if part in {"quarter", "q", "qtr", "qtrs", "quarters"}:
+        return (
+            f"((year(CAST(({b}) AS DATE)) - year(CAST(({a}) AS DATE))) * 4"
+            f" + (quarter(CAST(({b}) AS DATE))"
+            f" - quarter(CAST(({a}) AS DATE))))"
+        )
+    if part in {"week", "w", "wk", "weekofyear", "woy", "wy", "weeks"}:
+        # ISO Monday-week boundaries (the engine's pinned profile):
+        # truncate both to week start, count days, divide exactly by 7
+        return (
+            f"(date_diff(CAST(date_trunc('WEEK', {b}) AS DATE),"
+            f" CAST(date_trunc('WEEK', {a}) AS DATE)) div 7)"
+        )
+    if part in {"hour", "h", "hh", "hr", "hours", "hrs"}:
+        return _dd_subday(a, b, 3600)
+    if part in {"minute", "m", "mi", "min", "minutes", "mins"}:
+        return _dd_subday(a, b, 60)
+    if part in {"second", "s", "sec", "seconds", "secs"}:
+        # unix_timestamp truncates to whole seconds — already the
+        # boundary count
+        return (
+            f"(unix_timestamp(CAST(({b}) AS TIMESTAMP))"
+            f" - unix_timestamp(CAST(({a}) AS TIMESTAMP)))"
+        )
+    if part in {"millisecond", "ms", "msec", "milliseconds"}:
+        # pmod-exact floor division: plain `div` truncates toward
+        # zero, which miscounts boundaries for pre-1970 timestamps
+        ua = f"unix_micros(CAST(({a}) AS TIMESTAMP))"
+        ub = f"unix_micros(CAST(({b}) AS TIMESTAMP))"
+        return (
+            f"((({ub} - pmod({ub}, 1000)) div 1000)"
+            f" - (({ua} - pmod({ua}, 1000)) div 1000))"
+        )
+    if part in {"microsecond", "us", "usec", "microseconds"}:
+        return (
+            f"(unix_micros(CAST(({b}) AS TIMESTAMP))"
+            f" - unix_micros(CAST(({a}) AS TIMESTAMP)))"
+        )
+    if part in {"nanosecond", "ns", "nsec", "nanosec", "nsecond",
+                "nanoseconds", "nanosecs", "nseconds"}:
+        # Spark timestamps are microsecond-precision; the ns count is
+        # exact (always a multiple of 1000), never an approximation
+        return (
+            f"((unix_micros(CAST(({b}) AS TIMESTAMP))"
+            f" - unix_micros(CAST(({a}) AS TIMESTAMP))) * 1000)"
+        )
+    raise ValueError(f"DATEDIFF part {part!r} is not lowered")
+
+
+def _dd_subday(a: str, b: str, unit_seconds: int) -> str:
+    """Boundary count for hour/minute: floor-truncate both endpoints'
+    epoch seconds to the unit, then take whole units between. floor
+    (not int-div) keeps pre-1970 negative epochs on calendar
+    boundaries."""
+    fa = f"floor(unix_timestamp(CAST(({a}) AS TIMESTAMP)) / {unit_seconds})"
+    fb = f"floor(unix_timestamp(CAST(({b}) AS TIMESTAMP)) / {unit_seconds})"
+    return f"CAST({fb} - {fa} AS BIGINT)"
 
 
 # ---------------------------------------------------------------------------
@@ -4506,10 +4652,13 @@ def _date_part_rewrite(args: list) -> str:
     if part in ("yearofweekiso", "yearofweek"):
         return f"extract(YEAROFWEEK FROM {x})"
     if part in ("dayofweek", "weekday", "dow", "dw"):
-        raise ValueError(
-            "DATE_PART(dayofweek) depends on the WEEK_START session"
-            " parameter; use DAYOFWEEKISO (parameter-independent)"
-        )
+        # Probe battery 8 (r13): previously refused as session-
+        # parameter-dependent, but this engine PINS the ISO profile
+        # (WEEK_OF_YEAR_POLICY=0, WEEK_START legacy/ISO — see
+        # _DATE_PART_FN), under which DAYOFWEEK == DAYOFWEEKISO:
+        # Monday=1..Sunday=7. Other profiles remain refused by the
+        # session pin itself, not by this part.
+        return f"((dayofweek({x}) + 5) % 7 + 1)"
     fn = _DATE_PART_FN.get(part)
     if fn is None:
         raise ValueError(f"DATE_PART part {part!r} is not lowered")

@@ -11270,3 +11270,175 @@ def f38_array_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(lower_select(_F38_SNOWFLAKE_TEXT))
+
+
+_F39_SNOWFLAKE_TEXT = """
+SELECT event_type,
+       CAST(SUM(DAYOFWEEK(ts)) AS BIGINT) AS sum_dow,
+       CAST(SUM(WEEK(ts)) AS BIGINT) AS sum_week,
+       CAST(SUM(DATEDIFF('week', DATE '1995-01-06', ts)) AS BIGINT)
+           AS sum_dd_week,
+       CAST(SUM(DATEDIFF('quarter', DATE '1995-01-06', ts)) AS BIGINT)
+           AS sum_dd_quarter,
+       CAST(SUM(DATEDIFF('hour', TIMESTAMP '1995-01-06 12:30:00', ts))
+           AS BIGINT) AS sum_dd_hour,
+       CAST(SUM(DATEDIFF('minute', TIMESTAMP '1995-01-06 12:30:00', ts))
+           AS BIGINT) AS sum_dd_minute,
+       CAST(SUM(DATEDIFF('second', TIMESTAMP '1995-01-06 12:30:00', ts))
+           AS BIGINT) AS sum_dd_second,
+       CAST(SUM(DATEDIFF('millisecond',
+                         TIMESTAMP '1995-01-06 12:30:00', ts))
+           AS BIGINT) AS sum_dd_ms,
+       MIN(DAYNAME(ts)) AS min_dayname,
+       MAX(MONTHNAME(ts)) AS max_monthname
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "f39_datetime_battery",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(isodow(ts)) AS BIGINT) AS sum_dow,
+           CAST(SUM(weekofyear(ts)) AS BIGINT) AS sum_week,
+           CAST(SUM(date_diff('week', DATE '1995-01-06',
+                              CAST(ts AS DATE))) AS BIGINT)
+               AS sum_dd_week,
+           CAST(SUM(date_diff('quarter', DATE '1995-01-06',
+                              CAST(ts AS DATE))) AS BIGINT)
+               AS sum_dd_quarter,
+           CAST(SUM(date_diff('hour', TIMESTAMP '1995-01-06 12:30:00',
+                              ts)) AS BIGINT) AS sum_dd_hour,
+           CAST(SUM(date_diff('minute',
+                              TIMESTAMP '1995-01-06 12:30:00', ts))
+               AS BIGINT) AS sum_dd_minute,
+           CAST(SUM(date_diff('second',
+                              TIMESTAMP '1995-01-06 12:30:00', ts))
+               AS BIGINT) AS sum_dd_second,
+           CAST(SUM(date_diff('millisecond',
+                              TIMESTAMP '1995-01-06 12:30:00', ts))
+               AS BIGINT) AS sum_dd_ms,
+           MIN(strftime(ts, '%a')) AS min_dayname,
+           MAX(strftime(ts, '%b')) AS max_monthname
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="""Probe battery 8 (r13) part 1 — the date/time same-named
+    silent-divergence hunt over the events stream. Found and fixed:
+    bare ``DAYOFWEEK`` passed through to Spark's native
+    (Sunday=1..Saturday=7) — a silent off-by-one against Snowflake's
+    default/pinned ISO profile (Monday=1..Sunday=7); ``WEEK`` died in
+    the analyzer; ``DATEDIFF`` refused every part beyond
+    day/month/year. DATEDIFF now lowers the full alias family with
+    explicit BOUNDARY-CROSSING counts (week = ISO Monday weeks via
+    date_trunc arithmetic, quarter = year*4+quarter diff, hour/minute
+    = floor-truncated epoch units, ms = pmod-exact floor — plain
+    `div` truncates toward zero and miscounts pre-1970 boundaries;
+    timestampdiff would count COMPLETE periods, wrong by one around
+    every boundary). DAYNAME/MONTHNAME are pinned against DuckDB's
+    strftime. Everything is per-row codegen arithmetic; the only
+    shuffle is the final group-by
+    (functions/sqldialect.py:_datediff_rewrite).""",
+    tags=("functions", "dialect", "datetime", "probe-battery"),
+)
+def f39_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import lower_select
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(lower_select(_F39_SNOWFLAKE_TEXT))
+
+
+_F40_SNOWFLAKE_TEXT = """
+SELECT CAST(d AS STRING) AS d_str,
+       CAST(DAYOFWEEK(d) AS BIGINT) AS dow,
+       CAST(NEXT_DAY(d, 'fr') AS STRING) AS next_fri,
+       CAST(PREVIOUS_DAY(d, 'fr') AS STRING) AS prev_fri,
+       CAST(LAST_DAY(d, 'week') AS STRING) AS ld_week,
+       CAST(LAST_DAY(d, 'month') AS STRING) AS ld_month,
+       CAST(LAST_DAY(d, 'quarter') AS STRING) AS ld_quarter,
+       CAST(LAST_DAY(d, 'year') AS STRING) AS ld_year,
+       CAST(DATEADD('millisecond', 123, CAST(d AS TIMESTAMP))
+           AS STRING) AS plus_ms,
+       CAST(DATEADD('microsecond', 45, CAST(d AS TIMESTAMP))
+           AS STRING) AS plus_us,
+       CAST(DATEADD('nanosecond', 7000, CAST(d AS TIMESTAMP))
+           AS STRING) AS plus_ns,
+       CAST(TO_NUMBER('$1,234.50', '$9,999.99') AS DOUBLE) AS n_mask,
+       CAST(TRY_TO_NUMBER('$12', '99') AS DOUBLE) AS n_undeclared,
+       CAST(TRY_TO_NUMBER('1,234', '9,999') AS DOUBLE) AS n_grouped,
+       CAST(ADD_MONTHS(d, 1) AS STRING) AS am_plain,
+       CAST(ADD_MONTHS(DATE '2016-02-29', 1) AS STRING) AS am_lastday,
+       CAST(MONTHS_BETWEEN(DATE '2019-03-01', DATE '2019-02-15')
+           AS DOUBLE) AS mb_exact
+FROM (SELECT CAST(v AS DATE) AS d FROM VALUES
+      ('2026-08-10'), ('2026-08-11'), ('2026-08-12'), ('2026-08-13'),
+      ('2026-08-14'), ('2026-08-15'), ('2026-08-16') AS t(v))
+"""
+
+
+@register(
+    "f40_datetime_scalars",
+    oracle="""
+    SELECT CAST(d AS VARCHAR) AS d_str,
+           CAST(isodow(d) AS BIGINT) AS dow,
+           CAST(d + CAST(((5 - isodow(d) + 6) % 7) + 1 AS INT)
+                AS VARCHAR) AS next_fri,
+           CAST(d - CAST(((isodow(d) - 5 + 6) % 7) + 1 AS INT)
+                AS VARCHAR) AS prev_fri,
+           CAST(CAST(date_trunc('week', d) AS DATE) + 6 AS VARCHAR)
+               AS ld_week,
+           CAST(last_day(d) AS VARCHAR) AS ld_month,
+           CAST(CAST(date_trunc('quarter', d) + INTERVAL 3 MONTH
+                     - INTERVAL 1 DAY AS DATE) AS VARCHAR)
+               AS ld_quarter,
+           CAST(make_date(CAST(year(d) AS INT), 12, 31) AS VARCHAR)
+               AS ld_year,
+           CAST(CAST(d AS TIMESTAMP) + INTERVAL 123 MILLISECOND
+                AS VARCHAR) AS plus_ms,
+           CAST(CAST(d AS TIMESTAMP) + INTERVAL 45 MICROSECOND
+                AS VARCHAR) AS plus_us,
+           CAST(CAST(d AS TIMESTAMP) + INTERVAL 7 MICROSECOND
+                AS VARCHAR) AS plus_ns,
+           CAST(CAST(replace(replace('$1,234.50', '$', ''), ',', '')
+                     AS DECIMAL(6,2)) AS DOUBLE) AS n_mask,
+           CAST(NULL AS DOUBLE) AS n_undeclared,
+           CAST(CAST(replace('1,234', ',', '') AS DECIMAL(4,0))
+                AS DOUBLE) AS n_grouped,
+           CAST(CAST(d + INTERVAL 1 MONTH AS DATE) AS VARCHAR)
+               AS am_plain,
+           CAST(last_day(CAST(DATE '2016-02-29' + INTERVAL 1 MONTH
+                AS DATE)) AS VARCHAR) AS am_lastday,
+           CAST(1.0 + CAST(-14.0 AS DOUBLE) / CAST(31.0 AS DOUBLE)
+               AS DOUBLE) AS mb_exact
+    FROM (SELECT CAST(v AS DATE) AS d FROM (VALUES
+          ('2026-08-10'), ('2026-08-11'), ('2026-08-12'),
+          ('2026-08-13'), ('2026-08-14'), ('2026-08-15'),
+          ('2026-08-16')) t(v))
+    """,
+    doc="""Probe battery 8 (r13) part 2 — scalar calendar functions
+    across a full Monday..Sunday week (every day-of-week case for the
+    strictly-after/strictly-before contracts) plus the numeric-mask
+    fix. NEXT_DAY passes through to Spark's native (both engines are
+    strictly-after); PREVIOUS_DAY is the 8-day re-based next_day;
+    LAST_DAY's part forms cover week (ISO Sunday), month, quarter,
+    year; DATEADD gains millisecond/microsecond/nanosecond as
+    fractional-SECOND intervals (nanosecond amounts must be whole
+    microseconds — Spark timestamps are us-precision — else a LOUD
+    refusal, never a lossy add). TO_NUMBER/TRY_TO_NUMBER now strip
+    ONLY the group/currency characters the mask DECLARES: the old
+    unconditional '[,$]' strip silently accepted TO_NUMBER('$12',
+    '99'), which Snowflake rejects — pinned here by n_undeclared
+    (NULL under TRY_) vs n_grouped (declared ',' still strips). The
+    oracle replays every rule in closed form — NEXT_DAY/PREVIOUS_DAY
+    as isodow arithmetic, the masks as declared-character replaces
+    (functions/sqldialect.py:_to_number_rewrite,_dateadd_rewrite).""",
+    tags=("functions", "dialect", "datetime", "probe-battery"),
+)
+def f40_datetime_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import lower_select
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(lower_select(_F40_SNOWFLAKE_TEXT))

@@ -64,74 +64,17 @@ def register(
 # similarity / text / multimodal / pipeline) lands inside any reasonable
 # prefix. Names not listed keep insertion order after these.
 PRIORITY: tuple[str, ...] = (
-    # ---- first 50: the r12 driver-checked window (VERDICT r11 #2).
-    # 2-entry always-on core + f31 (REDEFINED this round: MI/PR
-    # trailing-sign masks added - fresh oracle columns) + the two
-    # never-driver-checked r12 additions (sql55 session variables +
-    # EXECUTE IMMEDIATE, sql56 anonymous scripting blocks, sql57 SQL
-    # UDFs — the last in slot 50) + the FULL 44-entry r6-stale cohort
-    # (the last r6 greens anywhere - after this round the staleness
-    # ceiling moves to r7). All window entries are locally 3-SF
-    # parity-green per pytest run.
+    # ---- first 50: the r13 driver window (VERDICT r12 #1).
+    # 2-entry always-on core + the 13 never-driver-checked r12
+    # additions (these HAD to head this window — their oracles had
+    # never executed under the driver) + the 3 new r13 entries (k11
+    # MINHASH SQL family, f39/f40 probe battery 8 — new entries join
+    # the window in their birth round so no never-checked debt
+    # accrues) + the head-32 of the 48-entry r7-stale cohort. All
+    # window entries are locally 3-SF parity-green per pytest run.
     "flagship_fact_rebuild",
     "pl_dim_customer",
-    # redefined this round (MI/PR trailing-sign masks)
-    "f31_to_char_numeric",
-    # never-driver-checked r12 additions
-    "sql55_session_variables",
-    "sql56_scripting_block",
-    # full 44-entry r6-last-green cohort
-    "sql6_flatten_dialect",
-    "e13_match_recognize",
-    "d11_semantic_dedup",
-    "v15_ann_ivf_trained",
-    "t13_quality_classifier",
-    "x24_asof_directional",
-    "a8_filtered_aggregates",
-    "d10_segment_boilerplate",
-    "dq4_minhash_recall_eval",
-    "dq5_constraint_checks",
-    "e15_stream_full_outer_join",
-    "e16_stream_session_close",
-    "f15_min_max_by",
-    "f4_strict_casts",
-    "j2_join_null_residual",
-    "j4_composite_key_join",
-    "j5_left_anti",
-    "k6_kmv_distinct",
-    "m2_merge_dedup_composite",
-    "m6_update_where",
-    "o2_sort_topk",
-    "p11_dynamic_pivot",
-    "p1_full_scan",
-    "p2_projection_pushdown",
-    "p5_filter_in_list",
-    "p6_semi_join_in_subquery",
-    "p7_filter_equality",
-    "pl_clustering_info",
-    "pl_dim_item",
-    "pl_dynamic_table",
-    "pl_quarantine",
-    "pl_reference_console",
-    "pl_show_columns",
-    "pl_task_history",
-    "pl_transaction",
-    "prof3_sketch_profile",
-    "sql11_flatten_object",
-    "sql7_group_by_all",
-    "sql8_flatten_outer",
-    "v14_mmr_rerank",
-    "w1_dedup_latest_per_key",
-    "w5_rank_distribution_funcs",
-    "w6_ignore_nulls_fill",
-    "x23_length_bucketing",
-    # third never-driver-checked r12 addition (SQL UDFs)
-    "sql57_sql_udf",
-    # ---- 51+: ascending last-green round (stalest first), so
-    # the r13 rotation simply takes the prefix; everything is
-    # still locally oracle-checked per pytest run.
-    # never driver-checked (r12 additions past the 50-slot window;
-    # these head the r13 rotation)
+    # never-driver-checked r12 additions (13)
     "f34_everyday_scalars3",
     "sql58_console_session",
     "sql59_stored_procedure",
@@ -145,7 +88,11 @@ PRIORITY: tuple[str, ...] = (
     "sql63_resultset_table_proc",
     "f37_initcap_delimiters",
     "f38_array_fidelity",
-    # last driver-green r7
+    # new r13 entries (3)
+    "k11_minhash_sql_family",
+    "f39_datetime_battery",
+    "f40_datetime_scalars",
+    # head-32 of the r7-stale cohort (fills slots 19-50)
     "a4_count_distinct",
     "a5_rollup",
     "a6_percentile_groups",
@@ -155,10 +102,7 @@ PRIORITY: tuple[str, ...] = (
     "e2_sessionize",
     "e4_sliding_window_agg",
     "f12_histogram_bins",
-    "f5_string_extract",
     "f6_date_math",
-    "f7_string_funcs",
-    "f8_conditional_funcs",
     "f9_json_extract",
     "j7_outer_join_family",
     "k7_tdigest_quantiles",
@@ -167,8 +111,6 @@ PRIORITY: tuple[str, ...] = (
     "p10_exists_correlated",
     "p8_pivot",
     "prof4_corr_matrix",
-    "q18_large_orders_having",
-    "q3_shipping_priority",
     "s1_set_ops",
     "sql12_sample_dialect",
     "sql13_flatten_path",
@@ -179,6 +121,19 @@ PRIORITY: tuple[str, ...] = (
     "sql18_reference_merge",
     "sql19_reference_dim_merge",
     "sql1_text_surface",
+    "w2_window_frames",
+    "x3_time_spine_rollup",
+    "x4_snapshot_as_of",
+    "x5_range_join",
+    # ---- 51+: rotation queue, stalest first — the r14 window head.
+    # r7-stale remainder (16): families already represented in the
+    # 50-window by the head-32 (f6/f9/f12 functions, sql18/19 replay,
+    # a4-a7 aggs)
+    "f5_string_extract",
+    "f7_string_funcs",
+    "f8_conditional_funcs",
+    "q18_large_orders_having",
+    "q3_shipping_priority",
     "sql20_reference_item_merge",
     "sql21_reference_fact_insert",
     "sql22_reference_order_merge",
@@ -190,10 +145,6 @@ PRIORITY: tuple[str, ...] = (
     "sql28_warehouse_script_replay",
     "sql31_merge_cdc_apply",
     "sql32_match_recognize_text",
-    "w2_window_frames",
-    "x3_time_spine_rollup",
-    "x4_snapshot_as_of",
-    "x5_range_join",
     # last driver-green r8
     "d1_dedup_exact",
     "d2_dedup_ngram_jaccard",
@@ -339,7 +290,7 @@ PRIORITY: tuple[str, ...] = (
     "sql4_recursive_cte",
     "t11_bigram_lm_score",
     "v11_pq_adc_topk",
-    # last driver-green r11 (the previous window, freshest)
+    # last driver-green r11
     "d5l_dedup_embedding_lsh",
     "d14_dedup_lsh_bucket_cap",
     "wp1_write_file_plan",
@@ -387,6 +338,55 @@ PRIORITY: tuple[str, ...] = (
     "j1_inner_equi_broadcast",
     "a1_groupby_agg",
     "k5_file_bloom_prune",
+    # last driver-green r12 (the previous window, freshest)
+    "f31_to_char_numeric",
+    "sql55_session_variables",
+    "sql56_scripting_block",
+    "sql57_sql_udf",
+    "sql6_flatten_dialect",
+    "e13_match_recognize",
+    "d11_semantic_dedup",
+    "v15_ann_ivf_trained",
+    "t13_quality_classifier",
+    "x24_asof_directional",
+    "a8_filtered_aggregates",
+    "d10_segment_boilerplate",
+    "dq4_minhash_recall_eval",
+    "dq5_constraint_checks",
+    "e15_stream_full_outer_join",
+    "e16_stream_session_close",
+    "f15_min_max_by",
+    "f4_strict_casts",
+    "j2_join_null_residual",
+    "j4_composite_key_join",
+    "j5_left_anti",
+    "k6_kmv_distinct",
+    "m2_merge_dedup_composite",
+    "m6_update_where",
+    "o2_sort_topk",
+    "p11_dynamic_pivot",
+    "p1_full_scan",
+    "p2_projection_pushdown",
+    "p5_filter_in_list",
+    "p6_semi_join_in_subquery",
+    "p7_filter_equality",
+    "pl_clustering_info",
+    "pl_dim_item",
+    "pl_dynamic_table",
+    "pl_quarantine",
+    "pl_reference_console",
+    "pl_show_columns",
+    "pl_task_history",
+    "pl_transaction",
+    "prof3_sketch_profile",
+    "sql11_flatten_object",
+    "sql7_group_by_all",
+    "sql8_flatten_outer",
+    "v14_mmr_rerank",
+    "w1_dedup_latest_per_key",
+    "w5_rank_distribution_funcs",
+    "w6_ignore_nulls_fill",
+    "x23_length_bucketing",
 )
 
 

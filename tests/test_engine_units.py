@@ -3226,6 +3226,55 @@ def test_array_fidelity_battery(spark):
     )).first().p == ["a", "b"]
 
 
+def test_datetime_probe_battery8(spark):
+    """r13 probe battery 8: date/time same-named silent divergences.
+    DAYOFWEEK is ISO (Monday=1..Sunday=7) under the engine's pinned
+    session profile — Spark's native (Sunday=1) passing through was
+    the silent off-by-one; DATEDIFF counts BOUNDARIES for every part;
+    DATEADD sub-second parts are exact or refuse."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_scalar_funcs as R,
+    )
+
+    row = spark.sql(R(
+        "SELECT DAYOFWEEK(DATE'2026-08-16') AS dw_sun,"
+        " DAYOFWEEK(DATE'2026-08-17') AS dw_mon,"
+        " WEEK(DATE'2027-01-01') AS wk,"
+        " DATE_PART('dayofweek', DATE'2026-08-16') AS dp_dw,"
+        " DATEDIFF('hour', TIMESTAMP'2026-01-01 22:59:59',"
+        "          TIMESTAMP'2026-01-01 23:00:01') AS dd_hr,"
+        " DATEDIFF('hour', TIMESTAMP'2026-01-01 23:00:01',"
+        "          TIMESTAMP'2026-01-01 23:59:59') AS dd_hr0,"
+        " DATEDIFF('week', DATE'2026-08-16', DATE'2026-08-17') AS dd_wk,"
+        " DATEDIFF('quarter', DATE'2025-12-31', DATE'2026-01-01') AS dd_q,"
+        " DATEDIFF('millisecond', TIMESTAMP'2026-01-01 00:00:00.0009',"
+        "          TIMESTAMP'2026-01-01 00:00:00.0011') AS dd_ms,"
+        " DATEDIFF('nanosecond', TIMESTAMP'2026-01-01 00:00:00.000001',"
+        "          TIMESTAMP'2026-01-01 00:00:00.000003') AS dd_ns,"
+        " CAST(DATEADD('millisecond', 5,"
+        "      TIMESTAMP'2026-01-01 00:00:00') AS STRING) AS da_ms"
+    )).first()
+    assert row.dw_sun == 7 and row.dw_mon == 1  # ISO, not Spark-native
+    assert row.wk == 53 and row.dp_dw == 7
+    # boundary crossed (not 0 complete periods) / not crossed (not 0.97)
+    assert row.dd_hr == 1 and row.dd_hr0 == 0
+    assert row.dd_wk == 1 and row.dd_q == 1
+    assert row.dd_ms == 1 and row.dd_ns == 2000
+    assert row.da_ms == "2026-01-01 00:00:00.005"
+    # nanosecond DATEADD must be whole microseconds — refuse lossy adds
+    with pytest.raises(ValueError, match="multiple of 1000"):
+        R("SELECT DATEADD('nanosecond', 5, t) FROM x")
+    # TO_NUMBER strips ONLY declared mask characters
+    row2 = spark.sql(R(
+        "SELECT TRY_TO_NUMBER('$12', '99') AS undeclared,"
+        " TRY_TO_NUMBER('1,2', '9,9') AS declared"
+    )).first()
+    assert row2.undeclared is None  # '$' not in mask -> Snowflake rejects
+    assert int(row2.declared) == 12
+    with pytest.raises(Exception):
+        spark.sql(R("SELECT TO_NUMBER('$12', '99') AS v")).collect()
+
+
 def test_minhash_sql_family(spark):
     """r13 (VERDICT r12 #5): MINHASH/MINHASH_COMBINE/APPROXIMATE_
     SIMILARITY lowered onto md5-register minhash. Identical inputs
@@ -3363,20 +3412,30 @@ def test_calendar_dialect_rewriter(spark):
     assert str(row.prev_wed) == "2023-12-27"
     assert row.es == 1719835200 and row.q == 3
     assert str(row.ktm) == "2024-07-01 17:45:00"  # +05:45 sub-hour offset
-    # MONTHS_BETWEEN is a shared-name PASSTHROUGH (no lowering): pin
-    # that Spark's semantics match Snowflake's documented corners —
-    # same day-of-month and both-last-day give integers, otherwise the
-    # (d1-d2)/31 fraction (rounded to 8 digits). Deliberately NOT in
-    # an oracled entry: replicating Spark's 8-digit HALF_UP decimal
-    # rounding in DuckDB is a 1-ulp footgun with no user value.
-    mb = spark.sql(
-        "SELECT months_between(DATE'2024-03-15', DATE'2024-01-15') AS a, "
-        "months_between(DATE'2024-02-29', DATE'2024-01-31') AS b, "
-        "months_between(DATE'2024-03-10', DATE'2024-01-15') AS c"
-    ).first()
-    assert mb.a == 2.0 and mb.b == 1.0 and abs(mb.c - (2 - 5 / 31)) < 1e-8
-    with _pytest.raises(ValueError, match="WEEK_START"):
-        rewrite_scalar_funcs("SELECT DATE_PART(dayofweek, d) FROM t")
+    # MONTHS_BETWEEN lowers with roundOff=false (r13 probe battery 8:
+    # Snowflake does not round; Spark's native default rounds to 8
+    # digits — a silent tail-digit divergence). Corners still match
+    # Snowflake's documented rules: same day-of-month and
+    # both-last-day give integers, otherwise the exact (d1-d2)/31
+    # IEEE fraction.
+    mb = spark.sql(rewrite_scalar_funcs(
+        "SELECT MONTHS_BETWEEN(DATE'2024-03-15', DATE'2024-01-15') AS a, "
+        "MONTHS_BETWEEN(DATE'2024-02-29', DATE'2024-01-31') AS b, "
+        "MONTHS_BETWEEN(DATE'2024-03-10', DATE'2024-01-15') AS c"
+    )).first()
+    assert mb.a == 2.0 and mb.b == 1.0 and mb.c == 2 - 5 / 31  # exact
+    # ADD_MONTHS carries Snowflake's last-day rule (Spark's native
+    # does not — r13); non-month-end inputs take the plain path
+    am = spark.sql(rewrite_scalar_funcs(
+        "SELECT CAST(ADD_MONTHS(DATE'2016-02-29', 1) AS STRING) AS a,"
+        " CAST(ADD_MONTHS(DATE'2016-02-10', 1) AS STRING) AS b"
+    )).first()
+    assert am.a == "2016-03-31" and am.b == "2016-03-10"
+    # DATE_PART(dayofweek) now lowers to the ISO value under the
+    # engine's pinned session profile (was a WEEK_START refusal)
+    assert spark.sql(rewrite_scalar_funcs(
+        "SELECT DATE_PART(dayofweek, DATE'2026-08-16') AS v"
+    )).first().v == 7
     # 2-arg CONVERT_TIMEZONE (r12): session timezone is pinned UTC,
     # so the naive input is the UTC instant and the result is the
     # target-zone wallclock — DST-correct on both sides of a spring

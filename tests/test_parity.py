@@ -33,77 +33,56 @@ def test_registry_size_pinned():
     block — and ``register`` raises on a duplicate name, so an entry
     can no longer be silently overwritten (oracle lost) or
     double-counted."""
-    assert len(REGISTRY) == 301  # +k11_minhash_sql_family (r13)
+    # r13: +k11_minhash_sql_family, +f39_datetime_battery,
+    # +f40_datetime_scalars
+    assert len(REGISTRY) == 303
 
 
 def test_driver_prefix_spans_all_operator_families():
     """The driver's correctness gate checks a PREFIX of queries() (50
-    entries per round so far). Round-12 rotation (VERDICT r11 #2):
-    2-entry core + f31 (REDEFINED this round — MI/PR trailing-sign
-    masks, fresh oracle columns) + the two never-driver-checked r12
-    additions (sql55 session variables, sql56 scripting blocks) + the
-    FULL 44-entry r6-last-green cohort + the r7 head to fill slot 50.
-    Guard both properties: the redefined/new/stale cohorts are inside
-    the window (none silently pushed out), and the core operator
-    families stay covered."""
+    entries per round so far). Round-13 rotation (VERDICT r12 #1):
+    2-entry always-on core + ALL 13 never-driver-checked r12
+    additions + the 3 new r13 entries (new entries join the window in
+    their birth round, so no never-checked debt accrues) + the
+    head-32 of the 48-entry r7-stale cohort. Guard: every cohort
+    member is inside the window (none silently pushed out) and every
+    window entry carries a real oracle."""
     prefix = list(__spark_entry__.queries())[:50]
-    redefined_or_new = [
-        "f31_to_char_numeric",
-        "sql55_session_variables", "sql56_scripting_block",
-        "sql57_sql_udf",
+    core = ["flagship_fact_rebuild", "pl_dim_customer"]
+    never_checked_r12 = [
+        "f34_everyday_scalars3", "sql58_console_session",
+        "sql59_stored_procedure", "x28_jaro_winkler_join",
+        "f35_regex_occurrence", "f36_object_mutators_tz",
+        "s10_stage_file_row_number", "sql60_proc_control_flow",
+        "sql61_proc_exception", "sql62_cursor_for",
+        "sql63_resultset_table_proc", "f37_initcap_delimiters",
+        "f38_array_fidelity",
     ]
-    stale_r6_cohort = [
-        "sql6_flatten_dialect", "e13_match_recognize",
-        "d11_semantic_dedup", "v15_ann_ivf_trained",
-        "t13_quality_classifier", "x24_asof_directional",
-        "a8_filtered_aggregates", "d10_segment_boilerplate",
-        "dq4_minhash_recall_eval", "dq5_constraint_checks",
-        "e15_stream_full_outer_join", "e16_stream_session_close",
-        "f15_min_max_by", "f4_strict_casts", "j2_join_null_residual",
-        "j4_composite_key_join", "j5_left_anti", "k6_kmv_distinct",
-        "m2_merge_dedup_composite", "m6_update_where", "o2_sort_topk",
-        "p11_dynamic_pivot", "p1_full_scan", "p2_projection_pushdown",
-        "p5_filter_in_list", "p6_semi_join_in_subquery",
-        "p7_filter_equality", "pl_clustering_info", "pl_dim_item",
-        "pl_dynamic_table", "pl_quarantine", "pl_reference_console",
-        "pl_show_columns", "pl_task_history", "pl_transaction",
-        "prof3_sketch_profile", "sql11_flatten_object",
-        "sql7_group_by_all", "sql8_flatten_outer", "v14_mmr_rerank",
-        "w1_dedup_latest_per_key", "w5_rank_distribution_funcs",
-        "w6_ignore_nulls_fill", "x23_length_bucketing",
+    new_r13 = [
+        "k11_minhash_sql_family", "f39_datetime_battery",
+        "f40_datetime_scalars",
     ]
-    pushed_out = [
-        n for n in redefined_or_new + stale_r6_cohort if n not in prefix
+    stale_r7_head = [
+        "a4_count_distinct", "a5_rollup", "a6_percentile_groups",
+        "a7_grouping_sets", "b1_bucketed_colocated_join",
+        "e17_match_recognize_w", "e2_sessionize",
+        "e4_sliding_window_agg", "f12_histogram_bins", "f6_date_math",
+        "f9_json_extract", "j7_outer_join_family",
+        "k7_tdigest_quantiles", "k8_kmv_set_ops", "m8_scd2_merge",
+        "p10_exists_correlated", "p8_pivot", "prof4_corr_matrix",
+        "s1_set_ops", "sql12_sample_dialect", "sql13_flatten_path",
+        "sql14_connect_by", "sql15_asof_dialect",
+        "sql16_generator_dialect", "sql17_time_travel_at",
+        "sql18_reference_merge", "sql19_reference_dim_merge",
+        "sql1_text_surface", "w2_window_frames",
+        "x3_time_spine_rollup", "x4_snapshot_as_of", "x5_range_join",
     ]
+    expected = core + never_checked_r12 + new_r13 + stale_r7_head
+    assert len(expected) == 50
+    pushed_out = [n for n in expected if n not in prefix]
     assert not pushed_out, (
-        f"r12 redefined/stale cohort entries outside the 50-window: {pushed_out}"
+        f"r13 window entries outside the 50-prefix: {pushed_out}"
     )
-    families = {
-        "flagship": ("flagship",),
-        "reference-pipeline": ("pl_dim_", "pl_task_", "pl_quarantine"),
-        "scan/project core": ("p1_", "p2_", "p5_", "p6_", "p7_"),
-        "join core": ("j2_", "j4_", "j5_"),
-        "agg core": ("a4_", "a8_"),
-        "dedup-llm": ("d10_", "d11_", "dq4_"),
-        "similarity-ann": ("v14_", "v15_"),
-        "text-analysis": ("t13_", "x23_"),
-        "sketches": ("k6_", "prof3_"),
-        "streaming/cdc": ("e13_", "e15_", "e16_"),
-        "merge/dml": ("m2_", "m6_",),
-        "window": ("w1_", "w5_", "w6_"),
-        "sql-surface": ("sql6_", "sql7_", "sql8_", "sql11_"),
-        # underscore-terminated explicit prefixes (ADVICE r10: bare
-        # "f1"/"f2" matched f10_* and pinned nothing)
-        "functions": ("f31_", "f15_", "f4_"),
-        "scripting (r12)": ("sql55_", "sql56_"),
-        "quality": ("dq5_",),
-    }
-    missing = {
-        fam: pfxs
-        for fam, pfxs in families.items()
-        if not any(name.startswith(p) for p in pfxs for name in prefix)
-    }
-    assert not missing, f"families absent from the checked prefix: {missing}"
     # every entry in the checked window must carry a real oracle
     rows_only = [n for n in prefix if REGISTRY[n].oracle is None]
     assert rows_only == [], (
