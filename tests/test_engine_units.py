@@ -2937,8 +2937,10 @@ def test_scalar_dialect_rewriter(spark):
     # 2h window crossing midnight = 1 day boundary (not 0 complete days)
     assert row.d == 1 and row.m == 1 and row.y == 1
     assert (row.i, row.n2, row.z, row.nz, row.l) == ("y", "isnull", 0, None, 3)
+    # r13 (probe battery 8): 'hour' now lowers (boundary count);
+    # genuinely unknown parts still refuse
     with _pytest.raises(ValueError, match="not lowered"):
-        rewrite_scalar_funcs("SELECT DATEDIFF('hour', a, b) FROM t")
+        rewrite_scalar_funcs("SELECT DATEDIFF('fortnight', a, b) FROM t")
     with _pytest.raises(ValueError, match="DECODE needs"):
         rewrite_scalar_funcs("SELECT DECODE(x, 1) FROM t")
 
