@@ -87,9 +87,11 @@ HEADLINE = [
 # can then be normalized: value * (CAL_REFERENCE_SEC / cal_now).
 # ---------------------------------------------------------------------------
 
-# reference cal timing measured on the round-13 quiet-bench host-day
-# (min of 3). Update ONLY if the probe itself is ever changed (don't).
-CAL_REFERENCE_SEC = 1.986
+# reference cal timing from the round-13 quiet bench run itself
+# (min-of-3 inside the bench process, after warm-up — the same
+# conditions every future round's cal is measured under). Update ONLY
+# if the probe itself is ever changed (don't).
+CAL_REFERENCE_SEC = 1.794
 
 
 def _calibration(spark) -> None:

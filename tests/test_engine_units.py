@@ -5588,12 +5588,16 @@ def test_probe_battery4_semantics(spark):
     # UTF8_LCASE is case-only (no locale tailoring) — documented edge
     assert r.de_ci is False
 
+    # r13: the MINHASH family now LOWERS (k11 entry) — pin that the
+    # former refusals produce real aggregate expansions instead
+    assert "min(" in lower_select("SELECT MINHASH(5, x) FROM t").lower()
+    assert "zip_with" in lower_select(
+        "SELECT APPROXIMATE_JACCARD_INDEX(m) FROM t"
+    )
     for bad, msg in [
         # r12 s4: 2-arg INITCAP and positional REGEXP_SUBSTR_ALL now
         # lower; only the non-literal delimiter set still refuses
         ("SELECT INITCAP(x, d) FROM t", "string literal"),
-        ("SELECT MINHASH(5, x) FROM t", "MinHash"),
-        ("SELECT APPROXIMATE_JACCARD_INDEX(m) FROM t", "MinHash"),
         ("SELECT x = y COLLATE 'fr-ai' FROM t", "no exact Spark mapping"),
         ("SELECT x = y COLLATE 'upper' FROM t", "no exact Spark mapping"),
     ]:
