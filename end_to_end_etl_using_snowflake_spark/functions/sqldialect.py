@@ -2455,6 +2455,16 @@ _SCALAR_REWRITES = {
         if len(args) == 1
         else _bad("OBJECT_KEYS", args)
     ),
+    # JSON null -> SQL NULL (r13, probe battery 9); any other variant
+    # passes through. Path extractions already map JSON null to SQL
+    # NULL (get_json_object's rule), so the top-level literal 'null'
+    # is the one case left.
+    "STRIP_NULL_VALUE": lambda args: (
+        f"(CASE WHEN CAST({args[0]} AS STRING) = 'null' THEN NULL"
+        f" ELSE {args[0]} END)"
+        if len(args) == 1
+        else _bad("STRIP_NULL_VALUE", args)
+    ),
     # VARIANT = JSON text (the sql30/sql34 contract): PARSE_JSON is
     # the identity on already-JSON text, TO_VARIANT of a scalar is its
     # JSON rendering
@@ -3427,6 +3437,26 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _ts_numeric_heuristic(expr: str, cast_fn: str) -> str:
+    """Snowflake's TO_TIMESTAMP integer-scale heuristic as one lazy
+    CASE: the digit-string guard keeps the BIGINT read off non-integer
+    inputs, so strings/dates/timestamps fall through to the plain
+    cast unchanged. Under TRY_, an out-of-range integer rendering
+    yields NULL (try_cast NULL propagates through every branch);
+    strict mode errors loudly, as Snowflake does."""
+    s = f"CAST({expr} AS STRING)"
+    c = f"{cast_fn}({s} AS BIGINT)"
+    return (
+        f"(CASE WHEN {s} RLIKE '^-?[0-9]+$' THEN"
+        f" (CASE WHEN abs({c}) < 31536000000"
+        f" THEN {cast_fn}({c} AS TIMESTAMP)"
+        f" WHEN abs({c}) < 31536000000000 THEN timestamp_millis({c})"
+        f" WHEN abs({c}) < 31536000000000000 THEN timestamp_micros({c})"
+        f" ELSE timestamp_micros({c} div 1000) END)"
+        f" ELSE {cast_fn}({expr} AS TIMESTAMP) END)"
+    )
+
+
 def _to_datetime_rewrite(name: str, args: list, *, as_date: bool, try_: bool) -> str:
     """TO_DATE / TO_TIMESTAMP[_NTZ] / TRY_ variants, with Snowflake
     format strings translated element-by-element (r9 — VERDICT r8
@@ -3438,6 +3468,18 @@ def _to_datetime_rewrite(name: str, args: list, *, as_date: bool, try_: bool) ->
     fmt = _fmt_literal(args, 1, name)
     if len(args) == 1 or (len(args) == 2 and fmt is not None and fmt.upper() == "AUTO"):
         f = "try_cast" if try_ else "cast"
+        if not as_date:
+            # Probe battery 9 (r13): Snowflake's TO_TIMESTAMP applies
+            # a documented MAGNITUDE heuristic to integer inputs —
+            # < 31536000000 seconds, then milliseconds, microseconds,
+            # nanoseconds by successive factors of 1000. Spark's cast
+            # always reads seconds, so an epoch-milliseconds column
+            # silently landed in year ~55840 (or errored). The
+            # heuristic dispatches on the RENDERED value (digit
+            # strings included — Snowflake treats those the same);
+            # non-integer inputs keep the plain cast. Negative epochs
+            # dispatch on magnitude.
+            return _ts_numeric_heuristic(args[0], f)
         return f"{f}({args[0]} AS {target})"
     if len(args) == 2 and fmt is not None:
         spark_fmt = _sql_str(_sf_datetime_format_to_spark(fmt))

@@ -11442,3 +11442,74 @@ def f40_datetime_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(lower_select(_F40_SNOWFLAKE_TEXT))
+
+
+_F41_SNOWFLAKE_TEXT = """
+SELECT CAST(v AS STRING) AS label,
+       CAST(TO_TIMESTAMP(v) AS STRING) AS ts,
+       CAST(TRY_TO_TIMESTAMP(CAST(v AS STRING)) AS STRING) AS ts_str,
+       CAST(STRIP_NULL_VALUE(PARSE_JSON('null')) AS STRING) AS sn_null,
+       CAST(STRIP_NULL_VALUE(TO_VARIANT(7)) AS STRING) AS sn_val,
+       CAST(CEIL(123.456, 1) AS DOUBLE) AS ceil1,
+       CAST(FLOOR(123.456, -1) AS DOUBLE) AS floorm1,
+       CAST(ROUND(-2.5) AS DOUBLE) AS round_away,
+       SPLIT_PART('a.b.c', '.', -1) AS sp_neg,
+       SPLIT_PART('a.b.c', '.', 9) AS sp_oob
+FROM (SELECT CAST(x AS BIGINT) AS v FROM VALUES
+      (1700000000), (1700000000123), (1700000000123456),
+      (1700000000123456789), (-86400) AS t(x))
+"""
+
+
+@register(
+    "f41_epoch_scale_battery",
+    oracle="""
+    SELECT CAST(v AS VARCHAR) AS label,
+           CAST(CAST(CASE
+               WHEN abs(v) < 31536000000
+                   THEN to_timestamp(CAST(v AS DOUBLE))
+               WHEN abs(v) < 31536000000000 THEN epoch_ms(v)
+               WHEN abs(v) < 31536000000000000 THEN make_timestamp(v)
+               ELSE make_timestamp(v // 1000) END
+               AS TIMESTAMP) AS VARCHAR) AS ts,
+           CAST(CAST(CASE
+               WHEN abs(v) < 31536000000
+                   THEN to_timestamp(CAST(v AS DOUBLE))
+               WHEN abs(v) < 31536000000000 THEN epoch_ms(v)
+               WHEN abs(v) < 31536000000000000 THEN make_timestamp(v)
+               ELSE make_timestamp(v // 1000) END
+               AS TIMESTAMP) AS VARCHAR) AS ts_str,
+           CAST(NULL AS VARCHAR) AS sn_null,
+           CAST(7 AS VARCHAR) AS sn_val,
+           CAST(123.5 AS DOUBLE) AS ceil1,
+           CAST(120 AS DOUBLE) AS floorm1,
+           CAST(-3 AS DOUBLE) AS round_away,
+           'c' AS sp_neg,
+           '' AS sp_oob
+    FROM (SELECT CAST(x AS BIGINT) AS v FROM (VALUES
+          (1700000000), (1700000000123), (1700000000123456),
+          (1700000000123456789), (-86400)) t(x))
+    """,
+    doc="""Probe battery 9 (r13): Snowflake's TO_TIMESTAMP integer
+    MAGNITUDE heuristic — < 31536000000 seconds, then milliseconds /
+    microseconds / nanoseconds by factors of 1000 — which Spark's
+    cast lacks (an epoch-milliseconds column silently landed in year
+    ~55840). The lowering dispatches lazily on the rendered value
+    (digit STRINGS included, Snowflake's rule; non-integer inputs
+    keep the plain cast, TIMESTAMP/DATE/format paths untouched), so
+    it is one per-row CASE — no shuffle, pushdown unaffected. The
+    oracle replays every scale bucket through DuckDB's native
+    epoch_ms/make_timestamp. Rides along: STRIP_NULL_VALUE (JSON
+    null -> SQL NULL — was an analyzer death), and passthrough pins
+    for CEIL/FLOOR(x, scale) incl. negative scale, ROUND
+    half-away-from-zero on negatives, and SPLIT_PART's 1-based /
+    negative-from-end / out-of-range-empty contract
+    (functions/sqldialect.py:_ts_numeric_heuristic).""",
+    tags=("functions", "dialect", "datetime", "probe-battery"),
+)
+def f41_epoch_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import lower_select
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(lower_select(_F41_SNOWFLAKE_TEXT))

@@ -3277,6 +3277,38 @@ def test_datetime_probe_battery8(spark):
         spark.sql(R("SELECT TO_NUMBER('$12', '99') AS v")).collect()
 
 
+def test_epoch_scale_probe_battery9(spark):
+    """r13 probe battery 9: TO_TIMESTAMP's integer-magnitude scale
+    heuristic (Snowflake's documented seconds/ms/us/ns dispatch,
+    digit strings included) and STRIP_NULL_VALUE."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        lower_select as L,
+    )
+
+    row = spark.sql(L(
+        "SELECT CAST(TO_TIMESTAMP(1700000000) AS STRING) AS sec,"
+        " CAST(TO_TIMESTAMP(1700000000123) AS STRING) AS ms,"
+        " CAST(TO_TIMESTAMP(1700000000123456) AS STRING) AS us,"
+        " CAST(TO_TIMESTAMP(1700000000123456789) AS STRING) AS ns,"
+        " CAST(TO_TIMESTAMP('1700000000123') AS STRING) AS digitstr,"
+        " CAST(TO_TIMESTAMP('2023-11-14 22:13:20') AS STRING) AS iso,"
+        " TRY_TO_TIMESTAMP('999999999999999999999999') AS huge,"
+        " STRIP_NULL_VALUE(PARSE_JSON('null')) AS sn,"
+        " STRIP_NULL_VALUE(TO_VARIANT(7)) AS sv"
+    )).first()
+    assert row.sec == "2023-11-14 22:13:20"
+    assert row.ms == "2023-11-14 22:13:20.123"
+    assert row.us == "2023-11-14 22:13:20.123456"
+    assert row.ns == "2023-11-14 22:13:20.123456"  # us-precision floor
+    assert row.digitstr == row.ms  # digit STRINGS dispatch too
+    assert row.iso == "2023-11-14 22:13:20"  # non-digits: plain cast
+    assert row.huge is None  # TRY_: out-of-range integer -> NULL
+    assert row.sn is None and row.sv == "7"
+    # formatted and DATE paths bypass the heuristic entirely
+    assert "RLIKE" not in L("SELECT TO_TIMESTAMP(x, 'YYYY-MM-DD') FROM t")
+    assert "RLIKE" not in L("SELECT TO_DATE(x) FROM t")
+
+
 def test_minhash_sql_family(spark):
     """r13 (VERDICT r12 #5): MINHASH/MINHASH_COMBINE/APPROXIMATE_
     SIMILARITY lowered onto md5-register minhash. Identical inputs
