@@ -4242,16 +4242,101 @@ def _regex_int_literal(name: str, args: list, idx: int, default: int) -> int:
     return int(a)
 
 
+_REGEXP_INFIX_RE = re.compile(r"\b(?:RLIKE|REGEXP)\b", re.IGNORECASE)
+_INFIX_IDENT_RE = re.compile(r"[A-Za-z_][\w.]*")
+
+
+def _scan_string_end(sql: str, start: int) -> int:
+    """Index just past a '...' literal starting at ``start`` ('' is the
+    embedded-quote escape)."""
+    k = start + 1
+    n = len(sql)
+    while k < n:
+        if sql[k] == "'":
+            if k + 1 < n and sql[k + 1] == "'":
+                k += 2
+                continue
+            return k + 1
+        k += 1
+    raise ValueError(f"unterminated string literal at {sql[start:start+30]!r}")
+
+
+def rewrite_regexp_infix(sql: str) -> str:
+    """Snowflake's INFIX ``subject [NOT] RLIKE|REGEXP pattern`` is
+    FULL-MATCH anchored — the same contract as the function forms
+    (probe battery 9, r13; the infix spelling previously passed
+    through to Spark's substring-search operator and silently matched
+    MORE rows). The pattern operand is anchored in place: literal
+    patterns wrap at rewrite time, parenthesized / identifier /
+    call-shaped pattern expressions wrap through concat; any other
+    operand shape refuses loudly. Literal-aware (an 'RLIKE' inside a
+    string is text, not an operator); the scan resumes past each
+    rewritten operand, and already-anchored literals are left alone
+    (idempotent under repeated lowering)."""
+    pos = 0
+    while True:
+        m = _REGEXP_INFIX_RE.search(sql, pos)
+        if m is None:
+            return sql
+        # inside a string literal? ('' doubling keeps parity correct)
+        if sql[: m.start()].count("'") % 2 == 1:
+            pos = m.end()
+            continue
+        j = m.end()
+        n = len(sql)
+        while j < n and sql[j].isspace():
+            j += 1
+        if j >= n:
+            return sql
+        if sql[j] == "'":
+            end = _scan_string_end(sql, j)
+            inner = sql[j + 1 : end - 1]
+            if inner.startswith("^(?:") and inner.endswith(")$"):
+                pos = end  # already anchored — idempotence guard
+                continue
+            repl = f"'^(?:{inner})$'"
+            sql = sql[:j] + repl + sql[end:]
+            pos = j + len(repl)
+            continue
+        if sql[j] == "(":
+            end = _balanced_span(sql, j)
+            # `RLIKE(subject, pattern[, params])` — the FUNCTION form
+            # (>= 2 top-level args) — belongs to the scalar-head pass;
+            # a single top-level operand is the parenthesized INFIX
+            # pattern and anchors here.
+            if len(_split_top_level_commas(sql[j + 1 : end - 1])) > 1:
+                pos = end
+                continue
+            op = sql[j:end]
+        else:
+            im = _INFIX_IDENT_RE.match(sql, j)
+            if im is None:
+                raise ValueError(
+                    "infix RLIKE/REGEXP pattern operand is not a string"
+                    " literal, parenthesized expression, or identifier:"
+                    f" {sql[j:j+40]!r} (Snowflake's infix operator is"
+                    " full-match anchored; this shape cannot be anchored"
+                    " textually)"
+                )
+            end = im.end()
+            if end < n and sql[end:].lstrip().startswith("("):
+                # function-call operand: include its balanced args
+                end = _balanced_span(sql, sql.index("(", end))
+            op = sql[j:end]
+        repl = f"concat('^(?:', {op}, ')$')"
+        sql = sql[:j] + repl + sql[end:]
+        pos = j + len(repl)
+
+
 def _regexp_like_rewrite(name: str, args: list) -> str:
     if name in ("RLIKE", "REGEXP") and len(args) == 1:
-        # head matched a parenthesized INFIX operand (`x RLIKE ('p')`),
-        # not the 2/3-arg function-call form: pass through untouched.
-        # r10 ADVICE note: a genuinely malformed 1-arg CALL — a pasted
+        # head matched a parenthesized INFIX operand — but
+        # rewrite_regexp_infix runs FIRST and anchors the operand
+        # before this head can match, so by the time we get here the
+        # single argument is already the anchored pattern: pass
+        # through. (A genuinely malformed 1-arg CALL — a pasted
         # `RLIKE(pattern)` missing its subject — is textually
-        # indistinguishable from this infix shape, so it is
-        # DELIBERATELY deferred to Spark's analyzer (which rejects it)
-        # rather than refused here, where refusing would break every
-        # legitimate `x RLIKE ('p')`.
+        # indistinguishable and is deferred to Spark's analyzer.)
         return f"{name}({args[0]})"
     if len(args) not in (2, 3):
         return _bad(name, args)
@@ -5094,6 +5179,9 @@ def rewrite_scalar_funcs(sql: str) -> str:
     string-literal awareness; nested rewritable calls resolve on
     subsequent passes. Everything lowered is a per-row expression:
     pushdown, pruning, and codegen unaffected."""
+    # infix RLIKE/REGEXP anchoring first, so the function-head scan
+    # below never sees an unanchored infix operand (probe battery 9)
+    sql = rewrite_regexp_infix(sql)
     fns = dict(_SCALAR_REWRITES)
     fns["DECODE"] = _decode_rewrite
     fns["DATEDIFF"] = _datediff_rewrite

@@ -3394,7 +3394,10 @@ def test_regexp_dialect_r10_advice(spark):
             r"SELECT RLIKE('abc', 'b') AS fn_anchored, "
             r"REGEXP('abc', 'a.c') AS fn_full, "
             r"RLIKE('ABC', 'abc', 'i') AS fn_ci, "
-            r"('abc' RLIKE ('b')) AS infix_substring, "
+            r"('abc' RLIKE ('b')) AS infix_paren, "
+            r"('abc' RLIKE 'b') AS infix_lit, "
+            r"('abc' REGEXP 'a.c') AS infix_full, "
+            r"('abc' NOT RLIKE 'b') AS infix_not, "
             r"REGEXP_SUBSTR('k=12;v=34', '([a-z])=([0-9]+)', 1, 2, 'i', 2)"
             r" AS grp_implied_e, "
             r"REGEXP_LIKE('ab\ncd', 'cd', 'm') AS m_head_line, "
@@ -3405,9 +3408,11 @@ def test_regexp_dialect_r10_advice(spark):
     # function forms share REGEXP_LIKE's implicit ^...$ contract
     assert row.fn_anchored is False and row.fn_full is True
     assert row.fn_ci is True
-    # infix RLIKE with a parenthesized pattern keeps Spark's substring
-    # semantics (the head matched `RLIKE (`, arity-1 passthrough)
-    assert row.infix_substring is True
+    # r13 (probe battery 9): the INFIX operator is full-match anchored
+    # too — Snowflake's contract; Spark's substring semantics
+    # previously leaked through every infix spelling
+    assert row.infix_paren is False and row.infix_lit is False
+    assert row.infix_full is True and row.infix_not is True
     # 6th arg (group_num) implies extraction mode per Snowflake docs
     assert row.grp_implied_e == "34"
     # 'm' hoisted before the anchors: ^ AND $ are both line anchors —
