@@ -11513,3 +11513,57 @@ def f41_epoch_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(lower_select(_F41_SNOWFLAKE_TEXT))
+
+
+_F42_SNOWFLAKE_TEXT = """
+SELECT l_returnflag,
+       CAST(SUM(l_extendedprice::NUMBER(18,2)) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(l_quantity AS NUMBER)) AS BIGINT) AS sum_qty,
+       CAST(AVG(l_discount::FLOAT) AS DOUBLE) AS avg_disc_dbl,
+       MAX(l_shipdate::DATETIME) AS max_ship_ts,
+       MIN(l_orderkey::TEXT) AS min_key_text,
+       CAST(MAX(l_tax)::NUMBER(4,2) AS DOUBLE) AS max_tax
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "f42_cast_type_names",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,0))) AS BIGINT)
+               AS sum_qty,
+           CAST(AVG(CAST(l_discount AS DOUBLE)) AS DOUBLE)
+               AS avg_disc_dbl,
+           MAX(CAST(l_shipdate AS TIMESTAMP)) AS max_ship_ts,
+           MIN(CAST(l_orderkey AS VARCHAR)) AS min_key_text,
+           CAST(CAST(MAX(l_tax) AS DECIMAL(4,2)) AS DOUBLE) AS max_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="""Probe battery 9 (r13) part 2 — Snowflake CAST TYPE NAMES in
+    both spellings (``expr::TYPE`` and ``CAST(expr AS TYPE)``).
+    Spark's parser rejected NUMBER(p,s)/NUMBER/TEXT/DATETIME/FLOAT8
+    outright (loud deaths on everyday pasted SQL), and parsed
+    FLOAT/FLOAT4/REAL as 4-BYTE floats where Snowflake's are all
+    8-byte doubles — a SILENT precision divergence on x::FLOAT —
+    plus bare DECIMAL as (10,0) vs Snowflake's (38,0) default.
+    `rewrite_cast_types` translates the cast TARGET in place
+    (literal-aware, alias-safe: only the type position inside
+    CAST(...AS...) or after '::' is touched; ARRAY<...> generics and
+    the Spark-native int family pass through); ::VARIANT/OBJECT/ARRAY
+    refuse with TO_* guidance — Spark 4 would otherwise parse a
+    NATIVE variant, silently breaking the engine's JSON-text VARIANT
+    convention. Pure target translation: pushdown/codegen unaffected
+    (functions/sqldialect.py:rewrite_cast_types).""",
+    tags=("functions", "dialect", "casts", "probe-battery"),
+)
+def f42_cast_type_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import lower_select
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(lower_select(_F42_SNOWFLAKE_TEXT))

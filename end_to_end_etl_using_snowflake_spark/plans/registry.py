@@ -67,10 +67,10 @@ PRIORITY: tuple[str, ...] = (
     # ---- first 50: the r13 driver window (VERDICT r12 #1).
     # 2-entry always-on core + the 13 never-driver-checked r12
     # additions (these HAD to head this window — their oracles had
-    # never executed under the driver) + the 4 new r13 entries (k11
-    # MINHASH SQL family, f39/f40/f41 probe batteries 8-9 — new entries join
+    # never executed under the driver) + the 5 new r13 entries (k11
+    # MINHASH SQL family, f39-f42 probe batteries 8-9 — new entries join
     # the window in their birth round so no never-checked debt
-    # accrues) + the head-31 of the 48-entry r7-stale cohort. All
+    # accrues) + the head-30 of the 48-entry r7-stale cohort. All
     # window entries are locally 3-SF parity-green per pytest run.
     "flagship_fact_rebuild",
     "pl_dim_customer",
@@ -88,12 +88,13 @@ PRIORITY: tuple[str, ...] = (
     "sql63_resultset_table_proc",
     "f37_initcap_delimiters",
     "f38_array_fidelity",
-    # new r13 entries (4)
+    # new r13 entries (5)
     "k11_minhash_sql_family",
     "f39_datetime_battery",
     "f40_datetime_scalars",
     "f41_epoch_scale_battery",
-    # head-31 of the r7-stale cohort (fills slots 20-50)
+    "f42_cast_type_names",
+    # head-30 of the r7-stale cohort (fills slots 21-50)
     "a4_count_distinct",
     "a5_rollup",
     "a6_percentile_groups",
@@ -124,12 +125,12 @@ PRIORITY: tuple[str, ...] = (
     "sql1_text_surface",
     "w2_window_frames",
     "x3_time_spine_rollup",
-    "x4_snapshot_as_of",
     # ---- 51+: rotation queue, stalest first — the r14 window head.
-    # r7-stale remainder (17): families already represented in the
-    # 50-window by the head-31 (f6/f9/f12 functions, sql18/19 replay,
-    # a4-a7 aggs); x5 rotated out of slot 50 when f41 joined the
-    # window in its birth round
+    # r7-stale remainder (18): families already represented in the
+    # 50-window by the head-30 (f6/f9/f12 functions, sql18/19 replay,
+    # a4-a7 aggs); x4/x5 rotated out of slot 50 when f41/f42 joined
+    # the window in their birth round
+    "x4_snapshot_as_of",
     "x5_range_join",
     "f5_string_extract",
     "f7_string_funcs",

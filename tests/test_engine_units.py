@@ -3309,6 +3309,42 @@ def test_epoch_scale_probe_battery9(spark):
     assert "RLIKE" not in L("SELECT TO_DATE(x) FROM t")
 
 
+def test_cast_type_names(spark):
+    """r13 probe battery 9 part 2: Snowflake cast type names translate
+    in both spellings; FLOAT/REAL become 8-byte; aliases and generics
+    are untouched; VARIANT-family cast targets refuse."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        lower_select as L,
+        rewrite_cast_types as R,
+    )
+
+    df = spark.sql(L(
+        "SELECT 1.567::NUMBER(10,2) AS a, '9'::NUMBER AS b,"
+        " 1.1::FLOAT AS c, CAST(1.1 AS REAL) AS d,"
+        " 1.4::DECIMAL AS e, 123::TEXT AS f,"
+        " CAST('2020-01-02' AS DATETIME) AS g, 5::BYTEINT AS h,"
+        " CAST(CAST(1.5 AS NUMBER(10,4)) AS TEXT) AS nested"
+    ))
+    t = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert t["a"] == "decimal(10,2)" and t["b"] == "decimal(38,0)"
+    assert t["c"] == "double" and t["d"] == "double"  # 8-byte, not float
+    assert t["e"] == "decimal(38,0)"  # Snowflake's bare default, not (10,0)
+    assert t["f"] == "string" and t["g"] == "timestamp"
+    assert t["h"] == "bigint" and df.first().nested == "1.5000"
+    # alias named like a type, generics, int family, literals: untouched
+    assert R("SELECT 1 AS number FROM t") == "SELECT 1 AS number FROM t"
+    assert R("SELECT CAST(a AS ARRAY<INT>) FROM t") == (
+        "SELECT CAST(a AS ARRAY<INT>) FROM t"
+    )
+    assert R("SELECT x::INTEGER, 'y::NUMBER' FROM t") == (
+        "SELECT x::INTEGER, 'y::NUMBER' FROM t"
+    )
+    for bad in ("SELECT x::VARIANT FROM t", "SELECT CAST(x AS OBJECT) FROM t",
+                "SELECT x::ARRAY FROM t"):
+        with pytest.raises(ValueError, match="JSON-text VARIANT convention"):
+            R(bad)
+
+
 def test_minhash_sql_family(spark):
     """r13 (VERDICT r12 #5): MINHASH/MINHASH_COMBINE/APPROXIMATE_
     SIMILARITY lowered onto md5-register minhash. Identical inputs
