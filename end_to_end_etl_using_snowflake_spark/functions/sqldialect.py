@@ -2739,6 +2739,16 @@ _SCALAR_REWRITES = {
     "BOOLAND_AGG": lambda args: (
         f"bool_and({args[0]})" if len(args) == 1 else _bad("BOOLAND_AGG", args)
     ),
+    # aggregated XOR = odd count of TRUEs; NULLs ignored, all-NULL ->
+    # NULL (Snowflake's aggregate NULL rule). count() counts non-null,
+    # count_if() the TRUEs — both partial-agg codegen. Boolean inputs,
+    # like the BOOLOR_AGG/BOOLAND_AGG lowerings above (r13).
+    "BOOLXOR_AGG": lambda args: (
+        f"(CASE WHEN count({args[0]}) = 0 THEN CAST(NULL AS BOOLEAN)"
+        f" ELSE pmod(count_if({args[0]}), 2) = 1 END)"
+        if len(args) == 1
+        else _bad("BOOLXOR_AGG", args)
+    ),
     # ---- statistics / aggregate pack (r11): every lowering here is
     # ORDER-DETERMINISTIC — moment-based aggregates (SKEW, KURTOSIS,
     # REGR_*) go through exact fixed-point-integer DECIMAL power sums

@@ -3307,6 +3307,15 @@ def test_epoch_scale_probe_battery9(spark):
     # formatted and DATE paths bypass the heuristic entirely
     assert "RLIKE" not in L("SELECT TO_TIMESTAMP(x, 'YYYY-MM-DD') FROM t")
     assert "RLIKE" not in L("SELECT TO_DATE(x) FROM t")
+    # BOOLXOR_AGG rider (r13): odd-count-of-TRUEs; NULLs ignored,
+    # all-NULL -> NULL
+    xr = spark.sql(L(
+        "SELECT BOOLXOR_AGG(x) AS odd1,"
+        " BOOLXOR_AGG(y) AS even0, BOOLXOR_AGG(z) AS alln"
+        " FROM (SELECT true AS x, true AS y, CAST(NULL AS BOOLEAN) AS z"
+        "       UNION ALL SELECT false, true, NULL)"
+    )).first()
+    assert xr.odd1 is True and xr.even0 is False and xr.alln is None
 
 
 def test_cast_type_names(spark):
