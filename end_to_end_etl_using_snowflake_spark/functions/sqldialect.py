@@ -1937,6 +1937,22 @@ def _dd_day(a: str, b: str) -> str:
     return f"date_diff(CAST(({b}) AS DATE), CAST(({a}) AS DATE))"
 
 
+def _chr_rewrite(name: str, args: list) -> str:
+    """CHR/CHAR(n): Unicode code point -> character via the UTF-32
+    identity encoding (Spark's chr is mod-256 ASCII — silent garbage
+    past 255). Out-of-range code points refuse loudly; Java's UTF-32
+    decoder would substitute U+FFFD silently."""
+    if len(args) != 1:
+        return _bad(name, args)
+    x = args[0]
+    return (
+        f"(CASE WHEN ({x}) < 0 OR ({x}) > 1114111 THEN"
+        f" raise_error(concat('{name}: Unicode code point out of"
+        f" range: ', CAST({x} AS STRING)))"
+        f" ELSE decode(unhex(lpad(hex({x}), 8, '0')), 'UTF-32') END)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # MINHASH sketch family (r13) — Snowflake's MINHASH(k, ...) /
 # MINHASH_COMBINE(state) / APPROXIMATE_SIMILARITY(state) lowered to
@@ -2573,6 +2589,51 @@ _SCALAR_REWRITES = {
             if len(args) == 3
             else _bad("REGEXP_EXTRACT_ALL", args)
         )
+    ),
+    # Snowflake CHR/CHAR is the UNICODE code point -> character;
+    # Spark's same-named natives are mod-256 ASCII (chr(9731) = '\x03'
+    # silently — probe battery 9). UTF-32 is the code point identity
+    # encoding, so unhex(lpad(hex(n))) decoded as UTF-32 is exact for
+    # the whole range incl. astral planes; out-of-range refuses like
+    # Snowflake (Java's decoder would emit U+FFFD silently).
+    "CHR": lambda args: _chr_rewrite("CHR", args),
+    "CHAR": lambda args: _chr_rewrite("CHAR", args),
+    # TRY_ decode family (r13): NULL on invalid input via
+    # try_to_binary; the non-TRY forms keep their strict lowerings
+    "TRY_BASE64_DECODE_STRING": lambda args: (
+        f"decode(try_to_binary({args[0]}, 'base64'), 'UTF-8')"
+        if len(args) == 1
+        else _bad("TRY_BASE64_DECODE_STRING", args)
+    ),
+    "TRY_HEX_DECODE_STRING": lambda args: (
+        f"decode(try_to_binary({args[0]}, 'hex'), 'UTF-8')"
+        if len(args) == 1
+        else _bad("TRY_HEX_DECODE_STRING", args)
+    ),
+    "TRY_BASE64_DECODE_BINARY": lambda args: (
+        f"try_to_binary({args[0]}, 'base64')"
+        if len(args) == 1
+        else _bad("TRY_BASE64_DECODE_BINARY", args)
+    ),
+    "TRY_HEX_DECODE_BINARY": lambda args: (
+        f"try_to_binary({args[0]}, 'hex')"
+        if len(args) == 1
+        else _bad("TRY_HEX_DECODE_BINARY", args)
+    ),
+    # MD5 halves as unsigned 64-bit integers (Snowflake's NUMBER
+    # carries u64; BIGINT cannot) — conv() is exact through 64 bits
+    # and DECIMAL(20,0) holds the unsigned range
+    "MD5_NUMBER_LOWER64": lambda args: (
+        f"CAST(conv(substring(md5({args[0]}), 17, 16), 16, 10)"
+        " AS DECIMAL(20,0))"
+        if len(args) == 1
+        else _bad("MD5_NUMBER_LOWER64", args)
+    ),
+    "MD5_NUMBER_UPPER64": lambda args: (
+        f"CAST(conv(substring(md5({args[0]}), 1, 16), 16, 10)"
+        " AS DECIMAL(20,0))"
+        if len(args) == 1
+        else _bad("MD5_NUMBER_UPPER64", args)
     ),
     "UNICODE": lambda args: (
         f"ascii({args[0]})" if len(args) == 1 else _bad("UNICODE", args)
@@ -5229,6 +5290,14 @@ def rewrite_scalar_funcs(sql: str) -> str:
                           re.IGNORECASE)
                 or re.match(r"(VALUES|SELECT)\b", after, re.IGNORECASE)
             ):
+                pos = close
+                continue
+        if name == "CHAR":
+            # the scalar CHAR(n) must not swallow the TYPE in
+            # ``CAST(x AS CHAR(3))`` (left native by the cast-type
+            # pass): skip when preceded by the AS keyword (r13)
+            before = sql[: m.start()].rstrip()
+            if re.search(r"\bAS$", before, re.IGNORECASE):
                 pos = close
                 continue
         inner = rewrite_scalar_funcs(sql[open_idx + 1 : close - 1])

@@ -11454,7 +11454,13 @@ SELECT CAST(v AS STRING) AS label,
        CAST(FLOOR(123.456, -1) AS DOUBLE) AS floorm1,
        CAST(ROUND(-2.5) AS DOUBLE) AS round_away,
        SPLIT_PART('a.b.c', '.', -1) AS sp_neg,
-       SPLIT_PART('a.b.c', '.', 9) AS sp_oob
+       SPLIT_PART('a.b.c', '.', 9) AS sp_oob,
+       CHR(9731) AS chr_bmp,
+       CHAR(128169) AS chr_astral,
+       TRY_BASE64_DECODE_STRING('%%%') AS b64_bad,
+       TRY_BASE64_DECODE_STRING('SGk=') AS b64_ok,
+       CAST(MD5_NUMBER_LOWER64('a') AS DOUBLE) AS md5_lo,
+       CAST(MD5_NUMBER_UPPER64('a') AS DOUBLE) AS md5_hi
 FROM (SELECT CAST(x AS BIGINT) AS v FROM VALUES
       (1700000000), (1700000000123), (1700000000123456),
       (1700000000123456789), (-86400) AS t(x))
@@ -11485,7 +11491,15 @@ FROM (SELECT CAST(x AS BIGINT) AS v FROM VALUES
            CAST(120 AS DOUBLE) AS floorm1,
            CAST(-3 AS DOUBLE) AS round_away,
            'c' AS sp_neg,
-           '' AS sp_oob
+           '' AS sp_oob,
+           chr(9731) AS chr_bmp,
+           chr(128169) AS chr_astral,
+           CAST(NULL AS VARCHAR) AS b64_bad,
+           'Hi' AS b64_ok,
+           CAST(CAST(concat('0x', substring(md5('a'), 17, 16))
+                AS UBIGINT) AS DOUBLE) AS md5_lo,
+           CAST(CAST(concat('0x', substring(md5('a'), 1, 16))
+                AS UBIGINT) AS DOUBLE) AS md5_hi
     FROM (SELECT CAST(x AS BIGINT) AS v FROM (VALUES
           (1700000000), (1700000000123), (1700000000123456),
           (1700000000123456789), (-86400)) t(x))
@@ -11503,8 +11517,14 @@ FROM (SELECT CAST(x AS BIGINT) AS v FROM VALUES
     null -> SQL NULL — was an analyzer death), and passthrough pins
     for CEIL/FLOOR(x, scale) incl. negative scale, ROUND
     half-away-from-zero on negatives, and SPLIT_PART's 1-based /
-    negative-from-end / out-of-range-empty contract
-    (functions/sqldialect.py:_ts_numeric_heuristic).""",
+    negative-from-end / out-of-range-empty contract. Late riders:
+    CHR/CHAR as the UNICODE code point (Spark's natives are mod-256
+    ASCII — chr(9731) was '\\x03' SILENTLY; UTF-32 identity decode,
+    astral planes included, out-of-range refuses), the TRY_ decode
+    family (NULL on invalid via try_to_binary), and MD5_NUMBER_
+    LOWER64/UPPER64 (unsigned halves via conv -> DECIMAL(20,0);
+    DuckDB twins via UBIGINT hex casts)
+    (functions/sqldialect.py:_ts_numeric_heuristic,_chr_rewrite).""",
     tags=("functions", "dialect", "datetime", "probe-battery"),
 )
 def f41_epoch_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
