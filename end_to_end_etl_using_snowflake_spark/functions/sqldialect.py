@@ -1121,7 +1121,9 @@ _UPDATE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE_RE = re.compile(
-    r"^DELETE\s+FROM\s+(?P<t>[\w.]+)(?:\s+WHERE\s+(?P<pred>.+))?$",
+    r"^DELETE\s+FROM\s+(?P<t>[\w.]+)"
+    r"(?:\s+USING\s+(?P<using>[\w.]+(?:\s*,\s*[\w.]+)*))?"
+    r"(?:\s+WHERE\s+(?P<pred>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -1359,11 +1361,18 @@ def insert_statement(spark, text: str, tables: dict):  # noqa: ANN001
 
 
 def delete_statement(spark, text: str, tables: dict):  # noqa: ANN001
-    """Execute ``DELETE FROM <t> [WHERE pred]`` verbatim (r8): the
-    predicate lowers through the scalar pack to
-    operators/dml.py:delete_where (the complement filter, NULL
-    predicates keep the row — SQL's three-valued DELETE rule). A
-    missing WHERE empties the table."""
+    """Execute ``DELETE FROM <t> [USING s[, ...]] [WHERE pred]``
+    verbatim (r8; USING r13): without USING the predicate lowers
+    through the scalar pack to operators/dml.py:delete_where (the
+    complement filter, NULL predicates keep the row — SQL's
+    three-valued DELETE rule). With USING — Snowflake's join-delete,
+    the everyday CDC tombstone apply — a target row is deleted when
+    the predicate holds for AT LEAST ONE source-row combination,
+    which is exactly ``NOT EXISTS`` on the kept side: Catalyst plans
+    it as a LEFT ANTI join (one shuffle on the correlated keys, no
+    row multiplication to dedup, source multiplicity irrelevant by
+    construction). A missing WHERE empties the table in both
+    shapes."""
     from pyspark.sql import functions as F
 
     from ..operators.dml import delete_where
@@ -1371,11 +1380,29 @@ def delete_statement(spark, text: str, tables: dict):  # noqa: ANN001
     sql = _strip_line_comments(text).strip().rstrip(";")
     m = _DELETE_RE.match(sql)
     if m is None:
-        raise ValueError("unsupported DELETE shape (DELETE FROM t [WHERE ...])")
+        raise ValueError(
+            "unsupported DELETE shape (DELETE FROM t [USING s, ...]"
+            " [WHERE ...])"
+        )
     df = _dml_table(tables, m.group("t"))
     if not m.group("pred"):
         return df.filter(F.lit(False))
-    return delete_where(df, F.expr(rewrite_scalar_funcs(m.group("pred").strip())))
+    pred = m.group("pred").strip()
+    if m.group("using"):
+        t_short = m.group("t").split(".")[-1]
+        df.createOrReplaceTempView(t_short)
+        using_names = []
+        for s in m.group("using").split(","):
+            s = s.strip()
+            s_short = s.split(".")[-1]
+            if s_short != t_short:
+                _dml_table(tables, s).createOrReplaceTempView(s_short)
+            using_names.append(s_short)
+        return spark.sql(lower_select(
+            f"SELECT {t_short}.* FROM {t_short} WHERE NOT EXISTS"
+            f" (SELECT 1 FROM {', '.join(using_names)} WHERE ({pred}))"
+        ))
+    return delete_where(df, F.expr(rewrite_scalar_funcs(pred)))
 
 
 _CTAS_RE = re.compile(

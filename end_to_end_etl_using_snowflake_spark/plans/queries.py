@@ -11587,3 +11587,52 @@ def f42_cast_type_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(lower_select(_F42_SNOWFLAKE_TEXT))
+
+
+_SQL64_DELETE_TEXT = """
+DELETE FROM work USING lineitem
+WHERE work.o_orderkey = lineitem.l_orderkey
+  AND lineitem.l_returnflag = 'R'
+"""
+
+
+@register(
+    "sql64_delete_using",
+    oracle="""
+    SELECT CAST(COUNT(1) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE o.o_orderkey = l.l_orderkey AND l.l_returnflag = 'R'
+    )
+    """,
+    doc="""Snowflake's join-DELETE accepted VERBATIM (r13): ``DELETE
+    FROM t USING s[, ...] WHERE pred`` — the everyday CDC tombstone
+    apply — previously refused as an unsupported DELETE shape. A
+    target row is deleted when the predicate holds for AT LEAST ONE
+    source combination, which is exactly NOT EXISTS on the kept side:
+    Catalyst plans a LEFT ANTI join (plan-pinned in the unit test),
+    so duplicate source rows never multiply the target and no dedup
+    pass is needed — one shuffle on the correlated keys at any scale.
+    The entry deletes every order that has a returned lineitem and
+    audits the surviving relation; the oracle is the same NOT EXISTS
+    in ANSI form (functions/sqldialect.py:delete_statement).""",
+    tags=("sql-surface", "dml", "dialect"),
+)
+def sql64_delete_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.snowflake_sql import snowflake_sql
+
+    tables = {
+        "work": load(spark, sf_dir, "orders"),
+        "lineitem": load(spark, sf_dir, "lineitem"),
+    }
+    kept = snowflake_sql(spark, _SQL64_DELETE_TEXT, tables=tables)
+    return kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long").alias("cents_sum"),
+    )

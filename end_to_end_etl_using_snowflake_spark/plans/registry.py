@@ -67,10 +67,11 @@ PRIORITY: tuple[str, ...] = (
     # ---- first 50: the r13 driver window (VERDICT r12 #1).
     # 2-entry always-on core + the 13 never-driver-checked r12
     # additions (these HAD to head this window — their oracles had
-    # never executed under the driver) + the 5 new r13 entries (k11
-    # MINHASH SQL family, f39-f42 probe batteries 8-9 — new entries join
+    # never executed under the driver) + the 6 new r13 entries (k11
+    # MINHASH SQL family, f39-f42 probe batteries 8-9, sql64 join-
+    # DELETE — new entries join
     # the window in their birth round so no never-checked debt
-    # accrues) + the head-30 of the 48-entry r7-stale cohort. All
+    # accrues) + the head-29 of the 48-entry r7-stale cohort. All
     # window entries are locally 3-SF parity-green per pytest run.
     "flagship_fact_rebuild",
     "pl_dim_customer",
@@ -88,13 +89,14 @@ PRIORITY: tuple[str, ...] = (
     "sql63_resultset_table_proc",
     "f37_initcap_delimiters",
     "f38_array_fidelity",
-    # new r13 entries (5)
+    # new r13 entries (6)
     "k11_minhash_sql_family",
     "f39_datetime_battery",
     "f40_datetime_scalars",
     "f41_epoch_scale_battery",
     "f42_cast_type_names",
-    # head-30 of the r7-stale cohort (fills slots 21-50)
+    "sql64_delete_using",
+    # head-29 of the r7-stale cohort (fills slots 22-50)
     "a4_count_distinct",
     "a5_rollup",
     "a6_percentile_groups",
@@ -124,12 +126,12 @@ PRIORITY: tuple[str, ...] = (
     "sql19_reference_dim_merge",
     "sql1_text_surface",
     "w2_window_frames",
-    "x3_time_spine_rollup",
     # ---- 51+: rotation queue, stalest first — the r14 window head.
-    # r7-stale remainder (18): families already represented in the
-    # 50-window by the head-30 (f6/f9/f12 functions, sql18/19 replay,
-    # a4-a7 aggs); x4/x5 rotated out of slot 50 when f41/f42 joined
-    # the window in their birth round
+    # r7-stale remainder (19): families already represented in the
+    # 50-window by the head-29 (f6/f9/f12 functions, sql18/19 replay,
+    # a4-a7 aggs); x3/x4/x5 rotated out of slot 50 as f41/f42/sql64
+    # joined the window in their birth round
+    "x3_time_spine_rollup",
     "x4_snapshot_as_of",
     "x5_range_join",
     "f5_string_extract",

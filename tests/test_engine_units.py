@@ -86,6 +86,38 @@ def test_update_delete_where(spark):
     assert [r.k for r in dele.collect()] == [2]
 
 
+def test_delete_using_statement(spark):
+    """r13: DELETE FROM t USING s[, s2] WHERE pred — Snowflake's
+    join-delete. Kept side = NOT EXISTS (planned as LEFT ANTI, so
+    duplicate source rows never multiply); multi-source USING is the
+    comma join; WHERE stays three-valued."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        delete_statement,
+    )
+
+    t = _df(spark, [(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    s = _df(spark, [(2,), (2,), (9,)], "k int")  # dup rows: no multiply
+    s2 = _df(spark, [("a",)], "v string")
+    out = delete_statement(
+        spark, "DELETE FROM tgt USING src WHERE tgt.k = src.k",
+        {"tgt": t, "src": s},
+    )
+    assert sorted((r.k, r.v) for r in out.collect()) == [(1, "a"), (3, "c")]
+    assert "LeftAnti" in out._jdf.queryExecution().executedPlan().toString()
+    out2 = delete_statement(
+        spark,
+        "DELETE FROM tgt USING src, src2"
+        " WHERE tgt.k = src.k OR tgt.v = src2.v",
+        {"tgt": t, "src": s, "src2": s2},
+    )
+    assert sorted(r.k for r in out2.collect()) == [3]
+    # no WHERE still empties the table, with or without USING
+    out3 = delete_statement(
+        spark, "DELETE FROM tgt USING src", {"tgt": t, "src": s}
+    )
+    assert out3.count() == 0
+
+
 def test_update_statement_text_semantics(spark):
     """Text-form UPDATE: SET expressions see the pre-update row
     (`SET a = b, b = a` swaps — ADVICE r8) and _dml_table refuses an

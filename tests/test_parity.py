@@ -34,8 +34,8 @@ def test_registry_size_pinned():
     can no longer be silently overwritten (oracle lost) or
     double-counted."""
     # r13: +k11_minhash_sql_family, f39/f40 (battery 8), f41/f42
-    # (battery 9)
-    assert len(REGISTRY) == 305
+    # (battery 9), sql64 (join-DELETE)
+    assert len(REGISTRY) == 306
 
 
 def test_driver_prefix_spans_all_operator_families():
@@ -61,7 +61,7 @@ def test_driver_prefix_spans_all_operator_families():
     new_r13 = [
         "k11_minhash_sql_family", "f39_datetime_battery",
         "f40_datetime_scalars", "f41_epoch_scale_battery",
-        "f42_cast_type_names",
+        "f42_cast_type_names", "sql64_delete_using",
     ]
     stale_r7_head = [
         "a4_count_distinct", "a5_rollup", "a6_percentile_groups",
@@ -76,7 +76,6 @@ def test_driver_prefix_spans_all_operator_families():
         "sql16_generator_dialect", "sql17_time_travel_at",
         "sql18_reference_merge", "sql19_reference_dim_merge",
         "sql1_text_surface", "w2_window_frames",
-        "x3_time_spine_rollup",
     ]
     expected = core + never_checked_r12 + new_r13 + stale_r7_head
     assert len(expected) == 50
