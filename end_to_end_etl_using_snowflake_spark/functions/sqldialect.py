@@ -5335,6 +5335,55 @@ def rewrite_scalar_funcs(sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Snowflake star column modifiers (r13): ``SELECT [t.]* EXCLUDE ...``
+# maps exactly onto Spark's ``* EXCEPT (...)`` (remaining columns keep
+# their positions — the same semantics, different keyword); the other
+# three modifiers have no position-preserving Spark lowering, so they
+# refuse LOUDLY with the precise rewrite instead of dying in the
+# parser: RENAME/REPLACE would need the schema to expand ``*`` without
+# silently moving the touched column to the end, and ILIKE needs the
+# column list.
+# ---------------------------------------------------------------------------
+
+_STAR_EXCLUDE_RE = re.compile(
+    r"(\*\s+)EXCLUDE\s*(\(([^)]*)\)|([A-Za-z_]\w*))", re.IGNORECASE
+)
+_STAR_REFUSE_RE = re.compile(
+    r"\*\s+(RENAME|REPLACE|ILIKE)\b", re.IGNORECASE
+)
+
+
+def rewrite_star_modifiers(sql: str) -> str:
+    pos = 0
+    while True:
+        m = _STAR_EXCLUDE_RE.search(sql, pos)
+        if m is None:
+            break
+        if sql[: m.start()].count("'") % 2 == 1:
+            pos = m.end()
+            continue
+        cols = m.group(3) if m.group(3) is not None else m.group(4)
+        repl = f"{m.group(1)}EXCEPT ({cols})"
+        sql = sql[: m.start()] + repl + sql[m.end():]
+        pos = m.start() + len(repl)
+    m = _STAR_REFUSE_RE.search(sql)
+    if m is not None and sql[: m.start()].count("'") % 2 == 0:
+        kw = m.group(1).upper()
+        hint = {
+            "RENAME": "SELECT * EXCEPT (a), a AS new_name (the renamed"
+                      " column moves to the end) or list the columns",
+            "REPLACE": "SELECT * EXCEPT (a), <expr> AS a (the replaced"
+                       " column moves to the end) or list the columns",
+            "ILIKE": "list the matching columns explicitly",
+        }[kw]
+        raise ValueError(
+            f"SELECT * {kw} has no position-preserving Spark lowering"
+            f" — {hint}"
+        )
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Snowflake cast TYPE NAMES (probe battery 9, r13). Spark's parser
 # either rejects Snowflake's everyday type spellings (NUMBER(10,2),
 # TEXT, DATETIME, FLOAT8 — loud analyzer deaths on pasted SQL) or
@@ -6658,6 +6707,7 @@ def lower_select(sql: str) -> str:
     bind engine objects, not text."""
     sql = rewrite_top(sql)
     sql = rewrite_collate(sql)
+    sql = rewrite_star_modifiers(sql)
     sql = rewrite_variant_path(sql)
     sql = rewrite_cast_types(sql)
     sql = rewrite_window_dialect(sql)

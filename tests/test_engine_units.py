@@ -3350,6 +3350,28 @@ def test_epoch_scale_probe_battery9(spark):
     assert xr.odd1 is True and xr.even0 is False and xr.alln is None
 
 
+def test_star_modifiers(spark):
+    """r13: SELECT [t.]* EXCLUDE maps exactly onto Spark's * EXCEPT
+    (positions preserved); RENAME/REPLACE/ILIKE star modifiers refuse
+    with rewrite guidance instead of dying in the parser."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        lower_select as L,
+    )
+
+    base = "FROM (SELECT 1 AS a, 2 AS b, 3 AS c) t"
+    df = spark.sql(L(f"SELECT * EXCLUDE (b) {base}"))
+    assert df.columns == ["a", "c"] and df.first() == (1, 3)
+    assert spark.sql(L(f"SELECT * EXCLUDE b {base}")).columns == ["a", "c"]
+    assert spark.sql(L(f"SELECT t.* EXCLUDE (a, c) {base}")).columns == ["b"]
+    # 'EXCLUDE' inside a string literal is text, not a modifier
+    assert spark.sql(L("SELECT 'x * EXCLUDE y' AS s")).first().s == (
+        "x * EXCLUDE y"
+    )
+    for kw in ("RENAME (a AS x)", "REPLACE (a+1 AS a)", "ILIKE 'a%'"):
+        with pytest.raises(ValueError, match="position-preserving"):
+            L(f"SELECT * {kw} {base}")
+
+
 def test_cast_type_names(spark):
     """r13 probe battery 9 part 2: Snowflake cast type names translate
     in both spellings; FLOAT/REAL become 8-byte; aliases and generics
