@@ -5335,6 +5335,54 @@ def rewrite_scalar_funcs(sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Snowflake comma-separated INTERVAL constants (r13):
+# ``ts + INTERVAL '1 day, 2 hours'`` — the documented Snowflake
+# multi-unit spelling — is not Spark grammar, and mixed year-month +
+# day-time units cannot be ONE Spark interval literal at all
+# (different interval types). Split into CHAINED signed additions:
+# ``ts + INTERVAL '1 day' + INTERVAL '2 hours'`` (each unit becomes
+# its own typed literal; subtraction distributes the minus). Interval
+# constants only ever appear after +/- in Snowflake arithmetic, so a
+# comma form without a preceding sign refuses.
+# ---------------------------------------------------------------------------
+
+_INTERVAL_COMMA_RE = re.compile(
+    r"(?P<op>[+-])\s*INTERVAL\s*'(?P<body>[^']*,[^']*)'", re.IGNORECASE
+)
+_INTERVAL_BARE_COMMA_RE = re.compile(
+    r"\bINTERVAL\s*'[^']*,[^']*'", re.IGNORECASE
+)
+
+
+def rewrite_interval_commas(sql: str) -> str:
+    def repl(m: "re.Match[str]") -> str:
+        op = m.group("op")
+        parts = [p.strip() for p in m.group("body").split(",") if p.strip()]
+        if not parts:
+            raise ValueError(f"empty INTERVAL constant: {m.group(0)!r}")
+        return " ".join(f"{op} INTERVAL '{p}'" for p in parts)
+
+    pos = 0
+    while True:
+        m = _INTERVAL_COMMA_RE.search(sql, pos)
+        if m is None:
+            break
+        if sql[: m.start()].count("'") % 2 == 1:
+            pos = m.end()
+            continue
+        r = repl(m)
+        sql = sql[: m.start()] + r + sql[m.end():]
+        pos = m.start() + len(r)
+    m = _INTERVAL_BARE_COMMA_RE.search(sql)
+    if m is not None and sql[: m.start()].count("'") % 2 == 0:
+        raise ValueError(
+            "comma-separated INTERVAL constant without a preceding"
+            f" +/- sign cannot be split: {m.group(0)!r}"
+        )
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # Snowflake star column modifiers (r13): ``SELECT [t.]* EXCLUDE ...``
 # maps exactly onto Spark's ``* EXCEPT (...)`` (remaining columns keep
 # their positions — the same semantics, different keyword); the other
@@ -6708,6 +6756,7 @@ def lower_select(sql: str) -> str:
     sql = rewrite_top(sql)
     sql = rewrite_collate(sql)
     sql = rewrite_star_modifiers(sql)
+    sql = rewrite_interval_commas(sql)
     sql = rewrite_variant_path(sql)
     sql = rewrite_cast_types(sql)
     sql = rewrite_window_dialect(sql)

@@ -3350,6 +3350,31 @@ def test_epoch_scale_probe_battery9(spark):
     assert xr.odd1 is True and xr.even0 is False and xr.alln is None
 
 
+def test_interval_comma_constants(spark):
+    """r13: Snowflake's comma-separated INTERVAL constant splits into
+    chained signed additions (mixed year-month + day-time units can
+    never be ONE Spark literal); subtraction distributes the sign; a
+    comma interval without a preceding sign refuses."""
+    import datetime
+
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        lower_select as L,
+    )
+
+    row = spark.sql(L(
+        "SELECT TIMESTAMP'2020-01-01 00:00:00'"
+        " + INTERVAL '1 day, 2 hours' AS plus,"
+        " DATE'2020-01-31' + INTERVAL '1 year, 1 day' AS mixed,"
+        " TIMESTAMP'2020-01-02 03:00:00'"
+        " - INTERVAL '1 day, 2 hours' AS minus"
+    )).first()
+    assert row.plus == datetime.datetime(2020, 1, 2, 2, 0)
+    assert row.mixed == datetime.date(2021, 2, 1)
+    assert row.minus == datetime.datetime(2020, 1, 1, 1, 0)
+    with pytest.raises(ValueError, match="without a preceding"):
+        L("SELECT INTERVAL '1 day, 2 hours' AS v")
+
+
 def test_star_modifiers(spark):
     """r13: SELECT [t.]* EXCLUDE maps exactly onto Spark's * EXCEPT
     (positions preserved); RENAME/REPLACE/ILIKE star modifiers refuse
