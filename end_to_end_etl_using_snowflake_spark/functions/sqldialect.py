@@ -2771,6 +2771,28 @@ _SCALAR_REWRITES = {
     "ARRAY_FLATTEN": lambda args: (
         f"flatten({args[0]})" if len(args) == 1 else _bad("ARRAY_FLATTEN", args)
     ),
+    "ARRAY_REVERSE": lambda args: (
+        f"reverse({args[0]})"
+        if len(args) == 1
+        else _bad("ARRAY_REVERSE", args)
+    ),
+    # Snowflake's P123 soundex VARIANT differs from the standard
+    # algorithm exactly when adjacent letters share a code class —
+    # Spark ships only the standard; a silent swap would mis-bucket
+    # those names (r13 bulk scan)
+    "SOUNDEX_P123": lambda args: (_ for _ in ()).throw(ValueError(
+        "SOUNDEX_P123 (the keep-first-digit variant) has no Spark"
+        " built-in; SOUNDEX (standard algorithm) is lowered — the two"
+        " differ when adjacent letters share a code class"
+    )),
+    # Zipf sampling needs the harmonic-sum inverse CDF — not a
+    # closed-form expression; UNIFORM/NORMAL are lowered, and exact
+    # weighted sampling exists as the x17 operator
+    "ZIPF": lambda args: (_ for _ in ()).throw(ValueError(
+        "ZIPF(s, n, gen) is not lowered (inverse-CDF needs the"
+        " harmonic sum); use UNIFORM/NORMAL or the engine's exact"
+        " weighted sampler (plans/llm_ops.py x17_weighted_sample)"
+    )),
     # Snowflake SPLIT splits on the LITERAL delimiter — Spark's
     # same-named native takes a REGEX, so SPLIT(s, '.') silently
     # exploded every character (probe battery 6). \Q...\E quotes any
