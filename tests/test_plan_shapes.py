@@ -742,3 +742,47 @@ def test_jaro_winkler_udf_runs_on_candidates_only(spark):
     assert "HashJoin" in plan[udf_at:] or "SortMergeJoin" in plan[udf_at:], (
         "gram join must be below the UDF"
     )
+
+
+def test_f39_datetime_battery_scans_two_columns_no_python(spark):
+    """r13 probe battery 8: the boundary-count lowerings are per-row
+    codegen arithmetic — the scan reads ONLY (ts, event_type), nothing
+    reaches Python, and the only exchange is the group-by."""
+    plan = plan_of(spark, "f39_datetime_battery")
+    scan_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "ts" in scan_schema and "event_type" in scan_schema
+    assert "props" not in scan_schema and "value" not in scan_schema
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert "partial_" in plan  # map-side partial aggs
+
+
+def test_k11_minhash_registers_partial_agg_no_python(spark):
+    """r13: MINHASH's k register mins are ONE hash-agg with map-side
+    partials (the shuffle carries k longs per group, never raw
+    values); similarity/combine are post-agg projections. No Python,
+    no cartesian."""
+    plan = plan_of(spark, "k11_minhash_sql_family")
+    assert "partial_min" in plan or "partial_" in plan, plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_f42_cast_types_stay_in_scan_pushdown(spark):
+    """r13: cast-target translation is pure expression rewriting —
+    pruning still reaches the scan (only the 6 referenced lineitem
+    columns are read) and no Python node appears."""
+    plan = plan_of(spark, "f42_cast_type_names")
+    scan_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in scan_schema
+    assert "l_partkey" not in scan_schema
+    assert "Python" not in plan
+
+
+def test_sql64_delete_using_plans_left_anti(spark):
+    """r13: the join-DELETE's kept side is NOT EXISTS -> LEFT ANTI —
+    duplicate source rows can never multiply the target (no dedup
+    node needed, no cartesian)."""
+    plan = plan_of(spark, "sql64_delete_using")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
