@@ -4381,6 +4381,33 @@ def _scan_string_end(sql: str, start: int) -> int:
     raise ValueError(f"unterminated string literal at {sql[start:start+30]!r}")
 
 
+def _regexp_operand_end(sql: str, j: int) -> int:
+    """End index of ONE pattern-operand segment starting at ``j``: a
+    string literal, a balanced parenthesized expression, or an
+    identifier (optionally a call). Anything else refuses — the infix
+    operator cannot be anchored textually for shapes we cannot
+    delimit."""
+    n = len(sql)
+    if j < n and sql[j] == "'":
+        return _scan_string_end(sql, j)
+    if j < n and sql[j] == "(":
+        return _balanced_span(sql, j)
+    im = _INFIX_IDENT_RE.match(sql, j)
+    if im is None:
+        raise ValueError(
+            "infix RLIKE/REGEXP pattern operand is not a string"
+            " literal, parenthesized expression, or identifier:"
+            f" {sql[j:j+40]!r} (Snowflake's infix operator is"
+            " full-match anchored; this shape cannot be anchored"
+            " textually)"
+        )
+    end = im.end()
+    rest = sql[end:]
+    if rest.lstrip().startswith("("):
+        end = _balanced_span(sql, sql.index("(", end))
+    return end
+
+
 def rewrite_regexp_infix(sql: str) -> str:
     """Snowflake's INFIX ``subject [NOT] RLIKE|REGEXP pattern`` is
     FULL-MATCH anchored — the same contract as the function forms
@@ -4408,42 +4435,40 @@ def rewrite_regexp_infix(sql: str) -> str:
             j += 1
         if j >= n:
             return sql
-        if sql[j] == "'":
-            end = _scan_string_end(sql, j)
-            inner = sql[j + 1 : end - 1]
-            if inner.startswith("^(?:") and inner.endswith(")$"):
-                pos = end  # already anchored — idempotence guard
-                continue
-            repl = f"'^(?:{inner})$'"
-            sql = sql[:j] + repl + sql[end:]
-            pos = j + len(repl)
-            continue
         if sql[j] == "(":
             end = _balanced_span(sql, j)
             # `RLIKE(subject, pattern[, params])` — the FUNCTION form
             # (>= 2 top-level args) — belongs to the scalar-head pass;
             # a single top-level operand is the parenthesized INFIX
-            # pattern and anchors here.
+            # pattern and anchors below.
             if len(_split_top_level_commas(sql[j + 1 : end - 1])) > 1:
                 pos = end
                 continue
-            op = sql[j:end]
+        # parse the pattern operand as a ``seg (|| seg)*`` chain —
+        # `x RLIKE 'a' || 'b'` binds the concatenation INTO the
+        # pattern (|| is tighter than the comparison in both
+        # dialects), so anchoring only the first literal would
+        # silently corrupt the regex (r13 self-review)
+        end = _regexp_operand_end(sql, j)
+        while True:
+            k = end
+            while k < n and sql[k].isspace():
+                k += 1
+            if sql[k : k + 2] != "||":
+                break
+            k += 2
+            while k < n and sql[k].isspace():
+                k += 1
+            end = _regexp_operand_end(sql, k)
+        op = sql[j:end]
+        if op.startswith("'") and op.endswith("'") and "||" not in op:
+            inner = op[1:-1]
+            if inner.startswith("^(?:") and inner.endswith(")$"):
+                pos = end  # already anchored — idempotence guard
+                continue
+            repl = f"'^(?:{inner})$'"
         else:
-            im = _INFIX_IDENT_RE.match(sql, j)
-            if im is None:
-                raise ValueError(
-                    "infix RLIKE/REGEXP pattern operand is not a string"
-                    " literal, parenthesized expression, or identifier:"
-                    f" {sql[j:j+40]!r} (Snowflake's infix operator is"
-                    " full-match anchored; this shape cannot be anchored"
-                    " textually)"
-                )
-            end = im.end()
-            if end < n and sql[end:].lstrip().startswith("("):
-                # function-call operand: include its balanced args
-                end = _balanced_span(sql, sql.index("(", end))
-            op = sql[j:end]
-        repl = f"concat('^(?:', {op}, ')$')"
+            repl = f"concat('^(?:', {op}, ')$')"
         sql = sql[:j] + repl + sql[end:]
         pos = j + len(repl)
 
@@ -5471,9 +5496,11 @@ def rewrite_star_modifiers(sql: str) -> str:
 # and rewriting them would churn the schema of every existing caller.
 # ---------------------------------------------------------------------------
 
+# trailing \b keeps ::DECIMALS / ::DECADE-style identifiers whole;
+# (?!\s*<) leaves Spark's generic ARRAY<...> / MAP<...> untouched
 _SF_CAST_TYPE_RE = re.compile(
     r"(?P<base>NUMBER|NUMERIC|DECIMAL|DEC|TEXT|DATETIME|TIMESTAMP_NTZ"
-    r"|FLOAT8|FLOAT4|FLOAT|REAL|BYTEINT|VARIANT|OBJECT|ARRAY)"
+    r"|FLOAT8|FLOAT4|FLOAT|REAL|BYTEINT|VARIANT|OBJECT|ARRAY)\b(?!\s*<)"
     r"(?P<args>\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?",
     re.IGNORECASE,
 )

@@ -3537,6 +3537,15 @@ def test_regexp_dialect_r10_advice(spark):
     # previously leaked through every infix spelling
     assert row.infix_paren is False and row.infix_lit is False
     assert row.infix_full is True and row.infix_not is True
+    # || binds INTO the pattern (tighter than the comparison in both
+    # dialects): the whole concatenation is anchored, not the first
+    # literal (r13 self-review)
+    cc = spark.sql(rewrite_scalar_funcs(
+        "SELECT ('ab' RLIKE 'a' || 'b') AS y,"
+        " ('axb' RLIKE 'a' || 'b') AS n,"
+        " ('ab' RLIKE concat('a', '.')) AS fn"
+    )).first()
+    assert cc.y is True and cc.n is False and cc.fn is True
     # 6th arg (group_num) implies extraction mode per Snowflake docs
     assert row.grp_implied_e == "34"
     # 'm' hoisted before the anchors: ^ AND $ are both line anchors —
