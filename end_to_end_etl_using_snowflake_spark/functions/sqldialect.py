@@ -994,15 +994,23 @@ def rewrite_generator(sql: str) -> str:
     """
     if re.search(r"GENERATOR\s*\(\s*TIMELIMIT", sql, re.IGNORECASE):
         raise ValueError("GENERATOR(TIMELIMIT) is nondeterministic; use ROWCOUNT")
-    out = _GENERATOR_RE.sub(
-        lambda m: f"(SELECT id AS __gen_seq FROM range({m.group(1)}))", sql
+    # literal-aware substitutions (r13, rewriter property battery:
+    # 'SEQ4()' as string CONTENT was being rewritten to '__gen_seq')
+    out = _sub_outside_literals(
+        _GENERATOR_RE,
+        lambda m: f"(SELECT id AS __gen_seq FROM range({m.group(1)}))",
+        sql,
     )
-    out = _SEQ_RE.sub("__gen_seq", out)
+    out = _sub_outside_literals(_SEQ_RE, lambda m: "__gen_seq", out)
     # DATEADD(unit, k, d) -> date_add / add_months (balanced-paren args)
+    da_pos = 0
     while True:
-        m = _DATEADD_HEAD.search(out)
+        m = _DATEADD_HEAD.search(out, da_pos)
         if m is None:
             return out
+        if out[: m.start()].count("'") % 2 == 1:  # inside a literal
+            da_pos = m.end()
+            continue
         open_idx = out.index("(", m.start())
         close = _balanced_span(out, open_idx)
         args = _split_top_level_commas(out[open_idx + 1 : close - 1])
@@ -4408,6 +4416,25 @@ def _regexp_operand_end(sql: str, j: int) -> int:
     return end
 
 
+def _sub_outside_literals(pattern: "re.Pattern[str]", repl, sql: str) -> str:
+    """re.sub, but matches inside '...' string literals are left
+    untouched ('' doubling keeps the quote parity correct)."""
+    out = []
+    pos = 0
+    while True:
+        m = pattern.search(sql, pos)
+        if m is None:
+            out.append(sql[pos:])
+            return "".join(out)
+        if sql[: m.start()].count("'") % 2 == 1:
+            out.append(sql[pos : m.end()])
+            pos = m.end()
+            continue
+        out.append(sql[pos : m.start()])
+        out.append(repl(m))
+        pos = m.end()
+
+
 def rewrite_regexp_infix(sql: str) -> str:
     """Snowflake's INFIX ``subject [NOT] RLIKE|REGEXP pattern`` is
     FULL-MATCH anchored — the same contract as the function forms
@@ -5222,6 +5249,9 @@ def rewrite_semi_structured(sql: str) -> str:
         m = head.search(sql, pos)
         if m is None:
             break
+        if sql[: m.start()].count("'") % 2 == 1:  # inside a literal
+            pos = m.end()
+            continue
         open_idx = sql.index("(", m.end() - 1)
         close = _balanced_span(sql, open_idx)
         arg = sql[open_idx + 1 : close - 1].strip()
@@ -5266,10 +5296,14 @@ def rewrite_semi_structured(sql: str) -> str:
     head = re.compile(
         r"\b(?P<fn>OBJECT_CONSTRUCT(?:_KEEP_NULL)?)\s*\(", re.IGNORECASE
     )
+    oc_pos = 0
     while True:
-        m = head.search(sql)
+        m = head.search(sql, oc_pos)
         if m is None:
             break
+        if sql[: m.start()].count("'") % 2 == 1:  # inside a literal
+            oc_pos = m.end()
+            continue
         open_idx = sql.index("(", m.end() - 1)
         close = _balanced_span(sql, open_idx)
         args = [a.strip() for a in _split_top_level_commas(sql[open_idx + 1 : close - 1])]
@@ -5346,6 +5380,13 @@ def rewrite_scalar_funcs(sql: str) -> str:
         guard += 1
         if guard > 200:
             raise RuntimeError("rewrite_scalar_funcs did not converge")
+        # literal-awareness (r13, found by the rewriter property
+        # battery): a head INSIDE a string literal is text, not a
+        # call — 'DATEDIFF(hour, a, b)' as a VALUE was being rewritten
+        # into its lowering. '' doubling keeps the parity correct.
+        if sql[: m.start()].count("'") % 2 == 1:
+            pos = m.end()
+            continue
         open_idx = sql.index("(", m.end() - 1)
         close = _balanced_span(sql, open_idx)
         name = m.group(1).upper()

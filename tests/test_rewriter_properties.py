@@ -1,0 +1,75 @@
+"""Property-based invariants of the text-rewrite stack
+(functions/sqldialect.py:lower_select and its passes), r13.
+
+The stack is a dozen literal-aware scans; the property that keeps the
+whole approach safe is: STRING LITERALS ARE INVIOLATE. Hypothesis
+generates literal contents full of rewrite-trigger text (function
+heads, '::NUMBER', '* EXCLUDE', 'RLIKE', comma intervals, regex
+metacharacters, embedded '' quotes) and splices them into queries;
+every pass composition must carry the literal through byte-identical
+and never raise anything but the documented ValueError refusals.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+    lower_select,
+)
+
+# literal contents stuffed with trigger text; no single quotes here —
+# embedded quotes are exercised separately via explicit '' doubling
+_TRIGGER_WORDS = st.sampled_from([
+    "RLIKE", "REGEXP", "x::NUMBER(10,2)", "* EXCLUDE (a)",
+    "INTERVAL 1 day, 2 hours", "DATEDIFF(hour, a, b)", "CHR(9731)",
+    "SPLIT(a, .)", "MINHASH(32, x)", "CAST(x AS TEXT)", "\\Q", "\\E",
+    "DELETE FROM t USING s", "IFF(a, b, c)", "SEQ4()", "||",
+])
+_FILLER = st.text(
+    alphabet="abcXYZ ,.()[]{}%$^*+-/\\<>=!?:;_0123456789", max_size=12
+)
+_LITERAL_BODY = st.lists(
+    st.one_of(_TRIGGER_WORDS, _FILLER), min_size=0, max_size=4
+).map("".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_LITERAL_BODY, _LITERAL_BODY)
+def test_string_literals_survive_lowering(a, b):
+    sql = f"SELECT '{a}' AS x, UPPER('{b}') AS y FROM t"
+    try:
+        out = lower_select(sql)
+    except ValueError:
+        # documented refusals are allowed; anything else would have
+        # propagated as a different exception type and failed the test
+        return
+    assert f"'{a}'" in out, (sql, out)
+    assert f"'{b}'" in out, (sql, out)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_LITERAL_BODY)
+def test_doubled_quotes_keep_parity(body):
+    # an embedded quote is written '' — the literal-awareness of every
+    # pass is parity-based, so the doubled form must not flip state
+    # and let a trigger word AFTER the literal go un-rewritten (or a
+    # trigger INSIDE it get rewritten)
+    sql = f"SELECT 'pre''{body}''post' AS x, x::NUMBER(4,1) AS n FROM t"
+    try:
+        out = lower_select(sql)
+    except ValueError:
+        return
+    assert f"'pre''{body}''post'" in out, out
+    assert "::DECIMAL(4,1)" in out, out  # the real cast DID rewrite
+
+
+# NOTE deliberately absent: full lower_select idempotence is NOT a
+# contract — lowerings may emit lower-case spellings their own heads
+# would re-match (split/to_date), and every caller lowers exactly
+# once. Per-pass idempotence where it matters (anchored literals,
+# comma-free intervals, ::-type targets) is unit-pinned instead.
