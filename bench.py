@@ -184,31 +184,32 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # calibration probe: warm once, then min-of-3 like every headline
-    _calibration(spark)
-    cal = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _calibration(spark)
-        cal = min(cal, time.perf_counter() - t0)
-    cal = round(cal, 3)
-
     # timed: build + materialize. build() is plan construction (~ms) for
     # pure queries, but the stateful pipeline entries (pl_backfill_scale)
     # do their real work inside build — timing both keeps one rule.
     #
-    # Each query reports the MIN of 3 timed runs (VERDICT r5 #2): at
-    # these magnitudes a single run cannot distinguish a regression
-    # from a GC pause — r5 saw a uniform ~1.2x drift and one spurious
-    # 2.26x outlier on unchanged code. The min is the right noise-floor
-    # estimator for deterministic repeatable work (variance is all
-    # additive noise: GC, page cache, JIT recompiles). The two backfill
-    # pipeline entries stay single-run: their build consumes prepared
-    # input state (the delta cycle applies the held-back months), so a
-    # second run would measure a different, smaller computation.
+    # Two-level protocol (VERDICT r13 #4 — the two-quiet-runs evidence
+    # is now STRUCTURAL, not a NOTES side note):
+    #
+    # - Each query reports the MIN of 3 timed runs per pass (VERDICT
+    #   r5 #2): at these magnitudes a single run cannot distinguish a
+    #   regression from a GC pause; the min is the right noise-floor
+    #   estimator for deterministic repeatable work.
+    # - The WHOLE timed loop runs SPARK_GRAFT_BENCH_PASSES times
+    #   (default 2), each pass with its own calibration probe. The
+    #   artifact carries every pass in "runs" (value + calibration +
+    #   normalized), so the +/-N% same-day noise claim is readable
+    #   from the JSON itself; the headline "value" is the MEDIAN of
+    #   the pass totals, and "queries" keeps the per-query MIN across
+    #   passes (the cross-round per-query comparator).
+    # - The two backfill pipeline entries stay single-run: their build
+    #   consumes prepared input state (the delta cycle applies the
+    #   held-back months), so a re-run would measure a different,
+    #   smaller computation. Their one measured value is reused in
+    #   every pass total (documented coupling between pass totals).
     single_run = {"pl_backfill_incremental", "pl_backfill_scale"}
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    timings: dict[str, float] = {}
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     # per-query contention sampling (VERDICT r9 #7 / r10 #5): sample
     # the 1-min loadavg before each query so a mid-loop external spike
     # is visible in the artifact, not just the start/end bookends. The
@@ -217,27 +218,75 @@ def main() -> None:
     # flag uses a near-saturation threshold (0.5 * cpus) well above
     # the bench's own measured steady-state (~6-8 on 32 cpus), where
     # the start-gate keeps the stricter 0.25 * cpus on a quiet JVM.
+    # With multiple passes the recorded sample is the per-query MAX
+    # (worst seen), matching the conservative contended flag.
     midloop_thresh = 0.5 * (os.cpu_count() or 8)
     query_load: dict[str, float | None] = {}
-    for name in HEADLINE:
-        query_load[name] = _loadavg()
-        best = float("inf")
-        for _ in range(1 if name in single_run else repeats):
+    timings: dict[str, float] = {}
+    single_done: dict[str, float] = {}
+    runs: list[dict] = []
+    # warm the calibration probe once before any pass measures it
+    _calibration(spark)
+    for _ in range(passes):
+        cal_p = float("inf")
+        for _ in range(3):
             t0 = time.perf_counter()
-            df = REGISTRY[name].build(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            _calibration(spark)
+            cal_p = min(cal_p, time.perf_counter() - t0)
+        cal_p = round(cal_p, 3)
+        pass_timings: dict[str, float] = {}
+        for name in HEADLINE:
+            lv = _loadavg()
+            prev = query_load.get(name)
+            query_load[name] = lv if prev is None else (
+                prev if lv is None else max(prev, lv)
+            )
+            if name in single_run:
+                if name not in single_done:
+                    t0 = time.perf_counter()
+                    df = REGISTRY[name].build(spark, sf_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                    single_done[name] = round(time.perf_counter() - t0, 3)
+                pass_timings[name] = single_done[name]
+            else:
+                best = float("inf")
+                for _ in range(repeats):
+                    t0 = time.perf_counter()
+                    df = REGISTRY[name].build(spark, sf_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+                pass_timings[name] = round(best, 3)
+            timings[name] = round(
+                min(timings.get(name, float("inf")), pass_timings[name]), 3
+            )
+        total_p = round(sum(pass_timings.values()), 3)
+        runs.append({
+            "value": total_p,
+            "calibration_sec": cal_p,
+            "value_normalized": round(
+                total_p * (CAL_REFERENCE_SEC / cal_p), 3
+            ),
+        })
     contended_queries = sorted(
         n for n, lv in query_load.items()
         if lv is not None and lv > midloop_thresh
     )
+    run_values = sorted(r["value"] for r in runs)
+    mid = len(run_values) // 2
+    median_value = (
+        run_values[mid] if len(run_values) % 2 == 1
+        else round((run_values[mid - 1] + run_values[mid]) / 2, 3)
+    )
+    cal = sorted(r["calibration_sec"] for r in runs)[len(runs) // 2]
 
     end_load = _loadavg()
     full = {
         "metric": "headline_queries_total_runtime",
-        "value": round(sum(timings.values()), 3),
+        # MEDIAN of the pass totals (the per-pass evidence is in
+        # "runs"); "queries" holds the per-query MIN across passes
+        "value": median_value,
         "unit": "sec",
+        "runs": runs,
         "queries": timings,
         "sf": float(sf),
         # contention self-description: loadavg_start is the
@@ -264,9 +313,7 @@ def main() -> None:
         # the host is faster/slower that day, not the engine.
         "calibration_sec": cal,
         "calibration_reference_sec": CAL_REFERENCE_SEC,
-        "value_normalized": round(
-            sum(timings.values()) * (CAL_REFERENCE_SEC / cal), 3
-        ),
+        "value_normalized": round(median_value * (CAL_REFERENCE_SEC / cal), 3),
     }
     # VERDICT r11 #1: the driver keeps only the LAST 2000 chars of
     # stdout, and r11's full JSON grew past that — the headline metric
@@ -286,6 +333,7 @@ def main() -> None:
         "value": full["value"],
         "value_normalized": full["value_normalized"],
         "calibration_sec": cal,
+        "runs": runs,
         "unit": "sec",
         # 2-dp on the LINE (fits ~8 more entries in the capture
         # budget); the sidecar keeps 3-dp

@@ -128,6 +128,9 @@ def snowflake_sql(
     directory) binds the file-transfer verbs (r9 session 2): PUT
     returns its one status row, REMOVE one row per removed file —
     Snowflake's own result shapes."""
+    # the TO_TIME family lowers onto Spark 4.1's native TIME type,
+    # which hides behind a session flag (off on bare sessions)
+    spark.conf.set("spark.sql.timeType.enabled", "true")
     stmt = _normalize(text)
     low = stmt.lower()
 

@@ -1379,8 +1379,11 @@ def delete_statement(spark, text: str, tables: dict):  # noqa: ANN001
     which is exactly ``NOT EXISTS`` on the kept side: Catalyst plans
     it as a LEFT ANTI join (one shuffle on the correlated keys, no
     row multiplication to dedup, source multiplicity irrelevant by
-    construction). A missing WHERE empties the table in both
-    shapes."""
+    construction). A missing WHERE empties the table only in the
+    plain shape; with USING it deletes rows that have AT LEAST ONE
+    source combination (predicate TRUE), so an EMPTY source deletes
+    NOTHING — the r13 code truncated unconditionally, a silent
+    divergence (ADVICE r13)."""
     from pyspark.sql import functions as F
 
     from ..operators.dml import delete_where
@@ -1393,9 +1396,9 @@ def delete_statement(spark, text: str, tables: dict):  # noqa: ANN001
             " [WHERE ...])"
         )
     df = _dml_table(tables, m.group("t"))
-    if not m.group("pred"):
+    if not m.group("pred") and not m.group("using"):
         return df.filter(F.lit(False))
-    pred = m.group("pred").strip()
+    pred = (m.group("pred") or "TRUE").strip()
     if m.group("using"):
         t_short = m.group("t").split(".")[-1]
         df.createOrReplaceTempView(t_short)
@@ -1976,14 +1979,17 @@ def _chr_rewrite(name: str, args: list) -> str:
     """CHR/CHAR(n): Unicode code point -> character via the UTF-32
     identity encoding (Spark's chr is mod-256 ASCII — silent garbage
     past 255). Out-of-range code points refuse loudly; Java's UTF-32
-    decoder would substitute U+FFFD silently."""
+    decoder would substitute U+FFFD silently. The surrogate block
+    U+D800-U+DFFF is equally undecodable (Java yields U+FFFD for it
+    too), so it joins the loud-refusal arm (ADVICE r13)."""
     if len(args) != 1:
         return _bad(name, args)
     x = args[0]
     return (
-        f"(CASE WHEN ({x}) < 0 OR ({x}) > 1114111 THEN"
+        f"(CASE WHEN ({x}) < 0 OR ({x}) > 1114111"
+        f" OR (({x}) BETWEEN 55296 AND 57343) THEN"
         f" raise_error(concat('{name}: Unicode code point out of"
-        f" range: ', CAST({x} AS STRING)))"
+        f" range (or surrogate): ', CAST({x} AS STRING)))"
         f" ELSE decode(unhex(lpad(hex({x}), 8, '0')), 'UTF-32') END)"
     )
 
@@ -2533,14 +2539,20 @@ _SCALAR_REWRITES = {
     "SYSDATE": lambda args: "current_timestamp()",
     "GETDATE": lambda args: "current_timestamp()",
     "SYSTIMESTAMP": lambda args: "current_timestamp()",
-    "TO_TIME": lambda args: (_ for _ in ()).throw(
-        ValueError(
-            "TO_TIME: Spark has no TIME type; model times as TIMESTAMP"
-            " or seconds-since-midnight integers"
-        )
-    ),
-    "TRY_TO_TIME": lambda args: (_ for _ in ()).throw(
-        ValueError("TRY_TO_TIME: Spark has no TIME type")
+    # TIME-of-day family (r14, VERDICT r13 #5): Spark 4.1 ships a
+    # native TIME type behind spark.sql.timeType.enabled — the engine
+    # turns it on (session.py; register_views/snowflake_sql set it on
+    # caller-provided sessions), so TO_TIME lowers onto to_time()
+    # instead of the old loud refusal. The 1-arg AUTO form extracts
+    # the HH[:MM[:SS[.fff]]] run from the RENDERED value so timestamps
+    # and timestamp strings yield their time-of-day like Snowflake;
+    # garbage extracts '' and to_time('') raises (CANNOT_PARSE_TIME —
+    # loud, never a silent midnight). AM/PM inputs refuse with
+    # format-argument guidance in BOTH forms: Snowflake's AUTO parses
+    # them, this extraction would silently drop the meridiem.
+    "TO_TIME": lambda args: _to_time_rewrite("TO_TIME", args, try_=False),
+    "TRY_TO_TIME": lambda args: _to_time_rewrite(
+        "TRY_TO_TIME", args, try_=True
     ),
     # order-independent content hash of the group (Snowflake's exact
     # hash value is proprietary; this engine's contract matches —
@@ -2710,13 +2722,12 @@ _SCALAR_REWRITES = {
     "TIMESTAMP_NTZ_FROM_PARTS": lambda args: _timestamp_from_parts(
         "TIMESTAMP_NTZ_FROM_PARTS", args
     ),
-    "TIME_FROM_PARTS": lambda args: (_ for _ in ()).throw(
-        ValueError(
-            "TIME_FROM_PARTS: Spark has no TIME type; model times as"
-            " TIMESTAMP (TIMESTAMP_FROM_PARTS) or seconds-since-"
-            "midnight integers"
-        )
-    ),
+    # Snowflake documents out-of-range parts as ROLLING OVER (minute
+    # 120 -> 2 hours; negative seconds roll backward) — Spark's
+    # make_time range-checks, so the lowering normalizes to
+    # microseconds-past-midnight first (pmod handles the negative
+    # direction exactly like Snowflake's backward roll).
+    "TIME_FROM_PARTS": lambda args: _time_from_parts_rewrite(args),
     "NORMAL": lambda args: (
         # gaussian generator; the gen argument (RANDOM()) selects
         # Snowflake's stream — Spark's randn() is the one stream
@@ -2857,13 +2868,15 @@ _SCALAR_REWRITES = {
     "BOOLAND_AGG": lambda args: (
         f"bool_and({args[0]})" if len(args) == 1 else _bad("BOOLAND_AGG", args)
     ),
-    # aggregated XOR = odd count of TRUEs; NULLs ignored, all-NULL ->
-    # NULL (Snowflake's aggregate NULL rule). count() counts non-null,
-    # count_if() the TRUEs — both partial-agg codegen. Boolean inputs,
-    # like the BOOLOR_AGG/BOOLAND_AGG lowerings above (r13).
+    # Snowflake documents BOOLXOR_AGG as "TRUE if EXACTLY ONE record
+    # in the group is TRUE" — NOT cumulative odd-parity XOR (a 3-TRUE
+    # group is FALSE there, TRUE under parity; r13 shipped parity, a
+    # silent divergence). NULLs ignored, all-NULL -> NULL (Snowflake's
+    # aggregate NULL rule). count() counts non-null, count_if() the
+    # TRUEs — both partial-agg codegen (r14 fix).
     "BOOLXOR_AGG": lambda args: (
         f"(CASE WHEN count({args[0]}) = 0 THEN CAST(NULL AS BOOLEAN)"
-        f" ELSE pmod(count_if({args[0]}), 2) = 1 END)"
+        f" ELSE count_if({args[0]}) = 1 END)"
         if len(args) == 1
         else _bad("BOOLXOR_AGG", args)
     ),
@@ -2897,6 +2910,18 @@ _SCALAR_REWRITES = {
         f"width_bucket({', '.join(args)})"
         if len(args) == 4
         else _bad("WIDTH_BUCKET", args)
+    ),
+    # Snowflake documents multi-arg GROUPING(e1, e2, ...) as an alias
+    # of GROUPING_ID (leftmost arg = most significant bit — the same
+    # bit order Spark and DuckDB use); Spark's grouping() is strictly
+    # single-arg, so the multi-arg spelling dies in the analyzer
+    # without this lowering (probe battery 10, r14).
+    "GROUPING": lambda args: (
+        f"grouping({args[0]})"
+        if len(args) == 1
+        else f"grouping_id({', '.join(args)})"
+        if args
+        else _bad("GROUPING", args)
     ),
     "OBJECT_AGG": lambda args: (
         # JSON-text OBJECT (this engine's VARIANT convention, f30),
@@ -3619,6 +3644,66 @@ def _to_datetime_rewrite(name: str, args: list, *, as_date: bool, try_: bool) ->
     raise ValueError(
         f"{name} supports (expr) or (expr, '<format>') with a literal"
         f" format string; got {len(args)} args"
+    )
+
+
+# time-of-day run inside any rendered value: HH[:MM[:SS[.fff]]];
+# [.] instead of \. keeps the pattern literal-escape-proof in both
+# engines' string-literal rules
+_TIME_EXTRACT_RX = "'([0-9]{1,2}:[0-9]{2}(:[0-9]{2}([.][0-9]+)?)?)'"
+
+
+def _to_time_rewrite(name: str, args: list, *, try_: bool) -> str:
+    """TO_TIME / TRY_TO_TIME onto Spark 4.1's native TIME type (r14).
+    1-arg AUTO extracts the time-of-day run from the rendered value
+    (so TIMESTAMP inputs work like Snowflake's); 2-arg translates the
+    Snowflake format like the TO_TIMESTAMP family. AM/PM inputs
+    refuse in both forms — TRY_'s NULL contract covers UNPARSEABLE
+    values, but AM/PM is parseable in Snowflake, so a NULL (or a
+    silently 12-hour-shifted value) would be a wrong answer."""
+    fn = "try_to_time" if try_ else "to_time"
+    if len(args) == 1:
+        rendered = f"CAST(({args[0]}) AS STRING)"
+        return (
+            f"(CASE WHEN {rendered} RLIKE '(?i)[0-9] *[AP][.]?M' THEN"
+            f" raise_error('{name}: AM/PM times need an explicit"
+            f" format argument')"
+            f" ELSE {fn}(regexp_extract({rendered},"
+            f" {_TIME_EXTRACT_RX}, 1)) END)"
+        )
+    fmt = _fmt_literal(args, 1, name)
+    if len(args) == 2 and fmt is not None:
+        if re.search(r"(?i)AM|PM|HH12", fmt):
+            raise ValueError(
+                f"{name}: 12-hour formats (HH12/AM/PM) have no"
+                " verified Spark TIME-parse mapping — convert via"
+                " TO_TIMESTAMP(expr, format) and take the time part"
+            )
+        return f"{fn}({args[0]}, {_sql_str(_sf_datetime_format_to_spark(fmt))})"
+    raise ValueError(
+        f"{name} supports (expr) or (expr, '<format>') with a literal"
+        f" format string; got {len(args)} args"
+    )
+
+
+def _time_from_parts_rewrite(args: list) -> str:
+    """TIME_FROM_PARTS(h, m, s[, ns]) with Snowflake's documented
+    rollover: parts normalize to microseconds-past-midnight (pmod, so
+    negatives roll backward) before make_time splits them back out."""
+    if len(args) not in (3, 4):
+        return _bad("TIME_FROM_PARTS", args)
+    h, m, s = args[0], args[1], args[2]
+    ns_us = f"(CAST(({args[3]}) AS BIGINT) DIV 1000)" if len(args) == 4 else "0"
+    tot = (
+        f"pmod(CAST(({h}) AS BIGINT) * 3600000000"
+        f" + CAST(({m}) AS BIGINT) * 60000000"
+        f" + CAST(({s}) AS BIGINT) * 1000000"
+        f" + {ns_us}, 86400000000)"
+    )
+    return (
+        f"make_time(CAST(({tot}) DIV 3600000000 AS INT),"
+        f" CAST((({tot}) % 3600000000) DIV 60000000 AS INT),"
+        f" CAST((({tot}) % 60000000) AS DECIMAL(16,6)) / 1000000)"
     )
 
 
@@ -5064,6 +5149,76 @@ def rewrite_window_dialect(sql: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Snowflake value-window DEFAULT FRAMES (probe battery 10, r14).
+# Snowflake documents FIRST_VALUE / LAST_VALUE / NTH_VALUE as
+# defaulting to the ENTIRE window — "ROWS BETWEEN UNBOUNDED PRECEDING
+# AND UNBOUNDED FOLLOWING" — an explicit, documented deviation from
+# the ANSI default that Spark follows (RANGE UNBOUNDED PRECEDING ..
+# CURRENT ROW). On a frameless ``LAST_VALUE(x) OVER (PARTITION BY p
+# ORDER BY o)`` Spark silently returns the CURRENT row's value where
+# Snowflake returns the partition's last — the classic wrong-answer
+# trap, so the lowering appends the whole-window ROWS frame whenever
+# the OVER clause has a top-level ORDER BY and no explicit frame.
+# (Frameless AGGREGATE windows are NOT touched: Snowflake's implied
+# cumulative frame there matches the ANSI RANGE default Spark uses —
+# tie behavior pinned by f43's oracle.) NTH_VALUE's ``FROM FIRST`` is
+# the default and drops; ``FROM LAST`` has no Spark spelling and
+# refuses with the reverse-the-ORDER-BY rewrite.
+# ---------------------------------------------------------------------------
+
+_VALUE_WIN_HEAD = re.compile(
+    r"\b(?P<fn>FIRST_VALUE|LAST_VALUE|NTH_VALUE)\s*\(", re.IGNORECASE
+)
+_FROM_DIR_RE = re.compile(r"\s*FROM\s+(?P<dir>FIRST|LAST)\b", re.IGNORECASE)
+_NULLS_OPT_RE = re.compile(r"\s*(?:IGNORE|RESPECT)\s+NULLS\b", re.IGNORECASE)
+_WHOLE_FRAME = " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+
+
+def rewrite_value_window_frames(sql: str) -> str:
+    pos = 0
+    while True:
+        m = _VALUE_WIN_HEAD.search(sql, pos)
+        if m is None:
+            break
+        if sql[: m.start()].count("'") % 2 == 1:
+            pos = m.end()
+            continue
+        fn = m.group("fn").upper()
+        close = _balanced_span(sql, m.end() - 1)
+        i = close
+        fm = _FROM_DIR_RE.match(sql[i:])
+        if fm is not None:
+            if fm.group("dir").upper() == "LAST":
+                raise ValueError(
+                    f"{fn} ... FROM LAST has no Spark spelling — reverse"
+                    " the window's ORDER BY direction and use FROM FIRST"
+                )
+            # FROM FIRST is the default: drop the tokens
+            sql = sql[:i] + sql[i + fm.end():]
+        nm = _NULLS_OPT_RE.match(sql[i:])
+        if nm is not None:
+            i += nm.end()
+        om = _OVER_RE.match(sql[i:])
+        if om is None:
+            pos = close  # bare aggregate use (no OVER): leave untouched
+            continue
+        w_open = i + om.end() - 1
+        w_close = _balanced_span(sql, w_open)
+        win = sql[w_open + 1 : w_close - 1]
+        has_order = _top_level_keyword(win, "ORDER") >= 0
+        has_frame = any(
+            _top_level_keyword(win, kw) >= 0
+            for kw in ("ROWS", "RANGE", "GROUPS")
+        )
+        if has_order and not has_frame:
+            sql = sql[: w_close - 1] + _WHOLE_FRAME + sql[w_close - 1 :]
+            pos = w_close + len(_WHOLE_FRAME)
+        else:
+            pos = w_close
+    return sql
+
+
 _TOP_RE = re.compile(r"^(\s*SELECT)\s+TOP\s+(\d+)\s+", re.IGNORECASE)
 
 
@@ -5461,8 +5616,17 @@ def rewrite_interval_commas(sql: str) -> str:
         r = repl(m)
         sql = sql[: m.start()] + r + sql[m.end():]
         pos = m.start() + len(r)
-    m = _INTERVAL_BARE_COMMA_RE.search(sql)
-    if m is not None and sql[: m.start()].count("'") % 2 == 0:
+    # backstop: resume past literal-interior hits so a string literal
+    # containing INTERVAL-comma text cannot mask a LATER genuine
+    # signless comma constant (ADVICE r13)
+    bpos = 0
+    while True:
+        m = _INTERVAL_BARE_COMMA_RE.search(sql, bpos)
+        if m is None:
+            break
+        if sql[: m.start()].count("'") % 2 == 1:
+            bpos = m.end()
+            continue
         raise ValueError(
             "comma-separated INTERVAL constant without a preceding"
             f" +/- sign cannot be split: {m.group(0)!r}"
@@ -5481,11 +5645,19 @@ def rewrite_interval_commas(sql: str) -> str:
 # column list.
 # ---------------------------------------------------------------------------
 
+# Only a SELECT-LIST star can carry a modifier: anchor to stars
+# preceded by SELECT [DISTINCT|ALL], a list comma, or a qualifier dot
+# (``t.*``). Without the anchor, ordinary multiplication false-matched:
+# ``2 * REPLACE(s,'a','b')`` hit the refusal, and ``price *
+# excluded_rate`` (EXCLUDE lacked a trailing \b) was mangled into
+# ``price * EXCEPT (d_rate)``.
+_STAR_MOD_HEAD = r"(?P<pre>(?:\bSELECT\s+(?:DISTINCT\s+|ALL\s+)?|,\s*|\.)\*\s+)"
 _STAR_EXCLUDE_RE = re.compile(
-    r"(\*\s+)EXCLUDE\s*(\(([^)]*)\)|([A-Za-z_]\w*))", re.IGNORECASE
+    _STAR_MOD_HEAD + r"EXCLUDE\b\s*(?:\((?P<plist>[^)]*)\)|(?P<pcol>[A-Za-z_]\w*))",
+    re.IGNORECASE,
 )
 _STAR_REFUSE_RE = re.compile(
-    r"\*\s+(RENAME|REPLACE|ILIKE)\b", re.IGNORECASE
+    _STAR_MOD_HEAD + r"(?P<kw>RENAME|REPLACE|ILIKE)\b", re.IGNORECASE
 )
 
 
@@ -5498,13 +5670,25 @@ def rewrite_star_modifiers(sql: str) -> str:
         if sql[: m.start()].count("'") % 2 == 1:
             pos = m.end()
             continue
-        cols = m.group(3) if m.group(3) is not None else m.group(4)
-        repl = f"{m.group(1)}EXCEPT ({cols})"
+        cols = m.group("plist") if m.group("plist") is not None else m.group("pcol")
+        repl = f"{m.group('pre')}EXCEPT ({cols})"
         sql = sql[: m.start()] + repl + sql[m.end():]
         pos = m.start() + len(repl)
-    m = _STAR_REFUSE_RE.search(sql)
-    if m is not None and sql[: m.start()].count("'") % 2 == 0:
-        kw = m.group(1).upper()
+    # resume-past loop: a literal-interior match must not mask a later
+    # genuine select-list modifier (same pattern as the other scans)
+    rpos = 0
+    m = None
+    while True:
+        cand = _STAR_REFUSE_RE.search(sql, rpos)
+        if cand is None:
+            break
+        if sql[: cand.start()].count("'") % 2 == 1:
+            rpos = cand.end()
+            continue
+        m = cand
+        break
+    if m is not None:
+        kw = m.group("kw").upper()
         hint = {
             "RENAME": "SELECT * EXCEPT (a), a AS new_name (the renamed"
                       " column moves to the end) or list the columns",
@@ -5541,7 +5725,7 @@ def rewrite_star_modifiers(sql: str) -> str:
 # (?!\s*<) leaves Spark's generic ARRAY<...> / MAP<...> untouched
 _SF_CAST_TYPE_RE = re.compile(
     r"(?P<base>NUMBER|NUMERIC|DECIMAL|DEC|TEXT|DATETIME|TIMESTAMP_NTZ"
-    r"|FLOAT8|FLOAT4|FLOAT|REAL|BYTEINT|VARIANT|OBJECT|ARRAY)\b(?!\s*<)"
+    r"|TIME|FLOAT8|FLOAT4|FLOAT|REAL|BYTEINT|VARIANT|OBJECT|ARRAY)\b(?!\s*<)"
     r"(?P<args>\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?",
     re.IGNORECASE,
 )
@@ -5567,6 +5751,16 @@ def _sf_cast_type_repl(base: str, args: str | None) -> str:
         return "STRING"
     if b in ("DATETIME", "TIMESTAMP_NTZ"):
         return "TIMESTAMP"
+    if b == "TIME":
+        # Spark 4.1's native TIME (behind spark.sql.timeType.enabled,
+        # which the engine turns on — session.py / register_views /
+        # snowflake_sql). Snowflake's default precision is 9 (nanos);
+        # Spark tops out at 6 — the same documented micros floor the
+        # TO_TIMESTAMP family uses.
+        if a:
+            p = int(a.strip("()").split(",")[0])
+            return f"TIME({min(p, 6)})"
+        return "TIME(6)"
     if b in ("FLOAT", "FLOAT4", "FLOAT8", "REAL"):
         return "DOUBLE"  # all 8-byte in Snowflake
     if b == "BYTEINT":
@@ -6850,6 +7044,7 @@ def lower_select(sql: str) -> str:
     sql = rewrite_variant_path(sql)
     sql = rewrite_cast_types(sql)
     sql = rewrite_window_dialect(sql)
+    sql = rewrite_value_window_frames(sql)
     sql = rewrite_semi_structured(sql)
     sql = rewrite_scalar_funcs(sql)
     sql = rewrite_split_to_table(sql)

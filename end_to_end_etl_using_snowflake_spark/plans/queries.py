@@ -11636,3 +11636,224 @@ def sql64_delete_using(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long").alias("cents_sum"),
     )
+
+
+_F43_SNOWFLAKE_TEXT = """
+SELECT o_orderkey,
+       o_orderpriority,
+       FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority
+           ORDER BY o_orderdate, o_orderkey) AS first_key,
+       LAST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority
+           ORDER BY o_orderdate, o_orderkey) AS last_key,
+       NTH_VALUE(o_orderkey, 3) OVER (PARTITION BY o_orderpriority
+           ORDER BY o_orderdate, o_orderkey) AS third_key,
+       LAST_VALUE(CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus END)
+           IGNORE NULLS OVER (PARTITION BY o_orderpriority
+           ORDER BY o_orderdate, o_orderkey) AS last_even_status,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+           OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate)
+           AS BIGINT) AS run_cents
+FROM (SELECT * FROM orders WHERE o_orderkey % 23 = 0)
+"""
+
+_F43_FULL_FRAME = (
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+)
+
+
+@register(
+    "f43_value_window_frames",
+    oracle=f"""
+    SELECT o_orderkey,
+           o_orderpriority,
+           FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority
+               ORDER BY o_orderdate, o_orderkey {_F43_FULL_FRAME})
+               AS first_key,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority
+               ORDER BY o_orderdate, o_orderkey {_F43_FULL_FRAME})
+               AS last_key,
+           NTH_VALUE(o_orderkey, 3) OVER (PARTITION BY o_orderpriority
+               ORDER BY o_orderdate, o_orderkey {_F43_FULL_FRAME})
+               AS third_key,
+           LAST_VALUE(CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus END
+               IGNORE NULLS) OVER (PARTITION BY o_orderpriority
+               ORDER BY o_orderdate, o_orderkey {_F43_FULL_FRAME})
+               AS last_even_status,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+               OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate)
+               AS BIGINT) AS run_cents
+    FROM (SELECT * FROM orders WHERE o_orderkey % 23 = 0)
+    """,
+    doc="""Probe battery 10 (r14) part 1 — value-window DEFAULT
+    FRAMES. Snowflake documents FIRST_VALUE/LAST_VALUE/NTH_VALUE as
+    defaulting to the ENTIRE window (ROWS UNBOUNDED PRECEDING ..
+    UNBOUNDED FOLLOWING) — an explicit deviation from the ANSI
+    default Spark follows (RANGE .. CURRENT ROW), so a frameless
+    pasted ``LAST_VALUE(x) OVER (... ORDER BY ...)`` silently
+    returned the CURRENT row's value instead of the partition's last,
+    and NTH_VALUE(x, n) returned NULL until row n. The new
+    ``rewrite_value_window_frames`` pass appends the whole-window
+    frame exactly when the OVER clause has a top-level ORDER BY and
+    no explicit ROWS/RANGE/GROUPS frame; Snowflake's postfix
+    ``IGNORE NULLS`` rides through (Spark accepts postfix; the
+    DuckDB oracle spells it in-paren); ``FROM LAST`` refuses with the
+    reverse-ORDER-BY rewrite. The run_cents column pins the OTHER
+    half of the convention: frameless AGGREGATE windows keep the
+    shared ANSI cumulative RANGE default — o_orderdate ties get equal
+    running sums in Spark, DuckDB, AND Snowflake, so no rewrite there
+    (functions/sqldialect.py:rewrite_value_window_frames). One
+    shuffle per distinct partition key; frames are per-partition
+    whole-window scans Spark's WindowExec buffers once.""",
+    tags=("functions", "dialect", "window", "probe-battery"),
+)
+def f43_value_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import lower_select
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(lower_select(_F43_SNOWFLAKE_TEXT))
+
+
+_F45_SNOWFLAKE_TEXT = """
+SELECT GROUPING(o_orderpriority, o_orderstatus) AS gid,
+       GROUPING(o_orderpriority) AS gp,
+       o_orderpriority,
+       o_orderstatus,
+       COUNT(1) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                        (o_orderpriority, o_orderstatus), ())
+"""
+
+
+@register(
+    "f45_grouping_alias",
+    oracle="""
+    SELECT CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT)
+               AS gid,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS gp,
+           o_orderpriority,
+           o_orderstatus,
+           COUNT(1) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                            (o_orderpriority, o_orderstatus), ())
+    """,
+    doc="""Probe battery 10 (r14) part 2 — Snowflake's multi-arg
+    GROUPING. Snowflake documents ``GROUPING(e1, e2, ...)`` as an
+    alias of GROUPING_ID (leftmost argument = most significant bit);
+    Spark's ``grouping()`` is strictly single-argument, so the pasted
+    multi-arg spelling died in the analyzer. The scalar map now
+    lowers multi-arg GROUPING to ``grouping_id(...)`` and keeps the
+    single-arg form native — bit order verified identical across
+    Spark, DuckDB, and Snowflake's documentation. Four grouping sets
+    over orders; one shuffle (Spark expands sets map-side). gid/gp
+    cast to BIGINT on the ORACLE side only: Spark's grouping_id
+    returns BIGINT while DuckDB's returns INT — the cast aligns the
+    compared schema without touching the engine's native output
+    (functions/sqldialect.py GROUPING map entry).""",
+    tags=("functions", "dialect", "aggregation", "probe-battery"),
+)
+def f45_grouping_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import lower_select
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(lower_select(_F45_SNOWFLAKE_TEXT))
+
+
+_F44_SNOWFLAKE_TEXT = """
+SELECT o_orderkey,
+       CAST(TO_TIME(hms) AS TEXT) AS t_auto,
+       CAST(HOUR(TO_TIME(hms)) AS BIGINT) AS t_h,
+       CAST(MINUTE(TO_TIME(hms)) AS BIGINT) AS t_mi,
+       CAST(SECOND(TO_TIME(hms)) AS BIGINT) AS t_ss,
+       CAST(TO_TIME(dotted, 'HH24.MI.SS') AS TEXT) AS t_fmt,
+       CAST(TRY_TO_TIME(CAST(o_orderkey AS TEXT)) AS TEXT) AS t_bad,
+       CAST(TIME_FROM_PARTS(hh, mi + 120, -30) AS TEXT) AS t_parts,
+       CAST(hms::TIME(9) AS TEXT) AS t_cast
+FROM (SELECT o_orderkey,
+             o_orderkey % 24 AS hh,
+             (o_orderkey * 7) % 60 AS mi,
+             (o_orderkey * 13) % 60 AS ss,
+             CONCAT(LPAD(CAST(o_orderkey % 24 AS TEXT), 2, '0'), ':',
+                    LPAD(CAST((o_orderkey * 7) % 60 AS TEXT), 2, '0'), ':',
+                    LPAD(CAST((o_orderkey * 13) % 60 AS TEXT), 2, '0'))
+                 AS hms,
+             CONCAT(LPAD(CAST(o_orderkey % 24 AS TEXT), 2, '0'), '.',
+                    LPAD(CAST((o_orderkey * 7) % 60 AS TEXT), 2, '0'), '.',
+                    LPAD(CAST((o_orderkey * 13) % 60 AS TEXT), 2, '0'))
+                 AS dotted
+      FROM orders WHERE o_orderkey % 97 = 0)
+"""
+
+
+@register(
+    "f44_time_convention",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(hms AS TIME) AS VARCHAR) AS t_auto,
+           CAST(date_part('hour', CAST(hms AS TIME)) AS BIGINT) AS t_h,
+           CAST(date_part('minute', CAST(hms AS TIME)) AS BIGINT)
+               AS t_mi,
+           CAST(date_part('second', CAST(hms AS TIME)) AS BIGINT)
+               AS t_ss,
+           CAST(CAST(strptime(dotted, '%H.%M.%S') AS TIME) AS VARCHAR)
+               AS t_fmt,
+           CAST(TRY_CAST(CAST(o_orderkey AS VARCHAR) AS TIME)
+               AS VARCHAR) AS t_bad,
+           CAST(make_time(
+               CAST(tot // 3600 AS BIGINT),
+               CAST((tot % 3600) // 60 AS BIGINT),
+               CAST(tot % 60 AS DOUBLE)) AS VARCHAR) AS t_parts,
+           CAST(CAST(hms AS TIME) AS VARCHAR) AS t_cast
+    FROM (SELECT *,
+                 ((hh * 3600 + (mi + 120) * 60 - 30) % 86400 + 86400)
+                     % 86400 AS tot
+          FROM (SELECT o_orderkey,
+                       o_orderkey % 24 AS hh,
+                       (o_orderkey * 7) % 60 AS mi,
+                       CONCAT(LPAD(CAST(o_orderkey % 24 AS VARCHAR),
+                                   2, '0'), ':',
+                              LPAD(CAST((o_orderkey * 7) % 60
+                                   AS VARCHAR), 2, '0'), ':',
+                              LPAD(CAST((o_orderkey * 13) % 60
+                                   AS VARCHAR), 2, '0')) AS hms,
+                       CONCAT(LPAD(CAST(o_orderkey % 24 AS VARCHAR),
+                                   2, '0'), '.',
+                              LPAD(CAST((o_orderkey * 7) % 60
+                                   AS VARCHAR), 2, '0'), '.',
+                              LPAD(CAST((o_orderkey * 13) % 60
+                                   AS VARCHAR), 2, '0')) AS dotted
+                FROM orders WHERE o_orderkey % 97 = 0))
+    """,
+    doc="""TIME-of-day family (r14 — VERDICT r13 #5). Spark 4.1 ships
+    a NATIVE TIME type behind ``spark.sql.timeType.enabled``; the
+    engine turns it on (session.py; register_views/snowflake_sql set
+    it on caller-provided sessions, so the driver's bare session
+    works), replacing the r13 loud refusals with real lowerings:
+    TO_TIME's 1-arg AUTO extracts the time-of-day run from the
+    rendered value (timestamps included), refusing AM/PM inputs
+    loudly instead of silently dropping the meridiem; the 2-arg form
+    translates the Snowflake format element-wise like TO_TIMESTAMP;
+    TRY_TO_TIME returns NULL only for genuinely unparseable values;
+    TIME_FROM_PARTS implements Snowflake's documented rollover
+    (minute 120 -> +2h, negative seconds roll backward) by pmod
+    normalization to microseconds-past-midnight; ``::TIME(9)`` maps
+    to TIME(6) — the same micros floor as the timestamp family. All
+    comparisons travel as strings/BIGINTs (the TIME type itself has
+    no stable pandas dtype contract); the DuckDB twin uses its native
+    TIME. Pure codegen expressions over one scan — no shuffle
+    (functions/sqldialect.py:_to_time_rewrite).""",
+    tags=("functions", "dialect", "time", "probe-battery"),
+)
+def f44_time_convention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import lower_select
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(lower_select(_F44_SNOWFLAKE_TEXT))

@@ -64,73 +64,17 @@ def register(
 # similarity / text / multimodal / pipeline) lands inside any reasonable
 # prefix. Names not listed keep insertion order after these.
 PRIORITY: tuple[str, ...] = (
-    # ---- first 50: the r13 driver window (VERDICT r12 #1).
-    # 2-entry always-on core + the 13 never-driver-checked r12
-    # additions (these HAD to head this window — their oracles had
-    # never executed under the driver) + the 6 new r13 entries (k11
-    # MINHASH SQL family, f39-f42 probe batteries 8-9, sql64 join-
-    # DELETE — new entries join
-    # the window in their birth round so no never-checked debt
-    # accrues) + the head-29 of the 48-entry r7-stale cohort. All
-    # window entries are locally 3-SF parity-green per pytest run.
+    # ---- first 50: the r14 driver window (VERDICT r13 #1: clear the
+    # r7-stale cohort ENTIRELY). 2-entry always-on core + ALL 19
+    # remaining r7-stale entries + the 3 new r14 entries (f43/f45
+    # probe battery 10, f44 TIME family — new entries join the window
+    # in their birth round so no never-checked debt accrues) + the
+    # head-26 of the 47-entry r8 cohort. Staleness ceiling after this
+    # window: r8 (21 entries remain). All window entries are locally
+    # 3-SF parity-green per pytest run.
     "flagship_fact_rebuild",
     "pl_dim_customer",
-    # never-driver-checked r12 additions (13)
-    "f34_everyday_scalars3",
-    "sql58_console_session",
-    "sql59_stored_procedure",
-    "x28_jaro_winkler_join",
-    "f35_regex_occurrence",
-    "f36_object_mutators_tz",
-    "s10_stage_file_row_number",
-    "sql60_proc_control_flow",
-    "sql61_proc_exception",
-    "sql62_cursor_for",
-    "sql63_resultset_table_proc",
-    "f37_initcap_delimiters",
-    "f38_array_fidelity",
-    # new r13 entries (6)
-    "k11_minhash_sql_family",
-    "f39_datetime_battery",
-    "f40_datetime_scalars",
-    "f41_epoch_scale_battery",
-    "f42_cast_type_names",
-    "sql64_delete_using",
-    # head-29 of the r7-stale cohort (fills slots 22-50)
-    "a4_count_distinct",
-    "a5_rollup",
-    "a6_percentile_groups",
-    "a7_grouping_sets",
-    "b1_bucketed_colocated_join",
-    "e17_match_recognize_w",
-    "e2_sessionize",
-    "e4_sliding_window_agg",
-    "f12_histogram_bins",
-    "f6_date_math",
-    "f9_json_extract",
-    "j7_outer_join_family",
-    "k7_tdigest_quantiles",
-    "k8_kmv_set_ops",
-    "m8_scd2_merge",
-    "p10_exists_correlated",
-    "p8_pivot",
-    "prof4_corr_matrix",
-    "s1_set_ops",
-    "sql12_sample_dialect",
-    "sql13_flatten_path",
-    "sql14_connect_by",
-    "sql15_asof_dialect",
-    "sql16_generator_dialect",
-    "sql17_time_travel_at",
-    "sql18_reference_merge",
-    "sql19_reference_dim_merge",
-    "sql1_text_surface",
-    "w2_window_frames",
-    # ---- 51+: rotation queue, stalest first — the r14 window head.
-    # r7-stale remainder (19): families already represented in the
-    # 50-window by the head-29 (f6/f9/f12 functions, sql18/19 replay,
-    # a4-a7 aggs); x3/x4/x5 rotated out of slot 50 as f41/f42/sql64
-    # joined the window in their birth round
+    # the full r7-stale remainder (19)
     "x3_time_spine_rollup",
     "x4_snapshot_as_of",
     "x5_range_join",
@@ -150,7 +94,11 @@ PRIORITY: tuple[str, ...] = (
     "sql28_warehouse_script_replay",
     "sql31_merge_cdc_apply",
     "sql32_match_recognize_text",
-    # last driver-green r8
+    # new r14 entries (3)
+    "f43_value_window_frames",
+    "f44_time_convention",
+    "f45_grouping_alias",
+    # head-26 of the r8 cohort (fills slots 25-50)
     "d1_dedup_exact",
     "d2_dedup_ngram_jaccard",
     "d3_dedup_minhash_lsh",
@@ -177,6 +125,8 @@ PRIORITY: tuple[str, ...] = (
     "pl_list_stage",
     "pl_show_streams",
     "s8_copy_unload",
+    # ---- 51+: rotation queue, stalest first — the r15 window head.
+    # r8 cohort remainder (21)
     "sql29_connect_by_level",
     "sql30_flatten_recursive",
     "sql33_split_to_table",
@@ -392,6 +342,55 @@ PRIORITY: tuple[str, ...] = (
     "w5_rank_distribution_funcs",
     "w6_ignore_nulls_fill",
     "x23_length_bucketing",
+    # last driver-green r13 (the previous window, freshest)
+    "f34_everyday_scalars3",
+    "sql58_console_session",
+    "sql59_stored_procedure",
+    "x28_jaro_winkler_join",
+    "f35_regex_occurrence",
+    "f36_object_mutators_tz",
+    "s10_stage_file_row_number",
+    "sql60_proc_control_flow",
+    "sql61_proc_exception",
+    "sql62_cursor_for",
+    "sql63_resultset_table_proc",
+    "f37_initcap_delimiters",
+    "f38_array_fidelity",
+    "k11_minhash_sql_family",
+    "f39_datetime_battery",
+    "f40_datetime_scalars",
+    "f41_epoch_scale_battery",
+    "f42_cast_type_names",
+    "sql64_delete_using",
+    "a4_count_distinct",
+    "a5_rollup",
+    "a6_percentile_groups",
+    "a7_grouping_sets",
+    "b1_bucketed_colocated_join",
+    "e17_match_recognize_w",
+    "e2_sessionize",
+    "e4_sliding_window_agg",
+    "f12_histogram_bins",
+    "f6_date_math",
+    "f9_json_extract",
+    "j7_outer_join_family",
+    "k7_tdigest_quantiles",
+    "k8_kmv_set_ops",
+    "m8_scd2_merge",
+    "p10_exists_correlated",
+    "p8_pivot",
+    "prof4_corr_matrix",
+    "s1_set_ops",
+    "sql12_sample_dialect",
+    "sql13_flatten_path",
+    "sql14_connect_by",
+    "sql15_asof_dialect",
+    "sql16_generator_dialect",
+    "sql17_time_travel_at",
+    "sql18_reference_merge",
+    "sql19_reference_dim_merge",
+    "sql1_text_surface",
+    "w2_window_frames",
 )
 
 

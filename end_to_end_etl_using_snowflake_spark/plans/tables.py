@@ -75,6 +75,10 @@ def rebalance_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (mirrors the DuckDB oracle's
-    pre-registered views, so ``spark.sql`` text can be shared)."""
+    pre-registered views, so ``spark.sql`` text can be shared). Also
+    enables Spark 4.1's native TIME type on the session — the TO_TIME
+    family (f44) lowers onto it, and the driver runs builders on a
+    BARE session where the flag is off by default."""
+    spark.conf.set("spark.sql.timeType.enabled", "true")
     for name in TPCH_TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)

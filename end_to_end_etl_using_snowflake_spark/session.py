@@ -65,6 +65,9 @@ def get_spark(
         # the events table stores TIMESTAMP(NANOS); Spark has no nanos
         # type, so read as long and convert (plans.tables.load)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4.1's native TIME type (gated off by default): the
+        # Snowflake TO_TIME/TIME_FROM_PARTS/::TIME surface needs it
+        .config("spark.sql.timeType.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_GRAFT_EXTERNAL_MASTER"):

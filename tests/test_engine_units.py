@@ -111,11 +111,21 @@ def test_delete_using_statement(spark):
         {"tgt": t, "src": s, "src2": s2},
     )
     assert sorted(r.k for r in out2.collect()) == [3]
-    # no WHERE still empties the table, with or without USING
+    # no WHERE + USING = join-delete with a TRUE predicate: a
+    # NON-EMPTY source deletes everything, an EMPTY source deletes
+    # NOTHING (ADVICE r13 — the old code truncated unconditionally)
     out3 = delete_statement(
         spark, "DELETE FROM tgt USING src", {"tgt": t, "src": s}
     )
     assert out3.count() == 0
+    empty = s.filter("k < 0")
+    out4 = delete_statement(
+        spark, "DELETE FROM tgt USING src", {"tgt": t, "src": empty}
+    )
+    assert out4.count() == 3
+    # plain no-WHERE DELETE still truncates
+    out5 = delete_statement(spark, "DELETE FROM tgt", {"tgt": t})
+    assert out5.count() == 0
 
 
 def test_update_statement_text_semantics(spark):
@@ -3339,15 +3349,20 @@ def test_epoch_scale_probe_battery9(spark):
     # formatted and DATE paths bypass the heuristic entirely
     assert "RLIKE" not in L("SELECT TO_TIMESTAMP(x, 'YYYY-MM-DD') FROM t")
     assert "RLIKE" not in L("SELECT TO_DATE(x) FROM t")
-    # BOOLXOR_AGG rider (r13): odd-count-of-TRUEs; NULLs ignored,
-    # all-NULL -> NULL
+    # BOOLXOR_AGG rider (r14 fix, ADVICE r13): Snowflake documents
+    # EXACTLY-ONE-TRUE, not odd-parity — a 3-TRUE group is FALSE.
+    # NULLs ignored, all-NULL -> NULL.
     xr = spark.sql(L(
-        "SELECT BOOLXOR_AGG(x) AS odd1,"
-        " BOOLXOR_AGG(y) AS even0, BOOLXOR_AGG(z) AS alln"
-        " FROM (SELECT true AS x, true AS y, CAST(NULL AS BOOLEAN) AS z"
-        "       UNION ALL SELECT false, true, NULL)"
+        "SELECT BOOLXOR_AGG(x) AS one1,"
+        " BOOLXOR_AGG(y) AS two0, BOOLXOR_AGG(z) AS alln,"
+        " BOOLXOR_AGG(w) AS three0"
+        " FROM (SELECT true AS x, true AS y,"
+        "              CAST(NULL AS BOOLEAN) AS z, true AS w"
+        "       UNION ALL SELECT false, true, NULL, true"
+        "       UNION ALL SELECT false, false, NULL, true)"
     )).first()
-    assert xr.odd1 is True and xr.even0 is False and xr.alln is None
+    assert xr.one1 is True and xr.two0 is False and xr.alln is None
+    assert xr.three0 is False  # parity would say True — the r13 bug
 
 
 def test_interval_comma_constants(spark):
@@ -3373,6 +3388,134 @@ def test_interval_comma_constants(spark):
     assert row.minus == datetime.datetime(2020, 1, 1, 1, 0)
     with pytest.raises(ValueError, match="without a preceding"):
         L("SELECT INTERVAL '1 day, 2 hours' AS v")
+    # ADVICE r13: a literal-interior bare-comma match must not mask a
+    # LATER genuine signless comma constant (resume-past backstop)
+    with pytest.raises(ValueError, match="without a preceding"):
+        L("SELECT 'INTERVAL ''1 d, 2 h'' text' AS s,"
+          " INTERVAL '3 days, 4 hours' AS v")
+    # …and a literal-only occurrence still passes through untouched
+    assert spark.sql(L(
+        "SELECT 'x INTERVAL ''1 d, 2 h'' y' AS s"
+    )).first().s == "x INTERVAL '1 d, 2 h' y"
+
+
+def test_value_window_default_frames(spark):
+    """r14 probe battery 10: Snowflake documents FIRST_VALUE/
+    LAST_VALUE/NTH_VALUE as defaulting to the ENTIRE window — Spark's
+    ANSI default (RANGE .. CURRENT ROW) silently returns the current
+    row for LAST_VALUE. The rewrite appends the whole-window ROWS
+    frame only when ORDER BY is present and no frame is."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        lower_select as L,
+        rewrite_value_window_frames as R,
+    )
+
+    base = ("FROM (SELECT 1 AS k, 10 AS v UNION ALL SELECT 2, 20"
+            " UNION ALL SELECT 3, 30)")
+    # frameless LAST_VALUE = partition's last, not the current row
+    rows = spark.sql(L(
+        f"SELECT k, LAST_VALUE(v) OVER (ORDER BY k) AS lv,"
+        f" FIRST_VALUE(v) OVER (ORDER BY k) AS fv,"
+        f" NTH_VALUE(v, 2) OVER (ORDER BY k) AS nv {base}"
+    )).collect()
+    assert [(r.lv, r.fv, r.nv) for r in rows] == [(30, 10, 20)] * 3
+    # explicit frames and ORDER-BY-less windows stay untouched
+    out = R("SELECT LAST_VALUE(v) OVER (ORDER BY k ROWS BETWEEN 1"
+            " PRECEDING AND CURRENT ROW) FROM t")
+    assert out.count("ROWS") == 1
+    assert R("SELECT LAST_VALUE(v) OVER (PARTITION BY p) FROM t"
+             ).count("ROWS") == 0
+    # postfix IGNORE NULLS rides through; FROM LAST refuses loudly
+    r2 = spark.sql(L(
+        f"SELECT k, LAST_VALUE(CASE WHEN k < 3 THEN v END) IGNORE"
+        f" NULLS OVER (ORDER BY k) AS lv {base}"
+    )).collect()
+    assert [r.lv for r in r2] == [20, 20, 20]
+    with pytest.raises(ValueError, match="FROM LAST"):
+        L("SELECT NTH_VALUE(v, 2) FROM LAST OVER (ORDER BY k) FROM t")
+    # literal-interior heads are text, not windows
+    assert spark.sql(L(
+        "SELECT 'LAST_VALUE(v) OVER (ORDER BY k)' AS s"
+    )).first().s == "LAST_VALUE(v) OVER (ORDER BY k)"
+
+
+def test_time_family(spark):
+    """r14: the TIME-of-day family on Spark 4.1's native TIME type
+    (spark.sql.timeType.enabled — set here like register_views does).
+    TO_TIME AUTO extracts time-of-day from strings AND timestamps;
+    garbage raises (never a silent midnight); AM/PM refuses with
+    format guidance; TIME_FROM_PARTS rolls over like Snowflake;
+    ::TIME(9) floors to TIME(6)."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        lower_select as L,
+    )
+    import datetime
+
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    row = spark.sql(L(
+        "SELECT TO_TIME('10:11:12') AS a,"
+        " TO_TIME(TIMESTAMP'2020-05-06 07:08:09') AS b,"
+        " TO_TIME('10.11.12', 'HH24.MI.SS') AS c,"
+        " TRY_TO_TIME('garbage') AS d,"
+        " TIME_FROM_PARTS(1, 120, -30) AS e,"
+        " TIME_FROM_PARTS(10, 20, 30, 500000000) AS f,"
+        " '23:59:59'::TIME(9) AS g,"
+        " HOUR(TO_TIME('10:11:12')) AS h"
+    )).first()
+    assert row.a == datetime.time(10, 11, 12)
+    assert row.b == datetime.time(7, 8, 9)
+    assert row.c == datetime.time(10, 11, 12)
+    assert row.d is None
+    assert row.e == datetime.time(2, 59, 30)  # 1h + 120min - 30s
+    assert row.f == datetime.time(10, 20, 30, 500000)
+    assert row.g == datetime.time(23, 59, 59)
+    assert row.h == 10
+    with pytest.raises(Exception, match="CANNOT_PARSE_TIME"):
+        spark.sql(L("SELECT TO_TIME('garbage') AS t")).collect()
+    with pytest.raises(Exception, match="AM/PM"):
+        spark.sql(L("SELECT TO_TIME('10:11:12 PM') AS t")).collect()
+    with pytest.raises(ValueError, match="HH12"):
+        L("SELECT TO_TIME('10:11:12 PM', 'HH12:MI:SS AM') AS t")
+
+
+def test_grouping_multiarg(spark):
+    """r14 probe battery 10: Snowflake's multi-arg GROUPING is a
+    documented GROUPING_ID alias (leftmost arg = MSB); Spark's
+    grouping() is single-arg-only, so the pasted spelling died in the
+    analyzer before this lowering."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        lower_select as L,
+    )
+
+    rows = spark.sql(L(
+        "SELECT GROUPING(a, b) AS gid, GROUPING(a) AS ga, a, b,"
+        " COUNT(1) AS n FROM (SELECT 1 AS a, 2 AS b) GROUP BY"
+        " GROUPING SETS ((a), (b), (a, b), ())"
+    )).collect()
+    got = sorted((r.gid, r.ga) for r in rows)
+    assert got == [(0, 0), (1, 0), (2, 1), (3, 1)]
+
+
+def test_chr_unicode_range(spark):
+    """CHR/CHAR(n) decodes any valid Unicode code point via UTF-32;
+    out-of-range AND the surrogate block U+D800-U+DFFF refuse loudly
+    (Java's UTF-32 decoder would silently substitute U+FFFD for
+    surrogates — ADVICE r13)."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        lower_select as L,
+    )
+
+    row = spark.sql(L(
+        "SELECT CHR(9731) AS snow, CHR(128021) AS dog, CHR(65) AS a"
+    )).first()
+    assert row.snow == "☃" and row.dog == "\U0001f415"
+    assert row.a == "A"
+    for bad in (-1, 1114112, 55296, 56000, 57343):
+        with pytest.raises(Exception, match="out of range"):
+            spark.sql(L(f"SELECT CHR({bad}) AS c")).collect()
+    # boundary neighbours of the surrogate block still decode
+    ok = spark.sql(L("SELECT CHR(55295) AS lo, CHR(57344) AS hi")).first()
+    assert ok.lo == "퟿" and ok.hi == ""
 
 
 def test_star_modifiers(spark):
@@ -3395,6 +3538,25 @@ def test_star_modifiers(spark):
     for kw in ("RENAME (a AS x)", "REPLACE (a+1 AS a)", "ILIKE 'a%'"):
         with pytest.raises(ValueError, match="position-preserving"):
             L(f"SELECT * {kw} {base}")
+        # comma-anchored select-list star also carries the modifier
+        with pytest.raises(ValueError, match="position-preserving"):
+            L(f"SELECT a, * {kw} {base}")
+    # ADVICE r13 (high): MULTIPLICATION must not false-match. An
+    # arithmetic star before REPLACE(...) is not a modifier, and an
+    # identifier merely PREFIXED by 'exclude' is untouched.
+    out = L("SELECT price * excluded_rate FROM t")
+    assert "EXCEPT" not in out and "excluded_rate" in out
+    assert "REPLACE" in L("SELECT 2 * REPLACE(s,'a','b') FROM t")
+    assert spark.sql(
+        L("SELECT 2 * LENGTH(REPLACE('aaa', 'a', 'bb')) AS n")
+    ).first().n == 12
+    # comma-star EXCLUDE still lowers
+    assert spark.sql(
+        L(f"SELECT a, * EXCLUDE (a, b) {base}")
+    ).columns == ["a", "c"]
+    # a literal containing '* RENAME' must not mask a later real one
+    with pytest.raises(ValueError, match="position-preserving"):
+        L(f"SELECT '* RENAME x' AS s, * RENAME (a AS x) {base}")
 
 
 def test_cast_type_names(spark):

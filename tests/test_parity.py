@@ -35,53 +35,58 @@ def test_registry_size_pinned():
     double-counted."""
     # r13: +k11_minhash_sql_family, f39/f40 (battery 8), f41/f42
     # (battery 9), sql64 (join-DELETE)
-    assert len(REGISTRY) == 306
+    # r14: +f43/f45 (battery 10: value-window default frames,
+    # multi-arg GROUPING), f44 (native TIME family)
+    assert len(REGISTRY) == 309
 
 
 def test_driver_prefix_spans_all_operator_families():
     """The driver's correctness gate checks a PREFIX of queries() (50
-    entries per round so far). Round-13 rotation (VERDICT r12 #1):
-    2-entry always-on core + ALL 13 never-driver-checked r12
-    additions + the 3 new r13 entries (new entries join the window in
-    their birth round, so no never-checked debt accrues) + the
-    head-32 of the 48-entry r7-stale cohort. Guard: every cohort
-    member is inside the window (none silently pushed out) and every
-    window entry carries a real oracle."""
+    entries per round so far). Round-14 rotation (VERDICT r13 #1:
+    clear the r7-stale cohort ENTIRELY): 2-entry always-on core + ALL
+    19 remaining r7-stale entries + the 3 new r14 entries (new
+    entries join the window in their birth round, so no never-checked
+    debt accrues) + the head-26 of the 47-entry r8 cohort — staleness
+    ceiling moves to r8. Guard: every cohort member is inside the
+    window (none silently pushed out) and every window entry carries
+    a real oracle."""
     prefix = list(__spark_entry__.queries())[:50]
     core = ["flagship_fact_rebuild", "pl_dim_customer"]
-    never_checked_r12 = [
-        "f34_everyday_scalars3", "sql58_console_session",
-        "sql59_stored_procedure", "x28_jaro_winkler_join",
-        "f35_regex_occurrence", "f36_object_mutators_tz",
-        "s10_stage_file_row_number", "sql60_proc_control_flow",
-        "sql61_proc_exception", "sql62_cursor_for",
-        "sql63_resultset_table_proc", "f37_initcap_delimiters",
-        "f38_array_fidelity",
+    stale_r7_all = [
+        "x3_time_spine_rollup", "x4_snapshot_as_of", "x5_range_join",
+        "f5_string_extract", "f7_string_funcs", "f8_conditional_funcs",
+        "q18_large_orders_having", "q3_shipping_priority",
+        "sql20_reference_item_merge", "sql21_reference_fact_insert",
+        "sql22_reference_order_merge", "sql23_reference_pipe_ddl",
+        "sql24_reference_task_ddl", "sql25_reference_script_replay",
+        "sql26_item_script_replay", "sql27_warehouse_script_wedge",
+        "sql28_warehouse_script_replay", "sql31_merge_cdc_apply",
+        "sql32_match_recognize_text",
     ]
-    new_r13 = [
-        "k11_minhash_sql_family", "f39_datetime_battery",
-        "f40_datetime_scalars", "f41_epoch_scale_battery",
-        "f42_cast_type_names", "sql64_delete_using",
+    new_r14 = [
+        "f43_value_window_frames", "f44_time_convention",
+        "f45_grouping_alias",
     ]
-    stale_r7_head = [
-        "a4_count_distinct", "a5_rollup", "a6_percentile_groups",
-        "a7_grouping_sets", "b1_bucketed_colocated_join",
-        "e17_match_recognize_w", "e2_sessionize",
-        "e4_sliding_window_agg", "f12_histogram_bins", "f6_date_math",
-        "f9_json_extract", "j7_outer_join_family",
-        "k7_tdigest_quantiles", "k8_kmv_set_ops", "m8_scd2_merge",
-        "p10_exists_correlated", "p8_pivot", "prof4_corr_matrix",
-        "s1_set_ops", "sql12_sample_dialect", "sql13_flatten_path",
-        "sql14_connect_by", "sql15_asof_dialect",
-        "sql16_generator_dialect", "sql17_time_travel_at",
-        "sql18_reference_merge", "sql19_reference_dim_merge",
-        "sql1_text_surface", "w2_window_frames",
+    r8_head = [
+        "d1_dedup_exact", "d2_dedup_ngram_jaccard",
+        "d3_dedup_minhash_lsh", "d4_dedup_simhash",
+        "d5_dedup_embedding_cosine", "d6_dedup_cluster_labels",
+        "e18_append_only_stream", "e1_tumbling_window_agg",
+        "e3_sessionize_stateful_stream", "e5_session_window_native",
+        "e6_stream_dedup_watermark", "f16_listagg",
+        "f17_scalar_dialect", "f18_semi_structured_agg",
+        "j6_salted_skew_join", "k10_tdigest_sketch_path",
+        "k9_theta_sketch_bounds", "llm_corpus_clean",
+        "m5_cdc_apply_changes", "m7_incremental_fact_merge",
+        "mm1_multimodal_decode", "mm3_feature_extract",
+        "pl_identity_keys", "pl_list_stage", "pl_show_streams",
+        "s8_copy_unload",
     ]
-    expected = core + never_checked_r12 + new_r13 + stale_r7_head
+    expected = core + stale_r7_all + new_r14 + r8_head
     assert len(expected) == 50
     pushed_out = [n for n in expected if n not in prefix]
     assert not pushed_out, (
-        f"r13 window entries outside the 50-prefix: {pushed_out}"
+        f"r14 window entries outside the 50-prefix: {pushed_out}"
     )
     # every entry in the checked window must carry a real oracle
     rows_only = [n for n in prefix if REGISTRY[n].oracle is None]

@@ -29,6 +29,10 @@ _TRIGGER_WORDS = st.sampled_from([
     "INTERVAL 1 day, 2 hours", "DATEDIFF(hour, a, b)", "CHR(9731)",
     "SPLIT(a, .)", "MINHASH(32, x)", "CAST(x AS TEXT)", "\\Q", "\\E",
     "DELETE FROM t USING s", "IFF(a, b, c)", "SEQ4()", "||",
+    # r14 additions: value-window frames, TIME family, GROUPING alias
+    "LAST_VALUE(x) OVER (ORDER BY k)", "NTH_VALUE(v, 2) FROM LAST",
+    "TO_TIME(10:11:12)", "TIME_FROM_PARTS(1, 2, 3)", "GROUPING(a, b)",
+    "x::TIME(9)", "* RENAME (a AS b)",
 ])
 _FILLER = st.text(
     alphabet="abcXYZ ,.()[]{}%$^*+-/\\<>=!?:;_0123456789", max_size=12
