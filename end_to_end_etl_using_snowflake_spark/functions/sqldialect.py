@@ -2862,6 +2862,40 @@ _SCALAR_REWRITES = {
         if len(args) == 2
         else _bad("EQUAL_NULL", args)
     ),
+    # Snowflake's CONCAT_WS is NULL-POISONING like its CONCAT ("if any
+    # input value is NULL, returns NULL"); Spark's concat_ws SKIPS
+    # NULL values entirely and never returns NULL — a silent
+    # divergence on every row with a NULL part (probe battery 11,
+    # r14). Lowered as separator-interleaved concat(), which poisons
+    # on NULL in both engines; args render through CAST AS STRING
+    # (Snowflake's implicit varchar conversion).
+    "CONCAT_WS": lambda args: _concat_ws_rewrite(args),
+    # Spark's factorial() silently returns NULL outside [0, 20]
+    # (bigint overflow); Snowflake computes up to 33 (NUMBER(38,0))
+    # and errors on negatives. 21..33 can't be represented in BIGINT
+    # — refuse loudly rather than silently NULLing (battery 11).
+    "FACTORIAL": lambda args: (
+        f"(CASE WHEN ({args[0]}) < 0 OR ({args[0]}) > 20 THEN"
+        f" raise_error(concat('FACTORIAL: supported range is 0..20"
+        f" (Spark BIGINT; Snowflake reaches 33), got ',"
+        f" CAST({args[0]} AS STRING)))"
+        f" ELSE factorial({args[0]}) END)"
+        if len(args) == 1
+        else _bad("FACTORIAL", args)
+    ),
+    # under the engine's VARIANT-as-JSON-text convention TO_JSON is
+    # the identity rendering (PARSE_JSON/OBJECT_CONSTRUCT/TO_VARIANT
+    # already produce JSON text); Spark's native to_json would reject
+    # the string-typed VARIANT column loudly (battery 11)
+    "TO_JSON": lambda args: (
+        f"CAST(({args[0]}) AS STRING)"
+        if len(args) == 1
+        else _bad("TO_JSON", args)
+    ),
+    # Snowflake docs: JSON_EXTRACT_PATH_TEXT(v, path) == GET_PATH +
+    # TO_VARCHAR; get_json_object returns unquoted scalar text, which
+    # IS that contract under the JSON-text convention (battery 11)
+    "JSON_EXTRACT_PATH_TEXT": lambda args: _get_path_rewrite(args),
     "BOOLOR_AGG": lambda args: (
         f"bool_or({args[0]})" if len(args) == 1 else _bad("BOOLOR_AGG", args)
     ),
@@ -4288,6 +4322,22 @@ def _get_path_rewrite(args: list) -> str:
 
 def _bad(name: str, args: list) -> str:
     raise ValueError(f"{name} expects a fixed arity, got {len(args)} args")
+
+
+def _concat_ws_rewrite(args: list) -> str:
+    """Snowflake CONCAT_WS(sep, v1 [, v2 ...]) — NULL-poisoning (see
+    the map comment). Interleaves the separator into one concat();
+    the single-value form still poisons on a NULL separator."""
+    if len(args) < 2:
+        return _bad("CONCAT_WS", args)
+    sep = f"CAST(({args[0]}) AS STRING)"
+    vals = [f"CAST(({a}) AS STRING)" for a in args[1:]]
+    if len(vals) == 1:
+        return f"(CASE WHEN ({args[0]}) IS NULL THEN CAST(NULL AS STRING) ELSE {vals[0]} END)"
+    parts = [vals[0]]
+    for v in vals[1:]:
+        parts += [sep, v]
+    return f"concat({', '.join(parts)})"
 
 
 def _decode_rewrite(args: list) -> str:

@@ -11857,3 +11857,57 @@ def f44_time_convention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(lower_select(_F44_SNOWFLAKE_TEXT))
+
+
+_F46_SNOWFLAKE_TEXT = """
+SELECT o_orderkey,
+       CONCAT_WS('-', o_orderstatus, o_orderpriority) AS tag,
+       CONCAT_WS('|', o_orderstatus,
+                 CASE WHEN o_orderkey % 3 = 0
+                      THEN o_orderpriority END) AS tag_nulls,
+       CAST(FACTORIAL(o_orderkey % 13) AS BIGINT) AS fact,
+       TO_JSON(PARSE_JSON(CONCAT('{"k": ', o_orderkey, '}'))) AS js,
+       JSON_EXTRACT_PATH_TEXT(
+           CONCAT('{"a": {"b": "', o_orderstatus, '"}}'), 'a.b') AS jt
+FROM orders WHERE o_orderkey % 41 = 0
+"""
+
+
+@register(
+    "f46_scalar_battery11",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus || '-' || o_orderpriority AS tag,
+           o_orderstatus || '|' ||
+               (CASE WHEN o_orderkey % 3 = 0
+                     THEN o_orderpriority END) AS tag_nulls,
+           CAST(factorial(CAST(o_orderkey % 13 AS INT)) AS BIGINT)
+               AS fact,
+           '{"k": ' || o_orderkey || '}' AS js,
+           json_extract_string('{"a": {"b": "' || o_orderstatus
+               || '"}}', '$.a.b') AS jt
+    FROM orders WHERE o_orderkey % 41 = 0
+    """,
+    doc="""Probe battery 11 (r14): CONCAT_WS is NULL-POISONING in
+    Snowflake ("if any input value is NULL, returns NULL") while
+    Spark's concat_ws silently SKIPS null parts — a wrong answer on
+    every row with a NULL part until this lowering (separator
+    interleaved into null-poisoning concat(); the DuckDB twin uses
+    ||, DuckDB's null-poisoning spelling). FACTORIAL refuses loudly
+    outside 0..20 (Spark's native silently NULLs there; Snowflake
+    computes to 33 in NUMBER(38,0)); TO_JSON is the identity
+    rendering under the engine's JSON-text VARIANT convention (native
+    to_json would reject the string-typed column loudly);
+    JSON_EXTRACT_PATH_TEXT == GET_PATH's unquoted-text contract
+    (get_json_object). tag_nulls exercises the poisoning on real
+    rows: every o_orderkey % 3 != 0 row is NULL — Spark's native
+    concat_ws would emit the status alone. Pure codegen over one
+    scan, no shuffle (functions/sqldialect.py:_concat_ws_rewrite).""",
+    tags=("functions", "dialect", "probe-battery"),
+)
+def f46_scalar_battery11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import lower_select
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(lower_select(_F46_SNOWFLAKE_TEXT))

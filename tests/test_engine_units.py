@@ -3496,6 +3496,40 @@ def test_grouping_multiarg(spark):
     assert got == [(0, 0), (1, 0), (2, 1), (3, 1)]
 
 
+def test_scalar_battery11(spark):
+    """r14 probe battery 11: CONCAT_WS is NULL-POISONING in Snowflake
+    (Spark's concat_ws silently SKIPS nulls — wrong answer on every
+    row with a NULL part); FACTORIAL refuses loudly outside 0..20
+    (Spark silently NULLs there, Snowflake computes to 33); TO_JSON is
+    the identity rendering under the JSON-text VARIANT convention;
+    JSON_EXTRACT_PATH_TEXT == GET_PATH's unquoted-text contract."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        lower_select as L,
+    )
+
+    row = spark.sql(L(
+        "SELECT CONCAT_WS('-', 'a', 'b', 'c') AS full,"
+        " CONCAT_WS('-', 'a', CAST(NULL AS STRING), 'c') AS poisoned,"
+        " CONCAT_WS(CAST(NULL AS STRING), 'a') AS sep_null,"
+        " CONCAT_WS('-', 'solo') AS solo,"
+        " CONCAT_WS('-', 'n', 7) AS mixed,"
+        " FACTORIAL(5) AS f5,"
+        " TO_JSON(PARSE_JSON('{\"a\": 1}')) AS js,"
+        " JSON_EXTRACT_PATH_TEXT('{\"a\": {\"b\": \"x\"}}', 'a.b') AS jt"
+    )).first()
+    assert row.full == "a-b-c"
+    assert row.poisoned is None  # Spark concat_ws would say 'a-c'
+    assert row.sep_null is None
+    assert row.solo == "solo" and row.mixed == "n-7"
+    assert row.f5 == 120
+    assert row.js == '{"a": 1}' or row.js == '{"a":1}'
+    assert row.jt == "x"
+    with pytest.raises(Exception, match="FACTORIAL"):
+        spark.sql(L("SELECT FACTORIAL(21) AS f")).collect()
+    with pytest.raises(Exception, match="FACTORIAL"):
+        spark.sql(L("SELECT FACTORIAL(-1) AS f")).collect()
+
+
 def test_chr_unicode_range(spark):
     """CHR/CHAR(n) decodes any valid Unicode code point via UTF-32;
     out-of-range AND the surrogate block U+D800-U+DFFF refuse loudly

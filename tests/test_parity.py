@@ -36,17 +36,18 @@ def test_registry_size_pinned():
     # r13: +k11_minhash_sql_family, f39/f40 (battery 8), f41/f42
     # (battery 9), sql64 (join-DELETE)
     # r14: +f43/f45 (battery 10: value-window default frames,
-    # multi-arg GROUPING), f44 (native TIME family)
-    assert len(REGISTRY) == 309
+    # multi-arg GROUPING), f44 (native TIME family), f46 (battery 11:
+    # CONCAT_WS poisoning, FACTORIAL range, TO_JSON, JSON_EXTRACT_*)
+    assert len(REGISTRY) == 310
 
 
 def test_driver_prefix_spans_all_operator_families():
     """The driver's correctness gate checks a PREFIX of queries() (50
     entries per round so far). Round-14 rotation (VERDICT r13 #1:
     clear the r7-stale cohort ENTIRELY): 2-entry always-on core + ALL
-    19 remaining r7-stale entries + the 3 new r14 entries (new
+    19 remaining r7-stale entries + the 4 new r14 entries (new
     entries join the window in their birth round, so no never-checked
-    debt accrues) + the head-26 of the 47-entry r8 cohort — staleness
+    debt accrues) + the head-25 of the 47-entry r8 cohort — staleness
     ceiling moves to r8. Guard: every cohort member is inside the
     window (none silently pushed out) and every window entry carries
     a real oracle."""
@@ -65,7 +66,7 @@ def test_driver_prefix_spans_all_operator_families():
     ]
     new_r14 = [
         "f43_value_window_frames", "f44_time_convention",
-        "f45_grouping_alias",
+        "f45_grouping_alias", "f46_scalar_battery11",
     ]
     r8_head = [
         "d1_dedup_exact", "d2_dedup_ngram_jaccard",
@@ -80,7 +81,6 @@ def test_driver_prefix_spans_all_operator_families():
         "m5_cdc_apply_changes", "m7_incremental_fact_merge",
         "mm1_multimodal_decode", "mm3_feature_extract",
         "pl_identity_keys", "pl_list_stage", "pl_show_streams",
-        "s8_copy_unload",
     ]
     expected = core + stale_r7_all + new_r14 + r8_head
     assert len(expected) == 50
