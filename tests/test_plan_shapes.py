@@ -786,3 +786,47 @@ def test_sql64_delete_using_plans_left_anti(spark):
     plan = plan_of(spark, "sql64_delete_using")
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_f43_value_windows_stay_jvm_side(spark):
+    """r14: the appended whole-window frames run inside Spark's native
+    Window exec — no Python, no cartesian; one window partitioning
+    (both OVER clauses share the partition key so Catalyst reuses the
+    exchange)."""
+    plan = plan_of(spark, "f43_value_window_frames")
+    assert "Window" in plan, plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_f44_time_family_is_pure_codegen(spark):
+    """r14: the TIME lowerings are scalar expressions over one orders
+    scan — no shuffle (no Exchange beyond the scan coalesce), no
+    Python, and pruning reaches the scan (only o_orderkey read)."""
+    plan = plan_of(spark, "f44_time_convention")
+    assert "Python" not in plan
+    assert "Join" not in plan
+    scan_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in scan_schema
+    assert "o_totalprice" not in scan_schema
+
+
+def test_f45_grouping_sets_single_shuffle(spark):
+    """r14: four grouping sets expand map-side; exactly one hash
+    aggregate pair (partial -> final) around one exchange, no
+    Python."""
+    plan = plan_of(spark, "f45_grouping_alias")
+    assert "Expand" in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "Python" not in plan
+
+
+def test_f46_battery11_scan_only(spark):
+    """r14: CONCAT_WS/FACTORIAL/TO_JSON/JSON_EXTRACT lowerings are
+    scalar codegen over one scan — no shuffle, no Python; pruning
+    keeps the scan at the three referenced columns."""
+    plan = plan_of(spark, "f46_scalar_battery11")
+    assert "Python" not in plan
+    assert "Exchange" not in plan, plan
+    scan_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_totalprice" not in scan_schema
