@@ -7014,28 +7014,86 @@ def sql_match_recognize(text: str, value_expr: str | None = None) -> str:
 _COLLATE_RE = re.compile(r"COLLATE\s+'([^']*)'", re.IGNORECASE)
 
 
+# Snowflake spec modifiers -> Spark collation suffixes. pi/ps
+# (punctuation), fl/fu (case conversion), trim variants have no Spark
+# analog and refuse; cs/as are the defaults and drop from the name.
+_COLLATE_MAPPED_MODS = {"ci", "cs", "ai", "as"}
+_COLLATE_REFUSED_MODS = {"pi", "ps", "fl", "fu", "trim", "ltrim", "rtrim",
+                         "upper", "lower"}
+# Snowflake locale tags carry ISO-3166 alpha-2 countries; Spark's ICU
+# collation names use alpha-3. Common pairs only — an unknown country
+# refuses with the alpha-3 guidance rather than guessing.
+_COLLATE_COUNTRY3 = {
+    "us": "USA", "gb": "GBR", "ca": "CAN", "au": "AUS", "br": "BRA",
+    "cn": "CHN", "tw": "TWN", "de": "DEU", "fr": "FRA", "mx": "MEX",
+    "pt": "PRT", "in": "IND", "jp": "JPN", "kr": "KOR", "ch": "CHE",
+}
+
+
 def rewrite_collate(sql: str) -> str:
     """Snowflake ``COLLATE '<spec>'`` -> Spark's native collation
-    clause (Spark 4 carries real collations). Conservative spec map:
-    the case-insensitive forms (``ci`` / ``en-ci`` / ``utf8-ci`` and
-    the upper/lower variants) lower to ``COLLATE UTF8_LCASE``; the
-    case-sensitive/binary forms drop the clause (Spark's default
-    binary collation IS that semantics); locale-specific, accent- or
-    punctuation-insensitive, and trim specs refuse loudly — a wrong
-    collation silently changes every comparison it touches."""
+    clause (Spark 4 carries real ICU collations — r14 widened the r8
+    conservative map). Locale-free ``ci``/``utf8-ci`` lower to
+    ``UTF8_LCASE`` (pure case-fold — no locale was claimed);
+    locale-tagged specs lower to the matching ICU collation
+    (``'en-ci'`` -> en_CI, ``'fr-ai'`` -> fr_AI, bare ``'de'`` -> de
+    with real linguistic ordering — previously refusals); binary/cs
+    forms drop the clause (Spark's default binary collation IS that
+    semantics). Punctuation-insensitivity, case-conversion
+    (upper/lower/fl/fu) and trim specs still refuse loudly — a wrong
+    collation silently changes every comparison it touches. Spark
+    and DuckDB disagree with each other on NONE of the probed ICU
+    edges (ß/ss at CI strength, accent folds, de/fr ordering), so
+    the f47 oracle replays these semantics bit-for-bit."""
 
     def repl(m: "re.Match[str]") -> str:
         spec = m.group(1).strip().lower().replace("_", "-")
-        if spec in ("ci", "en-ci", "utf8-ci", "en-us-ci"):
-            return "COLLATE UTF8_LCASE"
-        if spec in ("", "cs", "en-cs", "utf8", "binary", "utf8-cs"):
+        if spec in ("", "cs", "utf8", "binary", "utf8-cs"):
             return ""
-        raise ValueError(
-            f"COLLATE {m.group(1)!r}: only case-insensitive"
-            " (ci/en-ci/utf8-ci) and binary/cs specs are lowered;"
-            " locale/accent/punctuation/trim collations have no exact"
-            " Spark mapping"
-        )
+        parts = [p for p in spec.split("-") if p]
+        mods = [p for p in parts if p in _COLLATE_MAPPED_MODS
+                or p in _COLLATE_REFUSED_MODS]
+        locale_toks = [p for p in parts if p not in mods]
+        bad = sorted(set(mods) & _COLLATE_REFUSED_MODS)
+        if bad:
+            raise ValueError(
+                f"COLLATE {m.group(1)!r}: the {'/'.join(bad)} spec"
+                " component(s) have no exact Spark mapping"
+                " (punctuation-insensitive / case-conversion / trim"
+                " collations change comparisons silently)"
+            )
+        ci = "ci" in mods
+        ai = "ai" in mods
+        if not locale_toks or locale_toks == ["utf8"]:
+            if ai:
+                name = "UNICODE" + ("_CI" if ci else "") + "_AI"
+            elif ci:
+                name = "UTF8_LCASE"
+            else:
+                return ""
+        else:
+            lang = locale_toks[0]
+            if not re.fullmatch(r"[a-z]{2,3}", lang):
+                raise ValueError(
+                    f"COLLATE {m.group(1)!r}: unrecognized locale"
+                    f" tag {lang!r}"
+                )
+            name = lang
+            if len(locale_toks) > 1:
+                c3 = _COLLATE_COUNTRY3.get(locale_toks[1])
+                if c3 is None or len(locale_toks) > 2:
+                    raise ValueError(
+                        f"COLLATE {m.group(1)!r}: country tag"
+                        f" {'-'.join(locale_toks[1:])!r} has no mapped"
+                        " ICU alpha-3 form — use Spark's COLLATE"
+                        " <lang>_<ALPHA3> spelling directly"
+                    )
+                name += f"_{c3}"
+            if ci:
+                name += "_CI"
+            if ai:
+                name += "_AI"
+        return f"COLLATE {name}"
 
     # literal-aware scan: the word COLLATE inside a '...' string must
     # never rewrite (the spec operand itself is matched WITH its

@@ -10482,11 +10482,12 @@ WHERE o_orderkey % 13 = 0
     keeps ANSI division-by-zero loud semantics out of the 0-divisor
     branch exactly like Snowflake), REGEXP_SUBSTR_ALL (every match in
     order; positional variants refuse), and the ``COLLATE '<spec>'``
-    clause lowered to SPARK'S NATIVE COLLATIONS — 'en-ci'/'ci' ->
-    COLLATE UTF8_LCASE (real collation comparison in the JVM, not a
-    lower() rewrite of the engine's making), binary/cs specs drop to
-    Spark's default binary collation, locale/accent/trim specs refuse
-    loudly (a wrong collation silently changes every comparison).
+    clause lowered to SPARK'S NATIVE COLLATIONS — locale-free 'ci'
+    -> COLLATE UTF8_LCASE, binary/cs specs drop to Spark's default
+    binary collation; r14 widened locale-tagged specs onto the ICU
+    collations ('en-ci' -> en_CI here; accent-insensitive and bare
+    locale orderings in f47), while punctuation/case-conversion/trim
+    specs still refuse loudly.
     Also refused loudly with guidance: 2-arg INITCAP (no Spark
     delimiter-set form), MINHASH / MINHASH_COMBINE /
     APPROXIMATE_SIMILARITY / APPROXIMATE_JACCARD_INDEX (the engine's
@@ -11911,3 +11912,62 @@ def f46_scalar_battery11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(lower_select(_F46_SNOWFLAKE_TEXT))
+
+
+_F47_SNOWFLAKE_TEXT = """
+SELECT v,
+       v = 'resume' COLLATE 'fr-ci-ai' AS eq_ci_ai,
+       v = 'resume' COLLATE 'en-ai' AS eq_ai,
+       v = 'RESUME' COLLATE 'en-ci' AS eq_ci,
+       'str' || v = 'STRASSE' COLLATE 'en-ci' AS ss_ci,
+       'ä' < 'b' COLLATE 'de' AS de_lt,
+       (SELECT COUNT(DISTINCT u COLLATE 'en-ci-ai')
+        FROM (VALUES ('résumé'), ('Resume'), ('RÉSUMÉ'), ('resumé'),
+                     ('other')) s(u)) AS n_ci_ai_groups
+FROM (VALUES ('résumé'), ('Resume'), ('RÉSUMÉ'), ('resumé'),
+             ('aße')) t(v)
+"""
+
+
+@register(
+    "f47_collation_icu",
+    oracle="""
+    SELECT v,
+           v COLLATE NOACCENT.NOCASE = 'resume' AS eq_ci_ai,
+           v COLLATE NOACCENT = 'resume' AS eq_ai,
+           v COLLATE NOCASE = 'RESUME' AS eq_ci,
+           ('str' || v) COLLATE NOCASE = 'STRASSE' AS ss_ci,
+           'ä' COLLATE de < 'b' AS de_lt,
+           (SELECT COUNT(DISTINCT strip_accents(lower(u)))
+            FROM (VALUES ('résumé'), ('Resume'), ('RÉSUMÉ'), ('resumé'),
+                         ('other')) s(u)) AS n_ci_ai_groups
+    FROM (VALUES ('résumé'), ('Resume'), ('RÉSUMÉ'), ('resumé'),
+                 ('aße')) t(v)
+    """,
+    doc="""ICU COLLATION dialect (r14 — closes the r8-r13 locale/
+    accent refusals): Snowflake's locale-tagged COLLATE specs now
+    lower onto Spark 4's native ICU collations — 'en-ci' -> en_CI,
+    'fr-ci-ai' -> fr_CI_AI, 'en-ai' -> en_AI, bare 'de' -> de (real
+    linguistic ordering: 'ä' < 'b', binary says the opposite),
+    'en-us-ci' -> en_USA_CI (alpha-2 -> ICU alpha-3 country map).
+    Locale-free 'ci' keeps UTF8_LCASE (pure case-fold, no locale
+    claimed); punctuation-insensitive / case-conversion / trim specs
+    and unmapped country tags still refuse loudly. The probed ICU
+    edges agree between Spark and DuckDB's icu collations (ß stays
+    distinct from ss at CI strength, accent folds, de ordering), so
+    the oracle replays every comparison: equality under ci / ai /
+    ci+ai, a collated concat, ordering under 'de', and COUNT
+    (DISTINCT collated) grouping (DuckDB applies collations to
+    comparisons but NOT to DISTINCT/GROUP BY hashing, so the grouping
+    twin normalizes via strip_accents(lower()) instead — semantics
+    identical for ci+ai). All JVM-side collation comparisons
+    — no Python, no lower()-rewrites of the engine's making
+    (functions/sqldialect.py:rewrite_collate).""",
+    tags=("functions", "dialect", "collation"),
+)
+def f47_collation_icu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import lower_select
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(lower_select(_F47_SNOWFLAKE_TEXT))

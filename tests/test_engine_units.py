@@ -5951,8 +5951,16 @@ def test_probe_battery4_semantics(spark):
         0.0, 2.5, 0.0, 0.0)
     assert r.m == "1|22|333"
     assert r.ci is True and r.cs is False
-    # UTF8_LCASE is case-only (no locale tailoring) — documented edge
+    # r14: 'en-ci' is the ICU en_CI collation now; ICU keeps ss/ß
+    # distinct at CI strength (DuckDB NOCASE agrees), so the pin holds
     assert r.de_ci is False
+    # r14: locale + accent-insensitive specs LOWER now (were refusals)
+    r2 = spark.sql(lower_select(
+        "SELECT 'résumé' = 'RESUME' COLLATE 'fr-ci-ai' AS ai,"
+        " 'ä' < 'b' COLLATE 'de' AS de_lt,"
+        " 'a' = 'A' COLLATE 'en-us-ci' AS us_ci"
+    )).first()
+    assert r2.ai is True and r2.de_lt is True and r2.us_ci is True
 
     # r13: the MINHASH family now LOWERS (k11 entry) — pin that the
     # former refusals produce real aggregate expansions instead
@@ -5964,8 +5972,10 @@ def test_probe_battery4_semantics(spark):
         # r12 s4: 2-arg INITCAP and positional REGEXP_SUBSTR_ALL now
         # lower; only the non-literal delimiter set still refuses
         ("SELECT INITCAP(x, d) FROM t", "string literal"),
-        ("SELECT x = y COLLATE 'fr-ai' FROM t", "no exact Spark mapping"),
+        ("SELECT x = y COLLATE 'en-pi' FROM t", "no exact Spark mapping"),
         ("SELECT x = y COLLATE 'upper' FROM t", "no exact Spark mapping"),
+        ("SELECT x = y COLLATE 'fr-trim' FROM t", "no exact Spark mapping"),
+        ("SELECT x = y COLLATE 'xx-zz-ci' FROM t", "country tag"),
     ]:
         with _pytest.raises(ValueError, match=msg):
             lower_select(bad)
