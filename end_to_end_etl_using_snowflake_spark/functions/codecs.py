@@ -1,0 +1,103 @@
+"""Snowflake COMPRESS / DECOMPRESS_BINARY / DECOMPRESS_STRING on real
+codec formats (r14 — replaces the r8 loud refusals).
+
+Snowflake's functions emit/consume STANDARD stream formats (its docs
+name ZLIB, ZSTD, SNAPPY, BZ2 — the bytes interoperate with the stock
+libraries). Python ships zlib and bz2 in the standard library, so
+those two methods are implemented as Arrow-batched pandas UDFs — the
+engine's documented slow path for codec work (the same posture as the
+multimodal decode operators: Python touches data only through Arrow,
+per-batch, never per-row over py4j). ZSTD and SNAPPY refuse at
+REWRITE time (their libraries are not in this environment — the same
+environment gate as the multimodal real-decode path).
+
+Scale posture: compression is embarrassingly parallel per row; the
+UDFs are pure functions of one column, so they pipeline inside the
+scan stage with no shuffle. At 100 TB the same plan holds — the only
+cost is the Python worker lane, which is the honest price of a codec
+Spark does not expose as an expression.
+
+The UDF registry is idempotent per session (re-registration is a
+cheap overwrite); `ensure_codec_udfs` is called by `register_views`
+and `snowflake_sql`, so driver-bare sessions get the functions before
+any lowered text runs.
+"""
+
+from __future__ import annotations
+
+import bz2 as _bz2
+import zlib as _zlib
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType, StringType
+
+SUPPORTED_METHODS = ("zlib", "bz2")
+
+
+def _codec(method: str):
+    m = (method or "").strip().lower()
+    # tolerate Snowflake's optional level suffix, e.g. 'zlib(5)'
+    level = None
+    if "(" in m and m.endswith(")"):
+        m, lv = m[:-1].split("(", 1)
+        level = int(lv)
+    if m == "zlib":
+        comp = (lambda b: _zlib.compress(b, level)) if level is not None \
+            else _zlib.compress
+        return comp, _zlib.decompress
+    if m == "bz2":
+        comp = (lambda b: _bz2.compress(b, level)) if level is not None \
+            else _bz2.compress
+        return comp, _bz2.decompress
+    raise ValueError(
+        f"COMPRESS/DECOMPRESS method {method!r}: only"
+        f" {SUPPORTED_METHODS} are available in this environment"
+        " (zstd/snappy libraries absent — environment-gated, like the"
+        " multimodal real-decode path)"
+    )
+
+
+@pandas_udf(BinaryType())
+def _sf_compress(data: pd.Series, method: pd.Series) -> pd.Series:
+    out = []
+    for b, m in zip(data, method):
+        if b is None or m is None:
+            out.append(None)
+            continue
+        comp, _ = _codec(m)
+        out.append(comp(bytes(b)))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def _sf_decompress_binary(data: pd.Series, method: pd.Series) -> pd.Series:
+    out = []
+    for b, m in zip(data, method):
+        if b is None or m is None:
+            out.append(None)
+            continue
+        _, decomp = _codec(m)
+        out.append(decomp(bytes(b)))
+    return pd.Series(out)
+
+
+@pandas_udf(StringType())
+def _sf_decompress_string(data: pd.Series, method: pd.Series) -> pd.Series:
+    out = []
+    for b, m in zip(data, method):
+        if b is None or m is None:
+            out.append(None)
+            continue
+        _, decomp = _codec(m)
+        out.append(decomp(bytes(b)).decode("utf-8"))
+    return pd.Series(out)
+
+
+def ensure_codec_udfs(spark: SparkSession) -> None:
+    """Register the codec UDFs under the names the dialect rewriter
+    emits. Idempotent (re-registration overwrites)."""
+    spark.udf.register("__sf_compress", _sf_compress)
+    spark.udf.register("__sf_decompress_binary", _sf_decompress_binary)
+    spark.udf.register("__sf_decompress_string", _sf_decompress_string)

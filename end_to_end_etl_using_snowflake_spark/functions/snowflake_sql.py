@@ -129,8 +129,12 @@ def snowflake_sql(
     returns its one status row, REMOVE one row per removed file —
     Snowflake's own result shapes."""
     # the TO_TIME family lowers onto Spark 4.1's native TIME type,
-    # which hides behind a session flag (off on bare sessions)
+    # which hides behind a session flag (off on bare sessions); the
+    # COMPRESS family needs its Arrow UDFs registered
+    from .codecs import ensure_codec_udfs
+
     spark.conf.set("spark.sql.timeType.enabled", "true")
+    ensure_codec_udfs(spark)
     stmt = _normalize(text)
     low = stmt.lower()
 

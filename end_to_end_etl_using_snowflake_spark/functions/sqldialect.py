@@ -2745,15 +2745,19 @@ _SCALAR_REWRITES = {
         if len(args) == 1
         else _bad("RTRIMMED_LENGTH", args)
     ),
-    "COMPRESS": lambda args: (_ for _ in ()).throw(
-        ValueError("COMPRESS: no zlib/zstd codec surface in Spark SQL"
-                   " expressions; compress at the storage layer")
+    # codec family (r14 — replaces the r8 refusals): real zlib/bz2
+    # stream formats via Arrow-batched pandas UDFs registered by
+    # register_views/snowflake_sql (functions/codecs.py). zstd/snappy
+    # refuse at rewrite time when the method is a literal (their libs
+    # are absent in this environment — the multimodal gate posture).
+    "COMPRESS": lambda args: _codec_call_rewrite(
+        "COMPRESS", "__sf_compress", args
     ),
-    "DECOMPRESS_STRING": lambda args: (_ for _ in ()).throw(
-        ValueError("DECOMPRESS_STRING: no codec surface in Spark SQL")
+    "DECOMPRESS_STRING": lambda args: _codec_call_rewrite(
+        "DECOMPRESS_STRING", "__sf_decompress_string", args
     ),
-    "DECOMPRESS_BINARY": lambda args: (_ for _ in ()).throw(
-        ValueError("DECOMPRESS_BINARY: no codec surface in Spark SQL")
+    "DECOMPRESS_BINARY": lambda args: _codec_call_rewrite(
+        "DECOMPRESS_BINARY", "__sf_decompress_binary", args
     ),
     "TO_GEOGRAPHY": lambda args: (_ for _ in ()).throw(
         ValueError("TO_GEOGRAPHY: geospatial types are not supported"
@@ -4322,6 +4326,25 @@ def _get_path_rewrite(args: list) -> str:
 
 def _bad(name: str, args: list) -> str:
     raise ValueError(f"{name} expects a fixed arity, got {len(args)} args")
+
+
+def _codec_call_rewrite(name: str, udf: str, args: list) -> str:
+    """COMPRESS / DECOMPRESS_* -> the registered Arrow UDFs
+    (functions/codecs.py). A LITERAL method outside zlib/bz2 refuses
+    here (analysis-time, before any task runs); a non-literal method
+    defers to the UDF's own per-value refusal."""
+    if len(args) != 2:
+        return _bad(name, args)
+    m = args[1].strip()
+    if len(m) >= 2 and m[0] == m[-1] == "'":
+        method = m[1:-1].strip().lower().split("(")[0]
+        if method not in ("zlib", "bz2"):
+            raise ValueError(
+                f"{name} method {m}: only 'zlib' and 'bz2' are"
+                " available in this environment (zstd/snappy"
+                " libraries absent — environment-gated)"
+            )
+    return f"{udf}(CAST(({args[0]}) AS BINARY), {args[1]})"
 
 
 def _concat_ws_rewrite(args: list) -> str:

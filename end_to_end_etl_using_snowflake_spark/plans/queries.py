@@ -11971,3 +11971,48 @@ def f47_collation_icu(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(lower_select(_F47_SNOWFLAKE_TEXT))
+
+
+_F48_SNOWFLAKE_TEXT = """
+SELECT doc_id,
+       DECOMPRESS_STRING(COMPRESS(text, 'zlib'), 'zlib') AS rt_zlib,
+       DECOMPRESS_STRING(COMPRESS(text, 'bz2'), 'bz2') AS rt_bz2,
+       HEX(SUBSTR(COMPRESS(text, 'zlib'), 1, 1)) AS zlib_magic,
+       CAST(SUBSTR(COMPRESS(text, 'bz2'), 1, 3) AS TEXT) AS bz2_magic
+FROM documents WHERE doc_id % 37 = 0
+"""
+
+
+@register(
+    "f48_codec_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           text AS rt_zlib,
+           text AS rt_bz2,
+           '78' AS zlib_magic,
+           'BZh' AS bz2_magic
+    FROM documents WHERE doc_id % 37 = 0
+    """,
+    doc="""COMPRESS / DECOMPRESS_STRING on REAL stream formats (r14 —
+    replaces the r8 refusals): Snowflake's codec functions emit
+    standard zlib/bz2 streams, and Python ships both in the standard
+    library, so the family lowers onto Arrow-batched pandas UDFs
+    registered per session (functions/codecs.py; register_views /
+    snowflake_sql install them, so the driver's bare session works).
+    The oracle pins the round-trip identity AND the actual stream
+    format (zlib's 0x78 header byte, bz2's 'BZh' magic — not a
+    homegrown encoding), which DuckDB verifies without any codec of
+    its own. zstd/snappy refuse at rewrite time when the method is a
+    literal (libraries absent — the multimodal environment-gate
+    posture). Scale: per-row pure functions pipeline inside the scan
+    stage, no shuffle; the Python lane is the honest price of a codec
+    Spark SQL does not expose
+    (functions/sqldialect.py:_codec_call_rewrite).""",
+    tags=("functions", "dialect", "codec", "udf"),
+)
+def f48_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import lower_select
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(lower_select(_F48_SNOWFLAKE_TEXT))

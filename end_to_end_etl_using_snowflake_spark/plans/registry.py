@@ -66,12 +66,12 @@ def register(
 PRIORITY: tuple[str, ...] = (
     # ---- first 50: the r14 driver window (VERDICT r13 #1: clear the
     # r7-stale cohort ENTIRELY). 2-entry always-on core + ALL 19
-    # remaining r7-stale entries + the 5 new r14 entries (f43/f45
+    # remaining r7-stale entries + the 6 new r14 entries (f43/f45
     # probe battery 10, f44 TIME family, f46 battery 11, f47 ICU
-    # collations — new entries join the window in their birth round
-    # so no never-checked debt accrues) + the head-24 of the 47-entry
-    # r8 cohort. Staleness ceiling after this window: r8 (23 entries
-    # remain). All window entries are locally 3-SF parity-green per
+    # collations, f48 codecs — new entries join the window in their
+    # birth round so no never-checked debt accrues) + the head-23 of
+    # the 47-entry r8 cohort. Staleness ceiling after this window: r8
+    # (24 entries remain). All window entries are locally 3-SF parity-green per
     # pytest run.
     "flagship_fact_rebuild",
     "pl_dim_customer",
@@ -95,13 +95,14 @@ PRIORITY: tuple[str, ...] = (
     "sql28_warehouse_script_replay",
     "sql31_merge_cdc_apply",
     "sql32_match_recognize_text",
-    # new r14 entries (5)
+    # new r14 entries (6)
     "f43_value_window_frames",
     "f44_time_convention",
     "f45_grouping_alias",
     "f46_scalar_battery11",
     "f47_collation_icu",
-    # head-24 of the r8 cohort (fills slots 27-50)
+    "f48_codec_roundtrip",
+    # head-23 of the r8 cohort (fills slots 28-50)
     "d1_dedup_exact",
     "d2_dedup_ngram_jaccard",
     "d3_dedup_minhash_lsh",
@@ -125,9 +126,9 @@ PRIORITY: tuple[str, ...] = (
     "mm1_multimodal_decode",
     "mm3_feature_extract",
     "pl_identity_keys",
-    "pl_list_stage",
     # ---- 51+: rotation queue, stalest first — the r15 window head.
-    # r8 cohort remainder (23)
+    # r8 cohort remainder (24)
+    "pl_list_stage",
     "pl_show_streams",
     "s8_copy_unload",
     "sql29_connect_by_level",

@@ -78,7 +78,11 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     pre-registered views, so ``spark.sql`` text can be shared). Also
     enables Spark 4.1's native TIME type on the session — the TO_TIME
     family (f44) lowers onto it, and the driver runs builders on a
-    BARE session where the flag is off by default."""
+    BARE session where the flag is off by default — and registers the
+    codec UDFs (COMPRESS family, f48)."""
+    from ..functions.codecs import ensure_codec_udfs
+
     spark.conf.set("spark.sql.timeType.enabled", "true")
+    ensure_codec_udfs(spark)
     for name in TPCH_TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)

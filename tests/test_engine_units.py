@@ -3530,6 +3530,38 @@ def test_scalar_battery11(spark):
         spark.sql(L("SELECT FACTORIAL(-1) AS f")).collect()
 
 
+def test_codec_family(spark):
+    """r14: COMPRESS/DECOMPRESS on real zlib/bz2 streams via Arrow
+    UDFs. Round-trip identity, actual format magic bytes, level
+    suffix, NULL propagation; zstd refuses at rewrite time."""
+    from end_to_end_etl_using_snowflake_spark.functions.codecs import (
+        ensure_codec_udfs,
+    )
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        lower_select as L,
+    )
+    import zlib
+
+    ensure_codec_udfs(spark)
+    row = spark.sql(L(
+        "SELECT DECOMPRESS_STRING(COMPRESS('hello codec', 'zlib'),"
+        "                         'zlib') AS rt,"
+        " DECOMPRESS_STRING(COMPRESS('hello', 'bz2'), 'bz2') AS rt2,"
+        " DECOMPRESS_STRING(COMPRESS('hi', 'zlib(9)'), 'zlib') AS lvl,"
+        " COMPRESS('abc', 'zlib') AS blob,"
+        " COMPRESS(CAST(NULL AS STRING), 'zlib') AS nul,"
+        " DECOMPRESS_BINARY(COMPRESS('xy', 'bz2'), 'bz2') AS rb"
+    )).first()
+    assert row.rt == "hello codec" and row.rt2 == "hello"
+    assert row.lvl == "hi"
+    # the blob is a REAL zlib stream — Python's zlib reads it directly
+    assert zlib.decompress(bytes(row.blob)) == b"abc"
+    assert row.nul is None
+    assert bytes(row.rb) == b"xy"
+    with pytest.raises(ValueError, match="zstd"):
+        L("SELECT COMPRESS(x, 'zstd') FROM t")
+
+
 def test_chr_unicode_range(spark):
     """CHR/CHAR(n) decodes any valid Unicode code point via UTF-32;
     out-of-range AND the surrogate block U+D800-U+DFFF refuse loudly
