@@ -830,3 +830,22 @@ def test_f46_battery11_scan_only(spark):
     assert "Exchange" not in plan, plan
     scan_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "o_totalprice" not in scan_schema
+
+
+def test_f47_collations_jvm_side(spark):
+    """r14: ICU collation comparisons are native expressions — no
+    Python, no cartesian (the scalar subquery broadcasts one row)."""
+    plan = plan_of(spark, "f47_collation_icu")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_f48_codec_udf_in_scan_stage(spark):
+    """r14: the codec family IS the documented Arrow slow path — pin
+    that it stays Arrow-batched (ArrowEvalPython, never row-at-a-time
+    BatchEvalPython) and pipelines inside the scan stage with no
+    shuffle."""
+    plan = plan_of(spark, "f48_codec_roundtrip")
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan, plan
