@@ -2887,15 +2887,13 @@ _SCALAR_REWRITES = {
         if len(args) == 1
         else _bad("FACTORIAL", args)
     ),
-    # under the engine's VARIANT-as-JSON-text convention TO_JSON is
-    # the identity rendering (PARSE_JSON/OBJECT_CONSTRUCT/TO_VARIANT
-    # already produce JSON text); Spark's native to_json would reject
-    # the string-typed VARIANT column loudly (battery 11)
-    "TO_JSON": lambda args: (
-        f"CAST(({args[0]}) AS STRING)"
-        if len(args) == 1
-        else _bad("TO_JSON", args)
-    ),
+    # TO_JSON dispatches on the LOWERED argument's shape (battery 11,
+    # corrected after the first cut broke OBJECT_CONSTRUCT users):
+    # earlier passes emit to_json(...) for the JSON-text convention,
+    # so a blanket rewrite here re-matched and mangled THEIR output —
+    # the ARRAY_CONTAINS convergence lesson again. See
+    # _to_json_rewrite for the dispatch table.
+    "TO_JSON": lambda args: _to_json_rewrite(args),
     # Snowflake docs: JSON_EXTRACT_PATH_TEXT(v, path) == GET_PATH +
     # TO_VARCHAR; get_json_object returns unquoted scalar text, which
     # IS that contract under the JSON-text convention (battery 11)
@@ -4326,6 +4324,66 @@ def _get_path_rewrite(args: list) -> str:
 
 def _bad(name: str, args: list) -> str:
     raise ValueError(f"{name} expects a fixed arity, got {len(args)} args")
+
+
+# argument heads that are unambiguously COMPOUND (native array/struct/
+# map producers) — TO_JSON renders them with Spark's native to_json
+_TO_JSON_COMPOUND_HEADS = (
+    "named_struct", "struct", "array", "map", "map_from_entries",
+    "map_from_arrays", "collect_list", "collect_set", "array_agg",
+    "sort_array", "array_sort", "array_distinct", "array_compact",
+    "arrays_zip", "sequence", "split", "flatten", "slice", "transform",
+    # reverse/filter are string-or-array overloaded, but every engine
+    # lowering that feeds them into TO_JSON produces arrays (the
+    # ARRAY_AGG WITHIN GROUP chain emits reverse(array_sort(...)));
+    # a user's string input fails loudly at analysis, never silently
+    "reverse", "filter", "zip_with", "aggregate",
+)
+
+
+def _to_json_rewrite(args: list) -> str:
+    """TO_JSON under the VARIANT-as-JSON-text convention. The lowered
+    argument dispatches by shape: an emitted ``to_json(...)`` (the
+    OBJECT_CONSTRUCT / ARRAY_AGG-WITHIN-GROUP lowerings) is ALREADY
+    JSON text — identity, which also makes the head convergent when
+    it re-matches an earlier pass's emission; string literals,
+    ``get_json_object`` paths, and bare identifiers (VARIANT columns
+    are JSON-text strings by convention) render via CAST; known
+    compound constructors go through native ``to_json``. Anything
+    else refuses loudly — ``concat`` and friends are string-or-array
+    overloaded and a wrong guess silently changes the rendering. The
+    2-arg form is Spark's native options spelling (the
+    OBJECT_CONSTRUCT_KEEP_NULL lowering emits
+    ``to_json(struct, map('ignoreNullFields', 'false'))``) and passes
+    through unchanged."""
+    if len(args) == 2:
+        return f"to_json({args[0]}, {args[1]})"
+    if len(args) != 1:
+        return _bad("TO_JSON", args)
+    core = args[0].strip()
+    while (
+        core.startswith("(")
+        and _balanced_span(core, 0) == len(core)
+    ):
+        core = core[1:-1].strip()
+    low = core.lower()
+    if re.match(r"^to_json\s*\(", low):
+        return core
+    if (
+        re.fullmatch(r"'(?:[^']|'')*'", core)
+        or re.match(r"^get_json_object\s*\(", low)
+        or re.fullmatch(r"[A-Za-z_][\w.]*", core)
+    ):
+        return f"CAST(({core}) AS STRING)"
+    head = re.match(r"^([a-z_]\w*)\s*\(", low)
+    if head is not None and head.group(1) in _TO_JSON_COMPOUND_HEADS:
+        return f"to_json({core})"
+    raise ValueError(
+        "TO_JSON: cannot tell whether the argument is JSON text or a"
+        " native compound — pass a VARIANT producer (PARSE_JSON of a"
+        " literal, OBJECT_CONSTRUCT, GET_PATH, a VARIANT column) or a"
+        f" compound constructor directly; got: {core[:80]!r}"
+    )
 
 
 def _codec_call_rewrite(name: str, udf: str, args: list) -> str:

@@ -11867,7 +11867,7 @@ SELECT o_orderkey,
                  CASE WHEN o_orderkey % 3 = 0
                       THEN o_orderpriority END) AS tag_nulls,
        CAST(FACTORIAL(o_orderkey % 13) AS BIGINT) AS fact,
-       TO_JSON(PARSE_JSON(CONCAT('{"k": ', o_orderkey, '}'))) AS js,
+       TO_JSON(OBJECT_CONSTRUCT('k', o_orderkey)) AS js,
        JSON_EXTRACT_PATH_TEXT(
            CONCAT('{"a": {"b": "', o_orderstatus, '"}}'), 'a.b') AS jt
 FROM orders WHERE o_orderkey % 41 = 0
@@ -11884,7 +11884,7 @@ FROM orders WHERE o_orderkey % 41 = 0
                      THEN o_orderpriority END) AS tag_nulls,
            CAST(factorial(CAST(o_orderkey % 13 AS INT)) AS BIGINT)
                AS fact,
-           '{"k": ' || o_orderkey || '}' AS js,
+           '{"k":' || o_orderkey || '}' AS js,
            json_extract_string('{"a": {"b": "' || o_orderstatus
                || '"}}', '$.a.b') AS jt
     FROM orders WHERE o_orderkey % 41 = 0

@@ -3528,6 +3528,20 @@ def test_scalar_battery11(spark):
         spark.sql(L("SELECT FACTORIAL(21) AS f")).collect()
     with pytest.raises(Exception, match="FACTORIAL"):
         spark.sql(L("SELECT FACTORIAL(-1) AS f")).collect()
+    # TO_JSON dispatch (fixed after the first cut mangled earlier
+    # passes' to_json emissions — the convergence lesson): compound
+    # constructors render as JSON; OBJECT_CONSTRUCT[_KEEP_NULL] chains
+    # survive (incl. the 2-arg native options form); ambiguity refuses
+    r2 = spark.sql(L(
+        "SELECT TO_JSON(OBJECT_CONSTRUCT('k', 1)) AS a,"
+        " OBJECT_CONSTRUCT_KEEP_NULL('x', CAST(NULL AS INT)) AS b,"
+        " TO_JSON(ARRAY_CONSTRUCT(3, 1, 2)) AS c"
+    )).first()
+    assert r2.a == '{"k":1}'
+    assert r2.b == '{"x":null}'
+    assert r2.c == "[3,1,2]"
+    with pytest.raises(ValueError, match="JSON text or a native"):
+        L("SELECT TO_JSON(CONCAT(a, b)) FROM t")
 
 
 def test_codec_family(spark):
