@@ -4856,9 +4856,9 @@ def test_everyday_scalar_pack2_battery2(spark):
     assert gic == '{"z":1}'
     assert one("GET_IGNORE_CASE('{\"A\":1}', 'zz')") is None
     assert one("GET_IGNORE_CASE('[1,2]', 'a')") is None
+    # r14: TIME_FROM_PARTS and COMPRESS lower now (f44/f48) — the
+    # r11 refusal pins moved to positive tests there
     for bad, msg in [
-        ("SELECT TIME_FROM_PARTS(1, 2, 3) FROM t", "no TIME type"),
-        ("SELECT COMPRESS(s, 'zlib') FROM t", "codec"),
         ("SELECT TO_GEOGRAPHY(s) FROM t", "geospatial"),
         ("SELECT TIMESTAMP_FROM_PARTS(2024,1,1,0,0,0,500) FROM t",
          "nanoseconds"),
@@ -5099,8 +5099,8 @@ def test_everyday_scalar_pack2_battery3(spark):
     ).fetchone()
     for got, want in zip(rr, ref):
         assert abs(got - want) < 1e-9, (got, want)
+    # r14: TO_TIME lowers now (f44 — native TIME type)
     for bad, msg in [
-        ("SELECT TO_TIME('10:30') FROM t", "no TIME type"),
         ("SELECT ENCRYPT(s, 'p') FROM t", "cipher"),
     ]:
         with _pytest.raises(ValueError, match=msg):
