@@ -66,12 +66,12 @@ def register(
 PRIORITY: tuple[str, ...] = (
     # ---- first 50: the r14 driver window (VERDICT r13 #1: clear the
     # r7-stale cohort ENTIRELY). 2-entry always-on core + ALL 19
-    # remaining r7-stale entries + the 6 new r14 entries (f43/f45
+    # remaining r7-stale entries + the 7 new r14 entries (f43/f45
     # probe battery 10, f44 TIME family, f46 battery 11, f47 ICU
-    # collations, f48 codecs — new entries join the window in their
-    # birth round so no never-checked debt accrues) + the head-23 of
-    # the 47-entry r8 cohort. Staleness ceiling after this window: r8
-    # (24 entries remain). All window entries are locally 3-SF parity-green per
+    # collations, f48 codecs, x29 grouping-sets pre-agg — new entries
+    # join the window in their birth round so no never-checked debt
+    # accrues) + the head-22 of the 47-entry r8 cohort. Staleness
+    # ceiling after this window: r8 (25 entries remain). All window entries are locally 3-SF parity-green per
     # pytest run.
     "flagship_fact_rebuild",
     "pl_dim_customer",
@@ -102,7 +102,8 @@ PRIORITY: tuple[str, ...] = (
     "f46_scalar_battery11",
     "f47_collation_icu",
     "f48_codec_roundtrip",
-    # head-23 of the r8 cohort (fills slots 28-50)
+    "x29_grouping_sets_preagg",
+    # head-22 of the r8 cohort (fills slots 29-50)
     "d1_dedup_exact",
     "d2_dedup_ngram_jaccard",
     "d3_dedup_minhash_lsh",
@@ -125,9 +126,9 @@ PRIORITY: tuple[str, ...] = (
     "m7_incremental_fact_merge",
     "mm1_multimodal_decode",
     "mm3_feature_extract",
-    "pl_identity_keys",
     # ---- 51+: rotation queue, stalest first — the r15 window head.
-    # r8 cohort remainder (24)
+    # r8 cohort remainder (25)
+    "pl_identity_keys",
     "pl_list_stage",
     "pl_show_streams",
     "s8_copy_unload",

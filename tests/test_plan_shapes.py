@@ -849,3 +849,17 @@ def test_f48_codec_udf_in_scan_stage(spark):
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan, plan
+
+
+def test_x29_preagg_factors_expand(spark):
+    """r14: the pre-aggregate + rollup-of-partials rewrite — Expand
+    must sit ABOVE the first (finest-grain) aggregate, i.e. Expand's
+    input is the ~45-row intermediate, not the base scan. Two
+    aggregate pairs, no Python."""
+    plan = plan_of(spark, "x29_grouping_sets_preagg")
+    assert "Expand" in plan, plan
+    # the finest-grain partial agg appears BELOW the Expand node
+    assert plan.index("Expand") < plan.index("Scan "), plan
+    agg_before_expand = plan[plan.index("Expand"):].count("HashAggregate")
+    assert agg_before_expand >= 2, plan  # finest-grain pair under Expand
+    assert "Python" not in plan
