@@ -5350,6 +5350,104 @@ def rewrite_value_window_frames(sql: str) -> str:
     return sql
 
 
+# ---------------------------------------------------------------------------
+# Default NULL ORDERING (probe battery 12, r14). Snowflake and Spark
+# document OPPOSITE defaults: Snowflake sorts NULLs LAST on ASC and
+# FIRST on DESC; Spark sorts NULLs FIRST on ASC and LAST on DESC. On
+# any ORDER BY over a nullable key — a window's ORDER BY feeding
+# row_number/rank/first_value, or a top-k's sort — the NULL rows
+# silently land at the other end. The lowering appends the explicit
+# Snowflake placement to every sort item that does not already carry
+# a NULLS FIRST/LAST clause, in final ORDER BYs and window ORDER BYs
+# alike. (DuckDB's default is NULLS LAST in BOTH directions, so
+# oracles for DESC cases must also spell it explicitly.)
+# ---------------------------------------------------------------------------
+
+_ORDER_BY_HEAD = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_NULLS_TAIL = re.compile(r"(?i)\bNULLS\s+(FIRST|LAST)\s*$")
+_DESC_TAIL = re.compile(r"(?i)\bDESC\s*$")
+_ASC_TAIL = re.compile(r"(?i)\bASC\s*$")
+# keywords that terminate an ORDER BY list at its own paren depth
+_ORDER_STOP = re.compile(
+    r"(?i)\b(LIMIT|OFFSET|FETCH|ROWS|RANGE|GROUPS|UNION|EXCEPT|"
+    r"INTERSECT|MINUS|WINDOW|QUALIFY|FOR)\b"
+)
+
+
+def _annotate_order_item(item: str) -> str:
+    body = item.rstrip()
+    pad = item[len(body):]
+    if not body or _NULLS_TAIL.search(body):
+        return item
+    if _DESC_TAIL.search(body):
+        return body + " NULLS FIRST" + pad
+    return body + " NULLS LAST" + pad
+
+
+def rewrite_null_ordering(sql: str) -> str:
+    pos = 0
+    while True:
+        m = _ORDER_BY_HEAD.search(sql, pos)
+        if m is None:
+            break
+        if sql[: m.start()].count("'") % 2 == 1:
+            pos = m.end()
+            continue
+        # walk the sort list: items split on depth-0 commas; the list
+        # ends at a depth-0 stop keyword, an unbalanced ')', or EOS
+        i = m.end()
+        n = len(sql)
+        depth = 0
+        items: list[str] = []
+        start = i
+        end = n
+        while i < n:
+            c = sql[i]
+            if c == "'":
+                j = i + 1
+                while j < n:
+                    if sql[j] == "'" and sql[j + 1 : j + 2] == "'":
+                        j += 2
+                    elif sql[j] == "'":
+                        break
+                    else:
+                        j += 1
+                i = j + 1
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif c == ";" and depth == 0:
+                # statement terminator (verbatim pasted text keeps it)
+                end = i
+                break
+            elif c == "," and depth == 0:
+                items.append(sql[start:i])
+                start = i + 1
+            elif depth == 0 and c.isalpha():
+                km = _ORDER_STOP.match(sql, i)
+                if km is not None:
+                    end = i
+                    break
+                # skip the rest of this word
+                j = i
+                while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                    j += 1
+                i = j
+                continue
+            i += 1
+        if end > start or items:
+            items.append(sql[start:end])
+        new_list = ",".join(_annotate_order_item(it) for it in items)
+        sql = sql[: m.end()] + new_list + sql[end:]
+        pos = m.end() + len(new_list)
+    return sql
+
+
 _TOP_RE = re.compile(r"^(\s*SELECT)\s+TOP\s+(\d+)\s+", re.IGNORECASE)
 
 
@@ -7241,4 +7339,10 @@ def lower_select(sql: str) -> str:
     sql = rewrite_generator(sql)
     sql = rewrite_sample(sql)
     sql = rewrite_connect_by(sql)
-    return rewrite_qualify(sql)
+    sql = rewrite_qualify(sql)
+    # LAST: Snowflake's default NULL placement (NULLS LAST on ASC,
+    # FIRST on DESC — Spark defaults are the exact opposite) applies
+    # to every ORDER BY in the final text, including ones earlier
+    # passes moved or generated from user clauses (QUALIFY's
+    # row_number must rank NULL keys where Snowflake would).
+    return rewrite_null_ordering(sql)

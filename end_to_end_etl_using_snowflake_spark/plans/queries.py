@@ -12076,3 +12076,61 @@ def x29_grouping_sets_preagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_X29_PREAGG_SQL)
+
+
+_F49_SNOWFLAKE_TEXT = """
+SELECT o_orderkey,
+       nk,
+       ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                          ORDER BY nk, o_orderkey) AS rn_asc,
+       RANK() OVER (PARTITION BY o_orderstatus
+                    ORDER BY nk DESC, o_orderkey) AS rk_desc
+FROM (SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderpriority END AS nk
+      FROM orders WHERE o_orderkey % 11 = 0)
+"""
+
+
+@register(
+    "f49_null_ordering",
+    oracle="""
+    SELECT o_orderkey,
+           nk,
+           ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                              ORDER BY nk NULLS LAST,
+                                       o_orderkey NULLS LAST) AS rn_asc,
+           RANK() OVER (PARTITION BY o_orderstatus
+                        ORDER BY nk DESC NULLS FIRST,
+                                 o_orderkey NULLS LAST) AS rk_desc
+    FROM (SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                      ELSE o_orderpriority END AS nk
+          FROM orders WHERE o_orderkey % 11 = 0)
+    """,
+    doc="""Probe battery 12 (r14) — DEFAULT NULL ORDERING. Snowflake
+    and Spark document exactly OPPOSITE defaults (Snowflake: NULLS
+    LAST on ASC, FIRST on DESC; Spark: FIRST on ASC, LAST on DESC),
+    so every pasted ORDER BY over a nullable key — a window's sort
+    feeding ROW_NUMBER/RANK/FIRST_VALUE, or a top-k — silently put
+    the NULL rows at the other end. ``rewrite_null_ordering`` (the
+    LAST lower_select pass, so QUALIFY-generated and pass-moved sorts
+    are covered too) appends the explicit Snowflake placement to
+    every sort item without a NULLS clause, in final ORDER BYs and
+    window ORDER BYs alike; explicit annotations are untouched;
+    frames/LIMIT/set-ops terminate the list; string literals are
+    inviolate. The oracle spells the placement explicitly in BOTH
+    directions because DuckDB's own default (NULLS LAST both ways)
+    differs from Snowflake's on DESC. The entry ranks a 1-in-7-NULL
+    key per status in both directions over a keyed subsample — every
+    (partition, direction) pair has NULL and non-NULL members
+    (functions/sqldialect.py:rewrite_null_ordering). Window exec
+    JVM-side, one shuffle per partition key.""",
+    tags=("functions", "dialect", "window", "probe-battery"),
+)
+def f49_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import lower_select
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(lower_select(_F49_SNOWFLAKE_TEXT))

@@ -66,12 +66,13 @@ def register(
 PRIORITY: tuple[str, ...] = (
     # ---- first 50: the r14 driver window (VERDICT r13 #1: clear the
     # r7-stale cohort ENTIRELY). 2-entry always-on core + ALL 19
-    # remaining r7-stale entries + the 7 new r14 entries (f43/f45
+    # remaining r7-stale entries + the 8 new r14 entries (f43/f45
     # probe battery 10, f44 TIME family, f46 battery 11, f47 ICU
-    # collations, f48 codecs, x29 grouping-sets pre-agg — new entries
-    # join the window in their birth round so no never-checked debt
-    # accrues) + the head-22 of the 47-entry r8 cohort. Staleness
-    # ceiling after this window: r8 (25 entries remain). All window entries are locally 3-SF parity-green per
+    # collations, f48 codecs, x29 grouping-sets pre-agg, f49 null
+    # ordering — new entries join the window in their birth round so
+    # no never-checked debt accrues) + the head-21 of the 47-entry r8
+    # cohort. Staleness ceiling after this window: r8 (26 entries
+    # remain). All window entries are locally 3-SF parity-green per
     # pytest run.
     "flagship_fact_rebuild",
     "pl_dim_customer",
@@ -103,7 +104,8 @@ PRIORITY: tuple[str, ...] = (
     "f47_collation_icu",
     "f48_codec_roundtrip",
     "x29_grouping_sets_preagg",
-    # head-22 of the r8 cohort (fills slots 29-50)
+    "f49_null_ordering",
+    # head-21 of the r8 cohort (fills slots 30-50)
     "d1_dedup_exact",
     "d2_dedup_ngram_jaccard",
     "d3_dedup_minhash_lsh",
@@ -125,9 +127,9 @@ PRIORITY: tuple[str, ...] = (
     "m5_cdc_apply_changes",
     "m7_incremental_fact_merge",
     "mm1_multimodal_decode",
-    "mm3_feature_extract",
     # ---- 51+: rotation queue, stalest first — the r15 window head.
-    # r8 cohort remainder (25)
+    # r8 cohort remainder (26)
+    "mm3_feature_extract",
     "pl_identity_keys",
     "pl_list_stage",
     "pl_show_streams",

@@ -3544,6 +3544,39 @@ def test_scalar_battery11(spark):
         L("SELECT TO_JSON(CONCAT(a, b)) FROM t")
 
 
+def test_null_ordering_defaults(spark):
+    """r14 probe battery 12: Snowflake and Spark document OPPOSITE
+    default NULL placements (Snowflake ASC=NULLS LAST/DESC=NULLS
+    FIRST; Spark the exact reverse). The lowering appends the
+    explicit Snowflake placement to every unannotated sort item —
+    final ORDER BYs, window ORDER BYs, through QUALIFY."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        lower_select as L,
+        rewrite_null_ordering as R,
+    )
+
+    base = ("FROM (SELECT 1 AS k, 10 AS v UNION ALL SELECT 2, NULL"
+            " UNION ALL SELECT 3, 30)")
+    # ASC: the NULL row sorts LAST (Spark's default would put it first)
+    rows = spark.sql(L(
+        f"SELECT k, ROW_NUMBER() OVER (ORDER BY v) AS rn {base}"
+    )).collect()
+    assert {(r.k, r.rn) for r in rows} == {(1, 1), (3, 2), (2, 3)}
+    # DESC: the NULL row sorts FIRST
+    rows = spark.sql(L(
+        f"SELECT k, ROW_NUMBER() OVER (ORDER BY v DESC) AS rn {base}"
+    )).collect()
+    assert {(r.k, r.rn) for r in rows} == {(2, 1), (3, 2), (1, 3)}
+    # explicit annotations are never touched; frames terminate the list
+    out = R("SELECT * FROM t ORDER BY a NULLS FIRST, b DESC LIMIT 3")
+    assert out.count("NULLS FIRST") == 2 and "b DESC NULLS FIRST" in out
+    out = R("SELECT SUM(x) OVER (ORDER BY a RANGE BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) FROM t")
+    assert "a NULLS LAST RANGE" in out
+    # literal-interior ORDER BY text is not a sort list
+    assert R("SELECT 'ORDER BY x' AS s") == "SELECT 'ORDER BY x' AS s"
+
+
 def test_codec_family(spark):
     """r14: COMPRESS/DECOMPRESS on real zlib/bz2 streams via Arrow
     UDFs. Round-trip identity, actual format magic bytes, level

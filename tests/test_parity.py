@@ -39,17 +39,18 @@ def test_registry_size_pinned():
     # multi-arg GROUPING), f44 (native TIME family), f46 (battery 11:
     # CONCAT_WS poisoning, FACTORIAL range, TO_JSON, JSON_EXTRACT_*),
     # f47 (ICU collations), f48 (zlib/bz2 codec family), x29
-    # (grouping-sets pre-agg rollup — the 100 TB Expand-factoring)
-    assert len(REGISTRY) == 313
+    # (grouping-sets pre-agg rollup — the 100 TB Expand-factoring),
+    # f49 (default NULL ordering)
+    assert len(REGISTRY) == 314
 
 
 def test_driver_prefix_spans_all_operator_families():
     """The driver's correctness gate checks a PREFIX of queries() (50
     entries per round so far). Round-14 rotation (VERDICT r13 #1:
     clear the r7-stale cohort ENTIRELY): 2-entry always-on core + ALL
-    19 remaining r7-stale entries + the 7 new r14 entries (new
+    19 remaining r7-stale entries + the 8 new r14 entries (new
     entries join the window in their birth round, so no never-checked
-    debt accrues) + the head-22 of the 47-entry r8 cohort — staleness
+    debt accrues) + the head-21 of the 47-entry r8 cohort — staleness
     ceiling moves to r8. Guard: every cohort member is inside the
     window (none silently pushed out) and every window entry carries
     a real oracle."""
@@ -70,7 +71,7 @@ def test_driver_prefix_spans_all_operator_families():
         "f43_value_window_frames", "f44_time_convention",
         "f45_grouping_alias", "f46_scalar_battery11",
         "f47_collation_icu", "f48_codec_roundtrip",
-        "x29_grouping_sets_preagg",
+        "x29_grouping_sets_preagg", "f49_null_ordering",
     ]
     r8_head = [
         "d1_dedup_exact", "d2_dedup_ngram_jaccard",
@@ -83,7 +84,7 @@ def test_driver_prefix_spans_all_operator_families():
         "j6_salted_skew_join", "k10_tdigest_sketch_path",
         "k9_theta_sketch_bounds", "llm_corpus_clean",
         "m5_cdc_apply_changes", "m7_incremental_fact_merge",
-        "mm1_multimodal_decode", "mm3_feature_extract",
+        "mm1_multimodal_decode",
     ]
     expected = core + stale_r7_all + new_r14 + r8_head
     assert len(expected) == 50

@@ -33,6 +33,9 @@ _TRIGGER_WORDS = st.sampled_from([
     "LAST_VALUE(x) OVER (ORDER BY k)", "NTH_VALUE(v, 2) FROM LAST",
     "TO_TIME(10:11:12)", "TIME_FROM_PARTS(1, 2, 3)", "GROUPING(a, b)",
     "x::TIME(9)", "* RENAME (a AS b)",
+    "TO_JSON(OBJECT_CONSTRUCT(k, 1))", "CONCAT_WS(-, a, b)",
+    "COMPRESS(s, zlib)", "COLLATE fr-ci-ai", "FACTORIAL(25)",
+    "ORDER BY a DESC", "ORDER BY x, y LIMIT 3",
 ])
 _FILLER = st.text(
     alphabet="abcXYZ ,.()[]{}%$^*+-/\\<>=!?:;_0123456789", max_size=12
