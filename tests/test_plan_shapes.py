@@ -863,3 +863,12 @@ def test_x29_preagg_factors_expand(spark):
     agg_before_expand = plan[plan.index("Expand"):].count("HashAggregate")
     assert agg_before_expand >= 2, plan  # finest-grain pair under Expand
     assert "Python" not in plan
+
+
+def test_f49_null_ordering_stays_window_exec(spark):
+    """r14: explicit NULL placements are plain SortOrder properties —
+    native Window exec, no Python, one shuffle per partition key."""
+    plan = plan_of(spark, "f49_null_ordering")
+    assert "Window" in plan, plan
+    assert "NULLS LAST" in plan and "NULLS FIRST" in plan, plan
+    assert "Python" not in plan
