@@ -3693,17 +3693,27 @@ def _to_time_rewrite(name: str, args: list, *, try_: bool) -> str:
     """TO_TIME / TRY_TO_TIME onto Spark 4.1's native TIME type (r14).
     1-arg AUTO extracts the time-of-day run from the rendered value
     (so TIMESTAMP inputs work like Snowflake's); 2-arg translates the
-    Snowflake format like the TO_TIMESTAMP family. AM/PM inputs
-    refuse in both forms — TRY_'s NULL contract covers UNPARSEABLE
-    values, but AM/PM is parseable in Snowflake, so a NULL (or a
-    silently 12-hour-shifted value) would be a wrong answer."""
+    Snowflake format like the TO_TIMESTAMP family. AM/PM inputs need
+    an explicit format: TO_TIME refuses loudly; TRY_TO_TIME returns
+    NULL (advice r14 — TRY_'s contract is never-raise, so a whole
+    query must not die on one meridiem value; the NULL-vs-parsed
+    divergence from Snowflake is documented here). The meridiem guard
+    requires a digit-adjacent [AP][.]?M ending at a word boundary so
+    ordinary words ('10:30 Amsterdam', '9 amps') don't trip it —
+    boundary spelled as a char class to keep the SQL literal free of
+    backslash escapes."""
     fn = "try_to_time" if try_ else "to_time"
     if len(args) == 1:
         rendered = f"CAST(({args[0]}) AS STRING)"
-        return (
-            f"(CASE WHEN {rendered} RLIKE '(?i)[0-9] *[AP][.]?M' THEN"
-            f" raise_error('{name}: AM/PM times need an explicit"
+        ampm = (
+            f"raise_error('{name}: AM/PM times need an explicit"
             f" format argument')"
+            if not try_
+            else "NULL"
+        )
+        return (
+            f"(CASE WHEN {rendered} RLIKE"
+            f" '(?i)[0-9] *[AP][.]?M([^A-Z0-9_]|$)' THEN {ampm}"
             f" ELSE {fn}(regexp_extract({rendered},"
             f" {_TIME_EXTRACT_RX}, 1)) END)"
         )
@@ -5320,6 +5330,18 @@ def rewrite_value_window_frames(sql: str) -> str:
         i = close
         fm = _FROM_DIR_RE.match(sql[i:])
         if fm is not None:
+            # Only a real NTH_VALUE modifier if (after an optional
+            # IGNORE/RESPECT NULLS) an OVER follows — a table literally
+            # named "first"/"last" ('SELECT FIRST_VALUE(v) FROM first')
+            # is a genuine FROM clause and must ride through (advice
+            # r14).
+            k = i + fm.end()
+            knm = _NULLS_OPT_RE.match(sql[k:])
+            if knm is not None:
+                k += knm.end()
+            if _OVER_RE.match(sql[k:]) is None:
+                fm = None
+        if fm is not None:
             if fm.group("dir").upper() == "LAST":
                 raise ValueError(
                     f"{fn} ... FROM LAST has no Spark spelling — reverse"
@@ -5384,13 +5406,42 @@ def _annotate_order_item(item: str) -> str:
     return body + " NULLS LAST" + pad
 
 
+def _inside_quotes(sql: str, upto: int) -> bool:
+    """True when position ``upto`` falls inside a '...' literal or a
+    "..." quoted identifier ('' / "" doubling respected). Shared guard
+    for scanners that must not fire on quoted text (advice r14: a bare
+    quote-parity count desyncs when one quote kind nests the other)."""
+    in_s = in_d = False
+    i = 0
+    while i < upto:
+        c = sql[i]
+        if in_s:
+            if c == "'":
+                if sql[i + 1 : i + 2] == "'":
+                    i += 1
+                else:
+                    in_s = False
+        elif in_d:
+            if c == '"':
+                if sql[i + 1 : i + 2] == '"':
+                    i += 1
+                else:
+                    in_d = False
+        elif c == "'":
+            in_s = True
+        elif c == '"':
+            in_d = True
+        i += 1
+    return in_s or in_d
+
+
 def rewrite_null_ordering(sql: str) -> str:
     pos = 0
     while True:
         m = _ORDER_BY_HEAD.search(sql, pos)
         if m is None:
             break
-        if sql[: m.start()].count("'") % 2 == 1:
+        if _inside_quotes(sql, m.start()):
             pos = m.end()
             continue
         # walk the sort list: items split on depth-0 commas; the list
@@ -5403,12 +5454,16 @@ def rewrite_null_ordering(sql: str) -> str:
         end = n
         while i < n:
             c = sql[i]
-            if c == "'":
+            if c == "'" or c == '"':
+                # skip '...' literals AND "..." quoted identifiers —
+                # a comma inside "weird,name" is identifier text, not
+                # an item separator (advice r14)
+                q = c
                 j = i + 1
                 while j < n:
-                    if sql[j] == "'" and sql[j + 1 : j + 2] == "'":
+                    if sql[j] == q and sql[j + 1 : j + 2] == q:
                         j += 2
-                    elif sql[j] == "'":
+                    elif sql[j] == q:
                         break
                     else:
                         j += 1
@@ -5444,7 +5499,13 @@ def rewrite_null_ordering(sql: str) -> str:
             items.append(sql[start:end])
         new_list = ",".join(_annotate_order_item(it) for it in items)
         sql = sql[: m.end()] + new_list + sql[end:]
-        pos = m.end() + len(new_list)
+        # resume from the HEAD, not past the list: an ORDER BY nested
+        # inside a sort item (ORDER BY ROW_NUMBER() OVER (ORDER BY b))
+        # must be annotated too. The re-scan is safe — already-
+        # annotated items are idempotent via _NULLS_TAIL, and the
+        # search never re-matches this head (it starts past it).
+        # (advice r14)
+        pos = m.end()
     return sql
 
 

@@ -3577,6 +3577,66 @@ def test_null_ordering_defaults(spark):
     assert R("SELECT 'ORDER BY x' AS s") == "SELECT 'ORDER BY x' AS s"
 
 
+def test_dialect_advice_r14_fixes(spark):
+    """Pins for the four r14 ADVICE findings: (1) the TO_TIME AM/PM
+    guard must not trip on digit+word-starting-with-am/pm ('10:30
+    Amsterdam', '9 amps') and TRY_TO_TIME returns NULL (not raise) on
+    true meridiem input; (2) a table literally named first/last is a
+    real FROM clause, not an NTH_VALUE modifier; (3) the NULL-ordering
+    scan is double-quote aware; (4) ORDER BYs nested inside sort items
+    are annotated too."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        lower_select as L,
+        rewrite_null_ordering as RN,
+        rewrite_value_window_frames as RV,
+    )
+    import datetime
+
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    row = spark.sql(L(
+        "SELECT TO_TIME('10:30 Amsterdam') AS a,"
+        " TRY_TO_TIME('9 amps 10:30') AS b,"
+        " TRY_TO_TIME('10:30 PM') AS c,"
+        " TRY_TO_TIME('10:30 p.m.') AS d"
+    )).first()
+    assert row.a == datetime.time(10, 30)
+    assert row.b == datetime.time(10, 30)
+    assert row.c is None and row.d is None
+    with pytest.raises(Exception, match="AM/PM"):
+        spark.sql(L("SELECT TO_TIME('10:30 PM') AS t")).collect()
+    # (2) FROM first/last as table names ride through untouched
+    assert RV("SELECT FIRST_VALUE(v) FROM first") == \
+        "SELECT FIRST_VALUE(v) FROM first"
+    assert RV("SELECT LAST_VALUE(v) FROM last") == \
+        "SELECT LAST_VALUE(v) FROM last"
+    # ... while the real modifier (OVER-lookahead) still resolves
+    assert "OVER (ORDER BY k ROWS BETWEEN" in RV(
+        "SELECT NTH_VALUE(v, 2) FROM FIRST IGNORE NULLS"
+        " OVER (ORDER BY k) FROM t")
+    with pytest.raises(ValueError, match="FROM LAST"):
+        RV("SELECT NTH_VALUE(v, 2) FROM LAST OVER (ORDER BY k) FROM t")
+    # (3) quoted identifiers: no comma-split, no desync on inner '
+    assert RN('SELECT * FROM t ORDER BY "weird,name"') == \
+        'SELECT * FROM t ORDER BY "weird,name" NULLS LAST'
+    assert RN("SELECT * FROM t ORDER BY \"o'brien\" DESC, b") == \
+        "SELECT * FROM t ORDER BY \"o'brien\" DESC NULLS FIRST," \
+        " b NULLS LAST"
+    # (4) the inner window's ORDER BY gets Snowflake placement too
+    out = RN("SELECT * FROM t ORDER BY ROW_NUMBER() OVER"
+             " (ORDER BY v DESC)")
+    assert "v DESC NULLS FIRST" in out
+    rows = spark.sql(L(
+        "SELECT k, ROW_NUMBER() OVER (ORDER BY"
+        " FIRST_VALUE(v) OVER (PARTITION BY k ORDER BY v DESC)"
+        " DESC) AS rn"
+        " FROM (SELECT 1 AS k, 10 AS v UNION ALL SELECT 2, NULL"
+        " UNION ALL SELECT 3, 30)"
+    )).collect()
+    # per-key first_value DESC = {1:10, 2:NULL, 3:30}; outer DESC
+    # ranks NULL FIRST (Snowflake), then 30, then 10
+    assert {(r.k, r.rn) for r in rows} == {(2, 1), (3, 2), (1, 3)}
+
+
 def test_codec_family(spark):
     """r14: COMPRESS/DECOMPRESS on real zlib/bz2 streams via Arrow
     UDFs. Round-trip identity, actual format magic bytes, level
