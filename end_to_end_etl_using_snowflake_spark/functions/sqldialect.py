@@ -5509,6 +5509,28 @@ def rewrite_null_ordering(sql: str) -> str:
     return sql
 
 
+_LIMIT_NULL_RE = re.compile(r"\bLIMIT\s+(?:NULL\b|'')", re.IGNORECASE)
+
+
+def rewrite_limit_null(sql: str) -> str:
+    """Snowflake documents ``LIMIT NULL`` (and the equivalent
+    ``LIMIT ''``) as "no limit applied"; Spark's parser requires an
+    integer limit expression and refuses the paste (probe battery 13,
+    r15). Strip the clause at any nesting depth — an OFFSET that
+    follows survives as a bare OFFSET, which Spark supports."""
+    pos = 0
+    while True:
+        m = _LIMIT_NULL_RE.search(sql, pos)
+        if m is None:
+            break
+        if _inside_quotes(sql, m.start()):
+            pos = m.end()
+            continue
+        sql = sql[: m.start()] + sql[m.end():]
+        pos = m.start()
+    return sql
+
+
 _TOP_RE = re.compile(r"^(\s*SELECT)\s+TOP\s+(\d+)\s+", re.IGNORECASE)
 
 
@@ -6015,10 +6037,30 @@ def rewrite_star_modifiers(sql: str) -> str:
 # (?!\s*<) leaves Spark's generic ARRAY<...> / MAP<...> untouched
 _SF_CAST_TYPE_RE = re.compile(
     r"(?P<base>NUMBER|NUMERIC|DECIMAL|DEC|TEXT|DATETIME|TIMESTAMP_NTZ"
-    r"|TIME|FLOAT8|FLOAT4|FLOAT|REAL|BYTEINT|VARIANT|OBJECT|ARRAY)\b(?!\s*<)"
+    r"|TIME|FLOAT8|FLOAT4|FLOAT|REAL|BYTEINT|VARIANT|OBJECT|ARRAY"
+    r"|VARCHAR|NVARCHAR2|NVARCHAR|CHARACTER|NCHAR|CHAR)\b(?!\s*<)"
     r"(?P<args>\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?",
     re.IGNORECASE,
 )
+# Snowflake string-type cast targets (probe battery 13, r15). Bare
+# VARCHAR (= VARCHAR(16777216), no constraint) is Snowflake's everyday
+# stringify idiom but Spark's parser REFUSES a length-less VARCHAR
+# ("DATATYPE_MISSING_SIZE"); sized VARCHAR(n) parses in Spark but the
+# length is IGNORED where Snowflake documents silent truncation to n
+# chars. CHAR is CHAR(1) in Snowflake — a bare ::CHAR truncates to one
+# character.
+_STR_CAST_UNLIMITED = ("VARCHAR", "NVARCHAR", "NVARCHAR2")  # no-length = max
+_STR_CAST_CHAR1 = ("CHAR", "CHARACTER", "NCHAR")  # no-length = length 1
+_SF_VARCHAR_MAX = 16_777_216
+
+
+def _str_cast_len(base: str, args: str) -> int | None:
+    """Effective Snowflake truncation length for a string cast target;
+    None = unconstrained (lower to plain STRING)."""
+    if args:
+        n = int(args.strip("()"))
+        return None if n >= _SF_VARCHAR_MAX else n
+    return 1 if base in _STR_CAST_CHAR1 else None
 _CAST_HEAD_RE = re.compile(r"\b(?:TRY_)?CAST\s*\(", re.IGNORECASE)
 _DCOLON_TYPE_RE = re.compile(
     r"::\s*" + _SF_CAST_TYPE_RE.pattern, re.IGNORECASE
@@ -6055,6 +6097,10 @@ def _sf_cast_type_repl(base: str, args: str | None) -> str:
         return "DOUBLE"  # all 8-byte in Snowflake
     if b == "BYTEINT":
         return "BIGINT"
+    if b in _STR_CAST_UNLIMITED or b in _STR_CAST_CHAR1:
+        # sized/CHAR targets are handled (wrapped or refused) by the
+        # callers; reaching here means unconstrained -> plain STRING
+        return "STRING"
     raise AssertionError(b)
 
 
@@ -6062,9 +6108,13 @@ def rewrite_cast_types(sql: str) -> str:
     """Translate Snowflake cast type names in both cast spellings.
     Literal-aware; the scan resumes past each replacement. Type names
     Spark already parses identically (DATE, TIMESTAMP, BOOLEAN,
-    STRING, VARCHAR, BINARY, the int family) pass through untouched,
-    as do Spark-native generics (ARRAY<...> never matches the bare
-    ARRAY refusal)."""
+    STRING, BINARY, the int family) pass through untouched, as do
+    Spark-native generics (ARRAY<...> never matches the bare ARRAY
+    refusal). The string family is translated (r15): bare VARCHAR ->
+    STRING (Spark refuses a length-less VARCHAR); VARCHAR(n)/CHAR(n)
+    casts wrap in LEFT(..., n) because Snowflake documents silent
+    truncation to n chars while Spark ignores the cast length; bare
+    CHAR is Snowflake's CHAR(1)."""
     # ---- expr::TYPE ----
     pos = 0
     while True:
@@ -6074,7 +6124,21 @@ def rewrite_cast_types(sql: str) -> str:
         if sql[: m.start()].count("'") % 2 == 1:
             pos = m.end()
             continue
-        repl = "::" + _sf_cast_type_repl(m.group("base"), m.group("args"))
+        base = m.group("base").upper()
+        args = re.sub(r"\s", "", m.group("args") or "")
+        if base in _STR_CAST_UNLIMITED or base in _STR_CAST_CHAR1:
+            n = _str_cast_len(base, args)
+            if n is not None:
+                # the ``::`` spelling gives no textual operand span to
+                # wrap in LEFT(), so a truncating target refuses loudly
+                # with the exact rewrite (never a silent no-truncate)
+                raise ValueError(
+                    f"::{base}{args or ''}: Snowflake truncates to {n}"
+                    f" char(s) but Spark ignores the cast length —"
+                    f" spell it CAST(expr AS {base}({n})) or"
+                    f" LEFT(expr::STRING, {n})"
+                )
+        repl = "::" + _sf_cast_type_repl(base, m.group("args"))
         sql = sql[: m.start()] + repl + sql[m.end():]
         pos = m.start() + len(repl)
     # ---- CAST(expr AS TYPE) / TRY_CAST(expr AS TYPE) ----
@@ -6106,10 +6170,12 @@ def rewrite_cast_types(sql: str) -> str:
                     depth -= 1
             state.append((depth, in_str))
         as_at = -1
+        as_start = -1
         for am in re.finditer(r"\sAS\s", inner, re.IGNORECASE):
             d, s = state[am.start()]
             if d == 0 and not s:
                 as_at = am.end()
+                as_start = am.start()
         if as_at < 0:
             pos = open_idx + 1  # malformed/no AS: let Spark complain
             continue
@@ -6118,7 +6184,25 @@ def rewrite_cast_types(sql: str) -> str:
         if tm is None:
             pos = open_idx + 1  # Spark-native type: recurse inside
             continue
-        new_type = _sf_cast_type_repl(tm.group("base"), tm.group("args"))
+        base = tm.group("base").upper()
+        if base in _STR_CAST_UNLIMITED or base in _STR_CAST_CHAR1:
+            n = _str_cast_len(
+                base, re.sub(r"\s", "", tm.group("args") or "")
+            )
+            if n is not None:
+                # Snowflake's sized string cast TRUNCATES to n chars;
+                # Spark parses VARCHAR(n)/CHAR(n) casts but ignores the
+                # length entirely — wrap the whole cast in LEFT() to
+                # keep the documented truncation (probe battery 13)
+                cast_kw = sql[m.start() : open_idx].strip().rstrip("(")
+                operand = inner[:as_start]
+                repl = (
+                    f"LEFT({cast_kw}({operand} AS STRING), {n})"
+                )
+                sql = sql[: m.start()] + repl + sql[close:]
+                pos = m.start() + len("LEFT(")  # rescan inside
+                continue
+        new_type = _sf_cast_type_repl(base, tm.group("args"))
         new_inner = inner[:as_at] + " " + new_type
         sql = sql[: open_idx + 1] + new_inner + sql[close - 1 :]
         pos = open_idx + 1  # rescan inside for nested casts
@@ -7386,6 +7470,7 @@ def lower_select(sql: str) -> str:
     MERGE/INSERT OVERWRITE, time travel) stay separate because they
     bind engine objects, not text."""
     sql = rewrite_top(sql)
+    sql = rewrite_limit_null(sql)
     sql = rewrite_collate(sql)
     sql = rewrite_star_modifiers(sql)
     sql = rewrite_interval_commas(sql)

@@ -12134,3 +12134,161 @@ def f49_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(lower_select(_F49_SNOWFLAKE_TEXT))
+
+
+_F50_SNOWFLAKE_TEXT = """
+WITH ok AS (
+    SELECT o_orderkey AS k, o_orderstatus AS s, o_orderdate AS d
+    FROM orders WHERE o_orderkey % 97 = 0
+),
+mixed AS (
+    SELECT LPAD(CAST(k AS VARCHAR), 12, '0') AS kk FROM ok
+    UNION
+    SELECT k FROM ok
+),
+mixed_dt AS (
+    SELECT d AS t FROM ok
+    UNION
+    SELECT CAST(d AS TIMESTAMP) FROM ok
+),
+setops AS (
+    SELECT k FROM ok
+    MINUS
+    SELECT k FROM ok WHERE k % 2 = 0
+    INTERSECT
+    SELECT k FROM ok WHERE k % 3 = 0
+),
+by_status AS (
+    SELECT s AS status, COUNT(1) AS n_rows,
+           MAX('id-' || k) AS tag_max,
+           MAX(CAST('id-' || k AS VARCHAR(4))) AS tag_trunc4
+    FROM ok
+    GROUP BY ALL
+)
+SELECT status, n_rows, tag_max, tag_trunc4,
+       (SELECT COUNT(1) FROM mixed) AS n_union_coerced,
+       (SELECT COUNT(1) FROM mixed_dt) AS n_union_datets,
+       (SELECT COUNT(1) FROM setops) AS n_minus_precedence,
+       (SELECT COUNT(1) FROM ok WHERE k NOT IN (194, NULL))
+           AS n_notin_null,
+       (SELECT COUNT(1) FROM ok WHERE CAST(k AS VARCHAR) >= 194)
+           AS n_varchar_cmp,
+       (SELECT COUNT(1) FROM ok WHERE CAST(k AS VARCHAR) IN (97, 291))
+           AS n_varchar_in
+FROM by_status
+ORDER BY 2 DESC, 1
+LIMIT NULL
+"""
+
+
+@register(
+    "f50_setops_coercion",
+    oracle="""
+    WITH ok AS (
+        SELECT o_orderkey AS k, o_orderstatus AS s, o_orderdate AS d
+        FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    mixed AS (
+        SELECT CAST(lpad(CAST(k AS VARCHAR), 12, '0') AS BIGINT) AS kk
+        FROM ok
+        UNION
+        SELECT k FROM ok
+    ),
+    mixed_dt AS (
+        SELECT CAST(d AS TIMESTAMP) AS t FROM ok
+        UNION
+        SELECT CAST(d AS TIMESTAMP) FROM ok
+    ),
+    setops AS (
+        SELECT k FROM ok
+        EXCEPT
+        (SELECT k FROM ok WHERE k % 2 = 0
+         INTERSECT
+         SELECT k FROM ok WHERE k % 3 = 0)
+    ),
+    by_status AS (
+        SELECT s AS status, CAST(COUNT(1) AS BIGINT) AS n_rows,
+               MAX('id-' || CAST(k AS VARCHAR)) AS tag_max,
+               MAX(LEFT('id-' || CAST(k AS VARCHAR), 4)) AS tag_trunc4
+        FROM ok GROUP BY ALL
+    )
+    SELECT status, n_rows, tag_max, tag_trunc4,
+           CAST((SELECT COUNT(1) FROM mixed) AS BIGINT)
+               AS n_union_coerced,
+           CAST((SELECT COUNT(1) FROM mixed_dt) AS BIGINT)
+               AS n_union_datets,
+           CAST((SELECT COUNT(1) FROM setops) AS BIGINT)
+               AS n_minus_precedence,
+           CAST((SELECT COUNT(1) FROM ok WHERE k NOT IN (194, NULL))
+               AS BIGINT) AS n_notin_null,
+           CAST((SELECT COUNT(1) FROM ok WHERE k >= 194) AS BIGINT)
+               AS n_varchar_cmp,
+           CAST((SELECT COUNT(1) FROM ok WHERE k IN (97, 291))
+               AS BIGINT) AS n_varchar_in
+    FROM by_status
+    ORDER BY 2 DESC, 1
+    """,
+    doc="""Probe battery 13 (r15) — SET OPERATORS and IMPLICIT
+    COERCION, the largest family verdict-r14 flagged as unswept.
+    Empirically probed divergences and parities, each pinned here
+    with a value that discriminates the two readings:
+
+    - VARCHAR UNION NUMBER: Snowflake coerces the VARCHAR side to
+      NUMBER (runtime error on non-numeric text) — and so does Spark
+      under ANSI, for string COLUMNS as well as literals.
+      ``n_union_coerced`` pins it with a zero-PADDED varchar key
+      ('000000000097' dedups with 97 only under numeric semantics;
+      string semantics would double the count). DuckDB preserves the
+      VARCHAR instead, so the oracle spells the numeric cast.
+    - DATE UNION TIMESTAMP coerces DATE to midnight TIMESTAMP in
+      both (``n_union_datets``).
+    - MINUS is the EXCEPT alias in both; INTERSECT binds TIGHTER
+      than MINUS/UNION in both (standard precedence).
+      ``n_minus_precedence`` = A MINUS (even INTERSECT div3), which
+      differs from the left-to-right reading on real keys.
+    - GROUP BY ALL (all non-aggregate items) agrees across Snowflake
+      / Spark / DuckDB; ORDER BY ordinals likewise (``ORDER BY 2
+      DESC, 1``), and the output column names of a set op come from
+      the FIRST operand in both engines — load-bearing because the
+      driver compares schemas by name.
+    - NOT IN with a NULL in the list is standard three-valued logic
+      in both (``n_notin_null`` = 0 rows pass, never "all but one").
+    - VARCHAR-vs-NUMBER comparison and IN-list membership coerce to
+      NUMERIC comparison in both ('97' >= 194 is FALSE numerically
+      but TRUE lexicographically — the pinned count separates them).
+    - LIMIT NULL means "no limit" in Snowflake; Spark refuses the
+      paste, so ``rewrite_limit_null`` strips it (the final LIMIT
+      NULL here exercises the pass inside a driver entry).
+    - CAST(x AS VARCHAR) — Snowflake's everyday stringify — dies in
+      Spark's parser (DATATYPE_MISSING_SIZE: length required), and a
+      sized VARCHAR(n)/CHAR(n) cast parses but IGNORES the length
+      where Snowflake documents silent truncation to n chars.
+      ``rewrite_cast_types`` now lowers bare VARCHAR -> STRING and
+      wraps sized casts in LEFT(..., n); ``tag_trunc4`` pins the
+      truncation ('id-…' cut to 4 chars), the other VARCHAR casts
+      pin the bare form. ::VARCHAR(n) with a truncating length has
+      no textual operand span to wrap and refuses with the exact
+      CAST rewrite.
+
+    Documented NON-parities found by the same probes (loud, never
+    silent): string +/- decimal-text arithmetic ('3.5' + 2) dies with
+    Spark's CAST_INVALID_INPUT (ANSI picks BIGINT where Snowflake's
+    implicit VARCHAR->NUMBER handles decimals — workaround CAST the
+    string explicitly); GREATEST/LEAST over mixed string/number
+    refuses at analysis (Snowflake coerces); BOOLEAN UNION NUMBER
+    refuses in both. Silent TYPING divergence documented in
+    COVERAGE.md: Snowflake's division returns NUMBER with scale
+    S1+6 (1/3 = 0.333333) where Spark yields DOUBLE for integer
+    operands and its own decimal-division scale otherwise — values
+    agree to 6+ fractional digits; queries needing bit-exact division
+    follow the repo's decimal-exact conventions. All probes are one
+    scan of a keyed orders subsample + scalar subqueries — JVM-side,
+    no UDFs (functions/sqldialect.py:rewrite_limit_null).""",
+    tags=("functions", "dialect", "setops", "probe-battery"),
+)
+def f50_setops_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import lower_select
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(lower_select(_F50_SNOWFLAKE_TEXT))

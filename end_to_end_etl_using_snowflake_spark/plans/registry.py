@@ -64,71 +64,16 @@ def register(
 # similarity / text / multimodal / pipeline) lands inside any reasonable
 # prefix. Names not listed keep insertion order after these.
 PRIORITY: tuple[str, ...] = (
-    # ---- first 50: the r14 driver window (VERDICT r13 #1: clear the
-    # r7-stale cohort ENTIRELY). 2-entry always-on core + ALL 19
-    # remaining r7-stale entries + the 8 new r14 entries (f43/f45
-    # probe battery 10, f44 TIME family, f46 battery 11, f47 ICU
-    # collations, f48 codecs, x29 grouping-sets pre-agg, f49 null
-    # ordering — new entries join the window in their birth round so
-    # no never-checked debt accrues) + the head-21 of the 47-entry r8
-    # cohort. Staleness ceiling after this window: r8 (26 entries
-    # remain). All window entries are locally 3-SF parity-green per
-    # pytest run.
+    # ---- first 50: the r15 driver window (VERDICT r14 #1: drain the
+    # r8-stale cohort ENTIRELY — ceiling moves to r9). 2-entry
+    # always-on core + ALL 26 remaining r8-stale entries + the new
+    # r15 battery-13 entry (new entries join the window in their
+    # birth round so no never-checked debt accrues) + the head-21 of
+    # the r9 cohort. All window entries are locally 3-SF parity-green
+    # per pytest run.
     "flagship_fact_rebuild",
     "pl_dim_customer",
-    # the full r7-stale remainder (19)
-    "x3_time_spine_rollup",
-    "x4_snapshot_as_of",
-    "x5_range_join",
-    "f5_string_extract",
-    "f7_string_funcs",
-    "f8_conditional_funcs",
-    "q18_large_orders_having",
-    "q3_shipping_priority",
-    "sql20_reference_item_merge",
-    "sql21_reference_fact_insert",
-    "sql22_reference_order_merge",
-    "sql23_reference_pipe_ddl",
-    "sql24_reference_task_ddl",
-    "sql25_reference_script_replay",
-    "sql26_item_script_replay",
-    "sql27_warehouse_script_wedge",
-    "sql28_warehouse_script_replay",
-    "sql31_merge_cdc_apply",
-    "sql32_match_recognize_text",
-    # new r14 entries (6)
-    "f43_value_window_frames",
-    "f44_time_convention",
-    "f45_grouping_alias",
-    "f46_scalar_battery11",
-    "f47_collation_icu",
-    "f48_codec_roundtrip",
-    "x29_grouping_sets_preagg",
-    "f49_null_ordering",
-    # head-21 of the r8 cohort (fills slots 30-50)
-    "d1_dedup_exact",
-    "d2_dedup_ngram_jaccard",
-    "d3_dedup_minhash_lsh",
-    "d4_dedup_simhash",
-    "d5_dedup_embedding_cosine",
-    "d6_dedup_cluster_labels",
-    "e18_append_only_stream",
-    "e1_tumbling_window_agg",
-    "e3_sessionize_stateful_stream",
-    "e5_session_window_native",
-    "e6_stream_dedup_watermark",
-    "f16_listagg",
-    "f17_scalar_dialect",
-    "f18_semi_structured_agg",
-    "j6_salted_skew_join",
-    "k10_tdigest_sketch_path",
-    "k9_theta_sketch_bounds",
-    "llm_corpus_clean",
-    "m5_cdc_apply_changes",
-    "m7_incremental_fact_merge",
-    "mm1_multimodal_decode",
-    # ---- 51+: rotation queue, stalest first — the r15 window head.
-    # r8 cohort remainder (26)
+    # the full r8-stale remainder (26)
     "mm3_feature_extract",
     "pl_identity_keys",
     "pl_list_stage",
@@ -155,7 +100,9 @@ PRIORITY: tuple[str, ...] = (
     "x1_asof_join",
     "x25_sample_system",
     "x2_leakage_safe_split",
-    # last driver-green r9
+    # new r15 entries
+    "f50_setops_coercion",
+    # head-21 of the r9 cohort (fills slots 30-50)
     "d13_dedup_representative",
     "d7_dedup_stop_shingle",
     "d8_decontaminate",
@@ -177,6 +124,9 @@ PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q22_dormant_accounts",
     "q4_order_priority_exists",
+    # ---- 51+: rotation queue, stalest first — the r16 window head
+    # is the r9 remainder, then r10..r13 cohorts; the r14-checked
+    # entries (last round's window) rotate to the back as freshest.
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_volume_shipping",
@@ -204,7 +154,6 @@ PRIORITY: tuple[str, ...] = (
     "v6_kmeans_assign",
     "w3_range_frame_timeseries",
     "x6_corpus_mixture_sample",
-    # last driver-green r10
     "f26_regexp_dialect",
     "f27_calendar_dialect",
     "f28_bit_ops",
@@ -252,7 +201,6 @@ PRIORITY: tuple[str, ...] = (
     "sql4_recursive_cte",
     "t11_bigram_lm_score",
     "v11_pq_adc_topk",
-    # last driver-green r11
     "d5l_dedup_embedding_lsh",
     "d14_dedup_lsh_bucket_cap",
     "wp1_write_file_plan",
@@ -300,7 +248,6 @@ PRIORITY: tuple[str, ...] = (
     "j1_inner_equi_broadcast",
     "a1_groupby_agg",
     "k5_file_bloom_prune",
-    # last driver-green r12 (the previous window, freshest)
     "f31_to_char_numeric",
     "sql55_session_variables",
     "sql56_scripting_block",
@@ -349,7 +296,6 @@ PRIORITY: tuple[str, ...] = (
     "w5_rank_distribution_funcs",
     "w6_ignore_nulls_fill",
     "x23_length_bucketing",
-    # last driver-green r13 (the previous window, freshest)
     "f34_everyday_scalars3",
     "sql58_console_session",
     "sql59_stored_procedure",
@@ -398,6 +344,54 @@ PRIORITY: tuple[str, ...] = (
     "sql19_reference_dim_merge",
     "sql1_text_surface",
     "w2_window_frames",
+    "x3_time_spine_rollup",
+    "x4_snapshot_as_of",
+    "x5_range_join",
+    "f5_string_extract",
+    "f7_string_funcs",
+    "f8_conditional_funcs",
+    "q18_large_orders_having",
+    "q3_shipping_priority",
+    "sql20_reference_item_merge",
+    "sql21_reference_fact_insert",
+    "sql22_reference_order_merge",
+    "sql23_reference_pipe_ddl",
+    "sql24_reference_task_ddl",
+    "sql25_reference_script_replay",
+    "sql26_item_script_replay",
+    "sql27_warehouse_script_wedge",
+    "sql28_warehouse_script_replay",
+    "sql31_merge_cdc_apply",
+    "sql32_match_recognize_text",
+    "f43_value_window_frames",
+    "f44_time_convention",
+    "f45_grouping_alias",
+    "f46_scalar_battery11",
+    "f47_collation_icu",
+    "f48_codec_roundtrip",
+    "x29_grouping_sets_preagg",
+    "f49_null_ordering",
+    "d1_dedup_exact",
+    "d2_dedup_ngram_jaccard",
+    "d3_dedup_minhash_lsh",
+    "d4_dedup_simhash",
+    "d5_dedup_embedding_cosine",
+    "d6_dedup_cluster_labels",
+    "e18_append_only_stream",
+    "e1_tumbling_window_agg",
+    "e3_sessionize_stateful_stream",
+    "e5_session_window_native",
+    "e6_stream_dedup_watermark",
+    "f16_listagg",
+    "f17_scalar_dialect",
+    "f18_semi_structured_agg",
+    "j6_salted_skew_join",
+    "k10_tdigest_sketch_path",
+    "k9_theta_sketch_bounds",
+    "llm_corpus_clean",
+    "m5_cdc_apply_changes",
+    "m7_incremental_fact_merge",
+    "mm1_multimodal_decode",
 )
 
 

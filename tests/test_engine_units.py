@@ -3637,6 +3637,60 @@ def test_dialect_advice_r14_fixes(spark):
     assert {(r.k, r.rn) for r in rows} == {(2, 1), (3, 2), (1, 3)}
 
 
+def test_setops_coercion_battery13(spark):
+    """r15 probe battery 13: set operators + implicit coercion.
+    Execution-level pins for the divergences the f50 entry carries,
+    plus rewrite-level pins for LIMIT NULL and the string-cast
+    family."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        lower_select as L,
+        rewrite_cast_types as RC,
+        rewrite_limit_null as RL,
+    )
+
+    # LIMIT NULL / LIMIT '' strip; literals inviolate; OFFSET survives
+    assert RL("SELECT * FROM t LIMIT NULL") == "SELECT * FROM t "
+    assert RL("SELECT * FROM t LIMIT '' OFFSET 5") == \
+        "SELECT * FROM t  OFFSET 5"
+    assert RL("SELECT 'LIMIT NULL' AS s") == "SELECT 'LIMIT NULL' AS s"
+    # bare VARCHAR -> STRING; sized -> LEFT truncation; ::sized refuses
+    row = spark.sql(L(
+        "SELECT CAST(123 AS VARCHAR) AS a,"
+        " CAST('abcdef' AS VARCHAR(3)) AS b,"
+        " TRY_CAST('abcdef' AS CHAR(2)) AS c,"
+        " CAST('abcdef' AS CHAR) AS d,"
+        " 'xy'::VARCHAR AS e"
+    )).first()
+    assert (row.a, row.b, row.c, row.d, row.e) == \
+        ("123", "abc", "ab", "a", "xy")
+    with pytest.raises(ValueError, match="truncates"):
+        RC("SELECT x::VARCHAR(3) FROM t")
+    # VARCHAR union NUMBER is numeric coercion for COLUMNS too (ANSI):
+    # a zero-padded key dedups with its numeric twin
+    rows = spark.sql(L(
+        "SELECT LPAD(CAST(k AS VARCHAR), 8, '0') AS c"
+        " FROM (SELECT 7 AS k) UNION SELECT 7"
+    )).collect()
+    assert [tuple(r) for r in rows] == [(7,)]
+    # MINUS alias + INTERSECT-binds-tighter precedence on real values:
+    # {1,2,3} MINUS ({2} ∩ {2,3}) = {1,3}; left-to-right would give {3}
+    rows = spark.sql(L(
+        "SELECT k FROM (VALUES (1),(2),(3)) t(k)"
+        " MINUS SELECT 2 INTERSECT SELECT s"
+        " FROM (VALUES (2),(3)) u(s)"
+    )).collect()
+    assert sorted(r.k for r in rows) == [1, 3]
+    # NOT IN with NULL in the list: three-valued logic filters all
+    assert spark.sql(L(
+        "SELECT k FROM (VALUES (1),(2)) t(k)"
+        " WHERE k NOT IN (9, NULL)")).count() == 0
+    # string-vs-number comparison is numeric ('97' >= 194 is false)
+    rows = spark.sql(L(
+        "SELECT c FROM (VALUES ('97'),('194'),('970')) t(c)"
+        " WHERE c >= 194")).collect()
+    assert sorted(r.c for r in rows) == ["194", "970"]
+
+
 def test_codec_family(spark):
     """r14: COMPRESS/DECOMPRESS on real zlib/bz2 streams via Arrow
     UDFs. Round-trip identity, actual format magic bytes, level

@@ -41,56 +41,55 @@ def test_registry_size_pinned():
     # f47 (ICU collations), f48 (zlib/bz2 codec family), x29
     # (grouping-sets pre-agg rollup — the 100 TB Expand-factoring),
     # f49 (default NULL ordering)
-    assert len(REGISTRY) == 314
+    # r15: +f50 (battery 13: set operators + implicit coercion —
+    # LIMIT NULL, VARCHAR cast family, MINUS/INTERSECT precedence,
+    # union coercion, NOT IN three-valued logic)
+    assert len(REGISTRY) == 315
 
 
 def test_driver_prefix_spans_all_operator_families():
     """The driver's correctness gate checks a PREFIX of queries() (50
-    entries per round so far). Round-14 rotation (VERDICT r13 #1:
-    clear the r7-stale cohort ENTIRELY): 2-entry always-on core + ALL
-    19 remaining r7-stale entries + the 8 new r14 entries (new
-    entries join the window in their birth round, so no never-checked
-    debt accrues) + the head-21 of the 47-entry r8 cohort — staleness
-    ceiling moves to r8. Guard: every cohort member is inside the
-    window (none silently pushed out) and every window entry carries
-    a real oracle."""
+    entries per round so far). Round-15 rotation (VERDICT r14 #1:
+    drain the r8-stale cohort ENTIRELY — ceiling moves to r9):
+    2-entry always-on core + ALL 26 remaining r8-stale entries + the
+    new r15 battery-13 entry (new entries join the window in their
+    birth round, so no never-checked debt accrues) + the head-21 of
+    the r9 cohort. Guard: every cohort member is inside the window
+    (none silently pushed out) and every window entry carries a real
+    oracle."""
     prefix = list(__spark_entry__.queries())[:50]
     core = ["flagship_fact_rebuild", "pl_dim_customer"]
-    stale_r7_all = [
-        "x3_time_spine_rollup", "x4_snapshot_as_of", "x5_range_join",
-        "f5_string_extract", "f7_string_funcs", "f8_conditional_funcs",
-        "q18_large_orders_having", "q3_shipping_priority",
-        "sql20_reference_item_merge", "sql21_reference_fact_insert",
-        "sql22_reference_order_merge", "sql23_reference_pipe_ddl",
-        "sql24_reference_task_ddl", "sql25_reference_script_replay",
-        "sql26_item_script_replay", "sql27_warehouse_script_wedge",
-        "sql28_warehouse_script_replay", "sql31_merge_cdc_apply",
-        "sql32_match_recognize_text",
+    stale_r8_all = [
+        "mm3_feature_extract", "pl_identity_keys", "pl_list_stage",
+        "pl_show_streams", "s8_copy_unload", "sql29_connect_by_level",
+        "sql30_flatten_recursive", "sql33_split_to_table",
+        "sql34_variant_path", "sql35_composed_dialect",
+        "sql36_unpivot_text", "sql37_time_travel_offset",
+        "sql38_match_recognize_alt", "sql39_asof_strict",
+        "t1_token_stats", "t2_quality_score", "t3_lang_id",
+        "t4_fingerprint", "t7_repetition_filter",
+        "v1_ann_bruteforce_topk", "v2_ann_lsh_topk", "v3_ann_ivf_topk",
+        "v7_ann_matmul_topk", "x1_asof_join", "x25_sample_system",
+        "x2_leakage_safe_split",
     ]
-    new_r14 = [
-        "f43_value_window_frames", "f44_time_convention",
-        "f45_grouping_alias", "f46_scalar_battery11",
-        "f47_collation_icu", "f48_codec_roundtrip",
-        "x29_grouping_sets_preagg", "f49_null_ordering",
+    new_r15 = ["f50_setops_coercion"]
+    r9_head = [
+        "d13_dedup_representative", "d7_dedup_stop_shingle",
+        "d8_decontaminate", "d9_incremental_dedup",
+        "dq6_source_overlap_matrix", "f19_conversion_dialect",
+        "f20_window_dialect", "f21_null_semantics_dialect",
+        "f22_time_slice", "f23_format_strings", "f24_everyday_scalars",
+        "f25_array_dialect", "k1_hll_distinct_sketch",
+        "k2_countmin_frequencies", "k3_bloom_membership",
+        "q10_returned_items", "q14_promo_revenue",
+        "q19_disjunctive_predicates", "q1_pricing_summary",
+        "q22_dormant_accounts", "q4_order_priority_exists",
     ]
-    r8_head = [
-        "d1_dedup_exact", "d2_dedup_ngram_jaccard",
-        "d3_dedup_minhash_lsh", "d4_dedup_simhash",
-        "d5_dedup_embedding_cosine", "d6_dedup_cluster_labels",
-        "e18_append_only_stream", "e1_tumbling_window_agg",
-        "e3_sessionize_stateful_stream", "e5_session_window_native",
-        "e6_stream_dedup_watermark", "f16_listagg",
-        "f17_scalar_dialect", "f18_semi_structured_agg",
-        "j6_salted_skew_join", "k10_tdigest_sketch_path",
-        "k9_theta_sketch_bounds", "llm_corpus_clean",
-        "m5_cdc_apply_changes", "m7_incremental_fact_merge",
-        "mm1_multimodal_decode",
-    ]
-    expected = core + stale_r7_all + new_r14 + r8_head
+    expected = core + stale_r8_all + new_r15 + r9_head
     assert len(expected) == 50
     pushed_out = [n for n in expected if n not in prefix]
     assert not pushed_out, (
-        f"r14 window entries outside the 50-prefix: {pushed_out}"
+        f"r15 window entries outside the 50-prefix: {pushed_out}"
     )
     # every entry in the checked window must carry a real oracle
     rows_only = [n for n in prefix if REGISTRY[n].oracle is None]
