@@ -5531,6 +5531,188 @@ def rewrite_limit_null(sql: str) -> str:
     return sql
 
 
+# ---------------------------------------------------------------------------
+# GROUPING SETS pre-aggregate factoring (r15 — generalizes x29 into
+# the lowering, VERDICT r14 #2). Spark plans GROUP BY GROUPING SETS
+# as Expand — one copy of EVERY input row per set — then one
+# aggregate: O(sets x rows) expanded rows. When the aggregates are
+# decomposable (SUM / COUNT / MIN / MAX) the algebra factors:
+# aggregate to the FINEST GRAIN (the union of all set keys) first —
+# one ordinary map-side-combined shuffle — then run the grouping sets
+# over the tiny intermediate with aggregates-of-partials (COUNT
+# becomes COALESCE(SUM(cnt), 0) so the empty-input global row keeps
+# COUNT = 0). Identical results (x29's oracle IS the direct query);
+# measured 5.9x at sf10-equivalent, and the gap grows with input size
+# at fixed key cardinality. Catalyst does not perform this factoring.
+#
+# The rewrite applies only when it is provably safe from the text:
+# a single plain SELECT (no WITH / set operators / DISTINCT / nested
+# subqueries or windows in the select list or tail), bare-identifier
+# set keys, >= 2 sets, and no non-decomposable aggregate anywhere in
+# the select list / HAVING / ORDER BY. Anything else keeps the
+# direct Expand plan — a fallback, never a refusal: the direct plan
+# is correct, just not the 100 TB shape.
+# ---------------------------------------------------------------------------
+
+_GS_HEAD_RE = re.compile(
+    r"\bGROUP\s+BY\s+GROUPING\s+SETS\s*\(", re.IGNORECASE
+)
+_GS_AGG_RE = re.compile(r"\b(?P<fn>SUM|COUNT|MIN|MAX)\s*\(", re.IGNORECASE)
+# aggregates that do NOT decompose through a pre-aggregate (or whose
+# decomposition differs — AVG needs sum+count splitting); any hit in
+# the outer clauses keeps the direct plan
+_GS_DENY_RE = re.compile(
+    r"\b(?:AVG|MEAN|MEDIAN|MODE|STDDEV\w*|VARIANCE|VAR_POP|VAR_SAMP"
+    r"|LISTAGG|STRING_AGG|ARRAY_AGG|ARRAY_UNION_AGG|ARRAY_UNIQUE_AGG"
+    r"|COLLECT_LIST|COLLECT_SET|OBJECT_AGG|MAP_AGG"
+    r"|PERCENTILE\w*|APPROX\w*|HLL\w*|MINHASH\w*|DATASKETCH\w*"
+    r"|CORR|COVAR_POP|COVAR_SAMP|REGR_\w+|KURTOSIS|SKEW\w*"
+    r"|BOOLAND_AGG|BOOLOR_AGG|BOOLXOR_AGG|BOOL_AND|BOOL_OR"
+    r"|BITAND_AGG|BITOR_AGG|BITXOR_AGG|BIT_AND|BIT_OR|BIT_XOR"
+    r"|ANY_VALUE|FIRST|FIRST_VALUE|LAST|LAST_VALUE|NTH_VALUE"
+    r"|MIN_BY|MAX_BY|COUNT_IF|SUM_DISTINCT)\s*\(",
+    re.IGNORECASE,
+)
+_GS_KEY_RE = re.compile(r"^[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?$")
+_SELECT_HEAD_RE = re.compile(r"^\s*SELECT\b(?!\s+DISTINCT)", re.IGNORECASE)
+
+
+def _gs_outer_agg_calls(text: str) -> list[tuple[int, int, str, str]]:
+    """Outermost SUM/COUNT/MIN/MAX call spans in ``text`` as
+    (start, end, FN, full_call_text); nested matches inside an outer
+    call are skipped (nested aggregates are invalid SQL anyway)."""
+    calls = []
+    pos = 0
+    while True:
+        m = _GS_AGG_RE.search(text, pos)
+        if m is None:
+            return calls
+        if text[: m.start()].count("'") % 2 == 1:
+            pos = m.end()
+            continue
+        end = _balanced_span(text, m.end() - 1)
+        calls.append(
+            (m.start(), end, m.group("fn").upper(), text[m.start():end])
+        )
+        pos = end
+
+
+def rewrite_grouping_sets_preagg(sql: str) -> str:
+    m = _GS_HEAD_RE.search(sql)
+    if m is None or _inside_quotes(sql, m.start()):
+        return sql
+    # exactly one grouping-sets clause, at paren depth 0
+    if _GS_HEAD_RE.search(sql, m.end()) is not None:
+        return sql
+    depth = 0
+    i = 0
+    while i < m.start():
+        ch = sql[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "'" or ch == '"':
+            i += 1
+            while i < m.start() and sql[i] != ch:
+                i += 1
+        i += 1
+    if depth != 0:
+        return sql
+    # single plain SELECT statement: no WITH, no set operators
+    head = sql[: m.start()]
+    if re.match(r"^\s*WITH\b", head, re.IGNORECASE):
+        return sql
+    if not _SELECT_HEAD_RE.match(head):
+        return sql
+    for kw in ("UNION", "INTERSECT", "EXCEPT", "MINUS"):
+        if _top_level_keyword(sql, kw) >= 0:
+            return sql
+    # parse the set list
+    sets_open = m.end() - 1
+    sets_close = _balanced_span(sql, sets_open)
+    sets_text = sql[sets_open:sets_close]
+    inner = sets_text[1:-1]
+    items: list[str] = []
+    d = 0
+    start = 0
+    for i, ch in enumerate(inner):
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+        elif ch == "," and d == 0:
+            items.append(inner[start:i])
+            start = i + 1
+    items.append(inner[start:])
+    if len(items) < 2:
+        return sql  # a single set is a plain GROUP BY; nothing to win
+    keys: list[str] = []
+    for it in items:
+        it = it.strip()
+        members = (
+            [p.strip() for p in it[1:-1].split(",") if p.strip()]
+            if it.startswith("(")
+            else ([it] if it else [])
+        )
+        for k in members:
+            if not _GS_KEY_RE.match(k):
+                return sql  # expression keys: keep the direct plan
+            if k not in keys:
+                keys.append(k)
+    if not keys:
+        return sql
+    # split the statement: SELECT <list> FROM <from..where> GROUP BY ...
+    from_at = _top_level_keyword(sql, "FROM")
+    if from_at < 0 or from_at > m.start():
+        return sql
+    sel_list = sql[_SELECT_HEAD_RE.match(head).end(): from_at]
+    from_where = sql[from_at + len("FROM"): m.start()]
+    tail = sql[sets_close:]
+    outer = sel_list + " " + tail
+    # safety gates on the outer clauses
+    if re.search(r"\bSELECT\b|\bOVER\b", outer, re.IGNORECASE):
+        return sql  # subqueries / windows: keep the direct plan
+    if _GS_DENY_RE.search(outer):
+        return sql
+    calls = _gs_outer_agg_calls(sel_list)
+    tail_calls = _gs_outer_agg_calls(tail)
+    for _, _, _, text in calls + tail_calls:
+        if re.search(r"\(\s*DISTINCT\b", text, re.IGNORECASE):
+            return sql  # COUNT/SUM DISTINCT do not decompose
+    # unique partial per distinct call text
+    partials: dict[str, tuple[str, str]] = {}
+    for _, _, fn, text in calls + tail_calls:
+        if text not in partials:
+            partials[text] = (fn, f"__gs_p{len(partials)}")
+
+    def _replace(text: str, found: list[tuple[int, int, str, str]]) -> str:
+        out = []
+        prev = 0
+        for s, e, fn, call in found:
+            out.append(text[prev:s])
+            name = partials[call][1]
+            if fn == "COUNT":
+                out.append(f"COALESCE(SUM({name}), 0)")
+            else:
+                out.append(f"{fn}({name})")
+            prev = e
+        out.append(text[prev:])
+        return "".join(out)
+
+    new_sel = _replace(sel_list, calls)
+    new_tail = _replace(tail, tail_calls)
+    key_list = ", ".join(keys)
+    pre_cols = ", ".join(
+        [key_list] + [f"{call} AS {name}" for call, (_, name) in partials.items()]
+    )
+    return (
+        f"WITH __gs_pre AS (SELECT {pre_cols} FROM{from_where}"
+        f"GROUP BY {key_list}) SELECT{new_sel}FROM __gs_pre"
+        f" GROUP BY GROUPING SETS {sets_text}{new_tail}"
+    )
+
+
 _TOP_RE = re.compile(r"^(\s*SELECT)\s+TOP\s+(\d+)\s+", re.IGNORECASE)
 
 
@@ -7486,6 +7668,11 @@ def lower_select(sql: str) -> str:
     sql = rewrite_sample(sql)
     sql = rewrite_connect_by(sql)
     sql = rewrite_qualify(sql)
+    # after scalar rewrites (multi-arg GROUPING is grouping_id by now)
+    # and QUALIFY (a QUALIFY-wrapped statement simply falls back to
+    # the direct Expand plan): factor decomposable GROUPING SETS
+    # through a finest-grain pre-aggregate — the 100 TB shape.
+    sql = rewrite_grouping_sets_preagg(sql)
     # LAST: Snowflake's default NULL placement (NULLS LAST on ASC,
     # FIRST on DESC — Spark defaults are the exact opposite) applies
     # to every ORDER BY in the final text, including ones earlier

@@ -865,6 +865,35 @@ def test_x29_preagg_factors_expand(spark):
     assert "Python" not in plan
 
 
+def test_f45_lowered_text_auto_factors_expand(spark):
+    """r15 (VERDICT r14 #2): pasted GROUP BY GROUPING SETS text with
+    decomposable aggregates now auto-factors through the finest-grain
+    pre-aggregate in the lowering itself — f45's plan must look like
+    x29's: Expand sits ABOVE the finest-grain aggregate (its input is
+    the tiny intermediate, not the base scan)."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_grouping_sets_preagg as R,
+    )
+
+    plan = plan_of(spark, "f45_grouping_alias")
+    assert "Expand" in plan, plan
+    assert plan.index("Expand") < plan.index("Scan "), plan
+    agg_below_expand = plan[plan.index("Expand"):].count("HashAggregate")
+    assert agg_below_expand >= 2, plan
+    assert "Python" not in plan
+    # non-decomposable aggregates keep the direct Expand plan (a
+    # fallback, not a refusal)
+    for q in (
+        "SELECT a, AVG(x) AS m FROM t GROUP BY GROUPING SETS ((a), ())",
+        "SELECT a, COUNT(DISTINCT x) AS m FROM t"
+        " GROUP BY GROUPING SETS ((a), ())",
+        "SELECT a, MEDIAN(x) AS m FROM t GROUP BY GROUPING SETS ((a), ())",
+        "SELECT a + 1 AS b, SUM(x) AS m FROM t"
+        " GROUP BY GROUPING SETS ((a + 1), ())",
+    ):
+        assert R(q) == q
+
+
 def test_f49_null_ordering_stays_window_exec(spark):
     """r14: explicit NULL placements are plain SortOrder properties —
     native Window exec, no Python, one shuffle per partition key."""
