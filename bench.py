@@ -138,6 +138,21 @@ def _loadavg() -> float | None:
         return None
 
 
+def _loadavg3() -> tuple[float | None, float | None, float | None]:
+    """1 / 5 / 15-minute load averages. The 15-minute figure is the
+    machine-state stamp VERDICT r14 #3 asked for: residual page-cache
+    / tmpfs state from a recent heavy job (a parity sweep, a prior
+    pass) inflates the bench ~20% even after the 1-minute load
+    settles, and the kernel's own 15-minute smoothing is the cheapest
+    honest record of "was anything heavy running recently"."""
+    try:
+        with open("/proc/loadavg") as f:
+            parts = f.read().split()
+            return float(parts[0]), float(parts[1]), float(parts[2])
+    except (OSError, ValueError, IndexError):
+        return None, None, None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -225,9 +240,28 @@ def main() -> None:
     timings: dict[str, float] = {}
     single_done: dict[str, float] = {}
     runs: list[dict] = []
+    # in-process quiet clock (VERDICT r14 #3): every loadavg sample
+    # that exceeds the start-gate threshold resets it, so each pass
+    # can stamp how long the machine had been below threshold when
+    # the pass began — cross-round claims filter on clean passes.
+    bench_t0 = time.monotonic()
+    last_heavy = bench_t0 if (load is not None and load > thresh) else None
+
+    def _note_load(lv: float | None) -> None:
+        nonlocal last_heavy
+        if lv is not None and lv > thresh:
+            last_heavy = time.monotonic()
+
     # warm the calibration probe once before any pass measures it
     _calibration(spark)
     for _ in range(passes):
+        l1, l5, l15 = _loadavg3()
+        _note_load(l1)
+        quiet_for = round(
+            time.monotonic() - (last_heavy if last_heavy is not None
+                                else bench_t0), 1
+        )
+        quiet_floor = last_heavy is None
         cal_p = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -237,6 +271,7 @@ def main() -> None:
         pass_timings: dict[str, float] = {}
         for name in HEADLINE:
             lv = _loadavg()
+            _note_load(lv)
             prev = query_load.get(name)
             query_load[name] = lv if prev is None else (
                 prev if lv is None else max(prev, lv)
@@ -266,6 +301,19 @@ def main() -> None:
             "value_normalized": round(
                 total_p * (CAL_REFERENCE_SEC / cal_p), 3
             ),
+            # per-pass machine state (VERDICT r14 #3): the 1/5/15-min
+            # loadavg at pass start plus how long the sampled 1-min
+            # load had been below the start-gate threshold. Pass 2
+            # legitimately reads quiet_for ~ 0 (it starts right after
+            # pass 1's own burst) — that is the page-cache
+            # contamination signal, not an error. quiet_floor=true
+            # means the clock never saw a heavy sample, so quiet_for
+            # is only a lower bound (quiet since before the bench).
+            "loadavg_start": l1,
+            "loadavg_5m": l5,
+            "loadavg_15m": l15,
+            "quiet_for_sec": quiet_for,
+            "quiet_floor": quiet_floor,
         })
     contended_queries = sorted(
         n for n, lv in query_load.items()
