@@ -2420,6 +2420,11 @@ _SCALAR_REWRITES = {
         if len(args) == 2
         else _bad("ARRAY_CAT", args)
     ),
+    # Snowflake ARRAYS_ZIP returns an array of '$1'..'$n'-keyed
+    # OBJECTS padded with nulls to the LONGEST input — Spark's
+    # arrays_zip returns source-named structs, a different shape, so
+    # it zips explicitly (r15; closes the r14 edge-tier refusal)
+    "ARRAYS_ZIP": lambda args: _arrays_zip_rewrite(args),
     # Snowflake: 0-based from, EXCLUSIVE to, negatives from the end;
     # Spark slice is 1-based (start, length) with negative start from
     # the end — the CASE keeps both sign conventions exact
@@ -3687,6 +3692,35 @@ def _to_datetime_rewrite(name: str, args: list, *, as_date: bool, try_: bool) ->
 # [.] instead of \. keeps the pattern literal-escape-proof in both
 # engines' string-literal rules
 _TIME_EXTRACT_RX = "'([0-9]{1,2}:[0-9]{2}(:[0-9]{2}([.][0-9]+)?)?)'"
+
+
+def _arrays_zip_rewrite(args: list) -> str:
+    """Snowflake ``ARRAYS_ZIP(a1, a2, ...)`` — an ARRAY of OBJECTs
+    keyed ``$1``..``$n``, one per input array, padded with nulls to
+    the LONGEST input; NULL input array -> NULL result. Spark's own
+    ``arrays_zip`` emits structs named after the source expressions
+    (not ``$k`` JSON objects), so the lowering zips explicitly:
+    index 1..longest with ``get()`` (NULL past the end = Snowflake's
+    padding) and render each element through the JSON-text VARIANT
+    convention with nulls KEPT (``{"$1":3,"$2":null}`` — the pad is
+    part of the documented output). Elements that are already
+    JSON-text VARIANTs re-encode as strings — same caveat as TO_JSON
+    over the convention, documented there."""
+    if not args:
+        return _bad("ARRAYS_ZIP", args)
+    null_guard = " OR ".join(f"({a}) IS NULL" for a in args)
+    sizes = ", ".join(f"size({a})" for a in args)
+    longest = f"greatest({sizes})" if len(args) > 1 else sizes
+    fields = ", ".join(
+        f"'${i + 1}', get({a}, __zi - 1)" for i, a in enumerate(args)
+    )
+    return (
+        f"(CASE WHEN {null_guard} THEN NULL"
+        f" WHEN {longest} < 1 THEN array()"
+        f" ELSE transform(sequence(1, {longest}), __zi ->"
+        f" to_json(named_struct({fields}),"
+        f" map('ignoreNullFields', 'false'))) END)"
+    )
 
 
 def _to_time_rewrite(name: str, args: list, *, try_: bool) -> str:

@@ -12292,3 +12292,46 @@ def f50_setops_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(lower_select(_F50_SNOWFLAKE_TEXT))
+
+
+_F51_SNOWFLAKE_TEXT = """
+SELECT o_orderkey,
+       ARRAY_TO_STRING(
+           ARRAYS_ZIP(ARRAY_CONSTRUCT(o_orderkey, o_custkey),
+                      ARRAY_CONSTRUCT(o_orderstatus)),
+           '|') AS zipped
+FROM orders WHERE o_orderkey % 101 = 0
+"""
+
+
+@register(
+    "f51_arrays_zip",
+    oracle="""
+    SELECT o_orderkey,
+           '{"$1":' || o_orderkey || ',"$2":"' || o_orderstatus
+               || '"}' || '|' ||
+           '{"$1":' || o_custkey || ',"$2":null}' AS zipped
+    FROM orders WHERE o_orderkey % 101 = 0
+    """,
+    doc="""ARRAYS_ZIP (r15 — closes the r14 edge-tier refusal).
+    Snowflake returns an ARRAY of '$1'..'$n'-keyed OBJECTS padded
+    with nulls to the LONGEST input; Spark's arrays_zip returns
+    structs named after the source expressions — a silently different
+    shape — so the lowering zips explicitly: index over the longest
+    input with get() (NULL past the end = the documented padding) and
+    render each object through the JSON-text VARIANT convention with
+    nulls KEPT. The entry zips a 2-element key array against a
+    1-element status array so every row exercises the null pad, and
+    the oracle builds the exact JSON text by hand in DuckDB. Joined
+    to one string per row (the driver convention for array outputs).
+    Pure codegen + a per-row transform over 2-element arrays — no
+    shuffle, no Python
+    (functions/sqldialect.py:_arrays_zip_rewrite).""",
+    tags=("functions", "dialect", "array"),
+)
+def f51_arrays_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import lower_select
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(lower_select(_F51_SNOWFLAKE_TEXT))

@@ -102,6 +102,7 @@ PRIORITY: tuple[str, ...] = (
     "x2_leakage_safe_split",
     # new r15 entries
     "f50_setops_coercion",
+    "f51_arrays_zip",
     # head-21 of the r9 cohort (fills slots 30-50)
     "d13_dedup_representative",
     "d7_dedup_stop_shingle",
@@ -123,10 +124,12 @@ PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_predicates",
     "q1_pricing_summary",
     "q22_dormant_accounts",
+    # ---- 51+: rotation queue, stalest first (q4 leads: it yielded
+    # its window slot to the r15-born f51)
     "q4_order_priority_exists",
-    # ---- 51+: rotation queue, stalest first — the r16 window head
-    # is the r9 remainder, then r10..r13 cohorts; the r14-checked
-    # entries (last round's window) rotate to the back as freshest.
+    # the r16 window head is the r9 remainder, then r10..r13 cohorts;
+    # the r14-checked entries (last round's window) rotate to the
+    # back as freshest.
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_volume_shipping",
