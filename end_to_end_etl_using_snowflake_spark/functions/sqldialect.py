@@ -5566,6 +5566,126 @@ def rewrite_limit_null(sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# LIKE default-escape semantics (probe battery 13b, r15). Snowflake
+# documents NO default escape character for LIKE/ILIKE — a backslash
+# in the pattern is a literal backslash unless an explicit ESCAPE
+# clause names one. Spark's LIKE treats backslash as the DEFAULT
+# escape: 'a\%b' silently matches a literal '%' (Snowflake: literal
+# backslash + wildcard) and 'a\b' dies with INVALID_FORMAT. With an
+# explicit ESCAPE clause both engines agree (probed: only the named
+# character escapes; backslash is literal), so ESCAPE'd predicates
+# pass through untouched. The rewrite doubles backslashes in literal
+# patterns and wraps expression patterns in a replace() — both
+# no-ops when no backslash is present (literals are only touched if
+# they contain one, so constant-prefix pushdown is unaffected).
+# ---------------------------------------------------------------------------
+
+_LIKE_INFIX_RE = re.compile(r"\b(?:LIKE|ILIKE)\b", re.IGNORECASE)
+_LIKE_QUANT_RE = re.compile(r"\s*(ANY|ALL|SOME)\s*\(", re.IGNORECASE)
+_ESCAPE_KW_RE = re.compile(r"\s*ESCAPE\b", re.IGNORECASE)
+_BS_DOUBLED = "chr(92), concat(chr(92), chr(92))"
+
+
+def _like_fix_literal(op: str) -> str:
+    """Make value-level backslashes literal in a '...'-pattern.
+
+    Two interpretation layers stack: the string-LITERAL layer (both
+    engines parse C-style escapes, so raw ``\\\\`` is one backslash
+    in the pattern VALUE) and the LIKE layer (where the value-level
+    backslash is literal in Snowflake but the escape in Spark). The
+    fix doubles exactly the ``\\\\`` pairs — the only raw spelling
+    that yields a value backslash — so the value reaching Spark's
+    matcher carries the self-escaped ``\\\\\\\\``. Single-backslash
+    escape sequences (``\\n``, ``\\t``, …) produce no value
+    backslash and must ride through untouched."""
+    out = []
+    i = 0
+    n = len(op)
+    while i < n:
+        if op[i] == "\\":
+            if i + 1 < n and op[i + 1] == "\\":
+                out.append("\\\\\\\\")
+            else:
+                out.append(op[i : i + 2])
+            i += 2
+        else:
+            out.append(op[i])
+            i += 1
+    return "".join(out)
+
+
+def rewrite_like_default_escape(sql: str) -> str:
+    pos = 0
+    while True:
+        m = _LIKE_INFIX_RE.search(sql, pos)
+        if m is None:
+            return sql
+        if _inside_quotes(sql, m.start()):
+            pos = m.end()
+            continue
+        j = m.end()
+        n = len(sql)
+        qm = _LIKE_QUANT_RE.match(sql, j)
+        if qm is not None:
+            # LIKE ANY/ALL (p1, p2, ...): fix each literal item; a
+            # non-literal item with no backslash risk rides through
+            # (runtime backslash-in-data dies loudly, never silently)
+            open_idx = qm.end() - 1
+            close = _balanced_span(sql, open_idx)
+            items = _split_top_level_commas(sql[open_idx + 1 : close - 1])
+            fixed = ", ".join(
+                _like_fix_literal(it.strip())
+                if it.strip().startswith("'")
+                else it.strip()
+                for it in items
+            )
+            if _ESCAPE_KW_RE.match(sql, close):
+                pos = close  # explicit escape: both engines agree
+                continue
+            sql = sql[: open_idx + 1] + fixed + sql[close - 1 :]
+            pos = open_idx + 1 + len(fixed) + 1
+            continue
+        while j < n and sql[j].isspace():
+            j += 1
+        if j >= n:
+            return sql
+        # pattern operand, including a || chain (binds tighter). A
+        # shape the delimiter cannot parse rides through untouched —
+        # this pass is an emulation upgrade, never a new refusal (a
+        # backslash in such a pattern still dies loudly at runtime).
+        try:
+            end = _regexp_operand_end(sql, j)
+            while True:
+                k = end
+                while k < n and sql[k].isspace():
+                    k += 1
+                if sql[k : k + 2] != "||":
+                    break
+                k += 2
+                while k < n and sql[k].isspace():
+                    k += 1
+                end = _regexp_operand_end(sql, k)
+        except ValueError:
+            pos = m.end()
+            continue
+        if _ESCAPE_KW_RE.match(sql, end):
+            pos = end  # explicit escape: both engines agree
+            continue
+        op = sql[j:end]
+        if op.startswith("'") and op.endswith("'") and "||" not in op:
+            if "\\\\" not in op:
+                # no value-level backslash (single-\ escape sequences
+                # yield control chars, not backslashes): untouched
+                pos = end
+                continue
+            repl = _like_fix_literal(op)
+        else:
+            repl = f"replace({op}, {_BS_DOUBLED})"
+        sql = sql[:j] + repl + sql[end:]
+        pos = j + len(repl)
+
+
+# ---------------------------------------------------------------------------
 # GROUPING SETS pre-aggregate factoring (r15 — generalizes x29 into
 # the lowering, VERDICT r14 #2). Spark plans GROUP BY GROUPING SETS
 # as Expand — one copy of EVERY input row per set — then one
@@ -7687,6 +7807,9 @@ def lower_select(sql: str) -> str:
     bind engine objects, not text."""
     sql = rewrite_top(sql)
     sql = rewrite_limit_null(sql)
+    # EARLY — before any pass can generate LIKE text of its own: only
+    # USER patterns get the Snowflake no-default-escape emulation.
+    sql = rewrite_like_default_escape(sql)
     sql = rewrite_collate(sql)
     sql = rewrite_star_modifiers(sql)
     sql = rewrite_interval_commas(sql)

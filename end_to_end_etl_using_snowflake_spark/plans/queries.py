@@ -12335,3 +12335,59 @@ def f51_arrays_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(lower_select(_F51_SNOWFLAKE_TEXT))
+
+
+_F52_SNOWFLAKE_TEXT = r"""
+SELECT p_partkey,
+       ('C:' || '\\docs\\' || p_brand) LIKE 'C:\\docs\\Brand#%'
+           AS m_path,
+       ('x' || '\\' || p_brand) LIKE 'x\\%' AS m_bs_wild,
+       ('a' || p_brand) LIKE 'x\\%' AS m_no_bs,
+       p_type LIKE '%BRASS' AS m_plain,
+       p_brand LIKE 'Brand#_1' AS m_underscore
+FROM part WHERE p_partkey % 53 = 0
+"""
+
+
+@register(
+    "f52_like_no_escape",
+    oracle=r"""
+    SELECT p_partkey,
+           ('C:\docs\' || p_brand) LIKE 'C:\docs\Brand#%'
+               AS m_path,
+           ('x\' || p_brand) LIKE 'x\%' AS m_bs_wild,
+           ('a' || p_brand) LIKE 'x\%' AS m_no_bs,
+           p_type LIKE '%BRASS' AS m_plain,
+           p_brand LIKE 'Brand#_1' AS m_underscore
+    FROM part WHERE p_partkey % 53 = 0
+    """,
+    doc="""Probe battery 13b (r15) — LIKE's DEFAULT ESCAPE. Snowflake
+    documents NO default escape character for LIKE/ILIKE: a
+    value-level backslash in the pattern is a literal backslash.
+    Spark's LIKE uses backslash as the DEFAULT escape, so the pasted
+    path pattern 'C:\\\\docs\\\\Brand#%' previously DIED at analysis
+    (INVALID_FORMAT: escape before 'd') and 'x\\\\%' silently matched
+    a literal '%' instead of backslash-then-anything.
+    ``rewrite_like_default_escape`` doubles exactly the value-level
+    backslashes in literal patterns (raw ``\\\\`` pairs; single-\\
+    escape sequences ride through) and wraps expression patterns in
+    a value-level replace(); predicates with an explicit ESCAPE
+    clause are untouched — probed: both engines then treat ONLY the
+    named character as the escape, which is Snowflake's contract.
+    ``m_path`` pins the crash case, ``m_bs_wild`` the silent-flip
+    case (TRUE here, FALSE under Spark's reading), ``m_no_bs`` a
+    non-matching control, ``m_plain``/``m_underscore`` that
+    backslash-free patterns are byte-untouched (wildcard pushdown
+    preserved). The DuckDB twin crosses a DIFFERENT layer stack —
+    raw string literals and (probed) NO default LIKE escape, same as
+    Snowflake's matcher — so its patterns are the value-level
+    spellings with single backslashes. One scan, pure codegen, no shuffle
+    (functions/sqldialect.py:rewrite_like_default_escape).""",
+    tags=("functions", "dialect", "probe-battery"),
+)
+def f52_like_no_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import lower_select
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(lower_select(_F52_SNOWFLAKE_TEXT))

@@ -67,8 +67,9 @@ PRIORITY: tuple[str, ...] = (
     # ---- first 50: the r15 driver window (VERDICT r14 #1: drain the
     # r8-stale cohort ENTIRELY — ceiling moves to r9). 2-entry
     # always-on core + ALL 26 remaining r8-stale entries + the new
-    # r15 battery-13 entry (new entries join the window in their
-    # birth round so no never-checked debt accrues) + the head-21 of
+    # r15 entries — battery 13 (f50), ARRAYS_ZIP (f51), LIKE
+    # no-default-escape (f52); new entries join the window in their
+    # birth round so no never-checked debt accrues — + the head-19 of
     # the r9 cohort. All window entries are locally 3-SF parity-green
     # per pytest run.
     "flagship_fact_rebuild",
@@ -103,7 +104,8 @@ PRIORITY: tuple[str, ...] = (
     # new r15 entries
     "f50_setops_coercion",
     "f51_arrays_zip",
-    # head-21 of the r9 cohort (fills slots 30-50)
+    "f52_like_no_escape",
+    # head-19 of the r9 cohort (fills slots 32-50)
     "d13_dedup_representative",
     "d7_dedup_stop_shingle",
     "d8_decontaminate",
@@ -123,9 +125,9 @@ PRIORITY: tuple[str, ...] = (
     "q14_promo_revenue",
     "q19_disjunctive_predicates",
     "q1_pricing_summary",
+    # ---- 51+: rotation queue, stalest first (q22/q4 lead: they
+    # yielded their window slots to the r15-born f51/f52)
     "q22_dormant_accounts",
-    # ---- 51+: rotation queue, stalest first (q4 leads: it yielded
-    # its window slot to the r15-born f51)
     "q4_order_priority_exists",
     # the r16 window head is the r9 remainder, then r10..r13 cohorts;
     # the r14-checked entries (last round's window) rotate to the

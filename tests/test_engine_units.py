@@ -3691,6 +3691,44 @@ def test_setops_coercion_battery13(spark):
     assert sorted(r.c for r in rows) == ["194", "970"]
 
 
+def test_like_default_escape(spark):
+    """r15 probe battery 13b: Snowflake documents NO default escape
+    for LIKE/ILIKE (value-level backslash = literal) while Spark's
+    default escape IS backslash. The rewrite doubles value-level
+    backslashes in literal patterns, wraps expression patterns in
+    replace(), and leaves ESCAPE'd predicates and backslash-free
+    literals byte-untouched."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        lower_select as L,
+        rewrite_like_default_escape as R,
+    )
+
+    bs = chr(92)
+    # crash case: backslash before a normal char now matches literally
+    row = spark.sql(L(
+        f"SELECT concat('C:', chr(92), 'docs') LIKE 'C:{bs}{bs}do%'"
+        f" AS m_path,"
+        f" concat('x', chr(92), 'Y') LIKE 'x{bs}{bs}%' AS m_bs_wild,"
+        f" 'xY' LIKE 'x{bs}{bs}%' AS m_no_bs,"
+        f" s LIKE p AS m_expr FROM (SELECT concat('a', chr(92), 'b')"
+        f" AS s, concat('a', chr(92), 'b') AS p)"
+    )).first()
+    assert (row.m_path, row.m_bs_wild, row.m_no_bs, row.m_expr) == \
+        (True, True, False, True)
+    # backslash-free literals are byte-untouched (pushdown preserved)
+    q = "SELECT 1 FROM t WHERE c LIKE 'PROMO%'"
+    assert R(q) == q
+    # explicit ESCAPE: both engines already agree — untouched
+    q2 = f"SELECT 1 FROM t WHERE c LIKE 'a{bs}{bs}%b' ESCAPE 'x'"
+    assert R(q2) == q2
+    # escape-sequence singles (value control chars) are not doubled
+    q3 = f"SELECT 1 FROM t WHERE c LIKE 'a{bs}nb'"
+    assert R(q3) == q3
+    # quantified lists get per-item literal fixes
+    out = R(f"SELECT 1 FROM t WHERE c LIKE ANY ('p{bs}{bs}%', 'q%')")
+    assert f"p{bs}{bs}{bs}{bs}%" in out and "'q%'" in out
+
+
 def test_codec_family(spark):
     """r14: COMPRESS/DECOMPRESS on real zlib/bz2 streams via Arrow
     UDFs. Round-trip identity, actual format magic bytes, level
