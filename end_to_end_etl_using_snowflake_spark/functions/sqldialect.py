@@ -5566,6 +5566,66 @@ def rewrite_limit_null(sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# String-literal ESCAPE SEQUENCES (probe battery 13c, r15). Snowflake
+# documents ``\f`` (form feed, 0x0C) and ``\xhh`` (two-hex-digit
+# char) among its single-quote escape sequences; Spark's literal
+# parser supports neither — it silently DROPS the backslash, so the
+# pasted value gains a stray 'f' / 'x41' instead of the control or
+# hex character. Both engines agree on \b \n \r \t \0 \' \" \\ and
+# \uXXXX (probed), so the fix respells just the two divergent forms
+# as the \uXXXX Spark understands, inside single-quoted literals
+# only. Runs FIRST in the lowering so every later literal-aware pass
+# sees already-converged text.
+# ---------------------------------------------------------------------------
+
+_HEX_ESC_RE = re.compile(r"\\x([0-9A-Fa-f]{2})")
+
+
+def rewrite_literal_escapes(sql: str) -> str:
+    out = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c != "'":
+            out.append(c)
+            i += 1
+            continue
+        # inside a single-quoted literal: '' doubling AND \-escapes
+        j = i + 1
+        body = []
+        while j < n:
+            ch = sql[j]
+            if ch == "\\" and j + 1 < n:
+                nxt = sql[j + 1]
+                if nxt == "f":
+                    body.append("\\u000C")
+                    j += 2
+                    continue
+                hm = _HEX_ESC_RE.match(sql, j)
+                if hm is not None:
+                    body.append("\\u00" + hm.group(1).upper())
+                    j = hm.end()
+                    continue
+                body.append(sql[j : j + 2])
+                j += 2
+                continue
+            if ch == "'":
+                if sql[j + 1 : j + 2] == "'":
+                    body.append("''")
+                    j += 2
+                    continue
+                break
+            body.append(ch)
+            j += 1
+        out.append("'" + "".join(body))
+        if j < n:
+            out.append("'")
+        i = j + 1
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
 # LIKE default-escape semantics (probe battery 13b, r15). Snowflake
 # documents NO default escape character for LIKE/ILIKE — a backslash
 # in the pattern is a literal backslash unless an explicit ESCAPE
@@ -7805,6 +7865,9 @@ def lower_select(sql: str) -> str:
     statement executors (MATCH_RECOGNIZE, recursive FLATTEN, ASOF,
     MERGE/INSERT OVERWRITE, time travel) stay separate because they
     bind engine objects, not text."""
+    # FIRST: converge the two divergent literal escape spellings
+    # (\f, \xhh) so every later literal-aware pass sees final text.
+    sql = rewrite_literal_escapes(sql)
     sql = rewrite_top(sql)
     sql = rewrite_limit_null(sql)
     # EARLY — before any pass can generate LIKE text of its own: only

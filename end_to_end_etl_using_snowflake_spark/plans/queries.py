@@ -12391,3 +12391,48 @@ def f52_like_no_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(lower_select(_F52_SNOWFLAKE_TEXT))
+
+
+_F53_SNOWFLAKE_TEXT = r"""
+SELECT p_partkey,
+       HEX(p_brand || '\f') AS h_ff,
+       'pre\x41post' AS hex_char,
+       HEX('\\f') AS h_bs_f,
+       HEX('a' || '\n' || 'b') AS h_nl
+FROM part WHERE p_partkey % 211 = 0
+"""
+
+
+@register(
+    "f53_literal_escapes",
+    oracle=r"""
+    SELECT p_partkey,
+           hex(p_brand || chr(12)) AS h_ff,
+           'preApost' AS hex_char,
+           '5C66' AS h_bs_f,
+           hex('a' || chr(10) || 'b') AS h_nl
+    FROM part WHERE p_partkey % 211 = 0
+    """,
+    doc=r"""Probe battery 13c (r15) — string-literal ESCAPE
+    SEQUENCES. Snowflake documents ``\f`` (form feed 0x0C) and
+    ``\xhh`` (two-hex-digit character) among its single-quote
+    escapes; Spark's literal parser supports neither and silently
+    DROPS the backslash — the pasted value gained a stray 'f' /
+    'x41'. ``rewrite_literal_escapes`` (the FIRST lowering pass, so
+    every later literal-aware pass sees converged text) respells the
+    two divergent forms as the ``\\uXXXX`` escape both engines agree
+    on, inside single-quoted literals only; ``\\\\f`` (value
+    backslash + f, pinned by ``h_bs_f``) and the shared escapes
+    (``h_nl``) ride through untouched. The oracle spells the values
+    via chr() because DuckDB's literal layer is RAW (a third
+    convention — backslash always literal). HEX output so the
+    driver hash never carries raw control characters. Pure codegen,
+    one scan (functions/sqldialect.py:rewrite_literal_escapes).""",
+    tags=("functions", "dialect", "probe-battery"),
+)
+def f53_literal_escapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sqldialect import lower_select
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(lower_select(_F53_SNOWFLAKE_TEXT))

@@ -3691,6 +3691,30 @@ def test_setops_coercion_battery13(spark):
     assert sorted(r.c for r in rows) == ["194", "970"]
 
 
+def test_literal_escape_sequences(spark):
+    """r15 probe battery 13c: Snowflake documents \\f (form feed) and
+    \\xhh (hex char) string-literal escapes; Spark silently drops the
+    backslash on both. The FIRST lowering pass respells them as
+    \\uXXXX; shared escapes and value backslashes ride through."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        lower_select as L,
+        rewrite_literal_escapes as R,
+    )
+
+    bs = chr(92)
+    row = spark.sql(L(
+        f"SELECT HEX('a{bs}fb') AS h_ff, 'pre{bs}x41post' AS hx,"
+        f" HEX('{bs}{bs}f') AS h_bs, 'it''s{bs}x21' AS mix"
+    )).first()
+    assert row.h_ff == "610C62"          # a, form feed, b
+    assert row.hx == "preApost"          # \x41 -> 'A'
+    assert row.h_bs == "5C66"            # \\f = value backslash + f
+    assert row.mix == "it's!"            # '' doubling + \x21
+    # outside literals nothing changes; shared escapes untouched
+    q = f"SELECT col{bs}x FROM t WHERE c = 'a{bs}nb'"
+    assert R(q) == q
+
+
 def test_like_default_escape(spark):
     """r15 probe battery 13b: Snowflake documents NO default escape
     for LIKE/ILIKE (value-level backslash = literal) while Spark's
