@@ -5578,6 +5578,36 @@ def rewrite_limit_null(sql: str) -> str:
 # sees already-converged text.
 # ---------------------------------------------------------------------------
 
+def rewrite_dollar_strings(sql: str) -> str:
+    """Snowflake ``$$...$$`` dollar-quoted strings in the plain-query
+    path (r15; the scripting executor already handles them in
+    procedure bodies — functions/scripting.py). The body is RAW in
+    Snowflake (no escape processing, newlines allowed), so it lowers
+    to a '...' literal with backslashes and quotes self-escaped.
+    Skips '...' literal interiors (a ``$$`` inside text is text)."""
+    out = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = _scan_string_end(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "$" and sql[i : i + 2] == "$$":
+            close = sql.find("$$", i + 2)
+            if close < 0:
+                raise ValueError("unterminated $$...$$ string")
+            body = sql[i + 2 : close]
+            out.append("'" + body.replace("\\", "\\\\").replace("'", "''") + "'")
+            i = close + 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 _HEX_ESC_RE = re.compile(r"\\x([0-9A-Fa-f]{2})")
 
 
@@ -7865,8 +7895,10 @@ def lower_select(sql: str) -> str:
     statement executors (MATCH_RECOGNIZE, recursive FLATTEN, ASOF,
     MERGE/INSERT OVERWRITE, time travel) stay separate because they
     bind engine objects, not text."""
-    # FIRST: converge the two divergent literal escape spellings
-    # (\f, \xhh) so every later literal-aware pass sees final text.
+    # FIRST: lower raw $$...$$ strings to ordinary literals, then
+    # converge the two divergent literal escape spellings (\f, \xhh)
+    # so every later literal-aware pass sees final text.
+    sql = rewrite_dollar_strings(sql)
     sql = rewrite_literal_escapes(sql)
     sql = rewrite_top(sql)
     sql = rewrite_limit_null(sql)

@@ -12398,7 +12398,8 @@ SELECT p_partkey,
        HEX(p_brand || '\f') AS h_ff,
        'pre\x41post' AS hex_char,
        HEX('\\f') AS h_bs_f,
-       HEX('a' || '\n' || 'b') AS h_nl
+       HEX('a' || '\n' || 'b') AS h_nl,
+       HEX($$q\f's$$) AS h_dollar
 FROM part WHERE p_partkey % 211 = 0
 """
 
@@ -12410,7 +12411,8 @@ FROM part WHERE p_partkey % 211 = 0
            hex(p_brand || chr(12)) AS h_ff,
            'preApost' AS hex_char,
            '5C66' AS h_bs_f,
-           hex('a' || chr(10) || 'b') AS h_nl
+           hex('a' || chr(10) || 'b') AS h_nl,
+           hex('q' || chr(92) || 'f' || chr(39) || 's') AS h_dollar
     FROM part WHERE p_partkey % 211 = 0
     """,
     doc=r"""Probe battery 13c (r15) — string-literal ESCAPE
@@ -12426,8 +12428,14 @@ FROM part WHERE p_partkey % 211 = 0
     (``h_nl``) ride through untouched. The oracle spells the values
     via chr() because DuckDB's literal layer is RAW (a third
     convention — backslash always literal). HEX output so the
-    driver hash never carries raw control characters. Pure codegen,
-    one scan (functions/sqldialect.py:rewrite_literal_escapes).""",
+    driver hash never carries raw control characters. Also pins
+    ``$$...$$`` dollar-quoted strings in the plain-query path
+    (``h_dollar``): the body is RAW in Snowflake — no escape
+    processing at all — so ``rewrite_dollar_strings`` (running even
+    earlier) lowers it to a self-escaped '...' literal; the pinned
+    value keeps its backslash AND embedded quote byte-exact. Pure
+    codegen, one scan
+    (functions/sqldialect.py:rewrite_literal_escapes).""",
     tags=("functions", "dialect", "probe-battery"),
 )
 def f53_literal_escapes(spark: SparkSession, sf_dir: str) -> DataFrame:

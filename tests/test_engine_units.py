@@ -3713,6 +3713,18 @@ def test_literal_escape_sequences(spark):
     # outside literals nothing changes; shared escapes untouched
     q = f"SELECT col{bs}x FROM t WHERE c = 'a{bs}nb'"
     assert R(q) == q
+    # $$...$$ is RAW: backslashes and quotes survive byte-exact, and
+    # a $$ inside a '...' literal is text
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        rewrite_dollar_strings as D,
+    )
+
+    row2 = spark.sql(L(
+        f"SELECT $$it's {bs}raw{bs}$$ AS s, '$$txt$$' AS t"
+    )).first()
+    assert row2.s == f"it's {bs}raw{bs}" and row2.t == "$$txt$$"
+    with pytest.raises(ValueError, match="unterminated"):
+        D("SELECT $$oops FROM t")
 
 
 def test_like_default_escape(spark):
