@@ -5584,7 +5584,8 @@ def rewrite_dollar_strings(sql: str) -> str:
     procedure bodies — functions/scripting.py). The body is RAW in
     Snowflake (no escape processing, newlines allowed), so it lowers
     to a '...' literal with backslashes and quotes self-escaped.
-    Skips '...' literal interiors (a ``$$`` inside text is text)."""
+    Skips '...' literal and "..." identifier interiors (a ``$$``
+    inside either is text)."""
     out = []
     i = 0
     n = len(sql)
@@ -5592,6 +5593,19 @@ def rewrite_dollar_strings(sql: str) -> str:
         c = sql[i]
         if c == "'":
             j = _scan_string_end(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == '"':
+            j = i + 1
+            while j < n:
+                if sql[j] == '"':
+                    if sql[j + 1 : j + 2] == '"':
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
             out.append(sql[i:j])
             i = j
             continue
@@ -5817,7 +5831,11 @@ _GS_DENY_RE = re.compile(
     r"|MIN_BY|MAX_BY|COUNT_IF|SUM_DISTINCT)\s*\(",
     re.IGNORECASE,
 )
-_GS_KEY_RE = re.compile(r"^[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?$")
+# UNQUALIFIED identifiers only: a qualified key (o.k) would resolve
+# against the vanished table alias in the outer re-group — the
+# pre-aggregate exposes bare column names, so qualified spellings
+# keep the direct plan
+_GS_KEY_RE = re.compile(r"^[A-Za-z_]\w*$")
 _SELECT_HEAD_RE = re.compile(r"^\s*SELECT\b(?!\s+DISTINCT)", re.IGNORECASE)
 
 
@@ -5917,6 +5935,10 @@ def rewrite_grouping_sets_preagg(sql: str) -> str:
     # safety gates on the outer clauses
     if re.search(r"\bSELECT\b|\bOVER\b", outer, re.IGNORECASE):
         return sql  # subqueries / windows: keep the direct plan
+    if re.search(r"\b[A-Za-z_]\w*\s*\.\s*[A-Za-z_]\w*", outer):
+        # table-qualified references would resolve against vanished
+        # aliases over the pre-aggregate: keep the direct plan
+        return sql
     if _GS_DENY_RE.search(outer):
         return sql
     calls = _gs_outer_agg_calls(sel_list)
