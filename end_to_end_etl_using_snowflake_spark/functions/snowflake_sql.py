@@ -289,5 +289,31 @@ def snowflake_sql(
 
     # plain query: the full composed SELECT lowering (VARIANT paths,
     # scalar pack, SPLIT_TO_TABLE/FLATTEN/GENERATOR, SAMPLE,
-    # CONNECT BY, QUALIFY), then Spark SQL verbatim
-    return spark.sql(lower_select(text))
+    # CONNECT BY, QUALIFY), then Spark SQL verbatim — with the
+    # error-driven WHERE-alias repair (r15): Snowflake's documented
+    # extension makes SELECT-list aliases visible in WHERE (real
+    # column wins on conflict); Spark's UNRESOLVED_COLUMN proves the
+    # name is NOT a column, which is exactly when Snowflake falls
+    # through to the alias, so substituting it is faithful by
+    # construction. Bounded loop: each round repairs one name;
+    # lateral aliases resolve transitively.
+    from pyspark.errors import AnalysisException
+
+    from .sqldialect import substitute_where_alias
+
+    lowered = lower_select(text)
+    for _ in range(8):
+        try:
+            return spark.sql(lowered)
+        except AnalysisException as ex:
+            if (ex.getCondition() or "").split(".")[0] != "UNRESOLVED_COLUMN":
+                raise
+            obj = (ex.getMessageParameters() or {}).get("objectName", "")
+            name = obj.strip("`")
+            repaired = None
+            if name and re.fullmatch(r"[A-Za-z_]\w*", name):
+                repaired = substitute_where_alias(lowered, name)
+            if repaired is None:
+                raise
+            lowered = repaired
+    return spark.sql(lowered)

@@ -5790,6 +5790,70 @@ def rewrite_like_default_escape(sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# WHERE-clause column aliases (probe battery 13d, r15). Snowflake
+# documents a proprietary EXTENSION: a SELECT-list alias is visible
+# in the same statement's WHERE clause ("Snowflake allows column
+# aliases to be referenced in the WHERE clause"), with the REAL
+# column winning on a name conflict. Spark resolves WHERE against
+# the child relation only, so an alias-only reference dies with
+# UNRESOLVED_COLUMN. The repair is ERROR-DRIVEN, which makes it
+# provably faithful: it runs only after Spark's analyzer has
+# established the name is NOT a real column — exactly the case where
+# Snowflake's own precedence falls through to the alias. When the
+# name DOES resolve as a column, Spark succeeds with column
+# semantics, which is Snowflake's conflict rule — parity without any
+# rewrite.
+# ---------------------------------------------------------------------------
+
+_WHERE_STOP_KWS = (
+    "GROUP", "HAVING", "QUALIFY", "WINDOW", "ORDER", "LIMIT",
+    "OFFSET", "FETCH", "UNION", "INTERSECT", "EXCEPT", "MINUS",
+)
+
+
+def substitute_where_alias(sql: str, name: str) -> str | None:
+    """Replace bare references to SELECT-list alias ``name`` inside
+    the TOP-level WHERE clause with the alias's parenthesized
+    expression. Returns None when the repair does not apply (no such
+    top-level ``AS name`` item, no top-level WHERE, or no bare
+    reference in it) — the caller re-raises the original analyzer
+    error."""
+    sel = _SELECT_HEAD_RE.match(sql)
+    if sel is None:
+        return None
+    from_at = _top_level_keyword(sql, "FROM")
+    if from_at < 0:
+        return None
+    expr = None
+    for item in _split_top_level_commas(sql[sel.end(): from_at]):
+        m = re.search(
+            r"(?is)^\s*(.*\S)\s+AS\s+" + re.escape(name) + r"\s*$", item
+        )
+        if m is not None:
+            expr = m.group(1)
+            break
+    if expr is None:
+        return None
+    where_at = _top_level_keyword(sql, "WHERE")
+    if where_at < 0 or where_at < from_at:
+        return None
+    end = len(sql)
+    for kw in _WHERE_STOP_KWS:
+        k = _top_level_keyword(sql, kw, where_at)
+        if k >= 0:
+            end = min(end, k)
+    clause = sql[where_at:end]
+    ref = re.compile(
+        r'(?<![\w.$"])' + re.escape(name) + r"(?![\w$])(?!\s*\()",
+        re.IGNORECASE,
+    )
+    new_clause = _sub_outside_literals(ref, lambda _m: f"({expr})", clause)
+    if new_clause == clause:
+        return None
+    return sql[:where_at] + new_clause + sql[end:]
+
+
+# ---------------------------------------------------------------------------
 # GROUPING SETS pre-aggregate factoring (r15 — generalizes x29 into
 # the lowering, VERDICT r14 #2). Spark plans GROUP BY GROUPING SETS
 # as Expand — one copy of EVERY input row per set — then one

@@ -12444,3 +12444,62 @@ def f53_literal_escapes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(lower_select(_F53_SNOWFLAKE_TEXT))
+
+
+_F54_SNOWFLAKE_TEXT = """
+SELECT o_orderkey,
+       o_totalprice * 0.9 AS discounted,
+       discounted + 5 AS adjusted,
+       o_orderstatus AS o_orderkey_status
+FROM orders
+WHERE discounted > 150000 AND adjusted < 400000
+      AND o_orderkey % 7 = 0
+"""
+
+
+@register(
+    "f54_where_alias",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_totalprice * 0.9 AS DOUBLE) AS discounted,
+           CAST(o_totalprice * 0.9 + 5 AS DOUBLE) AS adjusted,
+           o_orderstatus AS o_orderkey_status
+    FROM orders
+    WHERE o_totalprice * 0.9 > 150000
+          AND o_totalprice * 0.9 + 5 < 400000
+          AND o_orderkey % 7 = 0
+    """,
+    doc="""Probe battery 13d (r15) — WHERE-clause column aliases.
+    Snowflake documents a proprietary extension: SELECT-list aliases
+    are visible in the same statement's WHERE clause, with the REAL
+    column winning on a name conflict. Spark resolves WHERE against
+    the child only, so the paste died with UNRESOLVED_COLUMN. The
+    repair is ERROR-DRIVEN (functions/snowflake_sql.py): it runs
+    only after Spark's analyzer proves the name is NOT a column —
+    exactly the case where Snowflake falls through to the alias — so
+    substituting the alias expression is faithful by construction;
+    column-wins conflicts never reach it (Spark already resolves
+    them with Snowflake's precedence), and genuine typos stay loud.
+    The entry chains a LATERAL alias through WHERE (adjusted is
+    defined over discounted) so the bounded repair loop is
+    exercised; the DuckDB twin spells the expressions out (DuckDB
+    also supports WHERE aliases, but explicit text keeps the oracle
+    engine-neutral). DOUBLE casts per the decimal-output convention.
+    After repair the plan is an ordinary pushed-down scan filter —
+    no recompute, Catalyst CSEs the twice-spelled expression.""",
+    tags=("functions", "dialect", "probe-battery"),
+)
+def f54_where_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.snowflake_sql import snowflake_sql
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    df = snowflake_sql(spark, _F54_SNOWFLAKE_TEXT)
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "o_orderkey",
+        F.col("discounted").cast("double").alias("discounted"),
+        F.col("adjusted").cast("double").alias("adjusted"),
+        "o_orderkey_status",
+    )

@@ -69,7 +69,7 @@ PRIORITY: tuple[str, ...] = (
     # always-on core + ALL 26 remaining r8-stale entries + the new
     # r15 entries — battery 13 (f50), ARRAYS_ZIP (f51), LIKE
     # no-default-escape (f52); new entries join the window in their
-    # birth round so no never-checked debt accrues — + the head-18 of
+    # birth round so no never-checked debt accrues — + the head-17 of
     # the r9 cohort. All window entries are locally 3-SF parity-green
     # per pytest run.
     "flagship_fact_rebuild",
@@ -106,7 +106,8 @@ PRIORITY: tuple[str, ...] = (
     "f51_arrays_zip",
     "f52_like_no_escape",
     "f53_literal_escapes",
-    # head-18 of the r9 cohort (fills slots 33-50)
+    "f54_where_alias",
+    # head-17 of the r9 cohort (fills slots 34-50)
     "d13_dedup_representative",
     "d7_dedup_stop_shingle",
     "d8_decontaminate",
@@ -124,9 +125,9 @@ PRIORITY: tuple[str, ...] = (
     "k3_bloom_membership",
     "q10_returned_items",
     "q14_promo_revenue",
+    # ---- 51+: rotation queue, stalest first (q19/q1/q22/q4 lead:
+    # they yielded their window slots to the r15-born f51-f54)
     "q19_disjunctive_predicates",
-    # ---- 51+: rotation queue, stalest first (q1/q22/q4 lead: they
-    # yielded their window slots to the r15-born f51/f52/f53)
     "q1_pricing_summary",
     "q22_dormant_accounts",
     "q4_order_priority_exists",

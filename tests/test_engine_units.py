@@ -3691,6 +3691,45 @@ def test_setops_coercion_battery13(spark):
     assert sorted(r.c for r in rows) == ["194", "970"]
 
 
+def test_where_alias_repair(spark):
+    """r15 probe battery 13d: Snowflake's documented extension makes
+    SELECT-list aliases visible in WHERE (real column wins on
+    conflict). The repair is error-driven — it substitutes only
+    after Spark's analyzer proves the name is not a column — so
+    column-conflicts keep column semantics and typos stay loud."""
+    from end_to_end_etl_using_snowflake_spark.functions.snowflake_sql import (
+        snowflake_sql,
+    )
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        substitute_where_alias as S,
+    )
+
+    rows = snowflake_sql(
+        spark,
+        "SELECT k + 1 AS a, a * 2 AS b FROM (VALUES (1),(5)) t(k)"
+        " WHERE b > 10",
+    ).collect()
+    assert [tuple(r) for r in rows] == [(6, 12)]
+    # real column wins: k in WHERE is the child's k, not the alias
+    rows = snowflake_sql(
+        spark,
+        "SELECT k + 100 AS k FROM (VALUES (1),(5)) t(k) WHERE k > 2",
+    ).collect()
+    assert [tuple(r) for r in rows] == [(105,)]
+    # genuine typos still raise the analyzer error
+    with pytest.raises(Exception, match="UNRESOLVED_COLUMN"):
+        snowflake_sql(
+            spark, "SELECT k AS a FROM (VALUES (1)) t(k) WHERE zz > 2"
+        ).collect()
+    # the substitution helper is surgical: WHERE span only, word
+    # matches only, literals inviolate
+    out = S("SELECT x + 1 AS a FROM t WHERE a > 1 AND s = 'a' ORDER BY a",
+            "a")
+    assert out == ("SELECT x + 1 AS a FROM t WHERE (x + 1) > 1"
+                   " AND s = 'a' ORDER BY a")
+    assert S("SELECT x AS a FROM t", "a") is None
+
+
 def test_literal_escape_sequences(spark):
     """r15 probe battery 13c: Snowflake documents \\f (form feed) and
     \\xhh (hex char) string-literal escapes; Spark silently drops the

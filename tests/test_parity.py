@@ -45,8 +45,9 @@ def test_registry_size_pinned():
     # LIMIT NULL, VARCHAR cast family, MINUS/INTERSECT precedence,
     # union coercion, NOT IN three-valued logic), +f51 (ARRAYS_ZIP
     # on the JSON-text VARIANT convention), +f52 (LIKE's no-default-
-    # escape contract), +f53 (literal escape sequences \f and \xhh)
-    assert len(REGISTRY) == 318
+    # escape contract), +f53 (literal escape sequences \f and \xhh),
+    # +f54 (WHERE-clause alias extension, error-driven repair)
+    assert len(REGISTRY) == 319
 
 
 def test_driver_prefix_spans_all_operator_families():
@@ -55,7 +56,7 @@ def test_driver_prefix_spans_all_operator_families():
     drain the r8-stale cohort ENTIRELY — ceiling moves to r9):
     2-entry always-on core + ALL 26 remaining r8-stale entries + the
     new r15 battery-13 entry (new entries join the window in their
-    birth round, so no never-checked debt accrues) + the head-18 of
+    birth round, so no never-checked debt accrues) + the head-17 of
     the r9 cohort. Guard: every cohort member is inside the window
     (none silently pushed out) and every window entry carries a real
     oracle."""
@@ -75,7 +76,8 @@ def test_driver_prefix_spans_all_operator_families():
         "x2_leakage_safe_split",
     ]
     new_r15 = ["f50_setops_coercion", "f51_arrays_zip",
-               "f52_like_no_escape", "f53_literal_escapes"]
+               "f52_like_no_escape", "f53_literal_escapes",
+               "f54_where_alias"]
     r9_head = [
         "d13_dedup_representative", "d7_dedup_stop_shingle",
         "d8_decontaminate", "d9_incremental_dedup",
@@ -85,7 +87,6 @@ def test_driver_prefix_spans_all_operator_families():
         "f25_array_dialect", "k1_hll_distinct_sketch",
         "k2_countmin_frequencies", "k3_bloom_membership",
         "q10_returned_items", "q14_promo_revenue",
-        "q19_disjunctive_predicates",
     ]
     expected = core + stale_r8_all + new_r15 + r9_head
     assert len(expected) == 50
