@@ -10,9 +10,9 @@ every pass composition must carry the literal through byte-identical
 and never raise anything but the documented ValueError refusals.
 
 r15 carves out exactly two DOCUMENTED exceptions (see the r15 block
-at the bottom): Snowflake's \f / \xhh literal escapes respell to
-\uXXXX, and LIKE-pattern-position literals get value-level
-backslashes doubled. Outside those trigger spellings the invariant
+at the bottom): Snowflake's form-feed and hex-pair literal escapes
+(backslash-f, backslash-x-hh) respell to the uXXXX escape form, and
+LIKE-pattern-position literals get value-level backslashes doubled. Outside those trigger spellings the invariant
 is unchanged and pinned below.
 """
 
