@@ -894,6 +894,37 @@ def test_f45_lowered_text_auto_factors_expand(spark):
         assert R(q) == q
 
 
+def test_fill_identity_no_global_window(spark):
+    """r15 (VERDICT r14 #5 hotspot check): the identity fill's rank
+    must NEVER plan as a single-partition global window — at a 100 TB
+    initial load that serializes every insert row through one task.
+    The bucketed design ranks within __bkt partitions (a hash of the
+    sort key) and adds broadcast offsets; the pin asserts the Window
+    operator carries a non-empty partition spec."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_etl_using_snowflake_spark.operators import merge as M
+
+    df = (
+        spark.range(0, 10000)
+        .select(
+            F.lit(None).cast("long").alias("id"),
+            F.concat(F.lit("k"), F.col("id")).alias("name"),
+        )
+    )
+    out = M.fill_identity(df, "id", order_by=["name"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    windows = _re.findall(r"Window \[[^\]]*\], \[[^\]]*\]", plan)
+    assert windows, plan  # the rank IS a window — it must be present
+    # every Window's partition spec (the second bracket list) is
+    # non-empty: "Window [funcs], [partspec], [ordspec]" — an empty
+    # partspec would read "], [], ["
+    assert "], [], [" not in plan, plan
+    assert "__bkt" in plan, plan
+
+
 def test_f49_null_ordering_stays_window_exec(spark):
     """r14: explicit NULL placements are plain SortOrder properties —
     native Window exec, no Python, one shuffle per partition key."""
