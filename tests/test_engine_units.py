@@ -3691,6 +3691,40 @@ def test_setops_coercion_battery13(spark):
     assert sorted(r.c for r in rows) == ["194", "970"]
 
 
+def test_battery13_documented_divergence_tripwires(spark):
+    """r15: executable pins for the battery-13 findings that are
+    DOCUMENTED (not fixed) — if a Spark upgrade changes any of these,
+    the corresponding COVERAGE/NOTES documentation goes stale and
+    this test says so. Each assertion states Spark's CURRENT
+    behavior, next to the documented Snowflake behavior."""
+    # division typing: int/int -> DOUBLE (Snowflake: NUMBER scale
+    # S1+6, 1/3 = 0.333333); decimal/decimal -> Spark's own scale
+    # rule (Snowflake: S1+6)
+    df = spark.sql("SELECT 1/3 AS a,"
+                   " CAST(1 AS DECIMAL(12,2))/CAST(3 AS DECIMAL(12,2))"
+                   " AS b")
+    assert dict(df.dtypes) == {"a": "double", "b": "decimal(27,15)"}
+    # string +/- numeric coerces via BIGINT under ANSI: decimal text
+    # dies loudly (Snowflake's VARCHAR->NUMBER would yield 5.5)
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+        spark.sql("SELECT c + 2 FROM (VALUES ('3.5')) t(c)").collect()
+    # GREATEST over mixed string/number refuses at analysis
+    # (Snowflake coerces)
+    with pytest.raises(Exception, match="DATATYPE_MISMATCH"):
+        spark.sql("SELECT GREATEST(i, '3') FROM (VALUES (5)) t(i)")
+    # 1-arg TO_CHAR is the cast rendering: Spark trims a zero
+    # fraction where Snowflake's default TIMESTAMP output format
+    # (FF3) always prints 3 digits — documented convention
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        lower_select as L,
+    )
+
+    v = spark.sql(L(
+        "SELECT TO_CHAR(TIMESTAMP'2020-01-01 00:00:00') AS s"
+    )).first().s
+    assert v == "2020-01-01 00:00:00"  # Snowflake would append .000
+
+
 def test_where_alias_repair(spark):
     """r15 probe battery 13d: Snowflake's documented extension makes
     SELECT-list aliases visible in WHERE (real column wins on
