@@ -5731,16 +5731,16 @@ def rewrite_like_default_escape(sql: str) -> str:
         n = len(sql)
         qm = _LIKE_QUANT_RE.match(sql, j)
         if qm is not None:
-            # LIKE ANY/ALL (p1, p2, ...): fix each literal item; a
-            # non-literal item with no backslash risk rides through
-            # (runtime backslash-in-data dies loudly, never silently)
+            # LIKE ANY/ALL (p1, p2, ...): fix each literal item;
+            # expression items get the same value-level replace()
+            # wrap as the scalar path (a no-op without backslashes)
             open_idx = qm.end() - 1
             close = _balanced_span(sql, open_idx)
             items = _split_top_level_commas(sql[open_idx + 1 : close - 1])
             fixed = ", ".join(
                 _like_fix_literal(it.strip())
                 if it.strip().startswith("'")
-                else it.strip()
+                else f"replace({it.strip()}, {_BS_DOUBLED})"
                 for it in items
             )
             if _ESCAPE_KW_RE.match(sql, close):

@@ -3833,9 +3833,14 @@ def test_like_default_escape(spark):
     # escape-sequence singles (value control chars) are not doubled
     q3 = f"SELECT 1 FROM t WHERE c LIKE 'a{bs}nb'"
     assert R(q3) == q3
-    # quantified lists get per-item literal fixes
-    out = R(f"SELECT 1 FROM t WHERE c LIKE ANY ('p{bs}{bs}%', 'q%')")
-    assert f"p{bs}{bs}{bs}{bs}%" in out and "'q%'" in out
+    # quantified lists: literal items fixed, expression items get
+    # the value-level replace() wrap
+    out = R(f"SELECT 1 FROM t WHERE c LIKE ANY ('p{bs}{bs}%', col)")
+    assert f"p{bs}{bs}{bs}{bs}%" in out and "replace(col" in out
+    row3 = spark.sql(L(
+        "SELECT concat('a', chr(92), 'b') LIKE ANY (p, 'z%') AS m"
+        " FROM (SELECT concat('a', chr(92), 'b') AS p)")).first()
+    assert row3.m is True
 
 
 def test_codec_family(spark):
