@@ -254,6 +254,30 @@ def main() -> None:
 
     # warm the calibration probe once before any pass measures it
     _calibration(spark)
+    # 15-minute-load gate before pass 1 (VERDICT r15 "What's wrong" #1:
+    # the r15 driver bench started 10 min after its own correctness
+    # sweep — 1-min load had settled, 15-min load was still 6.4-6.6,
+    # and the reading came out ~13% hot; the builder's same-day ledger
+    # puts clean readings at loadavg_15m 1.3-2.2 and contaminated ones
+    # at 3.3+). Wait (capped) for the 15-min load to decay below a
+    # threshold calibrated from that ledger before the first timed
+    # pass, so the recorded artifact is clean BY CONSTRUCTION. The
+    # wait happens after _prepare/warm-up (which contribute ~1-2 to
+    # l15 themselves on an otherwise-quiet host — the clean runs'
+    # observed band), and is stamped into the artifact.
+    thresh15 = float(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_L15_THRESH",
+            str(round(0.08 * (os.cpu_count() or 8), 2)),
+        )
+    )
+    max_wait15 = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT15", "600"))
+    waited15 = 0.0
+    _l1, _l5, l15_now = _loadavg3()
+    while l15_now is not None and l15_now > thresh15 and waited15 < max_wait15:
+        time.sleep(15)
+        waited15 += 15
+        _l1, _l5, l15_now = _loadavg3()
     for _ in range(passes):
         l1, l5, l15 = _loadavg3()
         _note_load(l1)
@@ -347,6 +371,12 @@ def main() -> None:
         "loadavg_end": end_load,
         "load_threshold": round(thresh, 2),
         "load_waited_sec": waited,
+        # 15-min gate stamps (r16): pass 1 is clean by construction
+        # when load15_waited_sec < load15_max_wait (the gate exited on
+        # the threshold, not the cap) — see BASELINE.md's clean rule
+        "load15_threshold": round(thresh15, 2),
+        "load15_waited_sec": waited15,
+        "load15_max_wait": max_wait15,
         "contended": bool(load is not None and load > thresh),
         # self-inclusive 1-min loadavg sampled as each query
         # started; contended_queries = samples above
