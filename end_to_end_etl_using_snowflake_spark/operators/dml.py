@@ -109,6 +109,15 @@ class ParquetTable:
         the same atomic rename (e.g. DynamicTable's ``_applied_version``
         stamp). Names must start with ``_`` — Spark and parquet globs
         ignore underscore-prefixed files."""
+        tmp = self.write_tmp(df, sidecar)
+        self.swap_tmp(tmp)
+
+    def write_tmp(self, df: DataFrame, sidecar: Mapping[str, str] | None = None) -> str:
+        """The write half of ``overwrite``: materialize ``df`` into a
+        temp directory next to the table and return its path — split
+        out (r16) so a caller can hardlink the freshly-written files
+        into a changelog version BEFORE the swap (one compute + one
+        write for what used to be two of each)."""
         tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
         writer = self._clustered(df).write.mode("overwrite")
         if self.partition_by:
@@ -119,6 +128,11 @@ class ParquetTable:
                 raise ValueError(f"sidecar files must be underscore-prefixed: {name}")
             with open(os.path.join(tmp, name), "w") as fh:
                 fh.write(content)
+        return tmp
+
+    def swap_tmp(self, tmp: str) -> None:
+        """The commit half of ``overwrite``: atomic rename of a temp
+        directory produced by ``write_tmp`` into the table path."""
         old = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
         if os.path.exists(self.path):
             os.rename(self.path, old)

@@ -83,8 +83,35 @@ class ManagedTable:
         return self.spark.read.schema(self.schema).parquet(*dirs)
 
     def append(self, df: DataFrame, action: str = "INSERT") -> int:
-        self.storage.append(df)
-        return self.changelog.record(df, action)
+        """INSERT INTO + change record. For an unpartitioned table the
+        batch is computed and written ONCE — the changelog commit
+        records the same rows, then the table append hardlinks the
+        just-written version files (r16: the old shape ran the full
+        input plan twice, e.g. the pipe ingest re-read every landing
+        CSV for the changelog job). Crash between record and link:
+        change rows exist that the table lacks — same class as the old
+        order's inverse window; callers re-run (COPY's write-then-mark
+        re-loads, merges dedup per key), so the step stays idempotent.
+        Partitioned tables keep the two-write path (their table layout
+        differs from the changelog's)."""
+        if self.storage.partition_by:
+            self.storage.append(df)
+            return self.changelog.record(df, action)
+        version = self.changelog.record(df, action)
+        src = os.path.join(
+            self.changelog.log_path, f"_version={version}", f"_action={action}"
+        )
+        os.makedirs(self.storage.path, exist_ok=True)
+        for root, _dirs, files in os.walk(src):
+            for f in files:
+                if f.endswith(".parquet"):
+                    target = os.path.join(self.storage.path, f)
+                    if os.path.exists(target):  # part names are unique
+                        target = os.path.join(
+                            self.storage.path, f"v{version}-{f}"
+                        )
+                    os.link(os.path.join(root, f), target)
+        return version
 
     def overwrite(self, df: DataFrame, changes: DataFrame | None = None, action: str = "UPSERT") -> int:
         """Atomic replace; ``changes`` (default: the full new content)
@@ -96,7 +123,19 @@ class ManagedTable:
         write-temp-then-rename, so ``df`` reading this table is safe).
         A crash in between leaves extra change rows; re-running the step
         is safe because downstream merges are idempotent per key.
+
+        ``changes=None`` + unpartitioned table takes the shared-write
+        path (r16): ``df`` is computed and written once to the temp
+        dir, the changelog version hardlinks those files
+        (Changelog.record_linked — zero copies), then the swap lands.
+        Same crash discipline: the changelog still commits before the
+        table becomes visible.
         """
+        if changes is None and not self.storage.partition_by:
+            tmp = self.storage.write_tmp(df)
+            version = self.changelog.record_linked(tmp, action)
+            self.storage.swap_tmp(tmp)
+            return version
         version = self.changelog.record(changes if changes is not None else df, action)
         self.storage.overwrite(df)
         return version

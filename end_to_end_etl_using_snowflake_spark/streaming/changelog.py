@@ -37,6 +37,20 @@ ACTION_COL = "_action"
 VERSION_COL = "_version"
 
 
+def _count_parquet_rows(root: str) -> int:
+    """Exact row count of a just-written version directory from the
+    parquet FOOTERS — O(files) driver-side metadata reads, no Spark
+    job. Powers the stream_has_data metadata fast path (r16)."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for r, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
+    return n
+
+
 class Changelog:
     def __init__(self, spark: SparkSession, table_path: str):
         self.spark = spark
@@ -71,17 +85,69 @@ class Changelog:
         injectable for determinism like the F1 clock) into the meta —
         the index ``AT (TIMESTAMP => ...)`` time travel resolves
         against (:meth:`version_at`). Unstamped versions are simply
-        invisible to timestamp resolution."""
+        invisible to timestamp resolution.
+
+        Layout (r16): BOTH ``_version`` and ``_action`` are partition
+        directories (``_version=N/_action=A/part-*.parquet``), so the
+        parquet files carry exactly the table columns. Two wins at any
+        scale: a producer that just wrote the same rows to its table
+        can commit the changelog by HARDLINKING the files
+        (:meth:`record_linked` — zero bytes copied, no second job),
+        and the per-version row count is readable from the parquet
+        footers (O(files) driver metadata), which
+        :meth:`stream_has_data` uses to answer without a Spark job.
+        Readers are unchanged: partition discovery appends both
+        columns, and every consumer selects by name."""
         meta = self._read_meta()
         new_version = meta["version"] + 1
         (
             df.withColumn(ACTION_COL, F.lit(action))
             .withColumn(VERSION_COL, F.lit(new_version))
             .write.mode("append")
-            .partitionBy(VERSION_COL)
+            .partitionBy(VERSION_COL, ACTION_COL)
             .parquet(self.log_path)
         )
         meta["version"] = new_version
+        meta.setdefault("rows", {})[str(new_version)] = _count_parquet_rows(
+            os.path.join(self.log_path, f"{VERSION_COL}={new_version}")
+        )
+        if at is not None:
+            meta.setdefault("times", {})[str(new_version)] = at
+        self._write_meta(meta)
+        return new_version
+
+    def record_linked(
+        self, src_dir: str, action: str, at: str | None = None
+    ) -> int:
+        """Commit a new version by HARDLINKING the parquet files of
+        ``src_dir`` (a directory some producer just wrote with exactly
+        the table's columns) instead of running a second write job —
+        the zero-copy half of the r16 layout. Equivalent to
+        ``record(df, action)`` for a ``df`` with the same rows: the
+        files' columns are the table columns, and ``_version`` /
+        ``_action`` live in the directory names. O(files) metadata
+        work, zero bytes copied, shared write-once inodes (same trick
+        as CLONE TABLE)."""
+        meta = self._read_meta()
+        new_version = meta["version"] + 1
+        dst = os.path.join(
+            self.log_path,
+            f"{VERSION_COL}={new_version}",
+            f"{ACTION_COL}={action}",
+        )
+        os.makedirs(dst, exist_ok=True)
+        rows = 0
+        for root, _dirs, files in os.walk(src_dir):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                target = os.path.join(dst, f)
+                if os.path.exists(target):  # paranoid: part names are unique
+                    target = os.path.join(dst, f"v{new_version}-{f}")
+                os.link(os.path.join(root, f), target)
+        rows = _count_parquet_rows(dst)
+        meta["version"] = new_version
+        meta.setdefault("rows", {})[str(new_version)] = rows
         if at is not None:
             meta.setdefault("times", {})[str(new_version)] = at
         self._write_meta(meta)
@@ -115,6 +181,7 @@ class Changelog:
         """Version bump with no rows (e.g. TRUNCATE)."""
         meta = self._read_meta()
         meta["version"] += 1
+        meta.setdefault("rows", {})[str(meta["version"])] = 0
         self._write_meta(meta)
         return meta["version"]
 
@@ -135,10 +202,21 @@ class Changelog:
 
     def stream_has_data(self, consumer: str) -> bool:
         """system$stream_has_data analog (customer-...sql:66): cheap
-        check — metadata version compare + an any-rows probe."""
+        check — metadata version compare + per-version row counts
+        recorded at commit time, so the common case answers WITHOUT a
+        Spark job (r16: the isEmpty probe cost one job per task-DAG
+        gate — 6 jobs per pipeline cycle). Versions missing a recorded
+        count (a changelog written before the counts existed) fall
+        back to the any-rows probe."""
         meta = self._read_meta()
-        if meta["version"] <= meta["offsets"].get(consumer, 0):
+        current = meta["version"]
+        offset = meta["offsets"].get(consumer, 0)
+        if current <= offset:
             return False
+        rows = meta.get("rows", {})
+        counts = [rows.get(str(v)) for v in range(offset + 1, current + 1)]
+        if all(c is not None for c in counts):
+            return any(c > 0 for c in counts)
         df, _ = self.stream_read(consumer)
         return df is not None and not df.isEmpty()
 
