@@ -7289,6 +7289,19 @@ def match_recognize_statement(spark, text: str, tables: dict):  # noqa: ANN001
         F.min(ord0).alias("__first"),
         F.max(ord0).alias("__last"),
     )
+    # Every pattern leg joins against a filtered copy of ``runs``, and
+    # the per-leg filters sit BELOW each join exchange, so Catalyst's
+    # ReuseExchange never fires: a k-leg pattern re-ran the raw-stream
+    # scan + the three stacked windows + the RLE aggregate k times
+    # (the r16 sql50 plan carried 11 such chains for its three
+    # statements). persist() pins the run relation — the already-
+    # compressed ~one-row-per-direction-reversal form — so the stream
+    # is scanned and windowed once per statement and every leg reads
+    # the in-memory copy (persist, NOT localCheckpoint: the cached
+    # relation keeps plan stats, so the per-leg joins stay broadcast;
+    # a checkpoint's stat-less LogicalRDD demoted them to SMJ and
+    # measured 3.6x WORSE than the recompute it saved).
+    runs = runs.persist()
     def chain(var):
         out = None
         for i, alts in enumerate(var):
