@@ -180,9 +180,6 @@ def fill_identity(
     per bucket. Key *values* are engine-specific — tests assert
     uniqueness/contiguity/determinism only (FIXTURES.md).
     """
-    if existing_max is None:
-        row = df.agg(F.max(key_col)).first()
-        existing_max = row[0] if row and row[0] is not None else 0
     news = df.filter(F.col(key_col).isNull())
     spark = news.sparkSession
 
@@ -194,35 +191,48 @@ def fill_identity(
     # offset. Total order: (bucket, *order_by); still deterministic and
     # contiguous, and the per-bucket count pass touches only the insert
     # batch.
+    #
+    # r16: the whole assignment is ONE lazy plan — no driver round trip.
+    # The cumulative offsets were previously a collect() + re-broadcast
+    # (one extra Spark job per identity fill; three per pipeline cycle);
+    # they are now the same per-bucket counts folded through a bounded
+    # triangular self-join (offset(b) = sum of counts of lower buckets,
+    # O(buckets^2) comparisons over at most `shuffle.partitions` rows —
+    # driver-free, and no single-partition window, preserving the
+    # test_fill_identity_no_global_window pin). The max() seed likewise
+    # folds in as a broadcast 1-row aggregate when not supplied.
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     sort_cols = [F.col(c) for c in order_by]
     bucketed = news.withColumn(
         "__bkt", F.pmod(F.xxhash64(*sort_cols), F.lit(n_buckets)).cast("int")
     )
-    counts = sorted(
-        bucketed.groupBy("__bkt").count().collect(), key=lambda r: r["__bkt"]
+    counts = bucketed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__cnt"))
+    lower = counts.select(
+        F.col("__bkt").alias("__lb"), F.col("__cnt").alias("__lc")
     )
-    acc = 0
-    offsets = []
-    for r in counts:
-        offsets.append((r["__bkt"], acc))
-        acc += r["count"]
-    if offsets:
-        off_df = spark.createDataFrame(offsets, "__bkt int, __off long")
-        w = Window.partitionBy("__bkt").orderBy(*sort_cols)
-        news = (
-            bucketed.join(F.broadcast(off_df), "__bkt")
-            .withColumn(
-                key_col,
-                (F.lit(existing_max) + F.col("__off") + F.row_number().over(w)).cast(
-                    "long"
-                ),
-            )
-            .drop("__bkt", "__off")
-            .select(*df.columns)
+    offsets = (
+        counts.join(F.broadcast(lower), F.col("__lb") < F.col("__bkt"), "left")
+        .groupBy("__bkt")
+        .agg(F.coalesce(F.sum("__lc"), F.lit(0)).cast("long").alias("__off"))
+    )
+    ranked = bucketed.join(F.broadcast(offsets), "__bkt")
+    if existing_max is None:
+        seed = df.agg(
+            F.coalesce(F.max(key_col), F.lit(0)).cast("long").alias("__seed")
         )
+        ranked = ranked.crossJoin(F.broadcast(seed))
+        base = F.col("__seed")
     else:
-        news = news.withColumn(key_col, F.col(key_col).cast("long"))
+        base = F.lit(int(existing_max)).cast("long")
+    w = Window.partitionBy("__bkt").orderBy(*sort_cols)
+    news = (
+        ranked.withColumn(
+            key_col,
+            (base + F.col("__off") + F.row_number().over(w)).cast("long"),
+        )
+        .drop("__bkt", "__off", "__seed")
+        .select(*df.columns)
+    )
     return df.filter(F.col(key_col).isNotNull()).unionByName(news)
 
 
