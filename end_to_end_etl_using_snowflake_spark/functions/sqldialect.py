@@ -5609,7 +5609,14 @@ def rewrite_dollar_strings(sql: str) -> str:
             out.append(sql[i:j])
             i = j
             continue
-        if c == "$" and sql[i : i + 2] == "$$":
+        if (
+            c == "$"
+            and sql[i : i + 2] == "$$"
+            and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] in "_$"))
+        ):
+            # $ is legal in unquoted Snowflake identifiers (a$$b), so a
+            # $$ directly after an identifier character is identifier
+            # text, not a string opener (ADVICE r15 #4)
             close = sql.find("$$", i + 2)
             if close < 0:
                 raise ValueError("unterminated $$...$$ string")
@@ -5631,6 +5638,35 @@ def rewrite_literal_escapes(sql: str) -> str:
     n = len(sql)
     while i < n:
         c = sql[i]
+        if c == '"':
+            # skip "..." quoted identifiers ("" doubling): an
+            # apostrophe inside one ("o'brien") otherwise desyncs the
+            # literal scanner and leaves a later real literal's
+            # \f/\xhh unconverged (ADVICE r15 #1)
+            j = i + 1
+            while j < n:
+                if sql[j] == '"':
+                    if sql[j + 1 : j + 2] == '"':
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "-" and sql[i : i + 2] == "--":
+            j = sql.find("\n", i)
+            j = n if j < 0 else j + 1
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "/" and sql[i : i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            out.append(sql[i:j])
+            i = j
+            continue
         if c != "'":
             out.append(c)
             i += 1
@@ -5709,8 +5745,20 @@ def _like_fix_literal(op: str) -> str:
         if op[i] == "\\":
             if i + 1 < n and op[i + 1] == "\\":
                 out.append("\\\\\\\\")
-            else:
-                out.append(op[i : i + 2])
+                i += 2
+                continue
+            # \u005C (the respelling rewrite_literal_escapes emits for
+            # \x5c) and a raw \x5c both yield a VALUE backslash too —
+            # double them the same way (ADVICE r15 #5)
+            if op[i : i + 6].upper() == "\\U005C":
+                out.append(op[i : i + 6] * 2)
+                i += 6
+                continue
+            if op[i : i + 4].upper() == "\\X5C":
+                out.append(op[i : i + 4] * 2)
+                i += 4
+                continue
+            out.append(op[i : i + 2])
             i += 2
         else:
             out.append(op[i])
@@ -5880,27 +5928,39 @@ _GS_HEAD_RE = re.compile(
     r"\bGROUP\s+BY\s+GROUPING\s+SETS\s*\(", re.IGNORECASE
 )
 _GS_AGG_RE = re.compile(r"\b(?P<fn>SUM|COUNT|MIN|MAX)\s*\(", re.IGNORECASE)
-# aggregates that do NOT decompose through a pre-aggregate (or whose
-# decomposition differs — AVG needs sum+count splitting); any hit in
-# the outer clauses keeps the direct plan
-_GS_DENY_RE = re.compile(
-    r"\b(?:AVG|MEAN|MEDIAN|MODE|STDDEV\w*|VARIANCE|VAR_POP|VAR_SAMP"
-    r"|LISTAGG|STRING_AGG|ARRAY_AGG|ARRAY_UNION_AGG|ARRAY_UNIQUE_AGG"
-    r"|COLLECT_LIST|COLLECT_SET|OBJECT_AGG|MAP_AGG"
-    r"|PERCENTILE\w*|APPROX\w*|HLL\w*|MINHASH\w*|DATASKETCH\w*"
-    r"|CORR|COVAR_POP|COVAR_SAMP|REGR_\w+|KURTOSIS|SKEW\w*"
-    r"|BOOLAND_AGG|BOOLOR_AGG|BOOLXOR_AGG|BOOL_AND|BOOL_OR"
-    r"|BITAND_AGG|BITOR_AGG|BITXOR_AGG|BIT_AND|BIT_OR|BIT_XOR"
-    r"|ANY_VALUE|FIRST|FIRST_VALUE|LAST|LAST_VALUE|NTH_VALUE"
-    r"|MIN_BY|MAX_BY|COUNT_IF|SUM_DISTINCT)\s*\(",
-    re.IGNORECASE,
-)
+# (r16: the deny-list of non-decomposable aggregates is gone — the
+# gate is INVERTED per ADVICE r15 #3: see _GS_OUTER_ALLOW_FNS below;
+# any function call outside the recognized SUM/COUNT/MIN/MAX spans
+# that is not a known non-aggregate keeps the direct plan.)
 # UNQUALIFIED identifiers only: a qualified key (o.k) would resolve
 # against the vanished table alias in the outer re-group — the
 # pre-aggregate exposes bare column names, so qualified spellings
 # keep the direct plan
 _GS_KEY_RE = re.compile(r"^[A-Za-z_]\w*$")
 _SELECT_HEAD_RE = re.compile(r"^\s*SELECT\b(?!\s+DISTINCT)", re.IGNORECASE)
+
+
+# non-aggregate calls permitted in the outer clauses of the rewritten
+# grouping-sets statement (everything else keeps the direct plan):
+# grouping-key functions plus scalar wrappers that provably cannot be
+# aggregates in any dialect this engine lowers
+_GS_OUTER_ALLOW_FNS = {
+    "GROUPING", "GROUPING_ID",
+    "CAST", "TRY_CAST", "COALESCE", "NULLIF", "NVL", "IFF", "IFNULL",
+    "ROUND", "ABS", "CONCAT", "FLOOR", "CEIL", "CEILING",
+}
+
+
+def _gs_without_spans(text: str, found: list[tuple[int, int, str, str]]) -> str:
+    """``text`` with the listed call spans removed — the residue the
+    inverted aggregate gate inspects."""
+    out = []
+    prev = 0
+    for st, en, _fn, _call in found:
+        out.append(text[prev:st])
+        prev = en
+    out.append(text[prev:])
+    return "".join(out)
 
 
 def _gs_outer_agg_calls(text: str) -> list[tuple[int, int, str, str]]:
@@ -5913,7 +5973,7 @@ def _gs_outer_agg_calls(text: str) -> list[tuple[int, int, str, str]]:
         m = _GS_AGG_RE.search(text, pos)
         if m is None:
             return calls
-        if text[: m.start()].count("'") % 2 == 1:
+        if _inside_quotes(text, m.start()):
             pos = m.end()
             continue
         end = _balanced_span(text, m.end() - 1)
@@ -5995,6 +6055,12 @@ def rewrite_grouping_sets_preagg(sql: str) -> str:
     sel_list = sql[_SELECT_HEAD_RE.match(head).end(): from_at]
     from_where = sql[from_at + len("FROM"): m.start()]
     tail = sql[sets_close:]
+    if tail.lstrip().startswith(","):
+        # composite grouping — GROUP BY GROUPING SETS (...), extra_key —
+        # is legal; the extra keys are not in the pre-aggregate's grain,
+        # so the rewrite would fail where the direct plan works. Keep
+        # the direct plan (ADVICE r15 #2).
+        return sql
     outer = sel_list + " " + tail
     # safety gates on the outer clauses
     if re.search(r"\bSELECT\b|\bOVER\b", outer, re.IGNORECASE):
@@ -6003,13 +6069,28 @@ def rewrite_grouping_sets_preagg(sql: str) -> str:
         # table-qualified references would resolve against vanished
         # aliases over the pre-aggregate: keep the direct plan
         return sql
-    if _GS_DENY_RE.search(outer):
-        return sql
     calls = _gs_outer_agg_calls(sel_list)
     tail_calls = _gs_outer_agg_calls(tail)
     for _, _, _, text in calls + tail_calls:
         if re.search(r"\(\s*DISTINCT\b", text, re.IGNORECASE):
             return sql  # COUNT/SUM DISTINCT do not decompose
+    # Inverted gate (ADVICE r15 #3): with the decomposable-aggregate
+    # spans removed, every remaining function call in the outer clauses
+    # must be a KNOWN NON-AGGREGATE (grouping-key functions and plain
+    # scalars) — an unrecognized name could be an aggregate that the
+    # pre-aggregate silently strips the inputs of (BITAND_AGG, TRY_SUM,
+    # a future builtin), so anything else keeps the direct plan. This
+    # subsumes the old deny-list of known non-decomposables.
+    residue = (
+        _gs_without_spans(sel_list, calls)
+        + " "
+        + _gs_without_spans(tail, tail_calls)
+    )
+    for fm in re.finditer(r"\b([A-Za-z_]\w*)\s*\(", residue):
+        if _inside_quotes(residue, fm.start()):
+            continue
+        if fm.group(1).upper() not in _GS_OUTER_ALLOW_FNS:
+            return sql
     # unique partial per distinct call text
     partials: dict[str, tuple[str, str]] = {}
     for _, _, fn, text in calls + tail_calls:
@@ -6633,7 +6714,7 @@ def rewrite_cast_types(sql: str) -> str:
         m = _DCOLON_TYPE_RE.search(sql, pos)
         if m is None:
             break
-        if sql[: m.start()].count("'") % 2 == 1:
+        if _inside_quotes(sql, m.start()):
             pos = m.end()
             continue
         base = m.group("base").upper()

@@ -6493,3 +6493,67 @@ def test_jaro_winkler_exactness(spark):
     assert [(r.n1, r.n2, r.jw) for r in rows] == [
         ("goldenrod lavendar", "goldenrod lavender", 0.977778)
     ]
+
+
+def test_dialect_advice_r15_fixes(spark):
+    """Pins for the five r15 ADVICE findings: (1) the literal-escape
+    scanner skips "..." identifiers and -- and /* */ comments, so an
+    apostrophe inside either no longer desyncs it; (2) composite
+    grouping (GROUP BY GROUPING SETS (...), extra) keeps the direct
+    plan; (3) the pre-agg gate is INVERTED - an unrecognized function
+    in the outer clauses (a possible aggregate such as BITAND_AGG or
+    TRY_SUM) keeps the direct plan instead of producing an analysis
+    error, while known scalars/grouping functions still rewrite; (4)
+    $$ inside an unquoted identifier (a$$b - $ is legal there) is not
+    a string opener; (5) backslashes spelled \\u005C / \\x5c in LIKE
+    pattern literals are doubled like raw pairs, and the ::-cast /
+    grouping-agg scanners use the quote-kind-aware guard."""
+    from end_to_end_etl_using_snowflake_spark.functions.sqldialect import (
+        _like_fix_literal,
+        rewrite_dollar_strings,
+        rewrite_grouping_sets_preagg,
+        rewrite_cast_types,
+        rewrite_literal_escapes,
+    )
+
+    # (1) quoted identifiers and comments no longer desync the scanner
+    q = 'SELECT "o\'brien", \'a\\fb\' AS s FROM t'
+    r = rewrite_literal_escapes(q)
+    assert "\\u000C" in r and '"o\'brien"' in r, r
+    r = rewrite_literal_escapes("SELECT 1 -- don't\n , 'a\\fb' FROM t")
+    assert "\\u000C" in r and "don't" in r, r
+    r = rewrite_literal_escapes("SELECT /* o'clock */ 'a\\x41b' FROM t")
+    assert "\\u0041" in r, r
+
+    # (2) composite grouping falls back to the direct plan
+    q = "SELECT a, b, SUM(x) AS m FROM t GROUP BY GROUPING SETS ((a), ()), b"
+    assert rewrite_grouping_sets_preagg(q) == q
+
+    # (3) unknown (possibly aggregate) calls keep the direct plan...
+    for agg in ("BITAND_AGG(x)", "TRY_SUM(x)", "FANCY_NEW_AGG(x)"):
+        q = (
+            f"SELECT a, {agg} AS m, SUM(x) AS s FROM t"
+            " GROUP BY GROUPING SETS ((a), ())"
+        )
+        assert rewrite_grouping_sets_preagg(q) == q, agg
+    # ...while grouping functions and scalar wrappers still rewrite
+    q = (
+        "SELECT GROUPING(a) AS g, a, CAST(SUM(x) AS BIGINT) AS m,"
+        " COUNT(1) AS n FROM t GROUP BY GROUPING SETS ((a), ())"
+    )
+    assert "__gs_pre" in rewrite_grouping_sets_preagg(q)
+
+    # (4) $$ after an identifier character is identifier text
+    q = "SELECT a$$b FROM t"
+    assert rewrite_dollar_strings(q) == q
+    lowered = rewrite_dollar_strings("SELECT $$hi 'x'$$ AS s")
+    assert lowered == "SELECT 'hi ''x''' AS s", lowered
+
+    # (5) respelled value backslashes in LIKE patterns double too
+    assert _like_fix_literal("a\\u005C%b") == "a\\u005C\\u005C%b"
+    assert _like_fix_literal("a\\x5c%b") == "a\\x5c\\x5c%b"
+    assert _like_fix_literal("a\\n b") == "a\\n b"
+    # quote-kind-aware guard: the ::VARCHAR cast after an apostrophe-
+    # bearing quoted identifier still lowers (VARCHAR -> STRING)
+    out = rewrite_cast_types('SELECT "o\'k"::VARCHAR AS s FROM t')
+    assert "::STRING" in out, out
