@@ -685,15 +685,20 @@ def test_connect_by_path_stays_keyed(spark):
 
 
 def test_mr_skip_past_last_runs_arrow_on_candidates(spark):
-    # sql50: the greedy non-overlap selection is an Arrow
-    # applyInPandas (FlatMapGroupsInArrow/Pandas) over the COMPRESSED
-    # candidate relation — it must sit ABOVE the run-relation
-    # aggregation (never over raw events), everything stays keyed, and
-    # the raw-row path has no Python at all (the 'next' probe's half)
+    # sql50: the greedy non-overlap selection is ONE Arrow mapInPandas
+    # per statement over the COMPRESSED candidate relation, clustered
+    # by the partition key (r16: the grouped-map applyInPandas form
+    # paid one pandas frame per GROUP — 4.4 s on 1500 tiny groups vs
+    # 0.8 s per-partition for the identical selection) — it must sit
+    # ABOVE the run-relation aggregation (never over raw events),
+    # everything stays keyed, and the raw-row path has no Python at
+    # all (the 'next' probe's half)
     plan = plan_of(spark, "sql50_match_recognize_skip")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "FlatMapGroupsIn" in plan, plan  # the greedy step, Arrow-grouped
+    assert "MapInPandas" in plan, plan  # the greedy step, Arrow, per-partition
+    # the per-GROUP form must not come back
+    assert "FlatMapGroupsIn" not in plan, plan
 
 
 def test_session_variable_predicate_is_pushed_literal(spark):
