@@ -352,6 +352,19 @@ def main() -> None:
     cal = sorted(r["calibration_sec"] for r in runs)[len(runs) // 2]
 
     end_load = _loadavg()
+    # clean_pass (VERDICT r16 "What's wrong" #2): a single boolean the
+    # driver's PERF comparison can filter on. True iff the 15-min gate
+    # exited on its threshold (not the wait cap) AND pass 1 actually
+    # started below that threshold AND the 1-min start gate was
+    # satisfied — i.e. the artifact is clean by MEASUREMENT, not merely
+    # by construction-on-a-good-day.
+    clean_pass = bool(
+        (l15_now is not None and l15_now <= thresh15)  # gate exited on
+        # the threshold (not the wait cap / a failed /proc read)
+        and (runs and runs[0]["loadavg_15m"] is not None
+             and runs[0]["loadavg_15m"] <= thresh15)
+        and not (load is not None and load > thresh)
+    )
     full = {
         "metric": "headline_queries_total_runtime",
         # MEDIAN of the pass totals (the per-pass evidence is in
@@ -377,6 +390,7 @@ def main() -> None:
         "load15_threshold": round(thresh15, 2),
         "load15_waited_sec": waited15,
         "load15_max_wait": max_wait15,
+        "clean_pass": clean_pass,
         "contended": bool(load is not None and load > thresh),
         # self-inclusive 1-min loadavg sampled as each query
         # started; contended_queries = samples above
@@ -419,10 +433,22 @@ def main() -> None:
         "sf": full["sf"],
         "contended": full["contended"],
         "contended_queries": contended_queries,
+        "clean_pass": clean_pass,
         "detail": "bench_out.json",
     }
-    if len(json.dumps(compact)) > 1900:
-        compact.pop("queries")
+    # VERDICT r16 #1/#2: the per-query map is the driver's ground truth
+    # for PERF_*.per_query and scaling.per_query — it must NEVER fall
+    # off the printed line. When the line outgrows the ~2000-char tail
+    # capture, shed the OPTIONAL diagnostics first (all recoverable
+    # from the sidecar): the per-pass "runs" array, then the trailing
+    # extras. "queries" is the last thing to go (additions-only
+    # contract: metric/value/unit/queries/sf always print while they
+    # fit at all).
+    for victim in ("runs", "contended_queries", "calibration_sec",
+                   "value_normalized", "queries"):
+        if len(json.dumps(compact)) <= 1900:
+            break
+        compact.pop(victim, None)
     print(json.dumps(compact))
 
 

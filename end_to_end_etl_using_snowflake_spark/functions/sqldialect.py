@@ -7502,6 +7502,14 @@ def match_recognize_statement(spark, text: str, tables: dict):  # noqa: ANN001
         schema = df.schema
         gcols = list(group_cols)
 
+        # Key-type caveat (ADVICE r16): Arrow->pandas turns a SQL NULL
+        # in a FLOAT/DOUBLE partition key into NaN, so pandas
+        # groupby(dropna=False) would collapse NULL-key and literal-
+        # NaN-key rows into one group where Spark's groupBy keeps them
+        # distinct (and hash-partitions them independently). Float
+        # PARTITION BY keys carrying literal NaN are therefore
+        # unsupported in MATCH_RECOGNIZE; integer/string/date keys
+        # (the dialect's tested surface) are unaffected.
         def pick_partition(batches):
             parts = [b for b in batches]
             if not parts:

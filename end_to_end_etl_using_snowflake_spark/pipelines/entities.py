@@ -481,7 +481,7 @@ class EntityPipelines:
 
         customer and item are fully independent (disjoint pipes,
         manifests, stage/raw tables, dims, changelog metas, task DAGs),
-        so their cycles run CONCURRENTLY from a 2-thread pool — each
+        so their cycles run CONCURRENTLY from a 2+1-thread pool — each
         entity's chain of small jobs back-fills executor slots the
         other's stragglers leave idle (Spark schedules concurrent jobs
         FIFO; job submission is thread-safe). The order pipe refresh
@@ -492,7 +492,19 @@ class EntityPipelines:
         overlapped work shares no tables, and each DAG's own
         pause->merge->truncate->resume ordering is preserved inside
         its thread (r16; steady-state full cycle 13.9 -> 9.5 s at
-        sf0.1, same warehouse state and audit)."""
+        sf0.1, same warehouse state and audit).
+
+        Failure semantics (changed from the sequential form, ADVICE
+        r16): if the customer cycle raises, its exception propagates
+        from ``fc.result()`` only after the pool's shutdown lets the
+        item/order-refresh futures finish — item side effects land
+        even when customer fails (previously the sequential loop
+        short-circuited), and an order-refresh exception surfaces
+        only after both dim results are consumed. Each cycle is
+        individually idempotent (T1), so a partial wake-up re-runs
+        safely. An injected ``clock`` callable is now invoked from
+        multiple threads — the default ``_utc_now`` is thread-safe;
+        a stateful test Clock must be too."""
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=3) as pool:
