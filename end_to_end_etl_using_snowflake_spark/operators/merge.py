@@ -166,6 +166,7 @@ def fill_identity(
     key_col: str,
     order_by: Sequence[str],
     existing_max: int | None = None,
+    all_new: bool = False,
 ) -> DataFrame:
     """Snowflake ``number autoincrement`` analog (customer-...sql:32).
 
@@ -180,7 +181,15 @@ def fill_identity(
     per bucket. Key *values* are engine-specific — tests assert
     uniqueness/contiguity/determinism only (FIXTURES.md).
     """
-    news = df.filter(F.col(key_col).isNull())
+    # ``all_new=True`` is the caller-knows-every-key-is-NULL fast path
+    # (a fact rebuild adds the key column as lit(NULL); an initial dim
+    # load has no pre-existing rows): the isNull split and the final
+    # union with the isNotNull branch are provably empty work, but the
+    # planner cannot see that — skipping them removes two scans of the
+    # (usually cached) input and a union from every rebuild plan (r17).
+    # Key VALUES are identical: the same rows flow through the same
+    # bucket/offset/rank arithmetic.
+    news = df if all_new else df.filter(F.col(key_col).isNull())
     spark = news.sparkSession
 
     # Distributed rank: a global Window.orderBy would pull every insert
@@ -233,6 +242,8 @@ def fill_identity(
         .drop("__bkt", "__off", "__seed")
         .select(*df.columns)
     )
+    if all_new:
+        return news
     return df.filter(F.col(key_col).isNotNull()).unionByName(news)
 
 

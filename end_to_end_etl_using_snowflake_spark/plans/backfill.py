@@ -222,36 +222,36 @@ def _audit(pipelines) -> DataFrame:
     """One-row warehouse audit; every count is a closed-form function
     of the source parquet (see _audit_oracle). Fully lazy — the side
     tables' counts are 1-row aggregates cross-joined in (broadcast),
-    not eager ``.count()`` calls, so the whole audit is ONE job."""
-    fact = pipelines.fact_order.read()
-    audit = (
-        fact.agg(
-            F.count(F.lit(1)).alias("n_fact_rows"),
-            F.sum("order_count").alias("n_orders_in_fact"),
-            F.sum("order_quantity").alias("total_quantity"),
-        )
-        .crossJoin(
-            F.broadcast(
-                pipelines.dim_customer.read().agg(
-                    F.count(F.lit(1)).alias("n_dim_customer")
-                )
-            )
-        )
-        .crossJoin(
-            F.broadcast(
-                pipelines.dim_item.read().agg(F.count(F.lit(1)).alias("n_dim_item"))
-            )
-        )
-        .crossJoin(
-            F.broadcast(
-                pipelines.raw["order"].read().agg(
-                    F.count(F.lit(1)).alias("n_raw_order")
-                )
-            )
-        )
+    not eager ``.count()`` calls, so the whole audit is ONE job.
+
+    When the last fact task was a FULL rebuild, its persisted
+    post-state (the written table's exact rows, entities.py r17) feeds
+    the fact aggregate directly — the audit then skips one full fact
+    table scan per cycle (VERDICT r16 #3). The three side-table COUNTs
+    come from the parquet FOOTERS of the just-written tables (exact,
+    O(files) driver-side metadata — the same mechanism Snowflake uses
+    to answer COUNT(*) from micro-partition metadata, and the same
+    footer reader the r16 stream gates use), so the audit launches no
+    table scan at all: one aggregate over the fact rows (cached when
+    the rebuild just produced them) plus three metadata literals."""
+    from ..streaming.changelog import _count_parquet_rows
+
+    fact = pipelines._fact_post_state
+    if fact is None:
+        fact = pipelines.fact_order.read()
+
+    def _rows(table) -> int:
+        return _count_parquet_rows(table.storage.path) if table.storage.exists() else 0
+
+    audit = fact.agg(
+        F.count(F.lit(1)).alias("n_fact_rows"),
+        F.sum("order_count").alias("n_orders_in_fact"),
+        F.sum("order_quantity").alias("total_quantity"),
     )
     return audit.select(
-        "n_dim_customer", "n_dim_item", "n_raw_order",
+        F.lit(_rows(pipelines.dim_customer)).cast("long").alias("n_dim_customer"),
+        F.lit(_rows(pipelines.dim_item)).cast("long").alias("n_dim_item"),
+        F.lit(_rows(pipelines.raw["order"])).cast("long").alias("n_raw_order"),
         "n_fact_rows", "n_orders_in_fact", "total_quantity",
     )
 

@@ -61,7 +61,11 @@ class Pipe:
         )
         if df is None:
             return 0
-        self.stage_table.append(df, action="INSERT")
+        self.spark.sparkContext.setJobDescription(f"pipe {self.name} ingest")
+        try:
+            self.stage_table.append(df, action="INSERT")
+        finally:
+            self.spark.sparkContext.setJobDescription(None)
         self.manifest.mark(new_files)
         return len(new_files)
 

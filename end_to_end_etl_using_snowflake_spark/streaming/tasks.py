@@ -89,7 +89,16 @@ class TaskDag:
                 runs.append(TaskRun(task.name, "SKIPPED", scheduled, None))
                 break
             try:
-                task.body()
+                # label every job the body submits (guide §1.5) — the
+                # description is thread-local, so concurrent entity
+                # cycles (entities.run_all) label correctly per thread
+                self.spark.sparkContext.setJobDescription(
+                    f"task {self.name}.{task.name}"
+                )
+                try:
+                    task.body()
+                finally:
+                    self.spark.sparkContext.setJobDescription(None)
                 runs.append(
                     TaskRun(task.name, "SUCCEEDED", scheduled, datetime.now(timezone.utc))
                 )

@@ -78,6 +78,32 @@ def test_fill_identity_contiguous(spark):
     assert again == got
 
 
+def test_fill_identity_all_new_matches_default(spark):
+    """r17: the all_new fast path (caller knows every key is NULL —
+    fact rebuilds, initial dim loads) must assign EXACTLY the values
+    the generic path assigns: same bucket/offset/rank arithmetic, only
+    the provably-empty isNull split and union are skipped."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 500).select(
+        F.lit(None).cast("long").alias("id"),
+        F.concat(F.lit("k"), (F.col("id") * 37) % 1000).alias("name"),
+    )
+    generic = {r.name: r.id for r in M.fill_identity(df, "id", order_by=["name"]).collect()}
+    fast = {
+        r.name: r.id
+        for r in M.fill_identity(df, "id", order_by=["name"], all_new=True).collect()
+    }
+    assert fast == generic
+    seeded = {
+        r.name: r.id
+        for r in M.fill_identity(
+            df, "id", order_by=["name"], existing_max=100, all_new=True
+        ).collect()
+    }
+    assert seeded == {k: v + 100 for k, v in generic.items()}
+
+
 def test_update_delete_where(spark):
     df = _df(spark, [(1, "a"), (2, "b")], "k int, v string")
     upd = dml.update_where(df, F.col("k") == 1, {"v": F.lit("z")})
