@@ -23,6 +23,51 @@ from pyspark.sql import functions as F
 from ..functions import vectors as V
 
 
+def _argmax_assign(
+    base: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    vec_col: str,
+    norm_col: str,
+    cv_col: str,
+    cn_col: str,
+) -> DataFrame:
+    """Nearest-centroid assignment (argmax cosine, ties to the lowest
+    cid) as ONE aggregate with map-side partial aggregation (r17,
+    guide §2.3/§2.4): ``max_by`` keyed on ``struct(cos, -cid)``.
+
+    The per-id window form this replaces shuffled the WHOLE
+    corpus x centroids cross product — n*k rows each carrying both
+    vectors (~1 KB at 64 dims) — plus a per-partition sort; because a
+    broadcast crossJoin leaves every id's k candidate rows in one
+    partition, the partial ``max_by`` reduces them map-side and the
+    exchange carries n already-reduced rows. Selection is identical:
+    ``row_number over (cos desc, cid asc) == 1`` and ``max_by`` over
+    ``(cos, -cid)`` pick the same row under Spark's total ordering
+    (NaN greatest on both paths; cid unique per group, so the key is
+    a total order — requires a numeric cid, true for every caller:
+    row_number cells or numeric vector ids). Returns
+    (id_col, vec_col, norm_col, cell)."""
+    cos = V.dot(F.col(vec_col), F.col(cv_col)) / (F.col(norm_col) * F.col(cn_col))
+    return (
+        base.crossJoin(F.broadcast(cent))
+        .select(id_col, vec_col, norm_col, "cid", cos.alias("__cos"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(vec_col, norm_col, "cid"),
+                F.struct(F.col("__cos"), (-F.col("cid")).alias("__nc")),
+            ).alias("__b")
+        )
+        .select(
+            id_col,
+            F.col(f"__b.{vec_col}").alias(vec_col),
+            F.col(f"__b.{norm_col}").alias(norm_col),
+            F.col("__b.cid").alias("cell"),
+        )
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -147,6 +192,13 @@ def ivf_topk(
         base = df.select(
             F.col(id_col).alias(out_id), V.to_double(F.col(vec_col)).alias(out_vec)
         ).withColumn(out_norm, V.norm(F.col(out_vec)))
+        if keep == 1:
+            # the corpus-sized cell assignment: one max_by aggregate
+            # (map-side partial), not a window over the n*k cross
+            # product — see _argmax_assign (r17)
+            return _argmax_assign(
+                base, cent, out_id, out_vec, out_norm, "cv_c", "cn_c"
+            )
         w = Window.partitionBy(out_id).orderBy(
             (V.dot(F.col(out_vec), F.col("cv_c")) / (F.col(out_norm) * F.col("cn_c"))).desc(),
             F.col("cid").asc(),
@@ -364,16 +416,9 @@ def _lloyd_loop(emb, id_col, vec_col, n_cells, iterations, exact_means):
     )
 
     def assign(centroids: DataFrame) -> DataFrame:
-        w = Window.partitionBy("id").orderBy(
-            (V.dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))).desc(),
-            F.col("cid").asc(),
-        )
-        return (
-            e.crossJoin(F.broadcast(centroids))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("id", "v", "n", F.col("cid").alias("cell"))
-        )
+        # one max_by aggregate per round instead of a window over the
+        # n*k cross product — see _argmax_assign (r17)
+        return _argmax_assign(e, centroids, "id", "v", "n", "cv", "cn")
 
     for _ in range(iterations):
         assigned = assign(cent)
@@ -692,15 +737,10 @@ def semantic_dedup_labels(
             F.col("nrm").alias("cn"),
         )
     )
-    w = Window.partitionBy("id").orderBy(
-        (V.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).desc(),
-        F.col("cid").asc(),
-    )
     asg = (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("id", "v", "nrm", F.col("cid").alias("cell"))
+        # one max_by aggregate instead of a window over the n*k cross
+        # product — see _argmax_assign (r17)
+        _argmax_assign(e, cent, "id", "v", "nrm", "cv", "cn")
         # asg feeds three consumers (both pair sides + the final left
         # join); a lazy localCheckpoint materializes the assignment
         # once instead of re-running the broadcast-argmax per consumer
