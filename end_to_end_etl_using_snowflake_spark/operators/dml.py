@@ -227,6 +227,38 @@ class ParquetTable:
             n += sum(1 for f in files if f.endswith(".parquet"))
         return n
 
+    def column_max(self, col: str):
+        """Exact column maximum from the parquet FOOTER statistics —
+        O(files) driver-side metadata, no Spark job (r17): the same
+        min/max every scan's zone-map pruning trusts, and the same
+        mechanism Snowflake uses to answer MIN/MAX from micro-partition
+        metadata. Returns None when the table is empty or ANY row group
+        lacks usable stats for ``col`` (caller falls back to a scan) —
+        never a silently-wrong value."""
+        import pyarrow.parquet as pq
+
+        if not self.exists():
+            return None
+        best = None
+        for root, _dirs, files in os.walk(self.path):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                try:
+                    idx = md.schema.names.index(col)
+                except ValueError:
+                    return None
+                for rg in range(md.num_row_groups):
+                    c = md.row_group(rg).column(idx)
+                    st = c.statistics
+                    if c.num_values == 0:
+                        continue
+                    if st is None or not st.has_min_max:
+                        return None
+                    best = st.max if best is None else max(best, st.max)
+        return best
+
     def compact(self, max_files: int = 1) -> bool:
         """Small-file compaction: rewrite the table when its part-file
         count exceeds ``max_files`` (per partition for partitioned

@@ -481,8 +481,18 @@ class EntityPipelines:
             # NULL — its max() is provably None; skip the pass
             existing_max = 0
             if incremental and self.fact_order.storage.exists():
-                row = self.fact_order.read().agg(F.max("order_fact_key")).first()
-                existing_max = row[0] if row and row[0] is not None else 0
+                # exact max from the parquet footer statistics (r17):
+                # O(files) driver metadata instead of a full fact scan
+                # + one Spark job per delta cycle — and unlike the
+                # rejected lazy in-plan seed (r16), the footers are
+                # read BEFORE the partition overwrite, so there is no
+                # read-while-write hazard. Falls back to the scan when
+                # any row group lacks stats.
+                m = self.fact_order.storage.column_max("order_fact_key")
+                if m is None:
+                    row = self.fact_order.read().agg(F.max("order_fact_key")).first()
+                    m = row[0] if row else None
+                existing_max = int(m) if m is not None else 0
             rebuilt = M.fill_identity(
                 agg,
                 "order_fact_key",
