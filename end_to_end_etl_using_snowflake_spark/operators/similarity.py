@@ -841,14 +841,25 @@ def pq_adc_topk(
             lambda acc, x: acc + x,
         )
 
-    w_enc = Window.partitionBy("id", "m").orderBy(
-        l2sq(F.col("sv"), F.col("cv")).asc(), F.col("code").asc()
-    )
+    # argmin-L2 encoding as ONE min_by aggregate (r17): the window form
+    # shuffled the n*m_subs*k_codes cross product (every row carrying
+    # two subvectors) by (id, m) plus a sort; min_by keyed on
+    # struct(l2sq, code) picks the identical row (asc ordering, ties to
+    # the lower code, NaN greatest on both paths) and partial-
+    # aggregates map-side, so the exchange carries one reduced row per
+    # (id, m) — same mechanism as _argmax_assign.
     enc = (
         subs.join(F.broadcast(cb), "m")
-        .withColumn("__rn", F.row_number().over(w_enc))
-        .filter(F.col("__rn") == 1)
-        .select("id", "m", "code")
+        .select(
+            "id", "m", "code",
+            l2sq(F.col("sv"), F.col("cv")).alias("__d2"),
+        )
+        .groupBy("id", "m")
+        .agg(
+            F.min_by(
+                F.col("code"), F.struct(F.col("__d2"), F.col("code"))
+            ).alias("code")
+        )
     )
 
     q = queries.select(
