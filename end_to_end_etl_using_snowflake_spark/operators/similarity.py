@@ -305,6 +305,7 @@ def hyperplane_lsh_topk_adaptive(
     r_min: int = 4,
     r_cap: int = 16,
     multiprobe: bool = True,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """``hyperplane_lsh_topk`` with the signature WIDTH derived from
     corpus size (the ANN port of dedup.adaptive_band_bits — VERDICT
@@ -321,7 +322,10 @@ def hyperplane_lsh_topk_adaptive(
     tracks r = O(log n) while each probe's cost stays bounded."""
     from .dedup import adaptive_band_bits
 
-    n = corpus.count()
+    # the corpus count only sizes the signature width; table-backed
+    # callers pass it from parquet footer statistics
+    # (plans/tables.py:parquet_row_count) so no count job runs (r17)
+    n = corpus.count() if n_rows is None else n_rows
     r = adaptive_band_bits(n, target_occupancy, r_min, r_cap)
     return hyperplane_lsh_topk(
         corpus, queries, id_col, vec_col,

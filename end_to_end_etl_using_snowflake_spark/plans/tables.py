@@ -50,6 +50,34 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a source table from its parquet FOOTERS —
+    O(files) driver-side metadata, no Spark job (the Snowflake
+    COUNT(*)-from-micro-partition-metadata semantic, and the same
+    footer reader the stream gates / identity seed use, r16/r17).
+
+    Feeds the adaptive-LSH geometry derivation (d5l/d14/v16), whose
+    docstrings always said "table stats at 100 TB": the corpus count
+    only sizes the banding key space, so reading it from metadata
+    removes one full-corpus Spark scan per invocation while producing
+    the exact same integer as ``df.count()`` on these append-only
+    sources.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        n = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return n
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def rebalance_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Rescue scan parallelism when the file layout undersplits.
 

@@ -764,3 +764,33 @@ def test_skip_greedy_pandas_matches_recursive_cte():
         else:
             got = set()
         assert got == accepted, (trial, sorted(got ^ accepted))
+
+
+def test_parquet_row_count_matches_spark_count(spark):
+    """The footer-statistics corpus count (r17: feeds the adaptive-LSH
+    geometry instead of a full-corpus count job) must be the exact
+    integer ``df.count()`` returns, and passing it through ``n_rows``
+    must leave the operator's output untouched."""
+    from end_to_end_etl_using_snowflake_spark.operators.dedup import (
+        embedding_cosine_pairs_lsh_adaptive,
+    )
+    from end_to_end_etl_using_snowflake_spark.plans.tables import (
+        load,
+        parquet_row_count,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = load(spark, sf_dir, "embeddings")
+    n_footer = parquet_row_count(sf_dir, "embeddings")
+    assert n_footer == emb.count()
+
+    def pairs(n_rows):
+        return sorted(
+            (r.id_a, r.id_b, round(r.cos_sim, 12))
+            for r in embedding_cosine_pairs_lsh_adaptive(
+                emb, "vec_id", "embedding",
+                threshold=0.5, bands=4, dims=64, n_rows=n_rows,
+            ).collect()
+        )
+
+    assert pairs(n_footer) == pairs(None)
