@@ -51,10 +51,27 @@ def delete_where(df: DataFrame, predicate: Column) -> DataFrame:
     return df.filter(~predicate | predicate.isNull())
 
 
+def empty_frame(spark: SparkSession, schema) -> DataFrame:
+    """Zero-row relation with an exact schema, WITHOUT a Python scan.
+
+    ``createDataFrame([], schema)`` parallelizes an empty PYTHON list
+    into ``defaultParallelism`` partitions, and every downstream scan
+    of that relation launches one Python worker PER PARTITION that
+    produces zero rows — measured 3.2 s for three 32-partition scans
+    (the executor slots sit blocked on worker startup, ~5 ms of real
+    CPU). The incremental MERGE hits this on every brand-new partition
+    (the pruned target read is provably empty) and consumed it three
+    times per cycle. An empty JVM RDD keeps the exact schema —
+    including nullability — and scans as a ZERO-partition relation:
+    no tasks, no Python (r17). Accepts a StructType or DDL string.
+    """
+    return spark.createDataFrame(spark.sparkContext.emptyRDD(), schema)
+
+
 def truncate(spark: SparkSession, df: DataFrame) -> DataFrame:
     """M5: ``TRUNCATE TABLE`` (customer-...sql:172) -> empty frame with
     the same schema."""
-    return spark.createDataFrame([], df.schema)
+    return empty_frame(spark, df.schema)
 
 
 class ParquetTable:

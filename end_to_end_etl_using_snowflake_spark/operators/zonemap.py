@@ -93,7 +93,9 @@ def pruned_read(
     overapproximate). Returns (frame, n_scanned, n_total)."""
     files, total = pruned_files(manifest, col, lo, hi)
     if not files:
-        return spark.createDataFrame([], schema), 0, total
+        from .dml import empty_frame
+
+        return empty_frame(spark, schema), 0, total
     return spark.read.schema(schema).parquet(*files), len(files), total
 
 

@@ -18,7 +18,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from ..operators.dml import ParquetTable
+from ..operators.dml import ParquetTable, empty_frame
 from ..streaming.changelog import Changelog
 
 SCHEMAS = ("stg", "raw", "transformed")
@@ -44,7 +44,9 @@ class ManagedTable:
 
     def read(self) -> DataFrame:
         if not self.storage.exists():
-            return self.spark.createDataFrame([], self.schema)
+            # JVM-empty (0 partitions): the Python-list variant scanned
+            # as 32 empty Python-worker tasks per consumer (dml.py r17)
+            return empty_frame(self.spark, self.schema)
         # explicit schema: skips footer inference, keeps the declared
         # column order for partitioned layouts, and makes an empty
         # partitioned directory (a zero-row overwrite writes no files)
@@ -79,7 +81,11 @@ class ManagedTable:
             if os.path.exists(os.path.join(self.storage.path, f"{pcol}={v}"))
         ]
         if not dirs:
-            return self.spark.createDataFrame([], self.schema)
+            # brand-new partitions: the incremental MERGE consumes this
+            # empty target three times per cycle — JVM-empty scans as
+            # zero tasks where the Python-list form cost ~1.2 s of
+            # blocked executor slots per 32-partition scan (dml.py r17)
+            return empty_frame(self.spark, self.schema)
         return self.spark.read.schema(self.schema).parquet(*dirs)
 
     def append(self, df: DataFrame, action: str = "INSERT") -> int:

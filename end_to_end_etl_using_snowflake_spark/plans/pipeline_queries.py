@@ -939,6 +939,7 @@ then
 )
 def sql19_reference_dim_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.sqldialect import merge_statement
+    from ..operators.dml import empty_frame
     from ..operators.merge import fill_identity
     from ..sources.copy_into import _starts_blank
     from ..sources.csv_format import CSV_OPTIONS, CUSTOMER_STAGE, DIM_CUSTOMER
@@ -950,7 +951,7 @@ def sql19_reference_dim_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         opts = dict(CSV_OPTIONS, header=str(not _starts_blank(path)).lower())
         return spark.read.options(**opts).schema(CUSTOMER_STAGE).csv(path)
 
-    state = spark.createDataFrame([], DIM_CUSTOMER)
+    state = empty_frame(spark, DIM_CUSTOMER)
     steps = [
         ("customer_history.csv", _T[1]),
         ("customer_delta_1.csv", _T[2]),

@@ -9296,14 +9296,19 @@ def pl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "transaction", "atomicity"),
 )
 def pl_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dml import MultiTableTransaction, ParquetTable, update_where
+    from ..operators.dml import (
+        MultiTableTransaction,
+        ParquetTable,
+        empty_frame,
+        update_where,
+    )
 
     base = scratch_dir("txn_")
     cust = ParquetTable(spark, f"{base}/customer")
     cust.overwrite(load(spark, sf_dir, "customer"))
     audit = ParquetTable(spark, f"{base}/adjustment_audit")
     audit.overwrite(
-        spark.createDataFrame([], "c_custkey bigint, adj_cents bigint")
+        empty_frame(spark, "c_custkey bigint, adj_cents bigint")
     )
 
     txn = MultiTableTransaction(spark, base)
@@ -10231,6 +10236,7 @@ def sql54_copy_into_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     from ..functions.scratch import scratch_dir
+    from ..operators.dml import empty_frame
     from ..sources.copy_into import copy_statement
 
     land = scratch_dir("sql54_inbox_")
@@ -10247,7 +10253,7 @@ def sql54_copy_into_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(_os.path.join(land, "odd.csv"), "w") as f:
         f.write("k\n" + "".join(f"{k}\n" for k in sorted(odd))
                 + "POISONED_ROW,extra,fields\n")
-    tables = {"landing_keys": spark.createDataFrame([], "k long")}
+    tables = {"landing_keys": empty_frame(spark, "k long")}
     return copy_statement(
         spark,
         "COPY INTO landing_keys FROM @inbox FILE_FORMAT = (TYPE = 'CSV')"

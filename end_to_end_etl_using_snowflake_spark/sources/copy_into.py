@@ -804,7 +804,9 @@ def copy_statement(
         " errors_seen long, first_error string"
     )
     if not names:
-        return spark.createDataFrame([], status_schema)
+        from ..operators.dml import empty_frame
+
+        return empty_frame(spark, status_schema)
     fmt = FileFormat(
         "csv", dict(CSV_FORMAT.options,
                     **translate_csv_format_options(spec["format_options"]),
