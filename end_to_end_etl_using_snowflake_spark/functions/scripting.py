@@ -61,6 +61,7 @@ from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators.dml import local_frame
 from .snowflake_sql import snowflake_sql
 from .sqldialect import _dml_key, _DML_HEAD_RE, _strip_line_comments, lower_select
 
@@ -318,9 +319,7 @@ def _show_variables(
         (name, str(v.value), v.sf_type)
         for name, v in sorted(variables.items())
     ]
-    return spark.createDataFrame(
-        rows, "name string, value string, type string"
-    )
+    return local_frame(spark, rows, "name string, value string, type string")
 
 
 # session parameters ride the same variables mapping under a reserved
@@ -383,8 +382,8 @@ def _alter_session(
 
 
 def _ok_status(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        [("Statement executed successfully.",)], "status string"
+    return local_frame(
+        spark, [("Statement executed successfully.",)], "status string"
     )
 
 
@@ -531,8 +530,8 @@ def console_script(
                 for k, v in variables.items()
                 if k.startswith(_PARAM_PREFIX)
             )
-            result = spark.createDataFrame(
-                rows or [("", "")], "key string, value string"
+            result = local_frame(
+                spark, rows or [("", "")], "key string, value string"
             )
             if not rows:
                 result = result.limit(0)

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dml import local_frame
+
 
 def md5_hash64(col: Column, salt: str | None = None) -> Column:
     """Deterministic 60-bit non-negative hash: the first 15 hex chars of
@@ -672,8 +674,10 @@ def tdigest_sketch_pass(
         for scope, cid, lo, hi in bounds_rows
         for blk in range(lo // block, max(lo // block, (hi - 1) // block) + 1)
     ]
-    bdf = spark.createDataFrame(
-        blocked_rows, "scope string, blk long, id long, lo long, hi long"
+    # JVM LocalTableScan: the Python-list literal scanned as 32 Python-
+    # worker tasks per consumer (dml.local_frame, r17)
+    bdf = local_frame(
+        spark, blocked_rows, "scope string, blk long, id long, lo long, hi long"
     )
     assigned = ranked.withColumn(
         "blk", F.expr(f"CAST((r - 1) DIV {block} AS BIGINT)")
@@ -819,7 +823,8 @@ def tdigest_quantiles_by_group(
                     ("__merged__", pct, t_rank, w, sum_cents / (w * 100))
                 )
                 break
-    est = spark.createDataFrame(
+    est = local_frame(
+        spark,
         est_rows,
         "scope string, q_pct long, t_rank long, centroid_w long, est double",
     )
